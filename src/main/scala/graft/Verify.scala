@@ -11,6 +11,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // events.ts is INT64 TIMESTAMP(NANOS) parquet — read as long nanos
+      // (Tables.events normalizes to ms-truncated TIMESTAMP_NTZ).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NTZ-typed output parquet so the oracle compare sees naive timestamps.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,79 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational combinators backing the SURVEY.md §2 operator
+  * inventory. Everything here is a pure `DataFrame => DataFrame` transform
+  * built from Catalyst built-ins: predicate pushdown, column pruning and
+  * whole-stage codegen all survive, and every shuffle is an explicit
+  * `groupBy`/`join`/`Window` the optimizer can see.
+  */
+object Ops {
+
+  /** OP-21/35/50/51 — idempotent incremental merge (`INSERT … ON CONFLICT DO
+    * NOTHING`, db.py:792-830): append remote rows whose key is absent
+    * locally. The anti-join shuffles on `keys` only after pruning the local
+    * side to the key columns; at scale pass `broadcastLocalKeys = true` when
+    * the local key set is small (e.g. a checksum ledger) to avoid shuffling
+    * the remote fact table at all.
+    */
+  def antiJoinAppend(local: DataFrame, remote: DataFrame, keys: Seq[String],
+                     broadcastLocalKeys: Boolean = false): DataFrame = {
+    val localKeys0 = local.select(keys.map(col): _*).dropDuplicates(keys)
+    val localKeys = if (broadcastLocalKeys) broadcast(localKeys0) else localKeys0
+    local.unionByName(remote.join(localKeys, keys, "left_anti"))
+  }
+
+  /** OP-17 — conditional column overwrite (`UPDATE t SET c = v WHERE p`). */
+  def conditionalOverwrite(df: DataFrame, column: String, cond: Column,
+                           value: Column): DataFrame =
+    df.withColumn(column, when(cond, value).otherwise(col(column)))
+
+  /** OP-18 — predicate delete (`DELETE FROM t WHERE p`). */
+  def predicateDelete(df: DataFrame, cond: Column): DataFrame =
+    df.filter(!coalesce(cond, lit(false)))
+
+  /** OP-18 variant — `DELETE … WHERE k IN (subquery)` as an anti-join. */
+  def deleteInSubquery(df: DataFrame, keys: Seq[String],
+                       victims: DataFrame): DataFrame =
+    df.join(broadcast(victims.select(keys.map(col): _*).dropDuplicates(keys)),
+      keys, "left_anti")
+
+  /** OP-19 — truncate. */
+  def truncate(df: DataFrame): DataFrame = df.limit(0)
+
+  /** OP-20 — `ADD COLUMN IF NOT EXISTS new` backfilled from `from`. */
+  def addColumnIfAbsent(df: DataFrame, name: String, from: Column): DataFrame =
+    if (df.columns.contains(name)) df else df.withColumn(name, from)
+
+  /** OP-29/24/32 — newest row per group (the `ls` top-1). One shuffle on the
+    * partition keys; Catalyst plans a ranking-limit (window group limit) so
+    * no full sort of each partition is materialized.
+    */
+  def latestPerGroup(df: DataFrame, partitionBy: Seq[String],
+                     order: Seq[Column]): DataFrame =
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(partitionBy.map(col): _*)
+          .orderBy(order: _*)))
+      .filter(col("__rn") === 1).drop("__rn")
+
+  /** OP-31 — GC victims: everything except the newest per group. */
+  def victimsPerGroup(df: DataFrame, partitionBy: Seq[String],
+                      order: Seq[Column]): DataFrame =
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(partitionBy.map(col): _*)
+          .orderBy(order: _*)))
+      .filter(col("__rn") > 1).drop("__rn")
+
+  /** OP-37 — union of tagged slices where the highest-priority source wins
+    * per key (dict-merge semantics, main.py:258-265).
+    */
+  def lastWins(slices: Seq[(DataFrame, Int)], keys: Seq[String],
+               order: Seq[Column]): DataFrame = {
+    val tagged = slices.map { case (df, pri) => df.withColumn("__src", lit(pri)) }
+    val u = tagged.reduce(_ unionByName _)
+    latestPerGroup(u, keys, col("__src").desc +: order).drop("__src")
+  }
+}
