@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Ops
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Seq(
+    // (key, seq, payload)
+    ("a", 1, "a1"), ("a", 3, "a3"), ("a", 2, "a2"),
+    ("b", 7, "b7"), ("b", 5, "b5"),
+    ("c", 9, "c9")
+  ).toDF("k", "seq", "v")
+
+  test("latestPerGroup keeps exactly the newest row per key") {
+    val got = Ops.latestPerGroup(events, Seq("k"), Seq(col("seq").desc))
+      .select("k", "v").as[(String, String)].collect().toSet
+    assert(got == Set(("a", "a3"), ("b", "b7"), ("c", "c9")))
+  }
+
+  test("victimsPerGroup is the complement of latestPerGroup") {
+    val got = Ops.victimsPerGroup(events, Seq("k"), Seq(col("seq").desc))
+      .select("v").as[String].collect().toSet
+    assert(got == Set("a1", "a2", "b5"))
+  }
+
+  test("antiJoinAppend keeps local rows and appends only-absent remote keys") {
+    val local = Seq((1, "l1"), (2, "l2")).toDF("id", "v")
+    val remote = Seq((2, "r2"), (3, "r3")).toDF("id", "v")
+    val got = Ops.antiJoinAppend(local, remote, Seq("id"))
+      .as[(Int, String)].collect().toSet
+    assert(got == Set((1, "l1"), (2, "l2"), (3, "r3")))
+    // idempotence: re-merging the same remote adds nothing
+    val again = Ops.antiJoinAppend(
+      Ops.antiJoinAppend(local, remote, Seq("id")), remote, Seq("id"))
+    assert(again.count() == 3)
+  }
+
+  test("conditionalOverwrite only rewrites matching rows") {
+    val df = Seq((1, -5.0), (2, 3.0)).toDF("id", "bal")
+    val got = Ops.conditionalOverwrite(df, "bal", col("bal") < 0, lit(0.0))
+      .as[(Int, Double)].collect().toSet
+    assert(got == Set((1, 0.0), (2, 3.0)))
+  }
+
+  test("predicateDelete treats null predicate as keep") {
+    val df = Seq((1, Some("F")), (2, Some("O")), (3, None))
+      .toDF("id", "status")
+    val got = Ops.predicateDelete(df, col("status") === "F")
+      .select("id").as[Int].collect().toSet
+    assert(got == Set(2, 3))
+  }
+
+  test("deleteInSubquery removes keys present in victims") {
+    val df = Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "v")
+    val victims = Seq(Tuple1(2)).toDF("id")
+    val got = Ops.deleteInSubquery(df, Seq("id"), victims)
+      .select("id").as[Int].collect().toSet
+    assert(got == Set(1, 3))
+  }
+
+  test("lastWins prefers the higher-priority slice per key") {
+    val s1 = Seq(("a", 1, "old-a"), ("b", 1, "old-b")).toDF("k", "seq", "v")
+    val s2 = Seq(("a", 1, "new-a")).toDF("k", "seq", "v")
+    val got = Ops.lastWins(Seq((s1, 1), (s2, 2)), Seq("k"), Seq(col("seq").desc))
+      .select("k", "v").as[(String, String)].collect().toSet
+    assert(got == Set(("a", "new-a"), ("b", "old-b")))
+  }
+
+  test("truncate and addColumnIfAbsent") {
+    val df = Seq((1, "x")).toDF("id", "v")
+    assert(Ops.truncate(df).count() == 0)
+    assert(Ops.addColumnIfAbsent(df, "v2", col("v")).columns.toSeq ==
+      Seq("id", "v", "v2"))
+    // no-op when present
+    assert(Ops.addColumnIfAbsent(df, "v", lit("zzz"))
+      .select("v").as[String].head() == "x")
+  }
+}
