@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dedup family for the LLM-training-data pipeline north star: exact dedup
+  * lives in `core.Ops.latestPerGroup` (hash-groupBy); this module adds the
+  * near-dup operators — MinHash+LSH, SimHash, and n-gram Jaccard — built
+  * entirely from codegen'd Catalyst built-ins (no UDFs), so every stage stays
+  * inside whole-stage codegen and the only shuffles are the explicit
+  * band-bucket / gram joins.
+  *
+  * Scale notes (the 100 TB design point):
+  *  - MinHash+LSH: per-row signature work is embarrassingly parallel; the
+  *    candidate join shuffles on (band, bandHash) — bucket sizes are bounded
+  *    by collision probability, never a cross join.
+  *  - the verify step joins candidates back to shingle sets on doc id — an
+  *    equi-join Catalyst can plan as shuffle-hash; candidates are tiny
+  *    relative to the corpus.
+  *  - SimHash is a pure per-row map (one pass over tokens per bit).
+  */
+object Dedup {
+
+  /** lower, strip non-alphanumerics, split; drop empty tokens. */
+  def normalizeWords(text: Column): Column =
+    filter(split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " "),
+      x => x =!= "")
+
+  /** k-word shingles (k fixed at 3 — the common near-dup choice). */
+  def shingles3(words: Column): Column =
+    when(size(words) >= 3,
+      transform(sequence(lit(1), size(words) - 2),
+        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1),
+          element_at(words, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** MinHash signature value for hash function `h`: the lexicographic min of
+    * salted md5 over the shingle set. md5-as-minhash keeps the oracle
+    * (DuckDB) bit-identical — both engines hash the same UTF-8 bytes.
+    */
+  def minhashSig(sh: Column, h: Int): Column =
+    array_min(transform(sh, x => md5(concat(lit(s"$h:"), x))))
+
+  /** LSH banding: rows (id, band, bandHash, shingles) — one row per band.
+    * numHashes = bands * rowsPerBand.
+    */
+  def lshBands(df: DataFrame, idCol: String, textCol: String,
+               bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
+    val withSh = df
+      .withColumn("__sh", shingles3(normalizeWords(col(textCol))))
+      .filter(size(col("__sh")) > 0)
+    val sigs = (0 until bands * rowsPerBand).map(h => minhashSig(col("__sh"), h))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", sigs.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*))
+          .as("bh"))
+    }
+    withSh
+      .select(col(idCol), col("__sh").as("sh"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("sh"), col("bb.band").as("band"),
+        col("bb.bh").as("bh"))
+  }
+
+  /** Near-dup candidate pairs via the LSH bucket join, verified with exact
+    * Jaccard over distinct 3-shingle sets. Returns (idA, idB, jacc) with
+    * idA < idB, jacc as DECIMAL(10,4).
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
+    val b = lshBands(df, idCol, textCol, bands, rowsPerBand)
+    val a = b.select(col(idCol).as("idA"), col("band"), col("bh"))
+    val c = b.select(col(idCol).as("idB"), col("band"), col("bh"))
+    val cand = a.join(c, Seq("band", "bh"))
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB").distinct()
+    val shSets = b.select(col(idCol), array_distinct(col("sh")).as("shd"))
+      .dropDuplicates(idCol)
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val jacc = round(inter * lit(1.0) /
+      (size(col("sa")) + size(col("sb")) - inter), 4).cast("decimal(10,4)")
+    cand
+      .join(shSets.select(col(idCol).as("idA"), col("shd").as("sa")), "idA")
+      .join(shSets.select(col(idCol).as("idB"), col("shd").as("sb")), "idB")
+      .select(col("idA"), col("idB"), jacc.as("jacc"))
+  }
+
+  /** 16-bit SimHash over the token multiset. Bit j (1-based, MSB first) is
+    * the sign of the sum over tokens of ±1 from the parity of md5 nibble j.
+    * Emitted as one generated SQL expression so the DuckDB oracle can be the
+    * same text modulo list-function names.
+    */
+  val SimhashBits = 16
+
+  def simhash16(words: Column): Column = {
+    val terms = (1 to SimhashBits).map { j =>
+      val pm1 =
+        s"(instr('0123456789abcdef', substr(md5(t), $j, 1)) - 1) % 2 * 2 - 1"
+      val bitSum = s"aggregate(w, 0, (acc, t) -> acc + ($pm1))"
+      val bit = s"(CASE WHEN ($bitSum) > 0 THEN 1 ELSE 0 END)"
+      s"$bit * ${1L << (SimhashBits - j)}"
+    }
+    expr(s"CAST(${terms.mkString(" + ")} AS BIGINT)")
+      .as("simhash")
+  }
+
+  /** DuckDB rendering of [[simhash16]] over a words column named `w`. */
+  def simhash16DuckSql: String = {
+    val terms = (1 to SimhashBits).map { j =>
+      val pm1 =
+        s"(strpos('0123456789abcdef', substr(md5(t), $j, 1)) - 1) % 2 * 2 - 1"
+      val bitSum = s"list_sum(list_transform(w, t -> $pm1))"
+      val bit = s"(CASE WHEN coalesce($bitSum, 0) > 0 THEN 1 ELSE 0 END)"
+      s"$bit * ${1L << (SimhashBits - j)}"
+    }
+    s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+  }
+
+  /** n-gram Jaccard similarity join via the distributed explode-join shape:
+    * explode distinct word-2-grams, self-join on gram (the shuffle key),
+    * count intersections per pair, then Jaccard from per-doc gram counts.
+    * Never materializes a cross join — pairs sharing zero grams never meet.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double): DataFrame = {
+    val grams = df
+      .withColumn("__w", normalizeWords(col(textCol)))
+      .withColumn("__g", array_distinct(
+        when(size(col("__w")) >= 2,
+          transform(sequence(lit(1), size(col("__w")) - 1),
+            i => concat_ws(" ", element_at(col("__w"), i),
+              element_at(col("__w"), i + 1))))
+          .otherwise(array().cast("array<string>"))))
+      .filter(size(col("__g")) > 0)
+      .select(col(idCol), col("__g"))
+    val counts = grams.select(col(idCol), size(col("__g")).as("n"))
+    val exploded = grams.select(col(idCol), explode(col("__g")).as("gram"))
+    val inter = exploded.as("x").join(exploded.as("y"), Seq("gram"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("idA"), col(s"y.$idCol").as("idB"))
+      .agg(count(lit(1)).as("ninter"))
+    inter
+      .join(counts.select(col(idCol).as("idA"), col("n").as("na")), "idA")
+      .join(counts.select(col(idCol).as("idB"), col("n").as("nb")), "idB")
+      .withColumn("jacc",
+        round(col("ninter") * lit(1.0) / (col("na") + col("nb") - col("ninter")), 4)
+          .cast("decimal(10,4)"))
+      .filter(col("jacc") >= threshold)
+      .select("idA", "idB", "jacc")
+  }
+}

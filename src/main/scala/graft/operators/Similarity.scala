@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>` in storage,
+  * cast to `array<double>` for arithmetic so the fold order and precision
+  * match the DuckDB oracle exactly).
+  *
+  * Two paths, per the north star:
+  *  - [[bruteForceTopK]] — exact baseline: block-join + windowed top-k.
+  *    At 100 TB this is the per-query-batch fallback, not the scale path.
+  *  - [[ivfTopK]] — the scale path: a coarse quantizer (centroid set,
+  *    broadcast — it is small by construction) assigns every vector to its
+  *    nearest cell in a single narrow pass; queries probe only `nprobe`
+  *    cells, so the candidate join shuffles on cell id and touches
+  *    |cells probed| / |cells| of the corpus instead of all of it.
+  */
+object Similarity {
+
+  /** Cosine over two double-array columns, left-to-right fold (HOF
+    * `aggregate` — same associativity as DuckDB's `list_dot_product`).
+    */
+  def cosine(a: String, b: String): Column =
+    expr(s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x) /
+      (sqrt(aggregate(zip_with($a, $a, (x, y) -> x * y), 0D, (acc, x) -> acc + x)) *
+       sqrt(aggregate(zip_with($b, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)))""")
+
+  /** DuckDB rendering of [[cosine]]. */
+  def cosineDuckSql(a: String, b: String): String =
+    s"""list_dot_product($a, $b) /
+       (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"""
+
+  def toDoubleVec(c: Column): Column =
+    transform(c, x => x.cast("double"))
+
+  /** Exact top-k neighbors for every vector in `queries` against `vectors`.
+    * Both inputs: (id, v double-array). Excludes self-matches by id.
+    */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("vec_id"), col("v").as("va"))
+    val c = vectors.select(col("id").as("other_id"), col("v").as("vb"))
+    q.join(c, col("vec_id") =!= col("other_id"))
+      .withColumn("score", round(cosine("va", "vb"), 4).cast("decimal(10,4)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("score").desc, col("other_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select("vec_id", "other_id", "score", "rank")
+  }
+
+  /** IVF-style ANN: assign corpus vectors to their best centroid cell
+    * (max cosine, centroid-id tiebreak), probe the `nprobe` best cells per
+    * query, rank candidates within probed cells. Centroids are broadcast.
+    */
+  def ivfTopK(vectors: DataFrame, centroids: DataFrame, queries: DataFrame,
+              nprobe: Int, k: Int): DataFrame = {
+    val cent = broadcast(centroids.select(col("id").as("cid"), col("v").as("cv")))
+
+    // cell assignment: one narrow pass over the corpus
+    val assigned = vectors.select(col("id").as("other_id"), col("v").as("vb"))
+      .join(cent)
+      .withColumn("cscore", cosine("vb", "cv"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("other_id")
+          .orderBy(col("cscore").desc, col("cid").asc)))
+      .filter(col("crank") === 1)
+      .select("other_id", "vb", "cid")
+
+    // probe list: nprobe best cells per query
+    val probed = queries.select(col("id").as("vec_id"), col("v").as("va"))
+      .join(cent)
+      .withColumn("pscore", cosine("va", "cv"))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("pscore").desc, col("cid").asc)))
+      .filter(col("prank") <= nprobe)
+      .select("vec_id", "va", "cid")
+
+    // candidate join on cell id — the only corpus-sized shuffle
+    probed.join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("other_id"))
+      .withColumn("score", round(cosine("va", "vb"), 4).cast("decimal(10,4)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("score").desc, col("other_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select("vec_id", "other_id", "score", "rank")
+  }
+
+  /** All pairs (idA < idB) with cosine ≥ threshold — embedding near-dup
+    * detection. Bounded inputs only (callers sample/salt at scale; the LSH
+    * bucketing in [[Dedup]] is the unbounded-corpus path).
+    */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a = vectors.select(col("id").as("idA"), col("v").as("va"))
+    val b = vectors.select(col("id").as("idB"), col("v").as("vb"))
+    a.join(b, col("idA") < col("idB"))
+      .withColumn("score", round(cosine("va", "vb"), 4).cast("decimal(10,4)"))
+      .filter(col("score") >= threshold)
+      .select("idA", "idB", "score")
+  }
+}

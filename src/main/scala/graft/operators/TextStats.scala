@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline north star:
+  * language ID (n-gram/marker heuristic), quality scoring, token counting,
+  * and document fingerprinting (winnowing over rolling 8-gram hashes).
+  * All pure per-row Column expressions — no shuffle, full codegen.
+  */
+object TextStats {
+
+  /** Marker-word profiles for the language-ID heuristic. Deterministic and
+    * oracle-mirrorable; on real corpora the profiles would be per-language
+    * character n-grams — the operator shape (count marker hits per profile,
+    * argmax with alphabetic tiebreak) is the same.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "alpha" -> Seq("table", "row", "scan", "key"),
+    "beta" -> Seq("join", "merge", "window", "batch"),
+    "gamma" -> Seq("stream", "filter", "sort", "query"))
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
+  /** Per-profile marker-hit count over a words array column named `w`. */
+  def profileScore(markers: Seq[String]): Column =
+    expr(s"size(filter(w, x -> x IN (${inList(markers)})))")
+
+  /** Predicted language: argmax score, ties break to the alphabetically
+    * first profile (the CASE chain order).
+    */
+  def langPredict: Column = {
+    val Seq((a, _), (b, _), (c, _)) = LangProfiles
+    expr(s"""CASE WHEN s_$a >= s_$b AND s_$a >= s_$c THEN '$a'
+             WHEN s_$b >= s_$c THEN '$b' ELSE '$c' END""")
+  }
+
+  def langPredictDuckSql: String = {
+    val Seq((a, _), (b, _), (c, _)) = LangProfiles
+    s"""CASE WHEN s_$a >= s_$b AND s_$a >= s_$c THEN '$a'
+        WHEN s_$b >= s_$c THEN '$b' ELSE '$c' END"""
+  }
+
+  val StopWords: Seq[String] = Seq("the", "a")
+
+  /** Composite quality score in [0,1]: length saturation + low-punctuation +
+    * stopword presence. DECIMAL(10,4) for oracle parity.
+    */
+  def qualityScore(text: Column, words: Column): Column = {
+    val nWords = size(words)
+    val nChars = length(text)
+    val punct = nChars - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))
+    val punctRatio = punct * lit(1.0) / greatest(nChars, lit(1))
+    val stopRatio =
+      expr(s"size(filter(w, x -> x IN (${inList(StopWords)})))") * lit(1.0) /
+        greatest(nWords, lit(1))
+    round(lit(0.5) * least(lit(1.0), nWords / lit(50.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio) + lit(0.2) * stopRatio, 4)
+      .cast("decimal(10,4)")
+  }
+
+  /** BPE-ish tokenization regex: letter runs, single digits, single
+    * non-alnum marks (GPT-2-style pre-tokenizer shape, ASCII-simplified).
+    */
+  val BpeTokenRegex = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  def bpeTokenCount(text: Column): Column =
+    // Spark SQL string literals process backslash escapes (unlike DuckDB's),
+    // so the regex's backslashes must be doubled in the SQL text.
+    size(expr(s"regexp_extract_all(text, '${BpeTokenRegex.replace("\\", "\\\\")}', 0)"))
+
+  /** Winnowing fingerprint (classic MOSS shape, k=8 char-grams, window w=4):
+    * per window position j, the min of the 4 rolling 8-gram md5-prefix
+    * hashes; the distinct set of window-mins is the fingerprint. Expressed
+    * as one generated expression over a column named `text` (the oracle
+    * mirrors it with list functions).
+    */
+  val winnowSparkExpr: String =
+    """CASE WHEN length(text) >= 11 THEN
+         transform(sequence(1, length(text) - 10),
+           j -> array_min(transform(sequence(0, 3),
+             o -> substr(md5(substr(text, j + o, 8)), 1, 8))))
+       ELSE CAST(array() AS array<string>) END"""
+
+  val winnowDuckSql: String =
+    """CASE WHEN length(text) >= 11 THEN
+         list_transform(generate_series(1, length(text) - 10),
+           j -> list_min(list_transform(generate_series(0, 3),
+             o -> substr(md5(substr(text, j + o, 8)), 1, 8))))
+       ELSE []::VARCHAR[] END"""
+}

@@ -1,14 +1,308 @@
 package graft.probes
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextStats}
 
 /** North-star LLM-pipeline extension probes (q27+): dedup family, similarity
-  * search, text analysis, multimodal plumbing. Filled incrementally; every
-  * SQL-expressible probe carries a DuckDB oracle.
+  * search, text analysis, multimodal plumbing. The synthetic corpus has no
+  * organic near-dups (dedup would trivially return everything), so near-dup
+  * probes PLANT mutated copies — identically in engine and oracle — and the
+  * probe verifies the operator finds exactly the planted pairs.
   */
 object ExtProbes {
   private type Q = (SparkSession, String) => DataFrame
 
-  val queries: Map[String, Q] = Map()
-  val oracleSql: Map[String, String] = Map()
+  /** Shared normalize/shingle SQL fragments for the DuckDB side. */
+  private val duckWords =
+    "list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')"
+
+  // ---- q27 MinHash + LSH near-dup ---------------------------------------
+  private def plantedDocs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select("doc_id", "text")
+    val planted = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz yy xx")).as("text"))
+    base.unionByName(planted)
+  }
+
+  val q27: Q = (s, d) =>
+    Dedup.minhashNearDupPairs(plantedDocs(s, d), "doc_id", "text")
+      .orderBy("idA", "idB")
+
+  val q27Sql: String = {
+    val sigs = (0 until 12).map(h =>
+      s"list_min(list_transform(sh, x -> md5('$h:' || x))) AS h$h").mkString(",\n    ")
+    val bandRows = (0 until 4).map { b =>
+      val r = (0 until 3).map(i => s"h${b * 3 + i}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($r) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' zz yy xx' FROM documents WHERE doc_id % 7 = 0),
+       |n AS (SELECT doc_id, $duckWords AS w FROM corpus),
+       |shl AS (SELECT doc_id,
+       |  CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE []::VARCHAR[] END AS sh
+       |  FROM n),
+       |sig AS (SELECT doc_id, sh,
+       |    $sigs
+       |  FROM shl WHERE len(sh) > 0),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(sh) AS shd FROM shl WHERE len(sh) > 0)
+       |SELECT c.idA, c.idB,
+       |  CAST(round(len(list_intersect(sa.shd, sb.shd)) * 1.0 /
+       |    (len(sa.shd) + len(sb.shd) - len(list_intersect(sa.shd, sb.shd))), 4)
+       |    AS DECIMAL(10,4)) AS jacc
+       |FROM cand c
+       |JOIN sets sa ON sa.doc_id = c.idA
+       |JOIN sets sb ON sb.doc_id = c.idB
+       |ORDER BY idA, idB""".stripMargin
+  }
+
+  // ---- q28 SimHash -------------------------------------------------------
+  val q28: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("w", Dedup.normalizeWords(col("text")))
+      .withColumn("simhash", Dedup.simhash16(col("w")))
+      .withColumn("nbits", expr("CAST(bit_count(simhash) AS BIGINT)"))
+      .select("doc_id", "simhash", "nbits")
+      .orderBy("doc_id")
+
+  val q28Sql: String =
+    s"""WITH n AS (SELECT doc_id, $duckWords AS w FROM documents)
+       |SELECT doc_id, ${Dedup.simhash16DuckSql} AS simhash,
+       |       CAST(bit_count(${Dedup.simhash16DuckSql}) AS BIGINT) AS nbits
+       |FROM n ORDER BY doc_id""".stripMargin
+
+  // ---- q29 n-gram Jaccard via explode-join ------------------------------
+  val q29: Q = (s, d) => {
+    val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select("doc_id", "text")
+    val planted = base.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz yy")).as("text"))
+    Dedup.ngramJaccardPairs(base.unionByName(planted), "doc_id", "text", 0.3)
+      .orderBy("idA", "idB")
+  }
+
+  val q29Sql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' zz yy' FROM documents
+       |  WHERE doc_id < 200 AND doc_id % 9 = 0),
+       |n AS (SELECT doc_id, $duckWords AS w FROM corpus),
+       |g AS (SELECT doc_id, list_distinct(
+       |    CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w)-1),
+       |      i -> w[i] || ' ' || w[i+1]) ELSE []::VARCHAR[] END) AS g
+       |  FROM n),
+       |gnz AS (SELECT doc_id, g, len(g) AS n FROM g WHERE len(g) > 0),
+       |ex AS (SELECT doc_id, unnest(g) AS gram FROM gnz),
+       |inter AS (SELECT x.doc_id AS idA, y.doc_id AS idB, count(*) AS ninter
+       |  FROM ex x JOIN ex y ON x.gram = y.gram AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (SELECT idA, idB,
+       |    CAST(round(ninter * 1.0 / (a.n + b.n - ninter), 4) AS DECIMAL(10,4)) AS jacc
+       |  FROM inter JOIN gnz a ON a.doc_id = idA JOIN gnz b ON b.doc_id = idB)
+       |SELECT idA, idB, jacc FROM j WHERE jacc >= 0.3 ORDER BY idA, idB""".stripMargin
+
+  // ---- q30 embedding-cosine near-dup ------------------------------------
+  val q30: Q = (s, d) => {
+    val base = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    val planted = base.filter(col("id") % 13 === 0)
+      .select((col("id") + 100000).as("id"),
+        expr("transform(v, x -> x * 1.1 + 0.01)").as("v"))
+    Similarity.cosineNearDupPairs(base.unionByName(planted), 0.9)
+      .orderBy("idA", "idB")
+  }
+
+  val q30Sql: String =
+    s"""WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < 200),
+       |corpus AS (
+       |  SELECT id, v FROM base
+       |  UNION ALL
+       |  SELECT id + 100000, list_transform(v, x -> x * 1.1 + 0.01) FROM base
+       |  WHERE id % 13 = 0),
+       |p AS (SELECT a.id AS idA, b.id AS idB,
+       |    CAST(round(${Similarity.cosineDuckSql("a.v", "b.v")}, 4) AS DECIMAL(10,4)) AS score
+       |  FROM corpus a JOIN corpus b ON a.id < b.id)
+       |SELECT idA, idB, score FROM p WHERE score >= 0.9 ORDER BY idA, idB""".stripMargin
+
+  // ---- q31 IVF ANN (coarse-quantizer cells + nprobe search) -------------
+  val q31: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    val centroids = e.filter(col("id") % 25 === 0)
+    val queries = e.filter(col("id") < 30)
+    Similarity.ivfTopK(e, centroids, queries, nprobe = 2, k = 3)
+      .orderBy("vec_id", "rank")
+  }
+
+  val q31Sql: String = {
+    def cos(a: String, b: String) = Similarity.cosineDuckSql(a, b)
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT id AS cid, v AS cv FROM e WHERE id % 25 = 0),
+       |assigned AS (
+       |  SELECT id AS other_id, v AS vb, cid FROM (
+       |    SELECT e.id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN cent c) t(id, v, cid, rn) WHERE rn = 1),
+       |probed AS (
+       |  SELECT id AS vec_id, v AS va, cid FROM (
+       |    SELECT q.id, q.v, c.cid,
+       |      row_number() OVER (PARTITION BY q.id
+       |        ORDER BY ${cos("q.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |    FROM e q CROSS JOIN cent c WHERE q.id < 30) t(id, v, cid, rn)
+       |  WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.vec_id, a.other_id,
+       |    CAST(round(${cos("p.va", "a.vb")}, 4) AS DECIMAL(10,4)) AS score
+       |  FROM probed p JOIN assigned a USING (cid)
+       |  WHERE p.vec_id <> a.other_id),
+       |r AS (SELECT vec_id, other_id, score,
+       |    CAST(row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, other_id ASC) AS BIGINT) AS rank
+       |  FROM cand)
+       |SELECT vec_id, other_id, score, rank FROM r WHERE rank <= 3
+       |ORDER BY vec_id, rank""".stripMargin
+  }
+
+  // ---- q32 language ID (marker-profile heuristic) -----------------------
+  val q32: Q = (s, d) => {
+    var df = Tables.documents(s, d)
+      .withColumn("w", Dedup.normalizeWords(col("text")))
+    for ((name, markers) <- TextStats.LangProfiles)
+      df = df.withColumn(s"s_$name",
+        TextStats.profileScore(markers).cast("long"))
+    df.withColumn("pred", TextStats.langPredict)
+      .select("doc_id", "pred", "s_alpha", "s_beta", "s_gamma")
+      .orderBy("doc_id")
+  }
+
+  val q32Sql: String = {
+    val scores = TextStats.LangProfiles.map { case (name, markers) =>
+      val in = markers.map(m => s"'$m'").mkString(", ")
+      s"CAST(len(list_filter(w, x -> x IN ($in))) AS BIGINT) AS s_$name"
+    }.mkString(",\n    ")
+    s"""WITH n AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |sc AS (SELECT doc_id,
+       |    $scores
+       |  FROM n)
+       |SELECT doc_id, ${TextStats.langPredictDuckSql} AS pred,
+       |       s_alpha, s_beta, s_gamma
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q33 quality scoring ----------------------------------------------
+  val q33: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("w", Dedup.normalizeWords(col("text")))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("score", TextStats.qualityScore(col("text"), col("w")))
+      .select("doc_id", "n_words", "score")
+      .orderBy("doc_id")
+
+  val q33Sql: String = {
+    val stopIn = TextStats.StopWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH n AS (SELECT doc_id, text, $duckWords AS w FROM documents),
+       |m AS (SELECT doc_id, len(w) AS n_words,
+       |    length(text) AS n_chars,
+       |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS punct,
+       |    len(list_filter(w, x -> x IN ($stopIn))) AS stops
+       |  FROM n)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(round(0.5 * least(1.0, n_words / 50.0) +
+       |    0.3 * (1.0 - punct * 1.0 / greatest(n_chars, 1)) +
+       |    0.2 * (stops * 1.0 / greatest(n_words, 1)), 4) AS DECIMAL(10,4)) AS score
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q34 token counting -----------------------------------------------
+  val q34: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("ws_toks", TextStats.wsTokenCount(col("text")).cast("long"))
+      .withColumn("bpe_toks", TextStats.bpeTokenCount(col("text")).cast("long"))
+      .withColumn("chars_per_tok",
+        round(length(col("text")) * lit(1.0) / greatest(col("bpe_toks"), lit(1)), 2)
+          .cast("decimal(10,2)"))
+      .select("doc_id", "ws_toks", "bpe_toks", "chars_per_tok")
+      .orderBy("doc_id")
+
+  val q34Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_toks,
+       |  CAST(len(regexp_extract_all(text, '${TextStats.BpeTokenRegex}', 0)) AS BIGINT) AS bpe_toks,
+       |  CAST(round(length(text) * 1.0 /
+       |    greatest(len(regexp_extract_all(text, '${TextStats.BpeTokenRegex}', 0)), 1), 2)
+       |    AS DECIMAL(10,2)) AS chars_per_tok
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- q35 winnowing fingerprint ----------------------------------------
+  val q35: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("wm", expr(TextStats.winnowSparkExpr))
+      .select(col("doc_id"),
+        size(array_distinct(col("wm"))).cast("long").as("n_fp"),
+        array_min(col("wm")).as("fp_min"))
+      .orderBy("doc_id")
+
+  val q35Sql: String =
+    s"""WITH w AS (SELECT doc_id, ${TextStats.winnowDuckSql} AS wm FROM documents)
+       |SELECT doc_id, CAST(len(list_distinct(wm)) AS BIGINT) AS n_fp,
+       |       list_min(wm) AS fp_min
+       |FROM w ORDER BY doc_id""".stripMargin
+
+  // ---- q36 multimodal plumbing (binary payload + stubbed decode) --------
+  val q36: Q = (s, d) =>
+    Multimodal.decodeStub(
+        Multimodal.documentsAsMedia(s, Tables.documents(s, d)))
+      .toDF()
+      .orderBy("media_id")
+
+  val q36Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  md5(text) AS digest,
+      |  CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) AS INT) AS fake_width,
+      |  CAST(strpos('0123456789abcdef', substr(md5(text), 2, 1)) AS INT) AS fake_height
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // ---- registry ---------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q27_minhash_lsh_neardup" -> q27,
+    "q28_simhash" -> q28,
+    "q29_ngram_jaccard" -> q29,
+    "q30_cosine_neardup" -> q30,
+    "q31_ivf_ann" -> q31,
+    "q32_lang_id" -> q32,
+    "q33_quality_score" -> q33,
+    "q34_token_count" -> q34,
+    "q35_winnow_fingerprint" -> q35,
+    "q36_multimodal_decode" -> q36,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q27_minhash_lsh_neardup" -> q27Sql,
+    "q28_simhash" -> q28Sql,
+    "q29_ngram_jaccard" -> q29Sql,
+    "q30_cosine_neardup" -> q30Sql,
+    "q31_ivf_ann" -> q31Sql,
+    "q32_lang_id" -> q32Sql,
+    "q33_quality_score" -> q33Sql,
+    "q34_token_count" -> q34Sql,
+    "q35_winnow_fingerprint" -> q35Sql,
+    "q36_multimodal_decode" -> q36Sql,
+  )
 }

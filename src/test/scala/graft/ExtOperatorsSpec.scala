@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextStats}
+
+class ExtOperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog again and again"
+  private val docB = docA + " tail words appended"   // near-dup of A
+  private val docC = "completely different content about spark catalyst plans"
+
+  test("minhashNearDupPairs finds the planted near-dup and not the unrelated doc") {
+    val df = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(df, "doc_id", "text")
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash16 is equal for identical text, in [0, 2^16)") {
+    val df = Seq((1L, docA), (2L, docA), (3L, docC)).toDF("doc_id", "text")
+      .withColumn("w", Dedup.normalizeWords(col("text")))
+      .withColumn("sh", Dedup.simhash16(col("w")))
+    val got = df.select("doc_id", "sh").as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L))
+    assert(got.values.forall(v => v >= 0 && v < (1L << 16)))
+  }
+
+  test("ngramJaccardPairs scores the near-dup high") {
+    val df = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", 0.3)
+      .as[(Long, Long, java.math.BigDecimal)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    assert(got.head._3.doubleValue > 0.5)
+  }
+
+  test("cosine is 1 for parallel vectors, 0 for orthogonal") {
+    val df = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(2.0, 0.0)), (3L, Seq(0.0, 5.0))
+    ).toDF("id", "v")
+    val pairs = Similarity.cosineNearDupPairs(df, 0.99)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("bruteForceTopK and ivfTopK agree when every cell is probed") {
+    val vecs = (0L until 20L).map(i =>
+      (i, Seq(math.cos(i * 0.3), math.sin(i * 0.3), (i % 5) * 0.1)))
+      .toDF("id", "v")
+    val queries = vecs.filter(col("id") < 3)
+    val brute = Similarity.bruteForceTopK(vecs, queries, 3)
+      .select("vec_id", "other_id", "rank").as[(Long, Long, Long)].collect().toSet
+    // 2 centroids, probe both => exhaustive => must equal brute force
+    val cent = vecs.filter(col("id") % 10 === 0)
+    val ivf = Similarity.ivfTopK(vecs, cent, queries, nprobe = 2, k = 3)
+      .select("vec_id", "other_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(ivf == brute)
+  }
+
+  test("quality score falls within [0,1] and penalizes punctuation") {
+    val df = Seq((1L, "the plain simple readable text goes here"),
+                 (2L, "@@## !!%% ??^^ &&**")).toDF("doc_id", "text")
+      .withColumn("w", Dedup.normalizeWords(col("text")))
+      .withColumn("score", TextStats.qualityScore(col("text"), col("w")))
+    val got = df.select("doc_id", "score")
+      .as[(Long, java.math.BigDecimal)].collect().toMap
+    assert(got.values.forall(s => s.doubleValue >= 0 && s.doubleValue <= 1))
+    assert(got(1L).doubleValue > got(2L).doubleValue)
+  }
+
+  test("token counts: bpe-ish splits punctuation, whitespace does not") {
+    val df = Seq((1L, "hello, world! x2")).toDF("doc_id", "text")
+    val got = df.select(TextStats.wsTokenCount(col("text")).as("ws"),
+      TextStats.bpeTokenCount(col("text")).as("bpe"))
+      .as[(Int, Int)].head()
+    assert(got._1 == 3)          // hello, | world! | x2
+    assert(got._2 == 6)          // hello , world ! x 2
+  }
+
+  test("decodeStub derives features deterministically from bytes") {
+    val ds = Seq(Multimodal.MediaRecord(7L, "abc".getBytes("UTF-8"), "text/plain"))
+      .toDS()
+    val got = Multimodal.decodeStub(ds, batchSize = 2).collect().head
+    assert(got.media_id == 7L)
+    assert(got.n_bytes == 3L)
+    assert(got.digest == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+    assert(got.fake_width == 10)  // '9' -> 1 + 9
+    assert(got.fake_height == 1)  // '0' -> 1 + 0
+  }
+}
