@@ -1,0 +1,238 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The de-live sanitization suite (db.py:342-537) re-expressed as DATA: an
+  * ordered list of declarative rewrite rules over named tables, so the rule
+  * list can be diffed line-for-line against the reference's SQL (SURVEY.md
+  * §7.4) and applied as pure DataFrame transforms.
+  *
+  * Rule semantics mirror psql tolerance: a rule against a missing table is
+  * skipped (the reference ignores non-zero rc for optional tables); a SET on
+  * a missing column is skipped likewise.
+  */
+object Delive {
+
+  sealed trait Rule { def table: String }
+
+  /** UPDATE table SET col=sqlExpr, … [WHERE whereSql] (OP-17). */
+  case class SetCols(table: String, sets: Map[String, String],
+                     where: Option[String] = None) extends Rule
+
+  /** DELETE FROM table WHERE whereSql (OP-18). */
+  case class DeleteWhere(table: String, where: String) extends Rule
+
+  /** TRUNCATE table (OP-19). */
+  case class Truncate(table: String) extends Rule
+
+  /** ALTER TABLE … ADD COLUMN IF NOT EXISTS col (copied from fromCol)
+    * (OP-20).
+    */
+  case class AddColumnIfAbsent(table: String, column: String,
+                               fromSql: String) extends Rule
+
+  /** Pipeline config mirroring the reference's CLI args (main.py). */
+  case class Config(
+      adminUser: String = "admin",
+      dbPrefix: Option[String] = None,
+      syncServer: String = "SYNC_SERVER_LOCAL",
+      xmlrpcPort: Int = 8069,
+      autosync: Boolean = false,
+      silentUpgrade: Boolean = false,
+      hideGroups: Seq[String] = Nil,
+      logoB64: Option[String] = None,
+      banner: Option[String] = None,
+      usersPw: Option[String] = None,
+      pwList: Seq[(String, String)] = Nil,
+      adminPw: Option[String] = None,
+      inactiveUsers: Boolean = false,
+      backupDir: String = "/tmp",
+      live: Boolean = false,
+      noPwReset: Boolean = false)
+
+  private def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The ordered rule list — reproduces db.py:349-537 statement-for-
+    * statement (conditional blocks follow the same flags).
+    */
+  def rules(cfg: Config): Seq[Rule] = {
+    if (cfg.live) return Nil // db.py:350-354: live → no sanitization
+    val adminuser = cfg.adminUser.toLowerCase
+    val pfx = cfg.dbPrefix.fold("")(_ + "_")
+    val ss = cfg.syncServer
+
+    val sync = Seq(
+      // db.py:370-372
+      AddColumnIfAbsent("sync_client_sync_server_connection",
+        "ufload_automatic_patching_prod_value", "automatic_patching"),
+      SetCols("sync_client_sync_server_connection", Map(
+        "automatic_patching" -> "false",
+        "protocol" -> "'xmlrpc'",
+        "login" -> lit(adminuser),
+        "database" -> lit(pfx + ss),
+        "host" -> "'127.0.0.1'",
+        "port" -> cfg.xmlrpcPort.toString)))
+
+    // db.py:377-395 — disable cron jobs per model
+    val crons = Seq("backup.config", "unidata.sync", "msf.instance.cloud",
+      "sync.client.entity", "stock.mission.report", "automated.import",
+      "automated.export").map(m =>
+      SetCols("ir_cron", Map("active" -> "false"),
+        Some(s"model = ${lit(m)}")))
+
+    // db.py:397-404 — blank automated import/export settings
+    val blank = Map("report_path" -> "''", "ftp_url" -> "''",
+      "dest_path" -> "''", "ftp_ok" -> "false", "ftp_port" -> "''",
+      "dest_path_failure" -> "''", "ftp_login" -> "''",
+      "ftp_password" -> "''", "ftp_protocol" -> "''")
+    val autoIO = Seq(
+      SetCols("automated_import", blank + ("src_path" -> "''")),
+      SetCols("automated_export", blank))
+
+    // db.py:407-416
+    val autosync = if (!cfg.autosync) Nil else Seq(
+      SetCols("ir_cron", Map("active" -> "true",
+        "interval_type" -> "'hours'", "interval_number" -> "2",
+        "nextcall" -> "TIMESTAMP '2024-01-01 01:00:00'"), // literal, not now()
+        Some("model = 'sync.client.entity' AND function = 'sync_threaded'")),
+      SetCols("sync_client_sync_server_connection",
+        Map("host" -> "'127.0.0.1'", "database" -> lit(ss))))
+
+    val silent = if (!cfg.silentUpgrade) Nil else Seq(
+      SetCols("sync_client_sync_server_connection",
+        Map("automatic_patching" -> "true"))) // db.py:422
+
+    // db.py:420-423
+    val hide = if (cfg.hideGroups.isEmpty) Nil else
+      Truncate("ir_ui_view_sc") +: cfg.hideGroups.flatMap(g => Seq(
+        SetCols("res_groups", Map("visible_res_groups" -> "false"),
+          Some(s"lower(name) = lower(${lit(g)})")),
+        DeleteWhere("res_groups_users_rel",
+          "gid IN (SELECT id FROM res_groups WHERE visible_res_groups = false)")))
+
+    val branding =
+      cfg.logoB64.map(l => SetCols("res_company", Map("logo" -> lit(l)))).toSeq ++
+      cfg.banner.map(b => SetCols("communication_config",
+        Map("message" -> lit(b)))).toSeq // db.py:426-429
+
+    // db.py:437
+    val backup = Seq(SetCols("backup_config", Map(
+      "beforemanualsync" -> "false", "beforepatching" -> "false",
+      "aftermanualsync" -> "false", "beforeautomaticsync" -> "false",
+      "afterautomaticsync" -> "false", "scheduledbackup" -> "false",
+      "name" -> lit(cfg.backupDir))))
+
+    // db.py:441-451 — password stomping
+    val passwords =
+      cfg.usersPw.map(pw => SetCols("res_users",
+        Map("password" -> lit(pw)), Some("id <> 1"))).toSeq ++
+      cfg.pwList.map { case (user, pw) => SetCols("res_users",
+        Map("password" -> lit(pw)), Some(s"login = ${lit(user)}")) } ++
+      cfg.adminPw.map(pw => SetCols("res_users",
+        Map("password" -> lit(pw)), Some("id = 1"))).toSeq
+
+    // db.py:523-533 — admin rename + inactive users (skipped on nopwreset)
+    val finale = if (cfg.noPwReset) Nil else
+      SetCols("res_users", Map("login" -> lit(adminuser)),
+        Some("id = 1")) +:
+      (if (!cfg.inactiveUsers) Nil else Seq(
+        SetCols("res_users", Map("active" -> "false"),
+          Some(s"login NOT IN ('synch', ${lit(adminuser)})"))))
+
+    sync ++ crons ++ autoIO ++ autosync ++ silent ++ hide ++ branding ++
+      backup ++ passwords ++ finale
+  }
+
+  /** Apply rules functionally: each table's DataFrame is rewritten in rule
+    * order; the result map carries the sanitized frames.
+    */
+  def apply(tables: Map[String, DataFrame], rules: Seq[Rule]): Map[String, DataFrame] =
+    rules.foldLeft(tables) { (acc, rule) =>
+      acc.get(rule.table) match {
+        case None => acc // missing table tolerated, like ignored psql rc
+        case Some(df) => acc + (rule.table -> applyOne(df, rule))
+      }
+    }
+
+  private def applyOne(df: DataFrame, rule: Rule): DataFrame = rule match {
+    case SetCols(_, sets, where) =>
+      val cond = where.map(expr).getOrElse(org.apache.spark.sql.functions.lit(true))
+      sets.foldLeft(df) { case (d, (c, v)) =>
+        if (!d.columns.contains(c)) d // missing column tolerated
+        else d.withColumn(c, when(cond, expr(v).cast(d.schema(c).dataType))
+          .otherwise(col(c)))
+      }
+    case DeleteWhere(_, where) =>
+      // IN-subquery deletes can't reference sibling tables here; the rule
+      // list only uses self-referencing subqueries, which Spark SQL can't
+      // express on a lone frame — rewrite as anti-join when seen.
+      if (where.contains("IN (SELECT")) df // handled by applyHideGroups
+      else df.filter(!coalesce(expr(where), org.apache.spark.sql.functions.lit(false)))
+    case Truncate(_) => df.limit(0)
+    case AddColumnIfAbsent(_, c, from) =>
+      if (df.columns.contains(c)) df
+      else if (!df.columns.contains(from)) df
+      else df.withColumn(c, col(from))
+  }
+
+  /** The hidegroups membership delete (db.py:423) as a real anti-join:
+    * drop rel rows whose gid belongs to a hidden group (OP-18 IN-subquery
+    * shape).
+    */
+  def applyHideGroups(rels: DataFrame, groups: DataFrame): DataFrame =
+    rels.join(
+      broadcast(groups.filter(col("visible_res_groups") === false)
+        .select(col("id").as("gid"))),
+      Seq("gid"), "left_anti")
+
+  /** createusers (db.py:475-515): explode the `u:p:g1,g2;…` spec into user
+    * rows and membership rows. Ids are generated as maxExisting + dense
+    * row_number (the distributed analog of `RETURNING id`, with the +1000
+    * headroom idea applied by callers via `idBase`).
+    */
+  def createUsers(spark: SparkSession, spec: String, existingUsers: DataFrame,
+                  resGroups: DataFrame, defaultPw: String,
+                  idBase: Option[Long] = None): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val parsed = spec.split(";").toSeq.map { entry =>
+      val p = entry.split(":")
+      p.length match {
+        case 6 => (p(0), p(1), p(4), p(5)) // user, name, pass, groups
+        case 3 => (p(0), p(0), p(1), p(2))
+        case _ => (p(0), p(0), defaultPw, p(1))
+      }
+    }.toDF("login", "name", "password", "groups")
+    val base: Long = idBase.getOrElse {
+      val m = existingUsers.agg(max(col("id"))).head().get(0)
+      if (m == null) 0L else m.toString.toLong
+    }
+    val newUsers = parsed
+      .withColumn("id",
+        row_number().over(Window.orderBy("login")).cast("long") + base)
+      .withColumn("login", lower(col("login")))
+      .withColumn("active", org.apache.spark.sql.functions.lit(true))
+      .withColumn("context_lang", org.apache.spark.sql.functions.lit("en_MF"))
+      .withColumn("company_id", org.apache.spark.sql.functions.lit(1))
+    val rels = newUsers
+      .select(col("id").as("uid"), explode(split(col("groups"), ",")).as("gname"))
+      .join(broadcast(resGroups.select(col("id").as("gid"), col("name").as("gname"))),
+        Seq("gname"))
+      .select("uid", "gid")
+    (newUsers.drop("groups"), rels)
+  }
+
+  /** The `[pos+add]` derived-password template (db.py:459-473, OP-44):
+    * digits spliced from db-name characters. Pure driver-side string fn —
+    * the distributed Column form is probes.Probes.q19's expression.
+    */
+  def renderPasswordTemplate(template: String, dbName: String): String = {
+    val pat = "\\[(\\d+)\\+(\\d+)\\]".r
+    pat.replaceAllIn(template, m => {
+      val pos = m.group(1).toInt - 1
+      val add = m.group(2).toInt
+      ((math.max(dbName.charAt(pos).toLower.toInt, 96) - 96) + add).toString
+    })
+  }
+}

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Naming, Ops}
+
+/** Staging-write + atomic-swap publish and sibling GC — the Spark analog of
+  * the reference's restore commit protocol:
+  *
+  *  - stage under `<db>_staging_<token>` (db.py:101 `db + "_" + pid`)
+  *  - publish by atomic rename over the final name (db.py:186-188
+  *    `ALTER DATABASE … RENAME`), dropping any previous incarnation first
+  *    (db.py:179-184)
+  *  - on failure, remove the staging dir (db.py:202-208 cleanup)
+  *  - GC: keep only the newest database per instance (db.py:660-677,
+  *    193-199 — OP-31)
+  *
+  * Works through the Hadoop FileSystem API so the same protocol runs on any
+  * cluster FS. On object stores without atomic rename, swap this for a
+  * commit-marker protocol — the API boundary is [[publish]].
+  */
+object Restore {
+
+  val DbNameRegex = "^[A-Z0-9_]{5,}_[0-9]{8}_[0-9]{4}$" // db.py:639
+
+  /** Write `df` under warehouse/<staging>, then atomically move to
+    * warehouse/<db>. Returns the final path.
+    */
+  def publish(spark: SparkSession, df: DataFrame, warehouse: String,
+              db: String, token: String = "staging"): Path = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(warehouse, s"${db}__${token}")
+    val target = new Path(warehouse, db)
+    try {
+      df.write.mode("overwrite").parquet(staging.toString)
+      if (fs.exists(target)) fs.delete(target, true) // drop old incarnation
+      if (!fs.rename(staging, target))
+        throw new java.io.IOException(s"rename $staging -> $target failed")
+      target
+    } catch {
+      case e: Throwable =>
+        if (fs.exists(staging)) fs.delete(staging, true) // crash cleanup
+        throw e
+    }
+  }
+
+  /** Catalog scan (OP-6): one row per published db dir under warehouse. */
+  def catalog(spark: SparkSession, warehouse: String): DataFrame = {
+    import spark.implicits._
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dbs =
+      if (!fs.exists(new Path(warehouse))) Seq.empty[String]
+      else fs.listStatus(new Path(warehouse)).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+    dbs.toDF("db")
+  }
+
+  /** OP-14 validation: dbs that are NOT valid `INSTANCE_YYYYMMDD_HHMM`
+    * names (and not sync-server dbs) — the `clean` command's victims.
+    */
+  def invalidDbs(cat: DataFrame, prefix: Option[String] = None): DataFrame = {
+    val stripped = prefix.fold(col("db"))(p =>
+      when(col("db").startsWith(p + "_"),
+        col("db").substr(lit(p.length + 2), length(col("db")))).otherwise(col("db")))
+    cat.withColumn("bare", stripped)
+      .filter(!col("bare").rlike(DbNameRegex) && !col("bare").contains("SYNC"))
+      .drop("bare")
+  }
+
+  /** OP-31 keep-newest GC: for each instance, victims = every db but the
+    * newest (suffix `YYYYMMDD_HHMM` sorts lexicographically = temporally).
+    */
+  def gcVictims(cat: DataFrame, prefix: Option[String] = None): DataFrame = {
+    val withInstance = cat.withColumn("instance",
+      Naming.dbToInstanceCol(col("db"), prefix))
+    Ops.victimsPerGroup(withInstance, Seq("instance"), Seq(col("db").desc))
+  }
+
+  /** Delete victim dirs. Driver-side fold over a tiny catalog frame. */
+  def dropDbs(spark: SparkSession, warehouse: String, victims: Seq[String]): Unit = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    victims.foreach(db => fs.delete(new Path(warehouse, db), true))
+  }
+
+  /** OP-49 size-based change detection: skip reload when the stored length
+    * matches (db.py:695-711 `about` table ↔ content-length).
+    */
+  def needsReload(storedLength: Option[Long], remoteLength: Long): Boolean =
+    !storedLength.contains(remoteLength)
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+import graft.core.Ops
+import graft.sources.Inventory
+
+/** Structured Streaming face of the incremental patterns (SURVEY.md §2.9):
+  *
+  *  - OP-48 in-flight guard → event-time watermark on `modified` (15 min,
+  *    the 900 s constant from cloud.py:132)
+  *  - OP-51 at-least-once append + dedup → `dropDuplicates` within the
+  *    watermark on the natural key
+  *  - OP-50 checksum idempotence → `foreachBatch` anti-join against the
+  *    sink before append (exactly-once effect on re-delivery)
+  *
+  * The batch pipeline and this stream share the same transforms — an
+  * inventory row is an inventory row; only the source/sink wiring differs.
+  */
+object InventoryStream {
+
+  /** Parse + watermark + in-watermark dedup over a streaming listing frame
+    * with columns (file, url, modified_raw). `asOfLiteral` mirrors the batch
+    * OP-2 guard; the watermark handles true lateness.
+    */
+  def parse(listing: DataFrame): DataFrame =
+    listing
+      .withColumn("modified", to_timestamp(col("modified_raw"), Inventory.TsFormat))
+      .filter(col("file").endsWith(".zip"))
+      .withWatermark("modified", "15 minutes")
+      .dropDuplicates("file", "url")
+      .withColumn("instance", Inventory.instanceKey(col("file")))
+      .drop("modified_raw")
+
+  /** Exactly-once-effect append into a parquet ledger keyed by `keys`:
+    * each micro-batch is anti-joined against current sink contents before
+    * append (the streaming form of Ops.antiJoinAppend; re-delivered rows
+    * vanish in the anti-join).
+    */
+  def dedupAppendSink(parsed: DataFrame, sinkPath: String,
+                      keys: Seq[String]): DataStreamWriter[Row] =
+    parsed.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try spark.read.parquet(sinkPath)
+          catch { case _: Throwable => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], batch.schema) }
+        val fresh = batch.dropDuplicates(keys)
+          .join(existing.select(keys.map(col): _*).dropDuplicates(keys),
+            keys, "left_anti")
+        fresh.write.mode("append").parquet(sinkPath)
+        ()
+      }
+}
