@@ -67,6 +67,19 @@ object Ops {
           .orderBy(order: _*)))
       .filter(col("__rn") > 1).drop("__rn")
 
+  /** Widen an under-partitioned frame before per-row-heavy compute. Small
+    * parquet inputs (one row group) arrive as a single partition, which
+    * serializes expensive expression pipelines (hashing, shingling, vector
+    * math) onto one core; at cluster scale inputs are already wide and this
+    * is a no-op. Only repartitions when below `min` — never shrinks, never
+    * shuffles an already-wide (100 TB) scan.
+    */
+  def widen(df: DataFrame, min: Int = 0): DataFrame = {
+    val target =
+      if (min > 0) min else df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** OP-37 — union of tagged slices where the highest-priority source wins
     * per key (dict-merge semantics, main.py:258-265).
     */

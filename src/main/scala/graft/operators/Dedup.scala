@@ -41,41 +41,67 @@ object Dedup {
   def minhashSig(sh: Column, h: Int): Column =
     array_min(transform(sh, x => md5(concat(lit(s"$h:"), x))))
 
-  /** LSH banding: rows (id, band, bandHash, shingles) — one row per band.
-    * numHashes = bands * rowsPerBand.
+  /** (id, sh) shingle table — the materialization point of the LSH
+    * pipeline. Widened before the per-row-heavy normalize/shingle work so a
+    * one-row-group parquet input doesn't serialize onto one core.
+    *
+    * The words array is projected as its OWN attribute before shingling:
+    * `shingles3` references its input at three offsets inside a `transform`
+    * lambda, and handing it the raw normalizeWords expression would embed
+    * (and re-evaluate) the regex+split pipeline per element — O(len·3)
+    * per row instead of O(1). Multi-referenced non-cheap aliases survive
+    * CollapseProject, so the two-step projection keeps one eval per row.
+    *
+    * NOTE: no `size(sh) > 0` filter here — a filter over the computed array
+    * gets pushed below the exchange with the alias substituted, collapsing
+    * the whole pipeline into one mega-expression that re-evaluates the words
+    * array PER SHINGLE ELEMENT (measured 50× slowdown). Callers filter after
+    * the persist barrier instead.
     */
-  def lshBands(df: DataFrame, idCol: String, textCol: String,
+  def shingleSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.core.Ops.widen(df)
+      .select(col(idCol), normalizeWords(col(textCol)).as("w"))
+      .select(col(idCol), shingles3(col("w")).as("sh"))
+
+  /** LSH banding over a shingle table: compact rows (id, band, bandHash) —
+    * one row per band. numHashes = bands * rowsPerBand.
+    */
+  def lshBands(shingled: DataFrame, idCol: String,
                bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
-    val withSh = df
-      .withColumn("__sh", shingles3(normalizeWords(col(textCol))))
-      .filter(size(col("__sh")) > 0)
-    val sigs = (0 until bands * rowsPerBand).map(h => minhashSig(col("__sh"), h))
+    val sigs = (0 until bands * rowsPerBand).map(h => minhashSig(col("sh"), h))
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", sigs.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*))
           .as("bh"))
     }
-    withSh
-      .select(col(idCol), col("__sh").as("sh"),
-        explode(array(bandStructs: _*)).as("bb"))
-      .select(col(idCol), col("sh"), col("bb.band").as("band"),
-        col("bb.bh").as("bh"))
+    shingled
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
   /** Near-dup candidate pairs via the LSH bucket join, verified with exact
     * Jaccard over distinct 3-shingle sets. Returns (idA, idB, jacc) with
     * idA < idB, jacc as DECIMAL(10,4).
+    *
+    * The shingle and band tables are persisted: each is consumed by two or
+    * three downstream branches (self-join sides, verify join), and without
+    * pinning, Spark would re-run the full hash pipeline per consumer. At
+    * cluster scale these are the "signature tables" an LSH system would
+    * materialize anyway (MEMORY_AND_DISK — spills, never OOMs).
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
-    val b = lshBands(df, idCol, textCol, bands, rowsPerBand)
+    import org.apache.spark.storage.StorageLevel
+    val sh = shingleSets(df, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .filter(size(col("sh")) > 0) // above the cache barrier: no pushdown
+    val b = lshBands(sh, idCol, bands, rowsPerBand).persist(StorageLevel.MEMORY_AND_DISK)
     val a = b.select(col(idCol).as("idA"), col("band"), col("bh"))
     val c = b.select(col(idCol).as("idB"), col("band"), col("bh"))
     val cand = a.join(c, Seq("band", "bh"))
       .filter(col("idA") < col("idB"))
       .select("idA", "idB").distinct()
-    val shSets = b.select(col(idCol), array_distinct(col("sh")).as("shd"))
-      .dropDuplicates(idCol)
+    val shSets = sh.select(col(idCol), array_distinct(col("sh")).as("shd"))
     val inter = size(array_intersect(col("sa"), col("sb")))
     val jacc = round(inter * lit(1.0) /
       (size(col("sa")) + size(col("sb")) - inter), 4).cast("decimal(10,4)")
@@ -123,16 +149,18 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double): DataFrame = {
-    val grams = df
-      .withColumn("__w", normalizeWords(col(textCol)))
-      .withColumn("__g", array_distinct(
+    // same two-step projection + filter-above-cache discipline as
+    // shingleSets (see the NOTE there)
+    val grams = graft.core.Ops.widen(df)
+      .select(col(idCol), normalizeWords(col(textCol)).as("__w"))
+      .select(col(idCol), array_distinct(
         when(size(col("__w")) >= 2,
           transform(sequence(lit(1), size(col("__w")) - 1),
             i => concat_ws(" ", element_at(col("__w"), i),
               element_at(col("__w"), i + 1))))
-          .otherwise(array().cast("array<string>"))))
+          .otherwise(array().cast("array<string>"))).as("__g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .filter(size(col("__g")) > 0)
-      .select(col(idCol), col("__g"))
     val counts = grams.select(col(idCol), size(col("__g")).as("n"))
     val exploded = grams.select(col(idCol), explode(col("__g")).as("gram"))
     val inter = exploded.as("x").join(exploded.as("y"), Seq("gram"))

@@ -19,10 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine over two double-array columns, left-to-right fold (HOF
-    * `aggregate` — same associativity as DuckDB's `list_dot_product`).
+  /** Cosine over two double-array columns — the native codegen'd
+    * [[graft.functions.CosineSim]] expression (one fused loop). Left-to-
+    * right double accumulation: bit-identical to [[cosineHof]] and to
+    * DuckDB's `list_dot_product` composition, so oracle parity holds.
     */
   def cosine(a: String, b: String): Column =
+    graft.functions.CosineSim(col(a), col(b))
+
+  /** The same semantics from built-in HOFs only (reference/fallback form;
+    * also what the DuckDB oracle mirrors).
+    */
+  def cosineHof(a: String, b: String): Column =
     expr(s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x) /
       (sqrt(aggregate(zip_with($a, $a, (x, y) -> x * y), 0D, (acc, x) -> acc + x)) *
        sqrt(aggregate(zip_with($b, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)))""")
@@ -58,8 +66,10 @@ object Similarity {
               nprobe: Int, k: Int): DataFrame = {
     val cent = broadcast(centroids.select(col("id").as("cid"), col("v").as("cv")))
 
-    // cell assignment: one narrow pass over the corpus
-    val assigned = vectors.select(col("id").as("other_id"), col("v").as("vb"))
+    // cell assignment: one narrow pass over the corpus (widened — vector
+    // math over a one-row-group parquet input must not run on one core)
+    val assigned = graft.core.Ops.widen(
+        vectors.select(col("id").as("other_id"), col("v").as("vb")))
       .join(cent)
       .withColumn("cscore", cosine("vb", "cv"))
       .withColumn("crank", row_number().over(

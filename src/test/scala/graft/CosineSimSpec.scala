@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class CosineSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+    (2L, Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)),
+    (3L, Seq(0.3, -0.7, 0.2), Seq(-0.1, 0.9, 0.4))
+  ).toDF("id", "a", "b")
+
+  test("native CosineSim is bit-identical to the HOF composition") {
+    val got = vecs.select(col("id"),
+        Similarity.cosine("a", "b").as("nat"),
+        Similarity.cosineHof("a", "b").as("hof"))
+      .as[(Long, Double, Double)].collect()
+    got.foreach { case (_, nat, hof) =>
+      assert(java.lang.Double.doubleToLongBits(nat) ==
+        java.lang.Double.doubleToLongBits(hof))
+    }
+    assert(math.abs(got.find(_._1 == 1L).get._2 - 1.0) < 1e-12)
+    assert(got.find(_._1 == 2L).get._2 == 0.0)
+  }
+
+  test("cosine_sim is registered as a SQL function via GraftExtensions") {
+    val got = vecs.selectExpr("id", "cosine_sim(a, b) AS c")
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - 1.0) < 1e-12)
+  }
+
+  test("CosineSim rejects non-double-array inputs at analysis") {
+    val bad = Seq((1L, Seq("x"), Seq(1.0))).toDF("id", "a", "b")
+    intercept[Exception] {
+      bad.select(Similarity.cosine("a", "b")).collect()
+    }
+  }
+
+  test("CosineSim is null-safe") {
+    val withNull = Seq((1L, Option(Seq(1.0, 2.0)), Option.empty[Seq[Double]]))
+      .toDF("id", "a", "b")
+    val got = withNull.select(Similarity.cosine("a", "b").as("c"))
+      .collect().head
+    assert(got.isNullAt(0))
+  }
+}
