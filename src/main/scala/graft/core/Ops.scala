@@ -44,6 +44,13 @@ object Ops {
   /** OP-19 — truncate. */
   def truncate(df: DataFrame): DataFrame = df.limit(0)
 
+  /** OP-16 — line-noise filter (db.py:832-840): drop blank lines and lines
+    * starting with `NOTICE:`.
+    */
+  def cleanLines(df: DataFrame, lineCol: String): DataFrame =
+    df.filter(trim(col(lineCol)) =!= "" &&
+      !col(lineCol).startsWith("NOTICE:"))
+
   /** OP-20 — `ADD COLUMN IF NOT EXISTS new` backfilled from `from`. */
   def addColumnIfAbsent(df: DataFrame, name: String, from: Column): DataFrame =
     if (df.columns.contains(name)) df else df.withColumn(name, from)

@@ -1,0 +1,63 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Payload (byte-stream) operators: the reference treats backup payloads as
+  * opaque streams (SURVEY.md §1.1 "byte streams"); here they are rows of
+  * `binaryFile` scans.
+  *
+  *  - OP-3  streaming HTTP source → Hadoop FS connector concern; the
+  *    DataFrame face is `spark.read.format("binaryFile")` ([[scan]])
+  *  - OP-4  zip introspection (exactly-one-member validation, cloud.py:215-264)
+  *  - OP-26 chunked md5 checksum (db.py:843-851) — chunking is an IO detail;
+  *    the column form is `md5(content)`
+  *  - OP-28 progress decile bucketing (db.py:249-258) — batch analog over
+  *    per-file progress fractions
+  */
+object Payloads {
+
+  /** Recursive binary scan: (path, modificationTime, length, content). */
+  def scan(spark: SparkSession, dir: String, glob: String = "*.zip"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+
+  /** OP-4: names of zip members. The reference requires exactly one member
+    * (cloud.py:226-228) — callers gate on `size(members) === 1`.
+    */
+  def zipMembers(bytes: Array[Byte]): Seq[String] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    try Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+      .map(_.getName).toList
+    finally zin.close()
+  }
+
+  /** Validate the one-member rule over a binaryFile frame; returns
+    * (path, member) for valid payloads only. Runs distributed via a typed
+    * map — the zip central-directory read is per-row imperative logic.
+    */
+  def validZips(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select("path", "content").as[(String, Array[Byte])]
+      .map { case (p, bytes) => (p, zipMembers(bytes)) }
+      .filter(_._2.length == 1)
+      .map { case (p, ms) => (p, ms.head) }
+      .toDF("path", "member")
+  }
+
+  /** OP-26: md5 checksum per payload (column form of _zipChecksum). */
+  def checksums(df: DataFrame): DataFrame =
+    df.select(col("path"), md5(col("content")).as("checksum"),
+      col("length"))
+
+  /** OP-28: decile bucket of a progress fraction column (0..1): the batch
+    * analog of the 10%-step progress reporter.
+    */
+  def decileBucket(fraction: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (floor(fraction * 100 / 10) * 10).cast("int")
+}
