@@ -87,6 +87,22 @@ object Ops {
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 
+  /** Salted equi-join for skewed keys: salt the skewed (left) side with a
+    * random-free deterministic salt from a stable column, replicate the
+    * build (right) side across `saltFactor` salt values, join on
+    * (keys, salt). Turns one hot key's single straggler task into
+    * `saltFactor` parallel tasks. AQE's skew-join handles moderate skew
+    * automatically; this is the explicit tool for pathological keys.
+    */
+  def saltedJoin(skewed: DataFrame, dim: DataFrame, keys: Seq[String],
+                 saltFactor: Int, saltBy: String): DataFrame = {
+    val salted = skewed.withColumn("__salt",
+      pmod(xxhash64(col(saltBy)), lit(saltFactor)).cast("int"))
+    val replicated = dim.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
   /** OP-37 — union of tagged slices where the highest-priority source wins
     * per key (dict-merge semantics, main.py:258-265).
     */

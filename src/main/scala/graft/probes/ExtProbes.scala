@@ -278,6 +278,68 @@ object ExtProbes {
       |  CAST(strpos('0123456789abcdef', substr(md5(text), 2, 1)) AS INT) AS fake_height
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // ---- q37 deterministic stratified sampling ----------------------------
+  // Training-data curation: per-stratum (lang) sampling at a 3/16 rate,
+  // deterministic via content hash (reproducible across runs/engines —
+  // the requirement that rules out rand()-based sampleBy).
+  val q37: Q = (s, d) => {
+    val keep = substring(md5(col("text")), 1, 1).isin("0", "1", "2")
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        count(when(keep, 1)).as("n_sampled"))
+      .withColumn("ratio",
+        round(col("n_sampled") * lit(1.0) / col("n_total"), 4)
+          .cast("decimal(10,4)"))
+      .orderBy("lang")
+  }
+
+  val q37Sql: String =
+    """SELECT lang, count(*) AS n_total,
+      |  count(*) FILTER (WHERE substr(md5(text), 1, 1) IN ('0','1','2')) AS n_sampled,
+      |  CAST(round(count(*) FILTER (WHERE substr(md5(text), 1, 1) IN ('0','1','2'))
+      |    * 1.0 / count(*), 4) AS DECIMAL(10,4)) AS ratio
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- q38 token-length binning (sequence-packing prep) -----------------
+  val q38: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", TextStats.wsTokenCount(col("text")).cast("long"))
+      .withColumn("bin", least(floor(col("toks") / 16) * 16, lit(64)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_toks"))
+      .orderBy("bin")
+
+  val q38Sql: String =
+    """WITH t AS (
+      |  SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+      |  FROM documents)
+      |SELECT CAST(least(floor(toks / 16) * 16, 64) AS BIGINT) AS bin,
+      |       count(*) AS n_docs, sum(toks) AS sum_toks
+      |FROM t GROUP BY bin ORDER BY bin""".stripMargin
+
+  // ---- q39 shard assignment (training-shard writer planning) ------------
+  // Deterministic 16-way content-hash sharding; the write path would
+  // `.repartition(shard).write.partitionBy(shard)` — the probe verifies the
+  // assignment and balance.
+  val q39: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("shard",
+        (expr("instr('0123456789abcdef', substr(md5(text), 1, 1))") - 1)
+          .cast("int"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("shard")
+
+  val q39Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS INT) AS shard
+      |  FROM documents)
+      |SELECT shard, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM t GROUP BY shard ORDER BY shard""".stripMargin
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -291,6 +353,9 @@ object ExtProbes {
     "q34_token_count" -> q34,
     "q35_winnow_fingerprint" -> q35,
     "q36_multimodal_decode" -> q36,
+    "q37_stratified_sample" -> q37,
+    "q38_token_binning" -> q38,
+    "q39_shard_assignment" -> q39,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -304,5 +369,8 @@ object ExtProbes {
     "q34_token_count" -> q34Sql,
     "q35_winnow_fingerprint" -> q35Sql,
     "q36_multimodal_decode" -> q36Sql,
+    "q37_stratified_sample" -> q37Sql,
+    "q38_token_binning" -> q38Sql,
+    "q39_shard_assignment" -> q39Sql,
   )
 }
