@@ -15,13 +15,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm_cell(v):
     import datetime, decimal
+    import numpy as np
+    if isinstance(v, np.ndarray):
+        return tuple(norm_cell(x) for x in v.tolist())
     if isinstance(v, float):
         return round(v, 9)
     if isinstance(v, decimal.Decimal):
         return str(v)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
     return v
 

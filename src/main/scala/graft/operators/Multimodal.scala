@@ -52,6 +52,16 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling for video-ish payloads: every `stride`-th `frameSize`-
+    * byte slice (a real implementation would seek keyframes via the codec —
+    * same swap-in point as [[decodeOne]]). Pure per-row function used via
+    * the same batched mapPartitions shape.
+    */
+  def sampleFrames(bytes: Array[Byte], frameSize: Int, stride: Int): Seq[Array[Byte]] =
+    bytes.grouped(frameSize).zipWithIndex
+      .collect { case (frame, i) if i % stride == 0 => frame }
+      .toSeq
+
   /** documents → MediaRecord dataset (UTF-8 text bytes standing in for an
     * opaque payload; the schema/partitioning is what is under test).
     */

@@ -99,6 +99,36 @@ object Similarity {
       .select("vec_id", "other_id", "score", "rank")
   }
 
+  /** One k-means refinement step: assign every vector to its best centroid
+    * (max cosine), then element-wise mean per cell. Means go through
+    * DECIMAL(28,12) sums — exact and order-independent, so results are
+    * reproducible across partitionings AND match the DuckDB oracle
+    * bit-for-bit (a double fp sum would vary with partition order). The
+    * typed convenience path is [[graft.functions.VectorAvg]].
+    *
+    * Shuffle shape: posexplode fans each vector into `dim` rows shuffled on
+    * (cell, pos) with partial aggregation — at 100 TB this is the standard
+    * tall-skinny centroid update, no driver involvement.
+    */
+  def kmeansStep(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val cent = broadcast(centroids.select(col("id").as("cid"), col("v").as("cv")))
+    val assigned = graft.core.Ops.widen(vectors.select(col("id"), col("v")))
+      .join(cent)
+      .withColumn("cscore", cosine("v", "cv"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("id").orderBy(col("cscore").desc, col("cid").asc)))
+      .filter(col("crank") === 1)
+      .select("id", "v", "cid")
+    assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg(sum(col("x").cast("decimal(28,12)")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", round(col("s") / col("n"), 8).cast("decimal(20,8)"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"), expr("transform(pm, e -> e.m)").as("centroid"))
+  }
+
   /** All pairs (idA < idB) with cosine ≥ threshold — embedding near-dup
     * detection. Bounded inputs only (callers sample/salt at scale; the LSH
     * bucketing in [[Dedup]] is the unbounded-corpus path).

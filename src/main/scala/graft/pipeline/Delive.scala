@@ -145,18 +145,28 @@ object Delive {
       backup ++ passwords ++ finale
   }
 
+  /** The one cross-table rule shape in the suite: db.py:423's membership
+    * delete references res_groups from res_groups_users_rel. Matched
+    * textually so the rule list stays plain data.
+    */
+  private val HideGroupsDelete =
+    "gid IN (SELECT id FROM res_groups WHERE visible_res_groups = false)"
+
   /** Apply rules functionally: each table's DataFrame is rewritten in rule
-    * order; the result map carries the sanitized frames.
+    * order; the result map carries the sanitized frames. Cross-table rules
+    * (the hidegroups membership delete) resolve their referenced table from
+    * the current map state.
     */
   def apply(tables: Map[String, DataFrame], rules: Seq[Rule]): Map[String, DataFrame] =
     rules.foldLeft(tables) { (acc, rule) =>
       acc.get(rule.table) match {
         case None => acc // missing table tolerated, like ignored psql rc
-        case Some(df) => acc + (rule.table -> applyOne(df, rule))
+        case Some(df) => acc + (rule.table -> applyOne(df, rule, acc))
       }
     }
 
-  private def applyOne(df: DataFrame, rule: Rule): DataFrame = rule match {
+  private def applyOne(df: DataFrame, rule: Rule,
+                       tables: Map[String, DataFrame]): DataFrame = rule match {
     case SetCols(_, sets, where) =>
       val cond = where.map(expr).getOrElse(org.apache.spark.sql.functions.lit(true))
       sets.foldLeft(df) { case (d, (c, v)) =>
@@ -164,12 +174,10 @@ object Delive {
         else d.withColumn(c, when(cond, expr(v).cast(d.schema(c).dataType))
           .otherwise(col(c)))
       }
+    case DeleteWhere(_, HideGroupsDelete) =>
+      tables.get("res_groups").fold(df)(g => applyHideGroups(df, g))
     case DeleteWhere(_, where) =>
-      // IN-subquery deletes can't reference sibling tables here; the rule
-      // list only uses self-referencing subqueries, which Spark SQL can't
-      // express on a lone frame — rewrite as anti-join when seen.
-      if (where.contains("IN (SELECT")) df // handled by applyHideGroups
-      else df.filter(!coalesce(expr(where), org.apache.spark.sql.functions.lit(false)))
+      df.filter(!coalesce(expr(where), org.apache.spark.sql.functions.lit(false)))
     case Truncate(_) => df.limit(0)
     case AddColumnIfAbsent(_, c, from) =>
       if (df.columns.contains(c)) df
@@ -186,6 +194,7 @@ object Delive {
       broadcast(groups.filter(col("visible_res_groups") === false)
         .select(col("id").as("gid"))),
       Seq("gid"), "left_anti")
+      .select(rels.columns.map(col).toSeq: _*) // keep original column order
 
   /** createusers (db.py:475-515): explode the `u:p:g1,g2;…` spec into user
     * rows and membership rows. Ids are generated as maxExisting + dense

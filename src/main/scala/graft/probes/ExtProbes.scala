@@ -340,6 +340,39 @@ object ExtProbes {
       |SELECT shard, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
       |FROM t GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ---- q40 k-means centroid refinement step (IVF training) --------------
+  // Assignment by max cosine, then element-wise mean per cell through
+  // DECIMAL(28,12) sums — exact, order-independent, oracle-reproducible.
+  val q40: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    val cent = e.filter(col("id") % 25 === 0)
+    Similarity.kmeansStep(e, cent).orderBy("cid")
+  }
+
+  val q40Sql: String = {
+    def cos(a: String, b: String) = Similarity.cosineDuckSql(a, b)
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT id AS cid, v AS cv FROM e WHERE id % 25 = 0),
+       |assigned AS (
+       |  SELECT id, v, cid FROM (
+       |    SELECT e.id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN cent c) t(id, v, cid, rn) WHERE rn = 1),
+       |ex AS (
+       |  SELECT cid, t.pos AS pos, v[t.pos] AS x
+       |  FROM assigned, unnest(generate_series(1, len(v))) AS t(pos)),
+       |agg AS (
+       |  SELECT cid, pos,
+       |    CAST(round(sum(CAST(x AS DECIMAL(28,12))) / count(*), 8)
+       |      AS DECIMAL(20,8)) AS m
+       |  FROM ex GROUP BY cid, pos)
+       |SELECT cid, list(m ORDER BY pos) AS centroid
+       |FROM agg GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -356,6 +389,7 @@ object ExtProbes {
     "q37_stratified_sample" -> q37,
     "q38_token_binning" -> q38,
     "q39_shard_assignment" -> q39,
+    "q40_kmeans_step" -> q40,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -372,5 +406,6 @@ object ExtProbes {
     "q37_stratified_sample" -> q37Sql,
     "q38_token_binning" -> q38Sql,
     "q39_shard_assignment" -> q39Sql,
+    "q40_kmeans_step" -> q40Sql,
   )
 }

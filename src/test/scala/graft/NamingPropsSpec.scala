@@ -1,0 +1,70 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.core.Naming
+
+/** Property tests per SURVEY §5: name-derivation round-trips (OP-10/11) and
+  * version-sort total ordering (OP-33). Pure functions — no Spark session.
+  */
+object NamingProps extends Properties("Naming") {
+
+  private val token: Gen[String] = for {
+    n <- Gen.choose(2, 6)
+    cs <- Gen.listOfN(n, Gen.frequency(3 -> Gen.alphaUpperChar, 1 -> Gen.numChar))
+  } yield cs.mkString
+
+  private val instanceGen: Gen[String] =
+    for { k <- Gen.choose(1, 3); ts <- Gen.listOfN(k, token) }
+      yield ts.mkString("_")
+
+  property("fileToDb ∘ dbToInstance round-trips the instance") =
+    forAll(instanceGen, Gen.choose(0, 99999999), Gen.choose(0, 999999)) {
+      (inst, date, time) =>
+        val fn = f"$inst-$date%08d-$time%06d-A-UF2.1.dump"
+        val db = Naming.fileToDb(fn)
+        (db == f"${inst}_$date%08d_" + f"$time%06d".take(4)) &&
+          Naming.dbToInstance(db) == inst
+    }
+
+  property("prefix round-trips through both derivations") =
+    forAll(instanceGen) { inst =>
+      val fn = s"$inst-20240101-123456-A.dump"
+      val db = Naming.fileToDb(fn, Some("pfx"))
+      db.startsWith("pfx_") && Naming.dbToInstance(db, Some("pfx")) == inst
+    }
+
+  private val versionGen: Gen[List[Int]] =
+    for { k <- Gen.choose(1, 4); vs <- Gen.listOfN(k, Gen.choose(0, 99)) }
+      yield vs
+
+  property("versionKey ordering = element-wise tuple ordering") = {
+    val ord = Ordering.Implicits.seqOrdering[Seq, Int]
+    forAll(versionGen, versionGen) { (a, b) =>
+      def render(v: List[Int]): String = s"uf${v.mkString(".")}.patch.zip"
+      val ka = Naming.versionKey(render(a))
+      val kb = Naming.versionKey(render(b))
+      ka == a && kb == b &&
+        math.signum(ord.compare(ka, kb)) == math.signum(ord.compare(a, b))
+    }
+  }
+
+  property("matchAnyWildcard: empty matches all; match implies substring") =
+    forAll(Gen.alphaNumStr, Gen.listOf(Gen.alphaNumStr)) { (x, pats) =>
+      Naming.matchAnyWildcard(Nil, x) &&
+        (!Naming.matchAnyWildcard(pats, x) || pats.isEmpty ||
+          pats.exists(_.split(",").exists(p => x.contains(p))))
+    }
+
+  property("renderPasswordTemplate digits are in 1..27 range") =
+    forAll(instanceGen, Gen.choose(1, 3), Gen.choose(0, 9)) { (db, pos, add) =>
+      Prop.collect(pos) {
+        val out = graft.pipeline.Delive
+          .renderPasswordTemplate(s"x[$pos+$add]y", db + "ZZZZ")
+        out.startsWith("x") && out.endsWith("y") && {
+          val d = out.drop(1).dropRight(1).toInt
+          d >= add && d <= 26 + add
+        }
+      }
+    }
+}

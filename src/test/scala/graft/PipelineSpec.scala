@@ -76,6 +76,23 @@ class PipelineSpec extends SparkSpec {
     assert(out("res_users").columns.toSeq == Seq("id", "login"))
   }
 
+  test("hidegroups: truncates shortcuts, hides groups, deletes memberships cross-table") {
+    val tables = Map(
+      "ir_ui_view_sc" -> Seq((1L, "sc")).toDF("id", "name"),
+      "res_groups" -> Seq((100L, "g_secret", true), (101L, "g_ok", true))
+        .toDF("id", "name", "visible_res_groups"),
+      "res_groups_users_rel" -> Seq((1L, 100L), (1L, 101L), (2L, 100L))
+        .toDF("uid", "gid"))
+    val out = Delive(tables,
+      Delive.rules(Delive.Config(hideGroups = Seq("G_SECRET"), noPwReset = true)))
+    assert(out("ir_ui_view_sc").count() == 0)
+    val vis = out("res_groups").select("name", "visible_res_groups")
+      .as[(String, Boolean)].collect().toMap
+    assert(!vis("g_secret") && vis("g_ok"))
+    val rels = out("res_groups_users_rel").as[(Long, Long)].collect().toSet
+    assert(rels == Set((1L, 101L))) // memberships of the hidden group dropped
+  }
+
   test("createUsers explodes spec into users and memberships") {
     val existing = Seq((10L, "old")).toDF("id", "login")
     val groups = Seq((100L, "g_admin"), (101L, "g_read")).toDF("id", "name")
