@@ -1,0 +1,36 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Naming
+
+/** The `ufload upgrade` flow (main.py:522-766): list patch files, order
+  * them by natural version (OP-33), skip patches whose checksum is already
+  * installed (OP-35 idempotence, db.py:877-896), and produce the ordered
+  * install plan. The RPC-driven apply/poll loops are driver-side effects
+  * outside the relational surface; the plan computation is the operator.
+  */
+object Upgrade {
+
+  /** Natural-version sort key column (array<int>, element-wise order). */
+  def versionKey(file: Column): Column = Naming.versionKeyCol(file)
+
+  /** Ordered install plan: patches (file, sum) minus already-installed
+    * checksums (sync_server_version.sum, db.py:877-878), natural-version
+    * ascending. `installed` is small (a version ledger) → broadcast the
+    * anti-join so the patch listing never shuffles.
+    */
+  def installPlan(patches: DataFrame, installed: DataFrame): DataFrame =
+    patches
+      .join(broadcast(installed.select(col("sum")).dropDuplicates("sum")),
+        Seq("sum"), "left_anti")
+      .withColumn("vkey", versionKey(col("file")))
+      .orderBy(col("vkey").asc, col("file").asc)
+      .select("file", "sum", "vkey")
+
+  /** Revision-gate regex (main.py:617-619): a sync error that names a
+    * required revision means "install patches first".
+    */
+  def requiredRevision(errorMsg: Column): Column =
+    regexp_extract(errorMsg, "revision\\s+([0-9a-f]{6,})", 1)
+}

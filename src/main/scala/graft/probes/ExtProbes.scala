@@ -373,6 +373,22 @@ object ExtProbes {
        |FROM agg GROUP BY cid ORDER BY cid""".stripMargin
   }
 
+  // ---- q41 JSON property extraction -------------------------------------
+  // events.props is a JSON object column; extract $.k and aggregate.
+  val q41: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val q41Sql: String =
+    """SELECT event_type, count(*) AS cnt,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -390,6 +406,7 @@ object ExtProbes {
     "q38_token_binning" -> q38,
     "q39_shard_assignment" -> q39,
     "q40_kmeans_step" -> q40,
+    "q41_json_extract" -> q41,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -407,5 +424,6 @@ object ExtProbes {
     "q38_token_binning" -> q38Sql,
     "q39_shard_assignment" -> q39Sql,
     "q40_kmeans_step" -> q40Sql,
+    "q41_json_extract" -> q41Sql,
   )
 }
