@@ -123,11 +123,19 @@ object Similarity {
       .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("cid", "pos")
       .agg(sum(col("x").cast("decimal(28,12)")).as("s"), count(lit(1)).as("n"))
-      .withColumn("m", round(col("s") / col("n"), 8).cast("decimal(20,8)"))
+      .select(col("cid"), col("pos").cast("int").as("pos"),
+        round(col("s") / col("n"), 8).cast("decimal(20,8)").as("m"))
+  }
+
+  /** [[kmeansStep]] result gathered back to one centroid array per cell
+    * (the form the next assignment pass consumes).
+    */
+  def gatherCentroids(longForm: DataFrame): DataFrame =
+    longForm
       .groupBy("cid")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cid"), expr("transform(pm, e -> e.m)").as("centroid"))
-  }
+      .select(col("cid"),
+        expr("transform(pm, e -> cast(e.m as double))").as("v"))
 
   /** All pairs (idA < idB) with cosine ≥ threshold — embedding near-dup
     * detection. Bounded inputs only (callers sample/salt at scale; the LSH

@@ -343,12 +343,13 @@ object ExtProbes {
   // ---- q40 k-means centroid refinement step (IVF training) --------------
   // Assignment by max cosine, then element-wise mean per cell through
   // DECIMAL(28,12) sums — exact, order-independent, oracle-reproducible.
+  // Long form (cid, pos, m): scalar columns only, so any comparator works.
   val q40: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id").as("id"),
         Similarity.toDoubleVec(col("embedding")).as("v"))
     val cent = e.filter(col("id") % 25 === 0)
-    Similarity.kmeansStep(e, cent).orderBy("cid")
+    Similarity.kmeansStep(e, cent).orderBy("cid", "pos")
   }
 
   val q40Sql: String = {
@@ -363,14 +364,11 @@ object ExtProbes {
        |    FROM e CROSS JOIN cent c) t(id, v, cid, rn) WHERE rn = 1),
        |ex AS (
        |  SELECT cid, t.pos AS pos, v[t.pos] AS x
-       |  FROM assigned, unnest(generate_series(1, len(v))) AS t(pos)),
-       |agg AS (
-       |  SELECT cid, pos,
-       |    CAST(round(sum(CAST(x AS DECIMAL(28,12))) / count(*), 8)
-       |      AS DECIMAL(20,8)) AS m
-       |  FROM ex GROUP BY cid, pos)
-       |SELECT cid, list(m ORDER BY pos) AS centroid
-       |FROM agg GROUP BY cid ORDER BY cid""".stripMargin
+       |  FROM assigned, unnest(generate_series(1, len(v))) AS t(pos))
+       |SELECT cid, CAST(pos - 1 AS INT) AS pos,
+       |  CAST(round(sum(CAST(x AS DECIMAL(28,12))) / count(*), 8)
+       |    AS DECIMAL(20,8)) AS m
+       |FROM ex GROUP BY cid, pos ORDER BY cid, pos""".stripMargin
   }
 
   // ---- q41 JSON property extraction -------------------------------------

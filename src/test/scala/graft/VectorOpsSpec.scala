@@ -24,8 +24,7 @@ class VectorOpsSpec extends SparkSpec {
       (2L, Seq(-1.0, -1.0)), (3L, Seq(-3.0, -1.0)) // near centroid 2
     ).toDF("id", "v")
     val cent = vecs.filter(col("id") % 2 === 0)
-    val got = Similarity.kmeansStep(vecs, cent)
-      .select(col("cid"), expr("transform(centroid, x -> cast(x as double))"))
+    val got = Similarity.gatherCentroids(Similarity.kmeansStep(vecs, cent))
       .as[(Long, Seq[Double])].collect().toMap
     assert(got(0L) == Seq(1.0, 2.0))
     assert(got(2L) == Seq(-2.0, -1.0))
