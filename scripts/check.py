@@ -19,7 +19,8 @@ def norm_cell(v):
     if isinstance(v, np.ndarray):
         return tuple(norm_cell(x) for x in v.tolist())
     if isinstance(v, float):
-        return round(v, 9)
+        import math
+        return None if math.isnan(v) else round(v, 9)
     if isinstance(v, decimal.Decimal):
         return str(v)
     if isinstance(v, datetime.datetime):

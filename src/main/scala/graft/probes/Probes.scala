@@ -535,6 +535,55 @@ object Probes {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ---- q42 outer-join enrichment (left outer breadth) -------------------
+  val q42: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  val q42Sql: String =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders
+      |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  // ---- q43 semi-join (EXISTS breadth) -----------------------------------
+  val q43: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val q43Sql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- q44 analytic breadth: lag + dense_rank over integers -------------
+  val q44: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("prev_event", coalesce(lag(col("event_id"), 1).over(w), lit(-1L)))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .filter(col("seq") <= 5)
+      .select("user_id", "seq", "event_id", "prev_event")
+      .orderBy("user_id", "seq")
+  }
+
+  val q44Sql: String =
+    """SELECT user_id, seq, event_id, prev_event FROM (
+      |  SELECT user_id, event_id,
+      |    coalesce(lag(event_id, 1) OVER w, -1) AS prev_event,
+      |    CAST(row_number() OVER w AS BIGINT) AS seq
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY date_trunc('milliseconds', ts) ASC, event_id ASC))
+      |WHERE seq <= 5 ORDER BY user_id, seq""".stripMargin
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -563,6 +612,9 @@ object Probes {
     "q24_text_stats" -> q24,
     "q25_star_join_revenue" -> q25,
     "q26_agg_breadth" -> q26,
+    "q42_outer_join" -> q42,
+    "q43_semi_join" -> q43,
+    "q44_analytics" -> q44,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -591,5 +643,8 @@ object Probes {
     "q24_text_stats" -> q24Sql,
     "q25_star_join_revenue" -> q25Sql,
     "q26_agg_breadth" -> q26Sql,
+    "q42_outer_join" -> q42Sql,
+    "q43_semi_join" -> q43Sql,
+    "q44_analytics" -> q44Sql,
   )
 }
