@@ -38,6 +38,36 @@ class CosineSimSpec extends SparkSpec {
     }
   }
 
+  test("RewriteHofCosine: optimizer rewrites the HOF composition to CosineSim") {
+    // non-foldable source (literal local data would constant-fold away)
+    val df = spark.range(3).selectExpr(
+      "array(cast(id AS double), 1.0) AS a",
+      "array(1.0, cast(id AS double)) AS b")
+    val hof = df.select(Similarity.cosineHof("a", "b").as("c"))
+    val optimized = hof.queryExecution.optimizedPlan
+    val found = optimized.expressions.exists(_.exists {
+      case _: graft.functions.CosineSim => true
+      case _ => false
+    })
+    assert(found, s"expected CosineSim in optimized plan:\n$optimized")
+    // and the rewritten query equals the un-rewritten computation
+    val got = hof.as[Double].collect()
+    val ref = (0 until 3).map { i =>
+      val a = Seq(i.toDouble, 1.0); val b = Seq(1.0, i.toDouble)
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    got.zip(ref).foreach { case (g, r) => assert(math.abs(g - r) < 1e-12) }
+  }
+
+  test("CosineSim propagates null ELEMENTS like the HOF form") {
+    val df = Seq((Seq(Option(1.0), None), Seq(Option(1.0), Option(2.0))))
+      .toDF("a", "b")
+    val both = df.select(Similarity.cosine("a", "b").as("nat"),
+      Similarity.cosineHof("a", "b").as("hof")).collect().head
+    assert(both.isNullAt(0) && both.isNullAt(1))
+  }
+
   test("CosineSim is null-safe") {
     val withNull = Seq((1L, Option(Seq(1.0, 2.0)), Option.empty[Seq[Double]]))
       .toDF("id", "a", "b")
