@@ -584,6 +584,46 @@ object Probes {
       |    ORDER BY date_trunc('milliseconds', ts) ASC, event_id ASC))
       |WHERE seq <= 5 ORDER BY user_id, seq""".stripMargin
 
+  // ---- q45 rollup (subtotal hierarchy) ----------------------------------
+  val q45: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast(dec182)).cast(dec182).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  val q45Sql: String =
+    """SELECT coalesce(l_returnflag, '<all>') AS rf,
+      |       coalesce(l_linestatus, '<all>') AS ls,
+      |       count(*) AS cnt,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  // ---- q46 cube (all grouping combinations) -----------------------------
+  val q46: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")).cast("int"))
+      .cube("o_orderstatus", "yr")
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("<all>")).as("st"),
+        coalesce(col("yr"), lit(-1)).as("yr"),
+        col("cnt"))
+      .orderBy("st", "yr")
+
+  val q46Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS yr FROM orders)
+      |SELECT coalesce(o_orderstatus, '<all>') AS st,
+      |       coalesce(yr, -1) AS yr, count(*) AS cnt
+      |FROM o GROUP BY CUBE (o_orderstatus, yr)
+      |ORDER BY st, yr""".stripMargin
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -615,6 +655,8 @@ object Probes {
     "q42_outer_join" -> q42,
     "q43_semi_join" -> q43,
     "q44_analytics" -> q44,
+    "q45_rollup" -> q45,
+    "q46_cube" -> q46,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -646,5 +688,7 @@ object Probes {
     "q42_outer_join" -> q42Sql,
     "q43_semi_join" -> q43Sql,
     "q44_analytics" -> q44Sql,
+    "q45_rollup" -> q45Sql,
+    "q46_cube" -> q46Sql,
   )
 }
