@@ -387,6 +387,23 @@ object ExtProbes {
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- q47 approximate aggregates (no SQL oracle BY DESIGN) -------------
+  // HLL/quantile sketches are implementation-specific — DuckDB's
+  // approx_count_distinct would not hash-match Spark's. The driver records
+  // a rows-only check (the declared weaker mode for non-SQL-expressible
+  // ops). At 100 TB these sketches are how a pipeline sizes dedup work
+  // without an exact distinct shuffle.
+  val q47: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("p")
+      )
+      .select(col("event_type"), col("approx_users"),
+        element_at(col("p"), 1).as("p50"), element_at(col("p"), 2).as("p95"))
+      .orderBy("event_type")
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -405,6 +422,7 @@ object ExtProbes {
     "q39_shard_assignment" -> q39,
     "q40_kmeans_step" -> q40,
     "q41_json_extract" -> q41,
+    "q47_approx_aggs" -> q47, // intentionally absent from oracleSql (rows-only)
   )
 
   val oracleSql: Map[String, String] = Map(
