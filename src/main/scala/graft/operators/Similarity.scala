@@ -137,6 +137,24 @@ object Similarity {
       .select(col("cid"),
         expr("transform(pm, e -> cast(e.m as double))").as("v"))
 
+  /** Build an IVF coarse quantizer: deterministic hash-sampled seed
+    * centroids, then `iters` k-means refinement passes (each pass is fully
+    * distributed; only the centroid table — small by construction — flows
+    * between iterations, Lloyd's-algorithm style). Returns (id, v) centroid
+    * rows ready for [[ivfTopK]].
+    */
+  def buildIvf(vectors: DataFrame, numCells: Int, iters: Int): DataFrame = {
+    var cent = vectors
+      .orderBy(pmod(xxhash64(col("id")), lit(1000003)), col("id"))
+      .limit(numCells)
+      .select(col("id"), col("v"))
+    for (_ <- 0 until iters) {
+      cent = gatherCentroids(kmeansStep(vectors, cent))
+        .select(col("cid").as("id"), col("v"))
+    }
+    cent
+  }
+
   /** All pairs (idA < idB) with cosine ≥ threshold — embedding near-dup
     * detection. Bounded inputs only (callers sample/salt at scale; the LSH
     * bucketing in [[Dedup]] is the unbounded-corpus path).

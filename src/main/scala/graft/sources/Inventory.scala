@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Naming, Ops}
 
@@ -19,6 +19,17 @@ import graft.core.{Naming, Ops}
   * connectors.
   */
 object Inventory {
+
+  /** Typed row of the inventory (the `Dataset[T]` face for type-safe
+    * pipeline code; the DataFrame face stays primary for dynamic columns).
+    */
+  case class BackupFile(file: String, url: String,
+                        modified: java.sql.Timestamp, instance: String)
+
+  def typed(inv: DataFrame): Dataset[BackupFile] = {
+    import inv.sparkSession.implicits._
+    inv.select("file", "url", "modified", "instance").as[BackupFile]
+  }
 
   val TsFormat = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 

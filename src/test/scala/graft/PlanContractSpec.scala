@@ -1,0 +1,54 @@
+package graft
+
+import graft.probes.{ExtProbes, Probes}
+
+/** Plan contracts: the scale-critical physical-plan properties asserted as
+  * tests, so a future edit that silently degrades a plan (lost broadcast,
+  * accidental cartesian product, lost window-group-limit) fails CI instead
+  * of surfacing as a 100× slowdown at scale.
+  */
+class PlanContractSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q25 star join: all dimensions broadcast, no cartesian product") {
+    val p = plan(Probes.q25(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    // lineitem scan is column-pruned to the 3 needed columns
+    assert(p.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"),
+      p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
+  test("q01 top-1 per group plans WindowGroupLimit (partial + final)") {
+    val p = plan(Probes.q01(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("q26 agg plans partial aggregation below the exchange") {
+    val p = plan(Probes.q26(spark, sf))
+    assert(p.contains("partial_sum"), p.take(2000))
+  }
+
+  test("q31 IVF: centroids broadcast; no cartesian product anywhere") {
+    val p = plan(ExtProbes.q31(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q27 LSH: candidate generation is an equi-join, never a cross join") {
+    val p = plan(ExtProbes.q27(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q07 merge: local keys broadcast keeps the remote side shuffle-free") {
+    val p = plan(Probes.q07(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+  }
+}

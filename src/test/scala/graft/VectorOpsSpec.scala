@@ -30,6 +30,37 @@ class VectorOpsSpec extends SparkSpec {
     assert(got(2L) == Seq(-2.0, -1.0))
   }
 
+  test("buildIvf converges to cluster means; index search matches brute force") {
+    // two tight clusters around (10,0) and (0,10)
+    val vecs = ((0 until 20).map(i => (i.toLong, Seq(10.0 + (i % 5) * 0.1, 0.1 * i))) ++
+      (20 until 40).map(i => (i.toLong, Seq(0.1 * (i - 20), 10.0 + (i % 5) * 0.1))))
+      .toDF("id", "v")
+    val index = Similarity.buildIvf(vecs, numCells = 2, iters = 2)
+    val cents = index.select(expr("transform(v, x -> cast(x as double))"))
+      .as[Seq[Double]].collect()
+    assert(cents.length == 2)
+    // one centroid per cluster: x≫y for one, y≫x for the other
+    assert(cents.count(c => c(0) > c(1)) == 1)
+    assert(cents.count(c => c(1) > c(0)) == 1)
+
+    val queries = vecs.filter(col("id").isin(0L, 25L))
+    val brute = Similarity.bruteForceTopK(vecs, queries, 3)
+      .select("vec_id", "other_id").as[(Long, Long)].collect().toSet
+    val viaIndex = Similarity.ivfTopK(vecs, index, queries, nprobe = 1, k = 3)
+      .select("vec_id", "other_id").as[(Long, Long)].collect().toSet
+    // tight clusters: nprobe=1 already recovers exact neighbors
+    assert(viaIndex == brute)
+  }
+
+  test("Inventory.typed gives a Dataset[BackupFile]") {
+    val inv = graft.sources.Inventory.fromListing(spark,
+      Seq(("OCG_KE1_NBO-Mon.zip", "u1", "2024-01-10T08:00:00Z")),
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    val ds = graft.sources.Inventory.typed(inv)
+    val row = ds.collect().head
+    assert(row.instance == "OCG_KE1_NBO" && row.url == "u1")
+  }
+
   test("sampleFrames takes every stride-th fixed-size slice") {
     val bytes = (0 until 100).map(_.toByte).toArray
     val frames = Multimodal.sampleFrames(bytes, frameSize = 10, stride = 3)
