@@ -60,6 +60,29 @@ object TextStats {
       .cast("decimal(10,4)")
   }
 
+  /** PII scrubbing patterns (training-data redaction). Kept to syntax
+    * valid AND identical-semantics in both Java regex (Spark) and RE2
+    * (DuckDB oracle): character classes + bounded quantifiers only — no
+    * backrefs, no lookaround.
+    */
+  val EmailRegex = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val UrlRegex = "https?://[a-zA-Z0-9./_-]+"
+  val PhoneRegex = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** Redact emails, then URLs, then phone-ish runs (order matters: URLs can
+    * contain digit runs). Returns the scrubbed text column.
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailRegex, "<EMAIL>")
+    val noUrl = regexp_replace(noEmail, UrlRegex, "<URL>")
+    regexp_replace(noUrl, PhoneRegex, "<PHONE>")
+  }
+
+  /** Count of PII hits (pre-redaction) for audit/funnel metrics. */
+  def piiHits(text: Column): Column =
+    size(expr(s"regexp_extract_all(text, '${EmailRegex.replace("\\", "\\\\")}', 0)")) +
+      size(expr(s"regexp_extract_all(text, '${UrlRegex.replace("\\", "\\\\")}', 0)"))
+
   /** BPE-ish tokenization regex: letter runs, single digits, single
     * non-alnum marks (GPT-2-style pre-tokenizer shape, ASCII-simplified).
     */

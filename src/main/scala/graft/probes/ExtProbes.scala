@@ -387,6 +387,37 @@ object ExtProbes {
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- q48 PII redaction (planted synthetic PII) ------------------------
+  val q48: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("text", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or "),
+        lit("http://site"), col("doc_id") % 10, lit(".example.org/x tel +41 22 "),
+        lpad((col("doc_id") % 1000).cast("string"), 4, "0"), lit(" end")))
+      .withColumn("hits", TextStats.piiHits(col("text")).cast("long"))
+      .withColumn("redacted", TextStats.redactPii(col("text")))
+      .select(col("doc_id"), col("hits"), md5(col("redacted")).as("rh"))
+      .orderBy("doc_id")
+
+  val q48Sql: String = {
+    val email = TextStats.EmailRegex
+    val url = TextStats.UrlRegex
+    val phone = TextStats.PhoneRegex
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com or ' ||
+       |    'http://site' || (doc_id % 10) || '.example.org/x tel +41 22 ' ||
+       |    lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') || ' end' AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$email', 0)) +
+       |       len(regexp_extract_all(text, '$url', 0)) AS BIGINT) AS hits,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g'),
+       |    '$phone', '<PHONE>', 'g')) AS rh
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q47 approximate aggregates (no SQL oracle BY DESIGN) -------------
   // HLL/quantile sketches are implementation-specific — DuckDB's
   // approx_count_distinct would not hash-match Spark's. The driver records
@@ -423,6 +454,7 @@ object ExtProbes {
     "q40_kmeans_step" -> q40,
     "q41_json_extract" -> q41,
     "q47_approx_aggs" -> q47, // intentionally absent from oracleSql (rows-only)
+    "q48_pii_redaction" -> q48,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -441,5 +473,6 @@ object ExtProbes {
     "q39_shard_assignment" -> q39Sql,
     "q40_kmeans_step" -> q40Sql,
     "q41_json_extract" -> q41Sql,
+    "q48_pii_redaction" -> q48Sql,
   )
 }

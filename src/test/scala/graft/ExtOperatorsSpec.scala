@@ -78,6 +78,21 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(got._2 == 6)          // hello , world ! x 2
   }
 
+  test("redactPii scrubs emails, urls, phone runs; plain text untouched") {
+    val df = Seq(
+      (1L, "mail me at bob.smith+x@corp.example.org today"),
+      (2L, "see https://docs.example.com/a_b/c.html#x now"),
+      (3L, "call +41 22 123 4567 please"),
+      (4L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextStats.redactPii(col("text")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "mail me at <EMAIL> today")
+    assert(got(2L).startsWith("see <URL>"))
+    assert(got(3L) == "call <PHONE> please")
+    assert(got(4L) == "nothing sensitive here")
+  }
+
   test("decodeStub derives features deterministically from bytes") {
     val ds = Seq(Multimodal.MediaRecord(7L, "abc".getBytes("UTF-8"), "text/plain"))
       .toDS()
