@@ -624,6 +624,45 @@ object Probes {
       |FROM o GROUP BY CUBE (o_orderstatus, yr)
       |ORDER BY st, yr""".stripMargin
 
+  // ---- q49 sessionization (gap-based sessions via cumulative window) ----
+  val q49: Q = (s, d) => {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val cum = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        // exact integer micros on both engines (unix_micros ↔ epoch_us);
+        // second-truncating casts can disagree at exact gap boundaries
+        when(col("prev_ts").isNull ||
+          expr("unix_micros(cast(ts as timestamp))") -
+            expr("unix_micros(cast(prev_ts as timestamp))") > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("sess", sum(col("new_sess")).over(cum).cast("long"))
+      .groupBy("user_id")
+      .agg(max(col("sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val q49Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, date_trunc('milliseconds', ts) AS ts FROM events),
+      |g AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts, 1) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |s AS (
+      |  SELECT user_id,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+      |  FROM g)
+      |SELECT user_id, max(sess) AS n_sessions, count(*) AS n_events
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -657,6 +696,7 @@ object Probes {
     "q44_analytics" -> q44,
     "q45_rollup" -> q45,
     "q46_cube" -> q46,
+    "q49_sessionize" -> q49,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -690,5 +730,6 @@ object Probes {
     "q44_analytics" -> q44Sql,
     "q45_rollup" -> q45Sql,
     "q46_cube" -> q46Sql,
+    "q49_sessionize" -> q49Sql,
   )
 }
