@@ -3,7 +3,7 @@ package graft.probes
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextStats}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextStats}
 
 /** North-star LLM-pipeline extension probes (q27+): dedup family, similarity
   * search, text analysis, multimodal plumbing. The synthetic corpus has no
@@ -282,17 +282,10 @@ object ExtProbes {
   // Training-data curation: per-stratum (lang) sampling at a 3/16 rate,
   // deterministic via content hash (reproducible across runs/engines —
   // the requirement that rules out rand()-based sampleBy).
-  val q37: Q = (s, d) => {
-    val keep = substring(md5(col("text")), 1, 1).isin("0", "1", "2")
-    Tables.documents(s, d)
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_total"),
-        count(when(keep, 1)).as("n_sampled"))
-      .withColumn("ratio",
-        round(col("n_sampled") * lit(1.0) / col("n_total"), 4)
-          .cast("decimal(10,4)"))
+  val q37: Q = (s, d) =>
+    Curation.stratifiedSampleReport(Tables.documents(s, d), "lang",
+        col("text"), Seq("0", "1", "2"))
       .orderBy("lang")
-  }
 
   val q37Sql: String =
     """SELECT lang, count(*) AS n_total,
@@ -305,7 +298,7 @@ object ExtProbes {
   val q38: Q = (s, d) =>
     Tables.documents(s, d)
       .withColumn("toks", TextStats.wsTokenCount(col("text")).cast("long"))
-      .withColumn("bin", least(floor(col("toks") / 16) * 16, lit(64)).cast("long"))
+      .withColumn("bin", Curation.tokenBin(col("toks")))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_toks"))
       .orderBy("bin")
@@ -324,9 +317,7 @@ object ExtProbes {
   // assignment and balance.
   val q39: Q = (s, d) =>
     Tables.documents(s, d)
-      .withColumn("shard",
-        (expr("instr('0123456789abcdef', substr(md5(text), 1, 1))") - 1)
-          .cast("int"))
+      .withColumn("shard", Curation.shardAssign(col("text")))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))
