@@ -80,6 +80,11 @@ object Ops {
     * math) onto one core; at cluster scale inputs are already wide and this
     * is a no-op. Only repartitions when below `min` — never shrinks, never
     * shuffles an already-wide (100 TB) scan.
+    *
+    * Call on scan-level frames only: probing partitioning via `df.rdd`
+    * finalizes the AQE plan, which EXECUTES any shuffle stages the frame
+    * already contains — harmless on scans/filters/unions, eager (and
+    * wasteful) on a frame with upstream exchanges.
     */
   def widen(df: DataFrame, min: Int = 0): DataFrame = {
     val target =

@@ -147,8 +147,16 @@ object Dedup {
     * count intersections per pair, then Jaccard from per-doc gram counts.
     * Never materializes a cross join — pairs sharing zero grams never meet.
     */
+  /** `maxGramDocFreq`: at corpus scale an ultra-common gram (a stop-bigram
+    * present in most documents) turns its join bucket into |docs|² rows —
+    * the classic hot-key blow-up. Capping gram document-frequency drops
+    * those grams BEFORE the self-join; near-dup pairs still share plenty of
+    * rare grams, so recall loss is negligible (standard practice). `None`
+    * keeps exact semantics (the oracle-checked probe mode).
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        threshold: Double): DataFrame = {
+                        threshold: Double,
+                        maxGramDocFreq: Option[Long] = None): DataFrame = {
     // same two-step projection + filter-above-cache discipline as
     // shingleSets (see the NOTE there)
     val grams = graft.core.Ops.widen(df)
@@ -162,7 +170,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .filter(size(col("__g")) > 0)
     val counts = grams.select(col(idCol), size(col("__g")).as("n"))
-    val exploded = grams.select(col(idCol), explode(col("__g")).as("gram"))
+    val explodedAll = grams.select(col(idCol), explode(col("__g")).as("gram"))
+    val exploded = maxGramDocFreq.fold(explodedAll) { cap =>
+      val df = explodedAll.groupBy("gram").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= cap).select("gram")
+      explodedAll.join(df, Seq("gram"))
+    }
     val inter = exploded.as("x").join(exploded.as("y"), Seq("gram"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .groupBy(col(s"x.$idCol").as("idA"), col(s"y.$idCol").as("idB"))

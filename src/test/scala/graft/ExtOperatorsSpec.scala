@@ -35,6 +35,18 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(got.head._3.doubleValue > 0.5)
   }
 
+  test("ngramJaccardPairs df-cap drops hot grams but keeps rare-gram pairs") {
+    // "the quick" etc. appear in docs 1,2 only; a gram in ALL docs gets capped
+    val common = "zz yy"
+    val df = Seq((1L, s"$docA $common"), (2L, s"$docB $common"),
+      (3L, s"$docC $common")).toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(df, "doc_id", "text", 0.3,
+        maxGramDocFreq = Some(2))
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)))       // rare shared grams survive
+    assert(!capped.exists(p => p._2 == 3L)) // doc 3 only shared the hot gram
+  }
+
   test("cosine is 1 for parallel vectors, 0 for orthogonal") {
     val df = Seq(
       (1L, Seq(1.0, 0.0)), (2L, Seq(2.0, 0.0)), (3L, Seq(0.0, 5.0))
