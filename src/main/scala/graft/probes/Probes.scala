@@ -663,6 +663,21 @@ object Probes {
       |SELECT user_id, max(sess) AS n_sessions, count(*) AS n_events
       |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- q50 tumbling event-time windows ----------------------------------
+  // Spark's window() operator (epoch-aligned 1-hour tumbling buckets);
+  // oracle = date_trunc hour (identical alignment for whole-hour widths).
+  val q50: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+      .orderBy("ws", "event_type")
+
+  val q50Sql: String =
+    """SELECT date_trunc('hour', date_trunc('milliseconds', ts)) AS ws,
+      |       event_type, count(*) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -697,6 +712,7 @@ object Probes {
     "q45_rollup" -> q45,
     "q46_cube" -> q46,
     "q49_sessionize" -> q49,
+    "q50_tumbling_window" -> q50,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -731,5 +747,6 @@ object Probes {
     "q45_rollup" -> q45Sql,
     "q46_cube" -> q46Sql,
     "q49_sessionize" -> q49Sql,
+    "q50_tumbling_window" -> q50Sql,
   )
 }

@@ -46,6 +46,42 @@ class StreamingSpec extends SparkSpec {
       ("OCA_TD1_ABC-Sun.zip", "OCA_TD1_ABC")))
   }
 
+  test("streaming windowed aggregation with watermark (tumbling counts)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val counted = mem.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+    val q = counted.writeStream.format("memory").queryName("win_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("win_ckpt").toString)
+      .start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((ts("2024-01-10 08:05:00"), "click"),
+      (ts("2024-01-10 08:40:00"), "click"),
+      (ts("2024-01-10 08:45:00"), "view"))
+    q.processAllAvailable()
+    // advance watermark past 09:00 + 10min so the 08:00 window closes
+    mem.addData((ts("2024-01-10 09:20:00"), "click"))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-10 11:00:00"), "view"))
+    q.processAllAvailable()
+    val rows = spark.table("win_out")
+      .select("ws", "event_type", "cnt")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    q.stop()
+    // append mode emits only CLOSED windows: the 11:00 event advanced the
+    // watermark past both the 08:00 and 09:00 hours
+    assert(rows == Set(
+      (ts("2024-01-10 08:00:00"), "click", 2L),
+      (ts("2024-01-10 08:00:00"), "view", 1L),
+      (ts("2024-01-10 09:00:00"), "click", 1L)))
+  }
+
   test("streaming inventory: watermark dedup + exactly-once-effect sink") {
     implicit val sqlCtx = spark.sqlContext
     val sink = Files.createTempDirectory("graft_sink").toString + "/ledger"
