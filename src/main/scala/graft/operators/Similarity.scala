@@ -155,6 +155,49 @@ object Similarity {
     cent
   }
 
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: plane p,
+    * dimension d → sin(1e4 · (p·dim + d + 1)) — fixed, seedless,
+    * reproducible everywhere (the classic hash-free determinism trick).
+    */
+  def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until numPlanes).map(p =>
+      (0 until dim).map(d => math.sin(1e4 * (p * dim + d + 1))))
+
+  /** Random-hyperplane (sign) LSH bucket key: bit i = sign(v · plane_i).
+    * Cosine-similar vectors agree on most signs, so near-dups land in the
+    * same bucket with high probability — the bucket join replaces the
+    * all-pairs cosine at corpus scale (the LSH-bucketed ANN variant; IVF is
+    * the cell-probing one).
+    */
+  def rpLshBucket(v: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.map { p =>
+      val plane = array(p.map(lit): _*)
+      val dot = graft.functions.CosineSim(v, plane) // sign(cos) == sign(dot)
+      when(dot >= 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** Bucketed near-dup pairs: bucket join on the sign signature, exact
+    * cosine verify within buckets. Multi-probe/banding are the standard
+    * recall levers; one table keeps the oracle story simple.
+    */
+  def rpLshNearDupPairs(vectors: DataFrame, numPlanes: Int,
+                        threshold: Double): DataFrame = {
+    val dim = vectors.select(size(col("v"))).first().getInt(0)
+    val planes = hyperplanes(numPlanes, dim)
+    val bucketed = graft.core.Ops.widen(vectors)
+      .withColumn("__b", rpLshBucket(col("v"), planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bucketed.select(col("id").as("idA"), col("v").as("va"), col("__b"))
+    val b = bucketed.select(col("id").as("idB"), col("v").as("vb"), col("__b"))
+    a.join(b, Seq("__b"))
+      .filter(col("idA") < col("idB"))
+      .withColumn("score", round(cosine("va", "vb"), 4).cast("decimal(10,4)"))
+      .filter(col("score") >= threshold)
+      .select("idA", "idB", "score")
+  }
+
   /** All pairs (idA < idB) with cosine ≥ threshold — embedding near-dup
     * detection. Bounded inputs only (callers sample/salt at scale; the LSH
     * bucketing in [[Dedup]] is the unbounded-corpus path).

@@ -52,6 +52,24 @@ class VectorOpsSpec extends SparkSpec {
     assert(viaIndex == brute)
   }
 
+  test("rpLsh buckets find planted near-dups without all-pairs compare") {
+    // base vectors spread on a circle; planted = tiny perturbations of #0-#4
+    val base = (0 until 50).map { i =>
+      val a = i * 0.125
+      (i.toLong, Seq(math.cos(a), math.sin(a), math.cos(2 * a), math.sin(3 * a)))
+    }
+    val planted = (0 until 5).map { i =>
+      val v = base(i)._2
+      (1000L + i, v.map(_ * 1.02 + 0.001))
+    }
+    val vecs = (base ++ planted).toDF("id", "v")
+    val pairs = Similarity.rpLshNearDupPairs(vecs, numPlanes = 8, threshold = 0.999)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    // every planted pair found; nothing else at that threshold
+    assert((0 until 5).forall(i => pairs.contains((i.toLong, 1000L + i))),
+      pairs.toString)
+  }
+
   test("Inventory.typed gives a Dataset[BackupFile]") {
     val inv = graft.sources.Inventory.fromListing(spark,
       Seq(("OCG_KE1_NBO-Mon.zip", "u1", "2024-01-10T08:00:00Z")),
