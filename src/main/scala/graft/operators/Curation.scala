@@ -45,4 +45,15 @@ object Curation {
       "first-nibble sharding is 16-way; compose nibbles for more shards")
     conv(substring(md5(keyCol), 1, 1), 16, 10).cast("int")
   }
+
+  /** Write training shards: one directory per shard under `path`
+    * (`shard=N/…`), each shard's rows co-located by a repartition on the
+    * shard column so a shard is written by the tasks that own its hash
+    * range — no small-files explosion, direct per-shard consumption by
+    * the training loader.
+    */
+  def writeShards(df: DataFrame, keyCol: Column, path: String): Unit =
+    df.withColumn("shard", shardAssign(keyCol))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -56,6 +56,19 @@ object NamingProps extends Properties("Naming") {
           pats.exists(_.split(",").exists(p => x.contains(p))))
     }
 
+  property("hashSample rate approaches hexDigits/16 over many keys") =
+    forAll(Gen.choose(1, 15)) { k =>
+      val digits = "0123456789abcdef".take(k).map(_.toString)
+      // MD5 first-nibble distribution over sequential keys is uniform enough
+      // that 4000 samples land within ±6 points of the nominal rate
+      val hits = (0 until 4000).count { i =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"key-$i".getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+        digits.contains(hex.substring(0, 1))
+      }
+      math.abs(hits / 4000.0 - k / 16.0) < 0.06
+    }
+
   property("renderPasswordTemplate digits are in 1..27 range") =
     forAll(instanceGen, Gen.choose(1, 3), Gen.choose(0, 9)) { (db, pos, add) =>
       Prop.collect(pos) {

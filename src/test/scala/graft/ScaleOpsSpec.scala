@@ -39,6 +39,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got == Set(("a", 1), ("b", 3), ("c", 5)))
   }
 
+  test("writeShards lands one directory per shard, readable by shard") {
+    val out = Files.createTempDirectory("graft_shards").toString + "/corpus"
+    val docs = (0 until 200).map(i => (i.toLong, s"document body $i"))
+      .toDF("doc_id", "text")
+    graft.operators.Curation.writeShards(docs, col("text"), out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 200)
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+    assert(shardDirs.size > 8 && shardDirs.size <= 16) // hash spreads well
+    // a single-shard read prunes to that partition directory
+    val one = spark.read.parquet(out).filter(col("shard") === 3)
+    assert(one.count() == back.filter(col("shard") === 3).count())
+  }
+
+  test("dsnToJdbc translates libpq DSNs") {
+    val (url, props) = graft.sources.Jdbc.dsnToJdbc(
+      "hostaddr=10.0.0.5 port=5433 dbname=ops user=u password=p")
+    assert(url == "jdbc:postgresql://10.0.0.5:5433/ops")
+    assert(props.getProperty("user") == "u" && props.getProperty("password") == "p")
+    val (url2, _) = graft.sources.Jdbc.dsnToJdbc("dbname=x")
+    assert(url2 == "jdbc:postgresql://127.0.0.1:5432/x")
+  }
+
   test("bucketed tables co-locate the join (no exchange over bucketed sides)") {
     // uses the default spark-warehouse dir (static conf; gitignored)
     val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("id", "lv")
