@@ -13,9 +13,10 @@ object Curation {
 
   /** Deterministic keep-predicate at `hexDigits.size`/16 rate from the md5
     * first nibble of `keyCol` — e.g. `Seq("0","1","2")` keeps 3/16.
+    * Non-string keys are cast (md5 accepts only string/binary).
     */
   def hashSampleKeep(keyCol: Column, hexDigits: Seq[String]): Column =
-    substring(md5(keyCol), 1, 1).isin(hexDigits: _*)
+    substring(md5(keyCol.cast("string")), 1, 1).isin(hexDigits: _*)
 
   /** Per-stratum sampling report: total vs sampled count and ratio. The
     * write path filters on [[hashSampleKeep]]; this audits the rates.
@@ -43,17 +44,28 @@ object Curation {
   def shardAssign(keyCol: Column, numShards: Int = 16): Column = {
     require(numShards == 16,
       "first-nibble sharding is 16-way; compose nibbles for more shards")
-    conv(substring(md5(keyCol), 1, 1), 16, 10).cast("int")
+    conv(substring(md5(keyCol.cast("string")), 1, 1), 16, 10).cast("int")
   }
 
   /** Write training shards: one directory per shard under `path`
-    * (`shard=N/…`), each shard's rows co-located by a repartition on the
-    * shard column so a shard is written by the tasks that own its hash
-    * range — no small-files explosion, direct per-shard consumption by
-    * the training loader.
+    * (`shard=N/…`). DESTRUCTIVE by default: `mode` is Overwrite — `path` is
+    * replaced wholesale; pass another SaveMode to change that.
+    *
+    * Parallelism: repartitioning on the shard column alone would cap the
+    * write at 16 tasks (one monolithic file per shard) no matter the
+    * cluster size, so rows are spread over (shard, salt) — up to
+    * `filesPerShard` co-located writer tasks AND output files per shard,
+    * which bounds both the small-files count and the single-file size.
     */
-  def writeShards(df: DataFrame, keyCol: Column, path: String): Unit =
+  def writeShards(df: DataFrame, keyCol: Column, path: String,
+                  filesPerShard: Int = 8,
+                  mode: String = "overwrite"): Unit = {
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column; rename it before writeShards")
     df.withColumn("shard", shardAssign(keyCol))
-      .repartition(col("shard"))
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
+      .withColumn("__salt", pmod(xxhash64(keyCol.cast("string")), lit(filesPerShard)))
+      .repartition(col("shard"), col("__salt"))
+      .drop("__salt")
+      .write.mode(mode).partitionBy("shard").parquet(path)
+  }
 }

@@ -15,7 +15,10 @@ import graft.pipeline.Archive
 object Jdbc {
 
   /** Translate a libpq-style DSN (`hostaddr=x dbname=y user=u …`,
-    * db.py:783-788) into a JDBC url + properties.
+    * db.py:783-788) into a JDBC url + properties. Every parameter other
+    * than host/port/dbname passes through as a connection property
+    * (pgJDBC understands `sslmode`, `connectTimeout`, `options`, …) —
+    * dropping them would silently break SSL-required databases.
     */
   def dsnToJdbc(dsn: String): (String, java.util.Properties) = {
     val kv = Archive.parseDsn(dsn)
@@ -23,13 +26,17 @@ object Jdbc {
     val port = kv.getOrElse("port", "5432")
     val db = kv.getOrElse("dbname", "postgres")
     val props = new java.util.Properties()
-    kv.get("user").foreach(props.setProperty("user", _))
-    kv.get("password").foreach(props.setProperty("password", _))
+    (kv -- Seq("hostaddr", "host", "port", "dbname"))
+      .foreach { case (k, v) => props.setProperty(k, v) }
     (s"jdbc:postgresql://$host:$port/$db", props)
   }
 
   /** Range-partitioned read over a numeric key: `numPartitions` parallel
-    * scans of `[lower, upper]` strides on `partitionColumn`.
+    * scans striding `[lower, upper]` on `partitionColumn`. NOTE Spark's
+    * bounds split the key space but do NOT filter rows — everything below
+    * `lower` lands in the first partition and everything above `upper` in
+    * the last (skewed, not excluded); add a real `WHERE` predicate to the
+    * table/query argument to restrict the scan.
     */
   def readPartitioned(spark: SparkSession, dsn: String, table: String,
                       partitionColumn: String, lower: Long, upper: Long,
