@@ -52,10 +52,14 @@ object Naming {
       .getOrElse(Seq.empty)
   }
 
-  /** True if any comma-separated pattern is a substring; empty matches all. */
+  /** True if any comma-separated pattern is a substring; empty matches all.
+    * An empty sub-pattern (trailing comma) is a substring of everything —
+    * Python split keeps empty tokens, so `split(",", -1)` mirrors the
+    * reference exactly.
+    */
   def matchAnyWildcard(patterns: Seq[String], x: String): Boolean =
     patterns.isEmpty ||
-      patterns.exists(_.split(",").exists(p => x.contains(p)))
+      patterns.exists(_.split(",", -1).exists(p => x.contains(p)))
 
   // ---- Column forms (pure built-ins, codegen-friendly) ------------------
 
@@ -82,16 +86,23 @@ object Naming {
         slice(toks, lit(1), greatest(size(toks) - 2, lit(0))), "_"))
   }
 
-  /** array<int> natural-version sort key from a patch filename. */
+  /** array<int> natural-version sort key from a patch filename. Empty
+    * tokens are dropped (matching the pure form): a non-patch filename
+    * yields an EMPTY array, not `[null]`.
+    */
   def versionKeyCol(file: Column): Column =
     transform(
-      split(regexp_extract(file, "uf(.+?)\\.patch\\.zip", 1), "[.p-]"),
+      filter(split(regexp_extract(file, "uf(.+?)\\.patch\\.zip", 1), "[.p-]"),
+        t => t =!= ""),
       x => x.cast("int"))
 
-  /** OR-fold of substring containment over literal patterns (OP-12). */
+  /** OR-fold of substring containment over literal patterns (OP-12).
+    * Same empty-token semantics as the pure form: an empty sub-pattern
+    * (or empty pattern list) matches everything.
+    */
   def matchAnyWildcardCol(x: Column, patterns: Seq[String]): Column = {
-    val pats = patterns.flatMap(_.split(",")).filter(_.nonEmpty)
-    if (pats.isEmpty) lit(true)
+    val pats = patterns.flatMap(_.split(",", -1))
+    if (pats.isEmpty || pats.exists(_.isEmpty)) lit(true)
     else pats.map(p => x.contains(lit(p))).reduce(_ || _)
   }
 }

@@ -38,15 +38,21 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // result can be null (null element / length mismatch) even when both
+  // array inputs are non-null
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_sim"
 
-  // A null ELEMENT makes the whole result null — matching the HOF
-  // composition's null propagation exactly, so the optimizer rewrite
+  // A null ELEMENT or a LENGTH MISMATCH makes the whole result null —
+  // matching the HOF composition exactly (zip_with null-pads the shorter
+  // array, poisoning the fold), so the optimizer rewrite
   // (plans.RewriteHofCosine) is semantics-preserving on every input.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -68,9 +74,10 @@ case class CosineSim(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $xi = $a.getDouble($i);
          |  double $yi = $b.getDouble($i);

@@ -184,7 +184,14 @@ object Similarity {
     */
   def rpLshNearDupPairs(vectors: DataFrame, numPlanes: Int,
                         threshold: Double): DataFrame = {
-    val dim = vectors.select(size(col("v"))).first().getInt(0)
+    val firstRow = vectors.select(size(col("v"))).head(1)
+    if (firstRow.isEmpty) {
+      // empty corpus → empty pairs frame with the right schema
+      return vectors.sparkSession.sql(
+        "SELECT CAST(NULL AS BIGINT) idA, CAST(NULL AS BIGINT) idB, " +
+          "CAST(NULL AS DECIMAL(10,4)) score").limit(0)
+    }
+    val dim = firstRow.head.getInt(0)
     val planes = hyperplanes(numPlanes, dim)
     val bucketed = graft.core.Ops.widen(vectors)
       .withColumn("__b", rpLshBucket(col("v"), planes))

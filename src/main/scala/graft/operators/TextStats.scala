@@ -23,9 +23,20 @@ object TextStats {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
 
-  /** Per-profile marker-hit count over a words array column named `w`. */
+  /** Count of tokens from `words` that appear in the marker set. */
+  private def markerHits(words: Column, markers: Seq[String]): Column = {
+    val set = array(markers.map(lit): _*)
+    size(filter(words, x => array_contains(set, x)))
+  }
+
+  /** Per-profile marker-hit count over a words array column. The legacy
+    * single-arg form reads a column named `w` (probe shorthand).
+    */
+  def profileScore(words: Column, markers: Seq[String]): Column =
+    markerHits(words, markers)
+
   def profileScore(markers: Seq[String]): Column =
-    expr(s"size(filter(w, x -> x IN (${inList(markers)})))")
+    markerHits(col("w"), markers)
 
   /** Predicted language: argmax score, ties break to the alphabetically
     * first profile (the CASE chain order).
@@ -53,8 +64,7 @@ object TextStats {
     val punct = nChars - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))
     val punctRatio = punct * lit(1.0) / greatest(nChars, lit(1))
     val stopRatio =
-      expr(s"size(filter(w, x -> x IN (${inList(StopWords)})))") * lit(1.0) /
-        greatest(nWords, lit(1))
+      markerHits(words, StopWords) * lit(1.0) / greatest(nWords, lit(1))
     round(lit(0.5) * least(lit(1.0), nWords / lit(50.0)) +
       lit(0.3) * (lit(1.0) - punctRatio) + lit(0.2) * stopRatio, 4)
       .cast("decimal(10,4)")
@@ -78,10 +88,12 @@ object TextStats {
     regexp_replace(noUrl, PhoneRegex, "<PHONE>")
   }
 
+  private def matchCount(c: Column, pattern: String): Column =
+    size(call_function("regexp_extract_all", c, lit(pattern), lit(0)))
+
   /** Count of PII hits (pre-redaction) for audit/funnel metrics. */
   def piiHits(text: Column): Column =
-    size(expr(s"regexp_extract_all(text, '${EmailRegex.replace("\\", "\\\\")}', 0)")) +
-      size(expr(s"regexp_extract_all(text, '${UrlRegex.replace("\\", "\\\\")}', 0)"))
+    matchCount(text, EmailRegex) + matchCount(text, UrlRegex)
 
   /** BPE-ish tokenization regex: letter runs, single digits, single
     * non-alnum marks (GPT-2-style pre-tokenizer shape, ASCII-simplified).
@@ -92,9 +104,7 @@ object TextStats {
     size(split(trim(text), "\\s+"))
 
   def bpeTokenCount(text: Column): Column =
-    // Spark SQL string literals process backslash escapes (unlike DuckDB's),
-    // so the regex's backslashes must be doubled in the SQL text.
-    size(expr(s"regexp_extract_all(text, '${BpeTokenRegex.replace("\\", "\\\\")}', 0)"))
+    size(call_function("regexp_extract_all", text, lit(BpeTokenRegex), lit(0)))
 
   /** Winnowing fingerprint (classic MOSS shape, k=8 char-grams, window w=4):
     * per window position j, the min of the 4 rolling 8-gram md5-prefix

@@ -26,6 +26,10 @@ object Restore {
 
   /** Write `df` under warehouse/<staging>, then atomically move to
     * warehouse/<db>. Returns the final path.
+    *
+    * Crash-safety: the old incarnation is moved ASIDE (not deleted) before
+    * the swap and only dropped after the new data is in place — a failed
+    * rename rolls the old copy back, so no failure mode loses both copies.
     */
   def publish(spark: SparkSession, df: DataFrame, warehouse: String,
               db: String, token: String = "staging"): Path = {
@@ -33,14 +37,23 @@ object Restore {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(warehouse, s"${db}__${token}")
     val target = new Path(warehouse, db)
+    val aside = new Path(warehouse, s"${db}__old__${token}")
+    var movedAside = false
     try {
       df.write.mode("overwrite").parquet(staging.toString)
-      if (fs.exists(target)) fs.delete(target, true) // drop old incarnation
+      if (fs.exists(aside)) fs.delete(aside, true) // stale aside from a crash
+      if (fs.exists(target)) {
+        if (!fs.rename(target, aside))
+          throw new java.io.IOException(s"rename $target -> $aside failed")
+        movedAside = true
+      }
       if (!fs.rename(staging, target))
         throw new java.io.IOException(s"rename $staging -> $target failed")
+      if (movedAside) fs.delete(aside, true) // old copy dropped only now
       target
     } catch {
       case e: Throwable =>
+        if (movedAside && !fs.exists(target)) fs.rename(aside, target) // roll back
         if (fs.exists(staging)) fs.delete(staging, true) // crash cleanup
         throw e
     }

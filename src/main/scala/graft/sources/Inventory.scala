@@ -43,11 +43,14 @@ object Inventory {
     parse(rows.toDF("file", "url", "modified_raw"), lit(asOf))
   }
 
-  /** The OP-2 scan filter over any (file, url, modified_raw) frame. */
+  /** The OP-2 scan filter over any (file, url, modified_raw) frame. The
+    * dash guard mirrors cloud.py:174-176 — a filename with no '-' has no
+    * derivable instance key and is skipped.
+    */
   def parse(listing: DataFrame, asOf: Column): DataFrame =
     listing
       .withColumn("modified", to_timestamp(col("modified_raw"), TsFormat))
-      .filter(col("file").endsWith(".zip"))
+      .filter(col("file").endsWith(".zip") && col("file").contains("-"))
       .filter(col("modified") < asOf - expr("INTERVAL 15 MINUTES"))
       .withColumn("instance", instanceKey(col("file")))
       .drop("modified_raw")

@@ -28,9 +28,11 @@ object InventoryStream {
   def parse(listing: DataFrame): DataFrame =
     listing
       .withColumn("modified", to_timestamp(col("modified_raw"), Inventory.TsFormat))
-      .filter(col("file").endsWith(".zip"))
+      .filter(col("file").endsWith(".zip") && col("file").contains("-"))
       .withWatermark("modified", "15 minutes")
-      .dropDuplicates("file", "url")
+      // WithinWatermark: plain dropDuplicates on non-event-time keys would
+      // never evict its state (unbounded growth over the query lifetime)
+      .dropDuplicatesWithinWatermark("file", "url")
       .withColumn("instance", Inventory.instanceKey(col("file")))
       .drop("modified_raw")
 
@@ -46,10 +48,16 @@ object InventoryStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // only a genuinely-absent sink means "empty"; a transient READ
+        // error must propagate (treating it as empty would re-append
+        // duplicates and break the exactly-once effect)
+        val sinkHadoopPath = new org.apache.hadoop.fs.Path(sinkPath)
+        val fs = sinkHadoopPath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val existing =
-          try spark.read.parquet(sinkPath)
-          catch { case _: Throwable => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[Row], batch.schema) }
+          if (!fs.exists(sinkHadoopPath))
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema)
+          else spark.read.parquet(sinkPath)
         val fresh = batch.dropDuplicates(keys)
           .join(existing.select(keys.map(col): _*).dropDuplicates(keys),
             keys, "left_anti")

@@ -68,6 +68,13 @@ class CosineSimSpec extends SparkSpec {
     assert(both.isNullAt(0) && both.isNullAt(1))
   }
 
+  test("CosineSim returns null on length mismatch, like zip_with null-padding") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val both = df.select(Similarity.cosine("a", "b").as("nat"),
+      Similarity.cosineHof("a", "b").as("hof")).collect().head
+    assert(both.isNullAt(0) && both.isNullAt(1))
+  }
+
   test("CosineSim is null-safe") {
     val withNull = Seq((1L, Option(Seq(1.0, 2.0)), Option.empty[Seq[Double]]))
       .toDF("id", "a", "b")

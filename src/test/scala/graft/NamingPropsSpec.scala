@@ -53,7 +53,7 @@ object NamingProps extends Properties("Naming") {
     forAll(Gen.alphaNumStr, Gen.listOf(Gen.alphaNumStr)) { (x, pats) =>
       Naming.matchAnyWildcard(Nil, x) &&
         (!Naming.matchAnyWildcard(pats, x) || pats.isEmpty ||
-          pats.exists(_.split(",").exists(p => x.contains(p))))
+          pats.exists(_.split(",", -1).exists(p => x.contains(p))))
     }
 
   property("hashSample rate approaches hexDigits/16 over many keys") =

@@ -51,6 +51,19 @@ class NamingSpec extends SparkSpec {
     assert(Naming.matchAnyWildcard(wild, "OCG_SZ1_NHL-Wed.zip"))
     assert(Naming.matchAnyWildcard(wild, "OCG_UG2_SUKA-Fri.zip"))
     assert(Naming.matchAnyWildcard(Seq.empty, "anything")) // empty matches all
+    // trailing comma → empty sub-pattern → matches everything (Python
+    // split keeps empty tokens; reference cloud.py:144-148)
+    assert(Naming.matchAnyWildcard(Seq("ZZZ,"), "other"))
+  }
+
+  test("versionKey(Col) of a non-patch filename is empty, not [null]") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    assert(Naming.versionKey("readme.txt").isEmpty)
+    val got = Seq("readme.txt", "uf2.1.patch.zip").toDF("fn")
+      .select(Naming.versionKeyCol(col("fn")).as("k"))
+      .as[Seq[Int]].collect().toSeq
+    assert(got == Seq(Seq.empty, Seq(2, 1)))
   }
 
   test("Column forms agree with pure forms") {
