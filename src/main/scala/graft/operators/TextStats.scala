@@ -95,6 +95,16 @@ object TextStats {
   def piiHits(text: Column): Column =
     matchCount(text, EmailRegex) + matchCount(text, UrlRegex)
 
+  /** Repetition ratio (Gopher-style quality flag): 1 − |distinct k-grams| /
+    * |k-grams| over a word-shingle array — near-0 for natural text, → 1 for
+    * degenerate repeated content. DECIMAL(10,4) for oracle parity.
+    */
+  def repetitionRatio(shingles: Column): Column =
+    when(size(shingles) === 0, lit(java.math.BigDecimal.ZERO).cast("decimal(10,4)"))
+      .otherwise(round(lit(1.0) -
+        size(array_distinct(shingles)) * lit(1.0) / size(shingles), 4)
+        .cast("decimal(10,4)"))
+
   /** BPE-ish tokenization regex: letter runs, single digits, single
     * non-alnum marks (GPT-2-style pre-tokenizer shape, ASCII-simplified).
     */

@@ -91,7 +91,9 @@ object Delive {
       SetCols("automated_import", blank + ("src_path" -> "''")),
       SetCols("automated_export", blank))
 
-    // db.py:407-416
+    // db.py:407-416 (the reference calls activate_autosync db.py:539-550
+    // and then repeats the same two idempotent statements inline; one
+    // application is semantically identical)
     val autosync = if (!cfg.autosync) Nil else Seq(
       SetCols("ir_cron", Map("active" -> "true",
         "interval_type" -> "'hours'", "interval_number" -> "2",

@@ -426,6 +426,38 @@ object ExtProbes {
         element_at(col("p"), 1).as("p50"), element_at(col("p"), 2).as("p95"))
       .orderBy("event_type")
 
+  // ---- q51 repetition ratio (Gopher-style degenerate-text flag) ---------
+  // Planted degenerates: every 11th doc's text is replaced by one phrase
+  // repeated, driving the ratio toward 1.
+  val q51: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          concat_ws(" ", (0 until 30).map(_ => lit("spam ham")): _*))
+          .otherwise(col("text")))
+      .withColumn("w", Dedup.normalizeWords(col("text")))
+      .withColumn("sh", Dedup.shingles3(col("w")))
+      .select(col("doc_id"), TextStats.repetitionRatio(col("sh")).as("rep"))
+      .orderBy("doc_id")
+
+  val q51Sql: String = {
+    val phrase = (0 until 30).map(_ => "spam ham").mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 0 THEN '$phrase' ELSE text END AS text
+       |  FROM documents),
+       |n AS (SELECT doc_id, $duckWords AS w FROM t),
+       |shl AS (SELECT doc_id,
+       |  CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE []::VARCHAR[] END AS sh
+       |  FROM n)
+       |SELECT doc_id,
+       |  CASE WHEN len(sh) = 0 THEN CAST(0 AS DECIMAL(10,4))
+       |       ELSE CAST(round(1.0 - len(list_distinct(sh)) * 1.0 / len(sh), 4)
+       |            AS DECIMAL(10,4)) END AS rep
+       |FROM shl ORDER BY doc_id""".stripMargin
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -446,6 +478,7 @@ object ExtProbes {
     "q41_json_extract" -> q41,
     "q47_approx_aggs" -> q47, // intentionally absent from oracleSql (rows-only)
     "q48_pii_redaction" -> q48,
+    "q51_repetition_ratio" -> q51,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -465,5 +498,6 @@ object ExtProbes {
     "q40_kmeans_step" -> q40Sql,
     "q41_json_extract" -> q41Sql,
     "q48_pii_redaction" -> q48Sql,
+    "q51_repetition_ratio" -> q51Sql,
   )
 }
