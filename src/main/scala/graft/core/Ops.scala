@@ -92,6 +92,38 @@ object Ops {
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 
+  /** Global 1-based rank over a total order — scale-safe. A bare
+    * `row_number().over(Window.orderBy(…))` collapses the whole table into
+    * ONE partition (Spark warns `No Partition Defined`), a single-task sort
+    * that dies at 100×. Instead: range-repartition on the sort keys (ranges
+    * are ordered, so partition i holds globally smaller rows than i+1),
+    * rank within each range in parallel, then add per-range offsets. The
+    * offsets come from a #partitions-row aggregate — the only narrow step,
+    * bounded by partition count, broadcast back. `order` must be a total
+    * order (include a unique tiebreak column) for a deterministic rank.
+    */
+  def globalRank(df: DataFrame, order: Seq[Column],
+                 rankName: String = "rank", numRanges: Int = 0): DataFrame = {
+    val n = if (numRanges > 0) numRanges
+            else df.sparkSession.sparkContext.defaultParallelism
+    val ranged = df.repartitionByRange(n, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val within = ranged.withColumn("__r",
+      row_number().over(Window.partitionBy("__pid").orderBy(order: _*))
+        .cast("long"))
+    // tiny frame: one row per range partition. Cumulative offsets via a
+    // triangular self-join (≤ n² rows, n = partition count) rather than a
+    // global window — keeps the whole plan free of single-partition windows.
+    val counts = within.groupBy("__pid").agg(count(lit(1)).as("__c"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.__pid") < col("a.__pid"), "left_outer")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__c")), lit(0L)).as("__off"))
+    within.join(broadcast(offsets), "__pid")
+      .withColumn(rankName, col("__r") + col("__off"))
+      .drop("__pid", "__r", "__off")
+  }
+
   /** Salted equi-join for skewed keys: salt the skewed (left) side with a
     * random-free deterministic salt from a stable column, replicate the
     * build (right) side across `saltFactor` salt values, join on

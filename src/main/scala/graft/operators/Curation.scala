@@ -26,9 +26,10 @@ object Curation {
     df.groupBy(stratum)
       .agg(count(lit(1)).as("n_total"),
         count(when(hashSampleKeep(keyCol, hexDigits), 1)).as("n_sampled"))
-      .withColumn("ratio",
-        round(col("n_sampled") * lit(1.0) / col("n_total"), 4)
-          .cast("decimal(10,4)"))
+      // scale-4 fixed point: representation-stable across engines
+      .withColumn("ratio_e4",
+        floor(col("n_sampled") * lit(1.0) / col("n_total") * lit(10000d) +
+          lit(0.5)).cast("long"))
 
   /** Token-length bin (floor to `binWidth`, capped at `cap`) — the
     * histogram behind sequence-packing batch planning.

@@ -80,8 +80,9 @@ object Dedup {
   }
 
   /** Near-dup candidate pairs via the LSH bucket join, verified with exact
-    * Jaccard over distinct 3-shingle sets. Returns (idA, idB, jacc) with
-    * idA < idB, jacc as DECIMAL(10,4).
+    * Jaccard over distinct 3-shingle sets. Returns (idA, idB, jacc_e4) with
+    * idA < idB, jacc_e4 = floor(jaccard·10⁴ + 0.5) as BIGINT (fixed-point —
+    * representation-stable across engines, unlike DECIMAL-from-double).
     *
     * The shingle and band tables are persisted: each is consumed by two or
     * three downstream branches (self-join sides, verify join), and without
@@ -103,12 +104,13 @@ object Dedup {
       .select("idA", "idB").distinct()
     val shSets = sh.select(col(idCol), array_distinct(col("sh")).as("shd"))
     val inter = size(array_intersect(col("sa"), col("sb")))
-    val jacc = round(inter * lit(1.0) /
-      (size(col("sa")) + size(col("sb")) - inter), 4).cast("decimal(10,4)")
+    val jacc = floor(inter * lit(1.0) /
+      (size(col("sa")) + size(col("sb")) - inter) * lit(10000d) + lit(0.5))
+      .cast("long")
     cand
       .join(shSets.select(col(idCol).as("idA"), col("shd").as("sa")), "idA")
       .join(shSets.select(col(idCol).as("idB"), col("shd").as("sb")), "idB")
-      .select(col("idA"), col("idB"), jacc.as("jacc"))
+      .select(col("idA"), col("idB"), jacc.as("jacc_e4"))
   }
 
   /** 16-bit SimHash over the token multiset. Bit j (1-based, MSB first) is
@@ -151,12 +153,17 @@ object Dedup {
     * present in most documents) turns its join bucket into |docs|² rows —
     * the classic hot-key blow-up. Capping gram document-frequency drops
     * those grams BEFORE the self-join; near-dup pairs still share plenty of
-    * rare grams, so recall loss is negligible (standard practice). `None`
-    * keeps exact semantics (the oracle-checked probe mode).
+    * rare grams, so recall loss is negligible (standard practice). The cap
+    * is ON by default — running uncapped at corpus scale is the hot-key
+    * quadratic, so exact semantics is the opt-in (`None`), not the default.
+    * Output: (idA, idB, jacc_e4) — Jaccard as scale-4 fixed-point BIGINT.
     */
+  val DefaultMaxGramDocFreq = 1000L
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double,
-                        maxGramDocFreq: Option[Long] = None): DataFrame = {
+                        maxGramDocFreq: Option[Long] =
+                          Some(DefaultMaxGramDocFreq)): DataFrame = {
     // same two-step projection + filter-above-cache discipline as
     // shingleSets (see the NOTE there)
     val grams = graft.core.Ops.widen(df)
@@ -183,10 +190,10 @@ object Dedup {
     inter
       .join(counts.select(col(idCol).as("idA"), col("n").as("na")), "idA")
       .join(counts.select(col(idCol).as("idB"), col("n").as("nb")), "idB")
-      .withColumn("jacc",
-        round(col("ninter") * lit(1.0) / (col("na") + col("nb") - col("ninter")), 4)
-          .cast("decimal(10,4)"))
-      .filter(col("jacc") >= threshold)
-      .select("idA", "idB", "jacc")
+      .withColumn("__raw",
+        col("ninter") * lit(1.0) / (col("na") + col("nb") - col("ninter")))
+      .filter(col("__raw") >= threshold)
+      .select(col("idA"), col("idB"),
+        floor(col("__raw") * lit(10000d) + lit(0.5)).cast("long").as("jacc_e4"))
   }
 }

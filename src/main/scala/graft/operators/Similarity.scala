@@ -43,6 +43,19 @@ object Similarity {
   def toDoubleVec(c: Column): Column =
     transform(c, x => x.cast("double"))
 
+  /** Scale-4 fixed-point rendering of a similarity score. Scores cross the
+    * oracle-compare boundary as scaled BIGINTs, never as DECIMAL-from-double:
+    * both engines compute bit-identical doubles, and `floor(x·10⁴ + 0.5)` is
+    * exact on them, while `round(double, k) → DECIMAL` proved
+    * engine-version-sensitive (round 1: 11 hash mismatches from exactly this).
+    */
+  def scoreE4(raw: Column): Column =
+    floor(raw * lit(10000d) + lit(0.5)).cast("long")
+
+  /** DuckDB rendering of [[scoreE4]]. */
+  def scoreE4DuckSql(raw: String): String =
+    s"CAST(floor(($raw) * 10000 + 0.5) AS BIGINT)"
+
   /** Exact top-k neighbors for every vector in `queries` against `vectors`.
     * Both inputs: (id, v double-array). Excludes self-matches by id.
     */
@@ -50,12 +63,12 @@ object Similarity {
     val q = queries.select(col("id").as("vec_id"), col("v").as("va"))
     val c = vectors.select(col("id").as("other_id"), col("v").as("vb"))
     q.join(c, col("vec_id") =!= col("other_id"))
-      .withColumn("score", round(cosine("va", "vb"), 4).cast("decimal(10,4)"))
+      .withColumn("score_e4", scoreE4(cosine("va", "vb")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("vec_id")
-          .orderBy(col("score").desc, col("other_id").asc)).cast("long"))
+          .orderBy(col("score_e4").desc, col("other_id").asc)).cast("long"))
       .filter(col("rank") <= k)
-      .select("vec_id", "other_id", "score", "rank")
+      .select("vec_id", "other_id", "score_e4", "rank")
   }
 
   /** IVF-style ANN: assign corpus vectors to their best centroid cell
@@ -91,20 +104,24 @@ object Similarity {
     // candidate join on cell id — the only corpus-sized shuffle
     probed.join(assigned, Seq("cid"))
       .filter(col("vec_id") =!= col("other_id"))
-      .withColumn("score", round(cosine("va", "vb"), 4).cast("decimal(10,4)"))
+      .withColumn("score_e4", scoreE4(cosine("va", "vb")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("vec_id")
-          .orderBy(col("score").desc, col("other_id").asc)).cast("long"))
+          .orderBy(col("score_e4").desc, col("other_id").asc)).cast("long"))
       .filter(col("rank") <= k)
-      .select("vec_id", "other_id", "score", "rank")
+      .select("vec_id", "other_id", "score_e4", "rank")
   }
 
   /** One k-means refinement step: assign every vector to its best centroid
     * (max cosine), then element-wise mean per cell. Means go through
-    * DECIMAL(28,12) sums — exact and order-independent, so results are
-    * reproducible across partitionings AND match the DuckDB oracle
-    * bit-for-bit (a double fp sum would vary with partition order). The
-    * typed convenience path is [[graft.functions.VectorAvg]].
+    * scale-8 fixed-point BIGINT sums — exact, order-independent (so results
+    * are reproducible across partitionings), and representation-stable
+    * across engines (a double fp sum would vary with partition order; a
+    * DECIMAL sum proved oracle-version-sensitive). `m_e8` is the mean
+    * scaled by 10⁸. Headroom: |x|≤1-ish embeddings scale to ~10⁸ per
+    * element, so the per-cell BIGINT sum holds ~10¹⁰ vectors per cell
+    * before overflow — far beyond any real cell. The typed convenience
+    * path is [[graft.functions.VectorAvg]].
     *
     * Shuffle shape: posexplode fans each vector into `dim` rows shuffled on
     * (cell, pos) with partial aggregation — at 100 TB this is the standard
@@ -121,10 +138,14 @@ object Similarity {
       .select("id", "v", "cid")
     assigned
       .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("cid"), col("pos"),
+        floor(col("x") * lit(1e8) + lit(0.5)).cast("long").as("xe8"))
       .groupBy("cid", "pos")
-      .agg(sum(col("x").cast("decimal(28,12)")).as("s"), count(lit(1)).as("n"))
+      .agg(sum(col("xe8")).as("s"), count(lit(1)).as("n"))
+      // s fits a double exactly here (≪ 2^53), so s·1.0/n is bit-identical
+      // to the oracle's CAST(sum AS DOUBLE)/count
       .select(col("cid"), col("pos").cast("int").as("pos"),
-        round(col("s") / col("n"), 8).cast("decimal(20,8)").as("m"))
+        floor(col("s") * lit(1.0) / col("n") + lit(0.5)).cast("long").as("m_e8"))
   }
 
   /** [[kmeansStep]] result gathered back to one centroid array per cell
@@ -133,9 +154,9 @@ object Similarity {
   def gatherCentroids(longForm: DataFrame): DataFrame =
     longForm
       .groupBy("cid")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m_e8")))).as("pm"))
       .select(col("cid"),
-        expr("transform(pm, e -> cast(e.m as double))").as("v"))
+        expr("transform(pm, e -> cast(e.m_e8 as double) / 1e8)").as("v"))
 
   /** Build an IVF coarse quantizer: deterministic hash-sampled seed
     * centroids, then `iters` k-means refinement passes (each pass is fully
@@ -167,15 +188,31 @@ object Similarity {
     * Cosine-similar vectors agree on most signs, so near-dups land in the
     * same bucket with high probability — the bucket join replaces the
     * all-pairs cosine at corpus scale (the LSH-bucketed ANN variant; IVF is
-    * the cell-probing one).
+    * the cell-probing one). Sign of the raw dot (== sign of cosine, and
+    * well-defined even for zero-norm vectors): one fused fold per plane, no
+    * sqrt, and the DuckDB mirror is a plain `list_dot_product(…) >= 0`.
     */
   def rpLshBucket(v: Column, planes: Seq[Seq[Double]]): Column = {
     val bits = planes.map { p =>
       val plane = array(p.map(lit): _*)
-      val dot = graft.functions.CosineSim(v, plane) // sign(cos) == sign(dot)
+      val dot = aggregate(zip_with(v, plane, (x, y) => x * y),
+        lit(0d), (acc, x) => acc + x)
       when(dot >= 0, "1").otherwise("0")
     }
     concat(bits: _*)
+  }
+
+  /** DuckDB rendering of [[rpLshBucket]] over a vector column named `colName`
+    * — the planes are embedded as exact double literals (shortest-roundtrip
+    * `Double.toString`, which both engines parse back to the same bits).
+    */
+  def rpLshBucketDuckSql(colName: String, planes: Seq[Seq[Double]]): String = {
+    val bits = planes.map { p =>
+      val plane = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($colName, CAST($plane AS DOUBLE[])) >= 0 " +
+        "THEN '1' ELSE '0' END)"
+    }
+    bits.mkString("(", " || ", ")")
   }
 
   /** Bucketed near-dup pairs: bucket join on the sign signature, exact
@@ -189,7 +226,7 @@ object Similarity {
       // empty corpus → empty pairs frame with the right schema
       return vectors.sparkSession.sql(
         "SELECT CAST(NULL AS BIGINT) idA, CAST(NULL AS BIGINT) idB, " +
-          "CAST(NULL AS DECIMAL(10,4)) score").limit(0)
+          "CAST(NULL AS BIGINT) score_e4").limit(0)
     }
     val dim = firstRow.head.getInt(0)
     val planes = hyperplanes(numPlanes, dim)
@@ -200,9 +237,9 @@ object Similarity {
     val b = bucketed.select(col("id").as("idB"), col("v").as("vb"), col("__b"))
     a.join(b, Seq("__b"))
       .filter(col("idA") < col("idB"))
-      .withColumn("score", round(cosine("va", "vb"), 4).cast("decimal(10,4)"))
-      .filter(col("score") >= threshold)
-      .select("idA", "idB", "score")
+      .withColumn("__raw", cosine("va", "vb"))
+      .filter(col("__raw") >= threshold)
+      .select(col("idA"), col("idB"), scoreE4(col("__raw")).as("score_e4"))
   }
 
   /** All pairs (idA < idB) with cosine ≥ threshold — embedding near-dup
@@ -213,8 +250,8 @@ object Similarity {
     val a = vectors.select(col("id").as("idA"), col("v").as("va"))
     val b = vectors.select(col("id").as("idB"), col("v").as("vb"))
     a.join(b, col("idA") < col("idB"))
-      .withColumn("score", round(cosine("va", "vb"), 4).cast("decimal(10,4)"))
-      .filter(col("score") >= threshold)
-      .select("idA", "idB", "score")
+      .withColumn("__raw", cosine("va", "vb"))
+      .filter(col("__raw") >= threshold)
+      .select(col("idA"), col("idB"), scoreE4(col("__raw")).as("score_e4"))
   }
 }

@@ -55,8 +55,10 @@ object TextStats {
 
   val StopWords: Seq[String] = Seq("the", "a")
 
-  /** Composite quality score in [0,1]: length saturation + low-punctuation +
-    * stopword presence. DECIMAL(10,4) for oracle parity.
+  /** Composite quality score: length saturation + low-punctuation + stopword
+    * presence, emitted as scale-4 fixed-point BIGINT (score·10⁴ in
+    * [0, 10000]) — representation-stable across engines, where
+    * DECIMAL-from-double is not.
     */
   def qualityScore(text: Column, words: Column): Column = {
     val nWords = size(words)
@@ -65,9 +67,9 @@ object TextStats {
     val punctRatio = punct * lit(1.0) / greatest(nChars, lit(1))
     val stopRatio =
       markerHits(words, StopWords) * lit(1.0) / greatest(nWords, lit(1))
-    round(lit(0.5) * least(lit(1.0), nWords / lit(50.0)) +
-      lit(0.3) * (lit(1.0) - punctRatio) + lit(0.2) * stopRatio, 4)
-      .cast("decimal(10,4)")
+    floor((lit(0.5) * least(lit(1.0), nWords / lit(50.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio) + lit(0.2) * stopRatio) * lit(10000d) +
+      lit(0.5)).cast("long")
   }
 
   /** PII scrubbing patterns (training-data redaction). Kept to syntax
@@ -97,13 +99,13 @@ object TextStats {
 
   /** Repetition ratio (Gopher-style quality flag): 1 − |distinct k-grams| /
     * |k-grams| over a word-shingle array — near-0 for natural text, → 1 for
-    * degenerate repeated content. DECIMAL(10,4) for oracle parity.
+    * degenerate repeated content. Scale-4 fixed-point BIGINT (ratio·10⁴).
     */
   def repetitionRatio(shingles: Column): Column =
-    when(size(shingles) === 0, lit(java.math.BigDecimal.ZERO).cast("decimal(10,4)"))
-      .otherwise(round(lit(1.0) -
-        size(array_distinct(shingles)) * lit(1.0) / size(shingles), 4)
-        .cast("decimal(10,4)"))
+    when(size(shingles) === 0, lit(0L))
+      .otherwise(floor((lit(1.0) -
+        size(array_distinct(shingles)) * lit(1.0) / size(shingles)) * lit(10000d) +
+        lit(0.5)).cast("long"))
 
   /** BPE-ish tokenization regex: letter runs, single digits, single
     * non-alnum marks (GPT-2-style pre-tokenizer shape, ASCII-simplified).

@@ -56,9 +56,9 @@ object ExtProbes {
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
        |sets AS (SELECT doc_id, list_distinct(sh) AS shd FROM shl WHERE len(sh) > 0)
        |SELECT c.idA, c.idB,
-       |  CAST(round(len(list_intersect(sa.shd, sb.shd)) * 1.0 /
-       |    (len(sa.shd) + len(sb.shd) - len(list_intersect(sa.shd, sb.shd))), 4)
-       |    AS DECIMAL(10,4)) AS jacc
+       |  CAST(floor(len(list_intersect(sa.shd, sb.shd)) * 1.0 /
+       |    (len(sa.shd) + len(sb.shd) - len(list_intersect(sa.shd, sb.shd)))
+       |    * 10000 + 0.5) AS BIGINT) AS jacc_e4
        |FROM cand c
        |JOIN sets sa ON sa.doc_id = c.idA
        |JOIN sets sb ON sb.doc_id = c.idB
@@ -81,6 +81,9 @@ object ExtProbes {
        |FROM n ORDER BY doc_id""".stripMargin
 
   // ---- q29 n-gram Jaccard via explode-join ------------------------------
+  // Runs the operator at its DEFAULT hot-gram cap (maxGramDocFreq=1000 —
+  // the 100 TB-safe mode); the oracle mirrors the doc-frequency filter, so
+  // the capped semantics is what's verified, not just exercised.
   val q29: Q = (s, d) => {
     val base = Tables.documents(s, d).filter(col("doc_id") < 200)
       .select("doc_id", "text")
@@ -104,13 +107,16 @@ object ExtProbes {
        |  FROM n),
        |gnz AS (SELECT doc_id, g, len(g) AS n FROM g WHERE len(g) > 0),
        |ex AS (SELECT doc_id, unnest(g) AS gram FROM gnz),
+       |keep AS (SELECT gram FROM ex GROUP BY gram
+       |  HAVING count(*) <= ${Dedup.DefaultMaxGramDocFreq}),
+       |exc AS (SELECT ex.doc_id, ex.gram FROM ex JOIN keep USING (gram)),
        |inter AS (SELECT x.doc_id AS idA, y.doc_id AS idB, count(*) AS ninter
-       |  FROM ex x JOIN ex y ON x.gram = y.gram AND x.doc_id < y.doc_id
+       |  FROM exc x JOIN exc y ON x.gram = y.gram AND x.doc_id < y.doc_id
        |  GROUP BY 1, 2),
-       |j AS (SELECT idA, idB,
-       |    CAST(round(ninter * 1.0 / (a.n + b.n - ninter), 4) AS DECIMAL(10,4)) AS jacc
+       |j AS (SELECT idA, idB, ninter * 1.0 / (a.n + b.n - ninter) AS raw
        |  FROM inter JOIN gnz a ON a.doc_id = idA JOIN gnz b ON b.doc_id = idB)
-       |SELECT idA, idB, jacc FROM j WHERE jacc >= 0.3 ORDER BY idA, idB""".stripMargin
+       |SELECT idA, idB, CAST(floor(raw * 10000 + 0.5) AS BIGINT) AS jacc_e4
+       |FROM j WHERE raw >= 0.3 ORDER BY idA, idB""".stripMargin
 
   // ---- q30 embedding-cosine near-dup ------------------------------------
   val q30: Q = (s, d) => {
@@ -133,9 +139,10 @@ object ExtProbes {
        |  SELECT id + 100000, list_transform(v, x -> x * 1.1 + 0.01) FROM base
        |  WHERE id % 13 = 0),
        |p AS (SELECT a.id AS idA, b.id AS idB,
-       |    CAST(round(${Similarity.cosineDuckSql("a.v", "b.v")}, 4) AS DECIMAL(10,4)) AS score
+       |    ${Similarity.cosineDuckSql("a.v", "b.v")} AS raw
        |  FROM corpus a JOIN corpus b ON a.id < b.id)
-       |SELECT idA, idB, score FROM p WHERE score >= 0.9 ORDER BY idA, idB""".stripMargin
+       |SELECT idA, idB, ${Similarity.scoreE4DuckSql("raw")} AS score_e4
+       |FROM p WHERE raw >= 0.9 ORDER BY idA, idB""".stripMargin
 
   // ---- q31 IVF ANN (coarse-quantizer cells + nprobe search) -------------
   val q31: Q = (s, d) => {
@@ -167,14 +174,14 @@ object ExtProbes {
        |  WHERE rn <= 2),
        |cand AS (
        |  SELECT p.vec_id, a.other_id,
-       |    CAST(round(${cos("p.va", "a.vb")}, 4) AS DECIMAL(10,4)) AS score
+       |    ${Similarity.scoreE4DuckSql(cos("p.va", "a.vb"))} AS score_e4
        |  FROM probed p JOIN assigned a USING (cid)
        |  WHERE p.vec_id <> a.other_id),
-       |r AS (SELECT vec_id, other_id, score,
+       |r AS (SELECT vec_id, other_id, score_e4,
        |    CAST(row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY score DESC, other_id ASC) AS BIGINT) AS rank
+       |      ORDER BY score_e4 DESC, other_id ASC) AS BIGINT) AS rank
        |  FROM cand)
-       |SELECT vec_id, other_id, score, rank FROM r WHERE rank <= 3
+       |SELECT vec_id, other_id, score_e4, rank FROM r WHERE rank <= 3
        |ORDER BY vec_id, rank""".stripMargin
   }
 
@@ -209,8 +216,8 @@ object ExtProbes {
     Tables.documents(s, d)
       .withColumn("w", Dedup.normalizeWords(col("text")))
       .withColumn("n_words", size(col("w")).cast("long"))
-      .withColumn("score", TextStats.qualityScore(col("text"), col("w")))
-      .select("doc_id", "n_words", "score")
+      .withColumn("score_e4", TextStats.qualityScore(col("text"), col("w")))
+      .select("doc_id", "n_words", "score_e4")
       .orderBy("doc_id")
 
   val q33Sql: String = {
@@ -222,9 +229,9 @@ object ExtProbes {
        |    len(list_filter(w, x -> x IN ($stopIn))) AS stops
        |  FROM n)
        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-       |  CAST(round(0.5 * least(1.0, n_words / 50.0) +
+       |  CAST(floor((0.5 * least(1.0, n_words / 50.0) +
        |    0.3 * (1.0 - punct * 1.0 / greatest(n_chars, 1)) +
-       |    0.2 * (stops * 1.0 / greatest(n_words, 1)), 4) AS DECIMAL(10,4)) AS score
+       |    0.2 * (stops * 1.0 / greatest(n_words, 1))) * 10000 + 0.5) AS BIGINT) AS score_e4
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
@@ -233,19 +240,19 @@ object ExtProbes {
     Tables.documents(s, d)
       .withColumn("ws_toks", TextStats.wsTokenCount(col("text")).cast("long"))
       .withColumn("bpe_toks", TextStats.bpeTokenCount(col("text")).cast("long"))
-      .withColumn("chars_per_tok",
-        round(length(col("text")) * lit(1.0) / greatest(col("bpe_toks"), lit(1)), 2)
-          .cast("decimal(10,2)"))
-      .select("doc_id", "ws_toks", "bpe_toks", "chars_per_tok")
+      .withColumn("cpt_e2",
+        floor(length(col("text")) * lit(1.0) / greatest(col("bpe_toks"), lit(1))
+          * lit(100d) + lit(0.5)).cast("long"))
+      .select("doc_id", "ws_toks", "bpe_toks", "cpt_e2")
       .orderBy("doc_id")
 
   val q34Sql: String =
     s"""SELECT doc_id,
        |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_toks,
        |  CAST(len(regexp_extract_all(text, '${TextStats.BpeTokenRegex}', 0)) AS BIGINT) AS bpe_toks,
-       |  CAST(round(length(text) * 1.0 /
-       |    greatest(len(regexp_extract_all(text, '${TextStats.BpeTokenRegex}', 0)), 1), 2)
-       |    AS DECIMAL(10,2)) AS chars_per_tok
+       |  CAST(floor(length(text) * 1.0 /
+       |    greatest(len(regexp_extract_all(text, '${TextStats.BpeTokenRegex}', 0)), 1)
+       |    * 100 + 0.5) AS BIGINT) AS cpt_e2
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---- q35 winnowing fingerprint ----------------------------------------
@@ -290,8 +297,8 @@ object ExtProbes {
   val q37Sql: String =
     """SELECT lang, count(*) AS n_total,
       |  count(*) FILTER (WHERE substr(md5(text), 1, 1) IN ('0','1','2')) AS n_sampled,
-      |  CAST(round(count(*) FILTER (WHERE substr(md5(text), 1, 1) IN ('0','1','2'))
-      |    * 1.0 / count(*), 4) AS DECIMAL(10,4)) AS ratio
+      |  CAST(floor(count(*) FILTER (WHERE substr(md5(text), 1, 1) IN ('0','1','2'))
+      |    * 1.0 / count(*) * 10000 + 0.5) AS BIGINT) AS ratio_e4
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---- q38 token-length binning (sequence-packing prep) -----------------
@@ -308,7 +315,7 @@ object ExtProbes {
       |  SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
       |  FROM documents)
       |SELECT CAST(least(floor(toks / 16) * 16, 64) AS BIGINT) AS bin,
-      |       count(*) AS n_docs, sum(toks) AS sum_toks
+      |       count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_toks
       |FROM t GROUP BY bin ORDER BY bin""".stripMargin
 
   // ---- q39 shard assignment (training-shard writer planning) ------------
@@ -333,8 +340,8 @@ object ExtProbes {
 
   // ---- q40 k-means centroid refinement step (IVF training) --------------
   // Assignment by max cosine, then element-wise mean per cell through
-  // DECIMAL(28,12) sums — exact, order-independent, oracle-reproducible.
-  // Long form (cid, pos, m): scalar columns only, so any comparator works.
+  // scale-8 fixed-point BIGINT sums — exact, order-independent,
+  // representation-stable. Long form (cid, pos, m_e8): scalar columns only.
   val q40: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id").as("id"),
@@ -354,11 +361,11 @@ object ExtProbes {
        |        ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
        |    FROM e CROSS JOIN cent c) t(id, v, cid, rn) WHERE rn = 1),
        |ex AS (
-       |  SELECT cid, t.pos AS pos, v[t.pos] AS x
+       |  SELECT cid, t.pos AS pos,
+       |    CAST(floor(v[t.pos] * 100000000 + 0.5) AS BIGINT) AS xe8
        |  FROM assigned, unnest(generate_series(1, len(v))) AS t(pos))
        |SELECT cid, CAST(pos - 1 AS INT) AS pos,
-       |  CAST(round(sum(CAST(x AS DECIMAL(28,12))) / count(*), 8)
-       |    AS DECIMAL(20,8)) AS m
+       |  CAST(floor(CAST(sum(xe8) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS m_e8
        |FROM ex GROUP BY cid, pos ORDER BY cid, pos""".stripMargin
   }
 
@@ -374,7 +381,7 @@ object ExtProbes {
 
   val q41Sql: String =
     """SELECT event_type, count(*) AS cnt,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -409,6 +416,43 @@ object ExtProbes {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q52 RP-LSH (sign) bucketed near-dup ------------------------------
+  // The LSH-bucketed ANN scale path: bucket join on the 8-bit hyperplane
+  // sign signature, exact cosine verify within buckets. Planted near-dups
+  // (mild positive affine distortion keeps most sign bits) — the probe
+  // verifies the operator finds exactly what the mirrored oracle finds.
+  // Embeddings are dim-64 at every SF (TESTDATA.md); the oracle embeds the
+  // same deterministic hyperplanes as exact double literals.
+  private val q52Planes = Similarity.hyperplanes(numPlanes = 8, dim = 64)
+
+  val q52: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    val planted = base.filter(col("id") % 13 === 0)
+      .select((col("id") + 100000).as("id"),
+        expr("transform(v, x -> x * 1.05 + 0.001)").as("v"))
+    Similarity.rpLshNearDupPairs(base.unionByName(planted), numPlanes = 8,
+        threshold = 0.8)
+      .orderBy("idA", "idB")
+  }
+
+  val q52Sql: String =
+    s"""WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |corpus AS (
+       |  SELECT id, v FROM base
+       |  UNION ALL
+       |  SELECT id + 100000, list_transform(v, x -> x * 1.05 + 0.001) FROM base
+       |  WHERE id % 13 = 0),
+       |b AS (SELECT id, v, ${Similarity.rpLshBucketDuckSql("v", q52Planes)} AS bk
+       |  FROM corpus),
+       |p AS (SELECT x.id AS idA, y.id AS idB,
+       |    ${Similarity.cosineDuckSql("x.v", "y.v")} AS raw
+       |  FROM b x JOIN b y ON x.bk = y.bk AND x.id < y.id)
+       |SELECT idA, idB, ${Similarity.scoreE4DuckSql("raw")} AS score_e4
+       |FROM p WHERE raw >= 0.8 ORDER BY idA, idB""".stripMargin
+
   // ---- q47 approximate aggregates (no SQL oracle BY DESIGN) -------------
   // HLL/quantile sketches are implementation-specific — DuckDB's
   // approx_count_distinct would not hash-match Spark's. The driver records
@@ -437,7 +481,7 @@ object ExtProbes {
           .otherwise(col("text")))
       .withColumn("w", Dedup.normalizeWords(col("text")))
       .withColumn("sh", Dedup.shingles3(col("w")))
-      .select(col("doc_id"), TextStats.repetitionRatio(col("sh")).as("rep"))
+      .select(col("doc_id"), TextStats.repetitionRatio(col("sh")).as("rep_e4"))
       .orderBy("doc_id")
 
   val q51Sql: String = {
@@ -452,9 +496,9 @@ object ExtProbes {
        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE []::VARCHAR[] END AS sh
        |  FROM n)
        |SELECT doc_id,
-       |  CASE WHEN len(sh) = 0 THEN CAST(0 AS DECIMAL(10,4))
-       |       ELSE CAST(round(1.0 - len(list_distinct(sh)) * 1.0 / len(sh), 4)
-       |            AS DECIMAL(10,4)) END AS rep
+       |  CASE WHEN len(sh) = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(floor((1.0 - len(list_distinct(sh)) * 1.0 / len(sh))
+       |            * 10000 + 0.5) AS BIGINT) END AS rep_e4
        |FROM shl ORDER BY doc_id""".stripMargin
   }
 
@@ -479,6 +523,7 @@ object ExtProbes {
     "q47_approx_aggs" -> q47, // intentionally absent from oracleSql (rows-only)
     "q48_pii_redaction" -> q48,
     "q51_repetition_ratio" -> q51,
+    "q52_rplsh_neardup" -> q52,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -499,5 +544,6 @@ object ExtProbes {
     "q41_json_extract" -> q41Sql,
     "q48_pii_redaction" -> q48Sql,
     "q51_repetition_ratio" -> q51Sql,
+    "q52_rplsh_neardup" -> q52Sql,
   )
 }

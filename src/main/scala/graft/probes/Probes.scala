@@ -10,16 +10,29 @@ import graft.core.{Naming, Ops}
   *
   * Each probe is a (Spark DataFrame, DuckDB oracle SQL) pair over the driver
   * testdata; the driver hash-compares them at sf0.01. Determinism rules:
-  * total ORDER BY on a unique key; computed doubles exit as DECIMAL (exact
-  * decimal-domain sums — no order-dependent fp aggregation); timestamps are
-  * ms-truncated TIMESTAMP_NTZ; all cutoffs are literals.
+  * total ORDER BY on a unique key; every computed real exits as a scaled
+  * BIGINT (`floor(x·10ᵏ + 0.5)` of a bit-identical double — fixed point is
+  * representation-stable where DECIMAL-from-double is not, and integer sums
+  * are exact and order-independent); DuckDB-side BIGINT sums are wrapped in
+  * `CAST(… AS BIGINT)` (bare `sum(BIGINT)` types as HUGEINT there);
+  * timestamps are ms-truncated TIMESTAMP_NTZ; all cutoffs are literals.
   */
 object Probes {
   private type Q = (SparkSession, String) => DataFrame
 
   // Wildcard pattern lists used by Q2/Q3 (comma-splittable, OP-12 shape).
   private val IncludePats = Seq("tomer#0000001,tomer#000001")
-  private val dec182 = "decimal(18,2)"
+
+  /** Fixed-point renderings of computed doubles — every real number crosses
+    * the oracle-compare boundary as a scaled BIGINT. Both engines hold
+    * bit-identical doubles and `floor` is exact on them; DECIMAL-from-double
+    * (`round(x, k)`/`CAST(… AS DECIMAL)`) proved oracle-version-sensitive
+    * (13 round-1 hash mismatches).
+    */
+  private def cents(c: Column): Column =
+    floor(c * lit(100d) + lit(0.5)).cast("long")
+  private def e4(c: Column): Column =
+    floor(c * lit(10000d) + lit(0.5)).cast("long")
 
   // ---- Q1 latest-per-group (OP-29/24/32) --------------------------------
   val q01: Q = (s, d) =>
@@ -163,22 +176,25 @@ object Probes {
       |FROM merged ORDER BY o_orderkey""".stripMargin
 
   // ---- Q8 conditional overwrite + backfilled column (OP-17/20) ----------
+  // Money exits as integer cents (floor(x·100 + 0.5) — exact on the
+  // bit-identical doubles both engines hold); CAST(double AS DECIMAL) was
+  // oracle-version-sensitive (round-1 hash fail).
   val q08: Q = (s, d) => {
     val base = Tables.customer(s, d)
-    val withOrig = Ops.addColumnIfAbsent(base, "acctbal_orig",
-      col("c_acctbal").cast(dec182))
+    val withOrig = Ops.addColumnIfAbsent(base, "acctbal_orig_c",
+      cents(col("c_acctbal")))
     Ops.conditionalOverwrite(
         withOrig.withColumn("acctbal_fixed", col("c_acctbal")),
         "acctbal_fixed", col("c_acctbal") < 0, lit(0.0))
-      .withColumn("acctbal_fixed", col("acctbal_fixed").cast(dec182))
-      .select("c_custkey", "acctbal_fixed", "acctbal_orig")
+      .withColumn("acctbal_fixed_c", cents(col("acctbal_fixed")))
+      .select("c_custkey", "acctbal_fixed_c", "acctbal_orig_c")
       .orderBy("c_custkey")
   }
 
   val q08Sql: String =
     """SELECT c_custkey,
-      |       CAST(CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS DECIMAL(18,2)) AS acctbal_fixed,
-      |       CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal_orig
+      |       CAST(floor((CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END) * 100 + 0.5) AS BIGINT) AS acctbal_fixed_c,
+      |       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_orig_c
       |FROM customer ORDER BY c_custkey""".stripMargin
 
   // ---- Q9 predicate delete (OP-18) --------------------------------------
@@ -223,12 +239,13 @@ object Probes {
       (col("p_partkey") % 10).cast("string"), lit("-"),
       (col("p_partkey") % 5 + 1).cast("string"), lit("p"),
       (col("p_partkey") % 7).cast("string"), lit(".patch.zip"))
-    Tables.part(s, d)
-      .withColumn("fn", fn)
-      .withColumn("vkey", Naming.versionKeyCol(col("fn")))
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("vkey").asc, col("p_partkey").asc))
-          .cast("long"))
+    // global rank WITHOUT the single-partition window pathology: ranked in
+    // parallel range partitions + per-range offsets (Ops.globalRank)
+    Ops.globalRank(
+        Tables.part(s, d)
+          .withColumn("fn", fn)
+          .withColumn("vkey", Naming.versionKeyCol(col("fn"))),
+        Seq(col("vkey").asc, col("p_partkey").asc))
       .select("rank", "p_partkey", "fn")
       .orderBy("rank")
   }
@@ -375,13 +392,17 @@ object Probes {
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
   // ---- Q20 decile bucketing (OP-27/28/45) -------------------------------
-  val q20: Q = (s, d) =>
-    Tables.events(s, d)
-      .withColumn("maxv", max(col("value")).over(Window.partitionBy()))
+  // The scalar max is ONE aggregate row broadcast back — not a global
+  // window (which would funnel the whole table through one partition).
+  val q20: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val mx = ev.agg(max(col("value")).as("maxv"))
+    ev.crossJoin(broadcast(mx))
       .withColumn("bucket",
         floor(col("value") * 100 / col("maxv") / 10).cast("long") * 10)
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
       .orderBy("bucket")
+  }
 
   val q20Sql: String =
     """WITH b AS (
@@ -423,21 +444,14 @@ object Probes {
       |FROM n JOIN s ON n.norm = s.norm ORDER BY doc_id""".stripMargin
 
   // ---- Q23 top-k cosine similarity (north star) -------------------------
+  // The brute-force baseline operator itself (native codegen'd CosineSim,
+  // bit-identical to the HOF fold and to DuckDB's list_dot_product
+  // composition); scores exit as scale-4 fixed point.
   val q23: Q = (s, d) => {
     val e = Tables.embeddings(s, d).filter(col("vec_id") < 100)
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-    val a = e.select(col("vec_id"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("other_id"), col("v").as("vb"))
-    val dot = expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-    val na = expr("sqrt(aggregate(zip_with(va, va, (x, y) -> x * y), 0D, (acc, x) -> acc + x))")
-    val nb = expr("sqrt(aggregate(zip_with(vb, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x))")
-    a.join(b, col("vec_id") =!= col("other_id"))
-      .withColumn("score", round(dot / (na * nb), 4).cast("decimal(10,4)"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("score").desc, col("other_id").asc))
-        .cast("long"))
-      .filter(col("rank") <= 3)
-      .select("vec_id", "other_id", "score", "rank")
+      .select(col("vec_id").as("id"),
+        graft.operators.Similarity.toDoubleVec(col("embedding")).as("v"))
+    graft.operators.Similarity.bruteForceTopK(e, e, 3)
       .orderBy("vec_id", "rank")
   }
 
@@ -447,16 +461,16 @@ object Probes {
       |  FROM embeddings WHERE vec_id < 100),
       |p AS (
       |  SELECT a.vec_id, b.vec_id AS other_id,
-      |         CAST(round(list_dot_product(a.v, b.v) /
-      |           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
-      |           AS DECIMAL(10,4)) AS score
+      |         CAST(floor(list_dot_product(a.v, b.v) /
+      |           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      |           * 10000 + 0.5) AS BIGINT) AS score_e4
       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
       |r AS (
-      |  SELECT vec_id, other_id, score,
-      |         row_number() OVER (PARTITION BY vec_id
-      |           ORDER BY score DESC, other_id ASC) AS rank
+      |  SELECT vec_id, other_id, score_e4,
+      |         CAST(row_number() OVER (PARTITION BY vec_id
+      |           ORDER BY score_e4 DESC, other_id ASC) AS BIGINT) AS rank
       |  FROM p)
-      |SELECT vec_id, other_id, score, rank
+      |SELECT vec_id, other_id, score_e4, rank
       |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
 
   // ---- Q24 text stats (north star) --------------------------------------
@@ -464,14 +478,14 @@ object Probes {
     Tables.documents(s, d)
       .groupBy("lang")
       .agg(count(lit(1)).as("cnt"),
-        (sum(col("n_chars")).cast("double") / count(lit(1)))
-          .cast(dec182).as("avg_chars"),
+        cents(sum(col("n_chars")).cast("double") / count(lit(1)))
+          .as("avg_chars_c"),
         max(length(col("text"))).cast("long").as("max_len"))
       .orderBy("lang")
 
   val q24Sql: String =
     """SELECT lang, count(*) AS cnt,
-      |  CAST(CAST(sum(n_chars) AS DOUBLE) / count(*) AS DECIMAL(18,2)) AS avg_chars,
+      |  CAST(floor(CAST(sum(n_chars) AS DOUBLE) / count(*) * 100 + 0.5) AS BIGINT) AS avg_chars_c,
       |  CAST(max(length(text)) AS BIGINT) AS max_len
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
@@ -489,20 +503,20 @@ object Probes {
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      // decimal-domain multiply: the operands are 2-decimal values so their
-      // decimal casts are unambiguous across engines, and the scale-4 sum is
-      // exact — no order-dependent fp rounding anywhere.
-      .agg(sum(col("l_extendedprice").cast(dec182) *
-          (lit(1) - col("l_discount")).cast(dec182))
-        .cast("decimal(18,4)").as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
+      // fixed-point multiply: price and discount are 2-decimal values, so
+      // their cent renderings are exact integers; the e4-scale BIGINT sum is
+      // exact and order-independent — no fp rounding, no DECIMAL casts.
+      .agg(sum(cents(col("l_extendedprice")) *
+          (lit(100L) - cents(col("l_discount"))))
+        .as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("n_name"))
   }
 
   val q25Sql: String =
     """SELECT n_name,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      |           CAST(1 - l_discount AS DECIMAL(18,2)))
-      |       AS DECIMAL(18,4)) AS revenue
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |           (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+      |       AS BIGINT) AS revenue_e4
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -511,26 +525,28 @@ object Probes {
       |WHERE r_name = 'ASIA'
       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+      |GROUP BY n_name ORDER BY revenue_e4 DESC, n_name""".stripMargin
 
   // ---- Q26 aggregation breadth (TPC-H Q1 shape) -------------------------
+  // All sums in exact integer cents; the average exits as e6 fixed point
+  // computed from one double division both engines do identically.
   val q26: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast(dec182)).cast(dec182).as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec182)).cast(dec182).as("sum_price"),
-        (sum(col("l_discount").cast("decimal(18,4)")).cast("double") /
-          count(lit(1))).cast("decimal(18,6)").as("avg_disc"),
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+        floor(sum(e4(col("l_discount"))) * lit(1.0) / count(lit(1)) * lit(100d) +
+          lit(0.5)).cast("long").as("avg_disc_e6"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus")
 
   val q26Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
-      |  CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*)
-      |       AS DECIMAL(18,6)) AS avg_disc,
+      |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c,
+      |  CAST(floor(CAST(sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |       / count(*) * 100 + 0.5) AS BIGINT) AS avg_disc_e6,
       |  count(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
@@ -589,18 +605,18 @@ object Probes {
     Tables.lineitem(s, d)
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("cnt"),
-        sum(col("l_quantity").cast(dec182)).cast(dec182).as("sum_qty"))
+        sum(cents(col("l_quantity"))).as("sum_qty_c"))
       .select(
         coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
         coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
-        col("cnt"), col("sum_qty"))
+        col("cnt"), col("sum_qty_c"))
       .orderBy("rf", "ls")
 
   val q45Sql: String =
     """SELECT coalesce(l_returnflag, '<all>') AS rf,
       |       coalesce(l_linestatus, '<all>') AS ls,
       |       count(*) AS cnt,
-      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+      |       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY rf, ls""".stripMargin
 

@@ -30,9 +30,9 @@ class ExtOperatorsSpec extends SparkSpec {
   test("ngramJaccardPairs scores the near-dup high") {
     val df = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
     val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", 0.3)
-      .as[(Long, Long, java.math.BigDecimal)].collect()
+      .as[(Long, Long, Long)].collect()
     assert(got.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
-    assert(got.head._3.doubleValue > 0.5)
+    assert(got.head._3 > 5000L) // jacc_e4 scale-4 fixed point
   }
 
   test("ngramJaccardPairs df-cap drops hot grams but keeps rare-gram pairs") {
@@ -70,15 +70,15 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
-  test("quality score falls within [0,1] and penalizes punctuation") {
+  test("quality score falls within [0,10000] e4 and penalizes punctuation") {
     val df = Seq((1L, "the plain simple readable text goes here"),
                  (2L, "@@## !!%% ??^^ &&**")).toDF("doc_id", "text")
       .withColumn("w", Dedup.normalizeWords(col("text")))
-      .withColumn("score", TextStats.qualityScore(col("text"), col("w")))
-    val got = df.select("doc_id", "score")
-      .as[(Long, java.math.BigDecimal)].collect().toMap
-    assert(got.values.forall(s => s.doubleValue >= 0 && s.doubleValue <= 1))
-    assert(got(1L).doubleValue > got(2L).doubleValue)
+      .withColumn("score_e4", TextStats.qualityScore(col("text"), col("w")))
+    val got = df.select("doc_id", "score_e4")
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.forall(s => s >= 0L && s <= 10000L))
+    assert(got(1L) > got(2L))
   }
 
   test("token counts: bpe-ish splits punctuation, whitespace does not") {

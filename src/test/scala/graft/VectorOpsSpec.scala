@@ -18,7 +18,7 @@ class VectorOpsSpec extends SparkSpec {
     assert(got("b").toSeq == Seq(10.0, 0.0))
   }
 
-  test("kmeansStep computes exact decimal centroids per cell") {
+  test("kmeansStep computes exact fixed-point centroids per cell") {
     val vecs = Seq(
       (0L, Seq(1.0, 1.0)), (1L, Seq(1.0, 3.0)),   // near centroid 0
       (2L, Seq(-1.0, -1.0)), (3L, Seq(-3.0, -1.0)) // near centroid 2
