@@ -45,10 +45,14 @@ object Naming {
     else stripped.split("_", -1).dropRight(2).mkString("_")
   }
 
-  /** `uf2.1-2p3.patch.zip` -> Seq(2,1,2,3); element-wise ordering. */
+  /** `uf2.1-2p3.patch.zip` -> Seq(2,1,2,3); element-wise ordering.
+    * Case-insensitive like the reference (main.py:554 applies re.I) — real
+    * artifacts carry uppercase `UF2.1` names, and a case-sensitive miss
+    * would silently fall back to lexicographic order (UF10 before UF2).
+    */
   def versionKey(file: String): Seq[Int] = {
-    val m = "uf(.+?)\\.patch\\.zip".r.findFirstMatchIn(file)
-    m.map(_.group(1).split("[.p-]").filter(_.nonEmpty).toSeq.map(_.toInt))
+    val m = "(?i)uf(.+?)\\.patch\\.zip".r.findFirstMatchIn(file)
+    m.map(_.group(1).split("[.pP-]").filter(_.nonEmpty).toSeq.map(_.toInt))
       .getOrElse(Seq.empty)
   }
 
@@ -88,11 +92,12 @@ object Naming {
 
   /** array<int> natural-version sort key from a patch filename. Empty
     * tokens are dropped (matching the pure form): a non-patch filename
-    * yields an EMPTY array, not `[null]`.
+    * yields an EMPTY array, not `[null]`. Case-insensitive (re.I parity
+    * with main.py:554).
     */
   def versionKeyCol(file: Column): Column =
     transform(
-      filter(split(regexp_extract(file, "uf(.+?)\\.patch\\.zip", 1), "[.p-]"),
+      filter(split(regexp_extract(file, "(?i)uf(.+?)\\.patch\\.zip", 1), "[.pP-]"),
         t => t =!= ""),
       x => x.cast("int"))
 

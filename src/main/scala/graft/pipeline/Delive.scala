@@ -64,9 +64,13 @@ object Delive {
     val ss = cfg.syncServer
 
     val sync = Seq(
-      // db.py:370-372
+      // db.py:370-372: ADD COLUMN IF NOT EXISTS, then the snapshot copy runs
+      // UNCONDITIONALLY on every de-live (re-running overwrites the previous
+      // snapshot — reference behavior, not keep-first)
       AddColumnIfAbsent("sync_client_sync_server_connection",
         "ufload_automatic_patching_prod_value", "automatic_patching"),
+      SetCols("sync_client_sync_server_connection", Map(
+        "ufload_automatic_patching_prod_value" -> "automatic_patching")),
       SetCols("sync_client_sync_server_connection", Map(
         "automatic_patching" -> "false",
         "protocol" -> "'xmlrpc'",
@@ -200,28 +204,32 @@ object Delive {
 
   /** createusers (db.py:475-515): explode the `u:p:g1,g2;…` spec into user
     * rows and membership rows. Ids are generated as maxExisting + dense
-    * row_number (the distributed analog of `RETURNING id`, with the +1000
-    * headroom idea applied by callers via `idBase`).
+    * 1-based index (the analog of `RETURNING id`, with the +1000 headroom
+    * idea applied by callers via `idBase`). The spec is a driver-side
+    * string, so the ids are assigned in plain Scala — no global-window
+    * single-partition sort ever enters the plan.
     */
   def createUsers(spark: SparkSession, spec: String, existingUsers: DataFrame,
                   resGroups: DataFrame, defaultPw: String,
                   idBase: Option[Long] = None): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val parsed = spec.split(";").toSeq.map { entry =>
+    val parsedRows = spec.split(";").toSeq.map { entry =>
       val p = entry.split(":")
       p.length match {
         case 6 => (p(0), p(1), p(4), p(5)) // user, name, pass, groups
         case 3 => (p(0), p(0), p(1), p(2))
         case _ => (p(0), p(0), defaultPw, p(1))
       }
-    }.toDF("login", "name", "password", "groups")
+    }
     val base: Long = idBase.getOrElse {
       val m = existingUsers.agg(max(col("id"))).head().get(0)
       if (m == null) 0L else m.toString.toLong
     }
-    val newUsers = parsed
-      .withColumn("id",
-        row_number().over(Window.orderBy("login")).cast("long") + base)
+    val newUsers = parsedRows.sortBy(_._1).zipWithIndex
+      .map { case ((login, name, pw, groups), i) =>
+        (login, name, pw, groups, base + i + 1)
+      }
+      .toDF("login", "name", "password", "groups", "id")
       .withColumn("login", lower(col("login")))
       .withColumn("active", org.apache.spark.sql.functions.lit(true))
       .withColumn("context_lang", org.apache.spark.sql.functions.lit("en_MF"))

@@ -104,4 +104,86 @@ object Restore {
     */
   def needsReload(storedLength: Option[Long], remoteLength: Long): Boolean =
     !storedLength.contains(remoteLength)
+
+  /** Outcome row of one [[run]] candidate attempt. status ∈
+    * restored | exists | invalid | badname | failed.
+    */
+  case class Attempt(instance: String, file: String, db: String, status: String)
+
+  /** `db` with the warehouse prefix stripped (for name validation). */
+  private def bareDb(db: String, prefix: Option[String]): String =
+    prefix.filter(p => db.startsWith(p + "_")).fold(db)(p => db.drop(p.length + 1))
+
+  /** The end-to-end multi-restore orchestrator — the reference's main
+    * command loop (main.py:210-397) over the library's own operators:
+    *
+    * inventory → wildcard include/exclude (OP-12/13) → auto-upload gate
+    * (OP-15) → per-instance newest-first candidates (OP-30/32) → for each
+    * candidate: peek/validate the payload, derive the db from the INNER
+    * dump name (main.py:317-318 — `_file_to_db(str(n))`, not the zip name),
+    * validate it (db.py:639 regex), skip the instance if the db already
+    * exists (main.py:320-323 `break`), else sanitize + staged publish;
+    * first success moves to the next instance (main.py:367 `break`), a
+    * corrupt payload falls through to the next-newest candidate
+    * (main.py:309-313 `continue`). Afterwards: per-db notify hook
+    * (main.py:358-359) and optional keep-newest sibling GC.
+    *
+    * `fetch(url, file)` is the injected download+unzip connector: returns
+    * the inner dump name and its loaded DataFrame, or None for an invalid
+    * payload (bad zip / no dump inside). IO stays behind this boundary;
+    * the fold itself is driver-side over the tiny listing frame (the
+    * inventory is metadata — payload bytes never transit the driver).
+    */
+  def run(spark: SparkSession, inventory: DataFrame, warehouse: String,
+          fetch: (String, String) => Option[(String, DataFrame)],
+          include: Seq[String] = Nil, exclude: Seq[String] = Nil,
+          prefix: Option[String] = None,
+          sanitize: DataFrame => DataFrame = identity,
+          gc: Boolean = true,
+          onRestored: String => Unit = _ => ()): Seq[Attempt] = {
+    import spark.implicits._
+    import graft.sources.Inventory
+    val gated = Inventory.autoUploadGate(
+      Inventory.filterInstances(inventory, include, exclude))
+    val candidates = Inventory.rankedCandidates(gated)
+      .select(col("instance"), col("rank"), col("file"), col("url"))
+      .as[(String, Int, String, String)]
+      .collect().sortBy(t => (t._1, t._2)).toSeq
+    val existing = scala.collection.mutable.Set[String](
+      catalog(spark, warehouse).as[String].collect().toIndexedSeq: _*)
+    val done = scala.collection.mutable.Set[String]()
+    val attempts = scala.collection.mutable.ListBuffer[Attempt]()
+    for ((instance, _, file, url) <- candidates if !done(instance)) {
+      fetch(url, file) match {
+        case None => // corrupt/invalid payload: try the next-newest
+          attempts += Attempt(instance, file, "", "invalid")
+        case Some((innerDump, df)) =>
+          val db = Naming.fileToDb(innerDump, prefix)
+          if (!bareDb(db, prefix).matches(DbNameRegex))
+            attempts += Attempt(instance, file, db, "badname") // main.py:329
+          else if (existing(db)) {
+            // reference breaks to the next instance when the db exists
+            attempts += Attempt(instance, file, db, "exists")
+            done += instance
+          } else {
+            try {
+              publish(spark, sanitize(df), warehouse, db)
+              existing += db
+              done += instance
+              onRestored(db) // main.py:358-359 per-restored-db hook (--notify)
+              attempts += Attempt(instance, file, db, "restored")
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                attempts += Attempt(instance, file, db, "failed")
+            }
+          }
+      }
+    }
+    if (gc) {
+      val victims = gcVictims(catalog(spark, warehouse), prefix)
+        .select("db").as[String].collect().toSeq
+      dropDbs(spark, warehouse, victims)
+    }
+    attempts.toList
+  }
 }

@@ -28,9 +28,19 @@ object Upgrade {
       .orderBy(col("vkey").asc, col("file").asc)
       .select("file", "sum", "vkey")
 
-  /** Revision-gate regex (main.py:617-619): a sync error that names a
-    * required revision means "install patches first".
+  /** Revision gate (main.py:617-619): a manual-sync error matching
+    * `Cannot check for updates: There is/are N revision(s) available.`
+    * means patches must be installed before syncing. The reference's check
+    * is a DOTALL boolean prefix-match; [[updateAvailable]] mirrors that,
+    * and [[revisionsAvailable]] additionally extracts the count N (empty
+    * string when the gate doesn't fire).
     */
-  def requiredRevision(errorMsg: Column): Column =
-    regexp_extract(errorMsg, "revision\\s+([0-9a-f]{6,})", 1)
+  private val RevisionGate =
+    "Cannot check for updates: There is/are ([0-9]+) revision\\(s\\) available\\."
+
+  def updateAvailable(errorMsg: Column): Column =
+    errorMsg.rlike("(?s)^.*" + RevisionGate)
+
+  def revisionsAvailable(errorMsg: Column): Column =
+    regexp_extract(errorMsg, RevisionGate, 1)
 }

@@ -16,8 +16,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSim(children(0), children(1))))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.size != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`cosine_sim`",
+              "expectedNum" -> "2",
+              "actualNum" -> children.size.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        CosineSim(children(0), children(1))
+      }))
     ext.injectOptimizerRule(_ => RewriteHofCosine)
   }
 }

@@ -259,7 +259,7 @@ object Probes {
       |k AS (
       |  SELECT p_partkey, fn,
       |         list_transform(string_split_regex(
-      |           regexp_extract(fn, 'uf(.+?)\.patch\.zip', 1), '[.p-]'),
+      |           regexp_extract(fn, '(?i)uf(.+?)\.patch\.zip', 1), '[.pP-]'),
       |           x -> CAST(x AS INTEGER)) AS vkey
       |  FROM f)
       |SELECT row_number() OVER (ORDER BY vkey ASC, p_partkey ASC) AS rank,

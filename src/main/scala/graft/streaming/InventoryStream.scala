@@ -64,4 +64,55 @@ object InventoryStream {
         fresh.write.mode("append").parquet(sinkPath)
         ()
       }
+
+  /** [[dedupAppendSink]] with a compacted keys-only sidecar ledger
+    * (`<sinkPath>__keys`): the per-batch anti-join reads the small ledger,
+    * NOT the whole sink — the full-sink re-read grows without bound as the
+    * sink grows, which is the scale problem this variant removes.
+    *
+    * Protocol per batch: anti-join against the ledger (bootstrapped from
+    * sink keys if the ledger is absent), append fresh rows to the sink,
+    * append fresh keys to the ledger, and every `compactEvery` batches
+    * rebuild the ledger from the sink's actual keys. Consistency: data is
+    * written before its keys, so a crash between the two writes can only
+    * cause a re-appended duplicate in that window (at-least-once), never a
+    * lost row; the periodic rebuild re-derives the ledger from the sink, so
+    * any divergence heals instead of accumulating.
+    */
+  def dedupAppendSinkCompact(parsed: DataFrame, sinkPath: String,
+                             keys: Seq[String],
+                             compactEvery: Long = 10): DataStreamWriter[Row] =
+    parsed.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val ledgerPath = sinkPath + "__keys"
+        val hc = spark.sparkContext.hadoopConfiguration
+        val sinkP = new org.apache.hadoop.fs.Path(sinkPath)
+        val ledgerP = new org.apache.hadoop.fs.Path(ledgerPath)
+        val fs = sinkP.getFileSystem(hc)
+        val keyCols = keys.map(col)
+        val known =
+          if (fs.exists(ledgerP)) spark.read.parquet(ledgerPath)
+          else if (fs.exists(sinkP)) // bootstrap/repair: derive from sink once
+            spark.read.parquet(sinkPath).select(keyCols: _*)
+          else batch.select(keyCols: _*).limit(0)
+        val fresh = batch.dropDuplicates(keys)
+          .join(known.dropDuplicates(keys), keys, "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          fresh.write.mode("append").parquet(sinkPath) // data first …
+          fresh.select(keyCols: _*).write.mode("append").parquet(ledgerPath) // … then keys
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1 &&
+              fs.exists(sinkP)) {
+            // rebuild from truth; overwrite is safe — a crash mid-rewrite
+            // leaves no ledger and the next batch bootstraps from the sink
+            spark.read.parquet(sinkPath).select(keyCols: _*)
+              .dropDuplicates(keys)
+              .write.mode("overwrite").parquet(ledgerPath)
+          }
+        } finally fresh.unpersist()
+        ()
+      }
 }

@@ -39,6 +39,8 @@ class NamingSpec extends SparkSpec {
   test("versionKey natural order") {
     assert(Naming.versionKey("uf2.1-2p3.patch.zip") == Seq(2, 1, 2, 3))
     assert(Naming.versionKey("uf10.0.patch.zip") == Seq(10, 0))
+    // re.I parity (main.py:554): real artifacts use uppercase UF names
+    assert(Naming.versionKey("UF2.1-2P3.patch.zip") == Seq(2, 1, 2, 3))
     // element-wise: uf2.2 < uf10.0
     val ord = Ordering.Implicits.seqOrdering[Seq, Int]
     assert(ord.lt(Naming.versionKey("uf2.2.patch.zip"),

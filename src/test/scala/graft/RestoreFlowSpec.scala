@@ -75,4 +75,56 @@ class RestoreFlowSpec extends SparkSpec {
     val cat = Restore.catalog(spark, wh).as[String].collect().toSet
     assert(cat == Set("OCA_TD1_ABC_20240109_0700", "OCG_KE1_NBO_20240112_0900"))
   }
+
+  test("Restore.run: first-success fallback, exists-skip, notify, GC") {
+    val wh = Files.createTempDirectory("graft_run_wh").toString
+
+    // OCG has two candidates (newest will be CORRUPT → fallback to older);
+    // OCA has one good candidate; OCX is excluded by pattern.
+    val inv = Inventory.fromListing(spark, Seq(
+      ("OCG_KE1_NBO-Tue.zip", "u-corrupt", "2024-01-11T09:00:00Z"),
+      ("OCG_KE1_NBO-Mon.zip", "u-good-g", "2024-01-10T08:00:00Z"),
+      ("OCA_TD1_ABC-Sun.zip", "u-good-a", "2024-01-09T07:00:00Z"),
+      ("OCX_ZZ9_XXX-Fri.zip", "u-other", "2024-01-08T06:00:00Z")),
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+
+    val innerDump = Map(
+      "OCG_KE1_NBO-Mon.zip" -> "OCG_KE1_NBO-20240110-080000-A-UF2.1.dump",
+      "OCA_TD1_ABC-Sun.zip" -> "OCA_TD1_ABC-20240109-070000-A-UF2.1.dump")
+    val dump = Seq((1L, "admin")).toDF("id", "login")
+    // the connector: newest OCG file is a bad payload (no dump inside)
+    val fetch: (String, String) => Option[(String, org.apache.spark.sql.DataFrame)] =
+      (url, file) =>
+        if (url == "u-corrupt") None
+        else innerDump.get(file).map(n => (n, dump))
+
+    val notified = scala.collection.mutable.ListBuffer[String]()
+    val attempts = Restore.run(spark, inv, wh, fetch,
+      include = Seq("OCG,OCA"), onRestored = db => notified += db)
+
+    // corrupt newest fell through; second-newest restored (main.py:309-313)
+    assert(attempts.map(a => (a.file, a.status)).toSet == Set(
+      ("OCG_KE1_NBO-Tue.zip", "invalid"),
+      ("OCG_KE1_NBO-Mon.zip", "restored"),
+      ("OCA_TD1_ABC-Sun.zip", "restored")))
+    assert(notified.toSet ==
+      Set("OCG_KE1_NBO_20240110_0800", "OCA_TD1_ABC_20240109_0700"))
+    assert(Restore.catalog(spark, wh).as[String].collect().toSet ==
+      Set("OCG_KE1_NBO_20240110_0800", "OCA_TD1_ABC_20240109_0700"))
+
+    // re-run: both dbs exist → exists-skip breaks each instance (the
+    // corrupt newest is still probed first — reference order is preserved)
+    val again = Restore.run(spark, inv, wh, fetch,
+      include = Seq("OCG,OCA"))
+    assert(again.map(a => (a.file, a.status)).toSet == Set(
+      ("OCG_KE1_NBO-Tue.zip", "invalid"),
+      ("OCG_KE1_NBO-Mon.zip", "exists"),
+      ("OCA_TD1_ABC-Sun.zip", "exists")))
+
+    // GC: publish an older sibling, re-run keeps only the newest per instance
+    Restore.publish(spark, dump, wh, "OCG_KE1_NBO_20240101_0000")
+    Restore.run(spark, inv, wh, fetch, include = Seq("OCG,OCA"))
+    assert(Restore.catalog(spark, wh).as[String].collect().toSet ==
+      Set("OCG_KE1_NBO_20240110_0800", "OCA_TD1_ABC_20240109_0700"))
+  }
 }

@@ -115,4 +115,41 @@ class StreamingSpec extends SparkSpec {
       ("OCG_KE1_NBO-Mon.zip", "OCG_KE1_NBO"),
       ("OCG_KE1_NBO-Tue.zip", "OCG_KE1_NBO")))
   }
+
+  test("compact-ledger sink dedups re-delivery without full-sink reads") {
+    implicit val sqlCtx = spark.sqlContext
+    val sink = Files.createTempDirectory("graft_csink").toString + "/ledger"
+    val ckpt = Files.createTempDirectory("graft_cckpt").toString
+
+    val mem = MemoryStream[(String, String, String)]
+    val parsed = InventoryStream.parse(
+      mem.toDF().toDF("file", "url", "modified_raw"))
+    def runOnce(): Unit = {
+      val q = InventoryStream.dedupAppendSinkCompact(parsed, sink,
+          Seq("file", "url"), compactEvery = 2)
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+
+    // 3 batches; every batch re-delivers Mon.zip, batch 2/3 add a new row
+    mem.addData(("OCG_KE1_NBO-Mon.zip", "u1", "2024-01-10T08:00:00Z"))
+    runOnce()
+    mem.addData(
+      ("OCG_KE1_NBO-Mon.zip", "u1", "2024-01-10T08:00:00Z"),
+      ("OCG_KE1_NBO-Tue.zip", "u2", "2024-01-11T08:00:00Z"))
+    runOnce() // batchId 1: triggers the compaction rewrite (compactEvery=2)
+    mem.addData(
+      ("OCG_KE1_NBO-Mon.zip", "u1", "2024-01-10T08:00:00Z"),
+      ("OCG_KE1_NBO-Wed.zip", "u3", "2024-01-12T08:00:00Z"))
+    runOnce()
+
+    val rows = spark.read.parquet(sink)
+      .select("file").as[String].collect().toSeq
+    assert(rows.sorted == Seq("OCG_KE1_NBO-Mon.zip", "OCG_KE1_NBO-Tue.zip",
+      "OCG_KE1_NBO-Wed.zip")) // exactly once each — re-deliveries vanished
+    // the keys-only sidecar exists and matches the sink's key set
+    val ledger = spark.read.parquet(sink + "__keys")
+    assert(ledger.columns.toSeq == Seq("file", "url"))
+    assert(ledger.dropDuplicates("file", "url").count() == 3)
+  }
 }

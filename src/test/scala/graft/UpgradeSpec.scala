@@ -26,11 +26,24 @@ class UpgradeSpec extends SparkSpec {
     assert(Upgrade.installPlan(patches, installed).count() == 0)
   }
 
-  test("requiredRevision extracts the revision gate") {
-    val got = Seq("update to revision deadbeef42 required", "other error")
+  test("revision gate matches the reference's sync-error message shape") {
+    val gated = "prefix junk\nCannot check for updates: " +
+      "There is/are 3 revision(s) available."
+    val got = Seq(gated, "other error", "revision deadbeef42")
       .toDF("msg")
-      .select(Upgrade.requiredRevision(col("msg")).as("rev"))
-      .as[String].collect().toSeq
-    assert(got == Seq("deadbeef42", ""))
+      .select(Upgrade.updateAvailable(col("msg")).as("gate"),
+        Upgrade.revisionsAvailable(col("msg")).as("n"))
+      .as[(Boolean, String)].collect().toSeq
+    assert(got == Seq((true, "3"), (false, ""), (false, "")))
+  }
+
+  test("installPlan orders mixed-case patch names naturally (re.I parity)") {
+    val patches = Seq(("UF10.0.patch.zip", "a"), ("uf2.1.patch.zip", "b"),
+      ("UF2.1-2P3.patch.zip", "c")).toDF("file", "sum")
+    val installed = Seq.empty[String].toDF("sum")
+    val plan = Upgrade.installPlan(patches, installed)
+      .select("file").as[String].collect().toSeq
+    assert(plan == Seq("uf2.1.patch.zip", "UF2.1-2P3.patch.zip",
+      "UF10.0.patch.zip"))
   }
 }
