@@ -157,4 +157,21 @@ class PipelineSpec extends SparkSpec {
     assert(Archive.parseDsn("hostaddr=1.2.3.4 dbname=db user=u") ==
       Map("hostaddr" -> "1.2.3.4", "dbname" -> "db", "user" -> "u"))
   }
+
+  test("Apply.patchInserts: checksum-idempotent b64 ledger rows (db.py:863-896)") {
+    val patches = Seq(
+      ("2.1", "sumA", "zipbytesA".getBytes("UTF-8")),
+      ("2.2", "sumB", "zipbytesB".getBytes("UTF-8")))
+      .toDF("version", "sum", "content")
+    val installed = Seq("sumA").toDF("sum") // 2.1 already in the ledger
+    val rows = graft.pipeline.Apply.patchInserts(patches, installed).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("name") == "2.2")
+    assert(r.getAs[String]("state") == "confirmed")
+    assert(r.getAs[String]("importance") == "required")
+    assert(r.getAs[String]("comment") == "Version 2.2 installed by ufload")
+    assert(r.getAs[String]("patch") ==
+      java.util.Base64.getEncoder.encodeToString("zipbytesB".getBytes("UTF-8")))
+  }
 }
