@@ -51,4 +51,47 @@ class PlanContractSpec extends SparkSpec {
     val p = plan(Probes.q07(spark, sf))
     assert(!p.contains("CartesianProduct"))
   }
+
+  /** A Window whose partition spec is empty collapses the input into ONE
+    * partition (Spark warns `No Partition Defined`) — the round-1
+    * scale-killer in q12/q20. Pin its absence: every Window node in these
+    * plans must carry a partition expression.
+    */
+  private def noGlobalWindow(p: String): Unit = {
+    val offenders = p.linesIterator.filter(l =>
+      l.contains("Window ") && l.contains("ORDER BY") &&
+        !l.contains("PARTITION BY")).toList
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("q12 global rank: range-partitioned, no single-partition window") {
+    val df = Probes.q12(spark, sf)
+    val p = plan(df)
+    noGlobalWindow(p)
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      p.take(2000)) // the parallel substitute for the global sort-rank
+  }
+
+  test("q20 scalar max: one aggregate broadcast back, no global window") {
+    val p = plan(Probes.q20(spark, sf))
+    noGlobalWindow(p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+  }
+
+  test("q29 capped grams: doc-frequency aggregate precedes the pair join") {
+    val p = plan(ExtProbes.q29(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the cap is an aggregate (count per gram) feeding a semi/inner join —
+    // its HashAggregate must be present (dropping it silently would revive
+    // the hot-gram quadratic)
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("q52 RP-LSH: bucket join is an equi-join on the signature") {
+    val p = plan(ExtProbes.q52(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }
