@@ -58,7 +58,10 @@ def main():
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
-        files = glob.glob(os.path.join(outdir, name, "*.parquet"))
+        # sorted: the row compare is positional, and part-file names sort in
+        # global sort order — an unsorted glob would concatenate multi-part
+        # outputs in readdir order and spuriously fail correct results
+        files = sorted(glob.glob(os.path.join(outdir, name, "*.parquet")))
         if not files:
             print(f"FAIL {name}: no engine output"); n_fail += 1; continue
         eng_q = f"SELECT * FROM read_parquet({files!r})"

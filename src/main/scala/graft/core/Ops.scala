@@ -92,6 +92,17 @@ object Ops {
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 
+  /** THE fixed-point rendering of a computed real — the one definition of
+    * the oracle-compare representation rule: `floor(x·10ᵏ + 0.5)` as BIGINT.
+    * Both engines hold bit-identical doubles and `floor` is exact on them;
+    * DECIMAL-from-double (`round(x, k)`/CAST) proved engine-version-
+    * sensitive (round 1: 11 hash mismatches). Every operator/probe emitting
+    * a real goes through this (or mirrors it verbatim in oracle SQL) —
+    * don't reintroduce per-site copies.
+    */
+  def fixedPoint(c: Column, digits: Int): Column =
+    floor(c * lit(math.pow(10, digits)) + lit(0.5)).cast("long")
+
   /** Global 1-based rank over a total order — scale-safe. A bare
     * `row_number().over(Window.orderBy(…))` collapses the whole table into
     * ONE partition (Spark warns `No Partition Defined`), a single-task sort

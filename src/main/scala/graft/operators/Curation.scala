@@ -28,8 +28,7 @@ object Curation {
         count(when(hashSampleKeep(keyCol, hexDigits), 1)).as("n_sampled"))
       // scale-4 fixed point: representation-stable across engines
       .withColumn("ratio_e4",
-        floor(col("n_sampled") * lit(1.0) / col("n_total") * lit(10000d) +
-          lit(0.5)).cast("long"))
+        graft.core.Ops.fixedPoint(col("n_sampled") * lit(1.0) / col("n_total"), 4))
 
   /** Token-length bin (floor to `binWidth`, capped at `cap`) — the
     * histogram behind sequence-packing batch planning.

@@ -104,9 +104,8 @@ object Dedup {
       .select("idA", "idB").distinct()
     val shSets = sh.select(col(idCol), array_distinct(col("sh")).as("shd"))
     val inter = size(array_intersect(col("sa"), col("sb")))
-    val jacc = floor(inter * lit(1.0) /
-      (size(col("sa")) + size(col("sb")) - inter) * lit(10000d) + lit(0.5))
-      .cast("long")
+    val jacc = graft.core.Ops.fixedPoint(inter * lit(1.0) /
+      (size(col("sa")) + size(col("sb")) - inter), 4)
     cand
       .join(shSets.select(col(idCol).as("idA"), col("shd").as("sa")), "idA")
       .join(shSets.select(col(idCol).as("idB"), col("shd").as("sb")), "idB")
@@ -194,6 +193,6 @@ object Dedup {
         col("ninter") * lit(1.0) / (col("na") + col("nb") - col("ninter")))
       .filter(col("__raw") >= threshold)
       .select(col("idA"), col("idB"),
-        floor(col("__raw") * lit(10000d) + lit(0.5)).cast("long").as("jacc_e4"))
+        graft.core.Ops.fixedPoint(col("__raw"), 4).as("jacc_e4"))
   }
 }

@@ -49,8 +49,7 @@ object Similarity {
     * exact on them, while `round(double, k) → DECIMAL` proved
     * engine-version-sensitive (round 1: 11 hash mismatches from exactly this).
     */
-  def scoreE4(raw: Column): Column =
-    floor(raw * lit(10000d) + lit(0.5)).cast("long")
+  def scoreE4(raw: Column): Column = graft.core.Ops.fixedPoint(raw, 4)
 
   /** DuckDB rendering of [[scoreE4]]. */
   def scoreE4DuckSql(raw: String): String =

@@ -67,9 +67,8 @@ object TextStats {
     val punctRatio = punct * lit(1.0) / greatest(nChars, lit(1))
     val stopRatio =
       markerHits(words, StopWords) * lit(1.0) / greatest(nWords, lit(1))
-    floor((lit(0.5) * least(lit(1.0), nWords / lit(50.0)) +
-      lit(0.3) * (lit(1.0) - punctRatio) + lit(0.2) * stopRatio) * lit(10000d) +
-      lit(0.5)).cast("long")
+    graft.core.Ops.fixedPoint(lit(0.5) * least(lit(1.0), nWords / lit(50.0)) +
+      lit(0.3) * (lit(1.0) - punctRatio) + lit(0.2) * stopRatio, 4)
   }
 
   /** PII scrubbing patterns (training-data redaction). Kept to syntax
@@ -103,9 +102,8 @@ object TextStats {
     */
   def repetitionRatio(shingles: Column): Column =
     when(size(shingles) === 0, lit(0L))
-      .otherwise(floor((lit(1.0) -
-        size(array_distinct(shingles)) * lit(1.0) / size(shingles)) * lit(10000d) +
-        lit(0.5)).cast("long"))
+      .otherwise(graft.core.Ops.fixedPoint(lit(1.0) -
+        size(array_distinct(shingles)) * lit(1.0) / size(shingles), 4))
 
   /** BPE-ish tokenization regex: letter runs, single digits, single
     * non-alnum marks (GPT-2-style pre-tokenizer shape, ASCII-simplified).

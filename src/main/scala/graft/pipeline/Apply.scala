@@ -27,9 +27,8 @@ object Apply {
   /** Anything else re-raises (main.py:628, 687). */
   case object Fatal extends SyncError
 
-  private val RevisionGate =
-    ("(?s)^.*Cannot check for updates: There is/are [0-9]+ " +
-      "revision\\(s\\) available\\.").r
+  // single source of truth for the message shape: Upgrade.RevisionGate
+  private val RevisionGate = ("(?s)^.*" + Upgrade.RevisionGate).r
 
   def classify(errorMsg: String): SyncError =
     if (errorMsg.endsWith("OpenERP version doesn't match database version!"))

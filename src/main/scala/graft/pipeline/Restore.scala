@@ -166,22 +166,32 @@ object Restore {
             attempts += Attempt(instance, file, db, "exists")
             done += instance
           } else {
-            try {
-              publish(spark, sanitize(df), warehouse, db)
+            val ok =
+              try { publish(spark, sanitize(df), warehouse, db); true }
+              catch { case scala.util.control.NonFatal(_) => false }
+            if (ok) {
               existing += db
               done += instance
-              onRestored(db) // main.py:358-359 per-restored-db hook (--notify)
               attempts += Attempt(instance, file, db, "restored")
-            } catch {
-              case scala.util.control.NonFatal(_) =>
-                attempts += Attempt(instance, file, db, "failed")
-            }
+              // outside the publish try: a throwing user hook must not
+              // relabel a committed restore as failed
+              onRestored(db) // main.py:358-359 per-restored-db hook (--notify)
+            } else attempts += Attempt(instance, file, db, "failed")
           }
       }
     }
     if (gc) {
-      val victims = gcVictims(catalog(spark, warehouse), prefix)
-        .select("db").as[String].collect().toSeq
+      // Per-restored-instance clean, like the reference (db.py:660-677):
+      // keep each JUST-restored db, drop its siblings. Instances excluded
+      // from (or not restored by) this run are untouched — a warehouse-wide
+      // keep-newest-name sweep could delete dbs of uninvolved instances,
+      // or even the just-restored db when an earlier restore carried a
+      // newer-sorting name.
+      val keep = attempts.filter(_.status == "restored").map(_.db).toSet
+      val restoredInstances = keep.map(db => Naming.dbToInstance(db, prefix))
+      val victims = catalog(spark, warehouse).as[String].collect().toSeq
+        .filter(db => !keep.contains(db) &&
+          restoredInstances.contains(Naming.dbToInstance(db, prefix)))
       dropDbs(spark, warehouse, victims)
     }
     attempts.toList

@@ -35,7 +35,11 @@ object Upgrade {
     * and [[revisionsAvailable]] additionally extracts the count N (empty
     * string when the gate doesn't fire).
     */
-  private val RevisionGate =
+  /** The one definition of the gate message's regex (with the count as a
+    * capture group) — [[Apply.classify]] derives from it too, so the two
+    * classifiers cannot drift.
+    */
+  val RevisionGate: String =
     "Cannot check for updates: There is/are ([0-9]+) revision\\(s\\) available\\."
 
   def updateAvailable(errorMsg: Column): Column =

@@ -29,10 +29,8 @@ object Probes {
     * (`round(x, k)`/`CAST(… AS DECIMAL)`) proved oracle-version-sensitive
     * (13 round-1 hash mismatches).
     */
-  private def cents(c: Column): Column =
-    floor(c * lit(100d) + lit(0.5)).cast("long")
-  private def e4(c: Column): Column =
-    floor(c * lit(10000d) + lit(0.5)).cast("long")
+  private def cents(c: Column): Column = Ops.fixedPoint(c, 2)
+  private def e4(c: Column): Column = Ops.fixedPoint(c, 4)
 
   // ---- Q1 latest-per-group (OP-29/24/32) --------------------------------
   val q01: Q = (s, d) =>

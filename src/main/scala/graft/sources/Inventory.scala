@@ -51,12 +51,13 @@ object Inventory {
     listing
       .withColumn("modified", to_timestamp(col("modified_raw"), TsFormat))
       .filter(col("file").endsWith(".zip") && col("file").contains("-"))
-      // |asOf − modified| ≥ 15 min, matching the reference's abs-difference
-      // guard (cloud.py:132): a file whose timestamp is far in the FUTURE
-      // (clock skew) is kept, not permanently dropped — only the ±15 min
-      // window around "now" is treated as possibly in-flight.
-      .filter(col("modified") < asOf - expr("INTERVAL 15 MINUTES") ||
-        col("modified") > asOf + expr("INTERVAL 15 MINUTES"))
+      // |asOf − modified| ≥ 15 min is KEPT, matching the reference's
+      // abs-difference guard (cloud.py:132 skips only abs(now−mtime) < 900,
+      // so the exact-900 s boundary is kept): a file whose timestamp is far
+      // in the FUTURE (clock skew) is kept too, not permanently dropped —
+      // only the open ±15 min window around "now" counts as in-flight.
+      .filter(col("modified") <= asOf - expr("INTERVAL 15 MINUTES") ||
+        col("modified") >= asOf + expr("INTERVAL 15 MINUTES"))
       .withColumn("instance", instanceKey(col("file")))
       .drop("modified_raw")
 

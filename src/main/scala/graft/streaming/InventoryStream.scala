@@ -93,11 +93,21 @@ object InventoryStream {
         val ledgerP = new org.apache.hadoop.fs.Path(ledgerPath)
         val fs = sinkP.getFileSystem(hc)
         val keyCols = keys.map(col)
-        val known =
-          if (fs.exists(ledgerP)) spark.read.parquet(ledgerPath)
-          else if (fs.exists(sinkP)) // bootstrap/repair: derive from sink once
+        // A ledger DIRECTORY can exist but be unreadable (crash mid-write
+        // left only _temporary, or a partial commit) — treating "dir
+        // exists" as "ledger valid" would either fail every restart or
+        // silently lose keys. Readability is probed (schema inference),
+        // and an unreadable ledger falls back to the sink bootstrap.
+        val ledger: Option[DataFrame] =
+          if (!fs.exists(ledgerP)) None
+          else scala.util.Try {
+            val df = spark.read.parquet(ledgerPath); df.schema; df
+          }.toOption
+        val known = ledger.getOrElse {
+          if (fs.exists(sinkP)) // bootstrap/repair: derive from sink once
             spark.read.parquet(sinkPath).select(keyCols: _*)
           else batch.select(keyCols: _*).limit(0)
+        }
         val fresh = batch.dropDuplicates(keys)
           .join(known.dropDuplicates(keys), keys, "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -106,11 +116,19 @@ object InventoryStream {
           fresh.select(keyCols: _*).write.mode("append").parquet(ledgerPath) // … then keys
           if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1 &&
               fs.exists(sinkP)) {
-            // rebuild from truth; overwrite is safe — a crash mid-rewrite
-            // leaves no ledger and the next batch bootstraps from the sink
+            // rebuild from truth via write-tmp + swap — overwriting the
+            // live ledger in place would leave a partial directory on a
+            // crash. Crash windows: mid-tmp-write → live ledger intact;
+            // after delete, before rename → no ledger dir → next batch
+            // bootstraps from the sink. Either way the dedup contract holds.
+            val tmpPath = ledgerPath + "__compact"
+            val tmpP = new org.apache.hadoop.fs.Path(tmpPath)
             spark.read.parquet(sinkPath).select(keyCols: _*)
               .dropDuplicates(keys)
-              .write.mode("overwrite").parquet(ledgerPath)
+              .write.mode("overwrite").parquet(tmpPath)
+            if (fs.exists(ledgerP)) fs.delete(ledgerP, true)
+            if (!fs.rename(tmpP, ledgerP))
+              throw new java.io.IOException(s"rename $tmpP -> $ledgerP failed")
           }
         } finally fresh.unpersist()
         ()

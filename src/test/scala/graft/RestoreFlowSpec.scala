@@ -121,10 +121,23 @@ class RestoreFlowSpec extends SparkSpec {
       ("OCG_KE1_NBO-Mon.zip", "exists"),
       ("OCA_TD1_ABC-Sun.zip", "exists")))
 
-    // GC: publish an older sibling, re-run keeps only the newest per instance
-    Restore.publish(spark, dump, wh, "OCG_KE1_NBO_20240101_0000")
+    // GC is per-RESTORED-instance (db.py:660-677): an exists-skip run must
+    // NOT clean (the reference cleans only after a successful load), and a
+    // fresh restore drops only the restored instance's siblings
+    Restore.publish(spark, dump, wh, "OCG_KE1_NBO_20240101_0000") // older sibling
+    Restore.publish(spark, dump, wh, "OCZ_UN1_XXX_20200101_0000") // uninvolved
+    val existsRun = Restore.run(spark, inv, wh, fetch, include = Seq("OCG,OCA"))
+    assert(!existsRun.exists(_.status == "restored"))
+    assert(Restore.catalog(spark, wh).as[String].collect().toSet == Set(
+      "OCG_KE1_NBO_20240110_0800", "OCA_TD1_ABC_20240109_0700",
+      "OCG_KE1_NBO_20240101_0000", "OCZ_UN1_XXX_20200101_0000"))
+
+    Restore.dropDbs(spark, wh, Seq("OCG_KE1_NBO_20240110_0800"))
     Restore.run(spark, inv, wh, fetch, include = Seq("OCG,OCA"))
-    assert(Restore.catalog(spark, wh).as[String].collect().toSet ==
-      Set("OCG_KE1_NBO_20240110_0800", "OCA_TD1_ABC_20240109_0700"))
+    // OCG restored again → its older sibling GC'd; the uninvolved OCZ db
+    // and the exists-skipped OCA db survive
+    assert(Restore.catalog(spark, wh).as[String].collect().toSet == Set(
+      "OCG_KE1_NBO_20240110_0800", "OCA_TD1_ABC_20240109_0700",
+      "OCZ_UN1_XXX_20200101_0000"))
   }
 }
