@@ -47,6 +47,27 @@ object Curation {
     conv(substring(md5(keyCol.cast("string")), 1, 1), 16, 10).cast("int")
   }
 
+  /** Sequence packing (concat-and-chunk): within each shard, documents are
+    * laid out in `idCol` order and cut into packs of `budget` tokens; a
+    * document's pack is the chunk its START offset falls into —
+    * `floor((cumsum − tokens) / budget)`. This is the standard contiguous
+    * greedy packing used for LLM pretraining batches. The running sum is a
+    * window PARTITIONED BY the shard column (16-way content-hash by
+    * default), so no single-partition window exists and packing
+    * parallelizes across shards at any corpus size.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: Column,
+                    shardCol: Column, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", shardCol)
+      .withColumn("toks", tokensCol.cast("long"))
+      .withColumn("pack",
+        floor((sum(col("toks")).over(w) - col("toks")) / lit(budget))
+          .cast("long"))
+  }
+
   /** Write training shards: one directory per shard under `path`
     * (`shard=N/…`). DESTRUCTIVE by default: `mode` is Overwrite — `path` is
     * replaced wholesale; pass another SaveMode to change that.

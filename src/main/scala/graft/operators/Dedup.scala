@@ -112,6 +112,54 @@ object Dedup {
       .select(col("idA"), col("idB"), jacc.as("jacc_e4"))
   }
 
+  /** Connected components over near-dup pairs — the step that turns a pair
+    * list (from [[minhashNearDupPairs]] / [[ngramJaccardPairs]] /
+    * `Similarity.rpLshNearDupPairs`) into dedup GROUPS (keep one doc per
+    * component, drop the rest). Min-label propagation: every node starts
+    * labeled with its own id; each round takes the min label over
+    * neighbors; converges in graph-diameter rounds (near-dup components
+    * are shallow — duplicates of duplicates — so a handful of rounds).
+    *
+    * Scale shape: each round is one equi-join (edges ⋈ labels on node id)
+    * plus a min-aggregate — all distributed; the driver only counts changed
+    * labels per round (one scalar). Labels persist per round
+    * (MEMORY_AND_DISK) so lineage doesn't re-run prior rounds. Returns
+    * (id, label) with label = min id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "idA",
+                          idB: String = "idB", maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val updated = labels
+        .join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = updated
+        .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
+        .filter(col("label") < col("prev")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iters += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 16-bit SimHash over the token multiset. Bit j (1-based, MSB first) is
     * the sign of the sum over tokens of ±1 from the parity of md5 nibble j.
     * Emitted as one generated SQL expression so the DuckDB oracle can be the

@@ -453,6 +453,62 @@ object ExtProbes {
        |SELECT idA, idB, ${Similarity.scoreE4DuckSql("raw")} AS score_e4
        |FROM p WHERE raw >= 0.8 ORDER BY idA, idB""".stripMargin
 
+  // ---- q53 sequence packing (concat-and-chunk batch layout) -------------
+  // Each document's pack id = the 256-token chunk its start offset falls
+  // into, laid out in doc_id order within its content-hash shard. The
+  // running sum is a shard-PARTITIONED window — parallel at any scale.
+  val q53: Q = (s, d) =>
+    Curation.packSequences(
+        Tables.documents(s, d)
+          .withColumn("toks", TextStats.wsTokenCount(col("text")).cast("long")),
+        "doc_id", col("toks"), Curation.shardAssign(col("text")), budget = 256)
+      .select("doc_id", "shard", "toks", "pack")
+      .orderBy("doc_id")
+
+  val q53Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS INT) AS shard,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+      |  FROM documents)
+      |SELECT doc_id, shard, toks,
+      |  CAST(floor((sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks) / 256) AS BIGINT) AS pack
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---- q54 connected-components dedup clustering ------------------------
+  // Near-dup PAIRS become dedup GROUPS via min-label propagation; the
+  // oracle computes the same components with a recursive CTE. Edges are
+  // planted chains: i—(i+100000) for i%7=0, plus (i+100000)—(i+200000)
+  // for i%14=0 — components of size 2 and 3.
+  val q54: Q = (s, d) => {
+    val ids = Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select("doc_id")
+    val e1 = ids.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("idA"), (col("doc_id") + 100000).as("idB"))
+    val e2 = ids.filter(col("doc_id") % 14 === 0)
+      .select((col("doc_id") + 100000).as("idA"),
+        (col("doc_id") + 200000).as("idB"))
+    Dedup.connectedComponents(e1.unionByName(e2)).orderBy("id")
+  }
+
+  val q54Sql: String =
+    """WITH RECURSIVE
+      |ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+      |edges AS (
+      |  SELECT doc_id AS src, doc_id + 100000 AS dst FROM ids WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, doc_id + 200000 FROM ids WHERE doc_id % 14 = 0),
+      |undirected AS (
+      |  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+      |nodes AS (SELECT DISTINCT src AS id FROM undirected),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT u.src, reach.r FROM undirected u JOIN reach ON reach.id = u.dst)
+      |SELECT id, CAST(min(r) AS BIGINT) AS label
+      |FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   // ---- q47 approximate aggregates (no SQL oracle BY DESIGN) -------------
   // HLL/quantile sketches are implementation-specific — DuckDB's
   // approx_count_distinct would not hash-match Spark's. The driver records
@@ -524,6 +580,8 @@ object ExtProbes {
     "q48_pii_redaction" -> q48,
     "q51_repetition_ratio" -> q51,
     "q52_rplsh_neardup" -> q52,
+    "q53_sequence_packing" -> q53,
+    "q54_dedup_components" -> q54,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -545,5 +603,7 @@ object ExtProbes {
     "q48_pii_redaction" -> q48Sql,
     "q51_repetition_ratio" -> q51Sql,
     "q52_rplsh_neardup" -> q52Sql,
+    "q53_sequence_packing" -> q53Sql,
+    "q54_dedup_components" -> q54Sql,
   )
 }

@@ -70,6 +70,27 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("connectedComponents: min-label over chains, pairs and isolates") {
+    // components: {1,2,3} (chain), {10,11}, {20,21,22,23} (star on 20)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (20L, 22L), (20L, 23L)).toDF("idA", "idB")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("packSequences: start-offset chunking per shard in id order") {
+    import graft.operators.Curation
+    // one shard: toks 100,100,100 with budget 256 → starts 0,100,200 →
+    // packs 0,0,0; fourth doc starts at 300 → pack 1
+    val df = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L))
+      .toDF("doc_id", "toks")
+    val got = Curation.packSequences(df, "doc_id", col("toks"), lit(0), 256)
+      .select("doc_id", "pack").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
   test("quality score falls within [0,10000] e4 and penalizes punctuation") {
     val df = Seq((1L, "the plain simple readable text goes here"),
                  (2L, "@@## !!%% ??^^ &&**")).toDF("doc_id", "text")
