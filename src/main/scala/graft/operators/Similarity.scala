@@ -157,6 +157,26 @@ object Similarity {
       .select(col("cid"),
         expr("transform(pm, e -> cast(e.m_e8 as double) / 1e8)").as("v"))
 
+  /** Scalar int8 quantization — the embedding-compression step of a
+    * 100 TB ANN index (4× smaller than float32, dot products stay
+    * SIMD-friendly). Per vector: scale = max|xᵢ|/127 (1.0 for an all-zero
+    * vector), qᵢ = round-half-up(xᵢ/scale) clamped to [−127, 127].
+    * Long-form output (id, scale_e8, pos, qv) — scalar columns only, with
+    * the scale as scale-8 fixed point, so the oracle compare is exact.
+    * Pure per-row map: no shuffle beyond the posexplode fan-out.
+    */
+  def quantizeInt8(vectors: DataFrame): DataFrame = {
+    val m = array_max(transform(col("v"), x => abs(x))) / lit(127d)
+    val scale = when(m > 0, m).otherwise(lit(1d))
+    vectors
+      .withColumn("__s", scale)
+      .select(col("id"), graft.core.Ops.fixedPoint(col("__s"), 8).as("scale_e8"),
+        col("__s"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("id"), col("scale_e8"), col("pos").cast("int").as("pos"),
+        greatest(lit(-127L), least(lit(127L),
+          floor(col("x") / col("__s") + lit(0.5)).cast("long"))).as("qv"))
+  }
+
   /** Build an IVF coarse quantizer: deterministic hash-sampled seed
     * centroids, then `iters` k-means refinement passes (each pass is fully
     * distributed; only the centroid table — small by construction — flows

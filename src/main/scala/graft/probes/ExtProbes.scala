@@ -509,6 +509,30 @@ object ExtProbes {
       |SELECT id, CAST(min(r) AS BIGINT) AS label
       |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  // ---- q55 int8 scalar quantization (ANN index compression) -------------
+  val q55: Q = (s, d) =>
+    Similarity.quantizeInt8(
+        Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"),
+            Similarity.toDoubleVec(col("embedding")).as("v")))
+      .orderBy("id", "pos")
+
+  val q55Sql: String =
+    """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |sc AS (SELECT id, v,
+      |    CASE WHEN m > 0 THEN m ELSE 1.0 END AS s
+      |  FROM (SELECT id, v,
+      |          list_max(list_transform(v, x -> abs(x))) / 127 AS m
+      |        FROM e)),
+      |ex AS (SELECT id,
+      |    CAST(floor(s * 100000000 + 0.5) AS BIGINT) AS scale_e8,
+      |    t.pos AS pos, v[t.pos] / s AS r
+      |  FROM sc, unnest(generate_series(1, len(v))) AS t(pos))
+      |SELECT id, scale_e8, CAST(pos - 1 AS INT) AS pos,
+      |  greatest(-127, least(127, CAST(floor(r + 0.5) AS BIGINT))) AS qv
+      |FROM ex ORDER BY id, pos""".stripMargin
+
   // ---- q47 approximate aggregates (no SQL oracle BY DESIGN) -------------
   // HLL/quantile sketches are implementation-specific — DuckDB's
   // approx_count_distinct would not hash-match Spark's. The driver records
@@ -582,6 +606,7 @@ object ExtProbes {
     "q52_rplsh_neardup" -> q52,
     "q53_sequence_packing" -> q53,
     "q54_dedup_components" -> q54,
+    "q55_int8_quantization" -> q55,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -605,5 +630,6 @@ object ExtProbes {
     "q52_rplsh_neardup" -> q52Sql,
     "q53_sequence_packing" -> q53Sql,
     "q54_dedup_components" -> q54Sql,
+    "q55_int8_quantization" -> q55Sql,
   )
 }

@@ -70,6 +70,27 @@ class VectorOpsSpec extends SparkSpec {
       pairs.toString)
   }
 
+  test("quantizeInt8: values in [-127,127], reconstruction within scale/2") {
+    val vecs = Seq(
+      (1L, Seq(0.5, -1.0, 0.25)),   // max|x|=1.0 → scale=1/127
+      (2L, Seq(0.0, 0.0, 0.0))      // all-zero → scale 1, qv all 0
+    ).toDF("id", "v")
+    val rows = Similarity.quantizeInt8(vecs)
+      .select("id", "scale_e8", "pos", "qv")
+      .as[(Long, Long, Int, Long)].collect()
+    assert(rows.forall(r => r._4 >= -127 && r._4 <= 127))
+    val origs = Map((1L, 0) -> 0.5, (1L, 1) -> -1.0, (1L, 2) -> 0.25,
+      (2L, 0) -> 0.0, (2L, 1) -> 0.0, (2L, 2) -> 0.0)
+    rows.foreach { case (id, se8, pos, qv) =>
+      val scale = se8 / 1e8
+      // scale/2 from round-half-up, plus |qv|·0.5e-8 from the e8-rounded
+      // scale used for reconstruction (≤ 6.4e-7 at |qv| ≤ 127)
+      assert(math.abs(qv * scale - origs((id, pos))) <= scale / 2 + 1e-6,
+        s"($id,$pos)")
+    }
+    assert(rows.filter(_._1 == 2L).forall(_._4 == 0L))
+  }
+
   test("Inventory.typed gives a Dataset[BackupFile]") {
     val inv = graft.sources.Inventory.fromListing(spark,
       Seq(("OCG_KE1_NBO-Mon.zip", "u1", "2024-01-10T08:00:00Z")),
