@@ -23,17 +23,27 @@ object Bench {
         "lineitem", "events", "documents", "embeddings")
         .foreach(t => Tables.table(spark, sfDir, t).limit(1).count())
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Timed action: a noop-format write evaluates EVERY output column.
+    // (.count() lets Catalyst prune unreferenced projections, so map-only
+    // queries were timed as little more than a parquet scan.)
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // operator-persisted tables don't leak across timings
-      name -> dt
+      dt
+    }
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (0 until nRuns).map(_ => runOnce(fn)).sorted
+      name -> times(times.size / 2) // median
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns,"action":"noop-write"}""")
     spark.stop()
   }
 }
