@@ -167,11 +167,24 @@ object Dedup {
     */
   val SimhashBits = 16
 
-  def simhash16(words: Column): Column = {
+  /** Token-hash array for [[simhash16]]: md5 once per token. The naive form
+    * (md5 inside each bit's aggregate lambda) recomputes md5 per token PER
+    * BIT — 16× the hash work for identical output. Project this as its own
+    * attribute (`wh`) before calling simhash16, so the transform evaluates
+    * once per row.
+    */
+  def tokenHashes(words: Column): Column = transform(words, t => md5(t))
+
+  /** 16-bit SimHash over a precomputed token-hash array column named `wh`
+    * (see [[tokenHashes]]). Bit j (1-based, MSB first) is the sign of the
+    * sum over tokens of ±1 from the parity of md5 nibble j. The DuckDB
+    * oracle renders the same values directly from the words array.
+    */
+  def simhash16: Column = {
     val terms = (1 to SimhashBits).map { j =>
       val pm1 =
-        s"(instr('0123456789abcdef', substr(md5(t), $j, 1)) - 1) % 2 * 2 - 1"
-      val bitSum = s"aggregate(w, 0, (acc, t) -> acc + ($pm1))"
+        s"(instr('0123456789abcdef', substr(h, $j, 1)) - 1) % 2 * 2 - 1"
+      val bitSum = s"aggregate(wh, 0, (acc, h) -> acc + ($pm1))"
       val bit = s"(CASE WHEN ($bitSum) > 0 THEN 1 ELSE 0 END)"
       s"$bit * ${1L << (SimhashBits - j)}"
     }

@@ -118,9 +118,33 @@ object TextStats {
 
   /** Winnowing fingerprint (classic MOSS shape, k=8 char-grams, window w=4):
     * per window position j, the min of the 4 rolling 8-gram md5-prefix
-    * hashes; the distinct set of window-mins is the fingerprint. Expressed
-    * as one generated expression over a column named `text` (the oracle
-    * mirrors it with list functions).
+    * hashes; the distinct set of window-mins is the fingerprint.
+    *
+    * Two-step on the Spark side: [[winnowGramHashExpr]] computes each 8-gram
+    * hash ONCE (len−7 md5 calls), then [[winnowFromHashesExpr]] takes the
+    * windowed min over slices of that array. The naive one-step form
+    * (window-of-hashes inline) recomputes every gram hash w=4 times — 4× the
+    * md5 work for identical output. Project the gram-hash array as its OWN
+    * attribute between the two steps, or lambda substitution re-inlines it
+    * (same pathology as `Dedup.shingleSets` — see the NOTE there).
+    * Output values are identical to the one-step form, so the DuckDB oracle
+    * keeps the direct rendering.
+    */
+  val winnowGramHashExpr: String =
+    """CASE WHEN length(text) >= 8 THEN
+         transform(sequence(1, length(text) - 7),
+           k -> substr(md5(substr(text, k, 8)), 1, 8))
+       ELSE CAST(array() AS array<string>) END"""
+
+  /** Windowed min over a gram-hash array column named `gh` (w=4). */
+  val winnowFromHashesExpr: String =
+    """CASE WHEN size(gh) >= 4 THEN
+         transform(sequence(1, size(gh) - 3),
+           j -> array_min(slice(gh, j, 4)))
+       ELSE CAST(array() AS array<string>) END"""
+
+  /** One-step form (reference rendering; 4× the md5 work — probes use the
+    * two-step split above).
     */
   val winnowSparkExpr: String =
     """CASE WHEN length(text) >= 11 THEN

@@ -68,8 +68,9 @@ object ExtProbes {
   // ---- q28 SimHash -------------------------------------------------------
   val q28: Q = (s, d) =>
     Tables.documents(s, d)
-      .withColumn("w", Dedup.normalizeWords(col("text")))
-      .withColumn("simhash", Dedup.simhash16(col("w")))
+      .transform(graft.core.Ops.widen(_)) // 1-row-group parquet: parallelize the md5 map
+      .withColumn("wh", Dedup.tokenHashes(Dedup.normalizeWords(col("text"))))
+      .withColumn("simhash", Dedup.simhash16)
       .withColumn("nbits", expr("CAST(bit_count(simhash) AS BIGINT)"))
       .select("doc_id", "simhash", "nbits")
       .orderBy("doc_id")
@@ -187,7 +188,7 @@ object ExtProbes {
 
   // ---- q32 language ID (marker-profile heuristic) -----------------------
   val q32: Q = (s, d) => {
-    var df = Tables.documents(s, d)
+    var df = graft.core.Ops.widen(Tables.documents(s, d))
       .withColumn("w", Dedup.normalizeWords(col("text")))
     for ((name, markers) <- TextStats.LangProfiles)
       df = df.withColumn(s"s_$name",
@@ -213,7 +214,7 @@ object ExtProbes {
 
   // ---- q33 quality scoring ----------------------------------------------
   val q33: Q = (s, d) =>
-    Tables.documents(s, d)
+    graft.core.Ops.widen(Tables.documents(s, d))
       .withColumn("w", Dedup.normalizeWords(col("text")))
       .withColumn("n_words", size(col("w")).cast("long"))
       .withColumn("score_e4", TextStats.qualityScore(col("text"), col("w")))
@@ -237,7 +238,7 @@ object ExtProbes {
 
   // ---- q34 token counting -----------------------------------------------
   val q34: Q = (s, d) =>
-    Tables.documents(s, d)
+    graft.core.Ops.widen(Tables.documents(s, d))
       .withColumn("ws_toks", TextStats.wsTokenCount(col("text")).cast("long"))
       .withColumn("bpe_toks", TextStats.bpeTokenCount(col("text")).cast("long"))
       .withColumn("cpt_e2",
@@ -257,8 +258,9 @@ object ExtProbes {
 
   // ---- q35 winnowing fingerprint ----------------------------------------
   val q35: Q = (s, d) =>
-    Tables.documents(s, d)
-      .withColumn("wm", expr(TextStats.winnowSparkExpr))
+    graft.core.Ops.widen(Tables.documents(s, d))
+      .withColumn("gh", expr(TextStats.winnowGramHashExpr))
+      .withColumn("wm", expr(TextStats.winnowFromHashesExpr))
       .select(col("doc_id"),
         size(array_distinct(col("wm"))).cast("long").as("n_fp"),
         array_min(col("wm")).as("fp_min"))
@@ -387,7 +389,7 @@ object ExtProbes {
 
   // ---- q48 PII redaction (planted synthetic PII) ------------------------
   val q48: Q = (s, d) =>
-    Tables.documents(s, d)
+    graft.core.Ops.widen(Tables.documents(s, d))
       .withColumn("text", concat(col("text"),
         lit(" contact user"), col("doc_id"), lit("@example.com or "),
         lit("http://site"), col("doc_id") % 10, lit(".example.org/x tel +41 22 "),
@@ -554,7 +556,7 @@ object ExtProbes {
   // Planted degenerates: every 11th doc's text is replaced by one phrase
   // repeated, driving the ratio toward 1.
   val q51: Q = (s, d) =>
-    Tables.documents(s, d)
+    graft.core.Ops.widen(Tables.documents(s, d))
       .withColumn("text",
         when(col("doc_id") % 11 === 0,
           concat_ws(" ", (0 until 30).map(_ => lit("spam ham")): _*))

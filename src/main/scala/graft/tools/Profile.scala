@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only stage profiler for the slow-query list (VERDICT round 2 items
+  * 1 & 3). Times named sub-stages of a probe with cache cleared between
+  * repetitions, printing one line per (stage, run). Not part of the bench
+  * contract — `graft.Bench` stays the official number.
+  *
+  * Usage: sbt "runMain graft.tools.Profile <sfDir> <probe> [nRuns]"
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val which = if (args.length > 1) args(1) else "q27"
+    val nRuns = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warmup parity with Bench
+    spark.range(100000).selectExpr("md5(cast(id AS string)) AS h")
+      .groupBy().count().collect()
+    graft.Tables.table(spark, sfDir, "documents").limit(1).count()
+
+    def time(label: String)(mk: => DataFrame): Unit = {
+      (1 to nRuns).foreach { i =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"PROFILE $which%-6s $label%-28s run$i $dt%8.3f s")
+        spark.catalog.clearCache()
+      }
+    }
+
+    which match {
+      case "q27" => profQ27(spark, sfDir, time)
+      case "q25" => time("full")(graft.SparkEntry.queries("q25_star_join_revenue")(spark, sfDir))
+      case "q26" => time("full")(graft.SparkEntry.queries("q26_agg_breadth")(spark, sfDir))
+      case "q32" => time("full")(graft.SparkEntry.queries("q32_lang_id")(spark, sfDir))
+      case other => time("full")(graft.SparkEntry.queries(other)(spark, sfDir))
+    }
+    spark.stop()
+  }
+
+  private def profQ27(spark: SparkSession, d: String,
+                      time: String => (=> DataFrame) => Unit): Unit = {
+    import graft.operators.Dedup
+    import graft.Tables
+    def planted: DataFrame = {
+      val base = Tables.documents(spark, d).select("doc_id", "text")
+      val p = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" zz yy xx")).as("text"))
+      base.unionByName(p)
+    }
+    // stage 1: shingle sets alone (no persist)
+    time("shingles")(Dedup.shingleSets(planted, "doc_id", "text"))
+    // stage 2: bands from unpersisted shingles (signature cost ×1)
+    time("bands")(Dedup.lshBands(
+      Dedup.shingleSets(planted, "doc_id", "text").filter(size(col("sh")) > 0),
+      "doc_id"))
+    // stage 3: candidates only (persisted shingles+bands, like the operator)
+    time("cand") {
+      import org.apache.spark.storage.StorageLevel
+      val sh = Dedup.shingleSets(planted, "doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK).filter(size(col("sh")) > 0)
+      val b = Dedup.lshBands(sh, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+      val a = b.select(col("doc_id").as("idA"), col("band"), col("bh"))
+      val c = b.select(col("doc_id").as("idB"), col("band"), col("bh"))
+      a.join(c, Seq("band", "bh")).filter(col("idA") < col("idB"))
+        .select("idA", "idB").distinct()
+    }
+    // stage 4: the full operator as shipped
+    time("full")(Dedup.minhashNearDupPairs(planted, "doc_id", "text")
+      .orderBy("idA", "idB"))
+  }
+}

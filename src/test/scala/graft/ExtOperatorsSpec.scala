@@ -20,8 +20,8 @@ class ExtOperatorsSpec extends SparkSpec {
 
   test("simhash16 is equal for identical text, in [0, 2^16)") {
     val df = Seq((1L, docA), (2L, docA), (3L, docC)).toDF("doc_id", "text")
-      .withColumn("w", Dedup.normalizeWords(col("text")))
-      .withColumn("sh", Dedup.simhash16(col("w")))
+      .withColumn("wh", Dedup.tokenHashes(Dedup.normalizeWords(col("text"))))
+      .withColumn("sh", Dedup.simhash16)
     val got = df.select("doc_id", "sh").as[(Long, Long)].collect().toMap
     assert(got(1L) == got(2L))
     assert(got.values.forall(v => v >= 0 && v < (1L << 16)))
