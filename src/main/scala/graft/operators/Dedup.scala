@@ -88,14 +88,23 @@ object Dedup {
     * three downstream branches (self-join sides, verify join), and without
     * pinning, Spark would re-run the full hash pipeline per consumer. At
     * cluster scale these are the "signature tables" an LSH system would
-    * materialize anyway (MEMORY_AND_DISK — spills, never OOMs).
+    * materialize anyway (MEMORY_AND_DISK — spills, never OOMs). The
+    * `Managed` variant hands those persists back for cleanup — long-lived
+    * sessions should consume the result, then `close()`; the plain variant
+    * keeps them pinned (callers that `clearCache()` anyway, or one-shot
+    * jobs, don't care).
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
+                          bands: Int = 4, rowsPerBand: Int = 3): DataFrame =
+    minhashNearDupPairsManaged(df, idCol, textCol, bands, rowsPerBand).df
+
+  def minhashNearDupPairsManaged(df: DataFrame, idCol: String, textCol: String,
+                                 bands: Int = 4, rowsPerBand: Int = 3)
+      : graft.core.Managed = {
     import org.apache.spark.storage.StorageLevel
-    val sh = shingleSets(df, idCol, textCol)
+    val shRaw = shingleSets(df, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-      .filter(size(col("sh")) > 0) // above the cache barrier: no pushdown
+    val sh = shRaw.filter(size(col("sh")) > 0) // above the cache barrier: no pushdown
     val b = lshBands(sh, idCol, bands, rowsPerBand).persist(StorageLevel.MEMORY_AND_DISK)
     val a = b.select(col(idCol).as("idA"), col("band"), col("bh"))
     val c = b.select(col(idCol).as("idB"), col("band"), col("bh"))
@@ -106,10 +115,11 @@ object Dedup {
     val inter = size(array_intersect(col("sa"), col("sb")))
     val jacc = graft.core.Ops.fixedPoint(inter * lit(1.0) /
       (size(col("sa")) + size(col("sb")) - inter), 4)
-    cand
+    val out = cand
       .join(shSets.select(col(idCol).as("idA"), col("shd").as("sa")), "idA")
       .join(shSets.select(col(idCol).as("idB"), col("shd").as("sb")), "idB")
       .select(col("idA"), col("idB"), jacc.as("jacc_e4"))
+    graft.core.Managed(out, Seq(shRaw, b))
   }
 
   /** Connected components over near-dup pairs — the step that turns a pair
@@ -127,7 +137,16 @@ object Dedup {
     * (id, label) with label = min id of the component.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "idA",
-                          idB: String = "idB", maxIters: Int = 20): DataFrame = {
+                          idB: String = "idB", maxIters: Int = 20): DataFrame =
+    connectedComponentsManaged(pairs, idA, idB, maxIters).df
+
+  /** [[connectedComponents]] with the final label table handed back for
+    * cleanup (the iteration has already materialized it; `close()` after
+    * consuming).
+    */
+  def connectedComponentsManaged(pairs: DataFrame, idA: String = "idA",
+                                 idB: String = "idB", maxIters: Int = 20)
+      : graft.core.Managed = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
@@ -157,7 +176,7 @@ object Dedup {
       iters += 1
     }
     edges.unpersist()
-    labels
+    graft.core.Managed(labels, Seq(labels))
   }
 
   /** 16-bit SimHash over the token multiset. Bit j (1-based, MSB first) is
@@ -223,10 +242,17 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double,
                         maxGramDocFreq: Option[Long] =
-                          Some(DefaultMaxGramDocFreq)): DataFrame = {
+                          Some(DefaultMaxGramDocFreq)): DataFrame =
+    ngramJaccardPairsManaged(df, idCol, textCol, threshold, maxGramDocFreq).df
+
+  def ngramJaccardPairsManaged(df: DataFrame, idCol: String, textCol: String,
+                               threshold: Double,
+                               maxGramDocFreq: Option[Long] =
+                                 Some(DefaultMaxGramDocFreq))
+      : graft.core.Managed = {
     // same two-step projection + filter-above-cache discipline as
     // shingleSets (see the NOTE there)
-    val grams = graft.core.Ops.widen(df)
+    val gramsRaw = graft.core.Ops.widen(df)
       .select(col(idCol), normalizeWords(col(textCol)).as("__w"))
       .select(col(idCol), array_distinct(
         when(size(col("__w")) >= 2,
@@ -235,7 +261,7 @@ object Dedup {
               element_at(col("__w"), i + 1))))
           .otherwise(array().cast("array<string>"))).as("__g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .filter(size(col("__g")) > 0)
+    val grams = gramsRaw.filter(size(col("__g")) > 0)
     val counts = grams.select(col(idCol), size(col("__g")).as("n"))
     val explodedAll = grams.select(col(idCol), explode(col("__g")).as("gram"))
     val exploded = maxGramDocFreq.fold(explodedAll) { cap =>
@@ -247,7 +273,7 @@ object Dedup {
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .groupBy(col(s"x.$idCol").as("idA"), col(s"y.$idCol").as("idB"))
       .agg(count(lit(1)).as("ninter"))
-    inter
+    val out = inter
       .join(counts.select(col(idCol).as("idA"), col("n").as("na")), "idA")
       .join(counts.select(col(idCol).as("idB"), col("n").as("nb")), "idB")
       .withColumn("__raw",
@@ -255,5 +281,6 @@ object Dedup {
       .filter(col("__raw") >= threshold)
       .select(col("idA"), col("idB"),
         graft.core.Ops.fixedPoint(col("__raw"), 4).as("jacc_e4"))
+    graft.core.Managed(out, Seq(gramsRaw))
   }
 }

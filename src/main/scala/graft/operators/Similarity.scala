@@ -237,28 +237,42 @@ object Similarity {
   /** Bucketed near-dup pairs: bucket join on the sign signature, exact
     * cosine verify within buckets. Multi-probe/banding are the standard
     * recall levers; one table keeps the oracle story simple.
+    *
+    * Pass `dim` (the embedding dimensionality) when known — it is a static
+    * property of any real embedding table, and the `None` fallback costs an
+    * extra driver-side `head(1)` job mid-plan to probe it.
     */
   def rpLshNearDupPairs(vectors: DataFrame, numPlanes: Int,
-                        threshold: Double): DataFrame = {
-    val firstRow = vectors.select(size(col("v"))).head(1)
-    if (firstRow.isEmpty) {
-      // empty corpus → empty pairs frame with the right schema
-      return vectors.sparkSession.sql(
+                        threshold: Double,
+                        dim: Option[Int] = None): DataFrame =
+    rpLshNearDupPairsManaged(vectors, numPlanes, threshold, dim).df
+
+  def rpLshNearDupPairsManaged(vectors: DataFrame, numPlanes: Int,
+                               threshold: Double,
+                               dim: Option[Int] = None): graft.core.Managed = {
+    val d = dim.getOrElse {
+      val firstRow = vectors.select(size(col("v"))).head(1)
+      if (firstRow.isEmpty) 0 else firstRow.head.getInt(0)
+    }
+    if (d <= 0) {
+      // empty corpus (probed) → empty pairs frame with the right schema
+      val empty = vectors.sparkSession.sql(
         "SELECT CAST(NULL AS BIGINT) idA, CAST(NULL AS BIGINT) idB, " +
           "CAST(NULL AS BIGINT) score_e4").limit(0)
+      return graft.core.Managed(empty, Seq.empty)
     }
-    val dim = firstRow.head.getInt(0)
-    val planes = hyperplanes(numPlanes, dim)
+    val planes = hyperplanes(numPlanes, d)
     val bucketed = graft.core.Ops.widen(vectors)
       .withColumn("__b", rpLshBucket(col("v"), planes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bucketed.select(col("id").as("idA"), col("v").as("va"), col("__b"))
     val b = bucketed.select(col("id").as("idB"), col("v").as("vb"), col("__b"))
-    a.join(b, Seq("__b"))
+    val out = a.join(b, Seq("__b"))
       .filter(col("idA") < col("idB"))
       .withColumn("__raw", cosine("va", "vb"))
       .filter(col("__raw") >= threshold)
       .select(col("idA"), col("idB"), scoreE4(col("__raw")).as("score_e4"))
+    graft.core.Managed(out, Seq(bucketed))
   }
 
   /** All pairs (idA < idB) with cosine ≥ threshold — embedding near-dup

@@ -435,7 +435,7 @@ object ExtProbes {
       .select((col("id") + 100000).as("id"),
         expr("transform(v, x -> x * 1.05 + 0.001)").as("v"))
     Similarity.rpLshNearDupPairs(base.unionByName(planted), numPlanes = 8,
-        threshold = 0.8)
+        threshold = 0.8, dim = Some(64)) // testdata embedding dim; skips the head-probe job
       .orderBy("idA", "idB")
   }
 
