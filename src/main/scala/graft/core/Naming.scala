@@ -45,13 +45,25 @@ object Naming {
     else stripped.split("_", -1).dropRight(2).mkString("_")
   }
 
+  /** Version-capture patterns. The reference applies the same natural-
+    * version sort to two artifact families, each with its own capture
+    * regex searched case-insensitively: upgrade patches (main.py:554) and
+    * user-rights zips (main.py:718 — whose final dot is unescaped there;
+    * mirrored verbatim).
+    */
+  val PatchZipPattern: String = "(?i)uf(.+?)\\.patch\\.zip"
+  val UserRightsPattern: String = "(?i)User Rights v(.+?).zip"
+
   /** `uf2.1-2p3.patch.zip` -> Seq(2,1,2,3); element-wise ordering.
     * Case-insensitive like the reference (main.py:554 applies re.I) — real
     * artifacts carry uppercase `UF2.1` names, and a case-sensitive miss
     * would silently fall back to lexicographic order (UF10 before UF2).
+    * `pattern` selects the artifact family (capture group 1 = the version
+    * text); defaults to the patch-zip shape.
     */
-  def versionKey(file: String): Seq[Int] = {
-    val m = "(?i)uf(.+?)\\.patch\\.zip".r.findFirstMatchIn(file)
+  def versionKey(file: String,
+                 pattern: String = PatchZipPattern): Seq[Int] = {
+    val m = pattern.r.findFirstMatchIn(file)
     m.map(_.group(1).split("[.pP-]").filter(_.nonEmpty).toSeq.map(_.toInt))
       .getOrElse(Seq.empty)
   }
@@ -90,14 +102,15 @@ object Naming {
         slice(toks, lit(1), greatest(size(toks) - 2, lit(0))), "_"))
   }
 
-  /** array<int> natural-version sort key from a patch filename. Empty
-    * tokens are dropped (matching the pure form): a non-patch filename
+  /** array<int> natural-version sort key from an artifact filename. Empty
+    * tokens are dropped (matching the pure form): a non-matching filename
     * yields an EMPTY array, not `[null]`. Case-insensitive (re.I parity
-    * with main.py:554).
+    * with main.py:554/:718); `pattern` selects the artifact family.
     */
-  def versionKeyCol(file: Column): Column =
+  def versionKeyCol(file: Column,
+                    pattern: String = PatchZipPattern): Column =
     transform(
-      filter(split(regexp_extract(file, "(?i)uf(.+?)\\.patch\\.zip", 1), "[.pP-]"),
+      filter(split(regexp_extract(file, pattern, 1), "[.pP-]"),
         t => t =!= ""),
       x => x.cast("int"))
 

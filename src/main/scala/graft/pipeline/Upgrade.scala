@@ -47,4 +47,71 @@ object Upgrade {
 
   def revisionsAvailable(errorMsg: Column): Column =
     regexp_extract(errorMsg, RevisionGate, 1)
+
+  // ---- user-rights install flow (main.py:700-735, db.py:898-924) --------
+
+  /** User-rights artifact plan (main.py:704-724): keep names matching the
+    * `(?i)'User Rights v(.+?).zip'` shape, natural-version ascending. The
+    * reference downloads every artifact in sorted order and installs ONLY
+    * the last one downloaded (the highest version — `urfilename` is
+    * overwritten per iteration, :721-735); `is_install_target` marks it.
+    * Rank via [[graft.core.Ops.globalRank]] — no single-partition window —
+    * and the max-rank scalar is a broadcast one-row cross join (the same
+    * contract-pinned shape as the q20 decile probe).
+    */
+  def userRightsPlan(files: DataFrame, fileCol: String = "file"): DataFrame = {
+    val ranked = graft.core.Ops.globalRank(
+      files.filter(col(fileCol).rlike(Naming.UserRightsPattern))
+        .withColumn("vkey",
+          Naming.versionKeyCol(col(fileCol), Naming.UserRightsPattern)),
+      Seq(col("vkey").asc, col(fileCol).asc))
+    ranked
+      .crossJoin(broadcast(ranked.groupBy().agg(max("rank").as("__max"))))
+      .withColumn("is_install_target", col("rank") === col("__max"))
+      .drop("__max")
+  }
+
+  /** `sync_server.user_rights.add_file` create-rows (db.py:903-915): name =
+    * filename minus its extension (`os.path.splitext` parity — only the
+    * LAST dot-suffix drops), zip_file = base64 contents. `files` carries
+    * (file, content: binary).
+    */
+  def userRightsInserts(files: DataFrame): DataFrame =
+    files.select(
+      regexp_replace(col("file"), "\\.[^.]*$", "").as("name"),
+      base64(col("content")).as("zip_file"))
+
+  sealed trait UrInstall
+  /** import_zip reached state `done` and was acknowledged (db.py:918-924). */
+  case object UrLoaded extends UrInstall
+  /** The server already holds this file — the reference catches exactly the
+    * RPCError ending `"exists on server"` and continues with
+    * `user_rights_updated = ''` (main.py:726-731).
+    */
+  case object UrAlreadyExists extends UrInstall
+
+  /** The installUserRights ledger state machine (db.py:898-924): create the
+    * add_file record, import it, read back (state, message); any state but
+    * `done` raises with the server message, `done` is acknowledged via
+    * `markDone`. RPC effects are injected (driver-side against a live
+    * server); an "exists on server" error from any step maps to
+    * [[UrAlreadyExists]], other errors propagate.
+    */
+  def installUserRights(create: () => Long,
+                        importZip: Long => Unit,
+                        readState: Long => (String, String),
+                        markDone: Long => Unit): UrInstall =
+    try {
+      val loadId = create()
+      importZip(loadId)
+      val (state, message) = readState(loadId)
+      if (state != "done")
+        throw new IllegalStateException(s"Unable to load UR: $message")
+      markDone(loadId)
+      UrLoaded
+    } catch {
+      case e: RuntimeException
+          if e.getMessage != null && e.getMessage.endsWith("exists on server") =>
+        UrAlreadyExists
+    }
 }

@@ -535,6 +535,51 @@ object ExtProbes {
       |  greatest(-127, least(127, CAST(floor(r + 0.5) AS BIGINT))) AS qv
       |FROM ex ORDER BY id, pos""".stripMargin
 
+  // ---- q56 user-rights natural-version sort (OP-33 UR variant) ----------
+  // The q12 shape on the second artifact family: mixed-case
+  // 'User Rights v<ver>.zip' names (re.I parity with main.py:718), ranked
+  // by natural version via the same range-partitioned globalRank.
+  val q56: Q = (s, d) => {
+    val ver = concat(col("p_size").cast("string"), lit("."),
+      (col("p_partkey") % 10).cast("string"), lit("-"),
+      (col("p_partkey") % 5 + 1).cast("string"), lit("p"),
+      (col("p_partkey") % 7).cast("string"))
+    val fn = concat(
+      when(col("p_partkey") % 3 === 0, lit("USER RIGHTS V"))
+        .when(col("p_partkey") % 3 === 1, lit("user rights v"))
+        .otherwise(lit("User Rights v")),
+      ver, lit(".zip"))
+    graft.core.Ops.globalRank(
+        Tables.part(s, d)
+          .withColumn("fn", fn)
+          .withColumn("vkey",
+            graft.core.Naming.versionKeyCol(col("fn"),
+              graft.core.Naming.UserRightsPattern)),
+        Seq(col("vkey").asc, col("p_partkey").asc))
+      .select("rank", "p_partkey", "fn")
+      .orderBy("rank")
+  }
+
+  val q56Sql: String =
+    """WITH f AS (
+      |  SELECT p_partkey,
+      |         (CASE WHEN p_partkey % 3 = 0 THEN 'USER RIGHTS V'
+      |               WHEN p_partkey % 3 = 1 THEN 'user rights v'
+      |               ELSE 'User Rights v' END) ||
+      |         p_size || '.' || (p_partkey % 10) || '-' ||
+      |         (p_partkey % 5 + 1) || 'p' || (p_partkey % 7) || '.zip' AS fn
+      |  FROM part),
+      |k AS (
+      |  SELECT p_partkey, fn,
+      |         list_transform(list_filter(string_split_regex(
+      |           regexp_extract(fn, '(?i)User Rights v(.+?).zip', 1), '[.pP-]'),
+      |           x -> x <> ''),
+      |           x -> CAST(x AS INTEGER)) AS vkey
+      |  FROM f)
+      |SELECT row_number() OVER (ORDER BY vkey ASC, p_partkey ASC) AS rank,
+      |       p_partkey, fn
+      |FROM k ORDER BY rank""".stripMargin
+
   // ---- q47 approximate aggregates (no SQL oracle BY DESIGN) -------------
   // HLL/quantile sketches are implementation-specific — DuckDB's
   // approx_count_distinct would not hash-match Spark's. The driver records
@@ -609,6 +654,7 @@ object ExtProbes {
     "q53_sequence_packing" -> q53,
     "q54_dedup_components" -> q54,
     "q55_int8_quantization" -> q55,
+    "q56_user_rights_sort" -> q56,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -633,5 +679,6 @@ object ExtProbes {
     "q53_sequence_packing" -> q53Sql,
     "q54_dedup_components" -> q54Sql,
     "q55_int8_quantization" -> q55Sql,
+    "q56_user_rights_sort" -> q56Sql,
   )
 }

@@ -89,6 +89,37 @@ object Connectors {
     * 190-191), leaving the server-side upload session open. Here the last
     * full chunk is emitted as `finish` — the sequence always terminates.
     */
+  /** The webdav delete verb (webdav.py:63-75): SharePoint tunnels DELETE
+    * through a POST against `getfilebyserverrelativeurl` with an
+    * `X-HTTP-Method: DELETE` override header. [[deleteRequest]] builds that
+    * request for a (baseUrl, path, remotePath) triple — `webUri` is the
+    * plain concatenation `path + remotePath`, exactly the reference's
+    * `'%s%s'`.
+    */
+  case class DeleteRequest(url: String, method: String,
+                           headers: Map[String, String])
+
+  def deleteRequest(baseUrl: String, path: String,
+                    remotePath: String): DeleteRequest = {
+    val webUri = s"$path$remotePath"
+    DeleteRequest(
+      url = s"$baseUrl/_api/web/getfilebyserverrelativeurl('$webUri')",
+      method = "POST",
+      headers = Map("X-HTTP-Method" -> "DELETE"))
+  }
+
+  /** Execute a delete via an injected transport. Success is status 200/201
+    * (webdav.py:73-74); anything else raises with the response body, like
+    * the reference's `raise Exception(result.content)`.
+    */
+  def delete(baseUrl: String, path: String, remotePath: String,
+             post: DeleteRequest => (Int, String)): Boolean = {
+    val (status, body) = post(deleteRequest(baseUrl, path, remotePath))
+    if (status != 200 && status != 201)
+      throw new java.io.IOException(s"delete failed: $body")
+    true
+  }
+
   def uploadPlan(totalLen: Long,
                  bufferSize: Long = DefaultBufferSize): Seq[UploadPart] = {
     require(totalLen >= 0 && bufferSize > 0)

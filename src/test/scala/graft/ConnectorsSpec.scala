@@ -114,4 +114,23 @@ class ConnectorsSpec extends AnyFunSuite {
     assert(posted.toList ==
       List(("https://collector.example/logs?who=h1", "line one\nline two")))
   }
+
+  test("delete builds the POST-tunneled DELETE and checks 200/201") {
+    val req = Connectors.deleteRequest("https://host/personal/site",
+      "/Documents/", "backup.zip")
+    assert(req.url ==
+      "https://host/personal/site/_api/web/getfilebyserverrelativeurl('/Documents/backup.zip')")
+    assert(req.method == "POST")
+    assert(req.headers == Map("X-HTTP-Method" -> "DELETE"))
+
+    var hit = 0
+    assert(Connectors.delete("https://h", "/p/", "f.zip", r => {
+      hit += 1; (201, "")
+    }))
+    assert(hit == 1)
+    val err = intercept[java.io.IOException] {
+      Connectors.delete("https://h", "/p/", "f.zip", _ => (404, "not found"))
+    }
+    assert(err.getMessage.contains("not found"))
+  }
 }

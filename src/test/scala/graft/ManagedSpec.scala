@@ -15,33 +15,39 @@ class ManagedSpec extends SparkSpec {
   private val docB = docA + " tail words appended"
   private val docC = "completely different content about spark catalyst plans"
 
-  private def cachedRddCount: Int = {
-    // persisted Datasets register their underlying RDDs here synchronously
-    spark.sparkContext.getPersistentRDDs.size
-  }
-
-  private def assertAllFreed(body: => graft.core.Managed): Unit = {
-    val before = cachedRddCount
+  /** Race-free under parallel suites sharing the session: assert on the
+    * pinned Datasets' OWN storage levels (not global cache counts, which
+    * sibling suites mutate concurrently). `expectedPins` pins the operator's
+    * persist inventory so an unpinned persist can't silently appear.
+    */
+  private def assertAllFreed(expectedPins: Int)
+                            (body: => graft.core.Managed): Unit = {
     val m = body
     m.df.collect() // consume: materializes every pinned intermediate
-    assert(cachedRddCount > before, "operator should pin intermediates")
+    assert(m.pinned.size == expectedPins,
+      s"expected $expectedPins pinned intermediates, got ${m.pinned.size}")
+    assert(m.pinned.forall(p =>
+      p.storageLevel.useMemory || p.storageLevel.useDisk),
+      "every pinned intermediate should be persisted before close()")
     m.close()
-    assert(cachedRddCount == before, "close() must unpersist every pinned table")
+    assert(m.pinned.forall(_.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE),
+      "close() must unpersist every pinned table")
   }
 
   test("minhashNearDupPairsManaged frees its shingle and band tables") {
     val df = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
-    assertAllFreed(Dedup.minhashNearDupPairsManaged(df, "doc_id", "text"))
+    assertAllFreed(2)(Dedup.minhashNearDupPairsManaged(df, "doc_id", "text"))
   }
 
   test("ngramJaccardPairsManaged frees its gram table") {
     val df = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
-    assertAllFreed(Dedup.ngramJaccardPairsManaged(df, "doc_id", "text", 0.3))
+    assertAllFreed(1)(Dedup.ngramJaccardPairsManaged(df, "doc_id", "text", 0.3))
   }
 
   test("connectedComponentsManaged frees its label table") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("idA", "idB")
-    assertAllFreed(Dedup.connectedComponentsManaged(pairs))
+    assertAllFreed(1)(Dedup.connectedComponentsManaged(pairs))
   }
 
   test("rpLshNearDupPairsManaged frees its bucketed table; dim skips the probe job") {
@@ -49,7 +55,7 @@ class ManagedSpec extends SparkSpec {
       (1L, Seq(1.0, 0.0, 0.5)),
       (2L, Seq(0.99, 0.01, 0.5)),
       (3L, Seq(-1.0, 0.3, -0.2))).toDF("id", "v")
-    assertAllFreed(
+    assertAllFreed(1)(
       Similarity.rpLshNearDupPairsManaged(vecs, numPlanes = 4,
         threshold = 0.9, dim = Some(3)))
   }

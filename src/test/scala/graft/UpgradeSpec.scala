@@ -46,4 +46,55 @@ class UpgradeSpec extends SparkSpec {
     assert(plan == Seq("uf2.1.patch.zip", "UF2.1-2P3.patch.zip",
       "UF10.0.patch.zip"))
   }
+
+  test("userRightsPlan: mixed-case UR names, natural order, last = install target") {
+    // reference-shaped vectors (main.py:718 searches with re.I; real
+    // artifacts mix case freely)
+    val files = Seq(
+      "USER RIGHTS V10.0.zip",
+      "user rights v2.1-10p2.zip",
+      "User Rights v2.1-2p3.zip",
+      "not-a-user-rights-file.zip").toDF("file")
+    val plan = Upgrade.userRightsPlan(files)
+      .select("rank", "file", "is_install_target")
+      .as[(Long, String, Boolean)].collect().sortBy(_._1).toSeq
+    assert(plan.map(_._2) == Seq("User Rights v2.1-2p3.zip",
+      "user rights v2.1-10p2.zip", "USER RIGHTS V10.0.zip"))
+    // only the highest version is installed (the reference overwrites
+    // urfilename per download and installs the final one)
+    assert(plan.map(_._3) == Seq(false, false, true))
+  }
+
+  test("userRightsInserts: splitext name + base64 zip payload") {
+    val got = Upgrade.userRightsInserts(
+        Seq(("User Rights v2.1.zip", "PAYLOAD".getBytes("UTF-8")))
+          .toDF("file", "content"))
+      .as[(String, String)].collect().head
+    assert(got._1 == "User Rights v2.1")
+    assert(new String(java.util.Base64.getDecoder.decode(got._2),
+      "UTF-8") == "PAYLOAD")
+  }
+
+  test("installUserRights state machine: done, not-done, exists-on-server") {
+    import Upgrade.{UrAlreadyExists, UrLoaded}
+    var acked = List.empty[Long]
+    assert(Upgrade.installUserRights(
+      () => 7L, _ => (), _ => ("done", ""), id => acked ::= id) == UrLoaded)
+    assert(acked == List(7L))
+
+    val err = intercept[IllegalStateException] {
+      Upgrade.installUserRights(
+        () => 8L, _ => (), _ => ("error", "boom"), _ => fail("must not ack"))
+    }
+    assert(err.getMessage == "Unable to load UR: boom")
+
+    // the reference catches RPCError ending 'exists on server' from any
+    // step and continues with user_rights_updated = '' (main.py:726-731)
+    assert(Upgrade.installUserRights(
+      () => 9L,
+      _ => throw new RuntimeException(
+        "file User Rights v2.1.zip exists on server"),
+      _ => fail("unreached"): (String, String),
+      _ => ()) == UrAlreadyExists)
+  }
 }
