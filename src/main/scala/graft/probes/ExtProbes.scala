@@ -580,22 +580,43 @@ object ExtProbes {
       |       p_partkey, fn
       |FROM k ORDER BY rank""".stripMargin
 
-  // ---- q47 approximate aggregates (no SQL oracle BY DESIGN) -------------
-  // HLL/quantile sketches are implementation-specific — DuckDB's
-  // approx_count_distinct would not hash-match Spark's. The driver records
-  // a rows-only check (the declared weaker mode for non-SQL-expressible
-  // ops). At 100 TB these sketches are how a pipeline sizes dedup work
-  // without an exact distinct shuffle.
+  // ---- q47 approximate aggregates (bounded-error oracle) ----------------
+  // Sketch VALUES are implementation-specific (DuckDB's HLL would never
+  // hash-match Spark's), so the raw estimates cannot cross the compare
+  // boundary. What CAN is the accuracy contract: Spark computes both the
+  // sketch and the exact answer and emits `within-ε` BOOLEANS; the oracle
+  // emits the exact side and literal TRUE. A sketch drifting outside its
+  // error bound turns a boolean FALSE and fails the strict hash compare —
+  // the sketches are now checked, not just run. (Deterministic: Spark's
+  // HLL/KLL are hash-based, no RNG, so the outcome is stable per dataset.)
+  // At 100 TB these sketches are how a pipeline sizes dedup work without
+  // an exact distinct shuffle; the exact columns here are affordable at
+  // probe scale and are exactly what the sketch replaces at scale.
   val q47: Q = (s, d) =>
     Tables.events(s, d)
       .groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
-        expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("p")
-      )
-      .select(col("event_type"), col("approx_users"),
-        element_at(col("p"), 1).as("p50"), element_at(col("p"), 2).as("p95"))
+        expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("p"),
+        countDistinct(col("user_id")).as("exact_users"),
+        // rank-tolerance envelope: accuracy=1000 bounds rank error at
+        // 0.1%; ±2% exact-percentile bounds are a generous, stable check
+        expr("percentile(value, array(0.48, 0.52, 0.93, 0.97))").as("pe"))
+      .select(col("event_type"), col("exact_users"),
+        // HLL default rsd = 5%; 3σ = 15% relative error bound
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * lit(0.15)).as("hll_ok"),
+        element_at(col("p"), 1).between(
+          element_at(col("pe"), 1), element_at(col("pe"), 2)).as("p50_ok"),
+        element_at(col("p"), 2).between(
+          element_at(col("pe"), 3), element_at(col("pe"), 4)).as("p95_ok"))
       .orderBy("event_type")
+
+  val q47Sql: String =
+    """SELECT event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---- q51 repetition ratio (Gopher-style degenerate-text flag) ---------
   // Planted degenerates: every 11th doc's text is replaced by one phrase
@@ -647,7 +668,7 @@ object ExtProbes {
     "q39_shard_assignment" -> q39,
     "q40_kmeans_step" -> q40,
     "q41_json_extract" -> q41,
-    "q47_approx_aggs" -> q47, // intentionally absent from oracleSql (rows-only)
+    "q47_approx_aggs" -> q47,
     "q48_pii_redaction" -> q48,
     "q51_repetition_ratio" -> q51,
     "q52_rplsh_neardup" -> q52,
@@ -673,6 +694,7 @@ object ExtProbes {
     "q39_shard_assignment" -> q39Sql,
     "q40_kmeans_step" -> q40Sql,
     "q41_json_extract" -> q41Sql,
+    "q47_approx_aggs" -> q47Sql,
     "q48_pii_redaction" -> q48Sql,
     "q51_repetition_ratio" -> q51Sql,
     "q52_rplsh_neardup" -> q52Sql,
