@@ -1,0 +1,130 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Empirical scale validation (VERDICT r2 item 8): replicate the sf0.1
+  * corpus Nx with per-replica salted ids/text (replicas are DISTINCT docs —
+  * no artificial 10-way dup cliques), re-plant the probes' %7 near-dups,
+  * run the dedup/ANN family at 1x and Nx, and report wall-times plus a
+  * single-partition-stage audit of every executed plan. Results land in
+  * SCALE.md.
+  *
+  * Usage: sbt "runMain graft.tools.Scale <sfDir> <factor>"
+  */
+object Scale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    /** Nx documents: replica k shifts ids by k*10^6. Replica 0 keeps the
+      * original text; replicas k>0 remap every word through a k-salted md5
+      * (genuinely DIFFERENT documents with the same length/shape — a
+      * trailing-token salt would leave replicas 0.9-Jaccard near-dups of
+      * each other and measure a 10-way-clique workload instead of a 10x
+      * corpus). Then the probes' %7 near-dup planting applies over the
+      * whole scaled corpus, one planted pair per kept doc.
+      */
+    def docs(n: Int): DataFrame = {
+      val base = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+      val scaled = (0 until n).map { k =>
+        val text =
+          if (k == 0) col("text")
+          else concat_ws(" ", expr(
+            s"transform(split(text, ' '), w -> substr(md5(concat(w, '$k')), 1, 6))"))
+        base.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          text.as("text"))
+      }.reduce(_ unionByName _)
+      val planted = scaled.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000000L).as("doc_id"),
+          concat(col("text"), lit(" zz yy xx")).as("text"))
+      scaled.unionByName(planted)
+    }
+
+    /** Nx embeddings: replica 0 is the original; replicas k>0 sign-flip
+      * each component on a (k, i)-keyed pattern — cosine between replicas
+      * of the same base vector drops to ~0, so cross-replica pairs don't
+      * pollute the near-dup counts. Planting (%13, x*1.05+0.001) applies
+      * over the scaled corpus.
+      */
+    def vecs(n: Int): DataFrame = {
+      val base = graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("id"),
+          Similarity.toDoubleVec(col("embedding")).as("v"))
+      val scaled = (0 until n).map { k =>
+        val v =
+          if (k == 0) col("v")
+          else expr(
+            s"transform(v, (x, i) -> x * CASE WHEN sin(1e4 * ($k * 64 + i + 1)) >= 0 THEN 1D ELSE -1D END)")
+        base.select((col("id") + lit(k * 1000000L)).as("id"), v.as("v"))
+      }.reduce(_ unionByName _)
+      val planted = scaled.filter(col("id") % 13 === 0)
+        .select((col("id") + 100000000L).as("id"),
+          expr("transform(v, x -> x * 1.05 + 0.001)").as("v"))
+      scaled.unionByName(planted)
+    }
+
+    /** Time one run (noop write; persists freed after) and audit the
+      * executed plan for single-partition exchanges.
+      */
+    def run(label: String, scale: Int)(mk: => graft.core.Managed): Unit = {
+      val m = mk
+      val t0 = System.nanoTime()
+      m.df.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val plan = m.df.queryExecution.executedPlan.toString
+      val spx = "Exchange SinglePartition".r.findAllIn(plan).size
+      val rows = m.df.count() // cached intermediates still pinned: cheap
+      m.close()
+      spark.catalog.clearCache()
+      println(f"SCALE $label%-22s x$scale%-3d $dt%8.2f s  rows=$rows%-8d singlePartitionExchanges=$spx")
+    }
+
+    for (n <- Seq(1, factor)) {
+      val d = docs(n); val v = vecs(n)
+      run("minhash_lsh", n)(Dedup.minhashNearDupPairsManaged(d, "doc_id", "text"))
+      // Default DF cap at both scales: replica vocabularies are disjoint
+      // here, so gram DF does not grow with the corpus. (Two measured cap
+      // pathologies recorded in SCALE.md: a shared-vocab corpus at 10x
+      // pushes DF past a FIXED cap and recall collapses to zero, while
+      // scaling the cap 10x admits DF^2 pair blowup from hot grams —
+      // 84.5 s vs 8.7 s here. The cap is a recall/cost dial that must be
+      // set as a corpus-size fraction, not an absolute.)
+      run("ngram_jaccard", n)(Dedup.ngramJaccardPairsManaged(
+        d, "doc_id", "text", 0.6))
+      run("dedup_components", n) {
+        val pairs = Dedup.minhashNearDupPairs(d, "doc_id", "text")
+          .filter(col("jacc_e4") >= 8000)
+        Dedup.connectedComponentsManaged(pairs)
+      }
+      run("rplsh_neardup", n)(Similarity.rpLshNearDupPairsManaged(
+        v, numPlanes = 8, threshold = 0.8, dim = Some(64)))
+      run("ivf_topk", n) {
+        val cent = Similarity.buildIvf(v, numCells = 16, iters = 1)
+        val queries = v.filter(col("id") % 50 === 0)
+        graft.core.Managed(
+          Similarity.ivfTopK(v, cent, queries, nprobe = 2, k = 5), Seq.empty)
+      }
+      run("simhash", n) {
+        graft.core.Managed(
+          graft.core.Ops.widen(d)
+            .withColumn("wh", Dedup.tokenHashes(Dedup.normalizeWords(col("text"))))
+            .withColumn("simhash", Dedup.simhash16)
+            .select("doc_id", "simhash"), Seq.empty)
+      }
+    }
+    spark.stop()
+  }
+}
