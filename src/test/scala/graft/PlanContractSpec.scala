@@ -94,4 +94,20 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("q56 UR sort: range-partitioned rank, no single-partition window") {
+    val p = plan(ExtProbes.q56(spark, sf))
+    noGlobalWindow(p)
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      p.take(2000))
+  }
+
+  test("userRightsPlan: max-rank scalar joins back via broadcast only") {
+    import spark.implicits._
+    val files = Seq("User Rights v1.0.zip", "User Rights v2.0.zip").toDF("file")
+    val p = plan(graft.pipeline.Upgrade.userRightsPlan(files))
+    noGlobalWindow(p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+  }
 }
