@@ -60,25 +60,32 @@ object Upgrade {
     * contract-pinned shape as the q20 decile probe).
     */
   def userRightsPlan(files: DataFrame, fileCol: String = "file"): DataFrame = {
-    val ranked = graft.core.Ops.globalRank(
-      files.filter(col(fileCol).rlike(Naming.UserRightsPattern))
-        .withColumn("vkey",
-          Naming.versionKeyCol(col(fileCol), Naming.UserRightsPattern)),
-      Seq(col("vkey").asc, col(fileCol).asc))
-    ranked
-      .crossJoin(broadcast(ranked.groupBy().agg(max("rank").as("__max"))))
+    val matched = files.filter(col(fileCol).rlike(Naming.UserRightsPattern))
+      .withColumn("vkey",
+        Naming.versionKeyCol(col(fileCol), Naming.UserRightsPattern))
+    // ties on vkey break by filename (a relation has no listing order to be
+    // stable over — DIVERGENCES #16); max(rank) == row count by
+    // construction, so the scalar comes from a cheap count aggregate, not a
+    // second ranking pass
+    graft.core.Ops.globalRank(matched,
+        Seq(col("vkey").asc, col(fileCol).asc))
+      .crossJoin(broadcast(matched.groupBy().agg(count(lit(1)).as("__max"))))
       .withColumn("is_install_target", col("rank") === col("__max"))
       .drop("__max")
   }
 
   /** `sync_server.user_rights.add_file` create-rows (db.py:903-915): name =
-    * filename minus its extension (`os.path.splitext` parity — only the
-    * LAST dot-suffix drops), zip_file = base64 contents. `files` carries
-    * (file, content: binary).
+    * filename minus its extension with `os.path.splitext` semantics — only
+    * the last dot-suffix OF THE BASENAME drops, a dot in a directory
+    * component is never touched, and a basename that is all leading dots
+    * (`.zip`, `..zip`) keeps itself whole. The lookbehind requires a
+    * non-dot, non-slash character before the stripped dot, and `[^./]*$`
+    * confines the suffix to the basename. zip_file = base64 contents.
+    * `files` carries (file, content: binary).
     */
   def userRightsInserts(files: DataFrame): DataFrame =
     files.select(
-      regexp_replace(col("file"), "\\.[^.]*$", "").as("name"),
+      regexp_replace(col("file"), "(?<=[^/.])\\.[^./]*$", "").as("name"),
       base64(col("content")).as("zip_file"))
 
   sealed trait UrInstall

@@ -15,21 +15,9 @@ object Profile {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val which = if (args.length > 1) args(1) else "q27"
     val nRuns = if (args.length > 2) args(2).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .withExtensions(new graft.plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup parity with Bench
-    spark.range(100000).selectExpr("md5(cast(id AS string)) AS h")
-      .groupBy().count().collect()
-    graft.Tables.table(spark, sfDir, "documents").limit(1).count()
+    graft.Sessions.warmup(spark, sfDir)
 
     def time(label: String)(mk: => DataFrame): Unit = {
       (1 to nRuns).foreach { i =>

@@ -17,16 +17,8 @@ object Scale {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .withExtensions(new graft.plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    require(factor < 100, "id offsets collide at factor >= 100")
+    val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
 
     /** Nx documents: replica k shifts ids by k*10^6. Replica 0 keeps the
@@ -76,20 +68,25 @@ object Scale {
       scaled.unionByName(planted)
     }
 
-    /** Time one run (noop write; persists freed after) and audit the
-      * executed plan for single-partition exchanges.
+    /** Time one run and audit its plan for single-partition exchanges.
+      * The action is a collect ON m.df ITSELF (outputs here are pair/label
+      * lists, small relative to the corpus) so the df's OWN QueryExecution
+      * is the one that ran: with AQE on, `executedPlan` then shows the
+      * final adaptive plan (isFinalPlan=true), not the static pre-AQE one,
+      * and the row count comes for free instead of re-running the
+      * downstream join work a second time.
       */
     def run(label: String, scale: Int)(mk: => graft.core.Managed): Unit = {
       val m = mk
       val t0 = System.nanoTime()
-      m.df.write.format("noop").mode("overwrite").save()
+      val rows = m.df.collect().length
       val dt = (System.nanoTime() - t0) / 1e9
       val plan = m.df.queryExecution.executedPlan.toString
       val spx = "Exchange SinglePartition".r.findAllIn(plan).size
-      val rows = m.df.count() // cached intermediates still pinned: cheap
+      val fin = if (plan.contains("isFinalPlan=false")) "partial" else "final"
       m.close()
       spark.catalog.clearCache()
-      println(f"SCALE $label%-22s x$scale%-3d $dt%8.2f s  rows=$rows%-8d singlePartitionExchanges=$spx")
+      println(f"SCALE $label%-22s x$scale%-3d $dt%8.2f s  rows=$rows%-8d singlePartitionExchanges=$spx plan=$fin")
     }
 
     for (n <- Seq(1, factor)) {

@@ -75,6 +75,22 @@ class UpgradeSpec extends SparkSpec {
       "UTF-8") == "PAYLOAD")
   }
 
+  test("userRightsInserts name matches os.path.splitext on path edge cases") {
+    // (input, os.path.splitext(input)[0]) vectors: dots in directory
+    // components never strip; all-leading-dot basenames keep themselves
+    val vectors = Seq(
+      "downloads.v2/urfile" -> "downloads.v2/urfile",
+      "a/b.zip" -> "a/b",
+      "a/.hidden.zip" -> "a/.hidden",
+      ".zip" -> ".zip",
+      "..zip" -> "..zip",
+      "tmp/UR v1.0-2p3.ZIP" -> "tmp/UR v1.0-2p3")
+    val got = Upgrade.userRightsInserts(
+        vectors.map { case (f, _) => (f, Array[Byte](1)) }.toDF("file", "content"))
+      .select("name").as[String].collect().toSeq
+    assert(got == vectors.map(_._2))
+  }
+
   test("installUserRights state machine: done, not-done, exists-on-server") {
     import Upgrade.{UrAlreadyExists, UrLoaded}
     var acked = List.empty[Long]
