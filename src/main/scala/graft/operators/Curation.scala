@@ -68,6 +68,74 @@ object Curation {
           .cast("long"))
   }
 
+  /** Word n-grams over a words-array column: `"a b c"`-style space-joined
+    * windows of `n` consecutive words; fewer than `n` words yields an empty
+    * array (not `[null]`).
+    */
+  def wordNgrams(words: Column, n: Int): Column = {
+    require(n >= 1)
+    when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(o => element_at(words, i + lit(o))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination (the GPT-3/PaLM n-gram-overlap test): flag
+    * every corpus document that shares at least one word `n`-gram with the
+    * benchmark/eval set, so contaminated documents can be dropped before
+    * training. Output: (idCol, n_hits, contaminated) — n_hits = how many
+    * DISTINCT benchmark grams the document contains.
+    *
+    * Scale shape: benchmark gram sets are small by construction (eval
+    * suites, not corpora) — `broadcast` them, so the corpus-sized side
+    * never shuffles: explode doc grams, hash-join against the broadcast
+    * gram set, count per doc, left-join flags back onto the corpus (also
+    * broadcast-friendly: hits ≤ |docs|). The two-step word projection
+    * follows the `Dedup.shingleSets` discipline (lambda-inlining
+    * pathology).
+    */
+  def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
+                         benchmark: DataFrame, benchTextCol: String,
+                         n: Int = 8): DataFrame = {
+    val benchGrams = broadcast(
+      graft.core.Ops.widen(benchmark)
+        .select(Dedup.normalizeWords(col(benchTextCol)).as("__w"))
+        .select(explode(wordNgrams(col("__w"), n)).as("gram"))
+        .distinct())
+    val docGrams = graft.core.Ops.widen(docs)
+      .select(col(idCol), Dedup.normalizeWords(col(textCol)).as("__w"))
+      .select(col(idCol), explode_outer(array_distinct(
+        wordNgrams(col("__w"), n))).as("gram"))
+    val hits = docGrams.join(benchGrams, Seq("gram"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol))
+      .join(broadcast(hits), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Deterministic per-stratum weighted sampling — the source-mixing step
+    * of corpus assembly (each source/domain gets its own keep rate, e.g.
+    * wiki 2.0x-oversampled vs web 0.3x). The keep decision hashes the
+    * content key into a uniform [0, 1) fraction (first 8 md5 nibbles) and
+    * keeps the row iff fraction < its stratum's rate: reproducible across
+    * runs/engines/partitionings, no `rand()`. Rates outside [0, 1] clamp
+    * (>=1 keeps everything). Unknown strata fall back to `defaultRate`.
+    * Pure per-row map — no shuffle.
+    */
+  def weightedSampleKeep(stratum: Column, keyCol: Column,
+                         rates: Map[String, Double],
+                         defaultRate: Double = 1.0): Column = {
+    val frac = conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0) // 16^8
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(stratum === s, lit(r)).otherwise(acc)
+    }
+    frac < rate
+  }
+
   /** Write training shards: one directory per shard under `path`
     * (`shard=N/…`). DESTRUCTIVE by default: `mode` is Overwrite — `path` is
     * replaced wholesale; pass another SaveMode to change that.

@@ -580,6 +580,75 @@ object ExtProbes {
       |       p_partkey, fn
       |FROM k ORDER BY rank""".stripMargin
 
+  // ---- q57 benchmark decontamination (n-gram overlap) -------------------
+  // Planted contamination: the "benchmark" is words 3..10 of every 31st
+  // document, so those documents (and any doc organically sharing a
+  // 5-gram — the synthetic vocab is small) must flag contaminated.
+  val q57: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 31 === 0)
+      .select(concat_ws(" ",
+        slice(Dedup.normalizeWords(col("text")), 3, 8)).as("q"))
+    graft.operators.Curation.contaminationFlags(
+        docs, "doc_id", "text", bench, "q", n = 5)
+      .orderBy("doc_id")
+  }
+
+  private def duckGrams5(w: String): String =
+    s"""CASE WHEN len($w) >= 5 THEN
+       |  list_transform(generate_series(1, len($w) - 4),
+       |    i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2] || ' ' ||
+       |         $w[i+3] || ' ' || $w[i+4])
+       |ELSE []::VARCHAR[] END""".stripMargin
+
+  val q57Sql: String =
+    s"""WITH nw AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |bw AS (SELECT list_filter(string_split_regex(trim(regexp_replace(lower(
+       |    array_to_string(w[3:10], ' ')), '[^a-z0-9]+', ' ', 'g')), ' '),
+       |    x -> x <> '') AS w
+       |  FROM nw WHERE doc_id % 31 = 0),
+       |bg AS (SELECT DISTINCT unnest(${duckGrams5("w")}) AS gram FROM bw),
+       |dg AS (SELECT doc_id, unnest(list_distinct(${duckGrams5("w")})) AS gram
+       |  FROM nw),
+       |h AS (SELECT doc_id, count(*) AS n_hits
+       |  FROM dg JOIN bg USING (gram) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       |       coalesce(h.n_hits, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---- q58 weighted source-mix sampling ---------------------------------
+  // Per-stratum keep rates (the corpus-mixing dial); the keep decision is
+  // a content-hash fraction, mirrored exactly in both engines via the
+  // nibble-sum of the first 8 md5 hex chars over 16^8.
+  private val q58Rates = Seq("0" -> 0.125, "1" -> 0.5, "2" -> 1.0)
+
+  val q58: Q = (s, d) => {
+    val keep = graft.operators.Curation.weightedSampleKeep(
+      col("lang"), col("text"), q58Rates.toMap)
+    graft.core.Ops.widen(Tables.documents(s, d))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        count(when(keep, 1)).as("n_kept"))
+      .withColumn("ratio_e4",
+        graft.core.Ops.fixedPoint(col("n_kept") * lit(1.0) / col("n_total"), 4))
+      .orderBy("lang")
+  }
+
+  val q58Sql: String = {
+    val nibbles = (1 to 8).map(j =>
+      s"(strpos('0123456789abcdef', substr(md5(text), $j, 1)) - 1) * ${math.pow(16, 8 - j).toLong}")
+      .mkString(" + ")
+    val rate = q58Rates.foldLeft("1.0") { case (acc, (s, r)) =>
+      s"CASE WHEN lang = '$s' THEN $r ELSE $acc END"
+    }
+    s"""SELECT lang, count(*) AS n_total,
+       |  count(*) FILTER (WHERE ($nibbles) / 4294967296.0 < ($rate)) AS n_kept,
+       |  CAST(floor(count(*) FILTER (WHERE ($nibbles) / 4294967296.0 < ($rate))
+       |    * 1.0 / count(*) * 10000 + 0.5) AS BIGINT) AS ratio_e4
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ---- q47 approximate aggregates (bounded-error oracle) ----------------
   // Sketch VALUES are implementation-specific (DuckDB's HLL would never
   // hash-match Spark's), so the raw estimates cannot cross the compare
@@ -676,6 +745,8 @@ object ExtProbes {
     "q54_dedup_components" -> q54,
     "q55_int8_quantization" -> q55,
     "q56_user_rights_sort" -> q56,
+    "q57_decontamination" -> q57,
+    "q58_weighted_mix" -> q58,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -702,5 +773,7 @@ object ExtProbes {
     "q54_dedup_components" -> q54Sql,
     "q55_int8_quantization" -> q55Sql,
     "q56_user_rights_sort" -> q56Sql,
+    "q57_decontamination" -> q57Sql,
+    "q58_weighted_mix" -> q58Sql,
   )
 }

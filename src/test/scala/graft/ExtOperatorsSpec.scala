@@ -136,4 +136,39 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(got.fake_width == 10)  // '9' -> 1 + 9
     assert(got.fake_height == 1)  // '0' -> 1 + 0
   }
+
+  test("contaminationFlags marks exactly the docs sharing a benchmark n-gram") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),  // contains the bench gram
+      (2L, "alpha beta gamma DELTA epsilon zeta"),  // same after normalize
+      (3L, "totally unrelated words here friend")).toDF("doc_id", "text")
+    val bench = Seq("Beta gamma delta epsilon zeta!").toDF("q")
+    val got = Curation.contaminationFlags(docs, "doc_id", "text", bench, "q", n = 5)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, true), (2L, 1L, true), (3L, 0L, false)))
+  }
+
+  test("wordNgrams: short inputs yield empty arrays, not [null]") {
+    import graft.operators.Curation
+    val got = Seq("one two", "a b c d").toDF("t")
+      .select(Curation.wordNgrams(split(col("t"), " "), 3).as("g"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq.empty, Seq("a b c", "b c d")))
+  }
+
+  test("weightedSampleKeep: rate 1 keeps all, rate 0 keeps none, deterministic") {
+    import graft.operators.Curation
+    val df = (1 to 200).map(i => (i.toLong, s"doc $i", if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "text", "src")
+    val keep = Curation.weightedSampleKeep(col("src"), col("text"),
+      Map("a" -> 1.0, "b" -> 0.0))
+    val kept = df.filter(keep).select("src").as[String].collect()
+    assert(kept.toSet == Set("a") && kept.length == 100)
+    // mid-rate: deterministic across evaluations
+    val k5 = Curation.weightedSampleKeep(col("src"), col("text"), Map("b" -> 0.5))
+    val n1 = df.filter(k5).count()
+    val n2 = df.filter(k5).count()
+    assert(n1 == n2 && n1 > 100 && n1 < 200) // all 'a' (default 1.0) + ~half 'b'
+  }
 }
