@@ -136,6 +136,37 @@ object Curation {
     frac < rate
   }
 
+  /** Line-level boilerplate removal (the CCNet-style cleanup step):
+    * drop every line whose document frequency exceeds `maxLineDocFreq` —
+    * navigation text, cookie banners, license footers — and reassemble
+    * each document with its remaining lines in original order.
+    *
+    * Scale shape: lines explode with their position; the hot-line set is
+    * the result of a count-aggregate FILTERED to df > cap, which is tiny
+    * by construction (only boilerplate crosses a corpus-scale cap), so it
+    * broadcasts into a left-anti join — the corpus-sized side shuffles
+    * once, on the reassembly groupBy. Reassembly sorts each document's
+    * surviving (pos, line) structs — array_sort on a struct orders by the
+    * leading pos field — so output order is the input order, not
+    * collect_list's arrival order.
+    */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                        sep: String, maxLineDocFreq: Long): DataFrame = {
+    val lines = graft.core.Ops.widen(docs)
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+    val hot = lines.select(col(idCol), col("line")).distinct()
+      .groupBy("line").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxLineDocFreq)
+      .select("line")
+    lines.join(broadcast(hot), Seq("line"), "left_anti")
+      .groupBy(idCol)
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(pos, line))), e -> e.line)"),
+        sep).as("cleaned_text"))
+  }
+
   /** Write training shards: one directory per shard under `path`
     * (`shard=N/…`). DESTRUCTIVE by default: `mode` is Overwrite — `path` is
     * replaced wholesale; pass another SaveMode to change that.

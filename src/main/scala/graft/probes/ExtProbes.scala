@@ -649,6 +649,34 @@ object ExtProbes {
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---- q59 boilerplate removal (line df cap) ----------------------------
+  // Planted boilerplate: every document gains a shared banner line (df =
+  // |docs|, dropped by the cap) and a unique footer line (df = 1, kept);
+  // the original text is its own line. Reassembly must preserve order.
+  val q59: Q = (s, d) => {
+    val planted = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" | COOKIE BANNER ACCEPT | footer "),
+        col("doc_id")).as("text"))
+    graft.operators.Curation.removeBoilerplate(
+        planted, "doc_id", "text", " | ", maxLineDocFreq = 100L)
+      .orderBy("doc_id")
+  }
+
+  val q59Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    text || ' | COOKIE BANNER ACCEPT | footer ' || doc_id AS text
+      |  FROM documents),
+      |ls AS (SELECT doc_id, string_split(text, ' | ') AS l FROM t),
+      |lines AS (SELECT doc_id, u.i AS pos, l[u.i] AS line
+      |  FROM ls, unnest(generate_series(1, len(l))) AS u(i)),
+      |hot AS (SELECT line FROM (
+      |    SELECT line, count(*) AS df
+      |    FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY line)
+      |  WHERE df > 100),
+      |kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot))
+      |SELECT doc_id, string_agg(line, ' | ' ORDER BY pos) AS cleaned_text
+      |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- q47 approximate aggregates (bounded-error oracle) ----------------
   // Sketch VALUES are implementation-specific (DuckDB's HLL would never
   // hash-match Spark's), so the raw estimates cannot cross the compare
@@ -747,6 +775,7 @@ object ExtProbes {
     "q56_user_rights_sort" -> q56,
     "q57_decontamination" -> q57,
     "q58_weighted_mix" -> q58,
+    "q59_boilerplate" -> q59,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -775,5 +804,6 @@ object ExtProbes {
     "q56_user_rights_sort" -> q56Sql,
     "q57_decontamination" -> q57Sql,
     "q58_weighted_mix" -> q58Sql,
+    "q59_boilerplate" -> q59Sql,
   )
 }
