@@ -102,6 +102,19 @@ class PlanContractSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q57 decontamination: benchmark grams broadcast — corpus side never shuffles into the probe join") {
+    val p = plan(ExtProbes.q57(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q59 boilerplate: hot-line set broadcast into the anti-join") {
+    val p = plan(ExtProbes.q59(spark, sf))
+    assert(p.contains("BroadcastHashJoin") &&
+      p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("userRightsPlan: max-rank scalar joins back via broadcast only") {
     import spark.implicits._
     val files = Seq("User Rights v1.0.zip", "User Rights v2.0.zip").toDF("file")
