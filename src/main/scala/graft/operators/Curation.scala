@@ -18,17 +18,25 @@ object Curation {
   def hashSampleKeep(keyCol: Column, hexDigits: Seq[String]): Column =
     substring(md5(keyCol.cast("string")), 1, 1).isin(hexDigits: _*)
 
+  /** Per-stratum keep-rate audit for ANY keep predicate: total vs kept
+    * count and scale-4 fixed-point ratio (the one aggregate shape behind
+    * both hash-bucket and weighted sampling — keep the fixed-point
+    * representation rule in one place).
+    */
+  def keepReport(df: DataFrame, stratum: String, keep: Column,
+                 keptName: String = "n_kept"): DataFrame =
+    df.groupBy(stratum)
+      .agg(count(lit(1)).as("n_total"),
+        count(when(keep, 1)).as(keptName))
+      .withColumn("ratio_e4",
+        graft.core.Ops.fixedPoint(col(keptName) * lit(1.0) / col("n_total"), 4))
+
   /** Per-stratum sampling report: total vs sampled count and ratio. The
     * write path filters on [[hashSampleKeep]]; this audits the rates.
     */
   def stratifiedSampleReport(df: DataFrame, stratum: String, keyCol: Column,
                              hexDigits: Seq[String]): DataFrame =
-    df.groupBy(stratum)
-      .agg(count(lit(1)).as("n_total"),
-        count(when(hashSampleKeep(keyCol, hexDigits), 1)).as("n_sampled"))
-      // scale-4 fixed point: representation-stable across engines
-      .withColumn("ratio_e4",
-        graft.core.Ops.fixedPoint(col("n_sampled") * lit(1.0) / col("n_total"), 4))
+    keepReport(df, stratum, hashSampleKeep(keyCol, hexDigits), "n_sampled")
 
   /** Token-length bin (floor to `binWidth`, capped at `cap`) — the
     * histogram behind sequence-packing batch planning.
@@ -90,8 +98,11 @@ object Curation {
     * Scale shape: benchmark gram sets are small by construction (eval
     * suites, not corpora) — `broadcast` them, so the corpus-sized side
     * never shuffles: explode doc grams, hash-join against the broadcast
-    * gram set, count per doc, left-join flags back onto the corpus (also
-    * broadcast-friendly: hits ≤ |docs|). The two-step word projection
+    * gram set, count per doc, left-join flags back onto the corpus. The
+    * hits side is NOT hinted: its cardinality is one row per contaminated
+    * doc — corpus-bounded, so forcing a broadcast would collect a
+    * corpus-sized table to the driver on a dirty corpus; AQE broadcasts it
+    * adaptively when it is actually small. The two-step word projection
     * follows the `Dedup.shingleSets` discipline (lambda-inlining
     * pathology).
     */
@@ -110,7 +121,7 @@ object Curation {
     val hits = docGrams.join(benchGrams, Seq("gram"))
       .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
     docs.select(col(idCol))
-      .join(broadcast(hits), Seq(idCol), "left_outer")
+      .join(hits, Seq(idCol), "left_outer")
       .select(col(idCol),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
@@ -148,7 +159,10 @@ object Curation {
     * once, on the reassembly groupBy. Reassembly sorts each document's
     * surviving (pos, line) structs — array_sort on a struct orders by the
     * leading pos field — so output order is the input order, not
-    * collect_list's arrival order.
+    * collect_list's arrival order. Every input document appears in the
+    * output: a doc whose every line is boilerplate comes back with an
+    * EMPTY `cleaned_text` (not silently dropped — a curation step must
+    * not change row count).
     */
   def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
                         sep: String, maxLineDocFreq: Long): DataFrame = {
@@ -160,11 +174,14 @@ object Curation {
       .groupBy("line").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxLineDocFreq)
       .select("line")
-    lines.join(broadcast(hot), Seq("line"), "left_anti")
+    val rebuilt = lines.join(broadcast(hot), Seq("line"), "left_anti")
       .groupBy(idCol)
       .agg(array_join(
         expr("transform(array_sort(collect_list(struct(pos, line))), e -> e.line)"),
-        sep).as("cleaned_text"))
+        sep).as("__cleaned"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("__cleaned"), lit("")).as("cleaned_text"))
   }
 
   /** Write training shards: one directory per shard under `path`

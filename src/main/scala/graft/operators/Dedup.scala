@@ -26,13 +26,11 @@ object Dedup {
     filter(split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " "),
       x => x =!= "")
 
-  /** k-word shingles (k fixed at 3 — the common near-dup choice). */
-  def shingles3(words: Column): Column =
-    when(size(words) >= 3,
-      transform(sequence(lit(1), size(words) - 2),
-        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1),
-          element_at(words, i + 2))))
-      .otherwise(array().cast("array<string>"))
+  /** k-word shingles (k fixed at 3 — the common near-dup choice). The
+    * n=3 case of [[Curation.wordNgrams]] — one windowing implementation
+    * to keep the empty-array-not-[null] subtlety in one place.
+    */
+  def shingles3(words: Column): Column = Curation.wordNgrams(words, 3)
 
   /** MinHash signature value for hash function `h`: the lexicographic min of
     * salted md5 over the shingle set. md5-as-minhash keeps the oracle

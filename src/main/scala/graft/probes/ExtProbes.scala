@@ -618,22 +618,20 @@ object ExtProbes {
        |ORDER BY d.doc_id""".stripMargin
 
   // ---- q58 weighted source-mix sampling ---------------------------------
-  // Per-stratum keep rates (the corpus-mixing dial); the keep decision is
-  // a content-hash fraction, mirrored exactly in both engines via the
-  // nibble-sum of the first 8 md5 hex chars over 16^8.
-  private val q58Rates = Seq("0" -> 0.125, "1" -> 0.5, "2" -> 1.0)
+  // Per-stratum keep rates (the corpus-mixing dial) keyed to the corpus's
+  // ACTUAL lang values (de/en/es/fr/zh — es/zh exercise the default-rate
+  // fallback); the keep decision is a content-hash fraction, mirrored
+  // exactly in both engines via the nibble-sum of the first 8 md5 hex
+  // chars over 16^8. Rates are non-trivial so a broken fraction (either
+  // engine) shifts n_kept and fails the hash compare.
+  private val q58Rates = Seq("de" -> 0.125, "en" -> 0.5, "fr" -> 0.25)
 
-  val q58: Q = (s, d) => {
-    val keep = graft.operators.Curation.weightedSampleKeep(
-      col("lang"), col("text"), q58Rates.toMap)
-    graft.core.Ops.widen(Tables.documents(s, d))
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_total"),
-        count(when(keep, 1)).as("n_kept"))
-      .withColumn("ratio_e4",
-        graft.core.Ops.fixedPoint(col("n_kept") * lit(1.0) / col("n_total"), 4))
+  val q58: Q = (s, d) =>
+    graft.operators.Curation.keepReport(
+        graft.core.Ops.widen(Tables.documents(s, d)), "lang",
+        graft.operators.Curation.weightedSampleKeep(
+          col("lang"), col("text"), q58Rates.toMap))
       .orderBy("lang")
-  }
 
   val q58Sql: String = {
     val nibbles = (1 to 8).map(j =>
@@ -673,9 +671,12 @@ object ExtProbes {
       |    SELECT line, count(*) AS df
       |    FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY line)
       |  WHERE df > 100),
-      |kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot))
-      |SELECT doc_id, string_agg(line, ' | ' ORDER BY pos) AS cleaned_text
-      |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot)),
+      |rebuilt AS (SELECT doc_id, string_agg(line, ' | ' ORDER BY pos) AS c
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(r.c, '') AS cleaned_text
+      |FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   // ---- q47 approximate aggregates (bounded-error oracle) ----------------
   // Sketch VALUES are implementation-specific (DuckDB's HLL would never

@@ -4,9 +4,19 @@ import org.apache.spark.sql.{Dataset, Encoder}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming NEAR-dup gate — the unbounded-stream form of SimHash dedup
-  * (the batch form is `Dedup.simhash16` + a bucket join): admit a document
-  * iff no previously-admitted document's 16-bit SimHash signature is within
-  * `maxHamming` bits of its own.
+  * (the batch form is `Dedup.simhash16` + a bucket join, clustered by
+  * `Dedup.connectedComponents`): admit a document iff its 16-bit SimHash
+  * signature is not within `maxHamming` bits of a remembered one.
+  *
+  * SEMANTICS — transitive chains, matching the batch component form: a
+  * rejected doc's signature still occupies the bands that did not flag it,
+  * so a later doc close to a REJECTED doc (but not to any admitted one) is
+  * also rejected — near-dup CHAINS collapse to one admitted representative,
+  * exactly like the batch pipeline where pair edges (1,2), (2,3) put doc 3
+  * in doc 1's component and keep only doc 1. `dup_of` is consequently a
+  * union-find-style PARENT pointer (the matched prior, which may itself be
+  * rejected), not the cluster root; follow the chain (or run the batch
+  * components over the (id, dup_of) pairs) for canonical cluster ids.
   *
   * Banding (the LSH trick, stream edition): a signature is split into
   * `NumBands` 4-bit bands; two signatures within Hamming distance
@@ -19,11 +29,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * A doc admitted by every band it touches is CLEAN; any band that finds a
   * close prior signature votes dup. Votes from the bands are combined
-  * downstream (`admitted`: groupBy id, a doc is a dup if ANY band said so —
-  * the double-emission is the standard multi-probe union, deduped by the
-  * terminal aggregate). Cross-batch ordering between two in-flight
-  * near-dups of each other is resolved by id: the smaller id wins its
-  * bucket (deterministic under replays).
+  * downstream ([[admittedAppend]] for unbounded streams, [[admitted]] as
+  * the Complete-mode small-stream/test form). Cross-batch ordering between
+  * two in-flight near-dups of each other is resolved by id: the smaller id
+  * wins its bucket (deterministic under replays).
   */
 object NearDupStream {
 
@@ -75,9 +84,12 @@ object NearDupStream {
   }
 
   /** Combine band votes: a doc is admitted iff NO band saw a close prior
-    * signature. Complete-mode aggregate keyed by doc id (the terminal
-    * union of the multi-probe emissions); `dup_of` is the smallest prior
-    * id any band matched (self when clean).
+    * signature; `dup_of` = the smallest parent id reported by any dup-
+    * voting band (each band reports its bucket's most recent match; see
+    * the chain-semantics note above). Complete-mode aggregate keyed by
+    * doc id — state and re-emitted output grow with the total stream, so
+    * this is the SMALL-STREAM/test combiner; unbounded streams use
+    * [[admittedAppend]].
     */
   def admitted(votes: Dataset[Vote]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
@@ -89,4 +101,37 @@ object NearDupStream {
       .select(col("id"), col("is_dup"),
         coalesce(col("dup_of_raw"), col("id")).as("dup_of"), col("sig"))
   }
+
+  case class Pending(votes: List[Vote])
+  case class Verdict(id: Long, is_dup: Boolean, dup_of: Long, sig: Long)
+
+  /** Append-mode combiner for unbounded streams: every doc's `NumBands`
+    * votes are produced inside one micro-batch (bandVotes fans out and
+    * emits in the same batch), so the per-id group sees them together,
+    * emits ONE verdict, and removes its state — state is bounded by the
+    * docs IN FLIGHT within a batch, not the stream's history, and output
+    * is append-only (no Complete-mode re-emission of the whole table).
+    * State lingers only for a doc whose votes were split across batches
+    * (not produced by [[bandVotes]], but possible with a custom upstream);
+    * such stragglers emit when their last vote arrives.
+    */
+  def admittedAppend(votes: Dataset[Vote])(
+      implicit pEnc: Encoder[Pending], vEnc: Encoder[Verdict],
+      lEnc: Encoder[Long]): Dataset[Verdict] =
+    votes.groupByKey(_.id)
+      .flatMapGroupsWithState[Pending, Verdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, rows: Iterator[Vote], state: GroupState[Pending]) =>
+          val all = state.getOption.map(_.votes).getOrElse(Nil) ++ rows
+          if (all.size >= NumBands) {
+            state.remove()
+            val dups = all.filter(_.isDup)
+            Iterator.single(Verdict(id, dups.nonEmpty,
+              if (dups.nonEmpty) dups.map(_.dupOf).min else id,
+              all.head.sig))
+          } else {
+            state.update(Pending(all))
+            Iterator.empty
+          }
+      }
 }

@@ -51,13 +51,59 @@ class NearDupStreamSpec extends SparkSpec {
       .writeStream.format("memory").queryName("neardup_batch")
       .outputMode(OutputMode.Complete()).start()
     try {
-      input.addData(Doc(11L, 0x00aaL), Doc(10L, 0x00abL)) // hamming 2, same batch
+      input.addData(Doc(11L, 0x00aaL), Doc(10L, 0x00abL)) // hamming 1, same batch
       q.processAllAvailable()
       val got = spark.table("neardup_batch")
         .select("id", "is_dup", "dup_of").as[(Long, Boolean, Long)]
         .collect().map(r => r._1 -> ((r._2, r._3))).toMap
       assert(got(10L) == ((false, 10L))) // smaller id admitted
       assert(got(11L) == ((true, 10L)))
+    } finally q.stop()
+  }
+
+  test("near-dup chains collapse transitively (batch-component parity)") {
+    // doc2 is rejected (near doc1); doc3 is near doc2 but NOT doc1 —
+    // the chain semantics (class doc) rejects doc3 with parent doc2,
+    // exactly as batch connectedComponents would put 1-2-3 in one group.
+    val input = MemoryStream[Doc](spark)
+    val votes = NearDupStream.bandVotes(input.toDS(), maxHamming = 3)
+    val q = NearDupStream.admitted(votes)
+      .writeStream.format("memory").queryName("neardup_chain")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(Doc(1L, 0x0000L))
+      q.processAllAvailable()
+      input.addData(Doc(2L, 0x0007L)) // hamming 3 from doc1 -> dup of 1
+      q.processAllAvailable()
+      input.addData(Doc(3L, 0x0707L)) // hamming 6 from doc1, 3 from doc2
+      q.processAllAvailable()
+      val got = spark.table("neardup_chain")
+        .select("id", "is_dup", "dup_of").as[(Long, Boolean, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got(1L) == ((false, 1L)))
+      assert(got(2L) == ((true, 1L)))
+      assert(got(3L) == ((true, 2L))) // parent pointer, not cluster root
+    } finally q.stop()
+  }
+
+  test("admittedAppend emits one verdict per doc with self-cleaning state") {
+    val input = MemoryStream[Doc](spark)
+    val votes = NearDupStream.bandVotes(input.toDS(), maxHamming = 3)
+    val q = NearDupStream.admittedAppend(votes)
+      .writeStream.format("memory").queryName("neardup_append")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Doc(1L, 0x0000L), Doc(3L, 0xffffL))
+      q.processAllAvailable()
+      input.addData(Doc(2L, 0x0001L))
+      q.processAllAvailable()
+      val got = spark.table("neardup_append")
+        .select("id", "is_dup", "dup_of").as[(Long, Boolean, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got.size == 3) // exactly one verdict per doc, append-only
+      assert(got(1L) == ((false, 1L)))
+      assert(got(3L) == ((false, 3L)))
+      assert(got(2L) == ((true, 1L)))
     } finally q.stop()
   }
 }

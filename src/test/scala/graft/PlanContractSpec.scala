@@ -104,7 +104,12 @@ class PlanContractSpec extends SparkSpec {
 
   test("q57 decontamination: benchmark grams broadcast — corpus side never shuffles into the probe join") {
     val p = plan(ExtProbes.q57(spark, sf))
+    // the gram probe join specifically must be broadcast (one BHJ anywhere
+    // would let the scale-critical join regress to SMJ while the tiny flag
+    // join keeps the assertion green) — at probe scale both joins resolve
+    // broadcast, so pin: no sort-merge join anywhere in the plan
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
