@@ -1,0 +1,73 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import graft.core.Naming
+
+/** Property tests for the round-3 curation/upgrade surface. The Column
+  * forms are exercised through the ScalaTest specs; here the pure logic
+  * (version keys, band keys, hamming, the gram-window algebra mirrored in
+  * pure Scala) gets the randomized treatment — no Spark session.
+  */
+object CurationProps extends Properties("Curation") {
+
+  private val wordGen: Gen[String] =
+    for { n <- Gen.choose(1, 8); cs <- Gen.listOfN(n, Gen.alphaLowerChar) }
+      yield cs.mkString
+
+  private val wordsGen: Gen[List[String]] = Gen.listOf(wordGen)
+
+  /** Pure mirror of Curation.wordNgrams (the Column form is spec-tested
+    * against this shape's outputs in ExtOperatorsSpec).
+    */
+  private def ngrams(words: List[String], n: Int): List[String] =
+    if (words.size < n) Nil
+    else words.sliding(n).map(_.mkString(" ")).toList
+
+  property("ngram count = max(0, |words| - n + 1); every gram has n words") =
+    forAll(wordsGen, Gen.choose(1, 5)) { (ws, n) =>
+      val gs = ngrams(ws, n)
+      gs.size == math.max(0, ws.size - n + 1) &&
+        gs.forall(_.split(" ").length == n)
+    }
+
+  property("user-rights versionKey is case-insensitive and order-preserving") = {
+    val ord = Ordering.Implicits.seqOrdering[Seq, Int]
+    val versionGen = for {
+      k <- Gen.choose(1, 4); vs <- Gen.listOfN(k, Gen.choose(0, 99))
+    } yield vs
+    val caseGen = Gen.oneOf("User Rights v", "USER RIGHTS V", "user rights v")
+    forAll(versionGen, versionGen, caseGen, caseGen) { (a, b, ca, cb) =>
+      def render(c: String, v: List[Int]) = s"$c${v.mkString(".")}.zip"
+      val ka = Naming.versionKey(render(ca, a), Naming.UserRightsPattern)
+      val kb = Naming.versionKey(render(cb, b), Naming.UserRightsPattern)
+      ka == a && kb == b &&
+        math.signum(ord.compare(ka, kb)) == math.signum(ord.compare(a, b))
+    }
+  }
+
+  property("patch filenames never match the user-rights pattern and vice versa") =
+    forAll(Gen.choose(0, 99), Gen.choose(0, 99)) { (ma, mi) =>
+      Naming.versionKey(s"uf$ma.$mi.patch.zip", Naming.UserRightsPattern).isEmpty &&
+        Naming.versionKey(s"User Rights v$ma.$mi.zip").isEmpty
+    }
+
+  import graft.streaming.NearDupStream
+
+  property("hamming16 is a metric on 16-bit sigs (symmetry, identity, triangle)") =
+    forAll(Gen.choose(0L, 0xffffL), Gen.choose(0L, 0xffffL),
+      Gen.choose(0L, 0xffffL)) { (a, b, c) =>
+      NearDupStream.hamming16(a, a) == 0 &&
+        NearDupStream.hamming16(a, b) == NearDupStream.hamming16(b, a) &&
+        NearDupStream.hamming16(a, c) <=
+          NearDupStream.hamming16(a, b) + NearDupStream.hamming16(b, c)
+    }
+
+  property("pigeonhole: sigs within hamming NumBands-1 share an exact band") =
+    forAll(Gen.choose(0L, 0xffffL),
+      Gen.listOfN(NearDupStream.NumBands - 1, Gen.choose(0, 15))) { (a, flips) =>
+      val b = flips.foldLeft(a)((s, i) => s ^ (1L << i))
+      NearDupStream.bandKeys(a).toSet
+        .intersect(NearDupStream.bandKeys(b).toSet).nonEmpty
+    }
+}
