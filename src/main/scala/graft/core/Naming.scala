@@ -40,7 +40,11 @@ object Naming {
   /** `OCG_KG1_OSH_20161116_0102` -> `OCG_KG1_OSH` (drop last two tokens). */
   def dbToInstance(db: String, prefix: Option[String] = None,
                    syncServer: String = "SYNC_SERVER_LOCAL"): String = {
-    val stripped = prefix.fold(db)(p => db.substring(p.length + 1))
+    // drop = Python's db[len(prefix)+1:] slice (db.py:625): never throws on
+    // short names (yields ""), same mangling of non-prefixed names — exact
+    // reference parity; substring would StringIndexOutOfBounds on a stray
+    // short catalog entry and abort the GC pass
+    val stripped = prefix.fold(db)(p => db.drop(p.length + 1))
     if (stripped.startsWith(syncServer)) syncServer
     else stripped.split("_", -1).dropRight(2).mkString("_")
   }

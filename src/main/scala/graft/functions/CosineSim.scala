@@ -44,10 +44,14 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def prettyName: String = "cosine_sim"
 
-  // A null ELEMENT or a LENGTH MISMATCH makes the whole result null —
-  // matching the HOF composition exactly (zip_with null-pads the shorter
-  // array, poisoning the fold), so the optimizer rewrite
+  // A null ELEMENT, a LENGTH MISMATCH, or a ZERO-NORM side makes the whole
+  // result null — matching the HOF composition exactly (zip_with null-pads
+  // the shorter array poisoning the fold; Spark's Divide yields NULL on a
+  // zero divisor, as does DuckDB's `/`), so the optimizer rewrite
   // (plans.RewriteHofCosine) is semantics-preserving on every input.
+  // Returning the raw 0/0 here would be NaN, which Spark orders ABOVE every
+  // real double — zero-norm vectors would out-rank true matches in top-k
+  // and pass `>= threshold` near-dup filters.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -61,7 +65,8 @@ case class CosineSim(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -84,7 +89,9 @@ case class CosineSim(left: Expression, right: Expression)
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
          |if (!${ev.isNull}) {
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  double ${dot}_den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if (${dot}_den == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / ${dot}_den; }
          |}
        """.stripMargin
     })

@@ -130,9 +130,14 @@ object Dedup {
     *
     * Scale shape: each round is one equi-join (edges ⋈ labels on node id)
     * plus a min-aggregate — all distributed; the driver only counts changed
-    * labels per round (one scalar). Labels persist per round
-    * (MEMORY_AND_DISK) so lineage doesn't re-run prior rounds. Returns
-    * (id, label) with label = min id of the component.
+    * labels per round (one scalar). Labels are `localCheckpoint`ed per
+    * round — NOT merely persisted: each round references the previous
+    * labels twice (the update join and the changed-count join), so without
+    * lineage TRUNCATION the logical plan doubles per iteration and the
+    * driver OOMs building plans near diameter ~24 (measured; a persist
+    * caches data but keeps the full plan). At cluster scale substitute a
+    * reliable `checkpoint` dir for executor-loss resilience — same shape.
+    * Returns (id, label) with label = min id of the component.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "idA",
                           idB: String = "idB", maxIters: Int = 20): DataFrame =
@@ -151,10 +156,12 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // eager: materializes AND truncates lineage
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
+      // (convergence checked below; exhausting maxIters without it throws —
+      // truncated labels would silently split one real component in two)
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src").as("id"))
@@ -164,7 +171,7 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val changed = updated
         .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
         .filter(col("label") < col("prev")).count()
@@ -174,7 +181,19 @@ object Dedup {
       iters += 1
     }
     edges.unpersist()
-    graft.core.Managed(labels, Seq(labels))
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations " +
+          "(component diameter exceeds maxIters) — raise maxIters; " +
+          "truncated labels would silently split real components")
+    }
+    // the checkpoint blocks behind intermediate rounds are reclaimed by the
+    // ContextCleaner as their RDDs drop out of reference (standard iterative
+    // pattern); the FINAL labels get an explicit persist so Managed.close()
+    // frees them deterministically
+    val out = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    graft.core.Managed(out, Seq(out))
   }
 
   /** 16-bit SimHash over the token multiset. Bit j (1-based, MSB first) is

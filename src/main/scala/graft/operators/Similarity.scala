@@ -28,12 +28,24 @@ object Similarity {
     graft.functions.CosineSim(col(a), col(b))
 
   /** The same semantics from built-in HOFs only (reference/fallback form;
-    * also what the DuckDB oracle mirrors).
+    * also what the DuckDB oracle mirrors). The `nullif` guard makes a
+    * zero-norm side NULL — double division by zero would otherwise be
+    * NaN in Spark (Java semantics), and NaN orders ABOVE every real
+    * double, out-ranking true matches; DuckDB's `/` returns NULL there,
+    * so NULL is also the oracle-parity answer. [[CosineSim]] implements
+    * the same rule natively.
     */
-  def cosineHof(a: String, b: String): Column =
-    expr(s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x) /
-      (sqrt(aggregate(zip_with($a, $a, (x, y) -> x * y), 0D, (acc, x) -> acc + x)) *
-       sqrt(aggregate(zip_with($b, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)))""")
+  def cosineHof(a: String, b: String): Column = {
+    // the zero-guard is an explicit CASE (not nullif): nullif compiles to a
+    // common-subexpression With-projection whose attribute hides the
+    // norm-product from RewriteHofCosine; the textual duplication below is
+    // fused away by that rule (and costs one extra fold only when the
+    // extensions are not installed)
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    val den = s"(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    expr(s"CASE WHEN $den = 0D THEN CAST(NULL AS DOUBLE) ELSE ${dot(a, b)} / $den END")
+  }
 
   /** DuckDB rendering of [[cosine]]. */
   def cosineDuckSql(a: String, b: String): String =
@@ -118,9 +130,13 @@ object Similarity {
     * across engines (a double fp sum would vary with partition order; a
     * DECIMAL sum proved oracle-version-sensitive). `m_e8` is the mean
     * scaled by 10⁸. Headroom: |x|≤1-ish embeddings scale to ~10⁸ per
-    * element, so the per-cell BIGINT sum holds ~10¹⁰ vectors per cell
-    * before overflow — far beyond any real cell. The typed convenience
-    * path is [[graft.functions.VectorAvg]].
+    * element; the BIGINT sum itself holds ~10¹⁰ vectors per cell, but the
+    * EXACTNESS bound is the final long→double cast below — exact only
+    * under 2⁵³, i.e. ~9·10⁷ vectors per cell. Beyond that the mean is
+    * still correct to ~1 ulp but the bit-exact cross-engine guarantee
+    * lapses; size numCells so cells stay under ~10⁷ members (also what
+    * balanced IVF lists want). The typed convenience path is
+    * [[graft.functions.VectorAvg]].
     *
     * Shuffle shape: posexplode fans each vector into `dim` rows shuffled on
     * (cell, pos) with partial aggregation — at 100 TB this is the standard

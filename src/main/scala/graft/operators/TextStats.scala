@@ -92,9 +92,14 @@ object TextStats {
   private def matchCount(c: Column, pattern: String): Column =
     size(call_function("regexp_extract_all", c, lit(pattern), lit(0)))
 
-  /** Count of PII hits (pre-redaction) for audit/funnel metrics. */
+  /** Count of PII hits (pre-redaction, per category over the raw text) for
+    * audit/funnel metrics. Counts every category [[redactPii]] redacts —
+    * an audit that skipped phones would report 0 hits for rows the
+    * redaction pass demonstrably mutates.
+    */
   def piiHits(text: Column): Column =
-    matchCount(text, EmailRegex) + matchCount(text, UrlRegex)
+    matchCount(text, EmailRegex) + matchCount(text, UrlRegex) +
+      matchCount(text, PhoneRegex)
 
   /** Repetition ratio (Gopher-style quality flag): 1 − |distinct k-grams| /
     * |k-grams| over a word-shingle array — near-0 for natural text, → 1 for
@@ -110,8 +115,13 @@ object TextStats {
     */
   val BpeTokenRegex = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
 
+  /** Whitespace token count; empty/whitespace-only text is 0 tokens
+    * (`split("") == [""]` would report 1 — off by one for exactly the
+    * degenerate docs token counts gate).
+    */
   def wsTokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
 
   def bpeTokenCount(text: Column): Column =
     size(call_function("regexp_extract_all", text, lit(BpeTokenRegex), lit(0)))

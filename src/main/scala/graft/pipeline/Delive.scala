@@ -171,19 +171,39 @@ object Delive {
       }
     }
 
+  /** True when every plain column reference in `condSql` resolves against
+    * `df` (case-insensitive, like Spark's resolver). The psql-tolerance
+    * contract (ignored statement rc, db.py passim) covers a WHERE naming a
+    * column an old backup's schema lacks — such a rule must SKIP, not
+    * abort the whole sanitization with an AnalysisException.
+    */
+  private def condResolves(df: DataFrame, condSql: String): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val cols = df.columns.map(_.toLowerCase).toSet
+    org.apache.spark.sql.graft.Bridge.expression(expr(condSql)).collect {
+      case ua: UnresolvedAttribute => ua.name.toLowerCase
+    }.forall(cols.contains)
+  }
+
   private def applyOne(df: DataFrame, rule: Rule,
                        tables: Map[String, DataFrame]): DataFrame = rule match {
     case SetCols(_, sets, where) =>
-      val cond = where.map(expr).getOrElse(org.apache.spark.sql.functions.lit(true))
-      sets.foldLeft(df) { case (d, (c, v)) =>
-        if (!d.columns.contains(c)) d // missing column tolerated
-        else d.withColumn(c, when(cond, expr(v).cast(d.schema(c).dataType))
-          .otherwise(col(c)))
+      if (!where.forall(condResolves(df, _))) df // unresolvable cond: skip rule
+      else {
+        val cond = where.map(expr).getOrElse(org.apache.spark.sql.functions.lit(true))
+        sets.foldLeft(df) { case (d, (c, v)) =>
+          if (!d.columns.contains(c)) d // missing column tolerated
+          else d.withColumn(c, when(cond, expr(v).cast(d.schema(c).dataType))
+            .otherwise(col(c)))
+        }
       }
     case DeleteWhere(_, HideGroupsDelete) =>
-      tables.get("res_groups").fold(df)(g => applyHideGroups(df, g))
+      tables.get("res_groups")
+        .filter(_.columns.map(_.toLowerCase).contains("visible_res_groups"))
+        .fold(df)(g => applyHideGroups(df, g))
     case DeleteWhere(_, where) =>
-      df.filter(!coalesce(expr(where), org.apache.spark.sql.functions.lit(false)))
+      if (!condResolves(df, where)) df // unresolvable cond: skip rule
+      else df.filter(!coalesce(expr(where), org.apache.spark.sql.functions.lit(false)))
     case Truncate(_) => df.limit(0)
     case AddColumnIfAbsent(_, c, from) =>
       if (df.columns.contains(c)) df
@@ -218,7 +238,14 @@ object Delive {
       p.length match {
         case 6 => (p(0), p(1), p(4), p(5)) // user, name, pass, groups
         case 3 => (p(0), p(0), p(1), p(2))
-        case _ => (p(0), p(0), defaultPw, p(1))
+        case n if n >= 2 => (p(0), p(0), defaultPw, p(1)) // reference else-branch
+        case _ =>
+          // the reference's else-branch reads index 1 unguarded and
+          // IndexErrors on a colon-less entry (db.py:493-495); fail with
+          // the offending entry named instead (DIVERGENCES #17)
+          throw new IllegalArgumentException(
+            s"createusers entry '$entry' has no ':group' part " +
+              "(expected user:groups, user:pass:groups, or the 6-field form)")
       }
     }
     val base: Long = idBase.getOrElse {

@@ -41,7 +41,16 @@ object Restore {
     var movedAside = false
     try {
       df.write.mode("overwrite").parquet(staging.toString)
-      if (fs.exists(aside)) fs.delete(aside, true) // stale aside from a crash
+      if (fs.exists(aside) && !fs.exists(target)) {
+        // previous run crashed mid-swap: aside holds the ONLY copy of the
+        // old incarnation — restore it BEFORE anything is deleted (deleting
+        // the "stale" aside here would leave a window where a failed
+        // staging rename loses every copy)
+        if (!fs.rename(aside, target))
+          throw new java.io.IOException(s"recovery rename $aside -> $target failed")
+      } else if (fs.exists(aside)) {
+        fs.delete(aside, true) // target exists too: aside is truly redundant
+      }
       if (fs.exists(target)) {
         if (!fs.rename(target, aside))
           throw new java.io.IOException(s"rename $target -> $aside failed")

@@ -11,11 +11,20 @@ import graft.functions.CosineSim
   * {{{ aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (s,x) -> s+x)
   *     / (sqrt(aggregate(zip_with(a, a, …))) * sqrt(aggregate(zip_with(b, b, …)))) }}}
   *
-  * into the fused native [[CosineSim]] expression. Anyone writing the
-  * textbook SQL form (including `Similarity.cosineHof` and user queries)
-  * gets the single-loop codegen path automatically — no API change.
-  * Semantics-preserving: CosineSim reproduces the HOF's left-to-right
-  * double fold AND its null-element propagation bit-for-bit.
+  * into the fused native [[CosineSim]] expression — with or without the
+  * `nullif(denominator, 0)` zero-norm guard (`Similarity.cosineHof` emits
+  * the guarded form). Anyone writing the textbook SQL form gets the
+  * single-loop codegen path automatically — no API change.
+  *
+  * Semantics: CosineSim reproduces the HOF's left-to-right double fold and
+  * null-element propagation bit-for-bit, and returns NULL on a zero-norm
+  * side. For the GUARDED form that is exactly the input's semantics. For
+  * the PLAIN form the raw HOF would produce NaN there (double 0/0, Java
+  * semantics) — the rewrite deliberately strictens NaN to NULL, because
+  * Spark orders NaN above every real double (zero vectors would out-rank
+  * true matches in top-k and pass `>= threshold` filters) and because
+  * NULL is what DuckDB's `/` yields — recorded in the scaladoc rather
+  * than silently, and pinned by VectorOpsSpec.
   *
   * Injected via [[GraftExtensions]] (`injectOptimizerRule`).
   */
@@ -61,12 +70,42 @@ object RewriteHofCosine extends Rule[LogicalPlan] {
     }
   }
 
+  /** sqrt(dot(a,a)) * sqrt(dot(b,b)) — the norm-product denominator. */
+  private object NormProduct {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case Multiply(Sqrt(DotProduct(a2, a3)), Sqrt(DotProduct(b2, b3)), _)
+          if a2.semanticEquals(a3) && b2.semanticEquals(b3) =>
+        Some((a2, b2))
+      case _ => None
+    }
+  }
+
+  private def isZeroLit(e: Expression): Boolean = e match {
+    case Literal(0.0d, DoubleType) => true
+    case _ => false
+  }
+
+  private def isNullLit(e: Expression): Boolean = e match {
+    case Literal(null, _) => true
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case Divide(DotProduct(a1, b1),
-            Multiply(Sqrt(DotProduct(a2, a3)), Sqrt(DotProduct(b2, b3)), _), _)
-          if a2.semanticEquals(a3) && b2.semanticEquals(b3) &&
-            a1.semanticEquals(a2) && b1.semanticEquals(b2) =>
+      // plain form (NaN-on-zero-norm input; rewrite stricten-s to NULL — doc)
+      case Divide(DotProduct(a1, b1), NormProduct(a2, b2), _)
+          if a1.semanticEquals(a2) && b1.semanticEquals(b2) =>
+        CosineSim(a1, b1)
+      // zero-guarded form: CASE WHEN den = 0 THEN NULL ELSE dot/den END
+      // (what Similarity.cosineHof emits; CaseWhen with one branch)
+      case CaseWhen(Seq((EqualTo(x1, z), nl)),
+            Some(Divide(DotProduct(a1, b1), x2, _)))
+          if isZeroLit(z) && isNullLit(nl) && x1.semanticEquals(x2) &&
+            (x2 match {
+              case NormProduct(a2, b2) =>
+                a1.semanticEquals(a2) && b1.semanticEquals(b2)
+              case _ => false
+            }) =>
         CosineSim(a1, b1)
     }
 }

@@ -249,7 +249,8 @@ object ExtProbes {
 
   val q34Sql: String =
     s"""SELECT doc_id,
-       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_toks,
+       |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws_toks,
        |  CAST(len(regexp_extract_all(text, '${TextStats.BpeTokenRegex}', 0)) AS BIGINT) AS bpe_toks,
        |  CAST(floor(length(text) * 1.0 /
        |    greatest(len(regexp_extract_all(text, '${TextStats.BpeTokenRegex}', 0)), 1)
@@ -411,7 +412,8 @@ object ExtProbes {
        |  FROM documents)
        |SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '$email', 0)) +
-       |       len(regexp_extract_all(text, '$url', 0)) AS BIGINT) AS hits,
+       |       len(regexp_extract_all(text, '$url', 0)) +
+       |       len(regexp_extract_all(text, '$phone', 0)) AS BIGINT) AS hits,
        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
        |    '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g'),
        |    '$phone', '<PHONE>', 'g')) AS rh

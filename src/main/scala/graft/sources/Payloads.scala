@@ -36,15 +36,29 @@ object Payloads {
     finally zin.close()
   }
 
+  /** [[zipMembers]] that treats a corrupt/truncated archive as INVALID
+    * (empty member list) instead of failing the task: a half-uploaded
+    * backup is exactly the payload the pipeline must fall through on, not
+    * abort the whole job for (the reference's single-member gate likewise
+    * just skips the bad file).
+    */
+  def zipMembersSafe(bytes: Array[Byte]): Seq[String] =
+    try zipMembers(bytes)
+    catch {
+      case _: java.util.zip.ZipException | _: java.io.EOFException |
+          _: java.io.IOException => Seq.empty
+    }
+
   /** Validate the one-member rule over a binaryFile frame; returns
-    * (path, member) for valid payloads only. Runs distributed via a typed
-    * map — the zip central-directory read is per-row imperative logic.
+    * (path, member) for valid payloads only — corrupt archives are
+    * filtered out, never thrown. Runs distributed via a typed map — the
+    * zip central-directory read is per-row imperative logic.
     */
   def validZips(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select("path", "content").as[(String, Array[Byte])]
-      .map { case (p, bytes) => (p, zipMembers(bytes)) }
+      .map { case (p, bytes) => (p, zipMembersSafe(bytes)) }
       .filter(_._2.length == 1)
       .map { case (p, ms) => (p, ms.head) }
       .toDF("path", "member")

@@ -108,4 +108,55 @@ class VectorOpsSpec extends SparkSpec {
     assert(frames(1).toSeq == (30 until 40).map(_.toByte))
     assert(frames.last.toSeq == (90 until 100).map(_.toByte))
   }
+
+  test("zero-norm vectors: cosine is NULL in native, HOF, and rewritten forms") {
+    val df = Seq(
+      (1L, Seq(0.0, 0.0), Seq(1.0, 2.0)),  // zero left norm
+      (2L, Seq(1.0, 0.0), Seq(0.0, 0.0)),  // zero right norm
+      (3L, Seq(1.0, 0.0), Seq(1.0, 0.0))   // clean
+    ).toDF("id", "va", "vb")
+    val native = df.select(col("id"), Similarity.cosine("va", "vb").as("c"))
+      .as[(Long, Option[Double])].collect().toMap
+    val hof = df.select(col("id"), Similarity.cosineHof("va", "vb").as("c"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(native(1L).isEmpty && native(2L).isEmpty && native(3L).contains(1.0))
+    assert(hof == native) // nullif-guarded HOF == native on every row
+    // and the near-dup filter drops zero vectors instead of NaN-passing them
+    val pairs = Similarity.cosineNearDupPairs(
+      Seq((1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 0.0)), (3L, Seq(1.0, 1.0)),
+        (4L, Seq(1.0, 1.0))).toDF("id", "v"), threshold = 0.9)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 4L))) // the zero-zero pair is NOT a near-dup
+  }
+
+  test("connectedComponents throws rather than truncating an unconverged chain") {
+    // a 25-node path has diameter 24 > maxIters 3: must throw, not return
+    // labels that silently split the single real component
+    val pairs = (1L until 25L).map(i => (i, i + 1)).toDF("idA", "idB")
+    intercept[IllegalStateException] {
+      graft.operators.Dedup.connectedComponents(pairs, maxIters = 3)
+    }
+    // with room to converge the same chain is one component
+    val labels = graft.operators.Dedup.connectedComponents(pairs, maxIters = 30)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(1L))
+    spark.catalog.clearCache()
+  }
+
+  test("wsTokenCount: empty and whitespace-only text is 0 tokens") {
+    val got = Seq("", "   ", "one", "one two").toDF("text")
+      .select(graft.operators.TextStats.wsTokenCount(col("text")).as("n"))
+      .as[Int].collect().toSeq
+    assert(got == Seq(0, 0, 1, 2))
+  }
+
+  test("piiHits counts every category redactPii mutates (incl. phones)") {
+    val t = "call +41 22 555 0042 or mail a@b.co see https://x.example/y"
+    val got = Seq(t).toDF("text")
+      .select(graft.operators.TextStats.piiHits(col("text")).as("h"),
+        graft.operators.TextStats.redactPii(col("text")).as("r"))
+      .as[(Int, String)].collect().head
+    assert(got._1 == 3)
+    assert(got._2 == "call <PHONE> or mail <EMAIL> see <URL>")
+  }
 }
