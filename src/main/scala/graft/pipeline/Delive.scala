@@ -180,7 +180,9 @@ object Delive {
   private def condResolves(df: DataFrame, condSql: String): Boolean = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     val cols = df.columns.map(_.toLowerCase).toSet
-    org.apache.spark.sql.graft.Bridge.expression(expr(condSql)).collect {
+    // parse directly (not via expr(): the Column wrapper defers parsing, so
+    // its tree is not traversable for references)
+    df.sparkSession.sessionState.sqlParser.parseExpression(condSql).collect {
       case ua: UnresolvedAttribute => ua.name.toLowerCase
     }.forall(cols.contains)
   }

@@ -29,21 +29,51 @@ object Payloads {
   /** OP-4: names of zip members. The reference requires exactly one member
     * (cloud.py:226-228) — callers gate on `size(members) === 1`.
     */
+  /** Member names, DRAINING each entry's bytes: ZipInputStream reads names
+    * from streamed local headers and silently returns null at a truncation
+    * point, so listing without reading would accept a half-uploaded archive
+    * as complete; decompressing to the end makes truncated deflate data
+    * throw (and the reference reads members anyway — checksums/restore).
+    */
   def zipMembers(bytes: Array[Byte]): Seq[String] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val buf = new Array[Byte](8192)
     try Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
-      .map(_.getName).toList
+      .map { e =>
+        while (zin.read(buf) >= 0) {} // drain: truncation throws here
+        e.getName
+      }.toList
     finally zin.close()
+  }
+
+  /** True iff an End-of-Central-Directory record signature appears in the
+    * archive tail (its legal window: last 65557 bytes). Python's zipfile —
+    * what the reference opens payloads with — REQUIRES the EOCD, so a
+    * truncated upload that lost the central directory is invalid there
+    * even when every local entry streamed fine; ZipInputStream alone
+    * never notices (it reads local headers and returns null at the cut).
+    */
+  def hasEndOfCentralDirectory(bytes: Array[Byte]): Boolean = {
+    val from = math.max(0, bytes.length - 65557)
+    var i = bytes.length - 22 // minimal EOCD is 22 bytes
+    while (i >= from) {
+      if (bytes(i) == 0x50 && bytes(i + 1) == 0x4b &&
+        bytes(i + 2) == 0x05 && bytes(i + 3) == 0x06) return true
+      i -= 1
+    }
+    false
   }
 
   /** [[zipMembers]] that treats a corrupt/truncated archive as INVALID
     * (empty member list) instead of failing the task: a half-uploaded
     * backup is exactly the payload the pipeline must fall through on, not
     * abort the whole job for (the reference's single-member gate likewise
-    * just skips the bad file).
+    * just skips the bad file). Invalid = missing EOCD (reference zipfile
+    * parity) or an exception while draining entries.
     */
   def zipMembersSafe(bytes: Array[Byte]): Seq[String] =
-    try zipMembers(bytes)
+    if (bytes.length < 22 || !hasEndOfCentralDirectory(bytes)) Seq.empty
+    else try zipMembers(bytes)
     catch {
       case _: java.util.zip.ZipException | _: java.io.EOFException |
           _: java.io.IOException => Seq.empty

@@ -136,6 +136,62 @@ class PipelineSpec extends SparkSpec {
     assert(Restore.needsReload(None, 42L))
   }
 
+  test("publish recovers a crash-window aside before deleting anything") {
+    // simulate run 1 crashing between rename(target, aside) and
+    // rename(staging, target): target ABSENT, aside holds the only copy
+    val wh = Files.createTempDirectory("graft_wh_crash").toString
+    val db = "OCG_KE1_NBO_20240110_0800"
+    val old = Seq((1, "old")).toDF("id", "v")
+    Restore.publish(spark, old, wh, db)
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(wh, db),
+      new org.apache.hadoop.fs.Path(wh, s"${db}__old__staging")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(wh, db)))
+
+    // run 2 publishes new data: must succeed, and at NO point was the old
+    // copy deleted before the new one was in place
+    Restore.publish(spark, Seq((2, "new")).toDF("id", "v"), wh, db)
+    assert(spark.read.parquet(s"$wh/$db").as[(Int, String)].collect().toSeq ==
+      Seq((2, "new")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(wh, s"${db}__old__staging")))
+  }
+
+  test("Delive skips rules whose WHERE names a column the backup lacks") {
+    // psql-tolerance: an old schema without visible_res_groups/model must
+    // skip those rules, not abort the sanitization with AnalysisException
+    val oldGroups = Seq((1L, "g1")).toDF("id", "name") // no visible_res_groups
+    val rels = Seq((10L, 1L)).toDF("uid", "gid")
+    val out = Delive.apply(
+      Map("res_groups" -> oldGroups, "res_groups_users_rel" -> rels),
+      Seq(
+        Delive.DeleteWhere("res_groups_users_rel",
+          "gid IN (SELECT id FROM res_groups WHERE visible_res_groups = false)"),
+        Delive.SetCols("res_groups", Map("name" -> "'x'"),
+          Some("no_such_column = true")),
+        Delive.DeleteWhere("res_groups", "another_missing_col = 1")))
+    assert(out("res_groups_users_rel").count() == 1) // delete skipped
+    assert(out("res_groups").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "g1"))) // set + delete skipped, nothing thrown
+  }
+
+  test("validZips filters corrupt archives instead of failing the job") {
+    val okZip = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      z.putNextEntry(new java.util.zip.ZipEntry("only.dump"))
+      z.write("data".getBytes("UTF-8")); z.closeEntry(); z.close()
+      bos.toByteArray
+    }
+    val truncated = okZip.take(okZip.length / 2) // mid-archive truncation
+    val garbage = "not a zip at all".getBytes("UTF-8")
+    val df = Seq(("ok.zip", okZip), ("trunc.zip", truncated),
+      ("junk.zip", garbage)).toDF("path", "content")
+    val got = graft.sources.Payloads.validZips(df)
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(("ok.zip", "only.dump")))
+  }
+
   test("Archive merge is idempotent insert-if-absent on (instance, remote_id)") {
     val local = Seq(
       Archive.OperationsEvent("i1", "k", ts("2024-01-01 00:00:00"), 1, "d1"))
