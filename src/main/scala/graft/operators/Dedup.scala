@@ -256,6 +256,24 @@ object Dedup {
     */
   val DefaultMaxGramDocFreq = 1000L
 
+  /** An ABSOLUTE cap mis-scales as the corpus grows (SCALE.md, measured:
+    * recall collapses to zero at 10x when DF outgrows a fixed cap, while
+    * raising the cap 10x re-admits the DF² hot-gram blowup). The FRACTION
+    * form keeps the cap meaning "a gram present in more than this share of
+    * documents is boilerplate, not evidence" at every corpus size — the
+    * production dial. Costs one count() over the persisted gram table.
+    */
+  def ngramJaccardPairsByFraction(df: DataFrame, idCol: String,
+                                  textCol: String, threshold: Double,
+                                  maxGramDocFraction: Double = 0.01)
+      : graft.core.Managed = {
+    require(maxGramDocFraction > 0 && maxGramDocFraction <= 1,
+      "maxGramDocFraction must be in (0, 1]")
+    ngramJaccardPairsManaged(df, idCol, textCol, threshold,
+      maxGramDocFreq = Some(math.max(1L,
+        (df.count() * maxGramDocFraction).toLong)))
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double,
                         maxGramDocFreq: Option[Long] =

@@ -48,6 +48,101 @@ object Upgrade {
   def revisionsAvailable(errorMsg: Column): Column =
     regexp_extract(errorMsg, RevisionGate, 1)
 
+  // ---- end-to-end upgrade orchestrator (main.py:522-766) ----------------
+
+  /** One patch's outcome in an [[run]] report. */
+  case class PatchStep(file: String, version: String, status: String)
+
+  case class UpgradeReport(patches: Seq[PatchStep], upgradeTriggered: Boolean,
+                          modulesUpdated: Seq[String])
+
+  /** The version text the reference derives from a patch filename for the
+    * ledger (`re.search('(.+?)\.patch\.zip', filename).group(1)`,
+    * main.py:561-563 — the WHOLE prefix, `uf` included).
+    */
+  def patchVersion(file: String): String =
+    "(.+?)\\.patch\\.zip".r.findFirstMatchIn(file).map(_.group(1))
+      .getOrElse(file)
+
+  /** The `ufload upgrade` apply loop with every RPC/HTTP effect injected —
+    * mirroring [[Restore.run]]'s shape: the plan side is relational
+    * ([[installPlan]]: ordered, checksum-skipped), the driver folds over
+    * the tiny plan, and the reference's control flow is kept exactly:
+    *
+    *  - each planned patch: download → `installPatch` ledger insert
+    *    (main.py:557-567; a false return = server says already installed,
+    *    recorded as "skipped" like the reference's rc != 0 branch);
+    *  - per instance: `connect` — a version-mismatch error marks an update
+    *    available (main.py:603-608), anything else fatal; then `manualSync`
+    *    under [[Apply.classify]]: AuthRetry ≤ 10 one-second retries
+    *    (main.py:622-626), the revision gate marks the update available and
+    *    stops syncing (main.py:617-621), Fatal raises;
+    *  - one `manualUpgrade` + [[Apply.awaitRestart]] when an update became
+    *    available — the reference upgrades ONCE and breaks the instance
+    *    loop (main.py:635-663); a failed restart raises the reference's
+    *    "can not be restarted" error;
+    *  - `migrate` set: per-instance [[Apply.updateModulesLoop]]
+    *    (main.py:666-699), recording which instances completed.
+    */
+  def run(plan: Seq[(String, String)], // (file, sum) in installPlan order
+          download: String => Array[Byte],
+          installPatch: (String, Array[Byte]) => Boolean,
+          instances: Seq[String],
+          syncServer: String = "SYNC_SERVER_LOCAL",
+          connect: String => Either[String, Unit],
+          manualSync: String => Either[String, Unit],
+          manualUpgrade: () => Unit,
+          ping: () => Boolean,
+          migrate: Option[String => Either[String, Unit]] = None,
+          sleep: () => Unit = () => Thread.sleep(1000)): UpgradeReport = {
+    val steps = plan.map { case (file, _) =>
+      val version = patchVersion(file)
+      val ok = installPatch(version, download(file))
+      PatchStep(file, version, if (ok) "installed" else "skipped")
+    }
+    var updateAvailable = false
+    var upgraded = false
+    for (instance <- instances if instance != syncServer && !upgraded) {
+      connect(instance) match {
+        case Right(()) => ()
+        case Left(msg) if Apply.classify(msg) == Apply.UpdateAvailable =>
+          updateAvailable = true
+        case Left(msg) =>
+          throw new IllegalStateException(s"connect($instance) failed: $msg")
+      }
+      var syncing = true
+      var authRetries = 0
+      while (syncing) {
+        manualSync(instance) match {
+          case Right(()) => syncing = false
+          case Left(msg) => Apply.classify(msg) match {
+            case Apply.UpdateAvailable =>
+              updateAvailable = true; syncing = false
+            case Apply.AuthRetry if authRetries < 10 =>
+              authRetries += 1; sleep()
+            case _ =>
+              throw new IllegalStateException(s"sync($instance) failed: $msg")
+          }
+        }
+      }
+      if (updateAvailable) {
+        manualUpgrade()
+        if (!Apply.awaitRestart(ping, maxAttempts = 300, sleep = sleep))
+          throw new IllegalStateException(
+            "The UniField server can not be restarted") // main.py:661
+        upgraded = true // reference breaks the instance loop after one upgrade
+      }
+    }
+    val updated = migrate match {
+      case None => Seq.empty
+      case Some(connectRpc) =>
+        instances.filter { inst =>
+          Apply.updateModulesLoop(() => connectRpc(inst), sleep = sleep)
+        }
+    }
+    UpgradeReport(steps, upgraded, updated)
+  }
+
   // ---- user-rights install flow (main.py:700-735, db.py:898-924) --------
 
   /** User-rights artifact plan (main.py:704-724): keep names matching the

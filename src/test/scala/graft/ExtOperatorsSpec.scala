@@ -149,6 +149,18 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, true), (2L, 1L, true), (3L, 0L, false)))
   }
 
+  test("ngramJaccardPairsByFraction scales the cap with the corpus") {
+    val df = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val m = Dedup.ngramJaccardPairsByFraction(df, "doc_id", "text", 0.3,
+      maxGramDocFraction = 1.0) // cap = |docs| -> nothing dropped
+    val got = m.df.as[(Long, Long, Long)].collect()
+    m.close()
+    assert(got.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairsByFraction(df, "doc_id", "text", 0.3, 0.0)
+    }
+  }
+
   test("wordNgrams: short inputs yield empty arrays, not [null]") {
     import graft.operators.Curation
     val got = Seq("one two", "a b c d").toDF("t")

@@ -91,6 +91,53 @@ class UpgradeSpec extends SparkSpec {
     assert(got == vectors.map(_._2))
   }
 
+  test("run: install plan applied in order; revision gate triggers one upgrade") {
+    val downloaded = scala.collection.mutable.ListBuffer[String]()
+    val installedV = scala.collection.mutable.ListBuffer[String]()
+    var upgrades = 0
+    var pings = 0
+    var syncCalls = 0
+    val report = Upgrade.run(
+      plan = Seq(("uf2.1.patch.zip", "s1"), ("UF10.0.patch.zip", "s2")),
+      download = f => { downloaded += f; f.getBytes("UTF-8") },
+      installPatch = (v, _) => { installedV += v; v != "UF10.0" }, // 2nd: server says exists
+      instances = Seq("SYNC_SERVER_LOCAL", "OCG_KE1_NBO", "OCA_TD1_ABC"),
+      connect = _ => Left("x: OpenERP version doesn't match database version!"),
+      manualSync = _ => { syncCalls += 1
+        Left("Cannot check for updates: There is/are 2 revision(s) available.") },
+      manualUpgrade = () => upgrades += 1,
+      ping = () => { pings += 1; pings > 2 }, // restarts on the 3rd probe
+      migrate = Some { inst =>
+        if (inst == "OCA_TD1_ABC") Right(())
+        else Left("ServerUpdate: Server is updating modules ...") },
+      sleep = () => ())
+    assert(downloaded.toList == List("uf2.1.patch.zip", "UF10.0.patch.zip"))
+    assert(installedV.toList == List("uf2.1", "UF10.0")) // main.py version capture
+    assert(report.patches.map(_.status) == Seq("installed", "skipped"))
+    assert(report.upgradeTriggered && upgrades == 1) // ONE upgrade, loop broken
+    assert(syncCalls == 1) // sync server skipped; first instance gated
+    assert(report.modulesUpdated == Seq("OCA_TD1_ABC")) // the stuck one timed out
+  }
+
+  test("run: auth errors retry up to 10 then raise; fatal raises immediately") {
+    var attempts = 0
+    val err = intercept[IllegalStateException] {
+      Upgrade.run(Seq.empty, _ => Array.empty, (_, _) => true,
+        Seq("I1"), connect = _ => Right(()),
+        manualSync = _ => { attempts += 1
+          Left("Authentification Failed, please contact the support") },
+        manualUpgrade = () => fail("no upgrade"), ping = () => true,
+        sleep = () => ())
+    }
+    assert(attempts == 11 && err.getMessage.contains("sync(I1)"))
+    intercept[IllegalStateException] {
+      Upgrade.run(Seq.empty, _ => Array.empty, (_, _) => true,
+        Seq("I1"), connect = _ => Left("some totally unknown explosion"),
+        manualSync = _ => Right(()), manualUpgrade = () => (),
+        ping = () => true, sleep = () => ())
+    }
+  }
+
   test("installUserRights state machine: done, not-done, exists-on-server") {
     import Upgrade.{UrAlreadyExists, UrLoaded}
     var acked = List.empty[Long]
