@@ -240,6 +240,40 @@ object Dedup {
     s"CAST(${terms.mkString(" + ")} AS BIGINT)"
   }
 
+  /** Batch SimHash near-dup pairs — the bucket-join form of what
+    * [[graft.streaming.NearDupStream]] does incrementally: band each 16-bit
+    * signature into `NumBands` 4-bit keys (pigeonhole: two sigs within
+    * hamming NumBands−1 agree exactly on ≥1 band), equi-join on
+    * (band, bits), verify with `bit_count(xor) <= maxHamming`. Output
+    * (idA, idB, hamming) distinct pairs, idA < idB. The only shuffle is
+    * the 4-row-per-doc band join — never all-pairs.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "pigeonhole over 4 bands needs maxHamming < 4")
+    val sigs = graft.core.Ops.widen(df)
+      .withColumn("wh", tokenHashes(normalizeWords(col(textCol))))
+      .withColumn("sig", simhash16)
+      .select(col(idCol), col("sig"))
+    val bands = sigs.select(col(idCol), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 4).bitwiseAND(15).as("bits"))): _*))
+        .as("bb"))
+      .select(col(idCol), col("sig"), col("bb.band").as("band"),
+        col("bb.bits").as("bits"))
+    val a = bands.select(col(idCol).as("idA"), col("sig").as("sa"),
+      col("band"), col("bits"))
+    val b = bands.select(col(idCol).as("idB"), col("sig").as("sb"),
+      col("band"), col("bits"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("idA") < col("idB"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("idA", "idB", "hamming").distinct()
+  }
+
   /** n-gram Jaccard similarity join via the distributed explode-join shape:
     * explode distinct word-2-grams, self-join on gram (the shuffle key),
     * count intersections per pair, then Jaccard from per-doc gram counts.

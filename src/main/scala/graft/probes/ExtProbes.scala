@@ -680,6 +680,46 @@ object ExtProbes {
       |FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---- q60 batch SimHash near-dup (banding + hamming verify) ------------
+  // The q27-style planting drives signature proximity: a planted doc's
+  // text is its source plus 3 words, so signatures differ by few bits and
+  // land in a shared 4-bit band (pigeonhole, hamming <= 3). The corpus is
+  // subset to every 5th doc: 16-bit signatures over the low-entropy
+  // synthetic vocab collide organically, and the probe's job is verifying
+  // the band join + bit_count(xor) verify, not stress-testing pair
+  // explosion. Oracle mirrors both stages exactly.
+  val q60: Q = (s, d) => {
+    val base = Tables.documents(s, d).select("doc_id", "text")
+      .filter(col("doc_id") % 5 === 0)
+    val planted = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz yy xx")).as("text"))
+    Dedup.simhashNearDupPairs(base.unionByName(planted), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy("idA", "idB")
+  }
+
+  val q60Sql: String = {
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, sig, $b AS band, (sig >> ${b * 4}) & 15 AS bits FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |corpus AS (
+       |  SELECT doc_id, text FROM sub
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' zz yy xx' FROM sub WHERE doc_id % 7 = 0),
+       |n AS (SELECT doc_id, $duckWords AS w FROM corpus),
+       |sig AS (SELECT doc_id, ${Dedup.simhash16DuckSql} AS sig FROM n),
+       |bands AS (
+       |  $bandRows)
+       |SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY idA, idB""".stripMargin
+  }
+
   // ---- q47 approximate aggregates (bounded-error oracle) ----------------
   // Sketch VALUES are implementation-specific (DuckDB's HLL would never
   // hash-match Spark's), so the raw estimates cannot cross the compare
@@ -779,6 +819,7 @@ object ExtProbes {
     "q57_decontamination" -> q57,
     "q58_weighted_mix" -> q58,
     "q59_boilerplate" -> q59,
+    "q60_simhash_neardup" -> q60,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -808,5 +849,6 @@ object ExtProbes {
     "q57_decontamination" -> q57Sql,
     "q58_weighted_mix" -> q58Sql,
     "q59_boilerplate" -> q59Sql,
+    "q60_simhash_neardup" -> q60Sql,
   )
 }
