@@ -45,13 +45,13 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 
   // A null ELEMENT, a LENGTH MISMATCH, or a ZERO-NORM side makes the whole
-  // result null — matching the HOF composition exactly (zip_with null-pads
-  // the shorter array poisoning the fold; Spark's Divide yields NULL on a
-  // zero divisor, as does DuckDB's `/`), so the optimizer rewrite
-  // (plans.RewriteHofCosine) is semantics-preserving on every input.
-  // Returning the raw 0/0 here would be NaN, which Spark orders ABOVE every
-  // real double — zero-norm vectors would out-rank true matches in top-k
-  // and pass `>= threshold` near-dup filters.
+  // result null — matching the CASE-guarded HOF composition
+  // (Similarity.cosineHof) exactly. NULL is the only sane zero-norm answer
+  // in Spark 4: ANSI mode (the 4.x default) makes an unguarded double
+  // division by zero THROW DIVIDE_BY_ZERO (verified), non-ANSI would give
+  // NaN (which orders ABOVE every real double — zero vectors would
+  // out-rank true matches in top-k and pass >= threshold filters), and
+  // DuckDB's `/` yields NULL — the oracle-parity answer.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

@@ -175,14 +175,15 @@ object Dedup {
       val changed = updated
         .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
         .filter(col("label") < col("prev")).count()
-      labels.unpersist()
+      // (no unpersist: localCheckpoint blocks aren't CacheManager entries;
+      // the ContextCleaner reclaims each round's as its RDD drops out of
+      // reference — the standard iterative pattern)
       labels = updated
       converged = changed == 0
       iters += 1
     }
     edges.unpersist()
     if (!converged) {
-      labels.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters iterations " +
           "(component diameter exceeds maxIters) — raise maxIters; " +
@@ -249,12 +250,21 @@ object Dedup {
     * the 4-row-per-doc band join — never all-pairs.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3): DataFrame =
+    simhashNearDupPairsManaged(df, idCol, textCol, maxHamming).df
+
+  def simhashNearDupPairsManaged(df: DataFrame, idCol: String,
+                                 textCol: String, maxHamming: Int = 3)
+      : graft.core.Managed = {
     require(maxHamming < 4, "pigeonhole over 4 bands needs maxHamming < 4")
+    // persisted: the signature derivation (md5 per token + 16 folds per
+    // doc) feeds BOTH self-join sides — same discipline as the other
+    // near-dup operators
     val sigs = graft.core.Ops.widen(df)
       .withColumn("wh", tokenHashes(normalizeWords(col(textCol))))
       .withColumn("sig", simhash16)
       .select(col(idCol), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sigs.select(col(idCol), col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -266,12 +276,13 @@ object Dedup {
       col("band"), col("bits"))
     val b = bands.select(col(idCol).as("idB"), col("sig").as("sb"),
       col("band"), col("bits"))
-    a.join(b, Seq("band", "bits"))
+    val out = a.join(b, Seq("band", "bits"))
       .filter(col("idA") < col("idB"))
       .withColumn("hamming",
         expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
       .filter(col("hamming") <= maxHamming)
       .select("idA", "idB", "hamming").distinct()
+    graft.core.Managed(out, Seq(sigs))
   }
 
   /** n-gram Jaccard similarity join via the distributed explode-join shape:
@@ -300,13 +311,10 @@ object Dedup {
   def ngramJaccardPairsByFraction(df: DataFrame, idCol: String,
                                   textCol: String, threshold: Double,
                                   maxGramDocFraction: Double = 0.01)
-      : graft.core.Managed = {
-    require(maxGramDocFraction > 0 && maxGramDocFraction <= 1,
-      "maxGramDocFraction must be in (0, 1]")
+      : graft.core.Managed =
     ngramJaccardPairsManaged(df, idCol, textCol, threshold,
-      maxGramDocFreq = Some(math.max(1L,
-        (df.count() * maxGramDocFraction).toLong)))
-  }
+      maxGramDocFreq = None,
+      maxGramDocFraction = Some(maxGramDocFraction))
 
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double,
@@ -317,8 +325,11 @@ object Dedup {
   def ngramJaccardPairsManaged(df: DataFrame, idCol: String, textCol: String,
                                threshold: Double,
                                maxGramDocFreq: Option[Long] =
-                                 Some(DefaultMaxGramDocFreq))
+                                 Some(DefaultMaxGramDocFreq),
+                               maxGramDocFraction: Option[Double] = None)
       : graft.core.Managed = {
+    maxGramDocFraction.foreach(f => require(f > 0 && f <= 1,
+      "maxGramDocFraction must be in (0, 1]"))
     // same two-step projection + filter-above-cache discipline as
     // shingleSets (see the NOTE there)
     val gramsRaw = graft.core.Ops.widen(df)
@@ -333,7 +344,12 @@ object Dedup {
     val grams = gramsRaw.filter(size(col("__g")) > 0)
     val counts = grams.select(col(idCol), size(col("__g")).as("n"))
     val explodedAll = grams.select(col(idCol), explode(col("__g")).as("gram"))
-    val exploded = maxGramDocFreq.fold(explodedAll) { cap =>
+    // fraction cap counts the PERSISTED gram table (one row per doc) —
+    // not the raw input, whose upstream plan would re-run end to end
+    val cap = maxGramDocFraction
+      .map(f => math.max(1L, (gramsRaw.count() * f).toLong))
+      .orElse(maxGramDocFreq)
+    val exploded = cap.fold(explodedAll) { cap =>
       val df = explodedAll.groupBy("gram").agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= cap).select("gram")
       explodedAll.join(df, Seq("gram"))

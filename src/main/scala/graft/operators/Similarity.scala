@@ -28,12 +28,13 @@ object Similarity {
     graft.functions.CosineSim(col(a), col(b))
 
   /** The same semantics from built-in HOFs only (reference/fallback form;
-    * also what the DuckDB oracle mirrors). The `nullif` guard makes a
-    * zero-norm side NULL — double division by zero would otherwise be
-    * NaN in Spark (Java semantics), and NaN orders ABOVE every real
-    * double, out-ranking true matches; DuckDB's `/` returns NULL there,
-    * so NULL is also the oracle-parity answer. [[CosineSim]] implements
-    * the same rule natively.
+    * also what the DuckDB oracle mirrors). The CASE guard makes a
+    * zero-norm side NULL and is LOAD-BEARING: under ANSI mode (the
+    * Spark 4 default) an unguarded double division by zero throws
+    * DIVIDE_BY_ZERO at runtime (verified; non-ANSI would give NaN, which
+    * orders above every real double). DuckDB's `/` yields NULL, so NULL
+    * is also the oracle-parity answer. [[CosineSim]] implements the same
+    * rule natively.
     */
   def cosineHof(a: String, b: String): Column = {
     // the zero-guard is an explicit CASE (not nullif): nullif compiles to a

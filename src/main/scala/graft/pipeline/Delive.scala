@@ -194,7 +194,10 @@ object Delive {
       else {
         val cond = where.map(expr).getOrElse(org.apache.spark.sql.functions.lit(true))
         sets.foldLeft(df) { case (d, (c, v)) =>
-          if (!d.columns.contains(c)) d // missing column tolerated
+          // target column AND value-expression references must resolve —
+          // a value naming a column the backup lacks is the same
+          // ignored-rc class as a bad WHERE
+          if (!d.columns.contains(c) || !condResolves(d, v)) d
           else d.withColumn(c, when(cond, expr(v).cast(d.schema(c).dataType))
             .otherwise(col(c)))
         }

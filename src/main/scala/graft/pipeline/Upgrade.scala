@@ -136,7 +136,7 @@ object Upgrade {
     val updated = migrate match {
       case None => Seq.empty
       case Some(connectRpc) =>
-        instances.filter { inst =>
+        instances.filter(_ != syncServer).filter { inst =>
           Apply.updateModulesLoop(() => connectRpc(inst), sleep = sleep)
         }
     }

@@ -19,12 +19,11 @@ import graft.functions.CosineSim
   * Semantics: CosineSim reproduces the HOF's left-to-right double fold and
   * null-element propagation bit-for-bit, and returns NULL on a zero-norm
   * side. For the GUARDED form that is exactly the input's semantics. For
-  * the PLAIN form the raw HOF would produce NaN there (double 0/0, Java
-  * semantics) — the rewrite deliberately strictens NaN to NULL, because
-  * Spark orders NaN above every real double (zero vectors would out-rank
-  * true matches in top-k and pass `>= threshold` filters) and because
-  * NULL is what DuckDB's `/` yields — recorded in the scaladoc rather
-  * than silently, and pinned by VectorOpsSpec.
+  * the PLAIN form, Spark 4's ANSI default makes the raw division THROW
+  * DIVIDE_BY_ZERO on a zero-norm vector (non-ANSI: NaN) — the rewrite
+  * softens that to NULL, `try_divide`-style (and NULL is what DuckDB's
+  * `/` yields). Recorded here and in DIVERGENCES #18 rather than
+  * silently; pinned by VectorOpsSpec.
   *
   * Injected via [[GraftExtensions]] (`injectOptimizerRule`).
   */

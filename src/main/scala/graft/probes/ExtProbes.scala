@@ -315,7 +315,8 @@ object ExtProbes {
 
   val q38Sql: String =
     """WITH t AS (
-      |  SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+      |  SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
       |  FROM documents)
       |SELECT CAST(least(floor(toks / 16) * 16, 64) AS BIGINT) AS bin,
       |       count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_toks
@@ -473,7 +474,8 @@ object ExtProbes {
     """WITH t AS (
       |  SELECT doc_id,
       |    CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS INT) AS shard,
-      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
       |  FROM documents)
       |SELECT doc_id, shard, toks,
       |  CAST(floor((sum(toks) OVER (PARTITION BY shard ORDER BY doc_id

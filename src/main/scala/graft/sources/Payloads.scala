@@ -26,14 +26,13 @@ object Payloads {
       .option("recursiveFileLookup", "true")
       .load(dir)
 
-  /** OP-4: names of zip members. The reference requires exactly one member
-    * (cloud.py:226-228) — callers gate on `size(members) === 1`.
-    */
-  /** Member names, DRAINING each entry's bytes: ZipInputStream reads names
-    * from streamed local headers and silently returns null at a truncation
-    * point, so listing without reading would accept a half-uploaded archive
-    * as complete; decompressing to the end makes truncated deflate data
-    * throw (and the reference reads members anyway — checksums/restore).
+  /** OP-4: names of zip members (cloud.py:226-228 — callers gate on
+    * `size(members) === 1`), DRAINING each entry's bytes: ZipInputStream
+    * reads names from streamed local headers and silently returns null at
+    * a truncation point, so listing without reading would accept a
+    * half-uploaded archive as complete; decompressing to the end makes
+    * truncated deflate data throw (and the reference reads members anyway
+    * — checksums/restore).
     */
   def zipMembers(bytes: Array[Byte]): Seq[String] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
@@ -74,10 +73,7 @@ object Payloads {
   def zipMembersSafe(bytes: Array[Byte]): Seq[String] =
     if (bytes.length < 22 || !hasEndOfCentralDirectory(bytes)) Seq.empty
     else try zipMembers(bytes)
-    catch {
-      case _: java.util.zip.ZipException | _: java.io.EOFException |
-          _: java.io.IOException => Seq.empty
-    }
+    catch { case _: java.io.IOException => Seq.empty } // ZipException/EOF included
 
   /** Validate the one-member rule over a binaryFile frame; returns
     * (path, member) for valid payloads only — corrupt archives are
