@@ -792,6 +792,85 @@ object ExtProbes {
        |FROM shl ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q61 as-of join (latest purchase at-or-before each click) ---------
+  // Engine = Temporal.asofJoin (union + one keyed shuffle + windowed
+  // carry-forward — no join operator in the plan). Oracle = the INDEPENDENT
+  // encoding: inequality left join + row_number top-1, so the probe checks
+  // the semantics, not the implementation.
+  val q61: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"),
+        graft.core.Ops.fixedPoint(col("value"), 4).as("purchase_value_e4"))
+    graft.operators.Temporal.asofJoin(
+        clicks, "user_id", "ts", purchases, "user_id", "ts",
+        payload = Seq("purchase_id", "purchase_value_e4"),
+        tieBreak = "purchase_id")
+      .orderBy("event_id")
+  }
+
+  val q61Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts,
+      |         event_type, value
+      |  FROM events),
+      |c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts,
+      |        CAST(floor(value * 10000 + 0.5) AS BIGINT) AS purchase_value_e4
+      |      FROM e WHERE event_type = 'purchase'),
+      |j AS (SELECT c.event_id, c.user_id, c.ts,
+      |        p.purchase_id, p.purchase_value_e4,
+      |        row_number() OVER (PARTITION BY c.event_id
+      |          ORDER BY p.ts DESC, p.purchase_id DESC) AS rn
+      |      FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.ts <= c.ts)
+      |SELECT event_id, user_id, ts, purchase_id, purchase_value_e4
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  // ---- q62 bounded range join (views in the hour before each click) -----
+  // Engine = Temporal.rangeJoin (bucketed EQUI join + exact refine; the
+  // plan has no nested-loop stage — pinned in PlanContractSpec). Oracle =
+  // the direct inequality join. Zero-view clicks survive via the left join
+  // back onto the click set.
+  val q62: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("view_id"),
+        graft.core.Ops.fixedPoint(col("value"), 4).as("v_e4"))
+    val agg = graft.operators.Temporal.rangeJoin(
+        clicks, "user_id", "ts", views, "user_id", "ts",
+        lowerSec = -3600L, upperSec = 0L, payload = Seq("view_id", "v_e4"))
+      .groupBy("event_id", "user_id")
+      .agg(count(lit(1)).as("n"), sum("v_e4").as("sv"))
+    clicks.join(agg, Seq("event_id", "user_id"), "left_outer")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n"), lit(0L)).as("n_views"),
+        coalesce(col("sv"), lit(0L)).as("sum_v_e4"))
+      .orderBy("event_id")
+  }
+
+  val q62Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts,
+      |         event_type, value
+      |  FROM events),
+      |c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+      |v AS (SELECT event_id AS view_id, user_id, ts,
+      |        CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4
+      |      FROM e WHERE event_type = 'view')
+      |SELECT c.event_id, c.user_id,
+      |  CAST(count(v.view_id) AS BIGINT) AS n_views,
+      |  CAST(coalesce(sum(v.v_e4), 0) AS BIGINT) AS sum_v_e4
+      |FROM c LEFT JOIN v ON v.user_id = c.user_id
+      |  AND epoch_us(v.ts) BETWEEN epoch_us(c.ts) - 3600000000 AND epoch_us(c.ts)
+      |GROUP BY c.event_id, c.user_id
+      |ORDER BY c.event_id""".stripMargin
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -822,6 +901,8 @@ object ExtProbes {
     "q58_weighted_mix" -> q58,
     "q59_boilerplate" -> q59,
     "q60_simhash_neardup" -> q60,
+    "q61_asof_join" -> q61,
+    "q62_range_join" -> q62,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -852,5 +933,7 @@ object ExtProbes {
     "q58_weighted_mix" -> q58Sql,
     "q59_boilerplate" -> q59Sql,
     "q60_simhash_neardup" -> q60Sql,
+    "q61_asof_join" -> q61Sql,
+    "q62_range_join" -> q62Sql,
   )
 }

@@ -47,6 +47,18 @@ class PlanContractSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q61 as-of join: no join operator at all — one keyed window instead") {
+    val p = plan(ExtProbes.q61(spark, sf))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
+  test("q62 range join: bucketed equi-join, no nested-loop, no cartesian") {
+    val p = plan(ExtProbes.q62(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q07 merge: local keys broadcast keeps the remote side shuffle-free") {
     val p = plan(Probes.q07(spark, sf))
     assert(!p.contains("CartesianProduct"))

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // quotes: (key, t, qid, px)
+  private def quotes = Seq(
+    ("a", 10L, 1L, 1.0), ("a", 20L, 2L, 2.0), ("a", 20L, 3L, 3.0),
+    ("b", 5L, 4L, 4.0)
+  ).toDF("k", "sec", "qid", "px")
+    .withColumn("qt", expr("timestamp_seconds(sec)"))
+
+  // trades: (key, t, tid)
+  private def trades = Seq(
+    ("a", 9L, 100L),  // before any quote
+    ("a", 10L, 101L), // exactly at quote 1
+    ("a", 25L, 102L), // after the tied quotes at t=20
+    ("b", 5L, 103L),  // exactly at b's only quote
+    ("c", 7L, 104L)   // key with no quotes at all
+  ).toDF("k", "sec", "tid").withColumn("tt", expr("timestamp_seconds(sec)"))
+
+  test("asofJoin picks latest at-or-before right row, max tieBreak on ties") {
+    val got = Temporal.asofJoin(
+      trades.select("k", "tt", "tid"), "k", "tt",
+      quotes.select("k", "qt", "qid", "px"), "k", "qt",
+      payload = Seq("qid", "px"), tieBreak = "qid")
+      .select("tid", "qid", "px").as[(Long, Option[Long], Option[Double])]
+      .collect().map { case (t, q, p) => t -> ((q, p)) }.toMap
+    assert(got(100L) == ((None, None)))            // no quote yet
+    assert(got(101L) == ((Some(1L), Some(1.0))))   // inclusive: same-ts match
+    assert(got(102L) == ((Some(3L), Some(3.0))))   // tie at t=20 → max qid
+    assert(got(103L) == ((Some(4L), Some(4.0))))
+    assert(got(104L) == ((None, None)))            // unseen key → null payload
+  }
+
+  test("asofJoin exclusive drops the same-timestamp right row") {
+    val got = Temporal.asofJoin(
+      trades.select("k", "tt", "tid"), "k", "tt",
+      quotes.select("k", "qt", "qid", "px"), "k", "qt",
+      payload = Seq("qid"), tieBreak = "qid", inclusive = false)
+      .select("tid", "qid").as[(Long, Option[Long])].collect().toMap
+    assert(got(101L).isEmpty)  // quote at exactly t=10 no longer visible
+    assert(got(103L).isEmpty)
+    assert(got(102L).contains(3L))
+  }
+
+  test("asofJoin preserves every left row and supports outPrefix") {
+    val out = Temporal.asofJoin(
+      trades, "k", "tt", quotes, "k", "qt",
+      payload = Seq("qid"), tieBreak = "qid", outPrefix = "q_")
+    assert(out.count() == trades.count())
+    assert(out.columns.contains("q_qid"))
+    // left columns come through unchanged
+    assert(trades.columns.forall(out.columns.contains))
+  }
+
+  test("rangeJoin matches the brute-force interval join, including bucket-boundary windows") {
+    val left = Seq(("a", 100L, 1L), ("a", 3600L, 2L), ("a", 3599L, 3L),
+      ("b", 50L, 4L)).toDF("k", "sec", "lid")
+      .withColumn("lt", expr("timestamp_seconds(sec)"))
+    val right = Seq(("a", 0L, 10L), ("a", 99L, 11L), ("a", 100L, 12L),
+      ("a", 3500L, 13L), ("a", 7300L, 14L), ("b", 49L, 15L), ("c", 1L, 16L))
+      .toDF("k", "sec", "rid").withColumn("rt", expr("timestamp_seconds(sec)"))
+
+    val got = Temporal.rangeJoin(
+      left.select("k", "lt", "lid"), "k", "lt",
+      right.select("k", "rt", "rid"), "k", "rt",
+      lowerSec = -3600L, upperSec = 0L, payload = Seq("rid"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+
+    val lr = left.select("k", "sec", "lid").as[(String, Long, Long)].collect()
+    val rr = right.select("k", "sec", "rid").as[(String, Long, Long)].collect()
+    val brute = (for {
+      (lk, lsec, lid) <- lr; (rk, rsec, rid) <- rr
+      if lk == rk && rsec >= lsec - 3600 && rsec <= lsec
+    } yield (lid, rid)).toSet
+    assert(got == brute)
+    assert(brute.contains((2L, 10L)))  // exactly window-width apart
+    assert(got.nonEmpty)
+  }
+
+  test("rangeJoin plans as an equi join (no nested-loop, no cartesian)") {
+    val left = Seq(("a", 1L)).toDF("k", "lid")
+      .withColumn("lt", expr("timestamp_seconds(lid)"))
+    val right = Seq(("a", 2L)).toDF("k", "rid")
+      .withColumn("rt", expr("timestamp_seconds(rid)"))
+    val plan = Temporal.rangeJoin(left, "k", "lt", right, "k", "rt",
+      -60L, 0L, Seq("rid")).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("asofJoin plans one exchange on the key and no join operator at all") {
+    val plan = Temporal.asofJoin(
+      trades.select("k", "tt", "tid"), "k", "tt",
+      quotes.select("k", "qt", "qid"), "k", "qt",
+      payload = Seq("qid"), tieBreak = "qid")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"asofJoin must not plan a join:\n$plan")
+    assert(plan.contains("Window"))
+  }
+}
