@@ -871,6 +871,32 @@ object ExtProbes {
       |GROUP BY c.event_id, c.user_id
       |ORDER BY c.event_id""".stripMargin
 
+  // ---- q63 Bloom-prefiltered semi join ----------------------------------
+  // Engine = Bloom.bloomSemiJoin: fact rows failing the literal-array bit
+  // test never reach the join shuffle; the exact semi join then removes
+  // the Bloom's false positives, so the result is EXACT and the oracle is
+  // the plain EXISTS — independent of the Bloom entirely.
+  val q63: Q = (s, d) => {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    graft.core.Bloom.bloomSemiJoin(
+        Tables.lineitem(s, d), "l_orderkey", urgent, "o_orderkey")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.core.Ops.fixedPoint(col("l_quantity"), 2)).as("sum_qty_e2"))
+      .orderBy("l_returnflag")
+  }
+
+  val q63Sql: String =
+    """SELECT l.l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS sum_qty_e2
+      |FROM lineitem l
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -903,6 +929,7 @@ object ExtProbes {
     "q60_simhash_neardup" -> q60,
     "q61_asof_join" -> q61,
     "q62_range_join" -> q62,
+    "q63_bloom_semi_join" -> q63,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -935,5 +962,6 @@ object ExtProbes {
     "q60_simhash_neardup" -> q60Sql,
     "q61_asof_join" -> q61Sql,
     "q62_range_join" -> q62Sql,
+    "q63_bloom_semi_join" -> q63Sql,
   )
 }
