@@ -692,6 +692,80 @@ object Probes {
       |       event_type, count(*) AS cnt
       |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin
 
+  // ---- q64 pivot (wide reshape: lang × source) --------------------------
+  // Spark's pivot with an explicit value list keeps the plan a single
+  // hash aggregate (no per-value scans); the oracle is the manual
+  // CASE-sum encoding. Absent (lang, source) cells stay NULL in both.
+  private val q64Sources = Seq("src0", "src1", "src2", "src3", "src4")
+
+  val q64: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("source").isin(q64Sources: _*))
+      .groupBy("lang")
+      .pivot("source", q64Sources)
+      .agg(sum(col("n_chars")))
+      .orderBy("lang")
+
+  val q64Sql: String = {
+    val cols = q64Sources.map(src =>
+      s"CAST(sum(CASE WHEN source = '$src' THEN n_chars END) AS BIGINT) AS $src")
+      .mkString(",\n       ")
+    s"""SELECT lang,
+       |       $cols
+       |FROM documents
+       |WHERE source IN (${q64Sources.map(s => s"'$s'").mkString(", ")})
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ---- q65 grouping sets (explicit multi-grouping aggregate) ------------
+  // Dataset.groupingSets (Spark 4): one aggregate producing the per-flag,
+  // per-status, and grand-total rows in a single pass — the generalization
+  // rollup/cube (q45/q46) specialize. NULL group cells are coalesced to
+  // sentinels so the total ORDER BY needs no cross-engine null ordering.
+  val q65: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(cents(col("l_quantity"))).as("sum_qty_c"))
+      .select(
+        coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+        col("cnt"), col("sum_qty_c"))
+      .orderBy("rf", "ls")
+
+  val q65Sql: String =
+    """SELECT coalesce(l_returnflag, '<all>') AS rf,
+      |       coalesce(l_linestatus, '<all>') AS ls,
+      |       count(*) AS cnt,
+      |       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY rf, ls""".stripMargin
+
+  // ---- q66 exact interpolated percentiles per group ---------------------
+  // Spark `percentile` and DuckDB `quantile_cont` both implement the R-7
+  // linear interpolation (pos = p·(n-1)); the arithmetic is the same IEEE
+  // formula on the same doubles, so the fixed-point exits match exactly.
+  val q66: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        Ops.fixedPoint(expr("percentile(l_quantity, 0.25)"), 4).as("p25_e4"),
+        Ops.fixedPoint(expr("percentile(l_quantity, 0.5)"), 4).as("p50_e4"),
+        Ops.fixedPoint(expr("percentile(l_quantity, 0.75)"), 4).as("p75_e4"),
+        Ops.fixedPoint(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price_c"))
+      .orderBy("l_returnflag")
+
+  val q66Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(floor(quantile_cont(l_quantity, 0.25) * 10000 + 0.5) AS BIGINT) AS p25_e4,
+      |  CAST(floor(quantile_cont(l_quantity, 0.5) * 10000 + 0.5) AS BIGINT) AS p50_e4,
+      |  CAST(floor(quantile_cont(l_quantity, 0.75) * 10000 + 0.5) AS BIGINT) AS p75_e4,
+      |  CAST(floor(quantile_cont(l_extendedprice, 0.9) * 100 + 0.5) AS BIGINT) AS p90_price_c
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -727,6 +801,9 @@ object Probes {
     "q46_cube" -> q46,
     "q49_sessionize" -> q49,
     "q50_tumbling_window" -> q50,
+    "q64_pivot" -> q64,
+    "q65_grouping_sets" -> q65,
+    "q66_percentiles" -> q66,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -762,5 +839,8 @@ object Probes {
     "q46_cube" -> q46Sql,
     "q49_sessionize" -> q49Sql,
     "q50_tumbling_window" -> q50Sql,
+    "q64_pivot" -> q64Sql,
+    "q65_grouping_sets" -> q65Sql,
+    "q66_percentiles" -> q66Sql,
   )
 }
