@@ -1,10 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line on stdout AND `target/bench.json`.
+  *
+  * The file copy exists because the driver's stdout capture window proved
+  * lossy (BENCH_r03.json: `tail` truncated mid-JSON, `parsed: null`) — the
+  * artifact of record must not depend on log noise ahead of the one line.
+  * Root log level is forced to ERROR before the session starts for the same
+  * reason.
+  *
+  * Regression gate: per-query medians are compared against
+  * `BASELINE_QUERIES.json` (recorded from the prior round's driver bench at
+  * the same SF). A query >2× its baseline AND >0.3 s absolute over it is
+  * reported in the `regressions` array — visible in the artifact itself, so
+  * a silent per-query regression (round 3's unexplained q30) can't hide
+  * behind a healthy total.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Quiet startup noise BEFORE the session exists; setLogLevel only
+    // reaches the already-created context.
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.ERROR)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     Sessions.warmup(spark, sfDir)
     // Timed action: a noop-format write evaluates EVERY output column.
     // (.count() lets Catalyst prune unreferenced projections, so map-only
@@ -28,11 +48,39 @@ object Bench {
       // median of successful runs; all-failed -> -1 marker
       name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
     }.toMap
+
+    // ---- regression gate --------------------------------------------------
+    // BASELINE_QUERIES.json is a flat {"queries": {"qNN_name": sec, ...}}
+    // map; parse with a regex (no JSON dep needed for a flat numeric map).
+    val baseline: Map[String, Double] = {
+      val f = new java.io.File(sys.env.getOrElse(
+        "SPARK_GRAFT_BASELINE", "BASELINE_QUERIES.json"))
+      if (!f.isFile) Map.empty
+      else {
+        val txt = scala.io.Source.fromFile(f)
+        try "\"(q[0-9][^\"]*)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt.mkString)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        finally txt.close()
+      }
+    }
+    val regressions = results.toSeq.sorted.collect {
+      case (q, sec) if sec >= 0 && baseline.get(q).exists(b =>
+          sec > 2 * b && sec - b > 0.3) =>
+        val b = baseline(q)
+        System.err.println(f"BENCH REGRESSION: $q $sec%.2fs vs baseline $b%.2fs")
+        s"""{"q":"$q","sec":$sec,"baseline":$b}"""
+    }
+
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns,"action":"noop-write","failed":${failed.mkString("[", ",", "]")}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns,"action":"noop-write","failed":${failed.mkString("[", ",", "]")},"regressions":${regressions.mkString("[", ",", "]")}}"""
+    println(line)
+    val out = new java.io.File("target/bench.json")
+    out.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(out)
+    try w.println(line) finally w.close()
     spark.stop()
   }
 }

@@ -153,10 +153,15 @@ object Curation {
     * each document with its remaining lines in original order.
     *
     * Scale shape: lines explode with their position; the hot-line set is
-    * the result of a count-aggregate FILTERED to df > cap, which is tiny
-    * by construction (only boilerplate crosses a corpus-scale cap), so it
-    * broadcasts into a left-anti join — the corpus-sized side shuffles
-    * once, on the reassembly groupBy. Reassembly sorts each document's
+    * the result of a count-aggregate FILTERED to df > cap. That set is
+    * usually small, but it is NOT bounded by construction: distinct hot
+    * lines grow as total-line-instances / cap — linear in corpus size on a
+    * template-heavy crawl — so it is deliberately NOT broadcast-hinted
+    * (the [[contaminationFlags]] rule: corpus-bounded sides are left to
+    * AQE, which broadcasts adaptively when the runtime size allows and
+    * falls back to a shuffle join instead of collecting an unbounded set
+    * to the driver). The corpus-sized side shuffles once, on the
+    * reassembly groupBy. Reassembly sorts each document's
     * surviving (pos, line) structs — array_sort on a struct orders by the
     * leading pos field — so output order is the input order, not
     * collect_list's arrival order. Every input document appears in the
@@ -174,7 +179,7 @@ object Curation {
       .groupBy("line").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxLineDocFreq)
       .select("line")
-    val rebuilt = lines.join(broadcast(hot), Seq("line"), "left_anti")
+    val rebuilt = lines.join(hot, Seq("line"), "left_anti")
       .groupBy(idCol)
       .agg(array_join(
         expr("transform(array_sort(collect_list(struct(pos, line))), e -> e.line)"),

@@ -125,10 +125,19 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
-  test("q59 boilerplate: hot-line set broadcast into the anti-join") {
-    val p = plan(ExtProbes.q59(spark, sf))
-    assert(p.contains("BroadcastHashJoin") &&
-      p.contains("LeftAnti"), p.take(2000))
+  test("q59 boilerplate: AQE broadcasts the small hot-line set (no hint)") {
+    // The hot-line side is corpus-bounded, so the operator carries NO
+    // broadcast hint (a mandatory hint = driver collect of an unbounded set
+    // on a template-heavy crawl). The contract is on the FINAL adaptive
+    // plan: execute first, then assert AQE chose a broadcast for the small
+    // case — and that nothing degenerated to a cartesian product.
+    // collect() executes THIS df's own QueryExecution — a write would plan
+    // a fresh one and leave this plan an isFinalPlan=false AQE sketch
+    val df = ExtProbes.q59(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
