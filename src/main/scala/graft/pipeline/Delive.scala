@@ -33,6 +33,14 @@ object Delive {
   case class AddColumnIfAbsent(table: String, column: String,
                                fromSql: String) extends Rule
 
+  /** UPDATE table SET column = (SELECT selectSql FROM fromTable WHERE
+    * whereSql) — the uncorrelated scalar-subquery UPDATE (db.py:717, the
+    * OP-22 family). Postgres scalar-subquery semantics are mirrored
+    * exactly: zero matching rows assign NULL, more than one is an error.
+    */
+  case class SetColScalar(table: String, column: String, fromTable: String,
+                          selectSql: String, where: String) extends Rule
+
   /** Pipeline config mirroring the reference's CLI args (main.py). */
   case class Config(
       adminUser: String = "admin",
@@ -52,7 +60,8 @@ object Delive {
       live: Boolean = false,
       noPwReset: Boolean = false)
 
-  private def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+  private[pipeline] def lit(s: String): String =
+    "'" + s.replace("'", "''") + "'"
 
   /** The ordered rule list — reproduces db.py:349-537 statement-for-
     * statement (conditional blocks follow the same flags).
@@ -209,6 +218,26 @@ object Delive {
     case DeleteWhere(_, where) =>
       if (!condResolves(df, where)) df // unresolvable cond: skip rule
       else df.filter(!coalesce(expr(where), org.apache.spark.sql.functions.lit(false)))
+    case SetColScalar(_, c, fromTable, sel, where) =>
+      tables.get(fromTable) match {
+        case None => df // missing source table: skip, like ignored psql rc
+        case Some(src) =>
+          if (!df.columns.contains(c) || !condResolves(src, where) ||
+              !condResolves(src, sel)) df
+          else {
+            // Postgres semantics: 0 rows → NULL, >1 rows → runtime error
+            // ("more than one row returned by a subquery"). limit(2) bounds
+            // the driver read to two rows — same bounded-collect class as
+            // the Bloom build, never corpus-sized.
+            val rows = src.filter(expr(where)).select(expr(sel)).limit(2).collect()
+            if (rows.length > 1) throw new IllegalStateException(
+              s"scalar subquery over '$fromTable' WHERE $where returned " +
+                "more than one row")
+            val v = if (rows.isEmpty) null else rows(0).get(0)
+            df.withColumn(c, org.apache.spark.sql.functions.lit(v)
+              .cast(df.schema(c).dataType))
+          }
+      }
     case Truncate(_) => df.limit(0)
     case AddColumnIfAbsent(_, c, from) =>
       if (df.columns.contains(c)) df

@@ -766,6 +766,72 @@ object Probes {
       |  CAST(floor(quantile_cont(l_extendedprice, 0.9) * 100 + 0.5) AS BIGINT) AS p90_price_c
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- q67 sync-server link (scalar-subquery update + targeted hwid) ----
+  // Exercises the REAL rule machinery (Delive.apply over SyncLink.
+  // syncLinkRules, db.py:713-719 + main.py:449-478): the scalar-subquery
+  // user lookup, the password reset, the +1000 sequence gap, and the
+  // per-instance hardware-id write-back. The three result tables exit as
+  // one tagged frame so the oracle can hash-compare all of them at once.
+  val q67: Q = (s, d) => {
+    import graft.pipeline.{Delive, SyncLink}
+    val users = Tables.customer(s, d).select(
+      col("c_custkey").as("id"), lower(col("c_name")).as("login"),
+      lit("old").as("password"))
+    val entities = Tables.nation(s, d).select(
+      col("n_name").as("name"), lit(0L).as("user_id"),
+      lit("none").as("hardware_id"))
+    val seqs = Tables.region(s, d).select(
+      when(col("r_regionkey") === 0, lit("sync.server.update"))
+        .otherwise(col("r_name")).as("code"),
+      (col("r_regionkey") * 100 + 100).as("number_next"))
+    val out = Delive(
+      Map("sync_server_entity" -> entities, "res_users" -> users,
+        "ir_sequence" -> seqs),
+      SyncLink.syncLinkRules(
+        connectionUser = "customer#000000001", connectionPw = Some("npw"),
+        hwid = Some("HW42"),
+        dbs = Seq("NATION_0_20240101_0101", "NATION_3_20240101_0101"),
+        targeted = true))
+    out("sync_server_entity")
+      .select(lit("entity").as("tbl"), col("name").as("k"),
+        col("user_id").cast("string").as("v1"), col("hardware_id").as("v2"))
+      .unionAll(out("res_users").select(lit("user"), col("login"),
+        col("password"), lit("")))
+      .unionAll(out("ir_sequence").select(lit("seq"), col("code"),
+        col("number_next").cast("string"), lit("")))
+      .orderBy("tbl", "k")
+  }
+
+  val q67Sql: String =
+    """WITH users AS (
+      |  SELECT c_custkey AS id, lower(c_name) AS login, 'old' AS password
+      |  FROM customer),
+      |entities AS (
+      |  SELECT n_name AS name, 'none' AS hardware_id FROM nation),
+      |seqs AS (
+      |  SELECT CASE WHEN r_regionkey = 0 THEN 'sync.server.update'
+      |              ELSE r_name END AS code,
+      |         r_regionkey * 100 + 100 AS number_next
+      |  FROM region)
+      |SELECT 'entity' AS tbl, name AS k,
+      |       CAST((SELECT id FROM users
+      |             WHERE login = 'customer#000000001') AS VARCHAR) AS v1,
+      |       CASE WHEN name IN ('NATION_0', 'NATION_3') THEN 'HW42'
+      |            ELSE 'none' END AS v2
+      |FROM entities
+      |UNION ALL
+      |SELECT 'user', login,
+      |       CASE WHEN login = 'customer#000000001' THEN 'npw'
+      |            ELSE 'old' END, ''
+      |FROM users
+      |UNION ALL
+      |SELECT 'seq', code,
+      |       CAST(CASE WHEN code = 'sync.server.update'
+      |                 THEN number_next + 1000
+      |                 ELSE number_next END AS VARCHAR), ''
+      |FROM seqs
+      |ORDER BY tbl, k""".stripMargin
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -804,6 +870,7 @@ object Probes {
     "q64_pivot" -> q64,
     "q65_grouping_sets" -> q65,
     "q66_percentiles" -> q66,
+    "q67_sync_server_link" -> q67,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -842,5 +909,6 @@ object Probes {
     "q64_pivot" -> q64Sql,
     "q65_grouping_sets" -> q65Sql,
     "q66_percentiles" -> q66Sql,
+    "q67_sync_server_link" -> q67Sql,
   )
 }
