@@ -135,6 +135,82 @@ object Ops {
       .drop("__pid", "__r", "__off")
   }
 
+  /** Exact interpolated per-group percentiles WITHOUT a per-group value
+    * buffer — the scale path q66's `percentile` aggregate lacks: Spark's
+    * `percentile` holds every value of a group in one aggregation buffer
+    * (~n/G doubles in a single task), which is an OOM at 100×, not a
+    * slowdown. Here the heavy data only ever flows through
+    *  1. one range shuffle on (group, value) — a huge group legitimately
+    *     SPANS partitions, nothing concentrates it;
+    *  2. per-partition row_number + per-(partition, group) counts (tiny);
+    *  3. per-group prefix offsets over partitions (≤ ranges×groups rows,
+    *     same triangular-join trick as [[globalRank]] — no global window);
+    *  4. a join back to pick the ≤ 2·|ps| ranked rows each group needs.
+    * The interpolation is Spark `percentile`'s own R-7 formula
+    * (pos = p·(n−1); (hi−pos)·v_lo + (pos−lo)·v_hi, collapsing to v_lo when
+    * hi = lo), so results are bit-identical to the bounded-group form and
+    * to DuckDB's `quantile_cont` (q66's measured parity). NULL values are
+    * ignored, like both reference aggregates. Output is long-form:
+    * (groupCols…, p, value), one row per group × percentile.
+    */
+  def exactPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       ps: Seq[Double], numRanges: Int = 0): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
+    val n = if (numRanges > 0) numRanges
+            else df.sparkSession.sparkContext.defaultParallelism
+    val gcols = groupCols.map(col)
+    val sameGroup = (l: String => Column, r: String => Column) =>
+      groupCols.map(g => l(g) <=> r(g)).reduce(_ && _)
+
+    val ranged = df.select((groupCols :+ valueCol).map(col): _*)
+      .filter(col(valueCol).isNotNull)
+      .repartitionByRange(n, gcols :+ col(valueCol): _*)
+      .withColumn("__pid", spark_partition_id())
+    // per-partition, per-group rank: the window key includes __pid, so no
+    // group is ever concentrated onto one task
+    val within = ranged.withColumn("__r",
+      row_number().over(Window.partitionBy(("__pid" +: groupCols).map(col): _*)
+        .orderBy(col(valueCol))).cast("long"))
+
+    val cnt = within.groupBy(("__pid" +: groupCols).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val cntB = groupCols.foldLeft(
+      cnt.withColumnRenamed("__pid", "__bpid").withColumnRenamed("__c", "__bc")
+    )((d, g) => d.withColumnRenamed(g, "__b_" + g))
+    val offsets = cnt.join(cntB,
+        sameGroup(col, g => col("__b_" + g)) && (col("__bpid") < col("__pid")),
+        "left_outer")
+      .groupBy(("__pid" +: groupCols).map(col): _*)
+      .agg(coalesce(sum(col("__bc")), lit(0L)).as("__off"))
+
+    // offsets / needs are ranges×groups- and groups×|ps|-sized: group-count-
+    // bounded, so NO forced broadcast — AQE picks the strategy at runtime
+    val ranked = within.join(offsets, "__pid" +: groupCols)
+      .withColumn("__rank0", col("__r") + col("__off") - 1)
+
+    val groupN = cnt.groupBy(gcols: _*).agg(sum(col("__c")).as("__n"))
+    val needs = groupN
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .withColumn("__pos", col("p") * (col("__n") - 1).cast("double"))
+      .withColumn("__lo", floor(col("__pos")).cast("long"))
+      .withColumn("__hi", ceil(col("__pos")).cast("long"))
+      .select(groupCols.map(g => col(g).as("__n_" + g)) ++ Seq(col("p"), explode(
+        when(col("__hi") === col("__lo"),
+          array(struct(col("__lo").as("need"), lit(1.0).as("w"))))
+        .otherwise(array(
+          struct(col("__lo").as("need"),
+            (col("__hi").cast("double") - col("__pos")).as("w")),
+          struct(col("__hi").as("need"),
+            (col("__pos") - col("__lo").cast("double")).as("w"))))).as("nw")): _*)
+      .select(groupCols.map(g => col("__n_" + g)) ++
+        Seq(col("p"), col("nw.need").as("__need"), col("nw.w").as("__w")): _*)
+
+    ranked.join(needs,
+        sameGroup(col, g => col("__n_" + g)) && col("__rank0") === col("__need"))
+      .groupBy(gcols :+ col("p"): _*)
+      .agg(sum(col(valueCol) * col("__w")).as("value"))
+  }
+
   /** Salted equi-join for skewed keys: salt the skewed (left) side with a
     * random-free deterministic salt from a stable column, replicate the
     * build (right) side across `saltFactor` salt values, join on

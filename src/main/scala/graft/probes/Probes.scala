@@ -748,6 +748,12 @@ object Probes {
   // Spark `percentile` and DuckDB `quantile_cont` both implement the R-7
   // linear interpolation (pos = p·(n-1)); the arithmetic is the same IEEE
   // formula on the same doubles, so the fixed-point exits match exactly.
+  // BOUNDED-GROUP CONTRACT (same class as q14's collect_list, SURVEY §4):
+  // `percentile` buffers every value of a group in ONE aggregation buffer —
+  // ~n/G doubles in a single task, an OOM at 100×, not a slowdown. Use it
+  // only when each group is known executor-memory-bounded; the unbounded
+  // scale path is Ops.exactPercentiles (q68), which keeps groups spread
+  // across range partitions and returns bit-identical values.
   val q66: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
@@ -765,6 +771,32 @@ object Probes {
       |  CAST(floor(quantile_cont(l_quantity, 0.75) * 10000 + 0.5) AS BIGINT) AS p75_e4,
       |  CAST(floor(quantile_cont(l_extendedprice, 0.9) * 100 + 0.5) AS BIGINT) AS p90_price_c
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- q68 distributed exact percentiles (no per-group buffer) ----------
+  // Same values as q66 — the oracle is the SAME quantile_cont — but the
+  // engine side is Ops.exactPercentiles: rank-selection over range
+  // partitions, so no task ever holds a whole group. Long-form output
+  // (group, p, value); the oracle zips parallel unnests to match.
+  val q68: Q = (s, d) =>
+    Ops.exactPercentiles(Tables.lineitem(s, d), Seq("l_returnflag"),
+        "l_quantity", Seq(0.25, 0.5, 0.75, 0.9))
+      .select(col("l_returnflag"), col("p"),
+        Ops.fixedPoint(col("value"), 4).as("v_e4"))
+      .orderBy("l_returnflag", "p")
+
+  val q68Sql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag,
+      |         quantile_cont(l_quantity, 0.25) AS q25,
+      |         quantile_cont(l_quantity, 0.5)  AS q50,
+      |         quantile_cont(l_quantity, 0.75) AS q75,
+      |         quantile_cont(l_quantity, 0.9)  AS q90
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |       CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS p,
+      |       CAST(floor(unnest([q25, q50, q75, q90]) * 10000 + 0.5) AS BIGINT)
+      |         AS v_e4
+      |FROM a ORDER BY l_returnflag, p""".stripMargin
 
   // ---- q67 sync-server link (scalar-subquery update + targeted hwid) ----
   // Exercises the REAL rule machinery (Delive.apply over SyncLink.
@@ -871,6 +903,7 @@ object Probes {
     "q65_grouping_sets" -> q65,
     "q66_percentiles" -> q66,
     "q67_sync_server_link" -> q67,
+    "q68_percentiles_dist" -> q68,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -910,5 +943,6 @@ object Probes {
     "q65_grouping_sets" -> q65Sql,
     "q66_percentiles" -> q66Sql,
     "q67_sync_server_link" -> q67Sql,
+    "q68_percentiles_dist" -> q68Sql,
   )
 }

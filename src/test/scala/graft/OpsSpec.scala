@@ -68,6 +68,29 @@ class OpsSpec extends SparkSpec {
     assert(got == Set(("a", "new-a"), ("b", "old-b")))
   }
 
+  test("exactPercentiles matches Spark's buffering percentile bit-for-bit " +
+       "(groups spanning partitions, dup values, size-1 group)") {
+    val rows = (1 to 97).map(i => ("g1", (i * 37 % 100).toDouble)) ++
+      (1 to 11).map(i => ("g2", (i % 4).toDouble)) ++ // dup-heavy
+      Seq(("g3", 42.0)) // single-row group: every p hits the one value
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    // numRanges=8 forces groups to SPAN range partitions — the property the
+    // operator exists for
+    val got = Ops.exactPercentiles(df, Seq("g"), "v", ps, numRanges = 8)
+      .select("g", "p", "value").as[(String, Double, Double)]
+      .collect().map { case (g, p, v) => (g, p) -> v }.toMap
+    val want = df.groupBy("g")
+      .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("q"))
+      .select(col("g"), posexplode(col("q")))
+      .collect().map(r => (r.getString(0), ps(r.getInt(1))) -> r.getDouble(2))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, v) =>
+      assert(got(k) == v, s"$k: got ${got(k)}, want $v") // exact, not approx
+    }
+  }
+
   test("truncate and addColumnIfAbsent") {
     val df = Seq((1, "x")).toDF("id", "v")
     assert(Ops.truncate(df).count() == 0)

@@ -91,6 +91,19 @@ class PlanContractSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q68 distributed percentiles: no per-group value buffer, " +
+       "range-partitioned, no single-partition window") {
+    val df = Probes.q68(spark, sf)
+    val p = plan(df)
+    noGlobalWindow(p)
+    // the whole point: Spark's buffering `percentile` aggregate must be
+    // absent — values reach the result via rank selection, not a buffer
+    assert(!p.contains("percentile("), p.take(2000))
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q29 capped grams: doc-frequency aggregate precedes the pair join") {
     val p = plan(ExtProbes.q29(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(2000))
