@@ -130,33 +130,42 @@ object Dedup {
     *
     * Scale shape: each round is one equi-join (edges ⋈ labels on node id)
     * plus a min-aggregate — all distributed; the driver only counts changed
-    * labels per round (one scalar). Labels are `localCheckpoint`ed per
-    * round — NOT merely persisted: each round references the previous
-    * labels twice (the update join and the changed-count join), so without
-    * lineage TRUNCATION the logical plan doubles per iteration and the
-    * driver OOMs building plans near diameter ~24 (measured; a persist
-    * caches data but keeps the full plan). At cluster scale substitute a
-    * reliable `checkpoint` dir for executor-loss resilience — same shape.
-    * Returns (id, label) with label = min id of the component.
+    * labels per round (one scalar). Labels are checkpointed per round —
+    * NOT merely persisted: each round references the previous labels twice
+    * (the update join and the changed-count join), so without lineage
+    * TRUNCATION the logical plan doubles per iteration and the driver OOMs
+    * building plans near diameter ~24 (measured; a persist caches data but
+    * keeps the full plan). `checkpointDir` selects the truncation flavor:
+    * None (default) uses `localCheckpoint` — fast, but blocks live on
+    * executors, so an executor loss kills the job; a directory (HDFS/object
+    * store at cluster scale) uses reliable `checkpoint`, which survives
+    * executor loss at the cost of a write per round. Same plan shape either
+    * way. Returns (id, label) with label = min id of the component.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "idA",
-                          idB: String = "idB", maxIters: Int = 20): DataFrame =
-    connectedComponentsManaged(pairs, idA, idB, maxIters).df
+                          idB: String = "idB", maxIters: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsManaged(pairs, idA, idB, maxIters, checkpointDir).df
 
   /** [[connectedComponents]] with the final label table handed back for
     * cleanup (the iteration has already materialized it; `close()` after
     * consuming).
     */
   def connectedComponentsManaged(pairs: DataFrame, idA: String = "idA",
-                                 idB: String = "idB", maxIters: Int = 20)
+                                 idB: String = "idB", maxIters: Int = 20,
+                                 checkpointDir: Option[String] = None)
       : graft.core.Managed = {
     import org.apache.spark.storage.StorageLevel
+    // setCheckpointDir is SparkContext-global; callers sharing a session
+    // with other checkpoint users should pass the same directory
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def truncated(df: DataFrame): DataFrame = // eager: materializes AND truncates
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint() // eager: materializes AND truncates lineage
+    var labels = truncated(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -166,12 +175,11 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
-      val updated = labels
+      val updated = truncated(labels
         .join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
-        .localCheckpoint()
+            .as("label")))
       val changed = updated
         .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
         .filter(col("label") < col("prev")).count()

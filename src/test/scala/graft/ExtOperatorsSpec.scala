@@ -80,6 +80,21 @@ class ExtOperatorsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("connectedComponents with a reliable checkpoint dir: same labels, " +
+       "checkpoint files actually written") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (20L, 22L), (20L, 23L)).toDF("idA", "idB")
+    val got = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    // reliable mode really wrote its rounds to the directory
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, s"no checkpoint files under $dir")
+  }
+
   test("packSequences: start-offset chunking per shard in id order") {
     import graft.operators.Curation
     // one shard: toks 100,100,100 with budget 256 → starts 0,100,200 →
