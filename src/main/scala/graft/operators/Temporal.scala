@@ -48,30 +48,111 @@ object Temporal {
       left: DataFrame, leftKey: String, leftTs: String,
       right: DataFrame, rightKey: String, rightTs: String,
       payload: Seq[String], tieBreak: String,
+      inclusive: Boolean = true, outPrefix: String = ""): DataFrame =
+    asofJoinKeys(left, Seq(leftKey), leftTs, right, Seq(rightKey), rightTs,
+      payload, tieBreak, inclusive, outPrefix)
+
+  /** [[asofJoin]] over a composite key — the same tag-union-window plan,
+    * partitioned by every key column. [[asofJoinBucketed]] rides this with
+    * (key, time-bucket) to bound per-partition window size.
+    */
+  private[operators] def asofJoinKeys(
+      left: DataFrame, leftKeys: Seq[String], leftTs: String,
+      right: DataFrame, rightKeys: Seq[String], rightTs: String,
+      payload: Seq[String], tieBreak: String,
       inclusive: Boolean = true, outPrefix: String = ""): DataFrame = {
+    require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty)
     // At equal ts the later-sorted row sees the earlier one in its window:
     // inclusive ⇒ right rows sort before left rows (left sees same-ts
     // right); exclusive ⇒ left first (same-ts right invisible).
     val (rightTag, leftTag) = if (inclusive) (0, 1) else (1, 0)
+    val ks = leftKeys.indices.map(i => s"__k$i")
     val r = right.select(
-      col(rightKey).as("__k"), col(rightTs).as("__t"),
-      lit(rightTag).as("__tag"),
-      struct(col(tieBreak).as("__tb") +: payload.map(col): _*).as("__p"))
+      rightKeys.zip(ks).map { case (k, a) => col(k).as(a) } ++ Seq(
+        col(rightTs).as("__t"), lit(rightTag).as("__tag"),
+        struct(col(tieBreak).as("__tb") +: payload.map(col): _*).as("__p")): _*)
     val l = left.select(
-      col(leftKey).as("__k"), col(leftTs).as("__t"),
-      lit(leftTag).as("__tag"),
-      struct(left.columns.map(col): _*).as("__l"))
+      leftKeys.zip(ks).map { case (k, a) => col(k).as(a) } ++ Seq(
+        col(leftTs).as("__t"), lit(leftTag).as("__tag"),
+        struct(left.columns.map(col): _*).as("__l")): _*)
     // unionByName fills the missing side's struct with a correctly-typed
     // NULL; ascending __p puts the max-tieBreak right row last among
     // same-ts rights, so the carried last value is the deterministic pick.
     val u = r.unionByName(l, allowMissingColumns = true)
-    val w = Window.partitionBy("__k")
+    val w = Window.partitionBy(ks.map(col): _*)
       .orderBy(col("__t").asc, col("__tag").asc, col("__p").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__tag") === leftTag && col("__l").isNotNull)
       .select(col("__l.*") +:
         payload.map(p => col("__c").getField(p).as(outPrefix + p)): _*)
+  }
+
+  /** Hot-key as-of join: [[asofJoin]] semantics (same output, bit for bit),
+    * but no task ever sorts a key's FULL history — the cure for the
+    * straggler [[asofJoin]]'s scale note warns about (a handful of hot keys
+    * over unbounded history).
+    *
+    * Decomposition, all shuffle-once equi primitives:
+    *  1. WITHIN-BUCKET as-of: both sides get `bucket = floor(ts/W)` and run
+    *     the tag-union-window with partition key (key, bucket) — window
+    *     size is bounded by events-per-bucket, not events-per-key.
+    *  2. BUCKET SUMMARIES: per (key, bucket), the right side's latest
+    *     payload — one `max(struct(ts, tieBreak, payload))` aggregate
+    *     (lexicographic struct max = the as-of tie rule).
+    *  3. CROSS-BUCKET CARRY: for each DISTINCT left (key, bucket), the
+    *     latest summary from any STRICTLY-earlier bucket — an exclusive
+    *     as-of on the bucket index. This window is per key over bucket
+    *     SUMMARIES (history compressed ~events-per-bucket-fold), the one
+    *     deliberately key-partitioned stage.
+    *  4. Stitch: left-outer equi-join of (1) with (3) on (key, bucket);
+    *     within-bucket match wins, else the carried one.
+    *
+    * `bucketSec` trades summary-table size against in-bucket window size;
+    * pick W so a hot key's events-per-W fit a task sort (e.g. hour/day).
+    * Timestamps are bucketed at microsecond precision (`unix_micros`), like
+    * [[rangeJoin]]. `inclusive` has the same same-ts semantics as
+    * [[asofJoin]] (cross-bucket carry is unaffected: an earlier bucket is
+    * strictly earlier in time).
+    */
+  def asofJoinBucketed(
+      left: DataFrame, leftKey: String, leftTs: String,
+      right: DataFrame, rightKey: String, rightTs: String,
+      payload: Seq[String], tieBreak: String, bucketSec: Long,
+      inclusive: Boolean = true, outPrefix: String = ""): DataFrame = {
+    require(bucketSec > 0, s"asofJoinBucketed: bucketSec ($bucketSec) must be > 0")
+    val widthUs = bucketSec * 1000000L
+    def bucket(ts: String): Column =
+      floor(unix_micros(col(ts).cast("timestamp")) / widthUs)
+
+    val l2 = left.withColumn("__lb", bucket(leftTs))
+    val r2 = right.withColumn("__rb", bucket(rightTs))
+
+    // 1. within-bucket as-of (composite key: key + bucket)
+    val within = asofJoinKeys(l2, Seq(leftKey, "__lb"), leftTs,
+      r2, Seq(rightKey, "__rb"), rightTs, payload, tieBreak, inclusive, "__in_")
+
+    // 2. per-(key, bucket) latest right payload; struct max is
+    //    lexicographic: max ts, then max tieBreak — the as-of tie rule
+    val summary = r2.groupBy(col(rightKey).as("__sk"), col("__rb").as("__sb"))
+      .agg(max(struct(
+        unix_micros(col(rightTs).cast("timestamp")).as("__us"),
+        col(tieBreak).as("__tb"),
+        struct(payload.map(col): _*).as("__pp"))).as("__m"))
+      .select(col("__sk") +: col("__sb") +:
+        payload.map(p => col("__m.__pp").getField(p).as(p)): _*)
+
+    // 3. exclusive as-of on the bucket index (inclusive=false ⇒ summary
+    //    bucket STRICTLY below the left bucket — same-bucket rights were
+    //    fully handled in step 1), one row per distinct left (key, bucket)
+    val lb = l2.select(col(leftKey), col("__lb")).distinct()
+    val carry = asofJoinKeys(lb, Seq(leftKey), "__lb",
+      summary, Seq("__sk"), "__sb",
+      payload, tieBreak = "__sb", inclusive = false, "__pr_")
+
+    within.join(carry, Seq(leftKey, "__lb"), "left_outer")
+      .select(left.columns.map(col) ++ payload.map(p =>
+        coalesce(col("__in_" + p), col("__pr_" + p)).as(outPrefix + p)): _*)
   }
 
   /** Bounded range join: every (left, right) pair with equal keys and

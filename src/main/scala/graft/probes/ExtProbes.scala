@@ -829,6 +829,29 @@ object ExtProbes {
       |SELECT event_id, user_id, ts, purchase_id, purchase_value_e4
       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  // ---- q69 hot-key as-of join (bucketed) ---------------------------------
+  // Same semantics and SAME independent oracle as q61, but the engine is
+  // Temporal.asofJoinBucketed: within-bucket as-of + per-bucket summaries +
+  // cross-bucket carry, so no task ever sorts a key's full history. A
+  // 1-hour bucket over the ~30-day event range forces the carry path to do
+  // real work (most clicks' latest purchase is in an earlier bucket).
+  val q69: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"),
+        graft.core.Ops.fixedPoint(col("value"), 4).as("purchase_value_e4"))
+    graft.operators.Temporal.asofJoinBucketed(
+        clicks, "user_id", "ts", purchases, "user_id", "ts",
+        payload = Seq("purchase_id", "purchase_value_e4"),
+        tieBreak = "purchase_id", bucketSec = 3600L)
+      .orderBy("event_id")
+  }
+
+  val q69Sql: String = q61Sql
+
   // ---- q62 bounded range join (views in the hour before each click) -----
   // Engine = Temporal.rangeJoin (bucketed EQUI join + exact refine; the
   // plan has no nested-loop stage — pinned in PlanContractSpec). Oracle =
@@ -930,6 +953,7 @@ object ExtProbes {
     "q61_asof_join" -> q61,
     "q62_range_join" -> q62,
     "q63_bloom_semi_join" -> q63,
+    "q69_asof_bucketed" -> q69,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -963,5 +987,6 @@ object ExtProbes {
     "q61_asof_join" -> q61Sql,
     "q62_range_join" -> q62Sql,
     "q63_bloom_semi_join" -> q63Sql,
+    "q69_asof_bucketed" -> q69Sql,
   )
 }

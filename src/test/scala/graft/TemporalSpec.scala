@@ -93,6 +93,57 @@ class TemporalSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("asofJoinBucketed == asofJoin bit-for-bit across bucket widths, " +
+       "inclusive and exclusive, hot key + null-payload lefts") {
+    // one hot key with 200 events over 2000s, rights every 7s; bucket
+    // widths chosen so matches land within-bucket, cross-bucket, and
+    // many-buckets-back (the t<35 lefts with W=10 reach back via carry)
+    val left = ((1 to 200).map(i => ("hot", i * 10L, i.toLong)) ++
+      Seq(("cold", 55L, 900L), ("never", 5L, 901L)))
+      .toDF("k", "sec", "lid")
+      .withColumn("lt", expr("timestamp_seconds(sec)")).drop("sec")
+    val right = ((1 to 280).map(i => ("hot", i * 7L, 1000L + i, i * 1.5)) ++
+      Seq(("cold", 55L, 2000L, 9.9), ("cold", 55L, 2001L, 8.8))) // same-ts tie
+      .toDF("k", "sec", "rid", "px")
+      .withColumn("rt", expr("timestamp_seconds(sec)")).drop("sec")
+
+    for (inclusive <- Seq(true, false); w <- Seq(10L, 60L, 3600L)) {
+      val want = Temporal.asofJoin(left, "k", "lt", right, "k", "rt",
+          payload = Seq("rid", "px"), tieBreak = "rid", inclusive = inclusive)
+        .select("lid", "rid", "px")
+        .as[(Long, Option[Long], Option[Double])].collect().toSet
+      val got = Temporal.asofJoinBucketed(left, "k", "lt", right, "k", "rt",
+          payload = Seq("rid", "px"), tieBreak = "rid", bucketSec = w,
+          inclusive = inclusive)
+        .select("lid", "rid", "px")
+        .as[(Long, Option[Long], Option[Double])].collect().toSet
+      assert(got == want, s"inclusive=$inclusive W=$w: " +
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("asofJoinBucketed plans no cartesian/nested-loop; windows are " +
+       "(key, bucket)-partitioned except the bucket-summary carry") {
+    val left = Seq(("a", 1L)).toDF("k", "lid")
+      .withColumn("lt", expr("timestamp_seconds(lid)"))
+    val right = Seq(("a", 2L)).toDF("k", "rid")
+      .withColumn("rt", expr("timestamp_seconds(rid)"))
+    val plan = Temporal.asofJoinBucketed(left, "k", "lt", right, "k", "rt",
+        payload = Seq("rid"), tieBreak = "rid", bucketSec = 60L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the event-sized window must carry the bucket column in its partition
+    // spec — a Window partitioned on the key alone over raw events would be
+    // the hot-key straggler this operator exists to avoid. Exactly ONE
+    // key-only window is allowed: the cross-bucket carry over bucket
+    // summaries (history compressed by the per-bucket aggregate).
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toList
+    val (bucketed, keyOnly) = windows.partition(_.contains("__k1"))
+    assert(bucketed.nonEmpty, windows.mkString("\n"))
+    assert(keyOnly.size == 1, windows.mkString("\n"))
+  }
+
   test("asofJoin plans one exchange on the key and no join operator at all") {
     val plan = Temporal.asofJoin(
       trades.select("k", "tt", "tid"), "k", "tt",
