@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** ANN recall measurement (VERDICT r3 item 7): the IVF and RP-LSH paths are
+  * oracle-exact on planted duplicates, but a user tunes `nprobe` and
+  * `numPlanes` against recall — which was never measured. This tool reports,
+  * at 1x and Nx (the [[Scale]] replica corpus):
+  *
+  *  - IVF recall@10 vs [[Similarity.bruteForceTopK]] ground truth over a
+  *    deterministic query sample (id % 50 == 0), per nprobe ∈ {1, 2, 4};
+  *  - RP-LSH recall of the planted near-dup pairs (id % 13 planting,
+  *    cosine ≈ 1) per numPlanes ∈ {4, 8, 16} — the banding-probability
+  *    curve (fewer planes = wider buckets = higher recall, more candidate
+  *    verification work; candidate pair count is reported alongside).
+  *
+  * Results are recorded in SCALE.md §recall.
+  *
+  * Usage: sbt "runMain graft.tools.Recall <sfDir> <factor>"
+  */
+object Recall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    require(factor < 100, "id offsets collide at factor >= 100")
+    val spark = graft.Sessions.local()
+    spark.sparkContext.setLogLevel("WARN")
+    val k = 10
+
+    for (n <- Seq(1, factor)) {
+      val v = Scale.scaledVecs(spark, sfDir, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val queries = v.filter(col("id") % 50 === 0)
+
+      // ground truth: exact cosine top-k for the sampled queries
+      val truth = Similarity.bruteForceTopK(v, queries, k)
+        .select("vec_id", "other_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val truthN = truth.count()
+
+      val cent = Similarity.buildIvf(v, numCells = 16, iters = 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cent.count()
+      for (nprobe <- Seq(1, 2, 4)) {
+        val got = Similarity.ivfTopK(v, cent, queries, nprobe, k)
+          .select("vec_id", "other_id")
+        val hit = got.join(truth, Seq("vec_id", "other_id")).count()
+        println(f"RECALL ivf_topk    x$n%-3d nprobe=$nprobe%-2d " +
+          f"recall@$k=${hit.toDouble / truthN}%6.4f  (truth=$truthN)")
+      }
+      cent.unpersist()
+      truth.unpersist()
+
+      // planted near-dup pairs: (id, id + 1e8) for id % 13 == 0
+      val planted = v.filter(col("id") % 13 === 0 &&
+          col("id") < 100000000L)
+        .select(col("id").as("idA"), (col("id") + 100000000L).as("idB"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val plantedN = planted.count()
+      for (planes <- Seq(4, 8, 16)) {
+        val m = Similarity.rpLshNearDupPairsManaged(
+          v, numPlanes = planes, threshold = 0.8, dim = Some(64))
+        val pairs = m.df.select("idA", "idB")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pairsN = pairs.count()
+        val hit = pairs.join(planted, Seq("idA", "idB")).count()
+        println(f"RECALL rplsh_pairs x$n%-3d planes=$planes%-2d " +
+          f"recall=${hit.toDouble / plantedN}%6.4f  " +
+          f"(planted=$plantedN, pairsFound=$pairsN)")
+        pairs.unpersist()
+        m.close()
+      }
+      planted.unpersist()
+      v.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -14,6 +14,56 @@ import graft.operators.{Dedup, Similarity}
   * Usage: sbt "runMain graft.tools.Scale <sfDir> <factor>"
   */
 object Scale {
+
+  /** Nx documents: replica k shifts ids by k*10^6. Replica 0 keeps the
+    * original text; replicas k>0 remap every word through a k-salted md5
+    * (genuinely DIFFERENT documents with the same length/shape — a
+    * trailing-token salt would leave replicas 0.9-Jaccard near-dups of
+    * each other and measure a 10-way-clique workload instead of a 10x
+    * corpus). Then the probes' %7 near-dup planting applies over the
+    * whole scaled corpus, one planted pair per kept doc.
+    */
+  private[tools] def scaledDocs(spark: SparkSession, sfDir: String,
+                                n: Int): DataFrame = {
+    val base = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val scaled = (0 until n).map { k =>
+      val text =
+        if (k == 0) col("text")
+        else concat_ws(" ", expr(
+          s"transform(split(text, ' '), w -> substr(md5(concat(w, '$k')), 1, 6))"))
+      base.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+        text.as("text"))
+    }.reduce(_ unionByName _)
+    val planted = scaled.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000000L).as("doc_id"),
+        concat(col("text"), lit(" zz yy xx")).as("text"))
+    scaled.unionByName(planted)
+  }
+
+  /** Nx embeddings: replica 0 is the original; replicas k>0 sign-flip
+    * each component on a (k, i)-keyed pattern — cosine between replicas
+    * of the same base vector drops to ~0, so cross-replica pairs don't
+    * pollute the near-dup counts. Planting (%13, x*1.05+0.001) applies
+    * over the scaled corpus.
+    */
+  private[tools] def scaledVecs(spark: SparkSession, sfDir: String,
+                                n: Int): DataFrame = {
+    val base = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    val scaled = (0 until n).map { k =>
+      val v =
+        if (k == 0) col("v")
+        else expr(
+          s"transform(v, (x, i) -> x * CASE WHEN sin(1e4 * ($k * 64 + i + 1)) >= 0 THEN 1D ELSE -1D END)")
+      base.select((col("id") + lit(k * 1000000L)).as("id"), v.as("v"))
+    }.reduce(_ unionByName _)
+    val planted = scaled.filter(col("id") % 13 === 0)
+      .select((col("id") + 100000000L).as("id"),
+        expr("transform(v, x -> x * 1.05 + 0.001)").as("v"))
+    scaled.unionByName(planted)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
@@ -21,52 +71,8 @@ object Scale {
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
 
-    /** Nx documents: replica k shifts ids by k*10^6. Replica 0 keeps the
-      * original text; replicas k>0 remap every word through a k-salted md5
-      * (genuinely DIFFERENT documents with the same length/shape — a
-      * trailing-token salt would leave replicas 0.9-Jaccard near-dups of
-      * each other and measure a 10-way-clique workload instead of a 10x
-      * corpus). Then the probes' %7 near-dup planting applies over the
-      * whole scaled corpus, one planted pair per kept doc.
-      */
-    def docs(n: Int): DataFrame = {
-      val base = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
-      val scaled = (0 until n).map { k =>
-        val text =
-          if (k == 0) col("text")
-          else concat_ws(" ", expr(
-            s"transform(split(text, ' '), w -> substr(md5(concat(w, '$k')), 1, 6))"))
-        base.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
-          text.as("text"))
-      }.reduce(_ unionByName _)
-      val planted = scaled.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 100000000L).as("doc_id"),
-          concat(col("text"), lit(" zz yy xx")).as("text"))
-      scaled.unionByName(planted)
-    }
-
-    /** Nx embeddings: replica 0 is the original; replicas k>0 sign-flip
-      * each component on a (k, i)-keyed pattern — cosine between replicas
-      * of the same base vector drops to ~0, so cross-replica pairs don't
-      * pollute the near-dup counts. Planting (%13, x*1.05+0.001) applies
-      * over the scaled corpus.
-      */
-    def vecs(n: Int): DataFrame = {
-      val base = graft.Tables.embeddings(spark, sfDir)
-        .select(col("vec_id").as("id"),
-          Similarity.toDoubleVec(col("embedding")).as("v"))
-      val scaled = (0 until n).map { k =>
-        val v =
-          if (k == 0) col("v")
-          else expr(
-            s"transform(v, (x, i) -> x * CASE WHEN sin(1e4 * ($k * 64 + i + 1)) >= 0 THEN 1D ELSE -1D END)")
-        base.select((col("id") + lit(k * 1000000L)).as("id"), v.as("v"))
-      }.reduce(_ unionByName _)
-      val planted = scaled.filter(col("id") % 13 === 0)
-        .select((col("id") + 100000000L).as("id"),
-          expr("transform(v, x -> x * 1.05 + 0.001)").as("v"))
-      scaled.unionByName(planted)
-    }
+    def docs(n: Int): DataFrame = scaledDocs(spark, sfDir, n)
+    def vecs(n: Int): DataFrame = scaledVecs(spark, sfDir, n)
 
     /** Time one run and audit its plan for single-partition exchanges.
       * The action is a collect ON m.df ITSELF (outputs here are pair/label
