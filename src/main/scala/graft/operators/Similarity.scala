@@ -292,6 +292,53 @@ object Similarity {
     graft.core.Managed(out, Seq(bucketed))
   }
 
+  /** Embedding cosine near-dup at corpus scale — cluster-then-verify (the
+    * SemDeDup shape): every vector is assigned to its `nassign` best
+    * centroid cells, candidates meet ONLY within a shared cell (one equi
+    * shuffle on cell id), and the exact cosine then verifies each
+    * candidate, so any emitted pair is exactly-correct. `nassign > 1`
+    * catches pairs straddling a cell boundary (each side multi-homes into
+    * its runner-up cells); `distinct` collapses pairs meeting in several
+    * shared cells. Recall < 1 by design — pairs whose assignment sets are
+    * disjoint never meet (measured per nassign in `tools.Recall`);
+    * [[cosineNearDupPairs]] is the bounded-input exact baseline and
+    * [[rpLshNearDupPairs]] the data-independent alternative. Centroids are
+    * broadcast (small by construction, like [[ivfTopK]]); cell population
+    * bounds the within-cell join fan-out, so size `numCells` to the corpus
+    * as with any IVF index.
+    */
+  def ivfNearDupPairs(vectors: DataFrame, centroids: DataFrame,
+                      threshold: Double, nassign: Int = 2): DataFrame =
+    ivfNearDupPairsManaged(vectors, centroids, threshold, nassign).df
+
+  /** [[ivfNearDupPairs]] with the persisted assignment table handed back
+    * for cleanup (it feeds both sides of the candidate self-join; without
+    * the persist barrier Spark would recompute the assignment pass twice).
+    */
+  def ivfNearDupPairsManaged(vectors: DataFrame, centroids: DataFrame,
+                             threshold: Double,
+                             nassign: Int = 2): graft.core.Managed = {
+    require(nassign >= 1, s"ivfNearDupPairs: nassign ($nassign) must be >= 1")
+    val cent = broadcast(centroids.select(col("id").as("cid"), col("v").as("cv")))
+    val assigned = graft.core.Ops.widen(vectors.select(col("id"), col("v")))
+      .join(cent)
+      .withColumn("cscore", cosine("v", "cv"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("id").orderBy(col("cscore").desc, col("cid").asc)))
+      .filter(col("crank") <= nassign)
+      .select("id", "v", "cid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cid"), col("id").as("idA"), col("v").as("va"))
+    val b = assigned.select(col("cid"), col("id").as("idB"), col("v").as("vb"))
+    val out = a.join(b, Seq("cid"))
+      .filter(col("idA") < col("idB"))
+      .withColumn("__raw", cosine("va", "vb"))
+      .filter(col("__raw") >= threshold)
+      .select(col("idA"), col("idB"), scoreE4(col("__raw")).as("score_e4"))
+      .distinct()
+    graft.core.Managed(out, Seq(assigned))
+  }
+
   /** All pairs (idA < idB) with cosine ≥ threshold — embedding near-dup
     * detection. Bounded inputs only (callers sample/salt at scale; the LSH
     * bucketing in [[Dedup]] is the unbounded-corpus path).

@@ -145,6 +145,52 @@ object ExtProbes {
        |SELECT idA, idB, ${Similarity.scoreE4DuckSql("raw")} AS score_e4
        |FROM p WHERE raw >= 0.9 ORDER BY idA, idB""".stripMargin
 
+  // ---- q70 IVF-bucketed cosine near-dup (cluster-then-verify) ------------
+  // The SCALE path for q30's all-pairs baseline: candidates meet only
+  // within a shared centroid cell (one equi shuffle on cell id; nassign=2
+  // multi-homes each vector into its runner-up cell to catch boundary
+  // pairs), then the exact cosine verifies. Deterministic given the
+  // centroid set, so the oracle reproduces the assignment verbatim and the
+  // compare is EXACT — the recall-vs-all-pairs tradeoff is measured
+  // separately in tools.Recall.
+  val q70: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    val planted = base.filter(col("id") % 13 === 0)
+      .select((col("id") + 100000).as("id"),
+        expr("transform(v, x -> x * 1.1 + 0.01)").as("v"))
+    val centroids = base.filter(col("id") % 25 === 0)
+    Similarity.ivfNearDupPairs(base.unionByName(planted), centroids,
+        threshold = 0.9, nassign = 2)
+      .orderBy("idA", "idB")
+  }
+
+  val q70Sql: String = {
+    def cos(a: String, b: String) = Similarity.cosineDuckSql(a, b)
+    s"""WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |corpus AS (
+       |  SELECT id, v FROM base
+       |  UNION ALL
+       |  SELECT id + 100000, list_transform(v, x -> x * 1.1 + 0.01) FROM base
+       |  WHERE id % 13 = 0),
+       |cent AS (SELECT id AS cid, v AS cv FROM base WHERE id % 25 = 0),
+       |assigned AS (
+       |  SELECT id, v, cid FROM (
+       |    SELECT c0.id, c0.v, c.cid,
+       |      row_number() OVER (PARTITION BY c0.id
+       |        ORDER BY ${cos("c0.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |    FROM corpus c0 CROSS JOIN cent c) t(id, v, cid, rn)
+       |  WHERE rn <= 2),
+       |p AS (
+       |  SELECT DISTINCT a.id AS idA, b.id AS idB,
+       |    ${cos("a.v", "b.v")} AS raw
+       |  FROM assigned a JOIN assigned b USING (cid) WHERE a.id < b.id)
+       |SELECT idA, idB, ${Similarity.scoreE4DuckSql("raw")} AS score_e4
+       |FROM p WHERE raw >= 0.9 ORDER BY idA, idB""".stripMargin
+  }
+
   // ---- q31 IVF ANN (coarse-quantizer cells + nprobe search) -------------
   val q31: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
@@ -954,6 +1000,7 @@ object ExtProbes {
     "q62_range_join" -> q62,
     "q63_bloom_semi_join" -> q63,
     "q69_asof_bucketed" -> q69,
+    "q70_ivf_neardup" -> q70,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -988,5 +1035,6 @@ object ExtProbes {
     "q62_range_join" -> q62Sql,
     "q63_bloom_semi_join" -> q63Sql,
     "q69_asof_bucketed" -> q69Sql,
+    "q70_ivf_neardup" -> q70Sql,
   )
 }

@@ -58,6 +58,27 @@ object Recall {
         .select(col("id").as("idA"), (col("id") + 100000000L).as("idB"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val plantedN = planted.count()
+
+      // IVF-bucketed near-dup (cluster-then-verify): recall of planted
+      // pairs per nassign — the cell-boundary-miss rate users tune with
+      val cent2 = Similarity.buildIvf(v, numCells = 16, iters = 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cent2.count()
+      for (nassign <- Seq(1, 2, 4)) {
+        val m = Similarity.ivfNearDupPairsManaged(v, cent2,
+          threshold = 0.8, nassign = nassign)
+        val pairs = m.df.select("idA", "idB")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pairsN = pairs.count()
+        val hit = pairs.join(planted, Seq("idA", "idB")).count()
+        println(f"RECALL ivf_neardup x$n%-3d nassign=$nassign%-2d " +
+          f"recall=${hit.toDouble / plantedN}%6.4f  " +
+          f"(planted=$plantedN, pairsFound=$pairsN)")
+        pairs.unpersist()
+        m.close()
+      }
+      cent2.unpersist()
+
       for (planes <- Seq(4, 8, 16)) {
         val m = Similarity.rpLshNearDupPairsManaged(
           v, numPlanes = planes, threshold = 0.8, dim = Some(64))
