@@ -32,12 +32,46 @@ object Dedup {
     */
   def shingles3(words: Column): Column = Curation.wordNgrams(words, 3)
 
-  /** MinHash signature value for hash function `h`: the lexicographic min of
-    * salted md5 over the shingle set. md5-as-minhash keeps the oracle
-    * (DuckDB) bit-identical — both engines hash the same UTF-8 bytes.
+  /** Hash-once MinHash base: ONE md5 per shingle, reduced to a value in
+    * [0, [[MinhashP]]) by taking the first 8 hex chars as a 32-bit integer.
+    * The k signature functions then derive from this value by affine
+    * permutations `(a_h·v + b_h) mod p` — integer arithmetic instead of k
+    * salted md5 passes (the salted form cost `numHashes` md5 evaluations
+    * per shingle; at 12 hashes that was ~12× the hashing work, measured
+    * ~11.5 s → ~1 s for the signature stage at sf0.1). Spark's
+    * `conv(hex,16,10)` and DuckDB's `('0x'||hex)::BIGINT` parse the same 8
+    * chars to the same value, so the oracle stays bit-identical.
     */
-  def minhashSig(sh: Column, h: Int): Column =
-    array_min(transform(sh, x => md5(concat(lit(s"$h:"), x))))
+  def shingleHashes(sh: Column): Column =
+    transform(sh, x =>
+      conv(substring(md5(x), 1, 8), 16, 10).cast("long") % lit(MinhashP))
+
+  /** Affine-permutation modulus: the Mersenne prime 2³¹−1. Base values are
+    * reduced mod p BEFORE the permutation, so `a·v + b ≤ 2²⁹·2³¹ + 2³¹ < 2⁶³`
+    * — no BIGINT overflow in either engine (DuckDB `%` on non-negative
+    * operands matches Spark's).
+    */
+  val MinhashP: Long = 2147483647L
+
+  /** Permutation multiplier for hash `h`: an LCG-scrambled constant in
+    * [1, 2²⁹) — bounded so the product stays in BIGINT range (see
+    * [[MinhashP]]); +1 keeps it nonzero (a=0 would be a constant map).
+    */
+  def minhashA(h: Int): Long =
+    (1103515245L * (h + 1) + 12345L) % 536870911L + 1L
+
+  /** Permutation offset for hash `h`, in [0, p). */
+  def minhashB(h: Int): Long = (69069L * (h + 7)) % MinhashP
+
+  /** MinHash signature for hash `h` over a base-hash array (from
+    * [[shingleHashes]]): min of the affine permutation, folded with
+    * `aggregate` so no intermediate permuted array is materialized. The
+    * init value p is one more than the largest possible element, so an
+    * empty array yields p (callers filter empty shingle sets out first).
+    */
+  def minhashSig(hv: Column, h: Int): Column =
+    aggregate(hv, lit(MinhashP),
+      (acc, v) => least(acc, (lit(minhashA(h)) * v + lit(minhashB(h))) % lit(MinhashP)))
 
   /** (id, sh) shingle table — the materialization point of the LSH
     * pipeline. Widened before the per-row-heavy normalize/shingle work so a
@@ -63,16 +97,25 @@ object Dedup {
 
   /** LSH banding over a shingle table: compact rows (id, band, bandHash) —
     * one row per band. numHashes = bands * rowsPerBand.
+    *
+    * The base-hash array is projected as its OWN attribute before the
+    * signature map: all `numHashes` signatures reference it, and a
+    * multi-referenced non-cheap alias survives CollapseProject, so the md5
+    * pass runs once per row (the `shingleSets` discipline). The band key is
+    * the plain `'|'`-joined signature triple — equality on it is equality
+    * on the triple; hashing it again (the old md5(concat) form) bought
+    * nothing but another digest pass.
     */
   def lshBands(shingled: DataFrame, idCol: String,
                bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
-    val sigs = (0 until bands * rowsPerBand).map(h => minhashSig(col("sh"), h))
+    val sigs = (0 until bands * rowsPerBand).map(h => minhashSig(col("hv"), h))
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws("|", sigs.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*))
+        concat_ws("|", sigs.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*)
           .as("bh"))
     }
     shingled
+      .select(col(idCol), shingleHashes(col("sh")).as("hv"))
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }

@@ -32,11 +32,17 @@ object ExtProbes {
       .orderBy("idA", "idB")
 
   val q27Sql: String = {
-    val sigs = (0 until 12).map(h =>
-      s"list_min(list_transform(sh, x -> md5('$h:' || x))) AS h$h").mkString(",\n    ")
+    // Hash-once algebra, constants shared with Dedup.minhashA/B: one md5
+    // per shingle -> 32-bit base value mod p, then affine permutations in
+    // BIGINT arithmetic ('0x'||hex)::BIGINT == Spark conv(hex,16,10)).
+    val p = graft.operators.Dedup.MinhashP
+    val sigs = (0 until 12).map { h =>
+      val (a, b) = (graft.operators.Dedup.minhashA(h), graft.operators.Dedup.minhashB(h))
+      s"list_min(list_transform(hv, v -> ($a * v + $b) % $p)) AS h$h"
+    }.mkString(",\n    ")
     val bandRows = (0 until 4).map { b =>
       val r = (0 until 3).map(i => s"h${b * 3 + i}").mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, md5($r) AS bh FROM sig"
+      s"SELECT doc_id, $b AS band, $r AS bh FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
@@ -47,9 +53,12 @@ object ExtProbes {
        |  CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2),
        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE []::VARCHAR[] END AS sh
        |  FROM n),
-       |sig AS (SELECT doc_id, sh,
-       |    $sigs
+       |hvt AS (SELECT doc_id,
+       |  list_transform(sh, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT % $p) AS hv
        |  FROM shl WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id,
+       |    $sigs
+       |  FROM hvt),
        |bands AS (
        |  $bandRows),
        |cand AS (SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB

@@ -52,10 +52,27 @@ object Profile {
     }
     // stage 1: shingle sets alone (no persist)
     time("shingles")(Dedup.shingleSets(planted, "doc_id", "text"))
+    // NO size(sh)>0 filter on the unpersisted pipeline: a filter over the
+    // computed array collapses the projection chain into a mega-expression
+    // re-evaluated per element (the shingleSets NOTE; measured here too —
+    // the filtered form times 10-12 s where the real persisted-then-
+    // filtered operator stage is <1 s). Planted sf docs all have >=3
+    // words, so the unfiltered timing measures the same row count.
+    def shFiltered = Dedup.shingleSets(planted, "doc_id", "text")
+    // stage 1b: base-hash array only (one md5 pass over shingles)
+    time("hv")(shFiltered.select(col("doc_id"),
+      Dedup.shingleHashes(col("sh")).as("hv")))
+    // stage 1c: one signature from the hv projection
+    time("sig1")(shFiltered
+      .select(col("doc_id"), Dedup.shingleHashes(col("sh")).as("hv"))
+      .select(col("doc_id"), Dedup.minhashSig(col("hv"), 0).as("s0")))
+    // stage 1d: all 12 signatures, no explode
+    time("sig12")(shFiltered
+      .select(col("doc_id"), Dedup.shingleHashes(col("sh")).as("hv"))
+      .select(col("doc_id") +: (0 until 12).map(h =>
+        Dedup.minhashSig(col("hv"), h).as(s"s$h")): _*))
     // stage 2: bands from unpersisted shingles (signature cost ×1)
-    time("bands")(Dedup.lshBands(
-      Dedup.shingleSets(planted, "doc_id", "text").filter(size(col("sh")) > 0),
-      "doc_id"))
+    time("bands")(Dedup.lshBands(shFiltered, "doc_id"))
     // stage 3: candidates only (persisted shingles+bands, like the operator)
     time("cand") {
       import org.apache.spark.storage.StorageLevel
