@@ -88,6 +88,24 @@ object Temporal {
         payload.map(p => col("__c").getField(p).as(outPrefix + p)): _*)
   }
 
+  /** [[asofJoin]] semantics through the NATIVE plan node
+    * (`plans.AsOfJoinNode` → `AsOfJoinExec`, injected by
+    * `GraftExtensions`): the same one-exchange-per-side scale shape, but
+    * the sorts are per-side (narrower rows, no union widening) and the
+    * carry is a single O(1)-state merge pass instead of window-frame
+    * machinery — and downstream sees `outputOrdering = (key, ts)`.
+    * TemporalSpec pins bit-for-bit parity with [[asofJoin]] (ties, NULL
+    * keys, NULL timestamps, inclusive/exclusive). Requires a session built
+    * with `GraftExtensions` (Sessions.local registers it).
+    */
+  def asofJoinNative(
+      left: DataFrame, leftKey: String, leftTs: String,
+      right: DataFrame, rightKey: String, rightTs: String,
+      payload: Seq[String], tieBreak: String,
+      inclusive: Boolean = true, outPrefix: String = ""): DataFrame =
+    graft.plans.AsOfJoinPlan.dataFrame(left, leftKey, leftTs,
+      right, rightKey, rightTs, payload, tieBreak, inclusive, outPrefix)
+
   /** Hot-key as-of join: [[asofJoin]] semantics (same output, bit for bit),
     * but no task ever sorts a key's FULL history — the cure for the
     * straggler [[asofJoin]]'s scale note warns about (a handful of hot keys

@@ -28,5 +28,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSim(children(0), children(1))
       }))
     ext.injectOptimizerRule(_ => RewriteHofCosine)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -907,6 +907,30 @@ object ExtProbes {
 
   val q69Sql: String = q61Sql
 
+  // ---- q71 native as-of join (custom plan node) --------------------------
+  // Same semantics and SAME independent oracle as q61, but the engine is
+  // the whole-operator extension rung: Temporal.asofJoinNative →
+  // plans.AsOfJoinNode → AsOfJoinStrategy → AsOfJoinExec (merge-scan over
+  // hash-clustered, per-side-sorted children). The oracle stays the
+  // inequality-join + top-1 encoding, so the custom exec's semantics are
+  // checked against an implementation-independent formulation.
+  val q71: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"),
+        graft.core.Ops.fixedPoint(col("value"), 4).as("purchase_value_e4"))
+    graft.operators.Temporal.asofJoinNative(
+        clicks, "user_id", "ts", purchases, "user_id", "ts",
+        payload = Seq("purchase_id", "purchase_value_e4"),
+        tieBreak = "purchase_id")
+      .orderBy("event_id")
+  }
+
+  val q71Sql: String = q61Sql
+
   // ---- q62 bounded range join (views in the hour before each click) -----
   // Engine = Temporal.rangeJoin (bucketed EQUI join + exact refine; the
   // plan has no nested-loop stage — pinned in PlanContractSpec). Oracle =
@@ -1010,6 +1034,7 @@ object ExtProbes {
     "q63_bloom_semi_join" -> q63,
     "q69_asof_bucketed" -> q69,
     "q70_ivf_neardup" -> q70,
+    "q71_asof_native" -> q71,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1045,5 +1070,6 @@ object ExtProbes {
     "q63_bloom_semi_join" -> q63Sql,
     "q69_asof_bucketed" -> q69Sql,
     "q70_ivf_neardup" -> q70Sql,
+    "q71_asof_native" -> q71Sql,
   )
 }

@@ -30,6 +30,13 @@ object Profile {
     }
 
     which match {
+      case "asof" =>
+        // composition vs native in ONE JVM, interleaved, so codegen/JIT
+        // warmup is shared and the comparison is honest
+        (1 to 2).foreach { _ =>
+          time("q61_composition")(graft.SparkEntry.queries("q61_asof_join")(spark, sfDir))
+          time("q71_native")(graft.SparkEntry.queries("q71_asof_native")(spark, sfDir))
+        }
       case "q27" => profQ27(spark, sfDir, time)
       case "q25" => time("full")(graft.SparkEntry.queries("q25_star_join_revenue")(spark, sfDir))
       case "q26" => time("full")(graft.SparkEntry.queries("q26_agg_breadth")(spark, sfDir))

@@ -144,6 +144,69 @@ class TemporalSpec extends SparkSpec {
     assert(keyOnly.size == 1, windows.mkString("\n"))
   }
 
+  test("asofJoinNative == asofJoin bit-for-bit: hot key, ties, null keys, " +
+       "null timestamps, inclusive and exclusive") {
+    val left = ((1 to 200).map(i => (Option("hot"), Option(i * 10L), i.toLong)) ++
+      Seq((Some("cold"), Some(55L), 900L), (Some("never"), Some(5L), 901L),
+        (None: Option[String], Some(30L), 902L), (Some("hot"), None: Option[Long], 903L)))
+      .toDF("k", "sec", "lid")
+      .withColumn("lt", expr("timestamp_seconds(sec)")).drop("sec")
+    val right = ((1 to 280).map(i => (Option("hot"), Option(i * 7L), 1000L + i, i * 1.5)) ++
+      Seq((Some("cold"), Some(55L), 2000L, 9.9), (Some("cold"), Some(55L), 2001L, 8.8),
+        (None: Option[String], Some(20L), 2002L, 7.7),
+        (Some("hot"), None: Option[Long], 2003L, 6.6)))
+      .toDF("k", "sec", "rid", "px")
+      .withColumn("rt", expr("timestamp_seconds(sec)")).drop("sec")
+
+    for (inclusive <- Seq(true, false)) {
+      val want = Temporal.asofJoin(left, "k", "lt", right, "k", "rt",
+          payload = Seq("rid", "px"), tieBreak = "rid", inclusive = inclusive)
+        .select("lid", "rid", "px")
+        .as[(Long, Option[Long], Option[Double])].collect().toSet
+      val got = Temporal.asofJoinNative(left, "k", "lt", right, "k", "rt",
+          payload = Seq("rid", "px"), tieBreak = "rid", inclusive = inclusive)
+        .select("lid", "rid", "px")
+        .as[(Long, Option[Long], Option[Double])].collect().toSet
+      assert(got == want, s"inclusive=$inclusive: " +
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("asofJoinNative plans the custom exec — no window, no built-in join — " +
+       "and answers the canonical vectors") {
+    val df = Temporal.asofJoinNative(
+      trades.select("k", "tt", "tid"), "k", "tt",
+      quotes.select("k", "qt", "qid", "px"), "k", "qt",
+      payload = Seq("qid", "px"), tieBreak = "qid")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(2000))
+    assert(!plan.contains("Window ["), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    val got = df.select("tid", "qid", "px")
+      .as[(Long, Option[Long], Option[Double])]
+      .collect().map { case (t, q, p) => t -> ((q, p)) }.toMap
+    assert(got(100L) == ((None, None)))
+    assert(got(101L) == ((Some(1L), Some(1.0))))
+    assert(got(102L) == ((Some(3L), Some(3.0))))
+    assert(got(103L) == ((Some(4L), Some(4.0))))
+    assert(got(104L) == ((None, None)))
+  }
+
+  test("asofJoinNative disambiguates self-join inputs and supports outPrefix") {
+    val base = quotes.select("k", "qt", "qid", "px")
+    val out = Temporal.asofJoinNative(
+      base.select("k", "qt", "qid"), "k", "qt",
+      base, "k", "qt",
+      payload = Seq("px"), tieBreak = "qid", outPrefix = "m_")
+    assert(out.columns.toSeq == Seq("k", "qt", "qid", "m_px"))
+    // every quote matches itself-or-the-tied-max at its own timestamp
+    val got = out.select("qid", "m_px").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(1.0))
+    assert(got(2L).contains(3.0)) // tie at t=20: max qid (3) wins
+    assert(got(3L).contains(3.0))
+    assert(got(4L).contains(4.0))
+  }
+
   test("asofJoin plans one exchange on the key and no join operator at all") {
     val plan = Temporal.asofJoin(
       trades.select("k", "tt", "tid"), "k", "tt",
