@@ -931,6 +931,19 @@ object ExtProbes {
 
   val q71Sql: String = q61Sql
 
+  // ---- q72 session_window sessionization ---------------------------------
+  // Spark's built-in session_window (the streaming sessionizer's engine,
+  // SessionizeStream) run in batch mode, against q49's independent
+  // cumulative-window oracle — valid because Spark merges TOUCHING session
+  // windows, which is exactly the `diff > gap` starts-new rule
+  // (SessionizeStreamSpec pins the boundary).
+  val q72: Q = (s, d) =>
+    graft.streaming.SessionizeStream.sessionCounts(
+        Tables.events(s, d), "user_id", "ts", "30 minutes")
+      .orderBy("user_id")
+
+  val q72Sql: String = Probes.q49Sql
+
   // ---- q62 bounded range join (views in the hour before each click) -----
   // Engine = Temporal.rangeJoin (bucketed EQUI join + exact refine; the
   // plan has no nested-loop stage — pinned in PlanContractSpec). Oracle =
@@ -1035,6 +1048,7 @@ object ExtProbes {
     "q69_asof_bucketed" -> q69,
     "q70_ivf_neardup" -> q70,
     "q71_asof_native" -> q71,
+    "q72_session_window" -> q72,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1071,5 +1085,6 @@ object ExtProbes {
     "q69_asof_bucketed" -> q69Sql,
     "q70_ivf_neardup" -> q70Sql,
     "q71_asof_native" -> q71Sql,
+    "q72_session_window" -> q72Sql,
   )
 }
