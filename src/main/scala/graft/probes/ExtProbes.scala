@@ -944,6 +944,70 @@ object ExtProbes {
 
   val q72Sql: String = Probes.q49Sql
 
+  // ---- q73 window-function breadth (ntile / percent_rank / cume_dist) ---
+  // The ranking-family completion over q44's lag/row_number: quartile
+  // bucketing, relative rank, cumulative distribution, running first —
+  // all on the unique (ts, event_id) order so both engines' tie rules
+  // never engage. percent_rank/cume_dist are (rank-1)/(n-1) and
+  // rows≤current/n on the same operands in both engines → bit-identical
+  // doubles → fixed-point e6 is exact.
+  val q73: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d).select(
+      col("user_id"), col("event_id"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      graft.core.Ops.fixedPoint(percent_rank().over(w), 6).as("prank_e6"),
+      graft.core.Ops.fixedPoint(cume_dist().over(w), 6).as("cdist_e6"),
+      first(col("event_id")).over(w).as("first_event"))
+      .orderBy("event_id")
+  }
+
+  val q73Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, date_trunc('milliseconds', ts) AS ts FROM events)
+      |SELECT user_id, event_id,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS prank_e6,
+      |  CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cdist_e6,
+      |  first_value(event_id) OVER w AS first_event
+      |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |ORDER BY event_id""".stripMargin
+
+  // ---- q74 fuzzy match join (Levenshtein, length-blocked) ----------------
+  // Edit-distance join as a SCALE shape: levenshtein(a,b) <= T implies
+  // |len(a)-len(b)| <= T, so length buckets of width T+1 with the left
+  // side exploded to its <=3 candidate buckets cover every qualifying
+  // pair via an EQUI join (the rangeJoin bucketing idea applied to string
+  // length); exact levenshtein refines. The right side has ONE bucket per
+  // row, so no pair meets twice. Oracle = the direct inequality join, an
+  // independent encoding.
+  val q74: Q = (s, d) => {
+    val t = 1
+    val w = t + 1
+    val n = Tables.supplier(s, d).select(col("s_suppkey").as("k"),
+      lower(col("s_name")).as("nm"), length(col("s_name")).as("ln"))
+    val a = n.withColumn("b", explode(array_distinct(array(
+        floor((col("ln") - t) / w), floor(col("ln") / w),
+        floor((col("ln") + t) / w)))))
+      .select(col("k").as("ka"), col("nm").as("na"), col("b"))
+    val bb = n.withColumn("b", floor(col("ln") / w))
+      .select(col("k").as("kb"), col("nm").as("nb"), col("b"))
+    a.join(bb, Seq("b"))
+      .filter(col("kb") > col("ka") && levenshtein(col("na"), col("nb")) <= t)
+      .select(col("ka"), col("kb"),
+        levenshtein(col("na"), col("nb")).cast("long").as("lev"))
+      .orderBy("ka", "kb")
+  }
+
+  val q74Sql: String =
+    """WITH n AS (
+      |  SELECT s_suppkey AS k, lower(s_name) AS nm FROM supplier)
+      |SELECT a.k AS ka, b.k AS kb,
+      |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS lev
+      |FROM n a JOIN n b ON b.k > a.k AND levenshtein(a.nm, b.nm) <= 1
+      |ORDER BY ka, kb""".stripMargin
+
   // ---- q62 bounded range join (views in the hour before each click) -----
   // Engine = Temporal.rangeJoin (bucketed EQUI join + exact refine; the
   // plan has no nested-loop stage — pinned in PlanContractSpec). Oracle =
@@ -1049,6 +1113,8 @@ object ExtProbes {
     "q70_ivf_neardup" -> q70,
     "q71_asof_native" -> q71,
     "q72_session_window" -> q72,
+    "q73_window_breadth" -> q73,
+    "q74_fuzzy_match" -> q74,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1086,5 +1152,7 @@ object ExtProbes {
     "q70_ivf_neardup" -> q70Sql,
     "q71_asof_native" -> q71Sql,
     "q72_session_window" -> q72Sql,
+    "q73_window_breadth" -> q73Sql,
+    "q74_fuzzy_match" -> q74Sql,
   )
 }
