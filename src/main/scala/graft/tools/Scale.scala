@@ -127,6 +127,52 @@ object Scale {
             .withColumn("simhash", Dedup.simhash16)
             .select("doc_id", "simhash"), Seq.empty)
       }
+
+      // --- round-4 operators: temporal joins on Nx-deep per-key history,
+      // exact percentiles on Nx groups ---------------------------------
+      // events scaled on the HOT-KEY axis: user_id folded to FOUR hot
+      // keys and history replicated N times at 90-day offsets — per-key
+      // rows grow Nx over a handful of keys, which is exactly the
+      // workload asofJoin's per-key window sort degrades on and
+      // asofJoinBucketed exists for. The keyed count-per-user action
+      // keeps the audit clean (a scalar count would add its own
+      // SinglePartition exchange).
+      val ev = {
+        val base = graft.Tables.events(spark, sfDir)
+          .select("event_id", "user_id", "ts", "event_type", "value")
+        (0 until n).map { k =>
+          base.select((col("event_id") + lit(k * 1000000000L)).as("event_id"),
+            (col("user_id") % 4).as("user_id"),
+            (col("ts") + expr(s"INTERVAL ${k * 90} DAYS")).as("ts"),
+            col("event_type"), col("value"))
+        }.reduce(_ unionByName _)
+      }
+      def clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      def purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      def matched(df: DataFrame): DataFrame =
+        df.groupBy("user_id").agg(count(col("purchase_id")).as("n_matched"))
+      run("asof_window_hot", n)(graft.core.Managed(
+        matched(graft.operators.Temporal.asofJoin(clicks, "user_id", "ts",
+          purchases, "user_id", "ts", Seq("purchase_id"), "purchase_id")),
+        Seq.empty))
+      run("asof_bucketed_hot", n)(graft.core.Managed(
+        matched(graft.operators.Temporal.asofJoinBucketed(clicks, "user_id", "ts",
+          purchases, "user_id", "ts", Seq("purchase_id"), "purchase_id",
+          bucketSec = 86400L)), Seq.empty))
+      run("asof_native_hot", n)(graft.core.Managed(
+        matched(graft.operators.Temporal.asofJoinNative(clicks, "user_id", "ts",
+          purchases, "user_id", "ts", Seq("purchase_id"), "purchase_id")),
+        Seq.empty))
+      run("pctl_buffered", n)(graft.core.Managed(
+        ev.groupBy("event_type").agg(
+          graft.core.Ops.fixedPoint(
+            expr("percentile(value, array(0.25, 0.5, 0.75, 0.99))")
+              .getItem(0), 4).as("p25_e4")), Seq.empty))
+      run("pctl_distributed", n)(graft.core.Managed(
+        graft.core.Ops.exactPercentiles(ev, Seq("event_type"), "value",
+          Seq(0.25, 0.5, 0.75, 0.99)), Seq.empty))
     }
     spark.stop()
   }
