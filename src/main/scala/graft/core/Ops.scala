@@ -115,6 +115,9 @@ object Ops {
     */
   def globalRank(df: DataFrame, order: Seq[Column],
                  rankName: String = "rank", numRanges: Int = 0): DataFrame = {
+    require(!Set("__pid", "__r", "__off").contains(rankName),
+      s"globalRank: rankName '$rankName' collides with an internal column " +
+        "and would be silently dropped")
     val n = if (numRanges > 0) numRanges
             else df.sparkSession.sparkContext.defaultParallelism
     val ranged = df.repartitionByRange(n, order: _*)

@@ -1008,6 +1008,27 @@ object ExtProbes {
       |FROM n a JOIN n b ON b.k > a.k AND levenshtein(a.nm, b.nm) <= 1
       |ORDER BY ka, kb""".stripMargin
 
+  // ---- q75 Z-order value (data-layout clustering) ------------------------
+  // The Morton interleave behind Layout.zorderByRange (file/row-group
+  // skipping on multi-dimension predicates — LayoutSpec measures the
+  // skipping ratio; SCALE.md records it). Pure shift/mask/or arithmetic,
+  // mirrored term-for-term in the oracle.
+  val q75: Q = (s, d) =>
+    Tables.orders(s, d).select(col("o_orderkey"),
+      graft.operators.Layout.zValue(
+        Seq(col("o_custkey") % 1024, col("o_orderkey") % 1024),
+        bits = 10).as("z"))
+      .orderBy("o_orderkey")
+
+  val q75Sql: String = {
+    val terms = for {
+      (c, j) <- Seq("(o_custkey % 1024)", "(o_orderkey % 1024)").zipWithIndex
+      i <- 0 until 10
+    } yield s"((($c >> $i) & 1) << ${i * 2 + j})"
+    s"""SELECT o_orderkey, ${terms.mkString(" + ")} AS z
+       |FROM orders ORDER BY o_orderkey""".stripMargin
+  }
+
   // ---- q62 bounded range join (views in the hour before each click) -----
   // Engine = Temporal.rangeJoin (bucketed EQUI join + exact refine; the
   // plan has no nested-loop stage — pinned in PlanContractSpec). Oracle =
@@ -1115,6 +1136,7 @@ object ExtProbes {
     "q72_session_window" -> q72,
     "q73_window_breadth" -> q73,
     "q74_fuzzy_match" -> q74,
+    "q75_zorder" -> q75,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1154,5 +1176,6 @@ object ExtProbes {
     "q72_session_window" -> q72Sql,
     "q73_window_breadth" -> q73Sql,
     "q74_fuzzy_match" -> q74Sql,
+    "q75_zorder" -> q75Sql,
   )
 }
