@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING as distributed DataFrame ops —
+  * the piece of the training-data pipeline that turns a corpus into a
+  * merge table (the artifact a BPE tokenizer ships). The corpus-sized
+  * work happens exactly once: [[wordFreqs]] reduces the corpus to a
+  * vocabulary-sized (word, freq) table, and every training iteration
+  * after that runs on the vocabulary — the same bounded-loop shape as
+  * `Similarity.kmeansStep` / `Dedup.connectedComponents` (per-iteration
+  * distributed agg + one scalar-ish driver read, lineage truncated by
+  * the loop's own re-projection).
+  *
+  * Symbols are seeded as characters; each merge step finds the
+  * highest-count adjacent symbol pair (weighted by word frequency) and
+  * fuses its non-overlapping left-to-right occurrences — the classic
+  * Sennrich et al. procedure, all in codegen'd HOFs (no UDFs).
+  */
+object Bpe {
+
+  /** Vocabulary table (word, freq) from a text column — the ONE
+    * corpus-sized pass. Words of length 1 carry no pairs but stay in the
+    * vocabulary (they still anchor single-char symbols).
+    */
+  def wordFreqs(df: DataFrame, textCol: String): DataFrame =
+    graft.core.Ops.widen(df)
+      .select(explode(Dedup.normalizeWords(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** Split a word into single-character symbols. */
+  def charSymbols(word: Column): Column =
+    filter(split(word, ""), s => s =!= "")
+
+  /** Adjacent-pair counts over a symbolized vocabulary: one explode of
+    * the per-word pair positions + one sum — vocabulary-sized, not
+    * corpus-sized. `syms` is an array<string> column; the pair key is
+    * the two symbols joined by a space (symbols themselves never contain
+    * spaces — [[Dedup.normalizeWords]] strips whitespace).
+    */
+  def pairCounts(vocab: DataFrame, symsCol: String, freqCol: String): DataFrame =
+    vocab
+      .filter(size(col(symsCol)) >= 2)
+      .select(col(freqCol), explode(
+        transform(sequence(lit(1), size(col(symsCol)) - 1),
+          i => concat_ws(" ", element_at(col(symsCol), i),
+            element_at(col(symsCol), i + 1)))).as("pair"))
+      .groupBy("pair").agg(sum(col(freqCol)).cast("long").as("cnt"))
+
+  /** Fuse non-overlapping left-to-right occurrences of (a, b) in a
+    * symbol array — one `aggregate` fold, the textbook BPE apply step:
+    * "aaa" under merge (a,a) becomes ["aa", "a"], never ["a","aa"] or
+    * overlapping ["aa","aa"].
+    */
+  def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms,
+      array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn `numMerges` merges. Returns (merge table as ordered (a, b)
+    * pairs, final symbolized vocabulary). Ties on count break by pair
+    * string — deterministic. Each iteration: one vocabulary-sized agg,
+    * one 1-row driver read (the argmax), one column rewrite;
+    * `localCheckpoint` every few rounds truncates the fold-over-fold
+    * lineage (the connectedComponents lesson — plans double, data
+    * doesn't).
+    */
+  def train(words: DataFrame, numMerges: Int,
+            checkpointEvery: Int = 8): (Seq[(String, String)], DataFrame) = {
+    var vocab = words.select(col("w"), col("freq"),
+      charSymbols(col("w")).as("syms"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val top = pairCounts(vocab, "syms", "freq")
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val Array(a, b) = top(0).getString(0).split(" ", 2)
+        merges += ((a, b))
+        vocab = vocab.withColumn("syms", applyMerge(col("syms"), a, b))
+        if ((i + 1) % checkpointEvery == 0)
+          vocab = vocab.localCheckpoint(eager = true)
+      }
+      i += 1
+    }
+    (merges.toSeq, vocab)
+  }
+}

@@ -1008,6 +1008,28 @@ object ExtProbes {
       |FROM n a JOIN n b ON b.k > a.k AND levenshtein(a.nm, b.nm) <= 1
       |ORDER BY ka, kb""".stripMargin
 
+  // ---- q76 BPE pair counts (tokenizer-training step) ---------------------
+  // The distributed core of BPE training (operators/Bpe): corpus → word
+  // frequency table (the one corpus-sized pass) → adjacent char-pair
+  // counts weighted by word freq — the argmax of this table is the merge
+  // the trainer learns each round (BpeSpec pins the full loop on the
+  // textbook corpus). Oracle mirrors the explode+sum shape directly.
+  val q76: Q = (s, d) => {
+    val vocab = graft.operators.Bpe.wordFreqs(Tables.documents(s, d), "text")
+      .withColumn("syms", graft.operators.Bpe.charSymbols(col("w")))
+    graft.operators.Bpe.pairCounts(vocab, "syms", "freq")
+      .orderBy("pair")
+  }
+
+  val q76Sql: String =
+    s"""WITH wx AS (SELECT unnest($duckWords) AS w FROM documents),
+       |f AS (SELECT w, count(*) AS freq FROM wx GROUP BY w),
+       |p AS (SELECT freq, unnest(list_transform(generate_series(1, length(w) - 1),
+       |        i -> substring(w, i, 1) || ' ' || substring(w, i + 1, 1))) AS pair
+       |      FROM f WHERE length(w) >= 2)
+       |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+       |FROM p GROUP BY pair ORDER BY pair""".stripMargin
+
   // ---- q75 Z-order value (data-layout clustering) ------------------------
   // The Morton interleave behind Layout.zorderByRange (file/row-group
   // skipping on multi-dimension predicates — LayoutSpec measures the
@@ -1137,6 +1159,7 @@ object ExtProbes {
     "q73_window_breadth" -> q73,
     "q74_fuzzy_match" -> q74,
     "q75_zorder" -> q75,
+    "q76_bpe_pairs" -> q76,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1177,5 +1200,6 @@ object ExtProbes {
     "q73_window_breadth" -> q73Sql,
     "q74_fuzzy_match" -> q74Sql,
     "q75_zorder" -> q75Sql,
+    "q76_bpe_pairs" -> q76Sql,
   )
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("applyMerge fuses left-to-right non-overlapping occurrences") {
+    val got = Seq(Seq("a", "a", "a"), Seq("a", "b", "a", "b"),
+      Seq("x", "a", "b", "y"), Seq("b", "a"))
+      .toDF("syms")
+      .select(Bpe.applyMerge(col("syms"), "a", "b").as("m"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(
+      Seq("a", "a", "a"),      // no (a,b) present
+      Seq("ab", "ab"),
+      Seq("x", "ab", "y"),
+      Seq("b", "a")))          // order matters: (b,a) is not (a,b)
+    val aaa = Seq(Seq("a", "a", "a")).toDF("syms")
+      .select(Bpe.applyMerge(col("syms"), "a", "a").as("m"))
+      .as[Seq[String]].head()
+    assert(aaa == Seq("aa", "a")) // left-to-right, non-overlapping
+  }
+
+  test("train learns the textbook merge sequence on the Sennrich corpus") {
+    // {low:5, lower:2, newest:6, widest:3} — the worked example from the
+    // original BPE-for-NMT paper. Expected, with our deterministic
+    // (count desc, pair asc) tie rule:
+    //   (e,s)=9 → (es,t)=9 → (l,o)=7 → (lo,w)=7 → tie at 6 → (e,w)
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L)).toDF("w", "freq")
+    val (merges, vocab) = Bpe.train(words, 5)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"),
+      ("lo", "w"), ("e", "w")))
+    val syms = vocab.select("w", "syms").as[(String, Seq[String])]
+      .collect().toMap
+    assert(syms("low") == Seq("low"))
+    assert(syms("newest") == Seq("n", "ew", "est"))
+    assert(syms("widest") == Seq("w", "i", "d", "est"))
+    assert(syms("lower") == Seq("low", "e", "r"))
+  }
+
+  test("train stops early when no pairs remain") {
+    val words = Seq(("ab", 3L)).toDF("w", "freq")
+    val (merges, _) = Bpe.train(words, 10)
+    assert(merges == Seq(("a", "b"))) // after one merge the word is atomic
+  }
+}
