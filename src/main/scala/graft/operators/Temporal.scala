@@ -103,8 +103,20 @@ object Temporal {
       right: DataFrame, rightKey: String, rightTs: String,
       payload: Seq[String], tieBreak: String,
       inclusive: Boolean = true, outPrefix: String = ""): DataFrame =
-    graft.plans.AsOfJoinPlan.dataFrame(left, leftKey, leftTs,
-      right, rightKey, rightTs, payload, tieBreak, inclusive, outPrefix)
+    graft.plans.AsOfJoinPlan.dataFrame(left, Seq(leftKey), leftTs,
+      right, Seq(rightKey), rightTs, payload, tieBreak, inclusive, outPrefix)
+
+  /** [[asofJoinNative]] over a composite key — the native analog of
+    * [[asofJoinKeys]] (lexicographic key merge, same per-column
+    * nulls-first rule). TemporalSpec pins composite-key parity.
+    */
+  def asofJoinNativeKeys(
+      left: DataFrame, leftKeys: Seq[String], leftTs: String,
+      right: DataFrame, rightKeys: Seq[String], rightTs: String,
+      payload: Seq[String], tieBreak: String,
+      inclusive: Boolean = true, outPrefix: String = ""): DataFrame =
+    graft.plans.AsOfJoinPlan.dataFrame(left, leftKeys, leftTs,
+      right, rightKeys, rightTs, payload, tieBreak, inclusive, outPrefix)
 
   /** Hot-key as-of join: [[asofJoin]] semantics (same output, bit for bit),
     * but no task ever sorts a key's FULL history — the cure for the

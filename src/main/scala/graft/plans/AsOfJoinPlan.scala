@@ -45,11 +45,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
-    leftKey: Attribute, leftTs: Attribute,
-    rightKey: Attribute, rightTs: Attribute,
+    leftKeys: Seq[Attribute], leftTs: Attribute,
+    rightKeys: Seq[Attribute], rightTs: Attribute,
     payload: Seq[Attribute], tieBreak: Attribute,
     payloadOut: Seq[Attribute], inclusive: Boolean)
   extends BinaryNode {
+
+  require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+    "AsOfJoinNode: key lists must be non-empty and same-length")
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
   override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
@@ -65,7 +68,7 @@ case class AsOfJoinNode(
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsOfJoinNode =>
-      AsOfJoinExec(n.leftKey, n.leftTs, n.rightKey, n.rightTs,
+      AsOfJoinExec(n.leftKeys, n.leftTs, n.rightKeys, n.rightTs,
         n.payload, n.tieBreak, n.payloadOut, n.inclusive,
         planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil
@@ -81,8 +84,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   * carried values; rights of skipped keys stream past.
   */
 case class AsOfJoinExec(
-    leftKey: Attribute, leftTs: Attribute,
-    rightKey: Attribute, rightTs: Attribute,
+    leftKeys: Seq[Attribute], leftTs: Attribute,
+    rightKeys: Seq[Attribute], rightTs: Attribute,
     payload: Seq[Attribute], tieBreak: Attribute,
     payloadOut: Seq[Attribute], inclusive: Boolean,
     left: SparkPlan, right: SparkPlan)
@@ -94,12 +97,12 @@ case class AsOfJoinExec(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending),
-      SortOrder(tieBreak, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) ++
+      Seq(SortOrder(rightTs, Ascending), SortOrder(tieBreak, Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -123,14 +126,16 @@ case class AsOfJoinExec(
     val numOutputRows = longMetric("numOutputRows")
     val lOut = left.output
     val rOut = right.output
-    val lKeyOrd = lOut.indexWhere(_.exprId == leftKey.exprId)
+    val lKeyOrds = leftKeys.map(k => lOut.indexWhere(_.exprId == k.exprId)).toArray
     val lTsOrd = lOut.indexWhere(_.exprId == leftTs.exprId)
-    val rKeyOrd = rOut.indexWhere(_.exprId == rightKey.exprId)
+    val rKeyOrds = rightKeys.map(k => rOut.indexWhere(_.exprId == k.exprId)).toArray
     val rTsOrd = rOut.indexWhere(_.exprId == rightTs.exprId)
     val pOrds = payload.map(p => rOut.indexWhere(_.exprId == p.exprId))
-    require((lKeyOrd :: lTsOrd :: rKeyOrd :: rTsOrd :: pOrds.toList).forall(_ >= 0),
+    require((lTsOrd :: rTsOrd :: (lKeyOrds ++ rKeyOrds ++ pOrds).toList)
+      .forall(_ >= 0),
       "AsOfJoinExec: key/ts/payload attribute missing from child output")
-    val keyType = leftKey.dataType
+    val keyTypes = leftKeys.map(_.dataType).toArray
+    val nKeys = keyTypes.length
     val tsType = leftTs.dataType
     val pTypes = payload.map(_.dataType)
     val nPay = payload.size
@@ -138,29 +143,53 @@ case class AsOfJoinExec(
     val inAttrs = lOut ++ payloadOut
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val keyOrdering = TypeUtils.getInterpretedOrdering(keyType)
+      val keyOrderings = keyTypes.map(TypeUtils.getInterpretedOrdering)
       val tsOrdering = TypeUtils.getInterpretedOrdering(tsType)
       // nulls-first total order, matching SortOrder(asc) and the window
       // composition's ordering: null < any non-null, null == null.
-      def cmp(ord: Ordering[Any], a: Any, b: Any): Int =
+      def cmp1(ord: Ordering[Any], a: Any, b: Any): Int =
         if (a == null && b == null) 0
         else if (a == null) -1
         else if (b == null) 1
         else ord.compare(a, b)
+      // lexicographic over the key columns
+      def cmpKeys(a: Array[Any], b: Array[Any]): Int = {
+        var i = 0
+        while (i < nKeys) {
+          val c = cmp1(keyOrderings(i), a(i), b(i))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+      def readKeys(row: InternalRow, ords: Array[Int],
+                   copied: Boolean): Array[Any] = {
+        val arr = new Array[Any](nKeys)
+        var i = 0
+        while (i < nKeys) {
+          arr(i) = if (row.isNullAt(ords(i))) null
+            else {
+              val v = row.get(ords(i), keyTypes(i))
+              if (copied) copyVal(v) else v
+            }
+          i += 1
+        }
+        arr
+      }
 
       val proj = UnsafeProjection.create(outAttrs, inAttrs)
       val joined = new JoinedRow
       val nullPayload = new GenericInternalRow(nPay)
 
       // Current right head, eagerly extracted + copied (rows are reused).
-      var rKey: Any = null
+      var rKey: Array[Any] = null
       var rTs: Any = null
       var rPay: Array[Any] = null
       var rLive = false
       def advanceRight(): Unit =
         if (rIter.hasNext) {
           val r = rIter.next()
-          rKey = if (r.isNullAt(rKeyOrd)) null else copyVal(r.get(rKeyOrd, keyType))
+          rKey = readKeys(r, rKeyOrds, copied = true)
           rTs = if (r.isNullAt(rTsOrd)) null else copyVal(r.get(rTsOrd, tsType))
           val arr = new Array[Any](nPay)
           var i = 0
@@ -175,25 +204,23 @@ case class AsOfJoinExec(
       advanceRight()
 
       new Iterator[InternalRow] {
-        private var curKey: Any = null
-        private var haveKey = false
+        private var curKey: Array[Any] = null
         private var carried: InternalRow = nullPayload
 
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
           val l = lIter.next()
-          val lk = if (l.isNullAt(lKeyOrd)) null else l.get(lKeyOrd, keyType)
-          if (!haveKey || cmp(keyOrdering, lk, curKey) != 0) {
+          val lk = readKeys(l, lKeyOrds, copied = false)
+          if (curKey == null || cmpKeys(lk, curKey) != 0) {
             // new key group: drop the carry, stream rights of smaller keys past
             carried = nullPayload
-            while (rLive && cmp(keyOrdering, rKey, lk) < 0) advanceRight()
-            curKey = copyVal(lk)
-            haveKey = true
+            while (rLive && cmpKeys(rKey, lk) < 0) advanceRight()
+            curKey = lk.map(copyVal)
           }
           val lt = if (l.isNullAt(lTsOrd)) null else l.get(lTsOrd, tsType)
-          while (rLive && cmp(keyOrdering, rKey, lk) == 0 && {
-              val c = cmp(tsOrdering, rTs, lt)
+          while (rLive && cmpKeys(rKey, lk) == 0 && {
+              val c = cmp1(tsOrdering, rTs, lt)
               c < 0 || (inclusive && c == 0)
             }) {
             // rights arrive (ts, tieBreak)-ascending: the last one advanced
@@ -218,8 +245,8 @@ case class AsOfJoinExec(
   */
 object AsOfJoinPlan {
   def dataFrame(
-      left: DataFrame, leftKey: String, leftTs: String,
-      right: DataFrame, rightKey: String, rightTs: String,
+      left: DataFrame, leftKeys: Seq[String], leftTs: String,
+      right: DataFrame, rightKeys: Seq[String], rightTs: String,
       payload: Seq[String], tieBreak: String,
       inclusive: Boolean, outPrefix: String): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -239,8 +266,8 @@ object AsOfJoinPlan {
     val payloadOut = pAttrs.map(p =>
       AttributeReference(outPrefix + p.name, p.dataType, nullable = true)())
     val node = AsOfJoinNode(lp, rp,
-      attr(lp, leftKey, "left"), attr(lp, leftTs, "left"),
-      attr(rp, rightKey, "right"), attr(rp, rightTs, "right"),
+      leftKeys.map(attr(lp, _, "left")), attr(lp, leftTs, "left"),
+      rightKeys.map(attr(rp, _, "right")), attr(rp, rightTs, "right"),
       pAttrs, attr(rp, tieBreak, "right"), payloadOut, inclusive)
     GraftSqlShim.ofRows(left.sparkSession, node)
   }

@@ -192,6 +192,30 @@ class TemporalSpec extends SparkSpec {
     assert(got(104L) == ((None, None)))
   }
 
+  test("asofJoinNativeKeys == asofJoinKeys over a composite key") {
+    // (k1, k2) composite: same k1 with different k2 must NOT match
+    val left = Seq(("a", 1L, 10L, 1L), ("a", 2L, 10L, 2L),
+      ("b", 1L, 20L, 3L), ("a", 1L, 30L, 4L))
+      .toDF("k1", "k2", "sec", "lid")
+      .withColumn("lt", expr("timestamp_seconds(sec)")).drop("sec")
+    val right = Seq(("a", 1L, 5L, 100L), ("a", 2L, 9L, 101L),
+      ("a", 1L, 25L, 102L), ("b", 2L, 1L, 103L))
+      .toDF("k1", "k2", "sec", "rid")
+      .withColumn("rt", expr("timestamp_seconds(sec)")).drop("sec")
+
+    for (inclusive <- Seq(true, false)) {
+      val got = Temporal.asofJoinNativeKeys(left, Seq("k1", "k2"), "lt",
+          right, Seq("k1", "k2"), "rt", payload = Seq("rid"),
+          tieBreak = "rid", inclusive = inclusive)
+        .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+      assert(got == Map(
+        1L -> Some(100L),  // (a,1) at 10 → rid 100 at 5
+        2L -> Some(101L),  // (a,2) at 10 → rid 101 at 9 (not (a,1)'s rows)
+        3L -> None,        // (b,1) has no right rows — (b,2) must not leak
+        4L -> Some(102L))) // (a,1) at 30 → rid 102 at 25
+    }
+  }
+
   test("asofJoinNative disambiguates self-join inputs and supports outPrefix") {
     val base = quotes.select("k", "qt", "qid", "px")
     val out = Temporal.asofJoinNative(
