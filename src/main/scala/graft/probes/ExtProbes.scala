@@ -1030,6 +1030,43 @@ object ExtProbes {
        |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
        |FROM p GROUP BY pair ORDER BY pair""".stripMargin
 
+  // ---- q77 set-operation breadth (INTERSECT / EXCEPT, ALL and DISTINCT) --
+  // The multiset forms matter: intersectAll/exceptAll preserve duplicate
+  // counts (Spark plans them as count-compare aggregates, not row dedup),
+  // and the reference surface only ever exercised EXCEPT-shaped anti
+  // logic (OP-38). Nation keys of two customer segments, tagged and
+  // unioned; ORDER BY makes the multiset deterministic.
+  val q77: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    def seg(m: String) =
+      c.filter(col("c_mktsegment") === m)
+        .select(col("c_nationkey").cast("long").as("nk"))
+    val a = seg("AUTOMOBILE")
+    val b = seg("BUILDING")
+    a.intersect(b).select(lit("int_d").as("op"), col("nk"))
+      .unionByName(a.intersectAll(b).select(lit("int_a").as("op"), col("nk")))
+      .unionByName(a.except(b).select(lit("exc_d").as("op"), col("nk")))
+      .unionByName(a.exceptAll(b).select(lit("exc_a").as("op"), col("nk")))
+      .groupBy("op", "nk").agg(count(lit(1)).as("cnt"))
+      .orderBy("op", "nk")
+  }
+
+  val q77Sql: String =
+    """WITH a AS (SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+      |           WHERE c_mktsegment = 'AUTOMOBILE'),
+      |b AS (SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+      |      WHERE c_mktsegment = 'BUILDING'),
+      |u AS (
+      |  SELECT 'int_d' AS op, nk FROM (SELECT nk FROM a INTERSECT SELECT nk FROM b)
+      |  UNION ALL
+      |  SELECT 'int_a' AS op, nk FROM (SELECT nk FROM a INTERSECT ALL SELECT nk FROM b)
+      |  UNION ALL
+      |  SELECT 'exc_d' AS op, nk FROM (SELECT nk FROM a EXCEPT SELECT nk FROM b)
+      |  UNION ALL
+      |  SELECT 'exc_a' AS op, nk FROM (SELECT nk FROM a EXCEPT ALL SELECT nk FROM b))
+      |SELECT op, nk, count(*) AS cnt FROM u GROUP BY op, nk
+      |ORDER BY op, nk""".stripMargin
+
   // ---- q75 Z-order value (data-layout clustering) ------------------------
   // The Morton interleave behind Layout.zorderByRange (file/row-group
   // skipping on multi-dimension predicates — LayoutSpec measures the
@@ -1160,6 +1197,7 @@ object ExtProbes {
     "q74_fuzzy_match" -> q74,
     "q75_zorder" -> q75,
     "q76_bpe_pairs" -> q76,
+    "q77_set_ops" -> q77,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1201,5 +1239,6 @@ object ExtProbes {
     "q74_fuzzy_match" -> q74Sql,
     "q75_zorder" -> q75Sql,
     "q76_bpe_pairs" -> q76Sql,
+    "q77_set_ops" -> q77Sql,
   )
 }
