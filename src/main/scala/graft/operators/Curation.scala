@@ -199,6 +199,66 @@ object Curation {
     * `filesPerShard` co-located writer tasks AND output files per shard,
     * which bounds both the small-files count and the single-file size.
     */
+  /** Token-bounded document chunking with overlap — the SPLIT side of the
+    * sequence-length problem ([[packSequences]] is the concat side): long
+    * documents become overlapping windows of at most `maxTokens` words,
+    * stride `maxTokens - overlap`, the shape RAG indexing and
+    * fixed-context pretraining both consume. Pure per-row explode — no
+    * shuffle; chunk count per doc is ceil(len/stride), so output size is
+    * corpus-linear with a 1/(1-overlap/maxTokens) expansion factor.
+    *
+    * Output: (idCol, chunk_id, chunk_text, n_tokens), chunk_id 0-based in
+    * document order. Empty/whitespace-only documents yield one empty
+    * chunk (n_tokens = 0) rather than disappearing — callers filter, the
+    * operator doesn't decide. The words array and the chunk slice are
+    * projected as their own attributes (multi-referenced non-cheap
+    * aliases — the `Dedup.shingleSets` discipline).
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"chunkByTokens: need 0 <= overlap ($overlap) < maxTokens ($maxTokens)")
+    val stride = maxTokens - overlap
+    graft.core.Ops.widen(df)
+      .select(col(idCol), Dedup.normalizeWords(col(textCol)).as("__w"))
+      .select(col(idCol), col("__w"),
+        posexplode(sequence(lit(1), greatest(size(col("__w")), lit(1)),
+          lit(stride))).as(Seq("chunk_id", "__start")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("__w"), col("__start"), lit(maxTokens)).as("__c"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(col("__c"), " ").as("chunk_text"),
+        size(col("__c")).cast("long").as("n_tokens"))
+  }
+
+  /** C4/CommonCrawl-style URL canonicalization — the dedup KEY for
+    * crawl-derived corpora (the same page arrives under tracking-param,
+    * fragment, and index.html decorations; URL dedup folds them before
+    * any content hashing runs). Steps, all plain regex (oracle-mirrored
+    * verbatim, q79): lowercase scheme+authority (path stays
+    * case-sensitive), drop the fragment, strip utm_x / gclid / fbclid
+    * tracking params (then the dangling `?`/`&`), strip a trailing `/`
+    * or `/index.html`. Per-row map, no shuffle; the groupBy on the
+    * canonical form is the one hash shuffle any exact dedup pays.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val lowered = concat(
+      lower(regexp_extract(url, "^([^/?#]*//[^/?#]*)", 1)),
+      regexp_replace(url, "^[^/?#]*//[^/?#]*", ""))
+    val noFrag = regexp_replace(lowered, "#.*", "")
+    val noTrack = regexp_replace(noFrag,
+      "(utm_[a-z]+|gclid|fbclid)=[^&#]*&?", "")
+    val noDangle = regexp_replace(noTrack, "[?&]$", "")
+    regexp_replace(noDangle, "/(index\\.html?)?$", "")
+  }
+
+  /** Registrable host of a URL: lowercase authority minus a leading
+    * `www.` — the per-domain grouping key for crawl source-mix stats.
+    */
+  def urlHost(url: Column): Column =
+    regexp_replace(
+      regexp_extract(lower(url), "^[a-z]+://([^/:?#]+)", 1), "^www\\.", "")
+
   def writeShards(df: DataFrame, keyCol: Column, path: String,
                   filesPerShard: Int = 8,
                   mode: String = "overwrite"): Unit = {

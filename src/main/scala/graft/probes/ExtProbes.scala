@@ -1030,6 +1030,76 @@ object ExtProbes {
        |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
        |FROM p GROUP BY pair ORDER BY pair""".stripMargin
 
+  // ---- q78 token-bounded chunking with overlap ---------------------------
+  // Curation.chunkByTokens — the split side of the sequence-length problem
+  // (packSequences is the concat side): overlapping maxTokens-word windows
+  // at stride maxTokens-overlap, per-row explode, no shuffle. Oracle
+  // mirrors the window arithmetic with generate_series + list_slice.
+  val q78: Q = (s, d) =>
+    Curation.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
+        maxTokens = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_id")
+
+  val q78Sql: String =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |c AS (SELECT doc_id, unnest(generate_series(1, greatest(len(w), 1), 48)) AS s, w
+       |      FROM w)
+       |SELECT doc_id, CAST((s - 1) // 48 AS BIGINT) AS chunk_id,
+       |  array_to_string(list_slice(w, s, s + 63), ' ') AS chunk_text,
+       |  CAST(len(list_slice(w, s, s + 63)) AS BIGINT) AS n_tokens
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---- q79 URL canonicalization + dedup ---------------------------------
+  // Curation.canonicalizeUrl/urlHost over URLs synthesized (identically in
+  // both engines) with the decorations crawls actually produce — mixed-case
+  // scheme/host, tracking params, fragments, index.html — then the dedup
+  // groupBy on the canonical form. Distinct decorations of the same page
+  // MUST fold to one group (the probe's sharpness: 4 decoration classes
+  // per (source, page) pair collapse to one canonical URL).
+  val q79: Q = (s, d) => {
+    val url = concat(lit("HTTPS://WWW."), col("source"),
+      lit(".Example.com/Page/"), (col("doc_id") % 40).cast("string"),
+      when(col("doc_id") % 4 === 0, "?utm_source=feed&utm_campaign=x")
+        .when(col("doc_id") % 4 === 1, "?id=7&utm_medium=m")
+        .when(col("doc_id") % 4 === 2, "#section2")
+        .otherwise("/index.html"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), url.as("u"))
+      .select(col("doc_id"), Curation.canonicalizeUrl(col("u")).as("curl"),
+        Curation.urlHost(col("u")).as("host"))
+      .groupBy("curl", "host")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+      .orderBy("curl")
+  }
+
+  val q79Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'HTTPS://WWW.' || source || '.Example.com/Page/' ||
+      |    CAST(doc_id % 40 AS VARCHAR) ||
+      |    CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&utm_campaign=x'
+      |                    WHEN 1 THEN '?id=7&utm_medium=m'
+      |                    WHEN 2 THEN '#section2'
+      |                    ELSE '/index.html' END AS u
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            lower(regexp_extract(u, '^([^/?#]*//[^/?#]*)', 1)) ||
+      |              regexp_replace(u, '^[^/?#]*//[^/?#]*', ''),
+      |            '#.*', '', 'g'),
+      |          '(utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
+      |        '[?&]$', '', 'g'),
+      |      '/(index\.html?)?$', '', 'g') AS curl,
+      |    regexp_replace(regexp_extract(lower(u), '^[a-z]+://([^/:?#]+)', 1),
+      |      '^www\.', '', 'g') AS host
+      |  FROM u)
+      |SELECT curl, host, count(*) AS n, min(doc_id) AS first_doc
+      |FROM c GROUP BY curl, host ORDER BY curl""".stripMargin
+
   // ---- q77 set-operation breadth (INTERSECT / EXCEPT, ALL and DISTINCT) --
   // The multiset forms matter: intersectAll/exceptAll preserve duplicate
   // counts (Spark plans them as count-compare aggregates, not row dedup),
@@ -1198,6 +1268,8 @@ object ExtProbes {
     "q75_zorder" -> q75,
     "q76_bpe_pairs" -> q76,
     "q77_set_ops" -> q77,
+    "q78_chunking" -> q78,
+    "q79_url_canon" -> q79,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1240,5 +1312,7 @@ object ExtProbes {
     "q75_zorder" -> q75Sql,
     "q76_bpe_pairs" -> q76Sql,
     "q77_set_ops" -> q77Sql,
+    "q78_chunking" -> q78Sql,
+    "q79_url_canon" -> q79Sql,
   )
 }
