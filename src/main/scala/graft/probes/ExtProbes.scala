@@ -993,10 +993,16 @@ object ExtProbes {
       .select(col("k").as("ka"), col("nm").as("na"), col("b"))
     val bb = n.withColumn("b", floor(col("ln") / w))
       .select(col("k").as("kb"), col("nm").as("nb"), col("b"))
+    // bounded form: O(threshold·len) with early exit, −1 beyond the
+    // threshold — for qualifying pairs it returns the exact distance, so
+    // the oracle's full-eval compare is unchanged. The unbounded form
+    // cost len² per pair (~3.2 s at sf0.1's 1M same-length candidate
+    // pairs; bounded ≈ 0.5 s).
     a.join(bb, Seq("b"))
-      .filter(col("kb") > col("ka") && levenshtein(col("na"), col("nb")) <= t)
+      .filter(col("kb") > col("ka"))
       .select(col("ka"), col("kb"),
-        levenshtein(col("na"), col("nb")).cast("long").as("lev"))
+        levenshtein(col("na"), col("nb"), t).cast("long").as("lev"))
+      .filter(col("lev") >= 0)
       .orderBy("ka", "kb")
   }
 
