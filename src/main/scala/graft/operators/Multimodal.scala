@@ -52,6 +52,107 @@ object Multimodal {
     }
   }
 
+  /** Parsed container metadata — REAL parsing, not stubbed: the header
+    * formats (PNG IHDR, JPEG SOF, WAV RIFF/fmt) are pure byte arithmetic
+    * and need no codec. `kind = "unknown"` for unrecognized payloads.
+    * Only entropy-coded pixel/sample DECODE remains the external swap-in
+    * ([[decodeOne]]); dimensions, channels, and sample rates — what a
+    * curation pipeline filters and stratifies on — come from here.
+    */
+  case class MediaMeta(kind: String, width: Int, height: Int,
+                       channels: Int, sampleRate: Int)
+
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** PNG: 8-byte signature, then the IHDR chunk (always first): width at
+    * byte 16, height at 20, both big-endian.
+    */
+  private def parsePng(b: Array[Byte]): Option[MediaMeta] =
+    if (b.length >= 24 &&
+      (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some(MediaMeta("png", beInt(b, 16), beInt(b, 20), 0, 0))
+    else None
+
+  /** JPEG: SOI (FFD8), then marker segments; dimensions live in the first
+    * SOF0/SOF1/SOF2 frame header — height big-endian at +5, width at +7,
+    * components at +9. Walk segments by their big-endian lengths.
+    */
+  private def parseJpeg(b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var i = 2
+    while (i + 9 < b.length && (b(i) & 0xff) == 0xff) {
+      val marker = b(i + 1) & 0xff
+      if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
+        return Some(MediaMeta("jpeg",
+          ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff),
+          ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff),
+          b(i + 9) & 0xff, 0))
+      else if (marker == 0xda) return None // SOS: entropy data, no SOF seen
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+      else i += 2 + (((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff))
+    }
+    None
+  }
+
+  /** WAV: RIFF....WAVE, then chunks; walk to "fmt " (not assumed first —
+    * some writers put LIST/JUNK ahead): channels little-endian at +10
+    * from the chunk tag, sample rate at +12. Chunk sizes pad to even.
+    */
+  private def parseWav(b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return None
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = leInt(b, i + 4)
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ')
+        return if (i + 16 <= b.length)
+          Some(MediaMeta("wav", 0, 0, leShort(b, i + 10), leInt(b, i + 12)))
+        else None
+      i += 8 + size + (size & 1)
+    }
+    None
+  }
+
+  /** Container sniff + header parse. Order: PNG and WAV have fixed
+    * signatures; JPEG's walk runs last (its sniff is just two bytes).
+    */
+  def parseHeader(bytes: Array[Byte]): MediaMeta =
+    parsePng(bytes).orElse(parseWav(bytes)).orElse(parseJpeg(bytes))
+      .getOrElse(MediaMeta("unknown", 0, 0, 0, 0))
+
+  /** Flat row form of [[MediaMeta]] for Dataset output. */
+  case class MediaMetaRow(media_id: Long, kind: String, width: Int,
+                          height: Int, channels: Int, sample_rate: Int)
+
+  /** Batched metadata extraction over media payloads — [[parseHeader]]
+    * through the same bounded-batch `mapPartitions` shape as
+    * [[decodeStub]], but REAL: dimensions / channels / sample rates (the
+    * columns a curation pipeline filters and stratifies on) come from
+    * actual container bytes. q80 oracle-checks it against payloads whose
+    * ground truth is the synthesis parameters.
+    */
+  def extractMeta(ds: Dataset[MediaRecord],
+                  batchSize: Int = 64): Dataset[MediaMetaRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { r =>
+        val m = parseHeader(r.media)
+        MediaMetaRow(r.media_id, m.kind, m.width, m.height, m.channels,
+          m.sampleRate)
+      })
+    }
+  }
+
   /** Frame sampling for video-ish payloads: every `stride`-th `frameSize`-
     * byte slice (a real implementation would seek keyframes via the codec —
     * same swap-in point as [[decodeOne]]). Pure per-row function used via

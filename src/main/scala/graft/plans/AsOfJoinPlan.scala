@@ -263,6 +263,11 @@ object AsOfJoinPlan {
           s"(has: ${p.output.map(_.name).mkString(", ")})"))
 
     val pAttrs = payload.map(attr(rp, _, "right"))
+    val collisions = payload.map(outPrefix + _).toSet
+      .intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"asofJoinNative: output payload name(s) ${collisions.mkString(", ")} " +
+        "collide with left columns - pass outPrefix (same contract as asofJoin)")
     val payloadOut = pAttrs.map(p =>
       AttributeReference(outPrefix + p.name, p.dataType, nullable = true)())
     val node = AsOfJoinNode(lp, rp,

@@ -1106,6 +1106,39 @@ object ExtProbes {
       |SELECT curl, host, count(*) AS n, min(doc_id) AS first_doc
       |FROM c GROUP BY curl, host ORDER BY curl""".stripMargin
 
+  // ---- q80 media header metadata (real container parsing) ----------------
+  // Multimodal.extractMeta / parseHeader: 4/5 of the payloads are REAL
+  // PNG headers synthesized from (doc_id-derived) dimensions via
+  // hex→unhex; 1/5 are raw text bytes (must degrade to 'unknown'). The
+  // oracle never parses — it recomputes the expected metadata from the
+  // same synthesis arithmetic, so a parser bug (endianness, offset) is a
+  // hash mismatch, not a tautology.
+  val q80: Q = (s, d) => {
+    import s.implicits._
+    val media = Tables.documents(s, d).selectExpr(
+      "doc_id AS media_id",
+      """CASE WHEN doc_id % 5 = 0 THEN CAST(text AS BINARY)
+        |ELSE unhex(concat('89504E470D0A1A0A0000000D49484452',
+        |  lpad(hex(doc_id % 509 + 1), 8, '0'),
+        |  lpad(hex(doc_id % 251 + 1), 8, '0'),
+        |  '0806000000')) END AS media""".stripMargin,
+      "'application/octet-stream' AS mime")
+      .as[graft.operators.Multimodal.MediaRecord]
+    graft.operators.Multimodal.extractMeta(media).toDF()
+      .orderBy("media_id")
+  }
+
+  val q80Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 5 = 0 THEN 'unknown' ELSE 'png' END AS kind,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE doc_id % 509 + 1 END
+      |    AS INTEGER) AS width,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE doc_id % 251 + 1 END
+      |    AS INTEGER) AS height,
+      |  CAST(0 AS INTEGER) AS channels,
+      |  CAST(0 AS INTEGER) AS sample_rate
+      |FROM documents ORDER BY media_id""".stripMargin
+
   // ---- q77 set-operation breadth (INTERSECT / EXCEPT, ALL and DISTINCT) --
   // The multiset forms matter: intersectAll/exceptAll preserve duplicate
   // counts (Spark plans them as count-compare aggregates, not row dedup),
@@ -1276,6 +1309,7 @@ object ExtProbes {
     "q77_set_ops" -> q77,
     "q78_chunking" -> q78,
     "q79_url_canon" -> q79,
+    "q80_media_meta" -> q80,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1320,5 +1354,6 @@ object ExtProbes {
     "q77_set_ops" -> q77Sql,
     "q78_chunking" -> q78Sql,
     "q79_url_canon" -> q79Sql,
+    "q80_media_meta" -> q80Sql,
   )
 }

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaMeta
+
+/** Container-header parsing vectors: headers built byte-by-byte from the
+  * format specs (PNG RFC 2083 §3.1/IHDR, JPEG ISO 10918 marker walk, WAV
+  * RIFF chunks) — real parsing of real byte layouts, no codec involved.
+  */
+class MediaHeaderSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def png(w: Int, h: Int): Array[Byte] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdrLen = Array(0, 0, 0, 13).map(_.toByte)
+    val ihdrTag = "IHDR".getBytes("US-ASCII")
+    def be(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    sig ++ ihdrLen ++ ihdrTag ++ be(w) ++ be(h) ++
+      Array[Byte](8, 6, 0, 0, 0) // bit depth, color type, etc.
+  }
+
+  private def jpegWithSof(w: Int, h: Int, comps: Int,
+                          progressive: Boolean = false): Array[Byte] = {
+    val soi = Array(0xff, 0xd8).map(_.toByte)
+    // an APP0 segment to walk over (length 16: 2 len bytes + 14 payload)
+    val app0 = Array(0xff, 0xe0, 0x00, 0x10).map(_.toByte) ++
+      Array.fill[Byte](14)(0x4a)
+    val sofMarker = if (progressive) 0xc2 else 0xc0
+    val sof = Array(0xff, sofMarker, 0x00, 0x11, 0x08).map(_.toByte) ++
+      Array((h >> 8).toByte, h.toByte, (w >> 8).toByte, w.toByte,
+        comps.toByte)
+    soi ++ app0 ++ sof
+  }
+
+  private def wav(channels: Int, rate: Int,
+                  junkFirst: Boolean = false): Array[Byte] = {
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+      (v >> 24).toByte)
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    val junk = "JUNK".getBytes("US-ASCII") ++ le32(4) ++ Array.fill[Byte](4)(0)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(channels) ++ le32(rate) ++
+      le32(rate * channels * 2) ++ le16(channels * 2) ++ le16(16)
+    val body = (if (junkFirst) junk else Array.emptyByteArray) ++ fmt
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + body.length) ++
+      "WAVE".getBytes("US-ASCII") ++ body
+  }
+
+  test("PNG IHDR dimensions, including > 255 (big-endian multi-byte)") {
+    assert(Multimodal.parseHeader(png(640, 480)) ==
+      MediaMeta("png", 640, 480, 0, 0))
+    assert(Multimodal.parseHeader(png(70000, 3)) ==
+      MediaMeta("png", 70000, 3, 0, 0))
+  }
+
+  test("JPEG SOF walk skips APP segments; baseline and progressive") {
+    assert(Multimodal.parseHeader(jpegWithSof(1024, 768, 3)) ==
+      MediaMeta("jpeg", 1024, 768, 3, 0))
+    assert(Multimodal.parseHeader(jpegWithSof(300, 200, 1, progressive = true)) ==
+      MediaMeta("jpeg", 300, 200, 1, 0))
+  }
+
+  test("WAV fmt chunk: channels + sample rate, even behind a JUNK chunk") {
+    assert(Multimodal.parseHeader(wav(2, 44100)) ==
+      MediaMeta("wav", 0, 0, 2, 44100))
+    assert(Multimodal.parseHeader(wav(1, 16000, junkFirst = true)) ==
+      MediaMeta("wav", 0, 0, 1, 16000))
+  }
+
+  test("unknown / truncated payloads degrade to kind=unknown, no throw") {
+    assert(Multimodal.parseHeader("plain text".getBytes("UTF-8")).kind ==
+      "unknown")
+    assert(Multimodal.parseHeader(Array.emptyByteArray).kind == "unknown")
+    assert(Multimodal.parseHeader(png(1, 1).take(10)).kind == "unknown")
+    assert(Multimodal.parseHeader(wav(2, 44100).take(14)).kind == "unknown")
+    // JPEG with SOS before any SOF: give up cleanly
+    val sosFirst = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0, 0, 1, 2, 3)
+      .map(_.toByte)
+    assert(Multimodal.parseHeader(sosFirst).kind == "unknown")
+  }
+}
