@@ -1139,6 +1139,45 @@ object ExtProbes {
       |  CAST(0 AS INTEGER) AS sample_rate
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // ---- q81 PageRank (integer-exact link-graph quality weighting) ---------
+  // operators/Graph.pageRank, 3 rounds over a deterministic 50-node graph
+  // synthesized from customer keys. All arithmetic is scaled-BIGINT with
+  // integer division, so in-edge sums are order-independent and the
+  // oracle — the SAME three iterations unrolled as SQL CTEs — matches
+  // exactly (float PageRank would hash-diverge on summation order).
+  val q81: Q = (s, d) => {
+    val edges = Tables.customer(s, d).select(
+        (col("c_custkey") % 50).as("src"),
+        ((col("c_custkey") * 7 + 3) % 50).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+      .orderBy("node")
+  }
+
+  val q81Sql: String = {
+    val iterations = (1 to 3).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+         |  CAST(sum(r${i - 1}.rank_e9 // deg.deg) AS BIGINT) AS inflow
+         |  FROM e JOIN r${i - 1} ON r${i - 1}.node = e.src
+         |  JOIN deg ON deg.src = e.src GROUP BY e.dst),
+         |r$i AS (SELECT n.node,
+         |  (15 * b.base) // 100 + (85 * coalesce(c$i.inflow, 0)) // 100
+         |    AS rank_e9
+         |  FROM n CROSS JOIN b LEFT JOIN c$i ON c$i.node = n.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT c_custkey % 50 AS src, (c_custkey * 7 + 3) % 50 AS dst
+       |  FROM customer WHERE c_custkey % 50 <> (c_custkey * 7 + 3) % 50),
+       |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |b AS (SELECT 1000000000 // count(*) AS base FROM n),
+       |r0 AS (SELECT n.node, b.base AS rank_e9 FROM n CROSS JOIN b),
+       |$iterations
+       |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM r3
+       |ORDER BY node""".stripMargin
+  }
+
   // ---- q77 set-operation breadth (INTERSECT / EXCEPT, ALL and DISTINCT) --
   // The multiset forms matter: intersectAll/exceptAll preserve duplicate
   // counts (Spark plans them as count-compare aggregates, not row dedup),
@@ -1310,6 +1349,7 @@ object ExtProbes {
     "q78_chunking" -> q78,
     "q79_url_canon" -> q79,
     "q80_media_meta" -> q80,
+    "q81_pagerank" -> q81,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1355,5 +1395,6 @@ object ExtProbes {
     "q78_chunking" -> q78Sql,
     "q79_url_canon" -> q79Sql,
     "q80_media_meta" -> q80Sql,
+    "q81_pagerank" -> q81Sql,
   )
 }
