@@ -162,4 +162,40 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       p.take(2000))
   }
+
+  test("q71 native as-of: custom exec, no window machinery, no built-in join") {
+    val p = plan(ExtProbes.q71(spark, sf))
+    assert(p.contains("AsOfJoin"), p.take(2000))
+    assert(!p.contains("Window ["), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(2000))
+  }
+
+  test("q75 zorder write shape: range partitioning on z, no single partition") {
+    import org.apache.spark.sql.functions.col
+    val zed = graft.operators.Layout.zorderByRange(
+      graft.Tables.orders(spark, sf)
+        .select((col("o_custkey") % 1024).as("x"), (col("o_orderkey") % 1024).as("y")),
+      Seq("x", "y"), bits = 10, numFiles = 8, keepZ = true)
+    zed.write.format("noop").mode("overwrite").save()
+    val p = plan(zed)
+    assert(p.contains("rangepartitioning(__z"), p.take(2000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+  }
+
+  test("q78 chunking is exchange-free above the scan (pure per-row explode)") {
+    val p = plan(graft.operators.Curation.chunkByTokens(
+      graft.Tables.documents(spark, sf), "doc_id", "text", 64, 16))
+    // widen() may repartition the narrow local scan; what must NOT appear
+    // is any key/range/single-partition exchange from the operator itself
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+  }
+
+  test("q81 pagerank round: equi joins only, no cartesian, no global window") {
+    val p = plan(ExtProbes.q81(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    noGlobalWindow(p)
+  }
 }
