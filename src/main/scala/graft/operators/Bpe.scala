@@ -71,6 +71,8 @@ object Bpe {
     */
   def train(words: DataFrame, numMerges: Int,
             checkpointEvery: Int = 8): (Seq[(String, String)], DataFrame) = {
+    require(checkpointEvery > 0,
+      "train: checkpointEvery must be >= 1 (fold lineage grows per merge)")
     var vocab = words.select(col("w"), col("freq"),
       charSymbols(col("w")).as("syms"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]

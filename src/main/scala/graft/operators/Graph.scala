@@ -33,13 +33,28 @@ object Graph {
                iters: Int, dampingPct: Int = 85,
                checkpointEvery: Int = 8): DataFrame = {
     require(iters >= 0 && dampingPct >= 0 && dampingPct <= 100)
+    require(checkpointEvery > 0,
+      "pageRank: checkpointEvery must be >= 1 (lineage grows per round)")
+    import org.apache.spark.storage.StorageLevel
+    // loop invariants, pinned once: e/nodes/outDeg feed every round (and
+    // nodes.count below), so without the persist each round's
+    // materialization re-runs the union+distinct and degree shuffles
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // bounded driver read: one scalar
     require(n > 0, "pageRank: empty graph")
+    // 1e-9 fixed point needs the seed 1e9/n to stay meaningfully above the
+    // per-round `div` truncation — beyond ~1e8 nodes the integer ranks
+    // collapse toward 0 instead of degrading gracefully, so refuse loudly
+    require(n <= 100000000L,
+      s"pageRank: $n nodes exceeds the 1e-9 fixed-point resolution " +
+        "(seed 1e9/n too coarse); re-scale rank_e9 before raising this")
     val base = 1000000000L / n
 
     var ranks = nodes.withColumn("rank_e9", lit(base))
@@ -58,6 +73,10 @@ object Graph {
             .as("rank_e9"))
       if (i % checkpointEvery == 0) ranks = ranks.localCheckpoint(eager = true)
     }
-    ranks
+    // hand the caller a lineage-free result, then release the invariants
+    // (their cached blocks would otherwise outlive the call)
+    val out = ranks.localCheckpoint(eager = true)
+    e.unpersist(); nodes.unpersist(); outDeg.unpersist()
+    out
   }
 }

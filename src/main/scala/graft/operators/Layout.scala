@@ -43,23 +43,33 @@ object Layout {
     terms.reduce(_ + _)
   }
 
-  /** Rank-scale a column into [0, 2^bits): `floor(percent_rank * (2^bits
-    * - 1) + 0.5)` over a GLOBAL order computed scale-safely (range
+  /** Rank-scale a column into [0, 2^bits): `floor((rank-1) · (2^bits-1)
+    * / (n-1))` over a GLOBAL order computed scale-safely (range
     * repartition + per-partition offsets — `Ops.globalRank`, no
     * single-partition window). Rank scaling (rather than min-max) makes
     * z-cells equi-populated under ANY marginal distribution — skew in a
     * raw column would otherwise crowd most rows into few cells and
-    * reprod the one-dimension-sorted pathology.
+    * reproduce the one-dimension-sorted pathology.
+    *
+    * Equal input values get the SAME scaled cell (each value's rank is
+    * collapsed to its minimum over the tie group): `globalRank` alone
+    * ranks ties in arrival order, which would put two equal values in
+    * different cells on different runs — a determinism leak into the
+    * file layout. The collapse is one keyed min-aggregate + join, both
+    * on the value column.
     */
   def scaleToBits(df: DataFrame, valueCol: String, outCol: String,
                   bits: Int = 16): DataFrame = {
     val n = df.count()
     require(n > 0, "scaleToBits: empty input")
     val top = (1L << bits) - 1
-    graft.core.Ops.globalRank(df, Seq(col(valueCol)), "__zrank")
+    val ranked = graft.core.Ops.globalRank(df, Seq(col(valueCol)), "__zrank")
+    val tieMin = ranked.groupBy(col(valueCol).as("__zv"))
+      .agg(min(col("__zrank")).as("__zmin"))
+    ranked.join(tieMin, ranked(valueCol) <=> tieMin("__zv"))
       .withColumn(outCol,
-        ((col("__zrank") - 1L) * top / math.max(n - 1L, 1L)).cast("long"))
-      .drop("__zrank")
+        ((col("__zmin") - 1L) * top / math.max(n - 1L, 1L)).cast("long"))
+      .drop("__zrank", "__zv", "__zmin")
   }
 
   /** Z-order the frame for writing: one range shuffle on the z-value into

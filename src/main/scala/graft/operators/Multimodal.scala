@@ -91,7 +91,8 @@ object Multimodal {
     var i = 2
     while (i + 9 < b.length && (b(i) & 0xff) == 0xff) {
       val marker = b(i + 1) & 0xff
-      if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
+      if (marker == 0xff) i += 1 // fill byte (spec-legal padding): resync
+      else if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
         return Some(MediaMeta("jpeg",
           ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff),
           ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff),
@@ -114,6 +115,7 @@ object Multimodal {
     var i = 12
     while (i + 8 <= b.length) {
       val size = leInt(b, i + 4)
+      if (size < 0) return None // corrupt size: would loop forever / index < 0
       if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ')
         return if (i + 16 <= b.length)
           Some(MediaMeta("wav", 0, 0, leShort(b, i + 10), leInt(b, i + 12)))

@@ -99,10 +99,20 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
+  /** The right ordering is TOTAL over what the merge carries: after
+    * (keys, ts), the full (tieBreak, payload…) struct — exactly the
+    * composition's `__p` ascending. Sorting by tieBreak alone would
+    * leave duplicate (key, ts, tieBreak) rows in shuffle order and the
+    * carried payload nondeterministic; with the struct, the last row
+    * advanced past is the greatest full payload, bit-for-bit the
+    * window form's pick.
+    */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
     rightKeys.map(SortOrder(_, Ascending)) ++
-      Seq(SortOrder(rightTs, Ascending), SortOrder(tieBreak, Ascending)))
+      Seq(SortOrder(rightTs, Ascending),
+        SortOrder(org.apache.spark.sql.catalyst.expressions.CreateStruct(
+          (tieBreak +: payload).toList), Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -262,6 +272,23 @@ object AsOfJoinPlan {
         s"asofJoinNative: no column '$n' on the $side side " +
           s"(has: ${p.output.map(_.name).mkString(", ")})"))
 
+    val lKeys = leftKeys.map(attr(lp, _, "left"))
+    val rKeys = rightKeys.map(attr(rp, _, "right"))
+    val lT = attr(lp, leftTs, "left")
+    val rT = attr(rp, rightTs, "right")
+    // the exec builds orderings and hash-partitions from LEFT-side types;
+    // a type mismatch would mis-co-partition (Int 5 and Long 5 hash
+    // differently) or ClassCastException in the merge — fail analysis-time
+    lKeys.zip(rKeys).zipWithIndex.foreach { case ((l, r), i) =>
+      require(l.dataType == r.dataType,
+        s"asofJoinNative: key $i type mismatch - left ${l.name}: " +
+          s"${l.dataType.simpleString} vs right ${r.name}: " +
+          s"${r.dataType.simpleString}; cast the inputs to a common type")
+    }
+    require(lT.dataType == rT.dataType,
+      s"asofJoinNative: timestamp type mismatch - ${lT.name}: " +
+        s"${lT.dataType.simpleString} vs ${rT.name}: " +
+        s"${rT.dataType.simpleString}; cast the inputs to a common type")
     val pAttrs = payload.map(attr(rp, _, "right"))
     val collisions = payload.map(outPrefix + _).toSet
       .intersect(left.columns.toSet)
@@ -270,9 +297,7 @@ object AsOfJoinPlan {
         "collide with left columns - pass outPrefix (same contract as asofJoin)")
     val payloadOut = pAttrs.map(p =>
       AttributeReference(outPrefix + p.name, p.dataType, nullable = true)())
-    val node = AsOfJoinNode(lp, rp,
-      leftKeys.map(attr(lp, _, "left")), attr(lp, leftTs, "left"),
-      rightKeys.map(attr(rp, _, "right")), attr(rp, rightTs, "right"),
+    val node = AsOfJoinNode(lp, rp, lKeys, lT, rKeys, rT,
       pAttrs, attr(rp, tieBreak, "right"), payloadOut, inclusive)
     GraftSqlShim.ofRows(left.sparkSession, node)
   }

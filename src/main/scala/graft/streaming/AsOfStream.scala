@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * Composition, built-ins only, TWO chained stateful operators (Spark
   * supports multi-stateful append pipelines since 3.4):
   *  1. stream-stream LEFT OUTER interval join: `l.key = r.key AND r.ts in
-  *     (l.ts - maxLag, l.ts]` — state on both sides is bounded by
-  *     watermark + lag, and Spark evicts as the watermark advances;
+  *     [l.ts - maxLag, l.ts]` (both bounds INCLUSIVE — a right event at
+  *     exactly maxLag before the left still matches) — state on both
+  *     sides is bounded by watermark + lag, and Spark evicts as the
+  *     watermark advances;
   *  2. windowed latest-per-left-event aggregation: `max_by(payload,
   *     r.ts)` grouped by (tumbling window of l.ts, left id) — picks the
   *     as-of row among the joined candidates; `max_by` ignores NULL
@@ -37,7 +39,14 @@ object AsOfStream {
       payload: Seq[String], tieBreak: String,
       maxLag: String = "1 hour",
       watermarkDelay: String = "10 minutes",
-      windowSize: String = "5 minutes"): DataFrame = {
+      windowSize: String = "5 minutes",
+      outPrefix: String = ""): DataFrame = {
+    val collisions = payload.map(outPrefix + _).toSet
+      .intersect(Set(leftId, leftKey, leftTs))
+    require(collisions.isEmpty,
+      s"asofBoundedLag: payload name(s) ${collisions.mkString(", ")} collide " +
+        "with left output columns - pass outPrefix (same contract as the " +
+        "batch operator)")
     val l = left.select(col(leftId).as("__lid"), col(leftKey).as("__lk"),
         col(leftTs).as("__lt"))
       .withWatermark("__lt", watermarkDelay)
@@ -58,6 +67,6 @@ object AsOfStream {
         max_by(col("__p"), struct(col("__rt"), col("__p"))).as("__c"))
       .select(Seq(col("__lid").as(leftId), col("__lk").as(leftKey),
         col("__lt2").as(leftTs)) ++
-        payload.map(p => col("__c").getField(p).as(p)): _*)
+        payload.map(p => col("__c").getField(p).as(outPrefix + p)): _*)
   }
 }

@@ -24,17 +24,31 @@ class LayoutSpec extends SparkSpec {
     assert(got == 2L) // y's low bit at position 1 only
   }
 
-  test("scaleToBits rank-scales any distribution onto [0, 2^bits) evenly") {
+  test("scaleToBits rank-scales distinct values across cells; a tie group " +
+       "shares one cell") {
     // heavily skewed input: 900 zeros + 100 distinct large values
     val df = (Seq.fill(900)(0L) ++ (1 to 100).map(i => 1000000L + i))
       .toDF("v")
-    val scaled = Layout.scaleToBits(df, "v", "s", bits = 4)
-      .select("s").as[Long].collect()
+    val rows = Layout.scaleToBits(df, "v", "s", bits = 4)
+      .select("v", "s").as[(Long, Long)].collect()
+    val scaled = rows.map(_._2)
     assert(scaled.forall(s => s >= 0 && s < 16))
     assert(scaled.max == 15L) // top rank reaches the top cell
-    // rank scaling spreads the skewed mass across cells (min-max scaling
-    // would put 900 rows in cell 0 and the rest in the top cell)
-    assert(scaled.distinct.length >= 8)
+    // the 900-zero tie group is ONE value — deterministically one cell
+    // (its min rank), not arrival-order-spread across cells
+    assert(rows.filter(_._1 == 0L).map(_._2).distinct.toSeq == Seq(0L))
+    // the distinct large values spread over the upper cells by rank
+    // (min-max scaling would collapse them against the 1e6 gap)
+    assert(rows.filter(_._1 > 0L).map(_._2).distinct.length >= 3)
+  }
+
+  test("scaleToBits gives equal values the same cell (tie determinism)") {
+    val df = (Seq.fill(100)(7L) ++ Seq.fill(100)(9L) ++ Seq(1L, 99L)).toDF("v")
+    val cells = Layout.scaleToBits(df, "v", "s", bits = 6)
+      .groupBy("v").agg(countDistinct("s").as("nc"), min("s").as("cell"))
+      .select("v", "nc").as[(Long, Long)].collect().toMap
+    // every tie group maps to exactly one cell — no arrival-order leak
+    assert(cells.values.forall(_ == 1L), cells.toString)
   }
 
   test("z-ordered layout intersects ~sqrt-fraction of partitions on a box " +

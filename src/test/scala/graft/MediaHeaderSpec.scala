@@ -67,6 +67,26 @@ class MediaHeaderSpec extends org.scalatest.funsuite.AnyFunSuite {
       MediaMeta("wav", 0, 0, 1, 16000))
   }
 
+  test("corrupt WAV chunk size (negative) terminates instead of looping") {
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+      (v >> 24).toByte)
+    val evil = "RIFF".getBytes("US-ASCII") ++ le32(100) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "JUNK".getBytes("US-ASCII") ++ le32(-9) ++ Array.fill[Byte](32)(0)
+    // -9 makes the naive walk advance by 0 bytes (8 + (-9) + 1) — must
+    // return unknown, not hang the task
+    assert(Multimodal.parseHeader(evil).kind == "unknown")
+  }
+
+  test("JPEG fill bytes (FF padding) before a marker are skipped") {
+    val withFill = Array(0xff, 0xd8, 0xff, 0xff, 0xff).map(_.toByte) ++
+      Array(0xc0, 0x00, 0x11, 0x08).map(_.toByte) ++
+      Array((200 >> 8).toByte, 200.toByte, (100 >> 8).toByte, 100.toByte,
+        3.toByte)
+    assert(Multimodal.parseHeader(withFill) ==
+      MediaMeta("jpeg", 100, 200, 3, 0))
+  }
+
   test("unknown / truncated payloads degrade to kind=unknown, no throw") {
     assert(Multimodal.parseHeader("plain text".getBytes("UTF-8")).kind ==
       "unknown")

@@ -192,6 +192,39 @@ class TemporalSpec extends SparkSpec {
     assert(got(104L) == ((None, None)))
   }
 
+  test("asofJoinNative picks the same row as the composition on duplicate " +
+       "(key, ts, tieBreak) rights — full-payload-struct tie order") {
+    val left = Seq(("k", 30L, 1L)).toDF("k", "sec", "lid")
+      .withColumn("lt", expr("timestamp_seconds(sec)"))
+    // two rights identical except the payload value: the composition's
+    // __p-ascending order always carries the greater payload
+    val right = Seq(("k", 10L, 5L, "a"), ("k", 10L, 5L, "b"))
+      .toDF("k", "sec", "rid", "pay")
+      .withColumn("rt", expr("timestamp_seconds(sec)"))
+    val want = Temporal.asofJoin(left.select("k", "lt", "lid"), "k", "lt",
+        right.select("k", "rt", "rid", "pay"), "k", "rt",
+        payload = Seq("pay"), tieBreak = "rid")
+      .select("pay").as[String].head()
+    val got = Temporal.asofJoinNative(left.select("k", "lt", "lid"), "k", "lt",
+        right.select("k", "rt", "rid", "pay"), "k", "rt",
+        payload = Seq("pay"), tieBreak = "rid")
+      .select("pay").as[String].head()
+    assert(want == "b" && got == "b")
+  }
+
+  test("asofJoinNative rejects mismatched key/ts types at build time") {
+    val left = Seq((1, 10L, 1L)).toDF("k", "sec", "lid")
+      .withColumn("lt", expr("timestamp_seconds(sec)"))
+    val right = Seq((1L, 5L, 9L)).toDF("k", "sec", "rid")
+      .withColumn("rt", expr("timestamp_seconds(sec)"))
+    val ex = intercept[IllegalArgumentException] {
+      Temporal.asofJoinNative(left.select("k", "lt", "lid"), "k", "lt",
+        right.select("k", "rt", "rid"), "k", "rt",
+        payload = Seq("rid"), tieBreak = "rid")
+    }
+    assert(ex.getMessage.contains("type mismatch"))
+  }
+
   test("asofJoinNativeKeys == asofJoinKeys over a composite key") {
     // (k1, k2) composite: same k1 with different k2 must NOT match
     val left = Seq(("a", 1L, 10L, 1L), ("a", 2L, 10L, 2L),
