@@ -83,8 +83,14 @@ object Scale {
       * downstream join work a second time.
       */
     def run(label: String, scale: Int)(mk: => graft.core.Managed): Unit = {
-      val m = mk
+      // time INCLUDING construction: iterative operators (pageRank,
+      // connectedComponents, Bpe.train) do their work in eager
+      // checkpoints during the call itself — timing only the final
+      // collect would report near-zero for exactly the loops this tool
+      // exists to measure. Plan construction for the one-shot operators
+      // is milliseconds, lost in the noise.
       val t0 = System.nanoTime()
+      val m = mk
       val rows = m.df.collect().length
       val dt = (System.nanoTime() - t0) / 1e9
       val plan = m.df.queryExecution.executedPlan.toString
@@ -173,6 +179,33 @@ object Scale {
       run("pctl_distributed", n)(graft.core.Managed(
         graft.core.Ops.exactPercentiles(ev, Seq("event_type"), "value",
           Seq(0.25, 0.5, 0.75, 0.99)), Seq.empty))
+
+      // --- round-4 text/graph operators ---------------------------------
+      // chunking is corpus-linear per-row work; BPE pair counts are
+      // vocabulary-sized (replica vocabularies are disjoint here, so the
+      // vocab grows ~Nx too — the honest worst case); pagerank rounds are
+      // edge-linear joins (graph = Nx replicas of a 50-node community)
+      run("chunk_overlap", n)(graft.core.Managed(
+        graft.operators.Curation.chunkByTokens(d, "doc_id", "text", 512, 64)
+          .groupBy(col("doc_id") % 32) // keyed summary: no SinglePartition
+          .agg(count(lit(1)).as("chunks"), sum("n_tokens").as("tokens")),
+        Seq.empty))
+      run("bpe_pair_counts", n)(graft.core.Managed(
+        graft.operators.Bpe.pairCounts(
+          graft.operators.Bpe.wordFreqs(d, "text")
+            .withColumn("syms",
+              graft.operators.Bpe.charSymbols(col("w"))),
+          "syms", "freq"), Seq.empty))
+      run("pagerank_3r", n) {
+        val edges = (0 until n).map { k =>
+          graft.Tables.customer(spark, sfDir).select(
+            (col("c_custkey") % 50 + k * 50).as("src"),
+            ((col("c_custkey") * 7 + 3) % 50 + k * 50).as("dst"))
+        }.reduce(_ unionByName _).filter(col("src") =!= col("dst")).distinct()
+        graft.core.Managed(
+          graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3),
+          Seq.empty)
+      }
     }
     spark.stop()
   }
