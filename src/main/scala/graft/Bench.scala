@@ -3,11 +3,15 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: one JSON line on stdout AND `target/bench.json`.
   *
-  * The file copy exists because the driver's stdout capture window proved
-  * lossy (BENCH_r03.json: `tail` truncated mid-JSON, `parsed: null`) — the
-  * artifact of record must not depend on log noise ahead of the one line.
-  * Root log level is forced to ERROR before the session starts for the same
-  * reason.
+  * The driver keeps only the LAST ~2000 chars of stdout and JSON-parses a
+  * complete line found inside that window. The 80-query full-precision line
+  * is ~4 KB, so its head was cut and `BENCH_r03/r04.json` came back
+  * `parsed: null`. Therefore stdout now carries a COMPACT line — short
+  * `qNN` keys, 3-decimal seconds, regression list capped at 8 — emitted
+  * after `spark.stop()` so nothing can print after it; the full-precision,
+  * full-name line lives in `target/bench.json` (the artifact of record).
+  * Root log level is forced to ERROR before the session starts so log noise
+  * can't land between the line and process exit.
   *
   * Regression gate: per-query medians are compared against
   * `BASELINE_QUERIES.json` (recorded from the prior round's driver bench at
@@ -76,11 +80,28 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns,"action":"noop-write","failed":${failed.mkString("[", ",", "]")},"regressions":${regressions.mkString("[", ",", "]")}}"""
-    println(line)
     val out = new java.io.File("target/bench.json")
     out.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(out)
     try w.println(line) finally w.close()
+
+    // Compact stdout form: "q47_approx_aggs" -> "q47", seconds at 3 decimals,
+    // regression entries shortened and capped at 8. Worst case (80 queries
+    // all >=10 s, 8 regressions) stays under ~1700 chars — inside the
+    // driver's 2000-char stdout tail window.
+    def short(name: String) = name.takeWhile(_ != '_')
+    val qsShort = results.toSeq.sorted
+      .map { case (k, v) => f""""${short(k)}":$v%.3f""" }.mkString("{", ",", "}")
+    val regAll = results.toSeq.sorted.collect {
+      case (q, sec) if sec >= 0 && baseline.get(q).exists(b =>
+          sec > 2 * b && sec - b > 0.3) =>
+        f"""{"q":"${short(q)}","sec":$sec%.2f,"base":${baseline(q)}%.2f}"""
+    }
+    val regShort =
+      (regAll.take(8) ++ (if (regAll.size > 8) Seq(s"""{"truncated":${regAll.size - 8}}""") else Nil))
+        .mkString("[", ",", "]")
+    val compact = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsShort,"sf":"$sfDir","runs":$nRuns,"action":"noop-write","failed":${failed.mkString("[", ",", "]")},"regressions":$regShort,"detail":"target/bench.json"}"""
     spark.stop()
+    println(compact)
   }
 }
