@@ -57,4 +57,52 @@ object Config {
     "ocp" -> "OCP_Backups")
 
   def ocDirectory(oc: String): Option[String] = OcDirectories.get(oc.toLowerCase)
+
+  /** Cloud `host:name` split (cloud.py:15-20): one split on the FIRST colon;
+    * a bare name falls back to the default cloud hostname.
+    */
+  val DefaultCloudHost = "cloud.msf.org"
+  def splitCloudName(x: String): (String, String) = x.split(":", 2) match {
+    case Array(host, name) => (host, name)
+    case _                 => (DefaultCloudHost, x)
+  }
+
+  /** Cloud password deobfuscation (cloud.py:22-31): strip whitespace, drop
+    * the first four characters, base64-decode the rest. The reference's
+    * failure mode is lenient — it logs and returns None — so this returns
+    * `None` on any decode failure rather than throwing (DIVERGENCES.md:
+    * python2's b64decode silently discards non-alphabet characters; the MIME
+    * decoder here does the same, but both reject bad padding).
+    */
+  def decryptPassword(pwd: String): Option[String] = {
+    val x = pwd.trim.drop(4)
+    try Some(new String(java.util.Base64.getMimeDecoder.decode(x),
+      java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: IllegalArgumentException => None }
+  }
+
+  /** Instance name → cloud personal directory (cloud.py:34-48): suffix/prefix
+    * dispatch, first match wins, empty string when nothing matches.
+    */
+  def instanceToDir(instance: String): String =
+    if (instance.endsWith("_OCA")) "/personal/UF_OCA_msf_geneva_msf_org/"
+    else if (instance.startsWith("OCB")) "/personal/UF_OCB_msf_geneva_msf_org/"
+    else if (instance.startsWith("OCP")) "/personal/UF_OCP_msf_geneva_msf_org/"
+    else if (instance.startsWith("OCG_")) "/personal/UF_OCG_msf_geneva_msf_org/"
+    else ""
+
+  /** Resolved cloud connection record (cloud.py:51-79): decrypted password,
+    * OC-derived personal dir + sub path, the verbatim url/login fields.
+    */
+  final case class CloudInfo(url: String, dir: String, site: String,
+                             path: String, login: String,
+                             password: Option[String])
+
+  def cloudInfo(pw: String, oc: Option[String], cloudPath: String,
+                cloudUrl: String, user: String,
+                subDir: String = ""): CloudInfo = {
+    val dir = oc.fold("")(o => s"/personal/UF_${o.toUpperCase}_msf_geneva_msf_org/")
+    CloudInfo(url = cloudUrl, dir = dir + cloudPath + subDir, site = dir,
+      path = cloudPath, login = user, password = decryptPassword(pw))
+  }
 }

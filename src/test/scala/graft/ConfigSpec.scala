@@ -42,4 +42,48 @@ class ConfigSpec extends AnyFunSuite {
     assert(Config.ocDirectory("OCG").contains("OCG_Backups"))
     assert(Config.ocDirectory("nope").isEmpty)
   }
+
+  test("splitCloudName: first-colon split, bare name gets default host") {
+    assert(Config.splitCloudName("files.example.org:OCA_KE1") ==
+      (("files.example.org", "OCA_KE1")))
+    // only the FIRST colon splits — the rest stays in the name
+    assert(Config.splitCloudName("h:a:b") == (("h", "a:b")))
+    assert(Config.splitCloudName("OCA_KE1") ==
+      ((Config.DefaultCloudHost, "OCA_KE1")))
+  }
+
+  test("decryptPassword: 4-char prefix stripped, b64 decoded, lenient") {
+    val enc = "xyz!" + java.util.Base64.getEncoder.encodeToString(
+      "s3cret".getBytes("UTF-8"))
+    assert(Config.decryptPassword(enc).contains("s3cret"))
+    assert(Config.decryptPassword("  " + enc + " \n").contains("s3cret"),
+      "reference strips whitespace before the prefix drop")
+    // non-b64 remainder → None (reference logs + returns None, never throws)
+    assert(Config.decryptPassword("xyz!@@not-base64@@=").isEmpty)
+    // short strings: drop(4) of "ab" is "", decodes to empty password
+    assert(Config.decryptPassword("ab").contains(""))
+  }
+
+  test("instanceToDir: suffix/prefix dispatch, first match wins") {
+    assert(Config.instanceToDir("KE1_OCA") == "/personal/UF_OCA_msf_geneva_msf_org/")
+    assert(Config.instanceToDir("OCB_NE1") == "/personal/UF_OCB_msf_geneva_msf_org/")
+    assert(Config.instanceToDir("OCP_X") == "/personal/UF_OCP_msf_geneva_msf_org/")
+    assert(Config.instanceToDir("OCG_HQ") == "/personal/UF_OCG_msf_geneva_msf_org/")
+    // OCG without the underscore matches nothing (reference checks 'OCG_')
+    assert(Config.instanceToDir("OCGX") == "")
+    assert(Config.instanceToDir("other") == "")
+  }
+
+  test("cloudInfo: OC-derived dir + sub path, decrypted password") {
+    val enc = "pfx:" + java.util.Base64.getEncoder.encodeToString(
+      "pw".getBytes("UTF-8"))
+    val info = Config.cloudInfo(pw = enc, oc = Some("oca"),
+      cloudPath = "UF_Backups/", cloudUrl = "https://c.example.org/dav",
+      user = "bob", subDir = "patches/")
+    assert(info.dir == "/personal/UF_OCA_msf_geneva_msf_org/UF_Backups/patches/")
+    assert(info.site == "/personal/UF_OCA_msf_geneva_msf_org/")
+    assert(info.password.contains("pw"))
+    val noOc = Config.cloudInfo(enc, None, "p/", "u", "bob")
+    assert(noOc.dir == "p/" && noOc.site == "")
+  }
 }
