@@ -119,6 +119,13 @@ object Restore {
     */
   case class Attempt(instance: String, file: String, db: String, status: String)
 
+  /** One suppressed side effect in show mode (`-n`, main.py:796): what the
+    * run WOULD have executed. `plan` carries the physical plan of the frame
+    * a `publish` would write (plans are computed without executing — the
+    * "explain" half of the reference's "Would run: …" lines, db.py:13-15).
+    */
+  case class Action(op: String, target: String, plan: String = "")
+
   /** `db` with the warehouse prefix stripped (for name validation). */
   private def bareDb(db: String, prefix: Option[String]): String =
     prefix.filter(p => db.startsWith(p + "_")).fold(db)(p => db.drop(p.length + 1))
@@ -142,6 +149,16 @@ object Restore {
     * payload (bad zip / no dump inside). IO stays behind this boundary;
     * the fold itself is driver-side over the tiny listing frame (the
     * inventory is metadata — payload bytes never transit the driver).
+    *
+    * `show = true` is the reference's `-n` dry-run (main.py:796,
+    * db.py:13-15): every DB-side mutation — publish, GC drop, the notify
+    * hook — is suppressed and reported through `onAction` instead, with
+    * the publish actions carrying the physical plan that WOULD have been
+    * written. Control flow is unchanged (a shown publish counts as the
+    * reference's vacuous `rc = 0` success, so the instance completes and
+    * later candidates are skipped exactly as in a real run). `fetch` still
+    * runs — the reference's `-n` gates its `_run` psql layer, not
+    * downloads.
     */
   def run(spark: SparkSession, inventory: DataFrame, warehouse: String,
           fetch: (String, String) => Option[(String, DataFrame)],
@@ -149,7 +166,9 @@ object Restore {
           prefix: Option[String] = None,
           sanitize: DataFrame => DataFrame = identity,
           gc: Boolean = true,
-          onRestored: String => Unit = _ => ()): Seq[Attempt] = {
+          onRestored: String => Unit = _ => (),
+          show: Boolean = false,
+          onAction: Action => Unit = _ => ()): Seq[Attempt] = {
     import spark.implicits._
     import graft.sources.Inventory
     val gated = Inventory.autoUploadGate(
@@ -174,6 +193,16 @@ object Restore {
             // reference breaks to the next instance when the db exists
             attempts += Attempt(instance, file, db, "exists")
             done += instance
+          } else if (show) {
+            // dry-run: report the write (with its plan) instead of doing it;
+            // vacuous success, like the reference's rc = 0 (db.py:14-15)
+            val frame = sanitize(df)
+            onAction(Action("publish", db, frame.queryExecution.explainString(
+              org.apache.spark.sql.execution.SimpleMode)))
+            onAction(Action("notify", db))
+            existing += db
+            done += instance
+            attempts += Attempt(instance, file, db, "restored")
           } else {
             val ok =
               try { publish(spark, sanitize(df), warehouse, db); true }
@@ -201,7 +230,8 @@ object Restore {
       val victims = catalog(spark, warehouse).as[String].collect().toSeq
         .filter(db => !keep.contains(db) &&
           restoredInstances.contains(Naming.dbToInstance(db, prefix)))
-      dropDbs(spark, warehouse, victims)
+      if (show) victims.foreach(db => onAction(Action("drop", db)))
+      else dropDbs(spark, warehouse, victims)
     }
     attempts.toList
   }

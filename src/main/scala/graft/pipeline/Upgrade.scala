@@ -94,10 +94,19 @@ object Upgrade {
           manualUpgrade: () => Unit,
           ping: () => Boolean,
           migrate: Option[String => Either[String, Unit]] = None,
-          sleep: () => Unit = () => Thread.sleep(1000)): UpgradeReport = {
+          sleep: () => Unit = () => Thread.sleep(1000),
+          show: Boolean = false,
+          onAction: Restore.Action => Unit = _ => ()): UpgradeReport = {
+    // `-n` in the reference gates its `_run` psql layer ONLY (db.py:13-15):
+    // the ledger insert behind installPatch is suppressed (vacuous rc = 0 →
+    // "installed", main.py:565-567), while downloads and the RPC
+    // connect/sync/upgrade machinery still execute — faithfully kept here.
     val steps = plan.map { case (file, _) =>
       val version = patchVersion(file)
-      val ok = installPatch(version, download(file))
+      val payload = download(file)
+      val ok =
+        if (show) { onAction(Restore.Action("installPatch", version)); true }
+        else installPatch(version, payload)
       PatchStep(file, version, if (ok) "installed" else "skipped")
     }
     var updateAvailable = false

@@ -140,4 +140,73 @@ class RestoreFlowSpec extends SparkSpec {
       "OCG_KE1_NBO_20240110_0800", "OCA_TD1_ABC_20240109_0700",
       "OCZ_UN1_XXX_20200101_0000"))
   }
+
+  test("Restore.run show mode: dry-run reports actions, zero side effects") {
+    val wh = Files.createTempDirectory("graft_show_wh").toString
+    val inv = Inventory.fromListing(spark, Seq(
+      ("OCG_KE1_NBO-Tue.zip", "u-corrupt", "2024-01-11T09:00:00Z"),
+      ("OCG_KE1_NBO-Mon.zip", "u-good-g", "2024-01-10T08:00:00Z"),
+      ("OCA_TD1_ABC-Sun.zip", "u-good-a", "2024-01-09T07:00:00Z")),
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    val innerDump = Map(
+      "OCG_KE1_NBO-Mon.zip" -> "OCG_KE1_NBO-20240110-080000-A-UF2.1.dump",
+      "OCA_TD1_ABC-Sun.zip" -> "OCA_TD1_ABC-20240109-070000-A-UF2.1.dump")
+    val dump = Seq((1L, "admin")).toDF("id", "login")
+    val fetch: (String, String) => Option[(String, org.apache.spark.sql.DataFrame)] =
+      (url, file) =>
+        if (url == "u-corrupt") None
+        else innerDump.get(file).map(n => (n, dump))
+
+    // an older sibling that a REAL run's GC would drop after restoring OCG
+    Restore.publish(spark, dump, wh, "OCG_KE1_NBO_20240101_0000")
+    val before = Restore.catalog(spark, wh).as[String].collect().toSet
+
+    val notified = scala.collection.mutable.ListBuffer[String]()
+    val actions = scala.collection.mutable.ListBuffer[Restore.Action]()
+    val attempts = Restore.run(spark, inv, wh, fetch,
+      include = Seq("OCG,OCA"), onRestored = db => notified += db,
+      show = true, onAction = actions += _)
+
+    // control flow identical to a real run: corrupt newest falls through,
+    // the would-be publish completes the instance
+    assert(attempts.map(a => (a.file, a.status)).toSet == Set(
+      ("OCG_KE1_NBO-Tue.zip", "invalid"),
+      ("OCG_KE1_NBO-Mon.zip", "restored"),
+      ("OCA_TD1_ABC-Sun.zip", "restored")))
+    // the action list names every suppressed mutation, publishes carry a plan
+    assert(actions.map(a => (a.op, a.target)).toSet == Set(
+      ("publish", "OCG_KE1_NBO_20240110_0800"),
+      ("notify", "OCG_KE1_NBO_20240110_0800"),
+      ("publish", "OCA_TD1_ABC_20240109_0700"),
+      ("notify", "OCA_TD1_ABC_20240109_0700"),
+      ("drop", "OCG_KE1_NBO_20240101_0000")))
+    assert(actions.filter(_.op == "publish").forall(_.plan.contains("Physical Plan")))
+    // ZERO side effects: no hook fired, warehouse byte-identical
+    assert(notified.isEmpty)
+    assert(Restore.catalog(spark, wh).as[String].collect().toSet == before)
+  }
+
+  test("Upgrade.run show mode: ledger insert suppressed, RPC still live") {
+    import graft.pipeline.{Restore, Upgrade}
+    val installed = scala.collection.mutable.ListBuffer[String]()
+    val connected = scala.collection.mutable.ListBuffer[String]()
+    val actions = scala.collection.mutable.ListBuffer[Restore.Action]()
+    val report = Upgrade.run(
+      plan = Seq(("uf1.patch.zip", "s1"), ("uf2.patch.zip", "s2")),
+      download = _ => Array[Byte](1),
+      installPatch = (v, _) => { installed += v; true },
+      instances = Seq("I1"),
+      connect = i => { connected += i; Right(()) },
+      manualSync = _ => Right(()),
+      manualUpgrade = () => fail("no update available; must not upgrade"),
+      ping = () => true,
+      show = true, onAction = actions += _)
+    // -n gates the psql ledger layer only (db.py:13-15): no install ran,
+    // each suppressed insert is reported, the RPC side still executed
+    assert(installed.isEmpty)
+    assert(actions.map(a => (a.op, a.target)) ==
+      Seq(("installPatch", "uf1"), ("installPatch", "uf2")))
+    assert(report.patches.map(_.status) == Seq("installed", "installed"))
+    assert(connected == Seq("I1"))
+  }
 }
