@@ -81,15 +81,35 @@ object Ops {
     * is a no-op. Only repartitions when below `min` — never shrinks, never
     * shuffles an already-wide (100 TB) scan.
     *
-    * Call on scan-level frames only: probing partitioning via `df.rdd`
-    * finalizes the AQE plan, which EXECUTES any shuffle stages the frame
-    * already contains — harmless on scans/filters/unions, eager (and
-    * wasteful) on a frame with upstream exchanges.
+    * Plan-only, never runs a job: the earlier form probed
+    * `df.rdd.getNumPartitions`, which finalizes the AQE plan and EXECUTES
+    * any shuffle stages the frame already contains. Width is instead
+    * estimated statically as optimizer-stats size ÷
+    * `spark.sql.files.maxPartitionBytes` (exactly how the scan planner
+    * sizes its splits), and a frame whose plan already contains a
+    * shuffle-inducing node (aggregate/join/sort/window/repartition/limit)
+    * is returned untouched — post-exchange frames are already
+    * `spark.sql.shuffle.partitions` wide by construction, and widening
+    * them was never this function's contract.
     */
   def widen(df: DataFrame, min: Int = 0): DataFrame = {
-    val target =
-      if (min > 0) min else df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    import org.apache.spark.sql.catalyst.plans.{logical => lp}
+    val plan = df.queryExecution.optimizedPlan
+    val hasExchange = plan.collectFirst {
+      case n @ (_: lp.Aggregate | _: lp.Join | _: lp.Sort | _: lp.Window |
+                _: lp.RepartitionOperation | _: lp.Deduplicate |
+                _: lp.GlobalLimit) => n
+    }.nonEmpty
+    if (hasExchange) df
+    else {
+      val target =
+        if (min > 0) min else df.sparkSession.sparkContext.defaultParallelism
+      val maxPartBytes = org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(df.sparkSession.conf
+          .get("spark.sql.files.maxPartitionBytes", "128MB"))
+      val estParts = (plan.stats.sizeInBytes / math.max(1L, maxPartBytes)) + 1
+      if (estParts >= target) df else df.repartition(target)
+    }
   }
 
   /** THE fixed-point rendering of a computed real — the one definition of

@@ -198,4 +198,31 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     noGlobalWindow(p)
   }
+
+  test("widen is plan-only: zero Spark jobs, and post-shuffle frames pass " +
+      "through untouched") {
+    val sc = spark.sparkContext
+    @volatile var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    // build the inputs BEFORE counting: spark.read.parquet runs a footer
+    // schema-inference job that is not widen's doing
+    val scan = graft.Tables.documents(spark, sf)
+    val agg = graft.Tables.documents(spark, sf).groupBy("source").count()
+    val joined = scan.join(agg, "source")
+    sc.addSparkListener(l)
+    try {
+      // scan-level frame: widen may plan a repartition, must not run a job
+      graft.core.Ops.widen(scan).queryExecution.executedPlan
+      // post-shuffle frames: the old df.rdd probe EXECUTED the aggregate
+      // here under AQE; the guard must return the frame untouched instead
+      assert(graft.core.Ops.widen(agg) eq agg)
+      assert(graft.core.Ops.widen(joined) eq joined)
+      Thread.sleep(500) // listener bus is async; give job events time to land
+      assert(jobs == 0, s"widen ran $jobs Spark job(s); it must be plan-only")
+    } finally sc.removeSparkListener(l)
+  }
 }
