@@ -70,8 +70,25 @@ object Similarity {
 
   /** Exact top-k neighbors for every vector in `queries` against `vectors`.
     * Both inputs: (id, v double-array). Excludes self-matches by id.
+    *
+    * SCALE GUARD: the non-equi join below plans a BroadcastNestedLoopJoin —
+    * exact, correct, and O(|queries|·|corpus|). That is the documented
+    * sampled-baseline contract (recall measurement, small query sets); it
+    * must not be reachable with a corpus-sized query side, so the query
+    * side's optimizer-estimated size is checked against `maxQueryBytes`
+    * BEFORE any job runs (plan-only, like `Ops.widen`). Corpus-scale query
+    * sets route through [[ivfTopK]] / [[ivfCosineNearDup]]; a caller who
+    * really wants the exact quadratic pass raises `maxQueryBytes`
+    * deliberately.
     */
-  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                     maxQueryBytes: Long = 64L << 20): DataFrame = {
+    val est = queries.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(est <= maxQueryBytes,
+      s"bruteForceTopK: queries side estimates $est bytes (> $maxQueryBytes). " +
+        "This operator is the exact O(q*n) baseline for SAMPLED query sets; " +
+        "use ivfTopK for corpus-scale input, or raise maxQueryBytes " +
+        "deliberately after sizing the nested-loop cost.")
     val q = queries.select(col("id").as("vec_id"), col("v").as("va"))
     val c = vectors.select(col("id").as("other_id"), col("v").as("vb"))
     q.join(c, col("vec_id") =!= col("other_id"))
