@@ -213,6 +213,12 @@ object Curation {
     * operator doesn't decide. The words array and the chunk slice are
     * projected as their own attributes (multi-referenced non-cheap
     * aliases — the `Dedup.shingleSets` discipline).
+    *
+    * Start positions run to `size - overlap`, not `size`: a start beyond
+    * that yields ≤ `overlap` words, all inside the previous window — a
+    * fully-contained duplicate chunk that would inflate RAG/pretraining
+    * corpora. The last retained start still covers every word (its window
+    * reaches `size - overlap + maxTokens - 1 ≥ size`).
     */
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
                     maxTokens: Int, overlap: Int = 0): DataFrame = {
@@ -222,7 +228,8 @@ object Curation {
     graft.core.Ops.widen(df)
       .select(col(idCol), Dedup.normalizeWords(col(textCol)).as("__w"))
       .select(col(idCol), col("__w"),
-        posexplode(sequence(lit(1), greatest(size(col("__w")), lit(1)),
+        posexplode(sequence(lit(1),
+          greatest(size(col("__w")) - lit(overlap), lit(1)),
           lit(stride))).as(Seq("chunk_id", "__start")))
       .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
         slice(col("__w"), col("__start"), lit(maxTokens)).as("__c"))
@@ -246,9 +253,16 @@ object Curation {
       lower(regexp_extract(url, "^([^/?#]*//[^/?#]*)", 1)),
       regexp_replace(url, "^[^/?#]*//[^/?#]*", ""))
     val noFrag = regexp_replace(lowered, "#.*", "")
+    // Anchor the tracking-param name at its separator — an unanchored
+    // (utm_…)= would also fire mid-name (?xgclid=1, ?myutm_a=b) and corrupt
+    // the dedup key. The LEADING [?&] is consumed (not the trailing &,
+    // whose consumption would unanchor a directly-following tracking
+    // param); stripping the first param can leave `path&real=1`, fixed by
+    // promoting a pre-`?` `&` back to `?`.
     val noTrack = regexp_replace(noFrag,
-      "(utm_[a-z]+|gclid|fbclid)=[^&#]*&?", "")
-    val noDangle = regexp_replace(noTrack, "[?&]$", "")
+      "[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*", "")
+    val fixSep = regexp_replace(noTrack, "^([^?&]*)&", "$1?")
+    val noDangle = regexp_replace(fixSep, "[?&]$", "")
     regexp_replace(noDangle, "/(index\\.html?)?$", "")
   }
 

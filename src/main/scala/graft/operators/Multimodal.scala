@@ -9,11 +9,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * of arrow-batched pandas UDFs — per-partition iterators, no driver
   * materialization, batch size bounds peak memory).
   *
-  * The actual media decode is STUBBED (this container ships no image/audio
-  * codecs): [[Multimodal.decodeStub]] derives deterministic fake features
-  * from the payload bytes (md5-based), so the Spark-side plumbing — schema,
-  * batching, partitioning, typed encoders — is real and oracle-testable
-  * while the codec call is an obvious swap-in point.
+  * Decode status by modality: IMAGE decode is REAL ([[decodeImages]],
+  * `javax.imageio` — JDK-built-in PNG/JPEG/BMP/GIF, no external codec
+  * needed), as is container-header metadata for PNG/JPEG/WAV
+  * ([[extractMeta]]). Audio/video sample decode remains stubbed
+  * ([[decodeStub]] derives deterministic md5-based fake features), keeping
+  * the Spark-side plumbing — schema, batching, partitioning, typed
+  * encoders — real and oracle-testable with the codec call an obvious
+  * swap-in point.
   */
 object Multimodal {
 
@@ -153,6 +156,77 @@ object Multimodal {
           m.sampleRate)
       })
     }
+  }
+
+  /** REAL decoded-pixel features — `javax.imageio` is JDK-built-in, so
+    * PNG/JPEG/BMP/GIF need no external codec after all: this is
+    * [[decodeOne]]'s swap-in point actually swapped in for images. Same
+    * bounded-batch `mapPartitions` shape; an unrecognized payload (audio,
+    * video, text bytes) degrades to the `(0, 0, 0, -1)` marker row rather
+    * than throwing — curation pipelines filter, the operator doesn't
+    * decide. `mean_e4` is the scale-4 fixed-point mean of band 0 — a
+    * statistic over the DECODED raster, so the q82 oracle checking it
+    * against synthesis ground truth proves real pixel decode, not header
+    * sniffing.
+    */
+  case class DecodedImage(media_id: Long, width: Int, height: Int,
+                          bands: Int, mean_e4: Long)
+
+  def decodeImages(ds: Dataset[MediaRecord],
+                   batchSize: Int = 64): Dataset[DecodedImage] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // ImageIO's default ImageInputStream cache is FILE-backed: one temp
+      // file created and deleted per payload — the q82 probe at sf0.1
+      // measured 3.85 s with the file cache vs 0.65 s memory-backed.
+      // JVM-global + idempotent, so setting it per partition is safe.
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch codec init point (ImageIO reader lookup is JVM-cached)
+        batch.iterator.map { r =>
+          val img =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.media)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          img match {
+            case Some(im) =>
+              val raster = im.getRaster
+              val (w, h) = (im.getWidth, im.getHeight)
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+                y += 1
+              }
+              DecodedImage(r.media_id, w, h, raster.getNumBands,
+                math.floor(sum * 10000.0 / (w.toLong * h) + 0.5).toLong)
+            case None => DecodedImage(r.media_id, 0, 0, 0, -1L)
+          }
+        }
+      }
+    }
+  }
+
+  /** PNG-encode a uniform gray tile — the synthesis half of the q82
+    * decoded-pixel round trip (and a handy fixture generator). Lossless:
+    * a gray-`g` tile decodes back to band-0 samples that are exactly `g`.
+    */
+  def encodeGrayPng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && gray >= 0 && gray <= 255)
+    javax.imageio.ImageIO.setUseCache(false) // memory-backed streams (see decodeImages)
+    val im = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = im.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, gray); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
   }
 
   /** Frame sampling for video-ish payloads: every `stride`-th `frameSize`-

@@ -1048,7 +1048,7 @@ object ExtProbes {
 
   val q78Sql: String =
     s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
-       |c AS (SELECT doc_id, unnest(generate_series(1, greatest(len(w), 1), 48)) AS s, w
+       |c AS (SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 16, 1), 48)) AS s, w
        |      FROM w)
        |SELECT doc_id, CAST((s - 1) // 48 AS BIGINT) AS chunk_id,
        |  array_to_string(list_slice(w, s, s + 63), ' ') AS chunk_text,
@@ -1065,9 +1065,11 @@ object ExtProbes {
   val q79: Q = (s, d) => {
     val url = concat(lit("HTTPS://WWW."), col("source"),
       lit(".Example.com/Page/"), (col("doc_id") % 40).cast("string"),
-      when(col("doc_id") % 4 === 0, "?utm_source=feed&utm_campaign=x")
-        .when(col("doc_id") % 4 === 1, "?id=7&utm_medium=m")
-        .when(col("doc_id") % 4 === 2, "#section2")
+      when(col("doc_id") % 6 === 0, "?utm_source=feed&utm_campaign=x")
+        .when(col("doc_id") % 6 === 1, "?id=7&utm_medium=m")
+        .when(col("doc_id") % 6 === 2, "#section2")
+        .when(col("doc_id") % 6 === 3, "?xgclid=1") // NOT a tracking param
+        .when(col("doc_id") % 6 === 4, "?utm_medium=m&id=7") // leading strip
         .otherwise("/index.html"))
     Tables.documents(s, d)
       .select(col("doc_id"), url.as("u"))
@@ -1083,9 +1085,11 @@ object ExtProbes {
       |  SELECT doc_id,
       |    'HTTPS://WWW.' || source || '.Example.com/Page/' ||
       |    CAST(doc_id % 40 AS VARCHAR) ||
-      |    CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&utm_campaign=x'
+      |    CASE doc_id % 6 WHEN 0 THEN '?utm_source=feed&utm_campaign=x'
       |                    WHEN 1 THEN '?id=7&utm_medium=m'
       |                    WHEN 2 THEN '#section2'
+      |                    WHEN 3 THEN '?xgclid=1'
+      |                    WHEN 4 THEN '?utm_medium=m&id=7'
       |                    ELSE '/index.html' END AS u
       |  FROM documents),
       |c AS (
@@ -1094,10 +1098,12 @@ object ExtProbes {
       |      regexp_replace(
       |        regexp_replace(
       |          regexp_replace(
-      |            lower(regexp_extract(u, '^([^/?#]*//[^/?#]*)', 1)) ||
-      |              regexp_replace(u, '^[^/?#]*//[^/?#]*', ''),
-      |            '#.*', '', 'g'),
-      |          '(utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
+      |            regexp_replace(
+      |              lower(regexp_extract(u, '^([^/?#]*//[^/?#]*)', 1)) ||
+      |                regexp_replace(u, '^[^/?#]*//[^/?#]*', ''),
+      |              '#.*', '', 'g'),
+      |            '[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g'),
+      |          '^([^?&]*)&', '\1?', 'g'),
       |        '[?&]$', '', 'g'),
       |      '/(index\.html?)?$', '', 'g') AS curl,
       |    regexp_replace(regexp_extract(lower(u), '^[a-z]+://([^/:?#]+)', 1),
@@ -1177,6 +1183,44 @@ object ExtProbes {
        |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM r3
        |ORDER BY node""".stripMargin
   }
+
+  // ---- q82 decoded-pixel round trip (REAL ImageIO decode) ----------------
+  // Multimodal.encodeGrayPng synthesizes true PNGs (uniform gray, dims and
+  // gray level doc_id-derived); Multimodal.decodeImages decodes them with
+  // javax.imageio and emits width/height/bands plus the band-0 MEAN over
+  // the decoded raster. The oracle recomputes all four from the synthesis
+  // arithmetic — dims alone could be faked from the header (q80's job);
+  // the mean can only match if actual pixels were decoded. 1/5 of the
+  // payloads are raw text bytes, pinning the undecodable marker row.
+  val q82: Q = (s, d) => {
+    import s.implicits._
+    val media = graft.core.Ops.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % 5 == 0)
+          graft.operators.Multimodal.MediaRecord(
+            id, text.getBytes("UTF-8"), "text/plain")
+        else
+          graft.operators.Multimodal.MediaRecord(
+            id,
+            graft.operators.Multimodal.encodeGrayPng(
+              (id % 31 + 1).toInt, (id % 23 + 1).toInt, (id % 256).toInt),
+            "image/png")
+      }
+    graft.operators.Multimodal.decodeImages(media).toDF()
+      .orderBy("media_id")
+  }
+
+  val q82Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE doc_id % 31 + 1 END
+      |    AS INTEGER) AS width,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE doc_id % 23 + 1 END
+      |    AS INTEGER) AS height,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS INTEGER) AS bands,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN -1
+      |       ELSE (doc_id % 256) * 10000 END AS BIGINT) AS mean_e4
+      |FROM documents ORDER BY media_id""".stripMargin
 
   // ---- q77 set-operation breadth (INTERSECT / EXCEPT, ALL and DISTINCT) --
   // The multiset forms matter: intersectAll/exceptAll preserve duplicate
@@ -1350,6 +1394,7 @@ object ExtProbes {
     "q79_url_canon" -> q79,
     "q80_media_meta" -> q80,
     "q81_pagerank" -> q81,
+    "q82_image_decode" -> q82,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1396,5 +1441,6 @@ object ExtProbes {
     "q79_url_canon" -> q79Sql,
     "q80_media_meta" -> q80Sql,
     "q81_pagerank" -> q81Sql,
+    "q82_image_decode" -> q82Sql,
   )
 }

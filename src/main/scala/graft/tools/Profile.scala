@@ -38,6 +38,34 @@ object Profile {
           time("q71_native")(graft.SparkEntry.queries("q71_asof_native")(spark, sfDir))
         }
       case "q27" => profQ27(spark, sfDir, time)
+      case "q47x" =>
+        // current probe (per-group percentile buffer) vs an
+        // Ops.exactPercentiles envelope (range shuffle + rank selection),
+        // interleaved in one JVM for honest JIT sharing
+        (1 to 2).foreach { _ =>
+          time("q47_buffered")(graft.SparkEntry.queries("q47_approx_aggs")(spark, sfDir))
+          time("q47_exactPctl") {
+            val ev = graft.Tables.events(spark, sfDir)
+            val agg = ev.groupBy("event_type").agg(
+              approx_count_distinct(col("user_id")).as("approx_users"),
+              expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("p"),
+              countDistinct(col("user_id")).as("exact_users"))
+            val env = graft.core.Ops.exactPercentiles(ev, Seq("event_type"),
+                "value", Seq(0.48, 0.52, 0.93, 0.97))
+              .groupBy("event_type").agg(
+                min(when(col("p") === 0.48, col("value"))).as("e48"),
+                min(when(col("p") === 0.52, col("value"))).as("e52"),
+                min(when(col("p") === 0.93, col("value"))).as("e93"),
+                min(when(col("p") === 0.97, col("value"))).as("e97"))
+            agg.join(env, "event_type")
+              .select(col("event_type"), col("exact_users"),
+                (abs(col("approx_users") - col("exact_users")) <=
+                  col("exact_users") * lit(0.15)).as("hll_ok"),
+                element_at(col("p"), 1).between(col("e48"), col("e52")).as("p50_ok"),
+                element_at(col("p"), 2).between(col("e93"), col("e97")).as("p95_ok"))
+              .orderBy("event_type")
+          }
+        }
       case "q25" => time("full")(graft.SparkEntry.queries("q25_star_join_revenue")(spark, sfDir))
       case "q26" => time("full")(graft.SparkEntry.queries("q26_agg_breadth")(spark, sfDir))
       case "q32" => time("full")(graft.SparkEntry.queries("q32_lang_id")(spark, sfDir))
@@ -65,21 +93,21 @@ object Profile {
     // the filtered form times 10-12 s where the real persisted-then-
     // filtered operator stage is <1 s). Planted sf docs all have >=3
     // words, so the unfiltered timing measures the same row count.
-    def shFiltered = Dedup.shingleSets(planted, "doc_id", "text")
+    def sh = Dedup.shingleSets(planted, "doc_id", "text")
     // stage 1b: base-hash array only (one md5 pass over shingles)
-    time("hv")(shFiltered.select(col("doc_id"),
+    time("hv")(sh.select(col("doc_id"),
       Dedup.shingleHashes(col("sh")).as("hv")))
     // stage 1c: one signature from the hv projection
-    time("sig1")(shFiltered
+    time("sig1")(sh
       .select(col("doc_id"), Dedup.shingleHashes(col("sh")).as("hv"))
       .select(col("doc_id"), Dedup.minhashSig(col("hv"), 0).as("s0")))
     // stage 1d: all 12 signatures, no explode
-    time("sig12")(shFiltered
+    time("sig12")(sh
       .select(col("doc_id"), Dedup.shingleHashes(col("sh")).as("hv"))
       .select(col("doc_id") +: (0 until 12).map(h =>
         Dedup.minhashSig(col("hv"), h).as(s"s$h")): _*))
     // stage 2: bands from unpersisted shingles (signature cost ×1)
-    time("bands")(Dedup.lshBands(shFiltered, "doc_id"))
+    time("bands")(Dedup.lshBands(sh, "doc_id"))
     // stage 3: candidates only (persisted shingles+bands, like the operator)
     time("cand") {
       import org.apache.spark.storage.StorageLevel

@@ -70,6 +70,22 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("bruteForceTopK refuses a corpus-sized query side (scale guard)") {
+    import graft.operators.Similarity
+    // spark.range gives the optimizer an exact 8-bytes/row size estimate:
+    // 2^30 rows ~ 8 GiB >> the 64 MiB default guard. Plan-only — nothing
+    // executes, the require fires during construction.
+    val big = spark.range(1L << 30)
+      .select(col("id"), array(lit(1.0), lit(0.0)).as("v"))
+    val small = Seq((1L, Seq(1.0, 0.0))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(small, big, 3)
+    }
+    assert(e.getMessage.contains("ivfTopK"))
+    // the sampled direction stays legal: big corpus, small query set
+    Similarity.bruteForceTopK(big, small, 3)
+  }
+
   test("connectedComponents: min-label over chains, pairs and isolates") {
     // components: {1,2,3} (chain), {10,11}, {20,21,22,23} (star on 20)
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
@@ -152,6 +168,20 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(got.fake_height == 1)  // '0' -> 1 + 0
   }
 
+  test("decodeImages: ImageIO round trip recovers dims, bands and pixels") {
+    import graft.operators.Multimodal
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, Multimodal.encodeGrayPng(7, 3, 200), "image/png"),
+      Multimodal.MediaRecord(2L, Multimodal.encodeGrayPng(1, 1, 0), "image/png"),
+      Multimodal.MediaRecord(3L, "not an image".getBytes("UTF-8"), "text/plain"))
+    val got = Multimodal.decodeImages(recs.toDS(), batchSize = 2)
+      .collect().sortBy(_.media_id).toSeq
+    assert(got == Seq(
+      Multimodal.DecodedImage(1L, 7, 3, 1, 2000000L),
+      Multimodal.DecodedImage(2L, 1, 1, 1, 0L),
+      Multimodal.DecodedImage(3L, 0, 0, 0, -1L)))
+  }
+
   test("contaminationFlags marks exactly the docs sharing a benchmark n-gram") {
     import graft.operators.Curation
     val docs = Seq(
@@ -197,5 +227,42 @@ class ExtOperatorsSpec extends SparkSpec {
     val n1 = df.filter(k5).count()
     val n2 = df.filter(k5).count()
     assert(n1 == n2 && n1 > 100 && n1 < 200) // all 'a' (default 1.0) + ~half 'b'
+  }
+
+  test("canonicalizeUrl anchors tracking params at a separator") {
+    import graft.operators.Curation
+    val vecs = Seq(
+      // consecutive tracking params both stripped, no dangling ?
+      "HTTPS://Ex.COM/P?utm_source=f&utm_campaign=x" -> "https://ex.com/P",
+      // real param kept when the tracking param trails it
+      "https://ex.com/p?id=7&utm_medium=m" -> "https://ex.com/p?id=7",
+      // leading tracking param stripped, & promoted back to ?
+      "https://ex.com/p?utm_medium=m&id=7" -> "https://ex.com/p?id=7",
+      // substring look-alikes are NOT tracking params — kept verbatim
+      "https://ex.com/p?xgclid=1" -> "https://ex.com/p?xgclid=1",
+      "https://ex.com/p?myutm_a=b" -> "https://ex.com/p?myutm_a=b",
+      // fragment, index.html, trailing slash
+      "https://ex.com/p#frag" -> "https://ex.com/p",
+      "https://ex.com/dir/index.html" -> "https://ex.com/dir",
+      "https://ex.com/dir/" -> "https://ex.com/dir")
+    val got = vecs.map(_._1).toDF("u")
+      .select(Curation.canonicalizeUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+    assert(got == vecs.map(_._2))
+  }
+
+  test("chunkByTokens: no fully-contained trailing chunk; full coverage") {
+    import graft.operators.Curation
+    val words100 = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, words100), (2L, "")).toDF("doc_id", "text")
+    val got = Curation.chunkByTokens(df, "doc_id", "text",
+        maxTokens = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "n_tokens").as[(Long, Long, Long)]
+      .collect().toSeq
+    // doc 1: starts 1, 49 only (start 97 would yield words 97-100, all
+    // inside chunk 1's 49-100 window); chunk 1 still reaches word 100.
+    // doc 2 (empty): one empty chunk, callers filter.
+    assert(got == Seq((1L, 0L, 64L), (1L, 1L, 52L), (2L, 0L, 0L)))
   }
 }
