@@ -196,6 +196,40 @@ object Scale {
             .withColumn("syms",
               graft.operators.Bpe.charSymbols(col("w"))),
           "syms", "freq"), Seq.empty))
+      // --- round-5: q47's exact side and the media decode path ----------
+      // countDistinct beside approx_count_distinct is q47's shape: Spark
+      // plans the mixed distinct/non-distinct aggregate via Expand (rows
+      // ×2) — the exact side the sketch replaces at scale. Media rows:
+      // header metadata over Nx text payloads, and the full PNG
+      // encode→ImageIO-decode round trip (encode stands in for payload
+      // IO; both sides are per-row batch work, corpus-linear).
+      run("approx_vs_exact_cd", n)(graft.core.Managed(
+        ev.groupBy("event_type").agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users")), Seq.empty))
+      run("media_meta", n) {
+        import spark.implicits._
+        val media = d.selectExpr("doc_id AS media_id",
+          "CAST(text AS BINARY) AS media", "'text/plain' AS mime")
+          .as[graft.operators.Multimodal.MediaRecord]
+        graft.core.Managed(graft.operators.Multimodal.extractMeta(media)
+          .groupBy("kind").agg(count(lit(1)).as("n")), Seq.empty)
+      }
+      run("png_roundtrip", n) {
+        import spark.implicits._
+        val media = d.select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            if (id % 5 == 0) graft.operators.Multimodal.MediaRecord(
+              id, text.getBytes("UTF-8"), "text/plain")
+            else graft.operators.Multimodal.MediaRecord(
+              id, graft.operators.Multimodal.encodeGrayPng(
+                (id % 31 + 1).toInt, (id % 23 + 1).toInt, (id % 256).toInt),
+              "image/png")
+          }
+        graft.core.Managed(graft.operators.Multimodal.decodeImages(media)
+          .groupBy("bands").agg(count(lit(1)).as("n"),
+            sum("mean_e4").as("s")), Seq.empty)
+      }
       run("pagerank_3r", n) {
         val edges = (0 until n).map { k =>
           graft.Tables.customer(spark, sfDir).select(
