@@ -100,7 +100,12 @@ object Bench {
     val regShort =
       (regAll.take(8) ++ (if (regAll.size > 8) Seq(s"""{"truncated":${regAll.size - 8}}""") else Nil))
         .mkString("[", ",", "]")
-    val compact = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsShort,"sf":"$sfDir","runs":$nRuns,"action":"noop-write","failed":${failed.mkString("[", ",", "]")},"regressions":$regShort,"detail":"target/bench.json"}"""
+    // failed names shortened too: 80 full names would alone overflow the
+    // tail window in a catastrophic all-fail run
+    val failedShort = results.toSeq.sorted.collect {
+      case (k, v) if v < 0 => "\"" + short(k) + "\""
+    }
+    val compact = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsShort,"sf":"$sfDir","runs":$nRuns,"action":"noop-write","failed":${failedShort.mkString("[", ",", "]")},"regressions":$regShort,"detail":"target/bench.json"}"""
     spark.stop()
     println(compact)
   }

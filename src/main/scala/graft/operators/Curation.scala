@@ -253,16 +253,22 @@ object Curation {
       lower(regexp_extract(url, "^([^/?#]*//[^/?#]*)", 1)),
       regexp_replace(url, "^[^/?#]*//[^/?#]*", ""))
     val noFrag = regexp_replace(lowered, "#.*", "")
-    // Anchor the tracking-param name at its separator — an unanchored
-    // (utm_…)= would also fire mid-name (?xgclid=1, ?myutm_a=b) and corrupt
-    // the dedup key. The LEADING [?&] is consumed (not the trailing &,
-    // whose consumption would unanchor a directly-following tracking
-    // param); stripping the first param can leave `path&real=1`, fixed by
-    // promoting a pre-`?` `&` back to `?`.
-    val noTrack = regexp_replace(noFrag,
-      "[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*", "")
-    val fixSep = regexp_replace(noTrack, "^([^?&]*)&", "$1?")
-    val noDangle = regexp_replace(fixSep, "[?&]$", "")
+    // Tracking params are stripped PARAM-WISE: split the query at the
+    // first '?', drop params whose NAME matches (anchored), rejoin. Every
+    // single-pass regexp_replace form misfires on some edge — unanchored
+    // `(utm_…)=` fires mid-name (?xgclid=1), consuming the trailing '&'
+    // unanchors a directly-following tracking param, and consuming the
+    // leading separator needs an '&'→'?' promotion that corrupts a literal
+    // '&' in the path of a query-less URL.
+    val qpos = instr(noFrag, "?")
+    val path = noFrag.substr(lit(1), qpos - 1)
+    val query = noFrag.substr(qpos + 1, length(noFrag))
+    val kept = filter(split(query, "&"),
+      p => !p.rlike("^(utm_[a-z]+|gclid|fbclid)="))
+    val noTrack = when(qpos === 0, noFrag).otherwise(concat(path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit(""))))
+    val noDangle = regexp_replace(noTrack, "[?&]$", "")
     regexp_replace(noDangle, "/(index\\.html?)?$", "")
   }
 

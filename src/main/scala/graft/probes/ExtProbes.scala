@@ -1092,23 +1092,33 @@ object ExtProbes {
       |                    WHEN 4 THEN '?utm_medium=m&id=7'
       |                    ELSE '/index.html' END AS u
       |  FROM documents),
+      |low AS (
+      |  SELECT doc_id, u,
+      |    regexp_replace(
+      |      lower(regexp_extract(u, '^([^/?#]*//[^/?#]*)', 1)) ||
+      |        regexp_replace(u, '^[^/?#]*//[^/?#]*', ''),
+      |      '#.*', '', 'g') AS u2
+      |  FROM u),
+      |t AS (
+      |  SELECT doc_id, u, u2,
+      |    CASE WHEN strpos(u2, '?') = 0 THEN u2
+      |         ELSE substr(u2, 1, strpos(u2, '?') - 1) ||
+      |           CASE WHEN len(kept) > 0
+      |                THEN '?' || array_to_string(kept, '&') ELSE '' END
+      |    END AS u3
+      |  FROM (SELECT doc_id, u, u2,
+      |          list_filter(string_split(substr(u2, strpos(u2, '?') + 1), '&'),
+      |            p -> NOT regexp_matches(p, '^(utm_[a-z]+|gclid|fbclid)='))
+      |            AS kept
+      |        FROM low)),
       |c AS (
       |  SELECT doc_id,
       |    regexp_replace(
-      |      regexp_replace(
-      |        regexp_replace(
-      |          regexp_replace(
-      |            regexp_replace(
-      |              lower(regexp_extract(u, '^([^/?#]*//[^/?#]*)', 1)) ||
-      |                regexp_replace(u, '^[^/?#]*//[^/?#]*', ''),
-      |              '#.*', '', 'g'),
-      |            '[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g'),
-      |          '^([^?&]*)&', '\1?', 'g'),
-      |        '[?&]$', '', 'g'),
+      |      regexp_replace(u3, '[?&]$', '', 'g'),
       |      '/(index\.html?)?$', '', 'g') AS curl,
       |    regexp_replace(regexp_extract(lower(u), '^[a-z]+://([^/:?#]+)', 1),
       |      '^www\.', '', 'g') AS host
-      |  FROM u)
+      |  FROM t)
       |SELECT curl, host, count(*) AS n, min(doc_id) AS first_doc
       |FROM c GROUP BY curl, host ORDER BY curl""".stripMargin
 

@@ -241,6 +241,10 @@ class ExtOperatorsSpec extends SparkSpec {
       // substring look-alikes are NOT tracking params — kept verbatim
       "https://ex.com/p?xgclid=1" -> "https://ex.com/p?xgclid=1",
       "https://ex.com/p?myutm_a=b" -> "https://ex.com/p?myutm_a=b",
+      // literal & in a query-less PATH is legal and untouchable (the
+      // regex '&'→'?' promotion form corrupted exactly this)
+      "https://ex.com/a&b" -> "https://ex.com/a&b",
+      "https://ex.com/a&b?utm_x=1&id=2" -> "https://ex.com/a&b?id=2",
       // fragment, index.html, trailing slash
       "https://ex.com/p#frag" -> "https://ex.com/p",
       "https://ex.com/dir/index.html" -> "https://ex.com/dir",
