@@ -17,8 +17,10 @@ import graft.core.{Naming, Ops}
   *    193-199 — OP-31)
   *
   * Works through the Hadoop FileSystem API so the same protocol runs on any
-  * cluster FS. On object stores without atomic rename, swap this for a
-  * commit-marker protocol — the API boundary is [[publish]].
+  * cluster FS. On object stores without atomic rename, use the
+  * commit-marker variant ([[publishVersioned]] / [[resolveVersioned]] /
+  * [[gcUnreferenced]]) — only a single-object pointer write needs
+  * atomicity there.
   */
 object Restore {
 
@@ -66,6 +68,88 @@ object Restore {
         if (fs.exists(staging)) fs.delete(staging, true) // crash cleanup
         throw e
     }
+  }
+
+  /** Commit-marker publish — the object-store variant of [[publish]] for
+    * stores WITHOUT atomic directory rename (S3-style): directory renames
+    * there are O(objects) copies and non-atomic, so the swap protocol above
+    * would expose readers to half-renamed states. Instead:
+    *
+    *  - data is written to an immutable VERSIONED dir
+    *    `<db>__v<token>` (never renamed, never mutated);
+    *  - the pointer `<db>.commit` — a single small object naming the
+    *    current version dir — is swapped by one atomic single-object
+    *    write (S3 PUT / HDFS create-overwrite both give last-writer-wins
+    *    atomicity for one object; only the POINTER needs it);
+    *  - readers [[resolveVersioned]] the pointer and read an immutable
+    *    dir — a concurrent publish is invisible until the pointer lands;
+    *  - the previous version dir is deleted only AFTER the pointer swap,
+    *    and a crash before the swap leaves an unreferenced dir that
+    *    [[gcUnreferenced]] collects while the old version keeps serving.
+    *
+    * This is the Delta/Iceberg pointer-commit shape reduced to ufload's
+    * one-current-version-per-db semantics (no history, no manifest —
+    * the reference keeps exactly one live db per instance, db.py:660-677).
+    */
+  def publishVersioned(spark: SparkSession, df: DataFrame, warehouse: String,
+                       db: String, token: String): Path = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versioned = new Path(warehouse, s"${db}__v$token")
+    require(!fs.exists(versioned),
+      s"publishVersioned: version dir $versioned already exists — tokens " +
+        "must be unique per publish (immutable version dirs)")
+    val prev = resolveVersioned(spark, warehouse, db)
+    df.write.mode("overwrite").parquet(versioned.toString)
+    val marker = new Path(warehouse, s"$db.commit")
+    val out = fs.create(marker, true) // the ONE atomic single-object swap
+    try out.write(versioned.getName.getBytes("UTF-8")) finally out.close()
+    prev.filter(p => p.getName != versioned.getName)
+      .foreach(p => fs.delete(p, true)) // old version dropped only now
+    versioned
+  }
+
+  /** Current version dir of `db` under the commit-marker protocol, or None
+    * when never published (or the marker names a vanished dir — a lost
+    * pointer is surfaced as absence, not a read of stale data).
+    */
+  def resolveVersioned(spark: SparkSession, warehouse: String,
+                       db: String): Option[Path] = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(warehouse, s"$db.commit")
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val name =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim
+        finally in.close()
+      Some(new Path(warehouse, name)).filter(fs.exists(_))
+    }
+  }
+
+  /** Collect version dirs no commit marker references — the crash residue
+    * of [[publishVersioned]] (data written, pointer never swapped). Safe
+    * by construction: a referenced dir is never touched, so a concurrent
+    * reader resolving the current pointer cannot lose its data.
+    */
+  def gcUnreferenced(spark: SparkSession, warehouse: String): Seq[String] = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(warehouse))) return Seq.empty
+    val entries = fs.listStatus(new Path(warehouse)).toSeq
+    val referenced = entries.filter(e => e.isFile && e.getPath.getName.endsWith(".commit"))
+      .flatMap { e =>
+        val db = e.getPath.getName.stripSuffix(".commit")
+        resolveVersioned(spark, warehouse, db).map(_.getName)
+      }.toSet
+    val victims = entries
+      .filter(e => e.isDirectory && e.getPath.getName.contains("__v") &&
+        !referenced.contains(e.getPath.getName))
+      .map(_.getPath.getName)
+    victims.foreach(v => fs.delete(new Path(warehouse, v), true))
+    victims
   }
 
   /** Catalog scan (OP-6): one row per published db dir under warehouse. */

@@ -209,4 +209,42 @@ class RestoreFlowSpec extends SparkSpec {
     assert(report.patches.map(_.status) == Seq("installed", "installed"))
     assert(connected == Seq("I1"))
   }
+
+  test("publishVersioned: pointer-commit swap, crash residue GC, immutability") {
+    val wh = Files.createTempDirectory("graft_ver_wh").toString
+    val v1data = Seq((1L, "a")).toDF("id", "x")
+    val v2data = Seq((2L, "b")).toDF("id", "x")
+
+    // never published → absent
+    assert(Restore.resolveVersioned(spark, wh, "DB1").isEmpty)
+
+    val p1 = Restore.publishVersioned(spark, v1data, wh, "DB1", "t1")
+    assert(Restore.resolveVersioned(spark, wh, "DB1").contains(p1))
+    assert(spark.read.parquet(p1.toString).as[(Long, String)].collect()
+      .toSeq == Seq((1L, "a")))
+
+    // second publish: pointer moves, v1 dir dropped only after the swap
+    val p2 = Restore.publishVersioned(spark, v2data, wh, "DB1", "t2")
+    assert(Restore.resolveVersioned(spark, wh, "DB1").contains(p2))
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(p1), "previous version dir must be GC'd post-swap")
+
+    // version dirs are immutable: token reuse refuses
+    intercept[IllegalArgumentException] {
+      Restore.publishVersioned(spark, v1data, wh, "DB1", "t2")
+    }
+
+    // crash residue: a version dir with no pointer (writer died pre-swap)
+    v1data.write.parquet(new org.apache.hadoop.fs.Path(wh, "DB1__vcrash").toString)
+    // and a second db whose CURRENT version must survive the sweep
+    val q1 = Restore.publishVersioned(spark, v1data, wh, "DB2", "t1")
+    assert(Restore.gcUnreferenced(spark, wh) == Seq("DB1__vcrash"))
+    assert(Restore.resolveVersioned(spark, wh, "DB1").contains(p2))
+    assert(Restore.resolveVersioned(spark, wh, "DB2").contains(q1))
+
+    // lost pointer target = absence, not stale data
+    fs.delete(q1, true)
+    assert(Restore.resolveVersioned(spark, wh, "DB2").isEmpty)
+  }
 }

@@ -152,4 +152,32 @@ class StreamingSpec extends SparkSpec {
     assert(ledger.columns.toSeq == Seq("file", "url"))
     assert(ledger.dropDuplicates("file", "url").count() == 3)
   }
+
+  test("decodeImages runs on a streaming source (batched mapPartitions " +
+      "is stream-safe; real ImageIO decode per micro-batch)") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val media = mem.toDS().map { case (id, b) =>
+      Multimodal.MediaRecord(id, b, "application/octet-stream") }
+    val q = Multimodal.decodeImages(media, batchSize = 2)
+      .writeStream.format("memory").queryName("img_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, Multimodal.encodeGrayPng(4, 2, 10)),
+        (2L, Multimodal.encodeGrayPng(1, 3, 255)),
+        (3L, "not an image".getBytes("UTF-8")))
+      q.processAllAvailable()
+      mem.addData((4L, Multimodal.encodeGrayPng(2, 2, 0)))
+      q.processAllAvailable()
+      val got = spark.table("img_out").as[Multimodal.DecodedImage]
+        .collect().sortBy(_.media_id).toSeq
+      assert(got == Seq(
+        Multimodal.DecodedImage(1L, 4, 2, 1, 100000L),
+        Multimodal.DecodedImage(2L, 1, 3, 1, 2550000L),
+        Multimodal.DecodedImage(3L, 0, 0, 0, -1L),
+        Multimodal.DecodedImage(4L, 2, 2, 1, 0L)))
+    } finally q.stop()
+  }
 }
