@@ -61,6 +61,72 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
+  /** ENCODE with an ordered merge table — the apply side of the tokenizer
+    * ([[train]] is the learn side): seed characters, then fold
+    * [[applyMerge]] over the merges in rank order. Pure column
+    * expressions, so it is oracle-checkable (q83 mirrors the fold with
+    * DuckDB `list_reduce`) — but expression depth grows with |merges|,
+    * so this form is for BOUNDED tables (probes, tests, small domain
+    * vocabularies). Production-sized tables use [[encodeWords]].
+    */
+  def encodeSymbols(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(charSymbols(word))((s, m) => applyMerge(s, m._1, m._2))
+
+  /** Scale-path encoder: per-word greedy min-rank merging in a typed
+    * `mapPartitions` loop, merge ranks shipped once per task in the
+    * closure (a 50k-entry map, not 50k chained expressions). Equivalent
+    * to [[encodeSymbols]] for tables produced by [[train]]: a symbol
+    * created by merge r only appears in pairs of rank > r, so fusing in
+    * rank order and greedy min-rank fusing reach the same normal form —
+    * BpeSpec pins the agreement on a trained table.
+    */
+  def encodeWords(words: org.apache.spark.sql.Dataset[String],
+                  merges: Seq[(String, String)])
+      : org.apache.spark.sql.Dataset[(String, Seq[String])] = {
+    import words.sparkSession.implicits._
+    val table = merges.toVector
+    val ranks: Map[(String, String), Int] =
+      table.zipWithIndex.map { case (m, i) => m -> i }.toMap
+    words.mapPartitions(_.map(w => (w, encodeOne(w, table, ranks))))
+  }
+
+  private[operators] def encodeOne(w: String,
+                                   table: Vector[(String, String)],
+                                   ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms = scala.collection.mutable.ArrayBuffer[String](w.map(_.toString): _*)
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = table(best)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            out += (a + b); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out
+        done = syms.length < 2
+      }
+    }
+    syms.toSeq
+  }
+
+  /** The fixed trained-shape merge table q83/BpeSpec share (every created
+    * symbol only appears in later-rank pairs, like any [[train]] output).
+    */
+  val DemoMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "s" -> "t")
+
   /** Learn `numMerges` merges. Returns (merge table as ordered (a, b)
     * pairs, final symbolized vocabulary). Ties on count break by pair
     * string — deterministic. Each iteration: one vocabulary-sized agg,

@@ -1232,6 +1232,49 @@ object ExtProbes {
       |       ELSE (doc_id % 256) * 10000 END AS BIGINT) AS mean_e4
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // ---- q83 BPE encode (apply side of the q76-trained tokenizer) ----------
+  // Bpe.encodeSymbols folds applyMerge over a fixed trained-shape merge
+  // table (Bpe.DemoMerges); output per doc is the token COUNT plus an md5
+  // over the full token stream — full-fidelity: any mis-merge anywhere in
+  // any word changes the digest. The oracle mirrors the fold exactly with
+  // DuckDB list_reduce (custom init via list_prepend(''), symbols joined
+  // by '|', the "ends-with |a and next is b" fuse), generated from the
+  // SAME merge constants so the two encodings cannot drift.
+  val q83: Q = (s, d) => {
+    val merges = graft.operators.Bpe.DemoMerges
+    graft.core.Ops.widen(Tables.documents(s, d))
+      .withColumn("ws", Dedup.normalizeWords(col("text")))
+      .withColumn("toks", transform(col("ws"),
+        w => concat_ws("|", graft.operators.Bpe.encodeSymbols(w, merges))))
+      .select(col("doc_id"),
+        aggregate(transform(col("toks"), t => size(split(t, "\\|"))),
+          lit(0), (a, x) => a + x).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("toks"))).as("enc_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q83Sql: String = {
+    def stage(inner: String, a: String, b: String): String =
+      s"""list_reduce(list_prepend('', string_split($inner, '|')),
+         |      (acc, x) -> CASE
+         |        WHEN acc = '$a' AND x = '$b' THEN '${a + b}'
+         |        WHEN acc LIKE '%|$a' AND x = '$b'
+         |          THEN substr(acc, 1, length(acc) - ${a.length}) || '${a + b}'
+         |        WHEN acc = '' THEN x
+         |        ELSE acc || '|' || x END)""".stripMargin
+    val chained = graft.operators.Bpe.DemoMerges.foldLeft(
+      "array_to_string(string_split(w, ''), '|')") {
+      case (inner, (a, b)) => stage(inner, a, b)
+    }
+    s"""WITH n AS (SELECT doc_id, $duckWords AS ws FROM documents),
+       |t AS (SELECT doc_id, list_transform(ws, w -> $chained) AS toks FROM n)
+       |SELECT doc_id,
+       |  CAST(coalesce(list_sum(list_transform(toks,
+       |    s -> len(string_split(s, '|')))), 0) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(toks, ' ')) AS enc_md5
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q77 set-operation breadth (INTERSECT / EXCEPT, ALL and DISTINCT) --
   // The multiset forms matter: intersectAll/exceptAll preserve duplicate
   // counts (Spark plans them as count-compare aggregates, not row dedup),
@@ -1405,6 +1448,7 @@ object ExtProbes {
     "q80_media_meta" -> q80,
     "q81_pagerank" -> q81,
     "q82_image_decode" -> q82,
+    "q83_bpe_encode" -> q83,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1452,5 +1496,6 @@ object ExtProbes {
     "q80_media_meta" -> q80Sql,
     "q81_pagerank" -> q81Sql,
     "q82_image_decode" -> q82Sql,
+    "q83_bpe_encode" -> q83Sql,
   )
 }

@@ -46,4 +46,27 @@ class BpeSpec extends SparkSpec {
     val (merges, _) = Bpe.train(words, 10)
     assert(merges == Seq(("a", "b"))) // after one merge the word is atomic
   }
+
+  test("encodeSymbols and encodeWords agree on trained and demo tables") {
+    // trained table: learn from the Sennrich-ish corpus, then encode
+    // UNSEEN words with both forms
+    val corpus = Seq("low low low lower lower newest newest newest widest")
+      .toDF("text")
+    val (merges, _) = Bpe.train(Bpe.wordFreqs(corpus, "text"), numMerges = 6)
+    assert(merges.nonEmpty)
+    val words = Seq("lowest", "newer", "wide", "low", "x", "", "thunder",
+      "intand", "ananan", "andand")
+    for (table <- Seq(merges, Bpe.DemoMerges)) {
+      val colForm = words.toDF("w")
+        .select(col("w"), Bpe.encodeSymbols(col("w"), table).as("t"))
+        .as[(String, Seq[String])].collect().toMap
+      val scaleForm = Bpe.encodeWords(words.toDS(), table)
+        .collect().toMap
+      assert(colForm == scaleForm, s"forms diverge for table $table")
+    }
+    // spot-check an actual encoding under the demo table
+    val enc = Bpe.encodeWords(Seq("thandthe").toDS(), Bpe.DemoMerges)
+      .collect().head._2
+    assert(enc == Seq("th", "and", "the"))
+  }
 }
