@@ -86,4 +86,27 @@ object Layout {
       .sortWithinPartitions("__z")
     if (keepZ) ranged else ranged.drop("__z")
   }
+
+  /** Write `df` as a BUCKETED table: rows pre-hash-partitioned on `keys`
+    * into `buckets` files per partition and sorted within each bucket —
+    * the shuffle an equi-join or aggregation on those keys would do at
+    * runtime, paid ONCE at write time. Two tables bucketed the same way
+    * join with NO exchange on either side (co-located sort-merge join);
+    * PlanContractSpec pins exactly that. At 100 TB this is how the
+    * hot-join fact tables (events by user, chunks by doc) are stored so
+    * every downstream join/group on the key is shuffle-free.
+    *
+    * Bucketing metadata lives in the session catalog (`saveAsTable` —
+    * Spark cannot express bucketing on a bare path); the in-memory
+    * catalog works, no Hive needed.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int): Unit = {
+    require(keys.nonEmpty && buckets > 0)
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

@@ -100,17 +100,12 @@ object Similarity {
       .select("vec_id", "other_id", "score_e4", "rank")
   }
 
-  /** IVF-style ANN: assign corpus vectors to their best centroid cell
-    * (max cosine, centroid-id tiebreak), probe the `nprobe` best cells per
-    * query, rank candidates within probed cells. Centroids are broadcast.
+  /** Corpus→cell assignment: one narrow pass, best centroid by cosine
+    * (centroid-id tiebreak). The (other_id, vb, cid) frame IS the IVF
+    * index — [[writeIvfIndex]] persists exactly this plus the centroids.
     */
-  def ivfTopK(vectors: DataFrame, centroids: DataFrame, queries: DataFrame,
-              nprobe: Int, k: Int): DataFrame = {
-    val cent = broadcast(centroids.select(col("id").as("cid"), col("v").as("cv")))
-
-    // cell assignment: one narrow pass over the corpus (widened — vector
-    // math over a one-row-group parquet input must not run on one core)
-    val assigned = graft.core.Ops.widen(
+  def ivfAssign(vectors: DataFrame, cent: DataFrame): DataFrame =
+    graft.core.Ops.widen(
         vectors.select(col("id").as("other_id"), col("v").as("vb")))
       .join(cent)
       .withColumn("cscore", cosine("vb", "cv"))
@@ -120,7 +115,13 @@ object Similarity {
       .filter(col("crank") === 1)
       .select("other_id", "vb", "cid")
 
-    // probe list: nprobe best cells per query
+  /** Probe-and-rank over an existing assignment: nprobe best cells per
+    * query, candidates ranked within probed cells. Shared by the
+    * train-inline ([[ivfTopK]]) and index-reuse ([[ivfTopKIndexed]])
+    * paths so the query semantics cannot drift between them.
+    */
+  private def ivfProbeRank(assigned: DataFrame, cent: DataFrame,
+                           queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val probed = queries.select(col("id").as("vec_id"), col("v").as("va"))
       .join(cent)
       .withColumn("pscore", cosine("va", "cv"))
@@ -139,6 +140,49 @@ object Similarity {
           .orderBy(col("score_e4").desc, col("other_id").asc)).cast("long"))
       .filter(col("rank") <= k)
       .select("vec_id", "other_id", "score_e4", "rank")
+  }
+
+  /** IVF-style ANN: assign corpus vectors to their best centroid cell
+    * (max cosine, centroid-id tiebreak), probe the `nprobe` best cells per
+    * query, rank candidates within probed cells. Centroids are broadcast.
+    */
+  def ivfTopK(vectors: DataFrame, centroids: DataFrame, queries: DataFrame,
+              nprobe: Int, k: Int): DataFrame = {
+    val cent = broadcast(centroids.select(col("id").as("cid"), col("v").as("cv")))
+    ivfProbeRank(ivfAssign(vectors, cent), cent, queries, nprobe, k)
+  }
+
+  /** Persist a trained IVF index: `<dir>/centroids` (tiny) and
+    * `<dir>/assigned` — the corpus with its cell ids, partitioned BY CELL
+    * on disk. Training (Lloyd's iterations) and the corpus assignment
+    * pass happen exactly once; every later query batch reads the index
+    * and pays only the probe-side work. partitionBy(cid) gives
+    * probe-time partition PRUNING: reading candidates for a probe list
+    * touches only the nprobe/|cells| fraction of the index files — the
+    * scan-level analog of an inverted list seek.
+    */
+  def writeIvfIndex(vectors: DataFrame, centroids: DataFrame,
+                    dir: String): Unit = {
+    val cent = broadcast(centroids.select(col("id").as("cid"), col("v").as("cv")))
+    centroids.select("id", "v").write.mode("overwrite")
+      .parquet(s"$dir/centroids")
+    ivfAssign(vectors, cent).write.mode("overwrite")
+      .partitionBy("cid").parquet(s"$dir/assigned")
+  }
+
+  /** Query a persisted index ([[writeIvfIndex]]): same semantics as
+    * [[ivfTopK]] on the same (vectors, centroids) — parity is spec-pinned
+    * — without re-running training or assignment. The cell-id equi-join
+    * prunes `assigned` partitions to the probed cells (PartitionFilters
+    * on the scan, plan-contract-pinned).
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val cent = broadcast(spark.read.parquet(s"$dir/centroids")
+      .select(col("id").as("cid"), col("v").as("cv")))
+    val assigned = spark.read.parquet(s"$dir/assigned")
+      .select(col("other_id"), col("vb"), col("cid"))
+    ivfProbeRank(assigned, cent, queries, nprobe, k)
   }
 
   /** One k-means refinement step: assign every vector to its best centroid

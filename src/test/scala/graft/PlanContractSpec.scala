@@ -225,4 +225,48 @@ class PlanContractSpec extends SparkSpec {
       assert(jobs == 0, s"widen ran $jobs Spark job(s); it must be plan-only")
     } finally sc.removeSparkListener(l)
   }
+
+  test("bucketed tables join with NO exchange on either side") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "source")
+    val stats = docs.select(col("doc_id"), length(col("source")).as("slen"))
+    graft.operators.Layout.writeBucketed(docs, "pc_docs_b", Seq("doc_id"), 4)
+    graft.operators.Layout.writeBucketed(stats, "pc_stats_b", Seq("doc_id"), 4)
+    try {
+      // force a sort-merge join so the exchange question is real (tiny
+      // test tables would otherwise broadcast, which never shuffles)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val j = spark.table("pc_docs_b").join(spark.table("pc_stats_b"), "doc_id")
+      j.write.format("noop").mode("overwrite").save()
+      val p = plan(j)
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("Exchange hashpartitioning"),
+        "bucketed join must be co-located:\n" + p.take(2000))
+      // the write-time layout replaced the runtime shuffle
+      assert(p.contains("SelectedBucketsCount"), p.take(2000))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS pc_docs_b")
+      spark.sql("DROP TABLE IF EXISTS pc_stats_b")
+    }
+  }
+
+  test("persisted IVF index: probe prunes assigned partitions to the " +
+      "probed cells (dynamic partition pruning on the scan)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_ix").toString
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    val cents = Similarity.buildIvf(vecs, numCells = 8, iters = 1)
+    Similarity.writeIvfIndex(vecs, cents, dir)
+    val queries = vecs.filter(col("id") < 3)
+    val got = Similarity.ivfTopKIndexed(spark, dir, queries, nprobe = 2, k = 3)
+    got.write.format("noop").mode("overwrite").save()
+    val p = plan(got)
+    assert(p.contains("dynamicpruningexpression"),
+      "probe join must dynamically prune cid partitions:\n" +
+        p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
 }

@@ -159,4 +159,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(got._1 == 3)
     assert(got._2 == "call <PHONE> or mail <EMAIL> see <URL>")
   }
+
+  test("ivfTopKIndexed: persisted index reproduces ivfTopK exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rt").toString
+    val vecs = (0L until 60L).map { i =>
+      val ang = i * 0.1
+      (i, Seq(math.cos(ang), math.sin(ang), (i % 7).toDouble / 7.0))
+    }.toDF("id", "v")
+    val cents = Similarity.buildIvf(vecs, numCells = 4, iters = 2)
+    val queries = vecs.filter(col("id") % 9 === 0)
+    val fresh = Similarity.ivfTopK(vecs, cents, queries, nprobe = 2, k = 3)
+      .orderBy("vec_id", "rank").collect().toSeq
+    Similarity.writeIvfIndex(vecs, cents, dir)
+    val indexed = Similarity.ivfTopKIndexed(spark, dir, queries, nprobe = 2, k = 3)
+      .orderBy("vec_id", "rank").collect().toSeq
+    assert(indexed == fresh)
+    assert(fresh.nonEmpty)
+  }
 }
