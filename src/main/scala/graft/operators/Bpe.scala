@@ -90,7 +90,7 @@ object Bpe {
     words.mapPartitions(_.map(w => (w, encodeOne(w, table, ranks))))
   }
 
-  private[operators] def encodeOne(w: String,
+  private[graft] def encodeOne(w: String,
                                    table: Vector[(String, String)],
                                    ranks: Map[(String, String), Int]): Seq[String] = {
     var syms = scala.collection.mutable.ArrayBuffer[String](w.map(_.toString): _*)

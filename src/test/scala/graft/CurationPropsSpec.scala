@@ -70,4 +70,33 @@ object CurationProps extends Properties("Curation") {
       NearDupStream.bandKeys(a).toSet
         .intersect(NearDupStream.bandKeys(b).toSet).nonEmpty
     }
+
+  property("BPE encode: tokens concat back to the word; no mergeable pair left") =
+    forAll(wordGen) { w =>
+      val table = graft.operators.Bpe.DemoMerges.toVector
+      val ranks = table.zipWithIndex.map { case (m, i) => m -> i }.toMap
+      val toks = graft.operators.Bpe.encodeOne(w, table, ranks)
+      toks.mkString == w &&
+        toks.sliding(2).withFilter(_.size == 2)
+          .forall(p => !ranks.contains((p(0), p(1))))
+    }
+
+  /** Pure mirror of chunkByTokens' window arithmetic (starts 1..size-overlap
+    * by stride): full coverage, and no window contained in its predecessor
+    * (the round-4 ADVICE wart, proven closed over the whole domain).
+    */
+  property("chunk windows: bounded starts cover every word, none redundant") =
+    forAll(Gen.choose(0, 200), Gen.choose(2, 50), Gen.choose(0, 48)) {
+      (n, maxT, ovRaw) =>
+        val overlap = math.min(ovRaw, maxT - 1)
+        val stride = maxT - overlap
+        val starts = 1 to math.max(n - overlap, 1) by stride
+        val windows = starts.map(s => (s, math.min(s + maxT - 1, n)))
+        val covered = n == 0 ||
+          windows.flatMap { case (a, b) => a to b }.toSet == (1 to n).toSet
+        val noContained = windows.sliding(2).withFilter(_.size == 2).forall {
+          case Seq((a1, b1), (a2, b2)) => !(a2 >= a1 && b2 <= b1)
+        }
+        covered && noContained
+    }
 }
