@@ -1233,23 +1233,33 @@ object ExtProbes {
       |FROM documents ORDER BY media_id""".stripMargin
 
   // ---- q83 BPE encode (apply side of the q76-trained tokenizer) ----------
-  // Bpe.encodeSymbols folds applyMerge over a fixed trained-shape merge
-  // table (Bpe.DemoMerges); output per doc is the token COUNT plus an md5
-  // over the full token stream — full-fidelity: any mis-merge anywhere in
-  // any word changes the digest. The oracle mirrors the fold exactly with
-  // DuckDB list_reduce (custom init via list_prepend(''), symbols joined
-  // by '|', the "ends-with |a and next is b" fuse), generated from the
-  // SAME merge constants so the two encodings cannot drift.
+  // The PRODUCTION encoder (Bpe.encodeOne greedy min-rank loop, typed map
+  // — the encodeWords path) over a fixed trained-shape merge table
+  // (Bpe.DemoMerges); output per doc is the token COUNT plus an md5 over
+  // the full token stream — full-fidelity: any mis-merge anywhere in any
+  // word changes the digest. The oracle mirrors the EQUIVALENT rank-order
+  // fold (applyMerge semantics; BpeSpec pins the two forms' agreement)
+  // with DuckDB list_reduce — custom init via list_prepend(''), symbols
+  // joined by '|', the "ends-with |a and next is b" fuse — generated from
+  // the SAME merge constants so the encodings cannot drift. (An earlier
+  // column-fold form of this probe compiled an expression so large that
+  // codegen-cache eviction inside the 83-query bench recompiled it every
+  // run: 6.9 s in-suite vs 1.3 s isolated. The typed-map form needs no
+  // codegen giant and is the form a production pipeline runs anyway.)
   val q83: Q = (s, d) => {
-    val merges = graft.operators.Bpe.DemoMerges
+    import s.implicits._
+    val table = graft.operators.Bpe.DemoMerges.toVector
+    val ranks = table.zipWithIndex.map { case (m, i) => m -> i }.toMap
     graft.core.Ops.widen(Tables.documents(s, d))
-      .withColumn("ws", Dedup.normalizeWords(col("text")))
-      .withColumn("toks", transform(col("ws"),
-        w => concat_ws("|", graft.operators.Bpe.encodeSymbols(w, merges))))
-      .select(col("doc_id"),
-        aggregate(transform(col("toks"), t => size(split(t, "\\|"))),
-          lit(0), (a, x) => a + x).cast("long").as("n_tokens"),
-        md5(concat_ws(" ", col("toks"))).as("enc_md5"))
+      .select(col("doc_id"), Dedup.normalizeWords(col("text")).as("ws"))
+      .as[(Long, Seq[String])]
+      .map { case (id, ws) =>
+        val toks = ws.map(w => graft.operators.Bpe.encodeOne(w, table, ranks))
+        (id, toks.map(_.length.toLong).sum,
+          toks.map(_.mkString("|")).mkString(" "))
+      }
+      .toDF("doc_id", "n_tokens", "enc")
+      .select(col("doc_id"), col("n_tokens"), md5(col("enc")).as("enc_md5"))
       .orderBy("doc_id")
   }
 
