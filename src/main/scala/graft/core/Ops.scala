@@ -98,7 +98,8 @@ object Ops {
     val hasExchange = plan.collectFirst {
       case n @ (_: lp.Aggregate | _: lp.Join | _: lp.Sort | _: lp.Window |
                 _: lp.RepartitionOperation | _: lp.Deduplicate |
-                _: lp.GlobalLimit) => n
+                _: lp.GlobalLimit | _: lp.SetOperation | _: lp.MapGroups |
+                _: lp.CoGroup | _: lp.FlatMapGroupsWithState) => n
     }.nonEmpty
     if (hasExchange) df
     else {

@@ -172,8 +172,8 @@ object Multimodal {
   case class DecodedImage(media_id: Long, width: Int, height: Int,
                           bands: Int, mean_e4: Long)
 
-  def decodeImages(ds: Dataset[MediaRecord],
-                   batchSize: Int = 64): Dataset[DecodedImage] = {
+  def decodeImages(ds: Dataset[MediaRecord], batchSize: Int = 64,
+                   maxPixels: Long = 64L << 20): Dataset[DecodedImage] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       // ImageIO's default ImageInputStream cache is FILE-backed: one temp
@@ -184,8 +184,19 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // per-batch codec init point (ImageIO reader lookup is JVM-cached)
         batch.iterator.map { r =>
+          // Decompression-bomb guard: a few-hundred-byte payload whose
+          // header CLAIMS 10⁹×10⁹ would make ImageIO.read allocate the
+          // full raster and OOM the executor — the classic crawl-corpus
+          // hazard. Header dims are checked BEFORE any decode for the
+          // formats parseHeader sniffs (PNG/JPEG — the crawl formats);
+          // oversized claims degrade to the marker row like any other
+          // undecodable payload.
+          val claimed = parseHeader(r.media)
+          val bomb = (claimed.kind == "png" || claimed.kind == "jpeg") &&
+            claimed.width.toLong * claimed.height > maxPixels
           val img =
-            try Option(javax.imageio.ImageIO.read(
+            if (bomb) None
+            else try Option(javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(r.media)))
             catch { case scala.util.control.NonFatal(_) => None }
           img match {

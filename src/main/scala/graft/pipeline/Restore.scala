@@ -125,7 +125,11 @@ object Restore {
         try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
           "UTF-8").trim
         finally in.close()
-      Some(new Path(warehouse, name)).filter(fs.exists(_))
+      // a torn/empty marker read must surface as absence — an empty name
+      // would otherwise resolve to the WAREHOUSE dir itself (and Path
+      // construction itself rejects empty strings)
+      Some(name).filter(_.startsWith(s"${db}__v"))
+        .map(new Path(warehouse, _)).filter(fs.exists(_))
     }
   }
 

@@ -182,6 +182,29 @@ class ExtOperatorsSpec extends SparkSpec {
       Multimodal.DecodedImage(3L, 0, 0, 0, -1L)))
   }
 
+  test("decodeImages refuses decompression bombs before allocating") {
+    import graft.operators.Multimodal
+    // a valid PNG signature + IHDR CLAIMING 40000x40000 (1.6e9 px) with a
+    // garbage body: the header guard must yield the marker row without
+    // ever asking ImageIO to allocate the raster
+    val bomb = {
+      val b = java.nio.ByteBuffer.allocate(33)
+      b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+      b.putInt(40000).putInt(40000) // width, height (big-endian)
+      b.put(Array(8, 6, 0, 0, 0).map(_.toByte))
+      b.array()
+    }
+    val ok = Multimodal.encodeGrayPng(3, 2, 9)
+    val got = Multimodal.decodeImages(Seq(
+        Multimodal.MediaRecord(1L, bomb, "image/png"),
+        Multimodal.MediaRecord(2L, ok, "image/png")).toDS())
+      .collect().sortBy(_.media_id).toSeq
+    assert(got == Seq(
+      Multimodal.DecodedImage(1L, 0, 0, 0, -1L),
+      Multimodal.DecodedImage(2L, 3, 2, 1, 90000L)))
+  }
+
   test("contaminationFlags marks exactly the docs sharing a benchmark n-gram") {
     import graft.operators.Curation
     val docs = Seq(

@@ -246,5 +246,12 @@ class RestoreFlowSpec extends SparkSpec {
     // lost pointer target = absence, not stale data
     fs.delete(q1, true)
     assert(Restore.resolveVersioned(spark, wh, "DB2").isEmpty)
+
+    // torn/empty marker read = absence too (an empty name would otherwise
+    // resolve to the warehouse dir itself, which exists)
+    val torn = new org.apache.hadoop.fs.Path(wh, "DB3.commit")
+    val out = fs.create(torn, true)
+    out.close() // zero bytes written
+    assert(Restore.resolveVersioned(spark, wh, "DB3").isEmpty)
   }
 }
