@@ -80,4 +80,39 @@ object NamingProps extends Properties("Naming") {
         }
       }
     }
+
+  property("fileToDb / dbToInstance / versionKey never throw on junk") =
+    forAll(Gen.asciiStr, Gen.option(Gen.alphaStr.map(_.take(6)))) { (junk, pfx) =>
+      Naming.fileToDb(junk, pfx)
+      Naming.dbToInstance(junk, pfx)
+      Naming.versionKey(junk)
+      true
+    }
+
+  property("parseHeader is total on arbitrary bytes (never throws)") =
+    forAll(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) { bs =>
+      val m = graft.operators.Multimodal.parseHeader(bs)
+      m.kind == "unknown" || Seq("png", "jpeg", "wav").contains(m.kind)
+    }
+
+  property("parseHeader total on signature-prefixed fuzz (walks bounded)") =
+    forAll(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) { tail =>
+      // adversarial bodies BEHIND real signatures reach the chunk/marker
+      // walks (raw fuzz almost never does): RIFF/WAVE's size-stepped scan
+      // and JPEG's length-stepped scan must terminate and not throw
+      val wav = "RIFF".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4) ++
+        "WAVE".getBytes("US-ASCII") ++ tail
+      val jpg = Array(0xff, 0xd8).map(_.toByte) ++ tail
+      graft.operators.Multimodal.parseHeader(wav)
+      graft.operators.Multimodal.parseHeader(jpg)
+      true
+    }
+
+  property("parseHeader is total on truncated REAL png prefixes") = {
+    val png = graft.operators.Multimodal.encodeGrayPng(5, 4, 128)
+    forAll(Gen.choose(0, png.length)) { n =>
+      graft.operators.Multimodal.parseHeader(png.take(n))
+      true
+    }
+  }
 }
