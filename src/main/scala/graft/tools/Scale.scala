@@ -230,6 +230,23 @@ object Scale {
           .groupBy("bands").agg(count(lit(1)).as("n"),
             sum("mean_e4").as("s")), Seq.empty)
       }
+      run("bpe_encode", n) {
+        import spark.implicits._
+        val table = graft.operators.Bpe.DemoMerges.toVector
+        val ranks = table.zipWithIndex.map { case (m, i) => m -> i }.toMap
+        graft.core.Managed(
+          d.select(col("doc_id"),
+              graft.operators.Dedup.normalizeWords(col("text")).as("ws"))
+            .as[(Long, Seq[String])]
+            .map { case (id, ws) =>
+              (id, ws.map(w =>
+                graft.operators.Bpe.encodeOne(w, table, ranks).length.toLong).sum)
+            }
+            .toDF("doc_id", "n_tokens")
+            .groupBy(col("doc_id") % 32)
+            .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens")),
+          Seq.empty)
+      }
       run("pagerank_3r", n) {
         val edges = (0 until n).map { k =>
           graft.Tables.customer(spark, sfDir).select(

@@ -180,4 +180,36 @@ class StreamingSpec extends SparkSpec {
         Multimodal.DecodedImage(4L, 2, 2, 1, 0L)))
     } finally q.stop()
   }
+
+  test("streaming URL dedup: canonical key + watermarked dropDuplicates " +
+      "folds decorations of one page to a single emitted row") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val canon = mem.toDS().toDF("ts", "url")
+      .withColumn("curl", graft.operators.Curation.canonicalizeUrl(org.apache.spark.sql.functions.col("url")))
+      .withWatermark("ts", "10 minutes")
+      // WithinWatermark: dedup state is bounded by the watermark instead of
+      // growing forever — the only form that survives an unbounded crawl
+      .dropDuplicatesWithinWatermark("curl")
+    val q = canon.writeStream.format("memory").queryName("urldedup_out")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      mem.addData(
+        (t0, "https://EX.com/p?utm_source=f"),
+        (t0, "https://ex.com/p#frag"),
+        (t0, "https://ex.com/p/index.html"),
+        (t0, "https://ex.com/other"))
+      q.processAllAvailable()
+      // second batch: one more decoration of the same page + one new page
+      mem.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), "https://ex.com/p/"),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), "https://ex.com/new"))
+      q.processAllAvailable()
+      val got = spark.table("urldedup_out").select("curl")
+        .as[String].collect().toSeq.sorted
+      assert(got == Seq("https://ex.com/new", "https://ex.com/other",
+        "https://ex.com/p"))
+    } finally q.stop()
+  }
 }
