@@ -67,12 +67,20 @@ object Bench {
         finally txt.close()
       }
     }
-    val regressions = results.toSeq.sorted.collect {
+    // one gate computation; both renderings (file + compact stdout) derive
+    // from these triples so the thresholds cannot drift apart
+    val regTriples = results.toSeq.sorted.collect {
       case (q, sec) if sec >= 0 && baseline.get(q).exists(b =>
-          sec > 2 * b && sec - b > 0.3) =>
-        val b = baseline(q)
-        System.err.println(f"BENCH REGRESSION: $q $sec%.2fs vs baseline $b%.2fs")
-        s"""{"q":"$q","sec":$sec,"baseline":$b}"""
+          sec > 2 * b && sec - b > 0.3) => (q, sec, baseline(q))
+    }
+    // ROOT-locale rendering everywhere a number enters JSON: the f""
+    // interpolator formats with the JVM default locale, and a
+    // comma-decimal locale would corrupt the one line the driver parses
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+    val regressions = regTriples.map { case (q, sec, b) =>
+      System.err.println(s"BENCH REGRESSION: $q ${num(sec, 2)}s vs baseline ${num(b, 2)}s")
+      s"""{"q":"$q","sec":$sec,"baseline":$b}"""
     }
 
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -91,11 +99,9 @@ object Bench {
     // driver's 2000-char stdout tail window.
     def short(name: String) = name.takeWhile(_ != '_')
     val qsShort = results.toSeq.sorted
-      .map { case (k, v) => f""""${short(k)}":$v%.3f""" }.mkString("{", ",", "}")
-    val regAll = results.toSeq.sorted.collect {
-      case (q, sec) if sec >= 0 && baseline.get(q).exists(b =>
-          sec > 2 * b && sec - b > 0.3) =>
-        f"""{"q":"${short(q)}","sec":$sec%.2f,"base":${baseline(q)}%.2f}"""
+      .map { case (k, v) => s""""${short(k)}":${num(v, 3)}""" }.mkString("{", ",", "}")
+    val regAll = regTriples.map { case (q, sec, b) =>
+      s"""{"q":"${short(q)}","sec":${num(sec, 2)},"base":${num(b, 2)}}"""
     }
     val regShort =
       (regAll.take(8) ++ (if (regAll.size > 8) Seq(s"""{"truncated":${regAll.size - 8}}""") else Nil))
@@ -105,7 +111,7 @@ object Bench {
     val failedShort = results.toSeq.sorted.collect {
       case (k, v) if v < 0 => "\"" + short(k) + "\""
     }
-    val compact = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qsShort,"sf":"$sfDir","runs":$nRuns,"action":"noop-write","failed":${failedShort.mkString("[", ",", "]")},"regressions":$regShort,"detail":"target/bench.json"}"""
+    val compact = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qsShort,"sf":"$sfDir","runs":$nRuns,"action":"noop-write","failed":${failedShort.mkString("[", ",", "]")},"regressions":$regShort,"detail":"target/bench.json"}"""
     spark.stop()
     println(compact)
   }

@@ -105,11 +105,24 @@ object Ops {
     else {
       val target =
         if (min > 0) min else df.sparkSession.sparkContext.defaultParallelism
-      val maxPartBytes = org.apache.spark.network.util.JavaUtils
-        .byteStringAsBytes(df.sparkSession.conf
-          .get("spark.sql.files.maxPartitionBytes", "128MB"))
-      val estParts = (plan.stats.sizeInBytes / math.max(1L, maxPartBytes)) + 1
-      if (estParts >= target) df else df.repartition(target)
+      // RDD-backed frames report the UNKNOWN-stats sentinel
+      // (defaultSizeInBytes = Long.MaxValue), which would read as
+      // "already wide" and silently serialize heavy compute. Their true
+      // width is plan metadata: the LogicalRDD leaf holds the live RDD
+      // object, whose partition array costs nothing to read.
+      val rddParts = plan.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.getNumPartitions
+      }
+      val wideEnough = rddParts match {
+        case Some(n) => n >= target
+        case None =>
+          val maxPartBytes = org.apache.spark.network.util.JavaUtils
+            .byteStringAsBytes(df.sparkSession.conf
+              .get("spark.sql.files.maxPartitionBytes", "128MB"))
+          (plan.stats.sizeInBytes / math.max(1L, maxPartBytes)) + 1 >= target
+      }
+      if (wideEnough) df else df.repartition(target)
     }
   }
 

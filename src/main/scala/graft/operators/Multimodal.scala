@@ -128,11 +128,29 @@ object Multimodal {
     None
   }
 
-  /** Container sniff + header parse. Order: PNG and WAV have fixed
+  /** GIF: GIF87a/GIF89a signature, logical-screen width/height as
+    * little-endian u16 at bytes 6/8.
+    */
+  private def parseGif(b: Array[Byte]): Option[MediaMeta] =
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      Some(MediaMeta("gif", leShort(b, 6), leShort(b, 8), 0, 0))
+    else None
+
+  /** BMP: BM signature, width/height little-endian i32 at 18/22 (height
+    * may be negative for top-down rows — report its magnitude).
+    */
+  private def parseBmp(b: Array[Byte]): Option[MediaMeta] =
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      Some(MediaMeta("bmp", leInt(b, 18), math.abs(leInt(b, 22)), 0, 0))
+    else None
+
+  /** Container sniff + header parse. Order: PNG/WAV/GIF/BMP have fixed
     * signatures; JPEG's walk runs last (its sniff is just two bytes).
     */
   def parseHeader(bytes: Array[Byte]): MediaMeta =
-    parsePng(bytes).orElse(parseWav(bytes)).orElse(parseJpeg(bytes))
+    parsePng(bytes).orElse(parseWav(bytes)).orElse(parseGif(bytes))
+      .orElse(parseBmp(bytes)).orElse(parseJpeg(bytes))
       .getOrElse(MediaMeta("unknown", 0, 0, 0, 0))
 
   /** Flat row form of [[MediaMeta]] for Dataset output. */
@@ -187,12 +205,14 @@ object Multimodal {
           // Decompression-bomb guard: a few-hundred-byte payload whose
           // header CLAIMS 10⁹×10⁹ would make ImageIO.read allocate the
           // full raster and OOM the executor — the classic crawl-corpus
-          // hazard. Header dims are checked BEFORE any decode for the
-          // formats parseHeader sniffs (PNG/JPEG — the crawl formats);
+          // hazard. Header dims are checked BEFORE any decode for EVERY
+          // format ImageIO would otherwise decode (PNG/JPEG/GIF/BMP);
           // oversized claims degrade to the marker row like any other
-          // undecodable payload.
+          // undecodable payload. Negative claimed dims multiply to
+          // nonsense but then fail inside ImageIO, which rejects them
+          // without allocating.
           val claimed = parseHeader(r.media)
-          val bomb = (claimed.kind == "png" || claimed.kind == "jpeg") &&
+          val bomb = Set("png", "jpeg", "gif", "bmp").contains(claimed.kind) &&
             claimed.width.toLong * claimed.height > maxPixels
           val img =
             if (bomb) None

@@ -74,21 +74,29 @@ object Similarity {
     * SCALE GUARD: the non-equi join below plans a BroadcastNestedLoopJoin —
     * exact, correct, and O(|queries|·|corpus|). That is the documented
     * sampled-baseline contract (recall measurement, small query sets); it
-    * must not be reachable with a corpus-sized query side, so the query
-    * side's optimizer-estimated size is checked against `maxQueryBytes`
-    * BEFORE any job runs (plan-only, like `Ops.widen`). Corpus-scale query
-    * sets route through [[ivfTopK]] / [[ivfCosineNearDup]]; a caller who
-    * really wants the exact quadratic pass raises `maxQueryBytes`
-    * deliberately.
+    * must not be reachable with a corpus-sized query side. Two tiers:
+    * the query side's optimizer-estimated size against `maxQueryBytes`
+    * (plan-only, like `Ops.widen`) accepts the common case free; when the
+    * estimate is large — which includes FILTER-SAMPLED sides, since basic
+    * stats pass a Filter through at full child size — one BOUNDED
+    * `limit(maxQueryRows+1).count()` job settles the actual cardinality.
+    * Corpus-scale query sets route through [[ivfTopK]] /
+    * [[ivfCosineNearDup]]; a caller who really wants the exact quadratic
+    * pass raises the bounds deliberately.
     */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-                     maxQueryBytes: Long = 64L << 20): DataFrame = {
+                     maxQueryBytes: Long = 64L << 20,
+                     maxQueryRows: Int = 100000): DataFrame = {
     val est = queries.queryExecution.optimizedPlan.stats.sizeInBytes
-    require(est <= maxQueryBytes,
-      s"bruteForceTopK: queries side estimates $est bytes (> $maxQueryBytes). " +
-        "This operator is the exact O(q*n) baseline for SAMPLED query sets; " +
-        "use ivfTopK for corpus-scale input, or raise maxQueryBytes " +
-        "deliberately after sizing the nested-loop cost.")
+    if (est > maxQueryBytes) {
+      val n = queries.limit(maxQueryRows + 1).count()
+      require(n <= maxQueryRows,
+        s"bruteForceTopK: queries side holds > $maxQueryRows rows " +
+          s"(estimate $est bytes). This operator is the exact O(q*n) " +
+          "baseline for SAMPLED query sets; use ivfTopK for corpus-scale " +
+          "input, or raise maxQueryRows/maxQueryBytes deliberately after " +
+          "sizing the nested-loop cost.")
+    }
     val q = queries.select(col("id").as("vec_id"), col("v").as("va"))
     val c = vectors.select(col("id").as("other_id"), col("v").as("vb"))
     q.join(c, col("vec_id") =!= col("other_id"))

@@ -81,14 +81,18 @@ object Config {
     catch { case _: IllegalArgumentException => None }
   }
 
+  /** The one rendering of the cloud personal-directory template. */
+  private def personalDir(oc: String): String =
+    s"/personal/UF_${oc.toUpperCase}_msf_geneva_msf_org/"
+
   /** Instance name → cloud personal directory (cloud.py:34-48): suffix/prefix
     * dispatch, first match wins, empty string when nothing matches.
     */
   def instanceToDir(instance: String): String =
-    if (instance.endsWith("_OCA")) "/personal/UF_OCA_msf_geneva_msf_org/"
-    else if (instance.startsWith("OCB")) "/personal/UF_OCB_msf_geneva_msf_org/"
-    else if (instance.startsWith("OCP")) "/personal/UF_OCP_msf_geneva_msf_org/"
-    else if (instance.startsWith("OCG_")) "/personal/UF_OCG_msf_geneva_msf_org/"
+    if (instance.endsWith("_OCA")) personalDir("OCA")
+    else if (instance.startsWith("OCB")) personalDir("OCB")
+    else if (instance.startsWith("OCP")) personalDir("OCP")
+    else if (instance.startsWith("OCG_")) personalDir("OCG")
     else ""
 
   /** Resolved cloud connection record (cloud.py:51-79): decrypted password,
@@ -101,7 +105,11 @@ object Config {
   def cloudInfo(pw: String, oc: Option[String], cloudPath: String,
                 cloudUrl: String, user: String,
                 subDir: String = ""): CloudInfo = {
-    val dir = oc.fold("")(o => s"/personal/UF_${o.toUpperCase}_msf_geneva_msf_org/")
+    // an unknown OC code yields a fabricated dir here while instanceToDir
+    // returns "" — faithful: the reference builds from args.oc
+    // unconditionally (cloud.py:57) but dispatches instance names through
+    // the fixed list (cloud.py:34-48); the two derivations genuinely differ
+    val dir = oc.fold("")(personalDir)
     CloudInfo(url = cloudUrl, dir = dir + cloudPath + subDir, site = dir,
       path = cloudPath, login = user, password = decryptPassword(pw))
   }

@@ -78,14 +78,19 @@ object Restore {
     *  - data is written to an immutable VERSIONED dir
     *    `<db>__v<token>` (never renamed, never mutated);
     *  - the pointer `<db>.commit` — a single small object naming the
-    *    current version dir — is swapped by one atomic single-object
-    *    write (S3 PUT / HDFS create-overwrite both give last-writer-wins
-    *    atomicity for one object; only the POINTER needs it);
+    *    current version dir — is swapped via write-to-`.commit.tmp` then
+    *    single-FILE rename (atomic on HDFS/local; on S3-style stores
+    *    configure the committer to PUT the final object directly — only
+    *    the POINTER object ever needs atomicity);
     *  - readers [[resolveVersioned]] the pointer and read an immutable
     *    dir — a concurrent publish is invisible until the pointer lands;
+    *    if a crash leaves the tmp but no marker, the tmp is honored as
+    *    the pointer (its data dir was fully written before the tmp);
     *  - the previous version dir is deleted only AFTER the pointer swap,
     *    and a crash before the swap leaves an unreferenced dir that
-    *    [[gcUnreferenced]] collects while the old version keeps serving.
+    *    [[gcUnreferenced]] collects — behind a GRACE PERIOD, so an
+    *    in-flight publish's dir (written, pointer not yet landed) is
+    *    never mistaken for residue — while the old version keeps serving.
     *
     * This is the Delta/Iceberg pointer-commit shape reduced to ufload's
     * one-current-version-per-db semantics (no history, no manifest —
@@ -102,8 +107,18 @@ object Restore {
     val prev = resolveVersioned(spark, warehouse, db)
     df.write.mode("overwrite").parquet(versioned.toString)
     val marker = new Path(warehouse, s"$db.commit")
-    val out = fs.create(marker, true) // the ONE atomic single-object swap
+    val tmp = new Path(warehouse, s"$db.commit.tmp")
+    // tmp + rename, NOT create(marker, overwrite=true): create-overwrite
+    // TRUNCATES the live pointer before writing, so a crash mid-write (or
+    // a concurrent read) would see a torn marker where a committed db
+    // exists. The single-file rename is the atomic step; the window where
+    // the old marker is deleted but the rename hasn't landed is covered
+    // by resolveVersioned's tmp fallback.
+    val out = fs.create(tmp, true)
     try out.write(versioned.getName.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(marker)) fs.delete(marker, false)
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(s"pointer rename $tmp -> $marker failed")
     prev.filter(p => p.getName != versioned.getName)
       .foreach(p => fs.delete(p, true)) // old version dropped only now
     versioned
@@ -111,46 +126,69 @@ object Restore {
 
   /** Current version dir of `db` under the commit-marker protocol, or None
     * when never published (or the marker names a vanished dir — a lost
-    * pointer is surfaced as absence, not a read of stale data).
+    * pointer is surfaced as absence, not a read of stale data). When the
+    * marker is absent but the publish tmp exists, the tmp is honored: its
+    * data dir was fully written before the tmp, so a crash between the
+    * old-marker delete and the rename still resolves the NEW version.
     */
   def resolveVersioned(spark: SparkSession, warehouse: String,
                        db: String): Option[Path] = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(warehouse, s"$db.commit")
-    if (!fs.exists(marker)) None
-    else {
-      val in = fs.open(marker)
-      val name =
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          "UTF-8").trim
-        finally in.close()
-      // a torn/empty marker read must surface as absence — an empty name
-      // would otherwise resolve to the WAREHOUSE dir itself (and Path
-      // construction itself rejects empty strings)
-      Some(name).filter(_.startsWith(s"${db}__v"))
-        .map(new Path(warehouse, _)).filter(fs.exists(_))
-    }
+    def readPointer(p: Path): Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val name =
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            "UTF-8").trim
+          finally in.close()
+        // a torn/empty pointer read must surface as absence — an empty
+        // name would otherwise resolve to the WAREHOUSE dir itself (and
+        // Path construction itself rejects empty strings)
+        Some(name).filter(_.startsWith(s"${db}__v"))
+      }
+    readPointer(new Path(warehouse, s"$db.commit"))
+      .orElse(readPointer(new Path(warehouse, s"$db.commit.tmp")))
+      .map(new Path(warehouse, _)).filter(fs.exists(_))
   }
 
-  /** Collect version dirs no commit marker references — the crash residue
-    * of [[publishVersioned]] (data written, pointer never swapped). Safe
-    * by construction: a referenced dir is never touched, so a concurrent
-    * reader resolving the current pointer cannot lose its data.
+  /** Collect version dirs neither a commit marker nor a publish tmp
+    * references — the crash residue of [[publishVersioned]] (data
+    * written, pointer never swapped). `graceMs` guards the race with a
+    * LIVE publisher: a dir younger than the grace window is never
+    * collected, because "data written, pointer not yet landed" is
+    * indistinguishable from residue by state alone (the Iceberg
+    * remove-orphan-files posture — age, not state, separates in-flight
+    * from dead). Referenced dirs are never touched at any age, so a
+    * concurrent reader of the current pointer cannot lose data.
     */
-  def gcUnreferenced(spark: SparkSession, warehouse: String): Seq[String] = {
+  def gcUnreferenced(spark: SparkSession, warehouse: String,
+                     graceMs: Long = 6L * 3600 * 1000): Seq[String] = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(warehouse))) return Seq.empty
     val entries = fs.listStatus(new Path(warehouse)).toSeq
-    val referenced = entries.filter(e => e.isFile && e.getPath.getName.endsWith(".commit"))
-      .flatMap { e =>
-        val db = e.getPath.getName.stripSuffix(".commit")
-        resolveVersioned(spark, warehouse, db).map(_.getName)
-      }.toSet
+    // each pointer FILE protects its own named dir (a db mid-publish has
+    // marker→old AND tmp→new; both targets must survive the sweep)
+    val referenced = entries.filter { e =>
+      e.isFile && (e.getPath.getName.endsWith(".commit") ||
+        e.getPath.getName.endsWith(".commit.tmp"))
+    }.flatMap { e =>
+      val db = e.getPath.getName
+        .stripSuffix(".tmp").stripSuffix(".commit")
+      val in = fs.open(e.getPath)
+      val name =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim
+        finally in.close()
+      Some(name).filter(_.startsWith(s"${db}__v"))
+    }.toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val victims = entries
       .filter(e => e.isDirectory && e.getPath.getName.contains("__v") &&
-        !referenced.contains(e.getPath.getName))
+        !referenced.contains(e.getPath.getName) &&
+        e.getModificationTime < cutoff)
       .map(_.getPath.getName)
     victims.foreach(v => fs.delete(new Path(warehouse, v), true))
     victims

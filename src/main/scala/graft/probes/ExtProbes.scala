@@ -1202,10 +1202,16 @@ object ExtProbes {
   // arithmetic — dims alone could be faked from the header (q80's job);
   // the mean can only match if actual pixels were decoded. 1/5 of the
   // payloads are raw text bytes, pinning the undecodable marker row.
-  val q82: Q = (s, d) => {
-    import s.implicits._
-    val media = graft.core.Ops.widen(Tables.documents(s, d))
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+  /** q82's media synthesis — shared with the Scale tool's png_roundtrip
+    * row, so scale measurements run the exact payload mix the probe pins
+    * (every 5th doc raw text, the rest uniform-gray PNGs with
+    * doc_id-derived dims/gray — the same constants the oracle recomputes).
+    */
+  def q82Media(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         if (id % 5 == 0)
           graft.operators.Multimodal.MediaRecord(
@@ -1217,6 +1223,10 @@ object ExtProbes {
               (id % 31 + 1).toInt, (id % 23 + 1).toInt, (id % 256).toInt),
             "image/png")
       }
+  }
+
+  val q82: Q = (s, d) => {
+    val media = q82Media(graft.core.Ops.widen(Tables.documents(s, d)))
     graft.operators.Multimodal.decodeImages(media).toDF()
       .orderBy("media_id")
   }

@@ -216,16 +216,8 @@ object Scale {
           .groupBy("kind").agg(count(lit(1)).as("n")), Seq.empty)
       }
       run("png_roundtrip", n) {
-        import spark.implicits._
-        val media = d.select(col("doc_id"), col("text")).as[(Long, String)]
-          .map { case (id, text) =>
-            if (id % 5 == 0) graft.operators.Multimodal.MediaRecord(
-              id, text.getBytes("UTF-8"), "text/plain")
-            else graft.operators.Multimodal.MediaRecord(
-              id, graft.operators.Multimodal.encodeGrayPng(
-                (id % 31 + 1).toInt, (id % 23 + 1).toInt, (id % 256).toInt),
-              "image/png")
-          }
+        // q82's own synthesis — the scale row measures the probe's mix
+        val media = graft.probes.ExtProbes.q82Media(d)
         graft.core.Managed(graft.operators.Multimodal.decodeImages(media)
           .groupBy("bands").agg(count(lit(1)).as("n"),
             sum("mean_e4").as("s")), Seq.empty)

@@ -84,6 +84,13 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("ivfTopK"))
     // the sampled direction stays legal: big corpus, small query set
     Similarity.bruteForceTopK(big, small, 3)
+    // a FILTER-SAMPLED query side over-estimates (basic stats pass the
+    // Filter through at full child size) — the bounded count probe must
+    // accept it rather than false-positive
+    val sampled = spark.range(1L << 20)
+      .select(col("id"), array(lit(1.0), lit(0.0)).as("v"))
+      .filter(col("id") % (1L << 15) === 0) // 32 actual rows
+    Similarity.bruteForceTopK(small, sampled, 3, maxQueryBytes = 1024)
   }
 
   test("connectedComponents: min-label over chains, pairs and isolates") {
@@ -195,14 +202,24 @@ class ExtOperatorsSpec extends SparkSpec {
       b.put(Array(8, 6, 0, 0, 0).map(_.toByte))
       b.array()
     }
+    // GIF and BMP are ImageIO-decodable too: their claimed dims must be
+    // guarded the same way (40000 = 0x9C40 little-endian)
+    val gifBomb = "GIF89a".getBytes("US-ASCII") ++
+      Array(0x40, 0x9c, 0x40, 0x9c, 0, 0, 0).map(_.toByte)
+    val bmpBomb = "BM".getBytes("US-ASCII") ++ new Array[Byte](16) ++
+      Array(0x40, 0x9c, 0, 0, 0x40, 0x9c, 0, 0).map(_.toByte)
     val ok = Multimodal.encodeGrayPng(3, 2, 9)
     val got = Multimodal.decodeImages(Seq(
         Multimodal.MediaRecord(1L, bomb, "image/png"),
-        Multimodal.MediaRecord(2L, ok, "image/png")).toDS())
+        Multimodal.MediaRecord(2L, ok, "image/png"),
+        Multimodal.MediaRecord(3L, gifBomb, "image/gif"),
+        Multimodal.MediaRecord(4L, bmpBomb, "image/bmp")).toDS())
       .collect().sortBy(_.media_id).toSeq
     assert(got == Seq(
       Multimodal.DecodedImage(1L, 0, 0, 0, -1L),
-      Multimodal.DecodedImage(2L, 3, 2, 1, 90000L)))
+      Multimodal.DecodedImage(2L, 3, 2, 1, 90000L),
+      Multimodal.DecodedImage(3L, 0, 0, 0, -1L),
+      Multimodal.DecodedImage(4L, 0, 0, 0, -1L)))
   }
 
   test("contaminationFlags marks exactly the docs sharing a benchmark n-gram") {

@@ -239,7 +239,13 @@ class RestoreFlowSpec extends SparkSpec {
     v1data.write.parquet(new org.apache.hadoop.fs.Path(wh, "DB1__vcrash").toString)
     // and a second db whose CURRENT version must survive the sweep
     val q1 = Restore.publishVersioned(spark, v1data, wh, "DB2", "t1")
-    assert(Restore.gcUnreferenced(spark, wh) == Seq("DB1__vcrash"))
+    // default grace: a YOUNG unreferenced dir is indistinguishable from a
+    // live publisher's not-yet-committed write — never collected
+    assert(Restore.gcUnreferenced(spark, wh) == Seq.empty)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(wh, "DB1__vcrash")))
+    // past the grace window (cutoff pushed into the future) it IS residue
+    assert(Restore.gcUnreferenced(spark, wh, graceMs = -60000L) ==
+      Seq("DB1__vcrash"))
     assert(Restore.resolveVersioned(spark, wh, "DB1").contains(p2))
     assert(Restore.resolveVersioned(spark, wh, "DB2").contains(q1))
 
