@@ -260,4 +260,30 @@ class RestoreFlowSpec extends SparkSpec {
     out.close() // zero bytes written
     assert(Restore.resolveVersioned(spark, wh, "DB3").isEmpty)
   }
+
+  test("publishVersioned: a publish chain leaves exactly the last version; " +
+      "a racer's orphan dir is grace-protected then collected") {
+    val wh = Files.createTempDirectory("graft_race_wh").toString
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0 = Restore.publishVersioned(spark, Seq((0L, "x")).toDF("id", "x"),
+      wh, "DBR", "t0")
+    val a = Restore.publishVersioned(spark, Seq((1L, "a")).toDF("id", "x"),
+      wh, "DBR", "tA")
+    val b = Restore.publishVersioned(spark, Seq((2L, "b")).toDF("id", "x"),
+      wh, "DBR", "tB")
+    // sequential chain: each publish drops exactly its observed prev
+    assert(Restore.resolveVersioned(spark, wh, "DBR").contains(b))
+    assert(!fs.exists(v0) && !fs.exists(a))
+    assert(spark.read.parquet(b.toString).count() == 1)
+    // a RACING publisher that lost the pointer race before its swap (its
+    // dir written, never referenced — the scenario gcUnreferenced's grace
+    // exists for): protected young, collected old; the winner untouched
+    Seq((9L, "r")).toDF("id", "x").write
+      .parquet(new org.apache.hadoop.fs.Path(wh, "DBR__vracer").toString)
+    assert(Restore.gcUnreferenced(spark, wh) == Seq.empty)
+    assert(Restore.gcUnreferenced(spark, wh, graceMs = -60000L) ==
+      Seq("DBR__vracer"))
+    assert(Restore.resolveVersioned(spark, wh, "DBR").contains(b))
+  }
 }
