@@ -13,12 +13,17 @@ import org.apache.spark.sql.SparkSession
   * Root log level is forced to ERROR before the session starts so log noise
   * can't land between the line and process exit.
   *
-  * Regression gate: per-query medians are compared against
+  * Regression gate: per-query times are compared against
   * `BASELINE_QUERIES.json` (recorded from the prior round's driver bench at
-  * the same SF). A query >2× its baseline AND >0.3 s absolute over it is
-  * reported in the `regressions` array — visible in the artifact itself, so
-  * a silent per-query regression (round 3's unexplained q30) can't hide
-  * behind a healthy total.
+  * the same SF). The gate tests the MINIMUM of the runs — a genuine code
+  * regression slows every run, while box contention typically hits a
+  * subset, so gating on best-run kills the bouncing false flags measured
+  * in round 5 (consecutive same-code suites flagged disjoint query pairs)
+  * without hiding a real slowdown. The reported per-query number stays the
+  * MEDIAN (the honest expected cost). A flagged query (min > 2× baseline
+  * AND > 0.3 s over it) is reported in the `regressions` array — visible
+  * in the artifact itself, so a silent per-query regression (round 3's
+  * unexplained q30) can't hide behind a healthy total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -47,10 +52,16 @@ object Bench {
     }
     val nRuns = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until nRuns).flatMap(_ => runOnce(fn)).sorted
-      // median of successful runs; all-failed -> -1 marker
+    val allTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> (0 until nRuns).flatMap(_ => runOnce(fn)).sorted
+    }
+    // median of successful runs; all-failed -> -1 marker
+    val results = allTimes.map { case (name, times) =>
       name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
+    }.toMap
+    // best run per query — the regression gate's input (see scaladoc)
+    val best = allTimes.collect {
+      case (name, times) if times.nonEmpty => name -> times.head
     }.toMap
 
     // ---- regression gate --------------------------------------------------
@@ -71,7 +82,7 @@ object Bench {
     // from these triples so the thresholds cannot drift apart
     val regTriples = results.toSeq.sorted.collect {
       case (q, sec) if sec >= 0 && baseline.get(q).exists(b =>
-          sec > 2 * b && sec - b > 0.3) => (q, sec, baseline(q))
+          best(q) > 2 * b && best(q) - b > 0.3) => (q, sec, baseline(q))
     }
     // ROOT-locale rendering everywhere a number enters JSON: the f""
     // interpolator formats with the JVM default locale, and a

@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
   *    nearest cell in a single narrow pass; queries probe only `nprobe`
   *    cells, so the candidate join shuffles on cell id and touches
   *    |cells probed| / |cells| of the corpus instead of all of it.
+  *  - [[writeIvfIndex]] / [[ivfTopKIndexed]] — the index-reuse form:
+  *    training + assignment persist once (assignments partitioned by
+  *    cell → probe-time dynamic partition pruning), every later query
+  *    batch pays only probe-side work.
   */
 object Similarity {
 
