@@ -98,4 +98,25 @@ class MediaHeaderSpec extends org.scalatest.funsuite.AnyFunSuite {
       .map(_.toByte)
     assert(Multimodal.parseHeader(sosFirst).kind == "unknown")
   }
+
+  test("GIF and BMP headers parse dims (little-endian); short forms refuse") {
+    // GIF89a, logical screen 320x200: LE u16s at 6 and 8
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array(0x40, 0x01, 0xc8, 0x00, 0, 0, 0).map(_.toByte)
+    assert(Multimodal.parseHeader(gif) == MediaMeta("gif", 320, 200, 0, 0))
+    // BMP, 640x480: LE i32s at 18 and 22; negative height (top-down rows)
+    // reports its magnitude
+    def bmp(w: Int, h: Int) = "BM".getBytes("US-ASCII") ++
+      new Array[Byte](16) ++
+      Array(w & 0xff, (w >> 8) & 0xff, (w >> 16) & 0xff, (w >> 24) & 0xff,
+        h & 0xff, (h >> 8) & 0xff, (h >> 16) & 0xff, (h >> 24) & 0xff)
+        .map(_.toByte)
+    assert(Multimodal.parseHeader(bmp(640, 480)) ==
+      MediaMeta("bmp", 640, 480, 0, 0))
+    assert(Multimodal.parseHeader(bmp(640, -480)) ==
+      MediaMeta("bmp", 640, 480, 0, 0))
+    // truncated signatures refuse to classify
+    assert(Multimodal.parseHeader(gif.take(8)).kind == "unknown")
+    assert(Multimodal.parseHeader(bmp(1, 1).take(20)).kind == "unknown")
+  }
 }
