@@ -269,4 +269,31 @@ class PlanContractSpec extends SparkSpec {
       "probe join must dynamically prune cid partitions:\n" +
         p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
   }
+
+  test("corpus-wide: no cartesian product in ANY probe plan; BNLJ sites " +
+      "stay on the documented tiny-broadcast allowlist") {
+    // static planning only (no execution): the corpus-level net under the
+    // per-query contracts above — a future edit that degrades a join to
+    // a cartesian, or adds a nested-loop join outside the known 1-row /
+    // centroid-set / guarded-baseline sites, fails here by name
+    val bnljAllowed = Set(
+      "q12_version_sort", "q20_decile_bucketing", "q23_cosine_topk",
+      "q30_cosine_neardup", "q31_ivf_ann", "q40_kmeans_step",
+      "q56_user_rights_sort", "q70_ivf_neardup")
+    val singlePartAllowed = Set("q20_decile_bucketing") // 1-row scalar max
+    val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) => name -> fn(spark, sf).queryExecution.executedPlan.toString
+    }
+    val cartesian = plans.collect {
+      case (n, p) if p.contains("CartesianProduct") => n }
+    assert(cartesian.isEmpty, s"cartesian products in: $cartesian")
+    val bnlj = plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") => n }.toSet
+    assert((bnlj -- bnljAllowed).isEmpty,
+      s"NEW nested-loop-join sites (document or fix): ${bnlj -- bnljAllowed}")
+    val singlePart = plans.collect {
+      case (n, p) if p.contains("Exchange SinglePartition") => n }.toSet
+    assert((singlePart -- singlePartAllowed).isEmpty,
+      s"NEW single-partition exchanges: ${singlePart -- singlePartAllowed}")
+  }
 }
