@@ -137,13 +137,76 @@ object Multimodal {
       Some(MediaMeta("gif", leShort(b, 6), leShort(b, 8), 0, 0))
     else None
 
-  /** BMP: BM signature, width/height little-endian i32 at 18/22 (height
-    * may be negative for top-down rows — report its magnitude).
+  /** BMP: BM signature, then the DIB header whose SIZE (little-endian i32
+    * at 14) picks the layout — 12 = OS/2 BITMAPCOREHEADER with u16 dims
+    * at 18/20, anything larger = BITMAPINFOHEADER family with i32 dims at
+    * 18/22 (height may be negative for top-down rows — report its
+    * magnitude). ImageIO decodes BOTH, so the bomb guard must read both
+    * correctly: treating a core-header file as info-header misparses its
+    * dims into a negative width that slips past the pixel check.
     */
   private def parseBmp(b: Array[Byte]): Option[MediaMeta] =
-    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
-      Some(MediaMeta("bmp", leInt(b, 18), math.abs(leInt(b, 22)), 0, 0))
-    else None
+    if (b.length >= 22 && b(0) == 'B' && b(1) == 'M') {
+      if (leInt(b, 14) == 12)
+        Some(MediaMeta("bmp", leShort(b, 18), leShort(b, 20), 0, 0))
+      else if (b.length >= 26)
+        Some(MediaMeta("bmp", leInt(b, 18), math.abs(leInt(b, 22)), 0, 0))
+      else None
+    } else None
+
+  /** Largest image-descriptor dims inside a GIF — what ImageIO actually
+    * allocates per frame (the logical-screen descriptor at bytes 6/8 can
+    * lie small while a frame claims huge). Bounded block walk: skip the
+    * global color table, then extensions (0x21: label + length-prefixed
+    * sub-blocks) until an image descriptor (0x2C, dims at +5/+7 LE u16)
+    * or trailer (0x3B). Any structural garbage ends the walk — the
+    * already-seen maximum stands.
+    */
+  private def gifMaxFrameDims(b: Array[Byte]): (Int, Int) = {
+    var best = (0, 0)
+    if (b.length < 13) return best
+    var i = 13 + (if ((b(10) & 0x80) != 0) 3 << ((b(10) & 7) + 1) else 0)
+    var done = false
+    while (!done && i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x2c =>
+          if (i + 9 <= b.length) {
+            val w = leShort(b, i + 5)
+            val h = leShort(b, i + 7)
+            if (w.toLong * h > best._1.toLong * best._2) best = (w, h)
+            // local color table + image data follow; frame-dim hunting is
+            // all the guard needs — stop at the first descriptor (later
+            // frames can't be reached without LZW-decoding this one)
+          }
+          done = true
+        case 0x21 => // extension: label byte, then sub-blocks until a 0 len
+          i += 2
+          while (i < b.length && (b(i) & 0xff) != 0) i += 1 + (b(i) & 0xff)
+          i += 1
+        case 0x3b => done = true // trailer
+        case _ => done = true    // structural garbage: stop
+      }
+    }
+    best
+  }
+
+  /** Header-claimed pixel count for every format ImageIO would decode —
+    * the decompression-bomb guard's input, exposed so the guard logic is
+    * directly testable. GIF takes the max of the logical screen and the
+    * first frame descriptor; negative claims clamp to 0 (ImageIO rejects
+    * them before allocating).
+    */
+  def claimedPixels(bytes: Array[Byte]): Long = {
+    val m = parseHeader(bytes)
+    val base = math.max(0L, m.width.toLong) * math.max(0L, m.height.toLong)
+    m.kind match {
+      case "png" | "jpeg" | "bmp" => base
+      case "gif" =>
+        val (fw, fh) = gifMaxFrameDims(bytes)
+        math.max(base, math.max(0L, fw.toLong) * math.max(0L, fh.toLong))
+      case _ => 0L
+    }
+  }
 
   /** Container sniff + header parse. Order: PNG/WAV/GIF/BMP have fixed
     * signatures; JPEG's walk runs last (its sniff is just two bytes).
@@ -205,15 +268,12 @@ object Multimodal {
           // Decompression-bomb guard: a few-hundred-byte payload whose
           // header CLAIMS 10⁹×10⁹ would make ImageIO.read allocate the
           // full raster and OOM the executor — the classic crawl-corpus
-          // hazard. Header dims are checked BEFORE any decode for EVERY
-          // format ImageIO would otherwise decode (PNG/JPEG/GIF/BMP);
-          // oversized claims degrade to the marker row like any other
-          // undecodable payload. Negative claimed dims multiply to
-          // nonsense but then fail inside ImageIO, which rejects them
-          // without allocating.
-          val claimed = parseHeader(r.media)
-          val bomb = Set("png", "jpeg", "gif", "bmp").contains(claimed.kind) &&
-            claimed.width.toLong * claimed.height > maxPixels
+          // hazard. [[claimedPixels]] reads what ImageIO would ALLOCATE
+          // for every format it decodes (PNG/JPEG/BMP incl. OS/2 core
+          // headers, GIF incl. the frame descriptor behind a small
+          // logical screen) BEFORE any decode; oversized claims degrade
+          // to the marker row like any other undecodable payload.
+          val bomb = claimedPixels(r.media) > maxPixels
           val img =
             if (bomb) None
             else try Option(javax.imageio.ImageIO.read(

@@ -107,18 +107,21 @@ object Restore {
     val prev = resolveVersioned(spark, warehouse, db)
     df.write.mode("overwrite").parquet(versioned.toString)
     val marker = new Path(warehouse, s"$db.commit")
-    val tmp = new Path(warehouse, s"$db.commit.tmp")
-    // tmp + rename, NOT create(marker, overwrite=true): create-overwrite
-    // TRUNCATES the live pointer before writing, so a crash mid-write (or
-    // a concurrent read) would see a torn marker where a committed db
-    // exists. The single-file rename is the atomic step; the window where
-    // the old marker is deleted but the rename hasn't landed is covered
-    // by resolveVersioned's tmp fallback.
+    // PER-PUBLISH tmp (token-unique) + OVERWRITE rename, NOT
+    // create(marker, overwrite=true) and NOT delete-then-rename:
+    // create-overwrite TRUNCATES the live pointer before writing (a crash
+    // mid-write tears it), a shared tmp lets racing publishers consume
+    // each other's rename source, and an explicit delete step opens a
+    // marker-absence window. FileContext.rename(OVERWRITE) is the one
+    // atomic step — last-writer-wins, the marker file always exists once
+    // first published. (On S3-style stores swap this for a direct PUT of
+    // the final object — the store's own atomic single-object write.)
+    val tmp = new Path(warehouse, s"$db.commit.tmp.$token")
     val out = fs.create(tmp, true)
     try out.write(versioned.getName.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(marker)) fs.delete(marker, false)
-    if (!fs.rename(tmp, marker))
-      throw new java.io.IOException(s"pointer rename $tmp -> $marker failed")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(warehouse).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     prev.filter(p => p.getName != versioned.getName)
       .foreach(p => fs.delete(p, true)) // old version dropped only now
     versioned
@@ -126,42 +129,52 @@ object Restore {
 
   /** Current version dir of `db` under the commit-marker protocol, or None
     * when never published (or the marker names a vanished dir — a lost
-    * pointer is surfaced as absence, not a read of stale data). When the
-    * marker is absent but the publish tmp exists, the tmp is honored: its
-    * data dir was fully written before the tmp, so a crash between the
-    * old-marker delete and the rename still resolves the NEW version.
+    * pointer is surfaced as absence, not a read of stale data). Only the
+    * MARKER is consulted: tmps are unreferenced publish scratch (a tmp
+    * fallback could resurrect a crashed publish's half-dead version long
+    * after newer publishes superseded it), and since the swap is an
+    * overwrite-rename the marker never disappears once first published.
     */
   def resolveVersioned(spark: SparkSession, warehouse: String,
                        db: String): Option[Path] = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def readPointer(p: Path): Option[String] =
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        val name =
-          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-            "UTF-8").trim
-          finally in.close()
-        // a torn/empty pointer read must surface as absence — an empty
-        // name would otherwise resolve to the WAREHOUSE dir itself (and
-        // Path construction itself rejects empty strings)
-        Some(name).filter(_.startsWith(s"${db}__v"))
-      }
-    readPointer(new Path(warehouse, s"$db.commit"))
-      .orElse(readPointer(new Path(warehouse, s"$db.commit.tmp")))
+    readPointer(fs, new Path(warehouse, s"$db.commit"), db)
       .map(new Path(warehouse, _)).filter(fs.exists(_))
   }
 
-  /** Collect version dirs neither a commit marker nor a publish tmp
-    * references — the crash residue of [[publishVersioned]] (data
-    * written, pointer never swapped). `graceMs` guards the race with a
-    * LIVE publisher: a dir younger than the grace window is never
-    * collected, because "data written, pointer not yet landed" is
-    * indistinguishable from residue by state alone (the Iceberg
+  /** Defensive pointer read: absent file, a file vanishing between list
+    * and open (FileNotFound is a normal race against a publisher, not an
+    * error), a torn/empty body, or a name outside `<db>__v*` all read as
+    * None — an empty name would otherwise resolve to the WAREHOUSE dir
+    * itself (and Path construction rejects empty strings).
+    */
+  private def readPointer(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                          db: String): Option[String] =
+    try {
+      val in = fs.open(p)
+      val name =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim
+        finally in.close()
+      Some(name).filter(_.startsWith(s"${db}__v"))
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** Collect crash residue of [[publishVersioned]]: version dirs no
+    * pointer references (data written, pointer never swapped) and AGED
+    * publish tmps (a tmp outliving the grace window belongs to a dead
+    * publisher — live ones rename theirs within one publish). `graceMs`
+    * guards the race with a LIVE publisher: anything younger than the
+    * grace window is never collected, because "written, not yet landed"
+    * is indistinguishable from residue by state alone (the Iceberg
     * remove-orphan-files posture — age, not state, separates in-flight
-    * from dead). Referenced dirs are never touched at any age, so a
-    * concurrent reader of the current pointer cannot lose data.
+    * from dead). Pointer reads tolerate files vanishing mid-sweep (a
+    * publisher renaming its tmp is normal, not an error). Marker-
+    * referenced dirs are never touched at any age, so a concurrent
+    * reader of the current pointer cannot lose data. Aged tmps protect
+    * their named dirs for ONE extra sweep (the dir ages past grace too
+    * and falls in the next one) — deliberate: never collect a dir in the
+    * same sweep that discovered its pointer.
     */
   def gcUnreferenced(spark: SparkSession, warehouse: String,
                      graceMs: Long = 6L * 3600 * 1000): Seq[String] = {
@@ -169,29 +182,23 @@ object Restore {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(warehouse))) return Seq.empty
     val entries = fs.listStatus(new Path(warehouse)).toSeq
-    // each pointer FILE protects its own named dir (a db mid-publish has
-    // marker→old AND tmp→new; both targets must survive the sweep)
+    def dbOf(n: String) = n.takeWhile(_ != '.') // <db>.commit[.tmp.<token>]
     val referenced = entries.filter { e =>
-      e.isFile && (e.getPath.getName.endsWith(".commit") ||
-        e.getPath.getName.endsWith(".commit.tmp"))
-    }.flatMap { e =>
-      val db = e.getPath.getName
-        .stripSuffix(".tmp").stripSuffix(".commit")
-      val in = fs.open(e.getPath)
-      val name =
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          "UTF-8").trim
-        finally in.close()
-      Some(name).filter(_.startsWith(s"${db}__v"))
-    }.toSet
+      e.isFile && e.getPath.getName.contains(".commit")
+    }.flatMap(e => readPointer(fs, e.getPath, dbOf(e.getPath.getName))).toSet
     val cutoff = System.currentTimeMillis() - graceMs
+    def aged(e: org.apache.hadoop.fs.FileStatus) = e.getModificationTime < cutoff
+    val staleTmps = entries
+      .filter(e => e.isFile && e.getPath.getName.contains(".commit.tmp.") &&
+        aged(e))
+      .map(_.getPath.getName)
     val victims = entries
       .filter(e => e.isDirectory && e.getPath.getName.contains("__v") &&
-        !referenced.contains(e.getPath.getName) &&
-        e.getModificationTime < cutoff)
+        !referenced.contains(e.getPath.getName) && aged(e))
       .map(_.getPath.getName)
-    victims.foreach(v => fs.delete(new Path(warehouse, v), true))
-    victims
+    (victims ++ staleTmps).foreach(v =>
+      fs.delete(new Path(warehouse, v), true))
+    victims ++ staleTmps
   }
 
   /** Catalog scan (OP-6): one row per published db dir under warehouse. */

@@ -32,7 +32,10 @@ object PlanAudit {
         // NOTE: no WholeStageCodegen column — pre-execution AQE plan
         // strings show the initial plan, where codegen wrapping has not
         // been applied yet (the Scale tool sees final adaptive plans)
-        val ex = count(p, "Exchange ")
+        // shuffle exchanges only: a bare "Exchange " would also match
+        // inside BroadcastExchange / ReusedExchange and inflate the count
+        val ex = count(p,
+          "Exchange (hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)")
         val sp = count(p, "Exchange SinglePartition")
         val bhj = count(p, "BroadcastHashJoin")
         val smj = count(p, "SortMergeJoin")

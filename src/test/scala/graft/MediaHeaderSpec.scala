@@ -119,4 +119,35 @@ class MediaHeaderSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Multimodal.parseHeader(gif.take(8)).kind == "unknown")
     assert(Multimodal.parseHeader(bmp(1, 1).take(20)).kind == "unknown")
   }
+
+  test("claimedPixels reads what ImageIO would allocate (guard input)") {
+    // GIF whose LOGICAL SCREEN is 1x1 but whose frame descriptor claims
+    // 65535x65535 — the allocation happens per frame, so the guard must
+    // see ~4.3e9, not 1 (a crafted bomb's exact shape)
+    val gifFrameBomb = "GIF89a".getBytes("US-ASCII") ++
+      Array(1, 0, 1, 0, 0, 0, 0).map(_.toByte) ++          // LSD 1x1, no GCT
+      Array(0x2c, 0, 0, 0, 0).map(_.toByte) ++             // descriptor at 0,0
+      Array(0xff, 0xff, 0xff, 0xff, 0).map(_.toByte)       // 65535x65535
+    assert(graft.operators.Multimodal.claimedPixels(gifFrameBomb) ==
+      65535L * 65535L)
+    // extension blocks before the descriptor are walked, not mistaken for it
+    val gifWithExt = "GIF89a".getBytes("US-ASCII") ++
+      Array(1, 0, 1, 0, 0, 0, 0).map(_.toByte) ++
+      Array(0x21, 0xf9, 4, 0, 0, 0, 0, 0).map(_.toByte) ++ // GCE sub-block
+      Array(0x2c, 0, 0, 0, 0, 0x40, 0x9c, 0x40, 0x9c, 0).map(_.toByte)
+    assert(graft.operators.Multimodal.claimedPixels(gifWithExt) ==
+      40000L * 40000L)
+    // OS/2 BITMAPCOREHEADER: size=12 at offset 14, u16 dims at 18/20 —
+    // reading these as the info-header i32 layout yields a NEGATIVE width
+    // that would slip past the guard
+    val os2Bomb = "BM".getBytes("US-ASCII") ++ new Array[Byte](12) ++
+      Array(12, 0, 0, 0, 0xff, 0xff, 0xff, 0xff, 1, 0, 8, 0).map(_.toByte)
+    assert(graft.operators.Multimodal.claimedPixels(os2Bomb) ==
+      65535L * 65535L)
+    // honest small images stay small
+    assert(graft.operators.Multimodal.claimedPixels(
+      graft.operators.Multimodal.encodeGrayPng(7, 3, 1)) == 21L)
+    assert(graft.operators.Multimodal.claimedPixels(
+      "not an image".getBytes("UTF-8")) == 0L)
+  }
 }

@@ -103,9 +103,14 @@ object NamingProps extends Properties("Naming") {
       val wav = "RIFF".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4) ++
         "WAVE".getBytes("US-ASCII") ++ tail
       val jpg = Array(0xff, 0xd8).map(_.toByte) ++ tail
+      val gif = "GIF89a".getBytes("US-ASCII") ++ tail
       graft.operators.Multimodal.parseHeader(wav)
       graft.operators.Multimodal.parseHeader(jpg)
-      true
+      // claimedPixels additionally walks GIF extension/descriptor blocks
+      // and the BMP DIB-size branch — total on fuzz, never negative
+      graft.operators.Multimodal.claimedPixels(gif) >= 0L &&
+        graft.operators.Multimodal.claimedPixels(
+          "BM".getBytes("US-ASCII") ++ tail) >= 0L
     }
 
   property("parseHeader is total on truncated REAL png prefixes") = {
