@@ -90,10 +90,26 @@ object Bpe {
     words.mapPartitions(_.map(w => (w, encodeOne(w, table, ranks))))
   }
 
+  /** Seed symbols from CODE POINTS, not UTF-16 code units — `split(word,
+    * "")` (the [[charSymbols]] form) never splits a surrogate pair, so the
+    * scale path must not either, or non-BMP words (emoji, rare CJK) would
+    * emit lone-surrogate symbols that can never match trained merges.
+    */
+  private[graft] def codePointSymbols(w: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var k = 0
+    while (k < w.length) {
+      val cp = w.codePointAt(k)
+      buf += new String(Character.toChars(cp))
+      k += Character.charCount(cp)
+    }
+    buf
+  }
+
   private[graft] def encodeOne(w: String,
                                    table: Vector[(String, String)],
                                    ranks: Map[(String, String), Int]): Seq[String] = {
-    var syms = scala.collection.mutable.ArrayBuffer[String](w.map(_.toString): _*)
+    var syms = codePointSymbols(w)
     var done = syms.length < 2
     while (!done) {
       var best = Int.MaxValue

@@ -149,9 +149,18 @@ object Multimodal {
     if (b.length >= 22 && b(0) == 'B' && b(1) == 'M') {
       if (leInt(b, 14) == 12)
         Some(MediaMeta("bmp", leShort(b, 18), leShort(b, 20), 0, 0))
-      else if (b.length >= 26)
-        Some(MediaMeta("bmp", leInt(b, 18), math.abs(leInt(b, 22)), 0, 0))
-      else None
+      else if (b.length >= 26) {
+        // Negative width is not a valid BMP (only height legitimately goes
+        // negative, for top-down rows) — clamp BOTH dims to >= 0 so no
+        // crafted header reaches MediaMeta with a negative dimension, and
+        // take the height's magnitude via negation-of-min (math.abs leaves
+        // Int.MinValue negative).
+        val w = math.max(0, leInt(b, 18))
+        val h0 = leInt(b, 22)
+        val h = if (h0 == Int.MinValue) Int.MaxValue
+                else math.abs(h0)
+        Some(MediaMeta("bmp", w, h, 0, 0))
+      } else None
     } else None
 
   /** Largest image-descriptor dims inside a GIF — what ImageIO actually

@@ -86,11 +86,13 @@ object Restore {
     *    dir — a concurrent publish is invisible until the pointer lands;
     *    if a crash leaves the tmp but no marker, the tmp is honored as
     *    the pointer (its data dir was fully written before the tmp);
-    *  - the previous version dir is deleted only AFTER the pointer swap,
-    *    and a crash before the swap leaves an unreferenced dir that
-    *    [[gcUnreferenced]] collects — behind a GRACE PERIOD, so an
-    *    in-flight publish's dir (written, pointer not yet landed) is
-    *    never mistaken for residue — while the old version keeps serving.
+    *  - the previous version dir is RETAINED after the pointer swap (its
+    *    mtime refreshed to the supersede moment) and collected later by
+    *    [[gcUnreferenced]] behind the GRACE PERIOD — so a reader that
+    *    resolved the old pointer an instant before the swap can finish a
+    *    long scan without FileNotFound mid-job. The same grace protects
+    *    an in-flight publish's dir (written, pointer not yet landed)
+    *    from being mistaken for residue.
     *
     * This is the Delta/Iceberg pointer-commit shape reduced to ufload's
     * one-current-version-per-db semantics (no history, no manifest —
@@ -122,8 +124,20 @@ object Restore {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       new Path(warehouse).toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // The superseded dir is NOT deleted here: a reader that resolved the
+    // old pointer just before the swap may still be mid-scan. Refresh its
+    // mtime so [[gcUnreferenced]]'s grace window restarts from the
+    // SUPERSEDE moment (dir mtime is otherwise the original publish time,
+    // which is already aged) — readers get a full graceMs of retention and
+    // GC does the actual cleanup. (A crash before setTimes leaves the old
+    // mtime; that dir falls in the next sweep — same exposure as any
+    // crash residue, documented in gcUnreferenced.)
+    val now = System.currentTimeMillis()
     prev.filter(p => p.getName != versioned.getName)
-      .foreach(p => fs.delete(p, true)) // old version dropped only now
+      .foreach(p => try fs.setTimes(p, now, now) catch {
+        case _: java.io.IOException => () // store without setTimes: dir
+          // stays collectible by age alone — no worse than pre-swap state
+      })
     versioned
   }
 

@@ -54,8 +54,12 @@ class BpeSpec extends SparkSpec {
       .toDF("text")
     val (merges, _) = Bpe.train(Bpe.wordFreqs(corpus, "text"), numMerges = 6)
     assert(merges.nonEmpty)
+    // includes supplementary-plane words (emoji, U+1D11E): split(word, "")
+    // is code-point aware, so encodeOne must seed code points too — a
+    // UTF-16 code-unit seed would emit lone surrogates here and diverge
     val words = Seq("lowest", "newer", "wide", "low", "x", "", "thunder",
-      "intand", "ananan", "andand")
+      "intand", "ananan", "andand", "lo😀west", "𝄞",
+      "🐟🐟and")
     for (table <- Seq(merges, Bpe.DemoMerges)) {
       val colForm = words.toDF("w")
         .select(col("w"), Bpe.encodeSymbols(col("w"), table).as("t"))
@@ -68,5 +72,14 @@ class BpeSpec extends SparkSpec {
     val enc = Bpe.encodeWords(Seq("thandthe").toDS(), Bpe.DemoMerges)
       .collect().head._2
     assert(enc == Seq("th", "and", "the"))
+  }
+
+  test("codePointSymbols never splits surrogate pairs") {
+    assert(Bpe.codePointSymbols("ab").toSeq == Seq("a", "b"))
+    assert(Bpe.codePointSymbols("a😀b").toSeq ==
+      Seq("a", "😀", "b"))
+    assert(Bpe.codePointSymbols("").isEmpty)
+    // a LONE surrogate (malformed input) still round-trips as one symbol
+    assert(Bpe.codePointSymbols("\ud83d").toSeq == Seq("\ud83d"))
   }
 }

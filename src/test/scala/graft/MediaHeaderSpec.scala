@@ -115,6 +115,14 @@ class MediaHeaderSpec extends org.scalatest.funsuite.AnyFunSuite {
       MediaMeta("bmp", 640, 480, 0, 0))
     assert(Multimodal.parseHeader(bmp(640, -480)) ==
       MediaMeta("bmp", 640, 480, 0, 0))
+    // crafted NEGATIVE width (invalid in any BMP) clamps to 0 — no
+    // MediaMeta row ever carries a negative dimension
+    assert(Multimodal.parseHeader(bmp(-640, 480)) ==
+      MediaMeta("bmp", 0, 480, 0, 0))
+    // Int.MinValue height: math.abs would stay negative; we report the
+    // maximal magnitude so the bomb guard sees a huge claim, not a tiny one
+    assert(Multimodal.parseHeader(bmp(2, Int.MinValue)) ==
+      MediaMeta("bmp", 2, Int.MaxValue, 0, 0))
     // truncated signatures refuse to classify
     assert(Multimodal.parseHeader(gif.take(8)).kind == "unknown")
     assert(Multimodal.parseHeader(bmp(1, 1).take(20)).kind == "unknown")

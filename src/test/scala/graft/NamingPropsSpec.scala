@@ -92,7 +92,7 @@ object NamingProps extends Properties("Naming") {
   property("parseHeader is total on arbitrary bytes (never throws)") =
     forAll(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) { bs =>
       val m = graft.operators.Multimodal.parseHeader(bs)
-      m.kind == "unknown" || Seq("png", "jpeg", "wav").contains(m.kind)
+      m.kind == "unknown" || Seq("png", "jpeg", "wav", "gif", "bmp").contains(m.kind)
     }
 
   property("parseHeader total on signature-prefixed fuzz (walks bounded)") =

@@ -223,12 +223,21 @@ class RestoreFlowSpec extends SparkSpec {
     assert(spark.read.parquet(p1.toString).as[(Long, String)].collect()
       .toSeq == Seq((1L, "a")))
 
-    // second publish: pointer moves, v1 dir dropped only after the swap
+    // second publish: pointer moves, but the superseded dir is RETAINED
+    // (mtime refreshed, grace-protected) so a reader that resolved the old
+    // pointer just before the swap can finish its scan; gcUnreferenced is
+    // the one cleanup path
     val p2 = Restore.publishVersioned(spark, v2data, wh, "DB1", "t2")
     assert(Restore.resolveVersioned(spark, wh, "DB1").contains(p2))
     val fs = new org.apache.hadoop.fs.Path(wh)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(p1), "previous version dir must be GC'd post-swap")
+    assert(fs.exists(p1), "superseded version dir must survive the swap " +
+      "for grace-window readers")
+    assert(spark.read.parquet(p1.toString).as[(Long, String)].collect()
+      .toSeq == Seq((1L, "a")), "retained dir stays fully readable")
+    // young (mtime refreshed at supersede) → a default-grace sweep spares it
+    assert(Restore.gcUnreferenced(spark, wh) == Seq.empty)
+    assert(fs.exists(p1))
 
     // version dirs are immutable: token reuse refuses
     intercept[IllegalArgumentException] {
@@ -243,9 +252,10 @@ class RestoreFlowSpec extends SparkSpec {
     // live publisher's not-yet-committed write — never collected
     assert(Restore.gcUnreferenced(spark, wh) == Seq.empty)
     assert(fs.exists(new org.apache.hadoop.fs.Path(wh, "DB1__vcrash")))
-    // past the grace window (cutoff pushed into the future) it IS residue
-    assert(Restore.gcUnreferenced(spark, wh, graceMs = -60000L) ==
-      Seq("DB1__vcrash"))
+    // past the grace window (cutoff pushed into the future) the crash
+    // residue AND the superseded v1 dir are both collected
+    assert(Restore.gcUnreferenced(spark, wh, graceMs = -60000L).sorted ==
+      Seq("DB1__vcrash", "DB1__vt1"))
     assert(Restore.resolveVersioned(spark, wh, "DB1").contains(p2))
     assert(Restore.resolveVersioned(spark, wh, "DB2").contains(q1))
 
@@ -272,9 +282,10 @@ class RestoreFlowSpec extends SparkSpec {
       wh, "DBR", "tA")
     val b = Restore.publishVersioned(spark, Seq((2L, "b")).toDF("id", "x"),
       wh, "DBR", "tB")
-    // sequential chain: each publish drops exactly its observed prev
+    // sequential chain: pointer tracks the last publish; superseded dirs
+    // are retained for grace-window readers, then swept together
     assert(Restore.resolveVersioned(spark, wh, "DBR").contains(b))
-    assert(!fs.exists(v0) && !fs.exists(a))
+    assert(fs.exists(v0) && fs.exists(a))
     assert(spark.read.parquet(b.toString).count() == 1)
     // a RACING publisher that lost the pointer race before its swap (its
     // dir written, never referenced — the scenario gcUnreferenced's grace
@@ -282,8 +293,9 @@ class RestoreFlowSpec extends SparkSpec {
     Seq((9L, "r")).toDF("id", "x").write
       .parquet(new org.apache.hadoop.fs.Path(wh, "DBR__vracer").toString)
     assert(Restore.gcUnreferenced(spark, wh) == Seq.empty)
-    assert(Restore.gcUnreferenced(spark, wh, graceMs = -60000L) ==
-      Seq("DBR__vracer"))
+    assert(Restore.gcUnreferenced(spark, wh, graceMs = -60000L).sorted ==
+      Seq("DBR__vracer", "DBR__vt0", "DBR__vtA"))
     assert(Restore.resolveVersioned(spark, wh, "DBR").contains(b))
+    assert(!fs.exists(v0) && !fs.exists(a))
   }
 }
