@@ -9,14 +9,19 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * of arrow-batched pandas UDFs — per-partition iterators, no driver
   * materialization, batch size bounds peak memory).
   *
-  * Decode status by modality: IMAGE decode is REAL ([[decodeImages]],
-  * `javax.imageio` — JDK-built-in PNG/JPEG/BMP/GIF, no external codec
-  * needed), as is container-header metadata for PNG/JPEG/WAV
-  * ([[extractMeta]]). Audio/video sample decode remains stubbed
-  * ([[decodeStub]] derives deterministic md5-based fake features), keeping
-  * the Spark-side plumbing — schema, batching, partitioning, typed
-  * encoders — real and oracle-testable with the codec call an obvious
-  * swap-in point.
+  * Decode status by modality — all three are REAL now:
+  *  - IMAGE pixels: [[decodeImages]] (`javax.imageio` — JDK-built-in
+  *    PNG/JPEG/BMP/GIF, no external codec needed; q82 oracle).
+  *  - AUDIO samples: [[decodeAudio]] (`javax.sound.sampled` — JDK-built-in
+  *    WAV 16-bit PCM; q84 oracle checks decoded-sample statistics against
+  *    synthesis arithmetic).
+  *  - VIDEO container: [[extractMp4Meta]] (real ISO-BMFF box walk — track
+  *    count, duration, frame count; q85 oracle). Entropy-coded FRAME
+  *    decode (H.264 etc.) genuinely needs an external codec and stays a
+  *    swap-in point; the container metadata is what curation filters on.
+  * Container-header metadata for PNG/JPEG/WAV/GIF/BMP is [[extractMeta]].
+  * [[decodeStub]] remains as the deterministic plumbing fixture its q36
+  * probe pins (schema/batching under test with declared fake features).
   */
 object Multimodal {
 
@@ -327,6 +332,230 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(im, "png", bos)
     bos.toByteArray
+  }
+
+  /** REAL decoded-sample audio features — `javax.sound.sampled` is
+    * JDK-built-in (the [[decodeImages]] ImageIO argument verbatim), so WAV
+    * PCM needs no external codec either: this closes the audio half of the
+    * decode stub. Same bounded-batch `mapPartitions` shape. `mean_abs_e4`
+    * is the scale-4 fixed-point mean of |sample| over every decoded PCM
+    * sample — a statistic over DECODED samples, so the q84 oracle checking
+    * it against synthesis arithmetic proves real sample decode, not header
+    * sniffing. ALLOCATION-TRUE counting: frames/stats come from bytes
+    * actually streamed out of the payload, never from header claims — a
+    * data-chunk size lying large simply truncates at the real payload end,
+    * and nothing is ever allocated at claimed size (the audio analog of
+    * the image bomb guard). Undecodable payloads (not WAV, not 16-bit
+    * PCM, implausible fmt claims) degrade to the marker row
+    * `(0, 0, 0, -1, -1, -1)`.
+    */
+  case class DecodedAudio(media_id: Long, channels: Int, sample_rate: Int,
+                          n_frames: Long, duration_e4: Long,
+                          mean_abs_e4: Long, peak: Int)
+
+  private val audioMarker = (0, 0, 0L, -1L, -1L, -1)
+
+  /** Decode one WAV payload's PCM samples — exposed for spec vectors. */
+  private[graft] def decodeAudioOne(media_id: Long,
+                                    bytes: Array[Byte]): DecodedAudio = {
+    def marker = DecodedAudio(media_id, audioMarker._1, audioMarker._2,
+      audioMarker._3, audioMarker._4, audioMarker._5, audioMarker._6)
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => return marker }
+    try {
+      val fmt = ais.getFormat
+      val channels = fmt.getChannels
+      val rate = math.round(fmt.getSampleRate)
+      // plausibility gate on header CLAIMS before touching sample data:
+      // only 16-bit signed PCM is in scope (the near-universal WAV
+      // payload), and channel/rate claims outside any real recording
+      // mark the payload undecodable instead of poisoning downstream
+      // stats (0 channels would divide by zero; a 2^31 rate makes every
+      // duration 0)
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+        channels < 1 || channels > 64 || rate < 1 || rate > 4000000)
+        return marker
+      // stream the ACTUAL sample data: fixed buffer, no allocation from
+      // any claimed length; AudioInputStream already stops at
+      // min(claimed data size, real payload end)
+      val buf = new Array[Byte](8192)
+      var carry = -1 // low byte of a sample split across read boundaries
+      var sumAbs = 0L
+      var peak = 0
+      var nSamples = 0L
+      var n = ais.read(buf)
+      while (n > 0) {
+        var i = 0
+        if (carry >= 0 && n >= 1) {
+          val s = (carry | (buf(0) << 8)).toShort.toInt
+          sumAbs += math.abs(s); if (math.abs(s) > peak) peak = math.abs(s)
+          nSamples += 1; carry = -1; i = 1
+        }
+        while (i + 1 < n) {
+          val s = ((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort.toInt
+          sumAbs += math.abs(s); if (math.abs(s) > peak) peak = math.abs(s)
+          nSamples += 1; i += 2
+        }
+        if (i < n) carry = buf(i) & 0xff
+        n = ais.read(buf)
+      }
+      val frames = nSamples / channels // complete frames only
+      if (frames == 0) return marker
+      val totalSamples = frames * channels
+      DecodedAudio(media_id, channels, rate, frames,
+        math.floor(frames * 10000.0 / rate + 0.5).toLong,
+        math.floor(sumAbs * 10000.0 / totalSamples + 0.5).toLong, peak)
+    } catch { case scala.util.control.NonFatal(_) => marker }
+    finally ais.close()
+  }
+
+  def decodeAudio(ds: Dataset[MediaRecord],
+                  batchSize: Int = 64): Dataset[DecodedAudio] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(
+      _.iterator.map(r => decodeAudioOne(r.media_id, r.media))))
+  }
+
+  /** Canonical 44-byte-header 16-bit PCM WAV — the synthesis half of the
+    * q84 decoded-sample round trip. `frames` holds one value per frame,
+    * replicated across `channels` (keeps the oracle arithmetic per-frame).
+    */
+  def encodePcm16Wav(sampleRate: Int, channels: Int,
+                     frames: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0)
+    val dataSize = frames.length * channels * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    frames.foreach(s => (0 until channels).foreach(_ => out.putShort(s)))
+    out.array()
+  }
+
+  /** MP4 container walk — REAL byte parsing of the ISO-BMFF box tree (no
+    * codec): track count from `moov/trak`, presentation duration from
+    * `moov/mvhd` (version 0 u32 and version 1 u64 layouts both handled),
+    * total sample (frame) count summed over every `stbl/stsz` /
+    * `stbl/stz2` sample table. These are exactly the columns a curation
+    * pipeline filters video on (clip length, frame count) before any
+    * expensive decode. Bounded walk: box sizes are sanity-checked against
+    * the remaining range and malformed structure returns what was parsed
+    * so far or None — never a throw, never an unbounded loop.
+    */
+  case class Mp4Meta(nTracks: Int, timescale: Long, durationTicks: Long,
+                     nSamples: Long)
+
+  private[graft] def parseMp4(b: Array[Byte]): Option[Mp4Meta] = {
+    // a real MP4 starts with a box whose type is one of the well-known
+    // top-level fourccs; require ftyp first (what every muxer writes)
+    if (b.length < 12 || b(4) != 'f' || b(5) != 't' || b(6) != 'y' ||
+      b(7) != 'p') return None
+    var nTracks = 0
+    var timescale = 0L
+    var duration = 0L
+    var nSamples = 0L
+    def beLong(off: Int): Long =
+      (0 until 8).foldLeft(0L)((acc, k) => (acc << 8) | (b(off + k) & 0xffL))
+    // walk children of [from, to); descend into container boxes
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      if (depth > 8) return
+      var i = from
+      while (i + 8 <= to) {
+        val size0 = beInt(b, i).toLong & 0xffffffffL
+        val tag = new String(b, i + 4, 4, "US-ASCII")
+        val (hdr, size) =
+          if (size0 == 1 && i + 16 <= to) (16, beLong(i + 8))
+          else (8, if (size0 == 0) (to - i).toLong else size0)
+        if (size < hdr || i + size > to) return // malformed: stop the walk
+        val end = (i + size).toInt
+        tag match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+            if (tag == "trak") nTracks += 1
+            walk(i + hdr, end, depth + 1)
+          case "mvhd" if i + hdr + 4 <= to =>
+            val version = b(i + hdr) & 0xff
+            if (version == 1 && i + hdr + 28 <= to) {
+              timescale = beInt(b, i + hdr + 20).toLong & 0xffffffffL
+              duration = beLong(i + hdr + 24)
+            } else if (version == 0 && i + hdr + 20 <= to) {
+              timescale = beInt(b, i + hdr + 12).toLong & 0xffffffffL
+              duration = beInt(b, i + hdr + 16).toLong & 0xffffffffL
+            }
+          case "stsz" if i + hdr + 12 <= to =>
+            nSamples += beInt(b, i + hdr + 8).toLong & 0xffffffffL
+          case "stz2" if i + hdr + 12 <= to =>
+            nSamples += beInt(b, i + hdr + 8).toLong & 0xffffffffL
+          case _ => () // leaf we don't read (ftyp, mdat, codec boxes...)
+        }
+        i = end
+      }
+    }
+    walk(0, b.length, 0)
+    if (timescale <= 0) None
+    else Some(Mp4Meta(nTracks, timescale, duration, nSamples))
+  }
+
+  /** Flat row form for Dataset output; marker `(0, 0, -1, -1)` for
+    * payloads that are not parseable MP4.
+    */
+  case class Mp4MetaRow(media_id: Long, n_tracks: Int, timescale: Long,
+                        duration_e4: Long, n_samples: Long)
+
+  def extractMp4Meta(ds: Dataset[MediaRecord],
+                     batchSize: Int = 64): Dataset[Mp4MetaRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.iterator.map { r =>
+      parseMp4(r.media) match {
+        case Some(m) => Mp4MetaRow(r.media_id, m.nTracks, m.timescale,
+          math.floor(m.durationTicks * 10000.0 / m.timescale + 0.5).toLong,
+          m.nSamples)
+        case None => Mp4MetaRow(r.media_id, 0, 0L, -1L, -1L)
+      }
+    }))
+  }
+
+  /** Synthesize a minimal-but-valid MP4 box tree (ftyp + moov{mvhd,
+    * trak{mdia{minf{stbl{stsz}}}}×n}) — the synthesis half of the q85
+    * container-walk round trip. No media data; the container METADATA is
+    * the ground truth.
+    */
+  def encodeMp4(timescale: Int, durationTicks: Int,
+                sampleCounts: Seq[Int]): Array[Byte] = {
+    require(timescale > 0 && durationTicks >= 0)
+    def box(tag: String, body: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + body.length)
+      out.putInt(8 + body.length).put(tag.getBytes("US-ASCII")).put(body)
+      out.array()
+    }
+    val ftyp = box("ftyp", "isom   isomiso2".getBytes("US-ASCII"))
+    val mvhd = {
+      val body = java.nio.ByteBuffer.allocate(100)
+      body.putInt(0)            // version 0 + flags
+      body.putInt(0).putInt(0)  // creation/modification
+      body.putInt(timescale).putInt(durationTicks)
+      box("mvhd", body.array())
+    }
+    val traks = sampleCounts.map { n =>
+      val stsz = {
+        val body = java.nio.ByteBuffer.allocate(12)
+        body.putInt(0)  // version + flags
+        body.putInt(0)  // sample_size 0 = per-sample table follows
+        body.putInt(n)  // sample_count (table entries omitted — walk only
+                        // reads the count; a demuxer would need them)
+        box("stsz", body.array())
+      }
+      box("trak", box("mdia", box("minf", box("stbl", stsz))))
+    }
+    (Seq(ftyp, box("moov", (mvhd +: traks).reduce(_ ++ _))) ++ Seq.empty)
+      .reduce(_ ++ _)
   }
 
   /** Frame sampling for video-ish payloads: every `stride`-th `frameSize`-

@@ -112,19 +112,57 @@ object Similarity {
       .select("vec_id", "other_id", "score_e4", "rank")
   }
 
+  /** Best-cell argmax as a PARTIAL-AGGREGATABLE `max(struct(...))` rather
+    * than `row_number() over (partition by id)`: the window form shuffles
+    * the whole |corpus|×|cells| fan-out on id before reducing, while the
+    * aggregate form combines map-side, so the exchange carries ONE row per
+    * vector instead of |cells| rows — a |cells|-fold shuffle-volume cut on
+    * the biggest stage of every index build. Ordering parity with the old
+    * window (`cscore` desc NULLS LAST, `cid` asc): struct comparison is
+    * lexicographic, a NULL first field loses to any non-NULL under max
+    * (matching NULLS LAST), and the negated cid makes the max prefer the
+    * SMALLEST cid on score ties. The payload rides in the struct's last
+    * slot — compared only on full (score, cid) ties, which can't happen
+    * (cid is unique per centroid row).
+    */
+  private def argmaxCell(joined: DataFrame, idCol: String,
+                         vCol: String): DataFrame =
+    joined.groupBy(idCol)
+      .agg(max(struct(col("cscore"), (-col("cid")).as("ncid"),
+        col(vCol).as("payload"))).as("b"))
+      .select(col(idCol), col("b.payload").as(vCol), (-col("b.ncid")).as("cid"))
+
+  /** Top-`n` cells per vector with the same (score desc NULLS LAST, cid
+    * asc) order, as a partial-aggregatable collect-sort-slice: only the
+    * (sort-key, cid) PAIRS — ~16 bytes per cell, not the embedding — cross
+    * the exchange, and the vector itself rides once per group via
+    * `first` (well-defined: `v` is functionally dependent on the group
+    * key; the centroid join merely replicated it).
+    */
+  private def topCells(joined: DataFrame, idCol: String, vCol: String,
+                       n: Int): DataFrame = {
+    // negated score sorts asc = score desc; NULL score → +Inf sorts last,
+    // matching the window form's desc-NULLS-LAST
+    val skey = when(col("cscore").isNull, lit(Double.PositiveInfinity))
+      .otherwise(-col("cscore"))
+    joined.groupBy(idCol)
+      .agg(first(col(vCol)).as(vCol),
+        slice(array_sort(collect_list(struct(skey.as("nk"), col("cid")))),
+          1, n).as("topc"))
+      .select(col(idCol), col(vCol), explode(col("topc.cid")).as("cid"))
+  }
+
   /** Corpus→cell assignment: one narrow pass, best centroid by cosine
     * (centroid-id tiebreak). The (other_id, vb, cid) frame IS the IVF
     * index — [[writeIvfIndex]] persists exactly this plus the centroids.
     */
   def ivfAssign(vectors: DataFrame, cent: DataFrame): DataFrame =
-    graft.core.Ops.widen(
-        vectors.select(col("id").as("other_id"), col("v").as("vb")))
-      .join(cent)
-      .withColumn("cscore", cosine("vb", "cv"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("other_id")
-          .orderBy(col("cscore").desc, col("cid").asc)))
-      .filter(col("crank") === 1)
+    argmaxCell(
+      graft.core.Ops.widen(
+          vectors.select(col("id").as("other_id"), col("v").as("vb")))
+        .join(cent)
+        .withColumn("cscore", cosine("vb", "cv")),
+      "other_id", "vb")
       .select("other_id", "vb", "cid")
 
   /** Probe-and-rank over an existing assignment: nprobe best cells per
@@ -134,13 +172,14 @@ object Similarity {
     */
   private def ivfProbeRank(assigned: DataFrame, cent: DataFrame,
                            queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
-    val probed = queries.select(col("id").as("vec_id"), col("v").as("va"))
-      .join(cent)
-      .withColumn("pscore", cosine("va", "cv"))
-      .withColumn("prank", row_number().over(
-        Window.partitionBy("vec_id")
-          .orderBy(col("pscore").desc, col("cid").asc)))
-      .filter(col("prank") <= nprobe)
+    // nprobe best cells per query via the partial-aggregatable top-n (the
+    // query batch can be corpus-sized in backfill runs — same fan-out
+    // argument as the assignment pass)
+    val probed = topCells(
+      queries.select(col("id").as("vec_id"), col("v").as("va"))
+        .join(cent)
+        .withColumn("cscore", cosine("va", "cv")),
+      "vec_id", "va", nprobe)
       .select("vec_id", "va", "cid")
 
     // candidate join on cell id — the only corpus-sized shuffle
@@ -218,12 +257,11 @@ object Similarity {
     */
   def kmeansStep(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val cent = broadcast(centroids.select(col("id").as("cid"), col("v").as("cv")))
-    val assigned = graft.core.Ops.widen(vectors.select(col("id"), col("v")))
-      .join(cent)
-      .withColumn("cscore", cosine("v", "cv"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("id").orderBy(col("cscore").desc, col("cid").asc)))
-      .filter(col("crank") === 1)
+    val assigned = argmaxCell(
+      graft.core.Ops.widen(vectors.select(col("id"), col("v")))
+        .join(cent)
+        .withColumn("cscore", cosine("v", "cv")),
+      "id", "v")
       .select("id", "v", "cid")
     assigned
       .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -393,12 +431,11 @@ object Similarity {
                              nassign: Int = 2): graft.core.Managed = {
     require(nassign >= 1, s"ivfNearDupPairs: nassign ($nassign) must be >= 1")
     val cent = broadcast(centroids.select(col("id").as("cid"), col("v").as("cv")))
-    val assigned = graft.core.Ops.widen(vectors.select(col("id"), col("v")))
-      .join(cent)
-      .withColumn("cscore", cosine("v", "cv"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("id").orderBy(col("cscore").desc, col("cid").asc)))
-      .filter(col("crank") <= nassign)
+    val assigned = topCells(
+      graft.core.Ops.widen(vectors.select(col("id"), col("v")))
+        .join(cent)
+        .withColumn("cscore", cosine("v", "cv")),
+      "id", "v", nassign)
       .select("id", "v", "cid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cid"), col("id").as("idA"), col("v").as("va"))

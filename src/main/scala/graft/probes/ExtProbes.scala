@@ -1242,6 +1242,118 @@ object ExtProbes {
       |       ELSE (doc_id % 256) * 10000 END AS BIGINT) AS mean_e4
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // ---- q84 decoded-sample audio round trip (REAL javax.sound decode) -----
+  // Multimodal.encodePcm16Wav synthesizes true 16-bit PCM WAVs (rate /
+  // channels / frame count / ramp amplitude all doc_id-derived);
+  // Multimodal.decodeAudio decodes them with javax.sound.sampled and emits
+  // format fields plus the MEAN |sample| and PEAK over the decoded PCM
+  // stream. The oracle recomputes everything from the synthesis
+  // arithmetic — rate/channels alone could be faked from the fmt header
+  // (q80's job); mean and peak only match if actual samples were decoded.
+  // Frame values are step·(i % 100), so sum_{i<n}(i%100) has the closed
+  // form (n/100)·4950 + r(r−1)/2 with r = n mod 100 — SQL-expressible.
+  // 1/5 of payloads are raw text bytes, pinning the undecodable marker.
+  def q84Media(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      if (id % 5 == 0)
+        graft.operators.Multimodal.MediaRecord(
+          id, s"not audio: $id".getBytes("UTF-8"), "text/plain")
+      else {
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val ch = (1 + id % 2).toInt
+        val n = (50 + id % 150).toInt
+        val step = ((id % 7 + 1) * 40).toInt
+        val frames = Array.tabulate[Short](n)(i => (step * (i % 100)).toShort)
+        graft.operators.Multimodal.MediaRecord(
+          id, graft.operators.Multimodal.encodePcm16Wav(rate, ch, frames),
+          "audio/wav")
+      }
+    }
+  }
+
+  val q84: Q = (s, d) => {
+    val media = q84Media(graft.core.Ops.widen(Tables.documents(s, d)))
+    graft.operators.Multimodal.decodeAudio(media).toDF()
+      .orderBy("media_id")
+  }
+
+  val q84Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN NULL
+      |         ELSE 8000 + (doc_id % 3) * 4000 END AS rate,
+      |    1 + doc_id % 2 AS ch,
+      |    50 + doc_id % 150 AS n,
+      |    (doc_id % 7 + 1) * 40 AS step
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CAST(CASE WHEN rate IS NULL THEN 0 ELSE ch END AS INTEGER) AS channels,
+      |  CAST(coalesce(rate, 0) AS INTEGER) AS sample_rate,
+      |  CAST(CASE WHEN rate IS NULL THEN 0 ELSE n END AS BIGINT) AS n_frames,
+      |  CAST(CASE WHEN rate IS NULL THEN -1
+      |       ELSE floor(n * 10000.0 / rate + 0.5) END AS BIGINT) AS duration_e4,
+      |  CAST(CASE WHEN rate IS NULL THEN -1
+      |       ELSE floor((ch * step * ((n // 100) * 4950 +
+      |              ((n % 100) * ((n % 100) - 1)) // 2)) * 10000.0
+      |            / (n * ch) + 0.5) END AS BIGINT) AS mean_abs_e4,
+      |  CAST(CASE WHEN rate IS NULL THEN -1
+      |       ELSE step * (CASE WHEN n >= 100 THEN 99 ELSE n - 1 END)
+      |       END AS INTEGER) AS peak
+      |FROM p ORDER BY media_id""".stripMargin
+
+  // ---- q85 MP4 container-walk round trip ---------------------------------
+  // Multimodal.encodeMp4 synthesizes structurally-valid ISO-BMFF box trees
+  // (track count / timescale / duration / per-track sample counts all
+  // doc_id-derived); Multimodal.extractMp4Meta walks moov/trak/mdia/minf/
+  // stbl/stsz for the metadata a curation pipeline filters video on. The
+  // oracle recomputes from the synthesis arithmetic. 1/4 of payloads are
+  // raw text bytes, pinning the non-MP4 marker row.
+  def q85Media(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      if (id % 4 == 0)
+        graft.operators.Multimodal.MediaRecord(
+          id, s"not video: $id".getBytes("UTF-8"), "text/plain")
+      else {
+        val tracks = (1 + id % 3).toInt
+        val tsc = (600 + (id % 5) * 100).toInt
+        val dur = (1000 + id % 9000).toInt
+        val per = (100 + id % 400).toInt
+        graft.operators.Multimodal.MediaRecord(
+          id, graft.operators.Multimodal.encodeMp4(
+            tsc, dur, Seq.fill(tracks)(per)), "video/mp4")
+      }
+    }
+  }
+
+  val q85: Q = (s, d) => {
+    val media = q85Media(graft.core.Ops.widen(Tables.documents(s, d)))
+    graft.operators.Multimodal.extractMp4Meta(media).toDF()
+      .orderBy("media_id")
+  }
+
+  val q85Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 0 THEN NULL ELSE 1 + doc_id % 3 END AS tr,
+      |    600 + (doc_id % 5) * 100 AS tsc,
+      |    1000 + doc_id % 9000 AS dur,
+      |    100 + doc_id % 400 AS per
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CAST(coalesce(tr, 0) AS INTEGER) AS n_tracks,
+      |  CAST(CASE WHEN tr IS NULL THEN 0 ELSE tsc END AS BIGINT) AS timescale,
+      |  CAST(CASE WHEN tr IS NULL THEN -1
+      |       ELSE floor(dur * 10000.0 / tsc + 0.5) END AS BIGINT) AS duration_e4,
+      |  CAST(CASE WHEN tr IS NULL THEN -1 ELSE tr * per END AS BIGINT)
+      |    AS n_samples
+      |FROM p ORDER BY media_id""".stripMargin
+
   // ---- q83 BPE encode (apply side of the q76-trained tokenizer) ----------
   // The PRODUCTION encoder (Bpe.encodeOne greedy min-rank loop, typed map
   // — the encodeWords path) over a fixed trained-shape merge table
@@ -1469,6 +1581,8 @@ object ExtProbes {
     "q81_pagerank" -> q81,
     "q82_image_decode" -> q82,
     "q83_bpe_encode" -> q83,
+    "q84_audio_decode" -> q84,
+    "q85_mp4_meta" -> q85,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1517,5 +1631,7 @@ object ExtProbes {
     "q81_pagerank" -> q81Sql,
     "q82_image_decode" -> q82Sql,
     "q83_bpe_encode" -> q83Sql,
+    "q84_audio_decode" -> q84Sql,
+    "q85_mp4_meta" -> q85Sql,
   )
 }

@@ -128,6 +128,82 @@ class MediaHeaderSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Multimodal.parseHeader(bmp(1, 1).take(20)).kind == "unknown")
   }
 
+  test("WAV PCM round trip: decoded sample stats equal synthesis arithmetic") {
+    // ramp 0,40,80,…: mean|s| and peak are closed-form
+    val frames = Array.tabulate[Short](120)(i => (40 * (i % 100)).toShort)
+    val bytes = Multimodal.encodePcm16Wav(8000, 2, frames)
+    val d = Multimodal.decodeAudioOne(7L, bytes)
+    assert(d.channels == 2 && d.sample_rate == 8000 && d.n_frames == 120L)
+    assert(d.duration_e4 == math.floor(120 * 10000.0 / 8000 + 0.5).toLong)
+    // sum_{i<120}(i%100) = 4950 + 20*19/2 = 5140; ×40 per channel
+    assert(d.mean_abs_e4 ==
+      math.floor(2 * 40 * 5140 * 10000.0 / (120 * 2) + 0.5).toLong)
+    assert(d.peak == 40 * 99)
+    // negative samples count via |s|: constant -100 → mean 100, peak 100
+    val neg = Multimodal.decodeAudioOne(8L,
+      Multimodal.encodePcm16Wav(16000, 1, Array.fill[Short](50)(-100)))
+    assert(neg.mean_abs_e4 == 100L * 10000 && neg.peak == 100)
+  }
+
+  test("WAV decode is allocation-true: truncation and lying sizes count " +
+      "actual bytes, implausible fmt claims mark undecodable") {
+    val frames = Array.tabulate[Short](100)(i => (10 * (i % 100)).toShort)
+    val full = Multimodal.encodePcm16Wav(8000, 1, frames)
+    // truncated mid-data: decoded frame count reflects what is PRESENT
+    val cut = Multimodal.decodeAudioOne(1L, full.take(44 + 60))
+    assert(cut.n_frames == 30L, s"got ${cut.n_frames}")
+    // data-chunk size lying LARGE (claims 1 GiB): streaming decode ends at
+    // the real payload end — no allocation at claimed size, counts actual
+    val lying = full.clone()
+    val big = 1 << 30
+    lying(40) = big.toByte; lying(41) = (big >> 8).toByte
+    lying(42) = (big >> 16).toByte; lying(43) = (big >> 24).toByte
+    val ld = Multimodal.decodeAudioOne(2L, lying)
+    assert(ld.n_frames == 100L, s"got ${ld.n_frames}")
+    // not audio at all / truncated header → marker row
+    assert(Multimodal.decodeAudioOne(3L, "words".getBytes("UTF-8")).peak == -1)
+    assert(Multimodal.decodeAudioOne(4L, full.take(20)).peak == -1)
+    // 8-bit PCM: out of scope → marker, not garbage stats
+    val eight = {
+      def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+        (v >> 24).toByte)
+      def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+      "RIFF".getBytes("US-ASCII") ++ le32(36 + 4) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8) ++
+        "data".getBytes("US-ASCII") ++ le32(4) ++ Array[Byte](1, 2, 3, 4)
+    }
+    assert(Multimodal.decodeAudioOne(5L, eight).peak == -1)
+  }
+
+  test("MP4 box walk: tracks, duration, sample counts from the real tree") {
+    val b = Multimodal.encodeMp4(600, 3000, Seq(100, 200))
+    val m = Multimodal.parseMp4(b).get
+    assert(m.nTracks == 2 && m.timescale == 600L &&
+      m.durationTicks == 3000L && m.nSamples == 300L)
+    // version-1 mvhd (64-bit duration): hand-patch version byte + layout
+    val v1body = java.nio.ByteBuffer.allocate(112)
+    v1body.put(1.toByte).put(Array[Byte](0, 0, 0)) // version 1 + flags
+    v1body.putLong(0L).putLong(0L)                 // creation/modification
+    v1body.putInt(90000).putLong(450000L)
+    def box(tag: String, body: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + body.length)
+      out.putInt(8 + body.length).put(tag.getBytes("US-ASCII")).put(body)
+      out.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"))
+    val v1 = ftyp ++ box("moov", box("mvhd", v1body.array()))
+    val mv1 = Multimodal.parseMp4(v1).get
+    assert(mv1.timescale == 90000L && mv1.durationTicks == 450000L)
+    // malformed: the truncated moov box's claimed size overruns the
+    // payload, stopping the walk before any mvhd → no timescale → None
+    assert(Multimodal.parseMp4(b.take(40)).isEmpty)
+    // non-MP4 refuses
+    assert(Multimodal.parseMp4("RIFF".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.parseMp4(Array.emptyByteArray).isEmpty)
+  }
+
   test("claimedPixels reads what ImageIO would allocate (guard input)") {
     // GIF whose LOGICAL SCREEN is 1x1 but whose frame descriptor claims
     // 65535x65535 — the allocation happens per frame, so the guard must

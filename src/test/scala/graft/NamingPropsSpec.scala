@@ -120,4 +120,26 @@ object NamingProps extends Properties("Naming") {
       true
     }
   }
+
+  property("decodeAudioOne is total on fuzz and on truncated REAL wavs") = {
+    val wav = graft.operators.Multimodal.encodePcm16Wav(8000, 1,
+      Array.tabulate[Short](40)(i => (i * 7).toShort))
+    forAll(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue)),
+        Gen.choose(0, wav.length)) { (tail, n) =>
+      // RIFF-prefixed fuzz reaches javax.sound's own header parse; any
+      // refusal path must land on the marker row, never a throw
+      val fuzz = "RIFF".getBytes("US-ASCII") ++ tail
+      val a = graft.operators.Multimodal.decodeAudioOne(1L, fuzz)
+      val b = graft.operators.Multimodal.decodeAudioOne(2L, wav.take(n))
+      (a.peak == -1 || a.n_frames > 0) && (b.peak == -1 || b.n_frames > 0)
+    }
+  }
+
+  property("parseMp4 is total on ftyp-prefixed fuzz (box walk bounded)") =
+    forAll(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))) { tail =>
+      val b = Array[Byte](0, 0, 0, 16) ++ "ftyp".getBytes("US-ASCII") ++
+        "isomisom".getBytes("US-ASCII") ++ tail
+      graft.operators.Multimodal.parseMp4(b)
+      true
+    }
 }

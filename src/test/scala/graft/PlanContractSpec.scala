@@ -40,6 +40,28 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("IVF assignment argmax is a partial aggregation, not a window " +
+      "over the corpus×cells fan-out") {
+    // the window form shuffles |cells| rows per vector on id before
+    // reducing; the max(struct)/collect-slice form combines map-side, so
+    // the exchange carries one row per vector — pin BOTH the absence of
+    // Window and the presence of a partial aggregate in every assignment
+    // path (ivfAssign via q31, kmeansStep via q40, topCells via q70)
+    // expected Window count: q31 keeps exactly ONE (the final candidate
+    // top-k rank, which is genuinely per-query top-k over a cell-bounded
+    // set); q40/q70 have none left
+    for ((probe, windows) <- Seq((ExtProbes.q31, 1), (ExtProbes.q40, 0),
+        (ExtProbes.q70, 0))) {
+      val p = plan(probe(spark, sf))
+      val seen = p.linesIterator.count(_.contains("Window ["))
+      assert(seen == windows,
+        s"expected $windows Window node(s), saw $seen:\n" + p.take(3000))
+      assert(p.contains("partial_max") || p.contains("partial_collect_list") ||
+        p.contains("partial_first"),
+        "assignment argmax must partial-aggregate:\n" + p.take(3000))
+    }
+  }
+
   test("q27 LSH: candidate generation is an equi-join, never a cross join") {
     val p = plan(ExtProbes.q27(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(2000))
