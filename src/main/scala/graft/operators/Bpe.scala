@@ -145,16 +145,40 @@ object Bpe {
 
   /** Learn `numMerges` merges. Returns (merge table as ordered (a, b)
     * pairs, final symbolized vocabulary). Ties on count break by pair
-    * string — deterministic. Each iteration: one vocabulary-sized agg,
-    * one 1-row driver read (the argmax), one column rewrite;
-    * `localCheckpoint` every few rounds truncates the fold-over-fold
-    * lineage (the connectedComponents lesson — plans double, data
-    * doesn't).
+    * string (UTF-8 binary order, Spark's default collation) —
+    * deterministic.
+    *
+    * TWO EXECUTION FORMS, same algebra:
+    *  - The (word, freq) vocabulary is corpus-DEDUPLICATED and therefore
+    *    bounded (~1M rows for web-scale corpora) no matter how large the
+    *    corpus was; when its optimizer-estimated size fits
+    *    `localizeBytes`, it is collected ONCE and the merge loop runs
+    *    driver-local — one Spark job total instead of one per merge. At
+    *    a production 50k-merge tokenizer that is 1 job vs 50k sequential
+    *    job rounds; the corpus-sized work ([[wordFreqs]]) was already
+    *    distributed and stays so.
+    *  - Oversized vocabularies keep the distributed loop: per merge, one
+    *    vocabulary-sized agg, one 1-row driver read (the argmax), one
+    *    column rewrite; `localCheckpoint` every few rounds truncates the
+    *    fold-over-fold lineage (the connectedComponents lesson — plans
+    *    double, data doesn't).
+    * BpeSpec pins merge-sequence AND final-vocabulary equality of the two
+    * forms; `localizeBytes = 0` forces the distributed path.
     */
   def train(words: DataFrame, numMerges: Int,
-            checkpointEvery: Int = 8): (Seq[(String, String)], DataFrame) = {
+            checkpointEvery: Int = 8,
+            localizeBytes: Long = 64L << 20): (Seq[(String, String)], DataFrame) = {
     require(checkpointEvery > 0,
       "train: checkpointEvery must be >= 1 (fold lineage grows per merge)")
+    val est = words.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= localizeBytes) {
+      val local = words.select(col("w"), col("freq").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val (merges, vocab) = trainLocal(local, numMerges)
+      val sp = words.sparkSession
+      import sp.implicits._
+      return (merges, vocab.toDF("w", "freq", "syms"))
+    }
     var vocab = words.select(col("w"), col("freq"),
       charSymbols(col("w")).as("syms"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -175,5 +199,64 @@ object Bpe {
       i += 1
     }
     (merges.toSeq, vocab)
+  }
+
+  /** `a < b` in UTF-8 byte order — what Spark's default UTF8_BINARY
+    * collation (the distributed loop's `orderBy(pair)`) compares, which
+    * DIFFERS from Java String.compareTo (UTF-16 units) for code points in
+    * [U+E000, U+FFFF] vs supplementary-plane ones. The local loop must
+    * break count ties identically or the two forms diverge on exactly the
+    * corpora the code-point seeding fix exists for.
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The driver-local merge loop — exact same algebra as the distributed
+    * form: pair counts weighted by word freq, argmax by (count desc, pair
+    * asc in UTF-8 order), left-to-right non-overlapping fuse.
+    */
+  private[graft] def trainLocal(vocab0: Seq[(String, Long)], numMerges: Int)
+      : (Seq[(String, String)], Seq[(String, Long, Seq[String])]) = {
+    var vocab: Vector[(String, Long, Vector[String])] =
+      vocab0.map { case (w, f) => (w, f, codePointSymbols(w).toVector) }.toVector
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((_, f, syms) <- vocab; j <- 0 until syms.length - 1)
+        counts.updateWith((syms(j), syms(j + 1)))(c => Some(c.getOrElse(0L) + f))
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.keysIterator.reduceLeft { (p, q) =>
+          val (cp, cq) = (counts(p), counts(q))
+          if (cp > cq) p
+          else if (cq > cp) q
+          else if (utf8Less(p._1 + " " + p._2, q._1 + " " + q._2)) p else q
+        }
+        val (a, b) = best
+        merges += best
+        vocab = vocab.map { case (w, f, syms) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+              out += (a + b); j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          (w, f, out.result())
+        }
+      }
+      i += 1
+    }
+    (merges.toSeq, vocab.map { case (w, f, s) => (w, f, s: Seq[String]) })
   }
 }

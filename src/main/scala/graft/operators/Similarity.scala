@@ -221,6 +221,56 @@ object Similarity {
       .partitionBy("cid").parquet(s"$dir/assigned")
   }
 
+  /** Incrementally append a batch to a persisted IVF index — the
+    * daily-append path a 100 TB corpus actually lives on (a full
+    * [[writeIvfIndex]] rebuild re-assigns the WHOLE corpus; an append
+    * assigns only the new batch). The batch is assigned against the
+    * STORED centroids — so `ivfTopKIndexed` over (index(A) then append B)
+    * is bit-identical to index(A ∪ B), spec-pinned — and written into the
+    * same cell-partitioned layout (parquet `append` adds files to the
+    * touched cid partitions only; untouched cells keep their files, and
+    * readers see the same partition-pruned scans).
+    *
+    * Returns the per-cell drift report the retrain decision needs:
+    * `(cid, n_added, mean_cscore_e4)` — a cell whose new members score
+    * far below its centroid (low mean cosine) is drifting; the caller
+    * schedules a [[buildIvf]] retrain when enough cells degrade.
+    * Centroids themselves are intentionally NOT moved here: assignment
+    * must stay frozen between retrains or parity with the stored
+    * assignment breaks.
+    *
+    * Caller contract: batch ids are new (an id already in the index would
+    * coexist with its old row — dedup upstream, same as any append sink).
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       newVectors: DataFrame): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/centroids")),
+      s"appendToIvfIndex: no index at $dir (writeIvfIndex first)")
+    val cent = broadcast(spark.read.parquet(s"$dir/centroids")
+      .select(col("id").as("cid"), col("v").as("cv")))
+    // one assignment pass over the BATCH only; persisted because it feeds
+    // both the layout write and the drift report
+    val assigned = ivfAssign(newVectors, cent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assigned.write.mode("append").partitionBy("cid")
+        .parquet(s"$dir/assigned")
+      // drift: similarity of each appended vector to its OWN centroid —
+      // one bounded row per touched cell; eager (the caller's retrain
+      // decision reads it, and assigned unpersists when we return)
+      val drift = assigned.join(cent, Seq("cid"))
+        .withColumn("cscore", cosine("vb", "cv"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_added"),
+          scoreE4(avg(col("cscore"))).as("mean_cscore_e4"))
+        .orderBy("cid")
+        .localCheckpoint(eager = true)
+      drift
+    } finally assigned.unpersist()
+  }
+
   /** Query a persisted index ([[writeIvfIndex]]): same semantics as
     * [[ivfTopK]] on the same (vectors, centroids) — parity is spec-pinned
     * — without re-running training or assignment. The cell-id equi-join

@@ -135,3 +135,172 @@ object NearDupStream {
           }
       }
 }
+
+/** Streaming MinHash/LSH near-dup gate — the stream analog of the
+  * higher-recall BATCH default `Dedup.minhashNearDupPairs` (q27), so
+  * incremental ingest no longer has to fall back to the weaker SimHash
+  * signature. Same shape as [[NearDupStream]]: per-doc signatures fan out
+  * to band-bucket groups (state shards on the band key, never a global
+  * list), each bucket votes against its remembered priors, votes combine
+  * to one append-mode verdict per doc.
+  *
+  * PARITY with the batch operator, by construction: word normalization,
+  * 3-shingles, the hash-once md5 base, the affine-permutation signatures
+  * (`Dedup.minhashA/minhashB/MinhashP`), the `'|'`-joined band key, and
+  * the exact-Jaccard verify all replicate the batch column expressions in
+  * executor-side Scala — the spec pins band keys AND verdicts against the
+  * batch pipeline on shared vectors. A candidate only counts as dup after
+  * EXACT Jaccard over remembered (distinct) shingle hashes clears
+  * `thresholdE4`, mirroring the batch verify step; bucket state therefore
+  * holds each remembered doc's distinct shingle-hash set (bounded by
+  * `maxPerBucket` docs per band value, drop-oldest — the recall/space
+  * dial; cardinality uses 31-bit hashes, so a distinct-string collision
+  * is theoretically visible but ~n²/2³¹-improbable).
+  *
+  * Chain semantics match [[NearDupStream]] (and batch components): a
+  * rejected doc is still remembered by the bands that did not flag it, so
+  * chains collapse to one admitted representative and `dup_of` is a
+  * parent pointer, not the cluster root. Docs with NO shingles (< 3
+  * normalized words) cannot be near-dups under this signature: they route
+  * to a stateless sentinel group and are always admitted.
+  */
+object MinHashStream {
+
+  case class Doc(id: Long, text: String)
+  case class BandKey(band: Int, bh: String)
+  case class Entry(id: Long, shd: Array[Long])
+  case class BandState(entries: List[Entry])
+  /** `nVotes` = how many band votes this doc produces (bands, or 1 for the
+    * shingle-less sentinel) — the combiner's completion count.
+    */
+  case class Vote(id: Long, dupOf: Long, isDup: Boolean, nVotes: Int)
+  case class Pending(votes: List[Vote])
+  case class Verdict(id: Long, is_dup: Boolean, dup_of: Long)
+
+  /** Executor-side replica of `Dedup.normalizeWords` (lower, strip
+    * non-alphanumerics, split, drop empties).
+    */
+  def normalizeWordsLocal(text: String): Array[String] =
+    text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9]+", " ").trim.split(" ").filter(_.nonEmpty)
+
+  /** Executor-side replica of `Dedup.shingles3` (space-joined 3-windows). */
+  def shingles3Local(words: Array[String]): Array[String] =
+    if (words.length < 3) Array.empty
+    else Array.tabulate(words.length - 2)(i =>
+      words(i) + " " + words(i + 1) + " " + words(i + 2))
+
+  /** Executor-side replica of `Dedup.shingleHashes` for one shingle: first
+    * 8 hex chars of md5, mod p.
+    */
+  def shingleHashLocal(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex8 = d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex8, 16) % graft.operators.Dedup.MinhashP
+  }
+
+  /** Executor-side replica of `Dedup.minhashSig`. */
+  def minhashSigLocal(hv: Array[Long], h: Int): Long = {
+    val p = graft.operators.Dedup.MinhashP
+    val a = graft.operators.Dedup.minhashA(h)
+    val b = graft.operators.Dedup.minhashB(h)
+    hv.foldLeft(p)((acc, v) => math.min(acc, (a * v + b) % p))
+  }
+
+  /** The batch band keys for one doc's text — shared by the routing fan-out
+    * and the parity spec.
+    */
+  def bandKeysFor(text: String, bands: Int, rowsPerBand: Int): Seq[BandKey] = {
+    val hv = shingles3Local(normalizeWordsLocal(text)).map(shingleHashLocal)
+    if (hv.isEmpty) Seq.empty
+    else {
+      val sigs = (0 until bands * rowsPerBand).map(h => minhashSigLocal(hv, h))
+      (0 until bands).map(b => BandKey(b,
+        sigs.slice(b * rowsPerBand, (b + 1) * rowsPerBand).mkString("|")))
+    }
+  }
+
+  /** Exact Jaccard (scale-4 fixed point) over distinct shingle-hash sets —
+    * the batch verify formula (`inter / (|a| + |b| - inter)`).
+    */
+  def jaccE4(a: Array[Long], b: Array[Long]): Long = {
+    val sa = a.toSet
+    val inter = b.count(sa.contains)
+    val union = sa.size + b.length - inter
+    if (union == 0) 0L
+    else math.floor(inter * 1.0 / union * 10000 + 0.5).toLong
+  }
+
+  /** Per-band votes for a stream of (id, text). Emits one [[Vote]] per
+    * (doc, band); combine with [[admittedAppend]].
+    */
+  def bandVotes(docs: Dataset[Doc], bands: Int = 4, rowsPerBand: Int = 3,
+                thresholdE4: Long = 8000, maxPerBucket: Int = 1024)(
+      implicit rEnc: Encoder[(BandKey, Long, Array[Long], Int)],
+      kEnc: Encoder[BandKey], sEnc: Encoder[BandState],
+      vEnc: Encoder[Vote]): Dataset[Vote] = {
+    require(bands >= 1 && rowsPerBand >= 1)
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      val sh = shingles3Local(normalizeWordsLocal(d.text))
+      if (sh.isEmpty)
+        Seq((BandKey(-1, ""), d.id, Array.empty[Long], 1))
+      else {
+        val hv = sh.map(shingleHashLocal)
+        val shd = hv.distinct
+        val sigs = (0 until bands * rowsPerBand).map(h => minhashSigLocal(hv, h))
+        (0 until bands).map { b =>
+          (BandKey(b, sigs.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+            .mkString("|")), d.id, shd, bands)
+        }
+      }
+    }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BandState, Vote](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: BandKey, rows: Iterator[(BandKey, Long, Array[Long], Int)],
+         state: GroupState[BandState]) =>
+          if (key.band == -1) {
+            // shingle-less sentinel: always admit, remember nothing
+            rows.map(r => Vote(r._2, r._2, isDup = false, nVotes = 1))
+              .toSeq.iterator
+          } else {
+            var seen = state.getOption.map(_.entries).getOrElse(Nil)
+            val out = rows.toSeq.sortBy(_._2).map { case (_, id, shd, nv) =>
+              seen.find(e => jaccE4(e.shd, shd) >= thresholdE4) match {
+                case Some(prior) => Vote(id, prior.id, isDup = true, nv)
+                case None =>
+                  seen = (Entry(id, shd) :: seen).take(maxPerBucket)
+                  Vote(id, id, isDup = false, nv)
+              }
+            }
+            state.update(BandState(seen))
+            out.iterator
+          }
+      }
+  }
+
+  /** Append-mode verdict combiner — one verdict per doc once all its
+    * `nVotes` band votes arrived (same self-cleaning-state argument as
+    * [[NearDupStream.admittedAppend]]).
+    */
+  def admittedAppend(votes: Dataset[Vote])(
+      implicit pEnc: Encoder[Pending], vEnc: Encoder[Verdict],
+      lEnc: Encoder[Long]): Dataset[Verdict] =
+    votes.groupByKey(_.id)
+      .flatMapGroupsWithState[Pending, Verdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, rows: Iterator[Vote], state: GroupState[Pending]) =>
+          val all = state.getOption.map(_.votes).getOrElse(Nil) ++ rows
+          if (all.nonEmpty && all.size >= all.head.nVotes) {
+            state.remove()
+            val dups = all.filter(_.isDup)
+            Iterator.single(Verdict(id, dups.nonEmpty,
+              if (dups.nonEmpty) dups.map(_.dupOf).min else id))
+          } else {
+            state.update(Pending(all))
+            Iterator.empty
+          }
+      }
+}

@@ -67,12 +67,34 @@ object Scale {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
-    require(factor < 100, "id offsets collide at factor >= 100")
+    val bpeMode = args.length > 2 && args(2) == "--bpe"
+    require(bpeMode || factor < 100, "id offsets collide at factor >= 100")
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
 
     def docs(n: Int): DataFrame = scaledDocs(spark, sfDir, n)
     def vecs(n: Int): DataFrame = scaledVecs(spark, sfDir, n)
+
+    // one-off mode: `runMain graft.tools.Scale <sfDir> <merges> --bpe`
+    // times Bpe.train's driver-local form vs the distributed per-merge
+    // loop at a production-ish merge count, on the real sf corpus
+    // vocabulary — the "1 job vs numMerges jobs" claim, measured
+    if (bpeMode) {
+      val merges = factor
+      val vocab = graft.operators.Bpe.wordFreqs(
+        graft.Tables.documents(spark, sfDir).select("doc_id", "text"), "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"BPE vocab rows: ${vocab.count()}")
+      val t0 = System.nanoTime()
+      val (mLocal, _) = graft.operators.Bpe.train(vocab, merges)
+      println(f"SCALE bpe_train_local      m$merges ${(System.nanoTime() - t0) / 1e9}%8.2f s  merges=${mLocal.size}")
+      val t1 = System.nanoTime()
+      val (mDist, _) = graft.operators.Bpe.train(vocab, merges, localizeBytes = 0L)
+      println(f"SCALE bpe_train_distrib    m$merges ${(System.nanoTime() - t1) / 1e9}%8.2f s  merges=${mDist.size}")
+      require(mLocal == mDist, "forms diverged — BpeSpec parity broken")
+      spark.stop()
+      return
+    }
 
     /** Time one run and audit its plan for single-partition exchanges.
       * The action is a collect ON m.df ITSELF (outputs here are pair/label
@@ -132,6 +154,26 @@ object Scale {
             .withColumn("wh", Dedup.tokenHashes(Dedup.normalizeWords(col("text"))))
             .withColumn("simhash", Dedup.simhash16)
             .select("doc_id", "simhash"), Seq.empty)
+      }
+      // incremental index maintenance vs full rebuild: pre-build the index
+      // OUTSIDE timing (it is the standing state a daily append meets),
+      // then time appending a ~1% batch vs re-indexing corpus+batch with
+      // the same frozen centroids
+      locally {
+        val cent = Similarity.buildIvf(v, numCells = 16, iters = 1)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_scale_ivf_base").toString
+        Similarity.writeIvfIndex(v, cent, base)
+        val batch = v.filter(col("id") % 97 === 0)
+          .select((col("id") + 500000000L).as("id"), col("v"))
+        run("ivf_append_1pct", n)(graft.core.Managed(
+          Similarity.appendToIvfIndex(spark, base, batch), Seq.empty))
+        run("ivf_rebuild_all", n) {
+          val reb = java.nio.file.Files
+            .createTempDirectory("graft_scale_ivf_reb").toString
+          Similarity.writeIvfIndex(v.unionByName(batch), cent, reb)
+          graft.core.Managed(spark.range(1).toDF("ok"), Seq.empty)
+        }
       }
 
       // --- round-4 operators: temporal joins on Nx-deep per-key history,

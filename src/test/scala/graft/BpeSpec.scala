@@ -41,6 +41,28 @@ class BpeSpec extends SparkSpec {
     assert(syms("lower") == Seq("low", "e", "r"))
   }
 
+  test("driver-local and distributed train agree: merge sequence AND " +
+      "final vocabulary (incl. ties and non-BMP words)") {
+    // the Sennrich corpus plus adversarial extras: a count tie broken by
+    // pair order, and supplementary-plane words (UTF-8 vs UTF-16 order)
+    val sets = Seq(
+      Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)),
+      Seq(("ab", 3L), ("cd", 3L), ("abcd", 1L)), // (a,b) vs (c,d) tie
+      Seq(("😀x😀x", 4L), ("￮a", 4L), ("𝄞a", 4L)),
+      Seq(("aaaa", 2L), ("aaa", 3L)))            // overlapping-run fusing
+    for (set <- sets) {
+      val words = set.toDF("w", "freq")
+      val (mLocal, vLocal) = Bpe.train(words, 6)
+      val (mDist, vDist) = Bpe.train(words, 6, localizeBytes = 0L)
+      assert(mLocal == mDist, s"merge sequences diverge on $set")
+      val l = vLocal.select("w", "syms").as[(String, Seq[String])]
+        .collect().toMap
+      val dd = vDist.select("w", "syms").as[(String, Seq[String])]
+        .collect().toMap
+      assert(l == dd, s"vocabularies diverge on $set")
+    }
+  }
+
   test("train stops early when no pairs remain") {
     val words = Seq(("ab", 3L)).toDF("w", "freq")
     val (merges, _) = Bpe.train(words, 10)

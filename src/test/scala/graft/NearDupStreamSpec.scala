@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.NearDupStream
 import graft.streaming.NearDupStream.{Doc, Vote}
@@ -83,6 +84,91 @@ class NearDupStreamSpec extends SparkSpec {
       assert(got(1L) == ((false, 1L)))
       assert(got(2L) == ((true, 1L)))
       assert(got(3L) == ((true, 2L))) // parent pointer, not cluster root
+    } finally q.stop()
+  }
+
+  // ---- MinHash/LSH stream gate (the q27-grade signature) -----------------
+
+  private val baseWords = (1 to 30).map(i => s"w$i").mkString(" ")
+
+  test("MinHashStream replicates the batch pipeline's band keys exactly") {
+    import graft.streaming.MinHashStream
+    val docs = Seq((1L, baseWords), (2L, baseWords + " extra"),
+      (3L, "completely different content " + (1 to 27).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = graft.operators.Dedup.lshBands(
+        graft.operators.Dedup.shingleSets(docs, "doc_id", "text"),
+        "doc_id", bands = 4, rowsPerBand = 3)
+      .select("doc_id", "band", "bh")
+      .as[(Long, Int, String)].collect()
+      .map { case (id, band, bh) => (id, MinHashStream.BandKey(band, bh)) }
+      .toSet
+    val local = docs.as[(Long, String)].collect().flatMap { case (id, t) =>
+      MinHashStream.bandKeysFor(t, bands = 4, rowsPerBand = 3).map(k => (id, k))
+    }.toSet
+    assert(local == batch)
+    assert(local.size == 12) // 3 docs × 4 bands
+  }
+
+  test("MinHash stream gate: verdicts consistent with batch " +
+      "minhashNearDupPairs on the same vectors, across batches") {
+    import graft.streaming.MinHashStream
+    import graft.streaming.MinHashStream.{Doc => MDoc}
+    val texts = Map(
+      1L -> baseWords,                       // first: admit
+      2L -> (baseWords + " extra"),          // jacc ~0.97 vs 1: dup
+      3L -> ("completely different content " +
+        (1 to 27).map(i => s"z$i").mkString(" ")), // admit
+      4L -> (baseWords + " extra more"),     // dup of 1-chain
+      5L -> "too short",                     // < 3 words: admit, stateless
+      6L -> "")                              // empty: admit
+    // batch ground truth: which ids pair with a SMALLER id at >= 0.8
+    val batchDups = graft.operators.Dedup.minhashNearDupPairs(
+        texts.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+      .filter(col("jacc_e4") >= 8000)
+      .select("idA", "idB").as[(Long, Long)].collect()
+      .map { case (a, b) => math.max(a, b) }.toSet
+    assert(batchDups == Set(2L, 4L)) // the vectors actually exercise dups
+    val input = MemoryStream[MDoc](spark)
+    val votes = MinHashStream.bandVotes(input.toDS())
+    val q = MinHashStream.admittedAppend(votes)
+      .writeStream.format("memory").queryName("minhash_gate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(MDoc(1L, texts(1L)), MDoc(3L, texts(3L)))
+      q.processAllAvailable()
+      input.addData(MDoc(2L, texts(2L)), MDoc(5L, texts(5L)))
+      q.processAllAvailable()
+      input.addData(MDoc(4L, texts(4L)), MDoc(6L, texts(6L)))
+      q.processAllAvailable()
+      val got = spark.table("minhash_gate")
+        .select("id", "is_dup", "dup_of").as[(Long, Boolean, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got.size == 6) // one verdict per doc, incl. shingle-less
+      val streamDups = got.collect { case (id, (true, _)) => id }.toSet
+      assert(streamDups == batchDups, s"stream $streamDups vs batch $batchDups")
+      assert(got(2L)._2 == 1L)               // parent = the admitted prior
+      assert(Set(1L, 2L).contains(got(4L)._2)) // chain parent pointer
+      assert(got(5L) == ((false, 5L)) && got(6L) == ((false, 6L)))
+    } finally q.stop()
+  }
+
+  test("MinHash stream: smaller id wins its bucket within one batch") {
+    import graft.streaming.MinHashStream
+    import graft.streaming.MinHashStream.{Doc => MDoc}
+    val input = MemoryStream[MDoc](spark)
+    val votes = MinHashStream.bandVotes(input.toDS())
+    val q = MinHashStream.admittedAppend(votes)
+      .writeStream.format("memory").queryName("minhash_order")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(MDoc(11L, baseWords + " tail"), MDoc(10L, baseWords))
+      q.processAllAvailable()
+      val got = spark.table("minhash_order")
+        .select("id", "is_dup", "dup_of").as[(Long, Boolean, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got(10L) == ((false, 10L)))
+      assert(got(11L) == ((true, 10L)))
     } finally q.stop()
   }
 

@@ -176,4 +176,40 @@ class VectorOpsSpec extends SparkSpec {
     assert(indexed == fresh)
     assert(fresh.nonEmpty)
   }
+
+  test("appendToIvfIndex: (index A, append B) ≡ rebuild(A ∪ B) bit-exact; " +
+      "drift report covers the touched cells") {
+    def mk(i: Long) = {
+      val ang = i * 0.07
+      (i, Seq(math.cos(ang), math.sin(ang), (i % 5).toDouble / 5.0))
+    }
+    val a = (0L until 50L).map(mk).toDF("id", "v")
+    val b = (100L until 130L).map(mk).toDF("id", "v")
+    val all = a.unionByName(b)
+    // centroids must be SHARED: assignment is frozen between retrains, so
+    // the rebuild baseline uses the same quantizer the append path stores
+    val cents = Similarity.buildIvf(a, numCells = 4, iters = 2)
+    val incDir = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    val rebDir = java.nio.file.Files.createTempDirectory("graft_ivf_reb").toString
+    Similarity.writeIvfIndex(a, cents, incDir)
+    val drift = Similarity.appendToIvfIndex(spark, incDir, b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    Similarity.writeIvfIndex(all, cents, rebDir)
+    val queries = all.filter(col("id") % 11 === 0)
+    val inc = Similarity.ivfTopKIndexed(spark, incDir, queries, nprobe = 2, k = 4)
+      .orderBy("vec_id", "rank").collect().toSeq
+    val reb = Similarity.ivfTopKIndexed(spark, rebDir, queries, nprobe = 2, k = 4)
+      .orderBy("vec_id", "rank").collect().toSeq
+    assert(inc == reb)
+    assert(inc.nonEmpty)
+    // appended ids are actually findable through the index
+    assert(inc.exists(_.getLong(1) >= 100L))
+    // drift report: counts sum to the batch, scores are valid e4 cosines
+    assert(drift.map(_._2).sum == 30L)
+    assert(drift.forall { case (_, n, s) => n > 0 && s >= -10000 && s <= 10000 })
+    // refuses a dir with no index
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, "/tmp/graft_no_such_index", b)
+    }
+  }
 }
