@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.operators.{Curation, Dedup, TextStats}
+
+/** Configuration for [[Curate.run]] — each knob is one stage's dial.
+  * `keepLangs` uses the synthetic marker profiles of `TextStats
+  * .LangProfiles` (alpha/beta/gamma); the default keeps all three (the
+  * filter still runs, so plans are audited in their production shape).
+  */
+case class CurateConfig(
+    minQualityE4: Long = 4000,
+    keepLangs: Set[String] = Set("alpha", "beta", "gamma"),
+    nearDupThresholdE4: Long = 8000,
+    decontamGramN: Int = 8,
+    chunkTokens: Int = 64,
+    chunkOverlap: Int = 8,
+    packBudget: Int = 256)
+
+/** `chunks` — the packed, sharded training chunks (doc_id, chunk_id,
+  * chunk_text, n_tokens, shard, pack); `stageCounts` — rows surviving each
+  * stage in order, the curation funnel a pipeline report shows.
+  */
+case class CurateResult(chunks: DataFrame, stageCounts: Seq[(String, Long)])
+
+/** The end-to-end curation pipeline — the individual operators composed
+  * the way a real 100 TB pretraining-data run composes them:
+  *
+  *   ingest → quality/language filter → exact dedup → MinHash near-dup
+  *   (pairs → components → keep min-id representative) → benchmark
+  *   decontamination → chunk → pack/shard
+  *
+  * Composition is where persist bugs hide, so the discipline is explicit:
+  * every frame consumed by MORE than one downstream stage is persisted
+  * before its first action and unpersisted as soon as its last consumer
+  * has materialized; operator-internal persists (the MinHash signature
+  * tables) are handed back via `Managed` and closed here. Each stage
+  * count is one bounded action on a persisted frame — the counts ARE the
+  * funnel report, not extra work.
+  *
+  * Scale shape of the composed job: every stage is either a per-row map,
+  * a hash-partitioned aggregate, or a bucketed equi join — CurateSpec
+  * audits the final executed plans for cartesian products and
+  * single-partition exchanges (none), the same net PlanAudit casts over
+  * the probe corpus.
+  */
+object Curate {
+
+  def run(docs: DataFrame, idCol: String, textCol: String,
+          benchmark: DataFrame, benchTextCol: String,
+          cfg: CurateConfig = CurateConfig()): CurateResult = {
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+
+    // ---- ingest + per-doc stats (one pass: words computed once) --------
+    var scored = graft.core.Ops.widen(docs)
+      .select(col(idCol), col(textCol))
+      .withColumn("__w", Dedup.normalizeWords(col(textCol)))
+    for ((name, markers) <- TextStats.LangProfiles)
+      scored = scored.withColumn(s"s_$name",
+        TextStats.profileScore(col("__w"), markers).cast("long"))
+    val filtered = scored
+      .withColumn("__q", TextStats.qualityScore(col(textCol), col("__w")))
+      .withColumn("__lang", TextStats.langPredict)
+      .filter(col("__q") >= cfg.minQualityE4 &&
+        col("__lang").isInCollection(cfg.keepLangs))
+      .select(col(idCol), col(textCol))
+
+    // ---- exact dedup: content-hash groups, min id survives -------------
+    val kept = graft.core.Ops
+      .latestPerGroup(filtered.withColumn("__h", md5(col(textCol))),
+        Seq("__h"), Seq(col(idCol).asc))
+      .drop("__h")
+      .persist(StorageLevel.MEMORY_AND_DISK) // two consumers: pair gen + anti join
+    counts += (("exact_dedup", kept.count()))
+
+    // ---- MinHash near-dup: pairs → components → drop non-representatives
+    val pairsM = Dedup.minhashNearDupPairsManaged(kept, idCol, textCol)
+    val edges = pairsM.df.filter(col("jacc_e4") >= cfg.nearDupThresholdE4)
+    val compM = Dedup.connectedComponentsManaged(edges)
+    // label = min id of the component → every non-label member is a victim
+    val victims = compM.df.filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    val deduped = kept.join(victims, Seq(idCol), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK) // consumers: contamination + join-back
+    counts += (("near_dup", deduped.count()))
+    compM.close(); pairsM.close(); kept.unpersist()
+
+    // ---- benchmark decontamination -------------------------------------
+    val flags = Curation.contaminationFlags(deduped, idCol, textCol,
+      benchmark, benchTextCol, cfg.decontamGramN)
+    val clean = deduped
+      .join(flags.filter(!col("contaminated")).select(col(idCol)), Seq(idCol))
+      .persist(StorageLevel.MEMORY_AND_DISK) // consumers: count + chunking
+    counts += (("decontaminated", clean.count()))
+    deduped.unpersist()
+
+    // ---- chunk → pack/shard --------------------------------------------
+    // pack order key: (doc, chunk) folded into one monotonic long — docs
+    // stay contiguous inside a shard, chunks stay in document order
+    val chunks = Curation.chunkByTokens(clean, idCol, textCol,
+        cfg.chunkTokens, cfg.chunkOverlap)
+      .withColumn("__ck", col(idCol) * lit(1000000L) + col("chunk_id"))
+    val packed = Curation.packSequences(chunks, "__ck", col("n_tokens"),
+        Curation.shardAssign(col(idCol)), cfg.packBudget)
+      .drop("__ck", "toks")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    counts += (("chunks", packed.count()))
+    clean.unpersist()
+
+    CurateResult(packed, counts.toSeq)
+  }
+}

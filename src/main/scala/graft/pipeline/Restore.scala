@@ -118,12 +118,30 @@ object Restore {
     // atomic step — last-writer-wins, the marker file always exists once
     // first published. (On S3-style stores swap this for a direct PUT of
     // the final object — the store's own atomic single-object write.)
+    //
+    // MARKER IO IS CHECKSUM-FREE on local filesystems: LocalFileSystem
+    // (a ChecksumFileSystem) emulates overwrite-rename as delete + two
+    // renames (data, .crc sidecar) — interleaved publishers corrupt each
+    // other (FileAlreadyExists on the dest, or a marker whose data and
+    // .crc disagree until the next swap), found by the racing-publisher
+    // property. The RAW local filesystem's rename is POSIX rename(2),
+    // which atomically replaces an existing destination — true
+    // last-writer-wins, no sidecar to tear. HDFS-like stores are not
+    // checksum-wrapped and keep FileContext.rename(OVERWRITE), their own
+    // atomic swap. [[markerFs]] picks the flavor; readPointer reads
+    // through the same one so no .crc is ever consulted for markers.
     val tmp = new Path(warehouse, s"$db.commit.tmp.$token")
-    val out = fs.create(tmp, true)
+    val mfs = markerFs(fs)
+    val out = mfs.create(tmp, true)
     try out.write(versioned.getName.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      new Path(warehouse).toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    if (mfs ne fs) {
+      if (!mfs.rename(tmp, marker))
+        throw new java.io.IOException(s"marker swap failed: $tmp -> $marker")
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        new Path(warehouse).toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
     // The superseded dir is NOT deleted here: a reader that resolved the
     // old pointer just before the swap may still be mid-scan. Refresh its
     // mtime so [[gcUnreferenced]]'s grace window restarts from the
@@ -162,17 +180,39 @@ object Restore {
     * error), a torn/empty body, or a name outside `<db>__v*` all read as
     * None — an empty name would otherwise resolve to the WAREHOUSE dir
     * itself (and Path construction rejects empty strings).
+    *
+    * Marker reads go through [[markerFs]] (raw on local filesystems) so
+    * they can never consult a checksum sidecar; EOF mid-read (a racer's
+    * swap landing between open and read on a store without atomic
+    * replace) also reads as absence-for-this-read — the very next read
+    * sees the landed pointer.
     */
   private def readPointer(fs: org.apache.hadoop.fs.FileSystem, p: Path,
                           db: String): Option[String] =
     try {
-      val in = fs.open(p)
+      val in = markerFs(fs).open(p)
       val name =
         try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
           "UTF-8").trim
         finally in.close()
       Some(name).filter(_.startsWith(s"${db}__v"))
-    } catch { case _: java.io.FileNotFoundException => None }
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      case _: org.apache.hadoop.fs.ChecksumException => None
+      case _: java.io.EOFException => None
+    }
+
+  /** The filesystem flavor used for COMMIT-MARKER files only: the raw
+    * (checksum-free) layer of a ChecksumFileSystem, whose local rename is
+    * an atomic POSIX replace; any other store is returned as-is. Data
+    * files keep their checksummed writes — only the pointer protocol
+    * needs single-file atomic replace semantics.
+    */
+  private def markerFs(fs: org.apache.hadoop.fs.FileSystem)
+      : org.apache.hadoop.fs.FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
 
   /** Collect crash residue of [[publishVersioned]]: version dirs no
     * pointer references (data written, pointer never swapped) and AGED

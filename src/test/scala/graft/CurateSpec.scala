@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Curate, CurateConfig}
+
+/** End-to-end curation pipeline: the composed funnel on fixture docs whose
+  * ground truth is constructed stage by stage, plus the composition-level
+  * plan audit (cartesians / single-partition exchanges) that individual
+  * operator specs cannot see.
+  */
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 25+ words with stopwords → passes the quality gate; alpha-profile
+  // markers dominate → lang = alpha; the body tokens are salt-derived so
+  // DIFFERENT salts give genuinely unrelated documents (shared shingles
+  // only at the fixed 5-word head/2-word tail — far below the 0.8 gate)
+  private def goodText(salt: String): String =
+    s"the table row scan key " +
+      (1 to 24).map(i => s"$salt$i").mkString(" ") + " the a"
+
+  test("Curate.run: funnel counts match stage-by-stage ground truth") {
+    val docs = Seq(
+      1L -> goodText("one"),
+      2L -> goodText("one"),        // exact dup of 1 (same text) → dropped
+      3L -> goodText("two"),
+      4L -> (goodText("two") + " appended"), // near-dup of 3 → dropped
+      5L -> "short low quality!!!", // fails the quality gate
+      6L -> (goodText("three") +    // contaminated: carries the bench 8-gram
+        " benchmark gram alpha beta gamma delta epsilon zeta"),
+      7L -> goodText("four")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq(
+      "benchmark gram alpha beta gamma delta epsilon zeta").toDF("btext")
+
+    val res = Curate.run(docs, "doc_id", "text", benchmark, "btext",
+      CurateConfig(minQualityE4 = 5000, chunkTokens = 16, chunkOverlap = 4,
+        packBudget = 32))
+    val funnel = res.stageCounts.toMap
+    // 7 docs: quality drops 5; exact dedup folds {1,2}→1 → 5 remain
+    assert(funnel("exact_dedup") == 5L, res.stageCounts.toString)
+    // near-dup folds {3,4}→3 → 4 remain
+    assert(funnel("near_dup") == 4L, res.stageCounts.toString)
+    // decontamination drops 6 → 3 remain
+    assert(funnel("decontaminated") == 3L, res.stageCounts.toString)
+    val chunks = res.chunks
+    val ids = chunks.select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 7L))
+    // chunk coverage: ~30 words at stride 12 → 3 chunks per doc
+    assert(funnel("chunks") == chunks.count())
+    assert(chunks.count() >= 9)
+    // shard/pack columns present and sane: pack offsets start at 0 within
+    // each shard, chunk token counts never exceed the chunk budget
+    assert(chunks.filter(col("n_tokens") > 16).count() == 0)
+    assert(chunks.groupBy("shard").agg(min("pack").as("p"))
+      .filter(col("p") =!= 0L).count() == 0)
+    res.chunks.unpersist()
+  }
+
+  test("Curate.run composition: no cartesian product, no single-partition " +
+      "exchange anywhere in the composed job") {
+    val docs = (1L to 40L).map(i => (i, goodText(s"doc$i"))).toDF("doc_id", "text")
+    val benchmark = Seq("benchmark gram alpha beta gamma delta epsilon zeta")
+      .toDF("btext")
+    val res = Curate.run(docs, "doc_id", "text", benchmark, "btext")
+    val p = res.chunks.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+    // the packing window must be shard-partitioned, not global
+    val offenders = p.linesIterator.filter(l =>
+      l.contains("Window ") && l.contains("ORDER BY") &&
+        !l.contains("PARTITION BY")).toList
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+    res.chunks.unpersist()
+  }
+}

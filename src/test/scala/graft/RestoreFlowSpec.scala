@@ -298,4 +298,120 @@ class RestoreFlowSpec extends SparkSpec {
     assert(Restore.resolveVersioned(spark, wh, "DBR").contains(b))
     assert(!fs.exists(v0) && !fs.exists(a))
   }
+
+  test("publishVersioned PROPERTY: random publish/GC/resolve interleavings " +
+      "keep the pointer protocol's invariants") {
+    // ScalaCheck drives the op sequences; after every op the protocol
+    // must satisfy: (1) resolve names the LAST completed publish, (2) the
+    // resolved dir's data is the data that publish wrote, (3) a
+    // default-grace GC never touches the current version nor any
+    // young-superseded dir, (4) an AGED GC leaves exactly the current
+    // version among __v dirs. This pins the r5 race fixes (pointer swap,
+    // GC grace) and the r6 retention change as one executable contract.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    sealed trait Op
+    case object Publish extends Op
+    case object GcYoung extends Op
+    case object GcAged extends Op
+    case object Resolve extends Op
+    val opGen: Gen[List[Op]] = Gen.choose(4, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        4 -> Gen.const(Publish), 2 -> Gen.const(GcYoung),
+        1 -> Gen.const(GcAged), 3 -> Gen.const(Resolve))))
+    var case_n = 0
+    val prop = Prop.forAll(opGen) { ops =>
+      case_n += 1
+      val wh = Files.createTempDirectory(s"graft_prop_wh$case_n").toString
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var published = 0
+      var current: Option[(org.apache.hadoop.fs.Path, Long)] = None
+      ops.forall { op =>
+        op match {
+          case Publish =>
+            published += 1
+            val p = Restore.publishVersioned(spark,
+              Seq((published.toLong, s"v$published")).toDF("id", "x"),
+              wh, "DBP", s"t$published")
+            current = Some((p, published.toLong))
+          case GcYoung =>
+            Restore.gcUnreferenced(spark, wh)
+          case GcAged =>
+            Restore.gcUnreferenced(spark, wh, graceMs = -60000L)
+          case Resolve => ()
+        }
+        val resolved = Restore.resolveVersioned(spark, wh, "DBP")
+        val pointerOk = resolved == current.map(_._1)
+        val dataOk = current.forall { case (p, tag) =>
+          spark.read.parquet(p.toString).as[(Long, String)]
+            .collect().toSeq == Seq((tag, s"v$tag"))
+        }
+        val dirsAfterAged = op != GcAged || {
+          val vdirs = fs.listStatus(new org.apache.hadoop.fs.Path(wh))
+            .filter(e => e.isDirectory && e.getPath.getName.contains("__v"))
+            .map(_.getPath.getName).toSet
+          vdirs == current.map(c => Set(c._1.getName)).getOrElse(Set.empty)
+        }
+        pointerOk && dataOk && dirsAfterAged
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("publishVersioned RACE: concurrent publishers, readers and GC " +
+      "never lose the pointer or fail a read") {
+    val wh = Files.createTempDirectory("graft_race_threads").toString
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // 3 publishers × 4 publishes each, token-unique; every publish fully
+    // succeeds (the protocol is last-writer-wins on the marker)
+    val publishers = (1 to 3).map { p =>
+      new Thread(() => {
+        try {
+          for (k <- 1 to 4) {
+            Restore.publishVersioned(spark,
+              Seq((p.toLong * 100 + k, s"p$p-k$k")).toDF("id", "x"),
+              wh, "DBT", s"p$p-t$k")
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    // reader: resolve + full read in a loop — with the retention grace a
+    // resolved dir must stay readable even when superseded mid-scan
+    val reader = new Thread(() => {
+      try {
+        while (!done.get()) {
+          Restore.resolveVersioned(spark, wh, "DBT").foreach { p =>
+            spark.read.parquet(p.toString).collect()
+          }
+        }
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    // GC at default grace, concurrent with everything
+    val gc = new Thread(() => {
+      try { while (!done.get()) { Restore.gcUnreferenced(spark, wh) } }
+      catch { case t: Throwable => errors.add(t) }
+    })
+    reader.start(); gc.start(); publishers.foreach(_.start())
+    publishers.foreach(_.join(120000))
+    done.set(true); reader.join(30000); gc.join(30000)
+    assert(errors.isEmpty, errors.toArray.mkString("\n"))
+    // the surviving pointer names one of the 12 published versions and reads
+    val p = Restore.resolveVersioned(spark, wh, "DBT")
+    assert(p.nonEmpty)
+    assert(p.get.getName.startsWith("DBT__vp"))
+    assert(spark.read.parquet(p.get.toString).count() == 1)
+    // aged GC after quiescence: every loser/superseded dir collects, the
+    // winner survives
+    Restore.gcUnreferenced(spark, wh, graceMs = -60000L)
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vdirs = fs.listStatus(new org.apache.hadoop.fs.Path(wh))
+      .filter(e => e.isDirectory && e.getPath.getName.contains("__v"))
+      .map(_.getPath.getName).toSet
+    assert(vdirs == Set(p.get.getName))
+    assert(Restore.resolveVersioned(spark, wh, "DBT") == p)
+  }
 }
