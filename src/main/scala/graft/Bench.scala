@@ -20,10 +20,26 @@ import org.apache.spark.sql.SparkSession
   * subset, so gating on best-run kills the bouncing false flags measured
   * in round 5 (consecutive same-code suites flagged disjoint query pairs)
   * without hiding a real slowdown. The reported per-query number stays the
-  * MEDIAN (the honest expected cost). A flagged query (min > 2× baseline
-  * AND > 0.3 s over it) is reported in the `regressions` array — visible
-  * in the artifact itself, so a silent per-query regression (round 3's
-  * unexplained q30) can't hide behind a healthy total.
+  * MEDIAN (the honest expected cost). A flagged query (min > 2× the
+  * box-normalized baseline AND > 0.3 s over it) is reported in the
+  * `regressions` array — visible in the artifact itself, so a silent
+  * per-query regression (round 3's unexplained q30) can't hide behind a
+  * healthy total.
+  *
+  * Box normalization: round 5 proved best-of-n alone is not enough —
+  * SUSTAINED contention slows all n runs of a contiguous suite block, and
+  * the r5 driver gate flagged q19-q22 whose identical code measured
+  * 0.89-1.13× baseline on a clean box (SCALE.md round-6 adjudication).
+  * A slow BOX shifts every query's ratio together; a slow QUERY shifts
+  * only its own. So the gate first estimates the box factor — the median
+  * best/baseline ratio over the most run-stable queries (lowest max/min
+  * spread across this run's n runs, baseline >= 0.15 s so tiny-time
+  * jitter can't dominate) — and scales each baseline by it before
+  * applying the 2× test. The factor is clamped to [1, 3]: never stricter
+  * than the raw gate on a fast box, and a uniform >3× slowdown still
+  * flags (that is no longer "contention" at any plausible level). The
+  * factor itself is reported as `box_factor` so an adjudicator can read
+  * contention directly off the artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -78,11 +94,27 @@ object Bench {
         finally txt.close()
       }
     }
+    // Box factor (see scaladoc): median best/baseline ratio of the 20
+    // most run-stable baselined queries, clamped to [1, 3].
+    val boxFactor: Double = {
+      val eligible = allTimes.collect {
+        case (q, times) if times.nonEmpty && baseline.get(q).exists(_ >= 0.15) =>
+          // spread = max/min across this query's runs; 1.0 = perfectly stable
+          (times.last / times.head, times.head / baseline(q))
+      }
+      if (eligible.isEmpty) 1.0
+      else {
+        val ratios = eligible.sortBy(_._1).take(20).map(_._2).sorted
+        math.min(3.0, math.max(1.0, ratios(ratios.size / 2)))
+      }
+    }
     // one gate computation; both renderings (file + compact stdout) derive
     // from these triples so the thresholds cannot drift apart
     val regTriples = results.toSeq.sorted.collect {
-      case (q, sec) if sec >= 0 && baseline.get(q).exists(b =>
-          best(q) > 2 * b && best(q) - b > 0.3) => (q, sec, baseline(q))
+      case (q, sec) if sec >= 0 && baseline.get(q).exists { b0 =>
+          val b = b0 * boxFactor
+          best(q) > 2 * b && best(q) - b > 0.3
+        } => (q, sec, baseline(q))
     }
     // ROOT-locale rendering everywhere a number enters JSON: the f""
     // interpolator formats with the JVM default locale, and a
@@ -98,7 +130,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns,"action":"noop-write","failed":${failed.mkString("[", ",", "]")},"regressions":${regressions.mkString("[", ",", "]")}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns,"action":"noop-write","box_factor":${num(boxFactor, 3)},"failed":${failed.mkString("[", ",", "]")},"regressions":${regressions.mkString("[", ",", "]")}}"""
     val out = new java.io.File("target/bench.json")
     out.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(out)
@@ -122,7 +154,7 @@ object Bench {
     val failedShort = results.toSeq.sorted.collect {
       case (k, v) if v < 0 => "\"" + short(k) + "\""
     }
-    val compact = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qsShort,"sf":"$sfDir","runs":$nRuns,"action":"noop-write","failed":${failedShort.mkString("[", ",", "]")},"regressions":$regShort,"detail":"target/bench.json"}"""
+    val compact = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qsShort,"sf":"$sfDir","runs":$nRuns,"action":"noop-write","box_factor":${num(boxFactor, 2)},"failed":${failedShort.mkString("[", ",", "]")},"regressions":$regShort,"detail":"target/bench.json"}"""
     spark.stop()
     println(compact)
   }

@@ -189,6 +189,36 @@ object Curation {
       .select(col(idCol), coalesce(col("__cleaned"), lit("")).as("cleaned_text"))
   }
 
+  /** Intra-document line dedup — the WITHIN-doc half of repetition
+    * cleanup ([[removeBoilerplate]] is the corpus-wide half): repeated
+    * lines inside one document (scraped nav menus, repeated headers,
+    * generator loops) collapse to their FIRST occurrence, original order
+    * preserved. Scale shape: line explode, first-occurrence as a
+    * partial-aggregatable `min(pos)` per (doc, line) hash-partitioned on
+    * the doc id, then the order-preserving sort_array reassembly
+    * [[removeBoilerplate]] uses. One shuffle, keyed on the doc — per-doc
+    * work is bounded by document size at any corpus scale.
+    *
+    * Output: (idCol, cleaned_text, n_removed) — every input doc appears
+    * exactly once; `n_removed` is the number of dropped duplicate lines
+    * (0 for already-clean docs), the per-doc signal a curation report
+    * aggregates into a repetition-rate funnel stage.
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 sep: String = "\n"): DataFrame =
+    graft.core.Ops.widen(docs)
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+          .as(Seq("pos", "line")))
+      .groupBy(col(idCol), col("line"))
+      .agg(min(col("pos")).as("pos"), count(lit(1)).as("__occ"))
+      .groupBy(idCol)
+      .agg(
+        array_join(
+          expr("transform(array_sort(collect_list(struct(pos, line))), e -> e.line)"),
+          sep).as("cleaned_text"),
+        sum(col("__occ") - 1).as("n_removed"))
+
   /** Write training shards: one directory per shard under `path`
     * (`shard=N/…`). DESTRUCTIVE by default: `mode` is Overwrite — `path` is
     * replaced wholesale; pass another SaveMode to change that.

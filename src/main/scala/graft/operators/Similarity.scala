@@ -511,4 +511,165 @@ object Similarity {
       .filter(col("__raw") >= threshold)
       .select(col("idA"), col("idB"), scoreE4(col("__raw")).as("score_e4"))
   }
+
+  // ---- Product quantization (the compression half of IVF-PQ) -------------
+  // At 100 TB an ANN index cannot keep float32 vectors hot: PQ stores each
+  // vector as m small code ids (one byte-ish each, 32x+ smaller than the
+  // dim-64 float payload) and answers queries by ADC — per query, a
+  // (m × numCodes) lookup table of partial distances replaces every
+  // per-candidate float dot product with m integer lookups + adds. This
+  // composes with the IVF cell layout above (probe cells, then ADC-rank
+  // within them) exactly as in the IVF-PQ literature.
+
+  /** Per-subvector squared L2 distance (PQ's metric), as the same
+    * sequential zip_with/aggregate fold [[cosine]] uses — both engines sum
+    * left-to-right, so the e4 fixed-point exits match.
+    */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0d), (acc, x) => acc + x)
+
+  /** Deterministic seedless PQ codebook (the [[hyperplanes]] trick):
+    * subspace s, code c, dim d → sin(1e4·((s·numCodes + c)·subDim + d + 1)).
+    * Fixed literals both engines embed exactly — the probe/oracle codebook;
+    * production codebooks come from [[pqTrain]].
+    */
+  def pqCodebook(m: Int, numCodes: Int,
+                 subDim: Int): Seq[(Int, Int, Seq[Double])] =
+    for { s <- 0 until m; c <- 0 until numCodes }
+      yield (s, c, (0 until subDim).map(d =>
+        math.sin(1e4 * (((s * numCodes + c) * subDim) + d + 1))))
+
+  /** A codebook as a (sub, code, cv) DataFrame — the form
+    * [[pqEncode]]/[[pqAdcTopK]]/[[pqTrain]] exchange.
+    */
+  def pqCodebookDf(spark: org.apache.spark.sql.SparkSession,
+                   cb: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cb.toDF("sub", "code", "cv")
+  }
+
+  /** DuckDB rendering of a codebook as an inline VALUES relation
+    * `(sub, code, cv)` with exact double literals (shortest-roundtrip
+    * `Double.toString`, same parse-back bits in both engines).
+    */
+  def pqCodebookDuckSql(cb: Seq[(Int, Int, Seq[Double])]): String =
+    cb.map { case (s, c, v) =>
+      s"($s, $c, CAST(${v.mkString("[", ", ", "]")} AS DOUBLE[]))"
+    }.mkString("(VALUES ", ", ", ")")
+
+  /** (id, v) → (id, sub, subv): each vector split into `m` contiguous
+    * subvectors of `subDim` dims. Pure per-row fan-out, no shuffle.
+    */
+  def pqSplit(vectors: DataFrame, m: Int, subDim: Int): DataFrame =
+    vectors.select(col("id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("v"), s * subDim + 1, subDim)): _*)).as(Seq("sub", "subv")))
+
+  /** PQ encode: each subvector → the id of its nearest (squared-L2)
+    * codebook entry, code-id tiebreak. Long-form (id, sub, code) — the
+    * stored index payload. Same shuffle shape as [[ivfAssign]]: broadcast
+    * codebook cross on `sub`, then a PARTIAL-AGGREGATABLE `min(struct)`
+    * argmin, so the one exchange carries a single row per (vector,
+    * subspace), not numCodes rows. The struct's (d_e4, code) prefix is
+    * unique per group (code is unique within a subspace), so the argmin is
+    * total and deterministic.
+    */
+  def pqEncode(vectors: DataFrame, codebook: DataFrame, m: Int,
+               subDim: Int): DataFrame =
+    pqSplit(graft.core.Ops.widen(vectors.select(col("id"), col("v"))),
+        m, subDim)
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("d_e4", graft.core.Ops.fixedPoint(
+        sqDist(col("subv"), col("cv")), 4))
+      .groupBy("id", "sub")
+      .agg(min(struct(col("d_e4"), col("code"))).as("b"))
+      .select(col("id"), col("sub"), col("b.code").as("code"))
+
+  /** Asymmetric-distance top-k over PQ codes: per query, a broadcast
+    * (query, sub, code) → partial-distance lookup table (|queries|·m·
+    * numCodes rows — bounded by construction); candidates join the LUT on
+    * (sub, code) and sum the m integer partials per (query, candidate).
+    * The sum is a map-side-combining hash aggregate, and the final
+    * rank-filter plans as WindowGroupLimit (partial top-k BEFORE the
+    * exchange — each map task ships at most k rows per query), so no
+    * stage ever materializes the full |corpus| candidate list in one
+    * place. Distances are e4 fixed-point INTEGER sums of the LUT entries:
+    * exact, order-independent, oracle-stable.
+    */
+  def pqAdcTopK(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
+                m: Int, subDim: Int, k: Int): DataFrame = {
+    val lut = broadcast(
+      pqSplit(queries.select(col("id"), col("v")), m, subDim)
+        .select(col("id").as("vec_id"), col("sub"), col("subv"))
+        .join(broadcast(codebook), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("code"),
+          graft.core.Ops.fixedPoint(
+            sqDist(col("subv"), col("cv")), 4).as("pd_e4")))
+    codes.join(lut, Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("id"))
+      .groupBy(col("vec_id"), col("id"))
+      .agg(sum(col("pd_e4")).as("dist_e4"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("dist_e4").asc, col("id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("id").as("other_id"), col("dist_e4"),
+        col("rank"))
+  }
+
+  /** Train a PQ codebook: Lloyd's iterations per subspace, all subspaces
+    * in the SAME distributed passes (`sub` rides in the key — m separate
+    * kmeans runs would scan the corpus m times). Seeds are one bounded
+    * global TakeOrdered of `numCodes` hash-sampled vectors (the
+    * [[buildIvf]] idiom); seed c of subspace s is the c-th sample's s-th
+    * subvector. Means go through the same scale-8 fixed-point integer
+    * sums as [[kmeansStep]] — exact, order-independent, reproducible
+    * across partitionings. Codes that lose all members in a pass drop out
+    * (standard Lloyd's cell death); encode/ADC handle a sparse codebook
+    * unchanged. Returns (sub, code, cv).
+    */
+  def pqTrain(vectors: DataFrame, m: Int, subDim: Int, numCodes: Int,
+              iters: Int): DataFrame = {
+    val split = pqSplit(
+      graft.core.Ops.widen(vectors.select(col("id"), col("v"))), m, subDim)
+    // bounded: numCodes rows ordered on one partition, like buildIvf's seed
+    val seeds = vectors
+      .orderBy(pmod(xxhash64(col("id")), lit(1000003)), col("id"))
+      .limit(numCodes)
+      .withColumn("code", (row_number().over(
+        Window.orderBy(pmod(xxhash64(col("id")), lit(1000003)), col("id")))
+        - 1).cast("int"))
+    var cb = seeds.select(col("code"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("v"), s * subDim + 1, subDim)): _*)).as(Seq("sub", "cv")))
+      .select(col("sub"), col("code"), col("cv"))
+    for (_ <- 0 until iters) {
+      val assigned = split
+        .join(broadcast(cb), Seq("sub"))
+        .withColumn("d_e4", graft.core.Ops.fixedPoint(
+          sqDist(col("subv"), col("cv")), 4))
+        .groupBy("id", "sub")
+        .agg(min(struct(col("d_e4"), col("code"),
+          col("subv").as("payload"))).as("b"))
+        .select(col("sub"), col("b.code").as("code"),
+          col("b.payload").as("subv"))
+      cb = assigned
+        .select(col("sub"), col("code"),
+          posexplode(col("subv")).as(Seq("pos", "x")))
+        .select(col("sub"), col("code"), col("pos"),
+          floor(col("x") * lit(1e8) + lit(0.5)).cast("long").as("xe8"))
+        .groupBy("sub", "code", "pos")
+        .agg(sum(col("xe8")).as("s"), count(lit(1)).as("n"))
+        .select(col("sub"), col("code"), col("pos"),
+          floor(col("s") * lit(1.0) / col("n") + lit(0.5)).cast("long")
+            .as("m_e8"))
+        .groupBy("sub", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m_e8"))))
+          .as("pm"))
+        .select(col("sub"), col("code"),
+          expr("transform(pm, e -> cast(e.m_e8 as double) / 1e8)").as("cv"))
+    }
+    cb
+  }
 }

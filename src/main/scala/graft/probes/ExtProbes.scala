@@ -1533,6 +1533,105 @@ object ExtProbes {
       |  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT')
       |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
 
+  // ---- q86/q87 product quantization (IVF-PQ's compression half) ---------
+  // q86: encode — every vector becomes m=8 sub-codes (argmin squared-L2
+  // against a deterministic seedless codebook whose literals both engines
+  // embed exactly, the q52 hyperplane idiom). q87: ADC top-k — per-query
+  // (sub, code) partial-distance LUT, integer e4 sums per candidate,
+  // WindowGroupLimit rank. Production codebooks come from pqTrain
+  // (PQSpec); the probe codebook is fixed so the oracle can mirror it.
+  private val q86Cb = Similarity.pqCodebook(m = 8, numCodes = 8, subDim = 8)
+
+  private def pqDistDuck(a: String, b: String): String =
+    s"""CAST(floor(list_sum(list_transform(range(1, 9),
+       |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) * 10000 + 0.5)
+       |    AS BIGINT)""".stripMargin
+
+  private val pqCommonDuck: String =
+    s"""e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |cb AS (SELECT * FROM ${Similarity.pqCodebookDuckSql(q86Cb)}
+       |       AS t(sub, code, cv)),
+       |sp AS (SELECT id, s.sub AS sub,
+       |    list_slice(v, s.sub * 8 + 1, s.sub * 8 + 8) AS subv
+       |  FROM e, (SELECT unnest(range(0, 8)) AS sub) s),
+       |dd AS (SELECT id, sp.sub AS sub, code,
+       |    ${pqDistDuck("subv", "cv")} AS d_e4
+       |  FROM sp JOIN cb ON cb.sub = sp.sub),
+       |codes AS (SELECT id, sub, CAST(min([d_e4, code])[2] AS INT) AS code
+       |  FROM dd GROUP BY id, sub)""".stripMargin
+
+  val q86: Q = (s, d) => {
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    Similarity.pqEncode(vecs, Similarity.pqCodebookDf(s, q86Cb),
+        m = 8, subDim = 8)
+      .orderBy("id", "sub")
+  }
+
+  val q86Sql: String =
+    s"""WITH $pqCommonDuck
+       |SELECT id, CAST(sub AS INT) AS sub, code
+       |FROM codes ORDER BY id, sub""".stripMargin
+
+  val q87: Q = (s, d) => {
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    val cb = Similarity.pqCodebookDf(s, q86Cb)
+    Similarity.pqAdcTopK(
+        Similarity.pqEncode(vecs, cb, m = 8, subDim = 8), cb,
+        vecs.filter(col("id") % 50 === 0), m = 8, subDim = 8, k = 5)
+      .orderBy("vec_id", "rank")
+  }
+
+  val q87Sql: String =
+    s"""WITH $pqCommonDuck,
+       |lut AS (SELECT sp.id AS vec_id, sp.sub AS sub, cb.code,
+       |    ${pqDistDuck("subv", "cv")} AS pd_e4
+       |  FROM sp JOIN cb ON cb.sub = sp.sub
+       |  WHERE sp.id % 50 = 0),
+       |cand AS (SELECT vec_id, c.id AS other_id,
+       |    CAST(sum(pd_e4) AS BIGINT) AS dist_e4
+       |  FROM codes c JOIN lut ON lut.sub = c.sub AND lut.code = c.code
+       |  WHERE lut.vec_id <> c.id
+       |  GROUP BY vec_id, c.id),
+       |r AS (SELECT vec_id, other_id, dist_e4,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist_e4, other_id) AS rank
+       |  FROM cand)
+       |SELECT vec_id, other_id, dist_e4, rank
+       |FROM r WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
+
+  // ---- q88 intra-document line dedup ------------------------------------
+  // Repeated lines planted per doc (duplicate banner + duplicate body
+  // line); Curation.dedupLines keeps first occurrences in original order
+  // and counts drops. Oracle mirrors with WITH ORDINALITY + ordered
+  // string_agg.
+  val q88: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      concat_ws("\n", lit("== HEADER =="), col("text"),
+        lit("== HEADER =="), substring(col("text"), 1, 40), col("text"),
+        lit("")).as("text"))
+    Curation.dedupLines(docs, "doc_id", "text").orderBy("doc_id")
+  }
+
+  val q88Sql: String =
+    """WITH docs AS (SELECT doc_id,
+      |    '== HEADER ==' || chr(10) || text || chr(10) || '== HEADER =='
+      |    || chr(10) || substr(text, 1, 40) || chr(10) || text || chr(10)
+      |    AS text
+      |  FROM documents),
+      |l AS (SELECT doc_id, t.pos AS pos, ls[t.pos] AS line
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+      |    unnest(generate_series(1, len(ls))) AS t(pos)),
+      |f AS (SELECT doc_id, line, min(pos) AS pos, count(*) AS occ
+      |  FROM l GROUP BY doc_id, line)
+      |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned_text,
+      |  CAST(sum(occ - 1) AS BIGINT) AS n_removed
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1583,6 +1682,9 @@ object ExtProbes {
     "q83_bpe_encode" -> q83,
     "q84_audio_decode" -> q84,
     "q85_mp4_meta" -> q85,
+    "q86_pq_encode" -> q86,
+    "q87_pq_adc_topk" -> q87,
+    "q88_line_dedup" -> q88,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1633,5 +1735,8 @@ object ExtProbes {
     "q83_bpe_encode" -> q83Sql,
     "q84_audio_decode" -> q84Sql,
     "q85_mp4_meta" -> q85Sql,
+    "q86_pq_encode" -> q86Sql,
+    "q87_pq_adc_topk" -> q87Sql,
+    "q88_line_dedup" -> q88Sql,
   )
 }

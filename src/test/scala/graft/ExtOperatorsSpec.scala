@@ -309,4 +309,32 @@ class ExtOperatorsSpec extends SparkSpec {
     // doc 2 (empty): one empty chunk, callers filter.
     assert(got == Seq((1L, 0L, 64L), (1L, 1L, 52L), (2L, 0L, 0L)))
   }
+
+  test("dedupLines keeps first occurrences in original order and counts " +
+      "drops") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "nav\nbody one\nnav\nbody two\nnav"),  // 3x nav → keep first
+      (2L, "a\nb\nc"),                             // already clean
+      (3L, "x\n\ny\n\nx\n"),                       // dup empty + dup x + trailing empty
+      (4L, "")                                     // empty doc: one empty line
+    ).toDF("doc_id", "text")
+    val got = Curation.dedupLines(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "nav\nbody one\nbody two", 2L),
+      (2L, "a\nb\nc", 0L),
+      (3L, "x\n\ny", 3L),
+      (4L, "", 0L)))
+  }
+
+  test("dedupLines is idempotent") {
+    import graft.operators.Curation
+    val docs = Seq((1L, "p\nq\np\nr\nq\np")).toDF("doc_id", "text")
+    val once = Curation.dedupLines(docs, "doc_id", "text")
+      .select(col("doc_id"), col("cleaned_text").as("text"))
+    val twice = Curation.dedupLines(once, "doc_id", "text")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(twice === Seq((1L, "p\nq\nr", 0L)))
+  }
 }

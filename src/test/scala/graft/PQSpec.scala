@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Product quantization: encode/ADC semantics against hand-computable
+  * ground truth, trained-codebook convergence, and determinism of the
+  * fixed-point training arithmetic.
+  */
+class PQSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val m = 2
+  private val subDim = 2
+
+  // codebook with two well-separated entries per subspace: sub 0 splits on
+  // the first pair of dims, sub 1 on the second
+  private val cb = Seq(
+    (0, 0, Seq(0.0, 0.0)), (0, 1, Seq(10.0, 10.0)),
+    (1, 0, Seq(0.0, 0.0)), (1, 1, Seq(-10.0, -10.0)))
+  private def cbDf = Similarity.pqCodebookDf(spark, cb)
+
+  // vectors constructed dim-pair by dim-pair near specific codebook entries
+  private val vecs = Seq(
+    (1L, Seq(0.1, -0.1, 0.2, 0.1)),    // codes (0, 0)
+    (2L, Seq(9.8, 10.1, 0.0, -0.3)),   // codes (1, 0)
+    (3L, Seq(10.2, 9.7, -9.9, -10.2)), // codes (1, 1)
+    (4L, Seq(0.3, 0.0, -10.1, -9.8)))  // codes (0, 1)
+  private def vecDf = vecs.toDF("id", "v")
+
+  test("pqEncode assigns each subvector to its nearest codebook entry") {
+    val got = Similarity.pqEncode(vecDf, cbDf, m, subDim)
+      .orderBy("id", "sub")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0, 0), (1L, 1, 0),
+      (2L, 0, 1), (2L, 1, 0),
+      (3L, 0, 1), (3L, 1, 1),
+      (4L, 0, 0), (4L, 1, 1)))
+  }
+
+  test("pqEncode breaks exact-distance ties on the smaller code id") {
+    val tied = Similarity.pqCodebookDf(spark,
+      Seq((0, 0, Seq(1.0, 0.0)), (0, 1, Seq(-1.0, 0.0))))
+    val got = Similarity.pqEncode(
+        Seq((7L, Seq(0.0, 5.0))).toDF("id", "v"), tied, 1, 2)
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(got === Seq((7L, 0, 0)))
+  }
+
+  test("pqAdcTopK with an exactly-reconstructing codebook ranks by true " +
+      "squared L2 distance") {
+    // every distinct subvector is its own code → ADC distance == exact
+    // squared L2 between the original vectors
+    val subs = vecs.flatMap { case (_, v) =>
+      Seq(v.take(2), v.drop(2)) }.distinct
+    val exact = (for {
+      s <- 0 until m
+      (sv, c) <- subs.zipWithIndex
+    } yield (s, c, sv))
+    val exactCb = Similarity.pqCodebookDf(spark, exact)
+    val codes = Similarity.pqEncode(vecDf, exactCb, m, subDim)
+    val got = Similarity.pqAdcTopK(codes, exactCb,
+        vecDf.filter(col("id") === 1L), m, subDim, k = 3)
+      .orderBy("rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // per-subspace e4 rounding happens BEFORE the sum, mirroring the LUT
+    def adc(a: Seq[Double], b: Seq[Double]): Long =
+      Seq((a.take(2), b.take(2)), (a.drop(2), b.drop(2))).map {
+        case (x, y) =>
+          val d = x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum
+          math.floor(d * 1e4 + 0.5).toLong
+      }.sum
+    val v1 = vecs.head._2
+    val expect = vecs.tail
+      .map { case (id, v) => (id, adc(v1, v)) }
+      .sortBy { case (id, dist) => (dist, id) }
+      .zipWithIndex
+      .map { case ((id, dist), i) => (1L, id, dist, (i + 1).toLong) }
+    assert(got === expect)
+  }
+
+  test("pqTrain converges to per-subspace cluster means on separated data") {
+    // 20 vectors in two tight clusters per subspace; train k=2 per sub
+    val data = (0 until 20).map { i =>
+      val hi = i % 2 == 0
+      (i.toLong, Seq(
+        if (hi) 10.0 + i * 0.01 else 0.0 + i * 0.01,
+        if (hi) 10.0 else 0.0,
+        if (hi) -10.0 else 5.0,
+        if (hi) -10.0 + i * 0.01 else 5.0))
+    }.toDF("id", "v")
+    val trained = Similarity.pqTrain(data, m, subDim, numCodes = 2, iters = 3)
+      .orderBy("sub", "code")
+      .as[(Int, Int, Seq[Double])].collect()
+    assert(trained.length === 4)
+    // each subspace ends with one centroid near each cluster mean
+    for (s <- 0 until m) {
+      val cvs = trained.filter(_._1 == s).map(_._3)
+      val hiMean = data.as[(Long, Seq[Double])].collect()
+        .filter(_._1 % 2 == 0).map(_._2.slice(s * 2, s * 2 + 2))
+      def mean(rows: Array[Seq[Double]], d: Int) =
+        rows.map(_(d)).sum / rows.length
+      val target = Seq(mean(hiMean, 0), mean(hiMean, 1))
+      assert(cvs.exists(cv =>
+        cv.zip(target).forall { case (a, b) => math.abs(a - b) < 0.01 }),
+        s"sub $s: no centroid near $target in ${cvs.toSeq}")
+    }
+  }
+
+  test("pqTrain is deterministic (fixed-point means, hash-sampled seeds)") {
+    val data = (0 until 50)
+      .map(i => (i.toLong, Seq(i * 0.7 % 5, i * 1.3 % 7, i * 0.3 % 3,
+        i * 2.1 % 11))).toDF("id", "v")
+    def run() = Similarity.pqTrain(data, m, subDim, numCodes = 4, iters = 2)
+      .orderBy("sub", "code")
+      .as[(Int, Int, Seq[Double])].collect().toSeq
+    assert(run() === run())
+  }
+
+  test("encode with a trained codebook separates the clusters") {
+    // jittered so every vector is distinct: identical seed VALUES would
+    // make assignment tie everywhere and legitimately kill one code
+    val data = (0 until 20).map { i =>
+      val hi = i % 2 == 0
+      (i.toLong, Seq(
+        (if (hi) 10.0 else 0.0) + i * 0.01,
+        (if (hi) 10.0 else 0.0) - i * 0.01,
+        (if (hi) -10.0 else 5.0) + i * 0.01,
+        (if (hi) -10.0 else 5.0) - i * 0.01))
+    }.toDF("id", "v")
+    val trained = Similarity.pqTrain(data, m, subDim, numCodes = 2, iters = 4)
+    val codes = Similarity.pqEncode(data, trained, m, subDim)
+      .as[(Long, Int, Int)].collect()
+    for (s <- 0 until m) {
+      val bySub = codes.filter(_._2 == s)
+      val hiCodes = bySub.filter(_._1 % 2 == 0).map(_._3).toSet
+      val loCodes = bySub.filter(_._1 % 2 == 1).map(_._3).toSet
+      assert(hiCodes.size === 1 && loCodes.size === 1 && hiCodes != loCodes,
+        s"sub $s: clusters not separated ($hiCodes vs $loCodes)")
+    }
+  }
+}

@@ -62,6 +62,33 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("PQ: encode argmin partial-aggregates; ADC rank plans " +
+      "WindowGroupLimit; codebook and LUT broadcast; no cartesian") {
+    // q86 (encode): the only reduction is the min(struct) argmin — no
+    // Window at all, and it must combine map-side so the exchange carries
+    // one row per (vector, subspace), not numCodes rows
+    val pe = plan(ExtProbes.q86(spark, sf))
+    assert(!pe.contains("Window ["), pe.take(3000))
+    assert(pe.contains("partial_min"), pe.take(3000))
+    assert(!pe.contains("CartesianProduct"), pe.take(2000))
+    // q87 (ADC): LUT joins candidates via broadcast; the top-k filter
+    // plans WindowGroupLimit (partial per-map-task top-k BEFORE the
+    // exchange — no stage holds a full per-query candidate list)
+    val pa = plan(ExtProbes.q87(spark, sf))
+    assert(pa.contains("WindowGroupLimit"), pa.take(3000))
+    assert(pa.contains("BroadcastHashJoin"), pa.take(3000))
+    assert(!pa.contains("CartesianProduct"), pa.take(2000))
+  }
+
+  test("q88 line dedup: both reductions hash-partition on the doc id — " +
+      "no single-partition exchange, no window") {
+    val p = plan(ExtProbes.q88(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+    assert(!p.contains("Window ["), p.take(3000))
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      p.take(3000))
+  }
+
   test("q27 LSH: candidate generation is an equi-join, never a cross join") {
     val p = plan(ExtProbes.q27(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(2000))
