@@ -560,6 +560,13 @@ object Similarity {
 
   /** (id, v) → (id, sub, subv): each vector split into `m` contiguous
     * subvectors of `subDim` dims. Pure per-row fan-out, no shuffle.
+    * CONTRACT: vectors must have at least `m·subDim` dims — a short
+    * vector yields short slices, and zip_with against a full-width
+    * codebook entry null-pads them, poisoning every distance downstream
+    * (null d_e4 sorts ahead of real distances under min). Embedding
+    * dimensionality is a static property of any real table; callers pass
+    * the right (m, subDim) the same way [[rpLshNearDupPairs]] takes
+    * `dim`.
     */
   def pqSplit(vectors: DataFrame, m: Int, subDim: Int): DataFrame =
     vectors.select(col("id"),
@@ -616,6 +623,119 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("id").as("other_id"), col("dist_e4"),
         col("rank"))
+  }
+
+  /** IVF-PQ query path — the two halves composed the way a 100 TB ANN
+    * serves: IVF narrows candidates to the `nprobe` probed cells (the
+    * [[ivfTopK]] machinery: broadcast centroids, partial-agg assignment,
+    * cell equi join), then ADC ranks WITHIN the cells from the m-byte
+    * codes alone — candidate embeddings are never read at query time,
+    * only the code arrays. Shuffle shape: the cell join is the one
+    * corpus-sized exchange; the per-candidate code fan-out (posexplode ×
+    * m) is map-local, the LUT join is a broadcast, and the distance sum
+    * partial-aggregates back to one row per candidate before any further
+    * exchange; the rank filter plans WindowGroupLimit. Exact-embedding
+    * re-ranking of the ADC top-k (the standard refinement pass) is
+    * [[bruteForceTopK]] over the returned ids.
+    *
+    * With `nprobe >= numCells` every cell is probed and the result is
+    * exactly [[pqAdcTopK]] over the whole corpus (spec-pinned parity).
+    */
+  def ivfPqTopK(vectors: DataFrame, centroids: DataFrame,
+                codebook: DataFrame, queries: DataFrame, nprobe: Int,
+                m: Int, subDim: Int, k: Int): DataFrame = {
+    val cent = broadcast(centroids.select(col("id").as("cid"), col("v").as("cv")))
+    ivfPqProbeRank(ivfPqAssignCodes(vectors, cent, codebook, m, subDim),
+      cent, codebook, queries, nprobe, m, subDim, k)
+  }
+
+  /** (id, cid, codes): cell assignment + compact code array per vector —
+    * the stored form of an IVF-PQ index (cell-partitioned codes table).
+    */
+  private def ivfPqAssignCodes(vectors: DataFrame, cent: DataFrame,
+                               codebook: DataFrame, m: Int,
+                               subDim: Int): DataFrame = {
+    val codesWide = pqEncode(vectors, codebook, m, subDim)
+      .groupBy("id")
+      .agg(expr("transform(array_sort(collect_list(struct(sub, code))), " +
+        "e -> e.code)").as("codes"))
+    ivfAssign(vectors, cent)
+      .select(col("other_id").as("id"), col("cid"))
+      .join(codesWide, Seq("id"))
+  }
+
+  /** The shared probe-and-ADC-rank body of [[ivfPqTopK]] and
+    * [[ivfPqTopKIndexed]] — one implementation so the in-memory and
+    * persisted paths cannot drift (the [[ivfProbeRank]] discipline).
+    */
+  private def ivfPqProbeRank(assignedCodes: DataFrame, cent: DataFrame,
+                             codebook: DataFrame, queries: DataFrame,
+                             nprobe: Int, m: Int, subDim: Int,
+                             k: Int): DataFrame = {
+    val probed = topCells(
+      queries.select(col("id").as("vec_id"), col("v").as("va"))
+        .join(cent)
+        .withColumn("cscore", cosine("va", "cv")),
+      "vec_id", "va", nprobe)
+      .select("vec_id", "cid")
+    val lut = broadcast(
+      pqSplit(queries.select(col("id"), col("v")), m, subDim)
+        .select(col("id").as("vec_id"), col("sub"), col("subv"))
+        .join(broadcast(codebook), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("code"),
+          graft.core.Ops.fixedPoint(
+            sqDist(col("subv"), col("cv")), 4).as("pd_e4")))
+    probed.join(assignedCodes, Seq("cid"))
+      .filter(col("vec_id") =!= col("id"))
+      .select(col("vec_id"), col("id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(lut, Seq("vec_id", "sub", "code"))
+      .groupBy(col("vec_id"), col("id"))
+      .agg(sum(col("pd_e4")).as("dist_e4"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("dist_e4").asc, col("id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("id").as("other_id"), col("dist_e4"),
+        col("rank"))
+  }
+
+  /** Persist an IVF-PQ index: `<dir>/centroids` + `<dir>/codebook` (both
+    * tiny) and `<dir>/assigned` — (id, vb, codes) partitioned BY CELL.
+    * The full embedding `vb` is stored ALONGSIDE the codes in the same
+    * table: ADC queries select only (id, cid, codes), so parquet COLUMN
+    * pruning keeps the float payload on disk (ReadSchema without vb —
+    * plan-pinned), while an exact re-rank pass or a centroid retrain can
+    * still read it from the same layout. Partition pruning on cid works
+    * exactly as in [[writeIvfIndex]].
+    */
+  def writeIvfPqIndex(vectors: DataFrame, centroids: DataFrame,
+                      codebook: DataFrame, dir: String, m: Int,
+                      subDim: Int): Unit = {
+    val cent = broadcast(centroids.select(col("id").as("cid"), col("v").as("cv")))
+    centroids.select("id", "v").write.mode("overwrite")
+      .parquet(s"$dir/centroids")
+    codebook.select("sub", "code", "cv").write.mode("overwrite")
+      .parquet(s"$dir/codebook")
+    ivfPqAssignCodes(vectors, cent, codebook, m, subDim)
+      .join(vectors.select(col("id"), col("v").as("vb")), Seq("id"))
+      .select(col("id"), col("vb"), col("codes"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/assigned")
+  }
+
+  /** Query a persisted IVF-PQ index — [[ivfPqTopK]] semantics
+    * (parity spec-pinned) with the scan touching only the probed cells'
+    * partitions and only the code columns.
+    */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, queries: DataFrame, nprobe: Int,
+                       m: Int, subDim: Int, k: Int): DataFrame = {
+    val cent = broadcast(spark.read.parquet(s"$dir/centroids")
+      .select(col("id").as("cid"), col("v").as("cv")))
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val assigned = spark.read.parquet(s"$dir/assigned")
+      .select(col("id"), col("cid"), col("codes"))
+    ivfPqProbeRank(assigned, cent, codebook, queries, nprobe, m, subDim, k)
   }
 
   /** Train a PQ codebook: Lloyd's iterations per subspace, all subspaces

@@ -13,6 +13,7 @@ import graft.operators.{Curation, Dedup, TextStats}
 case class CurateConfig(
     minQualityE4: Long = 4000,
     keepLangs: Set[String] = Set("alpha", "beta", "gamma"),
+    dedupLinesWithinDocs: Boolean = false,
     nearDupThresholdE4: Long = 8000,
     decontamGramN: Int = 8,
     chunkTokens: Int = 64,
@@ -60,12 +61,17 @@ object Curate {
     for ((name, markers) <- TextStats.LangProfiles)
       scored = scored.withColumn(s"s_$name",
         TextStats.profileScore(col("__w"), markers).cast("long"))
-    val filtered = scored
+    var filtered = scored
       .withColumn("__q", TextStats.qualityScore(col(textCol), col("__w")))
       .withColumn("__lang", TextStats.langPredict)
       .filter(col("__q") >= cfg.minQualityE4 &&
         col("__lang").isInCollection(cfg.keepLangs))
       .select(col(idCol), col(textCol))
+
+    // ---- optional intra-doc repetition cleanup (line granularity) ------
+    if (cfg.dedupLinesWithinDocs)
+      filtered = Curation.dedupLines(filtered, idCol, textCol)
+        .select(col(idCol), col("cleaned_text").as(textCol))
 
     // ---- exact dedup: content-hash groups, min id survives -------------
     val kept = graft.core.Ops

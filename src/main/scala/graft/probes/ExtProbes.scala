@@ -1604,6 +1604,60 @@ object ExtProbes {
        |SELECT vec_id, other_id, dist_e4, rank
        |FROM r WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
 
+  // ---- q89 composed IVF-PQ query path -----------------------------------
+  // The two halves end-to-end: IVF cell probe (q31's assignment mirror)
+  // narrows candidates, ADC over the PQ codes (q86/q87's mirrors) ranks
+  // them — candidate embeddings never touched at query time. Fully
+  // deterministic given centroids + codebook, so the oracle reproduces
+  // both halves and the compare is EXACT.
+  val q89: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    Similarity.ivfPqTopK(e, e.filter(col("id") % 25 === 0),
+        Similarity.pqCodebookDf(s, q86Cb), e.filter(col("id") % 50 === 0),
+        nprobe = 2, m = 8, subDim = 8, k = 3)
+      .orderBy("vec_id", "rank")
+  }
+
+  val q89Sql: String = {
+    def cos(a: String, b: String) = Similarity.cosineDuckSql(a, b)
+    s"""WITH $pqCommonDuck,
+       |cent AS (SELECT id AS cid, v AS cv FROM e WHERE id % 25 = 0),
+       |assigned AS (
+       |  SELECT id, cid FROM (
+       |    SELECT e.id, c.cid,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN cent c) t(id, cid, rn) WHERE rn = 1),
+       |probed AS (
+       |  SELECT id AS vec_id, cid FROM (
+       |    SELECT q.id, c.cid,
+       |      row_number() OVER (PARTITION BY q.id
+       |        ORDER BY ${cos("q.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |    FROM e q CROSS JOIN cent c WHERE q.id % 50 = 0) t(id, cid, rn)
+       |  WHERE rn <= 2),
+       |lut AS (SELECT sp.id AS vec_id, sp.sub AS sub, cb.code,
+       |    ${pqDistDuck("subv", "cv")} AS pd_e4
+       |  FROM sp JOIN cb ON cb.sub = sp.sub
+       |  WHERE sp.id % 50 = 0),
+       |cand AS (SELECT p.vec_id, c.id AS other_id,
+       |    CAST(sum(l.pd_e4) AS BIGINT) AS dist_e4
+       |  FROM probed p
+       |  JOIN assigned a USING (cid)
+       |  JOIN codes c ON c.id = a.id
+       |  JOIN lut l ON l.vec_id = p.vec_id AND l.sub = c.sub
+       |    AND l.code = c.code
+       |  WHERE p.vec_id <> a.id
+       |  GROUP BY p.vec_id, c.id),
+       |r AS (SELECT vec_id, other_id, dist_e4,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist_e4, other_id) AS rank
+       |  FROM cand)
+       |SELECT vec_id, other_id, dist_e4, rank
+       |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+  }
+
   // ---- q88 intra-document line dedup ------------------------------------
   // Repeated lines planted per doc (duplicate banner + duplicate body
   // line); Curation.dedupLines keeps first occurrences in original order
@@ -1685,6 +1739,7 @@ object ExtProbes {
     "q86_pq_encode" -> q86,
     "q87_pq_adc_topk" -> q87,
     "q88_line_dedup" -> q88,
+    "q89_ivfpq_topk" -> q89,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1738,5 +1793,6 @@ object ExtProbes {
     "q86_pq_encode" -> q86Sql,
     "q87_pq_adc_topk" -> q87Sql,
     "q88_line_dedup" -> q88Sql,
+    "q89_ivfpq_topk" -> q89Sql,
   )
 }

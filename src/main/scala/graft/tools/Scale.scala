@@ -176,6 +176,26 @@ object Scale {
         }
       }
 
+      // round-6: PQ encode (per-row map + one partial-agg argmin exchange)
+      // and the composed IVF-PQ query path (cell probe + in-cell ADC)
+      run("pq_encode", n) {
+        val cb = Similarity.pqCodebookDf(spark,
+          Similarity.pqCodebook(m = 8, numCodes = 8, subDim = 8))
+        graft.core.Managed(
+          Similarity.pqEncode(v, cb, m = 8, subDim = 8)
+            .groupBy(col("id") % 32).agg(count(lit(1)).as("codes")),
+          Seq.empty)
+      }
+      run("ivfpq_topk", n) {
+        val cb = Similarity.pqCodebookDf(spark,
+          Similarity.pqCodebook(m = 8, numCodes = 8, subDim = 8))
+        val cent = Similarity.buildIvf(v, numCells = 16, iters = 1)
+        val queries = v.filter(col("id") % 50 === 0)
+        graft.core.Managed(
+          Similarity.ivfPqTopK(v, cent, cb, queries, nprobe = 2,
+            m = 8, subDim = 8, k = 5), Seq.empty)
+      }
+
       // --- round-4 operators: temporal joins on Nx-deep per-key history,
       // exact percentiles on Nx groups ---------------------------------
       // events scaled on the HOT-KEY axis: user_id folded to FOUR hot

@@ -58,6 +58,27 @@ class CurateSpec extends SparkSpec {
     res.chunks.unpersist()
   }
 
+  test("Curate.run with dedupLinesWithinDocs: repeated-line docs collapse " +
+      "to exact dups and fold in the dedup stage") {
+    // docs 1 and 2 differ ONLY by a repeated line — line dedup makes them
+    // byte-identical, so the exact-dedup stage folds them; with the knob
+    // off they both survive
+    val body = goodText("five")
+    val docs = Seq(
+      1L -> body,
+      2L -> (body + "\n" + body),  // duplicate line of 1
+      3L -> goodText("six")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq("no contamination here").toDF("btext")
+    val off = Curate.run(docs, "doc_id", "text", benchmark, "btext",
+      CurateConfig(minQualityE4 = 0))
+    val on = Curate.run(docs, "doc_id", "text", benchmark, "btext",
+      CurateConfig(minQualityE4 = 0, dedupLinesWithinDocs = true))
+    assert(off.stageCounts.toMap.apply("exact_dedup") == 3L)
+    assert(on.stageCounts.toMap.apply("exact_dedup") == 2L)
+    off.chunks.unpersist(); on.chunks.unpersist()
+  }
+
   test("Curate.run composition: no cartesian product, no single-partition " +
       "exchange anywhere in the composed job") {
     val docs = (1L to 40L).map(i => (i, goodText(s"doc$i"))).toDF("doc_id", "text")

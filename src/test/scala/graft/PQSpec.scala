@@ -80,6 +80,76 @@ class PQSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("ivfPqTopK with every cell probed equals pqAdcTopK over the corpus") {
+    val data = (0 until 40).map { i =>
+      (i.toLong, Seq(math.sin(i * 1.7), math.cos(i * 0.9),
+        math.sin(i * 0.31 + 1), math.cos(i * 2.3 + 2)))
+    }.toDF("id", "v")
+    val queries = data.filter(col("id") % 10 === 0)
+    val cents = Similarity.buildIvf(data, numCells = 4, iters = 1)
+    val viaIvf = Similarity.ivfPqTopK(data, cents, cbDf, queries,
+        nprobe = 4, m = m, subDim = subDim, k = 3)
+      .orderBy("vec_id", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val direct = Similarity.pqAdcTopK(
+        Similarity.pqEncode(data, cbDf, m, subDim), cbDf, queries,
+        m, subDim, k = 3)
+      .orderBy("vec_id", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(viaIvf === direct)
+    assert(viaIvf.nonEmpty)
+  }
+
+  test("ivfPqTopK with nprobe=1 returns at most k candidates per query, " +
+      "all from probed cells, ranked densely") {
+    val data = (0 until 40).map { i =>
+      (i.toLong, Seq(math.sin(i * 1.7), math.cos(i * 0.9),
+        math.sin(i * 0.31 + 1), math.cos(i * 2.3 + 2)))
+    }.toDF("id", "v")
+    val queries = data.filter(col("id") % 10 === 0)
+    val cents = Similarity.buildIvf(data, numCells = 4, iters = 1)
+    val got = Similarity.ivfPqTopK(data, cents, cbDf, queries,
+        nprobe = 1, m = m, subDim = subDim, k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val byQ = got.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    for ((_, rows) <- byQ) {
+      assert(rows.length <= 3)
+      assert(rows.map(_._4).sorted === (1 to rows.length).map(_.toLong))
+    }
+  }
+
+  test("persisted IVF-PQ index: indexed query equals the in-memory path; " +
+      "scan reads codes, not embeddings") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val data = (0 until 40).map { i =>
+      (i.toLong, Seq(math.sin(i * 1.7), math.cos(i * 0.9),
+        math.sin(i * 0.31 + 1), math.cos(i * 2.3 + 2)))
+    }.toDF("id", "v")
+    val queries = data.filter(col("id") % 10 === 0)
+    val cents = Similarity.buildIvf(data, numCells = 4, iters = 1)
+    Similarity.writeIvfPqIndex(data, cents, cbDf, dir, m, subDim)
+    val direct = Similarity.ivfPqTopK(data, cents, cbDf, queries,
+        nprobe = 2, m = m, subDim = subDim, k = 3)
+      .orderBy("vec_id", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val viaIndex = Similarity.ivfPqTopKIndexed(spark, dir, queries,
+      nprobe = 2, m = m, subDim = subDim, k = 3)
+    val got = viaIndex.orderBy("vec_id", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === direct)
+    assert(got.nonEmpty)
+    // column pruning: the assigned scan must not read the stored float
+    // payload — ADC works from codes alone (the point of PQ)
+    val p = viaIndex.queryExecution.executedPlan.toString
+    val assignedScans = p.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("codes")).toList
+    assert(assignedScans.nonEmpty, p.take(3000))
+    assert(assignedScans.forall(!_.contains("vb")),
+      "assigned scan reads the embedding column:\n" +
+        assignedScans.mkString("\n"))
+  }
+
   test("pqTrain converges to per-subspace cluster means on separated data") {
     // 20 vectors in two tight clusters per subspace; train k=2 per sub
     val data = (0 until 20).map { i =>
