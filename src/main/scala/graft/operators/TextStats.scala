@@ -71,6 +71,70 @@ object TextStats {
       lit(0.3) * (lit(1.0) - punctRatio) + lit(0.2) * stopRatio, 4)
   }
 
+  /** Thresholds for [[gopherFlags]] — the Gopher-paper quality-rule set
+    * (Rae et al. 2021 §A1.1, public), bounds in scale-4 fixed point so
+    * the gate compares integers.
+    */
+  case class GopherConfig(
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanLenE4: Long = 30000L, maxMeanLenE4: Long = 100000L,
+      maxSymbolRatioE4: Long = 1000L, maxBulletFracE4: Long = 9000L,
+      maxEllipsisFracE4: Long = 3000L, minAlphaFracE4: Long = 8000L,
+      minStopHits: Long = 2L)
+
+  /** The Gopher quality-rule bundle as ONE struct column — the standard
+    * pretraining gate set beside the composite [[qualityScore]]: word
+    * count bounds, mean word length, symbol-to-word ratio (# and …),
+    * bullet-started / ellipsis-ended line fractions, alphabetic-word
+    * fraction, stopword floor. `text` is the raw text (line structure
+    * intact); `words` the normalized array (stopword hits only). All
+    * measures exit as scale-4 fixed-point BIGINTs over integer counts —
+    * exact, engine-stable; `pass` is the conjunction. Pure per-row column
+    * work: no shuffle, whole-stage codegen, corpus-linear.
+    */
+  def gopherFlags(text: Column, words: Column,
+                  cfg: GopherConfig = GopherConfig()): Column = {
+    val toks = when(length(trim(text)) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+    val n = size(toks).cast("long")
+    def fracE4(num: Column, den: Column): Column =
+      when(den > 0, graft.core.Ops.fixedPoint(num * lit(1.0) / den, 4))
+        .otherwise(lit(0L))
+    val sumLen = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+    val meanLenE4 = fracE4(sumLen, n)
+    val alphaFracE4 = fracE4(
+      size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long"), n)
+    val hashes = (length(text) -
+      length(regexp_replace(text, "#", ""))).cast("long")
+    val ellipses = size(call_function("regexp_extract_all", text,
+      lit("\\.\\.\\."), lit(0))).cast("long")
+    val symbolRatioE4 = fracE4(hashes + ellipses, n)
+    val lines = split(text, "\n", -1)
+    val nLines = size(lines).cast("long")
+    val bulletFracE4 = fracE4(
+      size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ") ||
+        l.startsWith("•"))).cast("long"), nLines)
+    val ellipsisFracE4 = fracE4(
+      size(filter(lines, l => l.endsWith("..."))).cast("long"), nLines)
+    val stopHits = markerHits(words, StopWords).cast("long")
+    struct(
+      n.as("n_words"),
+      meanLenE4.as("mean_len_e4"),
+      alphaFracE4.as("alpha_frac_e4"),
+      symbolRatioE4.as("symbol_ratio_e4"),
+      bulletFracE4.as("bullet_frac_e4"),
+      ellipsisFracE4.as("ellipsis_frac_e4"),
+      stopHits.as("stop_hits"),
+      (n >= cfg.minWords && n <= cfg.maxWords &&
+        meanLenE4 >= cfg.minMeanLenE4 && meanLenE4 <= cfg.maxMeanLenE4 &&
+        symbolRatioE4 <= cfg.maxSymbolRatioE4 &&
+        bulletFracE4 <= cfg.maxBulletFracE4 &&
+        ellipsisFracE4 <= cfg.maxEllipsisFracE4 &&
+        alphaFracE4 >= cfg.minAlphaFracE4 &&
+        stopHits >= cfg.minStopHits).as("pass"))
+  }
+
   /** PII scrubbing patterns (training-data redaction). Kept to syntax
     * valid AND identical-semantics in both Java regex (Spark) and RE2
     * (DuckDB oracle): character classes + bounded quantifiers only — no

@@ -1658,6 +1658,84 @@ object ExtProbes {
        |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
   }
 
+  // ---- q90 Gopher quality-rule bundle -----------------------------------
+  // The standard pretraining gate set (word count / mean word length /
+  // symbol ratio / bullet + ellipsis line fractions / alphabetic fraction
+  // / stopword floor) as one struct; docs get synthesized line structure
+  // so every rule has both passing and failing rows. All measures are
+  // integer-count fixed-point — the compare is exact.
+  val q90: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      concat_ws("\n", col("text"),
+        when(col("doc_id") % 4 === 0, lit("- bullet line"))
+          .otherwise(lit("plain line")),
+        when(col("doc_id") % 5 === 0, lit("trails off..."))
+          .otherwise(lit("## hash marks #"))).as("text"))
+    val g = graft.operators.TextStats.gopherFlags(col("text"),
+      Dedup.normalizeWords(col("text")))
+    docs.withColumn("g", g)
+      .select(col("doc_id"), col("g.n_words").as("n_words"),
+        col("g.mean_len_e4").as("mean_len_e4"),
+        col("g.alpha_frac_e4").as("alpha_frac_e4"),
+        col("g.symbol_ratio_e4").as("symbol_ratio_e4"),
+        col("g.bullet_frac_e4").as("bullet_frac_e4"),
+        col("g.ellipsis_frac_e4").as("ellipsis_frac_e4"),
+        col("g.stop_hits").as("stop_hits"), col("g.pass").as("pass"))
+      .orderBy("doc_id")
+  }
+
+  val q90Sql: String = {
+    def fracE4(num: String, den: String) =
+      s"CASE WHEN $den > 0 THEN CAST(floor(($num) * 1.0 / ($den) * 10000 + 0.5) AS BIGINT) ELSE 0 END"
+    s"""WITH docs AS (SELECT doc_id,
+       |    text || chr(10)
+       |      || (CASE WHEN doc_id % 4 = 0 THEN '- bullet line'
+       |          ELSE 'plain line' END) || chr(10)
+       |      || (CASE WHEN doc_id % 5 = 0 THEN 'trails off...'
+       |          ELSE '## hash marks #' END) AS text
+       |  FROM documents),
+       |t AS (SELECT doc_id, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |      ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+       |    string_split(text, chr(10)) AS lines,
+       |    $duckWords AS w
+       |  FROM docs),
+       |m AS (SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n,
+       |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+       |      AS BIGINT) AS sumlen,
+       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+       |      AS BIGINT) AS n_alpha,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+       |      + CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT)
+       |      AS n_sym,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(lines, l -> starts_with(l, '- ')
+       |      OR starts_with(l, '* ') OR starts_with(l, '•'))) AS BIGINT)
+       |      AS n_bullet,
+       |    CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT)
+       |      AS n_ell,
+       |    CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT)
+       |      AS stop_hits
+       |  FROM t),
+       |f AS (SELECT doc_id, n AS n_words,
+       |    ${fracE4("sumlen", "n")} AS mean_len_e4,
+       |    ${fracE4("n_alpha", "n")} AS alpha_frac_e4,
+       |    ${fracE4("n_sym", "n")} AS symbol_ratio_e4,
+       |    ${fracE4("n_bullet", "n_lines")} AS bullet_frac_e4,
+       |    ${fracE4("n_ell", "n_lines")} AS ellipsis_frac_e4,
+       |    stop_hits
+       |  FROM m)
+       |SELECT doc_id, n_words, mean_len_e4, alpha_frac_e4, symbol_ratio_e4,
+       |  bullet_frac_e4, ellipsis_frac_e4, stop_hits,
+       |  (n_words BETWEEN 50 AND 100000
+       |    AND mean_len_e4 BETWEEN 30000 AND 100000
+       |    AND symbol_ratio_e4 <= 1000 AND bullet_frac_e4 <= 9000
+       |    AND ellipsis_frac_e4 <= 3000 AND alpha_frac_e4 >= 8000
+       |    AND stop_hits >= 2) AS pass
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q88 intra-document line dedup ------------------------------------
   // Repeated lines planted per doc (duplicate banner + duplicate body
   // line); Curation.dedupLines keeps first occurrences in original order
@@ -1740,6 +1818,7 @@ object ExtProbes {
     "q87_pq_adc_topk" -> q87,
     "q88_line_dedup" -> q88,
     "q89_ivfpq_topk" -> q89,
+    "q90_gopher_rules" -> q90,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1794,5 +1873,6 @@ object ExtProbes {
     "q87_pq_adc_topk" -> q87Sql,
     "q88_line_dedup" -> q88Sql,
     "q89_ivfpq_topk" -> q89Sql,
+    "q90_gopher_rules" -> q90Sql,
   )
 }

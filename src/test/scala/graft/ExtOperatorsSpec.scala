@@ -328,6 +328,35 @@ class ExtOperatorsSpec extends SparkSpec {
       (4L, "", 0L)))
   }
 
+  test("gopherFlags: every rule measured on crafted vectors") {
+    import graft.operators.{Dedup, TextStats}
+    val rows = Seq(
+      (1L, "aa bb cc"),            // 3 words, mean len 2
+      (2L, "# # #"),               // pure symbols
+      (3L, "- a\n- b\nplain"),     // 2/3 bullet lines
+      (4L, "so...\nplain"),        // 1/2 ellipsis lines, one ... symbol
+      (5L, ""),                    // empty: all zero, pass false
+      (6L, ("the quick brown fox jumps over a lazy dog " * 6).trim)
+    ).toDF("doc_id", "text")
+    val g = TextStats.gopherFlags(col("text"),
+      Dedup.normalizeWords(col("text")))
+    val got = rows.withColumn("g", g)
+      .select(col("doc_id"), col("g.n_words"), col("g.mean_len_e4"),
+        col("g.symbol_ratio_e4"), col("g.bullet_frac_e4"),
+        col("g.ellipsis_frac_e4"), col("g.stop_hits"), col("g.pass"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    assert(got(0) === ((1L, 3L, 20000L, 0L, 0L, 0L, 0L, false)))
+    assert(got(1)._4 === 10000L)            // 3 symbols / 3 words
+    assert(got(2)._5 === 6667L)             // 2/3 bullet lines
+    assert(got(3)._6 === 5000L)             // 1/2 ellipsis lines
+    assert(got(4) === ((5L, 0L, 0L, 0L, 0L, 0L, 0L, false)))
+    val six = got(5)
+    assert(six._2 === 54L && six._7 >= 2L && six._8 === true,
+      six.toString)
+  }
+
   test("dedupLines is idempotent") {
     import graft.operators.Curation
     val docs = Seq((1L, "p\nq\np\nr\nq\np")).toDF("doc_id", "text")
