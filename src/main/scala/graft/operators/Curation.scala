@@ -207,8 +207,12 @@ object Curation {
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
                  sep: String = "\n"): DataFrame =
     graft.core.Ops.widen(docs)
+      // NULL text folds to "": split(NULL) is NULL and posexplode of NULL
+      // emits no rows, which would DROP the document — a curation step
+      // must not change row count (the removeBoilerplate contract)
       .select(col(idCol),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+        posexplode(split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(sep), -1))
           .as(Seq("pos", "line")))
       .groupBy(col(idCol), col("line"))
       .agg(min(col("pos")).as("pos"), count(lit(1)).as("__occ"))

@@ -649,8 +649,12 @@ object Similarity {
       cent, codebook, queries, nprobe, m, subDim, k)
   }
 
-  /** (id, cid, codes): cell assignment + compact code array per vector —
-    * the stored form of an IVF-PQ index (cell-partitioned codes table).
+  /** (id, vb, cid, codes): cell assignment + compact code array per
+    * vector — the stored form of an IVF-PQ index (cell-partitioned codes
+    * table). `vb` rides along from the assignment pass (it is already in
+    * flight there — re-joining `vectors` would cost a third corpus scan);
+    * consumers that only need codes project it away and column pruning
+    * drops it from the scan.
     */
   private def ivfPqAssignCodes(vectors: DataFrame, cent: DataFrame,
                                codebook: DataFrame, m: Int,
@@ -660,7 +664,7 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(sub, code))), " +
         "e -> e.code)").as("codes"))
     ivfAssign(vectors, cent)
-      .select(col("other_id").as("id"), col("cid"))
+      .select(col("other_id").as("id"), col("vb"), col("cid"))
       .join(codesWide, Seq("id"))
   }
 
@@ -685,7 +689,7 @@ object Similarity {
         .select(col("vec_id"), col("sub"), col("code"),
           graft.core.Ops.fixedPoint(
             sqDist(col("subv"), col("cv")), 4).as("pd_e4")))
-    probed.join(assignedCodes, Seq("cid"))
+    probed.join(assignedCodes.select("id", "cid", "codes"), Seq("cid"))
       .filter(col("vec_id") =!= col("id"))
       .select(col("vec_id"), col("id"),
         posexplode(col("codes")).as(Seq("sub", "code")))
@@ -718,7 +722,6 @@ object Similarity {
     codebook.select("sub", "code", "cv").write.mode("overwrite")
       .parquet(s"$dir/codebook")
     ivfPqAssignCodes(vectors, cent, codebook, m, subDim)
-      .join(vectors.select(col("id"), col("v").as("vb")), Seq("id"))
       .select(col("id"), col("vb"), col("codes"), col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/assigned")
   }

@@ -319,13 +319,16 @@ class ExtOperatorsSpec extends SparkSpec {
       (3L, "x\n\ny\n\nx\n"),                       // dup empty + dup x + trailing empty
       (4L, "")                                     // empty doc: one empty line
     ).toDF("doc_id", "text")
+      .unionByName(Seq(Tuple1(5L)).toDF("doc_id")
+        .select(col("doc_id"), lit(null).cast("string").as("text")))
     val got = Curation.dedupLines(docs, "doc_id", "text")
       .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
     assert(got === Seq(
       (1L, "nav\nbody one\nbody two", 2L),
       (2L, "a\nb\nc", 0L),
       (3L, "x\n\ny", 3L),
-      (4L, "", 0L)))
+      (4L, "", 0L),
+      (5L, "", 0L)))  // NULL text folds to empty, doc NOT dropped
   }
 
   test("gopherFlags: every rule measured on crafted vectors") {
