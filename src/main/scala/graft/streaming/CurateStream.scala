@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextStats}
+
+/** The streaming counterpart of `pipeline/Curate.run`'s GATE stages —
+  * quality/language filter → exact dedup → MinHash near-dup — over an
+  * unbounded (id, text) stream, emitting one [[CurateStream.GateVerdict]]
+  * PER INPUT DOCUMENT: the admit/reject decision, the stage that decided,
+  * and the duplicate-lineage pointer. A ledger, not just a survivor
+  * stream — incremental ingest must account for every document (the
+  * downstream writer joins admitted ids against its payload store;
+  * stream-stream joins after stateful operators are not a thing, so the
+  * gate never tries to carry payloads through).
+  *
+  * Stage shapes, all shuffle-keyed and state-bounded:
+  *  - quality/lang: stateless per-row column exprs (the batch operators
+  *    verbatim — one definition, both engines);
+  *  - exact dedup: [[StatefulDedup.firstPerKeyTagged]] on the content
+  *    hash — one Long of state per distinct content;
+  *  - near-dup: [[MinHashStream.bandVotes]] → `admittedAppend` — band-key
+  *    sharded state with per-bucket caps, the q27 signature.
+  *
+  * Chain semantics for near-dups follow MinHashStream (transitive chains
+  * collapse; `dup_of` is a parent pointer). Quality-rejected and
+  * exact-dup docs never reach the near-dup state — the stream analog of
+  * the batch funnel ordering.
+  */
+object CurateStream {
+
+  /** `reason`: "quality" | "exact_dup" | "near_dup" | "admitted".
+    * `dup_of` = lineage parent for the dup reasons, else the doc's own id.
+    */
+  case class GateVerdict(id: Long, admitted: Boolean, reason: String,
+                         dup_of: Long)
+
+  case class GateConfig(minQualityE4: Long = 4000,
+                        keepLangs: Set[String] = Set("alpha", "beta", "gamma"),
+                        bands: Int = 4, rowsPerBand: Int = 3,
+                        thresholdE4: Long = 8000, maxPerBucket: Int = 1024)
+
+  def gate(docs: DataFrame, idCol: String, textCol: String,
+           cfg: GateConfig = GateConfig()): Dataset[GateVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // ---- stateless quality/language stage (batch exprs verbatim) -------
+    var scored = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("__w", Dedup.normalizeWords(col("text")))
+    for ((name, markers) <- TextStats.LangProfiles)
+      scored = scored.withColumn(s"s_$name",
+        TextStats.profileScore(col("__w"), markers).cast("long"))
+    val flagged = scored
+      .withColumn("__q", TextStats.qualityScore(col("text"), col("__w")))
+      .withColumn("__lang", TextStats.langPredict)
+      .withColumn("__pass", col("__q") >= cfg.minQualityE4 &&
+        col("__lang").isInCollection(cfg.keepLangs))
+
+    val qualityRejects = flagged.filter(!col("__pass"))
+      .select(col("id"))
+      .as[Long]
+      .map(id => GateVerdict(id, admitted = false, reason = "quality",
+        dup_of = id))
+
+    // ---- exact dedup on the content hash -------------------------------
+    val tagged = StatefulDedup.firstPerKeyTagged(
+      flagged.filter(col("__pass"))
+        .select(md5(col("text")).as("h"),
+          struct(col("id"), col("text")).as("doc"))
+        .as[(String, (Long, String))],
+      (v: (Long, String)) => v._1)
+
+    val exactRejects = tagged.filter(!_._3)
+      .map(t => GateVerdict(t._2._1, admitted = false, reason = "exact_dup",
+        dup_of = t._4))
+
+    // ---- MinHash near-dup gate over exact-dedup survivors --------------
+    val verdicts = MinHashStream.admittedAppend(
+      MinHashStream.bandVotes(
+        tagged.filter(_._3)
+          .map(t => MinHashStream.Doc(t._2._1, t._2._2)),
+        cfg.bands, cfg.rowsPerBand, cfg.thresholdE4, cfg.maxPerBucket))
+      .map(v =>
+        if (v.is_dup) GateVerdict(v.id, admitted = false,
+          reason = "near_dup", dup_of = v.dup_of)
+        else GateVerdict(v.id, admitted = true, reason = "admitted",
+          dup_of = v.id))
+
+    qualityRejects.unionByName(exactRejects).unionByName(verdicts)
+  }
+}

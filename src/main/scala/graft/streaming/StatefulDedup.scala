@@ -19,6 +19,46 @@ object StatefulDedup {
 
   case class Seen(firstSeenMs: Long)
 
+  /** First-arrival state that also remembers WHO was first — the tagged
+    * variant's lineage pointer.
+    */
+  case class SeenId(firstId: Long)
+
+  /** Tagged first-per-key: EVERY row comes back, first arrivals with
+    * `kept = true` and later arrivals tagged with the first arrival's id
+    * — the form a curation ledger needs (a dropped doc must leave a
+    * lineage record, not vanish; [[firstPerKey]] is the emit-survivors
+    * form). State per key is one Long. `idOf` extracts the lineage id
+    * from the payload.
+    */
+  def firstPerKeyTagged[K: org.apache.spark.sql.Encoder,
+                        V: org.apache.spark.sql.Encoder](
+      ds: Dataset[(K, V)], idOf: V => Long)(
+      implicit tupleEnc: org.apache.spark.sql.Encoder[(K, V)],
+      outEnc: org.apache.spark.sql.Encoder[(K, V, Boolean, Long)],
+      seenEnc: org.apache.spark.sql.Encoder[SeenId])
+      : Dataset[(K, V, Boolean, Long)] =
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[SeenId, (K, V, Boolean, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: K, rows: Iterator[(K, V)], state: GroupState[SeenId]) =>
+          var first = state.getOption.map(_.firstId)
+          // min-id-first within a batch: parity with the batch form, which
+          // keeps the smallest id per content group (MinHashStream sorts
+          // its batches the same way)
+          val out = rows.toSeq.sortBy(r => idOf(r._2)).map { case (_, v) =>
+            first match {
+              case Some(f) => (key, v, false, f)
+              case None =>
+                val id = idOf(v)
+                first = Some(id)
+                state.update(SeenId(id))
+                (key, v, true, id)
+            }
+          }
+          out.iterator
+      }
+
   /** Keep the first row per key from a keyed stream. `timeoutMs` < 0 → no
     * timeout (state lives for the query's lifetime; NoTimeout mode — a
     * ProcessingTimeTimeout query schedules perpetual empty batches to fire

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.CurateStream
+
+/** The composed streaming curation gate: every input doc gets exactly one
+  * verdict, the right stage decides it, and lineage pointers match the
+  * batch funnel semantics (min-id representative).
+  */
+class CurateStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the CurateSpec fixture shape: 25+ words, alpha-dominant, salt-derived
+  // bodies so different salts are genuinely unrelated
+  private def goodText(salt: String): String =
+    s"the table row scan key " +
+      (1 to 24).map(i => s"$salt$i").mkString(" ") + " the a"
+
+  test("gate: one verdict per doc; quality, exact-dup, near-dup and " +
+      "admitted all routed to the right stage with min-id lineage") {
+    val input = MemoryStream[(Long, String)](spark)
+    val q = CurateStream.gate(input.toDF().toDF("id", "text"), "id", "text")
+      .writeStream.format("memory").queryName("curate_gate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        1L -> goodText("one"),
+        5L -> "short junk!!!")            // fails the quality gate
+      q.processAllAvailable()
+      input.addData(
+        2L -> goodText("one"),            // exact dup of 1 (same text)
+        3L -> goodText("two"))
+      q.processAllAvailable()
+      input.addData(
+        4L -> (goodText("two") + " appended"), // near-dup of 3
+        7L -> goodText("four"))
+      q.processAllAvailable()
+      val got = spark.table("curate_gate")
+        .as[CurateStream.GateVerdict].collect()
+        .map(v => v.id -> ((v.admitted, v.reason, v.dup_of))).toMap
+      assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L, 7L)) // ledger complete
+      assert(got(1L) === ((true, "admitted", 1L)))
+      assert(got(5L) === ((false, "quality", 5L)))
+      assert(got(2L) === ((false, "exact_dup", 1L)))
+      assert(got(3L) === ((true, "admitted", 3L)))
+      assert(got(4L) === ((false, "near_dup", 3L)))
+      assert(got(7L) === ((true, "admitted", 7L)))
+    } finally q.stop()
+  }
+
+  test("gate: same-batch exact dups resolve to the smallest id (batch " +
+      "funnel parity)") {
+    val input = MemoryStream[(Long, String)](spark)
+    val q = CurateStream.gate(input.toDF().toDF("id", "text"), "id", "text")
+      .writeStream.format("memory").queryName("curate_gate_batchdup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        12L -> goodText("seven"),
+        10L -> goodText("seven"),
+        11L -> goodText("seven"))
+      q.processAllAvailable()
+      val got = spark.table("curate_gate_batchdup")
+        .as[CurateStream.GateVerdict].collect()
+        .map(v => v.id -> ((v.admitted, v.reason, v.dup_of))).toMap
+      assert(got(10L) === ((true, "admitted", 10L)))
+      assert(got(11L) === ((false, "exact_dup", 10L)))
+      assert(got(12L) === ((false, "exact_dup", 10L)))
+    } finally q.stop()
+  }
+}
