@@ -135,6 +135,66 @@ object TextStats {
         stopHits >= cfg.minStopHits).as("pass"))
   }
 
+  /** Train a count-based bigram LM: (gram, c) over space-joined word
+    * bigrams — the model table of the CCNet/KenLM-style perplexity
+    * filter, vocabulary-squared-bounded (far below corpus size after the
+    * one hash shuffle). Train on a trusted reference corpus and score
+    * candidates, or on the corpus itself (self-perplexity flags
+    * repetitive/degenerate outliers).
+    */
+  def bigramCounts(docs: org.apache.spark.sql.DataFrame,
+                   textCol: String): org.apache.spark.sql.DataFrame =
+    graft.core.Ops.widen(docs)
+      .select(explode(Curation.wordNgrams(
+        graft.operators.Dedup.normalizeWords(col(textCol)), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c"))
+
+  /** Per-document cross-entropy under an add-one-smoothed bigram LM:
+    * mean over the doc's bigrams of −ln((c(w1,w2)+1)/(ctx(w1)+V)), where
+    * ctx(w1) = Σ_w2 c(w1,w2) is derived from the model table and `V` is
+    * the smoothing vocabulary size (model metadata — a bounded count the
+    * trainer records; passing it keeps the plan free of 1-row scalar
+    * crosses). Unseen grams cost −ln(1/(ctx+V)); docs with < 2 words
+    * score 0 with n_bigrams 0 and are NOT dropped.
+    *
+    * Determinism: each bigram's log-cost is rounded to an e6 BIGINT
+    * BEFORE the per-doc sum — float sums are partition-order-dependent,
+    * integer sums are exact — and the mean exits as e4. Shuffle shape:
+    * the corpus-sized side moves once (the gram join; the model and
+    * context tables are vocabulary-bounded — AQE broadcasts them when
+    * small), then one hash aggregate on the doc id.
+    */
+  def lmCrossEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String,
+                     grams: org.apache.spark.sql.DataFrame,
+                     vocabSize: Long): org.apache.spark.sql.DataFrame = {
+    val ctx = grams
+      .select(split(col("gram"), " ").getItem(0).as("w1"), col("c"))
+      .groupBy("w1").agg(sum(col("c")).as("ctx"))
+    val bg = graft.core.Ops.widen(docs)
+      .select(col(idCol), explode(Curation.wordNgrams(
+        graft.operators.Dedup.normalizeWords(col(textCol)), 2)).as("gram"))
+    val scored = bg
+      .join(grams, Seq("gram"), "left_outer")
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .join(ctx, Seq("w1"), "left_outer")
+      .withColumn("le6", floor(-log(
+        (coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("ctx"), lit(0L)) + lit(vocabSize.toDouble)))
+        * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("le6")).as("s"))
+      .withColumn("xent_e4",
+        floor(col("s") / (col("n_bigrams") * lit(100.0)) + lit(0.5))
+          .cast("long"))
+    docs.select(col(idCol))
+      .join(scored.select(col(idCol), col("n_bigrams"), col("xent_e4")),
+        Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("xent_e4"), lit(0L)).as("xent_e4"))
+  }
+
   /** PII scrubbing patterns (training-data redaction). Kept to syntax
     * valid AND identical-semantics in both Java regex (Spark) and RE2
     * (DuckDB oracle): character classes + bounded quantifiers only — no

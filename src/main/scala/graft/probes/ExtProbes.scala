@@ -1736,6 +1736,43 @@ object ExtProbes {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q91 bigram-LM cross-entropy (perplexity filter) ------------------
+  // The CCNet/KenLM-style quality signal: train bigram counts on the
+  // corpus itself, score each doc's mean smoothed log-cost
+  // (self-perplexity — repetitive/templated docs score low, outliers
+  // high). Per-bigram costs round to e6 integers BEFORE the sum, so the
+  // compare is exact despite the ln().
+  val q91: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val grams = graft.operators.TextStats.bigramCounts(docs, "text")
+    graft.operators.TextStats.lmCrossEntropy(docs, "doc_id", "text",
+        grams, vocabSize = 1000L)
+      .orderBy("doc_id")
+  }
+
+  val q91Sql: String =
+    s"""WITH n AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |bg AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram
+       |  FROM n, unnest(generate_series(1, len(w) - 1)) t(i)
+       |  WHERE len(w) >= 2),
+       |grams AS (SELECT gram, count(*) AS c FROM bg GROUP BY gram),
+       |ctx AS (SELECT string_split(gram, ' ')[1] AS w1, sum(c) AS ctx
+       |  FROM grams GROUP BY 1),
+       |sc AS (SELECT b.doc_id,
+       |    CAST(floor(-ln((g.c + 1.0) / (x.ctx + 1000.0)) * 1000000 + 0.5)
+       |      AS BIGINT) AS le6
+       |  FROM bg b
+       |  JOIN grams g USING (gram)
+       |  JOIN ctx x ON x.w1 = string_split(b.gram, ' ')[1]),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(floor(sum(le6) / (count(*) * 100.0) + 0.5) AS BIGINT)
+       |      AS xent_e4
+       |  FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(a.xent_e4, 0) AS xent_e4
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- q88 intra-document line dedup ------------------------------------
   // Repeated lines planted per doc (duplicate banner + duplicate body
   // line); Curation.dedupLines keeps first occurrences in original order
@@ -1819,6 +1856,7 @@ object ExtProbes {
     "q88_line_dedup" -> q88,
     "q89_ivfpq_topk" -> q89,
     "q90_gopher_rules" -> q90,
+    "q91_bigram_lm" -> q91,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1874,5 +1912,6 @@ object ExtProbes {
     "q88_line_dedup" -> q88Sql,
     "q89_ivfpq_topk" -> q89Sql,
     "q90_gopher_rules" -> q90Sql,
+    "q91_bigram_lm" -> q91Sql,
   )
 }

@@ -360,6 +360,28 @@ class ExtOperatorsSpec extends SparkSpec {
       six.toString)
   }
 
+  test("bigram LM cross-entropy: hand-computed smoothed costs; " +
+      "bigram-less docs score 0 and are kept") {
+    import graft.operators.TextStats
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val grams = TextStats.bigramCounts(docs, "text")
+    // counts: "a b" -> 3 (two in doc 1, one in doc 2), "b a" -> 1
+    // contexts: a -> 3, b -> 1; V = 10
+    assert(grams.orderBy("gram").as[(String, Long)].collect().toSeq ===
+      Seq("a b" -> 3L, "b a" -> 1L))
+    val got = TextStats.lmCrossEntropy(docs, "doc_id", "text", grams, 10L)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    def le6(c: Long, ctx: Long) =
+      math.floor(-math.log((c + 1.0) / (ctx + 10.0)) * 1e6 + 0.5).toLong
+    val ab = le6(3, 3); val ba = le6(1, 1)
+    def e4(s: Long, n: Long) = math.floor(s / (n * 100.0) + 0.5).toLong
+    assert(got === Seq(
+      (1L, 3L, e4(2 * ab + ba, 3)),
+      (2L, 1L, e4(ab, 1)),
+      (3L, 0L, 0L)))
+  }
+
   test("dedupLines is idempotent") {
     import graft.operators.Curation
     val docs = Seq((1L, "p\nq\np\nr\nq\np")).toDF("doc_id", "text")
