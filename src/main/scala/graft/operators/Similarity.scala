@@ -741,6 +741,39 @@ object Similarity {
     ivfPqProbeRank(assigned, cent, codebook, queries, nprobe, m, subDim, k)
   }
 
+  /** The full IVF-PQ serving path: ADC over the index produces a
+    * `shortlist`-sized candidate set per query (cheap, codes only), then
+    * the EXACT cosine re-ranks just those candidates from their stored
+    * embeddings — the standard refinement pass that recovers exact-score
+    * ordering while touching `shortlist` embeddings per query instead of
+    * a cell's worth. The embedding read is a second scan of the same
+    * cell-partitioned table, row-bounded by the broadcast shortlist join
+    * (the ADC result is ≤ shortlist·|queries| rows by construction).
+    * Output matches the [[ivfTopK]] shape: (vec_id, other_id, score_e4,
+    * rank), rank by exact cosine.
+    */
+  def ivfPqTopKRefined(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, queries: DataFrame, nprobe: Int,
+                       m: Int, subDim: Int, shortlist: Int,
+                       k: Int): DataFrame = {
+    require(shortlist >= k,
+      s"ivfPqTopKRefined: shortlist ($shortlist) must be >= k ($k)")
+    val adc = ivfPqTopKIndexed(spark, dir, queries, nprobe, m, subDim,
+      shortlist)
+    val cand = broadcast(adc.select(col("vec_id"), col("other_id")))
+    val vb = spark.read.parquet(s"$dir/assigned")
+      .select(col("id").as("other_id"), col("vb"))
+    cand.join(vb, Seq("other_id"))
+      .join(queries.select(col("id").as("vec_id"), col("v").as("va")),
+        Seq("vec_id"))
+      .withColumn("score_e4", scoreE4(cosine("va", "vb")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("score_e4").desc, col("other_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select("vec_id", "other_id", "score_e4", "rank")
+  }
+
   /** Train a PQ codebook: Lloyd's iterations per subspace, all subspaces
     * in the SAME distributed passes (`sub` rides in the key — m separate
     * kmeans runs would scan the corpus m times). Seeds are one bounded

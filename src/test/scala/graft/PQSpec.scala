@@ -148,6 +148,32 @@ class PQSpec extends SparkSpec {
     assert(assignedScans.forall(!_.contains("vb")),
       "assigned scan reads the embedding column:\n" +
         assignedScans.mkString("\n"))
+    // partition pruning: the probe join dynamically prunes cid partitions
+    // (same contract as the plain IVF index, PlanContractSpec)
+    assert(p.contains("dynamicpruningexpression"),
+      "probe join must dynamically prune cid partitions:\n" +
+        p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
+  test("ivfPqTopKRefined with all cells probed and a corpus-wide " +
+      "shortlist recovers exact bruteForceTopK ordering") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_r").toString
+    val data = (0 until 40).map { i =>
+      (i.toLong, Seq(math.sin(i * 1.7), math.cos(i * 0.9),
+        math.sin(i * 0.31 + 1), math.cos(i * 2.3 + 2)))
+    }.toDF("id", "v")
+    val queries = data.filter(col("id") % 10 === 0)
+    val cents = Similarity.buildIvf(data, numCells = 4, iters = 1)
+    Similarity.writeIvfPqIndex(data, cents, cbDf, dir, m, subDim)
+    val refined = Similarity.ivfPqTopKRefined(spark, dir, queries,
+        nprobe = 4, m = m, subDim = subDim, shortlist = 39, k = 3)
+      .orderBy("vec_id", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val exact = Similarity.bruteForceTopK(data, queries, k = 3)
+      .orderBy("vec_id", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(refined === exact)
+    assert(refined.nonEmpty)
   }
 
   test("pqTrain converges to per-subspace cluster means on separated data") {
