@@ -196,6 +196,35 @@ object Scale {
             m = 8, subDim = 8, k = 5), Seq.empty)
       }
 
+      // round-6 text ops: line dedup (doc-keyed reductions), gopher rules
+      // (pure per-row), bigram LM (vocab-bounded model + corpus score)
+      run("line_dedup", n) {
+        val lined = d.select(col("doc_id"),
+          concat_ws("\n", col("text"), lit("== BANNER =="), col("text"))
+            .as("text"))
+        graft.core.Managed(
+          graft.operators.Curation.dedupLines(lined, "doc_id", "text")
+            .groupBy(col("doc_id") % 32)
+            .agg(count(lit(1)).as("docs"), sum("n_removed").as("removed")),
+          Seq.empty)
+      }
+      run("gopher_rules", n) {
+        graft.core.Managed(
+          d.select(col("doc_id"), graft.operators.TextStats.gopherFlags(
+              col("text"), Dedup.normalizeWords(col("text"))).as("g"))
+            .groupBy(col("g.pass")).agg(count(lit(1)).as("docs")),
+          Seq.empty)
+      }
+      run("bigram_lm", n) {
+        val grams = graft.operators.TextStats.bigramCounts(d, "text")
+        graft.core.Managed(
+          graft.operators.TextStats.lmCrossEntropy(d, "doc_id", "text",
+              grams, vocabSize = 1000L)
+            .groupBy(col("doc_id") % 32)
+            .agg(count(lit(1)).as("docs"), sum("xent_e4").as("sx")),
+          Seq.empty)
+      }
+
       // --- round-4 operators: temporal joins on Nx-deep per-key history,
       // exact percentiles on Nx groups ---------------------------------
       // events scaled on the HOT-KEY axis: user_id folded to FOUR hot
