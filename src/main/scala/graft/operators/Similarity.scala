@@ -774,6 +774,72 @@ object Similarity {
       .select("vec_id", "other_id", "score_e4", "rank")
   }
 
+  /** Residual-encoded IVF-PQ (the FAISS IVFPQ layout): codes quantize
+    * `v − centroid(cell(v))` instead of the raw vector. Residuals
+    * concentrate near the origin regardless of which cell a vector lives
+    * in, so one shared codebook spends its codes on the local geometry —
+    * the standard accuracy refinement over raw-vector PQ. The price at
+    * query time: the partial-distance LUT becomes per-(query, PROBED
+    * CELL) — the query's residual differs per cell — so LUT size is
+    * |queries|·nprobe·m·numCodes, still bounded by construction and
+    * broadcast. When the codebook reconstructs residuals exactly, the
+    * within-cell ADC distance IS the exact squared L2 distance
+    * (spec-pinned on a constructed lattice).
+    *
+    * Same output shape as [[ivfPqTopK]]; one corpus-sized exchange (the
+    * cell equi join), partial-agg distance sums, WindowGroupLimit rank.
+    */
+  def ivfPqTopKResidual(vectors: DataFrame, centroids: DataFrame,
+                        codebook: DataFrame, queries: DataFrame,
+                        nprobe: Int, m: Int, subDim: Int,
+                        k: Int): DataFrame = {
+    val cent = broadcast(centroids.select(col("id").as("cid"), col("v").as("cv")))
+    // corpus: assign, residual-encode against the OWN cell's centroid
+    val assigned = ivfAssign(vectors, cent)
+      .join(cent, Seq("cid"))
+      .withColumn("rv", zip_with(col("vb"), col("cv"), (x, y) => x - y))
+      .select(col("other_id").as("id"), col("cid"), col("rv"))
+    val codes = pqEncode(assigned.select(col("id"), col("rv").as("v")),
+        codebook, m, subDim)
+      .groupBy("id")
+      .agg(expr("transform(array_sort(collect_list(struct(sub, code))), " +
+        "e -> e.code)").as("codes"))
+    val assignedCodes = assigned.select("id", "cid").join(codes, Seq("id"))
+    // queries: nprobe cells, then a PER-CELL residual LUT
+    val probed = topCells(
+      queries.select(col("id").as("vec_id"), col("v").as("va"))
+        .join(cent)
+        .withColumn("cscore", cosine("va", "cv")),
+      "vec_id", "va", nprobe)
+    val lut = broadcast(
+      probed
+        .join(cent, Seq("cid"))
+        .withColumn("qr", zip_with(col("va"), col("cv"), (x, y) => x - y))
+        .select(col("vec_id"), col("cid"),
+          posexplode(array((0 until m).map(s =>
+            slice(col("qr"), s * subDim + 1, subDim)): _*))
+            .as(Seq("sub", "qsub")))
+        .join(broadcast(codebook.select(col("sub"), col("code"),
+          col("cv").as("ccv"))), Seq("sub"))
+        .select(col("vec_id"), col("cid"), col("sub"), col("code"),
+          graft.core.Ops.fixedPoint(
+            sqDist(col("qsub"), col("ccv")), 4).as("pd_e4")))
+    probed.select("vec_id", "cid")
+      .join(assignedCodes, Seq("cid"))
+      .filter(col("vec_id") =!= col("id"))
+      .select(col("vec_id"), col("cid"), col("id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(lut, Seq("vec_id", "cid", "sub", "code"))
+      .groupBy(col("vec_id"), col("id"))
+      .agg(sum(col("pd_e4")).as("dist_e4"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("dist_e4").asc, col("id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("id").as("other_id"), col("dist_e4"),
+        col("rank"))
+  }
+
   /** Train a PQ codebook: Lloyd's iterations per subspace, all subspaces
     * in the SAME distributed passes (`sub` rides in the key — m separate
     * kmeans runs would scan the corpus m times). Seeds are one bounded

@@ -13,6 +13,7 @@ import graft.operators.{Curation, Dedup, TextStats}
 case class CurateConfig(
     minQualityE4: Long = 4000,
     keepLangs: Set[String] = Set("alpha", "beta", "gamma"),
+    gopherRules: Option[graft.operators.TextStats.GopherConfig] = None,
     dedupLinesWithinDocs: Boolean = false,
     nearDupThresholdE4: Long = 8000,
     decontamGramN: Int = 8,
@@ -66,7 +67,12 @@ object Curate {
       .withColumn("__lang", TextStats.langPredict)
       .filter(col("__q") >= cfg.minQualityE4 &&
         col("__lang").isInCollection(cfg.keepLangs))
-      .select(col(idCol), col(textCol))
+      .select(col(idCol), col(textCol), col("__w"))
+    // optional Gopher-rule gate — same pass, reusing the words array
+    for (g <- cfg.gopherRules)
+      filtered = filtered.filter(
+        TextStats.gopherFlags(col(textCol), col("__w"), g).getField("pass"))
+    filtered = filtered.select(col(idCol), col(textCol))
 
     // ---- optional intra-doc repetition cleanup (line granularity) ------
     if (cfg.dedupLinesWithinDocs)

@@ -79,6 +79,24 @@ class CurateSpec extends SparkSpec {
     off.chunks.unpersist(); on.chunks.unpersist()
   }
 
+  test("Curate.run with gopherRules: the rule gate drops short docs the " +
+      "composite score alone admits") {
+    import graft.operators.TextStats
+    val docs = Seq(
+      1L -> goodText("nine"),                       // 31 words, passes both
+      2L -> "the a table row scan key word word"    // 8 words: quality-ok,
+    ).toDF("doc_id", "text")                        // gopher minWords fails
+    val benchmark = Seq("nothing here").toDF("btext")
+    val without = Curate.run(docs, "doc_id", "text", benchmark, "btext",
+      CurateConfig(minQualityE4 = 0))
+    val withRules = Curate.run(docs, "doc_id", "text", benchmark, "btext",
+      CurateConfig(minQualityE4 = 0,
+        gopherRules = Some(TextStats.GopherConfig(minWords = 20L))))
+    assert(without.stageCounts.toMap.apply("exact_dedup") == 2L)
+    assert(withRules.stageCounts.toMap.apply("exact_dedup") == 1L)
+    without.chunks.unpersist(); withRules.chunks.unpersist()
+  }
+
   test("Curate.run composition: no cartesian product, no single-partition " +
       "exchange anywhere in the composed job") {
     val docs = (1L to 40L).map(i => (i, goodText(s"doc$i"))).toDF("doc_id", "text")

@@ -176,6 +176,50 @@ class PQSpec extends SparkSpec {
     assert(refined.nonEmpty)
   }
 
+  test("ivfPqTopKResidual: within-cell ADC distances are EXACT when the " +
+      "codebook reconstructs residuals (the residual-encoding payoff)") {
+    // lattice: v = centroid + (one offset per subspace); codebook = the
+    // offsets → residual encode is exact → ||qres − decode||² is the true
+    // ||q − x||², sub-by-sub
+    val cents = Seq((0L, Seq(10.0, 10.0, 10.0, 10.0)),
+      (1L, Seq(-10.0, -10.0, -10.0, -10.0))).toDF("id", "v")
+    val rcb = Seq(
+      (0, 0, Seq(1.0, 0.0)), (0, 1, Seq(0.0, 2.0)),
+      (1, 0, Seq(3.0, 0.0)), (1, 1, Seq(0.0, 4.0)))
+    val rcbDf = Similarity.pqCodebookDf(spark, rcb)
+    val vecs = for {
+      (cell, base) <- Seq(0 -> 10.0, 1 -> -10.0)
+      (a, bI) <- Seq((0, 0), (0, 1), (1, 0), (1, 1))
+    } yield {
+      val o0 = rcb(a)._3; val o1 = rcb(2 + bI)._3
+      ((cell * 4 + a * 2 + bI).toLong,
+        Seq(base + o0(0), base + o0(1), base + o1(0), base + o1(1)))
+    }
+    val data = vecs.toDF("id", "v")
+    val queries = data.filter(col("id").isin(0L, 5L))
+    val got = Similarity.ivfPqTopKResidual(data, cents, rcbDf, queries,
+        nprobe = 1, m = m, subDim = subDim, k = 3)
+      .orderBy("vec_id", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // expected: true sub-rounded squared distances to same-cell others
+    def adc(a: Seq[Double], b: Seq[Double]): Long =
+      Seq((a.take(2), b.take(2)), (a.drop(2), b.drop(2))).map {
+        case (x, y) =>
+          val d = x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum
+          math.floor(d * 1e4 + 0.5).toLong
+      }.sum
+    val byId = vecs.toMap
+    val expect = Seq(0L, 5L).flatMap { q =>
+      val cell = q / 4
+      vecs.filter(v => v._1 / 4 == cell && v._1 != q)
+        .map { case (id, v) => (id, adc(byId(q), v)) }
+        .sortBy { case (id, dist) => (dist, id) }
+        .zipWithIndex
+        .map { case ((id, dist), i) => (q, id, dist, (i + 1).toLong) }
+    }
+    assert(got === expect)
+  }
+
   test("pqTrain converges to per-subspace cluster means on separated data") {
     // 20 vectors in two tight clusters per subspace; train k=2 per sub
     val data = (0 until 20).map { i =>
