@@ -49,6 +49,81 @@ object Recall {
         println(f"RECALL ivf_topk    x$n%-3d nprobe=$nprobe%-2d " +
           f"recall@$k=${hit.toDouble / truthN}%6.4f  (truth=$truthN)")
       }
+      // ---- PQ family recall (round 6) ----------------------------------
+      // ADC ranks by squared L2, so its ground truth is the exact-L2
+      // top-k (cosine truth would conflate metric mismatch with
+      // quantization loss); the refined pass re-ranks by exact cosine and
+      // is scored against the cosine truth above.
+      val truthL2 = {
+        val q2 = queries.select(col("id").as("vec_id"), col("v").as("va"))
+        val c2 = v.select(col("id").as("other_id"), col("v").as("vb"))
+        q2.join(c2, col("vec_id") =!= col("other_id"))
+          .withColumn("d", Similarity.sqDist(col("va"), col("vb")))
+          .withColumn("rank", org.apache.spark.sql.functions.row_number()
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy("vec_id")
+              .orderBy(col("d").asc, col("other_id").asc)))
+          .filter(col("rank") <= k).select("vec_id", "other_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      val truthL2N = truthL2.count()
+      val cb = Similarity.pqTrain(v, m = 8, subDim = 8, numCodes = 16,
+          iters = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cb.count()
+      locally {
+        val got = Similarity.pqAdcTopK(
+            Similarity.pqEncode(v, cb, 8, 8), cb, queries, 8, 8, k)
+          .select("vec_id", "other_id")
+        val hit = got.join(truthL2, Seq("vec_id", "other_id")).count()
+        println(f"RECALL pq_adc      x$n%-3d full-scan  " +
+          f"recall@$k=${hit.toDouble / truthL2N}%6.4f  (truthL2=$truthL2N)")
+      }
+      val centPq = Similarity.buildIvf(v, numCells = 16, iters = 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      centPq.count()
+      // residual codebook trained on the actual residuals (v − centroid)
+      val rcb = {
+        val cbr = broadcast(centPq.select(col("id").as("cid"),
+          col("v").as("cv")))
+        val residuals = Similarity.ivfAssign(v, cbr)
+          .join(cbr, Seq("cid"))
+          .select(col("other_id").as("id"),
+            zip_with(col("vb"), col("cv"), (x, y) => x - y).as("v"))
+        Similarity.pqTrain(residuals, m = 8, subDim = 8, numCodes = 16,
+            iters = 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      rcb.count()
+      for (nprobe <- Seq(2, 4)) {
+        val gotRaw = Similarity.ivfPqTopK(v, centPq, cb, queries, nprobe,
+            8, 8, k).select("vec_id", "other_id")
+        val hitRaw = gotRaw.join(truthL2, Seq("vec_id", "other_id")).count()
+        println(f"RECALL ivfpq_raw   x$n%-3d nprobe=$nprobe%-2d " +
+          f"recall@$k=${hitRaw.toDouble / truthL2N}%6.4f")
+        val gotRes = Similarity.ivfPqTopKResidual(v, centPq, rcb, queries,
+            nprobe, 8, 8, k).select("vec_id", "other_id")
+        val hitRes = gotRes.join(truthL2, Seq("vec_id", "other_id")).count()
+        println(f"RECALL ivfpq_resid x$n%-3d nprobe=$nprobe%-2d " +
+          f"recall@$k=${hitRes.toDouble / truthL2N}%6.4f")
+      }
+      // refined pass: ADC shortlist (4k) then exact-cosine re-rank,
+      // scored against the COSINE truth
+      locally {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_recall_ivfpq").toString
+        Similarity.writeIvfPqIndex(v, centPq, cb, dir, 8, 8)
+        for (shortlist <- Seq(4 * k, 16 * k)) {
+          val got = Similarity.ivfPqTopKRefined(spark, dir, queries,
+              nprobe = 4, m = 8, subDim = 8, shortlist = shortlist, k = k)
+            .select("vec_id", "other_id")
+          val hit = got.join(truth, Seq("vec_id", "other_id")).count()
+          println(f"RECALL ivfpq_refin x$n%-3d nprobe=4 shortlist=$shortlist%-3d " +
+            f"recall@$k=${hit.toDouble / truthN}%6.4f  (truthCos=$truthN)")
+        }
+      }
+      rcb.unpersist(); centPq.unpersist(); cb.unpersist()
+      truthL2.unpersist()
       cent.unpersist()
       truth.unpersist()
 
