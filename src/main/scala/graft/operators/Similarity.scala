@@ -715,15 +715,56 @@ object Similarity {
     */
   def writeIvfPqIndex(vectors: DataFrame, centroids: DataFrame,
                       codebook: DataFrame, dir: String, m: Int,
-                      subDim: Int): Unit = {
+                      subDim: Int, residual: Boolean = false): Unit = {
     val cent = broadcast(centroids.select(col("id").as("cid"), col("v").as("cv")))
     centroids.select("id", "v").write.mode("overwrite")
       .parquet(s"$dir/centroids")
     codebook.select("sub", "code", "cv").write.mode("overwrite")
       .parquet(s"$dir/codebook")
-    ivfPqAssignCodes(vectors, cent, codebook, m, subDim)
+    val assignedCodes =
+      if (!residual) ivfPqAssignCodes(vectors, cent, codebook, m, subDim)
+      else {
+        // residual layout: codes quantize v − centroid (ivfPqTopKResidual's
+        // encode half, verbatim) — vb still stored for refine/retrain
+        val assigned = ivfAssign(vectors, cent)
+          .join(cent, Seq("cid"))
+          .withColumn("rv", zip_with(col("vb"), col("cv"), (x, y) => x - y))
+          .select(col("other_id").as("id"), col("cid"), col("vb"), col("rv"))
+        assigned.select("id", "cid", "vb").join(
+          pqEncode(assigned.select(col("id"), col("rv").as("v")),
+              codebook, m, subDim)
+            .groupBy("id")
+            .agg(expr("transform(array_sort(collect_list(struct(sub, " +
+              "code))), e -> e.code)").as("codes")),
+          Seq("id"))
+      }
+    assignedCodes
       .select(col("id"), col("vb"), col("codes"), col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/assigned")
+    // format marker: which encoding the stored codes use — readers check
+    // it so a raw-codes query path can never silently mis-score a
+    // residual index (or vice versa)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      vectors.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/_pq_format"), true)
+    try out.write(
+      (if (residual) "residual" else "raw").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readPqFormat(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_pq_format")
+    if (!fs.exists(p)) "raw" // pre-marker indexes were always raw
+    else {
+      val in = fs.open(p)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+      finally in.close()
+    }
   }
 
   /** Query a persisted IVF-PQ index — [[ivfPqTopK]] semantics
@@ -733,6 +774,10 @@ object Similarity {
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
                        dir: String, queries: DataFrame, nprobe: Int,
                        m: Int, subDim: Int, k: Int): DataFrame = {
+    val fmt = readPqFormat(spark, dir)
+    require(fmt == "raw",
+      s"ivfPqTopKIndexed: index at $dir stores '$fmt' codes — " +
+        "use ivfPqTopKResidualIndexed for residual codes")
     val cent = broadcast(spark.read.parquet(s"$dir/centroids")
       .select(col("id").as("cid"), col("v").as("cv")))
     val codebook = spark.read.parquet(s"$dir/codebook")
@@ -805,6 +850,40 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(sub, code))), " +
         "e -> e.code)").as("codes"))
     val assignedCodes = assigned.select("id", "cid").join(codes, Seq("id"))
+    ivfPqResidualProbeRank(assignedCodes, cent, codebook, queries, nprobe,
+      m, subDim, k)
+  }
+
+  /** Query a RESIDUAL-encoded persisted index
+    * (`writeIvfPqIndex(..., residual = true)`) — refuses a raw-codes
+    * index via the `_pq_format` marker, since raw and residual codes are
+    * numerically incompatible and mis-scoring would be silent.
+    */
+  def ivfPqTopKResidualIndexed(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, queries: DataFrame,
+                               nprobe: Int, m: Int, subDim: Int,
+                               k: Int): DataFrame = {
+    val fmt = readPqFormat(spark, dir)
+    require(fmt == "residual",
+      s"ivfPqTopKResidualIndexed: index at $dir stores '$fmt' codes — " +
+        "use ivfPqTopKIndexed for raw codes")
+    val cent = broadcast(spark.read.parquet(s"$dir/centroids")
+      .select(col("id").as("cid"), col("v").as("cv")))
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val assigned = spark.read.parquet(s"$dir/assigned")
+      .select(col("id"), col("cid"), col("codes"))
+    ivfPqResidualProbeRank(assigned, cent, codebook, queries, nprobe, m,
+      subDim, k)
+  }
+
+  /** The shared probe-and-ADC-rank body of the residual paths (the
+    * [[ivfPqProbeRank]] discipline, residual edition).
+    */
+  private def ivfPqResidualProbeRank(assignedCodes: DataFrame,
+                                     cent: DataFrame, codebook: DataFrame,
+                                     queries: DataFrame, nprobe: Int,
+                                     m: Int, subDim: Int,
+                                     k: Int): DataFrame = {
     // queries: nprobe cells, then a PER-CELL residual LUT
     val probed = topCells(
       queries.select(col("id").as("vec_id"), col("v").as("va"))

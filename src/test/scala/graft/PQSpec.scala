@@ -220,6 +220,41 @@ class PQSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("residual persisted index: indexed equals in-memory; raw and " +
+      "residual query paths refuse each other's format") {
+    val data = (0 until 40).map { i =>
+      (i.toLong, Seq(math.sin(i * 1.7), math.cos(i * 0.9),
+        math.sin(i * 0.31 + 1), math.cos(i * 2.3 + 2)))
+    }.toDF("id", "v")
+    val queries = data.filter(col("id") % 10 === 0)
+    val cents = Similarity.buildIvf(data, numCells = 4, iters = 1)
+    val dirR = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_res").toString
+    Similarity.writeIvfPqIndex(data, cents, cbDf, dirR, m, subDim,
+      residual = true)
+    val direct = Similarity.ivfPqTopKResidual(data, cents, cbDf, queries,
+        nprobe = 2, m = m, subDim = subDim, k = 3)
+      .orderBy("vec_id", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val viaIndex = Similarity.ivfPqTopKResidualIndexed(spark, dirR,
+        queries, nprobe = 2, m = m, subDim = subDim, k = 3)
+      .orderBy("vec_id", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(viaIndex === direct)
+    assert(viaIndex.nonEmpty)
+    // format guards both ways
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKIndexed(spark, dirR, queries, 2, m, subDim, 3)
+    }
+    val dirRaw = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_raw2").toString
+    Similarity.writeIvfPqIndex(data, cents, cbDf, dirRaw, m, subDim)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKResidualIndexed(spark, dirRaw, queries, 2, m,
+        subDim, 3)
+    }
+  }
+
   test("pqTrain converges to per-subspace cluster means on separated data") {
     // 20 vectors in two tight clusters per subspace; train k=2 per sub
     val data = (0 until 20).map { i =>
