@@ -451,7 +451,7 @@ object Multimodal {
     * so far or None — never a throw, never an unbounded loop.
     */
   case class Mp4Meta(nTracks: Int, timescale: Long, durationTicks: Long,
-                     nSamples: Long)
+                     nSamples: Long, nKeyframes: Long)
 
   private[graft] def parseMp4(b: Array[Byte]): Option[Mp4Meta] = {
     // a real MP4 starts with a box whose type is one of the well-known
@@ -462,6 +462,11 @@ object Multimodal {
     var timescale = 0L
     var duration = 0L
     var nSamples = 0L
+    var nKeyframes = 0L
+    // stss state is TRACK-scoped: a trak without any stss box has every
+    // sample sync (the ISO-BMFF/FFmpeg convention), so on leaving such a
+    // trak its whole sample count joins the keyframe total
+    var stssSeen = false
     def beLong(off: Int): Long =
       (0 until 8).foldLeft(0L)((acc, k) => (acc << 8) | (b(off + k) & 0xffL))
     // walk children of [from, to); descend into container boxes
@@ -477,8 +482,13 @@ object Multimodal {
         if (size < hdr || i + size > to) return // malformed: stop the walk
         val end = (i + size).toInt
         tag match {
-          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
-            if (tag == "trak") nTracks += 1
+          case "trak" =>
+            nTracks += 1
+            val samples0 = nSamples
+            stssSeen = false
+            walk(i + hdr, end, depth + 1)
+            if (!stssSeen) nKeyframes += nSamples - samples0
+          case "moov" | "mdia" | "minf" | "stbl" =>
             walk(i + hdr, end, depth + 1)
           case "mvhd" if i + hdr + 4 <= to =>
             val version = b(i + hdr) & 0xff
@@ -493,6 +503,9 @@ object Multimodal {
             nSamples += beInt(b, i + hdr + 8).toLong & 0xffffffffL
           case "stz2" if i + hdr + 12 <= to =>
             nSamples += beInt(b, i + hdr + 8).toLong & 0xffffffffL
+          case "stss" if i + hdr + 8 <= to =>
+            nKeyframes += beInt(b, i + hdr + 4).toLong & 0xffffffffL
+            stssSeen = true
           case _ => () // leaf we don't read (ftyp, mdat, codec boxes...)
         }
         i = end
@@ -500,14 +513,18 @@ object Multimodal {
     }
     walk(0, b.length, 0)
     if (timescale <= 0) None
-    else Some(Mp4Meta(nTracks, timescale, duration, nSamples))
+    else Some(Mp4Meta(nTracks, timescale, duration, nSamples, nKeyframes))
   }
 
-  /** Flat row form for Dataset output; marker `(0, 0, -1, -1)` for
-    * payloads that are not parseable MP4.
+  /** Flat row form for Dataset output; marker `(0, 0, -1, -1, -1)` for
+    * payloads that are not parseable MP4. `n_keyframes` sums `stss`
+    * entry counts, with a trak lacking any stss contributing its whole
+    * sample count (every sample sync — the ISO-BMFF default) — the
+    * keyframe-density signal a video curation pass filters on.
     */
   case class Mp4MetaRow(media_id: Long, n_tracks: Int, timescale: Long,
-                        duration_e4: Long, n_samples: Long)
+                        duration_e4: Long, n_samples: Long,
+                        n_keyframes: Long)
 
   def extractMp4Meta(ds: Dataset[MediaRecord],
                      batchSize: Int = 64): Dataset[Mp4MetaRow] = {
@@ -516,8 +533,8 @@ object Multimodal {
       parseMp4(r.media) match {
         case Some(m) => Mp4MetaRow(r.media_id, m.nTracks, m.timescale,
           math.floor(m.durationTicks * 10000.0 / m.timescale + 0.5).toLong,
-          m.nSamples)
-        case None => Mp4MetaRow(r.media_id, 0, 0L, -1L, -1L)
+          m.nSamples, m.nKeyframes)
+        case None => Mp4MetaRow(r.media_id, 0, 0L, -1L, -1L, -1L)
       }
     }))
   }
@@ -528,8 +545,14 @@ object Multimodal {
     * the ground truth.
     */
   def encodeMp4(timescale: Int, durationTicks: Int,
-                sampleCounts: Seq[Int]): Array[Byte] = {
+                sampleCounts: Seq[Int],
+                syncCounts: Seq[Option[Int]] = Seq.empty): Array[Byte] = {
     require(timescale > 0 && durationTicks >= 0)
+    require(syncCounts.isEmpty || syncCounts.size == sampleCounts.size,
+      "syncCounts must be empty or match sampleCounts per track")
+    val syncs: Seq[Option[Int]] =
+      if (syncCounts.nonEmpty) syncCounts
+      else Seq.fill(sampleCounts.size)(None)
     def box(tag: String, body: Array[Byte]): Array[Byte] = {
       val out = java.nio.ByteBuffer.allocate(8 + body.length)
       out.putInt(8 + body.length).put(tag.getBytes("US-ASCII")).put(body)
@@ -543,7 +566,7 @@ object Multimodal {
       body.putInt(timescale).putInt(durationTicks)
       box("mvhd", body.array())
     }
-    val traks = sampleCounts.map { n =>
+    val traks = sampleCounts.zip(syncs).map { case (n, sync) =>
       val stsz = {
         val body = java.nio.ByteBuffer.allocate(12)
         body.putInt(0)  // version + flags
@@ -552,7 +575,17 @@ object Multimodal {
                         // reads the count; a demuxer would need them)
         box("stsz", body.array())
       }
-      box("trak", box("mdia", box("minf", box("stbl", stsz))))
+      // sync-sample table when requested: entry_count + the sample
+      // numbers 1..kf (a track WITHOUT stss is all-sync per ISO-BMFF)
+      val stbl = sync match {
+        case Some(kf) =>
+          val body = java.nio.ByteBuffer.allocate(8 + 4 * kf)
+          body.putInt(0).putInt(kf)
+          (1 to kf).foreach(body.putInt)
+          stsz ++ box("stss", body.array())
+        case None => stsz
+      }
+      box("trak", box("mdia", box("minf", box("stbl", stbl))))
     }
     (Seq(ftyp, box("moov", (mvhd +: traks).reduce(_ ++ _))) ++ Seq.empty)
       .reduce(_ ++ _)

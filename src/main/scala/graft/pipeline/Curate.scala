@@ -14,6 +14,12 @@ case class CurateConfig(
     minQualityE4: Long = 4000,
     keepLangs: Set[String] = Set("alpha", "beta", "gamma"),
     gopherRules: Option[graft.operators.TextStats.GopherConfig] = None,
+    // drop docs whose SELF-trained bigram cross-entropy exceeds the bound
+    // (outlier gibberish scores high; None = stage off). The model trains
+    // on the quality-filtered corpus itself — the CCNet shape would pass
+    // a reference-corpus model instead via lmGrams.
+    maxSelfXentE4: Option[Long] = None,
+    lmVocabSize: Long = 1000L,
     dedupLinesWithinDocs: Boolean = false,
     nearDupThresholdE4: Long = 8000,
     decontamGramN: Int = 8,
@@ -74,6 +80,23 @@ object Curate {
         TextStats.gopherFlags(col(textCol), col("__w"), g).getField("pass"))
     filtered = filtered.select(col(idCol), col(textCol))
 
+    // optional LM-perplexity gate: self-train on the quality survivors,
+    // keep docs at or under the cross-entropy bound. The survivor frame
+    // feeds train + score + join — persist it for the stage's duration.
+    var lmSurvivors: Option[org.apache.spark.sql.DataFrame] = None
+    for (bound <- cfg.maxSelfXentE4) {
+      val base = filtered.persist(StorageLevel.MEMORY_AND_DISK)
+      val keep = TextStats.lmCrossEntropy(base, idCol, textCol,
+          TextStats.bigramCounts(base, textCol), cfg.lmVocabSize)
+        .filter(col("xent_e4") <= bound)
+        .select(col(idCol))
+      filtered = base.join(keep, Seq(idCol))
+        .persist(StorageLevel.MEMORY_AND_DISK) // consumed again by exact dedup
+      counts += (("lm_gate", filtered.count()))
+      base.unpersist()
+      lmSurvivors = Some(filtered)
+    }
+
     // ---- optional intra-doc repetition cleanup (line granularity) ------
     if (cfg.dedupLinesWithinDocs)
       filtered = Curation.dedupLines(filtered, idCol, textCol)
@@ -86,6 +109,7 @@ object Curate {
       .drop("__h")
       .persist(StorageLevel.MEMORY_AND_DISK) // two consumers: pair gen + anti join
     counts += (("exact_dedup", kept.count()))
+    lmSurvivors.foreach(_.unpersist()) // kept materialized — stage closed
 
     // ---- MinHash near-dup: pairs → components → drop non-representatives
     val pairsM = Dedup.minhashNearDupPairsManaged(kept, idCol, textCol)

@@ -1324,9 +1324,13 @@ object ExtProbes {
         val tsc = (600 + (id % 5) * 100).toInt
         val dur = (1000 + id % 9000).toInt
         val per = (100 + id % 400).toInt
+        // odd ids carry explicit sync tables (kf = 1 + per/4 per track);
+        // even ids omit stss — all samples sync, the ISO-BMFF default
+        val sync = if (id % 2 == 1) Some(1 + per / 4) else None
         graft.operators.Multimodal.MediaRecord(
           id, graft.operators.Multimodal.encodeMp4(
-            tsc, dur, Seq.fill(tracks)(per)), "video/mp4")
+            tsc, dur, Seq.fill(tracks)(per), Seq.fill(tracks)(sync)),
+          "video/mp4")
       }
     }
   }
@@ -1351,7 +1355,11 @@ object ExtProbes {
       |  CAST(CASE WHEN tr IS NULL THEN -1
       |       ELSE floor(dur * 10000.0 / tsc + 0.5) END AS BIGINT) AS duration_e4,
       |  CAST(CASE WHEN tr IS NULL THEN -1 ELSE tr * per END AS BIGINT)
-      |    AS n_samples
+      |    AS n_samples,
+      |  CAST(CASE WHEN tr IS NULL THEN -1
+      |       WHEN doc_id % 2 = 1
+      |         THEN tr * (1 + CAST(floor(per / 4.0) AS BIGINT))
+      |       ELSE tr * per END AS BIGINT) AS n_keyframes
       |FROM p ORDER BY media_id""".stripMargin
 
   // ---- q83 BPE encode (apply side of the q76-trained tokenizer) ----------

@@ -97,6 +97,37 @@ class CurateSpec extends SparkSpec {
     without.chunks.unpersist(); withRules.chunks.unpersist()
   }
 
+  test("Curate.run with maxSelfXentE4: the LM gate drops the gibberish " +
+      "outlier the other gates admit") {
+    // 9 docs share a common phrase vocabulary (low self-perplexity); one
+    // doc is unique-token gibberish — every bigram unseen elsewhere, so
+    // its cross-entropy is the corpus outlier
+    val common = (1 to 9).map(i =>
+      i.toLong -> ("the table row scan key " +
+        (1 to 24).map(j => s"tok$j").mkString(" ") + s" the a tail$i"))
+    val gibberish = Seq(10L ->
+      ("the a " + (1 to 27).map(j => s"zq${j}x$j q$j").mkString(" ")))
+    val docs = (common ++ gibberish).toDF("doc_id", "text")
+    val benchmark = Seq("nothing here").toDF("btext")
+    val open = Curate.run(docs, "doc_id", "text", benchmark, "btext",
+      CurateConfig(minQualityE4 = 0))
+    assert(open.stageCounts.toMap.apply("exact_dedup") == 10L)
+    // bound: halfway between the common docs' scores and the outlier's
+    import graft.operators.TextStats
+    val scores = TextStats.lmCrossEntropy(docs, "doc_id", "text",
+        TextStats.bigramCounts(docs, "text"), 1000L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val bound = (common.map(c => scores(c._1)).max + scores(10L)) / 2
+    assert(common.forall(c => scores(c._1) < bound) && scores(10L) > bound,
+      scores.toString)
+    val gated = Curate.run(docs, "doc_id", "text", benchmark, "btext",
+      CurateConfig(minQualityE4 = 0, maxSelfXentE4 = Some(bound)))
+    val funnel = gated.stageCounts.toMap
+    assert(funnel("lm_gate") == 9L, gated.stageCounts.toString)
+    assert(!gated.chunks.select("doc_id").as[Long].collect().contains(10L))
+    open.chunks.unpersist(); gated.chunks.unpersist()
+  }
+
   test("Curate.run composition: no cartesian product, no single-partition " +
       "exchange anywhere in the composed job") {
     val docs = (1L to 40L).map(i => (i, goodText(s"doc$i"))).toDF("doc_id", "text")

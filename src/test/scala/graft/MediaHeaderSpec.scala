@@ -204,6 +204,22 @@ class MediaHeaderSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Multimodal.parseMp4(Array.emptyByteArray).isEmpty)
   }
 
+  test("MP4 keyframes: stss entry counts sum per track; a track without " +
+      "stss is all-sync (ISO-BMFF default)") {
+    // no stss anywhere: every sample is a keyframe
+    val allSync = Multimodal.parseMp4(
+      Multimodal.encodeMp4(600, 3000, Seq(100, 200))).get
+    assert(allSync.nKeyframes == 300L)
+    // explicit tables on both tracks
+    val tabled = Multimodal.parseMp4(Multimodal.encodeMp4(600, 3000,
+      Seq(100, 200), Seq(Some(7), Some(11)))).get
+    assert(tabled.nKeyframes == 18L && tabled.nSamples == 300L)
+    // mixed: track 1 tabled, track 2 all-sync
+    val mixed = Multimodal.parseMp4(Multimodal.encodeMp4(600, 3000,
+      Seq(100, 200), Seq(Some(7), None))).get
+    assert(mixed.nKeyframes == 207L)
+  }
+
   test("claimedPixels reads what ImageIO would allocate (guard input)") {
     // GIF whose LOGICAL SCREEN is 1x1 but whose frame descriptor claims
     // 65535x65535 — the allocation happens per frame, so the guard must
