@@ -1781,6 +1781,80 @@ object ExtProbes {
        |FROM documents d LEFT JOIN agg a USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- q92 residual-encoded IVF-PQ (FAISS-IVFPQ layout) -----------------
+  // q89's composed path with residual codes: corpus codes quantize
+  // v − centroid(own cell); the LUT is per-(query, probed cell) on the
+  // query's residual. Fully deterministic given centroids + codebook —
+  // the oracle mirrors assignment, residual, encode and ADC exactly.
+  val q92: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    Similarity.ivfPqTopKResidual(e, e.filter(col("id") % 25 === 0),
+        Similarity.pqCodebookDf(s, q86Cb), e.filter(col("id") % 50 === 0),
+        nprobe = 2, m = 8, subDim = 8, k = 3)
+      .orderBy("vec_id", "rank")
+  }
+
+  val q92Sql: String = {
+    def cos(a: String, b: String) = Similarity.cosineDuckSql(a, b)
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |cb AS (SELECT * FROM ${Similarity.pqCodebookDuckSql(q86Cb)}
+       |       AS t(sub, code, cv)),
+       |cent AS (SELECT id AS cid, v AS ccv FROM e WHERE id % 25 = 0),
+       |assigned AS (
+       |  SELECT id, cid FROM (
+       |    SELECT e.id, c.cid,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${cos("e.v", "c.ccv")} DESC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN cent c) t(id, cid, rn) WHERE rn = 1),
+       |resid AS (
+       |  SELECT a.id, a.cid,
+       |    list_transform(range(1, 65), i -> e.v[i] - c.ccv[i]) AS rv
+       |  FROM assigned a JOIN e ON e.id = a.id JOIN cent c ON c.cid = a.cid),
+       |rsub AS (SELECT id, cid, s.sub AS sub,
+       |    list_slice(rv, s.sub * 8 + 1, s.sub * 8 + 8) AS subv
+       |  FROM resid, (SELECT unnest(range(0, 8)) AS sub) s),
+       |rdd AS (SELECT id, rsub.sub AS sub, code,
+       |    ${pqDistDuck("subv", "cv")} AS d_e4
+       |  FROM rsub JOIN cb ON cb.sub = rsub.sub),
+       |rcodes AS (SELECT id, sub, CAST(min([d_e4, code])[2] AS INT) AS code
+       |  FROM rdd GROUP BY id, sub),
+       |probed AS (
+       |  SELECT id AS vec_id, cid FROM (
+       |    SELECT q.id, c.cid,
+       |      row_number() OVER (PARTITION BY q.id
+       |        ORDER BY ${cos("q.v", "c.ccv")} DESC, c.cid ASC) AS rn
+       |    FROM e q CROSS JOIN cent c WHERE q.id % 50 = 0) t(id, cid, rn)
+       |  WHERE rn <= 2),
+       |qres AS (
+       |  SELECT p.vec_id, p.cid,
+       |    list_transform(range(1, 65), i -> q.v[i] - c.ccv[i]) AS qr
+       |  FROM probed p JOIN e q ON q.id = p.vec_id
+       |    JOIN cent c ON c.cid = p.cid),
+       |lut AS (SELECT vec_id, qres.cid, s.sub AS sub, cb.code,
+       |    ${pqDistDuck("list_slice(qr, s.sub * 8 + 1, s.sub * 8 + 8)",
+      "cv")} AS pd_e4
+       |  FROM qres, (SELECT unnest(range(0, 8)) AS sub) s
+       |  JOIN cb ON cb.sub = s.sub),
+       |cand AS (SELECT p.vec_id, c.id AS other_id,
+       |    CAST(sum(l.pd_e4) AS BIGINT) AS dist_e4
+       |  FROM probed p
+       |  JOIN assigned a USING (cid)
+       |  JOIN rcodes c ON c.id = a.id
+       |  JOIN lut l ON l.vec_id = p.vec_id AND l.cid = p.cid
+       |    AND l.sub = c.sub AND l.code = c.code
+       |  WHERE p.vec_id <> a.id
+       |  GROUP BY p.vec_id, c.id),
+       |r AS (SELECT vec_id, other_id, dist_e4,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist_e4, other_id) AS rank
+       |  FROM cand)
+       |SELECT vec_id, other_id, dist_e4, rank
+       |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+  }
+
   // ---- q88 intra-document line dedup ------------------------------------
   // Repeated lines planted per doc (duplicate banner + duplicate body
   // line); Curation.dedupLines keeps first occurrences in original order
@@ -1865,6 +1939,7 @@ object ExtProbes {
     "q89_ivfpq_topk" -> q89,
     "q90_gopher_rules" -> q90,
     "q91_bigram_lm" -> q91,
+    "q92_ivfpq_residual" -> q92,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1921,5 +1996,6 @@ object ExtProbes {
     "q89_ivfpq_topk" -> q89Sql,
     "q90_gopher_rules" -> q90Sql,
     "q91_bigram_lm" -> q91Sql,
+    "q92_ivfpq_residual" -> q92Sql,
   )
 }

@@ -329,9 +329,9 @@ class PlanContractSpec extends SparkSpec {
       "q12_version_sort", "q20_decile_bucketing", "q23_cosine_topk",
       "q30_cosine_neardup", "q31_ivf_ann", "q40_kmeans_step",
       "q56_user_rights_sort", "q70_ivf_neardup",
-      // q89's IVF half reuses the same bounded centroid-set crosses as
-      // q31 (assignment + probe); its ADC half is equi/broadcast only
-      "q89_ivfpq_topk")
+      // q89/q92's IVF half reuses the same bounded centroid-set crosses
+      // as q31 (assignment + probe); the ADC half is equi/broadcast only
+      "q89_ivfpq_topk", "q92_ivfpq_residual")
     val singlePartAllowed = Set("q20_decile_bucketing") // 1-row scalar max
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) => name -> fn(spark, sf).queryExecution.executedPlan.toString
