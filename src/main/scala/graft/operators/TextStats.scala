@@ -195,6 +195,51 @@ object TextStats {
         coalesce(col("xent_e4"), lit(0L)).as("xent_e4"))
   }
 
+  /** Feature-hashing text embedding (the Weinberger et al. hashing
+    * trick): each word lands in bucket `md5(word) mod dim` with a ±1
+    * sign from the next hash bits; the document's vector is the per-
+    * bucket signed count. Deterministic, vocabulary-free, integer-exact
+    * — the cheap text→embedding link that lets the ANN/near-dup stack
+    * ([[graft.operators.Similarity]]) run on raw text without an
+    * external model. Long-form output (idCol, pos, val) — every doc
+    * emits ALL `dim` positions (zeros included) so downstream gathers
+    * are fixed-width; one hash-partitioned aggregate on (doc, bucket).
+    * Gather with [[hashEmbedGather]] for the (id, v) array form the ANN
+    * operators consume.
+    */
+  def hashEmbed(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, dim: Int): org.apache.spark.sql.DataFrame = {
+    require(dim >= 1, s"hashEmbed: dim ($dim) must be >= 1")
+    val words = graft.core.Ops.widen(docs)
+      .select(col(idCol), explode(graft.operators.Dedup.normalizeWords(
+        col(textCol))).as("__w"))
+      .withColumn("__h", conv(substring(md5(col("__w")), 1, 8), 16, 10)
+        .cast("long"))
+      .select(col(idCol), pmod(col("__h"), lit(dim)).cast("int").as("pos"),
+        when(pmod(floor(col("__h") / lit(dim)), lit(2)) === 0, lit(1L))
+          .otherwise(lit(-1L)).as("s"))
+      .groupBy(col(idCol), col("pos"))
+      .agg(sum(col("s")).as("val"))
+    // dense frame: every (doc, pos) present, zero-filled
+    docs.select(col(idCol))
+      .crossJoin(broadcast(
+        docs.sparkSession.range(dim).select(col("id").cast("int").as("pos"))))
+      .join(words, Seq(idCol, "pos"), "left_outer")
+      .select(col(idCol), col("pos"),
+        coalesce(col("val"), lit(0L)).as("val"))
+  }
+
+  /** [[hashEmbed]] long form gathered to `(id, v)` double arrays — the
+    * shape [[graft.operators.Similarity]] consumes.
+    */
+  def hashEmbedGather(longForm: org.apache.spark.sql.DataFrame,
+                      idCol: String): org.apache.spark.sql.DataFrame =
+    longForm.groupBy(idCol)
+      .agg(array_sort(collect_list(struct(col("pos"), col("val"))))
+        .as("pv"))
+      .select(col(idCol).as("id"),
+        expr("transform(pv, e -> cast(e.val as double))").as("v"))
+
   /** PII scrubbing patterns (training-data redaction). Kept to syntax
     * valid AND identical-semantics in both Java regex (Spark) and RE2
     * (DuckDB oracle): character classes + bounded quantifiers only — no

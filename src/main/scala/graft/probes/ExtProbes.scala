@@ -1855,6 +1855,35 @@ object ExtProbes {
        |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
   }
 
+  // ---- q93 feature-hashing text embedding -------------------------------
+  // The hashing-trick projection (bucket = md5 mod dim, ±1 sign from the
+  // next hash bits, signed counts per bucket) — the vocabulary-free
+  // text→embedding link feeding the ANN stack. Integer-exact; dense
+  // long-form output (every doc × every position, zeros included).
+  val q93: Q = (s, d) =>
+    graft.operators.TextStats.hashEmbed(
+        Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", dim = 16)
+      .orderBy("doc_id", "pos")
+
+  val q93Sql: String =
+    s"""WITH n AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |t AS (SELECT doc_id, unnest(w) AS word FROM n),
+       |h AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(word), 1, 8))::BIGINT % 16 AS INT)
+       |      AS pos,
+       |    CASE WHEN (('0x' || substr(md5(word), 1, 8))::BIGINT // 16)
+       |        % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM t),
+       |agg AS (SELECT doc_id, pos, CAST(sum(s) AS BIGINT) AS val
+       |  FROM h GROUP BY doc_id, pos),
+       |dn AS (SELECT doc_id, p.pos
+       |  FROM documents, (SELECT unnest(range(0, 16)) AS pos) p)
+       |SELECT dn.doc_id, CAST(dn.pos AS INT) AS pos,
+       |  coalesce(a.val, 0) AS val
+       |FROM dn LEFT JOIN agg a ON a.doc_id = dn.doc_id AND a.pos = dn.pos
+       |ORDER BY dn.doc_id, dn.pos""".stripMargin
+
   // ---- q88 intra-document line dedup ------------------------------------
   // Repeated lines planted per doc (duplicate banner + duplicate body
   // line); Curation.dedupLines keeps first occurrences in original order
@@ -1940,6 +1969,7 @@ object ExtProbes {
     "q90_gopher_rules" -> q90,
     "q91_bigram_lm" -> q91,
     "q92_ivfpq_residual" -> q92,
+    "q93_hash_embed" -> q93,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1997,5 +2027,6 @@ object ExtProbes {
     "q90_gopher_rules" -> q90Sql,
     "q91_bigram_lm" -> q91Sql,
     "q92_ivfpq_residual" -> q92Sql,
+    "q93_hash_embed" -> q93Sql,
   )
 }

@@ -382,6 +382,32 @@ class ExtOperatorsSpec extends SparkSpec {
       (3L, 0L, 0L)))
   }
 
+  test("hashEmbed: fixed-width dense vectors; identical text → identical " +
+      "vector; composes with the ANN stack") {
+    import graft.operators.{Similarity, TextStats}
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (3L, "completely different words entirely here"),
+      (4L, "")                                // empty: all-zero vector
+    ).toDF("doc_id", "text")
+    val long = TextStats.hashEmbed(docs, "doc_id", "text", dim = 8)
+    // dense: every doc emits exactly dim rows
+    assert(long.groupBy("doc_id").count().as[(Long, Long)].collect()
+      .forall(_._2 == 8L))
+    val vecs = TextStats.hashEmbedGather(long, "doc_id")
+    val byId = vecs.as[(Long, Seq[Double])].collect().toMap
+    assert(byId(1L) === byId(2L))
+    assert(byId(1L) !== byId(3L))
+    assert(byId(4L) === Seq.fill(8)(0.0))
+    // the ANN stack consumes the gathered form directly: the exact-dup
+    // pair is the one cosine-1 pair
+    val pairs = Similarity.cosineNearDupPairs(vecs.filter(col("id") =!= 4L),
+        threshold = 0.999)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+  }
+
   test("dedupLines is idempotent") {
     import graft.operators.Curation
     val docs = Seq((1L, "p\nq\np\nr\nq\np")).toDF("doc_id", "text")

@@ -331,7 +331,10 @@ class PlanContractSpec extends SparkSpec {
       "q56_user_rights_sort", "q70_ivf_neardup",
       // q89/q92's IVF half reuses the same bounded centroid-set crosses
       // as q31 (assignment + probe); the ADC half is equi/broadcast only
-      "q89_ivfpq_topk", "q92_ivfpq_residual")
+      "q89_ivfpq_topk", "q92_ivfpq_residual",
+      // q93's dense zero-fill crosses each doc with the dim-row position
+      // list — a `dim`-rows broadcast, bounded independent of corpus
+      "q93_hash_embed")
     val singlePartAllowed = Set("q20_decile_bucketing") // 1-row scalar max
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) => name -> fn(spark, sf).queryExecution.executedPlan.toString
