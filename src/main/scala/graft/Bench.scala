@@ -68,7 +68,15 @@ object Bench {
     }
     val nRuns = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
-    val allTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local iteration aid: SPARK_GRAFT_BENCH_ONLY=q91,q92 times just the
+    // named queries (prefix match on the short name). The driver never
+    // sets it — full-suite artifacts are unaffected.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(p => n == p || n.startsWith(p + "_")))
+    }
+    val allTimes = selected.map { case (name, fn) =>
       name -> (0 until nRuns).flatMap(_ => runOnce(fn)).sorted
     }
     // median of successful runs; all-failed -> -1 marker
@@ -125,12 +133,28 @@ object Bench {
       System.err.println(s"BENCH REGRESSION: $q ${num(sec, 2)}s vs baseline ${num(b, 2)}s")
       s"""{"q":"$q","sec":$sec,"baseline":$b}"""
     }
+    // Median-based exceedances — INFORMATIONAL, not a gate. Best-of-n
+    // gating is deliberately contention-tolerant, which leaves a blind
+    // spot: a query whose best run squeaks under 2× while its median sits
+    // well over (round 6's q91 at 3.03× median) never appears in the
+    // artifact. This list makes that visible without re-introducing the
+    // round-5 false-flag bounce: same 2×-of-box-normalized-baseline and
+    // +0.3 s thresholds, applied to the MEDIAN.
+    val medTriples = results.toSeq.sorted.collect {
+      case (q, sec) if sec >= 0 && baseline.get(q).exists { b0 =>
+          val b = b0 * boxFactor
+          sec > 2 * b && sec - b > 0.3
+        } => (q, sec, baseline(q))
+    }
+    val medianExceed = medTriples.map { case (q, sec, b) =>
+      s"""{"q":"$q","sec":$sec,"baseline":$b}"""
+    }
 
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns,"action":"noop-write","box_factor":${num(boxFactor, 3)},"failed":${failed.mkString("[", ",", "]")},"regressions":${regressions.mkString("[", ",", "]")}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns,"action":"noop-write","box_factor":${num(boxFactor, 3)},"failed":${failed.mkString("[", ",", "]")},"regressions":${regressions.mkString("[", ",", "]")},"median_exceedances":${medianExceed.mkString("[", ",", "]")}}"""
     val out = new java.io.File("target/bench.json")
     out.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(out)
@@ -154,7 +178,13 @@ object Bench {
     val failedShort = results.toSeq.sorted.collect {
       case (k, v) if v < 0 => "\"" + short(k) + "\""
     }
-    val compact = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qsShort,"sf":"$sfDir","runs":$nRuns,"action":"noop-write","box_factor":${num(boxFactor, 2)},"failed":${failedShort.mkString("[", ",", "]")},"regressions":$regShort,"detail":"target/bench.json"}"""
+    val medAll = medTriples.map { case (q, sec, b) =>
+      s"""{"q":"${short(q)}","sec":${num(sec, 2)},"base":${num(b, 2)}}"""
+    }
+    val medShort =
+      (medAll.take(6) ++ (if (medAll.size > 6) Seq(s"""{"truncated":${medAll.size - 6}}""") else Nil))
+        .mkString("[", ",", "]")
+    val compact = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qsShort,"sf":"$sfDir","runs":$nRuns,"action":"noop-write","box_factor":${num(boxFactor, 2)},"failed":${failedShort.mkString("[", ",", "]")},"regressions":$regShort,"median_exceedances":$medShort,"detail":"target/bench.json"}"""
     spark.stop()
     println(compact)
   }

@@ -490,20 +490,26 @@ object Multimodal {
             if (!stssSeen) nKeyframes += nSamples - samples0
           case "moov" | "mdia" | "minf" | "stbl" =>
             walk(i + hdr, end, depth + 1)
-          case "mvhd" if i + hdr + 4 <= to =>
+          // field reads are bounded by the box's OWN `end`, not the
+          // parent range `to`: a crafted/truncated box whose declared
+          // size stops mid-field must be skipped, not read into sibling
+          // bytes. The v1 mvhd needs 32 bytes past the header (u64
+          // duration reads through offset 31 — a +28 guard here was an
+          // off-by-4 that could throw on a truncated v1 mvhd).
+          case "mvhd" if i + hdr + 4 <= end =>
             val version = b(i + hdr) & 0xff
-            if (version == 1 && i + hdr + 28 <= to) {
+            if (version == 1 && i + hdr + 32 <= end) {
               timescale = beInt(b, i + hdr + 20).toLong & 0xffffffffL
               duration = beLong(i + hdr + 24)
-            } else if (version == 0 && i + hdr + 20 <= to) {
+            } else if (version == 0 && i + hdr + 20 <= end) {
               timescale = beInt(b, i + hdr + 12).toLong & 0xffffffffL
               duration = beInt(b, i + hdr + 16).toLong & 0xffffffffL
             }
-          case "stsz" if i + hdr + 12 <= to =>
+          case "stsz" if i + hdr + 12 <= end =>
             nSamples += beInt(b, i + hdr + 8).toLong & 0xffffffffL
-          case "stz2" if i + hdr + 12 <= to =>
+          case "stz2" if i + hdr + 12 <= end =>
             nSamples += beInt(b, i + hdr + 8).toLong & 0xffffffffL
-          case "stss" if i + hdr + 8 <= to =>
+          case "stss" if i + hdr + 8 <= end =>
             nKeyframes += beInt(b, i + hdr + 4).toLong & 0xffffffffL
             stssSeen = true
           case _ => () // leaf we don't read (ftyp, mdat, codec boxes...)

@@ -721,15 +721,38 @@ object Similarity {
       .parquet(s"$dir/centroids")
     codebook.select("sub", "code", "cv").write.mode("overwrite")
       .parquet(s"$dir/codebook")
-    val assignedCodes =
-      if (!residual) ivfPqAssignCodes(vectors, cent, codebook, m, subDim)
-      else {
-        // residual layout: codes quantize v − centroid (ivfPqTopKResidual's
-        // encode half, verbatim) — vb still stored for refine/retrain
-        val assigned = ivfAssign(vectors, cent)
-          .join(cent, Seq("cid"))
-          .withColumn("rv", zip_with(col("vb"), col("cv"), (x, y) => x - y))
-          .select(col("other_id").as("id"), col("cid"), col("vb"), col("rv"))
+    // format marker: which encoding the stored codes use — readers check
+    // it so a raw-codes query path can never silently mis-score a
+    // residual index (or vice versa). Written BEFORE the assigned table,
+    // with the previous table deleted first: every crash window then
+    // leaves marker-without-readable-data (a loud read failure) instead
+    // of a readable table paired with the wrong marker (the silent
+    // mis-scoring the marker exists to prevent).
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      vectors.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/assigned"), true)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/_pq_format"), true)
+    try out.write(
+      (if (residual) "residual" else "raw").getBytes("UTF-8"))
+    finally out.close()
+    if (!residual)
+      ivfPqAssignCodes(vectors, cent, codebook, m, subDim)
+        .select(col("id"), col("vb"), col("codes"), col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/assigned")
+    else {
+      // residual layout: codes quantize v − centroid ([[ivfPqTopKResidual]]
+      // semantics) — vb still stored for refine/retrain. The assignment
+      // feeds BOTH the vb projection and the residual encode, so it is
+      // persisted for the write's duration (the [[appendToIvfIndex]]
+      // discipline); unpersisted, Spark recomputes the corpus×centroid
+      // cross once per consumer.
+      val assigned = ivfAssign(vectors, cent)
+        .join(cent, Seq("cid"))
+        .withColumn("rv", zip_with(col("vb"), col("cv"), (x, y) => x - y))
+        .select(col("other_id").as("id"), col("cid"), col("vb"), col("rv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try
         assigned.select("id", "cid", "vb").join(
           pqEncode(assigned.select(col("id"), col("rv").as("v")),
               codebook, m, subDim)
@@ -737,20 +760,11 @@ object Similarity {
             .agg(expr("transform(array_sort(collect_list(struct(sub, " +
               "code))), e -> e.code)").as("codes")),
           Seq("id"))
-      }
-    assignedCodes
-      .select(col("id"), col("vb"), col("codes"), col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/assigned")
-    // format marker: which encoding the stored codes use — readers check
-    // it so a raw-codes query path can never silently mis-score a
-    // residual index (or vice versa)
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-      vectors.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(s"$dir/_pq_format"), true)
-    try out.write(
-      (if (residual) "residual" else "raw").getBytes("UTF-8"))
-    finally out.close()
+          .select(col("id"), col("vb"), col("codes"), col("cid"))
+          .write.mode("overwrite").partitionBy("cid")
+          .parquet(s"$dir/assigned")
+      finally assigned.unpersist()
+    }
   }
 
   private def readPqFormat(spark: org.apache.spark.sql.SparkSession,
@@ -839,17 +853,31 @@ object Similarity {
                         nprobe: Int, m: Int, subDim: Int,
                         k: Int): DataFrame = {
     val cent = broadcast(centroids.select(col("id").as("cid"), col("v").as("cv")))
-    // corpus: assign, residual-encode against the OWN cell's centroid
-    val assigned = ivfAssign(vectors, cent)
+    // corpus: assign, residual-encode against the OWN cell's centroid.
+    // ONE lineage — `cid` rides through the encode aggregation instead of
+    // being re-joined onto the codes afterwards. The round-6 shape
+    // (unpersisted `assigned` consumed by BOTH the pqEncode branch and an
+    // id→cid join) made Spark recompute the corpus×centroid assignment
+    // cross once per consumer: a second full corpus scan + distance pass
+    // per query batch — the 5.85× q92 bench regression. Carrying the
+    // (scalar) cid in the group keys costs nothing: it is functionally
+    // dependent on id, so the grouping is unchanged and both aggregates
+    // still partial-aggregate map-side.
+    val assignedCodes = ivfAssign(vectors, cent)
       .join(cent, Seq("cid"))
       .withColumn("rv", zip_with(col("vb"), col("cv"), (x, y) => x - y))
-      .select(col("other_id").as("id"), col("cid"), col("rv"))
-    val codes = pqEncode(assigned.select(col("id"), col("rv").as("v")),
-        codebook, m, subDim)
-      .groupBy("id")
+      .select(col("other_id").as("id"), col("cid"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("rv"), s * subDim + 1, subDim)): _*)).as(Seq("sub", "subv")))
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("d_e4", graft.core.Ops.fixedPoint(
+        sqDist(col("subv"), col("cv")), 4))
+      .groupBy("id", "cid", "sub")
+      .agg(min(struct(col("d_e4"), col("code"))).as("b"))
+      .select(col("id"), col("cid"), col("sub"), col("b.code").as("code"))
+      .groupBy("id", "cid")
       .agg(expr("transform(array_sort(collect_list(struct(sub, code))), " +
         "e -> e.code)").as("codes"))
-    val assignedCodes = assigned.select("id", "cid").join(codes, Seq("id"))
     ivfPqResidualProbeRank(assignedCodes, cent, codebook, queries, nprobe,
       m, subDim, k)
   }

@@ -167,13 +167,56 @@ object TextStats {
   def lmCrossEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String,
                      grams: org.apache.spark.sql.DataFrame,
-                     vocabSize: Long): org.apache.spark.sql.DataFrame = {
+                     vocabSize: Long): org.apache.spark.sql.DataFrame =
+    scoreBigrams(docs, idCol, docBigrams(docs, idCol, textCol), grams,
+      vocabSize)
+
+  /** Self-perplexity — train AND score on the SAME docs in one corpus
+    * pass. [[bigramCounts]]-then-[[lmCrossEntropy]] explodes the corpus
+    * into bigrams twice (once per call); at scale the explode (word
+    * normalization + n-gram assembly over every document) is the dominant
+    * CPU cost, paid per consumer. Here the exploded (id, gram) frame is
+    * built ONCE and persisted; the model table and the per-doc scores
+    * both derive from it. Numerically identical to the two-call form
+    * (same smoothing, same e6-before-sum rounding). The model's
+    * vocabulary-bounded aggregate and the per-doc score share the
+    * persisted frame via [[graft.core.Managed]] — consume the result,
+    * then `close()`; the plain variant keeps the pin (one-shot jobs).
+    */
+  def selfCrossEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String,
+                       vocabSize: Long): org.apache.spark.sql.DataFrame =
+    selfCrossEntropyManaged(docs, idCol, textCol, vocabSize).df
+
+  def selfCrossEntropyManaged(docs: org.apache.spark.sql.DataFrame,
+                              idCol: String, textCol: String,
+                              vocabSize: Long): graft.core.Managed = {
+    val bg = docBigrams(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = bg.groupBy("gram").agg(count(lit(1)).as("c"))
+    graft.core.Managed(scoreBigrams(docs, idCol, bg, grams, vocabSize),
+      Seq(bg))
+  }
+
+  /** The exploded (id, gram) frame both LM entry points score over. */
+  private def docBigrams(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String): org.apache.spark.sql.DataFrame =
+    graft.core.Ops.widen(docs)
+      .select(col(idCol), explode(Curation.wordNgrams(
+        graft.operators.Dedup.normalizeWords(col(textCol)), 2)).as("gram"))
+
+  /** The shared scoring body of [[lmCrossEntropy]] and
+    * [[selfCrossEntropy]] — one implementation so the trained-model and
+    * self-train paths cannot drift.
+    */
+  private def scoreBigrams(docs: org.apache.spark.sql.DataFrame,
+                           idCol: String,
+                           bg: org.apache.spark.sql.DataFrame,
+                           grams: org.apache.spark.sql.DataFrame,
+                           vocabSize: Long): org.apache.spark.sql.DataFrame = {
     val ctx = grams
       .select(split(col("gram"), " ").getItem(0).as("w1"), col("c"))
       .groupBy("w1").agg(sum(col("c")).as("ctx"))
-    val bg = graft.core.Ops.widen(docs)
-      .select(col(idCol), explode(Curation.wordNgrams(
-        graft.operators.Dedup.normalizeWords(col(textCol)), 2)).as("gram"))
     val scored = bg
       .join(grams, Seq("gram"), "left_outer")
       .withColumn("w1", split(col("gram"), " ").getItem(0))

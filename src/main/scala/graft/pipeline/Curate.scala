@@ -82,17 +82,21 @@ object Curate {
 
     // optional LM-perplexity gate: self-train on the quality survivors,
     // keep docs at or under the cross-entropy bound. The survivor frame
-    // feeds train + score + join — persist it for the stage's duration.
+    // feeds score + join (persisted for the stage); the train/score
+    // bigram explode itself happens ONCE inside selfCrossEntropyManaged
+    // (its pinned frame closes when the gate count materializes).
     var lmSurvivors: Option[org.apache.spark.sql.DataFrame] = None
     for (bound <- cfg.maxSelfXentE4) {
       val base = filtered.persist(StorageLevel.MEMORY_AND_DISK)
-      val keep = TextStats.lmCrossEntropy(base, idCol, textCol,
-          TextStats.bigramCounts(base, textCol), cfg.lmVocabSize)
+      val xentM = TextStats.selfCrossEntropyManaged(base, idCol, textCol,
+        cfg.lmVocabSize)
+      val keep = xentM.df
         .filter(col("xent_e4") <= bound)
         .select(col(idCol))
       filtered = base.join(keep, Seq(idCol))
         .persist(StorageLevel.MEMORY_AND_DISK) // consumed again by exact dedup
       counts += (("lm_gate", filtered.count()))
+      xentM.close()
       base.unpersist()
       lmSurvivors = Some(filtered)
     }

@@ -1752,9 +1752,10 @@ object ExtProbes {
   // compare is exact despite the ln().
   val q91: Q = (s, d) => {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val grams = graft.operators.TextStats.bigramCounts(docs, "text")
-    graft.operators.TextStats.lmCrossEntropy(docs, "doc_id", "text",
-        grams, vocabSize = 1000L)
+    // self-train shape → the one-explode entry point (the two-call
+    // bigramCounts + lmCrossEntropy form explodes the corpus twice)
+    graft.operators.TextStats.selfCrossEntropy(docs, "doc_id", "text",
+        vocabSize = 1000L)
       .orderBy("doc_id")
   }
 

@@ -196,6 +196,22 @@ class MediaHeaderSpec extends org.scalatest.funsuite.AnyFunSuite {
     val v1 = ftyp ++ box("moov", box("mvhd", v1body.array()))
     val mv1 = Multimodal.parseMp4(v1).get
     assert(mv1.timescale == 90000L && mv1.durationTicks == 450000L)
+    // truncated v1 mvhd: body stops 28 bytes after the header — the u64
+    // duration field would read through byte 31, past the payload end.
+    // Must be SKIPPED (no timescale → None), never a throw or a read of
+    // sibling bytes (the round-6 guard was off by 4 here).
+    val v1cut = ftyp ++ box("moov", box("mvhd", v1body.array().take(28)))
+    assert(Multimodal.parseMp4(v1cut).isEmpty)
+    // same truncated mvhd followed by a sibling box: the field read must
+    // stay bounded by the mvhd's OWN end (old code read the sibling's
+    // header bytes as the duration); the valid v0 sibling then parses
+    val v0body = java.nio.ByteBuffer.allocate(100)
+    v0body.put(0.toByte).put(Array[Byte](0, 0, 0)).putInt(0).putInt(0)
+    v0body.putInt(600).putInt(3000)
+    val v1cutSib = ftyp ++ box("moov",
+      box("mvhd", v1body.array().take(28)) ++ box("mvhd", v0body.array()))
+    val msib = Multimodal.parseMp4(v1cutSib).get
+    assert(msib.timescale == 600L && msib.durationTicks == 3000L)
     // malformed: the truncated moov box's claimed size overruns the
     // payload, stopping the walk before any mvhd → no timescale → None
     assert(Multimodal.parseMp4(b.take(40)).isEmpty)
