@@ -564,7 +564,8 @@ object Multimodal {
       out.putInt(8 + body.length).put(tag.getBytes("US-ASCII")).put(body)
       out.array()
     }
-    val ftyp = box("ftyp", "isom   isomiso2".getBytes("US-ASCII"))
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 2, 0) ++ "isomiso2".getBytes("US-ASCII"))
     val mvhd = {
       val body = java.nio.ByteBuffer.allocate(100)
       body.putInt(0)            // version 0 + flags
@@ -615,4 +616,271 @@ object Multimodal {
     docs.selectExpr("doc_id AS media_id", "CAST(text AS BINARY) AS media",
       "'text/plain' AS mime").as[MediaRecord]
   }
+
+  // ---- MJPEG-in-MP4: real video SAMPLE decode ------------------------------
+  // The one video codec reachable with JDK-only tools: Motion-JPEG stores
+  // each frame as an independent JPEG, so the stsc/stsz/stco walk to
+  // sample offsets plus `javax.imageio` per keyframe is a REAL pixel
+  // decode of real container bytes — no native codec required. This is
+  // the q94 decoded-keyframe round trip, closing the video column of the
+  // multimodal family (image q82, audio q84, container q85).
+
+  /** JPEG-encode a uniform gray frame. Uniform tiles survive the JPEG
+    * round trip EXACTLY (verified for all 256 grays incl. partial-MCU
+    * dims: a uniform block is DC-only and the default-quality DC
+    * quantization step divides the DCT's 8× gain), which is what lets
+    * the q94 oracle recompute decoded means from synthesis arithmetic.
+    */
+  def encodeJpegGray(width: Int, height: Int, gray: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && gray >= 0 && gray <= 255)
+    javax.imageio.ImageIO.setUseCache(false)
+    val im = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = im.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, gray); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize an MJPEG-in-MP4: `ftyp` + `mdat` holding one JPEG per
+    * frame + `moov` whose single trak carries REAL sample tables — stsz
+    * (per-sample byte sizes), stsc (one chunk run), stco (the mdat
+    * payload offset), and optionally stss (1-based keyframe numbers;
+    * absent = every sample sync, the ISO-BMFF default). The table walk in
+    * [[decodeMjpegKeyframes]] recovers each frame's exact byte range from
+    * these — the synthesis half of the q94 round trip.
+    */
+  def encodeMjpegMp4(timescale: Int, durationTicks: Int, width: Int,
+                     height: Int, grays: Seq[Int],
+                     syncSamples: Option[Seq[Int]] = None): Array[Byte] = {
+    require(timescale > 0 && durationTicks >= 0 && grays.nonEmpty)
+    def box(tag: String, body: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + body.length)
+      out.putInt(8 + body.length).put(tag.getBytes("US-ASCII")).put(body)
+      out.array()
+    }
+    val samples = grays.map(g => encodeJpegGray(width, height, g))
+    val ftyp = box("ftyp", "isom   isomiso2".getBytes("US-ASCII"))
+    val mdat = box("mdat", samples.reduce(_ ++ _))
+    val mdatOff = ftyp.length + 8 // first sample's absolute file offset
+    val mvhd = {
+      val body = java.nio.ByteBuffer.allocate(100)
+      body.putInt(0).putInt(0).putInt(0)
+      body.putInt(timescale).putInt(durationTicks)
+      box("mvhd", body.array())
+    }
+    val n = samples.size
+    val stsz = {
+      val body = java.nio.ByteBuffer.allocate(12 + 4 * n)
+      body.putInt(0).putInt(0).putInt(n) // ver/flags, size 0 = table, count
+      samples.foreach(s => body.putInt(s.length))
+      box("stsz", body.array())
+    }
+    val stsc = { // one run: chunk 1 carries all n samples
+      val body = java.nio.ByteBuffer.allocate(8 + 12)
+      body.putInt(0).putInt(1).putInt(1).putInt(n).putInt(1)
+      box("stsc", body.array())
+    }
+    val stco = {
+      val body = java.nio.ByteBuffer.allocate(8 + 4)
+      body.putInt(0).putInt(1).putInt(mdatOff)
+      box("stco", body.array())
+    }
+    val stss = syncSamples.fold(Array.emptyByteArray) { ss =>
+      val body = java.nio.ByteBuffer.allocate(8 + 4 * ss.size)
+      body.putInt(0).putInt(ss.size)
+      ss.foreach(body.putInt)
+      box("stss", body.array())
+    }
+    val trak = box("trak", box("mdia", box("minf",
+      box("stbl", stsz ++ stsc ++ stco ++ stss))))
+    ftyp ++ mdat ++ box("moov", mvhd ++ trak)
+  }
+
+  /** One trak's sample tables, as read from stbl. `syncs` None = no stss
+    * box = every sample is sync (ISO-BMFF convention, as in [[parseMp4]]).
+    */
+  private[graft] case class Mp4Track(sizes: Array[Long],
+                                     chunkOffsets: Array[Long],
+                                     stsc: Array[(Int, Int)],
+                                     syncs: Option[Array[Int]])
+
+  /** Walk the box tree collecting per-trak sample tables — the demuxer
+    * half [[parseMp4]] deliberately skips (it only counts). Same bounded-
+    * walk discipline: box sizes sanity-checked, every field read bounded
+    * by its box's own end, malformed structure degrades (truncated table
+    * → as many entries as fit; no throw, no unbounded loop). Entry counts
+    * are clamped to what the box can physically hold, so a crafted count
+    * cannot force a giant allocation.
+    */
+  private[graft] def parseMp4SampleTables(b: Array[Byte]): Option[Seq[Mp4Track]] = {
+    if (b.length < 12 || b(4) != 'f' || b(5) != 't' || b(6) != 'y' ||
+      b(7) != 'p') return None
+    def beLong(off: Int): Long =
+      (0 until 8).foldLeft(0L)((acc, k) => (acc << 8) | (b(off + k) & 0xffL))
+    val tracks = scala.collection.mutable.ListBuffer[Mp4Track]()
+    var sizes: Array[Long] = Array.emptyLongArray
+    var chunks: Array[Long] = Array.emptyLongArray
+    var stsc: Array[(Int, Int)] = Array.empty
+    var syncs: Option[Array[Int]] = None
+    // entry table at `off` with `width`-byte entries inside [off, end)
+    def entryCount(claimed: Long, off: Int, end: Int, width: Int): Int =
+      math.min(math.max(claimed, 0L), ((end - off).toLong / width)).toInt
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      if (depth > 8) return
+      var i = from
+      while (i + 8 <= to) {
+        val size0 = beInt(b, i).toLong & 0xffffffffL
+        val tag = new String(b, i + 4, 4, "US-ASCII")
+        val (hdr, size) =
+          if (size0 == 1 && i + 16 <= to) (16, beLong(i + 8))
+          else (8, if (size0 == 0) (to - i).toLong else size0)
+        if (size < hdr || i + size > to) return
+        val end = (i + size).toInt
+        val p = i + hdr // field base (after the box header)
+        tag match {
+          case "trak" =>
+            sizes = Array.emptyLongArray; chunks = Array.emptyLongArray
+            stsc = Array.empty; syncs = None
+            walk(p, end, depth + 1)
+            tracks += Mp4Track(sizes, chunks, stsc, syncs)
+          case "moov" | "mdia" | "minf" | "stbl" =>
+            walk(p, end, depth + 1)
+          case "stsz" if p + 12 <= end =>
+            val fixed = beInt(b, p + 4).toLong & 0xffffffffL
+            val n0 = beInt(b, p + 8).toLong & 0xffffffffL
+            sizes =
+              if (fixed != 0) // constant-size samples: no table follows
+                Array.fill(math.min(n0, 1L << 24).toInt)(fixed)
+              else {
+                val n = entryCount(n0, p + 12, end, 4)
+                Array.tabulate(n)(k =>
+                  beInt(b, p + 12 + 4 * k).toLong & 0xffffffffL)
+              }
+          case "stco" if p + 8 <= end =>
+            val n = entryCount(beInt(b, p + 4).toLong & 0xffffffffL,
+              p + 8, end, 4)
+            chunks = Array.tabulate(n)(k =>
+              beInt(b, p + 8 + 4 * k).toLong & 0xffffffffL)
+          case "co64" if p + 8 <= end =>
+            val n = entryCount(beInt(b, p + 4).toLong & 0xffffffffL,
+              p + 8, end, 8)
+            chunks = Array.tabulate(n)(k => beLong(p + 8 + 8 * k))
+          case "stsc" if p + 8 <= end =>
+            val n = entryCount(beInt(b, p + 4).toLong & 0xffffffffL,
+              p + 8, end, 12)
+            stsc = Array.tabulate(n)(k =>
+              (beInt(b, p + 8 + 12 * k), beInt(b, p + 12 + 12 * k)))
+          case "stss" if p + 8 <= end =>
+            val n = entryCount(beInt(b, p + 4).toLong & 0xffffffffL,
+              p + 8, end, 4)
+            syncs = Some(Array.tabulate(n)(k => beInt(b, p + 8 + 4 * k)))
+          case _ => ()
+        }
+        i = end
+      }
+    }
+    walk(0, b.length, 0)
+    if (tracks.isEmpty) None else Some(tracks.toList)
+  }
+
+  /** Per-sample absolute file offsets from the chunk map (standard stsc
+    * semantics: entry (firstChunk, samplesPerChunk) applies from its
+    * first_chunk until the next entry's). Unmappable samples stay −1
+    * (skipped by the decoder, never a throw).
+    */
+  private[graft] def sampleOffsets(t: Mp4Track): Array[Long] = {
+    val out = Array.fill(t.sizes.length)(-1L)
+    val entries = t.stsc.sortBy(_._1)
+    var sample = 0
+    var c = 1
+    while (c <= t.chunkOffsets.length && sample < out.length) {
+      val spc = entries.takeWhile(_._1 <= c).lastOption.map(_._2).getOrElse(0)
+      var off = t.chunkOffsets(c - 1)
+      var j = 0
+      while (j < spc && sample < out.length) {
+        out(sample) = off
+        off += t.sizes(sample)
+        sample += 1
+        j += 1
+      }
+      c += 1
+    }
+    out
+  }
+
+  /** Decoded-keyframe features: sample/keyframe counts from the tables,
+    * plus width/height and the SUM of per-keyframe band-0 means (e4) over
+    * the keyframes that actually decoded — statistics over decoded
+    * rasters, so the q94 oracle checking them against synthesis ground
+    * truth proves real sample decode, not table walking alone. Marker row
+    * `(-1, -1, -1, 0, 0, -1)` for payloads that are not parseable MP4.
+    */
+  case class DecodedVideo(media_id: Long, n_samples: Long, n_keyframes: Long,
+                          n_decoded: Long, width: Int, height: Int,
+                          gray_sum_e4: Long)
+
+  def decodeMjpegKeyframes(ds: Dataset[MediaRecord], batchSize: Int = 16,
+                           maxPixels: Long = 64L << 20): Dataset[DecodedVideo] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // see decodeImages
+      it.grouped(batchSize).flatMap(_.iterator.map(r =>
+        decodeMjpegOne(r.media_id, r.media, maxPixels)))
+    }
+  }
+
+  private[graft] def decodeMjpegOne(id: Long, b: Array[Byte],
+                                    maxPixels: Long = 64L << 20): DecodedVideo =
+    parseMp4SampleTables(b) match {
+      case None => DecodedVideo(id, -1L, -1L, -1L, 0, 0, -1L)
+      case Some(tracks) =>
+        var nSamples = 0L; var nKf = 0L; var nDec = 0L
+        var w = 0; var h = 0; var graySum = 0L
+        for (t <- tracks) {
+          nSamples += t.sizes.length
+          val offs = sampleOffsets(t)
+          // stss numbers are 1-based; no stss = every sample sync
+          val kf: Seq[Int] =
+            t.syncs.fold(t.sizes.indices: Seq[Int])(_.toSeq.map(_ - 1))
+          nKf += kf.size
+          for (i <- kf if i >= 0 && i < t.sizes.length) {
+            val off = offs(i); val len = t.sizes(i)
+            if (off >= 0 && len > 0 && off + len <= b.length) {
+              val bytes = java.util.Arrays.copyOfRange(
+                b, off.toInt, (off + len).toInt)
+              // same decompression-bomb guard as decodeImages
+              val img =
+                if (claimedPixels(bytes) > maxPixels) None
+                else try Option(javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes)))
+                catch { case scala.util.control.NonFatal(_) => None }
+              img.foreach { im =>
+                nDec += 1
+                w = im.getWidth; h = im.getHeight
+                val raster = im.getRaster
+                var sum = 0L
+                var y = 0
+                while (y < im.getHeight) {
+                  var x = 0
+                  while (x < im.getWidth) {
+                    sum += raster.getSample(x, y, 0); x += 1
+                  }
+                  y += 1
+                }
+                graySum += math.floor(
+                  sum * 10000.0 / (im.getWidth.toLong * im.getHeight) + 0.5)
+                  .toLong
+              }
+            }
+          }
+        }
+        DecodedVideo(id, nSamples, nKf, nDec, w, h, graySum)
+    }
 }

@@ -1885,6 +1885,74 @@ object ExtProbes {
        |FROM dn LEFT JOIN agg a ON a.doc_id = dn.doc_id AND a.pos = dn.pos
        |ORDER BY dn.doc_id, dn.pos""".stripMargin
 
+  // ---- q94 MJPEG-in-MP4 decoded-keyframe round trip ----------------------
+  // Multimodal.encodeMjpegMp4 synthesizes REAL video containers: one JPEG
+  // per frame inside mdat, with true stsz/stsc/stco sample tables and
+  // (for ids % 3 != 0) an stss keyframe table. decodeMjpegKeyframes walks
+  // the tables to each keyframe's byte range and decodes THE PIXELS with
+  // javax.imageio; the oracle recomputes keyframe counts and the decoded
+  // gray sum from synthesis arithmetic (uniform tiles survive JPEG
+  // exactly — spec-pinned). Table counts alone could be faked from the
+  // walk (q85's job); gray_sum_e4 only matches if actual frame bytes were
+  // located AND decoded. 1/4 of payloads are raw text → the marker row.
+  def q94Media(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % 4 == 0)
+          graft.operators.Multimodal.MediaRecord(
+            id, text.getBytes("UTF-8"), "text/plain")
+        else {
+          val n = (3 + id % 5).toInt
+          val grays = (0 until n).map(j => ((id * 7 + j * 13) % 256).toInt)
+          // ids % 3 == 0: no stss → every sample sync; otherwise keyframes
+          // at the odd 1-based sample numbers 1, 3, 5, …
+          val sync =
+            if (id % 3 == 0) None
+            else Some((1 to n by 2).toSeq)
+          graft.operators.Multimodal.MediaRecord(
+            id, graft.operators.Multimodal.encodeMjpegMp4(
+              600, 3000, (id % 13 + 2).toInt, (id % 11 + 2).toInt,
+              grays, sync),
+            "video/mp4")
+        }
+      }
+  }
+
+  val q94: Q = (s, d) => {
+    val media = q94Media(graft.core.Ops.widen(Tables.documents(s, d)))
+    graft.operators.Multimodal.decodeMjpegKeyframes(media).toDF()
+      .orderBy("media_id")
+  }
+
+  val q94Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 0 THEN NULL
+      |         ELSE CAST(3 + doc_id % 5 AS INTEGER) END AS n,
+      |    CAST(doc_id % 13 + 2 AS INTEGER) AS w,
+      |    CAST(doc_id % 11 + 2 AS INTEGER) AS h
+      |  FROM documents),
+      |k AS (SELECT doc_id, j FROM p, unnest(generate_series(1, n)) t(j)
+      |  WHERE doc_id % 3 = 0 OR j % 2 = 1),
+      |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kf,
+      |    CAST(sum((doc_id * 7 + (j - 1) * 13) % 256) * 10000 AS BIGINT)
+      |      AS gsum
+      |  FROM k GROUP BY doc_id)
+      |SELECT p.doc_id AS media_id,
+      |  CAST(CASE WHEN n IS NULL THEN -1 ELSE n END AS BIGINT) AS n_samples,
+      |  CAST(CASE WHEN n IS NULL THEN -1 ELSE g.kf END AS BIGINT)
+      |    AS n_keyframes,
+      |  CAST(CASE WHEN n IS NULL THEN -1 ELSE g.kf END AS BIGINT)
+      |    AS n_decoded,
+      |  CAST(CASE WHEN n IS NULL THEN 0 ELSE w END AS INTEGER) AS width,
+      |  CAST(CASE WHEN n IS NULL THEN 0 ELSE h END AS INTEGER) AS height,
+      |  CAST(CASE WHEN n IS NULL THEN -1 ELSE g.gsum END AS BIGINT)
+      |    AS gray_sum_e4
+      |FROM p LEFT JOIN g USING (doc_id) ORDER BY media_id""".stripMargin
+
   // ---- q88 intra-document line dedup ------------------------------------
   // Repeated lines planted per doc (duplicate banner + duplicate body
   // line); Curation.dedupLines keeps first occurrences in original order
@@ -1971,6 +2039,7 @@ object ExtProbes {
     "q91_bigram_lm" -> q91,
     "q92_ivfpq_residual" -> q92,
     "q93_hash_embed" -> q93,
+    "q94_mjpeg_decode" -> q94,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2029,5 +2098,6 @@ object ExtProbes {
     "q91_bigram_lm" -> q91Sql,
     "q92_ivfpq_residual" -> q92Sql,
     "q93_hash_embed" -> q93Sql,
+    "q94_mjpeg_decode" -> q94Sql,
   )
 }

@@ -266,4 +266,72 @@ class MediaHeaderSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(graft.operators.Multimodal.claimedPixels(
       "not an image".getBytes("UTF-8")) == 0L)
   }
+
+  test("uniform gray survives the JPEG round trip exactly (all 256 levels, " +
+      "partial-MCU dims) — the q94 oracle's load-bearing fact") {
+    for (g <- 0 until 256) {
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Multimodal.encodeJpegGray(13, 7, g)))
+      for (y <- 0 until 7; x <- 0 until 13)
+        assert(back.getRaster.getSample(x, y, 0) == g, s"gray $g at ($x,$y)")
+    }
+  }
+
+  test("MJPEG-in-MP4: table walk finds every keyframe's bytes; decode " +
+      "recovers exact per-frame grays") {
+    val grays = Seq(10, 200, 55, 254, 0)
+    // stss on samples 1, 3, 5 (1-based) → decoded grays 10 + 55 + 0
+    val withSync = Multimodal.encodeMjpegMp4(600, 3000, 12, 9, grays,
+      Some(Seq(1, 3, 5)))
+    val r = Multimodal.decodeMjpegOne(1L, withSync)
+    assert(r.n_samples == 5L && r.n_keyframes == 3L && r.n_decoded == 3L)
+    assert(r.width == 12 && r.height == 9)
+    assert(r.gray_sum_e4 == (10L + 55L + 0L) * 10000)
+    // no stss → all five samples are keyframes (ISO-BMFF default)
+    val allSync = Multimodal.decodeMjpegOne(2L,
+      Multimodal.encodeMjpegMp4(600, 3000, 12, 9, grays, None))
+    assert(allSync.n_keyframes == 5L && allSync.n_decoded == 5L)
+    assert(allSync.gray_sum_e4 == grays.map(_.toLong).sum * 10000)
+    // non-MP4 → marker row, never a throw
+    val bad = Multimodal.decodeMjpegOne(3L, "not video".getBytes("UTF-8"))
+    assert(bad == Multimodal.DecodedVideo(3L, -1L, -1L, -1L, 0, 0, -1L))
+    // truncated mid-mdat: tables still parse (moov is after mdat... cut
+    // BEFORE moov kills the walk → marker; cut INSIDE a sample keeps the
+    // walk but the out-of-range keyframe is skipped, not thrown)
+    val cutBeforeMoov = withSync.take(withSync.length / 4)
+    assert(Multimodal.decodeMjpegOne(4L, cutBeforeMoov).n_samples == -1L)
+    // a lying stsz count (larger than the mdat holds) must not throw:
+    // unmappable samples skip
+    val lying = withSync.clone()
+    // stsz count field: find the stsz box and bump its sample_count
+    val idx = {
+      var i = -1
+      for (k <- 0 until lying.length - 4 if i < 0)
+        if (lying(k) == 's' && lying(k + 1) == 't' && lying(k + 2) == 's' &&
+          lying(k + 3) == 'z') i = k
+      i
+    }
+    lying(idx + 4 + 8 + 3) = 99.toByte // count low byte → 99 claimed samples
+    val ld = Multimodal.decodeMjpegOne(5L, lying)
+    assert(ld.n_samples <= 99L && ld.n_decoded == 3L) // real keyframes still decode
+  }
+
+  test("sampleOffsets: multi-chunk stsc runs and constant-size stsz") {
+    // 2 chunks: chunk 1 carries 2 samples, chunk 2 carries the rest
+    val t = Multimodal.Mp4Track(
+      sizes = Array(10L, 20L, 30L, 40L),
+      chunkOffsets = Array(100L, 500L),
+      stsc = Array((1, 2), (2, 2)),
+      syncs = None)
+    assert(Multimodal.sampleOffsets(t).toSeq ==
+      Seq(100L, 110L, 500L, 530L))
+    // constant-size stsz (fixed != 0) has no table: parse synthesizes it
+    val fixed = Multimodal.Mp4Track(Array(8L, 8L, 8L), Array(0L),
+      Array((1, 3)), None)
+    assert(Multimodal.sampleOffsets(fixed).toSeq == Seq(0L, 8L, 16L))
+    // more chunks than samples / missing stsc entries degrade to -1s
+    val sparse = Multimodal.Mp4Track(Array(5L, 5L), Array(0L, 50L),
+      Array.empty, None)
+    assert(Multimodal.sampleOffsets(sparse).toSeq == Seq(-1L, -1L))
+  }
 }
