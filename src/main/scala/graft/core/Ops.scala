@@ -252,11 +252,24 @@ object Ops {
     * random-free deterministic salt from a stable column, replicate the
     * build (right) side across `saltFactor` salt values, join on
     * (keys, salt). Turns one hot key's single straggler task into
-    * `saltFactor` parallel tasks. AQE's skew-join handles moderate skew
-    * automatically; this is the explicit tool for pathological keys.
+    * `saltFactor` parallel tasks.
+    *
+    * Measured (tools/Scale --skew, 6M-row fact with 99% of rows on ONE
+    * key, 15k-row dim, broadcast off): unsalted wall 2.4-2.7 s with a
+    * 1.9-2.2 s straggler task against a 130-190 ms task p50 — AND AQE's
+    * skew-join fix did NOT engage, because the hot partition (~50 MB)
+    * sits under `skewedPartitionThresholdInBytes` (256 MB default). That
+    * is this operator's niche: skew that straggles the stage but is too
+    * small for AQE's fix, or aggregation-after-join shapes AQE's split
+    * can't cover. saltFactor=16 (the measured default) cut wall to
+    * 0.96 s with max task 386 ms (flat profile); the cost — dim
+    * replicated 16× — was noise for the dimension sizes this is for.
+    * At the un-skewed 1x scale salt=16 matched the unsalted join
+    * (0.65 s vs 0.64 s), so the default is safe to leave on for
+    * suspected-hot workloads. Full rows in SCALE.md §round-7 skew.
     */
   def saltedJoin(skewed: DataFrame, dim: DataFrame, keys: Seq[String],
-                 saltFactor: Int, saltBy: String): DataFrame = {
+                 saltFactor: Int = 16, saltBy: String): DataFrame = {
     val salted = skewed.withColumn("__salt",
       pmod(xxhash64(col(saltBy)), lit(saltFactor)).cast("int"))
     val replicated = dim.withColumn("__salt",

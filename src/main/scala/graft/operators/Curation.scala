@@ -313,6 +313,103 @@ object Curation {
     regexp_replace(
       regexp_extract(lower(url), "^[a-z]+://([^/:?#]+)", 1), "^www\\.", "")
 
+  /** Cross-document SUBSTRING dedup statistics — the token-window form of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al. 2022): every length-`w` token window is hashed; a window
+    * occurrence is a DUPLICATE iff an occurrence of the same content
+    * exists earlier in the corpus order (smaller (doc, pos) — the
+    * keep-first rule [[dedupLines]] uses within a doc, here applied
+    * across the corpus at token granularity). This catches repeated
+    * passages exact doc-dedup and MinHash both miss: boilerplate spans
+    * embedded in otherwise-distinct documents.
+    *
+    * Scale shape: one window explode (corpus-linear: ~one row per token),
+    * a partial-aggregatable `min(struct(doc, pos))` per window hash (NO
+    * per-hash window sort — a hot window content would make that sort a
+    * straggler), an equi join back on the hash (1:N, no blowup), then
+    * per-doc span arithmetic under a doc-partitioned window (bounded
+    * groups). Two hash shuffles + one join — no all-pairs anywhere.
+    *
+    * Output, one row per input doc: (idCol, n_windows, n_dup_windows,
+    * dup_tokens) where `dup_tokens` is the merged-interval token count
+    * covered by duplicate windows — the "how much would substring dedup
+    * delete" funnel number.
+    */
+  def duplicateWindows(docs: DataFrame, idCol: String, textCol: String,
+                       w: Int = 50): DataFrame = {
+    require(w >= 1, "window must be at least 1 token")
+    val sized = graft.core.Ops.widen(docs)
+      .select(col(idCol),
+        Dedup.normalizeWords(coalesce(col(textCol), lit(""))).as("__ws"))
+      .withColumn("nw", greatest(lit(0), size(col("__ws")) - w + 1))
+    val wins = sized.filter(col("nw") > 0)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, nw), i -> struct(i AS pos, " +
+          s"md5(array_join(slice(__ws, i, $w), ' ')) AS h))")).as("e"))
+      .select(col(idCol), col("e.pos").as("pos"), col("e.h").as("h"))
+    // canonical occurrence per content = min (doc, pos); partial-agg min,
+    // then a 1:N join back — every other occurrence is a duplicate
+    val canon = wins.groupBy("h")
+      .agg(min(struct(col(idCol).as("d"), col("pos").as("p"))).as("c"))
+    val dup = wins.join(canon, Seq("h"))
+      .filter(col("c.d") =!= col(idCol) || col("c.p") =!= col("pos"))
+      .select(col(idCol), col("pos"))
+    // merged-interval coverage without materializing intervals: a window
+    // [pos, pos+w) adds the tokens past the running max end of everything
+    // before it (islands arithmetic — identical formula on the oracle)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val stats = dup
+      .withColumn("__pe", max(col("pos") + w).over(byDoc))
+      .withColumn("__cov", greatest(lit(0),
+        col("pos") + w - greatest(col("pos"), coalesce(col("__pe"), lit(0)))))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_dup_windows"), sum("__cov").as("dup_tokens"))
+    sized.select(col(idCol), col("nw").cast("long").as("n_windows"))
+      .join(stats, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"))
+  }
+
+  /** The CLEANER for [[duplicateWindows]]: drop every token covered by a
+    * duplicate window (canonical occurrences stay — corpus keeps exactly
+    * one copy of each repeated passage), rebuild the text from the
+    * survivors in order. Same plan skeleton as the stats form plus one
+    * per-doc position-set membership pass (`exists` over the doc's own
+    * duplicate positions — bounded by doc size). Every input doc appears
+    * exactly once: (idCol, cleaned_text, n_removed_tokens).
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           w: Int = 50): DataFrame = {
+    require(w >= 1, "window must be at least 1 token")
+    val sized = graft.core.Ops.widen(docs)
+      .select(col(idCol),
+        Dedup.normalizeWords(coalesce(col(textCol), lit(""))).as("__ws"))
+      .withColumn("nw", greatest(lit(0), size(col("__ws")) - w + 1))
+    val wins = sized.filter(col("nw") > 0)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, nw), i -> struct(i AS pos, " +
+          s"md5(array_join(slice(__ws, i, $w), ' ')) AS h))")).as("e"))
+      .select(col(idCol), col("e.pos").as("pos"), col("e.h").as("h"))
+    val canon = wins.groupBy("h")
+      .agg(min(struct(col(idCol).as("d"), col("pos").as("p"))).as("c"))
+    val dupStarts = wins.join(canon, Seq("h"))
+      .filter(col("c.d") =!= col(idCol) || col("c.p") =!= col("pos"))
+      .groupBy(idCol).agg(sort_array(collect_list(col("pos"))).as("__ps"))
+    sized.join(dupStarts, Seq(idCol), "left_outer")
+      .withColumn("__ps", coalesce(col("__ps"), expr("array()")))
+      .withColumn("__kept", expr(
+        s"filter(transform(__ws, (t, i) -> struct(t AS t, i + 1 AS i)), " +
+          s"s -> NOT exists(__ps, p -> s.i >= p AND s.i < p + $w))"))
+      .select(col(idCol),
+        expr("array_join(transform(__kept, s -> s.t), ' ')")
+          .as("cleaned_text"),
+        (size(col("__ws")) - size(col("__kept"))).cast("long")
+          .as("n_removed_tokens"))
+  }
+
   def writeShards(df: DataFrame, keyCol: Column, path: String,
                   filesPerShard: Int = 8,
                   mode: String = "overwrite"): Unit = {

@@ -327,6 +327,53 @@ object TextStats {
     */
   val BpeTokenRegex = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
 
+  /** TF-IDF top terms per document — the classic keyword extraction /
+    * document-representation pass (salient-term indexing, topic tagging,
+    * near-dup explanation). Integer-exact end to end: idf is the smoothed
+    * `ln((N+1)/(df+1)) + 1` rounded to an e6 BIGINT per TERM (one value
+    * per vocabulary entry — the q91 round-before-use discipline, so the
+    * ranking is engine-independent), score = tf · idf_e6, ties broken by
+    * term.
+    *
+    * Scale shape: one word explode (corpus-linear), a (doc, term) hash
+    * agg with map-side partials, a vocabulary-sized df agg derived FROM
+    * the tf frame (no second corpus pass), an equi join of tf against the
+    * df table (vocabulary-keyed; AQE broadcasts it when it fits), and a
+    * per-doc top-k window (bounded groups, plans WindowGroupLimit).
+    * `numDocs` is corpus cardinality as model metadata — computed once on
+    * the driver (bounded action) rather than a 1-row scalar cross in the
+    * plan.
+    *
+    * Output: (idCol, term, tf, score_e6, rnk), rnk 1..k per doc.
+    */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int,
+                    numDocs: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val n = numDocs.getOrElse(docs.count())
+    val tf = graft.core.Ops.widen(docs)
+      .select(col(idCol),
+        explode(graft.operators.Dedup.normalizeWords(col(textCol)))
+          .as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (doc, term) pairs, so df = count per term
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf_e6", floor(
+        (log(lit(n + 1.0) / (col("df") + lit(1.0))) + lit(1.0)) * lit(1e6)
+          + lit(0.5)).cast("long"))
+      .select("term", "idf_e6")
+    val scored = tf.join(idf, Seq("term"))
+      .withColumn("score_e6", col("tf") * col("idf_e6"))
+    scored
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+          .orderBy(col("score_e6").desc, col("term").asc)).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("score_e6"),
+        col("rnk"))
+  }
+
   /** Whitespace token count; empty/whitespace-only text is 0 tokens
     * (`split("") == [""]` would report 1 — off by one for exactly the
     * degenerate docs token counts gate).

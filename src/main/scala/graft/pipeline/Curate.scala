@@ -29,9 +29,14 @@ case class CurateConfig(
 
 /** `chunks` — the packed, sharded training chunks (doc_id, chunk_id,
   * chunk_text, n_tokens, shard, pack); `stageCounts` — rows surviving each
-  * stage in order, the curation funnel a pipeline report shows.
+  * stage in order, the curation funnel a pipeline report shows;
+  * `stageSeconds` — wall time attributed to each stage (count-to-count:
+  * each stage's lazy plan executes at its funnel count, so the delta
+  * between consecutive counts IS the stage's materialization cost — the
+  * per-stage rows tools/Scale sweeps at 1x/10x).
   */
-case class CurateResult(chunks: DataFrame, stageCounts: Seq[(String, Long)])
+case class CurateResult(chunks: DataFrame, stageCounts: Seq[(String, Long)],
+                        stageSeconds: Seq[(String, Double)] = Seq.empty)
 
 /** The end-to-end curation pipeline — the individual operators composed
   * the way a real 100 TB pretraining-data run composes them:
@@ -60,6 +65,14 @@ object Curate {
           benchmark: DataFrame, benchTextCol: String,
           cfg: CurateConfig = CurateConfig()): CurateResult = {
     val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val times = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var tPrev = System.nanoTime()
+    def stage(name: String, c: => Long): Unit = {
+      val v = c
+      val now = System.nanoTime()
+      counts += ((name, v)); times += ((name, (now - tPrev) / 1e9))
+      tPrev = now
+    }
 
     // ---- ingest + per-doc stats (one pass: words computed once) --------
     var scored = graft.core.Ops.widen(docs)
@@ -95,7 +108,7 @@ object Curate {
         .select(col(idCol))
       filtered = base.join(keep, Seq(idCol))
         .persist(StorageLevel.MEMORY_AND_DISK) // consumed again by exact dedup
-      counts += (("lm_gate", filtered.count()))
+      stage("lm_gate", filtered.count())
       xentM.close()
       base.unpersist()
       lmSurvivors = Some(filtered)
@@ -112,7 +125,7 @@ object Curate {
         Seq("__h"), Seq(col(idCol).asc))
       .drop("__h")
       .persist(StorageLevel.MEMORY_AND_DISK) // two consumers: pair gen + anti join
-    counts += (("exact_dedup", kept.count()))
+    stage("exact_dedup", kept.count())
     lmSurvivors.foreach(_.unpersist()) // kept materialized — stage closed
 
     // ---- MinHash near-dup: pairs → components → drop non-representatives
@@ -124,7 +137,7 @@ object Curate {
       .select(col("id").as(idCol))
     val deduped = kept.join(victims, Seq(idCol), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK) // consumers: contamination + join-back
-    counts += (("near_dup", deduped.count()))
+    stage("near_dup", deduped.count())
     compM.close(); pairsM.close(); kept.unpersist()
 
     // ---- benchmark decontamination -------------------------------------
@@ -133,7 +146,7 @@ object Curate {
     val clean = deduped
       .join(flags.filter(!col("contaminated")).select(col(idCol)), Seq(idCol))
       .persist(StorageLevel.MEMORY_AND_DISK) // consumers: count + chunking
-    counts += (("decontaminated", clean.count()))
+    stage("decontaminated", clean.count())
     deduped.unpersist()
 
     // ---- chunk → pack/shard --------------------------------------------
@@ -146,9 +159,9 @@ object Curate {
         Curation.shardAssign(col(idCol)), cfg.packBudget)
       .drop("__ck", "toks")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    counts += (("chunks", packed.count()))
+    stage("chunks", packed.count())
     clean.unpersist()
 
-    CurateResult(packed, counts.toSeq)
+    CurateResult(packed, counts.toSeq, times.toSeq)
   }
 }

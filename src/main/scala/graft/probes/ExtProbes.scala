@@ -1953,6 +1953,91 @@ object ExtProbes {
       |    AS gray_sum_e4
       |FROM p LEFT JOIN g USING (doc_id) ORDER BY media_id""".stripMargin
 
+  // ---- q95 cross-document duplicate-window (substring) dedup -------------
+  // Planting makes the window collisions real: docs %5 repeat their own
+  // first 12 tokens at the end (intra-doc duplicate span), docs %7 share
+  // a fixed 12-token snippet (cross-doc span; the earliest such doc's
+  // occurrence is canonical and stays un-flagged). Both sides apply the
+  // SAME text transformation, then compute the full keep-first window
+  // algorithm: hash every 8-token window, canonical = min (doc, pos) per
+  // content, duplicates = the rest, per-doc merged-interval coverage.
+  private val q95Snippet =
+    "omega sigma delta kappa theta lambda epsilon zeta eta iota mu nu"
+
+  private def q95Docs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    graft.core.Ops.widen(Tables.documents(s, d))
+      .select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 5 === 0, concat(lit(" "), array_join(
+          slice(graft.operators.Dedup.normalizeWords(col("text")), 1, 12),
+          " "))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" " + q95Snippet))
+          .otherwise(lit(""))).as("text"))
+
+  val q95: Q = (s, d) =>
+    graft.operators.Curation.duplicateWindows(q95Docs(s, d),
+      "doc_id", "text", w = 8).orderBy("doc_id")
+
+  val q95Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, $duckWords AS ws0 FROM documents),
+       |p AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 5 = 0
+       |         THEN ' ' || array_to_string(list_slice(ws0, 1, 12), ' ')
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' $q95Snippet'
+       |         ELSE '' END AS text
+       |  FROM base),
+       |t AS (SELECT doc_id, $duckWords AS ws FROM p),
+       |sized AS (SELECT doc_id, greatest(len(ws) - 7, 0) AS nw, ws FROM t),
+       |wins AS (
+       |  SELECT doc_id, i AS pos,
+       |    md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS h
+       |  FROM sized, unnest(generate_series(1, nw)) u(i)),
+       |dup AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |    FROM wins) WHERE rn > 1),
+       |cov AS (
+       |  SELECT doc_id, greatest(0, pos + 8 - greatest(pos,
+       |    coalesce(max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS c
+       |  FROM dup),
+       |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+       |    CAST(sum(c) AS BIGINT) AS dup_tokens
+       |  FROM cov GROUP BY doc_id)
+       |SELECT s.doc_id, CAST(s.nw AS BIGINT) AS n_windows,
+       |  coalesce(st.n_dup_windows, 0) AS n_dup_windows,
+       |  coalesce(st.dup_tokens, 0) AS dup_tokens
+       |FROM sized s LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---- q96 TF-IDF top terms ----------------------------------------------
+  // Smoothed idf rounded to an e6 BIGINT per vocabulary term BEFORE the
+  // tf multiply (engine-independent ranking; ln of a small-int ratio is
+  // bit-identical across engines), top-3 per doc, ties by term.
+  val q96: Q = (s, d) =>
+    graft.operators.TextStats.tfidfTopTerms(
+      graft.core.Ops.widen(Tables.documents(s, d)).select("doc_id", "text"),
+      "doc_id", "text", k = 3).orderBy("doc_id", "rnk")
+
+  val q96Sql: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, unnest($duckWords) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM ws GROUP BY doc_id, term),
+       |idf AS (SELECT term, CAST(floor(
+       |    (ln(((SELECT count(*) FROM documents) + 1.0) / (count(*) + 1.0))
+       |      + 1.0) * 1e6 + 0.5) AS BIGINT) AS idf_e6
+       |  FROM tf GROUP BY term),
+       |s AS (SELECT doc_id, term, tf, tf * idf_e6 AS score_e6,
+       |    CAST(row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY tf * idf_e6 DESC, term) AS BIGINT) AS rnk
+       |  FROM tf JOIN idf USING (term))
+       |SELECT doc_id, term, tf, CAST(score_e6 AS BIGINT) AS score_e6, rnk
+       |FROM s WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   // ---- q88 intra-document line dedup ------------------------------------
   // Repeated lines planted per doc (duplicate banner + duplicate body
   // line); Curation.dedupLines keeps first occurrences in original order
@@ -2040,6 +2125,8 @@ object ExtProbes {
     "q92_ivfpq_residual" -> q92,
     "q93_hash_embed" -> q93,
     "q94_mjpeg_decode" -> q94,
+    "q95_dup_windows" -> q95,
+    "q96_tfidf_terms" -> q96,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2099,5 +2186,7 @@ object ExtProbes {
     "q92_ivfpq_residual" -> q92Sql,
     "q93_hash_embed" -> q93Sql,
     "q94_mjpeg_decode" -> q94Sql,
+    "q95_dup_windows" -> q95Sql,
+    "q96_tfidf_terms" -> q96Sql,
   )
 }

@@ -107,18 +107,25 @@ object Recall {
         println(f"RECALL ivfpq_resid x$n%-3d nprobe=$nprobe%-2d " +
           f"recall@$k=${hitRes.toDouble / truthL2N}%6.4f")
       }
-      // refined pass: ADC shortlist (4k) then exact-cosine re-rank,
-      // scored against the COSINE truth
+      // refined pass: ADC shortlist then exact-cosine re-rank, scored
+      // against the COSINE truth. Full nprobe×shortlist grid (r6 verdict
+      // item 9): nprobe bounds which cells the true neighbor can be found
+      // in at all (the recall ceiling), shortlist bounds how much of the
+      // probed cells' ADC ranking survives to the exact re-rank — the two
+      // dials trade scan cost (nprobe ∝ cells read) against re-rank cost
+      // (shortlist ∝ embeddings fetched per query).
       locally {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_recall_ivfpq").toString
         Similarity.writeIvfPqIndex(v, centPq, cb, dir, 8, 8)
-        for (shortlist <- Seq(4 * k, 16 * k)) {
+        for (nprobe <- Seq(2, 4, 8); shortlist <- Seq(2 * k, 4 * k, 16 * k)) {
           val got = Similarity.ivfPqTopKRefined(spark, dir, queries,
-              nprobe = 4, m = 8, subDim = 8, shortlist = shortlist, k = k)
+              nprobe = nprobe, m = 8, subDim = 8, shortlist = shortlist,
+              k = k)
             .select("vec_id", "other_id")
           val hit = got.join(truth, Seq("vec_id", "other_id")).count()
-          println(f"RECALL ivfpq_refin x$n%-3d nprobe=4 shortlist=$shortlist%-3d " +
+          println(f"RECALL ivfpq_refin x$n%-3d nprobe=$nprobe%-2d " +
+            f"shortlist=$shortlist%-3d " +
             f"recall@$k=${hit.toDouble / truthN}%6.4f  (truthCos=$truthN)")
         }
       }

@@ -417,4 +417,69 @@ class ExtOperatorsSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSeq
     assert(twice === Seq((1L, "p\nq\nr", 0L)))
   }
+
+  test("duplicateWindows: cross-doc and intra-doc duplicate spans, " +
+      "keep-first canonical, merged coverage") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "a b c d e f"),        // all 4 windows canonical (first in corpus)
+      (2L, "x y a b c d z"),      // abc@3, bcd@4 dup doc1 → merged [3,7) = 4
+      (3L, "a b c"),              // single window, dup of doc1@1
+      (4L, "m n o p m n o p"),    // mno@5, nop@6 dup of own @1,@2 → [5,9) = 4
+      (5L, "q r")                 // shorter than w → 0 windows
+    ).toDF("doc_id", "text")
+    val got = Curation.duplicateWindows(docs, "doc_id", "text", w = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 4L, 0L, 0L),
+      (2L, 5L, 2L, 4L),
+      (3L, 1L, 1L, 3L),
+      (4L, 6L, 2L, 4L),
+      (5L, 0L, 0L, 0L)))
+  }
+
+  test("removeDuplicateSpans: covered tokens drop, canonical occurrences " +
+      "stay, no doc disappears") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d z"),
+      (3L, "a b c"),
+      (4L, "m n o p m n o p")
+    ).toDF("doc_id", "text")
+    val got = Curation.removeDuplicateSpans(docs, "doc_id", "text", w = 3)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a b c d e f", 0L),
+      (2L, "x y z", 4L),
+      (3L, "", 3L),          // whole doc was a duplicate of doc 1's prefix
+      (4L, "m n o p", 4L)))
+    // idempotent: a cleaned corpus has no remaining duplicate windows
+    val again = Curation.duplicateWindows(
+      Curation.removeDuplicateSpans(docs, "doc_id", "text", w = 3)
+        .select(col("doc_id"), col("cleaned_text").as("text")),
+      "doc_id", "text", w = 3)
+      .agg(sum("n_dup_windows")).as[Long].collect().head
+    assert(again === 0L)
+  }
+
+  test("tfidfTopTerms: hand-computed idf_e6, tf scaling, term tie-break") {
+    import graft.operators.TextStats
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry durian cherry")
+    ).toDF("doc_id", "text")
+    val got = TextStats.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rnk")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    // N=3: df=1 → floor((ln(2)+1)*1e6+.5) = 1693147; df=2 → 1287682
+    assert(got === Seq(
+      (1L, "apple", 2L, 2L * 1693147L, 1L),
+      (1L, "banana", 1L, 1287682L, 2L),
+      (2L, "banana", 1L, 1287682L, 1L),   // tie with cherry → term asc
+      (2L, "cherry", 1L, 1287682L, 2L),
+      (3L, "cherry", 2L, 2L * 1287682L, 1L),
+      (3L, "durian", 1L, 1693147L, 2L)))
+  }
 }

@@ -21,6 +21,32 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted.count(_._1 == "hot") == 90)
   }
 
+  test("saltedJoin plan shape: shuffle keys include the salt, dim side is " +
+      "replicated via explode before its exchange") {
+    // force the shuffle form — the salt exists for dims past the
+    // broadcast threshold, so the spec pins that regime
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val skewed = (1 to 100).map(i => (if (i <= 90) "hot" else s"k$i", i))
+        .toDF("k", "v")
+      val dim = Seq(("hot", "H"), ("k95", "N")).toDF("k", "tag")
+      val j = Ops.saltedJoin(skewed, dim, Seq("k"), saltFactor = 4,
+        saltBy = "v")
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      // the join's shuffles partition on (k, __salt) — the hot key lands
+      // in saltFactor partitions, not one
+      assert(plan.contains("hashpartitioning(k"),
+        s"expected hash shuffle on the join keys, got:\n$plan")
+      assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(plan).isDefined,
+        s"expected __salt in the shuffle partitioning, got:\n$plan")
+      // the dim side replicates via explode (Generate), once per salt
+      assert(plan.contains("Generate explode"),
+        s"expected explode-replicated dim side, got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("stateful streaming dedup emits first arrival only, across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Int)]
