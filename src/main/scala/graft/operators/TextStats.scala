@@ -198,6 +198,85 @@ object TextStats {
       Seq(bg))
   }
 
+  /** DSIR-shape importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every candidate
+    * doc under a TARGET-domain bigram LM and a RAW-corpus bigram LM; the
+    * per-doc log importance ratio is `log p_t(x) − log p_r(x) =
+    * n_bigrams · (xent_raw − xent_target)` — docs that look more like
+    * the target than the raw background get positive weight. Exposed in
+    * the engine's fixed-point terms: `logw_e4 = n_bigrams · (xr_e4 −
+    * xt_e4)` (nats × 1e4), derived from the SAME per-doc means the q91
+    * pipeline pins, so the whole path stays integer-exact and
+    * oracle-mirrorable.
+    *
+    * One corpus pass: the exploded (id, gram) frame is built once and
+    * persisted (the [[selfCrossEntropyManaged]] lesson — the explode is
+    * the dominant CPU cost and must not be paid per model), then scored
+    * against both vocabulary-bounded model tables. Returns
+    * (idCol, n_bigrams, xt_e4, xr_e4, logw_e4); `close()` the Managed
+    * after consuming.
+    */
+  def importanceWeightsManaged(docs: org.apache.spark.sql.DataFrame,
+                               idCol: String, textCol: String,
+                               targetGrams: org.apache.spark.sql.DataFrame,
+                               rawGrams: org.apache.spark.sql.DataFrame,
+                               vocabSize: Long): graft.core.Managed = {
+    val bg = docBigrams(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val xt = scoreBigrams(docs, idCol, bg, targetGrams, vocabSize)
+      .select(col(idCol), col("n_bigrams"), col("xent_e4").as("xt_e4"))
+    val xr = scoreBigrams(docs, idCol, bg, rawGrams, vocabSize)
+      .select(col(idCol), col("xent_e4").as("xr_e4"))
+    graft.core.Managed(
+      xt.join(xr, Seq(idCol))
+        .withColumn("logw_e4",
+          col("n_bigrams") * (col("xr_e4") - col("xt_e4"))),
+      Seq(bg))
+  }
+
+  /** Plain variant of [[importanceWeightsManaged]] — keeps the pin
+    * (one-shot jobs / probes; the [[selfCrossEntropy]] convention).
+    */
+  def importanceWeights(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String,
+                        targetGrams: org.apache.spark.sql.DataFrame,
+                        rawGrams: org.apache.spark.sql.DataFrame,
+                        vocabSize: Long): org.apache.spark.sql.DataFrame =
+    importanceWeightsManaged(docs, idCol, textCol, targetGrams, rawGrams,
+      vocabSize).df
+
+  /** Gumbel-top-k importance RESAMPLING over [[importanceWeightsManaged]]
+    * output — sampling without replacement proportional to the importance
+    * weights (the Gumbel-max trick: argtop-k of log w + Gumbel noise).
+    * The noise is DETERMINISTIC pseudo-randomness — u from the doc id's
+    * md5 (salted by `seed`), g = −ln(−ln(u)) — so a selection is
+    * reproducible across runs, engines and partitionings, the property
+    * that rules out `rand()` for dataset curation (the
+    * [[Curation.hashSampleKeep]] argument, applied to weighted
+    * sampling). `temperature` in e4 units scales the noise against the
+    * weights (0 = pure deterministic top-k by weight).
+    *
+    * Scale shape: per-row noise arithmetic + a global top-k that plans
+    * TakeOrderedAndProject (per-partition heads + driver merge of k
+    * rows — no single-partition shuffle). Ties broken by id.
+    */
+  def importanceResample(weights: org.apache.spark.sql.DataFrame,
+                         idCol: String, k: Int, seed: Long = 0L,
+                         temperatureE4: Long = 10000L): org.apache.spark.sql.DataFrame = {
+    val u = (expr(s"conv(substr(md5(concat(CAST($idCol AS STRING), " +
+      s"'/$seed')), 1, 8), 16, 10)").cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    weights
+      .withColumn("gumbel_e4",
+        floor(-log(-log(u)) * lit(1e4) + lit(0.5)).cast("long"))
+      .withColumn("score_e4",
+        col("logw_e4") +
+          floor(col("gumbel_e4") * lit(temperatureE4) / lit(10000.0))
+            .cast("long"))
+      .orderBy(col("score_e4").desc, col(idCol))
+      .limit(k)
+  }
+
   /** The exploded (id, gram) frame both LM entry points score over. */
   private def docBigrams(docs: org.apache.spark.sql.DataFrame, idCol: String,
                          textCol: String): org.apache.spark.sql.DataFrame =

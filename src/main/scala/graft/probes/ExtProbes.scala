@@ -2038,6 +2038,78 @@ object ExtProbes {
        |SELECT doc_id, term, tf, CAST(score_e6 AS BIGINT) AS score_e6, rnk
        |FROM s WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  // ---- q97 DSIR importance resampling ------------------------------------
+  // Target-domain LM trained on the lang='en' slice, raw LM on the whole
+  // corpus; log importance ratio logw_e4 = n_bigrams · (xr_e4 − xt_e4)
+  // from ONE shared bigram explode; deterministic Gumbel-top-k selection
+  // (noise from md5(doc_id)-derived uniforms, seed-salted) of the 100
+  // most-target-like docs. The oracle mirrors BOTH LM scorings (left
+  // joins: cross-model scoring hits the unseen-gram smoothing path q91's
+  // self-train shape never exercises), the Gumbel arithmetic, and the
+  // top-k — ties broken by doc_id on both sides.
+  val q97: Q = (s, d) => {
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+      .select("doc_id", "text", "lang")
+    val target = graft.operators.TextStats.bigramCounts(
+      docs.filter(col("lang") === "en"), "text")
+    val raw = graft.operators.TextStats.bigramCounts(docs, "text")
+    val w = graft.operators.TextStats.importanceWeights(
+      docs, "doc_id", "text", target, raw, vocabSize = 1000L)
+    graft.operators.TextStats.importanceResample(w, "doc_id", k = 100,
+        seed = 7L)
+      .orderBy("doc_id")
+  }
+
+  val q97Sql: String =
+    s"""WITH n AS (SELECT doc_id, lang, $duckWords AS w FROM documents),
+       |bg AS (SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS gram
+       |  FROM n, unnest(generate_series(1, len(w) - 1)) t(i)
+       |  WHERE len(w) >= 2),
+       |tg AS (SELECT gram, count(*) AS c FROM bg WHERE lang = 'en'
+       |  GROUP BY gram),
+       |tctx AS (SELECT string_split(gram, ' ')[1] AS w1, sum(c) AS ctx
+       |  FROM tg GROUP BY 1),
+       |rg AS (SELECT gram, count(*) AS c FROM bg GROUP BY gram),
+       |rctx AS (SELECT string_split(gram, ' ')[1] AS w1, sum(c) AS ctx
+       |  FROM rg GROUP BY 1),
+       |sct AS (SELECT b.doc_id, CAST(floor(-ln((coalesce(g.c, 0) + 1.0) /
+       |      (coalesce(x.ctx, 0) + 1000.0)) * 1000000 + 0.5) AS BIGINT)
+       |    AS le6
+       |  FROM bg b
+       |  LEFT JOIN tg g USING (gram)
+       |  LEFT JOIN tctx x ON x.w1 = string_split(b.gram, ' ')[1]),
+       |aggt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(floor(sum(le6) / (count(*) * 100.0) + 0.5) AS BIGINT)
+       |      AS xt_e4
+       |  FROM sct GROUP BY doc_id),
+       |scr AS (SELECT b.doc_id, CAST(floor(-ln((coalesce(g.c, 0) + 1.0) /
+       |      (coalesce(x.ctx, 0) + 1000.0)) * 1000000 + 0.5) AS BIGINT)
+       |    AS le6
+       |  FROM bg b
+       |  LEFT JOIN rg g USING (gram)
+       |  LEFT JOIN rctx x ON x.w1 = string_split(b.gram, ' ')[1]),
+       |aggr AS (SELECT doc_id,
+       |    CAST(floor(sum(le6) / (count(*) * 100.0) + 0.5) AS BIGINT)
+       |      AS xr_e4
+       |  FROM scr GROUP BY doc_id),
+       |wt AS (SELECT d.doc_id,
+       |    coalesce(aggt.n_bigrams, 0) AS n_bigrams,
+       |    coalesce(aggt.xt_e4, 0) AS xt_e4,
+       |    coalesce(aggr.xr_e4, 0) AS xr_e4,
+       |    coalesce(aggt.n_bigrams, 0) *
+       |      (coalesce(aggr.xr_e4, 0) - coalesce(aggt.xt_e4, 0)) AS logw_e4
+       |  FROM documents d
+       |  LEFT JOIN aggt USING (doc_id) LEFT JOIN aggr USING (doc_id)),
+       |gm AS (SELECT *, CAST(floor(-ln(-ln(
+       |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '/7'), 1, 8))
+       |        ::BIGINT + 0.5) / 4294967296.0)) * 10000 + 0.5) AS BIGINT)
+       |    AS gumbel_e4 FROM wt),
+       |sel AS (SELECT doc_id, n_bigrams, xt_e4, xr_e4, logw_e4, gumbel_e4,
+       |    logw_e4 + CAST(floor(gumbel_e4 * 10000 / 10000.0) AS BIGINT)
+       |      AS score_e4
+       |  FROM gm ORDER BY score_e4 DESC, doc_id LIMIT 100)
+       |SELECT * FROM sel ORDER BY doc_id""".stripMargin
+
   // ---- q88 intra-document line dedup ------------------------------------
   // Repeated lines planted per doc (duplicate banner + duplicate body
   // line); Curation.dedupLines keeps first occurrences in original order
@@ -2127,6 +2199,7 @@ object ExtProbes {
     "q94_mjpeg_decode" -> q94,
     "q95_dup_windows" -> q95,
     "q96_tfidf_terms" -> q96,
+    "q97_dsir_resample" -> q97,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2188,5 +2261,6 @@ object ExtProbes {
     "q94_mjpeg_decode" -> q94Sql,
     "q95_dup_windows" -> q95Sql,
     "q96_tfidf_terms" -> q96Sql,
+    "q97_dsir_resample" -> q97Sql,
   )
 }

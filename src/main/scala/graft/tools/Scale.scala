@@ -353,6 +353,24 @@ object Scale {
             .agg(count(lit(1)).as("docs"), sum("n_removed").as("removed")),
           Seq.empty)
       }
+      // round-7: duplicate-window substring dedup (explode + min-agg +
+      // 1:N hash join + per-doc window) and TF-IDF top terms (explode +
+      // two hash aggs + vocab join + per-doc top-k window)
+      run("dup_windows", n) {
+        graft.core.Managed(
+          graft.operators.Curation.duplicateWindows(d, "doc_id", "text",
+              w = 8)
+            .groupBy(col("doc_id") % 32)
+            .agg(count(lit(1)).as("docs"), sum("dup_tokens").as("dt")),
+          Seq.empty)
+      }
+      run("tfidf_top3", n) {
+        graft.core.Managed(
+          graft.operators.TextStats.tfidfTopTerms(d, "doc_id", "text", 3)
+            .groupBy(col("doc_id") % 32)
+            .agg(count(lit(1)).as("rows"), sum("score_e6").as("s")),
+          Seq.empty)
+      }
       run("gopher_rules", n) {
         graft.core.Managed(
           d.select(col("doc_id"), graft.operators.TextStats.gopherFlags(
@@ -457,6 +475,15 @@ object Scale {
         graft.core.Managed(graft.operators.Multimodal.decodeImages(media)
           .groupBy("bands").agg(count(lit(1)).as("n"),
             sum("mean_e4").as("s")), Seq.empty)
+      }
+      run("mjpeg_decode", n) {
+        // q94's own synthesis: MJPEG-in-MP4 per doc, keyframe JPEG decode
+        val media = graft.probes.ExtProbes.q94Media(d)
+        graft.core.Managed(
+          graft.operators.Multimodal.decodeMjpegKeyframes(media)
+            .groupBy(col("media_id") % 32)
+            .agg(count(lit(1)).as("n"), sum("gray_sum_e4").as("g")),
+          Seq.empty)
       }
       run("bpe_encode", n) {
         import spark.implicits._

@@ -463,6 +463,40 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(again === 0L)
   }
 
+  test("importanceWeights: target-like docs outrank junk, identical docs " +
+      "tie, logw is the exact n·(xr−xt) arithmetic") {
+    import graft.operators.TextStats
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "zz yy xx ww vv uu"),       // shares no bigram with the target
+      (4L, "the cat sat on the mat")   // identical to doc 1
+    ).toDF("doc_id", "text")
+    val target = TextStats.bigramCounts(
+      docs.filter(col("doc_id") <= 2), "text")
+    val raw = TextStats.bigramCounts(docs, "text")
+    val w = TextStats.importanceWeights(docs, "doc_id", "text", target,
+      raw, vocabSize = 100L)
+    val rows = w.as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    for ((_, (_, n, xt, xr, lw)) <- rows) assert(lw === n * (xr - xt))
+    assert(rows(1L)._5 === rows(4L)._5)        // identical text, same weight
+    assert(rows(1L)._5 > rows(3L)._5)          // target-like beats junk
+    // temperature 0 = pure deterministic top-k by (weight, id)
+    val expectTop = rows.values.toSeq
+      .sortBy { case (id, _, _, _, lw) => (-lw, id) }.take(2).map(_._1)
+    val picked0 = TextStats.importanceResample(w, "doc_id", k = 2,
+        seed = 1L, temperatureE4 = 0L)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(picked0 === expectTop.sorted)
+    // Gumbel selection is seed-deterministic and returns exactly k rows
+    def sel(seed: Long) = TextStats.importanceResample(w, "doc_id", k = 3,
+        seed = seed)
+      .select("doc_id", "score_e4").as[(Long, Long)].collect().toSeq
+    assert(sel(7L) === sel(7L))
+    assert(sel(7L).size === 3)
+  }
+
   test("tfidfTopTerms: hand-computed idf_e6, tf scaling, term tie-break") {
     import graft.operators.TextStats
     val docs = Seq(
