@@ -223,15 +223,42 @@ object TextStats {
                                vocabSize: Long): graft.core.Managed = {
     val bg = docBigrams(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Managed(
+      weightsFromBg(docs, idCol, bg, targetGrams, rawGrams, vocabSize),
+      Seq(bg))
+  }
+
+  /** [[importanceWeightsManaged]] with the RAW model trained on `docs`
+    * themselves, derived from the same shared bigram frame — the common
+    * "select from this pool toward that target" shape pays ONE explode
+    * total (scored corpus = raw-model corpus; the [[selfCrossEntropy]]
+    * argument applied to the two-model form).
+    */
+  def importanceWeightsSelfRawManaged(docs: org.apache.spark.sql.DataFrame,
+                                      idCol: String, textCol: String,
+                                      targetGrams: org.apache.spark.sql.DataFrame,
+                                      vocabSize: Long): graft.core.Managed = {
+    val bg = docBigrams(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = bg.groupBy("gram").agg(count(lit(1)).as("c"))
+    graft.core.Managed(
+      weightsFromBg(docs, idCol, bg, targetGrams, raw, vocabSize),
+      Seq(bg))
+  }
+
+  private def weightsFromBg(docs: org.apache.spark.sql.DataFrame,
+                            idCol: String,
+                            bg: org.apache.spark.sql.DataFrame,
+                            targetGrams: org.apache.spark.sql.DataFrame,
+                            rawGrams: org.apache.spark.sql.DataFrame,
+                            vocabSize: Long): org.apache.spark.sql.DataFrame = {
     val xt = scoreBigrams(docs, idCol, bg, targetGrams, vocabSize)
       .select(col(idCol), col("n_bigrams"), col("xent_e4").as("xt_e4"))
     val xr = scoreBigrams(docs, idCol, bg, rawGrams, vocabSize)
       .select(col(idCol), col("xent_e4").as("xr_e4"))
-    graft.core.Managed(
-      xt.join(xr, Seq(idCol))
-        .withColumn("logw_e4",
-          col("n_bigrams") * (col("xr_e4") - col("xt_e4"))),
-      Seq(bg))
+    xt.join(xr, Seq(idCol))
+      .withColumn("logw_e4",
+        col("n_bigrams") * (col("xr_e4") - col("xt_e4")))
   }
 
   /** Plain variant of [[importanceWeightsManaged]] — keeps the pin

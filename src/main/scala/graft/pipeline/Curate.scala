@@ -21,6 +21,18 @@ case class CurateConfig(
     maxSelfXentE4: Option[Long] = None,
     lmVocabSize: Long = 1000L,
     dedupLinesWithinDocs: Boolean = false,
+    // cross-document substring dedup: drop token spans covered by
+    // duplicate w-token windows, keeping each passage's canonical
+    // (earliest) occurrence. None = stage off. NOTE: survivors carry the
+    // NORMALIZED token stream as text (the Curation.removeDuplicateSpans
+    // contract) — run it before stages that only need tokens.
+    dedupWindowsW: Option[Int] = None,
+    // DSIR selection stage dials (active only when Curate.run is given a
+    // dsirTarget frame): keep-fraction of the pool in e4 (5000 = half),
+    // Gumbel seed, noise temperature (0 = pure top-k by weight)
+    dsirKeepFracE4: Long = 5000L,
+    dsirSeed: Long = 0L,
+    dsirTemperatureE4: Long = 10000L,
     nearDupThresholdE4: Long = 8000,
     decontamGramN: Int = 8,
     chunkTokens: Int = 64,
@@ -63,7 +75,10 @@ object Curate {
 
   def run(docs: DataFrame, idCol: String, textCol: String,
           benchmark: DataFrame, benchTextCol: String,
-          cfg: CurateConfig = CurateConfig()): CurateResult = {
+          cfg: CurateConfig = CurateConfig(),
+          // target-domain exemplar docs (same textCol) for the optional
+          // DSIR selection stage; None = stage off
+          dsirTarget: Option[DataFrame] = None): CurateResult = {
     val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val times = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var tPrev = System.nanoTime()
@@ -98,7 +113,10 @@ object Curate {
     // feeds score + join (persisted for the stage); the train/score
     // bigram explode itself happens ONCE inside selfCrossEntropyManaged
     // (its pinned frame closes when the gate count materializes).
-    var lmSurvivors: Option[org.apache.spark.sql.DataFrame] = None
+    // frames persisted by optional gate stages, released once `kept`
+    // (the next persisted frame downstream) has materialized
+    val releaseAfterKept =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     for (bound <- cfg.maxSelfXentE4) {
       val base = filtered.persist(StorageLevel.MEMORY_AND_DISK)
       val xentM = TextStats.selfCrossEntropyManaged(base, idCol, textCol,
@@ -111,13 +129,49 @@ object Curate {
       stage("lm_gate", filtered.count())
       xentM.close()
       base.unpersist()
-      lmSurvivors = Some(filtered)
+      releaseAfterKept += filtered
+    }
+
+    // ---- optional DSIR selection toward a target domain ----------------
+    // after the quality gates (don't spend LM scoring on junk), before
+    // the dedup family (selection shrinks the pool the expensive near-dup
+    // stage sees). Keep-count is a fraction of the post-gate pool; the
+    // selection itself is the deterministic Gumbel-top-k operator.
+    for (target <- dsirTarget) {
+      val base = filtered.persist(StorageLevel.MEMORY_AND_DISK)
+      val n = base.count() // bounded action on the persisted pool
+      val k = math.max(1L,
+        math.ceil(n * cfg.dsirKeepFracE4 / 10000.0).toLong).toInt
+      val wM = TextStats.importanceWeightsSelfRawManaged(base, idCol,
+        textCol, TextStats.bigramCounts(target, textCol), cfg.lmVocabSize)
+      val picked = TextStats.importanceResample(wM.df, idCol, k,
+        cfg.dsirSeed, cfg.dsirTemperatureE4).select(col(idCol))
+      filtered = base.join(picked, Seq(idCol))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      stage("dsir_select", filtered.count())
+      wM.close(); base.unpersist()
+      releaseAfterKept += filtered
     }
 
     // ---- optional intra-doc repetition cleanup (line granularity) ------
     if (cfg.dedupLinesWithinDocs)
       filtered = Curation.dedupLines(filtered, idCol, textCol)
         .select(col(idCol), col("cleaned_text").as(textCol))
+
+    // ---- optional cross-doc substring dedup (window granularity) -------
+    // between line dedup (within-doc) and exact dedup (whole-doc): the
+    // repeated-passage regime both neighbors miss. Doc count is the
+    // funnel row (no doc disappears here — the count shows pool size at
+    // the stage; deleted-token totals come from duplicateWindows when a
+    // report needs them).
+    for (w <- cfg.dedupWindowsW) {
+      val cleaned = Curation.removeDuplicateSpans(filtered, idCol, textCol, w)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      stage("window_dedup", cleaned.count())
+      releaseAfterKept += cleaned
+      filtered = cleaned
+        .select(col(idCol), col("cleaned_text").as(textCol))
+    }
 
     // ---- exact dedup: content-hash groups, min id survives -------------
     val kept = graft.core.Ops
@@ -126,7 +180,7 @@ object Curate {
       .drop("__h")
       .persist(StorageLevel.MEMORY_AND_DISK) // two consumers: pair gen + anti join
     stage("exact_dedup", kept.count())
-    lmSurvivors.foreach(_.unpersist()) // kept materialized — stage closed
+    releaseAfterKept.foreach(_.unpersist()) // kept materialized — stages closed
 
     // ---- MinHash near-dup: pairs → components → drop non-representatives
     val pairsM = Dedup.minhashNearDupPairsManaged(kept, idCol, textCol)

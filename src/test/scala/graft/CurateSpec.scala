@@ -58,6 +58,76 @@ class CurateSpec extends SparkSpec {
     res.chunks.unpersist()
   }
 
+  test("Curate.run with dedupWindowsW: repeated cross-doc passages drop " +
+      "before exact dedup sees the docs") {
+    // docs 1 and 2 differ ONLY by a shared 12-token passage appended to
+    // both (doc 2's copy is the duplicate); once the window stage strips
+    // it, doc 2's remainder equals doc 1's remainder's... no — bodies
+    // differ, so both survive exact dedup; the assertion is the passage
+    // is GONE from the survivor corpus (no chunk contains it twice)
+    val passage = "shared passage tokens alpha beta gamma delta epsilon " +
+      "zeta eta theta iota"
+    val docs = Seq(
+      1L -> (goodText("one") + " " + passage),
+      2L -> (goodText("two") + " " + passage),
+      3L -> goodText("three")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq("unrelated bench text").toDF("btext")
+    val res = Curate.run(docs, "doc_id", "text", benchmark, "btext",
+      CurateConfig(minQualityE4 = 5000, dedupWindowsW = Some(8),
+        chunkTokens = 16, chunkOverlap = 4, packBudget = 32))
+    val funnel = res.stageCounts.toMap
+    assert(funnel("window_dedup") == 3L, res.stageCounts.toString)
+    assert(funnel("exact_dedup") == 3L, res.stageCounts.toString)
+    // the passage survives exactly once across the chunked corpus: its
+    // distinctive token appears in doc 1's chunks (canonical) only
+    val withTheta = res.chunks.filter(col("chunk_text").contains("theta"))
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(withTheta == Set(1L), withTheta.toString)
+    res.chunks.unpersist()
+  }
+
+  test("Curate.run with dsirTarget: selection keeps the target-like half " +
+      "of the pool, reproducibly") {
+    // pool: 4 docs near the target domain (body words drawn from the
+    // target exemplar) + 4 far docs; target = two exemplar docs. With
+    // keep-frac 5000 (half), DSIR must pick the 4 target-like ones.
+    def targetish(salt: Int): String =
+      "the table row scan key " + (1 to 24)
+        .map(i => s"tok${(i * 7 + salt) % 30}").mkString(" ") + " the a"
+    val docs = (
+      (1 to 4).map(i => i.toLong -> targetish(i)) ++
+      (5 to 8).map(i => i.toLong -> goodText(s"far$i"))
+    ).toDF("doc_id", "text")
+    val target = Seq(10L -> targetish(11), 11L -> targetish(12))
+      .toDF("doc_id", "text")
+    val benchmark = Seq("unrelated bench text").toDF("btext")
+    // temperature 0: pure top-k by importance weight — the margin between
+    // target-like and far docs is structural (every far bigram is unseen
+    // in the target model), so the selection is exact; the Gumbel-noise
+    // path is covered by the operator spec and probe q97
+    def funnel(seed: Long, tempE4: Long) = Curate.run(docs, "doc_id",
+      "text", benchmark, "btext",
+      CurateConfig(minQualityE4 = 5000, dsirSeed = seed,
+        dsirTemperatureE4 = tempE4,
+        chunkTokens = 16, chunkOverlap = 4, packBudget = 32),
+      dsirTarget = Some(target))
+    val res = funnel(0L, 0L)
+    assert(res.stageCounts.toMap.apply("dsir_select") == 4L,
+      res.stageCounts.toString)
+    val picked = res.chunks.select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(picked == Set(1L, 2L, 3L, 4L), picked.toString)
+    // same seed → same selection under Gumbel noise (the determinism
+    // contract; the chosen set may differ from the temp-0 one)
+    val a = funnel(7L, 10000L).chunks.select("doc_id").distinct()
+      .as[Long].collect().toSet
+    val b = funnel(7L, 10000L).chunks.select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(a == b)
+    res.chunks.unpersist()
+  }
+
   test("Curate.run with dedupLinesWithinDocs: repeated-line docs collapse " +
       "to exact dups and fold in the dedup stage") {
     // docs 1 and 2 differ ONLY by a repeated line — line dedup makes them

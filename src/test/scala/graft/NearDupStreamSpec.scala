@@ -192,4 +192,45 @@ class NearDupStreamSpec extends SparkSpec {
       assert(got(2L) == ((true, 1L)))
     } finally q.stop()
   }
+
+  test("WindowDedupStream: window claims persist across batches; verdicts " +
+      "match the batch operator for in-order ingest") {
+    import graft.streaming.WindowDedupStream
+    import graft.streaming.WindowDedupStream.Verdict
+    val corpus = Seq(
+      1L -> "a b c d e f",     // 4 windows, all canonical
+      2L -> "x y",             // shorter than w → 0 windows
+      3L -> "a b c d e f",     // every window already claimed by doc 1
+      4L -> "x y a b c d z"    // abc, bcd claimed; xya, yab, cdz new
+    )
+    val input = MemoryStream[(Long, String)](spark)
+    val out = WindowDedupStream.windowVerdicts(input.toDS(), w = 3)
+    val q = out.writeStream.format("memory").queryName("wd_out")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("wd_ckpt").toString)
+      .start()
+    try {
+      input.addData(corpus(0), corpus(1))
+      q.processAllAvailable()
+      input.addData(corpus(2), corpus(3)) // claims from batch 1 persist
+      q.processAllAvailable()
+      val got = spark.table("wd_out").as[Verdict].collect()
+        .map(v => v.id -> v).toMap
+      assert(got.size == 4) // one verdict per doc, short docs included
+      assert(got(1L) == Verdict(1L, 4L, 0L, 0L))
+      assert(got(2L) == Verdict(2L, 0L, 0L, 0L))
+      assert(got(3L) == Verdict(3L, 4L, 4L, 10000L))
+      assert(got(4L) == Verdict(4L, 5L, 2L, 4000L))
+      // parity: the batch operator on the same corpus (id order = arrival
+      // order, where the two canonicals agree)
+      val batch = graft.operators.Curation.duplicateWindows(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", w = 3)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      got.values.foreach(v =>
+        assert((v.n_windows, v.n_dup_windows) == batch(v.id),
+          s"doc ${v.id}"))
+    } finally q.stop()
+  }
 }
