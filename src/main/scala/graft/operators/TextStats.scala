@@ -246,17 +246,56 @@ object TextStats {
       Seq(bg))
   }
 
+  /** ONE pass over the corpus-sized bigram frame scoring BOTH models:
+    * the (vocabulary-bounded, AQE-broadcast) model and context tables of
+    * each model join in sequence onto the same bg scan, and one per-doc
+    * aggregate produces both means. Per-term rounding is identical to
+    * [[scoreBigrams]] term for term, so this is numerically the two-call
+    * form with half the corpus-side passes (two bg scans + a doc-frame
+    * join → one scan, no join). Measured at sf0.1 the forms tie (~3.3 s
+    * — the persisted bg makes a repass near-free in memory); the single
+    * scan is the shape that holds when bg exceeds cache and each pass
+    * becomes a disk read.
+    */
   private def weightsFromBg(docs: org.apache.spark.sql.DataFrame,
                             idCol: String,
                             bg: org.apache.spark.sql.DataFrame,
                             targetGrams: org.apache.spark.sql.DataFrame,
                             rawGrams: org.apache.spark.sql.DataFrame,
                             vocabSize: Long): org.apache.spark.sql.DataFrame = {
-    val xt = scoreBigrams(docs, idCol, bg, targetGrams, vocabSize)
-      .select(col(idCol), col("n_bigrams"), col("xent_e4").as("xt_e4"))
-    val xr = scoreBigrams(docs, idCol, bg, rawGrams, vocabSize)
-      .select(col(idCol), col("xent_e4").as("xr_e4"))
-    xt.join(xr, Seq(idCol))
+    def ctxOf(grams: org.apache.spark.sql.DataFrame) = grams
+      .select(split(col("gram"), " ").getItem(0).as("w1"), col("c"))
+      .groupBy("w1").agg(sum(col("c")).as("ctx"))
+    def le6(c: org.apache.spark.sql.Column, ctx: org.apache.spark.sql.Column) =
+      floor(-log((coalesce(c, lit(0L)) + lit(1.0)) /
+        (coalesce(ctx, lit(0L)) + lit(vocabSize.toDouble)))
+        * lit(1e6) + lit(0.5)).cast("long")
+    val scored = bg
+      .join(targetGrams.select(col("gram"), col("c").as("__tc")),
+        Seq("gram"), "left_outer")
+      .join(rawGrams.select(col("gram"), col("c").as("__rc")),
+        Seq("gram"), "left_outer")
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .join(ctxOf(targetGrams).select(col("w1"), col("ctx").as("__tctx")),
+        Seq("w1"), "left_outer")
+      .join(ctxOf(rawGrams).select(col("w1"), col("ctx").as("__rctx")),
+        Seq("w1"), "left_outer")
+      .withColumn("__tle6", le6(col("__tc"), col("__tctx")))
+      .withColumn("__rle6", le6(col("__rc"), col("__rctx")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__tle6")).as("__ts"), sum(col("__rle6")).as("__rs"))
+      .withColumn("xt_e4", floor(
+        col("__ts") / (col("n_bigrams") * lit(100.0)) + lit(0.5)).cast("long"))
+      .withColumn("xr_e4", floor(
+        col("__rs") / (col("n_bigrams") * lit(100.0)) + lit(0.5)).cast("long"))
+    docs.select(col(idCol))
+      .join(scored.select(col(idCol), col("n_bigrams"), col("xt_e4"),
+        col("xr_e4")), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("xt_e4"), lit(0L)).as("xt_e4"),
+        coalesce(col("xr_e4"), lit(0L)).as("xr_e4"))
       .withColumn("logw_e4",
         col("n_bigrams") * (col("xr_e4") - col("xt_e4")))
   }
