@@ -379,7 +379,16 @@ object Curation {
     * survivors in order. Same plan skeleton as the stats form plus one
     * per-doc position-set membership pass (`exists` over the doc's own
     * duplicate positions — bounded by doc size). Every input doc appears
-    * exactly once: (idCol, cleaned_text, n_removed_tokens).
+    * exactly once: (idCol, cleaned_text, n_removed_tokens). The output
+    * text is the NORMALIZED token stream (case/punctuation do not
+    * survive — the operator's domain is token-level dedup).
+    *
+    * ONE pass, not a fixpoint: removing a span can juxtapose its
+    * neighbors into a NEW window that happens to duplicate other text
+    * (corpus-dependent; rare outside adversarial construction). A
+    * pipeline that must guarantee zero remaining duplicate windows
+    * iterates until [[duplicateWindows]] reports none — in practice one
+    * pass removes the overwhelming mass (the Lee et al. setting).
     */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                            w: Int = 50): DataFrame = {

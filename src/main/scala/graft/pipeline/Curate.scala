@@ -113,10 +113,19 @@ object Curate {
     // feeds score + join (persisted for the stage); the train/score
     // bigram explode itself happens ONCE inside selfCrossEntropyManaged
     // (its pinned frame closes when the gate count materializes).
-    // frames persisted by optional gate stages, released once `kept`
-    // (the next persisted frame downstream) has materialized
-    val releaseAfterKept =
-      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    // Every optional gate below references its input MULTIPLE times
+    // (model build + score join + keep join): composing them chains
+    // those self-references, and because Catalyst's tree transforms copy
+    // subtrees, the ANALYSIS-time plan grows as the product of the
+    // fan-outs — measured: all five optional stages on together ran the
+    // 8 GiB driver out of heap INSIDE the optimizer, before the first
+    // job (SCALE.md round-7 funnel note). Each gate therefore ends with
+    // an eager `localCheckpoint`: the stage materializes exactly where
+    // its funnel count runs anyway, and downstream plans start from the
+    // checkpointed RDD instead of re-embedding the whole upstream tree.
+    // (Checkpoint blocks are reclaimed by the ContextCleaner when the
+    // frame goes out of scope — the persist/unpersist pairing below
+    // remains only for the always-on stages with shallow lineage.)
     for (bound <- cfg.maxSelfXentE4) {
       val base = filtered.persist(StorageLevel.MEMORY_AND_DISK)
       val xentM = TextStats.selfCrossEntropyManaged(base, idCol, textCol,
@@ -124,12 +133,10 @@ object Curate {
       val keep = xentM.df
         .filter(col("xent_e4") <= bound)
         .select(col(idCol))
-      filtered = base.join(keep, Seq(idCol))
-        .persist(StorageLevel.MEMORY_AND_DISK) // consumed again by exact dedup
+      filtered = base.join(keep, Seq(idCol)).localCheckpoint(true)
       stage("lm_gate", filtered.count())
       xentM.close()
       base.unpersist()
-      releaseAfterKept += filtered
     }
 
     // ---- optional DSIR selection toward a target domain ----------------
@@ -146,11 +153,9 @@ object Curate {
         textCol, TextStats.bigramCounts(target, textCol), cfg.lmVocabSize)
       val picked = TextStats.importanceResample(wM.df, idCol, k,
         cfg.dsirSeed, cfg.dsirTemperatureE4).select(col(idCol))
-      filtered = base.join(picked, Seq(idCol))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      filtered = base.join(picked, Seq(idCol)).localCheckpoint(true)
       stage("dsir_select", filtered.count())
       wM.close(); base.unpersist()
-      releaseAfterKept += filtered
     }
 
     // ---- optional intra-doc repetition cleanup (line granularity) ------
@@ -166,9 +171,8 @@ object Curate {
     // report needs them).
     for (w <- cfg.dedupWindowsW) {
       val cleaned = Curation.removeDuplicateSpans(filtered, idCol, textCol, w)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       stage("window_dedup", cleaned.count())
-      releaseAfterKept += cleaned
       filtered = cleaned
         .select(col(idCol), col("cleaned_text").as(textCol))
     }
@@ -180,7 +184,6 @@ object Curate {
       .drop("__h")
       .persist(StorageLevel.MEMORY_AND_DISK) // two consumers: pair gen + anti join
     stage("exact_dedup", kept.count())
-    releaseAfterKept.foreach(_.unpersist()) // kept materialized — stages closed
 
     // ---- MinHash near-dup: pairs → components → drop non-representatives
     val pairsM = Dedup.minhashNearDupPairsManaged(kept, idCol, textCol)

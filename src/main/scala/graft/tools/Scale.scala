@@ -127,12 +127,20 @@ object Scale {
         val bench = graft.Tables.documents(spark, sfDir)
           .filter(col("doc_id") % 97 === 0)
           .select(col("text").as("btext"))
+        // DSIR target: a fixed slice of the base corpus (replica-0
+        // domain) — the selection stage scores the whole scaled pool
+        // against it
+        val target = graft.Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 11 === 0).select("doc_id", "text")
         val t0 = System.nanoTime()
         val res = graft.pipeline.Curate.run(d, "doc_id", "text",
           bench, "btext", graft.pipeline.CurateConfig(
             gopherRules = Some(graft.operators.TextStats.GopherConfig()),
             maxSelfXentE4 = Some(200000L),
-            dedupLinesWithinDocs = true))
+            dedupLinesWithinDocs = true,
+            dedupWindowsW = Some(8),
+            dsirKeepFracE4 = 8000L),
+          dsirTarget = Some(target))
         val total = (System.nanoTime() - t0) / 1e9
         val secs = res.stageSeconds.toMap
         for ((name, c) <- res.stageCounts)

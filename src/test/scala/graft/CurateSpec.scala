@@ -128,6 +128,35 @@ class CurateSpec extends SparkSpec {
     res.chunks.unpersist()
   }
 
+  test("Curate.run with EVERY optional stage on composes and plans in " +
+      "bounded time (the analysis-blowup regression)") {
+    // Each optional gate references its input several times; before the
+    // localCheckpoint barriers, composing all five blew the driver heap
+    // INSIDE the optimizer (no job ever ran). This spec is the
+    // composition canary: it must finish, and every stage must appear in
+    // the funnel in order.
+    val docs = (1 to 12).map(i => i.toLong -> goodText(s"s$i"))
+      .toDF("doc_id", "text")
+    val target = Seq(100L -> goodText("s1")).toDF("doc_id", "text")
+    val benchmark = Seq("unrelated bench text").toDF("btext")
+    val res = Curate.run(docs, "doc_id", "text", benchmark, "btext",
+      CurateConfig(minQualityE4 = 5000,
+        gopherRules = Some(graft.operators.TextStats.GopherConfig(
+          minWords = 5, minStopHits = 1, minMeanLenE4 = 10000)),
+        maxSelfXentE4 = Some(500000L),
+        dedupLinesWithinDocs = true,
+        dedupWindowsW = Some(8),
+        dsirKeepFracE4 = 10000L, // keep all: the stage runs, drops none
+        chunkTokens = 16, chunkOverlap = 4, packBudget = 32),
+      dsirTarget = Some(target))
+    assert(res.stageCounts.map(_._1) == Seq("lm_gate", "dsir_select",
+      "window_dedup", "exact_dedup", "near_dup", "decontaminated",
+      "chunks"), res.stageCounts.toString)
+    assert(res.stageCounts.toMap.apply("exact_dedup") == 12L,
+      res.stageCounts.toString)
+    res.chunks.unpersist()
+  }
+
   test("Curate.run with dedupLinesWithinDocs: repeated-line docs collapse " +
       "to exact dups and fold in the dedup stage") {
     // docs 1 and 2 differ ONLY by a repeated line — line dedup makes them

@@ -99,4 +99,75 @@ object CurationProps extends Properties("Curation") {
         }
         covered && noContained
     }
+
+  // ---- duplicate-window algebra (round 7) --------------------------------
+  // Pure mirror of Curation.duplicateWindows' definition: canonical = min
+  // (doc, pos) per window CONTENT, every other occurrence is a duplicate.
+  // A tiny vocabulary forces real collisions under randomization.
+
+  private val tinyDocGen: Gen[List[String]] =
+    Gen.choose(0, 14).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
+  private val tinyCorpusGen: Gen[List[(Long, List[String])]] =
+    Gen.choose(1, 6).flatMap(k =>
+      Gen.listOfN(k, tinyDocGen)).map(_.zipWithIndex.map {
+      case (ws, i) => (i.toLong, ws) })
+
+  private def dupStarts(corpus: List[(Long, List[String])],
+                        w: Int): Map[Long, List[Int]] = {
+    val occ = for {
+      (id, ws) <- corpus
+      i <- 1 to ws.length - w + 1
+    } yield (ws.slice(i - 1, i - 1 + w).mkString(" "), (id, i))
+    val canon = occ.groupBy(_._1).map { case (h, os) => h -> os.map(_._2).min }
+    occ.collect { case (h, o) if canon(h) != o => o }
+      .groupBy(_._1).map { case (id, os) => id -> os.map(_._2).sorted }
+  }
+
+  /** The islands formula both engines run (Spark window + oracle SQL). */
+  private def islandsCoverage(starts: List[Int], w: Int): Long =
+    starts.foldLeft((0L, 0L)) { case ((end, total), p) =>
+      val add = math.max(0L, p + w - math.max(p, end))
+      (math.max(end, p + w), total + add)
+    }._2
+
+  property("islands coverage formula == brute-force covered-position count") =
+    forAll(tinyCorpusGen, Gen.choose(1, 4)) { (corpus, w) =>
+      dupStarts(corpus, w).forall { case (_, starts) =>
+        islandsCoverage(starts, w) ==
+          starts.flatMap(p => p until p + w).toSet.size
+      }
+    }
+
+  property("duplicate-window stats respect their bounds and ignore corpus " +
+      "list order") =
+    forAll(tinyCorpusGen, Gen.choose(1, 4)) { (corpus, w) =>
+      val d = dupStarts(corpus, w)
+      val bounds = corpus.forall { case (id, ws) =>
+        val nW = math.max(0, ws.length - w + 1)
+        val starts = d.getOrElse(id, Nil)
+        val cov = islandsCoverage(starts, w)
+        starts.length <= nW && cov <= ws.length &&
+          (starts.isEmpty || cov >= w)
+      }
+      // canonical is (doc, pos)-determined: shuffling the corpus list
+      // cannot change who is a duplicate
+      bounds && dupStarts(corpus.reverse, w) == d
+    }
+
+  property("gumbel noise from the id-hash uniform is finite and " +
+      "seed-deterministic for every id") =
+    forAll(Gen.choose(Long.MinValue, Long.MaxValue), Gen.choose(0L, 1L << 40)) {
+      (id, seed) =>
+        // pure mirror of TextStats.importanceResample's u derivation
+        def u(id: Long, seed: Long): Double = {
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$id/$seed".getBytes("UTF-8"))
+          val v = java.lang.Long.parseLong(
+            d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+          (v + 0.5) / 4294967296.0
+        }
+        val g = -math.log(-math.log(u(id, seed)))
+        java.lang.Double.isFinite(g) && u(id, seed) == u(id, seed) &&
+          u(id, seed) > 0.0 && u(id, seed) < 1.0
+    }
 }

@@ -454,7 +454,9 @@ class ExtOperatorsSpec extends SparkSpec {
       (2L, "x y z", 4L),
       (3L, "", 3L),          // whole doc was a duplicate of doc 1's prefix
       (4L, "m n o p", 4L)))
-    // idempotent: a cleaned corpus has no remaining duplicate windows
+    // on THIS corpus one pass reaches the fixpoint (no juxtaposition
+    // recreates a duplicated window — not a general theorem: removal can
+    // join a span's neighbors into a new duplicate; see the scaladoc)
     val again = Curation.duplicateWindows(
       Curation.removeDuplicateSpans(docs, "doc_id", "text", w = 3)
         .select(col("doc_id"), col("cleaned_text").as("text")),
