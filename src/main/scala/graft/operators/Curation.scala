@@ -89,6 +89,58 @@ object Curation {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** The C4 cleaning heuristics (Raffel et al. 2020 §2.2) — the ingest-
+    * time line/page rules every public crawl pipeline applies before the
+    * statistical gates (Gopher/classifier/LM score what C4 leaves):
+    *
+    *   - keep only lines that END in a terminal punctuation mark
+    *     (`. ! ? "` after right-trim),
+    *   - keep only lines with at least `minLineWords` words (C4 uses 5),
+    *   - drop any line containing the word "javascript" (cookie/JS
+    *     banners),
+    *   - flag the PAGE if it has fewer than `minSentences` sentences
+    *     after line cleaning (C4 uses 3; sentences counted as `.!?`
+    *     marks in the kept text), contains "lorem ipsum", or contains a
+    *     curly brace (code).
+    *
+    * (C4's dirty-word page filter is a list lookup with no public
+    * canonical list — the marker-list mechanism is [[TextStats
+    * .profileScore]]; its three-sentence-span dedup is the
+    * [[duplicateWindows]] family.) Pure per-row codegen'd column work —
+    * no shuffle, no UDF; at 100 TB this is a map over the scan.
+    *
+    * Returns (idCol, cleaned_text, n_lines_kept, n_lines_dropped,
+    * n_sentences, keep): `cleaned_text` is the kept lines re-joined,
+    * `keep` the page-level verdict over the cleaned text.
+    */
+  def c4Clean(docs: DataFrame, idCol: String, textCol: String,
+              minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keepLine = (l: Column) => {
+      val r = rtrim(l)
+      val words = filter(split(trim(l), " +"), w => w =!= "")
+      substring(r, -1, 1).isin(".", "!", "?", "\"") &&
+        size(words) >= minLineWords &&
+        !contains(lower(l), lit("javascript"))
+    }
+    val kept = filter(lines, keepLine)
+    graft.core.Ops.widen(docs)
+      .withColumn("__kept", kept)
+      .withColumn("cleaned_text", array_join(col("__kept"), "\n"))
+      .withColumn("n_lines_kept", size(col("__kept")).cast("long"))
+      .withColumn("n_lines_dropped",
+        (size(lines) - size(col("__kept"))).cast("long"))
+      .withColumn("n_sentences",
+        (length(col("cleaned_text")) - length(
+          regexp_replace(col("cleaned_text"), "[.!?]", ""))).cast("long"))
+      .withColumn("keep",
+        col("n_sentences") >= minSentences &&
+          !contains(lower(col(textCol)), lit("lorem ipsum")) &&
+          !contains(col(textCol), lit("{")))
+      .select(col(idCol), col("cleaned_text"), col("n_lines_kept"),
+        col("n_lines_dropped"), col("n_sentences"), col("keep"))
+  }
+
   /** Benchmark decontamination (the GPT-3/PaLM n-gram-overlap test): flag
     * every corpus document that shares at least one word `n`-gram with the
     * benchmark/eval set, so contaminated documents can be dropped before

@@ -398,7 +398,27 @@ object TextStats {
   def hashEmbed(docs: org.apache.spark.sql.DataFrame, idCol: String,
                 textCol: String, dim: Int): org.apache.spark.sql.DataFrame = {
     require(dim >= 1, s"hashEmbed: dim ($dim) must be >= 1")
-    val words = graft.core.Ops.widen(docs)
+    val words = hashFeatures(docs, idCol, textCol, dim)
+    // dense frame: every (doc, pos) present, zero-filled
+    docs.select(col(idCol))
+      .crossJoin(broadcast(
+        docs.sparkSession.range(dim).select(col("id").cast("int").as("pos"))))
+      .join(words, Seq(idCol, "pos"), "left_outer")
+      .select(col(idCol), col("pos"),
+        coalesce(col("val"), lit(0L)).as("val"))
+  }
+
+  /** The SPARSE half of [[hashEmbed]]: one row per (doc, bucket) with a
+    * non-empty signed count — absent buckets are implicit zeros. The
+    * frame [[graft.operators.Classifier]] trains over (a linear model's
+    * dot products only touch non-zero coordinates, so the sparse form is
+    * exact and corpus-sized rather than corpus×dim-sized); [[hashEmbed]]
+    * densifies it for the fixed-width gathers the ANN stack wants.
+    */
+  def hashFeatures(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, dim: Int): org.apache.spark.sql.DataFrame = {
+    require(dim >= 1, s"hashFeatures: dim ($dim) must be >= 1")
+    graft.core.Ops.widen(docs)
       .select(col(idCol), explode(graft.operators.Dedup.normalizeWords(
         col(textCol))).as("__w"))
       .withColumn("__h", conv(substring(md5(col("__w")), 1, 8), 16, 10)
@@ -408,13 +428,6 @@ object TextStats {
           .otherwise(lit(-1L)).as("s"))
       .groupBy(col(idCol), col("pos"))
       .agg(sum(col("s")).as("val"))
-    // dense frame: every (doc, pos) present, zero-filled
-    docs.select(col(idCol))
-      .crossJoin(broadcast(
-        docs.sparkSession.range(dim).select(col("id").cast("int").as("pos"))))
-      .join(words, Seq(idCol, "pos"), "left_outer")
-      .select(col(idCol), col("pos"),
-        coalesce(col("val"), lit(0L)).as("val"))
   }
 
   /** [[hashEmbed]] long form gathered to `(id, v)` double arrays — the

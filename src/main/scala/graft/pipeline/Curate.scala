@@ -11,6 +11,10 @@ import graft.operators.{Curation, Dedup, TextStats}
   * filter still runs, so plans are audited in their production shape).
   */
 case class CurateConfig(
+    // C4 ingest cleaning (Raffel et al. 2020): line-level terminal-punct/
+    // min-words/javascript filter + lorem-ipsum/brace/min-sentences page
+    // gate, BEFORE the statistical gates score anything
+    c4Clean: Boolean = false,
     minQualityE4: Long = 4000,
     keepLangs: Set[String] = Set("alpha", "beta", "gamma"),
     gopherRules: Option[graft.operators.TextStats.GopherConfig] = None,
@@ -33,6 +37,9 @@ case class CurateConfig(
     dsirKeepFracE4: Long = 5000L,
     dsirSeed: Long = 0L,
     dsirTemperatureE4: Long = 10000L,
+    // fastText-style quality-classifier gate threshold (e6 P(keep));
+    // active only when Curate.run is given a classifierModel
+    minClassifierPE6: Long = 500000L,
     nearDupThresholdE4: Long = 8000,
     decontamGramN: Int = 8,
     chunkTokens: Int = 64,
@@ -78,7 +85,12 @@ object Curate {
           cfg: CurateConfig = CurateConfig(),
           // target-domain exemplar docs (same textCol) for the optional
           // DSIR selection stage; None = stage off
-          dsirTarget: Option[DataFrame] = None): CurateResult = {
+          dsirTarget: Option[DataFrame] = None,
+          // trained quality-classifier model (Classifier.train on labeled
+          // exemplars — the GPT-3/LLaMA CommonCrawl-filter shape) for the
+          // optional classifier gate; None = stage off
+          classifierModel: Option[graft.operators.Classifier.Model] = None)
+      : CurateResult = {
     val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val times = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var tPrev = System.nanoTime()
@@ -89,9 +101,20 @@ object Curate {
       tPrev = now
     }
 
+    // ---- optional C4 ingest cleaning (per-row map + filter) ------------
+    // before anything scores: the statistical gates should judge the
+    // cleaned lines, not cookie banners and code fragments
+    var input = graft.core.Ops.widen(docs).select(col(idCol), col(textCol))
+    if (cfg.c4Clean) {
+      input = Curation.c4Clean(input, idCol, textCol)
+        .filter(col("keep"))
+        .select(col(idCol), col("cleaned_text").as(textCol))
+        .localCheckpoint(true)
+      stage("c4_clean", input.count())
+    }
+
     // ---- ingest + per-doc stats (one pass: words computed once) --------
-    var scored = graft.core.Ops.widen(docs)
-      .select(col(idCol), col(textCol))
+    var scored = input
       .withColumn("__w", Dedup.normalizeWords(col(textCol)))
     for ((name, markers) <- TextStats.LangProfiles)
       scored = scored.withColumn(s"s_$name",
@@ -126,6 +149,21 @@ object Curate {
     // (Checkpoint blocks are reclaimed by the ContextCleaner when the
     // frame goes out of scope — the persist/unpersist pairing below
     // remains only for the always-on stages with shallow lineage.)
+    // ---- optional quality-classifier gate (fastText shape) -------------
+    // model trained OUTSIDE the pipeline on labeled exemplars
+    // (Classifier.train); scoring the survivors is one broadcast join +
+    // one hash aggregate. Same localCheckpoint discipline as the gates
+    // below (score + keep join reference the input twice).
+    for (m <- classifierModel) {
+      val base = filtered.persist(StorageLevel.MEMORY_AND_DISK)
+      val keep = graft.operators.Classifier.score(base, idCol, textCol, m)
+        .filter(col("p_e6") >= cfg.minClassifierPE6)
+        .select(col(idCol))
+      filtered = base.join(keep, Seq(idCol)).localCheckpoint(true)
+      stage("classifier_gate", filtered.count())
+      base.unpersist()
+    }
+
     for (bound <- cfg.maxSelfXentE4) {
       val base = filtered.persist(StorageLevel.MEMORY_AND_DISK)
       val xentM = TextStats.selfCrossEntropyManaged(base, idCol, textCol,

@@ -2110,6 +2110,136 @@ object ExtProbes {
        |  FROM gm ORDER BY score_e4 DESC, doc_id LIMIT 100)
        |SELECT * FROM sel ORDER BY doc_id""".stripMargin
 
+  // ---- q98 fastText-style quality classifier -----------------------------
+  // Logistic regression over q93's hashing-trick features (dim 8 + bias),
+  // trained by 2 full-batch GD steps at lr 0.5 against a deterministic
+  // label (length(text) >= 200), then scored over the whole corpus. The
+  // oracle UNROLLS both iterations in SQL: iter 1 from zero weights has
+  // p = 500000 exactly for every doc, iter 2 recomputes margins under the
+  // iter-1 weights; all sums are exact-integer (per-row e6-rounded
+  // sigmoid — the q91 discipline), the lr·g/(n·1e6) update is the same
+  // floor(x+0.5) on both sides. A hash match proves the whole training
+  // trajectory AND the scoring pass, not just one dot product.
+  val q98: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
+      (length(col("text")) >= 200).cast("int").as("y"))
+    val model = graft.operators.Classifier.train(
+      docs, "doc_id", "text", "y", dim = 8, iters = 2, lrE6 = 500000L)
+    graft.operators.Classifier.score(docs, "doc_id", "text", model)
+      .join(docs.select(col("doc_id"), col("y").cast("long").as("y")),
+        Seq("doc_id"))
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("p_e6"), col("y"))
+  }
+
+  val q98Sql: String =
+    s"""WITH base AS (SELECT doc_id, $duckWords AS w,
+       |    CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(w) AS word FROM base),
+       |h AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(word), 1, 8))::BIGINT % 8 AS INT)
+       |      AS pos,
+       |    CASE WHEN (('0x' || substr(md5(word), 1, 8))::BIGINT // 8)
+       |        % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM tok),
+       |fw AS (SELECT doc_id, pos, CAST(sum(s) AS BIGINT) AS x
+       |  FROM h GROUP BY doc_id, pos),
+       |f AS (SELECT doc_id, pos, x FROM fw
+       |  UNION ALL SELECT doc_id, 8 AS pos, CAST(1 AS BIGINT) AS x
+       |    FROM base),
+       |lab AS (SELECT doc_id, y FROM base),
+       |c AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
+       |g1 AS (SELECT f.pos,
+       |    CAST(sum(f.x * (500000 - lab.y * 1000000)) AS BIGINT) AS g
+       |  FROM f JOIN lab USING (doc_id) GROUP BY f.pos),
+       |w1 AS (SELECT pos,
+       |    CAST(-floor(500000.0 * g / (n * 1000000.0) + 0.5) AS BIGINT)
+       |      AS w
+       |  FROM g1 CROSS JOIN c),
+       |m2 AS (SELECT f.doc_id, CAST(sum(f.x * w1.w) AS BIGINT) AS m
+       |  FROM f JOIN w1 USING (pos) GROUP BY f.doc_id),
+       |p2 AS (SELECT lab.doc_id, lab.y,
+       |    CAST(floor(1000000.0 / (1.0 + exp(-(m2.m / 1000000.0))) + 0.5)
+       |      AS BIGINT) AS p
+       |  FROM lab JOIN m2 USING (doc_id)),
+       |g2 AS (SELECT f.pos,
+       |    CAST(sum(f.x * (p2.p - p2.y * 1000000)) AS BIGINT) AS g
+       |  FROM f JOIN p2 USING (doc_id) GROUP BY f.pos),
+       |w2 AS (SELECT w1.pos AS pos,
+       |    CAST(w1.w - floor(500000.0 * g2.g / (n * 1000000.0) + 0.5)
+       |      AS BIGINT) AS w
+       |  FROM w1 JOIN g2 ON w1.pos = g2.pos CROSS JOIN c),
+       |mf AS (SELECT f.doc_id, CAST(sum(f.x * w2.w) AS BIGINT) AS m
+       |  FROM f JOIN w2 USING (pos) GROUP BY f.doc_id)
+       |SELECT lab.doc_id,
+       |  CAST(floor(1000000.0 / (1.0 + exp(-(mf.m / 1000000.0))) + 0.5)
+       |    AS BIGINT) AS p_e6,
+       |  CAST(lab.y AS BIGINT) AS y
+       |FROM lab JOIN mf USING (doc_id) ORDER BY lab.doc_id""".stripMargin
+
+  // ---- q99 C4 cleaning rules ---------------------------------------------
+  // Planted per-doc: a passing sentence line, a no-terminal-punct line
+  // (always dropped), a javascript banner (docs %7), a lorem-ipsum line
+  // (docs %11 — page flag), a curly-brace code line (docs %13 — page
+  // flag). The second body line ends in '!' but its word count depends on
+  // substr(text, 81, 60) — short docs drop it, exercising the
+  // min-line-words rule on real data. Both sides apply the identical
+  // construction, line filter, sentence count, and page verdict.
+  val q99: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      concat(
+        substring(col("text"), 1, 80), lit(" alpha beta gamma."),
+        lit("\nno terminal punctuation on this line at all"),
+        when(col("doc_id") % 7 === 0,
+          lit("\nplease enable javascript to continue viewing."))
+          .otherwise(lit("")),
+        lit("\n"), substring(col("text"), 81, 60),
+        lit(" delta epsilon zeta!"),
+        when(col("doc_id") % 11 === 0,
+          lit("\nlorem ipsum dolor sit amet consectetur."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit("\nvar config = [ key value ] ok then { x }."))
+          .otherwise(lit(""))
+      ).as("text"))
+    Curation.c4Clean(docs, "doc_id", "text").orderBy("doc_id")
+  }
+
+  val q99Sql: String =
+    """WITH d AS (SELECT doc_id,
+      |    substr(text, 1, 80) || ' alpha beta gamma.' ||
+      |    chr(10) || 'no terminal punctuation on this line at all' ||
+      |    CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+      |      'please enable javascript to continue viewing.' ELSE '' END ||
+      |    chr(10) || substr(text, 81, 60) || ' delta epsilon zeta!' ||
+      |    CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+      |      'lorem ipsum dolor sit amet consectetur.' ELSE '' END ||
+      |    CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+      |      'var config = [ key value ] ok then { x }.' ELSE '' END
+      |    AS text FROM documents),
+      |k AS (SELECT doc_id, text,
+      |    list_filter(string_split(text, chr(10)), l ->
+      |      right(rtrim(l), 1) IN ('.', '!', '?', '"')
+      |      AND len(list_filter(string_split_regex(trim(l), ' +'),
+      |        w -> w <> '')) >= 5
+      |      AND NOT contains(lower(l), 'javascript')) AS kept,
+      |    len(string_split(text, chr(10))) AS n_lines
+      |  FROM d),
+      |c AS (SELECT doc_id, text,
+      |    array_to_string(kept, chr(10)) AS cleaned_text,
+      |    CAST(len(kept) AS BIGINT) AS n_lines_kept,
+      |    CAST(n_lines - len(kept) AS BIGINT) AS n_lines_dropped
+      |  FROM k),
+      |s AS (SELECT *, CAST(length(cleaned_text) - length(
+      |      regexp_replace(cleaned_text, '[.!?]', '', 'g')) AS BIGINT)
+      |    AS n_sentences FROM c)
+      |SELECT doc_id, cleaned_text, n_lines_kept, n_lines_dropped,
+      |  n_sentences,
+      |  (n_sentences >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+      |    AND NOT contains(text, '{')) AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
   // ---- q88 intra-document line dedup ------------------------------------
   // Repeated lines planted per doc (duplicate banner + duplicate body
   // line); Curation.dedupLines keeps first occurrences in original order
@@ -2200,6 +2330,8 @@ object ExtProbes {
     "q95_dup_windows" -> q95,
     "q96_tfidf_terms" -> q96,
     "q97_dsir_resample" -> q97,
+    "q98_quality_classifier" -> q98,
+    "q99_c4_rules" -> q99,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2262,5 +2394,7 @@ object ExtProbes {
     "q95_dup_windows" -> q95Sql,
     "q96_tfidf_terms" -> q96Sql,
     "q97_dsir_resample" -> q97Sql,
+    "q98_quality_classifier" -> q98Sql,
+    "q99_c4_rules" -> q99Sql,
   )
 }

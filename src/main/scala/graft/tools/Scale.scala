@@ -386,6 +386,34 @@ object Scale {
             .groupBy(col("g.pass")).agg(count(lit(1)).as("docs")),
           Seq.empty)
       }
+      // round-7 late adds: C4 rules (pure per-row map over a multi-line
+      // construction) and the classifier (2 GD iterations INSIDE the
+      // timing — the driver-loop cost is the thing to measure — then a
+      // full-corpus score)
+      run("c4_clean", n) {
+        graft.core.Managed(
+          graft.operators.Curation.c4Clean(
+              d.select(col("doc_id"), concat_ws("\n",
+                concat(col("text"), lit(" end of part one.")),
+                lit("no terminal punctuation banner"),
+                concat(col("text"), lit(" end of part two!"))).as("text")),
+              "doc_id", "text")
+            .groupBy(col("doc_id") % 32)
+            .agg(count(lit(1)).as("docs"), sum("n_lines_kept").as("k"),
+              sum(col("keep").cast("long")).as("pages")),
+          Seq.empty)
+      }
+      run("classifier_2it", n) {
+        val labeled = d.withColumn("y",
+          (length(col("text")) >= 200).cast("int"))
+        val model = graft.operators.Classifier.train(labeled, "doc_id",
+          "text", "y", dim = 64, iters = 2, lrE6 = 500000L)
+        graft.core.Managed(
+          graft.operators.Classifier.score(d, "doc_id", "text", model)
+            .groupBy(col("doc_id") % 32)
+            .agg(count(lit(1)).as("docs"), sum("p_e6").as("sp")),
+          Seq.empty)
+      }
       run("bigram_lm", n) {
         val grams = graft.operators.TextStats.bigramCounts(d, "text")
         graft.core.Managed(

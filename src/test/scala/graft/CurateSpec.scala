@@ -128,6 +128,39 @@ class CurateSpec extends SparkSpec {
     res.chunks.unpersist()
   }
 
+  test("Curate.run classifier gate drops the docs the trained model " +
+      "rejects and keeps the rest") {
+    // pool: docs 1-3 speak the positive vocabulary, 4-6 the negative one
+    // (both pass the quality/lang gates — goodText's stopword frame);
+    // the model is trained on held-out exemplars of the same two
+    // vocabularies, so the gate is the deciding stage.
+    // distinct per-doc body vocabulary (goodText salt) so the pool docs
+    // are NOT near-duplicates of each other; the class signal is the
+    // repeated marker phrase
+    def posText(i: Int) = goodText(s"aur$i") +
+      " aurora borealis signal" * 3
+    def negText(i: Int) = goodText(s"sta$i") +
+      " static noise junk" * 3
+    val docs = ((1 to 3).map(i => i.toLong -> posText(i)) ++
+      (4 to 6).map(i => i.toLong -> negText(i))).toDF("doc_id", "text")
+    val exemplars = ((10 to 14).map(i => i.toLong -> (posText(i), 1)) ++
+      (20 to 24).map(i => i.toLong -> (negText(i), 0)))
+      .map { case (id, (t, y)) => (id, t, y) }.toDF("doc_id", "text", "y")
+    val model = graft.operators.Classifier.train(
+      exemplars, "doc_id", "text", "y", dim = 32, iters = 10,
+      lrE6 = 2000000L)
+    val benchmark = Seq("unrelated bench text").toDF("btext")
+    val res = Curate.run(docs, "doc_id", "text", benchmark, "btext",
+      CurateConfig(minQualityE4 = 5000),
+      classifierModel = Some(model))
+    assert(res.stageCounts.toMap.apply("classifier_gate") == 3L,
+      res.stageCounts.toString)
+    val picked = res.chunks.select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(picked == Set(1L, 2L, 3L), picked.toString)
+    res.chunks.unpersist()
+  }
+
   test("Curate.run with EVERY optional stage on composes and plans in " +
       "bounded time (the analysis-blowup regression)") {
     // Each optional gate references its input several times; before the
@@ -135,23 +168,36 @@ class CurateSpec extends SparkSpec {
     // INSIDE the optimizer (no job ever ran). This spec is the
     // composition canary: it must finish, and every stage must appear in
     // the funnel in order.
-    val docs = (1 to 12).map(i => i.toLong -> goodText(s"s$i"))
+    // three sentence-lines per doc so the C4 stage (terminal punct, ≥5
+    // words, ≥3 sentences) passes everything through unchanged
+    def c4Good(salt: String): String =
+      Seq("a", "b", "c").map(s => goodText(salt + s) + ".").mkString("\n")
+    val docs = (1 to 12).map(i => i.toLong -> c4Good(s"s$i"))
       .toDF("doc_id", "text")
-    val target = Seq(100L -> goodText("s1")).toDF("doc_id", "text")
+    val target = Seq(100L -> c4Good("s1")).toDF("doc_id", "text")
     val benchmark = Seq("unrelated bench text").toDF("btext")
+    // a permissive trained model: bias-only positive weights keep all
+    // docs — the stage must RUN (and appear in the funnel) without
+    // shrinking the pool this canary audits
+    val labeled = docs.withColumn("y", lit(1) - (col("doc_id") % 2).cast("int"))
+    val model = graft.operators.Classifier.train(
+      labeled, "doc_id", "text", "y", dim = 8, iters = 1, lrE6 = 100000L)
     val res = Curate.run(docs, "doc_id", "text", benchmark, "btext",
-      CurateConfig(minQualityE4 = 5000,
+      CurateConfig(c4Clean = true,
+        minQualityE4 = 5000,
         gopherRules = Some(graft.operators.TextStats.GopherConfig(
           minWords = 5, minStopHits = 1, minMeanLenE4 = 10000)),
         maxSelfXentE4 = Some(500000L),
         dedupLinesWithinDocs = true,
         dedupWindowsW = Some(8),
         dsirKeepFracE4 = 10000L, // keep all: the stage runs, drops none
+        minClassifierPE6 = 0L,   // keep all: ditto
         chunkTokens = 16, chunkOverlap = 4, packBudget = 32),
-      dsirTarget = Some(target))
-    assert(res.stageCounts.map(_._1) == Seq("lm_gate", "dsir_select",
-      "window_dedup", "exact_dedup", "near_dup", "decontaminated",
-      "chunks"), res.stageCounts.toString)
+      dsirTarget = Some(target),
+      classifierModel = Some(model))
+    assert(res.stageCounts.map(_._1) == Seq("c4_clean", "classifier_gate",
+      "lm_gate", "dsir_select", "window_dedup", "exact_dedup", "near_dup",
+      "decontaminated", "chunks"), res.stageCounts.toString)
     assert(res.stageCounts.toMap.apply("exact_dedup") == 12L,
       res.stageCounts.toString)
     res.chunks.unpersist()

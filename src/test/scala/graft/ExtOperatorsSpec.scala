@@ -518,4 +518,57 @@ class ExtOperatorsSpec extends SparkSpec {
       (3L, "cherry", 2L, 2L * 1287682L, 1L),
       (3L, "durian", 1L, 1693147L, 2L)))
   }
+
+  test("c4Clean: every rule measured on crafted vectors") {
+    import graft.operators.Curation
+    val docs = Seq(
+      // 3 good sentences → kept, page passes
+      (1L, "this line ends with a period and has words.\n" +
+        "does this line have enough words here?\n" +
+        "yes it ends with an exclamation mark!"),
+      // line rules: no terminal punct / too few words / javascript banner
+      (2L, "first proper sentence with plenty of words here.\n" +
+        "no terminal punctuation on this line\n" +
+        "too few words.\n" +
+        "please enable JavaScript to continue with the page.\n" +
+        "second proper sentence with plenty of words too.\n" +
+        "third proper sentence with plenty of words also."),
+      // page flags: lorem ipsum / curly brace
+      (3L, "lorem ipsum dolor sit amet consectetur adipiscing elit.\n" +
+        "another full sentence with enough words right here.\n" +
+        "and a third full sentence with enough words too."),
+      (4L, "some code follows in this otherwise fine document.\n" +
+        "function f() please { return nothing } thanks a lot.\n" +
+        "and a third full sentence with enough words too."),
+      // under the sentence floor after cleaning
+      (5L, "only one proper sentence lives in this document.\n" +
+        "everything else lacks punctuation")
+    ).toDF("doc_id", "text")
+    val got = Curation.c4Clean(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines_kept", "n_lines_dropped", "n_sentences",
+        "keep")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 0L, 3L, true),
+      (2L, 3L, 3L, 3L, true),
+      (3L, 3L, 0L, 3L, false),  // lorem ipsum page flag
+      (4L, 3L, 0L, 3L, false),  // curly-brace page flag
+      (5L, 1L, 1L, 1L, false))) // fewer than 3 sentences
+    // cleaned text keeps original line order and drops the banners
+    val cleaned2 = Curation.c4Clean(docs, "doc_id", "text")
+      .filter(col("doc_id") === 2L)
+      .select("cleaned_text").as[String].head()
+    assert(cleaned2 ==
+      "first proper sentence with plenty of words here.\n" +
+      "second proper sentence with plenty of words too.\n" +
+      "third proper sentence with plenty of words also.")
+    // idempotence: cleaning cleaned text changes nothing
+    val once = Curation.c4Clean(docs, "doc_id", "text")
+      .select(col("doc_id"), col("cleaned_text").as("text"))
+    val twice = Curation.c4Clean(once, "doc_id", "text")
+      .select(col("doc_id"), col("cleaned_text").as("text"))
+    assert(once.orderBy("doc_id").as[(Long, String)].collect().toSeq ===
+      twice.orderBy("doc_id").as[(Long, String)].collect().toSeq)
+  }
 }
