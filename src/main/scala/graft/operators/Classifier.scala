@@ -111,6 +111,27 @@ object Classifier {
     } finally { feats.unpersist(); () }
   }
 
+  /** STATELESS per-row scoring: the margin as a fold over the words
+    * array against the weight vector as an array literal (dim+1 ≤ a few
+    * hundred elements — model, not data). Summing `sign(w)·w_e6[bucket
+    * (w)]` per WORD equals summing `x·w_e6` per BUCKET (both are the
+    * same exact integer sum, order-independent), so this is numerically
+    * identical to [[score]] — spec-pinned. The form streaming gates
+    * need: no aggregate, no shuffle, legal anywhere a column is.
+    */
+  def scoreExpr(text: Column, model: Model): Column = {
+    val wLit = array(model.weightsE6.map(lit).toIndexedSeq: _*)
+    val words = graft.operators.Dedup.normalizeWords(text)
+    val margin = aggregate(words, lit(model.biasE6), (acc, w) => {
+      val h = conv(substring(md5(w), 1, 8), 16, 10).cast("long")
+      val bucket = pmod(h, lit(model.dim)).cast("int")
+      val sign = when(pmod(floor(h / lit(model.dim)), lit(2)) === 0,
+        lit(1L)).otherwise(lit(-1L))
+      acc + sign * element_at(wLit, bucket + 1)
+    })
+    pE6(margin)
+  }
+
   /** Score docs under a trained model → (idCol, p_e6) with p_e6 the
     * e6-scaled P(label = 1). One broadcast join + one hash aggregate.
     */

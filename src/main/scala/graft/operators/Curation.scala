@@ -116,30 +116,48 @@ object Curation {
   def c4Clean(docs: DataFrame, idCol: String, textCol: String,
               minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
     val lines = split(col(textCol), "\n")
-    val keepLine = (l: Column) => {
-      val r = rtrim(l)
-      val words = filter(split(trim(l), " +"), w => w =!= "")
-      substring(r, -1, 1).isin(".", "!", "?", "\"") &&
-        size(words) >= minLineWords &&
-        !contains(lower(l), lit("javascript"))
-    }
-    val kept = filter(lines, keepLine)
     graft.core.Ops.widen(docs)
-      .withColumn("__kept", kept)
+      .withColumn("__kept", c4KeptLines(col(textCol), minLineWords))
       .withColumn("cleaned_text", array_join(col("__kept"), "\n"))
       .withColumn("n_lines_kept", size(col("__kept")).cast("long"))
       .withColumn("n_lines_dropped",
         (size(lines) - size(col("__kept"))).cast("long"))
       .withColumn("n_sentences",
-        (length(col("cleaned_text")) - length(
-          regexp_replace(col("cleaned_text"), "[.!?]", ""))).cast("long"))
+        c4SentenceCount(col("cleaned_text")))
       .withColumn("keep",
-        col("n_sentences") >= minSentences &&
-          !contains(lower(col(textCol)), lit("lorem ipsum")) &&
-          !contains(col(textCol), lit("{")))
+        c4PageKeep(col(textCol), col("cleaned_text"), minSentences))
       .select(col(idCol), col("cleaned_text"), col("n_lines_kept"),
         col("n_lines_dropped"), col("n_sentences"), col("keep"))
   }
+
+  /** The line-level half of [[c4Clean]] as a pure column (the form the
+    * streaming gate composes): kept lines of `text` in order.
+    */
+  def c4KeptLines(text: Column, minLineWords: Int = 5): Column =
+    filter(split(text, "\n"), l => {
+      val r = rtrim(l)
+      val words = filter(split(trim(l), " +"), w => w =!= "")
+      substring(r, -1, 1).isin(".", "!", "?", "\"") &&
+        size(words) >= minLineWords &&
+        !contains(lower(l), lit("javascript"))
+    })
+
+  /** Sentences = `.!?` marks in the cleaned text (the deterministic
+    * stand-in both engines agree on).
+    */
+  def c4SentenceCount(cleaned: Column): Column =
+    (length(cleaned) - length(regexp_replace(cleaned, "[.!?]", "")))
+      .cast("long")
+
+  /** The page-level half of [[c4Clean]] as a pure column: sentence floor
+    * over the CLEANED text, lorem-ipsum and curly-brace flags over the
+    * ORIGINAL text.
+    */
+  def c4PageKeep(text: Column, cleaned: Column,
+                 minSentences: Int = 3): Column =
+    c4SentenceCount(cleaned) >= minSentences &&
+      !contains(lower(text), lit("lorem ipsum")) &&
+      !contains(text, lit("{"))
 
   /** Benchmark decontamination (the GPT-3/PaLM n-gram-overlap test): flag
     * every corpus document that shares at least one word `n`-gram with the

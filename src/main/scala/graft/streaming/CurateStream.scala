@@ -29,14 +29,23 @@ import graft.operators.{Dedup, TextStats}
   */
 object CurateStream {
 
-  /** `reason`: "quality" | "exact_dup" | "near_dup" | "admitted".
-    * `dup_of` = lineage parent for the dup reasons, else the doc's own id.
+  /** `reason`: "c4" | "quality" | "classifier" | "exact_dup" | "near_dup"
+    * | "admitted". `dup_of` = lineage parent for the dup reasons, else the
+    * doc's own id.
     */
   case class GateVerdict(id: Long, admitted: Boolean, reason: String,
                          dup_of: Long)
 
   case class GateConfig(minQualityE4: Long = 4000,
                         keepLangs: Set[String] = Set("alpha", "beta", "gamma"),
+                        // C4 ingest cleaning (page gate + line cleaning,
+                        // the batch c4Clean semantics) before anything
+                        // else sees the text
+                        c4Clean: Boolean = false,
+                        // stateless classifier gate via Classifier
+                        // .scoreExpr (exact batch-score parity)
+                        classifier: Option[graft.operators.Classifier.Model] = None,
+                        minClassifierPE6: Long = 500000L,
                         bands: Int = 4, rowsPerBand: Int = 3,
                         thresholdE4: Long = 8000, maxPerBucket: Int = 1024)
 
@@ -45,8 +54,27 @@ object CurateStream {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // ---- optional stateless C4 stage: page gate + line cleaning --------
+    // downstream stages (including the dedup states) see the CLEANED
+    // text — the batch funnel's ordering
+    val ingest = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val (base, c4Rejects) =
+      if (!cfg.c4Clean) (ingest, None)
+      else {
+        val c = ingest
+          .withColumn("__clean", array_join(
+            graft.operators.Curation.c4KeptLines(col("text")), "\n"))
+          .withColumn("__c4ok", graft.operators.Curation.c4PageKeep(
+            col("text"), col("__clean")))
+        (c.filter(col("__c4ok"))
+          .select(col("id"), col("__clean").as("text")),
+          Some(c.filter(!col("__c4ok")).select(col("id")).as[Long]
+            .map(id => GateVerdict(id, admitted = false, reason = "c4",
+              dup_of = id))))
+      }
+
     // ---- stateless quality/language stage (batch exprs verbatim) -------
-    var scored = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    var scored = base
       .withColumn("__w", Dedup.normalizeWords(col("text")))
     for ((name, markers) <- TextStats.LangProfiles)
       scored = scored.withColumn(s"s_$name",
@@ -63,9 +91,25 @@ object CurateStream {
       .map(id => GateVerdict(id, admitted = false, reason = "quality",
         dup_of = id))
 
+    // ---- optional stateless classifier gate ----------------------------
+    val afterQuality = flagged.filter(col("__pass"))
+      .select(col("id"), col("text"))
+    val (survivors, classifierRejects) = cfg.classifier match {
+      case None => (afterQuality, None)
+      case Some(m) =>
+        val s = afterQuality.withColumn("__p",
+          graft.operators.Classifier.scoreExpr(col("text"), m))
+        (s.filter(col("__p") >= cfg.minClassifierPE6)
+          .select(col("id"), col("text")),
+          Some(s.filter(col("__p") < cfg.minClassifierPE6)
+            .select(col("id")).as[Long]
+            .map(id => GateVerdict(id, admitted = false,
+              reason = "classifier", dup_of = id))))
+    }
+
     // ---- exact dedup on the content hash -------------------------------
     val tagged = StatefulDedup.firstPerKeyTagged(
-      flagged.filter(col("__pass"))
+      survivors
         .select(md5(col("text")).as("h"),
           struct(col("id"), col("text")).as("doc"))
         .as[(String, (Long, String))],
@@ -87,6 +131,9 @@ object CurateStream {
         else GateVerdict(v.id, admitted = true, reason = "admitted",
           dup_of = v.id))
 
-    qualityRejects.unionByName(exactRejects).unionByName(verdicts)
+    val always = qualityRejects.unionByName(exactRejects)
+      .unionByName(verdicts)
+    val withC4 = c4Rejects.fold(always)(always.unionByName(_))
+    classifierRejects.fold(withC4)(withC4.unionByName(_))
   }
 }

@@ -71,6 +71,12 @@ object Scale {
     require(bpeMode || factor < 100, "id offsets collide at factor >= 100")
     val curateMode = args.length > 2 && args(2) == "--curate"
     val skewMode = args.length > 2 && args(2) == "--skew"
+    // any other 3rd arg: comma-separated label prefixes — run only those
+    // sweep rows (local iteration on a new operator's rows)
+    val onlyRows: Option[Seq[String]] =
+      if (args.length > 2 && !args(2).startsWith("--"))
+        Some(args(2).split(",").toSeq)
+      else None
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -258,6 +264,7 @@ object Scale {
       * downstream join work a second time.
       */
     def run(label: String, scale: Int)(mk: => graft.core.Managed): Unit = {
+      if (!onlyRows.forall(_.exists(label.startsWith))) return
       // time INCLUDING construction: iterative operators (pageRank,
       // connectedComponents, Bpe.train) do their work in eager
       // checkpoints during the call itself — timing only the final

@@ -74,6 +74,21 @@ class ClassifierSpec extends SparkSpec {
       s"got ${model.weightsE6.toSeq}, want ${expected.toSeq}")
   }
 
+  test("scoreExpr (stateless per-row form) is exactly score (aggregate " +
+      "form) on every doc, including empty text") {
+    val docs = toyDocs.unionByName(
+      Seq((500L, "", 0), (501L, "alpha zulu alpha zulu", 1))
+        .toDF("doc_id", "text", "y"))
+    val model = Classifier.train(docs, "doc_id", "text", "y",
+      dim = 16, iters = 4, lrE6 = 1000000L)
+    val agg = Classifier.score(docs, "doc_id", "text", model)
+      .as[(Long, Long)].collect().toMap
+    val expr = docs.select(col("doc_id"),
+        Classifier.scoreExpr(col("text"), model).as("p_e6"))
+      .as[(Long, Long)].collect().toMap
+    assert(agg === expr)
+  }
+
   test("empty documents score through the bias alone") {
     val docs = Seq((1L, "alpha beta", 1), (2L, "", 0), (3L, "alpha", 1))
       .toDF("doc_id", "text", "y")

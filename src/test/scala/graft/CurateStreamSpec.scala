@@ -69,4 +69,46 @@ class CurateStreamSpec extends SparkSpec {
       assert(got(12L) === ((false, "exact_dup", 10L)))
     } finally q.stop()
   }
+
+  test("gate with c4Clean + classifier: the stateless stages route their " +
+      "rejects, downstream states see CLEANED text (batch-funnel order)") {
+    // classifier trained on separable marker vocabularies (the
+    // CurateSpec fixture shape); c4 text = three proper sentences
+    def posText(i: Int) = Seq("a", "b", "c")
+      .map(s => goodText(s"p$i$s") + " aurora borealis signal beacon.")
+      .mkString("\n")
+    def negText(i: Int) = Seq("a", "b", "c")
+      .map(s => goodText(s"n$i$s") + " static noise junk clutter.")
+      .mkString("\n")
+    val exemplars = ((10 to 14).map(i => (i.toLong, posText(i), 1)) ++
+      (20 to 24).map(i => (i.toLong, negText(i), 0)))
+      .toDF("doc_id", "text", "y")
+    val model = graft.operators.Classifier.train(
+      exemplars, "doc_id", "text", "y", dim = 32, iters = 10,
+      lrE6 = 2000000L)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = CurateStream.gate(input.toDF().toDF("id", "text"), "id", "text",
+        CurateStream.GateConfig(c4Clean = true, classifier = Some(model)))
+      .writeStream.format("memory").queryName("curate_gate_c4cls")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        1L -> posText(1),                            // admitted
+        2L -> negText(2),                            // classifier reject
+        3L -> (posText(3) + "\nlorem ipsum dolor sit amet today."), // c4 page reject
+        // c4-CLEANED exact dup of 1: same kept lines once the
+        // no-terminal-punct banner is stripped — proves dedup runs on
+        // cleaned text
+        4L -> (posText(1) + "\nbanner line without punctuation"))
+      q.processAllAvailable()
+      val got = spark.table("curate_gate_c4cls")
+        .as[CurateStream.GateVerdict].collect()
+        .map(v => v.id -> ((v.admitted, v.reason, v.dup_of))).toMap
+      assert(got.keySet === Set(1L, 2L, 3L, 4L))
+      assert(got(1L) === ((true, "admitted", 1L)))
+      assert(got(2L) === ((false, "classifier", 2L)))
+      assert(got(3L) === ((false, "c4", 3L)))
+      assert(got(4L) === ((false, "exact_dup", 1L)))
+    } finally q.stop()
+  }
 }
