@@ -217,6 +217,57 @@ object Curation {
     frac < rate
   }
 
+  /** Token-budget data-mixing plan — the arithmetic behind a pretraining
+    * mixture (the LLaMA-style "domain weights × epochs" table; DoReMi
+    * and friends LEARN the weights, this operator EXECUTES a given set):
+    * for each domain in a labeled pool, how many tokens are available,
+    * how many the target mixture wants out of `budgetTokens`, the epoch
+    * count that delivers it, and the shortfall once epochs are capped
+    * (low-resource domains repeat at most `maxEpochsE4`/1e4 times — the
+    * published practice). The plan REPORTS the deficit rather than
+    * silently re-normalizing: re-weighting vs shrinking the budget is
+    * the caller's call. `weightsE4` need not sum to 1e4 (normalized by
+    * their sum); unlisted domains get weight 0 and show up with their
+    * availability — a mixing plan must account for what it excludes.
+    *
+    * Determinism: desired/planned cross 2^53 at real budgets, so both
+    * engines compute the SAME double expressions (products of exact
+    * integers, one floor at the end) — identical IEEE results, hash-
+    * equal. Scale shape: one hash aggregate over the pool; the plan is
+    * domain-cardinality rows. [[weightedSampleKeep]] then executes the
+    * plan's rates; [[keepReport]] audits them.
+    */
+  def mixturePlan(docs: DataFrame, domainCol: String, tokensCol: Column,
+                  weightsE4: Map[String, Long], budgetTokens: Long,
+                  maxEpochsE4: Long = 40000L): DataFrame = {
+    require(weightsE4.values.forall(_ >= 0), "mixturePlan: negative weight")
+    val wsum = weightsE4.values.sum
+    require(wsum > 0, "mixturePlan: weights sum to zero")
+    require(budgetTokens >= 0 && maxEpochsE4 >= 0, "mixturePlan: negative dial")
+    val w = weightsE4.foldLeft(lit(0L)) { case (acc, (s, v)) =>
+      when(col(domainCol) === s, lit(v)).otherwise(acc)
+    }
+    graft.core.Ops.widen(docs)
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokensCol.cast("long")).as("avail_tokens"))
+      .withColumn("weight_e4",
+        floor(w * lit(10000.0) / lit(wsum.toDouble)).cast("long"))
+      .withColumn("desired_tokens",
+        floor(lit(budgetTokens.toDouble) * w / lit(wsum.toDouble))
+          .cast("long"))
+      .withColumn("epochs_e4",
+        when(col("avail_tokens") <= 0, lit(0L))
+          .otherwise(least(lit(maxEpochsE4),
+            floor(col("desired_tokens") * lit(10000.0) /
+              col("avail_tokens")).cast("long"))))
+      .withColumn("planned_tokens",
+        floor(col("avail_tokens") * col("epochs_e4") / lit(10000.0))
+          .cast("long"))
+      .withColumn("deficit",
+        col("desired_tokens") - col("planned_tokens"))
+  }
+
   /** Line-level boilerplate removal (the CCNet-style cleanup step):
     * drop every line whose document frequency exceeds `maxLineDocFreq` —
     * navigation text, cookie banners, license footers — and reassemble

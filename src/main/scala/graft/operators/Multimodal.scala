@@ -334,6 +334,102 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Resized-image summary: `out_sum_e4` = Σ over OUTPUT pixels of the
+    * e4 fixed-point box mean (each output pixel's mean floored to e4
+    * BEFORE the sum — exact integers, oracle-mirrorable). Marker row
+    * (0, 0, 0, 0, -1) for undecodable payloads.
+    */
+  case class ResizedImage(media_id: Long, width: Int, height: Int,
+                          out_w: Int, out_h: Int, out_sum_e4: Long)
+
+  /** Box-average resize over REAL decoded pixels — the thumbnail /
+    * feature-downsample step of an image curation pipeline, kept to
+    * deterministic integer arithmetic: output pixel (i, j) averages the
+    * input box [floor(i·W/ow), floor((i+1)·W/ow)) × (same for rows),
+    * boxes clamped to at least one source pixel (degenerates to nearest
+    * neighbor when upscaling). Per-box mean exits as an e4 long;
+    * `out_sum_e4` sums those — a statistic over every output pixel, so
+    * the oracle checking it proves the resample grid actually ran over
+    * decoded pixels (band 0). Same bounded-batch mapPartitions + bomb
+    * guard as [[decodeImages]].
+    */
+  def resizeImages(ds: Dataset[MediaRecord], outW: Int, outH: Int,
+                   batchSize: Int = 64,
+                   maxPixels: Long = 64L << 20): Dataset[ResizedImage] = {
+    require(outW > 0 && outH > 0, s"resizeImages: bad target ${outW}x$outH")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bomb = claimedPixels(r.media) > maxPixels
+          val img =
+            if (bomb) None
+            else try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.media)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          img match {
+            case Some(im) =>
+              val raster = im.getRaster
+              val (w, h) = (im.getWidth, im.getHeight)
+              var total = 0L
+              var j = 0
+              while (j < outH) {
+                val y0 = (j.toLong * h / outH).toInt
+                val y1 = math.min(h, math.max(((j + 1).toLong * h / outH).toInt, y0 + 1))
+                var i = 0
+                while (i < outW) {
+                  val x0 = (i.toLong * w / outW).toInt
+                  val x1 = math.min(w, math.max(((i + 1).toLong * w / outW).toInt, x0 + 1))
+                  var sum = 0L
+                  var y = y0
+                  while (y < y1) {
+                    var x = x0
+                    while (x < x1) { sum += raster.getSample(x, y, 0); x += 1 }
+                    y += 1
+                  }
+                  val nbox = (x1 - x0).toLong * (y1 - y0)
+                  total += math.floor(sum * 10000.0 / nbox + 0.5).toLong
+                  i += 1
+                }
+                j += 1
+              }
+              ResizedImage(r.media_id, w, h, outW, outH, total)
+            case None => ResizedImage(r.media_id, 0, 0, 0, 0, -1L)
+          }
+        }
+      }
+    }
+  }
+
+  /** PNG-encode a two-tone vertical-split gray tile (columns < splitCol
+    * are `gLeft`, the rest `gRight`) — lossless, so resize arithmetic
+    * over the decoded pixels is exactly mirrorable from the synthesis
+    * parameters (the q82 uniform-tile idea, upgraded to a NON-uniform
+    * image so a resize oracle can detect wrong box boundaries).
+    */
+  def encodeSplitGrayPng(width: Int, height: Int, splitCol: Int,
+                         gLeft: Int, gRight: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && splitCol >= 0 && splitCol <= width &&
+      gLeft >= 0 && gLeft <= 255 && gRight >= 0 && gRight <= 255)
+    javax.imageio.ImageIO.setUseCache(false)
+    val im = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = im.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raster.setSample(x, y, 0, if (x < splitCol) gLeft else gRight)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
   /** REAL decoded-sample audio features — `javax.sound.sampled` is
     * JDK-built-in (the [[decodeImages]] ImageIO argument verbatim), so WAV
     * PCM needs no external codec either: this closes the audio half of the
@@ -438,6 +534,89 @@ object Multimodal {
     out.put("data".getBytes("US-ASCII")).putInt(dataSize)
     frames.foreach(s => (0 until channels).foreach(_ => out.putShort(s)))
     out.array()
+  }
+
+  /** Windowed energy profile over decoded PCM: `n_windows` COMPLETE
+    * `windowFrames`-frame windows (trailing partial dropped — a gate
+    * must not score a half window), `n_silent` those with mean |sample|
+    * under `silenceE4`/1e4, `min/max_mean_e4` the quietest/loudest
+    * window. Marker (0, -1, -1, -1) for undecodable payloads;
+    * (0, 0, -1, -1) for decodable audio shorter than one window.
+    */
+  case class AudioWindows(media_id: Long, n_windows: Long, n_silent: Long,
+                          min_mean_e4: Long, max_mean_e4: Long)
+
+  private[graft] def audioWindowsOne(media_id: Long, bytes: Array[Byte],
+                                     windowFrames: Int,
+                                     silenceE4: Long): AudioWindows = {
+    def marker = AudioWindows(media_id, 0L, -1L, -1L, -1L)
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => return marker }
+    try {
+      val fmt = ais.getFormat
+      val channels = fmt.getChannels
+      val rate = math.round(fmt.getSampleRate)
+      // same plausibility gate as decodeAudioOne: 16-bit signed PCM only,
+      // header claims bounded before any sample data is touched
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+        channels < 1 || channels > 64 || rate < 1 || rate > 4000000)
+        return marker
+      val samplesPerWindow = windowFrames.toLong * channels
+      val buf = new Array[Byte](8192)
+      var carry = -1
+      var winSum = 0L
+      var winCount = 0L
+      var nWindows = 0L
+      var nSilent = 0L
+      var minMean = Long.MaxValue
+      var maxMean = Long.MinValue
+      def push(s: Int): Unit = {
+        winSum += math.abs(s); winCount += 1
+        if (winCount == samplesPerWindow) {
+          val mean = math.floor(
+            winSum * 10000.0 / samplesPerWindow + 0.5).toLong
+          nWindows += 1
+          if (mean < silenceE4) nSilent += 1
+          if (mean < minMean) minMean = mean
+          if (mean > maxMean) maxMean = mean
+          winSum = 0L; winCount = 0L
+        }
+      }
+      var n = ais.read(buf)
+      while (n > 0) {
+        var i = 0
+        if (carry >= 0 && n >= 1) {
+          push((carry | (buf(0) << 8)).toShort.toInt); carry = -1; i = 1
+        }
+        while (i + 1 < n) {
+          push(((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort.toInt); i += 2
+        }
+        if (i < n) carry = buf(i) & 0xff
+        n = ais.read(buf)
+      }
+      if (nWindows == 0) AudioWindows(media_id, 0L, 0L, -1L, -1L)
+      else AudioWindows(media_id, nWindows, nSilent, minMean, maxMean)
+    } catch { case scala.util.control.NonFatal(_) => marker }
+    finally ais.close()
+  }
+
+  /** Windowed energy profile over a media Dataset — the silence /
+    * energy gate of an audio curation pipeline (keep clips with enough
+    * non-silent content), over REAL decoded samples in the
+    * [[decodeAudio]] streaming shape (allocation-true, trailing partial
+    * window dropped).
+    */
+  def audioEnergyWindows(ds: Dataset[MediaRecord], windowFrames: Int,
+                         silenceE4: Long = 10000L,
+                         batchSize: Int = 64): Dataset[AudioWindows] = {
+    require(windowFrames > 0, s"audioEnergyWindows: windowFrames $windowFrames")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(
+      _.iterator.map(r =>
+        audioWindowsOne(r.media_id, r.media, windowFrames, silenceE4))))
   }
 
   /** MP4 container walk — REAL byte parsing of the ISO-BMFF box tree (no

@@ -2240,6 +2240,167 @@ object ExtProbes {
       |    AND NOT contains(text, '{')) AS keep
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---- q100 token-budget mixture plan ------------------------------------
+  // Domains = the corpus's lang values; weights cover en/de/fr (es/zh
+  // exercise the unlisted→0 path), the budget forces the epoch cap on at
+  // least the low-resource weighted domains (avail ≪ desired at sf0.01),
+  // and deficits are the difference the plan must report. Both engines
+  // compute the identical double expressions over exact integer inputs —
+  // one floor at the end of each, hash-equal.
+  val q100: Q = (s, d) =>
+    graft.operators.Curation.mixturePlan(
+        Tables.documents(s, d).select(col("lang"), col("text")),
+        "lang", graft.operators.TextStats.wsTokenCount(col("text")),
+        Map("en" -> 5000L, "de" -> 1250L, "fr" -> 2500L),
+        budgetTokens = 1000000L, maxEpochsE4 = 25000L)
+      .orderBy("lang")
+
+  val q100Sql: String =
+    """WITH t AS (SELECT lang,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS toks
+      |  FROM documents),
+      |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(toks) AS BIGINT) AS avail_tokens FROM t GROUP BY lang),
+      |w AS (SELECT lang, n_docs, avail_tokens,
+      |    CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 1250
+      |         WHEN lang = 'fr' THEN 2500 ELSE 0 END AS wv
+      |  FROM a),
+      |p AS (SELECT lang, n_docs, avail_tokens,
+      |    CAST(floor(wv * 10000.0 / 8750.0) AS BIGINT) AS weight_e4,
+      |    CAST(floor(1000000.0 * wv / 8750.0) AS BIGINT) AS desired_tokens
+      |  FROM w),
+      |e AS (SELECT *, CASE WHEN avail_tokens <= 0 THEN CAST(0 AS BIGINT)
+      |    ELSE least(CAST(25000 AS BIGINT),
+      |      CAST(floor(desired_tokens * 10000.0 / avail_tokens) AS BIGINT))
+      |    END AS epochs_e4
+      |  FROM p)
+      |SELECT lang, n_docs, avail_tokens, weight_e4, desired_tokens,
+      |  epochs_e4,
+      |  CAST(floor(avail_tokens * epochs_e4 / 10000.0) AS BIGINT)
+      |    AS planned_tokens,
+      |  desired_tokens - CAST(floor(avail_tokens * epochs_e4 / 10000.0)
+      |    AS BIGINT) AS deficit
+      |FROM e ORDER BY lang""".stripMargin
+
+  // ---- q101 box-average image resize (REAL decode + resample) -----------
+  // Multimodal.encodeSplitGrayPng synthesizes two-tone PNGs (dims, split
+  // column and both gray levels doc_id-derived — NON-uniform, so wrong box
+  // boundaries change the answer); Multimodal.resizeImages decodes and
+  // box-averages to a fixed 4x3 grid, summing the per-output-pixel e4
+  // means. The oracle regenerates the full 4x3 box grid (floor boundaries,
+  // >=1-px clamp) and the identical sum*10000.0/nbox+0.5 floor per pixel —
+  // exact integers into identical double expressions, hash-equal. 1/5 of
+  // payloads are raw text, pinning the undecodable marker row.
+  def q101Media(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      if (id % 5 == 0)
+        graft.operators.Multimodal.MediaRecord(
+          id, s"not image: $id".getBytes("UTF-8"), "text/plain")
+      else {
+        val w = (id % 29 + 2).toInt
+        val h = (id % 17 + 1).toInt
+        graft.operators.Multimodal.MediaRecord(
+          id,
+          graft.operators.Multimodal.encodeSplitGrayPng(
+            w, h, w / 2, (id % 256).toInt, ((id * 7 + 13) % 256).toInt),
+          "image/png")
+      }
+    }
+  }
+
+  val q101: Q = (s, d) => {
+    val media = q101Media(graft.core.Ops.widen(Tables.documents(s, d)))
+    graft.operators.Multimodal.resizeImages(media, 4, 3).toDF()
+      .orderBy("media_id")
+  }
+
+  val q101Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN NULL ELSE doc_id % 29 + 2 END AS w,
+      |    doc_id % 17 + 1 AS h,
+      |    (doc_id % 29 + 2) // 2 AS split,
+      |    doc_id % 256 AS gl,
+      |    (doc_id * 7 + 13) % 256 AS gr
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, w, h, split, gl, gr,
+      |    (i.i * w) // 4 AS x0,
+      |    least(w, greatest(((i.i + 1) * w) // 4, (i.i * w) // 4 + 1)) AS x1,
+      |    (j.j * h) // 3 AS y0,
+      |    least(h, greatest(((j.j + 1) * h) // 3, (j.j * h) // 3 + 1)) AS y1
+      |  FROM p, range(4) i(i), range(3) j(j)
+      |  WHERE w IS NOT NULL),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(floor((y1 - y0) * (gl * (least(x1, split) - least(x0, split)) +
+      |        gr * ((x1 - x0) - (least(x1, split) - least(x0, split)))) * 10000.0
+      |      / ((x1 - x0) * (y1 - y0)) + 0.5) AS BIGINT) AS e4
+      |  FROM b),
+      |a AS (SELECT doc_id, CAST(sum(e4) AS BIGINT) AS out_sum_e4
+      |  FROM m GROUP BY doc_id)
+      |SELECT p.doc_id AS media_id,
+      |  CAST(coalesce(p.w, 0) AS INTEGER) AS width,
+      |  CAST(CASE WHEN p.w IS NULL THEN 0 ELSE p.h END AS INTEGER) AS height,
+      |  CAST(CASE WHEN p.w IS NULL THEN 0 ELSE 4 END AS INTEGER) AS out_w,
+      |  CAST(CASE WHEN p.w IS NULL THEN 0 ELSE 3 END AS INTEGER) AS out_h,
+      |  CAST(CASE WHEN p.w IS NULL THEN -1 ELSE a.out_sum_e4 END AS BIGINT)
+      |    AS out_sum_e4
+      |FROM p LEFT JOIN a ON p.doc_id = a.doc_id
+      |ORDER BY media_id""".stripMargin
+
+  // ---- q102 audio energy windows (silence gate over decoded PCM) --------
+  // Reuses q84's WAV synthesis verbatim (ramp frames step*(i%100), rate /
+  // channels / length doc_id-derived); Multimodal.audioEnergyWindows
+  // decodes the PCM stream and scores 25-frame windows. Windows align to
+  // 25-frame boundaries, so each window's frame-value sum has the closed
+  // form 25*((k*25) % 100) + 300 — SQL-expressible; the oracle feeds it
+  // through the identical winSum*10000.0/samplesPerWindow+0.5 floor.
+  // Threshold 2000e4 makes window silence depend on BOTH k and step —
+  // n_silent varies across docs. Text payloads pin the marker row.
+  val q102: Q = (s, d) => {
+    val media = q84Media(graft.core.Ops.widen(Tables.documents(s, d)))
+    graft.operators.Multimodal
+      .audioEnergyWindows(media, windowFrames = 25, silenceE4 = 20000000L)
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  val q102Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 1 + doc_id % 2 END AS ch,
+      |    50 + doc_id % 150 AS n,
+      |    (doc_id % 7 + 1) * 40 AS step
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id,
+      |    CAST(floor((ch * step * (25 * ((k.k * 25) % 100) + 300)) * 10000.0
+      |      / (25 * ch) + 0.5) AS BIGINT) AS mean_e4
+      |  FROM p, range(7) k(k)
+      |  WHERE ch IS NOT NULL AND k.k < n // 25),
+      |a AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+      |    CAST(sum(CASE WHEN mean_e4 < 20000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_silent,
+      |    min(mean_e4) AS min_mean_e4, max(mean_e4) AS max_mean_e4
+      |  FROM w GROUP BY doc_id)
+      |SELECT p.doc_id AS media_id,
+      |  CAST(CASE WHEN p.ch IS NULL THEN 0 ELSE a.n_windows END AS BIGINT)
+      |    AS n_windows,
+      |  CAST(CASE WHEN p.ch IS NULL THEN -1 ELSE a.n_silent END AS BIGINT)
+      |    AS n_silent,
+      |  CAST(CASE WHEN p.ch IS NULL THEN -1 ELSE a.min_mean_e4 END AS BIGINT)
+      |    AS min_mean_e4,
+      |  CAST(CASE WHEN p.ch IS NULL THEN -1 ELSE a.max_mean_e4 END AS BIGINT)
+      |    AS max_mean_e4
+      |FROM p LEFT JOIN a ON p.doc_id = a.doc_id
+      |ORDER BY media_id""".stripMargin
+
   // ---- q88 intra-document line dedup ------------------------------------
   // Repeated lines planted per doc (duplicate banner + duplicate body
   // line); Curation.dedupLines keeps first occurrences in original order
@@ -2332,6 +2493,9 @@ object ExtProbes {
     "q97_dsir_resample" -> q97,
     "q98_quality_classifier" -> q98,
     "q99_c4_rules" -> q99,
+    "q100_mixture_plan" -> q100,
+    "q101_image_resize" -> q101,
+    "q102_audio_windows" -> q102,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2396,5 +2560,8 @@ object ExtProbes {
     "q97_dsir_resample" -> q97Sql,
     "q98_quality_classifier" -> q98Sql,
     "q99_c4_rules" -> q99Sql,
+    "q100_mixture_plan" -> q100Sql,
+    "q101_image_resize" -> q101Sql,
+    "q102_audio_windows" -> q102Sql,
   )
 }

@@ -126,8 +126,24 @@ object Scale {
             concat(col("text"), lit(" zz yy xx")).as("text"))
         scaled.unionByName(planted)
       }
+      // classifier model: trained OUTSIDE the funnel timing (the
+      // pipeline stage is SCORING — training is a separate job a real
+      // run does once on labeled exemplars); base corpus, cheap label
+      val clsModel = graft.operators.Classifier.train(
+        graft.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"),
+            (length(col("text")) >= 200).cast("int").as("y")),
+        "doc_id", "text", "y", dim = 64, iters = 2, lrE6 = 500000L)
       for (n <- Seq(1, factor)) {
-        val d = curateDocs(n)
+        // C4 needs sentence structure the word-permuted corpus lacks
+        // (normalization strips punctuation): a constant three-sentence
+        // suffix makes every doc one kept line with three sentence marks
+        // — the c4 stage then does its real per-row work without
+        // emptying the funnel. (Rows are NOT comparable to the
+        // pre-suffix funnel table — noted in SCALE.md.)
+        val d = curateDocs(n).select(col("doc_id"),
+          concat(col("text"), lit(" alpha one. beta two. gamma three."))
+            .as("text"))
         // benchmark set: every 97th base doc's text (bounded, disjoint
         // sample role — same text domain so decontamination does real work)
         val bench = graft.Tables.documents(spark, sfDir)
@@ -141,12 +157,18 @@ object Scale {
         val t0 = System.nanoTime()
         val res = graft.pipeline.Curate.run(d, "doc_id", "text",
           bench, "btext", graft.pipeline.CurateConfig(
+            c4Clean = true,
             gopherRules = Some(graft.operators.TextStats.GopherConfig()),
             maxSelfXentE4 = Some(200000L),
             dedupLinesWithinDocs = true,
             dedupWindowsW = Some(8),
-            dsirKeepFracE4 = 8000L),
-          dsirTarget = Some(target))
+            dsirKeepFracE4 = 8000L,
+            // threshold 0: the gate drops nothing (funnel rows stay
+            // interpretable) but pays the full scoring cost — the thing
+            // this sweep measures
+            minClassifierPE6 = 0L),
+          dsirTarget = Some(target),
+          classifierModel = Some(clsModel))
         val total = (System.nanoTime() - t0) / 1e9
         val secs = res.stageSeconds.toMap
         for ((name, c) <- res.stageCounts)

@@ -222,6 +222,65 @@ class ExtOperatorsSpec extends SparkSpec {
       Multimodal.DecodedImage(4L, 0, 0, 0, -1L)))
   }
 
+  test("resizeImages: hand-computed box means — uneven boxes, split " +
+      "straddle, upscale clamp, rounding, marker") {
+    import graft.operators.Multimodal
+    val recs = Seq(
+      // 5x1 split@2 (10|250) -> 2x1: [0,2) mean 10, [2,5) mean 250
+      Multimodal.MediaRecord(1L,
+        Multimodal.encodeSplitGrayPng(5, 1, 2, 10, 250), "image/png"),
+      // 4x1 split@1 (0|100) -> 2x1: [0,2) straddles -> mean 50; [2,4) 100
+      Multimodal.MediaRecord(2L,
+        Multimodal.encodeSplitGrayPng(4, 1, 1, 0, 100), "image/png"),
+      Multimodal.MediaRecord(3L, "not an image".getBytes("UTF-8"),
+        "text/plain"))
+    val got2 = Multimodal.resizeImages(recs.toDS(), 2, 1, batchSize = 2)
+      .collect().sortBy(_.media_id).toSeq
+    assert(got2 == Seq(
+      Multimodal.ResizedImage(1L, 5, 1, 2, 1, 100000L + 2500000L),
+      Multimodal.ResizedImage(2L, 4, 1, 2, 1, 500000L + 1000000L),
+      Multimodal.ResizedImage(3L, 0, 0, 0, 0, -1L)))
+    // rounding: 3x1 (0|100 split@1) -> 1x1: sum 200 over 3 px ->
+    // floor(666666.67 + 0.5) = 666667
+    val r = Multimodal.resizeImages(Seq(Multimodal.MediaRecord(9L,
+        Multimodal.encodeSplitGrayPng(3, 1, 1, 0, 100), "image/png")).toDS(),
+      1, 1).collect().head
+    assert(r.out_sum_e4 == 666667L)
+    // upscale: 1x1 gray 37 -> 3x2: every box clamps to the lone pixel
+    val up = Multimodal.resizeImages(Seq(Multimodal.MediaRecord(8L,
+        Multimodal.encodeSplitGrayPng(1, 1, 0, 0, 37), "image/png")).toDS(),
+      3, 2).collect().head
+    assert(up == Multimodal.ResizedImage(8L, 1, 1, 3, 2, 6L * 370000L))
+  }
+
+  test("audioEnergyWindows: window means, silence count, trailing " +
+      "partial dropped, short-clip and marker rows") {
+    import graft.operators.Multimodal
+    // ch=2, 5 frames, windows of 2 frames: |100,300| -> mean 200;
+    // |-200,500| -> mean 350; frame 700 is a trailing partial (dropped)
+    val wav = Multimodal.encodePcm16Wav(8000, 2,
+      Array[Short](100, 300, -200, 500, 700))
+    val short0 = Multimodal.encodePcm16Wav(8000, 1, Array[Short](7))
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, wav, "audio/wav"),
+      Multimodal.MediaRecord(2L, short0, "audio/wav"),
+      Multimodal.MediaRecord(3L, "not audio".getBytes("UTF-8"), "text/plain"))
+    val got = Multimodal.audioEnergyWindows(recs.toDS(), windowFrames = 2,
+        silenceE4 = 2500000L, batchSize = 2)
+      .collect().sortBy(_.media_id).toSeq
+    assert(got == Seq(
+      Multimodal.AudioWindows(1L, 2L, 1L, 2000000L, 3500000L),
+      Multimodal.AudioWindows(2L, 0L, 0L, -1L, -1L),
+      Multimodal.AudioWindows(3L, 0L, -1L, -1L, -1L)))
+    // rounding inside a window: [1,1,2] over one 3-frame window ->
+    // floor(40000.0/3 + 0.5) = floor(13333.83) = 13333; over the default
+    // silence threshold (10000 e4 = mean |sample| 1.0), so not silent
+    val r = Multimodal.audioEnergyWindows(Seq(Multimodal.MediaRecord(9L,
+        Multimodal.encodePcm16Wav(8000, 1, Array[Short](1, 1, 2)),
+        "audio/wav")).toDS(), windowFrames = 3).collect().head
+    assert(r == Multimodal.AudioWindows(9L, 1L, 0L, 13333L, 13333L))
+  }
+
   test("contaminationFlags marks exactly the docs sharing a benchmark n-gram") {
     import graft.operators.Curation
     val docs = Seq(
@@ -517,6 +576,41 @@ class ExtOperatorsSpec extends SparkSpec {
       (2L, "cherry", 1L, 1287682L, 2L),
       (3L, "cherry", 2L, 2L * 1287682L, 1L),
       (3L, "durian", 1L, 1693147L, 2L)))
+  }
+
+  test("mixturePlan: hand-computed epochs, caps, deficits, zero-weight " +
+      "and empty-domain paths") {
+    import graft.operators.Curation
+    // rich: 10 docs x 100 tokens; scarce: 2 x 50; unlisted: 3 x 10
+    val docs = (
+      (1 to 10).map(i => (s"d$i", "rich", 100L)) ++
+      (1 to 2).map(i => (s"s$i", "scarce", 50L)) ++
+      (1 to 3).map(i => (s"u$i", "other", 10L))
+    ).toDF("id", "dom", "toks")
+    val got = Curation.mixturePlan(docs, "dom", col("toks"),
+        Map("rich" -> 7500L, "scarce" -> 2500L),
+        budgetTokens = 2000L, maxEpochsE4 = 30000L)
+      .orderBy("dom")
+      .select("dom", "n_docs", "avail_tokens", "weight_e4",
+        "desired_tokens", "epochs_e4", "planned_tokens", "deficit")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // rich: avail 1000, desired 1500 -> epochs 1.5 (uncapped), planned
+    // 1500, deficit 0. scarce: avail 100, desired 500 -> epochs would be
+    // 5.0, capped at 3.0 -> planned 300, deficit 200. other: weight 0.
+    assert(got === Seq(
+      ("other", 3L, 30L, 0L, 0L, 0L, 0L, 0L),
+      ("rich", 10L, 1000L, 7500L, 1500L, 15000L, 1500L, 0L),
+      ("scarce", 2L, 100L, 2500L, 500L, 30000L, 300L, 200L)))
+    // an all-empty-text domain (zero available tokens) plans zero
+    val withEmpty = docs.unionByName(
+      Seq(("e1", "empty", 0L)).toDF("id", "dom", "toks"))
+    val e = Curation.mixturePlan(withEmpty, "dom", col("toks"),
+        Map("rich" -> 5000L, "empty" -> 5000L), 1000L)
+      .filter(col("dom") === "empty")
+      .select("avail_tokens", "epochs_e4", "planned_tokens", "deficit")
+      .as[(Long, Long, Long, Long)].head()
+    assert(e === ((0L, 0L, 0L, 500L)))
   }
 
   test("c4Clean: every rule measured on crafted vectors") {
