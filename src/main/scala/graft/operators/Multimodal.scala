@@ -2,6 +2,7 @@ package graft.operators
 
 import java.security.MessageDigest
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads travel as opaque `binary`
   * columns with typed metadata; decode / feature-extract runs as a typed
@@ -353,6 +354,39 @@ object Multimodal {
     * decoded pixels (band 0). Same bounded-batch mapPartitions + bomb
     * guard as [[decodeImages]].
     */
+  /** Row-major e4 box means of the `outW`×`outH` resample grid over
+    * band 0 — the shared arithmetic of [[resizeImages]] (sums it) and
+    * [[imageAHash]] (thresholds it): box (i, j) covers source columns
+    * [floor(i·W/ow), floor((i+1)·W/ow)) (rows likewise), clamped to at
+    * least one pixel; the mean exits as floor(sum·1e4/nbox + 0.5).
+    */
+  private[graft] def boxGridE4(raster: java.awt.image.Raster, w: Int,
+                               h: Int, outW: Int, outH: Int): Array[Long] = {
+    val out = new Array[Long](outW * outH)
+    var j = 0
+    while (j < outH) {
+      val y0 = (j.toLong * h / outH).toInt
+      val y1 = math.min(h, math.max(((j + 1).toLong * h / outH).toInt, y0 + 1))
+      var i = 0
+      while (i < outW) {
+        val x0 = (i.toLong * w / outW).toInt
+        val x1 = math.min(w, math.max(((i + 1).toLong * w / outW).toInt, x0 + 1))
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        val nbox = (x1 - x0).toLong * (y1 - y0)
+        out(j * outW + i) = math.floor(sum * 10000.0 / nbox + 0.5).toLong
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
   def resizeImages(ds: Dataset[MediaRecord], outW: Int, outH: Int,
                    batchSize: Int = 64,
                    maxPixels: Long = 64L << 20): Dataset[ResizedImage] = {
@@ -370,31 +404,10 @@ object Multimodal {
             catch { case scala.util.control.NonFatal(_) => None }
           img match {
             case Some(im) =>
-              val raster = im.getRaster
-              val (w, h) = (im.getWidth, im.getHeight)
-              var total = 0L
-              var j = 0
-              while (j < outH) {
-                val y0 = (j.toLong * h / outH).toInt
-                val y1 = math.min(h, math.max(((j + 1).toLong * h / outH).toInt, y0 + 1))
-                var i = 0
-                while (i < outW) {
-                  val x0 = (i.toLong * w / outW).toInt
-                  val x1 = math.min(w, math.max(((i + 1).toLong * w / outW).toInt, x0 + 1))
-                  var sum = 0L
-                  var y = y0
-                  while (y < y1) {
-                    var x = x0
-                    while (x < x1) { sum += raster.getSample(x, y, 0); x += 1 }
-                    y += 1
-                  }
-                  val nbox = (x1 - x0).toLong * (y1 - y0)
-                  total += math.floor(sum * 10000.0 / nbox + 0.5).toLong
-                  i += 1
-                }
-                j += 1
-              }
-              ResizedImage(r.media_id, w, h, outW, outH, total)
+              val grid = boxGridE4(im.getRaster, im.getWidth, im.getHeight,
+                outW, outH)
+              ResizedImage(r.media_id, im.getWidth, im.getHeight,
+                outW, outH, grid.sum)
             case None => ResizedImage(r.media_id, 0, 0, 0, 0, -1L)
           }
         }
@@ -428,6 +441,111 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(im, "png", bos)
     bos.toByteArray
+  }
+
+  /** Perceptual average-hash of an image: `ahash` bit k (row-major cell
+    * k = j·8+i of the 8×8 [[boxGridE4]] grid) is set iff that cell's e4
+    * mean exceeds the integer average of all 64 cell means — the aHash
+    * of the image-dedup literature, over REAL decoded pixels. All-bits-
+    * set is impossible (the minimum cell never exceeds the floored
+    * average), so −1 marks undecodable payloads unambiguously.
+    */
+  case class ImageHash(media_id: Long, ahash: Long)
+
+  def imageAHash(ds: Dataset[MediaRecord], batchSize: Int = 64,
+                 maxPixels: Long = 64L << 20): Dataset[ImageHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bomb = claimedPixels(r.media) > maxPixels
+          val img =
+            if (bomb) None
+            else try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.media)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          img match {
+            case Some(im) =>
+              val grid = boxGridE4(im.getRaster, im.getWidth, im.getHeight, 8, 8)
+              val avg = grid.sum / 64
+              var hash = 0L
+              var k = 0
+              while (k < 64) {
+                if (grid(k) > avg) hash |= 1L << k
+                k += 1
+              }
+              ImageHash(r.media_id, hash)
+            case None => ImageHash(r.media_id, -1L)
+          }
+        }
+      }
+    }
+  }
+
+  /** PNG-encode arbitrary 8-bit gray `pixels` (row-major, length w·h) —
+    * the fully-general synthesis fixture: a per-pixel pseudo-random
+    * pattern gives [[imageAHash]] probes 64 bits of real entropy (the
+    * two-tone tiles hash to a handful of patterns).
+    */
+  def encodeGrayPixelsPng(width: Int, height: Int,
+                          pixels: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height,
+      s"encodeGrayPixelsPng: ${pixels.length} pixels for ${width}x$height")
+    javax.imageio.ImageIO.setUseCache(false)
+    val im = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = im.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, pixels(y * width + x)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Near-duplicate image pairs by perceptual hash — the image-side
+    * MinHash: [[imageAHash]] signatures banded into 4×16-bit keys
+    * (pigeonhole: two hashes within hamming `maxHamming` < 4 agree
+    * exactly on ≥1 band), equi-joined on (band, bits), verified with
+    * `bit_count(xor) <= maxHamming`. EXACT for maxHamming < 4 — the
+    * band join is a candidate superset and the verify prunes it — and
+    * never all-pairs: the only shuffle is the 4-rows-per-image band
+    * join. Undecodable markers never pair. Same Managed discipline as
+    * the text near-dup family (the signature derivation — a full decode
+    * pass — feeds both join sides; unpersisted it would decode the
+    * corpus twice).
+    */
+  def imageNearDupPairs(ds: Dataset[MediaRecord],
+                        maxHamming: Int = 3): DataFrame =
+    imageNearDupPairsManaged(ds, maxHamming).df
+
+  def imageNearDupPairsManaged(ds: Dataset[MediaRecord],
+                               maxHamming: Int = 3): graft.core.Managed = {
+    require(maxHamming < 4, "pigeonhole over 4 bands needs maxHamming < 4")
+    val sigs = imageAHash(ds).toDF()
+      .filter(col("ahash") =!= -1L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sigs.select(col("media_id"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("ahash"), b * 16).bitwiseAND(0xffffL).as("bits"))): _*))
+        .as("bb"))
+      .select(col("media_id"), col("ahash"), col("bb.band").as("band"),
+        col("bb.bits").as("bits"))
+    val a = bands.select(col("media_id").as("idA"), col("ahash").as("ha"),
+      col("band"), col("bits"))
+    val b = bands.select(col("media_id").as("idB"), col("ahash").as("hb"),
+      col("band"), col("bits"))
+    val out = a.join(b, Seq("band", "bits"))
+      .filter(col("idA") < col("idB"))
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("idA", "idB", "hamming").distinct()
+    graft.core.Managed(out, Seq(sigs))
   }
 
   /** REAL decoded-sample audio features — `javax.sound.sampled` is

@@ -2401,6 +2401,101 @@ object ExtProbes {
       |FROM p LEFT JOIN a ON p.doc_id = a.doc_id
       |ORDER BY media_id""".stripMargin
 
+  // ---- q103/q104 perceptual image hash + near-dup pairs ------------------
+  // 16x16 PNGs with a per-pixel pseudo-random gray pattern (64 bits of
+  // real hash entropy — two-tone tiles would collapse to a handful of
+  // patterns and blow the pair join quadratic); docs with id % 7 == 3 are
+  // PLANTED near-dups: the previous doc's pattern with one pixel nudged
+  // (+9 at (0,0)), so their aHash sits within a few bits of the base's.
+  // Each 8x8 aHash cell covers exactly 2x2 pixels, so the oracle's cell
+  // mean is the closed form sum4*2500; bits compare cells against the
+  // integer average of all 64 cells, packed with bit 63 as the BIGINT
+  // sign (DuckDB 1<<63 overflows; the oracle adds Long.MinValue for that
+  // bit instead). 1/5 raw-text payloads pin the -1 marker.
+  def q103Media(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      if (id % 5 == 0)
+        graft.operators.Multimodal.MediaRecord(
+          id, s"not image: $id".getBytes("UTF-8"), "text/plain")
+      else {
+        val variant = id % 7 == 3
+        val base = if (variant) id - 1 else id
+        val px = Array.tabulate(256) { p =>
+          val (x, y) = (p % 16, p / 16)
+          val nudge = if (variant && x == 0 && y == 0) 9 else 0
+          ((base * 31 + y * 16 + x * 17 + nudge) % 256).toInt
+        }
+        graft.operators.Multimodal.MediaRecord(
+          id, graft.operators.Multimodal.encodeGrayPixelsPng(16, 16, px),
+          "image/png")
+      }
+    }
+  }
+
+  /** The shared hash CTE: per-doc aHash recomputed from the synthesis
+    * arithmetic (cell k = j*8+i means sum4*2500; integer-average
+    * threshold; sign-bit packing).
+    */
+  private val aHashCte: String =
+    """p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN NULL
+      |         WHEN doc_id % 7 = 3 THEN doc_id - 1 ELSE doc_id END AS base,
+      |    (doc_id % 7 = 3) AS isvar
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, j.j * 8 + i.i AS k,
+      |    ((p.base * 31 + (j.j*2) * 16 + (i.i*2) * 17 +
+      |        CASE WHEN p.isvar AND i.i = 0 AND j.j = 0 THEN 9 ELSE 0 END)
+      |       % 256 +
+      |     (p.base * 31 + (j.j*2) * 16 + (i.i*2+1) * 17) % 256 +
+      |     (p.base * 31 + (j.j*2+1) * 16 + (i.i*2) * 17) % 256 +
+      |     (p.base * 31 + (j.j*2+1) * 16 + (i.i*2+1) * 17) % 256) * 2500
+      |      AS e4
+      |  FROM p, range(8) i(i), range(8) j(j)
+      |  WHERE p.base IS NOT NULL),
+      |g2 AS (
+      |  SELECT doc_id, k, e4,
+      |    CAST(sum(e4) OVER (PARTITION BY doc_id) AS BIGINT) // 64 AS avg
+      |  FROM g),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN e4 > avg THEN
+      |        CASE WHEN k = 63 THEN -9223372036854775808
+      |             ELSE CAST(1 AS BIGINT) << CAST(k AS INTEGER) END
+      |      ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM g2 GROUP BY doc_id)""".stripMargin
+
+  val q103: Q = (s, d) => {
+    val media = q103Media(graft.core.Ops.widen(Tables.documents(s, d)))
+    graft.operators.Multimodal.imageAHash(media).toDF()
+      .orderBy("media_id")
+  }
+
+  val q103Sql: String =
+    s"""WITH $aHashCte
+      |SELECT p.doc_id AS media_id,
+      |  CAST(coalesce(h.ahash, -1) AS BIGINT) AS ahash
+      |FROM p LEFT JOIN h ON p.doc_id = h.doc_id
+      |ORDER BY media_id""".stripMargin
+
+  val q104: Q = (s, d) => {
+    val media = q103Media(graft.core.Ops.widen(Tables.documents(s, d)))
+    graft.operators.Multimodal.imageNearDupPairs(media, 3)
+      .orderBy("idA", "idB")
+  }
+
+  val q104Sql: String =
+    s"""WITH $aHashCte
+      |SELECT a.doc_id AS idA, b.doc_id AS idB,
+      |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+      |FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+      |ORDER BY idA, idB""".stripMargin
+
   // ---- q88 intra-document line dedup ------------------------------------
   // Repeated lines planted per doc (duplicate banner + duplicate body
   // line); Curation.dedupLines keeps first occurrences in original order
@@ -2496,6 +2591,8 @@ object ExtProbes {
     "q100_mixture_plan" -> q100,
     "q101_image_resize" -> q101,
     "q102_audio_windows" -> q102,
+    "q103_image_ahash" -> q103,
+    "q104_image_neardup" -> q104,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2563,5 +2660,7 @@ object ExtProbes {
     "q100_mixture_plan" -> q100Sql,
     "q101_image_resize" -> q101Sql,
     "q102_audio_windows" -> q102Sql,
+    "q103_image_ahash" -> q103Sql,
+    "q104_image_neardup" -> q104Sql,
   )
 }

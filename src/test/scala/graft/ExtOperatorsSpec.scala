@@ -281,6 +281,61 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(r == Multimodal.AudioWindows(9L, 1L, 0L, 13333L, 13333L))
   }
 
+  test("imageAHash: hand-computed bits, threshold strictness, marker") {
+    import graft.operators.Multimodal
+    // 8x8 image, 1px boxes: pixel k gray = 10 for k < 32, 200 for k >= 32.
+    // avg e4 = (32*100000 + 32*2000000)/64 = 1050000 -> exactly the top
+    // half above threshold: bits 32..63 set = -4294967296 (0xFFFFFFFF00000000)
+    val px = Array.tabulate(64)(k => if (k < 32) 10 else 200)
+    val img = Multimodal.encodeGrayPixelsPng(8, 8, px)
+    // uniform image: no cell exceeds the average -> hash 0 (strict >)
+    val flat = Multimodal.encodeGrayPixelsPng(8, 8, Array.fill(64)(77))
+    val got = Multimodal.imageAHash(Seq(
+        Multimodal.MediaRecord(1L, img, "image/png"),
+        Multimodal.MediaRecord(2L, flat, "image/png"),
+        Multimodal.MediaRecord(3L, "nope".getBytes("UTF-8"), "text/plain"))
+      .toDS()).collect().sortBy(_.media_id).toSeq
+    assert(got == Seq(
+      Multimodal.ImageHash(1L, 0xFFFFFFFF00000000L),
+      Multimodal.ImageHash(2L, 0L),
+      Multimodal.ImageHash(3L, -1L)))
+  }
+
+  test("imageNearDupPairs: banded join finds exactly the pairs within " +
+      "hamming 3; markers never pair") {
+    import graft.operators.Multimodal
+    def pat(seed: Int, nudge: Int) = Array.tabulate(256) { p =>
+      val (x, y) = (p % 16, p / 16)
+      (seed * 31 + y * 16 + x * 17 + (if (x == 0 && y == 0) nudge else 0)) % 256
+    }
+    val recs = Seq(
+      Multimodal.MediaRecord(1L,
+        Multimodal.encodeGrayPixelsPng(16, 16, pat(5, 0)), "image/png"),
+      Multimodal.MediaRecord(2L,   // near-dup of 1 (one pixel nudged)
+        Multimodal.encodeGrayPixelsPng(16, 16, pat(5, 9)), "image/png"),
+      Multimodal.MediaRecord(3L,   // unrelated pattern
+        Multimodal.encodeGrayPixelsPng(16, 16, pat(123, 0)), "image/png"),
+      Multimodal.MediaRecord(4L, "text".getBytes("UTF-8"), "text/plain"),
+      Multimodal.MediaRecord(5L, "text2".getBytes("UTF-8"), "text/plain"))
+    val hashes = Multimodal.imageAHash(recs.toDS()).collect()
+      .map(h => h.media_id -> h.ahash).toMap
+    val pairs = Multimodal.imageNearDupPairs(recs.toDS(), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // ground truth by brute force over the decodable hashes
+    val ids = Seq(1L, 2L, 3L)
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      ham = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+      if ham <= 3
+    } yield (a, b, ham.toLong)).toSet
+    assert(pairs == expected)
+    assert(expected.contains((1L, 2L,
+      java.lang.Long.bitCount(hashes(1L) ^ hashes(2L)).toLong)))
+    // the planted pair really is close and the unrelated one is not
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(2L)) <= 3)
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(3L)) > 3)
+  }
+
   test("contaminationFlags marks exactly the docs sharing a benchmark n-gram") {
     import graft.operators.Curation
     val docs = Seq(
