@@ -532,6 +532,76 @@ object TextStats {
         col("rnk"))
   }
 
+  /** BM25 top-k retrieval: score every (query, doc) pair that shares at
+    * least one term and keep the k best docs per query. The retrieval
+    * front-end of a RAG / decontamination pipeline, one layer above
+    * [[tfidfTopTerms]] (same tf/df frames, BM25's saturation + length
+    * normalization on top).
+    *
+    * Determinism contract (repo convention): each per-term contribution
+    * is rounded to an e6 BIGINT BEFORE the per-doc sum — ln and the
+    * double ratio are bit-identical across engines on identical
+    * expression trees, and integer sums commute. Constants k1 = 1.25 and
+    * b = 0.75 are exact binary fractions.
+    *
+    * Scale shape: one corpus word explode feeding BOTH the tf agg and the
+    * per-doc length (no second pass), a vocabulary-sized df agg derived
+    * from tf, an equi join of tf against the QUERY-term table first —
+    * queries are the small side (AQE broadcasts it), so the df/idf join
+    * and the score arithmetic only ever touch candidate rows, not the
+    * full corpus posting list. `N` and `avgdl` are model metadata,
+    * computed once on the driver (bounded action) — not 1-row scalar
+    * crosses in the plan. Final top-k is a per-query bounded window
+    * (plans WindowGroupLimit).
+    *
+    * Output: (qid, idCol, score_e6, rnk), rnk 1..k per query.
+    */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String,
+               queries: org.apache.spark.sql.DataFrame, qidCol: String,
+               qtermCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val words = graft.core.Ops.widen(docs)
+      .select(col(idCol),
+        graft.operators.Dedup.normalizeWords(col(textCol)).as("__w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = words.agg(
+        count(lit(1)).as("n"), sum(size(col("__w"))).as("dlsum")).head()
+      val n = stats.getLong(0)
+      val avgdl = stats.getLong(1).toDouble / n
+      val tf = words
+        .select(col(idCol), size(col("__w")).as("dl"),
+          explode(col("__w")).as("term"))
+        .groupBy(col(idCol), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("idf_e6", floor(
+          log((lit(n.toDouble) - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)) * lit(1e6) + lit(0.5))
+          .cast("long"))
+        .select("term", "idf_e6")
+      val qterms = queries
+        .select(col(qidCol).as("qid"), col(qtermCol).as("term")).distinct()
+      val contrib = tf
+        .join(qterms, Seq("term"))
+        .join(idf, Seq("term"))
+        .withColumn("c_e6", floor(
+          col("idf_e6") * (col("tf") * lit(2.25)) /
+            (col("tf") + lit(1.25) *
+              (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)))
+            + lit(0.5)).cast("long"))
+      val scored = contrib.groupBy(col("qid"), col(idCol))
+        .agg(sum(col("c_e6")).as("score_e6"))
+      scored
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(col("score_e6").desc, col(idCol).asc)).cast("long"))
+        .filter(col("rnk") <= k)
+        .select(col("qid"), col(idCol), col("score_e6"), col("rnk"))
+    } finally words.unpersist()
+  }
+
   /** Whitespace token count; empty/whitespace-only text is 0 tokens
     * (`split("") == [""]` would report 1 — off by one for exactly the
     * degenerate docs token counts gate).

@@ -2496,6 +2496,49 @@ object ExtProbes {
       |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
       |ORDER BY idA, idB""".stripMargin
 
+  // ---- q105 BM25 top-k retrieval -----------------------------------------
+  // Queries derived from the corpus itself (every 97th doc contributes its
+  // first 3 normalized words as a term set) so the oracle can mirror the
+  // derivation; k1 = 1.25 / b = 0.75 are exact binary fractions, each
+  // per-term contribution e6-rounded BEFORE the per-doc sum (repo
+  // determinism convention), N and avgdl computed once driver-side.
+  val q105: Q = (s, d) => {
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+      .select("doc_id", "text")
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("qid"),
+        explode(slice(Dedup.normalizeWords(col("text")), 1, 3)).as("term"))
+    TextStats.bm25TopK(docs, "doc_id", "text", queries, "qid", "term", k = 5)
+      .orderBy("qid", "rnk")
+  }
+
+  val q105Sql: String =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |stat AS (SELECT count(*) AS n,
+       |    CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl FROM w),
+       |ws AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w),
+       |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM ws GROUP BY doc_id, dl, term),
+       |idf AS (SELECT term, CAST(floor(
+       |    ln(((SELECT n FROM stat) - count(*) + 0.5) / (count(*) + 0.5)
+       |      + 1.0) * 1e6 + 0.5) AS BIGINT) AS idf_e6
+       |  FROM tf GROUP BY term),
+       |q AS (SELECT DISTINCT qid, term FROM (
+       |  SELECT doc_id AS qid, unnest(w[1:3]) AS term FROM w
+       |  WHERE doc_id % 97 = 0)),
+       |c AS (SELECT q.qid, tf.doc_id, CAST(floor(
+       |    idf_e6 * (tf * 2.25) /
+       |      (tf + 1.25 * (0.25 + 0.75 * dl / (SELECT avgdl FROM stat)))
+       |    + 0.5) AS BIGINT) AS c_e6
+       |  FROM tf JOIN q USING (term) JOIN idf USING (term)),
+       |sc AS (SELECT qid, doc_id, CAST(sum(c_e6) AS BIGINT) AS score_e6
+       |  FROM c GROUP BY qid, doc_id),
+       |r AS (SELECT qid, doc_id, score_e6, CAST(row_number() OVER (
+       |    PARTITION BY qid ORDER BY score_e6 DESC, doc_id) AS BIGINT)
+       |    AS rnk FROM sc)
+       |SELECT qid, doc_id, score_e6, rnk FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+
   // ---- q88 intra-document line dedup ------------------------------------
   // Repeated lines planted per doc (duplicate banner + duplicate body
   // line); Curation.dedupLines keeps first occurrences in original order
@@ -2593,6 +2636,7 @@ object ExtProbes {
     "q102_audio_windows" -> q102,
     "q103_image_ahash" -> q103,
     "q104_image_neardup" -> q104,
+    "q105_bm25_topk" -> q105,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2662,5 +2706,6 @@ object ExtProbes {
     "q102_audio_windows" -> q102Sql,
     "q103_image_ahash" -> q103Sql,
     "q104_image_neardup" -> q104Sql,
+    "q105_bm25_topk" -> q105Sql,
   )
 }

@@ -633,6 +633,46 @@ class ExtOperatorsSpec extends SparkSpec {
       (3L, "durian", 1L, 1693147L, 2L)))
   }
 
+  test("bm25TopK: hand-computed score, length normalization, rank order") {
+    import graft.operators.TextStats
+    // d1 mentions apple twice in 4 words, d2 once in 2 words, d3 never.
+    val docs = Seq(
+      (1L, "apple apple pear plum"),
+      (2L, "apple fig"),
+      (3L, "kiwi mango")
+    ).toDF("doc_id", "text")
+    val queries = Seq((10L, "apple")).toDF("qid", "term")
+    val got = TextStats.bm25TopK(docs, "doc_id", "text",
+        queries, "qid", "term", k = 5)
+      .orderBy("rnk")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // N=3, df(apple)=2 → idf_e6 = floor(ln((3-2+.5)/(2+.5)+1)*1e6+.5)
+    val idfE6 = math.floor(
+      math.log((3.0 - 2 + 0.5) / (2 + 0.5) + 1.0) * 1e6 + 0.5).toLong
+    val avgdl = 8.0 / 3
+    def c(tf: Long, dl: Long): Long = math.floor(
+      idfE6 * (tf * 2.25) /
+        (tf + 1.25 * (0.25 + 0.75 * dl / avgdl)) + 0.5).toLong
+    // tf=2 beats tf=1 here: saturation (k1=1.25) still rewards the
+    // second occurrence more than the dl-normalization penalizes the
+    // longer doc (c(2,4) ≈ 568744 > c(1,2) ≈ 524656)
+    assert(c(2, 4) > c(1, 2))
+    assert(got === Seq(
+      (10L, 1L, c(2, 4), 1L),
+      (10L, 2L, c(1, 2), 2L)))
+    // multi-term query sums e6-rounded contributions
+    val q2 = Seq((20L, "apple"), (20L, "pear")).toDF("qid", "term")
+    val got2 = TextStats.bm25TopK(docs, "doc_id", "text",
+        q2, "qid", "term", k = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val idfPear = math.floor(
+      math.log((3.0 - 1 + 0.5) / (1 + 0.5) + 1.0) * 1e6 + 0.5).toLong
+    val cPear = math.floor(
+      idfPear * (1 * 2.25) /
+        (1 + 1.25 * (0.25 + 0.75 * 4 / avgdl)) + 0.5).toLong
+    assert(got2 === Seq((20L, 1L, c(2, 4) + cPear, 1L)))
+  }
+
   test("mixturePlan: hand-computed epochs, caps, deficits, zero-weight " +
       "and empty-domain paths") {
     import graft.operators.Curation
