@@ -2539,6 +2539,87 @@ object ExtProbes {
        |SELECT qid, doc_id, score_e6, rnk FROM r WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
 
+  // ---- q106 count-min heavy hitters --------------------------------------
+  // 4×64 count-min over the term vocabulary (counters built from the
+  // pre-aggregated counts — identical to sketching raw occurrences,
+  // without the ×depth corpus explode); candidates = global top-20 terms
+  // via TakeOrderedAndProject (no single-partition window). est ≥ exact
+  // always (CMS one-sided error) — the oracle recomputes the identical
+  // sketch, so the check is exact equality, not the inequality.
+  val q106: Q = (s, d) => {
+    val cnt = graft.core.Ops.widen(Tables.documents(s, d))
+      .select(explode(Dedup.normalizeWords(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("exact"))
+    val counters = graft.operators.Sketches.cmsCounters(cnt, "term", "exact")
+    val cand = cnt.orderBy(col("exact").desc, col("term").asc).limit(20)
+    cand.join(
+        graft.operators.Sketches.cmsEstimates(cand.select("term"), "term",
+          counters),
+        Seq("term"))
+      .select(col("term"), col("exact"), col("est"))
+      .orderBy("term")
+  }
+
+  val q106Sql: String =
+    s"""WITH ws AS (SELECT unnest($duckWords) AS term FROM documents),
+       |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS exact
+       |  FROM ws GROUP BY term),
+       |cand AS (SELECT term, exact FROM (
+       |  SELECT term, exact, row_number() OVER (
+       |    ORDER BY exact DESC, term) AS rn FROM cnt) WHERE rn <= 20),
+       |cb AS (SELECT term, exact, t.j,
+       |    ('0x' || substr(md5(term || ':' || t.j), 1, 8))::BIGINT % 64
+       |      AS bucket
+       |  FROM cnt, range(4) t(j)),
+       |ctr AS (SELECT j, bucket, CAST(sum(exact) AS BIGINT) AS c
+       |  FROM cb GROUP BY j, bucket),
+       |qb AS (SELECT cand.term, cand.exact, t.j,
+       |    ('0x' || substr(md5(cand.term || ':' || t.j), 1, 8))::BIGINT % 64
+       |      AS bucket
+       |  FROM cand, range(4) t(j)),
+       |est AS (SELECT qb.term, qb.exact, CAST(min(ctr.c) AS BIGINT) AS est
+       |  FROM qb JOIN ctr ON ctr.j = qb.j AND ctr.bucket = qb.bucket
+       |  GROUP BY qb.term, qb.exact)
+       |SELECT term, exact, est FROM est ORDER BY term""".stripMargin
+
+  // ---- q107 HyperLogLog distinct count -----------------------------------
+  // m = 64 registers from a 60-bit md5 hash; the register sum is kept
+  // integral (s55 = Σ 2^(55−M_b), order-free) so the only float op is
+  // the final alpha·m²/s55 division — identical expression tree both
+  // sides. Output pins the integer core (s55, zeros) AND the rounded
+  // estimate, plus the exact distinct for reference.
+  val q107: Q = (s, d) => {
+    val terms = graft.core.Ops.widen(Tables.documents(s, d))
+      .select(explode(Dedup.normalizeWords(col("text"))).as("term"))
+    val est = graft.operators.Sketches.hllEstimate(
+      graft.operators.Sketches.hllRegisters(terms, "term"))
+    val exact = terms.agg(count_distinct(col("term")).as("exact"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact"), col("zeros"), col("s55"), col("est_e6"))
+  }
+
+  val q107Sql: String =
+    s"""WITH ws AS (SELECT unnest($duckWords) AS term FROM documents),
+       |k AS (SELECT DISTINCT term FROM ws),
+       |v AS (SELECT ('0x' || substr(md5(term), 1, 15))::BIGINT AS v FROM k),
+       |r AS (SELECT v % 64 AS bucket,
+       |    CASE WHEN v // 64 = 0 THEN 55
+       |         ELSE 55 - length(bin(v // 64)) END AS rho FROM v),
+       |reg AS (SELECT bucket, max(rho) AS mrho FROM r GROUP BY bucket),
+       |s AS (SELECT
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST(55 - mrho AS INTEGER))
+       |      + (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT)
+       |      AS s55,
+       |    CAST(64 - count(*) AS BIGINT) AS zeros FROM reg),
+       |e AS (SELECT s55, zeros,
+       |    0.709e0 * 4096e0 * 36028797018963968e0 / s55 AS eraw FROM s)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM k) AS exact,
+       |  zeros, s55,
+       |  CAST(floor(CASE WHEN eraw <= 160e0 AND zeros > 0
+       |      THEN 64e0 * ln(64e0 / zeros) ELSE eraw END * 1e6 + 0.5)
+       |    AS BIGINT) AS est_e6
+       |FROM e""".stripMargin
+
   // ---- q88 intra-document line dedup ------------------------------------
   // Repeated lines planted per doc (duplicate banner + duplicate body
   // line); Curation.dedupLines keeps first occurrences in original order
@@ -2637,6 +2718,8 @@ object ExtProbes {
     "q103_image_ahash" -> q103,
     "q104_image_neardup" -> q104,
     "q105_bm25_topk" -> q105,
+    "q106_cms_heavy" -> q106,
+    "q107_hll_distinct" -> q107,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2707,5 +2790,7 @@ object ExtProbes {
     "q103_image_ahash" -> q103Sql,
     "q104_image_neardup" -> q104Sql,
     "q105_bm25_topk" -> q105Sql,
+    "q106_cms_heavy" -> q106Sql,
+    "q107_hll_distinct" -> q107Sql,
   )
 }
