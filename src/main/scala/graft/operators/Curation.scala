@@ -310,6 +310,44 @@ object Curation {
       .select(col(idCol), coalesce(col("__cleaned"), lit("")).as("cleaned_text"))
   }
 
+  /** HTML → text extraction: the step between a crawl's WARC payloads
+    * and the text-curation funnel. Drops `<script>`/`<style>` subtrees
+    * (their text is code, not prose), strips every remaining tag,
+    * decodes the five predefined entities (`&amp;` LAST — so
+    * `&amp;lt;` single-unescapes to `&lt;`, not `<`), and collapses
+    * runs of whitespace. A pure `regexp_replace` chain — per-row,
+    * codegen'd, zero shuffle — oracle-mirrorable because every pattern
+    * sticks to the Java∩RE2 common subset: no backreferences (script
+    * and style are separate passes), explicit `[ \t\r\n]` class instead
+    * of `\s` (Java's `\s` also eats `\x0B`, RE2's does not).
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(from), to) }
+    trim(regexp_replace(ent, "[ \\t\\r\\n]+", " "))
+  }
+
+  /** The DuckDB rendering of [[htmlToText]] applied to SQL fragment
+    * `htmlExpr` — kept adjacent so the chains stay in lockstep.
+    */
+  def htmlToTextDuckSql(htmlExpr: String): String =
+    s"""trim(regexp_replace(
+       |  replace(replace(replace(replace(replace(
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace($htmlExpr,
+       |          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+       |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+       |      '(?s)<[^>]*>', ' ', 'g'),
+       |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+       |    '&amp;', '&'),
+       |  '[ \t\r\n]+', ' ', 'g'))""".stripMargin
+
   /** Intra-document line dedup — the WITHIN-doc half of repetition
     * cleanup ([[removeBoilerplate]] is the corpus-wide half): repeated
     * lines inside one document (scraped nav menus, repeated headers,

@@ -2620,6 +2620,74 @@ object ExtProbes {
        |    AS BIGINT) AS est_e6
        |FROM e""".stripMargin
 
+  // ---- q108 WARC record parse --------------------------------------------
+  // Documents grouped 10-per-file into spec-shaped WARC payloads (one
+  // warcinfo + one response record per doc, HTTP layer included), then
+  // parsed BACK by the byte-offset scanner. The oracle recomputes every
+  // field from the synthesis arithmetic: clen = 45-byte HTTP prefix +
+  // UTF-8 octet length, rec_index = gap-proof row_number within the
+  // file (warcinfo holds slot 0). Probe checks the full response set.
+  val q108: Q = (s, d) => {
+    import s.implicits._
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"),
+        expr("doc_id div 10").cast("long").as("fid"))
+      .as[(Long, String, Long)]
+    val files = docs.groupByKey(_._3).mapGroups { (fid, it) =>
+      graft.sources.Warc.buildFile(fid,
+        it.toSeq.sortBy(_._1).map(t => (t._1, t._2)))
+    }
+    graft.sources.Warc.parseRecords(files).toDF()
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("uri"), col("rec_index"), col("http_status").as("status"),
+        col("content_length").as("clen"), col("body"))
+      .orderBy("doc_id")
+  }
+
+  val q108Sql: String =
+    """SELECT doc_id,
+      |  'https://example.org/doc/' || doc_id AS uri,
+      |  CAST(row_number() OVER (PARTITION BY doc_id // 10
+      |    ORDER BY doc_id) AS INTEGER) AS rec_index,
+      |  CAST(200 AS INTEGER) AS status,
+      |  CAST(45 + octet_length(encode(text)) AS BIGINT) AS clen,
+      |  text AS body
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- q109 HTML → text extraction ---------------------------------------
+  // Doc text wrapped in a synthesized page (title, script with entities,
+  // style, nav, footer) — the extractor must drop the script/style
+  // SUBTREES, keep nav/footer TEXT (boilerplate removal is q59's job,
+  // not the parser's), single-unescape entities (&amp; last), and
+  // collapse whitespace. Oracle applies the identical chain to the
+  // identical synthesis — the probe pins Java-regex ≡ RE2 semantics on
+  // the shared subset.
+  private val q109Page: (String, String) = (
+    "<html><head><title>d",
+    """</title><script type="text/javascript">if (1 &lt; 2) { x = "&amp;"; }
+      |</script><style>p { color: red; }</style></head><body>
+      |<nav>home &gt; docs</nav><p>""".stripMargin)
+  private val q109Tail =
+    "</p><footer>&copy; 2026 Example &amp; Sons</footer></body></html>"
+
+  val q109: Q = (s, d) => {
+    val html = concat(lit(q109Page._1), col("doc_id").cast("string"),
+      lit(q109Page._2), col("text"), lit(q109Tail))
+    graft.core.Ops.widen(Tables.documents(s, d))
+      .select(col("doc_id"), Curation.htmlToText(html).as("clean"))
+      .orderBy("doc_id")
+  }
+
+  val q109Sql: String = {
+    val htmlExpr = s"'${q109Page._1}' || doc_id || " +
+      s"'${q109Page._2.replace("'", "''")}' || text || " +
+      s"'${q109Tail.replace("'", "''")}'"
+    s"""SELECT doc_id, ${Curation.htmlToTextDuckSql(htmlExpr)} AS clean
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q88 intra-document line dedup ------------------------------------
   // Repeated lines planted per doc (duplicate banner + duplicate body
   // line); Curation.dedupLines keeps first occurrences in original order
@@ -2720,6 +2788,8 @@ object ExtProbes {
     "q105_bm25_topk" -> q105,
     "q106_cms_heavy" -> q106,
     "q107_hll_distinct" -> q107,
+    "q108_warc_parse" -> q108,
+    "q109_html_text" -> q109,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2792,5 +2862,7 @@ object ExtProbes {
     "q105_bm25_topk" -> q105Sql,
     "q106_cms_heavy" -> q106Sql,
     "q107_hll_distinct" -> q107Sql,
+    "q108_warc_parse" -> q108Sql,
+    "q109_html_text" -> q109Sql,
   )
 }
