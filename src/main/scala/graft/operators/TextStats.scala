@@ -564,42 +564,44 @@ object TextStats {
     val words = graft.core.Ops.widen(docs)
       .select(col(idCol),
         graft.operators.Dedup.normalizeWords(col(textCol)).as("__w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val stats = words.agg(
-        count(lit(1)).as("n"), sum(size(col("__w"))).as("dlsum")).head()
-      val n = stats.getLong(0)
-      val avgdl = stats.getLong(1).toDouble / n
-      val tf = words
-        .select(col(idCol), size(col("__w")).as("dl"),
-          explode(col("__w")).as("term"))
-        .groupBy(col(idCol), col("dl"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        .withColumn("idf_e6", floor(
-          log((lit(n.toDouble) - col("df") + lit(0.5)) /
-            (col("df") + lit(0.5)) + lit(1.0)) * lit(1e6) + lit(0.5))
-          .cast("long"))
-        .select("term", "idf_e6")
-      val qterms = queries
-        .select(col(qidCol).as("qid"), col(qtermCol).as("term")).distinct()
-      val contrib = tf
-        .join(qterms, Seq("term"))
-        .join(idf, Seq("term"))
-        .withColumn("c_e6", floor(
-          col("idf_e6") * (col("tf") * lit(2.25)) /
-            (col("tf") + lit(1.25) *
-              (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)))
-            + lit(0.5)).cast("long"))
-      val scored = contrib.groupBy(col("qid"), col(idCol))
-        .agg(sum(col("c_e6")).as("score_e6"))
-      scored
-        .withColumn("rnk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("qid")
-            .orderBy(col("score_e6").desc, col(idCol).asc)).cast("long"))
-        .filter(col("rnk") <= k)
-        .select(col("qid"), col(idCol), col("score_e6"), col("rnk"))
-    } finally words.unpersist()
+    // model metadata (corpus size, mean doc length) via one bounded
+    // driver action — the tfidfTopTerms discipline; the tf subtree below
+    // is referenced twice (df derivation + score join) but its shuffle is
+    // IDENTICAL in both, so Spark's ReusedExchange computes it once
+    // (plan-checked in the bm25 spec)
+    val stats = words.agg(
+      count(lit(1)).as("n"), sum(size(col("__w"))).as("dlsum")).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val tf = words
+      .select(col(idCol), size(col("__w")).as("dl"),
+        explode(col("__w")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf_e6", floor(
+        log((lit(n.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)) * lit(1e6) + lit(0.5))
+        .cast("long"))
+      .select("term", "idf_e6")
+    val qterms = queries
+      .select(col(qidCol).as("qid"), col(qtermCol).as("term")).distinct()
+    val contrib = tf
+      .join(qterms, Seq("term"))
+      .join(idf, Seq("term"))
+      .withColumn("c_e6", floor(
+        col("idf_e6") * (col("tf") * lit(2.25)) /
+          (col("tf") + lit(1.25) *
+            (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)))
+          + lit(0.5)).cast("long"))
+    val scored = contrib.groupBy(col("qid"), col(idCol))
+      .agg(sum(col("c_e6")).as("score_e6"))
+    scored
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("score_e6").desc, col(idCol).asc)).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col(idCol), col("score_e6"), col("rnk"))
   }
 
   /** Whitespace token count; empty/whitespace-only text is 0 tokens

@@ -662,9 +662,16 @@ class ExtOperatorsSpec extends SparkSpec {
       (10L, 2L, c(1, 2), 2L)))
     // multi-term query sums e6-rounded contributions
     val q2 = Seq((20L, "apple"), (20L, "pear")).toDF("qid", "term")
-    val got2 = TextStats.bm25TopK(docs, "doc_id", "text",
+    val res2 = TextStats.bm25TopK(docs, "doc_id", "text",
         q2, "qid", "term", k = 1)
-      .as[(Long, Long, Long, Long)].collect().toSeq
+      .as[(Long, Long, Long, Long)]
+    val got2 = res2.collect().toSeq
+    // the doubly-referenced tf subtree (df derivation + score join) must
+    // come back as ONE shuffle via ReusedExchange — the plan property the
+    // unpersisted-double-compute design of bm25TopK rests on (checked on
+    // the FINAL adaptive plan, post-collect)
+    assert(res2.queryExecution.executedPlan.toString
+      .contains("ReusedExchange"))
     val idfPear = math.floor(
       math.log((3.0 - 1 + 0.5) / (1 + 0.5) + 1.0) * 1e6 + 0.5).toLong
     val cPear = math.floor(

@@ -334,8 +334,15 @@ class PlanContractSpec extends SparkSpec {
       "q89_ivfpq_topk", "q92_ivfpq_residual",
       // q93's dense zero-fill crosses each doc with the dim-row position
       // list — a `dim`-rows broadcast, bounded independent of corpus
-      "q93_hash_embed")
-    val singlePartAllowed = Set("q20_decile_bucketing") // 1-row scalar max
+      "q93_hash_embed",
+      // q107's cross is the 1-row exact-count frame × the 1-row HLL
+      // estimate frame — both already reduced before the join
+      "q107_hll_distinct")
+    val singlePartAllowed = Set(
+      "q20_decile_bucketing", // 1-row scalar max
+      // global reductions over pre-bounded inputs: the ≤64-row HLL
+      // register frame and the partial-agged exact distinct count
+      "q107_hll_distinct")
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) => name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
