@@ -452,6 +452,74 @@ object Scale {
             .agg(count(lit(1)).as("docs"), sum("xent_e4").as("sx")),
           Seq.empty)
       }
+      // --- round-8: retrieval, sketches, crawl ingest -------------------
+      run("bm25_top5", n) {
+        val queries = d.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("qid"),
+            explode(slice(Dedup.normalizeWords(col("text")), 1, 3))
+              .as("term"))
+        graft.core.Managed(
+          graft.operators.TextStats.bm25TopK(d, "doc_id", "text",
+              queries, "qid", "term", k = 5)
+            .groupBy(col("qid") % 32)
+            .agg(count(lit(1)).as("rows"), sum("score_e6").as("s")),
+          Seq.empty)
+      }
+      run("cms_heavy", n) {
+        // sketch build from the vocabulary agg + top-20 point estimates;
+        // the 20-row result is collected directly (TakeOrderedAndProject,
+        // no single-partition exchange)
+        val cnt = d
+          .select(explode(Dedup.normalizeWords(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("exact"))
+        val counters =
+          graft.operators.Sketches.cmsCounters(cnt, "term", "exact")
+        val cand = cnt.orderBy(col("exact").desc, col("term").asc).limit(20)
+        graft.core.Managed(
+          graft.operators.Sketches.cmsEstimates(cand.select("term"), "term",
+            counters),
+          Seq.empty)
+      }
+      run("hll_distinct", n) {
+        // 1-row global estimate: the two SinglePartition exchanges are
+        // the operator's own bounded reductions (≤64 register rows), not
+        // a measurement artifact
+        graft.core.Managed(
+          graft.operators.Sketches.hllEstimate(
+            graft.operators.Sketches.hllRegisters(
+              d.select(explode(Dedup.normalizeWords(col("text")))
+                .as("term")), "term")),
+          Seq.empty)
+      }
+      run("warc_parse", n) {
+        import spark.implicits._
+        val files = d
+          .select(col("doc_id"), col("text"),
+            expr("doc_id div 10").cast("long").as("fid"))
+          .as[(Long, String, Long)]
+          .groupByKey(_._3).mapGroups { (fid, it) =>
+            graft.sources.Warc.buildFile(fid,
+              it.toSeq.sortBy(_._1).map(t => (t._1, t._2)))
+          }
+        graft.core.Managed(
+          graft.sources.Warc.parseRecords(files).toDF()
+            .groupBy(col("file_id") % 32)
+            .agg(count(lit(1)).as("recs"),
+              sum("content_length").as("payload_bytes")),
+          Seq.empty)
+      }
+      run("html_text", n) {
+        graft.core.Managed(
+          d.select(col("doc_id"), graft.operators.Curation.htmlToText(
+              concat(
+                lit("<html><head><script>if (a &lt; b) {}</script>" +
+                  "<style>p{}</style></head><body><nav>home</nav><p>"),
+                col("text"), lit("</p></body></html>"))).as("clean"))
+            .groupBy(col("doc_id") % 32)
+            .agg(count(lit(1)).as("docs"),
+              sum(length(col("clean"))).as("chars")),
+          Seq.empty)
+      }
 
       // --- round-4 operators: temporal joins on Nx-deep per-key history,
       // exact percentiles on Nx groups ---------------------------------
