@@ -31,6 +31,26 @@ object Sketches {
     conv(substring(md5(concat(key, lit(":"), j.cast("string"))), 1, 8),
       16, 10).cast("long") % width
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  /** Scala twin of [[bucketCol]] — the streaming form maps rows to
+    * buckets in task code; the parity spec pins scala ≡ column.
+    */
+  def bucketOf(key: String, j: Int, width: Int): Long =
+    java.lang.Long.parseLong(md5Hex(s"$key:$j").substring(0, 8), 16) % width
+
+  /** Scala twin of the [[hllRegisters]] hash: (bucket, rho). */
+  def hllBucketRho(key: String): (Long, Long) = {
+    val v = java.lang.Long.parseLong(md5Hex(key).substring(0, 15), 16)
+    val w = v >>> 6
+    val rho = if (w == 0L) 55L
+      else 55L - (64L - java.lang.Long.numberOfLeadingZeros(w))
+    (v % 64, rho)
+  }
+
   /** Build count-min counters from a pre-aggregated (key, count) frame.
     * Output: (j, bucket, c) — depth×width rows.
     */
