@@ -532,6 +532,86 @@ object TextStats {
         col("rnk"))
   }
 
+  /** Trigram stupid-backoff scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" — the web-scale LM that skips
+    * normalized discounting): for each trigram w1 w2 w3 of the scored
+    * doc,
+    *
+    *   S = c3/c2ctx                     when the trigram was seen,
+    *       0.4 · c2/c1ctx               else when the suffix bigram was,
+    *       0.4 · 0.4 · (c1+1)/(N+1)     else (add-one unigram floor, so
+    *                                    out-of-vocabulary words stay
+    *                                    finite),
+    *
+    * summed per doc as e6-rounded nats (−ln S per token BEFORE the sum —
+    * the repo determinism convention). Cross-model scoring (train slice ≠
+    * scored corpus) is the point: the backoff branches only fire on
+    * UNSEEN grams, which a self-train shape never produces.
+    *
+    * Scale shape: model tables (tri/bi/uni counts) are train-corpus
+    * aggregates reused by key; the scored corpus explodes ONCE into the
+    * trigram stream, which then equi-joins the three model tables
+    * (left joins, AQE broadcasts the vocabulary-bounded sides) — the
+    * corpus-sized side shuffles only at the final per-doc aggregate.
+    * N (train token count) is model metadata, computed once driver-side.
+    * Every input doc appears in the output (< 3 words ⇒ zeros).
+    *
+    * Output: (idCol, n_tri, nats_e6).
+    */
+  def stupidBackoffScores(docs: org.apache.spark.sql.DataFrame,
+                          idCol: String, textCol: String,
+                          train: org.apache.spark.sql.DataFrame,
+                          trainTextCol: String): org.apache.spark.sql.DataFrame = {
+    val tw = graft.core.Ops.widen(train)
+      .select(graft.operators.Dedup.normalizeWords(col(trainTextCol)).as("__w"))
+    val n = tw.agg(sum(size(col("__w")))).head().getLong(0)
+    def gramCounts(k: Int, cName: String) = tw
+      .select(explode(Curation.wordNgrams(col("__w"), k)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as(cName))
+    val tri = gramCounts(3, "c3")
+    val bi = gramCounts(2, "c2")
+    val uni = gramCounts(1, "c1")
+    val stream = graft.core.Ops.widen(docs)
+      .select(col(idCol),
+        graft.operators.Dedup.normalizeWords(col(textCol)).as("__w"))
+      .select(col(idCol), explode(expr(
+        """CASE WHEN size(__w) >= 3 THEN
+             transform(sequence(1, size(__w) - 2),
+               i -> struct(element_at(__w, i) AS w1,
+                 element_at(__w, i + 1) AS w2,
+                 element_at(__w, i + 2) AS w3))
+           ELSE CAST(array() AS array<struct<w1:string,w2:string,w3:string>>)
+           END""")).as("g"))
+      .select(col(idCol), col("g.w1"), col("g.w2"), col("g.w3"))
+    val scored = stream
+      .join(tri.withColumnRenamed("gram", "__k3"),
+        concat_ws(" ", col("w1"), col("w2"), col("w3")) === col("__k3"),
+        "left")
+      .join(bi.select(col("gram").as("__kc"), col("c2").as("c2ctx")),
+        concat_ws(" ", col("w1"), col("w2")) === col("__kc"), "left")
+      .join(bi.select(col("gram").as("__ks"), col("c2")),
+        concat_ws(" ", col("w2"), col("w3")) === col("__ks"), "left")
+      .join(uni.select(col("gram").as("__u1"), col("c1").as("c1ctx")),
+        col("w2") === col("__u1"), "left")
+      .join(uni.select(col("gram").as("__u2"), col("c1")),
+        col("w3") === col("__u2"), "left")
+      .withColumn("s",
+        when(col("c3").isNotNull, col("c3") / col("c2ctx"))
+          .otherwise(lit(0.4) *
+            when(col("c2").isNotNull, col("c2") / col("c1ctx"))
+              .otherwise(lit(0.4) *
+                (coalesce(col("c1"), lit(0L)) + lit(1.0)) /
+                (lit(n.toDouble) + lit(1.0)))))
+      .withColumn("nats", floor(-log(col("s")) * lit(1e6) + lit(0.5))
+        .cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tri"), sum(col("nats")).as("nats_e6"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("nats_e6"), lit(0L)).as("nats_e6"))
+  }
+
   /** BM25 top-k retrieval: score every (query, doc) pair that shares at
     * least one term and keep the k best docs per query. The retrieval
     * front-end of a RAG / decontamination pipeline, one layer above

@@ -2688,6 +2688,62 @@ object ExtProbes {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q110 trigram stupid-backoff LM ------------------------------------
+  // Model trained on the lang='en' slice, scored over the WHOLE corpus —
+  // cross-model on purpose: non-en docs hit the unseen-trigram and
+  // unseen-bigram backoff branches (0.4 factors + add-one unigram
+  // floor), which a self-train shape never exercises. Oracle mirrors all
+  // three model joins, the branch arithmetic (0.4e0 doubles, identical
+  // association), and the e6-before-sum rounding; every doc appears
+  // (< 3 words ⇒ zeros).
+  val q110: Q = (s, d) => {
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+      .select("doc_id", "text", "lang")
+    TextStats.stupidBackoffScores(
+      docs.select("doc_id", "text"), "doc_id", "text",
+      docs.filter(col("lang") === "en").select("text"), "text")
+      .orderBy("doc_id")
+  }
+
+  val q110Sql: String =
+    s"""WITH nt AS (SELECT doc_id, lang, $duckWords AS w FROM documents),
+       |n AS (SELECT CAST(sum(len(w)) AS BIGINT) AS n FROM nt
+       |  WHERE lang = 'en'),
+       |tri AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram,
+       |    CAST(count(*) AS BIGINT) AS c3
+       |  FROM nt, unnest(generate_series(1, len(w) - 2)) t(i)
+       |  WHERE lang = 'en' AND len(w) >= 3 GROUP BY 1),
+       |bi AS (SELECT w[i] || ' ' || w[i+1] AS gram,
+       |    CAST(count(*) AS BIGINT) AS c2
+       |  FROM nt, unnest(generate_series(1, len(w) - 1)) t(i)
+       |  WHERE lang = 'en' AND len(w) >= 2 GROUP BY 1),
+       |uni AS (SELECT gram, CAST(count(*) AS BIGINT) AS c1 FROM (
+       |  SELECT unnest(w) AS gram FROM nt WHERE lang = 'en') GROUP BY 1),
+       |st AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+       |  FROM nt, unnest(generate_series(1, len(w) - 2)) t(i)
+       |  WHERE len(w) >= 3),
+       |sc AS (SELECT st.doc_id,
+       |    CASE WHEN tri.c3 IS NOT NULL THEN tri.c3 / bc.c2
+       |         ELSE 0.4e0 * (CASE WHEN bs.c2 IS NOT NULL
+       |              THEN bs.c2 / uc.c1
+       |              ELSE 0.4e0 * (coalesce(us.c1, 0) + 1e0) /
+       |                ((SELECT n FROM n) + 1e0) END)
+       |    END AS s
+       |  FROM st
+       |  LEFT JOIN tri ON tri.gram = st.w1 || ' ' || st.w2 || ' ' || st.w3
+       |  LEFT JOIN bi bc ON bc.gram = st.w1 || ' ' || st.w2
+       |  LEFT JOIN bi bs ON bs.gram = st.w2 || ' ' || st.w3
+       |  LEFT JOIN uni uc ON uc.gram = st.w2
+       |  LEFT JOIN uni us ON us.gram = st.w3),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+       |    CAST(sum(CAST(floor(-ln(s) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+       |      AS nats_e6
+       |  FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_tri, 0) AS n_tri,
+       |  coalesce(a.nats_e6, 0) AS nats_e6
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- q88 intra-document line dedup ------------------------------------
   // Repeated lines planted per doc (duplicate banner + duplicate body
   // line); Curation.dedupLines keeps first occurrences in original order
@@ -2790,6 +2846,7 @@ object ExtProbes {
     "q107_hll_distinct" -> q107,
     "q108_warc_parse" -> q108,
     "q109_html_text" -> q109,
+    "q110_trigram_backoff" -> q110,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2864,5 +2921,6 @@ object ExtProbes {
     "q107_hll_distinct" -> q107Sql,
     "q108_warc_parse" -> q108Sql,
     "q109_html_text" -> q109Sql,
+    "q110_trigram_backoff" -> q110Sql,
   )
 }

@@ -680,6 +680,28 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(got2 === Seq((20L, 1L, c(2, 4) + cPear, 1L)))
   }
 
+  test("stupidBackoffScores: every branch hand-computed, short docs zero") {
+    import graft.operators.TextStats
+    val train = Seq(Tuple1("a b c d")).toDF("text")   // N=4 tokens
+    val docs = Seq(
+      (1L, "a b c"),    // trigram seen: S = c3/c2ctx = 1/1 → 0 nats
+      (2L, "x b c"),    // tri unseen, suffix bigram "b c" seen: S = 0.4·(1/1)
+      (3L, "a b x"),    // tri + suffix unseen, "x" OOV: S = 0.4·0.4·(0+1)/(4+1)
+      (4L, "a b d"),    // tri + suffix "b d" unseen, "d" seen: S = 0.4·0.4·(1+1)/5
+      (5L, "hi")        // < 3 words → zeros, still present
+    ).toDF("doc_id", "text")
+    val got = TextStats.stupidBackoffScores(docs, "doc_id", "text",
+        train, "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    def nats(s: Double): Long = math.floor(-math.log(s) * 1e6 + 0.5).toLong
+    assert(got === Seq(
+      (1L, 1L, 0L),
+      (2L, 1L, nats(0.4 * (1.0 / 1.0))),
+      (3L, 1L, nats(0.4 * (0.4 * (0L + 1.0) / (4.0 + 1.0)))),
+      (4L, 1L, nats(0.4 * (0.4 * (1L + 1.0) / (4.0 + 1.0)))),
+      (5L, 0L, 0L)))
+  }
+
   test("mixturePlan: hand-computed epochs, caps, deficits, zero-weight " +
       "and empty-domain paths") {
     import graft.operators.Curation
