@@ -684,6 +684,49 @@ object TextStats {
       .select(col("qid"), col(idCol), col("score_e6"), col("rnk"))
   }
 
+  /** Exact 3-term phrase search over positional postings — the
+    * verification layer of an inverted index ([[bm25TopK]] ranks by
+    * bag-of-words; phrase queries need POSITIONS). The corpus explodes
+    * once into (doc, pos, term) postings; a phrase [t1 t2 t3] matches at
+    * pos where the three postings chain at pos, pos+1, pos+2.
+    *
+    * Join order is the scale story: postings ⋈ the tiny phrase table on
+    * the FIRST term cuts the corpus to first-term candidates (AQE
+    * broadcasts the phrase side), and the two positional verifications
+    * then join candidates (small) against postings on (doc, pos, term) —
+    * equi joins AQE again broadcasts the small side of. Never a
+    * corpus × corpus position product.
+    *
+    * Output: (qid, idCol, match_pos) — every occurrence, 1-based
+    * position.
+    */
+  def phraseSearch3(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String,
+                    phrases: org.apache.spark.sql.DataFrame, qidCol: String,
+                    termsCol: String): org.apache.spark.sql.DataFrame = {
+    val postings = graft.core.Ops.widen(docs)
+      .select(col(idCol), posexplode(
+        graft.operators.Dedup.normalizeWords(col(textCol)))
+        .as(Seq("pos", "term")))
+    val q = phrases.select(col(qidCol).as("qid"),
+      element_at(col(termsCol), 1).as("__t1"),
+      element_at(col(termsCol), 2).as("__t2"),
+      element_at(col(termsCol), 3).as("__t3"))
+    val p2 = postings.select(col(idCol).as("__id2"), col("pos").as("__pos2"),
+      col("term").as("__term2"))
+    val p3 = postings.select(col(idCol).as("__id3"), col("pos").as("__pos3"),
+      col("term").as("__term3"))
+    postings.join(q, col("term") === col("__t1"))
+      .join(p2, col("__id2") === col(idCol) &&
+        col("__pos2") === col("pos") + lit(1) &&
+        col("__term2") === col("__t2"))
+      .join(p3, col("__id3") === col(idCol) &&
+        col("__pos3") === col("pos") + lit(2) &&
+        col("__term3") === col("__t3"))
+      .select(col("qid"), col(idCol),
+        (col("pos") + lit(1)).cast("long").as("match_pos"))
+  }
+
   /** Whitespace token count; empty/whitespace-only text is 0 tokens
     * (`split("") == [""]` would report 1 — off by one for exactly the
     * degenerate docs token counts gate).

@@ -2744,6 +2744,33 @@ object ExtProbes {
        |FROM documents d LEFT JOIN agg a USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q111 positional phrase search -------------------------------------
+  // Phrases = words 2..4 of every 89th doc (each query guaranteed ≥ 1
+  // hit: its own source doc). The oracle is an INDEPENDENT formulation —
+  // a direct array scan (w[i], w[i+1], w[i+2]) rather than a mirror of
+  // the postings joins — so a join-logic bug can't cancel out.
+  val q111: Q = (s, d) => {
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+      .select("doc_id", "text")
+    val phrases = docs.filter(col("doc_id") % 89 === 0)
+      .select(col("doc_id").as("qid"),
+        slice(Dedup.normalizeWords(col("text")), 2, 3).as("ts"))
+      .filter(size(col("ts")) === 3)
+    TextStats.phraseSearch3(docs, "doc_id", "text", phrases, "qid", "ts")
+      .orderBy("qid", "doc_id", "match_pos")
+  }
+
+  val q111Sql: String =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |q AS (SELECT doc_id AS qid, w[2] AS t1, w[3] AS t2, w[4] AS t3
+       |  FROM w WHERE doc_id % 89 = 0 AND len(w) >= 4),
+       |m AS (SELECT q.qid, w.doc_id, CAST(t.i AS BIGINT) AS match_pos
+       |  FROM q, w, unnest(generate_series(1, len(w.w) - 2)) t(i)
+       |  WHERE len(w.w) >= 3 AND w.w[t.i] = q.t1
+       |    AND w.w[t.i + 1] = q.t2 AND w.w[t.i + 2] = q.t3)
+       |SELECT qid, doc_id, match_pos FROM m
+       |ORDER BY qid, doc_id, match_pos""".stripMargin
+
   // ---- q88 intra-document line dedup ------------------------------------
   // Repeated lines planted per doc (duplicate banner + duplicate body
   // line); Curation.dedupLines keeps first occurrences in original order
@@ -2847,6 +2874,7 @@ object ExtProbes {
     "q108_warc_parse" -> q108,
     "q109_html_text" -> q109,
     "q110_trigram_backoff" -> q110,
+    "q111_phrase_search" -> q111,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2922,5 +2950,6 @@ object ExtProbes {
     "q108_warc_parse" -> q108Sql,
     "q109_html_text" -> q109Sql,
     "q110_trigram_backoff" -> q110Sql,
+    "q111_phrase_search" -> q111Sql,
   )
 }

@@ -702,6 +702,29 @@ class ExtOperatorsSpec extends SparkSpec {
       (5L, 0L, 0L)))
   }
 
+  test("phraseSearch3: all occurrences, cross-doc, overlap, no-match") {
+    import graft.operators.TextStats
+    val docs = Seq(
+      (1L, "the quick fox the quick fox ends"),  // phrase twice
+      (2L, "prefix the quick fox"),              // once, offset
+      (3L, "quick fox the"),                     // rotated — no match
+      (4L, "a a a a")                            // self-overlap probe
+    ).toDF("doc_id", "text")
+    val phrases = Seq(
+      (10L, Seq("the", "quick", "fox")),
+      (20L, Seq("a", "a", "a")),
+      (30L, Seq("zz", "yy", "xx"))               // absent everywhere
+    ).toDF("qid", "ts")
+    val got = TextStats.phraseSearch3(docs, "doc_id", "text",
+        phrases, "qid", "ts")
+      .orderBy("qid", "doc_id", "match_pos")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (10L, 1L, 1L), (10L, 1L, 4L),   // both occurrences, 1-based
+      (10L, 2L, 2L),
+      (20L, 4L, 1L), (20L, 4L, 2L)))  // overlapping matches both count
+  }
+
   test("mixturePlan: hand-computed epochs, caps, deficits, zero-weight " +
       "and empty-domain paths") {
     import graft.operators.Curation
