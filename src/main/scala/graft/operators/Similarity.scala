@@ -165,6 +165,37 @@ object Similarity {
       "other_id", "vb")
       .select("other_id", "vb", "cid")
 
+  /** Cluster-balanced subsampling: assign every vector to its nearest
+    * centroid cell, then keep the k smallest-PRIORITY members per cell,
+    * priority = md5(id) (a deterministic uniform draw — the repo's
+    * seedless-sampling convention, oracle-recomputable). The diversity
+    * -sampling step of cluster-based data selection (SemDeDup-adjacent:
+    * dedup keeps one per near-dup cluster; THIS keeps a budget per
+    * semantic cell so no single mode dominates the training mix).
+    *
+    * Scale shape: the assignment is [[ivfAssign]]'s bounded
+    * centroid-set cross + partial-agg argmax; the per-cell top-k is a
+    * bounded-output window (plans WindowGroupLimit — partial top-k per
+    * partition before the cell shuffle). Output is ≤ cells×k rows.
+    *
+    * Output: (cid, id, pri, rank), rank 1..k per cell by (pri, id).
+    */
+  def clusterBalancedSample(vectors: DataFrame, centroids: DataFrame,
+                            k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val cent = broadcast(
+      centroids.select(col("id").as("cid"), col("v").as("cv")))
+    ivfAssign(vectors, cent)
+      .withColumn("pri",
+        conv(substring(md5(col("other_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("cid").orderBy(col("pri").asc, col("other_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("cid"), col("other_id").as("id"), col("pri"), col("rank"))
+  }
+
   /** Probe-and-rank over an existing assignment: nprobe best cells per
     * query, candidates ranked within probed cells. Shared by the
     * train-inline ([[ivfTopK]]) and index-reuse ([[ivfTopKIndexed]])

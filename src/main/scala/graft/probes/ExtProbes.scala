@@ -2771,6 +2771,40 @@ object ExtProbes {
        |SELECT qid, doc_id, match_pos FROM m
        |ORDER BY qid, doc_id, match_pos""".stripMargin
 
+  // ---- q112 cluster-balanced sampling ------------------------------------
+  // Fixed centroid set (id % 25 — the q31 convention that keeps training
+  // out of the oracle's way), md5(id) priority, 5 kept per cell. The
+  // oracle mirrors the assignment argmax (cosine + cid tiebreak) and the
+  // priority window.
+  val q112: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    Similarity.clusterBalancedSample(e, e.filter(col("id") % 25 === 0), 5)
+      .orderBy("cid", "rank")
+  }
+
+  val q112Sql: String = {
+    val cos = Similarity.cosineDuckSql("e.v", "c.cv")
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |cent AS (SELECT id AS cid, v AS cv FROM e WHERE id % 25 = 0),
+       |assigned AS (
+       |  SELECT id, cid FROM (
+       |    SELECT e.id, c.cid,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY $cos DESC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+       |pri AS (SELECT cid, id,
+       |    ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT AS pri
+       |  FROM assigned),
+       |r AS (SELECT cid, id, pri, CAST(row_number() OVER (
+       |    PARTITION BY cid ORDER BY pri ASC, id ASC) AS BIGINT) AS rank
+       |  FROM pri)
+       |SELECT cid, id, pri, rank FROM r WHERE rank <= 5
+       |ORDER BY cid, rank""".stripMargin
+  }
+
   // ---- q88 intra-document line dedup ------------------------------------
   // Repeated lines planted per doc (duplicate banner + duplicate body
   // line); Curation.dedupLines keeps first occurrences in original order
@@ -2875,6 +2909,7 @@ object ExtProbes {
     "q109_html_text" -> q109,
     "q110_trigram_backoff" -> q110,
     "q111_phrase_search" -> q111,
+    "q112_cluster_sample" -> q112,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2951,5 +2986,6 @@ object ExtProbes {
     "q109_html_text" -> q109Sql,
     "q110_trigram_backoff" -> q110Sql,
     "q111_phrase_search" -> q111Sql,
+    "q112_cluster_sample" -> q112Sql,
   )
 }

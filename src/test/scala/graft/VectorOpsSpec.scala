@@ -52,6 +52,33 @@ class VectorOpsSpec extends SparkSpec {
     assert(viaIndex == brute)
   }
 
+  test("clusterBalancedSample: per-cell budget, md5-priority selection, " +
+      "determinism") {
+    // two tight clusters; centroids = one member of each
+    val vecs = ((0 until 12).map(i => (i.toLong, Seq(10.0, 0.1 * i))) ++
+      (12 until 24).map(i => (i.toLong, Seq(0.1 * (i - 12), 10.0))))
+      .toDF("id", "v")
+    val cent = vecs.filter(col("id").isin(0L, 12L))
+    val got = Similarity.clusterBalancedSample(vecs, cent, k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // 3 per cell, ranks 1..3, members stay in their own cluster
+    assert(got.length === 6)
+    val byCell = got.groupBy(_._1)
+    assert(byCell.keySet === Set(0L, 12L))
+    byCell.foreach { case (cid, rows) =>
+      assert(rows.map(_._4).sorted === Seq(1L, 2L, 3L))
+      val members = rows.map(_._2)
+      if (cid == 0L) assert(members.forall(_ < 12))
+      else assert(members.forall(_ >= 12))
+      // kept = the 3 smallest md5 priorities of the cell, rank follows pri
+      assert(rows.sortBy(_._4).map(_._3) === rows.map(_._3).sorted)
+    }
+    // deterministic re-run
+    val again = Similarity.clusterBalancedSample(vecs, cent, k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.toSet === again.toSet)
+  }
+
   test("rpLsh buckets find planted near-dups without all-pairs compare") {
     // base vectors spread on a circle; planted = tiny perturbations of #0-#4
     val base = (0 until 50).map { i =>
