@@ -335,6 +335,9 @@ class PlanContractSpec extends SparkSpec {
       // q93's dense zero-fill crosses each doc with the dim-row position
       // list — a `dim`-rows broadcast, bounded independent of corpus
       "q93_hash_embed",
+      // q112 rides ivfAssign's bounded centroid-set cross (same site as
+      // q31/q70); the per-cell top-k after it is window-only
+      "q112_cluster_sample",
       // q107's cross is the 1-row exact-count frame × the 1-row HLL
       // estimate frame — both already reduced before the join
       "q107_hll_distinct")
