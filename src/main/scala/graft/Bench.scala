@@ -5,11 +5,12 @@ import org.apache.spark.sql.SparkSession
   *
   * The driver keeps only the LAST ~2000 chars of stdout and JSON-parses a
   * complete line found inside that window. The 80-query full-precision line
-  * is ~4 KB, so its head was cut and `BENCH_r03/r04.json` came back
-  * `parsed: null`. Therefore stdout now carries a COMPACT line — short
-  * `qNN` keys, 3-decimal seconds, regression list capped at 8 — emitted
-  * after `spark.stop()` so nothing can print after it; the full-precision,
-  * full-name line lives in `target/bench.json` (the artifact of record).
+  * is ~4 KB (r3/r4 `parsed: null`), and the r7 shortened per-query map at
+  * 111 queries overflowed again. stdout therefore carries ONLY a bounded
+  * summary — total, counts, box factor, capped failed/regression lists
+  * (~900 chars worst case, independent of query count) — emitted after
+  * `spark.stop()` so nothing can print after it; the full-precision
+  * per-query map lives in `target/bench.json` (the artifact of record).
   * Root log level is forced to ERROR before the session starts so log noise
   * can't land between the line and process exit.
   *
@@ -160,31 +161,33 @@ object Bench {
     val w = new java.io.PrintWriter(out)
     try w.println(line) finally w.close()
 
-    // Compact stdout form: "q47_approx_aggs" -> "q47", seconds at 3 decimals,
-    // regression entries shortened and capped at 8. Worst case (80 queries
-    // all >=10 s, 8 regressions) stays under ~1700 chars — inside the
-    // driver's 2000-char stdout tail window.
+    // Compact stdout form. Round 7 proved the per-query map does not fit:
+    // at 111 queries the shortened map alone is ~1450 chars, and the r7
+    // failure run (16 failed + 6 regressions + exceedances) pushed the
+    // line past the driver's ~2000-char stdout tail window — `parsed:
+    // null` for the third round. stdout therefore carries ONLY the
+    // bounded summary — counts, box factor, capped failed/regression
+    // lists — and the per-query map lives exclusively in
+    // `target/bench.json` (the artifact of record). Worst case (caps all
+    // hit) is ~900 chars, bounded independent of query count.
     def short(name: String) = name.takeWhile(_ != '_')
-    val qsShort = results.toSeq.sorted
-      .map { case (k, v) => s""""${short(k)}":${num(v, 3)}""" }.mkString("{", ",", "}")
+    def capped(items: Seq[String], cap: Int): String =
+      (items.take(cap) ++
+        (if (items.size > cap) Seq(s"""{"truncated":${items.size - cap}}""") else Nil))
+        .mkString("[", ",", "]")
     val regAll = regTriples.map { case (q, sec, b) =>
       s"""{"q":"${short(q)}","sec":${num(sec, 2)},"base":${num(b, 2)}}"""
     }
-    val regShort =
-      (regAll.take(8) ++ (if (regAll.size > 8) Seq(s"""{"truncated":${regAll.size - 8}}""") else Nil))
-        .mkString("[", ",", "]")
-    // failed names shortened too: 80 full names would alone overflow the
-    // tail window in a catastrophic all-fail run
+    // failed names shortened and capped: a catastrophic all-fail run must
+    // still produce a parseable line
     val failedShort = results.toSeq.sorted.collect {
       case (k, v) if v < 0 => "\"" + short(k) + "\""
     }
     val medAll = medTriples.map { case (q, sec, b) =>
       s"""{"q":"${short(q)}","sec":${num(sec, 2)},"base":${num(b, 2)}}"""
     }
-    val medShort =
-      (medAll.take(6) ++ (if (medAll.size > 6) Seq(s"""{"truncated":${medAll.size - 6}}""") else Nil))
-        .mkString("[", ",", "]")
-    val compact = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qsShort,"sf":"$sfDir","runs":$nRuns,"action":"noop-write","box_factor":${num(boxFactor, 2)},"failed":${failedShort.mkString("[", ",", "]")},"regressions":$regShort,"median_exceedances":$medShort,"detail":"target/bench.json"}"""
+    val nOk = results.values.count(_ >= 0)
+    val compact = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","n_queries":${results.size},"n_ok":$nOk,"n_failed":${failedShort.size},"sf":"$sfDir","runs":$nRuns,"action":"noop-write","box_factor":${num(boxFactor, 2)},"failed":${capped(failedShort, 10)},"regressions":${capped(regAll, 8)},"median_exceedances":${capped(medAll, 4)},"detail":"target/bench.json"}"""
     spark.stop()
     println(compact)
   }

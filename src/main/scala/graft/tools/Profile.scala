@@ -66,6 +66,33 @@ object Profile {
               .orderBy("event_type")
           }
         }
+      case "lm" =>
+        // LM-family decomposition (round-8: q91/q95/q96/q97 bench collapse):
+        // explode cost alone, model agg, then the full probes — one JVM so
+        // codegen warmup is shared
+        import graft.operators.{TextStats, Dedup}
+        import graft.operators.Curation
+        def docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+        time("explode_only")(graft.core.Ops.widen(docs)
+          .select(col("doc_id"), explode(Curation.wordNgrams(
+            Dedup.normalizeWords(col("text")), 2)).as("gram")))
+        time("explode_agg")(graft.core.Ops.widen(docs)
+          .select(col("doc_id"), explode(Curation.wordNgrams(
+            Dedup.normalizeWords(col("text")), 2)).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("c")))
+        time("q91_full")(graft.SparkEntry.queries("q91_bigram_lm")(spark, sfDir))
+        time("q96_full")(graft.SparkEntry.queries("q96_tfidf_terms")(spark, sfDir))
+        time("q97_full")(graft.SparkEntry.queries("q97_dsir_resample")(spark, sfDir))
+      case "lmclear" =>
+        // same q97 timing but with Bench.runOnce's clearCache between runs —
+        // isolates whether the bench-vs-profile gap is cache-state related
+        (1 to 4).foreach { i =>
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries("q97_dsir_resample")(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          println(f"PROFILE q97clear run$i ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+          spark.catalog.clearCache()
+        }
       case "q25" => time("full")(graft.SparkEntry.queries("q25_star_join_revenue")(spark, sfDir))
       case "q26" => time("full")(graft.SparkEntry.queries("q26_agg_breadth")(spark, sfDir))
       case "q32" => time("full")(graft.SparkEntry.queries("q32_lang_id")(spark, sfDir))
