@@ -51,6 +51,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
+    // same loud drift report as Verify; a drifted table should read as
+    // one stderr line here, not as a block of -1.000 bench rows
+    try Tables.assertSchemas(spark, sfDir)
+    catch { case e: IllegalStateException =>
+      System.err.println(s"[bench] TESTDATA SCHEMA DRIFT: ${e.getMessage}")
+    }
     Sessions.warmup(spark, sfDir)
     // Timed action: a noop-format write evaluates EVERY output column.
     // (.count() lets Catalyst prune unreferenced projections, so map-only

@@ -27,6 +27,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // loud single-line schema-drift report (round 7: a silent testdata
+    // regeneration surfaced as 16 scattered per-query failures); still
+    // proceeds so queries untouched by a drift keep their green rows
+    try Tables.assertSchemas(spark, sfDir)
+    catch { case e: IllegalStateException =>
+      System.err.println(s"[verify] TESTDATA SCHEMA DRIFT: ${e.getMessage}")
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -246,40 +246,99 @@ object TextStats {
       Seq(bg))
   }
 
-  /** ONE pass over the corpus-sized bigram frame scoring BOTH models:
-    * the (vocabulary-bounded, AQE-broadcast) model and context tables of
-    * each model join in sequence onto the same bg scan, and one per-doc
-    * aggregate produces both means. Per-term rounding is identical to
-    * [[scoreBigrams]] term for term, so this is numerically the two-call
-    * form with half the corpus-side passes (two bg scans + a doc-frame
-    * join → one scan, no join). Measured at sf0.1 the forms tie (~3.3 s
-    * — the persisted bg makes a repass near-free in memory); the single
-    * scan is the shape that holds when bg exceeds cache and each pass
-    * becomes a disk read.
+  /** The "select from this pool toward that in-pool slice" DSIR shape —
+    * target model trained on the `targetPred` slice of `docs`, raw model
+    * on all of `docs`, every doc scored — from ONE corpus explode total.
+    * The exploded frame carries the slice flag, so BOTH vocabulary-
+    * bounded models fall out of a single aggregate
+    * (`count(*)` = raw count, conditional sum = target count) instead of
+    * the three separate explodes the compose-it-yourself form pays
+    * (target bigramCounts + raw bigramCounts + the scoring frame).
+    * Numerically identical to [[importanceWeightsManaged]] fed
+    * `bigramCounts(docs.filter(targetPred))` / `bigramCounts(docs)`: a
+    * gram with target count 0 and one absent from the target table both
+    * smooth to the same add-one term. `close()` the Managed after
+    * consuming.
+    */
+  def importanceWeightsSliceManaged(docs: org.apache.spark.sql.DataFrame,
+                                    idCol: String, textCol: String,
+                                    targetPred: org.apache.spark.sql.Column,
+                                    vocabSize: Long): graft.core.Managed = {
+    val bg = graft.core.Ops.widen(docs)
+      .select(col(idCol), targetPred.cast("boolean").as("__in_target"),
+        explode(Curation.wordNgrams(
+          graft.operators.Dedup.normalizeWords(col(textCol)), 2)).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val models = bg.groupBy("gram").agg(
+      sum(when(col("__in_target"), lit(1L)).otherwise(lit(0L))).as("__tc"),
+      count(lit(1)).as("__rc"))
+    graft.core.Managed(
+      weightsFromModels(docs, idCol, bg.select(col(idCol), col("gram")),
+        models, vocabSize),
+      Seq(bg))
+  }
+
+  /** Plain variant of [[importanceWeightsSliceManaged]] — keeps the pin
+    * (one-shot jobs / probes; the [[selfCrossEntropy]] convention).
+    */
+  def importanceWeightsSlice(docs: org.apache.spark.sql.DataFrame,
+                             idCol: String, textCol: String,
+                             targetPred: org.apache.spark.sql.Column,
+                             vocabSize: Long): org.apache.spark.sql.DataFrame =
+    importanceWeightsSliceManaged(docs, idCol, textCol, targetPred,
+      vocabSize).df
+
+  /** ONE pass over the corpus-sized bigram frame scoring BOTH models.
+    * The two model tables pre-merge into ONE `(gram, __tc, __rc)` table
+    * (vocabulary-bounded full-outer join of two vocabulary-bounded
+    * frames) and the two per-context tables into ONE `(w1, __tctx,
+    * __rctx)` aggregate of it — so the corpus-sized bg frame is joined
+    * exactly TWICE, not four times. The four-chained-left-join form this
+    * replaces relied on AQE choosing broadcast for each model/context
+    * table independently; at production vocabulary sizes those degrade
+    * to four sort-merge shuffles of the exploded corpus, while the
+    * merged form caps the worst case at two. Per-term rounding is
+    * identical to [[scoreBigrams]] term for term (a gram absent from a
+    * model carries NULL/0 count — both smooth to the same add-one term),
+    * so this is numerically the two-call form with half the corpus-side
+    * joins.
     */
   private def weightsFromBg(docs: org.apache.spark.sql.DataFrame,
                             idCol: String,
                             bg: org.apache.spark.sql.DataFrame,
                             targetGrams: org.apache.spark.sql.DataFrame,
                             rawGrams: org.apache.spark.sql.DataFrame,
-                            vocabSize: Long): org.apache.spark.sql.DataFrame = {
-    def ctxOf(grams: org.apache.spark.sql.DataFrame) = grams
-      .select(split(col("gram"), " ").getItem(0).as("w1"), col("c"))
-      .groupBy("w1").agg(sum(col("c")).as("ctx"))
+                            vocabSize: Long): org.apache.spark.sql.DataFrame =
+    weightsFromModels(docs, idCol, bg,
+      targetGrams.select(col("gram"), col("c").as("__tc"))
+        .join(rawGrams.select(col("gram"), col("c").as("__rc")),
+          Seq("gram"), "full_outer"),
+      vocabSize)
+
+  /** Scoring body over a pre-merged `(gram, __tc, __rc)` model table —
+    * see [[weightsFromBg]] for the join-count argument. `__tc`/`__rc`
+    * may be NULL for grams one model never saw; the smoothing coalesces
+    * them to 0 exactly as the unmerged left joins did.
+    */
+  private def weightsFromModels(docs: org.apache.spark.sql.DataFrame,
+                                idCol: String,
+                                bg: org.apache.spark.sql.DataFrame,
+                                models: org.apache.spark.sql.DataFrame,
+                                vocabSize: Long): org.apache.spark.sql.DataFrame = {
+    val ctx = models
+      .select(split(col("gram"), " ").getItem(0).as("w1"),
+        coalesce(col("__tc"), lit(0L)).as("__tc0"),
+        coalesce(col("__rc"), lit(0L)).as("__rc0"))
+      .groupBy("w1")
+      .agg(sum(col("__tc0")).as("__tctx"), sum(col("__rc0")).as("__rctx"))
     def le6(c: org.apache.spark.sql.Column, ctx: org.apache.spark.sql.Column) =
       floor(-log((coalesce(c, lit(0L)) + lit(1.0)) /
         (coalesce(ctx, lit(0L)) + lit(vocabSize.toDouble)))
         * lit(1e6) + lit(0.5)).cast("long")
     val scored = bg
-      .join(targetGrams.select(col("gram"), col("c").as("__tc")),
-        Seq("gram"), "left_outer")
-      .join(rawGrams.select(col("gram"), col("c").as("__rc")),
-        Seq("gram"), "left_outer")
+      .join(models, Seq("gram"), "left_outer")
       .withColumn("w1", split(col("gram"), " ").getItem(0))
-      .join(ctxOf(targetGrams).select(col("w1"), col("ctx").as("__tctx")),
-        Seq("w1"), "left_outer")
-      .join(ctxOf(rawGrams).select(col("w1"), col("ctx").as("__rctx")),
-        Seq("w1"), "left_outer")
+      .join(ctx, Seq("w1"), "left_outer")
       .withColumn("__tle6", le6(col("__tc"), col("__tctx")))
       .withColumn("__rle6", le6(col("__rc"), col("__rctx")))
       .groupBy(idCol)
@@ -625,14 +684,16 @@ object TextStats {
     * b = 0.75 are exact binary fractions.
     *
     * Scale shape: one corpus word explode feeding BOTH the tf agg and the
-    * per-doc length (no second pass), a vocabulary-sized df agg derived
-    * from tf, an equi join of tf against the QUERY-term table first —
-    * queries are the small side (AQE broadcasts it), so the df/idf join
-    * and the score arithmetic only ever touch candidate rows, not the
-    * full corpus posting list. `N` and `avgdl` are model metadata,
-    * computed once on the driver (bounded action) — not 1-row scalar
-    * crosses in the plan. Final top-k is a per-query bounded window
-    * (plans WindowGroupLimit).
+    * per-doc length (no second pass), an equi join of tf against the
+    * QUERY-term table first — queries are the small side (AQE broadcasts
+    * it) — and df/idf computed as a per-term window count OVER the
+    * restricted candidate frame, so the corpus scan appears exactly once
+    * in the plan STRUCTURALLY (no ReusedExchange dependence — spec-
+    * pinned) and df work touches only query-term postings, never the
+    * whole vocabulary. `N` and `avgdl` are model metadata, computed once
+    * on the driver (bounded action) — not 1-row scalar crosses in the
+    * plan. Final top-k is a per-query bounded window (plans
+    * WindowGroupLimit).
     *
     * Output: (qid, idCol, score_e6, rnk), rnk 1..k per query.
     */
@@ -645,10 +706,7 @@ object TextStats {
       .select(col(idCol),
         graft.operators.Dedup.normalizeWords(col(textCol)).as("__w"))
     // model metadata (corpus size, mean doc length) via one bounded
-    // driver action — the tfidfTopTerms discipline; the tf subtree below
-    // is referenced twice (df derivation + score join) but its shuffle is
-    // IDENTICAL in both, so Spark's ReusedExchange computes it once
-    // (plan-checked in the bm25 spec)
+    // driver action — the tfidfTopTerms discipline
     val stats = words.agg(
       count(lit(1)).as("n"), sum(size(col("__w"))).as("dlsum")).head()
     val n = stats.getLong(0)
@@ -658,17 +716,28 @@ object TextStats {
         explode(col("__w")).as("term"))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = queries
+      .select(col(qidCol).as("qid"), col(qtermCol).as("term")).distinct()
+    // STRUCTURAL single corpus scan: restrict tf to query terms FIRST
+    // (the term-only join keeps every doc containing a query term, so
+    // per-term df counted from the restricted frame equals full-corpus
+    // df for exactly the terms that matter), then compute df as a window
+    // count over the restricted frame. The previous form referenced the
+    // tf subtree twice (vocabulary-wide df aggregate + score join) and
+    // leaned on ReusedExchange to dedup the corpus scan — an optimizer
+    // artifact, not a contract; a filter pushed into one branch would
+    // have silently doubled the scan. Bonus at scale: df work now
+    // touches only query-term postings, not the whole vocabulary.
+    val qtermSet = qterms.select("term").distinct()
+    val cand = tf.join(qtermSet, Seq("term"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term")))
       .withColumn("idf_e6", floor(
         log((lit(n.toDouble) - col("df") + lit(0.5)) /
           (col("df") + lit(0.5)) + lit(1.0)) * lit(1e6) + lit(0.5))
         .cast("long"))
-      .select("term", "idf_e6")
-    val qterms = queries
-      .select(col(qidCol).as("qid"), col(qtermCol).as("term")).distinct()
-    val contrib = tf
+    val contrib = cand
       .join(qterms, Seq("term"))
-      .join(idf, Seq("term"))
       .withColumn("c_e6", floor(
         col("idf_e6") * (col("tf") * lit(2.25)) /
           (col("tf") + lit(1.25) *

@@ -2050,11 +2050,11 @@ object ExtProbes {
   val q97: Q = (s, d) => {
     val docs = graft.core.Ops.widen(Tables.documents(s, d))
       .select("doc_id", "text", "lang")
-    val target = graft.operators.TextStats.bigramCounts(
-      docs.filter(col("lang") === "en"), "text")
-    val raw = graft.operators.TextStats.bigramCounts(docs, "text")
-    val w = graft.operators.TextStats.importanceWeights(
-      docs, "doc_id", "text", target, raw, vocabSize = 1000L)
+    // in-pool target slice → the one-explode entry point (the compose-it-
+    // yourself bigramCounts×2 + importanceWeights form explodes the
+    // corpus three times); numerics and oracle unchanged
+    val w = graft.operators.TextStats.importanceWeightsSlice(
+      docs, "doc_id", "text", col("lang") === "en", vocabSize = 1000L)
     graft.operators.TextStats.importanceResample(w, "doc_id", k = 100,
         seed = 7L)
       .orderBy("doc_id")

@@ -666,12 +666,21 @@ class ExtOperatorsSpec extends SparkSpec {
         q2, "qid", "term", k = 1)
       .as[(Long, Long, Long, Long)]
     val got2 = res2.collect().toSeq
-    // the doubly-referenced tf subtree (df derivation + score join) must
-    // come back as ONE shuffle via ReusedExchange — the plan property the
-    // unpersisted-double-compute design of bm25TopK rests on (checked on
-    // the FINAL adaptive plan, post-collect)
-    assert(res2.queryExecution.executedPlan.toString
-      .contains("ReusedExchange"))
+    // the corpus must appear exactly ONCE in the plan STRUCTURALLY: df is
+    // a window count over the query-term-restricted tf frame, not a
+    // second reference to the corpus subtree deduped by ReusedExchange
+    // (an optimizer artifact a pushed filter can silently defeat).
+    // Scans here: docs ×1 + the two query-side branches (qid fan-out +
+    // distinct term set) — docs is the 2-column relation.
+    // AdaptiveSparkPlan.toString appends "== Initial Plan ==" after the
+    // final plan — count scans in the final section only
+    val plan2 = res2.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan2.contains("ReusedExchange"), plan2)
+    val docScans = "LocalTableScan \\[doc_id".r.findAllIn(plan2).size +
+      "Scan ExistingRDD\\[doc_id".r.findAllIn(plan2).size
+    assert(docScans == 1,
+      s"docs relation must be scanned exactly once, found $docScans:\n$plan2")
     val idfPear = math.floor(
       math.log((3.0 - 1 + 0.5) / (1 + 0.5) + 1.0) * 1e6 + 0.5).toLong
     val cPear = math.floor(
