@@ -93,6 +93,45 @@ object Profile {
           println(f"PROFILE q97clear run$i ${(System.nanoTime() - t0) / 1e9}%8.3f s")
           spark.catalog.clearCache()
         }
+      case "bm25sweep" =>
+        // decompose the bm25_top5 scale row's time at x1 (round-8: the
+        // window-df rewrite tripled the sweep row while the probe shape
+        // was unaffected — find the stage)
+        import graft.operators.{TextStats, Dedup}
+        val d = graft.tools.Scale.scaledDocs(spark, sfDir, 1)
+          .select("doc_id", "text")
+        val queries = d.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("qid"),
+            explode(slice(Dedup.normalizeWords(col("text")), 1, 3))
+              .as("term"))
+        time("queries_distinct")(queries.distinct())
+        time("tf_agg")(d
+          .select(col("doc_id"),
+            size(Dedup.normalizeWords(col("text"))).as("dl"),
+            explode(Dedup.normalizeWords(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("dl"), col("term"))
+          .agg(count(lit(1)).as("tf")))
+        time("bm25_full")(TextStats.bm25TopK(d, "doc_id", "text",
+            queries, "qid", "term", k = 5)
+          .groupBy(col("qid") % 32)
+          .agg(count(lit(1)).as("rows"), sum("score_e6").as("s")))
+      case "imgpairs" =>
+        // evidence row for the image_neardup scale sweep: is the 10x
+        // super-linearity the JOIN or the OUTPUT? Prints true pair count
+        // and distinct-ahash count at 1x and Nx
+        for (n <- Seq(1, nRuns)) {
+          val d = graft.tools.Scale.scaledDocs(spark, sfDir, n)
+            .select("doc_id", "text")
+          val media = graft.probes.ExtProbes.q103Media(d)
+          val hashes = graft.operators.Multimodal.imageAHash(media).toDF()
+          val hstats = hashes.agg(count(lit(1)), countDistinct(col("ahash")))
+            .head()
+          val pairs = graft.operators.Multimodal
+            .imageNearDupPairs(media, 3).count()
+          println(s"PROFILE imgpairs x$n images=${hstats.getLong(0)} " +
+            s"distinct_ahash=${hstats.getLong(1)} pairs=$pairs")
+          spark.catalog.clearCache()
+        }
       case "q25" => time("full")(graft.SparkEntry.queries("q25_star_join_revenue")(spark, sfDir))
       case "q26" => time("full")(graft.SparkEntry.queries("q26_agg_breadth")(spark, sfDir))
       case "q32" => time("full")(graft.SparkEntry.queries("q32_lang_id")(spark, sfDir))

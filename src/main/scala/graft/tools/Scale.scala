@@ -508,6 +508,42 @@ object Scale {
               sum("content_length").as("payload_bytes")),
           Seq.empty)
       }
+      run("image_neardup", n) {
+        // q104's full probe shape: PNG synthesis + decode + aHash + the
+        // 16-bit banded candidate join + hamming verify — the sub-linear
+        // claim is on the BANDED join (candidates ≈ same-band pairs, not
+        // all pairs); decode stays per-row linear
+        val media = graft.probes.ExtProbes.q103Media(
+          d.select(col("doc_id"), col("text")))
+        graft.core.Managed(
+          graft.operators.Multimodal.imageNearDupPairs(media, 3)
+            .groupBy(col("idA") % 32)
+            .agg(count(lit(1)).as("pairs"), sum("hamming").as("h")),
+          Seq.empty)
+      }
+      run("trigram_backoff", n) {
+        // q110's cross-model shape: train slice = replica-0 base docs
+        // (bounded — model tables stay ~1x while the scored pool grows
+        // Nx, the real "score the crawl under a fixed LM" proportions)
+        val train = graft.Tables.documents(spark, sfDir)
+          .filter(col("lang") === "en").select("text")
+        graft.core.Managed(
+          graft.operators.TextStats.stupidBackoffScores(
+              d, "doc_id", "text", train, "text")
+            .groupBy(col("doc_id") % 32)
+            .agg(count(lit(1)).as("docs"), sum("nats_e6").as("nats")),
+          Seq.empty)
+      }
+      run("dsir_slice", n) {
+        // q97's reshaped one-explode slice path (round-8): target =
+        // replica-0 ids (doc_id < 1e6 in the scaled corpus)
+        val m = graft.operators.TextStats.importanceWeightsSliceManaged(
+          d, "doc_id", "text", col("doc_id") < 1000000L, 1000L)
+        graft.core.Managed(
+          m.df.groupBy(col("doc_id") % 32)
+            .agg(count(lit(1)).as("docs"), sum("logw_e4").as("lw")),
+          m.pinned)
+      }
       run("html_text", n) {
         graft.core.Managed(
           d.select(col("doc_id"), graft.operators.Curation.htmlToText(
