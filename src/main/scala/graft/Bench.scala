@@ -71,6 +71,13 @@ object Bench {
         catch { case scala.util.control.NonFatal(_) => false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // operator-persisted tables don't leak across timings
+      // localCheckpoint blocks (CC/pagerank/BPE/IVF-append probes) are NOT
+      // CacheManager entries — clearCache leaves them in the block manager,
+      // where 111 queries × n runs of accumulation would eventually evict
+      // the later queries' own persists. Safe between timings: every run
+      // rebuilds its frames from scratch.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       if (ok) Some(dt) else None
     }
     val nRuns = math.max(1,

@@ -41,8 +41,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // operators may persist signature tables; don't accumulate across 40 queries
+      // operators may persist signature tables; don't accumulate across
+      // 111 queries — and localCheckpoint blocks (CC/pagerank/BPE probes)
+      // are not CacheManager entries, so clear those explicitly too
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
