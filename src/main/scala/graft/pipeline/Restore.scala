@@ -301,6 +301,16 @@ object Restore {
   def needsReload(storedLength: Option[Long], remoteLength: Long): Boolean =
     !storedLength.contains(remoteLength)
 
+  /** Column form of [[needsReload]] for set-oriented catalog sweeps
+    * (q114): NULL stored length (nothing recorded) and a mismatch both
+    * need the reload — exactly `!storedLength.contains(remote)`, as the
+    * null-safe-equality negation. Parity with the scalar form is
+    * spec-pinned.
+    */
+  def needsReloadCol(stored: org.apache.spark.sql.Column,
+                     remote: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    !(stored <=> remote)
+
   /** Outcome row of one [[run]] candidate attempt. status ∈
     * restored | exists | invalid | badname | failed.
     */

@@ -2833,6 +2833,134 @@ object ExtProbes {
       |  CAST(sum(occ - 1) AS BIGINT) AS n_removed
       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- q113 zip introspection round-trip (OP-4) --------------------------
+  // Per doc, a REAL zip is built in-plan (java.util.zip, fixed entry
+  // timestamps) and pushed through Payloads.validZips — the reference's
+  // one-member payload gate (cloud.py zip handling; Payloads.scala:37).
+  // Planting: doc_id%5==0 gets a second member (violates the one-member
+  // rule), doc_id%7==3 loses its last 40 bytes (EOCD gone — the
+  // half-uploaded archive validZips must treat as invalid, not throw on).
+  // The oracle never builds zips: it PREDICTS the survivors and their
+  // member names from the same id arithmetic — the q82/q94 synthesis
+  // pattern applied to archives.
+  def q113Zip(id: Long, text: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    val e = new java.util.zip.ZipEntry(s"dump_$id.sql")
+    e.setTime(0L)
+    z.putNextEntry(e)
+    z.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    z.closeEntry()
+    if (id % 5 == 0) {
+      val e2 = new java.util.zip.ZipEntry("extra.txt")
+      e2.setTime(0L)
+      z.putNextEntry(e2)
+      z.write("x".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      z.closeEntry()
+    }
+    z.close()
+    val b = bos.toByteArray
+    if (id % 7 == 3) b.dropRight(40) else b
+  }
+
+  val q113: Q = (s, d) => {
+    import s.implicits._
+    val payloads = graft.core.Ops.widen(Tables.documents(s, d))
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) => (s"pay_$id.zip", q113Zip(id, text)) }
+      .toDF("path", "content")
+    graft.sources.Payloads.validZips(payloads).orderBy("path")
+  }
+
+  val q113Sql: String =
+    """SELECT 'pay_' || CAST(doc_id AS VARCHAR) || '.zip' AS path,
+      |  'dump_' || CAST(doc_id AS VARCHAR) || '.sql' AS member
+      |FROM documents
+      |WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 3
+      |ORDER BY path""".stripMargin
+
+  // ---- q114 size-based change detection (OP-49) --------------------------
+  // Stored catalog = docs with doc_id%3<>0 (every third doc has no
+  // recorded length); remote listing shifts doc_id%4==0 lengths by +10.
+  // needsReloadCol (the set form of Restore.needsReload, db.py:695-711)
+  // must flag BOTH the missing and the changed rows.
+  val q114: Q = (s, d) => {
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+    val stored = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("n_chars").as("stored_len"))
+    val remote = docs.select(col("doc_id"),
+      (col("n_chars") + when(col("doc_id") % 4 === 0, lit(10L))
+        .otherwise(lit(0L))).as("remote_len"))
+    remote.join(stored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("stored_len"), col("remote_len"),
+        graft.pipeline.Restore.needsReloadCol(
+          col("stored_len"), col("remote_len")).as("needs_reload"))
+      .orderBy("doc_id")
+  }
+
+  val q114Sql: String =
+    """WITH stored AS (SELECT doc_id, n_chars AS stored_len
+      |  FROM documents WHERE doc_id % 3 <> 0),
+      |r AS (SELECT doc_id, n_chars +
+      |    CASE WHEN doc_id % 4 = 0 THEN 10 ELSE 0 END AS remote_len
+      |  FROM documents)
+      |SELECT r.doc_id, stored.stored_len, r.remote_len,
+      |  (stored.stored_len IS DISTINCT FROM r.remote_len) AS needs_reload
+      |FROM r LEFT JOIN stored ON r.doc_id = stored.doc_id
+      |ORDER BY r.doc_id""".stripMargin
+
+  // ---- q115 cloud inventory listing parse (OP-1/OP-2) --------------------
+  // A full synthetic WebDAV listing derived from the documents table:
+  // non-zip rows (%11), dash-less zips (%13) and the ±15-minute in-flight
+  // window around a literal asOf all filtered by Inventory.parse
+  // (cloud.py:110-141, the 900 s guard at :132 — the EXACT-900 s boundary
+  // is kept on both sides, which the minute grid exercises); instance =
+  // filename minus its last '-'-token (cloud.py:177). Oracle mirrors the
+  // whole parse columnar.
+  val q115: Q = (s, d) => {
+    val asOf = java.sql.Timestamp.valueOf("2016-03-02 00:00:00")
+    val dow = element_at(
+      array(Seq("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
+        .map(lit): _*),
+      (col("doc_id") % 7).cast("int") + 1)
+    val file = when(col("doc_id") % 11 === 0,
+        concat(lit("notes_"), col("doc_id"), lit(".txt")))
+      .when(col("doc_id") % 13 === 0,
+        concat(lit("NODASH"), col("doc_id"), lit(".zip")))
+      .otherwise(concat(lit("OCG_"), upper(col("lang")), lit("_"),
+        col("doc_id"), lit("-"), dow, lit(".zip")))
+    val m = expr("timestamp'2016-03-01 00:00:00' + " +
+      "make_interval(0, 0, 0, 0, 0, CAST(doc_id % 7000 AS INT), 0)")
+    val listing = graft.core.Ops.widen(Tables.documents(s, d))
+      .select(file.as("file"),
+        concat(lit("/dav/"), file).as("url"),
+        concat(date_format(m, "yyyy-MM-dd'T'HH:mm:ss"), lit("Z"))
+          .as("modified_raw"))
+    graft.sources.Inventory.parse(listing, lit(asOf))
+      .withColumn("modified", col("modified").cast("timestamp_ntz"))
+      .select("file", "url", "modified", "instance")
+      .orderBy("file")
+  }
+
+  val q115Sql: String =
+    """WITH l AS (SELECT
+      |    CASE WHEN doc_id % 11 = 0 THEN 'notes_' || doc_id || '.txt'
+      |         WHEN doc_id % 13 = 0 THEN 'NODASH' || doc_id || '.zip'
+      |         ELSE 'OCG_' || upper(lang) || '_' || doc_id || '-' ||
+      |           ['Mon','Tue','Wed','Thu','Fri','Sat','Sun']
+      |             [CAST(doc_id % 7 AS INT) + 1] || '.zip' END AS file,
+      |    TIMESTAMP '2016-03-01 00:00:00' +
+      |      to_minutes(CAST(doc_id % 7000 AS BIGINT)) AS m
+      |  FROM documents),
+      |f AS (SELECT file, '/dav/' || file AS url, m AS modified FROM l
+      |  WHERE file LIKE '%.zip' AND contains(file, '-')
+      |    AND abs(epoch(m) -
+      |      epoch(TIMESTAMP '2016-03-02 00:00:00')) >= 900)
+      |SELECT file, url, modified,
+      |  array_to_string(list_slice(string_split(file, '-'), 1,
+      |    greatest(len(string_split(file, '-')) - 1, 1)), '-') AS instance
+      |FROM f ORDER BY file""".stripMargin
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -2910,6 +3038,9 @@ object ExtProbes {
     "q110_trigram_backoff" -> q110,
     "q111_phrase_search" -> q111,
     "q112_cluster_sample" -> q112,
+    "q113_zip_introspect" -> q113,
+    "q114_size_change" -> q114,
+    "q115_inventory_parse" -> q115,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2987,5 +3118,8 @@ object ExtProbes {
     "q110_trigram_backoff" -> q110Sql,
     "q111_phrase_search" -> q111Sql,
     "q112_cluster_sample" -> q112Sql,
+    "q113_zip_introspect" -> q113Sql,
+    "q114_size_change" -> q114Sql,
+    "q115_inventory_parse" -> q115Sql,
   )
 }

@@ -134,6 +134,13 @@ class PipelineSpec extends SparkSpec {
     assert(!Restore.needsReload(Some(42L), 42L))
     assert(Restore.needsReload(Some(41L), 42L))
     assert(Restore.needsReload(None, 42L))
+    // column form (q114) agrees with the scalar on all three cases,
+    // None represented as NULL
+    val colGot = Seq((Some(42L), 42L), (Some(41L), 42L), (None, 42L))
+      .toDF("stored", "remote")
+      .select(Restore.needsReloadCol(col("stored"), col("remote")))
+      .as[Boolean].collect().toSeq
+    assert(colGot == Seq(false, true, true))
   }
 
   test("publish recovers a crash-window aside before deleting anything") {
