@@ -2961,6 +2961,42 @@ object ExtProbes {
       |    greatest(len(string_split(file, '-')) - 1, 1)), '-') AS instance
       |FROM f ORDER BY file""".stripMargin
 
+  // ---- q116 composed crawl ingest (WARC → keep-filter → HTML→text) -------
+  // The batch surface of streaming/WarcIngestStream.docs (one definition,
+  // both engines — the spec pins stream parity, THIS pins the values):
+  // documents grouped 10-per-file into WARC payloads whose responses
+  // carry an HTML-wrapped page, pushed through the composed parse +
+  // response/200 filter + htmlToText. The oracle rebuilds the ids from
+  // the grouping arithmetic (fid·2^20 + rec_index, responses from slot 1)
+  // and mirrors the extraction chain via htmlToTextDuckSql.
+  val q116: Q = (s, d) => {
+    import s.implicits._
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+      .select(col("doc_id"),
+        concat(lit("<html><head><script>var x = 1 &lt; 2;</script></head>"
+            + "<body><nav>home &gt; docs</nav><p>"),
+          col("text"), lit("</p></body></html>")).as("page"),
+        expr("doc_id div 10").cast("long").as("fid"))
+      .as[(Long, String, Long)]
+    val files = docs.groupByKey(_._3).mapGroups { (fid, it) =>
+      graft.sources.Warc.buildFile(fid,
+        it.toSeq.sortBy(_._1).map(t => (t._1, t._2)))
+    }
+    graft.streaming.WarcIngestStream.docs(files).orderBy("id")
+  }
+
+  val q116Sql: String = {
+    val page = "'<html><head><script>var x = 1 &lt; 2;</script></head>" +
+      "<body><nav>home &gt; docs</nav><p>' || text || '</p></body></html>'"
+    s"""WITH f AS (SELECT doc_id, text, doc_id // 10 AS fid,
+       |    CAST(row_number() OVER (PARTITION BY doc_id // 10
+       |      ORDER BY doc_id) AS BIGINT) AS rec_index
+       |  FROM documents)
+       |SELECT fid * 1048576 + rec_index AS id,
+       |  ${graft.operators.Curation.htmlToTextDuckSql(page)} AS text
+       |FROM f ORDER BY id""".stripMargin
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3041,6 +3077,7 @@ object ExtProbes {
     "q113_zip_introspect" -> q113,
     "q114_size_change" -> q114,
     "q115_inventory_parse" -> q115,
+    "q116_crawl_ingest" -> q116,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3121,5 +3158,6 @@ object ExtProbes {
     "q113_zip_introspect" -> q113Sql,
     "q114_size_change" -> q114Sql,
     "q115_inventory_parse" -> q115Sql,
+    "q116_crawl_ingest" -> q116Sql,
   )
 }
