@@ -611,6 +611,15 @@ class ExtOperatorsSpec extends SparkSpec {
       .select("doc_id", "score_e4").as[(Long, Long)].collect().toSeq
     assert(sel(7L) === sel(7L))
     assert(sel(7L).size === 3)
+    // the one-explode slice path is NUMERICALLY the compose-it-yourself
+    // form (the q97 reshape's claim): same docs, target = the id<=2
+    // slice, row-for-row identical output
+    val wSlice = TextStats.importanceWeightsSlice(docs, "doc_id", "text",
+      col("doc_id") <= 2, vocabSize = 100L)
+    assert(wSlice.orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq ===
+      w.orderBy("doc_id")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq)
   }
 
   test("tfidfTopTerms: hand-computed idf_e6, tf scaling, term tie-break") {
