@@ -20,7 +20,11 @@ import org.apache.spark.sql.SparkSession
   * regression slows every run, while box contention typically hits a
   * subset, so gating on best-run kills the bouncing false flags measured
   * in round 5 (consecutive same-code suites flagged disjoint query pairs)
-  * without hiding a real slowdown. The reported per-query number stays the
+  * without hiding a real slowdown. Since round 9 the n repetitions are
+  * interleaved as whole-suite passes (suite × n, not query × n): a
+  * contention burst then degrades one pass of a query — whose other
+  * passes run minutes apart — instead of poisoning all n back-to-back
+  * runs, which is what defeated best-of-3 in rounds 5/7/8. The reported per-query number stays the
   * MEDIAN (the honest expected cost). A flagged query (min > 2× the
   * box-normalized baseline AND > 0.3 s over it) is reported in the
   * `regressions` array — visible in the artifact itself, so a silent
@@ -90,8 +94,20 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(p => n == p || n.startsWith(p + "_")))
     }
-    val allTimes = selected.map { case (name, fn) =>
-      name -> (0 until nRuns).flatMap(_ => runOnce(fn)).sorted
+    // Repetitions are interleaved as WHOLE-SUITE passes: run every selected
+    // query once, then repeat the entire suite, nRuns times total. The r8
+    // verdict identified back-to-back per-query repetition as the mechanical
+    // root of four rounds of phantom flags — a single contention/GC burst
+    // landed on all n runs of ONE query and defeated the best-of-n gate by
+    // construction. Interleaved, a burst costs one pass of one query (or a
+    // contiguous block of single passes), and the per-query best across
+    // passes — separated by minutes of other work — stays clean.
+    val passTimes: Seq[Map[String, Option[Double]]] =
+      (0 until nRuns).map { _ =>
+        selected.map { case (name, fn) => name -> runOnce(fn) }.toMap
+      }
+    val allTimes: Seq[(String, Seq[Double])] = selected.map { case (name, _) =>
+      name -> passTimes.flatMap(_.getOrElse(name, None)).sorted
     }
     // median of successful runs; all-failed -> -1 marker
     val results = allTimes.map { case (name, times) =>

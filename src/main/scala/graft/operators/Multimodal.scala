@@ -569,11 +569,28 @@ object Multimodal {
 
   private val audioMarker = (0, 0, 0L, -1L, -1L, -1)
 
-  /** Decode one WAV payload's PCM samples — exposed for spec vectors. */
-  private[graft] def decodeAudioOne(media_id: Long,
-                                    bytes: Array[Byte]): DecodedAudio = {
+  /** Cheap RIFF/WAVE container sniff run BEFORE the `AudioSystem` SPI
+    * provider search. The provider loop constructs (and swallows) an
+    * `UnsupportedAudioFileException` per non-matching reader — pure
+    * allocation/GC pressure at corpus scale (r8 q102 variance item).
+    * Output-identical short-circuit: the only non-RIFF containers the JDK
+    * readers could decode (AU, AIFF) are big-endian and were already
+    * rejected to the marker row by the plausibility gate.
+    */
+  private def isRiffWave(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Decode one WAV payload's PCM samples — exposed for spec vectors.
+    * `buf` is the sample read buffer; callers iterating a partition pass
+    * one shared buffer so the hot loop allocates nothing per record.
+    */
+  private[graft] def decodeAudioOne(media_id: Long, bytes: Array[Byte],
+                                    buf: Array[Byte] = new Array[Byte](8192))
+      : DecodedAudio = {
     def marker = DecodedAudio(media_id, audioMarker._1, audioMarker._2,
       audioMarker._3, audioMarker._4, audioMarker._5, audioMarker._6)
+    if (!isRiffWave(bytes)) return marker
     val ais =
       try javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -592,10 +609,9 @@ object Multimodal {
         fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
         channels < 1 || channels > 64 || rate < 1 || rate > 4000000)
         return marker
-      // stream the ACTUAL sample data: fixed buffer, no allocation from
-      // any claimed length; AudioInputStream already stops at
-      // min(claimed data size, real payload end)
-      val buf = new Array[Byte](8192)
+      // stream the ACTUAL sample data: fixed caller-supplied buffer, no
+      // allocation from any claimed length; AudioInputStream already stops
+      // at min(claimed data size, real payload end)
       var carry = -1 // low byte of a sample split across read boundaries
       var sumAbs = 0L
       var peak = 0
@@ -629,8 +645,11 @@ object Multimodal {
   def decodeAudio(ds: Dataset[MediaRecord],
                   batchSize: Int = 64): Dataset[DecodedAudio] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.grouped(batchSize).flatMap(
-      _.iterator.map(r => decodeAudioOne(r.media_id, r.media))))
+    ds.mapPartitions { it =>
+      val buf = new Array[Byte](8192) // one read buffer per partition
+      it.grouped(batchSize).flatMap(
+        _.iterator.map(r => decodeAudioOne(r.media_id, r.media, buf)))
+    }
   }
 
   /** Canonical 44-byte-header 16-bit PCM WAV — the synthesis half of the
@@ -665,9 +684,11 @@ object Multimodal {
                           min_mean_e4: Long, max_mean_e4: Long)
 
   private[graft] def audioWindowsOne(media_id: Long, bytes: Array[Byte],
-                                     windowFrames: Int,
-                                     silenceE4: Long): AudioWindows = {
+                                     windowFrames: Int, silenceE4: Long,
+                                     buf: Array[Byte] = new Array[Byte](8192))
+      : AudioWindows = {
     def marker = AudioWindows(media_id, 0L, -1L, -1L, -1L)
+    if (!isRiffWave(bytes)) return marker
     val ais =
       try javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -683,7 +704,6 @@ object Multimodal {
         channels < 1 || channels > 64 || rate < 1 || rate > 4000000)
         return marker
       val samplesPerWindow = windowFrames.toLong * channels
-      val buf = new Array[Byte](8192)
       var carry = -1
       var winSum = 0L
       var winCount = 0L
@@ -732,9 +752,12 @@ object Multimodal {
                          batchSize: Int = 64): Dataset[AudioWindows] = {
     require(windowFrames > 0, s"audioEnergyWindows: windowFrames $windowFrames")
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.grouped(batchSize).flatMap(
-      _.iterator.map(r =>
-        audioWindowsOne(r.media_id, r.media, windowFrames, silenceE4))))
+    ds.mapPartitions { it =>
+      val buf = new Array[Byte](8192) // one read buffer per partition
+      it.grouped(batchSize).flatMap(
+        _.iterator.map(r =>
+          audioWindowsOne(r.media_id, r.media, windowFrames, silenceE4, buf)))
+    }
   }
 
   /** MP4 container walk — REAL byte parsing of the ISO-BMFF box tree (no

@@ -19,12 +19,30 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     graft.Sessions.warmup(spark, sfDir)
 
+    // Allocation-rate / GC-time columns (VERDICT r8 item 2): local mode
+    // runs every task thread in this JVM, so thread-allocated-bytes summed
+    // over live threads plus collector time delta attribute a run's memory
+    // pressure directly. (Allocation by threads that die mid-run is lost;
+    // Spark's local task threads are pooled, so in practice nothing is.)
+    import scala.jdk.CollectionConverters._
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+    val thBean = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    def gcMs: Long = gcBeans.map(_.getCollectionTime).sum
+    def allocBytes: Long =
+      thBean.getThreadAllocatedBytes(thBean.getAllThreadIds)
+        .filter(_ > 0).sum
+
     def time(label: String)(mk: => DataFrame): Unit = {
       (1 to nRuns).foreach { i =>
+        val (gc0, al0) = (gcMs, allocBytes)
         val t0 = System.nanoTime()
         mk.write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        println(f"PROFILE $which%-6s $label%-28s run$i $dt%8.3f s")
+        val gcD = gcMs - gc0
+        val alD = (allocBytes - al0) / 1e9
+        println(f"PROFILE $which%-6s $label%-28s run$i $dt%8.3f s  gc=+$gcD%5d ms  alloc=+$alD%7.2f GB")
         spark.catalog.clearCache()
       }
     }
