@@ -33,8 +33,26 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame =
+    ntz(table(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    ntz(table(s, d, "lineitem"), "l_shipdate")
+
+  /** Cast any instant-typed (isAdjustedToUTC) timestamp column back to
+    * TIMESTAMP_NTZ. Session tz is UTC everywhere (Sessions.scala), so the
+    * cast is the identity on the wall-clock value. This is what makes
+    * [[typeOk]]'s TimestampType tolerance sound: a testdata regeneration
+    * shipping tz-adjusted timestamps loads as the same naive values the
+    * DuckDB oracle compares against, instead of passing assertSchemas and
+    * then hash-mismatching downstream (the r7 failure mode).
+    */
+  private def ntz(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case TimestampType => d.withColumn(c, col(c).cast(TimestampNTZType))
+        case _             => d
+      }
+    }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

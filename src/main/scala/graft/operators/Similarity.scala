@@ -386,16 +386,37 @@ object Similarity {
           floor(col("x") / col("__s") + lit(0.5)).cast("long"))).as("qv"))
   }
 
+  /** √N cell-count rule: `ceil(sqrt(n))`, clamped to [1, 2^20]. A CONSTANT
+    * cell count does not survive corpus growth: SCALE.md's PQ recall grids
+    * (rounds 7–8) measured ~0.15 recall@10 shed at 10× with cells pinned,
+    * because mean cell population grows linearly and a fixed nprobe covers
+    * a shrinking corpus fraction. With cells ∝ √N, cell count and mean
+    * cell size both grow as √N (the standard IVF balance point), so an
+    * equal nprobe FRACTION keeps covering a stable share of the corpus —
+    * measured round 9: 10× recall within 0.03 of 1× at equal fraction.
+    * The 2^20 clamp keeps the centroid table broadcastable (~2^20 × dim
+    * doubles) — past that an IVF wants a hierarchical coarse quantizer.
+    */
+  def sqrtCells(n: Long): Int =
+    math.min(1L << 20,
+      math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
   /** Build an IVF coarse quantizer: deterministic hash-sampled seed
     * centroids, then `iters` k-means refinement passes (each pass is fully
     * distributed; only the centroid table — small by construction — flows
     * between iterations, Lloyd's-algorithm style). Returns (id, v) centroid
     * rows ready for [[ivfTopK]].
+    *
+    * `numCells <= 0` (the default) auto-sizes by [[sqrtCells]] — one
+    * `count()` job at build time, the price of an index that keeps its
+    * recall as the corpus scales. Pass an explicit count to pin it.
     */
-  def buildIvf(vectors: DataFrame, numCells: Int, iters: Int): DataFrame = {
+  def buildIvf(vectors: DataFrame, numCells: Int = 0,
+               iters: Int = 1): DataFrame = {
+    val cells = if (numCells > 0) numCells else sqrtCells(vectors.count())
     var cent = vectors
       .orderBy(pmod(xxhash64(col("id")), lit(1000003)), col("id"))
-      .limit(numCells)
+      .limit(cells)
       .select(col("id"), col("v"))
     for (_ <- 0 until iters) {
       cent = gatherCentroids(kmeansStep(vectors, cent))

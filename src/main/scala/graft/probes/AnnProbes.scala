@@ -1,0 +1,483 @@
+package graft.probes
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextStats}
+import ProbeShared._
+
+/** Embedding/ANN probe family: cosine near-dup, IVF cells and search,
+  * k-means step, int8 quantization, PQ encode/ADC, IVF-PQ composed and
+  * residual paths, cluster-balanced sampling.
+  *
+  * Split from the former monolithic ExtProbes (3.1 kLoC); aggregated and
+  * re-exported by [[ExtProbes]] — registry keys, probe bodies, and oracle
+  * SQL unchanged.
+  */
+object AnnProbes {
+  // ---- q30 embedding-cosine near-dup ------------------------------------
+  val q30: Q = (s, d) => {
+    val base = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    val planted = base.filter(col("id") % 13 === 0)
+      .select((col("id") + 100000).as("id"),
+        expr("transform(v, x -> x * 1.1 + 0.01)").as("v"))
+    Similarity.cosineNearDupPairs(base.unionByName(planted), 0.9)
+      .orderBy("idA", "idB")
+  }
+
+  val q30Sql: String =
+    s"""WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < 200),
+       |corpus AS (
+       |  SELECT id, v FROM base
+       |  UNION ALL
+       |  SELECT id + 100000, list_transform(v, x -> x * 1.1 + 0.01) FROM base
+       |  WHERE id % 13 = 0),
+       |p AS (SELECT a.id AS idA, b.id AS idB,
+       |    ${Similarity.cosineDuckSql("a.v", "b.v")} AS raw
+       |  FROM corpus a JOIN corpus b ON a.id < b.id)
+       |SELECT idA, idB, ${Similarity.scoreE4DuckSql("raw")} AS score_e4
+       |FROM p WHERE raw >= 0.9 ORDER BY idA, idB""".stripMargin
+
+  // ---- q70 IVF-bucketed cosine near-dup (cluster-then-verify) ------------
+  // The SCALE path for q30's all-pairs baseline: candidates meet only
+  // within a shared centroid cell (one equi shuffle on cell id; nassign=2
+  // multi-homes each vector into its runner-up cell to catch boundary
+  // pairs), then the exact cosine verifies. Deterministic given the
+  // centroid set, so the oracle reproduces the assignment verbatim and the
+  // compare is EXACT — the recall-vs-all-pairs tradeoff is measured
+  // separately in tools.Recall.
+  val q70: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    val planted = base.filter(col("id") % 13 === 0)
+      .select((col("id") + 100000).as("id"),
+        expr("transform(v, x -> x * 1.1 + 0.01)").as("v"))
+    val centroids = base.filter(col("id") % 25 === 0)
+    Similarity.ivfNearDupPairs(base.unionByName(planted), centroids,
+        threshold = 0.9, nassign = 2)
+      .orderBy("idA", "idB")
+  }
+
+  val q70Sql: String = {
+    def cos(a: String, b: String) = Similarity.cosineDuckSql(a, b)
+    s"""WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |corpus AS (
+       |  SELECT id, v FROM base
+       |  UNION ALL
+       |  SELECT id + 100000, list_transform(v, x -> x * 1.1 + 0.01) FROM base
+       |  WHERE id % 13 = 0),
+       |cent AS (SELECT id AS cid, v AS cv FROM base WHERE id % 25 = 0),
+       |assigned AS (
+       |  SELECT id, v, cid FROM (
+       |    SELECT c0.id, c0.v, c.cid,
+       |      row_number() OVER (PARTITION BY c0.id
+       |        ORDER BY ${cos("c0.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |    FROM corpus c0 CROSS JOIN cent c) t(id, v, cid, rn)
+       |  WHERE rn <= 2),
+       |p AS (
+       |  SELECT DISTINCT a.id AS idA, b.id AS idB,
+       |    ${cos("a.v", "b.v")} AS raw
+       |  FROM assigned a JOIN assigned b USING (cid) WHERE a.id < b.id)
+       |SELECT idA, idB, ${Similarity.scoreE4DuckSql("raw")} AS score_e4
+       |FROM p WHERE raw >= 0.9 ORDER BY idA, idB""".stripMargin
+  }
+
+  // ---- q31 IVF ANN (coarse-quantizer cells + nprobe search) -------------
+  val q31: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    val centroids = e.filter(col("id") % 25 === 0)
+    val queries = e.filter(col("id") < 30)
+    Similarity.ivfTopK(e, centroids, queries, nprobe = 2, k = 3)
+      .orderBy("vec_id", "rank")
+  }
+
+  val q31Sql: String = {
+    def cos(a: String, b: String) = Similarity.cosineDuckSql(a, b)
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT id AS cid, v AS cv FROM e WHERE id % 25 = 0),
+       |assigned AS (
+       |  SELECT id AS other_id, v AS vb, cid FROM (
+       |    SELECT e.id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN cent c) t(id, v, cid, rn) WHERE rn = 1),
+       |probed AS (
+       |  SELECT id AS vec_id, v AS va, cid FROM (
+       |    SELECT q.id, q.v, c.cid,
+       |      row_number() OVER (PARTITION BY q.id
+       |        ORDER BY ${cos("q.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |    FROM e q CROSS JOIN cent c WHERE q.id < 30) t(id, v, cid, rn)
+       |  WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.vec_id, a.other_id,
+       |    ${Similarity.scoreE4DuckSql(cos("p.va", "a.vb"))} AS score_e4
+       |  FROM probed p JOIN assigned a USING (cid)
+       |  WHERE p.vec_id <> a.other_id),
+       |r AS (SELECT vec_id, other_id, score_e4,
+       |    CAST(row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score_e4 DESC, other_id ASC) AS BIGINT) AS rank
+       |  FROM cand)
+       |SELECT vec_id, other_id, score_e4, rank FROM r WHERE rank <= 3
+       |ORDER BY vec_id, rank""".stripMargin
+  }
+
+  // ---- q40 k-means centroid refinement step (IVF training) --------------
+  // Assignment by max cosine, then element-wise mean per cell through
+  // scale-8 fixed-point BIGINT sums — exact, order-independent,
+  // representation-stable. Long form (cid, pos, m_e8): scalar columns only.
+  val q40: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    val cent = e.filter(col("id") % 25 === 0)
+    Similarity.kmeansStep(e, cent).orderBy("cid", "pos")
+  }
+
+  val q40Sql: String = {
+    def cos(a: String, b: String) = Similarity.cosineDuckSql(a, b)
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT id AS cid, v AS cv FROM e WHERE id % 25 = 0),
+       |assigned AS (
+       |  SELECT id, v, cid FROM (
+       |    SELECT e.id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN cent c) t(id, v, cid, rn) WHERE rn = 1),
+       |ex AS (
+       |  SELECT cid, t.pos AS pos,
+       |    CAST(floor(v[t.pos] * 100000000 + 0.5) AS BIGINT) AS xe8
+       |  FROM assigned, unnest(generate_series(1, len(v))) AS t(pos))
+       |SELECT cid, CAST(pos - 1 AS INT) AS pos,
+       |  CAST(floor(CAST(sum(xe8) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS m_e8
+       |FROM ex GROUP BY cid, pos ORDER BY cid, pos""".stripMargin
+  }
+
+  // ---- q52 RP-LSH (sign) bucketed near-dup ------------------------------
+  // The LSH-bucketed ANN scale path: bucket join on the 8-bit hyperplane
+  // sign signature, exact cosine verify within buckets. Planted near-dups
+  // (mild positive affine distortion keeps most sign bits) — the probe
+  // verifies the operator finds exactly what the mirrored oracle finds.
+  // Embeddings are dim-64 at every SF (TESTDATA.md); the oracle embeds the
+  // same deterministic hyperplanes as exact double literals.
+  private val q52Planes = Similarity.hyperplanes(numPlanes = 8, dim = 64)
+
+  val q52: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    val planted = base.filter(col("id") % 13 === 0)
+      .select((col("id") + 100000).as("id"),
+        expr("transform(v, x -> x * 1.05 + 0.001)").as("v"))
+    Similarity.rpLshNearDupPairs(base.unionByName(planted), numPlanes = 8,
+        threshold = 0.8, dim = Some(64)) // testdata embedding dim; skips the head-probe job
+      .orderBy("idA", "idB")
+  }
+
+  val q52Sql: String =
+    s"""WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |corpus AS (
+       |  SELECT id, v FROM base
+       |  UNION ALL
+       |  SELECT id + 100000, list_transform(v, x -> x * 1.05 + 0.001) FROM base
+       |  WHERE id % 13 = 0),
+       |b AS (SELECT id, v, ${Similarity.rpLshBucketDuckSql("v", q52Planes)} AS bk
+       |  FROM corpus),
+       |p AS (SELECT x.id AS idA, y.id AS idB,
+       |    ${Similarity.cosineDuckSql("x.v", "y.v")} AS raw
+       |  FROM b x JOIN b y ON x.bk = y.bk AND x.id < y.id)
+       |SELECT idA, idB, ${Similarity.scoreE4DuckSql("raw")} AS score_e4
+       |FROM p WHERE raw >= 0.8 ORDER BY idA, idB""".stripMargin
+
+  // ---- q55 int8 scalar quantization (ANN index compression) -------------
+  val q55: Q = (s, d) =>
+    Similarity.quantizeInt8(
+        Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"),
+            Similarity.toDoubleVec(col("embedding")).as("v")))
+      .orderBy("id", "pos")
+
+  val q55Sql: String =
+    """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |sc AS (SELECT id, v,
+      |    CASE WHEN m > 0 THEN m ELSE 1.0 END AS s
+      |  FROM (SELECT id, v,
+      |          list_max(list_transform(v, x -> abs(x))) / 127 AS m
+      |        FROM e)),
+      |ex AS (SELECT id,
+      |    CAST(floor(s * 100000000 + 0.5) AS BIGINT) AS scale_e8,
+      |    t.pos AS pos, v[t.pos] / s AS r
+      |  FROM sc, unnest(generate_series(1, len(v))) AS t(pos))
+      |SELECT id, scale_e8, CAST(pos - 1 AS INT) AS pos,
+      |  greatest(-127, least(127, CAST(floor(r + 0.5) AS BIGINT))) AS qv
+      |FROM ex ORDER BY id, pos""".stripMargin
+
+  // ---- q86/q87 product quantization (IVF-PQ's compression half) ---------
+  // q86: encode — every vector becomes m=8 sub-codes (argmin squared-L2
+  // against a deterministic seedless codebook whose literals both engines
+  // embed exactly, the q52 hyperplane idiom). q87: ADC top-k — per-query
+  // (sub, code) partial-distance LUT, integer e4 sums per candidate,
+  // WindowGroupLimit rank. Production codebooks come from pqTrain
+  // (PQSpec); the probe codebook is fixed so the oracle can mirror it.
+  private val q86Cb = Similarity.pqCodebook(m = 8, numCodes = 8, subDim = 8)
+
+  private def pqDistDuck(a: String, b: String): String =
+    s"""CAST(floor(list_sum(list_transform(range(1, 9),
+       |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) * 10000 + 0.5)
+       |    AS BIGINT)""".stripMargin
+
+  private val pqCommonDuck: String =
+    s"""e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |cb AS (SELECT * FROM ${Similarity.pqCodebookDuckSql(q86Cb)}
+       |       AS t(sub, code, cv)),
+       |sp AS (SELECT id, s.sub AS sub,
+       |    list_slice(v, s.sub * 8 + 1, s.sub * 8 + 8) AS subv
+       |  FROM e, (SELECT unnest(range(0, 8)) AS sub) s),
+       |dd AS (SELECT id, sp.sub AS sub, code,
+       |    ${pqDistDuck("subv", "cv")} AS d_e4
+       |  FROM sp JOIN cb ON cb.sub = sp.sub),
+       |codes AS (SELECT id, sub, CAST(min([d_e4, code])[2] AS INT) AS code
+       |  FROM dd GROUP BY id, sub)""".stripMargin
+
+  val q86: Q = (s, d) => {
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    Similarity.pqEncode(vecs, Similarity.pqCodebookDf(s, q86Cb),
+        m = 8, subDim = 8)
+      .orderBy("id", "sub")
+  }
+
+  val q86Sql: String =
+    s"""WITH $pqCommonDuck
+       |SELECT id, CAST(sub AS INT) AS sub, code
+       |FROM codes ORDER BY id, sub""".stripMargin
+
+  val q87: Q = (s, d) => {
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    val cb = Similarity.pqCodebookDf(s, q86Cb)
+    Similarity.pqAdcTopK(
+        Similarity.pqEncode(vecs, cb, m = 8, subDim = 8), cb,
+        vecs.filter(col("id") % 50 === 0), m = 8, subDim = 8, k = 5)
+      .orderBy("vec_id", "rank")
+  }
+
+  val q87Sql: String =
+    s"""WITH $pqCommonDuck,
+       |lut AS (SELECT sp.id AS vec_id, sp.sub AS sub, cb.code,
+       |    ${pqDistDuck("subv", "cv")} AS pd_e4
+       |  FROM sp JOIN cb ON cb.sub = sp.sub
+       |  WHERE sp.id % 50 = 0),
+       |cand AS (SELECT vec_id, c.id AS other_id,
+       |    CAST(sum(pd_e4) AS BIGINT) AS dist_e4
+       |  FROM codes c JOIN lut ON lut.sub = c.sub AND lut.code = c.code
+       |  WHERE lut.vec_id <> c.id
+       |  GROUP BY vec_id, c.id),
+       |r AS (SELECT vec_id, other_id, dist_e4,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist_e4, other_id) AS rank
+       |  FROM cand)
+       |SELECT vec_id, other_id, dist_e4, rank
+       |FROM r WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
+
+  // ---- q89 composed IVF-PQ query path -----------------------------------
+  // The two halves end-to-end: IVF cell probe (q31's assignment mirror)
+  // narrows candidates, ADC over the PQ codes (q86/q87's mirrors) ranks
+  // them — candidate embeddings never touched at query time. Fully
+  // deterministic given centroids + codebook, so the oracle reproduces
+  // both halves and the compare is EXACT.
+  val q89: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    Similarity.ivfPqTopK(e, e.filter(col("id") % 25 === 0),
+        Similarity.pqCodebookDf(s, q86Cb), e.filter(col("id") % 50 === 0),
+        nprobe = 2, m = 8, subDim = 8, k = 3)
+      .orderBy("vec_id", "rank")
+  }
+
+  val q89Sql: String = {
+    def cos(a: String, b: String) = Similarity.cosineDuckSql(a, b)
+    s"""WITH $pqCommonDuck,
+       |cent AS (SELECT id AS cid, v AS cv FROM e WHERE id % 25 = 0),
+       |assigned AS (
+       |  SELECT id, cid FROM (
+       |    SELECT e.id, c.cid,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN cent c) t(id, cid, rn) WHERE rn = 1),
+       |probed AS (
+       |  SELECT id AS vec_id, cid FROM (
+       |    SELECT q.id, c.cid,
+       |      row_number() OVER (PARTITION BY q.id
+       |        ORDER BY ${cos("q.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |    FROM e q CROSS JOIN cent c WHERE q.id % 50 = 0) t(id, cid, rn)
+       |  WHERE rn <= 2),
+       |lut AS (SELECT sp.id AS vec_id, sp.sub AS sub, cb.code,
+       |    ${pqDistDuck("subv", "cv")} AS pd_e4
+       |  FROM sp JOIN cb ON cb.sub = sp.sub
+       |  WHERE sp.id % 50 = 0),
+       |cand AS (SELECT p.vec_id, c.id AS other_id,
+       |    CAST(sum(l.pd_e4) AS BIGINT) AS dist_e4
+       |  FROM probed p
+       |  JOIN assigned a USING (cid)
+       |  JOIN codes c ON c.id = a.id
+       |  JOIN lut l ON l.vec_id = p.vec_id AND l.sub = c.sub
+       |    AND l.code = c.code
+       |  WHERE p.vec_id <> a.id
+       |  GROUP BY p.vec_id, c.id),
+       |r AS (SELECT vec_id, other_id, dist_e4,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist_e4, other_id) AS rank
+       |  FROM cand)
+       |SELECT vec_id, other_id, dist_e4, rank
+       |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+  }
+
+  // ---- q92 residual-encoded IVF-PQ (FAISS-IVFPQ layout) -----------------
+  // q89's composed path with residual codes: corpus codes quantize
+  // v − centroid(own cell); the LUT is per-(query, probed cell) on the
+  // query's residual. Fully deterministic given centroids + codebook —
+  // the oracle mirrors assignment, residual, encode and ADC exactly.
+  val q92: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    Similarity.ivfPqTopKResidual(e, e.filter(col("id") % 25 === 0),
+        Similarity.pqCodebookDf(s, q86Cb), e.filter(col("id") % 50 === 0),
+        nprobe = 2, m = 8, subDim = 8, k = 3)
+      .orderBy("vec_id", "rank")
+  }
+
+  val q92Sql: String = {
+    def cos(a: String, b: String) = Similarity.cosineDuckSql(a, b)
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |cb AS (SELECT * FROM ${Similarity.pqCodebookDuckSql(q86Cb)}
+       |       AS t(sub, code, cv)),
+       |cent AS (SELECT id AS cid, v AS ccv FROM e WHERE id % 25 = 0),
+       |assigned AS (
+       |  SELECT id, cid FROM (
+       |    SELECT e.id, c.cid,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${cos("e.v", "c.ccv")} DESC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN cent c) t(id, cid, rn) WHERE rn = 1),
+       |resid AS (
+       |  SELECT a.id, a.cid,
+       |    list_transform(range(1, 65), i -> e.v[i] - c.ccv[i]) AS rv
+       |  FROM assigned a JOIN e ON e.id = a.id JOIN cent c ON c.cid = a.cid),
+       |rsub AS (SELECT id, cid, s.sub AS sub,
+       |    list_slice(rv, s.sub * 8 + 1, s.sub * 8 + 8) AS subv
+       |  FROM resid, (SELECT unnest(range(0, 8)) AS sub) s),
+       |rdd AS (SELECT id, rsub.sub AS sub, code,
+       |    ${pqDistDuck("subv", "cv")} AS d_e4
+       |  FROM rsub JOIN cb ON cb.sub = rsub.sub),
+       |rcodes AS (SELECT id, sub, CAST(min([d_e4, code])[2] AS INT) AS code
+       |  FROM rdd GROUP BY id, sub),
+       |probed AS (
+       |  SELECT id AS vec_id, cid FROM (
+       |    SELECT q.id, c.cid,
+       |      row_number() OVER (PARTITION BY q.id
+       |        ORDER BY ${cos("q.v", "c.ccv")} DESC, c.cid ASC) AS rn
+       |    FROM e q CROSS JOIN cent c WHERE q.id % 50 = 0) t(id, cid, rn)
+       |  WHERE rn <= 2),
+       |qres AS (
+       |  SELECT p.vec_id, p.cid,
+       |    list_transform(range(1, 65), i -> q.v[i] - c.ccv[i]) AS qr
+       |  FROM probed p JOIN e q ON q.id = p.vec_id
+       |    JOIN cent c ON c.cid = p.cid),
+       |lut AS (SELECT vec_id, qres.cid, s.sub AS sub, cb.code,
+       |    ${pqDistDuck("list_slice(qr, s.sub * 8 + 1, s.sub * 8 + 8)",
+      "cv")} AS pd_e4
+       |  FROM qres, (SELECT unnest(range(0, 8)) AS sub) s
+       |  JOIN cb ON cb.sub = s.sub),
+       |cand AS (SELECT p.vec_id, c.id AS other_id,
+       |    CAST(sum(l.pd_e4) AS BIGINT) AS dist_e4
+       |  FROM probed p
+       |  JOIN assigned a USING (cid)
+       |  JOIN rcodes c ON c.id = a.id
+       |  JOIN lut l ON l.vec_id = p.vec_id AND l.cid = p.cid
+       |    AND l.sub = c.sub AND l.code = c.code
+       |  WHERE p.vec_id <> a.id
+       |  GROUP BY p.vec_id, c.id),
+       |r AS (SELECT vec_id, other_id, dist_e4,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist_e4, other_id) AS rank
+       |  FROM cand)
+       |SELECT vec_id, other_id, dist_e4, rank
+       |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+  }
+
+  // ---- q112 cluster-balanced sampling ------------------------------------
+  // Fixed centroid set (id % 25 — the q31 convention that keeps training
+  // out of the oracle's way), md5(id) priority, 5 kept per cell. The
+  // oracle mirrors the assignment argmax (cosine + cid tiebreak) and the
+  // priority window.
+  val q112: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    Similarity.clusterBalancedSample(e, e.filter(col("id") % 25 === 0), 5)
+      .orderBy("cid", "rank")
+  }
+
+  val q112Sql: String = {
+    val cos = Similarity.cosineDuckSql("e.v", "c.cv")
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |cent AS (SELECT id AS cid, v AS cv FROM e WHERE id % 25 = 0),
+       |assigned AS (
+       |  SELECT id, cid FROM (
+       |    SELECT e.id, c.cid,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY $cos DESC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+       |pri AS (SELECT cid, id,
+       |    ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT AS pri
+       |  FROM assigned),
+       |r AS (SELECT cid, id, pri, CAST(row_number() OVER (
+       |    PARTITION BY cid ORDER BY pri ASC, id ASC) AS BIGINT) AS rank
+       |  FROM pri)
+       |SELECT cid, id, pri, rank FROM r WHERE rank <= 5
+       |ORDER BY cid, rank""".stripMargin
+  }
+
+  // ---- family registry --------------------------------------------------
+
+  private[probes] val queries: Map[String, Q] = Map(
+    "q30_cosine_neardup" -> q30,
+    "q31_ivf_ann" -> q31,
+    "q40_kmeans_step" -> q40,
+    "q52_rplsh_neardup" -> q52,
+    "q55_int8_quantization" -> q55,
+    "q70_ivf_neardup" -> q70,
+    "q86_pq_encode" -> q86,
+    "q87_pq_adc_topk" -> q87,
+    "q89_ivfpq_topk" -> q89,
+    "q92_ivfpq_residual" -> q92,
+    "q112_cluster_sample" -> q112)
+
+  private[probes] val oracleSql: Map[String, String] = Map(
+    "q30_cosine_neardup" -> q30Sql,
+    "q31_ivf_ann" -> q31Sql,
+    "q40_kmeans_step" -> q40Sql,
+    "q52_rplsh_neardup" -> q52Sql,
+    "q55_int8_quantization" -> q55Sql,
+    "q70_ivf_neardup" -> q70Sql,
+    "q86_pq_encode" -> q86Sql,
+    "q87_pq_adc_topk" -> q87Sql,
+    "q89_ivfpq_topk" -> q89Sql,
+    "q92_ivfpq_residual" -> q92Sql,
+    "q112_cluster_sample" -> q112Sql)
+}

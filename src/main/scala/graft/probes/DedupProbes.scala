@@ -1,0 +1,442 @@
+package graft.probes
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextStats}
+import ProbeShared._
+
+/** Text dedup probe family: MinHash+LSH, SimHash, n-gram Jaccard,
+  * connected components, decontamination, boilerplate, line/window dedup,
+  * URL canonicalization.
+  *
+  * Split from the former monolithic ExtProbes (3.1 kLoC); aggregated and
+  * re-exported by [[ExtProbes]] — registry keys, probe bodies, and oracle
+  * SQL unchanged.
+  */
+object DedupProbes {
+  // ---- q27 MinHash + LSH near-dup ---------------------------------------
+
+  val q27: Q = (s, d) =>
+    Dedup.minhashNearDupPairs(plantedDocs(s, d), "doc_id", "text")
+      .orderBy("idA", "idB")
+
+  val q27Sql: String = {
+    // Hash-once algebra, constants shared with Dedup.minhashA/B: one md5
+    // per shingle -> 32-bit base value mod p, then affine permutations in
+    // BIGINT arithmetic ('0x'||hex)::BIGINT == Spark conv(hex,16,10)).
+    val p = graft.operators.Dedup.MinhashP
+    val sigs = (0 until 12).map { h =>
+      val (a, b) = (graft.operators.Dedup.minhashA(h), graft.operators.Dedup.minhashB(h))
+      s"list_min(list_transform(hv, v -> ($a * v + $b) % $p)) AS h$h"
+    }.mkString(",\n    ")
+    val bandRows = (0 until 4).map { b =>
+      val r = (0 until 3).map(i => s"h${b * 3 + i}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $r AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' zz yy xx' FROM documents WHERE doc_id % 7 = 0),
+       |n AS (SELECT doc_id, $duckWords AS w FROM corpus),
+       |shl AS (SELECT doc_id,
+       |  CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE []::VARCHAR[] END AS sh
+       |  FROM n),
+       |hvt AS (SELECT doc_id,
+       |  list_transform(sh, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT % $p) AS hv
+       |  FROM shl WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id,
+       |    $sigs
+       |  FROM hvt),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(sh) AS shd FROM shl WHERE len(sh) > 0)
+       |SELECT c.idA, c.idB,
+       |  CAST(floor(len(list_intersect(sa.shd, sb.shd)) * 1.0 /
+       |    (len(sa.shd) + len(sb.shd) - len(list_intersect(sa.shd, sb.shd)))
+       |    * 10000 + 0.5) AS BIGINT) AS jacc_e4
+       |FROM cand c
+       |JOIN sets sa ON sa.doc_id = c.idA
+       |JOIN sets sb ON sb.doc_id = c.idB
+       |ORDER BY idA, idB""".stripMargin
+  }
+
+  // ---- q28 SimHash -------------------------------------------------------
+  val q28: Q = (s, d) =>
+    Tables.documents(s, d)
+      .transform(graft.core.Ops.widen(_)) // 1-row-group parquet: parallelize the md5 map
+      .withColumn("wh", Dedup.tokenHashes(Dedup.normalizeWords(col("text"))))
+      .withColumn("simhash", Dedup.simhash16)
+      .withColumn("nbits", expr("CAST(bit_count(simhash) AS BIGINT)"))
+      .select("doc_id", "simhash", "nbits")
+      .orderBy("doc_id")
+
+  val q28Sql: String =
+    s"""WITH n AS (SELECT doc_id, $duckWords AS w FROM documents)
+       |SELECT doc_id, ${Dedup.simhash16DuckSql} AS simhash,
+       |       CAST(bit_count(${Dedup.simhash16DuckSql}) AS BIGINT) AS nbits
+       |FROM n ORDER BY doc_id""".stripMargin
+
+  // ---- q29 n-gram Jaccard via explode-join ------------------------------
+  // Runs the operator at its DEFAULT hot-gram cap (maxGramDocFreq=1000 —
+  // the 100 TB-safe mode); the oracle mirrors the doc-frequency filter, so
+  // the capped semantics is what's verified, not just exercised.
+  val q29: Q = (s, d) => {
+    val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select("doc_id", "text")
+    val planted = base.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz yy")).as("text"))
+    Dedup.ngramJaccardPairs(base.unionByName(planted), "doc_id", "text", 0.3)
+      .orderBy("idA", "idB")
+  }
+
+  val q29Sql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' zz yy' FROM documents
+       |  WHERE doc_id < 200 AND doc_id % 9 = 0),
+       |n AS (SELECT doc_id, $duckWords AS w FROM corpus),
+       |g AS (SELECT doc_id, list_distinct(
+       |    CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w)-1),
+       |      i -> w[i] || ' ' || w[i+1]) ELSE []::VARCHAR[] END) AS g
+       |  FROM n),
+       |gnz AS (SELECT doc_id, g, len(g) AS n FROM g WHERE len(g) > 0),
+       |ex AS (SELECT doc_id, unnest(g) AS gram FROM gnz),
+       |keep AS (SELECT gram FROM ex GROUP BY gram
+       |  HAVING count(*) <= ${Dedup.DefaultMaxGramDocFreq}),
+       |exc AS (SELECT ex.doc_id, ex.gram FROM ex JOIN keep USING (gram)),
+       |inter AS (SELECT x.doc_id AS idA, y.doc_id AS idB, count(*) AS ninter
+       |  FROM exc x JOIN exc y ON x.gram = y.gram AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (SELECT idA, idB, ninter * 1.0 / (a.n + b.n - ninter) AS raw
+       |  FROM inter JOIN gnz a ON a.doc_id = idA JOIN gnz b ON b.doc_id = idB)
+       |SELECT idA, idB, CAST(floor(raw * 10000 + 0.5) AS BIGINT) AS jacc_e4
+       |FROM j WHERE raw >= 0.3 ORDER BY idA, idB""".stripMargin
+
+  // ---- q54 connected-components dedup clustering ------------------------
+  // Near-dup PAIRS become dedup GROUPS via min-label propagation; the
+  // oracle computes the same components with a recursive CTE. Edges are
+  // planted chains: i—(i+100000) for i%7=0, plus (i+100000)—(i+200000)
+  // for i%14=0 — components of size 2 and 3.
+  val q54: Q = (s, d) => {
+    val ids = Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select("doc_id")
+    val e1 = ids.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("idA"), (col("doc_id") + 100000).as("idB"))
+    val e2 = ids.filter(col("doc_id") % 14 === 0)
+      .select((col("doc_id") + 100000).as("idA"),
+        (col("doc_id") + 200000).as("idB"))
+    Dedup.connectedComponents(e1.unionByName(e2)).orderBy("id")
+  }
+
+  val q54Sql: String =
+    """WITH RECURSIVE
+      |ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+      |edges AS (
+      |  SELECT doc_id AS src, doc_id + 100000 AS dst FROM ids WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, doc_id + 200000 FROM ids WHERE doc_id % 14 = 0),
+      |undirected AS (
+      |  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+      |nodes AS (SELECT DISTINCT src AS id FROM undirected),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT u.src, reach.r FROM undirected u JOIN reach ON reach.id = u.dst)
+      |SELECT id, CAST(min(r) AS BIGINT) AS label
+      |FROM reach GROUP BY id ORDER BY id""".stripMargin
+
+  // ---- q57 benchmark decontamination (n-gram overlap) -------------------
+  // Planted contamination: the "benchmark" is words 3..10 of every 31st
+  // document, so those documents (and any doc organically sharing a
+  // 5-gram — the synthetic vocab is small) must flag contaminated.
+  val q57: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 31 === 0)
+      .select(concat_ws(" ",
+        slice(Dedup.normalizeWords(col("text")), 3, 8)).as("q"))
+    graft.operators.Curation.contaminationFlags(
+        docs, "doc_id", "text", bench, "q", n = 5)
+      .orderBy("doc_id")
+  }
+
+  private def duckGrams5(w: String): String =
+    s"""CASE WHEN len($w) >= 5 THEN
+       |  list_transform(generate_series(1, len($w) - 4),
+       |    i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2] || ' ' ||
+       |         $w[i+3] || ' ' || $w[i+4])
+       |ELSE []::VARCHAR[] END""".stripMargin
+
+  val q57Sql: String =
+    s"""WITH nw AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |bw AS (SELECT list_filter(string_split_regex(trim(regexp_replace(lower(
+       |    array_to_string(w[3:10], ' ')), '[^a-z0-9]+', ' ', 'g')), ' '),
+       |    x -> x <> '') AS w
+       |  FROM nw WHERE doc_id % 31 = 0),
+       |bg AS (SELECT DISTINCT unnest(${duckGrams5("w")}) AS gram FROM bw),
+       |dg AS (SELECT doc_id, unnest(list_distinct(${duckGrams5("w")})) AS gram
+       |  FROM nw),
+       |h AS (SELECT doc_id, count(*) AS n_hits
+       |  FROM dg JOIN bg USING (gram) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       |       coalesce(h.n_hits, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---- q59 boilerplate removal (line df cap) ----------------------------
+  // Planted boilerplate: every document gains a shared banner line (df =
+  // |docs|, dropped by the cap) and a unique footer line (df = 1, kept);
+  // the original text is its own line. Reassembly must preserve order.
+  val q59: Q = (s, d) => {
+    val planted = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" | COOKIE BANNER ACCEPT | footer "),
+        col("doc_id")).as("text"))
+    graft.operators.Curation.removeBoilerplate(
+        planted, "doc_id", "text", " | ", maxLineDocFreq = 100L)
+      .orderBy("doc_id")
+  }
+
+  val q59Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    text || ' | COOKIE BANNER ACCEPT | footer ' || doc_id AS text
+      |  FROM documents),
+      |ls AS (SELECT doc_id, string_split(text, ' | ') AS l FROM t),
+      |lines AS (SELECT doc_id, u.i AS pos, l[u.i] AS line
+      |  FROM ls, unnest(generate_series(1, len(l))) AS u(i)),
+      |hot AS (SELECT line FROM (
+      |    SELECT line, count(*) AS df
+      |    FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY line)
+      |  WHERE df > 100),
+      |kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot)),
+      |rebuilt AS (SELECT doc_id, string_agg(line, ' | ' ORDER BY pos) AS c
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(r.c, '') AS cleaned_text
+      |FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---- q60 batch SimHash near-dup (banding + hamming verify) ------------
+  // The q27-style planting drives signature proximity: a planted doc's
+  // text is its source plus 3 words, so signatures differ by few bits and
+  // land in a shared 4-bit band (pigeonhole, hamming <= 3). The corpus is
+  // subset to every 5th doc: 16-bit signatures over the low-entropy
+  // synthetic vocab collide organically, and the probe's job is verifying
+  // the band join + bit_count(xor) verify, not stress-testing pair
+  // explosion. Oracle mirrors both stages exactly.
+  val q60: Q = (s, d) => {
+    val base = Tables.documents(s, d).select("doc_id", "text")
+      .filter(col("doc_id") % 5 === 0)
+    val planted = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz yy xx")).as("text"))
+    Dedup.simhashNearDupPairs(base.unionByName(planted), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy("idA", "idB")
+  }
+
+  val q60Sql: String = {
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, sig, $b AS band, (sig >> ${b * 4}) & 15 AS bits FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |corpus AS (
+       |  SELECT doc_id, text FROM sub
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' zz yy xx' FROM sub WHERE doc_id % 7 = 0),
+       |n AS (SELECT doc_id, $duckWords AS w FROM corpus),
+       |sig AS (SELECT doc_id, ${Dedup.simhash16DuckSql} AS sig FROM n),
+       |bands AS (
+       |  $bandRows)
+       |SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY idA, idB""".stripMargin
+  }
+
+  // ---- q79 URL canonicalization + dedup ---------------------------------
+  // Curation.canonicalizeUrl/urlHost over URLs synthesized (identically in
+  // both engines) with the decorations crawls actually produce — mixed-case
+  // scheme/host, tracking params, fragments, index.html — then the dedup
+  // groupBy on the canonical form. Distinct decorations of the same page
+  // MUST fold to one group (the probe's sharpness: 4 decoration classes
+  // per (source, page) pair collapse to one canonical URL).
+  val q79: Q = (s, d) => {
+    val url = concat(lit("HTTPS://WWW."), col("source"),
+      lit(".Example.com/Page/"), (col("doc_id") % 40).cast("string"),
+      when(col("doc_id") % 6 === 0, "?utm_source=feed&utm_campaign=x")
+        .when(col("doc_id") % 6 === 1, "?id=7&utm_medium=m")
+        .when(col("doc_id") % 6 === 2, "#section2")
+        .when(col("doc_id") % 6 === 3, "?xgclid=1") // NOT a tracking param
+        .when(col("doc_id") % 6 === 4, "?utm_medium=m&id=7") // leading strip
+        .otherwise("/index.html"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), url.as("u"))
+      .select(col("doc_id"), Curation.canonicalizeUrl(col("u")).as("curl"),
+        Curation.urlHost(col("u")).as("host"))
+      .groupBy("curl", "host")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+      .orderBy("curl")
+  }
+
+  val q79Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'HTTPS://WWW.' || source || '.Example.com/Page/' ||
+      |    CAST(doc_id % 40 AS VARCHAR) ||
+      |    CASE doc_id % 6 WHEN 0 THEN '?utm_source=feed&utm_campaign=x'
+      |                    WHEN 1 THEN '?id=7&utm_medium=m'
+      |                    WHEN 2 THEN '#section2'
+      |                    WHEN 3 THEN '?xgclid=1'
+      |                    WHEN 4 THEN '?utm_medium=m&id=7'
+      |                    ELSE '/index.html' END AS u
+      |  FROM documents),
+      |low AS (
+      |  SELECT doc_id, u,
+      |    regexp_replace(
+      |      lower(regexp_extract(u, '^([^/?#]*//[^/?#]*)', 1)) ||
+      |        regexp_replace(u, '^[^/?#]*//[^/?#]*', ''),
+      |      '#.*', '', 'g') AS u2
+      |  FROM u),
+      |t AS (
+      |  SELECT doc_id, u, u2,
+      |    CASE WHEN strpos(u2, '?') = 0 THEN u2
+      |         ELSE substr(u2, 1, strpos(u2, '?') - 1) ||
+      |           CASE WHEN len(kept) > 0
+      |                THEN '?' || array_to_string(kept, '&') ELSE '' END
+      |    END AS u3
+      |  FROM (SELECT doc_id, u, u2,
+      |          list_filter(string_split(substr(u2, strpos(u2, '?') + 1), '&'),
+      |            p -> NOT regexp_matches(p, '^(utm_[a-z]+|gclid|fbclid)='))
+      |            AS kept
+      |        FROM low)),
+      |c AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(u3, '[?&]$', '', 'g'),
+      |      '/(index\.html?)?$', '', 'g') AS curl,
+      |    regexp_replace(regexp_extract(lower(u), '^[a-z]+://([^/:?#]+)', 1),
+      |      '^www\.', '', 'g') AS host
+      |  FROM t)
+      |SELECT curl, host, count(*) AS n, min(doc_id) AS first_doc
+      |FROM c GROUP BY curl, host ORDER BY curl""".stripMargin
+
+  // ---- q95 cross-document duplicate-window (substring) dedup -------------
+  // Planting makes the window collisions real: docs %5 repeat their own
+  // first 12 tokens at the end (intra-doc duplicate span), docs %7 share
+  // a fixed 12-token snippet (cross-doc span; the earliest such doc's
+  // occurrence is canonical and stays un-flagged). Both sides apply the
+  // SAME text transformation, then compute the full keep-first window
+  // algorithm: hash every 8-token window, canonical = min (doc, pos) per
+  // content, duplicates = the rest, per-doc merged-interval coverage.
+  private val q95Snippet =
+    "omega sigma delta kappa theta lambda epsilon zeta eta iota mu nu"
+
+  private def q95Docs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    graft.core.Ops.widen(Tables.documents(s, d))
+      .select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 5 === 0, concat(lit(" "), array_join(
+          slice(graft.operators.Dedup.normalizeWords(col("text")), 1, 12),
+          " "))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" " + q95Snippet))
+          .otherwise(lit(""))).as("text"))
+
+  val q95: Q = (s, d) =>
+    graft.operators.Curation.duplicateWindows(q95Docs(s, d),
+      "doc_id", "text", w = 8).orderBy("doc_id")
+
+  val q95Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, $duckWords AS ws0 FROM documents),
+       |p AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 5 = 0
+       |         THEN ' ' || array_to_string(list_slice(ws0, 1, 12), ' ')
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' $q95Snippet'
+       |         ELSE '' END AS text
+       |  FROM base),
+       |t AS (SELECT doc_id, $duckWords AS ws FROM p),
+       |sized AS (SELECT doc_id, greatest(len(ws) - 7, 0) AS nw, ws FROM t),
+       |wins AS (
+       |  SELECT doc_id, i AS pos,
+       |    md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS h
+       |  FROM sized, unnest(generate_series(1, nw)) u(i)),
+       |dup AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |    FROM wins) WHERE rn > 1),
+       |cov AS (
+       |  SELECT doc_id, greatest(0, pos + 8 - greatest(pos,
+       |    coalesce(max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS c
+       |  FROM dup),
+       |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+       |    CAST(sum(c) AS BIGINT) AS dup_tokens
+       |  FROM cov GROUP BY doc_id)
+       |SELECT s.doc_id, CAST(s.nw AS BIGINT) AS n_windows,
+       |  coalesce(st.n_dup_windows, 0) AS n_dup_windows,
+       |  coalesce(st.dup_tokens, 0) AS dup_tokens
+       |FROM sized s LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---- q88 intra-document line dedup ------------------------------------
+  // Repeated lines planted per doc (duplicate banner + duplicate body
+  // line); Curation.dedupLines keeps first occurrences in original order
+  // and counts drops. Oracle mirrors with WITH ORDINALITY + ordered
+  // string_agg.
+  val q88: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      concat_ws("\n", lit("== HEADER =="), col("text"),
+        lit("== HEADER =="), substring(col("text"), 1, 40), col("text"),
+        lit("")).as("text"))
+    Curation.dedupLines(docs, "doc_id", "text").orderBy("doc_id")
+  }
+
+  val q88Sql: String =
+    """WITH docs AS (SELECT doc_id,
+      |    '== HEADER ==' || chr(10) || text || chr(10) || '== HEADER =='
+      |    || chr(10) || substr(text, 1, 40) || chr(10) || text || chr(10)
+      |    AS text
+      |  FROM documents),
+      |l AS (SELECT doc_id, t.pos AS pos, ls[t.pos] AS line
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+      |    unnest(generate_series(1, len(ls))) AS t(pos)),
+      |f AS (SELECT doc_id, line, min(pos) AS pos, count(*) AS occ
+      |  FROM l GROUP BY doc_id, line)
+      |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned_text,
+      |  CAST(sum(occ - 1) AS BIGINT) AS n_removed
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- family registry --------------------------------------------------
+
+  private[probes] val queries: Map[String, Q] = Map(
+    "q27_minhash_lsh_neardup" -> q27,
+    "q28_simhash" -> q28,
+    "q29_ngram_jaccard" -> q29,
+    "q54_dedup_components" -> q54,
+    "q57_decontamination" -> q57,
+    "q59_boilerplate" -> q59,
+    "q60_simhash_neardup" -> q60,
+    "q79_url_canon" -> q79,
+    "q88_line_dedup" -> q88,
+    "q95_dup_windows" -> q95)
+
+  private[probes] val oracleSql: Map[String, String] = Map(
+    "q27_minhash_lsh_neardup" -> q27Sql,
+    "q28_simhash" -> q28Sql,
+    "q29_ngram_jaccard" -> q29Sql,
+    "q54_dedup_components" -> q54Sql,
+    "q57_decontamination" -> q57Sql,
+    "q59_boilerplate" -> q59Sql,
+    "q60_simhash_neardup" -> q60Sql,
+    "q79_url_canon" -> q79Sql,
+    "q88_line_dedup" -> q88Sql,
+    "q95_dup_windows" -> q95Sql)
+}

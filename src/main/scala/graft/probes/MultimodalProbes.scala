@@ -1,0 +1,540 @@
+package graft.probes
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextStats}
+import ProbeShared._
+
+/** Multimodal probe family: binary payload plumbing, container
+  * metadata, real image/audio/MP4/MJPEG decode round trips, resize, audio
+  * energy windows, perceptual hash + near-dup.
+  *
+  * Split from the former monolithic ExtProbes (3.1 kLoC); aggregated and
+  * re-exported by [[ExtProbes]] — registry keys, probe bodies, and oracle
+  * SQL unchanged.
+  */
+object MultimodalProbes {
+  // ---- q36 multimodal plumbing (binary payload + stubbed decode) --------
+  val q36: Q = (s, d) =>
+    Multimodal.decodeStub(
+        Multimodal.documentsAsMedia(s, Tables.documents(s, d)))
+      .toDF()
+      .orderBy("media_id")
+
+  val q36Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  md5(text) AS digest,
+      |  CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) AS INT) AS fake_width,
+      |  CAST(strpos('0123456789abcdef', substr(md5(text), 2, 1)) AS INT) AS fake_height
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // ---- q80 media header metadata (real container parsing) ----------------
+  // Multimodal.extractMeta / parseHeader: 4/5 of the payloads are REAL
+  // PNG headers synthesized from (doc_id-derived) dimensions via
+  // hex→unhex; 1/5 are raw text bytes (must degrade to 'unknown'). The
+  // oracle never parses — it recomputes the expected metadata from the
+  // same synthesis arithmetic, so a parser bug (endianness, offset) is a
+  // hash mismatch, not a tautology.
+  val q80: Q = (s, d) => {
+    import s.implicits._
+    val media = Tables.documents(s, d).selectExpr(
+      "doc_id AS media_id",
+      """CASE WHEN doc_id % 5 = 0 THEN CAST(text AS BINARY)
+        |ELSE unhex(concat('89504E470D0A1A0A0000000D49484452',
+        |  lpad(hex(doc_id % 509 + 1), 8, '0'),
+        |  lpad(hex(doc_id % 251 + 1), 8, '0'),
+        |  '0806000000')) END AS media""".stripMargin,
+      "'application/octet-stream' AS mime")
+      .as[graft.operators.Multimodal.MediaRecord]
+    graft.operators.Multimodal.extractMeta(media).toDF()
+      .orderBy("media_id")
+  }
+
+  val q80Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 5 = 0 THEN 'unknown' ELSE 'png' END AS kind,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE doc_id % 509 + 1 END
+      |    AS INTEGER) AS width,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE doc_id % 251 + 1 END
+      |    AS INTEGER) AS height,
+      |  CAST(0 AS INTEGER) AS channels,
+      |  CAST(0 AS INTEGER) AS sample_rate
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // ---- q82 decoded-pixel round trip (REAL ImageIO decode) ----------------
+  // Multimodal.encodeGrayPng synthesizes true PNGs (uniform gray, dims and
+  // gray level doc_id-derived); Multimodal.decodeImages decodes them with
+  // javax.imageio and emits width/height/bands plus the band-0 MEAN over
+  // the decoded raster. The oracle recomputes all four from the synthesis
+  // arithmetic — dims alone could be faked from the header (q80's job);
+  // the mean can only match if actual pixels were decoded. 1/5 of the
+  // payloads are raw text bytes, pinning the undecodable marker row.
+  /** q82's media synthesis — shared with the Scale tool's png_roundtrip
+    * row, so scale measurements run the exact payload mix the probe pins
+    * (every 5th doc raw text, the rest uniform-gray PNGs with
+    * doc_id-derived dims/gray — the same constants the oracle recomputes).
+    */
+  def q82Media(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % 5 == 0)
+          graft.operators.Multimodal.MediaRecord(
+            id, text.getBytes("UTF-8"), "text/plain")
+        else
+          graft.operators.Multimodal.MediaRecord(
+            id,
+            graft.operators.Multimodal.encodeGrayPng(
+              (id % 31 + 1).toInt, (id % 23 + 1).toInt, (id % 256).toInt),
+            "image/png")
+      }
+  }
+
+  val q82: Q = (s, d) => {
+    val media = q82Media(graft.core.Ops.widen(Tables.documents(s, d)))
+    graft.operators.Multimodal.decodeImages(media).toDF()
+      .orderBy("media_id")
+  }
+
+  val q82Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE doc_id % 31 + 1 END
+      |    AS INTEGER) AS width,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE doc_id % 23 + 1 END
+      |    AS INTEGER) AS height,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS INTEGER) AS bands,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN -1
+      |       ELSE (doc_id % 256) * 10000 END AS BIGINT) AS mean_e4
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // ---- q84 decoded-sample audio round trip (REAL javax.sound decode) -----
+  // Multimodal.encodePcm16Wav synthesizes true 16-bit PCM WAVs (rate /
+  // channels / frame count / ramp amplitude all doc_id-derived);
+  // Multimodal.decodeAudio decodes them with javax.sound.sampled and emits
+  // format fields plus the MEAN |sample| and PEAK over the decoded PCM
+  // stream. The oracle recomputes everything from the synthesis
+  // arithmetic — rate/channels alone could be faked from the fmt header
+  // (q80's job); mean and peak only match if actual samples were decoded.
+  // Frame values are step·(i % 100), so sum_{i<n}(i%100) has the closed
+  // form (n/100)·4950 + r(r−1)/2 with r = n mod 100 — SQL-expressible.
+  // 1/5 of payloads are raw text bytes, pinning the undecodable marker.
+  def q84Media(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      if (id % 5 == 0)
+        graft.operators.Multimodal.MediaRecord(
+          id, s"not audio: $id".getBytes("UTF-8"), "text/plain")
+      else {
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val ch = (1 + id % 2).toInt
+        val n = (50 + id % 150).toInt
+        val step = ((id % 7 + 1) * 40).toInt
+        val frames = Array.tabulate[Short](n)(i => (step * (i % 100)).toShort)
+        graft.operators.Multimodal.MediaRecord(
+          id, graft.operators.Multimodal.encodePcm16Wav(rate, ch, frames),
+          "audio/wav")
+      }
+    }
+  }
+
+  val q84: Q = (s, d) => {
+    val media = q84Media(graft.core.Ops.widen(Tables.documents(s, d)))
+    graft.operators.Multimodal.decodeAudio(media).toDF()
+      .orderBy("media_id")
+  }
+
+  val q84Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN NULL
+      |         ELSE 8000 + (doc_id % 3) * 4000 END AS rate,
+      |    1 + doc_id % 2 AS ch,
+      |    50 + doc_id % 150 AS n,
+      |    (doc_id % 7 + 1) * 40 AS step
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CAST(CASE WHEN rate IS NULL THEN 0 ELSE ch END AS INTEGER) AS channels,
+      |  CAST(coalesce(rate, 0) AS INTEGER) AS sample_rate,
+      |  CAST(CASE WHEN rate IS NULL THEN 0 ELSE n END AS BIGINT) AS n_frames,
+      |  CAST(CASE WHEN rate IS NULL THEN -1
+      |       ELSE floor(n * 10000.0 / rate + 0.5) END AS BIGINT) AS duration_e4,
+      |  CAST(CASE WHEN rate IS NULL THEN -1
+      |       ELSE floor((ch * step * ((n // 100) * 4950 +
+      |              ((n % 100) * ((n % 100) - 1)) // 2)) * 10000.0
+      |            / (n * ch) + 0.5) END AS BIGINT) AS mean_abs_e4,
+      |  CAST(CASE WHEN rate IS NULL THEN -1
+      |       ELSE step * (CASE WHEN n >= 100 THEN 99 ELSE n - 1 END)
+      |       END AS INTEGER) AS peak
+      |FROM p ORDER BY media_id""".stripMargin
+
+  // ---- q85 MP4 container-walk round trip ---------------------------------
+  // Multimodal.encodeMp4 synthesizes structurally-valid ISO-BMFF box trees
+  // (track count / timescale / duration / per-track sample counts all
+  // doc_id-derived); Multimodal.extractMp4Meta walks moov/trak/mdia/minf/
+  // stbl/stsz for the metadata a curation pipeline filters video on. The
+  // oracle recomputes from the synthesis arithmetic. 1/4 of payloads are
+  // raw text bytes, pinning the non-MP4 marker row.
+  def q85Media(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      if (id % 4 == 0)
+        graft.operators.Multimodal.MediaRecord(
+          id, s"not video: $id".getBytes("UTF-8"), "text/plain")
+      else {
+        val tracks = (1 + id % 3).toInt
+        val tsc = (600 + (id % 5) * 100).toInt
+        val dur = (1000 + id % 9000).toInt
+        val per = (100 + id % 400).toInt
+        // odd ids carry explicit sync tables (kf = 1 + per/4 per track);
+        // even ids omit stss — all samples sync, the ISO-BMFF default
+        val sync = if (id % 2 == 1) Some(1 + per / 4) else None
+        graft.operators.Multimodal.MediaRecord(
+          id, graft.operators.Multimodal.encodeMp4(
+            tsc, dur, Seq.fill(tracks)(per), Seq.fill(tracks)(sync)),
+          "video/mp4")
+      }
+    }
+  }
+
+  val q85: Q = (s, d) => {
+    val media = q85Media(graft.core.Ops.widen(Tables.documents(s, d)))
+    graft.operators.Multimodal.extractMp4Meta(media).toDF()
+      .orderBy("media_id")
+  }
+
+  val q85Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 0 THEN NULL ELSE 1 + doc_id % 3 END AS tr,
+      |    600 + (doc_id % 5) * 100 AS tsc,
+      |    1000 + doc_id % 9000 AS dur,
+      |    100 + doc_id % 400 AS per
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CAST(coalesce(tr, 0) AS INTEGER) AS n_tracks,
+      |  CAST(CASE WHEN tr IS NULL THEN 0 ELSE tsc END AS BIGINT) AS timescale,
+      |  CAST(CASE WHEN tr IS NULL THEN -1
+      |       ELSE floor(dur * 10000.0 / tsc + 0.5) END AS BIGINT) AS duration_e4,
+      |  CAST(CASE WHEN tr IS NULL THEN -1 ELSE tr * per END AS BIGINT)
+      |    AS n_samples,
+      |  CAST(CASE WHEN tr IS NULL THEN -1
+      |       WHEN doc_id % 2 = 1
+      |         THEN tr * (1 + CAST(floor(per / 4.0) AS BIGINT))
+      |       ELSE tr * per END AS BIGINT) AS n_keyframes
+      |FROM p ORDER BY media_id""".stripMargin
+
+  // ---- q94 MJPEG-in-MP4 decoded-keyframe round trip ----------------------
+  // Multimodal.encodeMjpegMp4 synthesizes REAL video containers: one JPEG
+  // per frame inside mdat, with true stsz/stsc/stco sample tables and
+  // (for ids % 3 != 0) an stss keyframe table. decodeMjpegKeyframes walks
+  // the tables to each keyframe's byte range and decodes THE PIXELS with
+  // javax.imageio; the oracle recomputes keyframe counts and the decoded
+  // gray sum from synthesis arithmetic (uniform tiles survive JPEG
+  // exactly — spec-pinned). Table counts alone could be faked from the
+  // walk (q85's job); gray_sum_e4 only matches if actual frame bytes were
+  // located AND decoded. 1/4 of payloads are raw text → the marker row.
+  def q94Media(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % 4 == 0)
+          graft.operators.Multimodal.MediaRecord(
+            id, text.getBytes("UTF-8"), "text/plain")
+        else {
+          val n = (3 + id % 5).toInt
+          val grays = (0 until n).map(j => ((id * 7 + j * 13) % 256).toInt)
+          // ids % 3 == 0: no stss → every sample sync; otherwise keyframes
+          // at the odd 1-based sample numbers 1, 3, 5, …
+          val sync =
+            if (id % 3 == 0) None
+            else Some((1 to n by 2).toSeq)
+          graft.operators.Multimodal.MediaRecord(
+            id, graft.operators.Multimodal.encodeMjpegMp4(
+              600, 3000, (id % 13 + 2).toInt, (id % 11 + 2).toInt,
+              grays, sync),
+            "video/mp4")
+        }
+      }
+  }
+
+  val q94: Q = (s, d) => {
+    val media = q94Media(graft.core.Ops.widen(Tables.documents(s, d)))
+    graft.operators.Multimodal.decodeMjpegKeyframes(media).toDF()
+      .orderBy("media_id")
+  }
+
+  val q94Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 0 THEN NULL
+      |         ELSE CAST(3 + doc_id % 5 AS INTEGER) END AS n,
+      |    CAST(doc_id % 13 + 2 AS INTEGER) AS w,
+      |    CAST(doc_id % 11 + 2 AS INTEGER) AS h
+      |  FROM documents),
+      |k AS (SELECT doc_id, j FROM p, unnest(generate_series(1, n)) t(j)
+      |  WHERE doc_id % 3 = 0 OR j % 2 = 1),
+      |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kf,
+      |    CAST(sum((doc_id * 7 + (j - 1) * 13) % 256) * 10000 AS BIGINT)
+      |      AS gsum
+      |  FROM k GROUP BY doc_id)
+      |SELECT p.doc_id AS media_id,
+      |  CAST(CASE WHEN n IS NULL THEN -1 ELSE n END AS BIGINT) AS n_samples,
+      |  CAST(CASE WHEN n IS NULL THEN -1 ELSE g.kf END AS BIGINT)
+      |    AS n_keyframes,
+      |  CAST(CASE WHEN n IS NULL THEN -1 ELSE g.kf END AS BIGINT)
+      |    AS n_decoded,
+      |  CAST(CASE WHEN n IS NULL THEN 0 ELSE w END AS INTEGER) AS width,
+      |  CAST(CASE WHEN n IS NULL THEN 0 ELSE h END AS INTEGER) AS height,
+      |  CAST(CASE WHEN n IS NULL THEN -1 ELSE g.gsum END AS BIGINT)
+      |    AS gray_sum_e4
+      |FROM p LEFT JOIN g USING (doc_id) ORDER BY media_id""".stripMargin
+
+  // ---- q101 box-average image resize (REAL decode + resample) -----------
+  // Multimodal.encodeSplitGrayPng synthesizes two-tone PNGs (dims, split
+  // column and both gray levels doc_id-derived — NON-uniform, so wrong box
+  // boundaries change the answer); Multimodal.resizeImages decodes and
+  // box-averages to a fixed 4x3 grid, summing the per-output-pixel e4
+  // means. The oracle regenerates the full 4x3 box grid (floor boundaries,
+  // >=1-px clamp) and the identical sum*10000.0/nbox+0.5 floor per pixel —
+  // exact integers into identical double expressions, hash-equal. 1/5 of
+  // payloads are raw text, pinning the undecodable marker row.
+  def q101Media(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      if (id % 5 == 0)
+        graft.operators.Multimodal.MediaRecord(
+          id, s"not image: $id".getBytes("UTF-8"), "text/plain")
+      else {
+        val w = (id % 29 + 2).toInt
+        val h = (id % 17 + 1).toInt
+        graft.operators.Multimodal.MediaRecord(
+          id,
+          graft.operators.Multimodal.encodeSplitGrayPng(
+            w, h, w / 2, (id % 256).toInt, ((id * 7 + 13) % 256).toInt),
+          "image/png")
+      }
+    }
+  }
+
+  val q101: Q = (s, d) => {
+    val media = q101Media(graft.core.Ops.widen(Tables.documents(s, d)))
+    graft.operators.Multimodal.resizeImages(media, 4, 3).toDF()
+      .orderBy("media_id")
+  }
+
+  val q101Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN NULL ELSE doc_id % 29 + 2 END AS w,
+      |    doc_id % 17 + 1 AS h,
+      |    (doc_id % 29 + 2) // 2 AS split,
+      |    doc_id % 256 AS gl,
+      |    (doc_id * 7 + 13) % 256 AS gr
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, w, h, split, gl, gr,
+      |    (i.i * w) // 4 AS x0,
+      |    least(w, greatest(((i.i + 1) * w) // 4, (i.i * w) // 4 + 1)) AS x1,
+      |    (j.j * h) // 3 AS y0,
+      |    least(h, greatest(((j.j + 1) * h) // 3, (j.j * h) // 3 + 1)) AS y1
+      |  FROM p, range(4) i(i), range(3) j(j)
+      |  WHERE w IS NOT NULL),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(floor((y1 - y0) * (gl * (least(x1, split) - least(x0, split)) +
+      |        gr * ((x1 - x0) - (least(x1, split) - least(x0, split)))) * 10000.0
+      |      / ((x1 - x0) * (y1 - y0)) + 0.5) AS BIGINT) AS e4
+      |  FROM b),
+      |a AS (SELECT doc_id, CAST(sum(e4) AS BIGINT) AS out_sum_e4
+      |  FROM m GROUP BY doc_id)
+      |SELECT p.doc_id AS media_id,
+      |  CAST(coalesce(p.w, 0) AS INTEGER) AS width,
+      |  CAST(CASE WHEN p.w IS NULL THEN 0 ELSE p.h END AS INTEGER) AS height,
+      |  CAST(CASE WHEN p.w IS NULL THEN 0 ELSE 4 END AS INTEGER) AS out_w,
+      |  CAST(CASE WHEN p.w IS NULL THEN 0 ELSE 3 END AS INTEGER) AS out_h,
+      |  CAST(CASE WHEN p.w IS NULL THEN -1 ELSE a.out_sum_e4 END AS BIGINT)
+      |    AS out_sum_e4
+      |FROM p LEFT JOIN a ON p.doc_id = a.doc_id
+      |ORDER BY media_id""".stripMargin
+
+  // ---- q102 audio energy windows (silence gate over decoded PCM) --------
+  // Reuses q84's WAV synthesis verbatim (ramp frames step*(i%100), rate /
+  // channels / length doc_id-derived); Multimodal.audioEnergyWindows
+  // decodes the PCM stream and scores 25-frame windows. Windows align to
+  // 25-frame boundaries, so each window's frame-value sum has the closed
+  // form 25*((k*25) % 100) + 300 — SQL-expressible; the oracle feeds it
+  // through the identical winSum*10000.0/samplesPerWindow+0.5 floor.
+  // Threshold 2000e4 makes window silence depend on BOTH k and step —
+  // n_silent varies across docs. Text payloads pin the marker row.
+  val q102: Q = (s, d) => {
+    val media = q84Media(graft.core.Ops.widen(Tables.documents(s, d)))
+    graft.operators.Multimodal
+      .audioEnergyWindows(media, windowFrames = 25, silenceE4 = 20000000L)
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  val q102Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 1 + doc_id % 2 END AS ch,
+      |    50 + doc_id % 150 AS n,
+      |    (doc_id % 7 + 1) * 40 AS step
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id,
+      |    CAST(floor((ch * step * (25 * ((k.k * 25) % 100) + 300)) * 10000.0
+      |      / (25 * ch) + 0.5) AS BIGINT) AS mean_e4
+      |  FROM p, range(7) k(k)
+      |  WHERE ch IS NOT NULL AND k.k < n // 25),
+      |a AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+      |    CAST(sum(CASE WHEN mean_e4 < 20000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_silent,
+      |    min(mean_e4) AS min_mean_e4, max(mean_e4) AS max_mean_e4
+      |  FROM w GROUP BY doc_id)
+      |SELECT p.doc_id AS media_id,
+      |  CAST(CASE WHEN p.ch IS NULL THEN 0 ELSE a.n_windows END AS BIGINT)
+      |    AS n_windows,
+      |  CAST(CASE WHEN p.ch IS NULL THEN -1 ELSE a.n_silent END AS BIGINT)
+      |    AS n_silent,
+      |  CAST(CASE WHEN p.ch IS NULL THEN -1 ELSE a.min_mean_e4 END AS BIGINT)
+      |    AS min_mean_e4,
+      |  CAST(CASE WHEN p.ch IS NULL THEN -1 ELSE a.max_mean_e4 END AS BIGINT)
+      |    AS max_mean_e4
+      |FROM p LEFT JOIN a ON p.doc_id = a.doc_id
+      |ORDER BY media_id""".stripMargin
+
+  // ---- q103/q104 perceptual image hash + near-dup pairs ------------------
+  // 16x16 PNGs with a per-pixel pseudo-random gray pattern (64 bits of
+  // real hash entropy — two-tone tiles would collapse to a handful of
+  // patterns and blow the pair join quadratic); docs with id % 7 == 3 are
+  // PLANTED near-dups: the previous doc's pattern with one pixel nudged
+  // (+9 at (0,0)), so their aHash sits within a few bits of the base's.
+  // Each 8x8 aHash cell covers exactly 2x2 pixels, so the oracle's cell
+  // mean is the closed form sum4*2500; bits compare cells against the
+  // integer average of all 64 cells, packed with bit 63 as the BIGINT
+  // sign (DuckDB 1<<63 overflows; the oracle adds Long.MinValue for that
+  // bit instead). 1/5 raw-text payloads pin the -1 marker.
+  def q103Media(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      if (id % 5 == 0)
+        graft.operators.Multimodal.MediaRecord(
+          id, s"not image: $id".getBytes("UTF-8"), "text/plain")
+      else {
+        val variant = id % 7 == 3
+        val base = if (variant) id - 1 else id
+        val px = Array.tabulate(256) { p =>
+          val (x, y) = (p % 16, p / 16)
+          val nudge = if (variant && x == 0 && y == 0) 9 else 0
+          ((base * 31 + y * 16 + x * 17 + nudge) % 256).toInt
+        }
+        graft.operators.Multimodal.MediaRecord(
+          id, graft.operators.Multimodal.encodeGrayPixelsPng(16, 16, px),
+          "image/png")
+      }
+    }
+  }
+
+  /** The shared hash CTE: per-doc aHash recomputed from the synthesis
+    * arithmetic (cell k = j*8+i means sum4*2500; integer-average
+    * threshold; sign-bit packing).
+    */
+  private val aHashCte: String =
+    """p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN NULL
+      |         WHEN doc_id % 7 = 3 THEN doc_id - 1 ELSE doc_id END AS base,
+      |    (doc_id % 7 = 3) AS isvar
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, j.j * 8 + i.i AS k,
+      |    ((p.base * 31 + (j.j*2) * 16 + (i.i*2) * 17 +
+      |        CASE WHEN p.isvar AND i.i = 0 AND j.j = 0 THEN 9 ELSE 0 END)
+      |       % 256 +
+      |     (p.base * 31 + (j.j*2) * 16 + (i.i*2+1) * 17) % 256 +
+      |     (p.base * 31 + (j.j*2+1) * 16 + (i.i*2) * 17) % 256 +
+      |     (p.base * 31 + (j.j*2+1) * 16 + (i.i*2+1) * 17) % 256) * 2500
+      |      AS e4
+      |  FROM p, range(8) i(i), range(8) j(j)
+      |  WHERE p.base IS NOT NULL),
+      |g2 AS (
+      |  SELECT doc_id, k, e4,
+      |    CAST(sum(e4) OVER (PARTITION BY doc_id) AS BIGINT) // 64 AS avg
+      |  FROM g),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN e4 > avg THEN
+      |        CASE WHEN k = 63 THEN -9223372036854775808
+      |             ELSE CAST(1 AS BIGINT) << CAST(k AS INTEGER) END
+      |      ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM g2 GROUP BY doc_id)""".stripMargin
+
+  val q103: Q = (s, d) => {
+    val media = q103Media(graft.core.Ops.widen(Tables.documents(s, d)))
+    graft.operators.Multimodal.imageAHash(media).toDF()
+      .orderBy("media_id")
+  }
+
+  val q103Sql: String =
+    s"""WITH $aHashCte
+      |SELECT p.doc_id AS media_id,
+      |  CAST(coalesce(h.ahash, -1) AS BIGINT) AS ahash
+      |FROM p LEFT JOIN h ON p.doc_id = h.doc_id
+      |ORDER BY media_id""".stripMargin
+
+  val q104: Q = (s, d) => {
+    val media = q103Media(graft.core.Ops.widen(Tables.documents(s, d)))
+    graft.operators.Multimodal.imageNearDupPairs(media, 3)
+      .orderBy("idA", "idB")
+  }
+
+  val q104Sql: String =
+    s"""WITH $aHashCte
+      |SELECT a.doc_id AS idA, b.doc_id AS idB,
+      |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+      |FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+      |ORDER BY idA, idB""".stripMargin
+
+  // ---- family registry --------------------------------------------------
+
+  private[probes] val queries: Map[String, Q] = Map(
+    "q36_multimodal_decode" -> q36,
+    "q80_media_meta" -> q80,
+    "q82_image_decode" -> q82,
+    "q84_audio_decode" -> q84,
+    "q85_mp4_meta" -> q85,
+    "q94_mjpeg_decode" -> q94,
+    "q101_image_resize" -> q101,
+    "q102_audio_windows" -> q102,
+    "q103_image_ahash" -> q103,
+    "q104_image_neardup" -> q104)
+
+  private[probes] val oracleSql: Map[String, String] = Map(
+    "q36_multimodal_decode" -> q36Sql,
+    "q80_media_meta" -> q80Sql,
+    "q82_image_decode" -> q82Sql,
+    "q84_audio_decode" -> q84Sql,
+    "q85_mp4_meta" -> q85Sql,
+    "q94_mjpeg_decode" -> q94Sql,
+    "q101_image_resize" -> q101Sql,
+    "q102_audio_windows" -> q102Sql,
+    "q103_image_ahash" -> q103Sql,
+    "q104_image_neardup" -> q104Sql)
+}

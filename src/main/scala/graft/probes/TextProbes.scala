@@ -1,0 +1,945 @@
+package graft.probes
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextStats}
+import ProbeShared._
+
+/** Text-analysis probe family: language ID, quality scores, token
+  * work, LM scoring (bigram, backoff), TF-IDF/BM25, DSIR, classifier,
+  * C4/Gopher rules, mixture planning, BPE, PII, phrase search.
+  *
+  * Split from the former monolithic ExtProbes (3.1 kLoC); aggregated and
+  * re-exported by [[ExtProbes]] — registry keys, probe bodies, and oracle
+  * SQL unchanged.
+  */
+object TextProbes {
+  // ---- q32 language ID (marker-profile heuristic) -----------------------
+  val q32: Q = (s, d) => {
+    var df = graft.core.Ops.widen(Tables.documents(s, d))
+      .withColumn("w", Dedup.normalizeWords(col("text")))
+    for ((name, markers) <- TextStats.LangProfiles)
+      df = df.withColumn(s"s_$name",
+        TextStats.profileScore(markers).cast("long"))
+    df.withColumn("pred", TextStats.langPredict)
+      .select("doc_id", "pred", "s_alpha", "s_beta", "s_gamma")
+      .orderBy("doc_id")
+  }
+
+  val q32Sql: String = {
+    val scores = TextStats.LangProfiles.map { case (name, markers) =>
+      val in = markers.map(m => s"'$m'").mkString(", ")
+      s"CAST(len(list_filter(w, x -> x IN ($in))) AS BIGINT) AS s_$name"
+    }.mkString(",\n    ")
+    s"""WITH n AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |sc AS (SELECT doc_id,
+       |    $scores
+       |  FROM n)
+       |SELECT doc_id, ${TextStats.langPredictDuckSql} AS pred,
+       |       s_alpha, s_beta, s_gamma
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q33 quality scoring ----------------------------------------------
+  val q33: Q = (s, d) =>
+    graft.core.Ops.widen(Tables.documents(s, d))
+      .withColumn("w", Dedup.normalizeWords(col("text")))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("score_e4", TextStats.qualityScore(col("text"), col("w")))
+      .select("doc_id", "n_words", "score_e4")
+      .orderBy("doc_id")
+
+  val q33Sql: String = {
+    val stopIn = TextStats.StopWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH n AS (SELECT doc_id, text, $duckWords AS w FROM documents),
+       |m AS (SELECT doc_id, len(w) AS n_words,
+       |    length(text) AS n_chars,
+       |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS punct,
+       |    len(list_filter(w, x -> x IN ($stopIn))) AS stops
+       |  FROM n)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(floor((0.5 * least(1.0, n_words / 50.0) +
+       |    0.3 * (1.0 - punct * 1.0 / greatest(n_chars, 1)) +
+       |    0.2 * (stops * 1.0 / greatest(n_words, 1))) * 10000 + 0.5) AS BIGINT) AS score_e4
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q34 token counting -----------------------------------------------
+  val q34: Q = (s, d) =>
+    graft.core.Ops.widen(Tables.documents(s, d))
+      .withColumn("ws_toks", TextStats.wsTokenCount(col("text")).cast("long"))
+      .withColumn("bpe_toks", TextStats.bpeTokenCount(col("text")).cast("long"))
+      .withColumn("cpt_e2",
+        floor(length(col("text")) * lit(1.0) / greatest(col("bpe_toks"), lit(1))
+          * lit(100d) + lit(0.5)).cast("long"))
+      .select("doc_id", "ws_toks", "bpe_toks", "cpt_e2")
+      .orderBy("doc_id")
+
+  val q34Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws_toks,
+       |  CAST(len(regexp_extract_all(text, '${TextStats.BpeTokenRegex}', 0)) AS BIGINT) AS bpe_toks,
+       |  CAST(floor(length(text) * 1.0 /
+       |    greatest(len(regexp_extract_all(text, '${TextStats.BpeTokenRegex}', 0)), 1)
+       |    * 100 + 0.5) AS BIGINT) AS cpt_e2
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- q35 winnowing fingerprint ----------------------------------------
+  val q35: Q = (s, d) =>
+    graft.core.Ops.widen(Tables.documents(s, d))
+      .withColumn("gh", expr(TextStats.winnowGramHashExpr))
+      .withColumn("wm", expr(TextStats.winnowFromHashesExpr))
+      .select(col("doc_id"),
+        size(array_distinct(col("wm"))).cast("long").as("n_fp"),
+        array_min(col("wm")).as("fp_min"))
+      .orderBy("doc_id")
+
+  val q35Sql: String =
+    s"""WITH w AS (SELECT doc_id, ${TextStats.winnowDuckSql} AS wm FROM documents)
+       |SELECT doc_id, CAST(len(list_distinct(wm)) AS BIGINT) AS n_fp,
+       |       list_min(wm) AS fp_min
+       |FROM w ORDER BY doc_id""".stripMargin
+
+  // ---- q38 token-length binning (sequence-packing prep) -----------------
+  val q38: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", TextStats.wsTokenCount(col("text")).cast("long"))
+      .withColumn("bin", Curation.tokenBin(col("toks")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_toks"))
+      .orderBy("bin")
+
+  val q38Sql: String =
+    """WITH t AS (
+      |  SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+      |  FROM documents)
+      |SELECT CAST(least(floor(toks / 16) * 16, 64) AS BIGINT) AS bin,
+      |       count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS sum_toks
+      |FROM t GROUP BY bin ORDER BY bin""".stripMargin
+
+  // ---- q41 JSON property extraction -------------------------------------
+  // events.props is a JSON object column; extract $.k and aggregate.
+  val q41: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val q41Sql: String =
+    """SELECT event_type, count(*) AS cnt,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- q48 PII redaction (planted synthetic PII) ------------------------
+  val q48: Q = (s, d) =>
+    graft.core.Ops.widen(Tables.documents(s, d))
+      .withColumn("text", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or "),
+        lit("http://site"), col("doc_id") % 10, lit(".example.org/x tel +41 22 "),
+        lpad((col("doc_id") % 1000).cast("string"), 4, "0"), lit(" end")))
+      .withColumn("hits", TextStats.piiHits(col("text")).cast("long"))
+      .withColumn("redacted", TextStats.redactPii(col("text")))
+      .select(col("doc_id"), col("hits"), md5(col("redacted")).as("rh"))
+      .orderBy("doc_id")
+
+  val q48Sql: String = {
+    val email = TextStats.EmailRegex
+    val url = TextStats.UrlRegex
+    val phone = TextStats.PhoneRegex
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com or ' ||
+       |    'http://site' || (doc_id % 10) || '.example.org/x tel +41 22 ' ||
+       |    lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') || ' end' AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$email', 0)) +
+       |       len(regexp_extract_all(text, '$url', 0)) +
+       |       len(regexp_extract_all(text, '$phone', 0)) AS BIGINT) AS hits,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g'),
+       |    '$phone', '<PHONE>', 'g')) AS rh
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q53 sequence packing (concat-and-chunk batch layout) -------------
+  // Each document's pack id = the 256-token chunk its start offset falls
+  // into, laid out in doc_id order within its content-hash shard. The
+  // running sum is a shard-PARTITIONED window — parallel at any scale.
+  val q53: Q = (s, d) =>
+    Curation.packSequences(
+        Tables.documents(s, d)
+          .withColumn("toks", TextStats.wsTokenCount(col("text")).cast("long")),
+        "doc_id", col("toks"), Curation.shardAssign(col("text")), budget = 256)
+      .select("doc_id", "shard", "toks", "pack")
+      .orderBy("doc_id")
+
+  val q53Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS INT) AS shard,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+      |  FROM documents)
+      |SELECT doc_id, shard, toks,
+      |  CAST(floor((sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks) / 256) AS BIGINT) AS pack
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---- q58 weighted source-mix sampling ---------------------------------
+  // Per-stratum keep rates (the corpus-mixing dial) keyed to the corpus's
+  // ACTUAL lang values (de/en/es/fr/zh — es/zh exercise the default-rate
+  // fallback); the keep decision is a content-hash fraction, mirrored
+  // exactly in both engines via the nibble-sum of the first 8 md5 hex
+  // chars over 16^8. Rates are non-trivial so a broken fraction (either
+  // engine) shifts n_kept and fails the hash compare.
+  private val q58Rates = Seq("de" -> 0.125, "en" -> 0.5, "fr" -> 0.25)
+
+  val q58: Q = (s, d) =>
+    graft.operators.Curation.keepReport(
+        graft.core.Ops.widen(Tables.documents(s, d)), "lang",
+        graft.operators.Curation.weightedSampleKeep(
+          col("lang"), col("text"), q58Rates.toMap))
+      .orderBy("lang")
+
+  val q58Sql: String = {
+    val nibbles = (1 to 8).map(j =>
+      s"(strpos('0123456789abcdef', substr(md5(text), $j, 1)) - 1) * ${math.pow(16, 8 - j).toLong}")
+      .mkString(" + ")
+    val rate = q58Rates.foldLeft("1.0") { case (acc, (s, r)) =>
+      s"CASE WHEN lang = '$s' THEN $r ELSE $acc END"
+    }
+    s"""SELECT lang, count(*) AS n_total,
+       |  count(*) FILTER (WHERE ($nibbles) / 4294967296.0 < ($rate)) AS n_kept,
+       |  CAST(floor(count(*) FILTER (WHERE ($nibbles) / 4294967296.0 < ($rate))
+       |    * 1.0 / count(*) * 10000 + 0.5) AS BIGINT) AS ratio_e4
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ---- q51 repetition ratio (Gopher-style degenerate-text flag) ---------
+  // Planted degenerates: every 11th doc's text is replaced by one phrase
+  // repeated, driving the ratio toward 1.
+  val q51: Q = (s, d) =>
+    graft.core.Ops.widen(Tables.documents(s, d))
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          concat_ws(" ", (0 until 30).map(_ => lit("spam ham")): _*))
+          .otherwise(col("text")))
+      .withColumn("w", Dedup.normalizeWords(col("text")))
+      .withColumn("sh", Dedup.shingles3(col("w")))
+      .select(col("doc_id"), TextStats.repetitionRatio(col("sh")).as("rep_e4"))
+      .orderBy("doc_id")
+
+  val q51Sql: String = {
+    val phrase = (0 until 30).map(_ => "spam ham").mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 0 THEN '$phrase' ELSE text END AS text
+       |  FROM documents),
+       |n AS (SELECT doc_id, $duckWords AS w FROM t),
+       |shl AS (SELECT doc_id,
+       |  CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE []::VARCHAR[] END AS sh
+       |  FROM n)
+       |SELECT doc_id,
+       |  CASE WHEN len(sh) = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(floor((1.0 - len(list_distinct(sh)) * 1.0 / len(sh))
+       |            * 10000 + 0.5) AS BIGINT) END AS rep_e4
+       |FROM shl ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q76 BPE pair counts (tokenizer-training step) ---------------------
+  // The distributed core of BPE training (operators/Bpe): corpus → word
+  // frequency table (the one corpus-sized pass) → adjacent char-pair
+  // counts weighted by word freq — the argmax of this table is the merge
+  // the trainer learns each round (BpeSpec pins the full loop on the
+  // textbook corpus). Oracle mirrors the explode+sum shape directly.
+  val q76: Q = (s, d) => {
+    val vocab = graft.operators.Bpe.wordFreqs(Tables.documents(s, d), "text")
+      .withColumn("syms", graft.operators.Bpe.charSymbols(col("w")))
+    graft.operators.Bpe.pairCounts(vocab, "syms", "freq")
+      .orderBy("pair")
+  }
+
+  val q76Sql: String =
+    s"""WITH wx AS (SELECT unnest($duckWords) AS w FROM documents),
+       |f AS (SELECT w, count(*) AS freq FROM wx GROUP BY w),
+       |p AS (SELECT freq, unnest(list_transform(generate_series(1, length(w) - 1),
+       |        i -> substring(w, i, 1) || ' ' || substring(w, i + 1, 1))) AS pair
+       |      FROM f WHERE length(w) >= 2)
+       |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+       |FROM p GROUP BY pair ORDER BY pair""".stripMargin
+
+  // ---- q78 token-bounded chunking with overlap ---------------------------
+  // Curation.chunkByTokens — the split side of the sequence-length problem
+  // (packSequences is the concat side): overlapping maxTokens-word windows
+  // at stride maxTokens-overlap, per-row explode, no shuffle. Oracle
+  // mirrors the window arithmetic with generate_series + list_slice.
+  val q78: Q = (s, d) =>
+    Curation.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
+        maxTokens = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_id")
+
+  val q78Sql: String =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |c AS (SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 16, 1), 48)) AS s, w
+       |      FROM w)
+       |SELECT doc_id, CAST((s - 1) // 48 AS BIGINT) AS chunk_id,
+       |  array_to_string(list_slice(w, s, s + 63), ' ') AS chunk_text,
+       |  CAST(len(list_slice(w, s, s + 63)) AS BIGINT) AS n_tokens
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---- q83 BPE encode (apply side of the q76-trained tokenizer) ----------
+  // The PRODUCTION encoder (Bpe.encodeOne greedy min-rank loop, typed map
+  // — the encodeWords path) over a fixed trained-shape merge table
+  // (Bpe.DemoMerges); output per doc is the token COUNT plus an md5 over
+  // the full token stream — full-fidelity: any mis-merge anywhere in any
+  // word changes the digest. The oracle mirrors the EQUIVALENT rank-order
+  // fold (applyMerge semantics; BpeSpec pins the two forms' agreement)
+  // with DuckDB list_reduce — custom init via list_prepend(''), symbols
+  // joined by '|', the "ends-with |a and next is b" fuse — generated from
+  // the SAME merge constants so the encodings cannot drift. (An earlier
+  // column-fold form of this probe compiled an expression so large that
+  // codegen-cache eviction inside the 83-query bench recompiled it every
+  // run: 6.9 s in-suite vs 1.3 s isolated. The typed-map form needs no
+  // codegen giant and is the form a production pipeline runs anyway.)
+  val q83: Q = (s, d) => {
+    import s.implicits._
+    val table = graft.operators.Bpe.DemoMerges.toVector
+    val ranks = table.zipWithIndex.map { case (m, i) => m -> i }.toMap
+    graft.core.Ops.widen(Tables.documents(s, d))
+      .select(col("doc_id"), Dedup.normalizeWords(col("text")).as("ws"))
+      .as[(Long, Seq[String])]
+      .map { case (id, ws) =>
+        val toks = ws.map(w => graft.operators.Bpe.encodeOne(w, table, ranks))
+        (id, toks.map(_.length.toLong).sum,
+          toks.map(_.mkString("|")).mkString(" "))
+      }
+      .toDF("doc_id", "n_tokens", "enc")
+      .select(col("doc_id"), col("n_tokens"), md5(col("enc")).as("enc_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q83Sql: String = {
+    def stage(inner: String, a: String, b: String): String =
+      s"""list_reduce(list_prepend('', string_split($inner, '|')),
+         |      (acc, x) -> CASE
+         |        WHEN acc = '$a' AND x = '$b' THEN '${a + b}'
+         |        WHEN acc LIKE '%|$a' AND x = '$b'
+         |          THEN substr(acc, 1, length(acc) - ${a.length}) || '${a + b}'
+         |        WHEN acc = '' THEN x
+         |        ELSE acc || '|' || x END)""".stripMargin
+    val chained = graft.operators.Bpe.DemoMerges.foldLeft(
+      "array_to_string(string_split(w, ''), '|')") {
+      case (inner, (a, b)) => stage(inner, a, b)
+    }
+    s"""WITH n AS (SELECT doc_id, $duckWords AS ws FROM documents),
+       |t AS (SELECT doc_id, list_transform(ws, w -> $chained) AS toks FROM n)
+       |SELECT doc_id,
+       |  CAST(coalesce(list_sum(list_transform(toks,
+       |    s -> len(string_split(s, '|')))), 0) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(toks, ' ')) AS enc_md5
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q90 Gopher quality-rule bundle -----------------------------------
+  // The standard pretraining gate set (word count / mean word length /
+  // symbol ratio / bullet + ellipsis line fractions / alphabetic fraction
+  // / stopword floor) as one struct; docs get synthesized line structure
+  // so every rule has both passing and failing rows. All measures are
+  // integer-count fixed-point — the compare is exact.
+  val q90: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      concat_ws("\n", col("text"),
+        when(col("doc_id") % 4 === 0, lit("- bullet line"))
+          .otherwise(lit("plain line")),
+        when(col("doc_id") % 5 === 0, lit("trails off..."))
+          .otherwise(lit("## hash marks #"))).as("text"))
+    val g = graft.operators.TextStats.gopherFlags(col("text"),
+      Dedup.normalizeWords(col("text")))
+    docs.withColumn("g", g)
+      .select(col("doc_id"), col("g.n_words").as("n_words"),
+        col("g.mean_len_e4").as("mean_len_e4"),
+        col("g.alpha_frac_e4").as("alpha_frac_e4"),
+        col("g.symbol_ratio_e4").as("symbol_ratio_e4"),
+        col("g.bullet_frac_e4").as("bullet_frac_e4"),
+        col("g.ellipsis_frac_e4").as("ellipsis_frac_e4"),
+        col("g.stop_hits").as("stop_hits"), col("g.pass").as("pass"))
+      .orderBy("doc_id")
+  }
+
+  val q90Sql: String = {
+    def fracE4(num: String, den: String) =
+      s"CASE WHEN $den > 0 THEN CAST(floor(($num) * 1.0 / ($den) * 10000 + 0.5) AS BIGINT) ELSE 0 END"
+    s"""WITH docs AS (SELECT doc_id,
+       |    text || chr(10)
+       |      || (CASE WHEN doc_id % 4 = 0 THEN '- bullet line'
+       |          ELSE 'plain line' END) || chr(10)
+       |      || (CASE WHEN doc_id % 5 = 0 THEN 'trails off...'
+       |          ELSE '## hash marks #' END) AS text
+       |  FROM documents),
+       |t AS (SELECT doc_id, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |      ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+       |    string_split(text, chr(10)) AS lines,
+       |    $duckWords AS w
+       |  FROM docs),
+       |m AS (SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n,
+       |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+       |      AS BIGINT) AS sumlen,
+       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+       |      AS BIGINT) AS n_alpha,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+       |      + CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT)
+       |      AS n_sym,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(lines, l -> starts_with(l, '- ')
+       |      OR starts_with(l, '* ') OR starts_with(l, '•'))) AS BIGINT)
+       |      AS n_bullet,
+       |    CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT)
+       |      AS n_ell,
+       |    CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT)
+       |      AS stop_hits
+       |  FROM t),
+       |f AS (SELECT doc_id, n AS n_words,
+       |    ${fracE4("sumlen", "n")} AS mean_len_e4,
+       |    ${fracE4("n_alpha", "n")} AS alpha_frac_e4,
+       |    ${fracE4("n_sym", "n")} AS symbol_ratio_e4,
+       |    ${fracE4("n_bullet", "n_lines")} AS bullet_frac_e4,
+       |    ${fracE4("n_ell", "n_lines")} AS ellipsis_frac_e4,
+       |    stop_hits
+       |  FROM m)
+       |SELECT doc_id, n_words, mean_len_e4, alpha_frac_e4, symbol_ratio_e4,
+       |  bullet_frac_e4, ellipsis_frac_e4, stop_hits,
+       |  (n_words BETWEEN 50 AND 100000
+       |    AND mean_len_e4 BETWEEN 30000 AND 100000
+       |    AND symbol_ratio_e4 <= 1000 AND bullet_frac_e4 <= 9000
+       |    AND ellipsis_frac_e4 <= 3000 AND alpha_frac_e4 >= 8000
+       |    AND stop_hits >= 2) AS pass
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q91 bigram-LM cross-entropy (perplexity filter) ------------------
+  // The CCNet/KenLM-style quality signal: train bigram counts on the
+  // corpus itself, score each doc's mean smoothed log-cost
+  // (self-perplexity — repetitive/templated docs score low, outliers
+  // high). Per-bigram costs round to e6 integers BEFORE the sum, so the
+  // compare is exact despite the ln().
+  val q91: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    // self-train shape → the one-explode entry point (the two-call
+    // bigramCounts + lmCrossEntropy form explodes the corpus twice)
+    graft.operators.TextStats.selfCrossEntropy(docs, "doc_id", "text",
+        vocabSize = 1000L)
+      .orderBy("doc_id")
+  }
+
+  val q91Sql: String =
+    s"""WITH n AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |bg AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram
+       |  FROM n, unnest(generate_series(1, len(w) - 1)) t(i)
+       |  WHERE len(w) >= 2),
+       |grams AS (SELECT gram, count(*) AS c FROM bg GROUP BY gram),
+       |ctx AS (SELECT string_split(gram, ' ')[1] AS w1, sum(c) AS ctx
+       |  FROM grams GROUP BY 1),
+       |sc AS (SELECT b.doc_id,
+       |    CAST(floor(-ln((g.c + 1.0) / (x.ctx + 1000.0)) * 1000000 + 0.5)
+       |      AS BIGINT) AS le6
+       |  FROM bg b
+       |  JOIN grams g USING (gram)
+       |  JOIN ctx x ON x.w1 = string_split(b.gram, ' ')[1]),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(floor(sum(le6) / (count(*) * 100.0) + 0.5) AS BIGINT)
+       |      AS xent_e4
+       |  FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(a.xent_e4, 0) AS xent_e4
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---- q93 feature-hashing text embedding -------------------------------
+  // The hashing-trick projection (bucket = md5 mod dim, ±1 sign from the
+  // next hash bits, signed counts per bucket) — the vocabulary-free
+  // text→embedding link feeding the ANN stack. Integer-exact; dense
+  // long-form output (every doc × every position, zeros included).
+  val q93: Q = (s, d) =>
+    graft.operators.TextStats.hashEmbed(
+        Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", dim = 16)
+      .orderBy("doc_id", "pos")
+
+  val q93Sql: String =
+    s"""WITH n AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |t AS (SELECT doc_id, unnest(w) AS word FROM n),
+       |h AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(word), 1, 8))::BIGINT % 16 AS INT)
+       |      AS pos,
+       |    CASE WHEN (('0x' || substr(md5(word), 1, 8))::BIGINT // 16)
+       |        % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM t),
+       |agg AS (SELECT doc_id, pos, CAST(sum(s) AS BIGINT) AS val
+       |  FROM h GROUP BY doc_id, pos),
+       |dn AS (SELECT doc_id, p.pos
+       |  FROM documents, (SELECT unnest(range(0, 16)) AS pos) p)
+       |SELECT dn.doc_id, CAST(dn.pos AS INT) AS pos,
+       |  coalesce(a.val, 0) AS val
+       |FROM dn LEFT JOIN agg a ON a.doc_id = dn.doc_id AND a.pos = dn.pos
+       |ORDER BY dn.doc_id, dn.pos""".stripMargin
+
+  // ---- q96 TF-IDF top terms ----------------------------------------------
+  // Smoothed idf rounded to an e6 BIGINT per vocabulary term BEFORE the
+  // tf multiply (engine-independent ranking; ln of a small-int ratio is
+  // bit-identical across engines), top-3 per doc, ties by term.
+  val q96: Q = (s, d) =>
+    graft.operators.TextStats.tfidfTopTerms(
+      graft.core.Ops.widen(Tables.documents(s, d)).select("doc_id", "text"),
+      "doc_id", "text", k = 3).orderBy("doc_id", "rnk")
+
+  val q96Sql: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, unnest($duckWords) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM ws GROUP BY doc_id, term),
+       |idf AS (SELECT term, CAST(floor(
+       |    (ln(((SELECT count(*) FROM documents) + 1.0) / (count(*) + 1.0))
+       |      + 1.0) * 1e6 + 0.5) AS BIGINT) AS idf_e6
+       |  FROM tf GROUP BY term),
+       |s AS (SELECT doc_id, term, tf, tf * idf_e6 AS score_e6,
+       |    CAST(row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY tf * idf_e6 DESC, term) AS BIGINT) AS rnk
+       |  FROM tf JOIN idf USING (term))
+       |SELECT doc_id, term, tf, CAST(score_e6 AS BIGINT) AS score_e6, rnk
+       |FROM s WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  // ---- q97 DSIR importance resampling ------------------------------------
+  // Target-domain LM trained on the lang='en' slice, raw LM on the whole
+  // corpus; log importance ratio logw_e4 = n_bigrams · (xr_e4 − xt_e4)
+  // from ONE shared bigram explode; deterministic Gumbel-top-k selection
+  // (noise from md5(doc_id)-derived uniforms, seed-salted) of the 100
+  // most-target-like docs. The oracle mirrors BOTH LM scorings (left
+  // joins: cross-model scoring hits the unseen-gram smoothing path q91's
+  // self-train shape never exercises), the Gumbel arithmetic, and the
+  // top-k — ties broken by doc_id on both sides.
+  val q97: Q = (s, d) => {
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+      .select("doc_id", "text", "lang")
+    // in-pool target slice → the one-explode entry point (the compose-it-
+    // yourself bigramCounts×2 + importanceWeights form explodes the
+    // corpus three times); numerics and oracle unchanged
+    val w = graft.operators.TextStats.importanceWeightsSlice(
+      docs, "doc_id", "text", col("lang") === "en", vocabSize = 1000L)
+    graft.operators.TextStats.importanceResample(w, "doc_id", k = 100,
+        seed = 7L)
+      .orderBy("doc_id")
+  }
+
+  val q97Sql: String =
+    s"""WITH n AS (SELECT doc_id, lang, $duckWords AS w FROM documents),
+       |bg AS (SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS gram
+       |  FROM n, unnest(generate_series(1, len(w) - 1)) t(i)
+       |  WHERE len(w) >= 2),
+       |tg AS (SELECT gram, count(*) AS c FROM bg WHERE lang = 'en'
+       |  GROUP BY gram),
+       |tctx AS (SELECT string_split(gram, ' ')[1] AS w1, sum(c) AS ctx
+       |  FROM tg GROUP BY 1),
+       |rg AS (SELECT gram, count(*) AS c FROM bg GROUP BY gram),
+       |rctx AS (SELECT string_split(gram, ' ')[1] AS w1, sum(c) AS ctx
+       |  FROM rg GROUP BY 1),
+       |sct AS (SELECT b.doc_id, CAST(floor(-ln((coalesce(g.c, 0) + 1.0) /
+       |      (coalesce(x.ctx, 0) + 1000.0)) * 1000000 + 0.5) AS BIGINT)
+       |    AS le6
+       |  FROM bg b
+       |  LEFT JOIN tg g USING (gram)
+       |  LEFT JOIN tctx x ON x.w1 = string_split(b.gram, ' ')[1]),
+       |aggt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(floor(sum(le6) / (count(*) * 100.0) + 0.5) AS BIGINT)
+       |      AS xt_e4
+       |  FROM sct GROUP BY doc_id),
+       |scr AS (SELECT b.doc_id, CAST(floor(-ln((coalesce(g.c, 0) + 1.0) /
+       |      (coalesce(x.ctx, 0) + 1000.0)) * 1000000 + 0.5) AS BIGINT)
+       |    AS le6
+       |  FROM bg b
+       |  LEFT JOIN rg g USING (gram)
+       |  LEFT JOIN rctx x ON x.w1 = string_split(b.gram, ' ')[1]),
+       |aggr AS (SELECT doc_id,
+       |    CAST(floor(sum(le6) / (count(*) * 100.0) + 0.5) AS BIGINT)
+       |      AS xr_e4
+       |  FROM scr GROUP BY doc_id),
+       |wt AS (SELECT d.doc_id,
+       |    coalesce(aggt.n_bigrams, 0) AS n_bigrams,
+       |    coalesce(aggt.xt_e4, 0) AS xt_e4,
+       |    coalesce(aggr.xr_e4, 0) AS xr_e4,
+       |    coalesce(aggt.n_bigrams, 0) *
+       |      (coalesce(aggr.xr_e4, 0) - coalesce(aggt.xt_e4, 0)) AS logw_e4
+       |  FROM documents d
+       |  LEFT JOIN aggt USING (doc_id) LEFT JOIN aggr USING (doc_id)),
+       |gm AS (SELECT *, CAST(floor(-ln(-ln(
+       |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '/7'), 1, 8))
+       |        ::BIGINT + 0.5) / 4294967296.0)) * 10000 + 0.5) AS BIGINT)
+       |    AS gumbel_e4 FROM wt),
+       |sel AS (SELECT doc_id, n_bigrams, xt_e4, xr_e4, logw_e4, gumbel_e4,
+       |    logw_e4 + CAST(floor(gumbel_e4 * 10000 / 10000.0) AS BIGINT)
+       |      AS score_e4
+       |  FROM gm ORDER BY score_e4 DESC, doc_id LIMIT 100)
+       |SELECT * FROM sel ORDER BY doc_id""".stripMargin
+
+  // ---- q98 fastText-style quality classifier -----------------------------
+  // Logistic regression over q93's hashing-trick features (dim 8 + bias),
+  // trained by 2 full-batch GD steps at lr 0.5 against a deterministic
+  // label (length(text) >= 200), then scored over the whole corpus. The
+  // oracle UNROLLS both iterations in SQL: iter 1 from zero weights has
+  // p = 500000 exactly for every doc, iter 2 recomputes margins under the
+  // iter-1 weights; all sums are exact-integer (per-row e6-rounded
+  // sigmoid — the q91 discipline), the lr·g/(n·1e6) update is the same
+  // floor(x+0.5) on both sides. A hash match proves the whole training
+  // trajectory AND the scoring pass, not just one dot product.
+  val q98: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
+      (length(col("text")) >= 200).cast("int").as("y"))
+    val model = graft.operators.Classifier.train(
+      docs, "doc_id", "text", "y", dim = 8, iters = 2, lrE6 = 500000L)
+    graft.operators.Classifier.score(docs, "doc_id", "text", model)
+      .join(docs.select(col("doc_id"), col("y").cast("long").as("y")),
+        Seq("doc_id"))
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("p_e6"), col("y"))
+  }
+
+  val q98Sql: String =
+    s"""WITH base AS (SELECT doc_id, $duckWords AS w,
+       |    CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(w) AS word FROM base),
+       |h AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(word), 1, 8))::BIGINT % 8 AS INT)
+       |      AS pos,
+       |    CASE WHEN (('0x' || substr(md5(word), 1, 8))::BIGINT // 8)
+       |        % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM tok),
+       |fw AS (SELECT doc_id, pos, CAST(sum(s) AS BIGINT) AS x
+       |  FROM h GROUP BY doc_id, pos),
+       |f AS (SELECT doc_id, pos, x FROM fw
+       |  UNION ALL SELECT doc_id, 8 AS pos, CAST(1 AS BIGINT) AS x
+       |    FROM base),
+       |lab AS (SELECT doc_id, y FROM base),
+       |c AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
+       |g1 AS (SELECT f.pos,
+       |    CAST(sum(f.x * (500000 - lab.y * 1000000)) AS BIGINT) AS g
+       |  FROM f JOIN lab USING (doc_id) GROUP BY f.pos),
+       |w1 AS (SELECT pos,
+       |    CAST(-floor(500000.0 * g / (n * 1000000.0) + 0.5) AS BIGINT)
+       |      AS w
+       |  FROM g1 CROSS JOIN c),
+       |m2 AS (SELECT f.doc_id, CAST(sum(f.x * w1.w) AS BIGINT) AS m
+       |  FROM f JOIN w1 USING (pos) GROUP BY f.doc_id),
+       |p2 AS (SELECT lab.doc_id, lab.y,
+       |    CAST(floor(1000000.0 / (1.0 + exp(-(m2.m / 1000000.0))) + 0.5)
+       |      AS BIGINT) AS p
+       |  FROM lab JOIN m2 USING (doc_id)),
+       |g2 AS (SELECT f.pos,
+       |    CAST(sum(f.x * (p2.p - p2.y * 1000000)) AS BIGINT) AS g
+       |  FROM f JOIN p2 USING (doc_id) GROUP BY f.pos),
+       |w2 AS (SELECT w1.pos AS pos,
+       |    CAST(w1.w - floor(500000.0 * g2.g / (n * 1000000.0) + 0.5)
+       |      AS BIGINT) AS w
+       |  FROM w1 JOIN g2 ON w1.pos = g2.pos CROSS JOIN c),
+       |mf AS (SELECT f.doc_id, CAST(sum(f.x * w2.w) AS BIGINT) AS m
+       |  FROM f JOIN w2 USING (pos) GROUP BY f.doc_id)
+       |SELECT lab.doc_id,
+       |  CAST(floor(1000000.0 / (1.0 + exp(-(mf.m / 1000000.0))) + 0.5)
+       |    AS BIGINT) AS p_e6,
+       |  CAST(lab.y AS BIGINT) AS y
+       |FROM lab JOIN mf USING (doc_id) ORDER BY lab.doc_id""".stripMargin
+
+  // ---- q99 C4 cleaning rules ---------------------------------------------
+  // Planted per-doc: a passing sentence line, a no-terminal-punct line
+  // (always dropped), a javascript banner (docs %7), a lorem-ipsum line
+  // (docs %11 — page flag), a curly-brace code line (docs %13 — page
+  // flag). The second body line ends in '!' but its word count depends on
+  // substr(text, 81, 60) — short docs drop it, exercising the
+  // min-line-words rule on real data. Both sides apply the identical
+  // construction, line filter, sentence count, and page verdict.
+  val q99: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      concat(
+        substring(col("text"), 1, 80), lit(" alpha beta gamma."),
+        lit("\nno terminal punctuation on this line at all"),
+        when(col("doc_id") % 7 === 0,
+          lit("\nplease enable javascript to continue viewing."))
+          .otherwise(lit("")),
+        lit("\n"), substring(col("text"), 81, 60),
+        lit(" delta epsilon zeta!"),
+        when(col("doc_id") % 11 === 0,
+          lit("\nlorem ipsum dolor sit amet consectetur."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit("\nvar config = [ key value ] ok then { x }."))
+          .otherwise(lit(""))
+      ).as("text"))
+    Curation.c4Clean(docs, "doc_id", "text").orderBy("doc_id")
+  }
+
+  val q99Sql: String =
+    """WITH d AS (SELECT doc_id,
+      |    substr(text, 1, 80) || ' alpha beta gamma.' ||
+      |    chr(10) || 'no terminal punctuation on this line at all' ||
+      |    CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+      |      'please enable javascript to continue viewing.' ELSE '' END ||
+      |    chr(10) || substr(text, 81, 60) || ' delta epsilon zeta!' ||
+      |    CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+      |      'lorem ipsum dolor sit amet consectetur.' ELSE '' END ||
+      |    CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+      |      'var config = [ key value ] ok then { x }.' ELSE '' END
+      |    AS text FROM documents),
+      |k AS (SELECT doc_id, text,
+      |    list_filter(string_split(text, chr(10)), l ->
+      |      right(rtrim(l), 1) IN ('.', '!', '?', '"')
+      |      AND len(list_filter(string_split_regex(trim(l), ' +'),
+      |        w -> w <> '')) >= 5
+      |      AND NOT contains(lower(l), 'javascript')) AS kept,
+      |    len(string_split(text, chr(10))) AS n_lines
+      |  FROM d),
+      |c AS (SELECT doc_id, text,
+      |    array_to_string(kept, chr(10)) AS cleaned_text,
+      |    CAST(len(kept) AS BIGINT) AS n_lines_kept,
+      |    CAST(n_lines - len(kept) AS BIGINT) AS n_lines_dropped
+      |  FROM k),
+      |s AS (SELECT *, CAST(length(cleaned_text) - length(
+      |      regexp_replace(cleaned_text, '[.!?]', '', 'g')) AS BIGINT)
+      |    AS n_sentences FROM c)
+      |SELECT doc_id, cleaned_text, n_lines_kept, n_lines_dropped,
+      |  n_sentences,
+      |  (n_sentences >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+      |    AND NOT contains(text, '{')) AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  // ---- q100 token-budget mixture plan ------------------------------------
+  // Domains = the corpus's lang values; weights cover en/de/fr (es/zh
+  // exercise the unlisted→0 path), the budget forces the epoch cap on at
+  // least the low-resource weighted domains (avail ≪ desired at sf0.01),
+  // and deficits are the difference the plan must report. Both engines
+  // compute the identical double expressions over exact integer inputs —
+  // one floor at the end of each, hash-equal.
+  val q100: Q = (s, d) =>
+    graft.operators.Curation.mixturePlan(
+        Tables.documents(s, d).select(col("lang"), col("text")),
+        "lang", graft.operators.TextStats.wsTokenCount(col("text")),
+        Map("en" -> 5000L, "de" -> 1250L, "fr" -> 2500L),
+        budgetTokens = 1000000L, maxEpochsE4 = 25000L)
+      .orderBy("lang")
+
+  val q100Sql: String =
+    """WITH t AS (SELECT lang,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS toks
+      |  FROM documents),
+      |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(toks) AS BIGINT) AS avail_tokens FROM t GROUP BY lang),
+      |w AS (SELECT lang, n_docs, avail_tokens,
+      |    CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 1250
+      |         WHEN lang = 'fr' THEN 2500 ELSE 0 END AS wv
+      |  FROM a),
+      |p AS (SELECT lang, n_docs, avail_tokens,
+      |    CAST(floor(wv * 10000.0 / 8750.0) AS BIGINT) AS weight_e4,
+      |    CAST(floor(1000000.0 * wv / 8750.0) AS BIGINT) AS desired_tokens
+      |  FROM w),
+      |e AS (SELECT *, CASE WHEN avail_tokens <= 0 THEN CAST(0 AS BIGINT)
+      |    ELSE least(CAST(25000 AS BIGINT),
+      |      CAST(floor(desired_tokens * 10000.0 / avail_tokens) AS BIGINT))
+      |    END AS epochs_e4
+      |  FROM p)
+      |SELECT lang, n_docs, avail_tokens, weight_e4, desired_tokens,
+      |  epochs_e4,
+      |  CAST(floor(avail_tokens * epochs_e4 / 10000.0) AS BIGINT)
+      |    AS planned_tokens,
+      |  desired_tokens - CAST(floor(avail_tokens * epochs_e4 / 10000.0)
+      |    AS BIGINT) AS deficit
+      |FROM e ORDER BY lang""".stripMargin
+
+  // ---- q105 BM25 top-k retrieval -----------------------------------------
+  // Queries derived from the corpus itself (every 97th doc contributes its
+  // first 3 normalized words as a term set) so the oracle can mirror the
+  // derivation; k1 = 1.25 / b = 0.75 are exact binary fractions, each
+  // per-term contribution e6-rounded BEFORE the per-doc sum (repo
+  // determinism convention), N and avgdl computed once driver-side.
+  val q105: Q = (s, d) => {
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+      .select("doc_id", "text")
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("qid"),
+        explode(slice(Dedup.normalizeWords(col("text")), 1, 3)).as("term"))
+    TextStats.bm25TopK(docs, "doc_id", "text", queries, "qid", "term", k = 5)
+      .orderBy("qid", "rnk")
+  }
+
+  val q105Sql: String =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |stat AS (SELECT count(*) AS n,
+       |    CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl FROM w),
+       |ws AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w),
+       |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM ws GROUP BY doc_id, dl, term),
+       |idf AS (SELECT term, CAST(floor(
+       |    ln(((SELECT n FROM stat) - count(*) + 0.5) / (count(*) + 0.5)
+       |      + 1.0) * 1e6 + 0.5) AS BIGINT) AS idf_e6
+       |  FROM tf GROUP BY term),
+       |q AS (SELECT DISTINCT qid, term FROM (
+       |  SELECT doc_id AS qid, unnest(w[1:3]) AS term FROM w
+       |  WHERE doc_id % 97 = 0)),
+       |c AS (SELECT q.qid, tf.doc_id, CAST(floor(
+       |    idf_e6 * (tf * 2.25) /
+       |      (tf + 1.25 * (0.25 + 0.75 * dl / (SELECT avgdl FROM stat)))
+       |    + 0.5) AS BIGINT) AS c_e6
+       |  FROM tf JOIN q USING (term) JOIN idf USING (term)),
+       |sc AS (SELECT qid, doc_id, CAST(sum(c_e6) AS BIGINT) AS score_e6
+       |  FROM c GROUP BY qid, doc_id),
+       |r AS (SELECT qid, doc_id, score_e6, CAST(row_number() OVER (
+       |    PARTITION BY qid ORDER BY score_e6 DESC, doc_id) AS BIGINT)
+       |    AS rnk FROM sc)
+       |SELECT qid, doc_id, score_e6, rnk FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+
+  // ---- q110 trigram stupid-backoff LM ------------------------------------
+  // Model trained on the lang='en' slice, scored over the WHOLE corpus —
+  // cross-model on purpose: non-en docs hit the unseen-trigram and
+  // unseen-bigram backoff branches (0.4 factors + add-one unigram
+  // floor), which a self-train shape never exercises. Oracle mirrors all
+  // three model joins, the branch arithmetic (0.4e0 doubles, identical
+  // association), and the e6-before-sum rounding; every doc appears
+  // (< 3 words ⇒ zeros).
+  val q110: Q = (s, d) => {
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+      .select("doc_id", "text", "lang")
+    TextStats.stupidBackoffScores(
+      docs.select("doc_id", "text"), "doc_id", "text",
+      docs.filter(col("lang") === "en").select("text"), "text")
+      .orderBy("doc_id")
+  }
+
+  val q110Sql: String =
+    s"""WITH nt AS (SELECT doc_id, lang, $duckWords AS w FROM documents),
+       |n AS (SELECT CAST(sum(len(w)) AS BIGINT) AS n FROM nt
+       |  WHERE lang = 'en'),
+       |tri AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram,
+       |    CAST(count(*) AS BIGINT) AS c3
+       |  FROM nt, unnest(generate_series(1, len(w) - 2)) t(i)
+       |  WHERE lang = 'en' AND len(w) >= 3 GROUP BY 1),
+       |bi AS (SELECT w[i] || ' ' || w[i+1] AS gram,
+       |    CAST(count(*) AS BIGINT) AS c2
+       |  FROM nt, unnest(generate_series(1, len(w) - 1)) t(i)
+       |  WHERE lang = 'en' AND len(w) >= 2 GROUP BY 1),
+       |uni AS (SELECT gram, CAST(count(*) AS BIGINT) AS c1 FROM (
+       |  SELECT unnest(w) AS gram FROM nt WHERE lang = 'en') GROUP BY 1),
+       |st AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+       |  FROM nt, unnest(generate_series(1, len(w) - 2)) t(i)
+       |  WHERE len(w) >= 3),
+       |sc AS (SELECT st.doc_id,
+       |    CASE WHEN tri.c3 IS NOT NULL THEN tri.c3 / bc.c2
+       |         ELSE 0.4e0 * (CASE WHEN bs.c2 IS NOT NULL
+       |              THEN bs.c2 / uc.c1
+       |              ELSE 0.4e0 * (coalesce(us.c1, 0) + 1e0) /
+       |                ((SELECT n FROM n) + 1e0) END)
+       |    END AS s
+       |  FROM st
+       |  LEFT JOIN tri ON tri.gram = st.w1 || ' ' || st.w2 || ' ' || st.w3
+       |  LEFT JOIN bi bc ON bc.gram = st.w1 || ' ' || st.w2
+       |  LEFT JOIN bi bs ON bs.gram = st.w2 || ' ' || st.w3
+       |  LEFT JOIN uni uc ON uc.gram = st.w2
+       |  LEFT JOIN uni us ON us.gram = st.w3),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+       |    CAST(sum(CAST(floor(-ln(s) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+       |      AS nats_e6
+       |  FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_tri, 0) AS n_tri,
+       |  coalesce(a.nats_e6, 0) AS nats_e6
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- q111 positional phrase search -------------------------------------
+  // Phrases = words 2..4 of every 89th doc (each query guaranteed ≥ 1
+  // hit: its own source doc). The oracle is an INDEPENDENT formulation —
+  // a direct array scan (w[i], w[i+1], w[i+2]) rather than a mirror of
+  // the postings joins — so a join-logic bug can't cancel out.
+  val q111: Q = (s, d) => {
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+      .select("doc_id", "text")
+    val phrases = docs.filter(col("doc_id") % 89 === 0)
+      .select(col("doc_id").as("qid"),
+        slice(Dedup.normalizeWords(col("text")), 2, 3).as("ts"))
+      .filter(size(col("ts")) === 3)
+    TextStats.phraseSearch3(docs, "doc_id", "text", phrases, "qid", "ts")
+      .orderBy("qid", "doc_id", "match_pos")
+  }
+
+  val q111Sql: String =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |q AS (SELECT doc_id AS qid, w[2] AS t1, w[3] AS t2, w[4] AS t3
+       |  FROM w WHERE doc_id % 89 = 0 AND len(w) >= 4),
+       |m AS (SELECT q.qid, w.doc_id, CAST(t.i AS BIGINT) AS match_pos
+       |  FROM q, w, unnest(generate_series(1, len(w.w) - 2)) t(i)
+       |  WHERE len(w.w) >= 3 AND w.w[t.i] = q.t1
+       |    AND w.w[t.i + 1] = q.t2 AND w.w[t.i + 2] = q.t3)
+       |SELECT qid, doc_id, match_pos FROM m
+       |ORDER BY qid, doc_id, match_pos""".stripMargin
+
+  // ---- family registry --------------------------------------------------
+
+  private[probes] val queries: Map[String, Q] = Map(
+    "q32_lang_id" -> q32,
+    "q33_quality_score" -> q33,
+    "q34_token_count" -> q34,
+    "q35_winnow_fingerprint" -> q35,
+    "q38_token_binning" -> q38,
+    "q41_json_extract" -> q41,
+    "q48_pii_redaction" -> q48,
+    "q51_repetition_ratio" -> q51,
+    "q53_sequence_packing" -> q53,
+    "q58_weighted_mix" -> q58,
+    "q76_bpe_pairs" -> q76,
+    "q78_chunking" -> q78,
+    "q83_bpe_encode" -> q83,
+    "q90_gopher_rules" -> q90,
+    "q91_bigram_lm" -> q91,
+    "q93_hash_embed" -> q93,
+    "q96_tfidf_terms" -> q96,
+    "q97_dsir_resample" -> q97,
+    "q98_quality_classifier" -> q98,
+    "q99_c4_rules" -> q99,
+    "q100_mixture_plan" -> q100,
+    "q105_bm25_topk" -> q105,
+    "q110_trigram_backoff" -> q110,
+    "q111_phrase_search" -> q111)
+
+  private[probes] val oracleSql: Map[String, String] = Map(
+    "q32_lang_id" -> q32Sql,
+    "q33_quality_score" -> q33Sql,
+    "q34_token_count" -> q34Sql,
+    "q35_winnow_fingerprint" -> q35Sql,
+    "q38_token_binning" -> q38Sql,
+    "q41_json_extract" -> q41Sql,
+    "q48_pii_redaction" -> q48Sql,
+    "q51_repetition_ratio" -> q51Sql,
+    "q53_sequence_packing" -> q53Sql,
+    "q58_weighted_mix" -> q58Sql,
+    "q76_bpe_pairs" -> q76Sql,
+    "q78_chunking" -> q78Sql,
+    "q83_bpe_encode" -> q83Sql,
+    "q90_gopher_rules" -> q90Sql,
+    "q91_bigram_lm" -> q91Sql,
+    "q93_hash_embed" -> q93Sql,
+    "q96_tfidf_terms" -> q96Sql,
+    "q97_dsir_resample" -> q97Sql,
+    "q98_quality_classifier" -> q98Sql,
+    "q99_c4_rules" -> q99Sql,
+    "q100_mixture_plan" -> q100Sql,
+    "q105_bm25_topk" -> q105Sql,
+    "q110_trigram_backoff" -> q110Sql,
+    "q111_phrase_search" -> q111Sql)
+}

@@ -39,6 +39,13 @@ object WarcIngestStream {
     val kept = Warc.parseRecords(files).toDF()
       .filter(col("warc_type") === "response" &&
         col("http_status") === 200 && length(col("body")) > 0)
+      // ENFORCE the stride bound the id scheme depends on: a pathological
+      // file with >= 2^20 records would otherwise mint ids colliding with
+      // the next file_id and silently corrupt the replay-dedup property.
+      // Such records are excluded (the file's first 2^20 records still
+      // flow); excluding beats raise_error here because one corrupt file
+      // must not kill an unbounded ingest stream.
+      .filter(col("rec_index") < RecStride)
       .select(
         (col("file_id") * lit(RecStride) + col("rec_index")).as("id"),
         col("body"))

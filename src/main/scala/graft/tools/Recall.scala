@@ -49,6 +49,23 @@ object Recall {
         println(f"RECALL ivf_topk    x$n%-3d nprobe=$nprobe%-2d " +
           f"recall@$k=${hit.toDouble / truthN}%6.4f  (truth=$truthN)")
       }
+      // auto-sized cells (√N rule, r8 verdict item 4). Scored at equal
+      // nprobe FRACTION: with C cells, nprobe = ceil(C/f) matches the
+      // fixed-16 grid's 1/f corpus-coverage fraction, so the 1× and N×
+      // rows are comparable. Done-bar: N× recall within ~0.03 of 1×.
+      val centAuto = Similarity.buildIvf(v, iters = 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cAuto = centAuto.count().toInt
+      for (frac <- Seq(16, 8, 4)) {
+        val nprobe = math.max(1, (cAuto + frac - 1) / frac)
+        val got = Similarity.ivfTopK(v, centAuto, queries, nprobe, k)
+          .select("vec_id", "other_id")
+        val hit = got.join(truth, Seq("vec_id", "other_id")).count()
+        println(f"RECALL ivf_auto    x$n%-3d cells=$cAuto%-4d " +
+          f"frac=1/$frac%-3d nprobe=$nprobe%-3d " +
+          f"recall@$k=${hit.toDouble / truthN}%6.4f")
+      }
+      centAuto.unpersist()
       // ---- PQ family recall (round 6) ----------------------------------
       // ADC ranks by squared L2, so its ground truth is the exact-L2
       // top-k (cosine truth would conflate metric mismatch with

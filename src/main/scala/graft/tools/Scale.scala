@@ -80,6 +80,15 @@ object Scale {
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Repeat-and-best (r8 verdict item 5): round-8's sweep recorded two
+    // identical composed-funnel runs differing 10× (95 s vs 9.4 s lm_gate)
+    // — a single-run row is one contention burst away from meaningless.
+    // Every sweep row now runs n≥2 times and reports the BEST with a
+    // spread column (max/min across repetitions), so a noisy row is
+    // visible as such in SCALE.md instead of masquerading as a regression.
+    val nRep = math.max(1,
+      sys.env.get("SPARK_GRAFT_SCALE_RUNS").flatMap(_.toIntOption).getOrElse(2))
+
     def docs(n: Int): DataFrame = scaledDocs(spark, sfDir, n)
     def vecs(n: Int): DataFrame = scaledVecs(spark, sfDir, n)
 
@@ -154,28 +163,36 @@ object Scale {
         // against it
         val target = graft.Tables.documents(spark, sfDir)
           .filter(col("doc_id") % 11 === 0).select("doc_id", "text")
-        val t0 = System.nanoTime()
-        val res = graft.pipeline.Curate.run(d, "doc_id", "text",
-          bench, "btext", graft.pipeline.CurateConfig(
-            c4Clean = true,
-            gopherRules = Some(graft.operators.TextStats.GopherConfig()),
-            maxSelfXentE4 = Some(200000L),
-            dedupLinesWithinDocs = true,
-            dedupWindowsW = Some(8),
-            dsirKeepFracE4 = 8000L,
-            // threshold 0: the gate drops nothing (funnel rows stay
-            // interpretable) but pays the full scoring cost — the thing
-            // this sweep measures
-            minClassifierPE6 = 0L),
-          dsirTarget = Some(target),
-          classifierModel = Some(clsModel))
-        val total = (System.nanoTime() - t0) / 1e9
-        val secs = res.stageSeconds.toMap
-        for ((name, c) <- res.stageCounts)
+        // repeat-and-best: stages reported from the run with the best
+        // total; totals' max/min spread shown so a burst-poisoned run is
+        // legible in the artifact (round-8's 10× lm_gate discrepancy)
+        val runs = (0 until nRep).map { _ =>
+          val t0 = System.nanoTime()
+          val res = graft.pipeline.Curate.run(d, "doc_id", "text",
+            bench, "btext", graft.pipeline.CurateConfig(
+              c4Clean = true,
+              gopherRules = Some(graft.operators.TextStats.GopherConfig()),
+              maxSelfXentE4 = Some(200000L),
+              dedupLinesWithinDocs = true,
+              dedupWindowsW = Some(8),
+              dsirKeepFracE4 = 8000L,
+              // threshold 0: the gate drops nothing (funnel rows stay
+              // interpretable) but pays the full scoring cost — the thing
+              // this sweep measures
+              minClassifierPE6 = 0L),
+            dsirTarget = Some(target),
+            classifierModel = Some(clsModel))
+          val total = (System.nanoTime() - t0) / 1e9
+          val out = (total, res.stageSeconds.toMap, res.stageCounts)
+          res.chunks.unpersist()
+          spark.catalog.clearCache()
+          out
+        }
+        val (total, secs, counts) = runs.minBy(_._1)
+        val spread = runs.map(_._1).max / runs.map(_._1).min
+        for ((name, c) <- counts)
           println(f"SCALE curate_$name%-18s x$n%-3d ${secs(name)}%8.2f s  rows=$c")
-        println(f"SCALE curate_total        x$n%-3d $total%8.2f s")
-        res.chunks.unpersist()
-        spark.catalog.clearCache()
+        println(f"SCALE curate_total        x$n%-3d $total%8.2f s  (n=$nRep spread=$spread%4.2fx)")
       }
       spark.stop()
       return
@@ -292,17 +309,24 @@ object Scale {
       // checkpoints during the call itself — timing only the final
       // collect would report near-zero for exactly the loops this tool
       // exists to measure. Plan construction for the one-shot operators
-      // is milliseconds, lost in the noise.
-      val t0 = System.nanoTime()
-      val m = mk
-      val rows = m.df.collect().length
-      val dt = (System.nanoTime() - t0) / 1e9
-      val plan = m.df.queryExecution.executedPlan.toString
-      val spx = "Exchange SinglePartition".r.findAllIn(plan).size
-      val fin = if (plan.contains("isFinalPlan=false")) "partial" else "final"
-      m.close()
-      spark.catalog.clearCache()
-      println(f"SCALE $label%-22s x$scale%-3d $dt%8.2f s  rows=$rows%-8d singlePartitionExchanges=$spx plan=$fin")
+      // is milliseconds, lost in the noise. Repeated nRep times (mk is
+      // by-name — each repetition rebuilds the operator from scratch);
+      // the row reports the BEST with the max/min spread beside it.
+      var rows = 0; var spx = 0; var fin = "final"
+      val times = (0 until nRep).map { _ =>
+        val t0 = System.nanoTime()
+        val m = mk
+        rows = m.df.collect().length
+        val dt = (System.nanoTime() - t0) / 1e9
+        val plan = m.df.queryExecution.executedPlan.toString
+        spx = "Exchange SinglePartition".r.findAllIn(plan).size
+        fin = if (plan.contains("isFinalPlan=false")) "partial" else "final"
+        m.close()
+        spark.catalog.clearCache()
+        dt
+      }
+      val spread = times.max / times.min
+      println(f"SCALE $label%-22s x$scale%-3d ${times.min}%8.2f s  (n=$nRep spread=$spread%4.2fx)  rows=$rows%-8d singlePartitionExchanges=$spx plan=$fin")
     }
 
     for (n <- Seq(1, factor)) {

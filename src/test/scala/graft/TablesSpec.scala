@@ -47,6 +47,11 @@ class TablesSpec extends SparkSpec {
   test("assertSchemas names a deliberately drifted table and column in " +
       "one readable message") {
     val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    // order-independence: Tables.table reads events RAW, which needs the
+    // nanos-as-long conf against a nanos-generation testdata dir — set it
+    // here instead of relying on an earlier test having leaked it into
+    // the shared session (ADVICE r8)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // copy the real testdata layout, then corrupt documents: n_chars
     // becomes a string and doc_id disappears
     for (t <- Seq("region", "nation", "customer", "supplier", "part",

@@ -52,6 +52,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(viaIndex == brute)
   }
 
+  test("sqrtCells sizing rule: ceil(sqrt(N)) clamped to [1, 2^20]") {
+    assert(Similarity.sqrtCells(0L) == 1)
+    assert(Similarity.sqrtCells(1L) == 1)
+    assert(Similarity.sqrtCells(100L) == 10)
+    assert(Similarity.sqrtCells(101L) == 11)       // ceil, not floor
+    assert(Similarity.sqrtCells(1000000L) == 1000)
+    assert(Similarity.sqrtCells(Long.MaxValue) == (1 << 20)) // clamp
+  }
+
+  test("buildIvf with numCells <= 0 auto-sizes seeds by sqrtCells(count)") {
+    val vecs = (0 until 20).map(i => (i.toLong, Seq(1.0 * i, 2.0)))
+      .toDF("id", "v")
+    // iters = 0 returns the seed set untouched: exactly ceil(sqrt(20)) = 5
+    // deterministic hash-sampled seeds
+    assert(Similarity.buildIvf(vecs, iters = 0).count() == 5)
+    // explicit count still wins
+    assert(Similarity.buildIvf(vecs, numCells = 3, iters = 0).count() == 3)
+  }
+
   test("clusterBalancedSample: per-cell budget, md5-priority selection, " +
       "determinism") {
     // two tight clusters; centroids = one member of each
