@@ -264,37 +264,26 @@ object Multimodal {
     * statistic over the DECODED raster, so the q82 oracle checking it
     * against synthesis ground truth proves real pixel decode, not header
     * sniffing.
+    *
+    * `decoder` is the formal codec seam ([[Decoders.ImageDecoder]]):
+    * default [[Decoders.JdkImageDecoder]] (ImageIO + [[claimedPixels]]
+    * bomb guard); an external H.264/WebP codec plugs in here without
+    * touching this operator.
     */
   case class DecodedImage(media_id: Long, width: Int, height: Int,
                           bands: Int, mean_e4: Long)
 
   def decodeImages(ds: Dataset[MediaRecord], batchSize: Int = 64,
-                   maxPixels: Long = 64L << 20): Dataset[DecodedImage] = {
+                   maxPixels: Long = 64L << 20,
+                   decoder: Decoders.ImageDecoder = Decoders.JdkImageDecoder)
+      : Dataset[DecodedImage] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // ImageIO's default ImageInputStream cache is FILE-backed: one temp
-      // file created and deleted per payload — the q82 probe at sf0.1
-      // measured 3.85 s with the file cache vs 0.65 s memory-backed.
-      // JVM-global + idempotent, so setting it per partition is safe.
-      javax.imageio.ImageIO.setUseCache(false)
+      decoder.open() // per-partition codec init (JDK path: memory-backed ImageIO cache)
       it.grouped(batchSize).flatMap { batch =>
         // per-batch codec init point (ImageIO reader lookup is JVM-cached)
         batch.iterator.map { r =>
-          // Decompression-bomb guard: a few-hundred-byte payload whose
-          // header CLAIMS 10⁹×10⁹ would make ImageIO.read allocate the
-          // full raster and OOM the executor — the classic crawl-corpus
-          // hazard. [[claimedPixels]] reads what ImageIO would ALLOCATE
-          // for every format it decodes (PNG/JPEG/BMP incl. OS/2 core
-          // headers, GIF incl. the frame descriptor behind a small
-          // logical screen) BEFORE any decode; oversized claims degrade
-          // to the marker row like any other undecodable payload.
-          val bomb = claimedPixels(r.media) > maxPixels
-          val img =
-            if (bomb) None
-            else try Option(javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(r.media)))
-            catch { case scala.util.control.NonFatal(_) => None }
-          img match {
+          decoder.decode(r.media, maxPixels) match {
             case Some(im) =>
               val raster = im.getRaster
               val (w, h) = (im.getWidth, im.getHeight)
@@ -569,54 +558,32 @@ object Multimodal {
 
   private val audioMarker = (0, 0, 0L, -1L, -1L, -1)
 
-  /** Cheap RIFF/WAVE container sniff run BEFORE the `AudioSystem` SPI
-    * provider search. The provider loop constructs (and swallows) an
-    * `UnsupportedAudioFileException` per non-matching reader — pure
-    * allocation/GC pressure at corpus scale (r8 q102 variance item).
-    * Output-identical short-circuit: the only non-RIFF containers the JDK
-    * readers could decode (AU, AIFF) are big-endian and were already
-    * rejected to the marker row by the plausibility gate.
-    */
-  private def isRiffWave(b: Array[Byte]): Boolean =
-    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
-      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
-
-  /** Decode one WAV payload's PCM samples — exposed for spec vectors.
+  /** Decode one payload's PCM samples — exposed for spec vectors.
     * `buf` is the sample read buffer; callers iterating a partition pass
     * one shared buffer so the hot loop allocates nothing per record.
+    * The bytes→PCM step goes through the [[Decoders.AudioDecoder]] seam
+    * (default [[Decoders.JdkWavDecoder]]: RIFF sniff before the SPI
+    * provider search, 16-bit-PCM plausibility gates); the stats loop here
+    * is codec-agnostic and shared by every decoder.
     */
   private[graft] def decodeAudioOne(media_id: Long, bytes: Array[Byte],
-                                    buf: Array[Byte] = new Array[Byte](8192))
+                                    buf: Array[Byte] = new Array[Byte](8192),
+                                    decoder: Decoders.AudioDecoder = Decoders.JdkWavDecoder)
       : DecodedAudio = {
     def marker = DecodedAudio(media_id, audioMarker._1, audioMarker._2,
       audioMarker._3, audioMarker._4, audioMarker._5, audioMarker._6)
-    if (!isRiffWave(bytes)) return marker
-    val ais =
-      try javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      catch { case scala.util.control.NonFatal(_) => return marker }
+    val pcm = decoder.decode(bytes).getOrElse(return marker)
     try {
-      val fmt = ais.getFormat
-      val channels = fmt.getChannels
-      val rate = math.round(fmt.getSampleRate)
-      // plausibility gate on header CLAIMS before touching sample data:
-      // only 16-bit signed PCM is in scope (the near-universal WAV
-      // payload), and channel/rate claims outside any real recording
-      // mark the payload undecodable instead of poisoning downstream
-      // stats (0 channels would divide by zero; a 2^31 rate makes every
-      // duration 0)
-      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-        fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
-        channels < 1 || channels > 64 || rate < 1 || rate > 4000000)
-        return marker
+      val channels = pcm.channels
+      val rate = pcm.sampleRate
       // stream the ACTUAL sample data: fixed caller-supplied buffer, no
-      // allocation from any claimed length; AudioInputStream already stops
+      // allocation from any claimed length; the decoder's stream stops
       // at min(claimed data size, real payload end)
       var carry = -1 // low byte of a sample split across read boundaries
       var sumAbs = 0L
       var peak = 0
       var nSamples = 0L
-      var n = ais.read(buf)
+      var n = pcm.data.read(buf)
       while (n > 0) {
         var i = 0
         if (carry >= 0 && n >= 1) {
@@ -630,7 +597,7 @@ object Multimodal {
           nSamples += 1; i += 2
         }
         if (i < n) carry = buf(i) & 0xff
-        n = ais.read(buf)
+        n = pcm.data.read(buf)
       }
       val frames = nSamples / channels // complete frames only
       if (frames == 0) return marker
@@ -639,16 +606,18 @@ object Multimodal {
         math.floor(frames * 10000.0 / rate + 0.5).toLong,
         math.floor(sumAbs * 10000.0 / totalSamples + 0.5).toLong, peak)
     } catch { case scala.util.control.NonFatal(_) => marker }
-    finally ais.close()
+    finally pcm.close()
   }
 
-  def decodeAudio(ds: Dataset[MediaRecord],
-                  batchSize: Int = 64): Dataset[DecodedAudio] = {
+  def decodeAudio(ds: Dataset[MediaRecord], batchSize: Int = 64,
+                  decoder: Decoders.AudioDecoder = Decoders.JdkWavDecoder)
+      : Dataset[DecodedAudio] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
+      decoder.open()
       val buf = new Array[Byte](8192) // one read buffer per partition
       it.grouped(batchSize).flatMap(
-        _.iterator.map(r => decodeAudioOne(r.media_id, r.media, buf)))
+        _.iterator.map(r => decodeAudioOne(r.media_id, r.media, buf, decoder)))
     }
   }
 
@@ -685,24 +654,15 @@ object Multimodal {
 
   private[graft] def audioWindowsOne(media_id: Long, bytes: Array[Byte],
                                      windowFrames: Int, silenceE4: Long,
-                                     buf: Array[Byte] = new Array[Byte](8192))
+                                     buf: Array[Byte] = new Array[Byte](8192),
+                                     decoder: Decoders.AudioDecoder = Decoders.JdkWavDecoder)
       : AudioWindows = {
     def marker = AudioWindows(media_id, 0L, -1L, -1L, -1L)
-    if (!isRiffWave(bytes)) return marker
-    val ais =
-      try javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      catch { case scala.util.control.NonFatal(_) => return marker }
+    // bytes→PCM via the [[Decoders.AudioDecoder]] seam (gates live there);
+    // the windowed-energy loop below is codec-agnostic
+    val pcm = decoder.decode(bytes).getOrElse(return marker)
     try {
-      val fmt = ais.getFormat
-      val channels = fmt.getChannels
-      val rate = math.round(fmt.getSampleRate)
-      // same plausibility gate as decodeAudioOne: 16-bit signed PCM only,
-      // header claims bounded before any sample data is touched
-      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-        fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
-        channels < 1 || channels > 64 || rate < 1 || rate > 4000000)
-        return marker
+      val channels = pcm.channels
       val samplesPerWindow = windowFrames.toLong * channels
       var carry = -1
       var winSum = 0L
@@ -723,7 +683,7 @@ object Multimodal {
           winSum = 0L; winCount = 0L
         }
       }
-      var n = ais.read(buf)
+      var n = pcm.data.read(buf)
       while (n > 0) {
         var i = 0
         if (carry >= 0 && n >= 1) {
@@ -733,12 +693,12 @@ object Multimodal {
           push(((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort.toInt); i += 2
         }
         if (i < n) carry = buf(i) & 0xff
-        n = ais.read(buf)
+        n = pcm.data.read(buf)
       }
       if (nWindows == 0) AudioWindows(media_id, 0L, 0L, -1L, -1L)
       else AudioWindows(media_id, nWindows, nSilent, minMean, maxMean)
     } catch { case scala.util.control.NonFatal(_) => marker }
-    finally ais.close()
+    finally pcm.close()
   }
 
   /** Windowed energy profile over a media Dataset — the silence /
@@ -748,15 +708,17 @@ object Multimodal {
     * window dropped).
     */
   def audioEnergyWindows(ds: Dataset[MediaRecord], windowFrames: Int,
-                         silenceE4: Long = 10000L,
-                         batchSize: Int = 64): Dataset[AudioWindows] = {
+                         silenceE4: Long = 10000L, batchSize: Int = 64,
+                         decoder: Decoders.AudioDecoder = Decoders.JdkWavDecoder)
+      : Dataset[AudioWindows] = {
     require(windowFrames > 0, s"audioEnergyWindows: windowFrames $windowFrames")
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
+      decoder.open()
       val buf = new Array[Byte](8192) // one read buffer per partition
       it.grouped(batchSize).flatMap(
         _.iterator.map(r =>
-          audioWindowsOne(r.media_id, r.media, windowFrames, silenceE4, buf)))
+          audioWindowsOne(r.media_id, r.media, windowFrames, silenceE4, buf, decoder)))
     }
   }
 
