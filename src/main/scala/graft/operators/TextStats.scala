@@ -850,4 +850,172 @@ object TextStats {
            j -> list_min(list_transform(generate_series(0, 3),
              o -> substr(md5(substr(text, j + o, 8)), 1, 8))))
        ELSE []::VARCHAR[] END"""
+
+  // ---- DoReMi-style learned mixture weights -------------------------------
+
+  /** One learned domain weight row — `weight_e4` feeds
+    * [[graft.operators.Curation.mixturePlan]] directly.
+    */
+  case class DomainWeight(domain: String, n_bigrams: Long, ref_xent_e4: Long,
+                          mix_xent_e4: Long, weight_e4: Long)
+
+  /** LEARN the domain mixture weights that [[Curation.mixturePlan]]
+    * executes — the DoReMi method (Xie et al. 2023, "DoReMi: Optimizing
+    * Data Mixtures Speeds Up Language Model Pretraining") re-expressed
+    * over this engine's count-based bigram LM instead of a neural proxy:
+    *
+    *   - REFERENCE loss per domain = each domain's cross-entropy under
+    *     its OWN bigram LM — the achievable floor, standing in for
+    *     DoReMi's pretrained reference model.
+    *   - PROXY loss per domain at step t = the domain's cross-entropy
+    *     under the bigram LM of the CURRENT MIXTURE (model counts =
+    *     Σ_d w_d · P_d, each domain's normalized bigram distribution
+    *     scaled by its current weight) — the count-based analog of the
+    *     proxy model trained on the mixture.
+    *   - Group-DRO multiplicative update: excess_d = max(0, proxy_d −
+    *     ref_d); w ← w · exp(η · excess); normalize; smooth toward
+    *     uniform by `smoothE4`/1e4 (the paper's (1−c)·α + c·u step).
+    *     Final weights = the per-step average, as published.
+    *
+    * Domains under-served by the current mixture (high excess) gain
+    * weight; as their weight grows the mixture models them better and
+    * the excess shrinks — the method's equilibrium, reached here in a
+    * handful of deterministic steps.
+    *
+    * Determinism (the q91/q97/q98 oracle discipline): per-domain
+    * distributions round to e6 integers per gram; model counts are exact
+    * integer sums `Σ w_e4·p_e6` (≤ 1e10 — no overflow); each gram's log
+    * cost rounds to e6 BEFORE the per-domain sum; the driver update uses
+    * the same floor(x+0.5) rule the SQL mirror does. The only floats are
+    * ln/exp rounded immediately, so the whole T-step loop unrolls into a
+    * DuckDB CTE chain that matches hash-exact.
+    *
+    * Scale shape: ONE corpus-sized explode/shuffle total (the per-
+    * (domain, gram) count aggregate, persisted). Everything after —
+    * T+1 model evaluations — touches only vocabulary×domains-bounded
+    * tables (two hash aggregates + two joins each), and the driver holds
+    * exactly D weight rows per step (model, not data — the
+    * [[Classifier.train]] contract). At 100 TB the corpus pass dominates
+    * and is paid once; steps cost vocab-table scans, independent of
+    * corpus size.
+    */
+  def doremiMixtureWeights(docs: org.apache.spark.sql.DataFrame,
+                           domainCol: String, textCol: String,
+                           vocabSize: Long, steps: Int = 3,
+                           etaE4: Long = 10000L,
+                           smoothE4: Long = 1000L): org.apache.spark.sql.DataFrame = {
+    require(steps >= 1, s"doremiMixtureWeights: steps ($steps) must be >= 1")
+    require(vocabSize >= 1, s"doremiMixtureWeights: vocabSize $vocabSize")
+    require(etaE4 >= 0 && smoothE4 >= 0 && smoothE4 <= 10000L,
+      s"doremiMixtureWeights: dials etaE4=$etaE4 smoothE4=$smoothE4")
+    val sp = docs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    // ONE corpus pass: per-(domain, gram) bigram counts
+    val dgc = graft.core.Ops.widen(docs)
+      .select(col(domainCol).cast("string").as("dom"),
+        explode(Curation.wordNgrams(
+          graft.operators.Dedup.normalizeWords(col(textCol)), 2)).as("gram"))
+      .groupBy("dom", "gram").agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ndRows = dgc.groupBy("dom").agg(sum("c").as("n")).collect()
+      require(ndRows.nonEmpty, "doremiMixtureWeights: no domain has >= 1 bigram")
+      val nd = ndRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      val domains = nd.keys.toSeq.sorted
+      val unifE4 = math.floor(10000.0 / domains.size + 0.5).toLong
+      import sp.implicits._
+      val ndDf = nd.toSeq.toDF("dom", "n")
+      // per-domain bigram DISTRIBUTION in e6, rounded per gram — exact
+      // integer table; every later model is a weighted sum over it
+      val scaled = dgc.join(broadcast(ndDf), Seq("dom"))
+        .select(col("dom"), col("gram"),
+          floor(col("c") * lit(1e6) / col("n") + lit(0.5)).cast("long")
+            .as("p_e6"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      // smoothed log-cost of a gram: model counts live in w_e4·p_e6 units
+      // (total mixture mass 1e10), and the smoothing constant α = 1e6 is
+      // 1e-4 of that mass — heavy enough to bound unseen-gram cost, light
+      // enough not to flatten small domains. Mirrored verbatim in SQL.
+      def costE6(cm: Column, ctx: Column): Column =
+        floor(-log((cm + lit(1e6)) / (ctx + lit(vocabSize * 1e6)))
+          * lit(1e6) + lit(0.5)).cast("long")
+
+      // per-domain cross-entropy of dgc's bigrams under a (gram, cm) model
+      def lossesE4(model: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+        val ctx = model
+          .select(split(col("gram"), " ").getItem(0).as("w1"), col("cm"))
+          .groupBy("w1").agg(sum("cm").as("ctx"))
+        dgc.join(model, Seq("gram"))
+          .withColumn("w1", split(col("gram"), " ").getItem(0))
+          .join(ctx, Seq("w1"))
+          .groupBy("dom")
+          .agg(sum(col("c") * costE6(col("cm"), col("ctx"))).as("s"),
+            sum("c").as("nb"))
+          .collect()
+          .map(r => r.getString(0) ->
+            math.floor(r.getLong(1) / (r.getLong(2) * 100.0) + 0.5).toLong)
+          .toMap
+      }
+
+      // reference: every domain under its OWN model at full weight — one
+      // pass, keyed joins on (dom, gram)/(dom, w1), no per-domain loop
+      val refE4: Map[String, Long] = {
+        val selfModel = scaled.select(col("dom"), col("gram"),
+          (col("p_e6") * lit(10000L)).as("cm"))
+        val selfCtx = selfModel
+          .select(col("dom"), split(col("gram"), " ").getItem(0).as("w1"),
+            col("cm"))
+          .groupBy("dom", "w1").agg(sum("cm").as("ctx"))
+        dgc.join(selfModel, Seq("dom", "gram"))
+          .withColumn("w1", split(col("gram"), " ").getItem(0))
+          .join(selfCtx, Seq("dom", "w1"))
+          .groupBy("dom")
+          .agg(sum(col("c") * costE6(col("cm"), col("ctx"))).as("s"),
+            sum("c").as("nb"))
+          .collect()
+          .map(r => r.getString(0) ->
+            math.floor(r.getLong(1) / (r.getLong(2) * 100.0) + 0.5).toLong)
+          .toMap
+      }
+
+      var w: Map[String, Long] = domains.map(_ -> unifE4).toMap
+      val wSum = scala.collection.mutable.Map(
+        domains.map(_ -> 0L): _*)
+      var lastLoss: Map[String, Long] = Map.empty
+      for (_ <- 1 to steps) {
+        val wCol = domains.foldLeft(lit(0L)) { case (acc, s) =>
+          when(col("dom") === s, lit(w(s))).otherwise(acc)
+        }
+        val model = scaled
+          .select(col("gram"), (wCol * col("p_e6")).as("cm"))
+          .groupBy("gram").agg(sum("cm").as("cm"))
+        lastLoss = lossesE4(model)
+        // Group-DRO multiplicative update in fixed point (floor(x+0.5)
+        // at every re-scale — the SQL mirror's exact rule)
+        val u = domains.map { d =>
+          val excessE4 = math.max(0L, lastLoss(d) - refE4(d))
+          val multE6 = math.floor(
+            math.exp(etaE4 * excessE4 / 1e8) * 1e6 + 0.5).toLong
+          d -> w(d) * multE6
+        }.toMap
+        val su = u.values.sum
+        w = domains.map { d =>
+          val normE4 = math.floor(u(d) * 10000.0 / su + 0.5).toLong
+          d -> math.floor(((10000L - smoothE4) * normE4 +
+            smoothE4 * unifE4) / 10000.0 + 0.5).toLong
+        }.toMap
+        domains.foreach(d => wSum(d) += w(d))
+      }
+
+      val out = domains.map { d =>
+        DomainWeight(d, nd(d), refE4(d), lastLoss(d),
+          math.floor(wSum(d) / steps.toDouble + 0.5).toLong)
+      }
+      scaled.unpersist()
+      sp.createDataset(out).toDF()
+        .select(col("domain"), col("n_bigrams"), col("ref_xent_e4"),
+          col("mix_xent_e4"), col("weight_e4"))
+    } finally { dgc.unpersist(); () }
+  }
 }

@@ -889,6 +889,81 @@ object TextProbes {
        |SELECT qid, doc_id, match_pos FROM m
        |ORDER BY qid, doc_id, match_pos""".stripMargin
 
+  // ---- q117 DoReMi learned mixture weights -------------------------------
+  // The learning step ABOVE q100's executor: Group-DRO multiplicative
+  // reweighting over the lang domains with the count-based bigram LM as
+  // proxy/reference (TextStats.doremiMixtureWeights scaladoc). The oracle
+  // unrolls the same T=3 steps as a CTE chain — per-domain e6
+  // distributions, exact-integer mixture model counts, e6-rounded log
+  // costs, and the identical floor(x+0.5) update arithmetic — so the
+  // learned weights match hash-exact, like q98's unrolled GD.
+  val q117: Q = (s, d) =>
+    graft.operators.TextStats.doremiMixtureWeights(
+        Tables.documents(s, d).select(col("lang"), col("text")),
+        "lang", "text", vocabSize = 1000L, steps = 3, etaE4 = 10000L,
+        smoothE4 = 1000L)
+      .orderBy("domain")
+
+  val q117Sql: String = {
+    val steps = 3
+    // cost of a gram under model counts `cm` with context mass `ctx`:
+    // α = 1e6, V·α = 1e9 (vocabSize 1000) — rounded to e6 per gram
+    def cost(cm: String, ctx: String): String =
+      s"CAST(floor(-ln(($cm + 1000000.0) / ($ctx + 1000000000.0)) * 1000000 + 0.5) AS BIGINT)"
+    // per-domain mean of c-weighted gram costs, e4
+    def meanE4(sumExpr: String): String =
+      s"CAST(floor($sumExpr / (sum(g.c) * 100.0) + 0.5) AS BIGINT)"
+    val stepCtes = (1 to steps).map { t =>
+      val p = if (t == 1) "w0" else s"w${t - 1}"
+      s"""m$t AS (SELECT s.gram, CAST(sum(p.w * s.p_e6) AS BIGINT) AS cm
+         |  FROM scaled s JOIN $p p USING (dom) GROUP BY 1),
+         |c$t AS (SELECT string_split(gram, ' ')[1] AS w1,
+         |    CAST(sum(cm) AS BIGINT) AS ctx FROM m$t GROUP BY 1),
+         |l$t AS (SELECT g.dom,
+         |    ${meanE4(s"sum(g.c * ${cost("m.cm", "x.ctx")})")} AS lx
+         |  FROM dgc g JOIN m$t m USING (gram)
+         |  JOIN c$t x ON x.w1 = string_split(g.gram, ' ')[1]
+         |  GROUP BY g.dom),
+         |u$t AS (SELECT l.dom, p.w *
+         |    CAST(floor(exp(10000 * greatest(l.lx - r.ref_e4, 0) / 100000000.0)
+         |      * 1000000 + 0.5) AS BIGINT) AS u
+         |  FROM l$t l JOIN refloss r USING (dom) JOIN $p p USING (dom)),
+         |w$t AS (SELECT u.dom,
+         |    CAST(floor((9000 * CAST(floor(u.u * 10000.0 /
+         |      (SELECT CAST(sum(u) AS BIGINT) FROM u$t) + 0.5) AS BIGINT)
+         |      + 1000 * c.unif) / 10000.0 + 0.5) AS BIGINT) AS w
+         |  FROM u$t u, cfg c)""".stripMargin
+    }.mkString(",\n")
+    val avg = (1 to steps).map(t => s"w$t.w").mkString(" + ")
+    val joins = (1 to steps).map(t => s"JOIN w$t USING (dom)").mkString(" ")
+    s"""WITH n AS (SELECT lang AS dom, $duckWords AS w FROM documents),
+       |bg AS (SELECT dom, w[i] || ' ' || w[i + 1] AS gram
+       |  FROM n, unnest(generate_series(1, len(w) - 1)) t(i)
+       |  WHERE len(w) >= 2),
+       |dgc AS (SELECT dom, gram, CAST(count(*) AS BIGINT) AS c
+       |  FROM bg GROUP BY 1, 2),
+       |nd AS (SELECT dom, CAST(sum(c) AS BIGINT) AS n FROM dgc GROUP BY 1),
+       |cfg AS (SELECT CAST(floor(10000.0 / count(*) + 0.5) AS BIGINT) AS unif
+       |  FROM nd),
+       |scaled AS (SELECT g.dom, g.gram,
+       |    CAST(floor(g.c * 1000000.0 / d.n + 0.5) AS BIGINT) AS p_e6
+       |  FROM dgc g JOIN nd d USING (dom)),
+       |selfctx AS (SELECT dom, string_split(gram, ' ')[1] AS w1,
+       |    CAST(sum(p_e6 * 10000) AS BIGINT) AS ctx FROM scaled GROUP BY 1, 2),
+       |refloss AS (SELECT g.dom,
+       |    ${meanE4(s"sum(g.c * ${cost("s.p_e6 * 10000", "x.ctx")})")} AS ref_e4
+       |  FROM dgc g JOIN scaled s USING (dom, gram)
+       |  JOIN selfctx x ON x.dom = g.dom AND x.w1 = string_split(g.gram, ' ')[1]
+       |  GROUP BY g.dom),
+       |w0 AS (SELECT d.dom, c.unif AS w FROM nd d, cfg c),
+       |$stepCtes
+       |SELECT r.dom AS domain, d.n AS n_bigrams, r.ref_e4 AS ref_xent_e4,
+       |  l$steps.lx AS mix_xent_e4,
+       |  CAST(floor(($avg) / $steps.0 + 0.5) AS BIGINT) AS weight_e4
+       |FROM refloss r JOIN nd d USING (dom) JOIN l$steps USING (dom) $joins
+       |ORDER BY domain""".stripMargin
+  }
+
   // ---- family registry --------------------------------------------------
 
   private[probes] val queries: Map[String, Q] = Map(
@@ -915,7 +990,8 @@ object TextProbes {
     "q100_mixture_plan" -> q100,
     "q105_bm25_topk" -> q105,
     "q110_trigram_backoff" -> q110,
-    "q111_phrase_search" -> q111)
+    "q111_phrase_search" -> q111,
+    "q117_doremi_weights" -> q117)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q32_lang_id" -> q32Sql,
@@ -941,5 +1017,6 @@ object TextProbes {
     "q100_mixture_plan" -> q100Sql,
     "q105_bm25_topk" -> q105Sql,
     "q110_trigram_backoff" -> q110Sql,
-    "q111_phrase_search" -> q111Sql)
+    "q111_phrase_search" -> q111Sql,
+    "q117_doremi_weights" -> q117Sql)
 }

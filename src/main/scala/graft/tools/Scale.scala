@@ -476,6 +476,18 @@ object Scale {
             .agg(count(lit(1)).as("docs"), sum("xent_e4").as("sx")),
           Seq.empty)
       }
+      // --- round-9: learned mixture weights -----------------------------
+      run("doremi_weights", n) {
+        // 8 synthetic domains over the scaled corpus; the T=3 Group-DRO
+        // loop (ONE corpus explode, then vocab-bounded model passes +
+        // D-row collects) runs inside the timing, classifier_2it-style
+        val dd = d.withColumn("dom",
+          concat(lit("d"), (col("doc_id") % 8).cast("string")))
+        graft.core.Managed(
+          graft.operators.TextStats.doremiMixtureWeights(dd, "dom", "text",
+            vocabSize = 1000L, steps = 3),
+          Seq.empty)
+      }
       // --- round-8: retrieval, sketches, crawl ingest -------------------
       run("bm25_top5", n) {
         val queries = d.filter(col("doc_id") % 97 === 0)
