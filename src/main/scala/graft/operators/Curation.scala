@@ -176,6 +176,39 @@ object Curation {
     * follows the `Dedup.shingleSets` discipline (lambda-inlining
     * pathology).
     */
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): label every
+    * row `head` / `middle` / `tail` by where its LM score sits in its
+    * group's (per-language, per-domain) tercile split — the standard
+    * "keep head+middle, drop tail" curation signal, kept as a LABEL so
+    * the mixture planner can weigh buckets instead of hard-dropping.
+    *
+    * Scale shape: thresholds come from [[graft.core.Ops.exactPercentiles]]
+    * (range-partitioned exact R-7 — no per-group sort, no per-group value
+    * buffer), pivot to ONE row per group, and broadcast back onto the
+    * corpus: two bounded shuffles + a broadcast join, nothing corpus-wide
+    * ever sorts. Label rule: score ≤ t(1/3) → head, ≤ t(2/3) → middle,
+    * else tail (lower perplexity = more fluent = head, the CCNet
+    * orientation). Bucket-boundary determinism: thresholds are the exact
+    * interpolated doubles both engines derive with the same weighted-sum
+    * arithmetic, and scores are fixed-point BIGINTs, so the ≤ compares
+    * cannot drift.
+    */
+  def perplexityBuckets(scored: DataFrame, groupCol: String,
+                        scoreCol: String,
+                        bucketCol: String = "bucket"): DataFrame = {
+    val th = graft.core.Ops.exactPercentiles(scored, Seq(groupCol), scoreCol,
+      Seq(1.0 / 3.0, 2.0 / 3.0))
+    val cut = th.groupBy(groupCol).agg(
+      min(when(col("p") === lit(1.0 / 3.0), col("value"))).as("__t1"),
+      min(when(col("p") === lit(2.0 / 3.0), col("value"))).as("__t2"))
+    scored.join(broadcast(cut), Seq(groupCol))
+      .withColumn(bucketCol,
+        when(col(scoreCol) <= col("__t1"), lit("head"))
+          .when(col(scoreCol) <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__t1", "__t2")
+  }
+
   def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
                          benchmark: DataFrame, benchTextCol: String,
                          n: Int = 8): DataFrame = {

@@ -442,6 +442,108 @@ object TextStats {
         coalesce(col("xent_e4"), lit(0L)).as("xent_e4"))
   }
 
+  /** Interpolated Kneser–Ney bigram cross-entropy (Kneser & Ney 1995;
+    * Chen & Goodman 1999) — the smoothing the CCNet/KenLM perplexity
+    * filter actually ships, upgraded from [[lmCrossEntropy]]'s add-one:
+    *
+    *   P(w2|w1) = (max(c(w1 w2) − D, 0) + D·N1+(w1,·)·Pc(w2)) / ctx(w1)
+    *   Pc(w2)   = (N1+(·,w2) + 1) / (T + V)        (smoothed continuation)
+    *   unseen w1 → P = Pc(w2)
+    *
+    * where N1+(w1,·)/N1+(·,w2) are the left/right distinct-neighbor
+    * counts, T the distinct-bigram-type count and V the smoothing
+    * vocabulary — continuation probability ranks words by how many
+    * CONTEXTS they follow, not raw frequency (the insight that makes KN
+    * beat add-one on "San Francisco"-style collocations). `T` is model
+    * metadata like `vocabSize` (a bounded count the trainer records —
+    * keeps the plan free of 1-row scalar crosses on the corpus side);
+    * D = 0.75 (binary-exact) by default.
+    *
+    * Same determinism discipline as [[lmCrossEntropy]]: per-bigram cost
+    * e6-rounded BEFORE the doc sum, mean exits e4; same shuffle shape —
+    * the corpus-sized frame moves once (gram join; the three model-derived
+    * tables are vocabulary-bounded), then one hash aggregate on the doc id.
+    */
+  def knCrossEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String,
+                     grams: org.apache.spark.sql.DataFrame,
+                     vocabSize: Long, bigramTypes: Long,
+                     discount: Double = 0.75): org.apache.spark.sql.DataFrame =
+    scoreKnBigrams(docs, idCol, docBigrams(docs, idCol, textCol), grams,
+      vocabSize, bigramTypes, discount)
+
+  /** Self-train KN — the [[selfCrossEntropyManaged]] shape: ONE persisted
+    * corpus explode feeds the model aggregate and the scoring pass. The
+    * distinct-type count `T` is read eagerly from the vocabulary-bounded
+    * model table (a bounded driver action that also populates the shared
+    * persisted frame); `close()` the Managed after consuming.
+    */
+  def selfKnCrossEntropyManaged(docs: org.apache.spark.sql.DataFrame,
+                                idCol: String, textCol: String,
+                                vocabSize: Long, discount: Double = 0.75)
+      : graft.core.Managed = {
+    val bg = docBigrams(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = bg.groupBy("gram").agg(count(lit(1)).as("c"))
+    val types = grams.count()
+    graft.core.Managed(
+      scoreKnBigrams(docs, idCol, bg, grams, vocabSize, types, discount),
+      Seq(bg))
+  }
+
+  def selfKnCrossEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, vocabSize: Long,
+                         discount: Double = 0.75): org.apache.spark.sql.DataFrame =
+    selfKnCrossEntropyManaged(docs, idCol, textCol, vocabSize, discount).df
+
+  /** The KN scoring body — mirrors [[scoreBigrams]]'s join/aggregate
+    * shape with the three KN model tables (counts, per-w1 context +
+    * right-neighbor types, per-w2 left-neighbor types).
+    */
+  private def scoreKnBigrams(docs: org.apache.spark.sql.DataFrame,
+                             idCol: String,
+                             bg: org.apache.spark.sql.DataFrame,
+                             grams: org.apache.spark.sql.DataFrame,
+                             vocabSize: Long, bigramTypes: Long,
+                             discount: Double): org.apache.spark.sql.DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"knCrossEntropy: discount ($discount) must be in (0, 1)")
+    val g = grams.select(col("gram"), col("c"),
+      split(col("gram"), " ").getItem(0).as("w1"),
+      split(col("gram"), " ").getItem(1).as("w2"))
+    // grams is one row per distinct bigram, so count(*) per side IS N1+
+    val ctx = g.groupBy("w1")
+      .agg(sum(col("c")).as("__ctx"), count(lit(1)).as("__n1r"))
+    val cont = g.groupBy("w2").agg(count(lit(1)).as("__n1l"))
+    val scored = bg
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .withColumn("w2", split(col("gram"), " ").getItem(1))
+      .join(grams.select("gram", "c"), Seq("gram"), "left_outer")
+      .join(ctx, Seq("w1"), "left_outer")
+      .join(cont, Seq("w2"), "left_outer")
+      .withColumn("__pc",
+        (coalesce(col("__n1l"), lit(0L)) + lit(1.0)) /
+          lit((bigramTypes + vocabSize).toDouble))
+      .withColumn("__p",
+        when(col("__ctx").isNull, col("__pc"))
+          .otherwise(
+            (greatest(coalesce(col("c"), lit(0L)) - lit(discount), lit(0.0))
+              + lit(discount) * col("__n1r") * col("__pc")) / col("__ctx")))
+      .withColumn("le6",
+        floor(-log(col("__p")) * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("le6")).as("s"))
+      .withColumn("kn_e4",
+        floor(col("s") / (col("n_bigrams") * lit(100.0)) + lit(0.5))
+          .cast("long"))
+    docs.select(col(idCol))
+      .join(scored.select(col(idCol), col("n_bigrams"), col("kn_e4")),
+        Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_e4"), lit(0L)).as("kn_e4"))
+  }
+
   /** Feature-hashing text embedding (the Weinberger et al. hashing
     * trick): each word lands in bucket `md5(word) mod dim` with a ±1
     * sign from the next hash bits; the document's vector is the per-

@@ -466,6 +466,32 @@ object RelationalProbes {
       |  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT')
       |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
 
+  // ---- q120 Hilbert-curve index (data-layout clustering) -----------------
+  // The no-long-jump space-filling curve behind Layout.hilbertByRange
+  // (LayoutSpec measures Hilbert ≤ Z-order partitions touched on the same
+  // box-predicate grid). The per-bit xy2d rotation recurrence unrolls into
+  // 10 chained projections of CASE/shift/mask arithmetic, mirrored
+  // term-for-term by Layout.hilbertDuckCtes.
+  val q120: Q = (s, d) =>
+    graft.operators.Layout.withHilbert(
+        Tables.orders(s, d).select(col("o_orderkey"),
+          (col("o_custkey") % 1024).as("hx0"),
+          (col("o_orderkey") % 1024).as("hy0")),
+        "hx0", "hy0", "h", bits = 10)
+      .select("o_orderkey", "h")
+      .orderBy("o_orderkey")
+
+  val q120Sql: String = {
+    val ctes = graft.operators.Layout.hilbertDuckCtes(
+      "hbase", "hstep", bits = 10, carryCols = Seq("o_orderkey"))
+    s"""WITH hbase AS (SELECT o_orderkey,
+       |    (o_custkey % 1024) AS hx, (o_orderkey % 1024) AS hy,
+       |    CAST(0 AS BIGINT) AS hd
+       |  FROM orders),
+       |$ctes
+       |SELECT o_orderkey, hd AS h FROM hstep_0 ORDER BY o_orderkey""".stripMargin
+  }
+
   // ---- family registry --------------------------------------------------
 
   private[probes] val queries: Map[String, Q] = Map(
@@ -483,7 +509,8 @@ object RelationalProbes {
     "q74_fuzzy_match" -> q74,
     "q75_zorder" -> q75,
     "q77_set_ops" -> q77,
-    "q81_pagerank" -> q81)
+    "q81_pagerank" -> q81,
+    "q120_hilbert" -> q120)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q37_stratified_sample" -> q37Sql,
@@ -500,5 +527,6 @@ object RelationalProbes {
     "q74_fuzzy_match" -> q74Sql,
     "q75_zorder" -> q75Sql,
     "q77_set_ops" -> q77Sql,
-    "q81_pagerank" -> q81Sql)
+    "q81_pagerank" -> q81Sql,
+    "q120_hilbert" -> q120Sql)
 }

@@ -964,6 +964,119 @@ object TextProbes {
        |ORDER BY domain""".stripMargin
   }
 
+  // ---- q118 Kneser–Ney bigram LM -----------------------------------------
+  // The smoothing the CCNet/KenLM perplexity filter actually ships
+  // (TextStats.knCrossEntropy scaladoc): absolute discounting + smoothed
+  // continuation probability over left-neighbor type counts. Self-train
+  // shape (one corpus explode, model = the same grams); per-bigram costs
+  // e6-rounded before the doc sum, so the ln() compare is exact.
+
+  /** KN scoring CTE chain over a bigram source CTE `bg(doc_id, gram)` and
+    * a model-gram source `mbg(gram)` (the rows the model counts): emits
+    * `agg(doc_id, n_bigrams, kn_e4)`. Shared by q118 (self-train) and
+    * q119 (slice-trained cross-model — exercises the unseen-w1/w2 paths
+    * self-train never hits). Mirrors scoreKnBigrams term for term.
+    */
+  private def knDuckAgg(scoreOut: String): String =
+    s"""grams AS (SELECT gram, count(*) AS c FROM mbg GROUP BY gram),
+       |g2 AS (SELECT gram, c, string_split(gram, ' ')[1] AS w1,
+       |    string_split(gram, ' ')[2] AS w2 FROM grams),
+       |ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ctx, count(*) AS n1r
+       |  FROM g2 GROUP BY w1),
+       |cont AS (SELECT w2, count(*) AS n1l FROM g2 GROUP BY w2),
+       |tt AS (SELECT count(*) AS t FROM grams),
+       |sc AS (SELECT b.doc_id,
+       |    CAST(floor(-ln(CASE WHEN x.ctx IS NULL
+       |        THEN (coalesce(l.n1l, 0) + 1.0) / (tt.t + 1000.0)
+       |        ELSE (greatest(coalesce(g.c, 0) - 0.75, 0.0)
+       |          + 0.75 * x.n1r * ((coalesce(l.n1l, 0) + 1.0) / (tt.t + 1000.0)))
+       |          / x.ctx END) * 1000000 + 0.5) AS BIGINT) AS le6
+       |  FROM bg b
+       |  LEFT JOIN grams g USING (gram)
+       |  LEFT JOIN ctx x ON x.w1 = string_split(b.gram, ' ')[1]
+       |  LEFT JOIN cont l ON l.w2 = string_split(b.gram, ' ')[2]
+       |  CROSS JOIN tt),
+       |$scoreOut AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(floor(sum(le6) / (count(*) * 100.0) + 0.5) AS BIGINT) AS kn_e4
+       |  FROM sc GROUP BY doc_id)""".stripMargin
+
+  val q118: Q = (s, d) =>
+    graft.operators.TextStats.selfKnCrossEntropy(
+        Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", vocabSize = 1000L)
+      .orderBy("doc_id")
+
+  val q118Sql: String =
+    s"""WITH n AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |bg AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram
+       |  FROM n, unnest(generate_series(1, len(w) - 1)) t(i)
+       |  WHERE len(w) >= 2),
+       |mbg AS (SELECT gram FROM bg),
+       |${knDuckAgg("agg")}
+       |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(a.kn_e4, 0) AS kn_e4
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---- q119 CCNet perplexity buckets -------------------------------------
+  // Wenzek et al. 2020: score the pool under a KN LM trained on the
+  // lang='en' slice (cross-model — the unseen-gram/context/continuation
+  // smoothing paths all fire), then label head/middle/tail by each
+  // language's tercile split. Thresholds mirror Ops.exactPercentiles'
+  // weighted-sum interpolation EXACTLY (v_lo·(hi−pos) + v_hi·(pos−lo)) —
+  // quantile_cont's algebraically-equal lo+f·(hi−lo) form can drift an
+  // ulp and flip a boundary doc's bucket.
+  val q119: Q = (s, d) => {
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+      .select("doc_id", "text", "lang")
+    val grams = graft.operators.TextStats.bigramCounts(
+        docs.filter(col("lang") === "en"), "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = grams.count() // bounded: model metadata, vocabulary-sized table
+    val scored = graft.operators.TextStats.knCrossEntropy(
+      docs, "doc_id", "text", grams, vocabSize = 1000L, bigramTypes = t)
+    graft.operators.Curation.perplexityBuckets(
+        scored.join(docs.select("doc_id", "lang"), Seq("doc_id")),
+        "lang", "kn_e4")
+      .select("doc_id", "lang", "n_bigrams", "kn_e4", "bucket")
+      .orderBy("doc_id")
+  }
+
+  val q119Sql: String =
+    s"""WITH n AS (SELECT doc_id, lang, $duckWords AS w FROM documents),
+       |bg AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram
+       |  FROM n, unnest(generate_series(1, len(w) - 1)) t(i)
+       |  WHERE len(w) >= 2),
+       |mbg AS (SELECT b.gram FROM bg b JOIN n USING (doc_id)
+       |  WHERE n.lang = 'en'),
+       |${knDuckAgg("agg")},
+       |wl AS (SELECT d.doc_id, d.lang, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       |    coalesce(a.kn_e4, 0) AS kn_e4
+       |  FROM documents d LEFT JOIN agg a USING (doc_id)),
+       |r AS (SELECT lang, kn_e4,
+       |    row_number() OVER (PARTITION BY lang ORDER BY kn_e4) - 1 AS rk
+       |  FROM wl),
+       |gn AS (SELECT lang, count(*) AS n FROM wl GROUP BY lang),
+       |ps AS (SELECT lang, p, (n - 1) * p AS pos
+       |  FROM gn, (SELECT unnest([1.0/3.0, 2.0/3.0]) AS p) pp),
+       |th0 AS (SELECT ps.lang, ps.p, sum(r.kn_e4 * CASE
+       |      WHEN CAST(floor(ps.pos) AS BIGINT) = CAST(ceil(ps.pos) AS BIGINT)
+       |        THEN 1.0
+       |      WHEN r.rk = CAST(floor(ps.pos) AS BIGINT) THEN ceil(ps.pos) - ps.pos
+       |      ELSE ps.pos - floor(ps.pos) END) AS t
+       |  FROM ps JOIN r ON r.lang = ps.lang
+       |    AND r.rk IN (CAST(floor(ps.pos) AS BIGINT), CAST(ceil(ps.pos) AS BIGINT))
+       |  GROUP BY 1, 2),
+       |th AS (SELECT lang, min(CASE WHEN p = 1.0/3.0 THEN t END) AS t1,
+       |    min(CASE WHEN p = 2.0/3.0 THEN t END) AS t2
+       |  FROM th0 GROUP BY lang)
+       |SELECT wl.doc_id, wl.lang, wl.n_bigrams, wl.kn_e4,
+       |  CASE WHEN wl.kn_e4 <= th.t1 THEN 'head'
+       |       WHEN wl.kn_e4 <= th.t2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM wl JOIN th USING (lang)
+       |ORDER BY wl.doc_id""".stripMargin
+
   // ---- family registry --------------------------------------------------
 
   private[probes] val queries: Map[String, Q] = Map(
@@ -991,7 +1104,9 @@ object TextProbes {
     "q105_bm25_topk" -> q105,
     "q110_trigram_backoff" -> q110,
     "q111_phrase_search" -> q111,
-    "q117_doremi_weights" -> q117)
+    "q117_doremi_weights" -> q117,
+    "q118_kn_lm" -> q118,
+    "q119_ppl_buckets" -> q119)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q32_lang_id" -> q32Sql,
@@ -1018,5 +1133,7 @@ object TextProbes {
     "q105_bm25_topk" -> q105Sql,
     "q110_trigram_backoff" -> q110Sql,
     "q111_phrase_search" -> q111Sql,
-    "q117_doremi_weights" -> q117Sql)
+    "q117_doremi_weights" -> q117Sql,
+    "q118_kn_lm" -> q118Sql,
+    "q119_ppl_buckets" -> q119Sql)
 }

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, TextStats}
+
+/** Kneser–Ney bigram LM + CCNet perplexity buckets. The KN vectors are
+  * hand-derived from the Chen & Goodman interpolated form with D = 0.75
+  * and the engine's smoothed continuation (N1l+1)/(T+V); the bucket
+  * tests pin the tercile-threshold arithmetic and the group isolation.
+  */
+class KnLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def le6(p: Double): Long =
+    math.floor(-math.log(p) * 1e6 + 0.5).toLong
+
+  private def meanE4(costs: Seq[Long]): Long =
+    math.floor(costs.sum / (costs.size * 100.0) + 0.5).toLong
+
+  test("self-train KN matches the hand-computed worked example") {
+    // corpus: "a b a b" + "a c" → grams (a b):2 (b a):1 (a c):1, T=3
+    // ctx(a)=3 n1r(a)=2; ctx(b)=1 n1r(b)=1; n1l: a=1 b=1 c=1; V=1000
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextStats.selfKnCrossEntropy(docs, "doc_id", "text",
+        vocabSize = 1000L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+
+    val pc = (n1l: Long) => (n1l + 1.0) / (3 + 1000.0)
+    val pAB = (math.max(2 - 0.75, 0.0) + 0.75 * 2 * pc(1)) / 3
+    val pBA = (math.max(1 - 0.75, 0.0) + 0.75 * 1 * pc(1)) / 1
+    val pAC = (math.max(1 - 0.75, 0.0) + 0.75 * 2 * pc(1)) / 3
+    val d1 = meanE4(Seq(le6(pAB), le6(pBA), le6(pAB)))
+    val d2 = meanE4(Seq(le6(pAC)))
+    assert(got == Seq((1L, 3L, d1), (2L, 1L, d2)))
+  }
+
+  test("cross-model scoring exercises every smoothing path") {
+    // model trained on "a b" only: grams (a b):1, T=1, ctx(a)=1 n1r(a)=1,
+    // n1l(b)=1; V=1000
+    val train = Seq((0L, "a b")).toDF("doc_id", "text")
+    val grams = TextStats.bigramCounts(train, "text")
+    // scored doc hits: seen gram (a b), unseen gram with seen w1 and
+    // seen-continuation w2 (a a? no — "a x": unseen w2), unseen w1 ("x y")
+    val docs = Seq((1L, "a b"), (2L, "a x"), (3L, "x b"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val got = TextStats.knCrossEntropy(docs, "doc_id", "text", grams,
+        vocabSize = 1000L, bigramTypes = 1L)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+
+    val pcB = (1 + 1.0) / (1 + 1000.0)  // b continues 1 context
+    val pcX = (0 + 1.0) / (1 + 1000.0)  // x never continues
+    val pAB = (math.max(1 - 0.75, 0.0) + 0.75 * 1 * pcB) / 1 // seen gram
+    val pAX = (0.0 + 0.75 * 1 * pcX) / 1                     // unseen gram, seen w1
+    val pXB = pcB                                            // unseen w1 → continuation
+    assert(got == Seq(
+      (1L, 1L, meanE4(Seq(le6(pAB)))),
+      (2L, 1L, meanE4(Seq(le6(pAX)))),
+      (3L, 1L, meanE4(Seq(le6(pXB)))),
+      (4L, 0L, 0L))) // <2 words: zero bigrams, kept with 0 score
+  }
+
+  test("KN ranks an attested collocation above an equal-count novel pairing") {
+    // "san francisco" seen 3×; "francisco" only ever follows "san", while
+    // "the" follows many contexts. Under KN, p(francisco | new-context)
+    // stays LOW (one continuation context) while p(the | new-context) is
+    // higher — the property add-one smoothing cannot express.
+    val train = Seq(
+      (0L, "san francisco san francisco san francisco"),
+      (1L, "in the house on the hill by the sea")).toDF("doc_id", "text")
+    val grams = TextStats.bigramCounts(train, "text")
+    val t = grams.count()
+    val docs = Seq((1L, "city francisco"), (2L, "city the"))
+      .toDF("doc_id", "text")
+    val got = TextStats.knCrossEntropy(docs, "doc_id", "text", grams,
+        vocabSize = 1000L, bigramTypes = t)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    // both are unseen-w1 → pure continuation: "the" (3 contexts) must be
+    // cheaper than "francisco" (1 context)
+    assert(got(1)._3 < got(0)._3,
+      s"p(the|city) should beat p(francisco|city): ${got.toSeq}")
+  }
+
+  test("perplexityBuckets splits each group into exact terciles") {
+    val df = (
+      (1 to 6).map(i => ("en", i.toLong * 100, i.toLong * 10)) ++
+      (1 to 3).map(i => ("fr", 1000L + i, i.toLong))
+    ).toDF("lang", "doc_id", "score")
+    val got = Curation.perplexityBuckets(df, "lang", "score")
+      .select("lang", "score", "bucket")
+      .as[(String, Long, String)].collect().toSet
+    // en: n=6, pos=5/3→t1=20·(2−5/3)+30·(5/3−1)=26.67; pos=10/3→t2=43.33
+    assert(got.filter(_._1 == "en") == Set(
+      ("en", 10L, "head"), ("en", 20L, "head"),
+      ("en", 30L, "middle"), ("en", 40L, "middle"),
+      ("en", 50L, "tail"), ("en", 60L, "tail")))
+    // fr: n=3, pos=2/3→t1 between 1 and 2; pos=4/3→t2 between 1 and 2
+    assert(got.filter(_._1 == "fr") == Set(
+      ("fr", 1L, "head"), ("fr", 2L, "middle"), ("fr", 3L, "tail")))
+  }
+
+  test("perplexityBuckets: ties share a bucket; a 1-row group is head") {
+    val df = (Seq.fill(9)(("en", 5L)) ++ Seq(("solo", 7L)))
+      .zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+      .toDF("lang", "doc_id", "score")
+    val got = Curation.perplexityBuckets(df, "lang", "score")
+      .select("lang", "bucket").as[(String, String)].collect()
+    // all-equal scores: one tie group must land in ONE bucket (the
+    // threshold compare cannot split equal values), deterministically
+    assert(got.filter(_._1 == "en").map(_._2).distinct.length == 1)
+    // a 1-row group: pos = 0 exactly, threshold = the value → head
+    assert(got.filter(_._1 == "solo").map(_._2).toSeq == Seq("head"))
+  }
+
+  test("perplexityBuckets thresholds are group-local (no cross-lang leak)") {
+    // en scores 10-60, fr scores 1000-6000: if thresholds leaked across
+    // groups every en row would be head and every fr row tail
+    val df = ((1 to 6).map(i => ("en", i.toLong, i.toLong * 10)) ++
+      (1 to 6).map(i => ("fr", 100L + i, i.toLong * 1000)))
+      .toDF("lang", "doc_id", "score")
+    val counts = Curation.perplexityBuckets(df, "lang", "score")
+      .groupBy("lang", "bucket").count()
+      .as[(String, String, Long)].collect().toSet
+    for (l <- Seq("en", "fr"); b <- Seq("head", "middle", "tail"))
+      assert(counts.contains((l, b, 2L)), s"missing ($l, $b, 2): $counts")
+  }
+}

@@ -51,6 +51,107 @@ class LayoutSpec extends SparkSpec {
     assert(cells.values.forall(_ == 1L), cells.toString)
   }
 
+  // independent reference implementation of the xy2d recurrence — the
+  // classic driver-side loop the column unroll must reproduce
+  private def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("withHilbert matches the reference xy2d recurrence on random points") {
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.fill(200)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    val got = pts.toDF("x", "y")
+    val rows = Layout.withHilbert(got, "x", "y", "h", bits = 10)
+      .select("x", "y", "h").as[(Long, Long, Long)].collect()
+    for ((x, y, h) <- rows)
+      assert(h == xy2d(10, x, y), s"($x,$y): got $h want ${xy2d(10, x, y)}")
+  }
+
+  test("withHilbert is a bijection over the full order-3 grid") {
+    val grid = (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y)).toDF("x", "y")
+    val ds = Layout.withHilbert(grid, "x", "y", "h", bits = 3)
+      .select("h").as[Long].collect().sorted.toSeq
+    assert(ds == (0L until 64L).toSeq) // every curve position exactly once
+  }
+
+  test("consecutive Hilbert positions are grid NEIGHBORS (the no-long-jump " +
+       "property Morton order lacks)") {
+    val grid = (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)).toDF("x", "y")
+    val byD = Layout.withHilbert(grid, "x", "y", "h", bits = 4)
+      .select("h", "x", "y").as[(Long, Long, Long)].collect()
+      .sortBy(_._1).map { case (_, x, y) => (x, y) }
+    val jumps = byD.sliding(2).map { case Array((x0, y0), (x1, y1)) =>
+      math.abs(x1 - x0) + math.abs(y1 - y0) }.toSeq
+    assert(jumps.forall(_ == 1L), s"max step ${jumps.max}")
+    // Morton order on the same grid DOES jump (the contrast that makes
+    // Hilbert the better clustering curve)
+    val byZ = grid.select(col("x"), col("y"),
+        Layout.zValue(Seq(col("x"), col("y")), bits = 4).as("z"))
+      .select("z", "x", "y").as[(Long, Long, Long)].collect()
+      .sortBy(_._1).map { case (_, x, y) => (x, y) }
+    val zJumps = byZ.sliding(2).map { case Array((x0, y0), (x1, y1)) =>
+      math.abs(x1 - x0) + math.abs(y1 - y0) }.toSeq
+    assert(zJumps.max > 1L)
+  }
+
+  test("withHilbert masks values beyond `bits` like zValue") {
+    val got = Seq((8L, 1L)).toDF("x", "y") // x = 0b1000 with bits=3 → 0
+    val h = Layout.withHilbert(got, "x", "y", "h", bits = 3)
+      .select("h").as[Long].head()
+    assert(h == xy2d(3, 0L, 1L))
+  }
+
+  test("hilbert layout prunes a box predicate at least as well as z-order") {
+    val n = 1 << 14
+    def bitrev10(v: Long): Long =
+      (0 until 10).map(i => ((v >> i) & 1L) << (9 - i)).sum
+    val base = (0L until n).map { i =>
+      (i % 1024, bitrev10((i / 7) % 1024))
+    }.toDF("x", "y")
+    val parts = 32
+
+    def statsOf(df: org.apache.spark.sql.DataFrame): Array[(Long, Long, Long, Long)] =
+      df.withColumn("__p", spark_partition_id())
+        .groupBy("__p")
+        .agg(min("x").as("x0"), max("x").as("x1"),
+          min("y").as("y0"), max("y").as("y1"))
+        .select("x0", "x1", "y0", "y1")
+        .as[(Long, Long, Long, Long)].collect()
+
+    def touched(st: Array[(Long, Long, Long, Long)],
+                bx0: Long, bx1: Long, by0: Long, by1: Long): Int =
+      st.count { case (x0, x1, y0, y1) =>
+        x1 >= bx0 && x0 <= bx1 && y1 >= by0 && y0 <= by1 }
+
+    val hStats = statsOf(Layout.hilbertByRange(base, "x", "y", bits = 10,
+      numFiles = parts))
+    val zStats = statsOf(Layout.zorderByRange(base, Seq("x", "y"), bits = 10,
+      numFiles = parts))
+    // average over a grid of box predicates: Hilbert's tighter per-file
+    // rectangles must not lose to Morton, and both must prune hard
+    val boxes = for (bx <- 0L until 1024L by 256L; by <- 0L until 1024L by 256L)
+      yield (bx, bx + 127L, by, by + 127L)
+    val hT = boxes.map { case (a, b, c, dd) => touched(hStats, a, b, c, dd) }.sum
+    val zT = boxes.map { case (a, b, c, dd) => touched(zStats, a, b, c, dd) }.sum
+    info(s"box-grid partitions touched: hilbert $hT vs z-order $zT " +
+      s"of ${parts * boxes.size}")
+    assert(hT <= zT, s"hilbert ($hT) should prune at least as well as z ($zT)")
+    assert(hT * 3 <= parts * boxes.size,
+      s"hilbert pruning too weak: $hT of ${parts * boxes.size}")
+  }
+
   test("z-ordered layout intersects ~sqrt-fraction of partitions on a box " +
        "predicate where a single-column sort intersects all of them") {
     val n = 1 << 14
