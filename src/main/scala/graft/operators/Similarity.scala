@@ -386,6 +386,81 @@ object Similarity {
           floor(col("x") / col("__s") + lit(0.5)).cast("long"))).as("qv"))
   }
 
+  /** Sign-bit BINARY quantization: each coordinate keeps only its sign,
+    * packed 32 per BIGINT word (32 — not 64 — so no set bit ever reaches
+    * the sign position, in the engine or the BIGINT oracle mirror). Bit j
+    * of word w is set iff v[32w+j] ≥ 0; positions past `dim` stay 0.
+    * 64-dim float32 vectors compress 256 B → 16 B (16×); the distance
+    * becomes XOR+popcount. Pure per-row HOF arithmetic — codegen'd, no
+    * UDF, no shuffle. Appends `words: array<bigint>` to the frame.
+    */
+  def quantizeBinary(vectors: DataFrame, dim: Int,
+                     vCol: String = "v",
+                     outCol: String = "words"): DataFrame = {
+    require(dim >= 1, s"quantizeBinary: dim ($dim) must be >= 1")
+    val nWords = (dim + 31) / 32
+    vectors.withColumn(outCol, expr(
+      s"transform(sequence(0, ${nWords - 1}), w -> " +
+        s"aggregate(sequence(0, 31), 0L, (acc, j) -> acc + " +
+        s"IF(w * 32 + j < $dim AND element_at($vCol, w * 32 + j + 1) >= 0D, " +
+        s"shiftleft(1L, j), 0L)))"))
+  }
+
+  /** Hamming distance between two packed sign-bit arrays (same length):
+    * Σ popcount(aᵢ XOR bᵢ). */
+  def hammingDist(aCol: String, bCol: String): Column =
+    expr(s"CAST(aggregate(zip_with($aCol, $bCol, " +
+      s"(x, y) -> bit_count(x ^ y)), 0, (acc, h) -> acc + h) AS BIGINT)")
+
+  /** Binary-quantized top-k: Hamming SHORTLIST, exact cosine RERANK — the
+    * 1-bit analog of the PQ-ADC/refine serving path ([[ivfPqTopKRefined]]):
+    * the first pass over the corpus touches only the packed words (16×
+    * less memory traffic than the float vectors, dim/32 XOR+popcounts vs
+    * dim multiplies per candidate — the word array is the scan column, so
+    * parquet column pruning never reads the floats), keeps the `shortlist`
+    * Hamming-closest per query, and only those rows pay the exact cosine.
+    * Sign-bit Hamming is a monotone proxy for angular distance in
+    * expectation (it IS 1-plane-per-coordinate RP-LSH), so a shortlist a
+    * few × k recovers near-exact top-k — measured in SCALE.md's recall
+    * row rather than assumed. Same query-side scale guard as
+    * [[bruteForceTopK]]: the Hamming pass is still O(q·n) — corpus-scale
+    * query sets compose cell pruning ([[ivfTopK]]) in front.
+    *
+    * Output: (vec_id, other_id, hamming, score_e4, rank) — ties by id on
+    * both passes, deterministic end to end.
+    */
+  def hammingTopK(vectors: DataFrame, queries: DataFrame, dim: Int, k: Int,
+                  shortlist: Int,
+                  maxQueryBytes: Long = 64L << 20,
+                  maxQueryRows: Int = 100000): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"hammingTopK: need shortlist ($shortlist) >= k ($k) >= 1")
+    val est = queries.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est > maxQueryBytes) {
+      val n = queries.limit(maxQueryRows + 1).count()
+      require(n <= maxQueryRows,
+        s"hammingTopK: queries side holds > $maxQueryRows rows (estimate " +
+          s"$est bytes); compose ivfTopK cell pruning for corpus-scale " +
+          "query sets, or raise the bounds deliberately.")
+    }
+    val q = quantizeBinary(
+      queries.select(col("id").as("vec_id"), col("v").as("va")), dim, "va", "qw")
+    val c = quantizeBinary(
+      vectors.select(col("id").as("other_id"), col("v").as("vb")), dim, "vb", "cw")
+    q.join(c, col("vec_id") =!= col("other_id"))
+      .withColumn("hamming", hammingDist("qw", "cw"))
+      .withColumn("__hrank", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("hamming").asc, col("other_id").asc)))
+      .filter(col("__hrank") <= shortlist)
+      .withColumn("score_e4", scoreE4(cosine("va", "vb")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("score_e4").desc, col("other_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select("vec_id", "other_id", "hamming", "score_e4", "rank")
+  }
+
   /** √N cell-count rule: `ceil(sqrt(n))`, clamped to [1, 2^20]. A CONSTANT
     * cell count does not survive corpus growth: SCALE.md's PQ recall grids
     * (rounds 7–8) measured ~0.15 recall@10 shed at 10× with cells pinned,

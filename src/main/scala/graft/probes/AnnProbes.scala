@@ -453,6 +453,53 @@ object AnnProbes {
        |ORDER BY cid, rank""".stripMargin
   }
 
+  // ---- q121 binary-quantized Hamming shortlist + cosine rerank -----------
+  // The 1-bit serving path (Similarity.hammingTopK scaladoc): sign-bit
+  // packing into 32-bit BIGINT words, XOR+popcount shortlist, exact
+  // cosine rerank. The oracle unrolls the same packing as literal bit
+  // sums (the q75 idiom), mirrors the two-stage ranking, and — because
+  // both packing and distance are pure integer arithmetic — the compare
+  // is exact end to end including the Hamming column.
+  val q121: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        graft.operators.Similarity.toDoubleVec(col("embedding")).as("v"))
+    graft.operators.Similarity.hammingTopK(
+        e, e.filter(col("id") < 5), dim = 64, k = 10, shortlist = 50)
+      .orderBy("vec_id", "rank")
+  }
+
+  val q121Sql: String = {
+    def word(w: Int): String = (0 until 32).map { j =>
+      s"(CASE WHEN v[${w * 32 + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |    CAST(${word(0)} AS BIGINT) AS w0,
+       |    CAST(${word(1)} AS BIGINT) AS w1
+       |  FROM e),
+       |p AS (SELECT q.vec_id, c.vec_id AS other_id, q.v AS va, c.v AS vb,
+       |    CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1))
+       |      AS BIGINT) AS hamming
+       |  FROM b q JOIN b c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+       |sl AS (SELECT vec_id, other_id, va, vb, hamming,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY hamming ASC, other_id ASC) AS hrank
+       |  FROM p),
+       |r AS (SELECT vec_id, other_id, hamming,
+       |    CAST(floor(list_dot_product(va, vb) /
+       |      (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+       |      * 10000 + 0.5) AS BIGINT) AS score_e4
+       |  FROM sl WHERE hrank <= 50),
+       |rr AS (SELECT vec_id, other_id, hamming, score_e4,
+       |    CAST(row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score_e4 DESC, other_id ASC) AS BIGINT) AS rank
+       |  FROM r)
+       |SELECT vec_id, other_id, hamming, score_e4, rank
+       |FROM rr WHERE rank <= 10 ORDER BY vec_id, rank""".stripMargin
+  }
+
   // ---- family registry --------------------------------------------------
 
   private[probes] val queries: Map[String, Q] = Map(
@@ -466,7 +513,8 @@ object AnnProbes {
     "q87_pq_adc_topk" -> q87,
     "q89_ivfpq_topk" -> q89,
     "q92_ivfpq_residual" -> q92,
-    "q112_cluster_sample" -> q112)
+    "q112_cluster_sample" -> q112,
+    "q121_hamming_topk" -> q121)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q30_cosine_neardup" -> q30Sql,
@@ -479,5 +527,6 @@ object AnnProbes {
     "q87_pq_adc_topk" -> q87Sql,
     "q89_ivfpq_topk" -> q89Sql,
     "q92_ivfpq_residual" -> q92Sql,
-    "q112_cluster_sample" -> q112Sql)
+    "q112_cluster_sample" -> q112Sql,
+    "q121_hamming_topk" -> q121Sql)
 }

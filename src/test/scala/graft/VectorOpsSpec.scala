@@ -137,6 +137,59 @@ class VectorOpsSpec extends SparkSpec {
     assert(rows.filter(_._1 == 2L).forall(_._4 == 0L))
   }
 
+  test("quantizeBinary packs sign bits 32 per word (boundary bits, ragged dim)") {
+    // dim=34: word 0 = bits 0..31, word 1 = bits 0..1 only
+    val v = (0 until 34).map(i => if (i == 0 || i == 31 || i == 33) 1.0 else -1.0)
+    val got = Seq(Tuple1(v)).toDF("v")
+      .transform(df => Similarity.quantizeBinary(df, dim = 34))
+      .select("words").as[Seq[Long]].head()
+    assert(got == Seq((1L << 0) | (1L << 31), 1L << 1))
+    // -0.0 counts as non-negative (sign-bit rule is >= 0, both engines)
+    val z = Seq(Tuple1(Seq(-0.0, -1.0))).toDF("v")
+      .transform(df => Similarity.quantizeBinary(df, dim = 2))
+      .select("words").as[Seq[Long]].head()
+    assert(z == Seq(1L))
+  }
+
+  test("hammingDist sums popcounts across words") {
+    val got = Seq((Seq(0L, 255L), Seq(3L, 15L))).toDF("a", "b")
+      .select(Similarity.hammingDist("a", "b").as("h")).as[Long].head()
+    assert(got == 2L + 4L) // 0^3 = 2 bits, 255^15 = 4 bits
+  }
+
+  test("hammingTopK with corpus-wide shortlist equals bruteForceTopK") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian()))).toDF("id", "v")
+    val q = vecs.filter(col("id") < 4)
+    val exact = Similarity.bruteForceTopK(vecs, q, 5)
+      .select("vec_id", "other_id", "score_e4", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val got = Similarity.hammingTopK(vecs, q, dim = 64, k = 5, shortlist = 39)
+      .select("vec_id", "other_id", "score_e4", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == exact) // rerank over everything ≡ exact top-k
+  }
+
+  test("hammingTopK: a small shortlist still recovers planted neighbors") {
+    // 3 tight clusters of 10 in 64-dim; each query's true top-9 are its
+    // cluster-mates — sign patterns separate clusters, so a shortlist of
+    // 12 of 29 candidates must keep all 9
+    val rnd = new scala.util.Random(11)
+    val centers = Seq.fill(3)(Seq.fill(64)(rnd.nextGaussian() * 4))
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, centers(i % 3).map(_ + rnd.nextGaussian() * 0.05))
+    }.toDF("id", "v")
+    val q = vecs.filter(col("id") < 3)
+    val got = Similarity.hammingTopK(vecs, q, dim = 64, k = 9, shortlist = 12)
+      .select("vec_id", "other_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (c <- 0L until 3L) {
+      val mates = (0 until 30).map(_.toLong).filter(i => i % 3 == c && i != c).toSet
+      assert(got(c) == mates, s"query $c: ${got(c)} vs $mates")
+    }
+  }
+
   test("Inventory.typed gives a Dataset[BackupFile]") {
     val inv = graft.sources.Inventory.fromListing(spark,
       Seq(("OCG_KE1_NBO-Mon.zip", "u1", "2024-01-10T08:00:00Z")),
