@@ -488,6 +488,53 @@ object Scale {
             vocabSize = 1000L, steps = 3),
           Seq.empty)
       }
+      // --- round-9: KN LM, CCNet buckets, Hilbert layout, binary ANN ----
+      run("kn_lm", n) {
+        val m = graft.operators.TextStats.selfKnCrossEntropyManaged(
+          d, "doc_id", "text", vocabSize = 1000L)
+        graft.core.Managed(
+          m.df.groupBy(col("doc_id") % 32)
+            .agg(count(lit(1)).as("docs"), sum("kn_e4").as("sx")),
+          m.pinned)
+      }
+      run("ppl_buckets", n) {
+        // the q119 composition: slice-trained KN model scores the pool,
+        // per-group terciles label it — both persists handed back
+        val grams = graft.operators.TextStats.bigramCounts(
+            d.filter(col("doc_id") % 5 === 0), "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val t = grams.count()
+        val scored = graft.operators.TextStats.knCrossEntropy(
+          d, "doc_id", "text", grams, vocabSize = 1000L, bigramTypes = t)
+          .withColumn("grp", (col("doc_id") % 4).cast("string"))
+        val m = graft.operators.Curation.perplexityBucketsManaged(
+          scored, "grp", "kn_e4")
+        graft.core.Managed(
+          m.df.groupBy("grp", "bucket").agg(count(lit(1)).as("docs")),
+          m.pinned :+ grams)
+      }
+      run("hilbert_layout", n) {
+        // pure per-row 10-step unroll + the range-shuffle write path
+        graft.core.Managed(
+          graft.operators.Layout.hilbertByRange(
+              d.select(col("doc_id"), (col("doc_id") % 1024).as("hx0"),
+                (length(col("text")) % 1024).as("hy0")),
+              "hx0", "hy0", bits = 10, numFiles = 32, keepH = true)
+            .groupBy(col("doc_id") % 32)
+            .agg(count(lit(1)).as("rows"), sum("__h").as("sh")),
+          Seq.empty)
+      }
+      run("hamming_topk", n) {
+        // 2% of the corpus as queries (the ivf_topk row's set), shortlist
+        // 4x k, exact rerank — the packed-word first pass is the measure
+        val queries = v.filter(col("id") % 50 === 0)
+        graft.core.Managed(
+          Similarity.hammingTopK(v, queries, dim = 64, k = 5,
+              shortlist = 20)
+            .groupBy(col("vec_id") % 32)
+            .agg(count(lit(1)).as("rows"), sum("score_e4").as("s")),
+          Seq.empty)
+      }
       // --- round-8: retrieval, sketches, crawl ingest -------------------
       run("bm25_top5", n) {
         val queries = d.filter(col("doc_id") % 97 === 0)

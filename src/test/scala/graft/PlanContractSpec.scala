@@ -340,7 +340,11 @@ class PlanContractSpec extends SparkSpec {
       "q112_cluster_sample",
       // q107's cross is the 1-row exact-count frame × the 1-row HLL
       // estimate frame — both already reduced before the join
-      "q107_hll_distinct")
+      "q107_hll_distinct",
+      // q121's Hamming pass is the guarded q23 baseline shape (bounded
+      // query set broadcast against the corpus; size guard in
+      // hammingTopK) over the 16×-smaller packed-word column
+      "q121_hamming_topk")
     val singlePartAllowed = Set(
       "q20_decile_bucketing", // 1-row scalar max
       // global reductions over pre-bounded inputs: the ≤64-row HLL
