@@ -24,6 +24,14 @@ case class CurateConfig(
     // a reference-corpus model instead via lmGrams.
     maxSelfXentE4: Option[Long] = None,
     lmVocabSize: Long = 1000L,
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): self-train a
+    // Kneser–Ney bigram LM on the pool, tercile-split scores per
+    // PREDICTED language, keep docs whose bucket is in the set (the
+    // canonical CCNet keep is head+middle). None = stage off. Differs
+    // from maxSelfXentE4's absolute bound: buckets adapt per language —
+    // a language whose scores run high keeps its own best third, instead
+    // of losing everything to one corpus-wide threshold.
+    pplBucketsKeep: Option[Set[String]] = None,
     dedupLinesWithinDocs: Boolean = false,
     // cross-document substring dedup: drop token spans covered by
     // duplicate w-token windows, keeping each passage's canonical
@@ -175,6 +183,33 @@ object Curate {
       stage("lm_gate", filtered.count())
       xentM.close()
       base.unpersist()
+    }
+
+    // ---- optional CCNet perplexity buckets (per-language terciles) -----
+    // after the absolute-bound LM gate (they answer different questions:
+    // the gate kills outlier gibberish, the buckets rank what survives),
+    // before DSIR (selection should see the bucket-trimmed pool). The KN
+    // scoring pays one corpus explode (selfKnCrossEntropyManaged); the
+    // bucket thresholds are two bounded shuffles (perplexityBucketsManaged
+    // persists the scored frame its two consumers share); language
+    // re-prediction is a per-row map over the persisted pool.
+    for (keepBuckets <- cfg.pplBucketsKeep) {
+      val base = filtered.persist(StorageLevel.MEMORY_AND_DISK)
+      val knM = TextStats.selfKnCrossEntropyManaged(base, idCol, textCol,
+        cfg.lmVocabSize)
+      var lp = base.withColumn("__w", Dedup.normalizeWords(col(textCol)))
+      for ((name, markers) <- TextStats.LangProfiles)
+        lp = lp.withColumn(s"s_$name",
+          TextStats.profileScore(col("__w"), markers).cast("long"))
+      val langs = lp.withColumn("__lang", TextStats.langPredict)
+        .select(col(idCol), col("__lang"))
+      val bM = Curation.perplexityBucketsManaged(
+        knM.df.join(langs, Seq(idCol)), "__lang", "kn_e4")
+      val keep = bM.df.filter(col("bucket").isInCollection(keepBuckets))
+        .select(col(idCol))
+      filtered = base.join(keep, Seq(idCol)).localCheckpoint(true)
+      stage("ppl_buckets", filtered.count())
+      bM.close(); knM.close(); base.unpersist()
     }
 
     // ---- optional DSIR selection toward a target domain ----------------

@@ -188,6 +188,9 @@ class CurateSpec extends SparkSpec {
         gopherRules = Some(graft.operators.TextStats.GopherConfig(
           minWords = 5, minStopHits = 1, minMeanLenE4 = 10000)),
         maxSelfXentE4 = Some(500000L),
+        // all three buckets kept: the stage runs (and appears in the
+        // funnel) without shrinking the pool this canary audits
+        pplBucketsKeep = Some(Set("head", "middle", "tail")),
         dedupLinesWithinDocs = true,
         dedupWindowsW = Some(8),
         dsirKeepFracE4 = 10000L, // keep all: the stage runs, drops none
@@ -196,8 +199,8 @@ class CurateSpec extends SparkSpec {
       dsirTarget = Some(target),
       classifierModel = Some(model))
     assert(res.stageCounts.map(_._1) == Seq("c4_clean", "classifier_gate",
-      "lm_gate", "dsir_select", "window_dedup", "exact_dedup", "near_dup",
-      "decontaminated", "chunks"), res.stageCounts.toString)
+      "lm_gate", "ppl_buckets", "dsir_select", "window_dedup", "exact_dedup",
+      "near_dup", "decontaminated", "chunks"), res.stageCounts.toString)
     assert(res.stageCounts.toMap.apply("exact_dedup") == 12L,
       res.stageCounts.toString)
     res.chunks.unpersist()
@@ -271,6 +274,52 @@ class CurateSpec extends SparkSpec {
     assert(funnel("lm_gate") == 9L, gated.stageCounts.toString)
     assert(!gated.chunks.select("doc_id").as[Long].collect().contains(10L))
     open.chunks.unpersist(); gated.chunks.unpersist()
+  }
+
+  test("Curate.run with pplBucketsKeep: per-language tail bucket drops; " +
+      "stage equals the operator-level composition") {
+    import graft.operators.{Curation, Dedup, TextStats}
+    // two predicted languages (alpha/beta marker vocabularies), six docs
+    // each with increasing shares of unique tokens → increasing KN
+    // self-perplexity within each language
+    def doc(markers: String, salt: String, odd: Int): String =
+      s"the $markers " +
+        (1 to 24).map(i => if (i <= odd) s"$salt$i" else s"shared$i")
+          .mkString(" ")
+    val docs = ((1 to 6).map(i =>
+        i.toLong -> doc("table row scan key", s"a$i", i * 4)) ++
+      (1 to 6).map(i =>
+        (10L + i) -> doc("join merge window batch", s"b$i", i * 4)))
+      .toDF("doc_id", "text")
+    val benchmark = Seq("nothing here").toDF("btext")
+    val res = Curate.run(docs, "doc_id", "text", benchmark, "btext",
+      CurateConfig(minQualityE4 = 0,
+        pplBucketsKeep = Some(Set("head", "middle"))))
+    val funnel = res.stageCounts.toMap
+    assert(res.stageCounts.map(_._1).contains("ppl_buckets"))
+
+    // expected = the operator-level composition over the same pool
+    val scored = TextStats.selfKnCrossEntropy(docs, "doc_id", "text", 1000L)
+    var lp = docs.withColumn("__w", Dedup.normalizeWords(col("text")))
+    for ((name, markers) <- TextStats.LangProfiles)
+      lp = lp.withColumn(s"s_$name",
+        TextStats.profileScore(col("__w"), markers).cast("long"))
+    val langs = lp.withColumn("__lang", TextStats.langPredict)
+      .select(col("doc_id"), col("__lang"))
+    val expected = Curation.perplexityBuckets(
+        scored.join(langs, Seq("doc_id")), "__lang", "kn_e4")
+      .filter(col("bucket").isin("head", "middle"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(funnel("ppl_buckets") == expected.size.toLong,
+      s"funnel $funnel vs expected $expected")
+    // both languages must have lost their own tail (per-group split, not
+    // one corpus-wide threshold)
+    assert(expected.exists(_ < 10L) && expected.exists(_ > 10L))
+    assert((1 to 6).exists(i => !expected.contains(i.toLong)))
+    assert((1 to 6).exists(i => !expected.contains(10L + i)))
+    val kept = res.chunks.select("doc_id").as[Long].collect().toSet
+    assert(kept.subsetOf(expected), s"$kept not in $expected")
+    res.chunks.unpersist()
   }
 
   test("Curate.run composition: no cartesian product, no single-partition " +
