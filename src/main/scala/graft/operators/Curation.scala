@@ -205,16 +205,27 @@ object Curation {
     * [[graft.core.Managed]] contract — consume, then `close()`; the plain
     * variant keeps the pin (one-shot jobs).
     */
+  /** The tercile cut points [[perplexityBuckets]] labels against, as ONE
+    * row per group `(groupCol, __t1, __t2)` — exposed so a batch run can
+    * train thresholds that a STREAMING gate then applies statelessly
+    * (percentiles need the whole population; a stream serves the frozen
+    * cuts). Group-count-bounded output.
+    */
+  def bucketThresholds(scored: DataFrame, groupCol: String,
+                       scoreCol: String): DataFrame = {
+    val th = graft.core.Ops.exactPercentiles(scored, Seq(groupCol), scoreCol,
+      Seq(1.0 / 3.0, 2.0 / 3.0))
+    th.groupBy(groupCol).agg(
+      min(when(col("p") === lit(1.0 / 3.0), col("value"))).as("__t1"),
+      min(when(col("p") === lit(2.0 / 3.0), col("value"))).as("__t2"))
+  }
+
   def perplexityBucketsManaged(scored: DataFrame, groupCol: String,
                                scoreCol: String,
                                bucketCol: String = "bucket")
       : graft.core.Managed = {
     val sc = scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val th = graft.core.Ops.exactPercentiles(sc, Seq(groupCol), scoreCol,
-      Seq(1.0 / 3.0, 2.0 / 3.0))
-    val cut = th.groupBy(groupCol).agg(
-      min(when(col("p") === lit(1.0 / 3.0), col("value"))).as("__t1"),
-      min(when(col("p") === lit(2.0 / 3.0), col("value"))).as("__t2"))
+    val cut = bucketThresholds(sc, groupCol, scoreCol)
     val out = sc.join(broadcast(cut), Seq(groupCol))
       .withColumn(bucketCol,
         when(col(scoreCol) <= col("__t1"), lit("head"))

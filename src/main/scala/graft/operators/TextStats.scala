@@ -544,6 +544,79 @@ object TextStats {
         coalesce(col("kn_e4"), lit(0L)).as("kn_e4"))
   }
 
+  /** A COLLECTED Kneser–Ney bigram model for per-row serving
+    * ([[knScoreExpr]] — the streaming/gate form, where joining model
+    * tables is not available). Bounded-vocabulary contract: the maps live
+    * in the plan as literals and ride task broadcasts, so this is for
+    * gate-sized reference models (the [[graft.operators.Classifier]]
+    * serving shape), not corpus-sized vocabularies — [[collectKnModel]]
+    * enforces a cap.
+    */
+  case class KnModel(grams: Map[String, Long],
+                     ctxMass: Map[String, Long],
+                     ctxN1r: Map[String, Long],
+                     cont: Map[String, Long],
+                     types: Long, vocabSize: Long,
+                     discount: Double = 0.75)
+
+  /** Collect a trained gram table into a [[KnModel]] (bounded driver
+    * read; `maxEntries` refuses corpus-sized vocabularies).
+    */
+  def collectKnModel(grams: org.apache.spark.sql.DataFrame, vocabSize: Long,
+                     maxEntries: Int = 1 << 20,
+                     discount: Double = 0.75): KnModel = {
+    val rows = grams.select(col("gram"), col("c").cast("long"))
+      .limit(maxEntries + 1).collect()
+    require(rows.length <= maxEntries,
+      s"collectKnModel: model has > $maxEntries grams — a collected " +
+        "serving model must be gate-sized; score with knCrossEntropy's " +
+        "join form instead")
+    val g = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySide = g.toSeq.map { case (gram, c) =>
+      val sp = gram.split(" ", 2)
+      (sp(0), if (sp.length > 1) sp(1) else "", c)
+    }
+    KnModel(
+      grams = g,
+      ctxMass = bySide.groupBy(_._1).map { case (w1, xs) => w1 -> xs.map(_._3).sum },
+      ctxN1r = bySide.groupBy(_._1).map { case (w1, xs) => w1 -> xs.size.toLong },
+      cont = bySide.groupBy(_._2).map { case (w2, xs) => w2 -> xs.size.toLong },
+      types = g.size.toLong, vocabSize = vocabSize, discount = discount)
+  }
+
+  /** Per-row KN cross-entropy under a collected model — the fold form of
+    * [[knCrossEntropy]] for stateless stream gates (the
+    * [[graft.operators.Classifier.scoreExpr]] pattern): same bigram
+    * construction, same smoothing branches, same e6-round-before-sum and
+    * e4 mean, so batch and stream scores are BIT-identical
+    * (KnLmSpec parity pin). */
+  def knScoreExpr(text: Column, model: KnModel): Column = {
+    val gramsLit = typedLit(model.grams)
+    val massLit = typedLit(model.ctxMass)
+    val n1rLit = typedLit(model.ctxN1r)
+    val contLit = typedLit(model.cont)
+    val bigrams = Curation.wordNgrams(
+      graft.operators.Dedup.normalizeWords(text), 2)
+    val le6s = transform(bigrams, g => {
+      val w1 = split(g, " ").getItem(0)
+      val w2 = split(g, " ").getItem(1)
+      val cm = element_at(massLit, w1)
+      val n1l = coalesce(element_at(contLit, w2), lit(0L))
+      val pc = (n1l + lit(1.0)) /
+        lit((model.types + model.vocabSize).toDouble)
+      val p = when(cm.isNull, pc)
+        .otherwise((greatest(
+          coalesce(element_at(gramsLit, g), lit(0L)) - lit(model.discount),
+          lit(0.0)) +
+          lit(model.discount) * element_at(n1rLit, w1) * pc) / cm)
+      floor(-log(p) * lit(1e6) + lit(0.5)).cast("long")
+    })
+    val n = size(bigrams)
+    when(n === 0, lit(0L)).otherwise(
+      floor(aggregate(le6s, lit(0L), (a, x) => a + x) /
+        (n.cast("long") * lit(100.0)) + lit(0.5)).cast("long"))
+  }
+
   /** Feature-hashing text embedding (the Weinberger et al. hashing
     * trick): each word lands in bucket `md5(word) mod dim` with a ±1
     * sign from the next hash bits; the document's vector is the per-

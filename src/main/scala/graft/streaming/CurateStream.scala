@@ -29,12 +29,23 @@ import graft.operators.{Dedup, TextStats}
   */
 object CurateStream {
 
-  /** `reason`: "c4" | "quality" | "classifier" | "exact_dup" | "near_dup"
-    * | "admitted". `dup_of` = lineage parent for the dup reasons, else the
-    * doc's own id.
+  /** `reason`: "c4" | "quality" | "classifier" | "ppl" | "exact_dup" |
+    * "near_dup" | "admitted". `dup_of` = lineage parent for the dup
+    * reasons, else the doc's own id.
     */
   case class GateVerdict(id: Long, admitted: Boolean, reason: String,
                          dup_of: Long)
+
+  /** Batch-trained perplexity serving gate: a frozen collected KN model
+    * ([[graft.operators.TextStats.collectKnModel]]) plus per-language max
+    * scores (typically `Curation.bucketThresholds`' __t2 ceil'd to e4 —
+    * the CCNet "keep head+middle" cut). Percentile thresholds need the
+    * whole population, so the batch run LEARNS them and the stream
+    * APPLIES them statelessly — the train-offline/serve-online split.
+    * Languages absent from the map pass unjudged.
+    */
+  case class PplGate(model: graft.operators.TextStats.KnModel,
+                     maxByLang: Map[String, Long])
 
   case class GateConfig(minQualityE4: Long = 4000,
                         keepLangs: Set[String] = Set("alpha", "beta", "gamma"),
@@ -46,6 +57,9 @@ object CurateStream {
                         // .scoreExpr (exact batch-score parity)
                         classifier: Option[graft.operators.Classifier.Model] = None,
                         minClassifierPE6: Long = 500000L,
+                        // stateless perplexity gate via knScoreExpr
+                        // (exact batch-score parity; see PplGate)
+                        ppl: Option[PplGate] = None,
                         bands: Int = 4, rowsPerBand: Int = 3,
                         thresholdE4: Long = 8000, maxPerBucket: Int = 1024)
 
@@ -92,19 +106,39 @@ object CurateStream {
         dup_of = id))
 
     // ---- optional stateless classifier gate ----------------------------
+    // __lang rides along for the perplexity gate below (its thresholds
+    // are per predicted language)
     val afterQuality = flagged.filter(col("__pass"))
-      .select(col("id"), col("text"))
-    val (survivors, classifierRejects) = cfg.classifier match {
+      .select(col("id"), col("text"), col("__lang"))
+    val (afterClassifier, classifierRejects) = cfg.classifier match {
       case None => (afterQuality, None)
       case Some(m) =>
         val s = afterQuality.withColumn("__p",
           graft.operators.Classifier.scoreExpr(col("text"), m))
         (s.filter(col("__p") >= cfg.minClassifierPE6)
-          .select(col("id"), col("text")),
+          .select(col("id"), col("text"), col("__lang")),
           Some(s.filter(col("__p") < cfg.minClassifierPE6)
             .select(col("id")).as[Long]
             .map(id => GateVerdict(id, admitted = false,
               reason = "classifier", dup_of = id))))
+    }
+
+    // ---- optional stateless perplexity gate (batch-learned cuts) -------
+    // the stream half of the batch ppl_buckets stage: score each doc
+    // under the FROZEN model (knScoreExpr — bit-identical to the batch
+    // operator) and compare against its language's trained max
+    val (survivors, pplRejects) = cfg.ppl match {
+      case None => (afterClassifier.select(col("id"), col("text")), None)
+      case Some(pg) =>
+        val maxLit = typedLit(pg.maxByLang)
+        val s = afterClassifier
+          .withColumn("__kn", TextStats.knScoreExpr(col("text"), pg.model))
+          .withColumn("__max", element_at(maxLit, col("__lang")))
+          .withColumn("__ok", col("__max").isNull || col("__kn") <= col("__max"))
+        (s.filter(col("__ok")).select(col("id"), col("text")),
+          Some(s.filter(!col("__ok")).select(col("id")).as[Long]
+            .map(id => GateVerdict(id, admitted = false, reason = "ppl",
+              dup_of = id))))
     }
 
     // ---- exact dedup on the content hash -------------------------------
@@ -134,6 +168,7 @@ object CurateStream {
     val always = qualityRejects.unionByName(exactRejects)
       .unionByName(verdicts)
     val withC4 = c4Rejects.fold(always)(always.unionByName(_))
-    classifierRejects.fold(withC4)(withC4.unionByName(_))
+    val withCls = classifierRejects.fold(withC4)(withC4.unionByName(_))
+    pplRejects.fold(withCls)(withCls.unionByName(_))
   }
 }

@@ -111,4 +111,45 @@ class CurateStreamSpec extends SparkSpec {
       assert(got(4L) === ((false, "exact_dup", 1L)))
     } finally q.stop()
   }
+
+  test("gate with ppl: batch-learned cuts reject high-perplexity docs; " +
+      "unjudged languages pass") {
+    import graft.operators.TextStats
+    // reference model: one alpha-language sentence repeated (every bigram
+    // well-attested)
+    val refText = "the table row scan key value store disk cache page"
+    val ref = (1 to 5).map(i => (i.toLong, refText)).toDF("doc_id", "text")
+    val grams = TextStats.bigramCounts(ref, "text")
+    val model = TextStats.collectKnModel(grams, vocabSize = 1000L)
+    // threshold: midpoint between the fluent and gibberish batch scores
+    val fluent = refText
+    val gibberish = "the table row scan key zq1a zq2b zq3c zq4d zq5e zq6f"
+    val probe = Seq((1L, fluent), (2L, gibberish)).toDF("doc_id", "text")
+    val scores = TextStats.knCrossEntropy(probe, "doc_id", "text", grams,
+        vocabSize = 1000L, bigramTypes = model.types)
+      .select("doc_id", "kn_e4").as[(Long, Long)].collect().toMap
+    assert(scores(1L) < scores(2L))
+    val cut = (scores(1L) + scores(2L)) / 2
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = CurateStream.gate(input.toDF().toDF("id", "text"), "id", "text",
+        CurateStream.GateConfig(minQualityE4 = 0,
+          ppl = Some(CurateStream.PplGate(model, Map("alpha" -> cut)))))
+      .writeStream.format("memory").queryName("curate_gate_ppl")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        1L -> fluent,                                   // alpha, under cut
+        2L -> gibberish,                                // alpha, over cut
+        // beta-language doc: no trained cut for beta → passes unjudged
+        3L -> "the join merge window batch qq1 qq2 qq3 qq4 qq5")
+      q.processAllAvailable()
+      val got = spark.table("curate_gate_ppl")
+        .as[CurateStream.GateVerdict].collect()
+        .map(v => v.id -> ((v.admitted, v.reason))).toMap
+      assert(got(1L) === ((true, "admitted")))
+      assert(got(2L) === ((false, "ppl")))
+      assert(got(3L) === ((true, "admitted")))
+    } finally q.stop()
+  }
 }

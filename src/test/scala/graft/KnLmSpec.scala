@@ -81,6 +81,31 @@ class KnLmSpec extends SparkSpec {
       s"p(the|city) should beat p(francisco|city): ${got.toSeq}")
   }
 
+  test("knScoreExpr matches the batch join form bit-for-bit (serving " +
+       "parity, every smoothing path + empty doc)") {
+    val train = Seq((0L, "a b a b"), (1L, "a c b a")).toDF("doc_id", "text")
+    val grams = TextStats.bigramCounts(train, "text")
+    val model = TextStats.collectKnModel(grams, vocabSize = 1000L)
+    val docs = Seq((1L, "a b"), (2L, "a x"), (3L, "x b"), (4L, "z"),
+      (5L, ""), (6L, "a b c x b a")).toDF("doc_id", "text")
+    val batch = TextStats.knCrossEntropy(docs, "doc_id", "text", grams,
+        vocabSize = 1000L, bigramTypes = model.types)
+      .orderBy("doc_id").select("doc_id", "kn_e4")
+      .as[(Long, Long)].collect().toSeq
+    val served = docs.select(col("doc_id"),
+        TextStats.knScoreExpr(col("text"), model).as("kn_e4"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(served == batch)
+  }
+
+  test("collectKnModel refuses a vocabulary past maxEntries") {
+    val train = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
+    val grams = TextStats.bigramCounts(train, "text") // 5 grams
+    intercept[IllegalArgumentException] {
+      TextStats.collectKnModel(grams, vocabSize = 1000L, maxEntries = 3)
+    }
+  }
+
   test("perplexityBuckets splits each group into exact terciles") {
     val df = (
       (1 to 6).map(i => ("en", i.toLong * 100, i.toLong * 10)) ++
