@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Dedup family for the LLM-training-data pipeline north star: exact dedup
   * lives in `core.Ops.latestPerGroup` (hash-groupBy); this module adds the
@@ -161,6 +162,100 @@ object Dedup {
       .join(shSets.select(col(idCol).as("idB"), col("shd").as("sb")), "idB")
       .select(col("idA"), col("idB"), jacc.as("jacc_e4"))
     graft.core.Managed(out, Seq(shRaw, b))
+  }
+
+  /** Persist a corpus snapshot's LSH signature tables — the INCREMENTAL
+    * crawl-dedup shape: each new snapshot dedups against the accumulated
+    * index ([[nearDupAgainstIndex]]) without re-scanning or re-hashing
+    * the old corpus, then [[appendToMinhashIndex]] folds its own tables
+    * in for the next round. This is exactly what an LSH system
+    * materializes anyway (the [[minhashNearDupPairsManaged]] persists,
+    * made durable) — at 100 TB the old corpus is read-never, only its
+    * band keys (∼40 B/doc/band) and distinct-shingle sets move.
+    *
+    * Layout: `dir/bands` (id, band, bh), `dir/shingles` (id, shd),
+    * `dir/meta` (bands, rows_per_band — banding is baked into the keys,
+    * so queries must match; checked on read). Ids are stored under the
+    * canonical name `id` whatever the input column was.
+    */
+  def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                        dir: String, bands: Int = 4,
+                        rowsPerBand: Int = 3): Unit = {
+    val shRaw = shingleSets(df, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = shRaw.filter(size(col("sh")) > 0)
+    sh.select(col(idCol).as("id"), array_distinct(col("sh")).as("shd"))
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+    lshBands(sh, idCol, bands, rowsPerBand)
+      .select(col(idCol).as("id"), col("band"), col("bh"))
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    df.sparkSession.range(1)
+      .select(lit(bands).as("bands"), lit(rowsPerBand).as("rows_per_band"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    shRaw.unpersist(false)
+  }
+
+  /** Fold a new batch's signature tables into an existing index (append —
+    * no old data is read or rewritten). Caller contract: batch ids are
+    * disjoint from indexed ids (the crawl-snapshot invariant).
+    */
+  def appendToMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, df: DataFrame, idCol: String,
+                           textCol: String): Unit = {
+    val (bands, rowsPerBand) = readMinhashMeta(spark, dir)
+    val shRaw = shingleSets(df, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = shRaw.filter(size(col("sh")) > 0)
+    sh.select(col(idCol).as("id"), array_distinct(col("sh")).as("shd"))
+      .write.mode("append").parquet(s"$dir/shingles")
+    lshBands(sh, idCol, bands, rowsPerBand)
+      .select(col(idCol).as("id"), col("band"), col("bh"))
+      .write.mode("append").parquet(s"$dir/bands")
+    shRaw.unpersist(false)
+  }
+
+  private def readMinhashMeta(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): (Int, Int) = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    (m.getAs[Int]("bands"), m.getAs[Int]("rows_per_band"))
+  }
+
+  /** Near-dup pairs of NEW docs against an indexed old snapshot:
+    * (id_new, id_old, jacc_e4). The new batch shingles and bands ONCE
+    * (persisted — two consumers, handed back via Managed); candidates
+    * come from one equi join of new band rows against the index's band
+    * rows on (band, bh); exact Jaccard verifies each candidate against
+    * the STORED old shingle sets. New×new pairs are deliberately not
+    * emitted (dedup the batch internally with [[minhashNearDupPairs]]
+    * first if needed) and the old corpus never re-hashes — the cost per
+    * snapshot is O(new + matching band rows).
+    */
+  def nearDupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, newDocs: DataFrame, idCol: String,
+                          textCol: String): graft.core.Managed = {
+    val (bands, rowsPerBand) = readMinhashMeta(spark, dir)
+    val shRaw = shingleSets(newDocs, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = shRaw.filter(size(col("sh")) > 0)
+    val nb = lshBands(sh, idCol, bands, rowsPerBand)
+      .select(col(idCol).as("id_new"), col("band"), col("bh"))
+    val ob = spark.read.parquet(s"$dir/bands")
+      .select(col("id").as("id_old"), col("band"), col("bh"))
+    val cand = nb.join(ob, Seq("band", "bh"))
+      .filter(col("id_new") =!= col("id_old"))
+      .select("id_new", "id_old").distinct()
+    val newSets = sh.select(col(idCol).as("id_new"),
+      array_distinct(col("sh")).as("sa"))
+    val oldSets = spark.read.parquet(s"$dir/shingles")
+      .select(col("id").as("id_old"), col("shd").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val jacc = graft.core.Ops.fixedPoint(inter * lit(1.0) /
+      (size(col("sa")) + size(col("sb")) - inter), 4)
+    val out = cand
+      .join(newSets, "id_new")
+      .join(oldSets, "id_old")
+      .select(col("id_new"), col("id_old"), jacc.as("jacc_e4"))
+    graft.core.Managed(out, Seq(shRaw))
   }
 
   /** Connected components over near-dup pairs — the step that turns a pair

@@ -414,6 +414,71 @@ object DedupProbes {
       |  CAST(sum(occ - 1) AS BIGINT) AS n_removed
       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- q122 incremental near-dup against a persisted snapshot index ------
+  // The crawl-over-snapshot shape (Dedup.writeMinhashIndex scaladoc): the
+  // OLD corpus's band keys + shingle sets persist once; a NEW batch
+  // shingles once and joins only matching (band, bh) rows — new×new and
+  // old×old pairs are never formed. Planted new docs are suffix-mutated
+  // copies of every %3 source doc, so every new doc has at least its own
+  // source as a near-dup. The oracle mirrors the full minhash algebra
+  // over old ∪ new with the candidate join restricted to new×old.
+  val q122: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val fresh = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" zz yy xx")).as("text"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q122_idx").toString
+    graft.operators.Dedup.writeMinhashIndex(docs, "doc_id", "text", dir)
+    graft.operators.Dedup
+      .nearDupAgainstIndex(s, dir, fresh, "doc_id", "text").df
+      .orderBy("id_new", "id_old")
+  }
+
+  val q122Sql: String = {
+    val p = graft.operators.Dedup.MinhashP
+    val sigs = (0 until 12).map { h =>
+      val (a, b) = (graft.operators.Dedup.minhashA(h),
+        graft.operators.Dedup.minhashB(h))
+      s"list_min(list_transform(hv, v -> ($a * v + $b) % $p)) AS h$h"
+    }.mkString(",\n    ")
+    val bandRows = (0 until 4).map { b =>
+      val r = (0 until 3).map(i => s"h${b * 3 + i}").mkString(" || '|' || ")
+      s"SELECT doc_id, is_new, $b AS band, $r AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text, 0 AS is_new FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' zz yy xx', 1
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |n AS (SELECT doc_id, is_new, $duckWords AS w FROM corpus),
+       |shl AS (SELECT doc_id, is_new,
+       |  CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE []::VARCHAR[] END AS sh
+       |  FROM n),
+       |hvt AS (SELECT doc_id, is_new,
+       |  list_transform(sh, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT % $p) AS hv
+       |  FROM shl WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id, is_new,
+       |    $sigs
+       |  FROM hvt),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+       |    AND a.is_new = 1 AND b.is_new = 0 AND a.doc_id <> b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(sh) AS shd
+       |  FROM shl WHERE len(sh) > 0)
+       |SELECT c.id_new, c.id_old,
+       |  CAST(floor(len(list_intersect(sa.shd, sb.shd)) * 1.0 /
+       |    (len(sa.shd) + len(sb.shd) - len(list_intersect(sa.shd, sb.shd)))
+       |    * 10000 + 0.5) AS BIGINT) AS jacc_e4
+       |FROM cand c
+       |JOIN sets sa ON sa.doc_id = c.id_new
+       |JOIN sets sb ON sb.doc_id = c.id_old
+       |ORDER BY id_new, id_old""".stripMargin
+  }
+
   // ---- family registry --------------------------------------------------
 
   private[probes] val queries: Map[String, Q] = Map(
@@ -426,7 +491,8 @@ object DedupProbes {
     "q60_simhash_neardup" -> q60,
     "q79_url_canon" -> q79,
     "q88_line_dedup" -> q88,
-    "q95_dup_windows" -> q95)
+    "q95_dup_windows" -> q95,
+    "q122_incr_neardup" -> q122)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q27_minhash_lsh_neardup" -> q27Sql,
@@ -438,5 +504,6 @@ object DedupProbes {
     "q60_simhash_neardup" -> q60Sql,
     "q79_url_canon" -> q79Sql,
     "q88_line_dedup" -> q88Sql,
-    "q95_dup_windows" -> q95Sql)
+    "q95_dup_windows" -> q95Sql,
+    "q122_incr_neardup" -> q122Sql)
 }

@@ -488,6 +488,19 @@ object Scale {
             vocabSize = 1000L, steps = 3),
           Seq.empty)
       }
+      // --- round-9: incremental minhash index (vs the minhash_lsh row's
+      // full-corpus re-pair cost) — index built OUTSIDE timing (it is the
+      // standing state a daily snapshot meets), the ~1% batch queries it
+      locally {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_scale_mh_base").toString
+        Dedup.writeMinhashIndex(d, "doc_id", "text", dir)
+        val batch = d.filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 500000000L).as("doc_id"),
+            concat(col("text"), lit(" zz tail")).as("text"))
+        run("mh_incr_1pct", n)(
+          Dedup.nearDupAgainstIndex(spark, dir, batch, "doc_id", "text"))
+      }
       // --- round-9: KN LM, CCNet buckets, Hilbert layout, binary ANN ----
       run("kn_lm", n) {
         val m = graft.operators.TextStats.selfKnCrossEntropyManaged(

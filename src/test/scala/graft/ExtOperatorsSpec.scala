@@ -18,6 +18,42 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhash index: incremental query ≡ batch cross pairs; append ≡ " +
+       "rebuild") {
+    // old snapshot: A and C; new batch: a near-dup of A and an unrelated doc
+    val old = Seq((1L, docA), (3L, docC)).toDF("doc_id", "text")
+    val fresh = Seq((10L, docB), (11L, "entirely novel text about rivers " +
+      "and mountains flowing forever")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mh_idx").toString
+    Dedup.writeMinhashIndex(old, "doc_id", "text", dir)
+    val gotM = Dedup.nearDupAgainstIndex(spark, dir, fresh, "doc_id", "text")
+    val got = gotM.df.select("id_new", "id_old", "jacc_e4")
+      .as[(Long, Long, Long)].collect().toSet
+    gotM.close()
+    // ground truth: the batch operator over old ∪ new, restricted to
+    // cross pairs (new ids are > old ids, so idB is always the new side)
+    val expected = Dedup.minhashNearDupPairs(
+        old.unionByName(fresh), "doc_id", "text")
+      .filter(col("idB") >= 10L && col("idA") < 10L)
+      .select(col("idB"), col("idA"), col("jacc_e4"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected && got.exists(_._1 == 10L), s"$got vs $expected")
+    assert(!got.exists(p => p._1 == 11L), "unrelated doc must not match")
+
+    // append the first batch, then a second batch near-dup of doc 10:
+    // the index now answers for BOTH snapshots without any rebuild
+    Dedup.appendToMinhashIndex(spark, dir, fresh, "doc_id", "text")
+    val second = Seq((20L, docB + " extra")).toDF("doc_id", "text")
+    val got2M = Dedup.nearDupAgainstIndex(spark, dir, second, "doc_id", "text")
+    val got2 = got2M.df.select("id_new", "id_old")
+      .as[(Long, Long)].collect().toSet
+    got2M.close()
+    // the direct near-dup (one mutation away) MUST band-match; doc 1 is
+    // two mutations away — banding may or may not catch it (LSH recall)
+    assert(got2.contains((20L, 10L)), got2.toString)
+  }
+
   test("simhash16 is equal for identical text, in [0, 2^16)") {
     val df = Seq((1L, docA), (2L, docA), (3L, docC)).toDF("doc_id", "text")
       .withColumn("wh", Dedup.tokenHashes(Dedup.normalizeWords(col("text"))))
