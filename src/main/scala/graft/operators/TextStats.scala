@@ -544,6 +544,52 @@ object TextStats {
         coalesce(col("kn_e4"), lit(0L)).as("kn_e4"))
   }
 
+  /** Dolma-style per-document ATTRIBUTES table: every stateless quality
+    * signal the curation gates consume, computed in ONE scan — the
+    * "attributes file" a 100 TB pipeline publishes beside the raw text so
+    * downstream mixture/filter decisions re-read signals, not documents.
+    * (Dolma and RedPajama-v2 both ship exactly this artifact.) Columns:
+    * predicted language, composite quality, the full Gopher measure set +
+    * verdict, C4 page verdict + sentence count, whitespace/BPE token
+    * counts, 3-shingle repetition ratio, PII hit count, line count.
+    * Pure per-row column work: no shuffle, whole-stage codegen,
+    * corpus-linear — at scale this is a map over the scan feeding a
+    * columnar write partitioned however the corpus is.
+    */
+  def qualitySignals(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String,
+                     gopher: GopherConfig = GopherConfig())
+      : org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    var sc = graft.core.Ops.widen(docs)
+      .withColumn("__w", graft.operators.Dedup.normalizeWords(t))
+    for ((name, markers) <- LangProfiles)
+      sc = sc.withColumn(s"s_$name",
+        profileScore(col("__w"), markers).cast("long"))
+    sc.withColumn("__g", gopherFlags(t, col("__w"), gopher))
+      .withColumn("__clean", array_join(Curation.c4KeptLines(t), "\n"))
+      .select(col(idCol),
+        langPredict.as("lang_pred"),
+        qualityScore(t, col("__w")).as("quality_e4"),
+        col("__g.n_words").as("n_words"),
+        col("__g.mean_len_e4").as("mean_len_e4"),
+        col("__g.alpha_frac_e4").as("alpha_frac_e4"),
+        col("__g.symbol_ratio_e4").as("symbol_ratio_e4"),
+        col("__g.bullet_frac_e4").as("bullet_frac_e4"),
+        col("__g.ellipsis_frac_e4").as("ellipsis_frac_e4"),
+        col("__g.stop_hits").as("stop_hits"),
+        col("__g.pass").as("gopher_pass"),
+        Curation.c4PageKeep(t, col("__clean")).as("c4_keep"),
+        Curation.c4SentenceCount(col("__clean")).cast("long")
+          .as("c4_sentences"),
+        wsTokenCount(t).cast("long").as("ws_toks"),
+        bpeTokenCount(t).cast("long").as("bpe_toks"),
+        repetitionRatio(graft.operators.Dedup.shingles3(col("__w")))
+          .as("rep_e4"),
+        piiHits(t).cast("long").as("pii_hits"),
+        size(split(t, "\n", -1)).cast("long").as("n_lines"))
+  }
+
   /** A COLLECTED Kneser–Ney bigram model for per-row serving
     * ([[knScoreExpr]] — the streaming/gate form, where joining model
     * tables is not available). Bounded-vocabulary contract: the maps live

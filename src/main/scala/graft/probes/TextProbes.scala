@@ -1077,6 +1077,119 @@ object TextProbes {
        |FROM wl JOIN th USING (lang)
        |ORDER BY wl.doc_id""".stripMargin
 
+  // ---- q123 quality-signals attributes table -----------------------------
+  // The Dolma/RedPajama-v2 "attributes file" shape: every stateless
+  // signal in one scan (TextStats.qualitySignals scaladoc). The oracle
+  // assembles the already-proven per-signal mirrors (q32 lang, q33
+  // quality, q90 gopher, q99 c4, q34 tokens, q51 repetition, q48 pii)
+  // over the RAW documents text and joins them per doc — one engine scan
+  // vs seven oracle CTE families, same 18 columns.
+  val q123: Q = (s, d) =>
+    graft.operators.TextStats.qualitySignals(
+        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val q123Sql: String = {
+    def fracE4(num: String, den: String) =
+      s"CASE WHEN $den > 0 THEN CAST(floor(($num) * 1.0 / ($den) * 10000 + 0.5) AS BIGINT) ELSE 0 END"
+    val scores = graft.operators.TextStats.LangProfiles.map {
+      case (name, markers) =>
+        val in = markers.map(m => s"'$m'").mkString(", ")
+        s"CAST(len(list_filter(w, x -> x IN ($in))) AS BIGINT) AS s_$name"
+    }.mkString(",\n    ")
+    val stopIn = graft.operators.TextStats.StopWords
+      .map(w => s"'$w'").mkString(", ")
+    val email = graft.operators.TextStats.EmailRegex
+    val url = graft.operators.TextStats.UrlRegex
+    val phone = graft.operators.TextStats.PhoneRegex
+    s"""WITH n AS (SELECT doc_id, text, $duckWords AS w FROM documents),
+       |sc AS (SELECT doc_id,
+       |    $scores
+       |  FROM n),
+       |lang AS (SELECT doc_id,
+       |    ${graft.operators.TextStats.langPredictDuckSql} AS lang_pred
+       |  FROM sc),
+       |q AS (SELECT doc_id, CAST(floor((0.5 * least(1.0, len(w) / 50.0) +
+       |    0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 1.0 / greatest(length(text), 1)) +
+       |    0.2 * (len(list_filter(w, x -> x IN ($stopIn))) * 1.0 / greatest(len(w), 1))) * 10000 + 0.5) AS BIGINT) AS quality_e4
+       |  FROM n),
+       |gt AS (SELECT doc_id, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |      ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+       |    string_split(text, chr(10)) AS lines, w
+       |  FROM n),
+       |gm AS (SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n,
+       |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sumlen,
+       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+       |      + CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+       |    CAST(len(lines) AS BIGINT) AS nl,
+       |    CAST(len(list_filter(lines, l -> starts_with(l, '- ')
+       |      OR starts_with(l, '* ') OR starts_with(l, '•'))) AS BIGINT) AS n_bullet,
+       |    CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT) AS n_ell,
+       |    CAST(len(list_filter(w, x -> x IN ($stopIn))) AS BIGINT) AS stop_hits
+       |  FROM gt),
+       |g AS (SELECT doc_id, n AS n_words,
+       |    ${fracE4("sumlen", "n")} AS mean_len_e4,
+       |    ${fracE4("n_alpha", "n")} AS alpha_frac_e4,
+       |    ${fracE4("n_sym", "n")} AS symbol_ratio_e4,
+       |    ${fracE4("n_bullet", "nl")} AS bullet_frac_e4,
+       |    ${fracE4("n_ell", "nl")} AS ellipsis_frac_e4,
+       |    stop_hits, nl AS n_lines
+       |  FROM gm),
+       |gp AS (SELECT *, (n_words BETWEEN 50 AND 100000
+       |    AND mean_len_e4 BETWEEN 30000 AND 100000
+       |    AND symbol_ratio_e4 <= 1000 AND bullet_frac_e4 <= 9000
+       |    AND ellipsis_frac_e4 <= 3000 AND alpha_frac_e4 >= 8000
+       |    AND stop_hits >= 2) AS gopher_pass FROM g),
+       |ck AS (SELECT doc_id, text,
+       |    list_filter(string_split(text, chr(10)), l ->
+       |      right(rtrim(l), 1) IN ('.', '!', '?', '"')
+       |      AND len(list_filter(string_split_regex(trim(l), ' +'),
+       |        x -> x <> '')) >= 5
+       |      AND NOT contains(lower(l), 'javascript')) AS kept
+       |  FROM n),
+       |cc AS (SELECT doc_id, text,
+       |    coalesce(array_to_string(kept, chr(10)), '') AS cleaned FROM ck),
+       |c4 AS (SELECT doc_id,
+       |    CAST(length(cleaned) - length(
+       |      regexp_replace(cleaned, '[.!?]', '', 'g')) AS BIGINT) AS c4_sentences,
+       |    ((length(cleaned) - length(regexp_replace(cleaned, '[.!?]', '', 'g'))) >= 3
+       |      AND NOT contains(lower(text), 'lorem ipsum')
+       |      AND NOT contains(text, '{')) AS c4_keep
+       |  FROM cc),
+       |tok AS (SELECT doc_id,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ws_toks,
+       |    CAST(len(regexp_extract_all(text, '${graft.operators.TextStats.BpeTokenRegex}', 0)) AS BIGINT) AS bpe_toks
+       |  FROM n),
+       |shl AS (SELECT doc_id,
+       |  CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE []::VARCHAR[] END AS sh
+       |  FROM n),
+       |rep AS (SELECT doc_id,
+       |  CASE WHEN len(sh) = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(floor((1.0 - len(list_distinct(sh)) * 1.0 / len(sh))
+       |            * 10000 + 0.5) AS BIGINT) END AS rep_e4
+       |  FROM shl),
+       |pii AS (SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$email', 0)) +
+       |       len(regexp_extract_all(text, '$url', 0)) +
+       |       len(regexp_extract_all(text, '$phone', 0)) AS BIGINT) AS pii_hits
+       |  FROM n)
+       |SELECT n.doc_id, lang.lang_pred, q.quality_e4,
+       |  gp.n_words, gp.mean_len_e4, gp.alpha_frac_e4, gp.symbol_ratio_e4,
+       |  gp.bullet_frac_e4, gp.ellipsis_frac_e4, gp.stop_hits,
+       |  gp.gopher_pass, c4.c4_keep, c4.c4_sentences,
+       |  tok.ws_toks, tok.bpe_toks, rep.rep_e4, pii.pii_hits, gp.n_lines
+       |FROM n JOIN lang USING (doc_id) JOIN q USING (doc_id)
+       |  JOIN gp USING (doc_id) JOIN c4 USING (doc_id)
+       |  JOIN tok USING (doc_id) JOIN rep USING (doc_id)
+       |  JOIN pii USING (doc_id)
+       |ORDER BY n.doc_id""".stripMargin
+  }
+
   // ---- family registry --------------------------------------------------
 
   private[probes] val queries: Map[String, Q] = Map(
@@ -1106,7 +1219,8 @@ object TextProbes {
     "q111_phrase_search" -> q111,
     "q117_doremi_weights" -> q117,
     "q118_kn_lm" -> q118,
-    "q119_ppl_buckets" -> q119)
+    "q119_ppl_buckets" -> q119,
+    "q123_quality_signals" -> q123)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q32_lang_id" -> q32Sql,
@@ -1135,5 +1249,6 @@ object TextProbes {
     "q111_phrase_search" -> q111Sql,
     "q117_doremi_weights" -> q117Sql,
     "q118_kn_lm" -> q118Sql,
-    "q119_ppl_buckets" -> q119Sql)
+    "q119_ppl_buckets" -> q119Sql,
+    "q123_quality_signals" -> q123Sql)
 }

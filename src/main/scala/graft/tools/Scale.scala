@@ -502,6 +502,16 @@ object Scale {
           Dedup.nearDupAgainstIndex(spark, dir, batch, "doc_id", "text"))
       }
       // --- round-9: KN LM, CCNet buckets, Hilbert layout, binary ANN ----
+      run("quality_signals", n) {
+        // the attributes-file pass: every stateless signal in one scan
+        graft.core.Managed(
+          graft.operators.TextStats.qualitySignals(d, "doc_id", "text")
+            .groupBy(col("doc_id") % 32)
+            .agg(count(lit(1)).as("docs"),
+              sum(col("gopher_pass").cast("long")).as("gp"),
+              sum("quality_e4").as("sq")),
+          Seq.empty)
+      }
       run("kn_lm", n) {
         val m = graft.operators.TextStats.selfKnCrossEntropyManaged(
           d, "doc_id", "text", vocabSize = 1000L)

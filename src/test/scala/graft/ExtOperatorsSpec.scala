@@ -165,6 +165,39 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
   }
 
+  test("qualitySignals: one-scan attributes equal the individual operators") {
+    val fluent = (1 to 60).map(i => s"word$i").mkString("the table row scan key ", " ", " the a end.") + "\nsecond proper sentence with many more words here today.\nthird full sentence rounds out the c4 minimum nicely."
+    val degenerate = "zz " * 6 // 4 identical 3-shingles → repetition > 0
+    val docs = Seq((1L, fluent), (2L, degenerate), (3L, "")).toDF("doc_id", "text")
+    val got = TextStats.qualitySignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val byId = got.map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    // cross-check each signal against its standalone operator
+    val solo = docs
+      .withColumn("w", Dedup.normalizeWords(col("text")))
+      .select(col("doc_id"),
+        TextStats.qualityScore(col("text"), col("w")).as("q"),
+        TextStats.gopherFlags(col("text"), col("w")).getField("pass").as("gp"),
+        TextStats.piiHits(col("text")).cast("long").as("pii"),
+        TextStats.wsTokenCount(col("text")).cast("long").as("ws"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(byId(id).getAs[Long]("quality_e4") == solo(id).getAs[Long]("q"))
+      assert(byId(id).getAs[Boolean]("gopher_pass") == solo(id).getAs[Boolean]("gp"))
+      assert(byId(id).getAs[Long]("pii_hits") == solo(id).getAs[Long]("pii"))
+      assert(byId(id).getAs[Long]("ws_toks") == solo(id).getAs[Long]("ws"))
+    }
+    // the verdict columns separate the fluent doc from the degenerate one
+    assert(byId(1L).getAs[Boolean]("gopher_pass"))
+    assert(byId(1L).getAs[Boolean]("c4_keep"))
+    assert(!byId(2L).getAs[Boolean]("gopher_pass"))
+    assert(!byId(2L).getAs[Boolean]("c4_keep"))
+    assert(byId(2L).getAs[Long]("rep_e4") > 0L) // "zz zz zz" repeats
+    assert(byId(3L).getAs[Long]("ws_toks") == 0L) // empty doc still rows
+  }
+
   test("quality score falls within [0,10000] e4 and penalizes punctuation") {
     val df = Seq((1L, "the plain simple readable text goes here"),
                  (2L, "@@## !!%% ??^^ &&**")).toDF("doc_id", "text")
