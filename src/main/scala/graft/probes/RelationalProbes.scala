@@ -492,6 +492,64 @@ object RelationalProbes {
        |SELECT o_orderkey, hd AS h FROM hstep_0 ORDER BY o_orderkey""".stripMargin
   }
 
+  // ---- q124 ordered funnel steps -----------------------------------------
+  // Journeys.funnelSteps: view → click → purchase with STRICT ordering
+  // (each step's window opens at the previous step's matched time). The
+  // oracle is the identical chain of filtered min-aggregates as CTEs —
+  // the funnel definition, not the implementation.
+  val q124: Q = (s, d) =>
+    graft.operators.Journeys.funnelSteps(
+        Tables.events(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+
+  val q124Sql: String =
+    """WITH e AS (SELECT user_id, date_trunc('milliseconds', ts) AS ts,
+      |    event_type FROM events),
+      |s0 AS (SELECT user_id, min(ts) AS t0 FROM e
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM e JOIN s0 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1)
+      |SELECT s0.user_id, s0.t0, s1.t1, s2.t2,
+      |  CAST(1 + CASE WHEN s1.t1 IS NULL THEN 0 ELSE 1 END
+      |    + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+      |    AS steps_reached
+      |FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  // ---- q125 weekly cohort retention --------------------------------------
+  // Journeys.cohortRetention: cohort = week of first event (integer day
+  // arithmetic from the Monday epoch — no engine week-start semantics),
+  // retention = distinct active members per weeks-since-first.
+  val q125: Q = (s, d) =>
+    graft.operators.Journeys.cohortRetention(
+        Tables.events(s, d), "user_id", "ts")
+      .orderBy("cohort_wk", "period_wk")
+
+  val q125Sql: String =
+    """WITH e AS (SELECT user_id, date_trunc('milliseconds', ts) AS ts
+      |  FROM events),
+      |f AS (SELECT user_id, CAST(floor(date_diff('day', DATE '1970-01-05',
+      |    CAST(min(ts) AS DATE)) / 7) AS BIGINT) AS cohort_wk
+      |  FROM e GROUP BY 1),
+      |a AS (SELECT e.user_id, f.cohort_wk,
+      |    CAST(floor(date_diff('day', DATE '1970-01-05',
+      |      CAST(e.ts AS DATE)) / 7) AS BIGINT) - f.cohort_wk AS period_wk
+      |  FROM e JOIN f USING (user_id)),
+      |g AS (SELECT cohort_wk, period_wk,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+      |  FROM a GROUP BY 1, 2),
+      |sz AS (SELECT cohort_wk,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size
+      |  FROM f GROUP BY 1)
+      |SELECT g.cohort_wk, g.period_wk, g.active_users, sz.cohort_size,
+      |  CAST(floor(g.active_users * 1.0 / sz.cohort_size * 10000 + 0.5)
+      |    AS BIGINT) AS retention_e4
+      |FROM g JOIN sz USING (cohort_wk)
+      |ORDER BY cohort_wk, period_wk""".stripMargin
+
   // ---- family registry --------------------------------------------------
 
   private[probes] val queries: Map[String, Q] = Map(
@@ -510,7 +568,9 @@ object RelationalProbes {
     "q75_zorder" -> q75,
     "q77_set_ops" -> q77,
     "q81_pagerank" -> q81,
-    "q120_hilbert" -> q120)
+    "q120_hilbert" -> q120,
+    "q124_funnel_steps" -> q124,
+    "q125_cohort_retention" -> q125)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q37_stratified_sample" -> q37Sql,
@@ -528,5 +588,7 @@ object RelationalProbes {
     "q75_zorder" -> q75Sql,
     "q77_set_ops" -> q77Sql,
     "q81_pagerank" -> q81Sql,
-    "q120_hilbert" -> q120Sql)
+    "q120_hilbert" -> q120Sql,
+    "q124_funnel_steps" -> q124Sql,
+    "q125_cohort_retention" -> q125Sql)
 }

@@ -558,6 +558,25 @@ object Scale {
             .agg(count(lit(1)).as("rows"), sum("score_e4").as("s")),
           Seq.empty)
       }
+      // --- round-9: journey analytics over the scaled events table ------
+      locally {
+        def ev(k: Int): DataFrame = {
+          val base = graft.Tables.events(spark, sfDir)
+            .select("user_id", "ts", "event_type")
+          (0 until k).map { i =>
+            base.select((col("user_id") + lit(i * 1000000L)).as("user_id"),
+              col("ts"), col("event_type"))
+          }.reduce(_ unionByName _)
+        }
+        run("funnel_steps", n)(graft.core.Managed(
+          graft.operators.Journeys.funnelSteps(ev(n), "user_id", "ts",
+              "event_type", Seq("view", "click", "purchase"))
+            .groupBy("steps_reached").agg(count(lit(1)).as("users")),
+          Seq.empty))
+        run("cohort_retention", n)(graft.core.Managed(
+          graft.operators.Journeys.cohortRetention(ev(n), "user_id", "ts"),
+          Seq.empty))
+      }
       // --- round-8: retrieval, sketches, crawl ingest -------------------
       run("bm25_top5", n) {
         val queries = d.filter(col("doc_id") % 97 === 0)
