@@ -176,6 +176,128 @@ object Layout {
     if (keepH) ranged else ranged.drop("__h")
   }
 
+  /** d-DIMENSIONAL Hilbert index (Skilling 2004, "Programming the Hilbert
+    * curve" — the transpose-form algorithm): generalizes [[withHilbert]]
+    * beyond 2-D, so a 3- or 4-column layout clusters on the no-long-jump
+    * curve instead of falling back to Morton. Same unrolled-projection
+    * discipline: the inverse-undo sweep is (bits−1)·d chained steps of
+    * CASE/XOR/mask arithmetic, then the Gray fold, the parity twist, and
+    * the MSB-first transpose interleave — all codegen'd, no UDF, no
+    * shuffle. Bijectivity + grid-neighbor adjacency are property-tested
+    * over full grids in LayoutSpec (the same pins as the 2-D form).
+    */
+  def withHilbertN(df: DataFrame, cols: Seq[String], outCol: String,
+                   bits: Int): DataFrame = {
+    val d = cols.size
+    require(d >= 2, s"withHilbertN: need >= 2 dims (got $d)")
+    require(bits > 0 && bits * d <= 62,
+      s"withHilbertN: bits*dims (${bits * d}) must be <= 62")
+    val mask = (1L << bits) - 1
+    val names = (0 until d).map(i => s"__hx$i")
+    var cur = df
+    for ((c, i) <- cols.zipWithIndex)
+      cur = cur.withColumn(names(i), col(c).cast("long").bitwiseAND(lit(mask)))
+    def sel(updates: Map[String, Column]): Unit =
+      cur = cur.select(cur.columns.map(cn =>
+        updates.getOrElse(cn, col(cn)).as(cn)).toIndexedSeq: _*)
+    // inverse undo
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      for (i <- 0 until d) {
+        val x0 = col(names.head); val xi = col(names(i))
+        val cond = xi.bitwiseAND(lit(q)) =!= 0L
+        if (i == 0)
+          sel(Map(names.head ->
+            when(cond, x0.bitwiseXOR(lit(p))).otherwise(x0)))
+        else {
+          val t = x0.bitwiseXOR(xi).bitwiseAND(lit(p))
+          sel(Map(
+            names.head -> when(cond, x0.bitwiseXOR(lit(p)))
+              .otherwise(x0.bitwiseXOR(t)),
+            names(i) -> when(cond, xi).otherwise(xi.bitwiseXOR(t))))
+        }
+      }
+      q >>= 1
+    }
+    // Gray fold (sequential: each step reads the PREVIOUS step's output)
+    for (i <- 1 until d)
+      sel(Map(names(i) -> col(names(i)).bitwiseXOR(col(names(i - 1)))))
+    // parity twist from the last axis
+    var tExpr: Column = lit(0L)
+    var qq = 1L << (bits - 1)
+    while (qq > 1) {
+      tExpr = when(col(names(d - 1)).bitwiseAND(lit(qq)) =!= 0L,
+        tExpr.bitwiseXOR(lit(qq - 1))).otherwise(tExpr)
+      qq >>= 1
+    }
+    cur = cur.withColumn("__ht", tExpr)
+    cur = cur.select(cur.columns.map(cn =>
+      if (names.contains(cn)) col(cn).bitwiseXOR(col("__ht")).as(cn)
+      else col(cn)).toIndexedSeq: _*)
+    // transpose interleave: bit j of axis i lands at j*d + (d-1-i)
+    val terms = for { j <- 0 until bits; i <- 0 until d } yield
+      shiftleft(shiftright(col(names(i)), j).bitwiseAND(lit(1L)),
+        j * d + (d - 1 - i))
+    cur.withColumn(outCol, terms.reduce(_ + _))
+      .drop(names :+ "__ht": _*)
+  }
+
+  /** DuckDB rendering of [[withHilbertN]]: the same unroll as a CTE chain
+    * over a base relation exposing `x0..x{d-1}` (already masked) and the
+    * carried columns; the caller selects `hd` from `name_out`.
+    */
+  def hilbertNDuckCtes(baseName: String, name: String, bits: Int, d: Int,
+                       carryCols: Seq[String]): String = {
+    val carry = carryCols.mkString(", ")
+    val xs = (0 until d).map(i => s"x$i")
+    val steps = scala.collection.mutable.ArrayBuffer.empty[String]
+    var prev = baseName
+    var idx = 0
+    def cte(updates: Map[String, String]): Unit = {
+      val colsSql = (carryCols ++ xs).map {
+        case c if updates.contains(c) => s"${updates(c)} AS $c"
+        case c => c
+      }.mkString(", ")
+      steps += s"${name}_$idx AS (SELECT $colsSql FROM $prev)"
+      prev = s"${name}_$idx"; idx += 1
+    }
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      for (i <- 0 until d) {
+        if (i == 0)
+          cte(Map("x0" ->
+            s"CASE WHEN (x0 & $q) <> 0 THEN xor(x0, $p) ELSE x0 END"))
+        else {
+          val t = s"(xor(x0, x$i) & $p)"
+          cte(Map(
+            "x0" -> s"CASE WHEN (x$i & $q) <> 0 THEN xor(x0, $p) ELSE xor(x0, $t) END",
+            s"x$i" -> s"CASE WHEN (x$i & $q) <> 0 THEN x$i ELSE xor(x$i, $t) END"))
+        }
+      }
+      q >>= 1
+    }
+    for (i <- 1 until d)
+      cte(Map(s"x$i" -> s"xor(x$i, x${i - 1})"))
+    val tSql = {
+      var t = "CAST(0 AS BIGINT)"
+      var qq = 1L << (bits - 1)
+      while (qq > 1) {
+        t = s"CASE WHEN (x${d - 1} & $qq) <> 0 THEN xor($t, ${qq - 1}) ELSE $t END"
+        qq >>= 1
+      }
+      t
+    }
+    steps += s"${name}_tw AS (SELECT $carry, ${xs.mkString(", ")}, $tSql AS ht FROM $prev)"
+    val twisted = xs.map(x => s"xor($x, ht) AS $x").mkString(", ")
+    steps += s"${name}_tx AS (SELECT $carry, $twisted FROM ${name}_tw)"
+    val terms = for { j <- 0 until bits; i <- 0 until d } yield
+      s"((((x$i >> $j) & 1)) << ${j * d + (d - 1 - i)})"
+    steps += s"${name}_out AS (SELECT $carry, ${terms.mkString(" + ")} AS hd FROM ${name}_tx)"
+    steps.mkString(",\n")
+  }
+
   /** Write `df` as a BUCKETED table: rows pre-hash-partitioned on `keys`
     * into `buckets` files per partition and sorted within each bucket —
     * the shuffle an equi-join or aggregation on those keys would do at

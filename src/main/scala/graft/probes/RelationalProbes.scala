@@ -492,6 +492,31 @@ object RelationalProbes {
        |SELECT o_orderkey, hd AS h FROM hstep_0 ORDER BY o_orderkey""".stripMargin
   }
 
+  // ---- q126 3-D Hilbert index (Skilling transpose) -----------------------
+  // Layout.withHilbertN — the d-dimensional generalization (bijectivity
+  // + adjacency property-tested in LayoutSpec); the oracle runs the same
+  // unrolled step chain emitted by hilbertNDuckCtes.
+  val q126: Q = (s, d) =>
+    graft.operators.Layout.withHilbertN(
+        Tables.orders(s, d).select(col("o_orderkey"),
+          (col("o_custkey") % 256).as("hx"),
+          (col("o_orderkey") % 256).as("hy"),
+          ((col("o_orderkey") / 7).cast("long") % 256).as("hz")),
+        Seq("hx", "hy", "hz"), "h", bits = 8)
+      .select("o_orderkey", "h")
+      .orderBy("o_orderkey")
+
+  val q126Sql: String = {
+    val ctes = graft.operators.Layout.hilbertNDuckCtes(
+      "hbase", "hn", bits = 8, d = 3, carryCols = Seq("o_orderkey"))
+    s"""WITH hbase AS (SELECT o_orderkey,
+       |    (o_custkey % 256) AS x0, (o_orderkey % 256) AS x1,
+       |    (CAST(floor(o_orderkey / 7.0) AS BIGINT) % 256) AS x2
+       |  FROM orders),
+       |$ctes
+       |SELECT o_orderkey, hd AS h FROM hn_out ORDER BY o_orderkey""".stripMargin
+  }
+
   // ---- q124 ordered funnel steps -----------------------------------------
   // Journeys.funnelSteps: view → click → purchase with STRICT ordering
   // (each step's window opens at the previous step's matched time). The
@@ -570,7 +595,8 @@ object RelationalProbes {
     "q81_pagerank" -> q81,
     "q120_hilbert" -> q120,
     "q124_funnel_steps" -> q124,
-    "q125_cohort_retention" -> q125)
+    "q125_cohort_retention" -> q125,
+    "q126_hilbert3d" -> q126)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q37_stratified_sample" -> q37Sql,
@@ -590,5 +616,6 @@ object RelationalProbes {
     "q81_pagerank" -> q81Sql,
     "q120_hilbert" -> q120Sql,
     "q124_funnel_steps" -> q124Sql,
-    "q125_cohort_retention" -> q125Sql)
+    "q125_cohort_retention" -> q125Sql,
+    "q126_hilbert3d" -> q126Sql)
 }

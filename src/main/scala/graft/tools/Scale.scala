@@ -547,6 +547,20 @@ object Scale {
             .agg(count(lit(1)).as("rows"), sum("__h").as("sh")),
           Seq.empty)
       }
+      run("hilbert3d", n) {
+        // id-arithmetic inputs only: the row measures the 24-step curve
+        // unroll, not scaledDocs' synthetic text construction (measured:
+        // with length(text) as an input the text mangling dominated 10:1)
+        graft.core.Managed(
+          graft.operators.Layout.withHilbertN(
+              d.select(col("doc_id"), (col("doc_id") % 256).as("hx0"),
+                ((col("doc_id") * 31) % 256).as("hy0"),
+                ((col("doc_id") / 7).cast("long") % 256).as("hz0")),
+              Seq("hx0", "hy0", "hz0"), "__h", bits = 8)
+            .groupBy(col("doc_id") % 32)
+            .agg(count(lit(1)).as("rows"), sum("__h").as("sh")),
+          Seq.empty)
+      }
       run("hamming_topk", n) {
         // 2% of the corpus as queries (the ivf_topk row's set), shortlist
         // 4x k, exact rerank — the packed-word first pass is the measure

@@ -113,6 +113,53 @@ class LayoutSpec extends SparkSpec {
     assert(h == xy2d(3, 0L, 1L))
   }
 
+  // reference implementation of Skilling's transpose algorithm — the
+  // driver-side loop withHilbertN must reproduce
+  private def hilbertN(bits: Int, coords: Seq[Long]): Long = {
+    val d = coords.size
+    val X = coords.toArray
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      for (i <- 0 until d) {
+        if ((X(i) & q) != 0) X(0) ^= p
+        else { val t = (X(0) ^ X(i)) & p; X(0) ^= t; X(i) ^= t }
+      }
+      q >>= 1
+    }
+    for (i <- 1 until d) X(i) ^= X(i - 1)
+    var t = 0L
+    var qq = 1L << (bits - 1)
+    while (qq > 1) { if ((X(d - 1) & qq) != 0) t ^= qq - 1; qq >>= 1 }
+    for (i <- 0 until d) X(i) ^= t
+    (for (j <- 0 until bits; i <- 0 until d)
+      yield ((X(i) >> j) & 1L) << (j * d + (d - 1 - i))).sum
+  }
+
+  test("withHilbertN matches the reference Skilling loop on random 3-D points") {
+    val rnd = new scala.util.Random(5)
+    val pts = Seq.fill(150)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong,
+      rnd.nextInt(256).toLong))
+    val rows = Layout.withHilbertN(pts.toDF("x", "y", "z"),
+        Seq("x", "y", "z"), "h", bits = 8)
+      .select("x", "y", "z", "h").as[(Long, Long, Long, Long)].collect()
+    for ((x, y, z, h) <- rows)
+      assert(h == hilbertN(8, Seq(x, y, z)), s"($x,$y,$z)")
+  }
+
+  test("withHilbertN is a bijection with grid-neighbor adjacency over the " +
+       "full order-3 3-D grid") {
+    val grid = (for (x <- 0L until 8L; y <- 0L until 8L; z <- 0L until 8L)
+      yield (x, y, z)).toDF("x", "y", "z")
+    val byH = Layout.withHilbertN(grid, Seq("x", "y", "z"), "h", bits = 3)
+      .select("h", "x", "y", "z").as[(Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(byH.map(_._1).toSeq == (0L until 512L).toSeq) // bijective
+    val steps = byH.sliding(2).map { case Array((_, x0, y0, z0), (_, x1, y1, z1)) =>
+      math.abs(x1 - x0) + math.abs(y1 - y0) + math.abs(z1 - z0) }.toSeq
+    assert(steps.forall(_ == 1L), s"max jump ${steps.max}") // true Hilbert
+  }
+
   test("hilbert layout prunes a box predicate at least as well as z-order") {
     val n = 1 << 14
     def bitrev10(v: Long): Long =
