@@ -974,6 +974,102 @@ object TextStats {
       .select(col("qid"), col(idCol), col("score_e6"), col("rnk"))
   }
 
+  /** Persist the postings index [[bm25TopK]] derives per call — the
+    * retrieval member of the engine's index-reuse family (IVF for
+    * vectors, MinHash bands for near-dup, postings for BM25): the corpus
+    * explodes ONCE at build time; every later query batch joins its
+    * terms against stored postings and pays zero corpus work.
+    *
+    * Layout: `dir/postings` (id, dl, term, tf); `dir/terms`
+    * (term, df_part) and `dir/meta` (n_part, dlsum_part) as PER-BATCH
+    * partial rows — [[appendToBm25Index]] just appends its batch's
+    * partials and serving re-aggregates (vocabulary-bounded /
+    * driver-bounded sums), so incremental ingest needs no
+    * read-modify-write of global statistics.
+    */
+  def writeBm25Index(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, dir: String): Unit = {
+    writeBm25Parts(docs, idCol, textCol, dir, overwrite = true)
+  }
+
+  /** Fold a new document batch into an existing index (append-only; ids
+    * must be disjoint from indexed ids — the snapshot invariant).
+    */
+  def appendToBm25Index(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, docs: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String): Unit =
+    writeBm25Parts(docs, idCol, textCol, dir, overwrite = false)
+
+  private def writeBm25Parts(docs: org.apache.spark.sql.DataFrame,
+                             idCol: String, textCol: String, dir: String,
+                             overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    val words = graft.core.Ops.widen(docs)
+      .select(col(idCol).as("id"),
+        graft.operators.Dedup.normalizeWords(col(textCol)).as("__w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = words
+      .select(col("id"), size(col("__w")).as("dl"),
+        explode(col("__w")).as("term"))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.write.mode(mode).parquet(s"$dir/postings")
+    tf.groupBy("term").agg(count(lit(1)).as("df_part"))
+      .write.mode(mode).parquet(s"$dir/terms")
+    words.agg(count(lit(1)).as("n_part"),
+        sum(size(col("__w"))).as("dlsum_part"))
+      .write.mode(mode).parquet(s"$dir/meta")
+    tf.unpersist(false); words.unpersist(false)
+  }
+
+  /** BM25 top-k against a persisted index: numerically IDENTICAL to
+    * [[bm25TopK]] on the same corpus (parity spec-pinned) — same idf and
+    * saturation expression trees; df comes from the aggregated terms
+    * table instead of a window count (for query terms the two are equal
+    * by construction). Per batch: one bounded meta read, one
+    * vocabulary-bounded terms aggregate, one postings equi join — the
+    * corpus itself is never re-read.
+    */
+  def bm25AgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String,
+                       queries: org.apache.spark.sql.DataFrame,
+                       qidCol: String, qtermCol: String,
+                       k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val meta = spark.read.parquet(s"$dir/meta")
+      .agg(sum("n_part").as("n"), sum("dlsum_part").as("dlsum")).head()
+    val n = meta.getLong(0)
+    val avgdl = meta.getLong(1).toDouble / n
+    val qterms = queries
+      .select(col(qidCol).as("qid"), col(qtermCol).as("term")).distinct()
+    val qtermSet = qterms.select("term").distinct()
+    val dfT = spark.read.parquet(s"$dir/terms")
+      .join(qtermSet, Seq("term"))
+      .groupBy("term").agg(sum("df_part").as("df"))
+    val cand = spark.read.parquet(s"$dir/postings")
+      .join(qtermSet, Seq("term"))
+      .join(dfT, Seq("term"))
+      .withColumn("idf_e6", floor(
+        log((lit(n.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)) * lit(1e6) + lit(0.5))
+        .cast("long"))
+    val contrib = cand
+      .join(qterms, Seq("term"))
+      .withColumn("c_e6", floor(
+        col("idf_e6") * (col("tf") * lit(2.25)) /
+          (col("tf") + lit(1.25) *
+            (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)))
+          + lit(0.5)).cast("long"))
+    contrib.groupBy(col("qid"), col("id"))
+      .agg(sum(col("c_e6")).as("score_e6"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("score_e6").desc, col("id").asc)).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("id"), col("score_e6"), col("rnk"))
+  }
+
   /** Exact 3-term phrase search over positional postings — the
     * verification layer of an inverted index ([[bm25TopK]] ranks by
     * bag-of-words; phrase queries need POSITIONS). The corpus explodes

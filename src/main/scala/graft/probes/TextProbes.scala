@@ -806,6 +806,29 @@ object TextProbes {
        |SELECT qid, doc_id, score_e6, rnk FROM r WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
 
+  // ---- q127 BM25 against a persisted postings index ----------------------
+  // The retrieval member of the index-reuse family: the corpus explodes
+  // once at build time, every query batch joins stored postings
+  // (TextStats.writeBm25Index scaladoc). Numerically identical to q105's
+  // per-call form — the oracle IS q105's oracle; only the engine path
+  // changes (build index → query index).
+  val q127: Q = (s, d) => {
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q127_idx").toString
+    graft.operators.TextStats.writeBm25Index(docs, "doc_id", "text", dir)
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("qid"),
+        explode(slice(Dedup.normalizeWords(col("text")), 1, 3)).as("term"))
+    graft.operators.TextStats
+      .bm25AgainstIndex(s, dir, queries, "qid", "term", k = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("qid", "rnk")
+  }
+
+  val q127Sql: String = q105Sql
+
   // ---- q110 trigram stupid-backoff LM ------------------------------------
   // Model trained on the lang='en' slice, scored over the WHOLE corpus —
   // cross-model on purpose: non-en docs hit the unseen-trigram and
@@ -1220,7 +1243,8 @@ object TextProbes {
     "q117_doremi_weights" -> q117,
     "q118_kn_lm" -> q118,
     "q119_ppl_buckets" -> q119,
-    "q123_quality_signals" -> q123)
+    "q123_quality_signals" -> q123,
+    "q127_bm25_indexed" -> q127)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q32_lang_id" -> q32Sql,
@@ -1250,5 +1274,6 @@ object TextProbes {
     "q117_doremi_weights" -> q117Sql,
     "q118_kn_lm" -> q118Sql,
     "q119_ppl_buckets" -> q119Sql,
-    "q123_quality_signals" -> q123Sql)
+    "q123_quality_signals" -> q123Sql,
+    "q127_bm25_indexed" -> q127Sql)
 }

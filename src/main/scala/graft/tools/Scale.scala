@@ -604,6 +604,26 @@ object Scale {
             .agg(count(lit(1)).as("rows"), sum("score_e6").as("s")),
           Seq.empty)
       }
+      // index built OUTSIDE timing (the standing state a query batch
+      // meets); the row measures the serving path the bm25_top5 row
+      // pays per call
+      locally {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_scale_bm25_idx").toString
+        graft.operators.TextStats.writeBm25Index(d, "doc_id", "text", dir)
+        run("bm25_indexed", n) {
+          val queries = d.filter(col("doc_id") % 97 === 0)
+            .select(col("doc_id").as("qid"),
+              explode(slice(Dedup.normalizeWords(col("text")), 1, 3))
+                .as("term"))
+          graft.core.Managed(
+            graft.operators.TextStats.bm25AgainstIndex(spark, dir, queries,
+                "qid", "term", k = 5)
+              .groupBy(col("qid") % 32)
+              .agg(count(lit(1)).as("rows"), sum("score_e6").as("s")),
+            Seq.empty)
+        }
+      }
       run("cms_heavy", n) {
         // sketch build from the vocabulary agg + top-20 point estimates;
         // the 20-row result is collected directly (TakeOrderedAndProject,

@@ -165,6 +165,43 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
   }
 
+  test("bm25 index: serving equals the per-call operator; append equals " +
+       "a rebuild over the union") {
+    val docs = Seq(
+      (1L, "spark catalyst optimizer plans queries"),
+      (2L, "spark shuffles and joins at scale"),
+      (3L, "ducks swim on the quiet lake"),
+      (4L, "catalyst rules rewrite spark plans")).toDF("doc_id", "text")
+    val queries = Seq((100L, "spark"), (100L, "catalyst"), (200L, "lake"))
+      .toDF("qid", "term")
+    val direct = TextStats.bm25TopK(docs, "doc_id", "text",
+        queries, "qid", "term", k = 3)
+      .select("qid", "doc_id", "score_e6", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_idx").toString
+    TextStats.writeBm25Index(docs, "doc_id", "text", dir)
+    val indexed = TextStats.bm25AgainstIndex(spark, dir, queries,
+        "qid", "term", k = 3)
+      .select("qid", "id", "score_e6", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(indexed == direct)
+
+    // append a batch: serving over (A appended B) == per-call over A ∪ B
+    val batch = Seq((10L, "another spark document about catalyst internals"))
+      .toDF("doc_id", "text")
+    TextStats.appendToBm25Index(spark, dir, batch, "doc_id", "text")
+    val afterAppend = TextStats.bm25AgainstIndex(spark, dir, queries,
+        "qid", "term", k = 3)
+      .select("qid", "id", "score_e6", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val rebuilt = TextStats.bm25TopK(docs.unionByName(batch), "doc_id",
+        "text", queries, "qid", "term", k = 3)
+      .select("qid", "doc_id", "score_e6", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(afterAppend == rebuilt)
+  }
+
   test("qualitySignals: one-scan attributes equal the individual operators") {
     val fluent = (1 to 60).map(i => s"word$i").mkString("the table row scan key ", " ", " the a end.") + "\nsecond proper sentence with many more words here today.\nthird full sentence rounds out the c4 minimum nicely."
     val degenerate = "zz " * 6 // 4 identical 3-shingles → repetition > 0
