@@ -829,6 +829,81 @@ object TextProbes {
 
   val q127Sql: String = q105Sql
 
+  // ---- q128 hybrid retrieval: RRF over BM25 + ANN cosine ------------------
+  // Reciprocal-rank fusion (Fusion.rrfFuse scaladoc): the same %97 query
+  // ids drive a lexical (BM25 over documents) and a dense (cosine over
+  // embeddings, vec_id ≡ doc_id in the testdata) top-10, fused by
+  // e6-rounded 1/(60+rank) contributions. The oracle replays both
+  // retrieval chains (q105's and q23's shapes) and the fusion arithmetic.
+  val q128: Q = (s, d) => {
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+      .select("doc_id", "text")
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("qid"),
+        explode(slice(Dedup.normalizeWords(col("text")), 1, 3)).as("term"))
+    val bm25 = TextStats.bm25TopK(docs, "doc_id", "text",
+        queries, "qid", "term", k = 10)
+      .select(col("qid"), col("doc_id"), col("rnk"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    val ann = Similarity.bruteForceTopK(e, e.filter(col("id") % 97 === 0), 10)
+      .select(col("vec_id").as("qid"), col("other_id").as("doc_id"),
+        col("rank").as("rnk"))
+    graft.operators.Fusion.rrfFuse(Seq(bm25, ann), "qid", "doc_id", "rnk",
+        k0 = 60, topK = 5)
+      .orderBy("qid", "rnk")
+  }
+
+  val q128Sql: String =
+    s"""WITH w AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |stat AS (SELECT count(*) AS n,
+       |    CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl FROM w),
+       |ws AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w),
+       |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM ws GROUP BY doc_id, dl, term),
+       |idf AS (SELECT term, CAST(floor(
+       |    ln(((SELECT n FROM stat) - count(*) + 0.5) / (count(*) + 0.5)
+       |      + 1.0) * 1e6 + 0.5) AS BIGINT) AS idf_e6
+       |  FROM tf GROUP BY term),
+       |q AS (SELECT DISTINCT qid, term FROM (
+       |  SELECT doc_id AS qid, unnest(w[1:3]) AS term FROM w
+       |  WHERE doc_id % 97 = 0)),
+       |c AS (SELECT q.qid, tf.doc_id, CAST(floor(
+       |    idf_e6 * (tf * 2.25) /
+       |      (tf + 1.25 * (0.25 + 0.75 * dl / (SELECT avgdl FROM stat)))
+       |    + 0.5) AS BIGINT) AS c_e6
+       |  FROM tf JOIN q USING (term) JOIN idf USING (term)),
+       |sc AS (SELECT qid, doc_id, CAST(sum(c_e6) AS BIGINT) AS score_e6
+       |  FROM c GROUP BY qid, doc_id),
+       |br AS (SELECT qid, doc_id, CAST(row_number() OVER (
+       |    PARTITION BY qid ORDER BY score_e6 DESC, doc_id) AS BIGINT)
+       |    AS rnk FROM sc),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |p AS (SELECT a.vec_id AS qid, b.vec_id AS doc_id,
+       |    CAST(floor(list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+       |      * 10000 + 0.5) AS BIGINT) AS score_e4
+       |  FROM e a JOIN e b ON a.vec_id % 97 = 0 AND a.vec_id <> b.vec_id),
+       |ar AS (SELECT qid, doc_id, CAST(row_number() OVER (
+       |    PARTITION BY qid ORDER BY score_e4 DESC, doc_id ASC) AS BIGINT)
+       |    AS rnk FROM p),
+       |u AS (SELECT qid, doc_id,
+       |    CAST(floor(1000000.0 / (60 + rnk) + 0.5) AS BIGINT) AS c_e6
+       |  FROM br WHERE rnk <= 10
+       |  UNION ALL
+       |  SELECT qid, doc_id,
+       |    CAST(floor(1000000.0 / (60 + rnk) + 0.5) AS BIGINT) AS c_e6
+       |  FROM ar WHERE rnk <= 10),
+       |f AS (SELECT qid, doc_id, CAST(sum(c_e6) AS BIGINT) AS rrf_e6
+       |  FROM u GROUP BY qid, doc_id),
+       |fr AS (SELECT qid, doc_id, rrf_e6, CAST(row_number() OVER (
+       |    PARTITION BY qid ORDER BY rrf_e6 DESC, doc_id ASC) AS BIGINT)
+       |    AS rnk FROM f)
+       |SELECT qid, doc_id, rrf_e6, rnk FROM fr WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+
   // ---- q110 trigram stupid-backoff LM ------------------------------------
   // Model trained on the lang='en' slice, scored over the WHOLE corpus —
   // cross-model on purpose: non-en docs hit the unseen-trigram and
@@ -1244,7 +1319,8 @@ object TextProbes {
     "q118_kn_lm" -> q118,
     "q119_ppl_buckets" -> q119,
     "q123_quality_signals" -> q123,
-    "q127_bm25_indexed" -> q127)
+    "q127_bm25_indexed" -> q127,
+    "q128_rrf_hybrid" -> q128)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q32_lang_id" -> q32Sql,
@@ -1275,5 +1351,6 @@ object TextProbes {
     "q118_kn_lm" -> q118Sql,
     "q119_ppl_buckets" -> q119Sql,
     "q123_quality_signals" -> q123Sql,
-    "q127_bm25_indexed" -> q127Sql)
+    "q127_bm25_indexed" -> q127Sql,
+    "q128_rrf_hybrid" -> q128Sql)
 }

@@ -202,6 +202,26 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(afterAppend == rebuilt)
   }
 
+  test("rrfFuse: agreement beats single-system rank 1; ties by id; topK") {
+    import graft.operators.Fusion
+    def c(r: Long) = math.floor(1e6 / (60.0 + r) + 0.5).toLong
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("qid", "doc_id", "rnk")
+    val dense = Seq((1L, 11L, 1L), (1L, 13L, 2L), (1L, 12L, 3L))
+      .toDF("qid", "doc_id", "rnk")
+    val got = Fusion.rrfFuse(Seq(lex, dense), "qid", "doc_id", "rnk",
+        k0 = 60, topK = 3)
+      .orderBy("rnk").select("doc_id", "rrf_e6", "rnk")
+      .as[(Long, Long, Long)].collect().toSeq
+    // agreement dominates: doc 11 (ranks 2+1) first, doc 12 (3+3) second
+    // — both beat doc 10's single rank-1 (2·c(3) > c(1) at k0=60, the
+    // flat-contribution regime that makes RRF favor consensus)
+    assert(got.head == ((11L, c(2) + c(1), 1L)))
+    assert(got(1) == ((12L, 2 * c(3), 2L)))
+    assert(got(2) == ((10L, c(1), 3L)))
+    assert(got.size == 3) // topK=3 cuts doc 13's single c(2)
+  }
+
   test("qualitySignals: one-scan attributes equal the individual operators") {
     val fluent = (1 to 60).map(i => s"word$i").mkString("the table row scan key ", " ", " the a end.") + "\nsecond proper sentence with many more words here today.\nthird full sentence rounds out the c4 minimum nicely."
     val degenerate = "zz " * 6 // 4 identical 3-shingles → repetition > 0
