@@ -904,6 +904,59 @@ object TextProbes {
        |SELECT qid, doc_id, rrf_e6, rnk FROM fr WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
 
+  // ---- q129 WordPiece train + greedy longest-match encode -----------------
+  // The second tokenizer family beside BPE (Subword scaladoc): top-200
+  // substring vocabulary by (weighted freq, piece), then the BERT-style
+  // greedy longest-match fold with char fallback. The oracle replays the
+  // training CTEs and the EXACT segmentation as a recursive CTE with a
+  // longest-piece LATERAL probe — same 32-step cap, so parity is
+  // structural for arbitrarily long words.
+  val q129: Q = (s, d) => {
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+      .select("doc_id", "text")
+    val vocab = graft.operators.Subword.trainWordPiece(
+      graft.operators.Bpe.wordFreqs(docs, "text"), vocabSize = 200)
+    val model = graft.operators.Subword.collectWpModel(vocab)
+    graft.operators.Subword.wordPieceEncode(docs, "doc_id", "text", model)
+      .orderBy("doc_id")
+  }
+
+  val q129Sql: String =
+    s"""WITH RECURSIVE n AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |wf AS (SELECT wrd AS w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(w) AS wrd FROM n) GROUP BY 1),
+       |sub AS (SELECT substr(w, p, l) AS piece, freq
+       |  FROM wf, unnest(generate_series(2, 8)) t(l),
+       |       unnest(generate_series(1, length(w) - l + 1)) s(p)
+       |  WHERE length(w) >= l),
+       |sc AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS wfreq
+       |  FROM sub GROUP BY 1),
+       |voc AS (SELECT piece FROM sc ORDER BY wfreq DESC, piece ASC
+       |  LIMIT 200),
+       |dw AS (SELECT doc_id, i AS widx, w[i] AS wrd
+       |  FROM n, unnest(generate_series(1, len(w))) t(i)),
+       |seg AS (
+       |  SELECT doc_id, widx, wrd, 1 AS pos, 0 AS np,
+       |    CAST(NULL AS VARCHAR) AS piece
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT s.doc_id, s.widx, s.wrd, s.pos + coalesce(m.l, 1),
+       |    s.np + 1, coalesce(m.p, substr(s.wrd, s.pos, 1))
+       |  FROM seg s LEFT JOIN LATERAL (
+       |    SELECT piece AS p, length(piece) AS l FROM voc
+       |    WHERE piece = substr(s.wrd, s.pos, length(piece))
+       |    ORDER BY length(piece) DESC LIMIT 1) m ON true
+       |  WHERE s.pos <= length(s.wrd) AND s.np < 32),
+       |pieces AS (SELECT doc_id, widx, np, piece FROM seg
+       |  WHERE piece IS NOT NULL),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
+       |    string_agg(piece, '|' ORDER BY widx, np) AS enc
+       |  FROM pieces GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_pieces, 0) AS n_pieces,
+       |  coalesce(a.enc, '') AS enc
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- q110 trigram stupid-backoff LM ------------------------------------
   // Model trained on the lang='en' slice, scored over the WHOLE corpus —
   // cross-model on purpose: non-en docs hit the unseen-trigram and
@@ -1320,7 +1373,8 @@ object TextProbes {
     "q119_ppl_buckets" -> q119,
     "q123_quality_signals" -> q123,
     "q127_bm25_indexed" -> q127,
-    "q128_rrf_hybrid" -> q128)
+    "q128_rrf_hybrid" -> q128,
+    "q129_wordpiece" -> q129)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q32_lang_id" -> q32Sql,
@@ -1352,5 +1406,6 @@ object TextProbes {
     "q119_ppl_buckets" -> q119Sql,
     "q123_quality_signals" -> q123Sql,
     "q127_bm25_indexed" -> q127Sql,
-    "q128_rrf_hybrid" -> q128Sql)
+    "q128_rrf_hybrid" -> q128Sql,
+    "q129_wordpiece" -> q129Sql)
 }

@@ -624,6 +624,24 @@ object Scale {
             Seq.empty)
         }
       }
+      // corpus materialized OUTSIDE timing: train + encode both scan it,
+      // and the synthetic md5 word-mangling of scaledDocs would otherwise
+      // dominate the row 2:1 at 10x (the hilbert3d lesson)
+      locally {
+        val dm = d.localCheckpoint(true)
+        run("wordpiece_encode", n) {
+          val vocab = graft.operators.Subword.trainWordPiece(
+            graft.operators.Bpe.wordFreqs(dm, "text"), vocabSize = 200)
+          val model = graft.operators.Subword.collectWpModel(vocab)
+          graft.core.Managed(
+            graft.operators.Subword.wordPieceEncode(dm, "doc_id", "text",
+                model)
+              .groupBy(col("doc_id") % 32)
+              .agg(count(lit(1)).as("docs"), sum("n_pieces").as("np")),
+            Seq.empty)
+        }
+        dm.unpersist(false)
+      }
       run("cms_heavy", n) {
         // sketch build from the vocabulary agg + top-20 point estimates;
         // the 20-row result is collected directly (TakeOrderedAndProject,
