@@ -344,7 +344,10 @@ class PlanContractSpec extends SparkSpec {
       // q121's Hamming pass is the guarded q23 baseline shape (bounded
       // query set broadcast against the corpus; size guard in
       // hammingTopK) over the 16×-smaller packed-word column
-      "q121_hamming_topk")
+      "q121_hamming_topk",
+      // q128's dense side is the same guarded bruteForceTopK baseline
+      // (6-query broadcast); the BM25 side and the fusion are equi-only
+      "q128_rrf_hybrid")
     val singlePartAllowed = Set(
       "q20_decile_bucketing", // 1-row scalar max
       // global reductions over pre-bounded inputs: the ≤64-row HLL
