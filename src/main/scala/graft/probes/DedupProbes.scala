@@ -427,8 +427,7 @@ object DedupProbes {
     val fresh = docs.filter(col("doc_id") % 3 === 0)
       .select((col("doc_id") + 100000L).as("doc_id"),
         concat(col("text"), lit(" zz yy xx")).as("text"))
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_q122_idx").toString
+    val dir = scratchDir("graft_q122_idx")
     graft.operators.Dedup.writeMinhashIndex(docs, "doc_id", "text", dir)
     graft.operators.Dedup
       .nearDupAgainstIndex(s, dir, fresh, "doc_id", "text").df

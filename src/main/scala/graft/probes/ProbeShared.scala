@@ -29,4 +29,22 @@ private[probes] object ProbeShared {
         concat(col("text"), lit(" zz yy xx")).as("text"))
     base.unionByName(planted)
   }
+
+  /** Temp dir for index-building probes (q122/q127), recursively deleted
+    * at JVM exit — a Bench run re-invokes those probes 3×, and bare
+    * `createTempDirectory` would leak one parquet index per invocation
+    * into /tmp until the machine cleans it.
+    */
+  def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
 }

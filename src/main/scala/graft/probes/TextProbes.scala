@@ -815,8 +815,7 @@ object TextProbes {
   val q127: Q = (s, d) => {
     val docs = graft.core.Ops.widen(Tables.documents(s, d))
       .select("doc_id", "text")
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_q127_idx").toString
+    val dir = scratchDir("graft_q127_idx")
     graft.operators.TextStats.writeBm25Index(docs, "doc_id", "text", dir)
     val queries = docs.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("qid"),
