@@ -461,6 +461,53 @@ object Similarity {
       .select("vec_id", "other_id", "hamming", "score_e4", "rank")
   }
 
+  /** Upper-triangle covariance of an embedding corpus — the statistic
+    * PCA/whitening/OPQ-rotation training starts from (the standard prep
+    * ahead of a PQ codebook when coordinates are correlated). Long-form
+    * output (i, j, n, cov_e6), i ≤ j, d(d+1)/2 rows.
+    *
+    * Integer-exact boundary: per-row products and coordinates round to
+    * e6 BIGINTs BEFORE their sums (the q91 discipline — float sums are
+    * partition-order-dependent, integer sums exact); the final
+    * covariance double derives from those integer sums with the
+    * multiply promoted to double FIRST (`(s_i · 1.0) · s_j` — the
+    * integer product overflows BIGINT at ~10⁹-scale coordinate sums,
+    * in both engines).
+    *
+    * Scale shape: the d²/2 per-vector explode is the documented cost
+    * (64-dim → 2080 rows/vector); the aggregate partial-combines
+    * map-side so the shuffle carries one row per (i, j) per partition —
+    * d²-bounded, corpus-independent. The d-bounded coordinate-sum table
+    * broadcasts back onto it.
+    */
+  def covarianceUpper(vectors: DataFrame, dim: Int): DataFrame = {
+    require(dim >= 1)
+    val prods = vectors.select(expr(
+      s"explode(flatten(transform(sequence(1, $dim), i -> " +
+        s"transform(sequence(i, $dim), j -> named_struct(" +
+        "'i', i, 'j', j, 'p_e6', " +
+        "CAST(floor(element_at(v, i) * element_at(v, j) * 1e6 + 0.5) " +
+        "AS BIGINT)))))) AS pr"))
+      .select(col("pr.i").as("i"), col("pr.j").as("j"), col("pr.p_e6"))
+      .groupBy("i", "j")
+      .agg(sum(col("p_e6")).as("__sp"), count(lit(1)).as("n"))
+    val sums = vectors.select(expr(
+      s"posexplode(transform(sequence(1, $dim), i -> " +
+        "CAST(floor(element_at(v, i) * 1e6 + 0.5) AS BIGINT)))")
+      .as(Seq("__pos", "__x")))
+      .select((col("__pos") + 1).as("i"), col("__x"))
+      .groupBy("i").agg(sum(col("__x")).as("__s"))
+    prods
+      .join(broadcast(sums.select(col("i"), col("__s").as("__si"))), Seq("i"))
+      .join(broadcast(sums.select(col("i").as("j"), col("__s").as("__sj"))),
+        Seq("j"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("n"),
+        floor((col("__sp") -
+          col("__si") * lit(1.0) * col("__sj") / (col("n") * lit(1e6))) /
+          col("n") + lit(0.5)).cast("long").as("cov_e6"))
+  }
+
   /** √N cell-count rule: `ceil(sqrt(n))`, clamped to [1, 2^20]. A CONSTANT
     * cell count does not survive corpus growth: SCALE.md's PQ recall grids
     * (rounds 7–8) measured ~0.15 recall@10 shed at 10× with cells pinned,

@@ -500,6 +500,39 @@ object AnnProbes {
        |FROM rr WHERE rank <= 10 ORDER BY vec_id, rank""".stripMargin
   }
 
+  // ---- q130 embedding covariance (PCA/OPQ prep) --------------------------
+  // Similarity.covarianceUpper: upper-triangle covariance from e6-rounded
+  // integer sums (products AND coordinates rounded before summing; the
+  // final double derives from integer sums with the multiply promoted to
+  // double first — the integer product would overflow BIGINT in both
+  // engines at scale). 2080 rows for dim 64.
+  val q130: Q = (s, d) =>
+    graft.operators.Similarity.covarianceUpper(
+        Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"),
+            graft.operators.Similarity.toDoubleVec(col("embedding")).as("v")),
+        dim = 64)
+      .orderBy("i", "j")
+
+  val q130Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |pr AS (SELECT i, j,
+      |    CAST(floor(v[i] * v[j] * 1e6 + 0.5) AS BIGINT) AS p
+      |  FROM e, unnest(generate_series(1, 64)) t(i),
+      |       unnest(generate_series(1, 64)) u(j)
+      |  WHERE j >= i),
+      |sp AS (SELECT i, j, CAST(sum(p) AS BIGINT) AS sp,
+      |    CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY 1, 2),
+      |s1 AS (SELECT i,
+      |    CAST(sum(CAST(floor(v[i] * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s
+      |  FROM e, unnest(generate_series(1, 64)) t(i) GROUP BY 1)
+      |SELECT sp.i, sp.j, sp.n,
+      |  CAST(floor((sp.sp - a.s * 1.0 * b.s / (sp.n * 1000000.0)) / sp.n
+      |    + 0.5) AS BIGINT) AS cov_e6
+      |FROM sp JOIN s1 a ON a.i = sp.i JOIN s1 b ON b.i = sp.j
+      |ORDER BY sp.i, sp.j""".stripMargin
+
   // ---- family registry --------------------------------------------------
 
   private[probes] val queries: Map[String, Q] = Map(
@@ -514,7 +547,8 @@ object AnnProbes {
     "q89_ivfpq_topk" -> q89,
     "q92_ivfpq_residual" -> q92,
     "q112_cluster_sample" -> q112,
-    "q121_hamming_topk" -> q121)
+    "q121_hamming_topk" -> q121,
+    "q130_embed_cov" -> q130)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q30_cosine_neardup" -> q30Sql,
@@ -528,5 +562,6 @@ object AnnProbes {
     "q89_ivfpq_topk" -> q89Sql,
     "q92_ivfpq_residual" -> q92Sql,
     "q112_cluster_sample" -> q112Sql,
-    "q121_hamming_topk" -> q121Sql)
+    "q121_hamming_topk" -> q121Sql,
+    "q130_embed_cov" -> q130Sql)
 }

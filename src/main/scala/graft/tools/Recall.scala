@@ -66,6 +66,18 @@ object Recall {
           f"recall@$k=${hit.toDouble / truthN}%6.4f")
       }
       centAuto.unpersist()
+      // ---- binary sign-bit Hamming shortlist (round 9) ------------------
+      // hammingTopK's recall claim measured, not assumed: shortlist is the
+      // dial (sign-bit Hamming is 1-plane-per-coordinate RP-LSH, so a
+      // few-times-k shortlist should recover near-exact top-k)
+      for (shortlist <- Seq(k, 2 * k, 4 * k, 8 * k)) {
+        val got = Similarity.hammingTopK(v, queries, dim = 64, k = k,
+            shortlist = shortlist)
+          .select("vec_id", "other_id")
+        val hit = got.join(truth, Seq("vec_id", "other_id")).count()
+        println(f"RECALL hamming     x$n%-3d short=$shortlist%-3d " +
+          f"recall@$k=${hit.toDouble / truthN}%6.4f")
+      }
       // ---- PQ family recall (round 6) ----------------------------------
       // ADC ranks by squared L2, so its ground truth is the exact-L2
       // top-k (cosine truth would conflate metric mismatch with

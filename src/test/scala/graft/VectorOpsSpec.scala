@@ -190,6 +190,38 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("covarianceUpper matches the direct population-covariance formula") {
+    val vs = Seq(
+      (1L, Seq(1.0, 0.0, 2.0)),
+      (2L, Seq(0.0, 2.0, -1.0)),
+      (3L, Seq(-1.0, 4.0, 0.5))).toDF("id", "v")
+    val got = Similarity.covarianceUpper(vs, dim = 3)
+      .select("i", "j", "n", "cov_e6")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1.toInt, r._2.toInt) -> ((r._3, r._4))).toMap
+    assert(got.size == 6) // d(d+1)/2 upper-triangle entries
+    val data = Seq(Seq(1.0, 0.0, 2.0), Seq(0.0, 2.0, -1.0),
+      Seq(-1.0, 4.0, 0.5))
+    val n = data.size
+    for (((i, j), (gn, gcov)) <- got) {
+      assert(gn == n.toLong)
+      // replicate the operator's exact arithmetic: e6-rounded integer
+      // sums, double-promoted cross term, final e6 floor
+      val sp = data.map(v =>
+        math.floor(v(i - 1) * v(j - 1) * 1e6 + 0.5).toLong).sum
+      val si = data.map(v => math.floor(v(i - 1) * 1e6 + 0.5).toLong).sum
+      val sj = data.map(v => math.floor(v(j - 1) * 1e6 + 0.5).toLong).sum
+      val want = math.floor(
+        (sp - si * 1.0 * sj / (n * 1e6)) / n + 0.5).toLong
+      assert(gcov == want, s"($i,$j): $gcov vs $want")
+      // and the e6 value sits within 1 ulp-of-e6 of the true covariance
+      val mi = data.map(_(i - 1)).sum / n
+      val mj = data.map(_(j - 1)).sum / n
+      val trueCov = data.map(v => (v(i - 1) - mi) * (v(j - 1) - mj)).sum / n
+      assert(math.abs(gcov - trueCov * 1e6) <= 2.0, s"($i,$j)")
+    }
+  }
+
   test("Inventory.typed gives a Dataset[BackupFile]") {
     val inv = graft.sources.Inventory.fromListing(spark,
       Seq(("OCG_KE1_NBO-Mon.zip", "u1", "2024-01-10T08:00:00Z")),
