@@ -508,6 +508,51 @@ object Similarity {
           col("n") + lit(0.5)).cast("long").as("cov_e6"))
   }
 
+  /** Top principal component by POWER ITERATION over a
+    * [[covarianceUpper]] table — the first step of the PCA/whitening/
+    * OPQ-rotation chain (dominant eigenvector of the covariance). Fixed
+    * deterministic start (all-ones), `steps` unrolled iterations in the
+    * q98/q117 discipline: every iterate re-enters integer land before
+    * the next matrix product (the unnormalized product `w = C·v` is an
+    * EXACT integer sum of e6×e6 products; it down-scales to e6 via
+    * floor(w/1e6 + 0.5) so its square-sum stays in BIGINT range — the
+    * norm's sqrt is then computed on an exact integer in both engines,
+    * making the whole trajectory oracle-mirrorable). The per-step norm
+    * is a bounded d-row driver read (the DoReMi per-step collect
+    * pattern). Output: (i, v_e6) — the e6 unit eigenvector estimate.
+    */
+  def powerIterationTop(cov: DataFrame, dim: Int,
+                        steps: Int = 3): DataFrame = {
+    require(dim >= 1 && steps >= 1)
+    val spark = cov.sparkSession
+    val sym = cov.select(col("i"), col("j"), col("cov_e6"))
+      .unionByName(cov.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov_e6")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var v = spark.range(1, dim + 1)
+      .select(col("id").as("j"), lit(1000000L).as("v_e6"))
+    for (_ <- 1 to steps) {
+      // eager d-row checkpoint: the norm action below and the next
+      // step's join both consume u — without truncation the final
+      // vector's lineage would chain every step's join for re-execution
+      val u = sym.join(v, Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(col("cov_e6") * col("v_e6")).as("__w"))
+        .select(col("i"),
+          floor(col("__w") / lit(1e6) + lit(0.5)).cast("long").as("__u"))
+        .localCheckpoint(true)
+      val s2 = u.agg(sum(col("__u") * col("__u")).as("s2")).head().getLong(0)
+      val nrm = math.sqrt(s2.toDouble)
+      v = u.select(col("i").as("j"),
+        (if (nrm > 0)
+          floor(col("__u") / lit(nrm) * lit(1e6) + lit(0.5)).cast("long")
+        else col("__u")).as("v_e6"))
+    }
+    val out = v.select(col("j").as("i"), col("v_e6")).orderBy("i")
+    sym.unpersist(false)
+    out
+  }
+
   /** √N cell-count rule: `ceil(sqrt(n))`, clamped to [1, 2^20]. A CONSTANT
     * cell count does not survive corpus growth: SCALE.md's PQ recall grids
     * (rounds 7–8) measured ~0.15 recall@10 shed at 10× with cells pinned,

@@ -533,6 +533,56 @@ object AnnProbes {
       |FROM sp JOIN s1 a ON a.i = sp.i JOIN s1 b ON b.i = sp.j
       |ORDER BY sp.i, sp.j""".stripMargin
 
+  // ---- q131 power-iteration top principal component ----------------------
+  // Similarity.powerIterationTop over the q130 covariance: 3 unrolled
+  // steps, each re-entering integer land (exact C·v integer sums →
+  // e6 down-scale → integer square-sum → sqrt of an exact integer →
+  // e6 unit vector) — the q98/q117 unrolled-trajectory discipline, so
+  // the oracle replays every step and the compare is hash-exact.
+  val q131: Q = (s, d) => {
+    val cov = graft.operators.Similarity.covarianceUpper(
+      Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"),
+          graft.operators.Similarity.toDoubleVec(col("embedding")).as("v")),
+      dim = 64)
+    graft.operators.Similarity.powerIterationTop(cov, dim = 64, steps = 3)
+  }
+
+  val q131Sql: String = {
+    val stepCtes = (1 to 3).map { t =>
+      val prev = if (t == 1) "v0" else s"v${t - 1}"
+      s"""w$t AS (SELECT s.i, CAST(sum(s.cov_e6 * v.v_e6) AS BIGINT) AS w
+         |  FROM sym s JOIN $prev v ON v.j = s.j GROUP BY 1),
+         |u$t AS (SELECT i, CAST(floor(w / 1000000.0 + 0.5) AS BIGINT) AS u
+         |  FROM w$t),
+         |n$t AS (SELECT sqrt(CAST(sum(u * u) AS DOUBLE)) AS nrm FROM u$t),
+         |v$t AS (SELECT i AS j, CAST(floor(u / (SELECT nrm FROM n$t)
+         |    * 1000000 + 0.5) AS BIGINT) AS v_e6 FROM u$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |pr AS (SELECT i, j,
+       |    CAST(floor(v[i] * v[j] * 1e6 + 0.5) AS BIGINT) AS p
+       |  FROM e, unnest(generate_series(1, 64)) t(i),
+       |       unnest(generate_series(1, 64)) u(j)
+       |  WHERE j >= i),
+       |sp AS (SELECT i, j, CAST(sum(p) AS BIGINT) AS sp,
+       |    CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY 1, 2),
+       |s1 AS (SELECT i,
+       |    CAST(sum(CAST(floor(v[i] * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s
+       |  FROM e, unnest(generate_series(1, 64)) t(i) GROUP BY 1),
+       |cov AS (SELECT sp.i, sp.j,
+       |    CAST(floor((sp.sp - a.s * 1.0 * b.s / (sp.n * 1000000.0)) / sp.n
+       |      + 0.5) AS BIGINT) AS cov_e6
+       |  FROM sp JOIN s1 a ON a.i = sp.i JOIN s1 b ON b.i = sp.j),
+       |sym AS (SELECT i, j, cov_e6 FROM cov
+       |  UNION ALL SELECT j, i, cov_e6 FROM cov WHERE i <> j),
+       |v0 AS (SELECT unnest(generate_series(1, 64)) AS j,
+       |    CAST(1000000 AS BIGINT) AS v_e6),
+       |$stepCtes
+       |SELECT j AS i, v_e6 FROM v3 ORDER BY i""".stripMargin
+  }
+
   // ---- family registry --------------------------------------------------
 
   private[probes] val queries: Map[String, Q] = Map(
@@ -548,7 +598,8 @@ object AnnProbes {
     "q92_ivfpq_residual" -> q92,
     "q112_cluster_sample" -> q112,
     "q121_hamming_topk" -> q121,
-    "q130_embed_cov" -> q130)
+    "q130_embed_cov" -> q130,
+    "q131_power_iter" -> q131)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q30_cosine_neardup" -> q30Sql,
@@ -563,5 +614,6 @@ object AnnProbes {
     "q92_ivfpq_residual" -> q92Sql,
     "q112_cluster_sample" -> q112Sql,
     "q121_hamming_topk" -> q121Sql,
-    "q130_embed_cov" -> q130Sql)
+    "q130_embed_cov" -> q130Sql,
+    "q131_power_iter" -> q131Sql)
 }

@@ -222,6 +222,25 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("powerIterationTop recovers a planted dominant direction") {
+    // vectors spread along (3, 4, 0)/5 with small orthogonal noise: the
+    // covariance's top eigenvector is the planted axis
+    val rnd = new scala.util.Random(3)
+    val axis = Seq(0.6, 0.8, 0.0)
+    val vs = (0 until 200).map { i =>
+      val t = rnd.nextGaussian() * 5
+      (i.toLong, axis.map(_ * t).zip(
+        Seq.fill(3)(rnd.nextGaussian() * 0.05)).map { case (a, e) => a + e })
+    }.toDF("id", "v")
+    val cov = Similarity.covarianceUpper(vs, dim = 3)
+    val v = Similarity.powerIterationTop(cov, dim = 3, steps = 5)
+      .select("v_e6").as[Long].collect().map(_ / 1e6)
+    val dot = math.abs(v(0) * 0.6 + v(1) * 0.8)
+    assert(dot > 0.999, s"direction ${v.toSeq} vs planted $axis")
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 0.01,
+      "unit norm")
+  }
+
   test("Inventory.typed gives a Dataset[BackupFile]") {
     val inv = graft.sources.Inventory.fromListing(spark,
       Seq(("OCG_KE1_NBO-Mon.zip", "u1", "2024-01-10T08:00:00Z")),
