@@ -561,6 +561,21 @@ object Scale {
             .agg(count(lit(1)).as("rows"), sum("__h").as("sh")),
           Seq.empty)
       }
+      run("embed_cov", n) {
+        graft.core.Managed(
+          Similarity.covarianceUpper(v, dim = 64)
+            .groupBy(col("i") % 8)
+            .agg(count(lit(1)).as("cells"), sum("cov_e6").as("sc")),
+          Seq.empty)
+      }
+      run("power_iter", n) {
+        // covariance + 3 power steps INSIDE the timing (the iterative-
+        // operator convention: the loop is the thing to measure)
+        graft.core.Managed(
+          Similarity.powerIterationTop(
+            Similarity.covarianceUpper(v, dim = 64), dim = 64, steps = 3),
+          Seq.empty)
+      }
       run("hamming_topk", n) {
         // 2% of the corpus as queries (the ivf_topk row's set), shortlist
         // 4x k, exact rerank — the packed-word first pass is the measure
