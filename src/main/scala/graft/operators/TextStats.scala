@@ -1017,8 +1017,10 @@ object TextStats {
     tf.write.mode(mode).parquet(s"$dir/postings")
     tf.groupBy("term").agg(count(lit(1)).as("df_part"))
       .write.mode(mode).parquet(s"$dir/terms")
+    // coalesce: an empty batch writes (0, 0), not (0, NULL) — serving
+    // sums the partials and a NULL would poison the whole meta read
     words.agg(count(lit(1)).as("n_part"),
-        sum(size(col("__w"))).as("dlsum_part"))
+        coalesce(sum(size(col("__w"))), lit(0L)).as("dlsum_part"))
       .write.mode(mode).parquet(s"$dir/meta")
     tf.unpersist(false); words.unpersist(false)
   }
@@ -1040,6 +1042,7 @@ object TextStats {
     val meta = spark.read.parquet(s"$dir/meta")
       .agg(sum("n_part").as("n"), sum("dlsum_part").as("dlsum")).head()
     val n = meta.getLong(0)
+    require(n > 0, s"bm25AgainstIndex: index at $dir holds no documents")
     val avgdl = meta.getLong(1).toDouble / n
     val qterms = queries
       .select(col(qidCol).as("qid"), col(qtermCol).as("term")).distinct()
