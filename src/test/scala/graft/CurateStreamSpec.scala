@@ -112,6 +112,51 @@ class CurateStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gate with EVERY stateless stage on: c4 + classifier + ppl compose " +
+      "in batch-funnel order (the stream composition canary)") {
+    import graft.operators.TextStats
+    def posText(i: Int) = Seq("a", "b", "c")
+      .map(s => goodText(s"p$i$s") + " aurora borealis signal beacon.")
+      .mkString("\n")
+    def negText(i: Int) = Seq("a", "b", "c")
+      .map(s => goodText(s"n$i$s") + " static noise junk clutter.")
+      .mkString("\n")
+    val exemplars = ((10 to 14).map(i => (i.toLong, posText(i), 1)) ++
+      (20 to 24).map(i => (i.toLong, negText(i), 0)))
+      .toDF("doc_id", "text", "y")
+    val model = graft.operators.Classifier.train(
+      exemplars, "doc_id", "text", "y", dim = 32, iters = 10,
+      lrE6 = 2000000L)
+    // permissive KN cut trained on the positive exemplars: everything
+    // that reaches the ppl stage passes (the canary audits ORDER, the
+    // dedicated ppl test audits the cut itself)
+    val grams = TextStats.bigramCounts(
+      exemplars.select("doc_id", "text"), "text")
+    val kn = TextStats.collectKnModel(grams, vocabSize = 1000L)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = CurateStream.gate(input.toDF().toDF("id", "text"), "id", "text",
+        CurateStream.GateConfig(c4Clean = true, classifier = Some(model),
+          ppl = Some(CurateStream.PplGate(kn,
+            Map("alpha" -> Long.MaxValue)))))
+      .writeStream.format("memory").queryName("curate_gate_all")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        1L -> posText(1),                                 // admitted
+        2L -> negText(2),                                 // classifier
+        3L -> (posText(3) + "\nlorem ipsum dolor sit amet today."), // c4
+        4L -> posText(1))                                 // exact dup of 1
+      q.processAllAvailable()
+      val got = spark.table("curate_gate_all")
+        .as[CurateStream.GateVerdict].collect()
+        .map(v => v.id -> ((v.admitted, v.reason))).toMap
+      assert(got(1L) === ((true, "admitted")))
+      assert(got(2L) === ((false, "classifier"))) // classifier BEFORE ppl
+      assert(got(3L) === ((false, "c4")))
+      assert(got(4L) === ((false, "exact_dup")))
+    } finally q.stop()
+  }
+
   test("gate with ppl: batch-learned cuts reject high-perplexity docs; " +
       "unjudged languages pass") {
     import graft.operators.TextStats
