@@ -173,6 +173,10 @@ object Scale {
               c4Clean = true,
               gopherRules = Some(graft.operators.TextStats.GopherConfig()),
               maxSelfXentE4 = Some(200000L),
+              // all three buckets kept: the stage pays its full KN-score
+              // + tercile cost (the thing this sweep measures) without
+              // changing the funnel rows other stages are compared on
+              pplBucketsKeep = Some(Set("head", "middle", "tail")),
               dedupLinesWithinDocs = true,
               dedupWindowsW = Some(8),
               dsirKeepFracE4 = 8000L,
