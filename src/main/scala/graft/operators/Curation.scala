@@ -192,11 +192,22 @@ object Curation {
     * interpolated doubles both engines derive with the same weighted-sum
     * arithmetic, and scores are fixed-point BIGINTs, so the ≤ compares
     * cannot drift.
+    *
+    * `unscoredWhen`: rows matching the predicate carry a DEFAULTED score,
+    * not a measured one (the KN operators coalesce docs with < 2 words to
+    * score 0 — maximally "fluent"). Left in, a mass of such rows both
+    * mislabels itself `head` and drags every group's tercile cuts toward
+    * 0, pushing genuinely scored docs into worse buckets. With the
+    * predicate set, matching rows are EXCLUDED from threshold derivation
+    * and labeled `unscored` — the caller decides their fate (keep them by
+    * listing "unscored" in the keep set, or drop them with tail).
     */
   def perplexityBuckets(scored: DataFrame, groupCol: String,
                         scoreCol: String,
-                        bucketCol: String = "bucket"): DataFrame =
-    perplexityBucketsManaged(scored, groupCol, scoreCol, bucketCol).df
+                        bucketCol: String = "bucket",
+                        unscoredWhen: Option[Column] = None): DataFrame =
+    perplexityBucketsManaged(scored, groupCol, scoreCol, bucketCol,
+      unscoredWhen).df
 
   /** [[perplexityBuckets]] with the scored frame persisted: it is consumed
     * TWICE by construction (threshold derivation + the label join), and
@@ -222,16 +233,28 @@ object Curation {
 
   def perplexityBucketsManaged(scored: DataFrame, groupCol: String,
                                scoreCol: String,
-                               bucketCol: String = "bucket")
+                               bucketCol: String = "bucket",
+                               unscoredWhen: Option[Column] = None)
       : graft.core.Managed = {
     val sc = scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cut = bucketThresholds(sc, groupCol, scoreCol)
-    val out = sc.join(broadcast(cut), Seq(groupCol))
-      .withColumn(bucketCol,
-        when(col(scoreCol) <= col("__t1"), lit("head"))
-          .when(col(scoreCol) <= col("__t2"), lit("middle"))
-          .otherwise(lit("tail")))
-      .drop("__t1", "__t2")
+    val tercile =
+      when(col(scoreCol) <= col("__t1"), lit("head"))
+        .when(col(scoreCol) <= col("__t2"), lit("middle"))
+        .otherwise(lit("tail"))
+    val out = unscoredWhen match {
+      case None =>
+        sc.join(broadcast(bucketThresholds(sc, groupCol, scoreCol)),
+            Seq(groupCol))
+          .withColumn(bucketCol, tercile)
+          .drop("__t1", "__t2")
+      case Some(u) =>
+        // thresholds from SCORED rows only; left join so an all-unscored
+        // group (no cut row) still labels — its rows all match `u`
+        val cut = bucketThresholds(sc.filter(!u), groupCol, scoreCol)
+        sc.join(broadcast(cut), Seq(groupCol), "left_outer")
+          .withColumn(bucketCol, when(u, lit("unscored")).otherwise(tercile))
+          .drop("__t1", "__t2")
+    }
     graft.core.Managed(out, Seq(sc))
   }
 

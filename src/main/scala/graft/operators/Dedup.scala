@@ -177,48 +177,77 @@ object Dedup {
     * `dir/meta` (bands, rows_per_band — banding is baked into the keys,
     * so queries must match; checked on read). Ids are stored under the
     * canonical name `id` whatever the input column was.
+    *
+    * Crash/retry safety (the BM25-index contract, see
+    * [[graft.operators.TextStats.writeBm25Index]]): every table is
+    * partitioned by `batch_id`, writes land shingles → bands → meta with
+    * the batch's meta row as COMMIT MARKER, and a retried append reuses
+    * its batch id under dynamic partition overwrite so partial writes are
+    * replaced, never doubled. Readers see only committed batches.
     */
   def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String,
                         dir: String, bands: Int = 4,
-                        rowsPerBand: Int = 3): Unit = {
-    val shRaw = shingleSets(df, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val sh = shRaw.filter(size(col("sh")) > 0)
-    sh.select(col(idCol).as("id"), array_distinct(col("sh")).as("shd"))
-      .write.mode("overwrite").parquet(s"$dir/shingles")
-    lshBands(sh, idCol, bands, rowsPerBand)
-      .select(col(idCol).as("id"), col("band"), col("bh"))
-      .write.mode("overwrite").parquet(s"$dir/bands")
-    df.sparkSession.range(1)
-      .select(lit(bands).as("bands"), lit(rowsPerBand).as("rows_per_band"))
-      .write.mode("overwrite").parquet(s"$dir/meta")
-    shRaw.unpersist(false)
-  }
+                        rowsPerBand: Int = 3): Unit =
+    writeMinhashParts(df, idCol, textCol, dir, bands, rowsPerBand,
+      overwrite = true, batchId = "base")
 
   /** Fold a new batch's signature tables into an existing index (append —
     * no old data is read or rewritten). Caller contract: batch ids are
-    * disjoint from indexed ids (the crawl-snapshot invariant).
+    * disjoint from indexed ids (the crawl-snapshot invariant); retries of
+    * a FAILED append reuse `batchId` (idempotent replace), distinct
+    * batches use distinct ids.
     */
   def appendToMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                            dir: String, df: DataFrame, idCol: String,
-                           textCol: String): Unit = {
+                           textCol: String, batchId: String): Unit = {
     val (bands, rowsPerBand) = readMinhashMeta(spark, dir)
+    writeMinhashParts(df, idCol, textCol, dir, bands, rowsPerBand,
+      overwrite = false, batchId = batchId)
+  }
+
+  private def writeMinhashParts(df: DataFrame, idCol: String,
+                                textCol: String, dir: String, bands: Int,
+                                rowsPerBand: Int, overwrite: Boolean,
+                                batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId != "__HIVE_DEFAULT_PARTITION__",
+      s"minhash index: invalid batch id '$batchId'")
+    def writer(d: DataFrame) = {
+      val w = d.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id")
+      if (overwrite) w else w.option("partitionOverwriteMode", "dynamic")
+    }
     val shRaw = shingleSets(df, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sh = shRaw.filter(size(col("sh")) > 0)
-    sh.select(col(idCol).as("id"), array_distinct(col("sh")).as("shd"))
-      .write.mode("append").parquet(s"$dir/shingles")
-    lshBands(sh, idCol, bands, rowsPerBand)
-      .select(col(idCol).as("id"), col("band"), col("bh"))
-      .write.mode("append").parquet(s"$dir/bands")
+    writer(sh.select(col(idCol).as("id"), array_distinct(col("sh")).as("shd")))
+      .parquet(s"$dir/shingles")
+    writer(lshBands(sh, idCol, bands, rowsPerBand)
+        .select(col(idCol).as("id"), col("band"), col("bh")))
+      .parquet(s"$dir/bands")
+    // the commit marker — also re-states the banding so EVERY committed
+    // batch pins the same (bands, rows_per_band); checked on read
+    writer(df.sparkSession.range(1)
+        .select(lit(bands).as("bands"), lit(rowsPerBand).as("rows_per_band")))
+      .parquet(s"$dir/meta")
     shRaw.unpersist(false)
   }
 
   private def readMinhashMeta(spark: org.apache.spark.sql.SparkSession,
                               dir: String): (Int, Int) = {
-    val m = spark.read.parquet(s"$dir/meta").head()
-    (m.getAs[Int]("bands"), m.getAs[Int]("rows_per_band"))
+    val rows = spark.read.parquet(s"$dir/meta")
+      .select("bands", "rows_per_band").distinct().collect()
+    require(rows.length == 1,
+      s"minhash index at $dir: inconsistent banding across batches " +
+        s"(${rows.length} distinct (bands, rows_per_band) rows)")
+    (rows(0).getAs[Int]("bands"), rows(0).getAs[Int]("rows_per_band"))
   }
+
+  /** Committed batch ids of a minhash index (meta partitions — the
+    * commit markers); bounded by batch count.
+    */
+  private def minhashCommitted(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): DataFrame =
+    spark.read.parquet(s"$dir/meta").select("batch_id").distinct()
 
   /** Near-dup pairs of NEW docs against an indexed old snapshot:
     * (id_new, id_old, jacc_e4). The new batch shingles and bands ONCE
@@ -237,9 +266,11 @@ object Dedup {
     val shRaw = shingleSets(newDocs, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sh = shRaw.filter(size(col("sh")) > 0)
+    val committed = minhashCommitted(spark, dir)
     val nb = lshBands(sh, idCol, bands, rowsPerBand)
       .select(col(idCol).as("id_new"), col("band"), col("bh"))
     val ob = spark.read.parquet(s"$dir/bands")
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
       .select(col("id").as("id_old"), col("band"), col("bh"))
     val cand = nb.join(ob, Seq("band", "bh"))
       .filter(col("id_new") =!= col("id_old"))
@@ -247,6 +278,7 @@ object Dedup {
     val newSets = sh.select(col(idCol).as("id_new"),
       array_distinct(col("sh")).as("sa"))
     val oldSets = spark.read.parquet(s"$dir/shingles")
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
       .select(col("id").as("id_old"), col("shd").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb")))
     val jacc = graft.core.Ops.fixedPoint(inter * lit(1.0) /

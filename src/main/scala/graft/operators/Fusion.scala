@@ -22,14 +22,23 @@ object Fusion {
     * hash aggregate on (qid, id) + a per-query bounded window
     * (WindowGroupLimit) — rankings are already top-k-bounded, so every
     * frame here is query-count-sized, not corpus-sized.
+    *
+    * One retriever, one vote: duplicate (qid, id) rows WITHIN a ranking
+    * (an upstream join fan-out) collapse to their best rank before the
+    * union, so no system can stuff the ballot — cross-system duplicates
+    * are of course the signal RRF sums.
     */
   def rrfFuse(rankings: Seq[DataFrame], qidCol: String, idCol: String,
               rankCol: String, k0: Int = 60, topK: Int = 10): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse: at least one ranking")
     require(k0 >= 0 && topK >= 1)
     val tagged = rankings.map(_.select(col(qidCol), col(idCol),
-      floor(lit(1e6) / (lit(k0.toDouble) + col(rankCol)) + lit(0.5))
-        .cast("long").as("__c_e6")))
+        floor(lit(1e6) / (lit(k0.toDouble) + col(rankCol)) + lit(0.5))
+          .cast("long").as("__c_e6"))
+      // best (= max-contribution) rank wins; deterministic, unlike
+      // dropDuplicates' arbitrary survivor
+      .groupBy(col(qidCol), col(idCol))
+      .agg(max(col("__c_e6")).as("__c_e6")))
     tagged.reduce(_ unionByName _)
       .groupBy(col(qidCol), col(idCol))
       .agg(sum(col("__c_e6")).as("rrf_e6"))

@@ -986,24 +986,46 @@ object TextStats {
     * partials and serving re-aggregates (vocabulary-bounded /
     * driver-bounded sums), so incremental ingest needs no
     * read-modify-write of global statistics.
+    *
+    * Crash/retry safety: every table is PARTITIONED BY `batch_id`, and a
+    * batch's three writes land postings → terms → meta, with meta the
+    * COMMIT MARKER (serving reads only batch_ids present in meta). A
+    * failure between writes leaves an uncommitted — invisible — batch,
+    * and a retried append re-runs with the SAME batch id under dynamic
+    * partition overwrite, REPLACING the partial partitions instead of
+    * appending beside them — so a retry can neither double-count
+    * df_part/n_part/dlsum_part nor strand half an index.
     */
   def writeBm25Index(docs: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String, dir: String): Unit = {
-    writeBm25Parts(docs, idCol, textCol, dir, overwrite = true)
+    writeBm25Parts(docs, idCol, textCol, dir, overwrite = true,
+      batchId = "base")
   }
 
   /** Fold a new document batch into an existing index (append-only; ids
     * must be disjoint from indexed ids — the snapshot invariant).
+    * `batchId` names the ingest attempt: retries of a failed append MUST
+    * reuse the id (that is what makes them idempotent), distinct batches
+    * MUST NOT (a reused id replaces the earlier batch's partitions).
     */
   def appendToBm25Index(spark: org.apache.spark.sql.SparkSession,
                         dir: String, docs: org.apache.spark.sql.DataFrame,
-                        idCol: String, textCol: String): Unit =
-    writeBm25Parts(docs, idCol, textCol, dir, overwrite = false)
+                        idCol: String, textCol: String,
+                        batchId: String): Unit =
+    writeBm25Parts(docs, idCol, textCol, dir, overwrite = false, batchId)
 
   private def writeBm25Parts(docs: org.apache.spark.sql.DataFrame,
                              idCol: String, textCol: String, dir: String,
-                             overwrite: Boolean): Unit = {
-    val mode = if (overwrite) "overwrite" else "append"
+                             overwrite: Boolean, batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId != "__HIVE_DEFAULT_PARTITION__",
+      s"bm25 index: invalid batch id '$batchId'")
+    // build clobbers the whole index (static overwrite drops every
+    // partition); append replaces ONLY this batch's partition (dynamic)
+    def writer(df: org.apache.spark.sql.DataFrame) = {
+      val w = df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id")
+      if (overwrite) w else w.option("partitionOverwriteMode", "dynamic")
+    }
     val words = graft.core.Ops.widen(docs)
       .select(col(idCol).as("id"),
         graft.operators.Dedup.normalizeWords(col(textCol)).as("__w"))
@@ -1014,14 +1036,15 @@ object TextStats {
       .groupBy(col("id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    tf.write.mode(mode).parquet(s"$dir/postings")
-    tf.groupBy("term").agg(count(lit(1)).as("df_part"))
-      .write.mode(mode).parquet(s"$dir/terms")
+    writer(tf).parquet(s"$dir/postings")
+    writer(tf.groupBy("term").agg(count(lit(1)).as("df_part")))
+      .parquet(s"$dir/terms")
     // coalesce: an empty batch writes (0, 0), not (0, NULL) — serving
-    // sums the partials and a NULL would poison the whole meta read
-    words.agg(count(lit(1)).as("n_part"),
-        coalesce(sum(size(col("__w"))), lit(0L)).as("dlsum_part"))
-      .write.mode(mode).parquet(s"$dir/meta")
+    // sums the partials and a NULL would poison the whole meta read.
+    // Meta lands LAST: its batch_id partition is the commit marker.
+    writer(words.agg(count(lit(1)).as("n_part"),
+        coalesce(sum(size(col("__w"))), lit(0L)).as("dlsum_part")))
+      .parquet(s"$dir/meta")
     tf.unpersist(false); words.unpersist(false)
   }
 
@@ -1039,7 +1062,13 @@ object TextStats {
                        qidCol: String, qtermCol: String,
                        k: Int): org.apache.spark.sql.DataFrame = {
     require(k >= 1, "k must be at least 1")
-    val meta = spark.read.parquet(s"$dir/meta")
+    // meta is the commit marker (see writeBm25Index): postings/terms rows
+    // from a batch whose meta partition never landed are dead weight from
+    // an interrupted append — excluded by a batch-count-bounded semi join
+    // (doubles as partition pruning on the batch_id layout)
+    val metaAll = spark.read.parquet(s"$dir/meta")
+    val committed = metaAll.select("batch_id").distinct()
+    val meta = metaAll
       .agg(sum("n_part").as("n"), sum("dlsum_part").as("dlsum")).head()
     val n = meta.getLong(0)
     require(n > 0, s"bm25AgainstIndex: index at $dir holds no documents")
@@ -1048,9 +1077,11 @@ object TextStats {
       .select(col(qidCol).as("qid"), col(qtermCol).as("term")).distinct()
     val qtermSet = qterms.select("term").distinct()
     val dfT = spark.read.parquet(s"$dir/terms")
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
       .join(qtermSet, Seq("term"))
       .groupBy("term").agg(sum("df_part").as("df"))
     val cand = spark.read.parquet(s"$dir/postings")
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
       .join(qtermSet, Seq("term"))
       .join(dfT, Seq("term"))
       .withColumn("idf_e6", floor(

@@ -203,8 +203,12 @@ object Curate {
           TextStats.profileScore(col("__w"), markers).cast("long"))
       val langs = lp.withColumn("__lang", TextStats.langPredict)
         .select(col(idCol), col("__lang"))
+      // docs with < 2 normalized words carry a coalesced score of 0, not
+      // a measured one — exclude them from the tercile cuts and label
+      // them `unscored` (kept only if keepBuckets lists "unscored")
       val bM = Curation.perplexityBucketsManaged(
-        knM.df.join(langs, Seq(idCol)), "__lang", "kn_e4")
+        knM.df.join(langs, Seq(idCol)), "__lang", "kn_e4",
+        unscoredWhen = Some(col("n_bigrams") === lit(0L)))
       val keep = bM.df.filter(col("bucket").isInCollection(keepBuckets))
         .select(col(idCol))
       filtered = base.join(keep, Seq(idCol)).localCheckpoint(true)

@@ -5,8 +5,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Streaming cohort-retention maintenance: the unbounded form of
   * `operators/Journeys.cohortRetention`. Per-user state is (cohort week,
-  * set of periods already credited) — weeks are small integers, so state
-  * is bounded by a user's distinct ACTIVE weeks, not their event count.
+  * bitmask of periods already credited) — a FIXED-size bitset over the
+  * credit horizon, so state is truly bounded per user (not "bounded by
+  * active weeks", which grows forever for a long-lived weekly-active
+  * user, and whose Seq `contains` was linear per event).
   * Each micro-batch emits one increment row per NEW (cohort, period)
   * credit; the consumer maintains `active_users(cohort, period)` as a
   * running sum of increments (the classic streaming-aggregation ledger
@@ -22,18 +24,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object CohortStream {
 
-  case class CohortState(cohortWk: Long, credited: Seq[Long])
+  /** `credited` is a fixed-width bitset (word i, bit b ↔ period 64·i+b)
+    * sized `maxPeriods/64` words at first use — ~130 B of state per user
+    * at the 10-year default horizon, O(1) test-and-set per event.
+    */
+  case class CohortState(cohortWk: Long, credited: Array[Long])
 
   case class CohortCredit(user: Long, cohort_wk: Long, period_wk: Long)
 
-  /** `events`: (user, week-index) — week derived upstream with the batch
-    * operator's Monday-epoch day arithmetic.
+  /** Credit horizon: periods ≥ this never emit (and never grow state).
+    * 520 weeks = 10 years of weekly retention — far past where any
+    * retention curve is read; raise it per-job if yours is.
     */
-  def credits(events: Dataset[(Long, Long)])(
+  val DefaultMaxPeriods = 520
+
+  /** `events`: (user, week-index) — week derived upstream with the batch
+    * operator's Monday-epoch day arithmetic. Events beyond
+    * `maxPeriods` after the user's cohort week are dropped (bounded
+    * state beats an unbounded tail no analysis reads).
+    */
+  def credits(events: Dataset[(Long, Long)],
+              maxPeriods: Int = DefaultMaxPeriods)(
       implicit keyEnc: org.apache.spark.sql.Encoder[Long],
       stEnc: org.apache.spark.sql.Encoder[CohortState],
       outEnc: org.apache.spark.sql.Encoder[CohortCredit])
-      : Dataset[CohortCredit] =
+      : Dataset[CohortCredit] = {
+    require(maxPeriods >= 1, "maxPeriods must be >= 1")
+    val nWords = (maxPeriods + 63) / 64
     events.groupByKey(_._1)
       .flatMapGroupsWithState[CohortState, CohortCredit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -42,17 +59,25 @@ object CohortStream {
           // event-time order within the batch (the FunnelStream rule):
           // the earliest week in the first batch becomes the cohort
           val wks = rows.map(_._2).toSeq.sorted
-          var st = state.getOption.getOrElse(
-            CohortState(wks.head, Seq.empty))
+          val st = state.getOption.getOrElse(
+            CohortState(wks.head, new Array[Long](nWords)))
+          val mask =
+            if (st.credited.length >= nWords) st.credited.clone()
+            else java.util.Arrays.copyOf(st.credited, nWords)
           val out = scala.collection.mutable.ArrayBuffer.empty[CohortCredit]
           for (w <- wks) {
             val period = w - st.cohortWk
-            if (period >= 0 && !st.credited.contains(period)) {
-              st = st.copy(credited = st.credited :+ period)
-              out += CohortCredit(user, st.cohortWk, period)
+            if (period >= 0 && period < maxPeriods.toLong) {
+              val word = (period >> 6).toInt
+              val bit = 1L << (period & 63)
+              if ((mask(word) & bit) == 0L) {
+                mask(word) |= bit
+                out += CohortCredit(user, st.cohortWk, period)
+              }
             }
           }
-          state.update(st)
+          state.update(CohortState(st.cohortWk, mask))
           out.iterator
       }
+  }
 }

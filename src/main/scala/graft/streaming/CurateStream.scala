@@ -43,9 +43,16 @@ object CurateStream {
     * whole population, so the batch run LEARNS them and the stream
     * APPLIES them statelessly — the train-offline/serve-online split.
     * Languages absent from the map pass unjudged.
+    *
+    * Docs with < 2 normalized words have NO bigrams: their score is a
+    * defaulted 0, not evidence of fluency, so they are judged by
+    * `admitUnscored` instead of the score compare — mirroring the batch
+    * stage's `unscored` bucket (default: rejected, the batch
+    * keep-head+middle default).
     */
   case class PplGate(model: graft.operators.TextStats.KnModel,
-                     maxByLang: Map[String, Long])
+                     maxByLang: Map[String, Long],
+                     admitUnscored: Boolean = false)
 
   case class GateConfig(minQualityE4: Long = 4000,
                         keepLangs: Set[String] = Set("alpha", "beta", "gamma"),
@@ -131,10 +138,14 @@ object CurateStream {
       case None => (afterClassifier.select(col("id"), col("text")), None)
       case Some(pg) =>
         val maxLit = typedLit(pg.maxByLang)
+        val nBigrams = size(graft.operators.Curation.wordNgrams(
+          Dedup.normalizeWords(col("text")), 2))
         val s = afterClassifier
           .withColumn("__kn", TextStats.knScoreExpr(col("text"), pg.model))
           .withColumn("__max", element_at(maxLit, col("__lang")))
-          .withColumn("__ok", col("__max").isNull || col("__kn") <= col("__max"))
+          .withColumn("__ok",
+            when(nBigrams === 0, lit(pg.admitUnscored))
+              .otherwise(col("__max").isNull || col("__kn") <= col("__max")))
         (s.filter(col("__ok")).select(col("id"), col("text")),
           Some(s.filter(!col("__ok")).select(col("id")).as[Long]
             .map(id => GateVerdict(id, admitted = false, reason = "ppl",

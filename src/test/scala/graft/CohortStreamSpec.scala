@@ -70,4 +70,25 @@ class CohortStreamSpec extends SparkSpec {
       assert(got == Seq(CohortStream.CohortCredit(1L, 100L, 0L)))
     } finally q.stop()
   }
+
+  test("credit horizon: repeat periods dedup via the bitmask; periods at " +
+      "or past maxPeriods never emit") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = CohortStream.credits(mem.toDS(), maxPeriods = 128)
+      .writeStream.format("memory").queryName("cohort_stream_horizon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // periods 0, 64, 127 (word-boundary coverage), then repeats, then
+      // past-horizon 128 and 500
+      mem.addData((1L, 100L), (1L, 164L), (1L, 227L))
+      q.processAllAvailable()
+      mem.addData((1L, 164L), (1L, 227L), (1L, 228L), (1L, 600L))
+      q.processAllAvailable()
+      val got = spark.table("cohort_stream_horizon")
+        .as[CohortStream.CohortCredit].collect()
+        .map(_.period_wk).sorted.toSeq
+      assert(got == Seq(0L, 64L, 127L))
+    } finally q.stop()
+  }
 }

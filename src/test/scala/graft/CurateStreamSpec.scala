@@ -197,4 +197,37 @@ class CurateStreamSpec extends SparkSpec {
       assert(got(3L) === ((true, "admitted")))
     } finally q.stop()
   }
+
+  test("gate with ppl: a zero-bigram doc is judged by admitUnscored, not " +
+      "its defaulted score of 0") {
+    import graft.operators.TextStats
+    val refText = "the table row scan key value store disk cache page"
+    val ref = (1 to 5).map(i => (i.toLong, refText)).toDF("doc_id", "text")
+    val model = TextStats.collectKnModel(
+      TextStats.bigramCounts(ref, "text"), vocabSize = 1000L)
+    // a single-word doc has zero bigrams → knScoreExpr coalesces to 0,
+    // which is <= any cut; the gate must NOT read that as fluent
+    def run(admitUnscored: Boolean, name: String): Map[Long, (Boolean, String)] = {
+      val input = MemoryStream[(Long, String)](spark)
+      val q = CurateStream.gate(input.toDF().toDF("id", "text"), "id", "text",
+          CurateStream.GateConfig(minQualityE4 = 0,
+            keepLangs = Set("alpha", "beta", "gamma", "und"),
+            ppl = Some(CurateStream.PplGate(model, Map("und" -> 1L),
+              admitUnscored = admitUnscored))))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(7L -> "table")
+        q.processAllAvailable()
+        spark.table(name).as[CurateStream.GateVerdict].collect()
+          .map(v => v.id -> ((v.admitted, v.reason))).toMap
+      } finally q.stop()
+    }
+    // lang of a 1-word doc may be anything; cut map judges "und" at 1
+    // but the zero-bigram branch fires FIRST either way
+    val strict = run(admitUnscored = false, "curate_gate_ppl_unscored0")
+    assert(strict(7L) === ((false, "ppl")))
+    val lax = run(admitUnscored = true, "curate_gate_ppl_unscored1")
+    assert(lax(7L) === ((true, "admitted")))
+  }
 }

@@ -43,7 +43,15 @@ class ExtOperatorsSpec extends SparkSpec {
 
     // append the first batch, then a second batch near-dup of doc 10:
     // the index now answers for BOTH snapshots without any rebuild
-    Dedup.appendToMinhashIndex(spark, dir, fresh, "doc_id", "text")
+    Dedup.appendToMinhashIndex(spark, dir, fresh, "doc_id", "text", "b1")
+    // a RETRY of the same batch id replaces, not doubles: band rows for
+    // doc 10 must stay unique per (band, bh)
+    Dedup.appendToMinhashIndex(spark, dir, fresh, "doc_id", "text", "b1")
+    val bandRows = spark.read.parquet(s"$dir/bands")
+      .filter(col("id") === 10L).count()
+    val bandRowsDistinct = spark.read.parquet(s"$dir/bands")
+      .filter(col("id") === 10L).dropDuplicates("band", "bh").count()
+    assert(bandRows == bandRowsDistinct, "retried append doubled band rows")
     val second = Seq((20L, docB + " extra")).toDF("doc_id", "text")
     val got2M = Dedup.nearDupAgainstIndex(spark, dir, second, "doc_id", "text")
     val got2 = got2M.df.select("id_new", "id_old")
@@ -190,7 +198,10 @@ class ExtOperatorsSpec extends SparkSpec {
     // append a batch: serving over (A appended B) == per-call over A ∪ B
     val batch = Seq((10L, "another spark document about catalyst internals"))
       .toDF("doc_id", "text")
-    TextStats.appendToBm25Index(spark, dir, batch, "doc_id", "text")
+    TextStats.appendToBm25Index(spark, dir, batch, "doc_id", "text", "b1")
+    // a RETRIED append (same batch id) is a no-op on the statistics: n,
+    // dlsum, df partials must not double, so scores stay identical
+    TextStats.appendToBm25Index(spark, dir, batch, "doc_id", "text", "b1")
     val afterAppend = TextStats.bm25AgainstIndex(spark, dir, queries,
         "qid", "term", k = 3)
       .select("qid", "id", "score_e6", "rnk")
@@ -200,6 +211,25 @@ class ExtOperatorsSpec extends SparkSpec {
       .select("qid", "doc_id", "score_e6", "rnk")
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(afterAppend == rebuilt)
+
+    // an UNCOMMITTED batch (postings landed, meta never did — a crash
+    // between writes) is invisible to serving
+    val ghost = Seq((99L, "spark spark spark catalyst"))
+      .toDF("doc_id", "text")
+    val words = ghost.select(col("doc_id").as("id"),
+      graft.operators.Dedup.normalizeWords(col("text")).as("__w"))
+    words.select(col("id"), size(col("__w")).as("dl"),
+        explode(col("__w")).as("term"))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("batch_id", lit("ghost"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/postings")
+    val afterGhost = TextStats.bm25AgainstIndex(spark, dir, queries,
+        "qid", "term", k = 3)
+      .select("qid", "id", "score_e6", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(afterGhost == rebuilt, "uncommitted batch leaked into serving")
   }
 
   test("rrfFuse: agreement beats single-system rank 1; ties by id; topK") {
@@ -220,6 +250,21 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(got(1) == ((12L, 2 * c(3), 2L)))
     assert(got(2) == ((10L, c(1), 3L)))
     assert(got.size == 3) // topK=3 cuts doc 13's single c(2)
+  }
+
+  test("rrfFuse: duplicate (qid, id) rows within one ranking collapse to " +
+      "their best rank — an upstream fan-out cannot stuff the ballot") {
+    import graft.operators.Fusion
+    def c(r: Long) = math.floor(1e6 / (60.0 + r) + 0.5).toLong
+    // doc 10 appears twice in lex (join fan-out at ranks 1 and 2)
+    val lex = Seq((1L, 10L, 1L), (1L, 10L, 2L), (1L, 11L, 3L))
+      .toDF("qid", "doc_id", "rnk")
+    val dense = Seq((1L, 11L, 1L)).toDF("qid", "doc_id", "rnk")
+    val got = Fusion.rrfFuse(Seq(lex, dense), "qid", "doc_id", "rnk",
+        k0 = 60, topK = 10)
+      .select("doc_id", "rrf_e6").as[(Long, Long)].collect().toMap
+    assert(got(10L) == c(1)) // best rank only, not c(1)+c(2)
+    assert(got(11L) == c(3) + c(1))
   }
 
   test("qualitySignals: one-scan attributes equal the individual operators") {

@@ -124,6 +124,29 @@ class KnLmSpec extends SparkSpec {
       ("fr", 1L, "head"), ("fr", 2L, "middle"), ("fr", 3L, "tail")))
   }
 
+  test("perplexityBuckets unscoredWhen: defaulted-zero rows get their own " +
+      "bucket and do NOT drag the tercile cuts") {
+    // 6 genuine scores 10..60 plus 6 defaulted zeros. Without the
+    // predicate the zeros are all labeled head AND pull t1/t2 to 20/40
+    // (pushing 30 into tail-territory); with it the genuine rows split
+    // exactly as in the clean-tercile test above.
+    val df = ((1 to 6).map(i => ("en", i.toLong, i.toLong * 10, 3L)) ++
+      (7 to 12).map(i => ("en", i.toLong, 0L, 0L)))
+      .toDF("lang", "doc_id", "score", "n_bigrams")
+    val got = Curation.perplexityBuckets(df, "lang", "score",
+        unscoredWhen = Some($"n_bigrams" === 0L))
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert((1 to 6).map(i => got(i.toLong)) ==
+      Seq("head", "head", "middle", "middle", "tail", "tail"))
+    assert((7 to 12).forall(i => got(i.toLong) == "unscored"))
+    // a group that is ALL unscored still labels (left join, no cut row)
+    val solo = Seq(("fr", 100L, 0L, 0L)).toDF("lang", "doc_id", "score", "n_bigrams")
+    val g2 = Curation.perplexityBuckets(solo, "lang", "score",
+        unscoredWhen = Some($"n_bigrams" === 0L))
+      .select("bucket").as[String].collect().toSeq
+    assert(g2 == Seq("unscored"))
+  }
+
   test("perplexityBuckets: ties share a bucket; a 1-row group is head") {
     val df = (Seq.fill(9)(("en", 5L)) ++ Seq(("solo", 7L)))
       .zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
