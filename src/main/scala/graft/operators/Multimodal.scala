@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.security.MessageDigest
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -28,38 +27,6 @@ object Multimodal {
 
   /** One media payload: id + raw bytes + declared mime. */
   case class MediaRecord(media_id: Long, media: Array[Byte], mime: String)
-
-  /** Stub "decoded" features — all derived from the bytes deterministically. */
-  case class MediaFeatures(media_id: Long, n_bytes: Long, digest: String,
-                           fake_width: Int, fake_height: Int)
-
-  private def md5Hex(bytes: Array[Byte]): String =
-    MessageDigest.getInstance("MD5").digest(bytes)
-      .map(b => f"${b & 0xff}%02x").mkString
-
-  /** The swap-in point for a real codec. Fake dims come from the first two
-    * digest nibbles (1..16) — matching `strpos('0123456789abcdef', …)` in
-    * the oracle.
-    */
-  def decodeOne(r: MediaRecord): MediaFeatures = {
-    val digest = md5Hex(r.media)
-    def nib(i: Int): Int = 1 + Character.digit(digest.charAt(i), 16)
-    MediaFeatures(r.media_id, r.media.length.toLong, digest, nib(0), nib(1))
-  }
-
-  /** Batched per-partition decode. `batchSize` bounds how many payloads are
-    * resident per task at once (a real codec would amortize model/codec init
-    * across the batch, exactly like an arrow-batch UDF).
-    */
-  def decodeStub(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
-    import ds.sparkSession.implicits._
-    ds.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        // codec init would happen here, once per batch
-        batch.iterator.map(decodeOne)
-      }
-    }
-  }
 
   /** Parsed container metadata — REAL parsing, not stubbed: the header
     * formats (PNG IHDR, JPEG SOF, WAV RIFF/fmt) are pure byte arithmetic
@@ -317,6 +284,32 @@ object Multimodal {
     while (y < height) {
       var x = 0
       while (x < width) { raster.setSample(x, y, 0, gray); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  /** PNG-encode a diagonal-gradient gray tile: pixel (x, y) = base+x+y
+    * (caller keeps the brightest corner ≤ 255). The synthesis half of the
+    * q36 decoded-pixel round trip — NON-uniform by design, so its decoded
+    * band-0 mean (closed form: base + (w−1)/2 + (h−1)/2) also catches
+    * raster-order, stride, and axis-swap bugs that a uniform tile
+    * ([[encodeGrayPng]], q82) mathematically cannot.
+    */
+  def encodeGradientPng(width: Int, height: Int, base: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && base >= 0 &&
+      base + width - 1 + height - 1 <= 255,
+      s"gradient tile out of 8-bit range: ${base}+${width - 1}+${height - 1}")
+    javax.imageio.ImageIO.setUseCache(false) // memory-backed streams (see decodeImages)
+    val im = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = im.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, base + x + y); x += 1 }
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
@@ -889,15 +882,6 @@ object Multimodal {
     bytes.grouped(frameSize).zipWithIndex
       .collect { case (frame, i) if i % stride == 0 => frame }
       .toSeq
-
-  /** documents → MediaRecord dataset (UTF-8 text bytes standing in for an
-    * opaque payload; the schema/partitioning is what is under test).
-    */
-  def documentsAsMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
-    import spark.implicits._
-    docs.selectExpr("doc_id AS media_id", "CAST(text AS BINARY) AS media",
-      "'text/plain' AS mime").as[MediaRecord]
-  }
 
   // ---- MJPEG-in-MP4: real video SAMPLE decode ------------------------------
   // The one video codec reachable with JDK-only tools: Motion-JPEG stores

@@ -15,20 +15,46 @@ import ProbeShared._
   * SQL unchanged.
   */
 object MultimodalProbes {
-  // ---- q36 multimodal plumbing (binary payload + stubbed decode) --------
-  val q36: Q = (s, d) =>
-    Multimodal.decodeStub(
-        Multimodal.documentsAsMedia(s, Tables.documents(s, d)))
-      .toDF()
+  // ---- q36 gradient-image decoded-pixel round trip (REAL decode) ---------
+  // The former md5-marker decode stub, re-pointed at the production
+  // decodeImages path (r9 verdict item 8). Payloads are DIAGONAL-GRADIENT
+  // gray PNGs (pixel = base+x+y, all doc_id-derived): unlike q82's
+  // uniform tiles, the decoded band-0 mean here is sensitive to raster
+  // order, stride, and axis swaps — a decoder reading pixels in the wrong
+  // order still matches a uniform mean but not a gradient's. Closed form:
+  // sum = w·h·base + h·w(w−1)/2 + w·h(h−1)/2, which the oracle recomputes
+  // from the synthesis arithmetic. 1/5 of payloads are raw text bytes
+  // (the undecodable marker row).
+  val q36: Q = (s, d) => {
+    import s.implicits._
+    val media = graft.core.Ops.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % 5 == 0)
+          graft.operators.Multimodal.MediaRecord(
+            id, text.getBytes("UTF-8"), "text/plain")
+        else
+          graft.operators.Multimodal.MediaRecord(
+            id,
+            graft.operators.Multimodal.encodeGradientPng(
+              (id % 31 + 1).toInt, (id % 23 + 1).toInt, (id % 200).toInt),
+            "image/png")
+      }
+    graft.operators.Multimodal.decodeImages(media).toDF()
       .orderBy("media_id")
+  }
 
   val q36Sql: String =
-    """SELECT doc_id AS media_id,
-      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
-      |  md5(text) AS digest,
-      |  CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) AS INT) AS fake_width,
-      |  CAST(strpos('0123456789abcdef', substr(md5(text), 2, 1)) AS INT) AS fake_height
-      |FROM documents ORDER BY media_id""".stripMargin
+    """WITH g AS (SELECT doc_id, doc_id % 31 + 1 AS w, doc_id % 23 + 1 AS h,
+      |  doc_id % 200 AS b FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE w END AS INTEGER) AS width,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE h END AS INTEGER) AS height,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS INTEGER) AS bands,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN -1
+      |    ELSE floor((w*h*b + h*((w-1)*w//2) + w*((h-1)*h//2)) * 10000.0
+      |      / (w*h) + 0.5) END AS BIGINT) AS mean_e4
+      |FROM g ORDER BY media_id""".stripMargin
 
   // ---- q80 media header metadata (real container parsing) ----------------
   // Multimodal.extractMeta / parseHeader: 4/5 of the payloads are REAL

@@ -335,15 +335,21 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(got(4L) == "nothing sensitive here")
   }
 
-  test("decodeStub derives features deterministically from bytes") {
-    val ds = Seq(Multimodal.MediaRecord(7L, "abc".getBytes("UTF-8"), "text/plain"))
-      .toDS()
-    val got = Multimodal.decodeStub(ds, batchSize = 2).collect().head
-    assert(got.media_id == 7L)
-    assert(got.n_bytes == 3L)
-    assert(got.digest == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
-    assert(got.fake_width == 10)  // '9' -> 1 + 9
-    assert(got.fake_height == 1)  // '0' -> 1 + 0
+  test("encodeGradientPng round trip: mean matches the closed form and " +
+      "differs from the uniform tile of the same mean") {
+    // 4×3 base 10: pixels 10..15, sum = 12·10 + 3·(0+1+2+3) + 4·(0+1+2)
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, Multimodal.encodeGradientPng(4, 3, 10), "image/png"))
+    val got = Multimodal.decodeImages(recs.toDS(), batchSize = 2)
+      .collect().head
+    assert(got.width == 4 && got.height == 3 && got.bands == 1)
+    val sum = 12L * 10 + 3 * 6 + 4 * 3
+    assert(got.mean_e4 == math.floor(sum * 10000.0 / 12 + 0.5).toLong)
+    // the gradient is NOT uniform: a raster-order bug could not hide
+    assert(got.mean_e4 != 10L * 10000)
+    intercept[IllegalArgumentException] {
+      Multimodal.encodeGradientPng(100, 100, 100) // 100+99+99 > 255
+    }
   }
 
   test("decodeImages: ImageIO round trip recovers dims, bands and pixels") {
