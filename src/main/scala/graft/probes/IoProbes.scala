@@ -332,6 +332,36 @@ object IoProbes {
     // always contains non-empty nav text (ADVICE r8)
   }
 
+  // ---- q132 gzipped WARC parse (.warc.gz member + whole-file layouts) ----
+  // The q108 corpus re-synthesized COMPRESSED: even-numbered files in
+  // Common Crawl's one-gzip-member-per-record layout, odd files as one
+  // whole-file member — the two real-world `.warc.gz` shapes. parseFile
+  // sniffs + inflates (JDK GZIPInputStream walks concatenated members)
+  // and must recover the byte-identical record stream, so the oracle is
+  // the SAME synthesis arithmetic as q108's: any inflate bug (member
+  // boundary, trailer handling, sniff miss) breaks the hash.
+  val q132: Q = (s, d) => {
+    import s.implicits._
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"),
+        expr("doc_id div 10").cast("long").as("fid"))
+      .as[(Long, String, Long)]
+    val files = docs.groupByKey(_._3).mapGroups { (fid, it) =>
+      val payload = it.toSeq.sortBy(_._1).map(t => (t._1, t._2))
+      if (fid % 2 == 0) graft.sources.Warc.buildFileGz(fid, payload)
+      else graft.sources.Warc.buildFileWholeGz(fid, payload)
+    }
+    graft.sources.Warc.parseRecords(files).toDF()
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("uri"), col("rec_index"), col("http_status").as("status"),
+        col("content_length").as("clen"), col("body"))
+      .orderBy("doc_id")
+  }
+
+  val q132Sql: String = q108Sql
+
   // ---- family registry --------------------------------------------------
 
   private[probes] val queries: Map[String, Q] = Map(
@@ -342,7 +372,8 @@ object IoProbes {
     "q113_zip_introspect" -> q113,
     "q114_size_change" -> q114,
     "q115_inventory_parse" -> q115,
-    "q116_crawl_ingest" -> q116)
+    "q116_crawl_ingest" -> q116,
+    "q132_warc_gz" -> q132)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q106_cms_heavy" -> q106Sql,
@@ -352,5 +383,6 @@ object IoProbes {
     "q113_zip_introspect" -> q113Sql,
     "q114_size_change" -> q114Sql,
     "q115_inventory_parse" -> q115Sql,
-    "q116_crawl_ingest" -> q116Sql)
+    "q116_crawl_ingest" -> q116Sql,
+    "q132_warc_gz" -> q132Sql)
 }

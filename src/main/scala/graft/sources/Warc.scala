@@ -10,6 +10,14 @@ import org.apache.spark.sql.Dataset
   * block, then a CRLF CRLF separator. `response` records carry a full
   * HTTP response as payload — status line, headers, blank line, body.
   *
+  * Real crawl archives ship compressed: Common Crawl's `.warc.gz` is one
+  * gzip member PER RECORD (so a reader can seek to a record), and plain
+  * archives are often whole-file gzipped. [[parseFile]] sniffs the gzip
+  * magic and inflates either layout through one `GZIPInputStream` walk
+  * (JDK-only, concatenated members handled natively) before the byte
+  * scan — truncated members degrade to a parsed prefix, same as
+  * structural damage.
+  *
   * Parsing is pure byte/offset arithmetic (same discipline as the ISO-BMFF
   * walk in operators/Multimodal.scala): malformed structure ends the scan
   * of that file — never a throw — so one corrupt record cannot kill a
@@ -41,12 +49,59 @@ object Warc {
     -1
   }
 
-  /** Parse every record in one WARC payload. Returns the records parsed
-    * before the first structural error (truncated header, bad/missing
-    * Content-Length, payload overrunning the file).
+  /** Inflate a gzip payload — or pass it through untouched when the magic
+    * bytes say it is not one (plain WARC files keep working unsniffed).
+    * Handles BOTH real-world layouts with one code path: a whole-file
+    * gzip is one member, and Common Crawl's `.warc.gz` is one gzip member
+    * PER RECORD, concatenated — `GZIPInputStream` walks concatenated
+    * members natively, and the concatenation of the inflated members IS
+    * the plain record stream [[parseFile]] already scans.
+    *
+    * Failure discipline matches the byte scanner: a truncated final
+    * member (interrupted upload) or a corrupt deflate stream keeps the
+    * bytes inflated so far and lets the structural parse handle the
+    * ragged tail — never a throw. `maxInflated` bounds the output
+    * (decompression-bomb guard, the decodeImages claimedPixels
+    * discipline): a bomb yields a bounded prefix, costing one partial
+    * file, not an executor OOM.
+    */
+  private[graft] def gunzipIfGzip(b: Array[Byte],
+                                  maxInflated: Long = 1L << 30): Array[Byte] = {
+    if (b.length < 2 || (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b)
+      return b
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
+    val buf = new Array[Byte](64 << 10)
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      var n = in.read(buf)
+      while (n > 0 && out.size.toLong <= maxInflated) {
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+    } catch {
+      case _: java.io.IOException => () // truncated/corrupt member: keep prefix
+    }
+    out.toByteArray
+  }
+
+  /** Gzip one buffer as a single member (synthesis half of the `.warc.gz`
+    * round trip; JDK `GZIPOutputStream`, no timestamps — deterministic).
+    */
+  def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(b); gz.finish(); gz.close()
+    bos.toByteArray
+  }
+
+  /** Parse every record in one WARC payload — gzipped (whole-file or
+    * per-record members, auto-sniffed) or plain. Returns the records
+    * parsed before the first structural error (truncated header,
+    * bad/missing Content-Length, payload overrunning the file).
     */
   def parseFile(f: WarcFile): Seq[WarcRec] = {
-    val b = f.data
+    val b = gunzipIfGzip(f.data)
     val out = Seq.newBuilder[WarcRec]
     var pos = 0
     var idx = 0
@@ -118,31 +173,65 @@ object Warc {
     files.flatMap(parseFile _)
   }
 
-  /** Synthesize a spec-shaped WARC file: one `warcinfo` record, then one
-    * `response` record per (id, text) doc, in the given order. Used by
-    * tests and the probe's oracle-mirrorable corpus synthesis.
+  /** The synthesized record stream of a spec-shaped WARC file — one
+    * byte-chunk per record (CRLF CRLF separator included): one `warcinfo`
+    * record, then one `response` record per (id, text) doc, in order.
     */
-  def buildFile(fileId: Long, docs: Seq[(Long, String)]): WarcFile = {
-    val sb = new java.io.ByteArrayOutputStream()
-    def w(s: String): Unit = sb.write(s.getBytes(UTF_8))
+  private def recordChunks(fileId: Long,
+                           docs: Seq[(Long, String)]): Seq[Array[Byte]] = {
+    val chunks = Seq.newBuilder[Array[Byte]]
+    def chunk(f: java.io.ByteArrayOutputStream => Unit): Unit = {
+      val bos = new java.io.ByteArrayOutputStream()
+      f(bos)
+      chunks += bos.toByteArray
+    }
+    def w(bos: java.io.ByteArrayOutputStream, s: String): Unit =
+      bos.write(s.getBytes(UTF_8))
     val info = s"software: graft-synth\nfile: $fileId\n"
-    w("WARC/1.0\r\n")
-    w("WARC-Type: warcinfo\r\n")
-    w(s"Content-Length: ${info.getBytes(UTF_8).length}\r\n\r\n")
-    w(info)
-    w("\r\n\r\n")
+    chunk { bos =>
+      w(bos, "WARC/1.0\r\n")
+      w(bos, "WARC-Type: warcinfo\r\n")
+      w(bos, s"Content-Length: ${info.getBytes(UTF_8).length}\r\n\r\n")
+      w(bos, info)
+      w(bos, "\r\n\r\n")
+    }
     docs.foreach { case (id, text) =>
       val http = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + text
       val httpLen = http.getBytes(UTF_8).length
-      w("WARC/1.0\r\n")
-      w("WARC-Type: response\r\n")
-      w(s"WARC-Target-URI: https://example.org/doc/$id\r\n")
-      w(s"WARC-Record-ID: <urn:graft:$id>\r\n")
-      w("Content-Type: application/http; msgtype=response\r\n")
-      w(s"Content-Length: $httpLen\r\n\r\n")
-      w(http)
-      w("\r\n\r\n")
+      chunk { bos =>
+        w(bos, "WARC/1.0\r\n")
+        w(bos, "WARC-Type: response\r\n")
+        w(bos, s"WARC-Target-URI: https://example.org/doc/$id\r\n")
+        w(bos, s"WARC-Record-ID: <urn:graft:$id>\r\n")
+        w(bos, "Content-Type: application/http; msgtype=response\r\n")
+        w(bos, s"Content-Length: $httpLen\r\n\r\n")
+        w(bos, http)
+        w(bos, "\r\n\r\n")
+      }
     }
-    WarcFile(fileId, sb.toByteArray)
+    chunks.result()
   }
+
+  private def concatBytes(chunks: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    chunks.foreach(bos.write)
+    bos.toByteArray
+  }
+
+  /** Synthesize a spec-shaped plain WARC file. Used by tests and the
+    * probe's oracle-mirrorable corpus synthesis.
+    */
+  def buildFile(fileId: Long, docs: Seq[(Long, String)]): WarcFile =
+    WarcFile(fileId, concatBytes(recordChunks(fileId, docs)))
+
+  /** The same file in Common Crawl's `.warc.gz` layout: one gzip member
+    * PER RECORD, concatenated. ([[buildFileWholeGz]] covers the
+    * whole-file-gzip layout; both parse identically.)
+    */
+  def buildFileGz(fileId: Long, docs: Seq[(Long, String)]): WarcFile =
+    WarcFile(fileId, concatBytes(recordChunks(fileId, docs).map(gzipBytes)))
+
+  /** The same file gzipped as ONE member (archived plain WARC). */
+  def buildFileWholeGz(fileId: Long, docs: Seq[(Long, String)]): WarcFile =
+    WarcFile(fileId, gzipBytes(concatBytes(recordChunks(fileId, docs))))
 }

@@ -57,6 +57,29 @@ class WarcIngestStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("docs: gzipped files (.warc.gz member layout + whole-file) flow " +
+      "through the stream identically to their plain twins") {
+    val payload1 = Seq(1L -> htmlDoc(goodText("one")),
+      2L -> htmlDoc(goodText("two")))
+    val payload2 = Seq(5L -> htmlDoc(goodText("three")))
+    val batch = WarcIngestStream.docs(Seq(
+        Warc.buildFile(3L, payload1), Warc.buildFile(4L, payload2)).toDS())
+      .as[(Long, String)].collect().toSet
+
+    val input = MemoryStream[Warc.WarcFile](spark)
+    val q = WarcIngestStream.docs(input.toDS())
+      .writeStream.format("memory").queryName("warc_docs_gz")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Warc.buildFileGz(3L, payload1))      // per-record members
+      input.addData(Warc.buildFileWholeGz(4L, payload2)) // one member
+      q.processAllAvailable()
+      val streamed = spark.table("warc_docs_gz")
+        .as[(Long, String)].collect().toSet
+      assert(streamed === batch && streamed.size === 3)
+    } finally q.stop()
+  }
+
   test("docs → gate: one verdict per crawl doc; a replayed file resolves " +
       "as exact-dups of itself (idempotent at-least-once ingest)") {
     val fileA = Warc.buildFile(1L, Seq(

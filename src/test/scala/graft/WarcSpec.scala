@@ -41,6 +41,39 @@ class WarcSpec extends SparkSpec {
     assert(Warc.parseFile(Warc.WarcFile(0L, noVer.getBytes(UTF_8))) === Seq())
   }
 
+  test("gzip layouts: per-record members and whole-file gzip both parse " +
+      "identically to the plain file") {
+    val docs = Seq((31L, "hello world"), (32L, ""), (33L, "third doc text"))
+    val plain = Warc.parseFile(Warc.buildFile(3L, docs))
+    assert(Warc.parseFile(Warc.buildFileGz(3L, docs)) === plain)
+    assert(Warc.parseFile(Warc.buildFileWholeGz(3L, docs)) === plain)
+    assert(plain.count(_.warc_type == "response") === 3)
+  }
+
+  test("gzip damage degrades to a parsed prefix, never a throw") {
+    val docs = Seq((1L, "first doc"), (2L, "second doc"), (3L, "third doc"))
+    val gz = Warc.buildFileGz(7L, docs)
+    // truncate inside the LAST member's deflate data (an 8-byte cut only
+    // loses the CRC trailer, after the full payload already inflated):
+    // earlier members inflate fully, the ragged tail is dropped by the
+    // structural parse
+    val cut = Warc.parseFile(Warc.WarcFile(7L, gz.data.take(gz.data.length - 60)))
+    val full = Warc.parseFile(gz)
+    assert(cut.nonEmpty && cut.size < full.size)
+    assert(cut === full.take(cut.size))
+    // flip a byte deep in the deflate stream: prefix kept, no throw
+    val bad = gz.data.clone()
+    bad(bad.length - 40) = (bad(bad.length - 40) ^ 0x55).toByte
+    val corrupt = Warc.parseFile(Warc.WarcFile(7L, bad))
+    assert(corrupt.size <= full.size)
+    // a gzip bomb inflates to a bounded prefix (cap, not OOM)
+    val bomb = Warc.gzipBytes(Array.fill[Byte](1 << 20)(0x41))
+    assert(Warc.gunzipIfGzip(bomb, maxInflated = 1024).length <= 1024 + (64 << 10))
+    // non-gzip bytes pass through untouched
+    val plainBytes = "WARC/1.0\r\n".getBytes(UTF_8)
+    assert(Warc.gunzipIfGzip(plainBytes) eq plainBytes)
+  }
+
   test("parseRecords distributes per file and preserves file ids") {
     val files = Seq(
       Warc.buildFile(0L, Seq((1L, "a"), (2L, "b"))),
