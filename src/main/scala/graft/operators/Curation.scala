@@ -258,6 +258,63 @@ object Curation {
     graft.core.Managed(out, Seq(sc))
   }
 
+  /** Composed SemDeDup (Abbas et al. 2023) over raw text: feature-hash
+    * embed → IVF-bucketed cosine near-dup pairs → connected components →
+    * keep the min-id canonical per component. Output: one row per
+    * DROPPED doc, `(idCol, kept_id)` — the keeper it duplicates. The
+    * pieces all exist as standalone operators
+    * ([[graft.operators.TextStats.hashEmbed]],
+    * [[graft.operators.Similarity.ivfNearDupPairs]],
+    * [[graft.operators.Dedup.connectedComponents]]); this wires them into
+    * the one-call stage a curation funnel plugs in ([[graft.pipeline
+    * .Curate]]'s `semDedupThresholdE4`).
+    *
+    * Centroids are a DETERMINISTIC id-hash sample (md5(id) mod
+    * `centroidEvery` == 0 — id-distribution-proof, engine-mirrorable), so
+    * the whole composition is exactly reproducible — the q133 oracle
+    * replays embed, assignment, verify, and components verbatim. An empty
+    * sample (tiny pool) falls back to the min-id doc as single centroid
+    * (one cell = exact all-pairs, correct at the only scale that can
+    * produce it). Zero-norm vectors (docs hashing to nothing) carry no
+    * semantic content and are excluded — they can never be anyone's
+    * duplicate.
+    *
+    * Scale shape: one corpus explode (the embed aggregate), one broadcast
+    * assignment pass, one equi-shuffle candidate join inside cells, CC
+    * rounds on the (sparse) near-dup edge set — the SemDeDup paper's
+    * cluster-then-verify exactly, nothing all-pairs.
+    */
+  def semDedupVictims(docs: DataFrame, idCol: String, textCol: String,
+                      dim: Int = 64, thresholdE4: Long = 9000L,
+                      centroidEvery: Int = 25, nassign: Int = 2)
+      : DataFrame =
+    semDedupVictimsManaged(docs, idCol, textCol, dim, thresholdE4,
+      centroidEvery, nassign).df
+
+  def semDedupVictimsManaged(docs: DataFrame, idCol: String, textCol: String,
+                             dim: Int = 64, thresholdE4: Long = 9000L,
+                             centroidEvery: Int = 25, nassign: Int = 2)
+      : graft.core.Managed = {
+    require(thresholdE4 >= 0 && thresholdE4 <= 10000,
+      s"semDedup: thresholdE4 ($thresholdE4) must be in [0, 10000]")
+    require(centroidEvery >= 1, "semDedup: centroidEvery must be >= 1")
+    val emb = TextStats.hashEmbedGather(
+        TextStats.hashEmbed(docs, idCol, textCol, dim), idCol)
+      .filter(expr("aggregate(v, 0D, (a, x) -> a + x * x)") > lit(0.0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sampled = emb.filter(
+      pmod(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(centroidEvery)) === 0)
+    val centroids =
+      if (sampled.isEmpty) emb.orderBy(col("id").asc).limit(1) else sampled
+    val pairsM = Similarity.ivfNearDupPairsManaged(emb, centroids,
+      threshold = thresholdE4 / 10000.0, nassign = nassign)
+    val compM = Dedup.connectedComponentsManaged(pairsM.df)
+    val victims = compM.df.filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol), col("label").as("kept_id"))
+    graft.core.Managed(victims, emb +: (pairsM.pinned ++ compM.pinned))
+  }
+
   def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
                          benchmark: DataFrame, benchTextCol: String,
                          n: Int = 8): DataFrame = {

@@ -49,6 +49,16 @@ case class CurateConfig(
     // active only when Curate.run is given a classifierModel
     minClassifierPE6: Long = 500000L,
     nearDupThresholdE4: Long = 8000,
+    // SemDeDup (Abbas et al. 2023) stage: embedding-cosine near-dup →
+    // connected components → keep min-id canonical, over hash-trick
+    // embeddings of the raw text (Curation.semDedupVictims). None =
+    // stage off; value = cosine threshold in e4 (9500 = 0.95, the
+    // paper's regime). Runs AFTER MinHash near-dup: lexical dedup first
+    // (cheaper, higher precision), semantic dedup on what survives.
+    semDedupThresholdE4: Option[Long] = None,
+    semDedupDim: Int = 64,
+    semDedupCentroidEvery: Int = 25,
+    semDedupNassign: Int = 2,
     decontamGramN: Int = 8,
     chunkTokens: Int = 64,
     chunkOverlap: Int = 8,
@@ -269,10 +279,25 @@ object Curate {
     // label = min id of the component → every non-label member is a victim
     val victims = compM.df.filter(col("id") =!= col("label"))
       .select(col("id").as(idCol))
-    val deduped = kept.join(victims, Seq(idCol), "left_anti")
+    var deduped = kept.join(victims, Seq(idCol), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK) // consumers: contamination + join-back
     stage("near_dup", deduped.count())
     compM.close(); pairsM.close(); kept.unpersist()
+
+    // ---- optional SemDeDup: semantic near-dup over hash embeddings -----
+    // after lexical near-dup (its survivors are this stage's pool),
+    // before decontamination (don't n-gram-scan docs about to drop)
+    for (th <- cfg.semDedupThresholdE4) {
+      val base = deduped
+      val vM = Curation.semDedupVictimsManaged(base, idCol, textCol,
+        cfg.semDedupDim, th, cfg.semDedupCentroidEvery, cfg.semDedupNassign)
+      val semKept = base
+        .join(vM.df.select(col(idCol)), Seq(idCol), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      stage("sem_dedup", semKept.count())
+      vM.close(); base.unpersist()
+      deduped = semKept
+    }
 
     // ---- benchmark decontamination -------------------------------------
     val flags = Curation.contaminationFlags(deduped, idCol, textCol,

@@ -478,6 +478,77 @@ object DedupProbes {
        |ORDER BY id_new, id_old""".stripMargin
   }
 
+  // ---- q133 composed SemDeDup (embed → IVF pairs → CC → keep-canonical) --
+  // Curation.semDedupVictims end-to-end on raw text: hash-trick embed
+  // (the q93 algebra, dim 16), deterministic md5(id)%25 centroid sample,
+  // IVF cluster-then-verify cosine pairs at 0.9 (the q70 shape), then
+  // connected components (the q54 recursive shape) and min-id keepers.
+  // Planted victims: every 13th doc re-enters as id+100000 with identical
+  // text (cosine exactly 1), so each planted copy MUST fall to its
+  // original. The oracle replays every step — embed, zero-norm filter,
+  // centroid rule, nassign=2 assignment, verify, components — verbatim.
+  val q133: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    Curation.semDedupVictims(docs.unionByName(planted), "doc_id", "text",
+        dim = 16, thresholdE4 = 9000L, centroidEvery = 25, nassign = 2)
+      .orderBy("doc_id")
+  }
+
+  val q133Sql: String = {
+    def cos(a: String, b: String) =
+      graft.operators.Similarity.cosineDuckSql(a, b)
+    s"""WITH RECURSIVE
+       |corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 13 = 0),
+       |n AS (SELECT doc_id, $duckWords AS w FROM corpus),
+       |t AS (SELECT doc_id, unnest(w) AS word FROM n),
+       |h AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(word), 1, 8))::BIGINT % 16 AS INT)
+       |      AS pos,
+       |    CASE WHEN (('0x' || substr(md5(word), 1, 8))::BIGINT // 16)
+       |        % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM t),
+       |agg AS (SELECT doc_id, pos, CAST(sum(s) AS BIGINT) AS val
+       |  FROM h GROUP BY doc_id, pos),
+       |dn AS (SELECT c.doc_id, p.pos
+       |  FROM corpus c, (SELECT unnest(range(0, 16)) AS pos) p),
+       |dense AS (SELECT dn.doc_id, dn.pos, coalesce(a.val, 0) AS val
+       |  FROM dn LEFT JOIN agg a ON a.doc_id = dn.doc_id AND a.pos = dn.pos),
+       |v0 AS (SELECT doc_id, list(CAST(val AS DOUBLE) ORDER BY pos) AS v
+       |  FROM dense GROUP BY doc_id),
+       |v AS (SELECT doc_id, v FROM v0 WHERE list_dot_product(v, v) > 0),
+       |cent AS (SELECT doc_id AS cid, v AS cv FROM v
+       |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |    % 25 = 0),
+       |assigned AS (
+       |  SELECT doc_id, v, cid FROM (
+       |    SELECT v.doc_id, v.v, c.cid,
+       |      row_number() OVER (PARTITION BY v.doc_id
+       |        ORDER BY ${cos("v.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |    FROM v CROSS JOIN cent c) t(doc_id, v, cid, rn)
+       |  WHERE rn <= 2),
+       |p AS (
+       |  SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+       |  FROM assigned a JOIN assigned b USING (cid)
+       |  WHERE a.doc_id < b.doc_id AND ${cos("a.v", "b.v")} >= 0.9),
+       |undirected AS (
+       |  SELECT idA AS src, idB AS dst FROM p
+       |  UNION ALL SELECT idB, idA FROM p),
+       |nodes AS (SELECT DISTINCT src AS id FROM undirected),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT u.src, reach.r FROM undirected u JOIN reach ON reach.id = u.dst),
+       |lab AS (SELECT id, CAST(min(r) AS BIGINT) AS label
+       |  FROM reach GROUP BY id)
+       |SELECT id AS doc_id, label AS kept_id FROM lab
+       |WHERE id <> label ORDER BY doc_id""".stripMargin
+  }
+
   // ---- family registry --------------------------------------------------
 
   private[probes] val queries: Map[String, Q] = Map(
@@ -491,7 +562,8 @@ object DedupProbes {
     "q79_url_canon" -> q79,
     "q88_line_dedup" -> q88,
     "q95_dup_windows" -> q95,
-    "q122_incr_neardup" -> q122)
+    "q122_incr_neardup" -> q122,
+    "q133_sem_dedup" -> q133)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q27_minhash_lsh_neardup" -> q27Sql,
@@ -504,5 +576,6 @@ object DedupProbes {
     "q79_url_canon" -> q79Sql,
     "q88_line_dedup" -> q88Sql,
     "q95_dup_windows" -> q95Sql,
-    "q122_incr_neardup" -> q122Sql)
+    "q122_incr_neardup" -> q122Sql,
+    "q133_sem_dedup" -> q133Sql)
 }

@@ -179,6 +179,11 @@ object Scale {
               pplBucketsKeep = Some(Set("head", "middle", "tail")),
               dedupLinesWithinDocs = true,
               dedupWindowsW = Some(8),
+              // threshold just under exact: the stage pays its full
+              // embed + assignment + verify + CC cost while dropping
+              // only true re-embeddings (word-permuted replicas have
+              // identical bags — the planted suffix docs differ)
+              semDedupThresholdE4 = Some(9999L),
               dsirKeepFracE4 = 8000L,
               // threshold 0: the gate drops nothing (funnel rows stay
               // interpretable) but pays the full scoring cost — the thing

@@ -193,6 +193,9 @@ class CurateSpec extends SparkSpec {
         pplBucketsKeep = Some(Set("head", "middle", "tail")),
         dedupLinesWithinDocs = true,
         dedupWindowsW = Some(8),
+        // distinct salted docs: cosine < 1 everywhere, the stage runs
+        // (and appears in the funnel) without shrinking the pool
+        semDedupThresholdE4 = Some(9999L),
         dsirKeepFracE4 = 10000L, // keep all: the stage runs, drops none
         minClassifierPE6 = 0L,   // keep all: ditto
         chunkTokens = 16, chunkOverlap = 4, packBudget = 32),
@@ -200,9 +203,34 @@ class CurateSpec extends SparkSpec {
       classifierModel = Some(model))
     assert(res.stageCounts.map(_._1) == Seq("c4_clean", "classifier_gate",
       "lm_gate", "ppl_buckets", "dsir_select", "window_dedup", "exact_dedup",
-      "near_dup", "decontaminated", "chunks"), res.stageCounts.toString)
+      "near_dup", "sem_dedup", "decontaminated", "chunks"),
+      res.stageCounts.toString)
     assert(res.stageCounts.toMap.apply("exact_dedup") == 12L,
       res.stageCounts.toString)
+    res.chunks.unpersist()
+  }
+
+  test("Curate.run with semDedupThresholdE4: a word-permuted twin survives " +
+      "lexical near-dup but falls to the semantic stage") {
+    val base = goodText("one")
+    // same BAG of words, reversed order: 3-shingle Jaccard ≈ 0 (lexical
+    // near-dup blind) but the hash embedding is IDENTICAL (cosine = 1)
+    val permuted = base.split(" ").reverse.mkString(" ")
+    val docs = Seq(1L -> base, 2L -> permuted, 3L -> goodText("two"))
+      .toDF("doc_id", "text")
+    val benchmark = Seq("unrelated bench text").toDF("btext")
+    val res = Curate.run(docs, "doc_id", "text", benchmark, "btext",
+      CurateConfig(minQualityE4 = 5000,
+        semDedupThresholdE4 = Some(9500L),
+        semDedupCentroidEvery = 1, // every doc a centroid: full recall
+        chunkTokens = 16, chunkOverlap = 4, packBudget = 32))
+    val funnel = res.stageCounts.toMap
+    assert(funnel("near_dup") == 3L, res.stageCounts.toString)
+    assert(funnel("sem_dedup") == 2L, res.stageCounts.toString)
+    // min-id canonical survives: doc 2 (the permutation) is the victim
+    val survivors = res.chunks.select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(survivors == Set(1L, 3L), survivors.toString)
     res.chunks.unpersist()
   }
 
