@@ -24,14 +24,27 @@ object Journeys {
     * funnel broke — plus `steps_reached`). Only funnel ENTRANTS (users
     * with a step-0 event) appear; per-user rows are unique.
     *
-    * Shape: one filtered min-aggregate per step + one user-keyed join
-    * back — k bounded shuffles on the user key, no per-user sort. The
-    * sequential dependence (step k's window opens at step k-1's match)
-    * is the funnel DEFINITION, so k passes is the minimum work; each
-    * pass's left side is the step-k event slice, pushed down to the scan.
+    * DEFAULT = the one-pass form ([[funnelStepsOnePass]]): events is read
+    * once and each user's step-typed events fold greedily in time order —
+    * measured 2.5× faster than the k-pass form at 1× AND 10× (SCALE.md
+    * round-10 row pair), and at 100 TB one scan vs k scans is the whole
+    * game. [[funnelStepsKPass]] is the join-form reference twin
+    * (bit-parity spec-pinned) for engines/settings where a per-user
+    * collect is unwelcome.
     */
   def funnelSteps(events: DataFrame, userCol: String, tsCol: String,
-                  typeCol: String, steps: Seq[String]): DataFrame = {
+                  typeCol: String, steps: Seq[String]): DataFrame =
+    funnelStepsOnePass(events, userCol, tsCol, typeCol, steps)
+
+  /** The k-pass join form of [[funnelSteps]]: one filtered min-aggregate
+    * per step + one user-keyed join back — k bounded shuffles, no
+    * per-user collect, but k scans of events. The sequential dependence
+    * (step k's window opens at step k-1's match) makes k passes this
+    * form's minimum work; each pass's step-type filter pushes to the
+    * scan.
+    */
+  def funnelStepsKPass(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnelSteps: at least one step")
     require(steps.distinct.size == steps.size,
       "funnelSteps: repeated step types are ambiguous")
@@ -48,6 +61,62 @@ object Journeys {
     val reached = steps.indices.map(k =>
       col(s"t$k").isNotNull.cast("long")).reduce(_ + _)
     cur.withColumn("steps_reached", reached)
+  }
+
+  /** [[funnelSteps]] in ONE pass over events (bit-parity spec-pinned):
+    * collect each user's step-typed events, sort within the user, and
+    * greedily fold the earliest chain — when a step-k event arrives in
+    * time order, it matches iff step k−1 already matched strictly
+    * earlier and k is still open. The greedy earliest chain IS the
+    * k-pass chain (each pass takes the min time after the previous
+    * match; processing ascending times matches the same minima).
+    *
+    * Trade against the k-pass form: events is READ ONCE (at 100 TB the
+    * k-fold scan is the k-pass form's dominant cost) for one user-keyed
+    * shuffle carrying each user's step-typed events; the fold state is
+    * |steps| timestamps. The per-user collect is bounded by that user's
+    * STEP-TYPE events — the type filter still pushes to the scan — so
+    * skew only matters for users with pathological step-event counts
+    * (the k-pass form shuffles the same rows, k times).
+    */
+  def funnelStepsOnePass(events: DataFrame, userCol: String, tsCol: String,
+                         typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelSteps: at least one step")
+    require(steps.distinct.size == steps.size,
+      "funnelSteps: repeated step types are ambiguous")
+    val k = steps.size
+    val tsType = events.schema(tsCol).dataType
+    val stepIdx = steps.zipWithIndex.tail.foldLeft(
+      when(col(typeCol) === steps.head, lit(0))) {
+      case (acc, (s, i)) => acc.when(col(typeCol) === s, lit(i))
+    }
+    val per = events.filter(col(typeCol).isInCollection(steps))
+      .select(col(userCol),
+        struct(col(tsCol).as("ts"), stepIdx.as("k")).as("e"))
+      .groupBy(userCol).agg(sort_array(collect_list(col("e"))).as("__es"))
+    // fold state: array of k matched times (null = step open). Ties sort
+    // (ts, k) ascending, and the strict `>` against the previous match
+    // reproduces the k-pass exclusion of same-instant successors.
+    val folded = per.withColumn("__acc",
+      aggregate(col("__es"),
+        array_repeat(lit(null).cast(tsType), k),
+        (acc, e) => transform(acc, (x, i) => {
+          // prev slot is 1-based index e.k; the greatest() guard keeps
+          // the index legal when e.k = 0 (the when() arm wins there, but
+          // ANSI element_at(…, 0) must never be constructed)
+          val prev = element_at(acc, greatest(e.getField("k"), lit(1)))
+          val prevOk = when(e.getField("k") === 0, lit(true))
+            .otherwise(prev.isNotNull && e.getField("ts") > prev)
+          when(i === e.getField("k") && x.isNull && prevOk,
+            e.getField("ts")).otherwise(x)
+        })))
+    val tCols = steps.indices.map(i =>
+      element_at(col("__acc"), i + 1).as(s"t$i"))
+    val reached = steps.indices.map(i =>
+      element_at(col("__acc"), i + 1).isNotNull.cast("long")).reduce(_ + _)
+    folded
+      .filter(element_at(col("__acc"), 1).isNotNull) // entrants only
+      .select((col(userCol) +: tCols) :+ reached.as("steps_reached"): _*)
   }
 
   /** Weekly cohort retention: users grouped by the week of their FIRST

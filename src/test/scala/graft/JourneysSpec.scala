@@ -48,6 +48,56 @@ class JourneysSpec extends SparkSpec {
       Journeys.funnelSteps(events, "user_id", "ts", "event_type",
         Seq("view", "view"))
     }
+    intercept[IllegalArgumentException] {
+      Journeys.funnelStepsOnePass(events, "user_id", "ts", "event_type",
+        Seq("view", "view"))
+    }
+  }
+
+  test("funnelStepsOnePass ≡ funnelSteps: fixture edges and a randomized " +
+      "event soup") {
+    // the fixture from the k-pass test: ties, broken funnels, pre-step
+    // events, non-entrants
+    val fixture = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      (2L, ts("2024-01-02 09:00:00"), "click"),
+      (2L, ts("2024-01-02 10:00:00"), "view"),
+      (2L, ts("2024-01-02 11:00:00"), "click"),
+      (3L, ts("2024-01-03 10:00:00"), "purchase"),
+      (4L, ts("2024-01-04 10:00:00"), "view"),
+      (5L, ts("2024-01-05 10:00:00"), "view"),
+      (5L, ts("2024-01-05 10:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val steps = Seq("view", "click", "purchase")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "t0", "t1", "t2", "steps_reached")
+        .as[(Long, Option[Timestamp], Option[Timestamp], Option[Timestamp],
+          Long)].collect().toSet
+    assert(
+      rows(Journeys.funnelStepsOnePass(fixture, "user_id", "ts",
+        "event_type", steps)) ==
+      rows(Journeys.funnelSteps(fixture, "user_id", "ts", "event_type",
+        steps)))
+
+    // deterministic pseudo-random soup: 40 users × 30 events over 4 types
+    // (one type OUTSIDE the funnel), second-granularity times with heavy
+    // ties — every chain shape shows up
+    val rnd = new scala.util.Random(7)
+    val types = Seq("view", "click", "purchase", "noise")
+    val soup = (1 to 40).flatMap { u =>
+      (1 to 30).map { _ =>
+        (u.toLong,
+          ts(f"2024-02-01 10:00:${rnd.nextInt(40)}%02d"),
+          types(rnd.nextInt(types.size)))
+      }
+    }.toDF("user_id", "ts", "event_type")
+    assert(
+      rows(Journeys.funnelStepsOnePass(soup, "user_id", "ts",
+        "event_type", steps)) ==
+      rows(Journeys.funnelSteps(soup, "user_id", "ts", "event_type",
+        steps)))
   }
 
   test("cohortRetention: week-0 full, later periods counted per cohort") {
