@@ -663,6 +663,140 @@ object TextStats {
         (n.cast("long") * lit(100.0)) + lit(0.5)).cast("long"))
   }
 
+  // ---- external ARPA (KenLM-format) model load + scoring -----------------
+
+  /** A parsed ARPA bigram backoff model. `unigrams`: word → (log10 prob,
+    * log10 backoff weight); `bigrams`: "w1 w2" → log10 prob; `unkLp`:
+    * `<unk>`'s log10 prob when the model lists one, else the open-vocab
+    * floor −99 (silence, the SRILM convention).
+    */
+  case class ArpaModel(unigrams: Seq[(String, Double, Double)],
+                       bigrams: Seq[(String, Double)], unkLp: Double)
+
+  /** Parse ARPA text (the KenLM/SRILM interchange format) into the
+    * engine's model-table shape — the CCNet deployment where the
+    * perplexity filter scores against a REFERENCE model file instead of
+    * self-training ([[selfKnCrossEntropy]]). Sections `\\data\\`,
+    * `\\1-grams:`, `\\2-grams:`, `\\end\\`; data lines are
+    * `log10prob gram... [log10backoff]`. Orders ≥ 3 are rejected loudly
+    * — the engine's LM family is bigram (collapse a higher-order model
+    * with KenLM before loading); a declared-but-empty `ngram 3=0` is
+    * fine.
+    *
+    * Driver-side parse by design (section headers make line meaning
+    * positional, so a distributed line-parse has no self-describing
+    * rows); `maxBytes` enforces the localize discipline — a corpus-sized
+    * model should be converted ONCE to parquet tables and joined from
+    * there, which is exactly what [[arpaCrossEntropy]] consumes.
+    */
+  def parseArpa(text: String, maxBytes: Long = 64L << 20): ArpaModel = {
+    require(text.length <= maxBytes,
+      s"parseArpa: model text ${text.length} B exceeds $maxBytes B — " +
+        "convert the model to parquet tables once and join from there")
+    val uni = Seq.newBuilder[(String, Double, Double)]
+    val bi = Seq.newBuilder[(String, Double)]
+    var section = 0 // 0 = preamble/\data\, 1/2 = n-grams, -1 = \end\
+    val secHdr = "\\\\(\\d+)-grams:".r
+    val decl = "ngram\\s+(\\d+)\\s*=\\s*(\\d+)".r
+    for (raw <- text.linesIterator; line = raw.trim if line.nonEmpty) {
+      line match {
+        case "\\data\\" => section = 0
+        case "\\end\\" => section = -1
+        case secHdr(n) =>
+          require(n.toInt <= 2,
+            s"parseArpa: order-$n section — the engine's LM family is " +
+              "bigram; collapse the model to order 2 before loading")
+          section = n.toInt
+        case l if section == 0 =>
+          l match {
+            case decl(n, c) =>
+              require(n.toInt <= 2 || c.toLong == 0L,
+                s"parseArpa: model declares ${c} ${n}-grams — the " +
+                  "engine's LM family is bigram")
+            case _ => () // header noise tolerated
+          }
+        case l if section == 1 =>
+          val f = l.split("\\s+")
+          require(f.length == 2 || f.length == 3,
+            s"parseArpa: malformed 1-gram line '$l'")
+          uni += ((f(1), f(0).toDouble,
+            if (f.length == 3) f(2).toDouble else 0.0))
+        case l if section == 2 =>
+          val f = l.split("\\s+")
+          require(f.length == 3, s"parseArpa: malformed 2-gram line '$l'")
+          bi += ((s"${f(1)} ${f(2)}", f(0).toDouble))
+        case _ => () // content after \end\ tolerated
+      }
+    }
+    val us = uni.result()
+    ArpaModel(us, bi.result(),
+      us.collectFirst { case ("<unk>", lp, _) => lp }.getOrElse(-99.0))
+  }
+
+  /** [[ArpaModel]] as DataFrames — `(uni(w, lp, bo), bi(gram, lp))` — the
+    * join-shape [[arpaCrossEntropy]] serves from (identical to what a
+    * parquet-converted model reads back as).
+    */
+  def arpaTables(spark: org.apache.spark.sql.SparkSession, m: ArpaModel)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    (m.unigrams.toDF("w", "lp", "bo"), m.bigrams.toDF("gram", "lp"))
+  }
+
+  /** ln(10) as the fixed double constant BOTH engines multiply by (the
+    * correctly-rounded value; a libm `ln(10)` call is not contractually
+    * identical across engines).
+    */
+  val Ln10: Double = 2.302585092994046
+
+  /** Per-doc cross-entropy (nats, e4) under an EXTERNAL ARPA bigram
+    * backoff model — Katz evaluation: p(w2|w1) = 10^lp(w1 w2) when the
+    * bigram is listed, else 10^(bo(w1) + lp(w2)), unknown words at
+    * `<unk>`'s mass (or the −99 floor). Same join/aggregate shape and
+    * fixed-point discipline as [[scoreBigrams]]: per-bigram −ln p rounds
+    * to e6 BEFORE the sum, mean exits e4, docs with < 2 words coalesce
+    * to (0, 0) — feed [[graft.operators.Curation.perplexityBuckets]]
+    * with `unscoredWhen = n_bigrams = 0` downstream.
+    *
+    * Scale shape: one corpus explode + three model-table equi joins (AQE
+    * broadcasts gate-sized models; a corpus-sized model hash-joins), one
+    * doc-keyed aggregate. The model tables come from [[arpaTables]] or a
+    * parquet conversion — serving never re-reads the ARPA text.
+    */
+  def arpaCrossEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String,
+                       uni: org.apache.spark.sql.DataFrame,
+                       bi: org.apache.spark.sql.DataFrame,
+                       unkLp: Double = -99.0): org.apache.spark.sql.DataFrame = {
+    val scored = docBigrams(docs, idCol, textCol)
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .withColumn("w2", split(col("gram"), " ").getItem(1))
+      .join(bi.select(col("gram"), col("lp").as("__lp2")),
+        Seq("gram"), "left_outer")
+      .join(uni.select(col("w").as("w1"), col("bo").as("__bo1")),
+        Seq("w1"), "left_outer")
+      .join(uni.select(col("w").as("w2"), col("lp").as("__lp1")),
+        Seq("w2"), "left_outer")
+      .withColumn("__log10p",
+        when(col("__lp2").isNotNull, col("__lp2"))
+          .otherwise(coalesce(col("__bo1"), lit(0.0)) +
+            coalesce(col("__lp1"), lit(unkLp))))
+      .withColumn("le6",
+        floor(-col("__log10p") * lit(Ln10) * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("le6")).as("s"))
+      .withColumn("arpa_e4",
+        floor(col("s") / (col("n_bigrams") * lit(100.0)) + lit(0.5))
+          .cast("long"))
+    docs.select(col(idCol))
+      .join(scored.select(col(idCol), col("n_bigrams"), col("arpa_e4")),
+        Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("arpa_e4"), lit(0L)).as("arpa_e4"))
+  }
+
   /** Feature-hashing text embedding (the Weinberger et al. hashing
     * trick): each word lands in bucket `md5(word) mod dim` with a ±1
     * sign from the next hash bits; the document's vector is the per-

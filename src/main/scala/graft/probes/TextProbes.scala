@@ -1342,6 +1342,75 @@ object TextProbes {
 
   // ---- family registry --------------------------------------------------
 
+  // ---- q134 external-ARPA perplexity (CCNet reference-model serving) -----
+  // TextStats.parseArpa loads a LITERAL KenLM-format bigram backoff model
+  // (listed bigrams over the corpus's head vocabulary, unigram backoffs,
+  // an <unk> mass) and arpaCrossEntropy scores every document under it —
+  // the CCNet deployment where the filter model is a FILE, not
+  // self-trained. The oracle re-states the same literal model as VALUES
+  // tables and replays the Katz chain (listed-bigram / backoff / unknown)
+  // with the identical e6-round-before-sum fixed-point discipline.
+  private val q134Arpa =
+    """\data\
+      |ngram 1=6
+      |ngram 2=4
+      |
+      |\1-grams:
+      |-0.9 join -0.30103
+      |-1.0 hash -0.2
+      |-1.1 row -0.25
+      |-1.2 scan
+      |-1.3 table -0.1
+      |-3.5 <unk>
+      |
+      |\2-grams:
+      |-0.4 join hash
+      |-0.6 hash join
+      |-0.7 table row
+      |-0.8 row scan
+      |
+      |\end\
+      |""".stripMargin
+
+  val q134: Q = (s, d) => {
+    val m = graft.operators.TextStats.parseArpa(q134Arpa)
+    val (uni, bi) = graft.operators.TextStats.arpaTables(s, m)
+    graft.operators.TextStats.arpaCrossEntropy(
+        Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", uni, bi, m.unkLp)
+      .orderBy("doc_id")
+  }
+
+  val q134Sql: String =
+    s"""WITH uni(w, lp, bo) AS (VALUES
+       |    ('join', -0.9, -0.30103), ('hash', -1.0, -0.2),
+       |    ('row', -1.1, -0.25), ('scan', -1.2, 0.0),
+       |    ('table', -1.3, -0.1), ('<unk>', -3.5, 0.0)),
+       |bi(gram, lp) AS (VALUES
+       |    ('join hash', -0.4), ('hash join', -0.6),
+       |    ('table row', -0.7), ('row scan', -0.8)),
+       |n AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |bg AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram,
+       |    w[i] AS w1, w[i + 1] AS w2
+       |  FROM n, unnest(generate_series(1, len(w) - 1)) t(i)
+       |  WHERE len(w) >= 2),
+       |sc AS (SELECT b.doc_id,
+       |    CAST(floor(-(CASE WHEN b2.lp IS NOT NULL THEN b2.lp
+       |        ELSE coalesce(u1.bo, 0) + coalesce(u2.lp, -3.5) END)
+       |      * 2.302585092994046 * 1000000 + 0.5) AS BIGINT) AS le6
+       |  FROM bg b
+       |  LEFT JOIN bi b2 USING (gram)
+       |  LEFT JOIN uni u1 ON u1.w = b.w1
+       |  LEFT JOIN uni u2 ON u2.w = b.w2),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(floor(sum(le6) / (count(*) * 100.0) + 0.5) AS BIGINT)
+       |      AS arpa_e4
+       |  FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(a.arpa_e4, 0) AS arpa_e4
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   private[probes] val queries: Map[String, Q] = Map(
     "q32_lang_id" -> q32,
     "q33_quality_score" -> q33,
@@ -1373,7 +1442,8 @@ object TextProbes {
     "q123_quality_signals" -> q123,
     "q127_bm25_indexed" -> q127,
     "q128_rrf_hybrid" -> q128,
-    "q129_wordpiece" -> q129)
+    "q129_wordpiece" -> q129,
+    "q134_arpa_ppl" -> q134)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q32_lang_id" -> q32Sql,
@@ -1406,5 +1476,6 @@ object TextProbes {
     "q123_quality_signals" -> q123Sql,
     "q127_bm25_indexed" -> q127Sql,
     "q128_rrf_hybrid" -> q128Sql,
-    "q129_wordpiece" -> q129Sql)
+    "q129_wordpiece" -> q129Sql,
+    "q134_arpa_ppl" -> q134Sql)
 }

@@ -172,4 +172,73 @@ class KnLmSpec extends SparkSpec {
     for (l <- Seq("en", "fr"); b <- Seq("head", "middle", "tail"))
       assert(counts.contains((l, b, 2L)), s"missing ($l, $b, 2): $counts")
   }
+
+  private val arpaFixture =
+    """\data\
+      |ngram 1=4
+      |ngram 2=2
+      |
+      |\1-grams:
+      |-1.0 the -0.30103
+      |-1.5 table -0.2
+      |-2.0 row
+      |-3.0 <unk>
+      |
+      |\2-grams:
+      |-0.5 the table
+      |-0.8 table row
+      |
+      |\end\
+      |""".stripMargin
+      .replace("\n", "\n") // (explicit: fixture travels with \n lines)
+
+  test("parseArpa: fields, optional backoff, <unk>, order-3 rejection") {
+    import graft.operators.TextStats
+    val m = TextStats.parseArpa(arpaFixture)
+    assert(m.unigrams.toSet == Set(("the", -1.0, -0.30103),
+      ("table", -1.5, -0.2), ("row", -2.0, 0.0), ("<unk>", -3.0, 0.0)))
+    assert(m.bigrams.toSet == Set(("the table", -0.5), ("table row", -0.8)))
+    assert(m.unkLp == -3.0)
+    // declared-but-empty order 3 is fine; a populated one is not
+    TextStats.parseArpa(arpaFixture.replace("ngram 2=2", "ngram 2=2\nngram 3=0"))
+    intercept[IllegalArgumentException] {
+      TextStats.parseArpa(arpaFixture.replace("ngram 2=2", "ngram 3=5"))
+    }
+    intercept[IllegalArgumentException] {
+      TextStats.parseArpa(arpaFixture + "\n\\3-grams:\n-0.1 a b c\n")
+    }
+    // a model with no <unk> line gets the -99 floor
+    val noUnk = TextStats.parseArpa(
+      arpaFixture.replace("-3.0 <unk>\n", "").replace("ngram 1=4", "ngram 1=3"))
+    assert(noUnk.unkLp == -99.0)
+  }
+
+  test("arpaCrossEntropy: listed bigram, backoff path, unknown word — " +
+      "hand-computed Katz chain") {
+    import graft.operators.TextStats
+    val m = TextStats.parseArpa(arpaFixture)
+    val (uni, bi) = TextStats.arpaTables(spark, m)
+    // doc 1: "the table row" → bigrams [the table][table row], both
+    // listed: lp −0.5, −0.8
+    // doc 2: "the row" → unlisted: bo(the) + lp(row) = −0.30103 − 2.0
+    // doc 3: "row zebra" → unlisted, zebra unknown:
+    //        bo(row)=0 + lp(<unk>) = −3.0
+    // doc 4: "word" → no bigrams → (0, 0)
+    val docs = Seq((1L, "the table row"), (2L, "the row"),
+      (3L, "row zebra"), (4L, "word")).toDF("doc_id", "text")
+    val got = TextStats.arpaCrossEntropy(docs, "doc_id", "text", uni, bi,
+        m.unkLp)
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "arpa_e4")
+      .as[(Long, Long, Long)].collect().toSeq
+    def le6(lp: Double): Long =
+      math.floor(-lp * TextStats.Ln10 * 1e6 + 0.5).toLong
+    def e4(ls: Seq[Long]): Long =
+      math.floor(ls.sum / (ls.size * 100.0) + 0.5).toLong
+    assert(got == Seq(
+      (1L, 2L, e4(Seq(le6(-0.5), le6(-0.8)))),
+      (2L, 1L, e4(Seq(le6(-0.30103 - 2.0)))),
+      (3L, 1L, e4(Seq(le6(-3.0)))),
+      (4L, 0L, 0L)), got.toString)
+  }
 }
