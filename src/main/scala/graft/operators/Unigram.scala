@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenization (Kudo 2018; the SentencePiece
+  * training objective): pieces carry LIKELIHOODS, not just frequencies —
+  * the third tokenizer family beside [[Bpe]] (learned merges) and
+  * [[Subword]] (frequency + longest-match). Training seeds a substring
+  * candidate vocabulary, runs a distributed E-step (segment the
+  * vocabulary-bounded WORD table under the current piece costs, count
+  * freq-weighted piece usage), and a driver-local prune/re-estimate
+  * (keep every single character for completeness + the top multi-char
+  * pieces by usage; add-one smoothed costs) — the [[Bpe]] shape: the
+  * corpus explodes once into word frequencies, every round after that
+  * touches only vocabulary-bounded tables, and the model is localized
+  * under an explicit cap.
+  *
+  * Decoding is likelihood-greedy: at each position take the matching
+  * piece with the LOWEST cost per character (cost·10⁶ fixed-point of
+  * −ln p, double ratio — identical arithmetic both engines), ties to the
+  * longer piece; unknown characters fall back to themselves, exactly
+  * [[Subword.wordPieceEncode]]'s fallback. [[viterbiEncode]] is the
+  * exact min-total-cost DP twin (the SentencePiece `--nbest 1` serving
+  * rule) — spec-pinned optimal against brute-force enumeration; the
+  * greedy form is the oracle-replayable default (its LATERAL probe is
+  * SQL-expressible where a min-cost lattice DP is not).
+  */
+object Unigram {
+
+  /** Candidate seed vocabulary: EVERY single character of the vocabulary
+    * words (encoding completeness) plus the top `multiPieces` multi-char
+    * substrings by (weighted freq DESC, piece ASC) — the
+    * [[Subword.substringCounts]] explode, vocabulary-bounded.
+    */
+  def seedPieces(wordFreqs: DataFrame, multiPieces: Int,
+                 maxPieceLen: Int = 8): DataFrame = {
+    require(multiPieces >= 0)
+    val chars = Subword.substringCounts(wordFreqs, 1, 1)
+    val multi = Subword.substringCounts(wordFreqs, 2, maxPieceLen)
+      .orderBy(col("wfreq").desc, col("piece").asc)
+      .limit(multiPieces)
+    chars.unionByName(multi)
+  }
+
+  /** (piece, wfreq) → (piece, cost) with cost = ⌊−ln(wfreq/Σwfreq)·10⁶ +
+    * 0.5⌋ — the e6 fixed-point negative log-likelihood every later
+    * compare uses.
+    */
+  def pieceCosts(pieces: DataFrame): DataFrame = {
+    val total = broadcast(pieces.agg(
+      sum(col("wfreq")).cast("double").as("__tot")))
+    pieces.crossJoin(total)
+      .select(col("piece"),
+        floor(-log(col("wfreq").cast("double") / col("__tot")) * lit(1e6)
+          + lit(0.5)).cast("long").as("cost"))
+  }
+
+  /** Collected serving model (the bounded-model contract of
+    * [[TextStats.KnModel]] / [[Subword.WpModel]]): piece → e6 cost.
+    */
+  case class UniModel(costs: Map[String, Long], maxPieceLen: Int)
+
+  def collectUniModel(costs: DataFrame, maxPieceLen: Int = 8,
+                      maxEntries: Int = 1 << 20): UniModel = {
+    val rows = costs.select(col("piece"), col("cost").cast("long"))
+      .limit(maxEntries + 1).collect()
+    require(rows.length <= maxEntries,
+      s"collectUniModel: vocabulary > $maxEntries pieces")
+    UniModel(rows.map(r => r.getString(0) -> r.getLong(1)).toMap, maxPieceLen)
+  }
+
+  /** The likelihood-greedy segmentation of one word under a broadcast
+    * model, as a pure Column fold (the [[Subword.wordPieceEncode]]
+    * skeleton with the match rule swapped): per position, among matching
+    * pieces minimize cost/len (double ratio), ties to the longer piece;
+    * no match → the single character itself. At most `maxWordIters`
+    * steps (each consumes ≥ 1 char; cap mirrored in the oracle).
+    */
+  private def encodeWordGreedy(model: UniModel, maxWordIters: Int)
+      : Column => Column = w => {
+    val vmap = typedLit(model.costs)
+    val cs = Bpe.charSymbols(w)
+    def pieceAt(pos: Column, l: Int): Column =
+      array_join(slice(cs, pos, lit(l)), "")
+    val init = struct(lit(1).as("p"),
+      array().cast("array<string>").as("acc"))
+    aggregate(
+      sequence(lit(1), lit(maxWordIters)),
+      init,
+      (st, _) => {
+        val pos = st.getField("p")
+        // candidates as an ARRAY of (ratio, -len) structs; array_min
+        // skips the null (non-matching) slots and struct ordering is
+        // lexicographic — min ratio first, then -len asc = longest of
+        // the tied. (An accumulator-fold formulation duplicates the
+        // accumulated when-chain 4× per length level — 4^maxPieceLen
+        // expression nodes, a driver OOM at analysis time, measured.)
+        val cands = array((1 to model.maxPieceLen).map { l =>
+          val c = element_at(vmap, pieceAt(pos, l))
+          // boundary guard: slice CLAMPS at the word end, so without it
+          // a length-l probe past the end re-matches the tail piece and
+          // claims l's (better) ratio — measured, not hypothetical
+          when(pos + lit(l - 1) <= size(cs) && c.isNotNull,
+            struct((c.cast("double") / lit(l.toDouble)).as("r"),
+              lit(-l).as("nl")))
+        }: _*)
+        val best = array_min(cands)
+        val mlen = when(best.isNotNull, -best.getField("nl"))
+          .otherwise(lit(1)) // unknown char fallback
+        when(pos > size(cs), st).otherwise(struct(
+          (pos + mlen).as("p"),
+          concat(st.getField("acc"),
+            array(array_join(slice(cs, pos, mlen), ""))).as("acc")))
+      },
+      st => st.getField("acc"))
+  }
+
+  /** Distributed E-step: segment every vocabulary WORD under `model`
+    * (one fold per word over the vocabulary-bounded table — never the
+    * corpus) and sum freq-weighted piece usage. During training every
+    * emitted piece exists in the model (its single chars seed from the
+    * same words), so usage covers all emissions.
+    */
+  def pieceUsage(wordFreqs: DataFrame, model: UniModel,
+                 maxWordIters: Int = 32): DataFrame =
+    wordFreqs
+      .select(col("freq"),
+        explode(encodeWordGreedy(model, maxWordIters)(col("w"))).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("usage"))
+
+  /** Train: seed → per-round (distributed E-step → driver-local prune +
+    * add-one re-estimate). Final vocabulary = every seed character +
+    * the top (`vocabSize` − nChars) multi-char pieces by (usage DESC,
+    * piece ASC); costs from smoothed usage (usage+1 over the kept set —
+    * a kept-but-unused char keeps a finite cost). Returns the
+    * (piece, cost) table; localize with [[collectUniModel]] to serve.
+    */
+  def trainUnigram(wordFreqs: DataFrame, vocabSize: Int, rounds: Int = 1,
+                   seedMultiplier: Int = 4, maxPieceLen: Int = 8,
+                   maxWordIters: Int = 32,
+                   maxEntries: Int = 1 << 20): DataFrame = {
+    require(vocabSize >= 1 && rounds >= 1 && seedMultiplier >= 1)
+    val spark = wordFreqs.sparkSession
+    import spark.implicits._
+    val chars = Subword.substringCounts(wordFreqs, 1, 1)
+      .select("piece").as[String].collect().toSet // bounded: alphabet size
+    var model = collectUniModel(
+      pieceCosts(seedPieces(wordFreqs, seedMultiplier * vocabSize,
+        maxPieceLen)),
+      maxPieceLen, maxEntries)
+    var kept: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val usage = pieceUsage(wordFreqs, model, maxWordIters)
+      val charRows = chars.toSeq.sorted.toDF("piece")
+        .join(usage, Seq("piece"), "left_outer")
+        .select(col("piece"), coalesce(col("usage"), lit(0L)).as("usage"))
+      val nMulti = math.max(0, vocabSize - chars.size)
+      val multi = usage.filter(length(col("piece")) >= 2)
+        .orderBy(col("usage").desc, col("piece").asc)
+        .limit(nMulti)
+      kept = charRows.unionByName(multi)
+        .select(col("piece"), (col("usage") + lit(1L)).as("wfreq"))
+      model = collectUniModel(pieceCosts(kept), maxPieceLen, maxEntries)
+    }
+    pieceCosts(kept)
+  }
+
+  /** Likelihood-greedy document encoding under a trained model: output
+    * (idCol, n_pieces, enc) — the [[Subword.wordPieceEncode]] surface
+    * with the unigram match rule. Pure per-row HOF arithmetic over the
+    * broadcast model; no shuffle, no UDF.
+    */
+  def unigramEncode(docs: DataFrame, idCol: String, textCol: String,
+                    model: UniModel, maxWordIters: Int = 32): DataFrame = {
+    val words = Dedup.normalizeWords(col(textCol))
+    graft.core.Ops.widen(docs)
+      .select(col(idCol),
+        flatten(transform(words,
+          encodeWordGreedy(model, maxWordIters))).as("__ps"))
+      .select(col(idCol), size(col("__ps")).cast("long").as("n_pieces"),
+        array_join(col("__ps"), "|").as("enc"))
+  }
+
+  /** Exact Viterbi decoding: the segmentation minimizing TOTAL e6 cost
+    * (unknown characters priced at `unkCost`), ties broken toward the
+    * segmentation that is lexicographically-greatest in piece lengths
+    * scanned left to right (i.e. at equal total cost the EARLIER
+    * boundary prefers the LONGER piece — matches the backtrace rule
+    * below). Two folds per word: a forward DP building best-cost per
+    * boundary (integer-exact long arithmetic), then a backtrace
+    * reconstructing pieces. UnigramSpec pins optimality against
+    * brute-force enumeration on short words.
+    */
+  def viterbiEncode(docs: DataFrame, idCol: String, textCol: String,
+                    model: UniModel, maxWordLen: Int = 32,
+                    unkCost: Long = 100L * 1000000L): DataFrame = {
+    val vmap = typedLit(model.costs)
+    val words = Dedup.normalizeWords(col(textCol))
+    val encodeWord: Column => Column = w => {
+      val cs = Bpe.charSymbols(w)
+      def pieceAt(pos: Column, l: Int): Column =
+        array_join(slice(cs, pos, lit(l)), "")
+      // cost of the piece starting at pos with length l (1-based pos);
+      // single chars fall back to unkCost when absent
+      def stepCost(pos: Column, l: Int): Column =
+        if (l == 1) coalesce(element_at(vmap, pieceAt(pos, 1)), lit(unkCost))
+        else element_at(vmap, pieceAt(pos, l))
+      // forward DP: best(i) = min cost of encoding chars [1, i]; acc is
+      // the growing array [best(0)=0, best(1), …]
+      val fwd = aggregate(
+        sequence(lit(1), size(cs)),
+        array(lit(0L)),
+        (acc, i) => {
+          val cand = (1 to model.maxPieceLen).map { l =>
+            val prev = element_at(acc, i - lit(l) + 1) // best(i-l), 1-based
+            when(i >= lit(l),
+              when(stepCost(i - lit(l) + 1, l).isNotNull,
+                prev + stepCost(i - lit(l) + 1, l)))
+          }
+          concat(acc, array(least(cand: _*)))
+        })
+      // backtrace from the end: at boundary i choose the LONGEST l with
+      // best(i-l) + cost(piece) == best(i). The DP table is BOUND as a
+      // lambda variable (transform over a 1-element array) so the
+      // backtrace's ~9 references per step read a variable instead of
+      // re-evaluating the forward aggregate each time.
+      val backtraced = transform(array(fwd), f => {
+        val init = struct(size(cs).as("p"),
+          array().cast("array<string>").as("acc"))
+        aggregate(
+          sequence(lit(1), lit(maxWordLen)),
+          init,
+          (st, _) => {
+            val i = st.getField("p")
+            val bi = element_at(f, i + 1)
+            val mlen = (1 to model.maxPieceLen).foldLeft(lit(0)) { (b, l) =>
+              val start = i - lit(l) + 1
+              val ok = i >= lit(l) && stepCost(start, l).isNotNull &&
+                element_at(f, i - lit(l) + 1) + stepCost(start, l) === bi
+              when(ok, lit(l)).otherwise(b) // ascending fold: longest wins
+            }
+            when(i <= 0, st).otherwise(struct(
+              (i - mlen).as("p"),
+              concat(array(array_join(slice(cs, i - mlen + 1, mlen), "")),
+                st.getField("acc")).as("acc")))
+          },
+          st => st.getField("acc"))
+      })
+      element_at(backtraced, 1)
+    }
+    graft.core.Ops.widen(docs)
+      .select(col(idCol),
+        flatten(transform(words, encodeWord)).as("__ps"))
+      .select(col(idCol), size(col("__ps")).cast("long").as("n_pieces"),
+        array_join(col("__ps"), "|").as("enc"))
+  }
+}

@@ -1411,6 +1411,99 @@ object TextProbes {
        |FROM documents d LEFT JOIN agg a USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- q135 unigram-LM tokenizer (SentencePiece-style train + encode) ----
+  // The third tokenizer family (Unigram scaladoc): seed chars + top-600
+  // substrings with −ln-likelihood e6 costs, ONE distributed E-step
+  // (likelihood-greedy segment of the vocabulary word table), prune to
+  // chars + top-114ish multi by usage, add-one re-estimate, then encode
+  // the corpus under the final model. The oracle replays the ENTIRE
+  // training round — seed CTEs, the E-step as a recursive CTE with a
+  // min-cost-ratio LATERAL probe, usage ranking, smoothed costs — and
+  // the final segmentation with the same 32-step cap (the q129
+  // structural-parity pattern, likelihood rule instead of longest-match).
+  val q135: Q = (s, d) => {
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+      .select("doc_id", "text")
+    val wf = graft.operators.Bpe.wordFreqs(docs, "text")
+    val vocab = graft.operators.Unigram.trainUnigram(wf, vocabSize = 150)
+    val m = graft.operators.Unigram.collectUniModel(vocab)
+    graft.operators.Unigram.unigramEncode(docs, "doc_id", "text", m)
+      .orderBy("doc_id")
+  }
+
+  val q135Sql: String =
+    s"""WITH RECURSIVE n AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |wf AS (SELECT wrd AS w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(w) AS wrd FROM n) GROUP BY 1),
+       |chars AS (SELECT substr(w, p, 1) AS piece,
+       |    CAST(sum(freq) AS BIGINT) AS wfreq
+       |  FROM wf, unnest(generate_series(1, length(w))) s(p) GROUP BY 1),
+       |sub AS (SELECT substr(w, p, l) AS piece, freq
+       |  FROM wf, unnest(generate_series(2, 8)) t(l),
+       |       unnest(generate_series(1, length(w) - l + 1)) s(p)
+       |  WHERE length(w) >= l),
+       |multi AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS wfreq
+       |  FROM sub GROUP BY 1 ORDER BY wfreq DESC, piece ASC LIMIT 600),
+       |seed AS (SELECT * FROM chars UNION ALL SELECT * FROM multi),
+       |cost0 AS (SELECT piece,
+       |    CAST(floor(-ln(CAST(wfreq AS DOUBLE) /
+       |      (SELECT CAST(sum(wfreq) AS DOUBLE) FROM seed)) * 1000000
+       |      + 0.5) AS BIGINT) AS cost
+       |  FROM seed),
+       |segw AS (
+       |  SELECT w, freq, 1 AS pos, 0 AS np, CAST(NULL AS VARCHAR) AS piece
+       |  FROM wf
+       |  UNION ALL
+       |  SELECT s.w, s.freq, s.pos + coalesce(m.l, 1), s.np + 1,
+       |    coalesce(m.p, substr(s.w, s.pos, 1))
+       |  FROM segw s LEFT JOIN LATERAL (
+       |    SELECT piece AS p, length(piece) AS l FROM cost0
+       |    WHERE piece = substr(s.w, s.pos, length(piece))
+       |    ORDER BY CAST(cost AS DOUBLE) / length(piece) ASC,
+       |      length(piece) DESC LIMIT 1) m ON true
+       |  WHERE s.pos <= length(s.w) AND s.np < 32),
+       |usage AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS usage
+       |  FROM segw WHERE piece IS NOT NULL GROUP BY 1),
+       |charset AS (SELECT DISTINCT piece FROM chars),
+       |charrows AS (SELECT c.piece, coalesce(u.usage, 0) AS usage
+       |  FROM charset c LEFT JOIN usage u USING (piece)),
+       |multikept AS (SELECT piece, usage FROM (
+       |    SELECT piece, usage, row_number() OVER (
+       |      ORDER BY usage DESC, piece ASC) AS rn
+       |    FROM usage WHERE length(piece) >= 2)
+       |  WHERE rn <= 150 - (SELECT count(*) FROM charset)),
+       |kept AS (SELECT piece, usage + 1 AS wfreq FROM charrows
+       |  UNION ALL SELECT piece, usage + 1 FROM multikept),
+       |cost1 AS (SELECT piece,
+       |    CAST(floor(-ln(CAST(wfreq AS DOUBLE) /
+       |      (SELECT CAST(sum(wfreq) AS DOUBLE) FROM kept)) * 1000000
+       |      + 0.5) AS BIGINT) AS cost
+       |  FROM kept),
+       |dw AS (SELECT doc_id, i AS widx, w[i] AS wrd
+       |  FROM n, unnest(generate_series(1, len(w))) t(i)),
+       |seg AS (
+       |  SELECT doc_id, widx, wrd, 1 AS pos, 0 AS np,
+       |    CAST(NULL AS VARCHAR) AS piece
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT s.doc_id, s.widx, s.wrd, s.pos + coalesce(m.l, 1),
+       |    s.np + 1, coalesce(m.p, substr(s.wrd, s.pos, 1))
+       |  FROM seg s LEFT JOIN LATERAL (
+       |    SELECT piece AS p, length(piece) AS l FROM cost1
+       |    WHERE piece = substr(s.wrd, s.pos, length(piece))
+       |    ORDER BY CAST(cost AS DOUBLE) / length(piece) ASC,
+       |      length(piece) DESC LIMIT 1) m ON true
+       |  WHERE s.pos <= length(s.wrd) AND s.np < 32),
+       |pieces AS (SELECT doc_id, widx, np, piece FROM seg
+       |  WHERE piece IS NOT NULL),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
+       |    string_agg(piece, '|' ORDER BY widx, np) AS enc
+       |  FROM pieces GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_pieces, 0) AS n_pieces,
+       |  coalesce(a.enc, '') AS enc
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   private[probes] val queries: Map[String, Q] = Map(
     "q32_lang_id" -> q32,
     "q33_quality_score" -> q33,
@@ -1443,7 +1536,8 @@ object TextProbes {
     "q127_bm25_indexed" -> q127,
     "q128_rrf_hybrid" -> q128,
     "q129_wordpiece" -> q129,
-    "q134_arpa_ppl" -> q134)
+    "q134_arpa_ppl" -> q134,
+    "q135_unigram_lm" -> q135)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q32_lang_id" -> q32Sql,
@@ -1477,5 +1571,6 @@ object TextProbes {
     "q127_bm25_indexed" -> q127Sql,
     "q128_rrf_hybrid" -> q128Sql,
     "q129_wordpiece" -> q129Sql,
-    "q134_arpa_ppl" -> q134Sql)
+    "q134_arpa_ppl" -> q134Sql,
+    "q135_unigram_lm" -> q135Sql)
 }

@@ -674,6 +674,24 @@ object Scale {
         }
         dm.unpersist(false)
       }
+      // round-10 third tokenizer family: unigram-LM train (seed + one
+      // distributed E-step + prune) and likelihood-greedy encode — same
+      // checkpointed-corpus discipline as the wordpiece row
+      locally {
+        val dm = d.localCheckpoint(true)
+        run("unigram_lm", n) {
+          val vocab = graft.operators.Unigram.trainUnigram(
+            graft.operators.Bpe.wordFreqs(dm, "text"), vocabSize = 150)
+          val model = graft.operators.Unigram.collectUniModel(vocab)
+          graft.core.Managed(
+            graft.operators.Unigram.unigramEncode(dm, "doc_id", "text",
+                model)
+              .groupBy(col("doc_id") % 32)
+              .agg(count(lit(1)).as("docs"), sum("n_pieces").as("np")),
+            Seq.empty)
+        }
+        dm.unpersist(false)
+      }
       run("cms_heavy", n) {
         // sketch build from the vocabulary agg + top-20 point estimates;
         // the 20-row result is collected directly (TakeOrderedAndProject,
