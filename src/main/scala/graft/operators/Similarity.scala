@@ -553,6 +553,114 @@ object Similarity {
     out
   }
 
+  /** Top-k eigenvectors of a [[covarianceUpper]] table by DEFLATED power
+    * iteration — the orthogonal basis the parametric-OPQ rotation and
+    * top-k PCA consume (q131's top-1 generalized): for each component,
+    * run [[powerIterationTop]]'s unrolled integer-exact steps on the
+    * CURRENT matrix, then deflate `C ← C − λ·v·vᵀ` with the Rayleigh
+    * estimate and recurse on the remainder. Every intermediate re-enters
+    * integer land (the q98/q117 discipline): the deflation outer product
+    * downs-scales to e6 BEFORE the λ multiply so no product leaves
+    * BIGINT range, and λ itself is one double division of two exact
+    * integer sums — the whole k-component trajectory is
+    * oracle-mirrorable. Matrix state is d²-bounded and checkpointed per
+    * component. Output: (comp 1..k, i, v_e6) — e6 unit eigenvector
+    * estimates, descending eigenvalue order.
+    */
+  def topKEigen(cov: DataFrame, dim: Int, k: Int,
+                steps: Int = 3): DataFrame = {
+    require(dim >= 1 && k >= 1 && k <= dim && steps >= 1)
+    val spark = cov.sparkSession
+    // Materialize AND reset plan statistics. localCheckpoint alone
+    // INHERITS the child's sizeInBytes estimate, and every matvec/deflate
+    // join MULTIPLIES its inputs' estimates — u ~ sym·v, deflated
+    // sym' ~ sym·v², so the estimate's bit-length grows ~9× per
+    // component and BigInteger overflows (> 2^2^31) near component 10
+    // (measured). Re-wrapping the checkpointed RDD resets the stats to
+    // defaults; frames here are d- or d²-row tiny, so the Row re-encode
+    // is noise.
+    def mat(df: DataFrame): DataFrame = {
+      val cp = df.localCheckpoint(true)
+      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
+    var sym = mat(cov.select(col("i"), col("j"), col("cov_e6"))
+      .unionByName(cov.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov_e6")))) // d²-bounded
+    def matvec(m: DataFrame, v: DataFrame): DataFrame =
+      mat(m.join(v, Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(col("cov_e6") * col("v_e6")).as("__w"))
+        .select(col("i"),
+          floor(col("__w") / lit(1e6) + lit(0.5)).cast("long").as("__u")))
+    val comps = Seq.newBuilder[DataFrame]
+    for (c <- 1 to k) {
+      var v = spark.range(1, dim + 1)
+        .select(col("id").as("j"), lit(1000000L).as("v_e6"))
+      for (_ <- 1 to steps) {
+        val u = matvec(sym, v)
+        val s2 = u.agg(sum(col("__u") * col("__u")).as("s2")).head().getLong(0)
+        val nrm = math.sqrt(s2.toDouble)
+        v = u.select(col("i").as("j"),
+          (if (nrm > 0)
+            floor(col("__u") / lit(nrm) * lit(1e6) + lit(0.5)).cast("long")
+          else col("__u")).as("v_e6"))
+      }
+      val vc = mat(v)
+      comps += vc.select(lit(c.toLong).as("comp"), col("j").as("i"),
+        col("v_e6"))
+      if (c < k) {
+        // Rayleigh λ_e6 = ⌊Σᵢ wᵢ·vᵢ / ⌊Σᵢ vᵢ²/10⁶+½⌋ + ½⌋ with w = C·v
+        // (e6) — two exact integer sums, one double division
+        val wfin = matvec(sym, vc)
+        val num = wfin.join(vc.select(col("j").as("i"), col("v_e6")), Seq("i"))
+          .agg(sum(col("__u") * col("v_e6")).as("n")).head().getLong(0)
+        val den = vc.agg(
+          floor(sum(col("v_e6") * col("v_e6")) / lit(1e6) + lit(0.5))
+            .cast("long").as("d")).head().getLong(0)
+        val lamE6 = math.floor(num.toDouble / den + 0.5).toLong
+        // deflate: outer product down-scaled to e6 FIRST, then λ —
+        // ⌊λ_e6·⌊vᵢvⱼ/10⁶+½⌋/10⁶+½⌋ stays within BIGINT
+        val vi = vc.select(col("j").as("i"), col("v_e6").as("__vi"))
+        val vj = vc.select(col("j"), col("v_e6").as("__vj"))
+        sym = sym.join(vi, Seq("i")).join(vj, Seq("j"))
+          .select(col("i"), col("j"),
+            (col("cov_e6") -
+              floor(lit(lamE6) *
+                floor(col("__vi") * col("__vj") / lit(1e6) + lit(0.5)) /
+                lit(1e6) + lit(0.5)).cast("long")).as("cov_e6"))
+        sym = mat(sym)
+      }
+    }
+    comps.result().reduce(_ unionByName _)
+  }
+
+  /** Collect a [[topKEigen]] basis into k rotation rows (bounded: k×d
+    * doubles) for the per-row projection [[rotateExpr]].
+    */
+  def collectRotation(eig: DataFrame, dim: Int, k: Int): Seq[Seq[Double]] = {
+    val rows = eig.select(col("comp").cast("int"), col("i").cast("int"),
+      col("v_e6").cast("long")).collect()
+    require(rows.length == k * dim,
+      s"collectRotation: ${rows.length} entries for k=$k dim=$dim")
+    val m = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    (1 to k).map(c => (1 to dim).map(i => m((c, i)) / 1e6))
+  }
+
+  /** Parametric-OPQ projection: v → R·v over the collected top-k
+    * eigenbasis — per-row arithmetic against literal rotation rows (no
+    * shuffle, no UDF). With k = d this is the orthogonal OPQ rotation;
+    * with k < d it is PCA dimension reduction, either way aligning
+    * coordinates with the covariance eigenbasis so PQ's independent
+    * per-subspace quantizers stop paying for cross-subspace correlation
+    * (Ge et al. 2013, the parametric solution).
+    */
+  def rotateExpr(v: Column, rot: Seq[Seq[Double]]): Column =
+    array(rot.map { row =>
+      val rowLit = array(row.map(lit): _*)
+      aggregate(zip_with(v, rowLit, (x, r) => x * r),
+        lit(0d), (acc, x) => acc + x)
+    }: _*)
+
   /** √N cell-count rule: `ceil(sqrt(n))`, clamped to [1, 2^20]. A CONSTANT
     * cell count does not survive corpus growth: SCALE.md's PQ recall grids
     * (rounds 7–8) measured ~0.15 recall@10 shed at 10× with cells pinned,

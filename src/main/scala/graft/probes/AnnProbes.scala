@@ -583,6 +583,78 @@ object AnnProbes {
        |SELECT j AS i, v_e6 FROM v3 ORDER BY i""".stripMargin
   }
 
+  // ---- q136 top-k eigenbasis via deflated power iteration (OPQ rot) ------
+  // Similarity.topKEigen over the q130 covariance: component 1 = two
+  // unrolled q131 power steps; then the Rayleigh λ (two exact integer
+  // sums, one double division), the e6-downscaled outer-product
+  // deflation C − λvvᵀ, and component 2 on the remainder — the full
+  // step/deflate alternation replayed CTE by CTE (the q117 unrolled-
+  // trajectory pattern). This basis is the parametric-OPQ rotation the
+  // PQ stack consumes (rotateExpr); its recall delta on correlated
+  // embeddings is measured in tools/Recall (SCALE.md round-10).
+  val q136: Q = (s, d) => {
+    val cov = graft.operators.Similarity.covarianceUpper(
+      Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"),
+          graft.operators.Similarity.toDoubleVec(col("embedding")).as("v")),
+      dim = 64)
+    graft.operators.Similarity.topKEigen(cov, dim = 64, k = 2, steps = 2)
+      .orderBy("comp", "i")
+  }
+
+  val q136Sql: String = {
+    def stepCtes(mat: String, pfx: String) = (1 to 2).map { t =>
+      val prev = if (t == 1) "v0" else s"$pfx${t - 1}"
+      s"""${pfx}w$t AS (SELECT s.i, CAST(sum(s.cov_e6 * v.v_e6) AS BIGINT) AS w
+         |  FROM $mat s JOIN $prev v ON v.j = s.j GROUP BY 1),
+         |${pfx}u$t AS (SELECT i, CAST(floor(w / 1000000.0 + 0.5) AS BIGINT) AS u
+         |  FROM ${pfx}w$t),
+         |${pfx}n$t AS (SELECT sqrt(CAST(sum(u * u) AS DOUBLE)) AS nrm FROM ${pfx}u$t),
+         |$pfx$t AS (SELECT i AS j, CAST(floor(u / (SELECT nrm FROM ${pfx}n$t)
+         |    * 1000000 + 0.5) AS BIGINT) AS v_e6 FROM ${pfx}u$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |pr AS (SELECT i, j,
+       |    CAST(floor(v[i] * v[j] * 1e6 + 0.5) AS BIGINT) AS p
+       |  FROM e, unnest(generate_series(1, 64)) t(i),
+       |       unnest(generate_series(1, 64)) u(j)
+       |  WHERE j >= i),
+       |sp AS (SELECT i, j, CAST(sum(p) AS BIGINT) AS sp,
+       |    CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY 1, 2),
+       |s1 AS (SELECT i,
+       |    CAST(sum(CAST(floor(v[i] * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s
+       |  FROM e, unnest(generate_series(1, 64)) t(i) GROUP BY 1),
+       |cov AS (SELECT sp.i, sp.j,
+       |    CAST(floor((sp.sp - a.s * 1.0 * b.s / (sp.n * 1000000.0)) / sp.n
+       |      + 0.5) AS BIGINT) AS cov_e6
+       |  FROM sp JOIN s1 a ON a.i = sp.i JOIN s1 b ON b.i = sp.j),
+       |sym AS (SELECT i, j, cov_e6 FROM cov
+       |  UNION ALL SELECT j, i, cov_e6 FROM cov WHERE i <> j),
+       |v0 AS (SELECT unnest(generate_series(1, 64)) AS j,
+       |    CAST(1000000 AS BIGINT) AS v_e6),
+       |${stepCtes("sym", "a")},
+       |rw AS (SELECT s.i, CAST(sum(s.cov_e6 * v.v_e6) AS BIGINT) AS w
+       |  FROM sym s JOIN a2 v ON v.j = s.j GROUP BY 1),
+       |ru AS (SELECT i, CAST(floor(w / 1000000.0 + 0.5) AS BIGINT) AS u
+       |  FROM rw),
+       |num AS (SELECT CAST(sum(ru.u * v.v_e6) AS BIGINT) AS n
+       |  FROM ru JOIN a2 v ON v.j = ru.i),
+       |den AS (SELECT CAST(floor(sum(v_e6 * v_e6) / 1e6 + 0.5) AS BIGINT)
+       |    AS d FROM a2),
+       |lam AS (SELECT CAST(floor(CAST((SELECT n FROM num) AS DOUBLE)
+       |    / (SELECT d FROM den) + 0.5) AS BIGINT) AS l),
+       |sym2 AS (SELECT s.i, s.j,
+       |    CAST(s.cov_e6 - floor((SELECT l FROM lam) *
+       |      floor(vi.v_e6 * vj.v_e6 / 1e6 + 0.5) / 1e6 + 0.5) AS BIGINT)
+       |      AS cov_e6
+       |  FROM sym s JOIN a2 vi ON vi.j = s.i JOIN a2 vj ON vj.j = s.j),
+       |${stepCtes("sym2", "b")}
+       |SELECT CAST(1 AS BIGINT) AS comp, j AS i, v_e6 FROM a2
+       |UNION ALL SELECT 2, j, v_e6 FROM b2
+       |ORDER BY comp, i""".stripMargin
+  }
+
   // ---- family registry --------------------------------------------------
 
   private[probes] val queries: Map[String, Q] = Map(
@@ -599,7 +671,8 @@ object AnnProbes {
     "q112_cluster_sample" -> q112,
     "q121_hamming_topk" -> q121,
     "q130_embed_cov" -> q130,
-    "q131_power_iter" -> q131)
+    "q131_power_iter" -> q131,
+    "q136_topk_eigen" -> q136)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q30_cosine_neardup" -> q30Sql,
@@ -615,5 +688,6 @@ object AnnProbes {
     "q112_cluster_sample" -> q112Sql,
     "q121_hamming_topk" -> q121Sql,
     "q130_embed_cov" -> q130Sql,
-    "q131_power_iter" -> q131Sql)
+    "q131_power_iter" -> q131Sql,
+    "q136_topk_eigen" -> q136Sql)
 }

@@ -24,6 +24,7 @@ object Recall {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
     require(factor < 100, "id offsets collide at factor >= 100")
+    val opqOnly = args.length > 2 && args(2) == "--opq"
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
     val k = 10
@@ -42,7 +43,7 @@ object Recall {
       val cent = Similarity.buildIvf(v, numCells = 16, iters = 1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cent.count()
-      for (nprobe <- Seq(1, 2, 4)) {
+      for (nprobe <- Seq(1, 2, 4) if !opqOnly) {
         val got = Similarity.ivfTopK(v, cent, queries, nprobe, k)
           .select("vec_id", "other_id")
         val hit = got.join(truth, Seq("vec_id", "other_id")).count()
@@ -56,7 +57,7 @@ object Recall {
       val centAuto = Similarity.buildIvf(v, iters = 1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cAuto = centAuto.count().toInt
-      for (frac <- Seq(16, 8, 4)) {
+      for (frac <- Seq(16, 8, 4) if !opqOnly) {
         val nprobe = math.max(1, (cAuto + frac - 1) / frac)
         val got = Similarity.ivfTopK(v, centAuto, queries, nprobe, k)
           .select("vec_id", "other_id")
@@ -70,7 +71,7 @@ object Recall {
       // hammingTopK's recall claim measured, not assumed: shortlist is the
       // dial (sign-bit Hamming is 1-plane-per-coordinate RP-LSH, so a
       // few-times-k shortlist should recover near-exact top-k)
-      for (shortlist <- Seq(k, 2 * k, 4 * k, 8 * k)) {
+      for (shortlist <- Seq(k, 2 * k, 4 * k, 8 * k) if !opqOnly) {
         val got = Similarity.hammingTopK(v, queries, dim = 64, k = k,
             shortlist = shortlist)
           .select("vec_id", "other_id")
@@ -100,7 +101,7 @@ object Recall {
           iters = 2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cb.count()
-      locally {
+      if (!opqOnly) {
         val got = Similarity.pqAdcTopK(
             Similarity.pqEncode(v, cb, 8, 8), cb, queries, 8, 8, k)
           .select("vec_id", "other_id")
@@ -124,7 +125,7 @@ object Recall {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
       rcb.count()
-      for (nprobe <- Seq(2, 4)) {
+      for (nprobe <- Seq(2, 4) if !opqOnly) {
         val gotRaw = Similarity.ivfPqTopK(v, centPq, cb, queries, nprobe,
             8, 8, k).select("vec_id", "other_id")
         val hitRaw = gotRaw.join(truthL2, Seq("vec_id", "other_id")).count()
@@ -143,7 +144,7 @@ object Recall {
       // probed cells' ADC ranking survives to the exact re-rank — the two
       // dials trade scan cost (nprobe ∝ cells read) against re-rank cost
       // (shortlist ∝ embeddings fetched per query).
-      locally {
+      if (!opqOnly) {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_recall_ivfpq").toString
         Similarity.writeIvfPqIndex(v, centPq, cb, dir, 8, 8)
@@ -157,6 +158,71 @@ object Recall {
             f"shortlist=$shortlist%-3d " +
             f"recall@$k=${hit.toDouble / truthN}%6.4f  (truthCos=$truthN)")
         }
+      }
+      // ---- parametric-OPQ rotation delta on CORRELATED vectors (r10) ----
+      // PQ quantizes subspaces independently, so cross-subspace
+      // correlation is pure quantization loss. Correlate each coordinate
+      // with the one 8 positions over (a DIFFERENT m=8 subspace by
+      // construction), then compare ADC recall raw vs rotated into the
+      // topKEigen eigenbasis (rotation applied to corpus AND queries;
+      // both rows scored against exact L2 truth on the same correlated
+      // vectors). x1 only — the delta, not a scale row. (`--opq` as the
+      // 3rd arg runs ONLY this section — the eigen loop is the long pole
+      // and iterating on it should not re-pay the full recall grid.)
+      if (n == 1) {
+        val corr = v.select(col("id"), expr(
+          "transform(sequence(1, 64), i -> element_at(v, CAST(i AS INT)) " +
+            "+ 0.95D * element_at(v, CAST((i % 64) + 1 AS INT)) " +
+            "+ 0.9D * element_at(v, CAST(((i + 7) % 64) + 1 AS INT)))")
+          .as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val qCorr = corr.filter(col("id") % 50 === 0)
+        val truthC = {
+          val q2 = qCorr.select(col("id").as("vec_id"), col("v").as("va"))
+          val c2 = corr.select(col("id").as("other_id"), col("v").as("vb"))
+          q2.join(c2, col("vec_id") =!= col("other_id"))
+            .withColumn("d", Similarity.sqDist(col("va"), col("vb")))
+            .withColumn("rank", org.apache.spark.sql.functions.row_number()
+              .over(org.apache.spark.sql.expressions.Window
+                .partitionBy("vec_id")
+                .orderBy(col("d").asc, col("other_id").asc)))
+            .filter(col("rank") <= k).select("vec_id", "other_id")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
+        val truthCN = truthC.count()
+        val cbC = Similarity.pqTrain(corr, m = 8, subDim = 8,
+            numCodes = 16, iters = 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cbC.count()
+        val gotRaw = Similarity.pqAdcTopK(
+            Similarity.pqEncode(corr, cbC, 8, 8), cbC, qCorr, 8, 8, k)
+          .select("vec_id", "other_id")
+        val hitRaw = gotRaw.join(truthC, Seq("vec_id", "other_id")).count()
+        println(f"RECALL opq_corr_raw x$n%-2d full-scan  " +
+          f"recall@$k=${hitRaw.toDouble / truthCN}%6.4f  (truthL2=$truthCN)")
+        val eig = Similarity.topKEigen(
+          Similarity.covarianceUpper(corr, 64), dim = 64, k = 64, steps = 4)
+        val rot = Similarity.collectRotation(eig, 64, 64)
+        // localCheckpoint, not persist: the 64-projection select on top
+        // of the scaled-union lineage overflows Catalyst's sizeInBytes
+        // product (BigInteger range) once pqTrain stacks its iteration
+        // joins on it — truncate the plan, not just cache the data
+        val rotated = corr.select(col("id"),
+            Similarity.rotateExpr(col("v"), rot).as("v"))
+          .localCheckpoint(true)
+        val qRot = rotated.filter(col("id") % 50 === 0)
+        val cbR = Similarity.pqTrain(rotated, m = 8, subDim = 8,
+            numCodes = 16, iters = 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cbR.count()
+        val gotRot = Similarity.pqAdcTopK(
+            Similarity.pqEncode(rotated, cbR, 8, 8), cbR, qRot, 8, 8, k)
+          .select("vec_id", "other_id")
+        val hitRot = gotRot.join(truthC, Seq("vec_id", "other_id")).count()
+        println(f"RECALL opq_corr_rot x$n%-2d full-scan  " +
+          f"recall@$k=${hitRot.toDouble / truthCN}%6.4f")
+        cbR.unpersist(); rotated.unpersist(false); cbC.unpersist()
+        truthC.unpersist(); corr.unpersist()
       }
       rcb.unpersist(); centPq.unpersist(); cb.unpersist()
       truthL2.unpersist()

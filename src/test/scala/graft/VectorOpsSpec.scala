@@ -241,6 +241,45 @@ class VectorOpsSpec extends SparkSpec {
       "unit norm")
   }
 
+  test("topKEigen: comp 1 equals powerIterationTop; deflation recovers a " +
+      "planted second direction, near-orthogonal; rotation decorrelates") {
+    // two planted orthogonal directions with distinct variances (5 ≫ 2)
+    // plus small noise: eigenbasis ≈ the planted axes in variance order
+    val rnd = new scala.util.Random(7)
+    val a1 = Seq(0.6, 0.8, 0.0)
+    val a2 = Seq(-0.8, 0.6, 0.0)
+    val vs = (0 until 300).map { i =>
+      val t1 = rnd.nextGaussian() * 5
+      val t2 = rnd.nextGaussian() * 2
+      (i.toLong, (0 until 3).map(d =>
+        a1(d) * t1 + a2(d) * t2 + rnd.nextGaussian() * 0.05))
+    }.toDF("id", "v")
+    val cov = Similarity.covarianceUpper(vs, dim = 3)
+    val eig = Similarity.topKEigen(cov, dim = 3, k = 2, steps = 5)
+    val rot = Similarity.collectRotation(eig, dim = 3, k = 2)
+    // component 1 must be bit-identical to the top-1 operator
+    val top1 = Similarity.powerIterationTop(cov, dim = 3, steps = 5)
+      .select("v_e6").as[Long].collect().toSeq
+    val comp1e6 = eig.filter(col("comp") === 1).orderBy("i")
+      .select("v_e6").as[Long].collect().toSeq
+    assert(comp1e6 == top1)
+    def dot(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot(rot(0), a1)) > 0.99, rot(0).toString)
+    assert(math.abs(dot(rot(1), a2)) > 0.99, rot(1).toString)
+    assert(math.abs(dot(rot(0), rot(1))) < 0.02, "near-orthogonal")
+    // rotateExpr projects onto the basis: the planted-axis coordinates
+    val got = vs.select(Similarity.rotateExpr(col("v"), rot).as("r"))
+      .select(expr("r[0]"), expr("r[1]")).as[(Double, Double)].collect()
+    // empirical correlation between rotated coords ≈ 0 (decorrelated)
+    val n = got.length
+    val (mx, my) = (got.map(_._1).sum / n, got.map(_._2).sum / n)
+    val cxy = got.map(p => (p._1 - mx) * (p._2 - my)).sum / n
+    val (sx, sy) = (math.sqrt(got.map(p => math.pow(p._1 - mx, 2)).sum / n),
+      math.sqrt(got.map(p => math.pow(p._2 - my, 2)).sum / n))
+    assert(math.abs(cxy / (sx * sy)) < 0.1, s"corr=${cxy / (sx * sy)}")
+  }
+
   test("Inventory.typed gives a Dataset[BackupFile]") {
     val inv = graft.sources.Inventory.fromListing(spark,
       Seq(("OCG_KE1_NBO-Mon.zip", "u1", "2024-01-10T08:00:00Z")),
