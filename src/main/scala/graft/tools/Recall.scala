@@ -160,20 +160,27 @@ object Recall {
         }
       }
       // ---- parametric-OPQ rotation delta on CORRELATED vectors (r10) ----
-      // PQ quantizes subspaces independently, so cross-subspace
-      // correlation is pure quantization loss. Correlate each coordinate
-      // with the one 8 positions over (a DIFFERENT m=8 subspace by
-      // construction), then compare ADC recall raw vs rotated into the
-      // topKEigen eigenbasis (rotation applied to corpus AND queries;
-      // both rows scored against exact L2 truth on the same correlated
-      // vectors). x1 only — the delta, not a scale row. (`--opq` as the
-      // 3rd arg runs ONLY this section — the eigen loop is the long pole
-      // and iterating on it should not re-pay the full recall grid.)
+      // The OPQ regime: 8 strong latent factors (the last 8 base coords)
+      // each injected into one coordinate PER contiguous-split subspace
+      // (coordinate i carries factor (i−1) mod 8) — so every subspace
+      // sees 8 near-independent inflated coordinates (intrinsic dim 8,
+      // 16 codes can't cover) while the dominant VARIANCE directions run
+      // ACROSS subspaces. Rotating into the eigenbasis and DEALING the
+      // top directions one-per-subspace (eigenvalue allocation)
+      // concentrates each subspace's variance where its codebook can
+      // spend codes. Both rows scored against exact L2 truth on the same
+      // correlated vectors; rotation applied to corpus AND queries.
+      // NOTE a neighbor-mixing corpus (i with i+1) measures the OPPOSITE
+      // sign: contiguous pqSplit already owns that redundancy and
+      // decorrelating it RAISES per-subspace intrinsic dimension
+      // (measured 0.232 raw vs 0.130 rotated) — rotation is a tool for
+      // cross-subspace structure, not a universal win; see SCALE.md.
+      // x1 only — the delta, not a scale row. (`--opq` as the 3rd arg
+      // runs ONLY this section.)
       if (n == 1) {
         val corr = v.select(col("id"), expr(
           "transform(sequence(1, 64), i -> element_at(v, CAST(i AS INT)) " +
-            "+ 0.95D * element_at(v, CAST((i % 64) + 1 AS INT)) " +
-            "+ 0.9D * element_at(v, CAST(((i + 7) % 64) + 1 AS INT)))")
+            "+ 3.0D * element_at(v, CAST(57 + ((i - 1) % 8) AS INT)))")
           .as("v"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val qCorr = corr.filter(col("id") % 50 === 0)
@@ -200,9 +207,15 @@ object Recall {
         val hitRaw = gotRaw.join(truthC, Seq("vec_id", "other_id")).count()
         println(f"RECALL opq_corr_raw x$n%-2d full-scan  " +
           f"recall@$k=${hitRaw.toDouble / truthCN}%6.4f  (truthL2=$truthCN)")
-        val eig = Similarity.topKEigen(
-          Similarity.covarianceUpper(corr, 64), dim = 64, k = 64, steps = 4)
-        val rot = Similarity.collectRotation(eig, 64, 64)
+        // driver-local orthogonal iteration + eigenvalue ALLOCATION —
+        // the deflated topKEigen basis measured worse than raw (0.232 →
+        // 0.177: trailing components degrade), and the unallocated PCA
+        // basis worse still (→ 0.130: all variance lands in subspace 1);
+        // balancing variance across subspaces is what turns the rotation
+        // into a win (Ge et al.'s parametric OPQ, both halves)
+        val (basis, lams) = Similarity.eigenBasisLocalWithValues(
+          Similarity.covarianceUpper(corr, 64), dim = 64, k = 64)
+        val rot = Similarity.opqAllocate(basis, lams, m = 8)
         // localCheckpoint, not persist: the 64-projection select on top
         // of the scaled-union lineage overflows Catalyst's sizeInBytes
         // product (BigInteger range) once pqTrain stacks its iteration

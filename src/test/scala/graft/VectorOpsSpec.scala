@@ -280,6 +280,46 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(cxy / (sx * sy)) < 0.1, s"corr=${cxy / (sx * sy)}")
   }
 
+  test("eigenBasisLocal: orthonormal full basis, variance-ordered, " +
+      "recovers planted directions; dim guard") {
+    val rnd = new scala.util.Random(11)
+    val a1 = Seq(0.6, 0.8, 0.0)
+    val a2 = Seq(-0.8, 0.6, 0.0)
+    val vs = (0 until 300).map { i =>
+      val t1 = rnd.nextGaussian() * 5
+      val t2 = rnd.nextGaussian() * 2
+      (i.toLong, (0 until 3).map(d =>
+        a1(d) * t1 + a2(d) * t2 + rnd.nextGaussian() * 0.1))
+    }.toDF("id", "v")
+    val cov = Similarity.covarianceUpper(vs, dim = 3)
+    val rot = Similarity.eigenBasisLocal(cov, dim = 3, k = 3)
+    def dot(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (a, b) => a * b }.sum
+    // R Rᵀ = I to tight tolerance (full orthonormality — what the
+    // deflated path cannot deliver)
+    for (a <- 0 until 3; b <- 0 until 3)
+      assert(math.abs(dot(rot(a), rot(b)) - (if (a == b) 1.0 else 0.0))
+        < 1e-9, s"RRt($a,$b)")
+    assert(math.abs(dot(rot(0), a1)) > 0.99, rot(0).toString)
+    assert(math.abs(dot(rot(1), a2)) > 0.99, rot(1).toString)
+    intercept[IllegalArgumentException] {
+      Similarity.eigenBasisLocal(cov, dim = 3, k = 3, maxDim = 2)
+    }
+  }
+
+  test("opqAllocate deals descending eigenvalues one-at-a-time to the " +
+      "lightest subspace; rows stay the basis rows") {
+    // 4 dims, m=2 (cap 2): λ = [8, 4, 2, 1] → λ0 opens bucket A (log 2.08),
+    // λ1 opens bucket B (1.39), λ2 joins B (lighter), λ3 joins A
+    val basis = Seq(Seq(1.0, 0, 0, 0), Seq(0, 1.0, 0, 0),
+      Seq(0, 0, 1.0, 0), Seq(0, 0, 0, 1.0))
+    val got = Similarity.opqAllocate(basis, Seq(8.0, 4.0, 2.0, 1.0), m = 2)
+    assert(got == Seq(basis(0), basis(3), basis(1), basis(2)), got.toString)
+    intercept[IllegalArgumentException] {
+      Similarity.opqAllocate(basis, Seq(1.0, 1, 1, 1), m = 3) // 4 % 3 != 0
+    }
+  }
+
   test("Inventory.typed gives a Dataset[BackupFile]") {
     val inv = graft.sources.Inventory.fromListing(spark,
       Seq(("OCG_KE1_NBO-Mon.zip", "u1", "2024-01-10T08:00:00Z")),
