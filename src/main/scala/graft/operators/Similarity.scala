@@ -698,6 +698,23 @@ object Similarity {
     (basis, lams)
   }
 
+  /** PCA whitening rows: each eigenbasis row scaled by 1/√λ (λ floored
+    * at `minLam` so a near-null direction cannot explode a coordinate) —
+    * `rotateExpr(v, whitenRows(...))` then yields unit-variance
+    * decorrelated coordinates, the standard preconditioner in front of
+    * k-means/quantization when scale imbalance (not just correlation) is
+    * the problem. Composes with [[opqAllocate]]-style reordering if a
+    * split follows.
+    */
+  def whitenRows(basis: Seq[Seq[Double]], lams: Seq[Double],
+                 minLam: Double = 1e-9): Seq[Seq[Double]] = {
+    require(basis.length == lams.length, "basis/λ length mismatch")
+    basis.zip(lams).map { case (row, lam) =>
+      val s = 1.0 / math.sqrt(math.max(lam, minLam))
+      row.map(_ * s)
+    }
+  }
+
   /** Eigenvalue allocation (Ge et al. 2013, the second half of
     * parametric OPQ): PCA alone concentrates all variance into the first
     * subspace — 16 codes then quantize nearly everything, and ADC recall

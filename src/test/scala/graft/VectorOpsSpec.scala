@@ -320,6 +320,35 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("whitenRows: rotated-and-whitened coordinates have ~unit variance " +
+      "per direction; near-null directions are floored, not exploded") {
+    val rnd = new scala.util.Random(13)
+    val a1 = Seq(0.6, 0.8, 0.0)
+    val a2 = Seq(-0.8, 0.6, 0.0)
+    val vs = (0 until 400).map { i =>
+      val t1 = rnd.nextGaussian() * 5
+      val t2 = rnd.nextGaussian() * 2
+      (i.toLong, (0 until 3).map(d =>
+        a1(d) * t1 + a2(d) * t2 + rnd.nextGaussian() * 0.1))
+    }.toDF("id", "v")
+    val cov = Similarity.covarianceUpper(vs, dim = 3)
+    val (basis, lams) = Similarity.eigenBasisLocalWithValues(cov, 3, 3)
+    assert(lams(0) > lams(1) && lams(1) > lams(2), lams.toString)
+    val white = Similarity.whitenRows(basis, lams)
+    val got = vs.select(Similarity.rotateExpr(col("v"), white).as("r"))
+      .select(expr("r[0]"), expr("r[1]"), expr("r[2]"))
+      .as[(Double, Double, Double)].collect()
+    val n = got.length
+    def varOf(xs: Seq[Double]) = {
+      val m = xs.sum / n; xs.map(x => (x - m) * (x - m)).sum / n
+    }
+    for (c <- Seq(got.map(_._1).toSeq, got.map(_._2).toSeq, got.map(_._3).toSeq))
+      assert(math.abs(varOf(c) - 1.0) < 0.15, s"var=${varOf(c)}")
+    // λ floor: a zero eigenvalue scales by 1/sqrt(minLam), not infinity
+    val floored = Similarity.whitenRows(Seq(Seq(1.0, 0.0)), Seq(0.0))
+    assert(floored.head.head.isFinite && floored.head.head > 0)
+  }
+
   test("Inventory.typed gives a Dataset[BackupFile]") {
     val inv = graft.sources.Inventory.fromListing(spark,
       Seq(("OCG_KE1_NBO-Mon.zip", "u1", "2024-01-10T08:00:00Z")),
