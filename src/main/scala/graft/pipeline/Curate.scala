@@ -24,6 +24,13 @@ case class CurateConfig(
     // a reference-corpus model instead via lmGrams.
     maxSelfXentE4: Option[Long] = None,
     lmVocabSize: Long = 1000L,
+    // drop docs whose cross-entropy under an EXTERNAL ARPA/KenLM
+    // reference model exceeds the bound — the literal CCNet deployment
+    // (model ships as a file, the pool is only SCORED); active only when
+    // Curate.run is given arpaModel. Differs from maxSelfXentE4's
+    // self-train: a reference model judges against external fluency, so
+    // a uniformly-gibberish pool cannot grade itself sane.
+    maxArpaE4: Option[Long] = None,
     // CCNet-style perplexity bucketing (Wenzek et al. 2020): self-train a
     // Kneser–Ney bigram LM on the pool, tercile-split scores per
     // PREDICTED language, keep docs whose bucket is in the set (the
@@ -107,7 +114,11 @@ object Curate {
           // trained quality-classifier model (Classifier.train on labeled
           // exemplars — the GPT-3/LLaMA CommonCrawl-filter shape) for the
           // optional classifier gate; None = stage off
-          classifierModel: Option[graft.operators.Classifier.Model] = None)
+          classifierModel: Option[graft.operators.Classifier.Model] = None,
+          // external ARPA/KenLM reference model (TextStats.parseArpa on
+          // the model file) for the optional maxArpaE4 gate; None =
+          // stage off
+          arpaModel: Option[graft.operators.TextStats.ArpaModel] = None)
       : CurateResult = {
     val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val times = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
@@ -192,6 +203,23 @@ object Curate {
       filtered = base.join(keep, Seq(idCol)).localCheckpoint(true)
       stage("lm_gate", filtered.count())
       xentM.close()
+      base.unpersist()
+    }
+
+    // ---- optional external-ARPA reference-perplexity gate ---------------
+    // after the self-train gate (independent judges: self-train kills
+    // pool-relative outliers, the reference model kills externally
+    // disfluent text): score under the FILE-shipped model, one corpus
+    // explode + three model-table joins, no training inside the funnel
+    for (bound <- cfg.maxArpaE4; m <- arpaModel) {
+      val base = filtered.persist(StorageLevel.MEMORY_AND_DISK)
+      val (uni, bi) = TextStats.arpaTables(docs.sparkSession, m)
+      val keep = TextStats.arpaCrossEntropy(base, idCol, textCol, uni, bi,
+          m.unkLp)
+        .filter(col("arpa_e4") <= bound)
+        .select(col(idCol))
+      filtered = base.join(keep, Seq(idCol)).localCheckpoint(true)
+      stage("arpa_gate", filtered.count())
       base.unpersist()
     }
 

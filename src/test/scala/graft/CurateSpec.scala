@@ -188,6 +188,9 @@ class CurateSpec extends SparkSpec {
         gopherRules = Some(graft.operators.TextStats.GopherConfig(
           minWords = 5, minStopHits = 1, minMeanLenE4 = 10000)),
         maxSelfXentE4 = Some(500000L),
+        // permissive bound: the reference-model gate runs (and appears
+        // in the funnel) without shrinking the canary pool
+        maxArpaE4 = Some(100000000L),
         // all three buckets kept: the stage runs (and appears in the
         // funnel) without shrinking the pool this canary audits
         pplBucketsKeep = Some(Set("head", "middle", "tail")),
@@ -200,13 +203,49 @@ class CurateSpec extends SparkSpec {
         minClassifierPE6 = 0L,   // keep all: ditto
         chunkTokens = 16, chunkOverlap = 4, packBudget = 32),
       dsirTarget = Some(target),
-      classifierModel = Some(model))
+      classifierModel = Some(model),
+      arpaModel = Some(graft.operators.TextStats.parseArpa(
+        "\\data\\\nngram 1=2\nngram 2=1\n\n\\1-grams:\n-1.0 the -0.3\n" +
+          "-3.0 <unk>\n\n\\2-grams:\n-0.5 the a\n\n\\end\\\n")))
     assert(res.stageCounts.map(_._1) == Seq("c4_clean", "classifier_gate",
-      "lm_gate", "ppl_buckets", "dsir_select", "window_dedup", "exact_dedup",
-      "near_dup", "sem_dedup", "decontaminated", "chunks"),
+      "lm_gate", "arpa_gate", "ppl_buckets", "dsir_select", "window_dedup",
+      "exact_dedup", "near_dup", "sem_dedup", "decontaminated", "chunks"),
       res.stageCounts.toString)
     assert(res.stageCounts.toMap.apply("exact_dedup") == 12L,
       res.stageCounts.toString)
+    res.chunks.unpersist()
+  }
+
+  test("Curate.run with maxArpaE4: the external reference model drops the " +
+      "doc IT considers disfluent, independent of the pool") {
+    import graft.operators.TextStats
+    // reference model: bigrams over the goodText head words are cheap;
+    // everything else pays <unk> mass. Doc 2's body is pool-common (the
+    // self-train gate would love it) but the REFERENCE model has never
+    // seen its tokens → high arpa_e4.
+    val m = TextStats.parseArpa(
+      "\\data\\\nngram 1=6\nngram 2=4\n\n\\1-grams:\n" +
+        "-0.7 the -0.2\n-0.9 table -0.2\n-0.9 row -0.2\n-0.9 scan\n" +
+        "-0.9 key\n-2.0 <unk>\n\n\\2-grams:\n" +
+        "-0.3 the table\n-0.3 table row\n-0.3 row scan\n-0.3 scan key\n" +
+        "\n\\end\\\n")
+    val fluent = "the table row scan key " +
+      Seq.fill(12)("the table row scan key").flatMap(_.split(" "))
+        .mkString(" ") + " the a"
+    val docs = Seq(1L -> fluent, 2L -> goodText("one"),
+      3L -> (fluent + " extra the")).toDF("doc_id", "text")
+    val benchmark = Seq("unrelated bench text").toDF("btext")
+    // bound between the fluent docs' scores (~0.3–2.0 log10 ≈ low e4)
+    // and goodText's unk-dominated score
+    val res = Curate.run(docs, "doc_id", "text", benchmark, "btext",
+      CurateConfig(minQualityE4 = 0, maxArpaE4 = Some(30000L),
+        chunkTokens = 16, chunkOverlap = 4, packBudget = 32),
+      arpaModel = Some(m))
+    val funnel = res.stageCounts.toMap
+    assert(funnel("arpa_gate") == 2L, res.stageCounts.toString)
+    val survivors = res.chunks.select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(survivors == Set(1L, 3L), survivors.toString)
     res.chunks.unpersist()
   }
 
