@@ -797,6 +797,40 @@ object TextStats {
         coalesce(col("arpa_e4"), lit(0L)).as("arpa_e4"))
   }
 
+  /** Per-row Katz scoring under a collected ARPA model — the fold form
+    * of [[arpaCrossEntropy]] for stateless stream gates (the
+    * [[knScoreExpr]] pattern): same bigram construction, same backoff
+    * branches, same e6-round-before-sum and e4 mean, so batch and stream
+    * scores are BIT-identical (KnLmSpec parity pin). Bounded-model
+    * contract: the maps ride the plan as literals — gate-sized models
+    * only (`maxEntries`); corpus-sized models use the join form.
+    */
+  def arpaScoreExpr(text: Column, m: ArpaModel,
+                    maxEntries: Int = 1 << 20): Column = {
+    require(m.unigrams.size + m.bigrams.size <= maxEntries,
+      s"arpaScoreExpr: model has ${m.unigrams.size + m.bigrams.size} " +
+        s"entries > $maxEntries — a literal serving model must be " +
+        "gate-sized; score with arpaCrossEntropy's join form instead")
+    val biLit = typedLit(m.bigrams.toMap)
+    val lpLit = typedLit(m.unigrams.map(u => u._1 -> u._2).toMap)
+    val boLit = typedLit(m.unigrams.map(u => u._1 -> u._3).toMap)
+    val bigrams = Curation.wordNgrams(
+      graft.operators.Dedup.normalizeWords(text), 2)
+    val le6s = transform(bigrams, g => {
+      val w1 = split(g, " ").getItem(0)
+      val w2 = split(g, " ").getItem(1)
+      val lp2 = element_at(biLit, g)
+      val log10p = when(lp2.isNotNull, lp2)
+        .otherwise(coalesce(element_at(boLit, w1), lit(0.0)) +
+          coalesce(element_at(lpLit, w2), lit(m.unkLp)))
+      floor(-log10p * lit(Ln10) * lit(1e6) + lit(0.5)).cast("long")
+    })
+    val n = size(bigrams)
+    when(n === 0, lit(0L)).otherwise(
+      floor(aggregate(le6s, lit(0L), (a, x) => a + x) /
+        (n.cast("long") * lit(100.0)) + lit(0.5)).cast("long"))
+  }
+
   /** Feature-hashing text embedding (the Weinberger et al. hashing
     * trick): each word lands in bucket `md5(word) mod dim` with a ±1
     * sign from the next hash bits; the document's vector is the per-

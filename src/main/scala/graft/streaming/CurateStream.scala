@@ -29,8 +29,8 @@ import graft.operators.{Dedup, TextStats}
   */
 object CurateStream {
 
-  /** `reason`: "c4" | "quality" | "classifier" | "ppl" | "exact_dup" |
-    * "near_dup" | "admitted". `dup_of` = lineage parent for the dup
+  /** `reason`: "c4" | "quality" | "classifier" | "ppl" | "arpa" |
+    * "exact_dup" | "near_dup" | "admitted". `dup_of` = lineage parent for the dup
     * reasons, else the doc's own id.
     */
   case class GateVerdict(id: Long, admitted: Boolean, reason: String,
@@ -54,6 +54,14 @@ object CurateStream {
                      maxByLang: Map[String, Long],
                      admitUnscored: Boolean = false)
 
+  /** External-ARPA reference gate: the stream half of the batch
+    * `arpa_gate` stage (`Curate`'s `maxArpaE4`) — the model ships as a
+    * FILE ([[graft.operators.TextStats.parseArpa]]), the stream only
+    * scores.
+    */
+  case class ArpaGate(model: graft.operators.TextStats.ArpaModel,
+                      maxE4: Long)
+
   case class GateConfig(minQualityE4: Long = 4000,
                         keepLangs: Set[String] = Set("alpha", "beta", "gamma"),
                         // C4 ingest cleaning (page gate + line cleaning,
@@ -67,6 +75,13 @@ object CurateStream {
                         // stateless perplexity gate via knScoreExpr
                         // (exact batch-score parity; see PplGate)
                         ppl: Option[PplGate] = None,
+                        // external ARPA/KenLM reference gate: score under
+                        // the file-shipped model (arpaScoreExpr — bit-
+                        // identical to the batch arpa_gate) and reject
+                        // docs over the bound; zero-bigram docs judged by
+                        // the same score-0 coalesce BOTH sides share, so
+                        // batch/stream parity is exact
+                        arpa: Option[ArpaGate] = None,
                         bands: Int = 4, rowsPerBand: Int = 3,
                         thresholdE4: Long = 8000, maxPerBucket: Int = 1024)
 
@@ -152,9 +167,22 @@ object CurateStream {
               dup_of = id))))
     }
 
+    // ---- optional stateless external-ARPA reference gate ---------------
+    // after ppl (mirrors the batch funnel's lm_gate → arpa_gate order)
+    val (postArpa, arpaRejects) = cfg.arpa match {
+      case None => (survivors, None)
+      case Some(ag) =>
+        val s = survivors.withColumn("__arpa",
+          TextStats.arpaScoreExpr(col("text"), ag.model))
+        (s.filter(col("__arpa") <= ag.maxE4).select(col("id"), col("text")),
+          Some(s.filter(col("__arpa") > ag.maxE4).select(col("id")).as[Long]
+            .map(id => GateVerdict(id, admitted = false, reason = "arpa",
+              dup_of = id))))
+    }
+
     // ---- exact dedup on the content hash -------------------------------
     val tagged = StatefulDedup.firstPerKeyTagged(
-      survivors
+      postArpa
         .select(md5(col("text")).as("h"),
           struct(col("id"), col("text")).as("doc"))
         .as[(String, (Long, String))],
@@ -180,6 +208,7 @@ object CurateStream {
       .unionByName(verdicts)
     val withC4 = c4Rejects.fold(always)(always.unionByName(_))
     val withCls = classifierRejects.fold(withC4)(withC4.unionByName(_))
-    pplRejects.fold(withCls)(withCls.unionByName(_))
+    val withPpl = pplRejects.fold(withCls)(withCls.unionByName(_))
+    arpaRejects.fold(withPpl)(withPpl.unionByName(_))
   }
 }

@@ -198,6 +198,43 @@ class CurateStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gate with arpa: the file-shipped reference model rejects docs " +
+      "over the bound with stream scores bit-identical to batch") {
+    import graft.operators.TextStats
+    val m = TextStats.parseArpa(
+      "\\data\\\nngram 1=6\nngram 2=4\n\n\\1-grams:\n" +
+        "-0.7 the -0.2\n-0.9 table -0.2\n-0.9 row -0.2\n-0.9 scan\n" +
+        "-0.9 key\n-2.0 <unk>\n\n\\2-grams:\n" +
+        "-0.3 the table\n-0.3 table row\n-0.3 row scan\n-0.3 scan key\n" +
+        "\n\\end\\\n")
+    val fluent = ("the table row scan key " * 13).trim + " the a"
+    val alien = goodText("one") // pool-plausible, reference-disfluent
+    // bound from the BATCH operator's scores (parity is the point)
+    val (uni, bi) = TextStats.arpaTables(spark, m)
+    val scores = TextStats.arpaCrossEntropy(
+        Seq((1L, fluent), (2L, alien)).toDF("doc_id", "text"),
+        "doc_id", "text", uni, bi, m.unkLp)
+      .select("doc_id", "arpa_e4").as[(Long, Long)].collect().toMap
+    assert(scores(1L) < scores(2L))
+    val cut = (scores(1L) + scores(2L)) / 2
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = CurateStream.gate(input.toDF().toDF("id", "text"), "id", "text",
+        CurateStream.GateConfig(minQualityE4 = 0,
+          arpa = Some(CurateStream.ArpaGate(m, cut))))
+      .writeStream.format("memory").queryName("curate_gate_arpa")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(1L -> fluent, 2L -> alien)
+      q.processAllAvailable()
+      val got = spark.table("curate_gate_arpa")
+        .as[CurateStream.GateVerdict].collect()
+        .map(v => v.id -> ((v.admitted, v.reason))).toMap
+      assert(got(1L) === ((true, "admitted")))
+      assert(got(2L) === ((false, "arpa")))
+    } finally q.stop()
+  }
+
   test("gate with ppl: a zero-bigram doc is judged by admitUnscored, not " +
       "its defaulted score of 0") {
     import graft.operators.TextStats

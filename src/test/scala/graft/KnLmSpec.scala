@@ -240,5 +240,17 @@ class KnLmSpec extends SparkSpec {
       (2L, 1L, e4(Seq(le6(-0.30103 - 2.0)))),
       (3L, 1L, e4(Seq(le6(-3.0)))),
       (4L, 0L, 0L)), got.toString)
+
+    // arpaScoreExpr (the stream/gate fold form) is BIT-identical to the
+    // join form on every doc — incl. the zero-bigram coalesce
+    val exprGot = docs
+      .select(col("doc_id"),
+        TextStats.arpaScoreExpr(col("text"), m).as("arpa_e4"))
+      .orderBy("doc_id").select("doc_id", "arpa_e4")
+      .as[(Long, Long)].collect().toSeq
+    assert(exprGot == got.map(t => (t._1, t._3)), exprGot.toString)
+    intercept[IllegalArgumentException] {
+      TextStats.arpaScoreExpr(col("text"), m, maxEntries = 3)
+    }
   }
 }
