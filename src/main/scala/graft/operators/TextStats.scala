@@ -878,6 +878,26 @@ object TextStats {
       .agg(sum(col("s")).as("val"))
   }
 
+  /** Per-ROW dense hashing-trick embedding — the same md5 bucket/sign
+    * algebra as [[hashFeatures]] but as one column expression (no
+    * explode, no aggregate), for stateless stream stages that embed each
+    * document independently ([[graft.streaming.EmbedDupStream]]).
+    * O(dim·words) per row; parity with
+    * `hashEmbedGather(hashEmbed(...))` is spec-pinned
+    * (VectorOpsSpec), so batch and stream embeddings are bit-identical.
+    */
+  def hashEmbedExpr(text: Column, dim: Int): Column = {
+    require(dim >= 1, s"hashEmbedExpr: dim ($dim) must be >= 1")
+    val words = graft.operators.Dedup.normalizeWords(text)
+    transform(sequence(lit(0), lit(dim - 1)), p =>
+      aggregate(words, lit(0L), (acc, w) => {
+        val h = conv(substring(md5(w), 1, 8), 16, 10).cast("long")
+        val s = when(pmod(floor(h / lit(dim)), lit(2)) === 0, lit(1L))
+          .otherwise(lit(-1L))
+        acc + when(pmod(h, lit(dim)).cast("int") === p, s).otherwise(lit(0L))
+      }).cast("double"))
+  }
+
   /** [[hashEmbed]] long form gathered to `(id, v)` double arrays — the
     * shape [[graft.operators.Similarity]] consumes.
     */

@@ -27,6 +27,13 @@ object CohortStream {
   /** `credited` is a fixed-width bitset (word i, bit b ↔ period 64·i+b)
     * sized `maxPeriods/64` words at first use — ~130 B of state per user
     * at the 10-year default horizon, O(1) test-and-set per event.
+    *
+    * CHECKPOINT COMPATIBILITY: the Catalyst schema is unchanged
+    * (array<bigint>) but the SEMANTICS are not — pre-round-10 state
+    * stored the credited period NUMBERS as a list, which this code would
+    * misread as bitmask words. Restarting an old query on this version
+    * requires a fresh checkpoint (replay the ledger; credits are
+    * idempotent downstream by design).
     */
   case class CohortState(cohortWk: Long, credited: Array[Long])
 
