@@ -735,6 +735,27 @@ object Scale {
               sum("content_length").as("payload_bytes")),
           Seq.empty)
       }
+      // round-10 gzip twin of warc_parse on the SAME corpus: mixed
+      // .warc.gz member / whole-file layouts, so the row prices the
+      // inflate walk against the plain byte scan
+      run("warc_gz_parse", n) {
+        import spark.implicits._
+        val files = d
+          .select(col("doc_id"), col("text"),
+            expr("doc_id div 10").cast("long").as("fid"))
+          .as[(Long, String, Long)]
+          .groupByKey(_._3).mapGroups { (fid, it) =>
+            val payload = it.toSeq.sortBy(_._1).map(t => (t._1, t._2))
+            if (fid % 2 == 0) graft.sources.Warc.buildFileGz(fid, payload)
+            else graft.sources.Warc.buildFileWholeGz(fid, payload)
+          }
+        graft.core.Managed(
+          graft.sources.Warc.parseRecords(files).toDF()
+            .groupBy(col("file_id") % 32)
+            .agg(count(lit(1)).as("recs"),
+              sum("content_length").as("payload_bytes")),
+          Seq.empty)
+      }
       run("image_neardup", n) {
         // q104's full probe shape: PNG synthesis + decode + aHash + the
         // 16-bit banded candidate join + hamming verify — the sub-linear
