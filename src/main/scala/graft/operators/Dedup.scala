@@ -211,10 +211,15 @@ object Dedup {
                                 batchId: String): Unit = {
     require(batchId.nonEmpty && batchId != "__HIVE_DEFAULT_PARTITION__",
       s"minhash index: invalid batch id '$batchId'")
+    // overwrite mode pinned per-write (never inherited from the session):
+    // a host session running partitionOverwriteMode=dynamic globally must
+    // not turn a full rebuild into a base-partition-only replace that
+    // leaves stale batch partitions (and their commit markers) live.
     def writer(d: DataFrame) = {
-      val w = d.withColumn("batch_id", lit(batchId))
+      d.withColumn("batch_id", lit(batchId))
         .write.mode("overwrite").partitionBy("batch_id")
-      if (overwrite) w else w.option("partitionOverwriteMode", "dynamic")
+        .option("partitionOverwriteMode",
+          if (overwrite) "static" else "dynamic")
     }
     val shRaw = shingleSets(df, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -521,6 +521,32 @@ object Similarity {
     * is a bounded d-row driver read (the DoReMi per-step collect
     * pattern). Output: (i, v_e6) — the e6 unit eigenvector estimate.
     */
+  /** Exact non-wrapping Σ a·b over e6-scaled long columns. A plain long
+    * sum wraps SILENTLY under non-ANSI arithmetic once the products of a
+    * high-variance or large-dim iterate exceed 2⁶³ (the first power step
+    * starts from the all-1e6 vector, so uᵢ ~ Σⱼ cov_e6 — overflow there
+    * corrupts the normalization and every later component). decimal(19,0)
+    * operands make each product exact (≤ 38 digits) and a decimal(38,0)
+    * SUM overflow surfaces as null — turned into a loud require here.
+    * Bounded d-row aggregate; the double return is exact below 2⁵³
+    * (every green trajectory), and above it degrades gracefully instead
+    * of wrapping.
+    */
+  private def prodSumExact(df: DataFrame, a: String, b: String,
+                           what: String): Double = {
+    val r = df.agg(
+      sum(col(a).cast("decimal(19,0)") * col(b).cast("decimal(19,0)"))
+        .as("s"),
+      count(lit(1)).as("n")).head()
+    if (r.getLong(1) == 0L) 0.0
+    else {
+      require(!r.isNullAt(0),
+        s"$what: sum of ${a}*${b} overflowed decimal(38,0) — input magnitudes " +
+          "exceed the e6 fixed-point contract; rescale the input")
+      r.getDecimal(0).doubleValue()
+    }
+  }
+
   def powerIterationTop(cov: DataFrame, dim: Int,
                         steps: Int = 3): DataFrame = {
     require(dim >= 1 && steps >= 1)
@@ -541,8 +567,7 @@ object Similarity {
         .select(col("i"),
           floor(col("__w") / lit(1e6) + lit(0.5)).cast("long").as("__u"))
         .localCheckpoint(true)
-      val s2 = u.agg(sum(col("__u") * col("__u")).as("s2")).head().getLong(0)
-      val nrm = math.sqrt(s2.toDouble)
+      val nrm = math.sqrt(prodSumExact(u, "__u", "__u", "powerIterationTop norm"))
       v = u.select(col("i").as("j"),
         (if (nrm > 0)
           floor(col("__u") / lit(nrm) * lit(1e6) + lit(0.5)).cast("long")
@@ -598,8 +623,7 @@ object Similarity {
         .select(col("id").as("j"), lit(1000000L).as("v_e6"))
       for (_ <- 1 to steps) {
         val u = matvec(sym, v)
-        val s2 = u.agg(sum(col("__u") * col("__u")).as("s2")).head().getLong(0)
-        val nrm = math.sqrt(s2.toDouble)
+        val nrm = math.sqrt(prodSumExact(u, "__u", "__u", "topKEigen norm"))
         v = u.select(col("i").as("j"),
           (if (nrm > 0)
             floor(col("__u") / lit(nrm) * lit(1e6) + lit(0.5)).cast("long")
@@ -612,12 +636,13 @@ object Similarity {
         // Rayleigh λ_e6 = ⌊Σᵢ wᵢ·vᵢ / ⌊Σᵢ vᵢ²/10⁶+½⌋ + ½⌋ with w = C·v
         // (e6) — two exact integer sums, one double division
         val wfin = matvec(sym, vc)
-        val num = wfin.join(vc.select(col("j").as("i"), col("v_e6")), Seq("i"))
-          .agg(sum(col("__u") * col("v_e6")).as("n")).head().getLong(0)
-        val den = vc.agg(
-          floor(sum(col("v_e6") * col("v_e6")) / lit(1e6) + lit(0.5))
-            .cast("long").as("d")).head().getLong(0)
-        val lamE6 = math.floor(num.toDouble / den + 0.5).toLong
+        val num = prodSumExact(
+          wfin.join(vc.select(col("j").as("i"), col("v_e6")), Seq("i")),
+          "__u", "v_e6", "topKEigen Rayleigh numerator")
+        val den = math.floor(
+          prodSumExact(vc, "v_e6", "v_e6", "topKEigen Rayleigh denominator")
+            / 1e6 + 0.5)
+        val lamE6 = math.floor(num / den + 0.5).toLong
         // deflate: outer product down-scaled to e6 FIRST, then λ —
         // ⌊λ_e6·⌊vᵢvⱼ/10⁶+½⌋/10⁶+½⌋ stays within BIGINT
         val vi = vc.select(col("j").as("i"), col("v_e6").as("__vi"))

@@ -1208,11 +1208,16 @@ object TextStats {
     require(batchId.nonEmpty && batchId != "__HIVE_DEFAULT_PARTITION__",
       s"bm25 index: invalid batch id '$batchId'")
     // build clobbers the whole index (static overwrite drops every
-    // partition); append replaces ONLY this batch's partition (dynamic)
+    // partition); append replaces ONLY this batch's partition (dynamic).
+    // Both modes are pinned per-write: rebuild semantics must not depend
+    // on a host session's global partitionOverwriteMode (a session-wide
+    // `dynamic` would make rebuild keep stale batch partitions — and
+    // their meta commit markers — silently double-counting the index).
     def writer(df: org.apache.spark.sql.DataFrame) = {
-      val w = df.withColumn("batch_id", lit(batchId))
+      df.withColumn("batch_id", lit(batchId))
         .write.mode("overwrite").partitionBy("batch_id")
-      if (overwrite) w else w.option("partitionOverwriteMode", "dynamic")
+        .option("partitionOverwriteMode",
+          if (overwrite) "static" else "dynamic")
     }
     val words = graft.core.Ops.widen(docs)
       .select(col(idCol).as("id"),

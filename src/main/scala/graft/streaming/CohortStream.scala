@@ -28,14 +28,19 @@ object CohortStream {
     * sized `maxPeriods/64` words at first use — ~130 B of state per user
     * at the 10-year default horizon, O(1) test-and-set per event.
     *
-    * CHECKPOINT COMPATIBILITY: the Catalyst schema is unchanged
-    * (array<bigint>) but the SEMANTICS are not — pre-round-10 state
-    * stored the credited period NUMBERS as a list, which this code would
-    * misread as bitmask words. Restarting an old query on this version
-    * requires a fresh checkpoint (replay the ledger; credits are
-    * idempotent downstream by design).
+    * CHECKPOINT COMPATIBILITY: `ver` is a schema-breaking discriminator.
+    * Pre-round-10 state stored the credited period NUMBERS as a list
+    * under the SAME Catalyst schema as the bitmask words, so a restart
+    * silently misread periods as mask words; the extra field makes the
+    * state schemas incompatible, so restarting an old checkpoint on this
+    * version now fails loudly at query start (state schema validation)
+    * instead of emitting wrong credits. Recovery = fresh checkpoint
+    * (replay the ledger; credits are idempotent downstream by design).
     */
-  case class CohortState(cohortWk: Long, credited: Array[Long])
+  case class CohortState(ver: Int, cohortWk: Long, credited: Array[Long])
+
+  /** Bump when [[CohortState]]'s field semantics change again. */
+  val StateVersion = 2
 
   case class CohortCredit(user: Long, cohort_wk: Long, period_wk: Long)
 
@@ -67,7 +72,7 @@ object CohortStream {
           // the earliest week in the first batch becomes the cohort
           val wks = rows.map(_._2).toSeq.sorted
           val st = state.getOption.getOrElse(
-            CohortState(wks.head, new Array[Long](nWords)))
+            CohortState(StateVersion, wks.head, new Array[Long](nWords)))
           val mask =
             if (st.credited.length >= nWords) st.credited.clone()
             else java.util.Arrays.copyOf(st.credited, nWords)
@@ -83,7 +88,7 @@ object CohortStream {
               }
             }
           }
-          state.update(CohortState(st.cohortWk, mask))
+          state.update(CohortState(StateVersion, st.cohortWk, mask))
           out.iterator
       }
   }

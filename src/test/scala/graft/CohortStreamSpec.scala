@@ -91,4 +91,13 @@ class CohortStreamSpec extends SparkSpec {
       assert(got == Seq(0L, 64L, 127L))
     } finally q.stop()
   }
+
+  test("cohort state schema carries the version discriminator (old " +
+       "checkpoints must fail schema validation, not decode garbage)") {
+    val schema = implicitly[org.apache.spark.sql.Encoder[
+      CohortStream.CohortState]].schema
+    assert(schema.fieldNames.toSeq == Seq("ver", "cohortWk", "credited"),
+      schema.treeString)
+    assert(CohortStream.StateVersion == 2)
+  }
 }

@@ -232,6 +232,44 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(afterGhost == rebuilt, "uncommitted batch leaked into serving")
   }
 
+  test("index rebuild drops stale batch partitions even when the SESSION " +
+       "runs partitionOverwriteMode=dynamic (write-local static pin)") {
+    val docs = Seq((1L, docA), (2L, docC)).toDF("doc_id", "text")
+    val batch = Seq((10L, docB)).toDF("doc_id", "text")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // BM25: build → append b1 → REBUILD. Under an inherited dynamic
+      // mode the rebuild would only replace batch_id=base and the stale
+      // b1 meta partial would double-count n/dlsum.
+      val bdir = java.nio.file.Files
+        .createTempDirectory("graft_bm25_static").toString
+      TextStats.writeBm25Index(docs, "doc_id", "text", bdir)
+      TextStats.appendToBm25Index(spark, bdir, batch, "doc_id", "text", "b1")
+      TextStats.writeBm25Index(docs, "doc_id", "text", bdir)
+      val metaBatches = spark.read.parquet(s"$bdir/meta")
+        .select("batch_id").distinct().as[String].collect().toSet
+      assert(metaBatches == Set("base"),
+        s"stale bm25 meta partitions survived rebuild: $metaBatches")
+
+      // MinHash: same shape over bands/meta
+      val mdir = java.nio.file.Files
+        .createTempDirectory("graft_mh_static").toString
+      Dedup.writeMinhashIndex(docs, "doc_id", "text", mdir)
+      Dedup.appendToMinhashIndex(spark, mdir, batch, "doc_id", "text", "b1")
+      Dedup.writeMinhashIndex(docs, "doc_id", "text", mdir)
+      val bandBatches = spark.read.parquet(s"$mdir/bands")
+        .select("batch_id").distinct().as[String].collect().toSet
+      assert(bandBatches == Set("base"),
+        s"stale minhash band partitions survived rebuild: $bandBatches")
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   test("rrfFuse: agreement beats single-system rank 1; ties by id; topK") {
     import graft.operators.Fusion
     def c(r: Long) = math.floor(1e6 / (60.0 + r) + 0.5).toLong

@@ -241,6 +241,24 @@ class VectorOpsSpec extends SparkSpec {
       "unit norm")
   }
 
+  test("power-iteration norm sums survive magnitudes whose squares wrap " +
+       "a long (decimal-exact norm; direction still recovered)") {
+    // planted dominant axis i=1 with cov_e6 ~ 5e12: the first iterate is
+    // u ≈ (5e12, 1e6), so u·u ≈ 2.5e25 — a long multiply/sum wraps
+    // silently there; the decimal norm path must still normalize
+    // correctly and recover the axis
+    val cov = Seq((1L, 1L, 5000000000000L), (1L, 2L, 0L),
+      (2L, 2L, 1000000L)).toDF("i", "j", "cov_e6")
+    val v = Similarity.powerIterationTop(cov, dim = 2, steps = 3)
+      .orderBy("i").select("v_e6").as[Long].collect()
+    assert(math.abs(v(0)) == 1000000L && math.abs(v(1)) <= 1L,
+      s"direction ${v.toSeq}")
+    // and the deflated k-form agrees on component 1
+    val e = Similarity.topKEigen(cov, dim = 2, k = 1, steps = 3)
+      .orderBy("i").select("v_e6").as[Long].collect()
+    assert(e.toSeq == v.toSeq)
+  }
+
   test("topKEigen: comp 1 equals powerIterationTop; deflation recovers a " +
       "planted second direction, near-orthogonal; rotation decorrelates") {
     // two planted orthogonal directions with distinct variances (5 ≫ 2)
