@@ -665,82 +665,150 @@ object TextStats {
 
   // ---- external ARPA (KenLM-format) model load + scoring -----------------
 
-  /** A parsed ARPA bigram backoff model. `unigrams`: word → (log10 prob,
-    * log10 backoff weight); `bigrams`: "w1 w2" → log10 prob; `unkLp`:
-    * `<unk>`'s log10 prob when the model lists one, else the open-vocab
-    * floor −99 (silence, the SRILM convention).
+  /** A parsed ARPA backoff model of any order n: `grams(k-1)` holds the
+    * order-k section as (space-joined gram, log10 prob, log10 backoff
+    * weight — 0.0 when the line omits it, as highest-order lines do);
+    * `unkLp`: `<unk>`'s log10 prob when the model lists one, else the
+    * open-vocab floor −99 (silence, the SRILM convention);
+    * `malformedSkipped`: gram lines dropped by a `lenient = true` parse
+    * (always 0 under the strict default).
     */
-  case class ArpaModel(unigrams: Seq[(String, Double, Double)],
-                       bigrams: Seq[(String, Double)], unkLp: Double)
+  case class ArpaModel(grams: Seq[Seq[(String, Double, Double)]],
+                       unkLp: Double, malformedSkipped: Long = 0L) {
+    def order: Int = grams.length
+    /** Order-1 section (back-compat accessor). */
+    def unigrams: Seq[(String, Double, Double)] =
+      if (grams.isEmpty) Nil else grams.head
+    /** Order-2 section without backoffs (back-compat accessor). */
+    def bigrams: Seq[(String, Double)] =
+      if (order >= 2) grams(1).map(t => (t._1, t._2)) else Nil
+  }
 
   /** Parse ARPA text (the KenLM/SRILM interchange format) into the
     * engine's model-table shape — the CCNet deployment where the
     * perplexity filter scores against a REFERENCE model file instead of
     * self-training ([[selfKnCrossEntropy]]). Sections `\\data\\`,
-    * `\\1-grams:`, `\\2-grams:`, `\\end\\`; data lines are
-    * `log10prob gram... [log10backoff]`. Orders ≥ 3 are rejected loudly
-    * — the engine's LM family is bigram (collapse a higher-order model
-    * with KenLM before loading); a declared-but-empty `ngram 3=0` is
-    * fine.
+    * `\\k-grams:` for k = 1..`maxOrder`, `\\end\\`; data lines are
+    * `log10prob gram... [log10backoff]`. The shipped CCNet deployment
+    * scores against a 5-gram KenLM model, hence the default cap; orders
+    * beyond `maxOrder` still fail loudly in BOTH modes (a section the
+    * scorer would silently ignore is a structural error, not line
+    * noise).
+    *
+    * `lenient = false` (default): any malformed gram line — wrong field
+    * count, non-numeric probability — and any duplicate gram within an
+    * order throws. `lenient = true`: malformed lines are counted and
+    * skipped and duplicate grams keep the LAST occurrence (the literal
+    * serving map's `toMap` rule, so join and fold forms stay
+    * bit-identical), with the drop count surfaced as
+    * [[ArpaModel.malformedSkipped]] — the Warc/Multimodal "one bad
+    * record must not kill the ingest" discipline for provider-quirked
+    * model files. Duplicates must never score inconsistently: under the
+    * strict default they fail loud, under lenient both serving forms see
+    * the same single entry.
     *
     * Driver-side parse by design (section headers make line meaning
     * positional, so a distributed line-parse has no self-describing
     * rows); `maxBytes` enforces the localize discipline — a corpus-sized
     * model should be converted ONCE to parquet tables and joined from
-    * there, which is exactly what [[arpaCrossEntropy]] consumes.
+    * there, which is exactly what [[arpaCrossEntropyN]] consumes.
     */
-  def parseArpa(text: String, maxBytes: Long = 64L << 20): ArpaModel = {
+  def parseArpa(text: String, maxBytes: Long = 64L << 20,
+                maxOrder: Int = 5, lenient: Boolean = false): ArpaModel = {
+    require(maxOrder >= 1, s"parseArpa: maxOrder ($maxOrder) must be >= 1")
     require(text.length <= maxBytes,
       s"parseArpa: model text ${text.length} B exceeds $maxBytes B — " +
         "convert the model to parquet tables once and join from there")
-    val uni = Seq.newBuilder[(String, Double, Double)]
-    val bi = Seq.newBuilder[(String, Double)]
-    var section = 0 // 0 = preamble/\data\, 1/2 = n-grams, -1 = \end\
+    val secs = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[(String, Double, Double)]]
+    def at(k: Int) = {
+      while (secs.length < k)
+        secs += scala.collection.mutable.ArrayBuffer
+          .empty[(String, Double, Double)]
+      secs(k - 1)
+    }
+    var malformed = 0L
+    var section = 0 // 0 = preamble/\data\, k = \k-grams:, -1 = \end\
     val secHdr = "\\\\(\\d+)-grams:".r
     val decl = "ngram\\s+(\\d+)\\s*=\\s*(\\d+)".r
+    def bad(msg: String): Unit =
+      if (lenient) malformed += 1
+      else throw new IllegalArgumentException(s"requirement failed: $msg")
     for (raw <- text.linesIterator; line = raw.trim if line.nonEmpty) {
       line match {
         case "\\data\\" => section = 0
         case "\\end\\" => section = -1
         case secHdr(n) =>
-          require(n.toInt <= 2,
-            s"parseArpa: order-$n section — the engine's LM family is " +
-              "bigram; collapse the model to order 2 before loading")
+          require(n.toInt <= maxOrder,
+            s"parseArpa: order-$n section exceeds maxOrder=$maxOrder — " +
+              "collapse the model or raise maxOrder")
           section = n.toInt
+          at(section) // a declared-but-empty section still fixes the order
         case l if section == 0 =>
           l match {
             case decl(n, c) =>
-              require(n.toInt <= 2 || c.toLong == 0L,
-                s"parseArpa: model declares ${c} ${n}-grams — the " +
-                  "engine's LM family is bigram")
+              require(n.toInt <= maxOrder || c.toLong == 0L,
+                s"parseArpa: model declares ${c} ${n}-grams — beyond " +
+                  s"maxOrder=$maxOrder")
             case _ => () // header noise tolerated
           }
-        case l if section == 1 =>
+        case l if section > 0 =>
+          val k = section
           val f = l.split("\\s+")
-          require(f.length == 2 || f.length == 3,
-            s"parseArpa: malformed 1-gram line '$l'")
-          uni += ((f(1), f(0).toDouble,
-            if (f.length == 3) f(2).toDouble else 0.0))
-        case l if section == 2 =>
-          val f = l.split("\\s+")
-          require(f.length == 3, s"parseArpa: malformed 2-gram line '$l'")
-          bi += ((s"${f(1)} ${f(2)}", f(0).toDouble))
+          if (f.length != k + 1 && f.length != k + 2)
+            bad(s"parseArpa: malformed $k-gram line '$l'")
+          else try {
+            val lp = f(0).toDouble
+            val bo = if (f.length == k + 2) f(k + 1).toDouble else 0.0
+            at(k) += ((f.slice(1, k + 1).mkString(" "), lp, bo))
+          } catch {
+            case _: NumberFormatException =>
+              bad(s"parseArpa: non-numeric field in $k-gram line '$l'")
+          }
         case _ => () // content after \end\ tolerated
       }
     }
-    val us = uni.result()
-    ArpaModel(us, bi.result(),
-      us.collectFirst { case ("<unk>", lp, _) => lp }.getOrElse(-99.0))
+    val deduped = secs.toSeq.zipWithIndex.map { case (sec, i) =>
+      val nDup = sec.length - sec.view.map(_._1).toSet.size
+      if (nDup == 0) sec.toSeq
+      else if (!lenient)
+        throw new IllegalArgumentException(
+          s"requirement failed: parseArpa: $nDup duplicate ${i + 1}-gram " +
+            "entries — a duplicated gram would make the join and literal-" +
+            "map serving forms score differently; fix the model or parse " +
+            "with lenient = true (keeps the last occurrence)")
+      else {
+        malformed += nDup
+        val last = scala.collection.mutable.LinkedHashMap
+          .empty[String, (String, Double, Double)]
+        sec.foreach(e => last(e._1) = e) // keep-last, first-seen order
+        last.values.toSeq
+      }
+    }
+    val us = if (deduped.isEmpty) Nil else deduped.head
+    ArpaModel(deduped, us.collectFirst { case ("<unk>", lp, _) => lp }
+      .getOrElse(-99.0), malformed)
   }
 
   /** [[ArpaModel]] as DataFrames — `(uni(w, lp, bo), bi(gram, lp))` — the
     * join-shape [[arpaCrossEntropy]] serves from (identical to what a
-    * parquet-converted model reads back as).
+    * parquet-converted model reads back as). Order-2 surface; the
+    * order-n twin is [[arpaTablesN]].
     */
   def arpaTables(spark: org.apache.spark.sql.SparkSession, m: ArpaModel)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import spark.implicits._
     (m.unigrams.toDF("w", "lp", "bo"), m.bigrams.toDF("gram", "lp"))
+  }
+
+  /** [[ArpaModel]] as one `(gram, lp, bo)` DataFrame per order — the
+    * join-shape [[arpaCrossEntropyN]] serves from (identical to what a
+    * parquet-converted model reads back as, one directory per order).
+    */
+  def arpaTablesN(spark: org.apache.spark.sql.SparkSession, m: ArpaModel)
+      : Seq[org.apache.spark.sql.DataFrame] = {
+    import spark.implicits._
+    m.grams.map(_.toDF("gram", "lp", "bo"))
   }
 
   /** ln(10) as the fixed double constant BOTH engines multiply by (the
@@ -797,38 +865,120 @@ object TextStats {
         coalesce(col("arpa_e4"), lit(0L)).as("arpa_e4"))
   }
 
-  /** Per-row Katz scoring under a collected ARPA model — the fold form
-    * of [[arpaCrossEntropy]] for stateless stream gates (the
-    * [[knScoreExpr]] pattern): same bigram construction, same backoff
-    * branches, same e6-round-before-sum and e4 mean, so batch and stream
-    * scores are BIT-identical (KnLmSpec parity pin). Bounded-model
+  /** Per-doc cross-entropy (nats, e4) under an external ARPA backoff
+    * model of ANY order n — the [[arpaCrossEntropy]] join ladder
+    * generalized to full Katz recursion depth n (the q110 trigram-ladder
+    * shape at arbitrary depth). Per position with a FULL (n−1)-word
+    * history, the score resolves at the LONGEST listed suffix s_j of the
+    * n-gram and charges the backoff chain of every longer unlisted
+    * context: log10 p = lp(s_j) + Σ_{k=j..n−1} bo(c_k), with bo(c) = 0
+    * for an unlisted context and lp(s_0) = `unkLp` (exactly the n = 2
+    * branches of [[arpaCrossEntropy]], recursed). Only positions n..len
+    * score (the house bigram convention one order up): docs with < n
+    * words exit (0, 0) — feed
+    * [[graft.operators.Curation.perplexityBuckets]] with
+    * `unscoredWhen = n_grams = 0` downstream.
+    *
+    * Scale shape: ONE corpus n-gram explode + (2n−1) model-table equi
+    * joins — lp of each suffix length, bo of each context length (AQE
+    * broadcasts gate-sized models; a corpus-sized model hash-joins) —
+    * one doc-keyed aggregate. `tables` come from [[arpaTablesN]] or a
+    * per-order parquet conversion; serving never re-reads the ARPA text.
+    */
+  def arpaCrossEntropyN(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String,
+                        tables: Seq[org.apache.spark.sql.DataFrame],
+                        unkLp: Double = -99.0)
+      : org.apache.spark.sql.DataFrame = {
+    val n = tables.length
+    require(n >= 1, "arpaCrossEntropyN: at least the unigram table")
+    var df = graft.core.Ops.widen(docs)
+      .select(col(idCol), explode(Curation.wordNgrams(
+        graft.operators.Dedup.normalizeWords(col(textCol)), n)).as("gram"))
+      .withColumn("__ws", split(col("gram"), " "))
+    // one lp join per suffix length, one bo join per context length
+    for (k <- n to 1 by -1) {
+      val key = s"__s$k"
+      df = df.withColumn(key,
+          array_join(slice(col("__ws"), n - k + 1, k), " "))
+        .join(tables(k - 1).select(col("gram").as(key),
+          col("lp").as(s"__lp$k")), Seq(key), "left_outer")
+    }
+    for (k <- (n - 1) to 1 by -1) {
+      val key = s"__c$k"
+      df = df.withColumn(key, array_join(slice(col("__ws"), n - k, k), " "))
+        .join(tables(k - 1).select(col("gram").as(key),
+          col("bo").as(s"__bo$k")), Seq(key), "left_outer")
+    }
+    def boSum(j: Int): Column =
+      (j to n - 1).map(k => coalesce(col(s"__bo$k"), lit(0.0)))
+        .reduceOption(_ + _).getOrElse(lit(0.0))
+    var log10p: Column = boSum(1) + lit(unkLp) // s_0: unknown word
+    for (j <- 1 to n)
+      log10p = when(col(s"__lp$j").isNotNull,
+        if (j == n) col(s"__lp$j") else boSum(j) + col(s"__lp$j"))
+        .otherwise(log10p)
+    val scored = df
+      .withColumn("le6",
+        floor(-log10p * lit(Ln10) * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), sum(col("le6")).as("s"))
+      .withColumn("arpa_e4",
+        floor(col("s") / (col("n_grams") * lit(100.0)) + lit(0.5))
+          .cast("long"))
+    docs.select(col(idCol))
+      .join(scored.select(col(idCol), col("n_grams"), col("arpa_e4")),
+        Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("arpa_e4"), lit(0L)).as("arpa_e4"))
+  }
+
+  /** Per-row Katz scoring under a collected ARPA model of any order —
+    * the fold form of [[arpaCrossEntropy]]/[[arpaCrossEntropyN]] for
+    * stateless stream gates (the [[knScoreExpr]] pattern): same n-gram
+    * construction, same longest-listed-suffix + backoff-chain branches,
+    * same e6-round-before-sum and e4 mean, so batch and stream scores
+    * are BIT-identical (KnLmSpec parity pin, per order). Bounded-model
     * contract: the maps ride the plan as literals — gate-sized models
     * only (`maxEntries`); corpus-sized models use the join form.
     */
   def arpaScoreExpr(text: Column, m: ArpaModel,
                     maxEntries: Int = 1 << 20): Column = {
-    require(m.unigrams.size + m.bigrams.size <= maxEntries,
-      s"arpaScoreExpr: model has ${m.unigrams.size + m.bigrams.size} " +
+    val total = m.grams.map(_.size).sum
+    require(m.order >= 1, "arpaScoreExpr: empty model")
+    require(total <= maxEntries,
+      s"arpaScoreExpr: model has $total " +
         s"entries > $maxEntries — a literal serving model must be " +
-        "gate-sized; score with arpaCrossEntropy's join form instead")
-    val biLit = typedLit(m.bigrams.toMap)
-    val lpLit = typedLit(m.unigrams.map(u => u._1 -> u._2).toMap)
-    val boLit = typedLit(m.unigrams.map(u => u._1 -> u._3).toMap)
-    val bigrams = Curation.wordNgrams(
-      graft.operators.Dedup.normalizeWords(text), 2)
-    val le6s = transform(bigrams, g => {
-      val w1 = split(g, " ").getItem(0)
-      val w2 = split(g, " ").getItem(1)
-      val lp2 = element_at(biLit, g)
-      val log10p = when(lp2.isNotNull, lp2)
-        .otherwise(coalesce(element_at(boLit, w1), lit(0.0)) +
-          coalesce(element_at(lpLit, w2), lit(m.unkLp)))
+        "gate-sized; score with arpaCrossEntropyN's join form instead")
+    val n = m.order
+    val lpMaps = m.grams.map(sec =>
+      typedLit(sec.map(e => e._1 -> e._2).toMap))
+    val boMaps = m.grams.map(sec =>
+      typedLit(sec.map(e => e._1 -> e._3).toMap))
+    val grams = Curation.wordNgrams(
+      graft.operators.Dedup.normalizeWords(text), n)
+    val le6s = transform(grams, g => {
+      val ws = split(g, " ")
+      def sfx(k: Int): Column =
+        if (k == n) g else array_join(slice(ws, n - k + 1, k), " ")
+      def ctx(k: Int): Column = array_join(slice(ws, n - k, k), " ")
+      def boSum(j: Int): Column =
+        (j to n - 1).map(k =>
+          coalesce(element_at(boMaps(k - 1), ctx(k)), lit(0.0)))
+          .reduceOption(_ + _).getOrElse(lit(0.0))
+      var log10p: Column = boSum(1) + lit(m.unkLp)
+      for (j <- 1 to n)
+        log10p = when(element_at(lpMaps(j - 1), sfx(j)).isNotNull,
+          if (j == n) element_at(lpMaps(j - 1), sfx(j))
+          else boSum(j) + element_at(lpMaps(j - 1), sfx(j)))
+          .otherwise(log10p)
       floor(-log10p * lit(Ln10) * lit(1e6) + lit(0.5)).cast("long")
     })
-    val n = size(bigrams)
-    when(n === 0, lit(0L)).otherwise(
+    val cnt = size(grams)
+    when(cnt === 0, lit(0L)).otherwise(
       floor(aggregate(le6s, lit(0L), (a, x) => a + x) /
-        (n.cast("long") * lit(100.0)) + lit(0.5)).cast("long"))
+        (cnt.cast("long") * lit(100.0)) + lit(0.5)).cast("long"))
   }
 
   /** Feature-hashing text embedding (the Weinberger et al. hashing

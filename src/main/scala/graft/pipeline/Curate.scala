@@ -209,12 +209,13 @@ object Curate {
     // ---- optional external-ARPA reference-perplexity gate ---------------
     // after the self-train gate (independent judges: self-train kills
     // pool-relative outliers, the reference model kills externally
-    // disfluent text): score under the FILE-shipped model, one corpus
-    // explode + three model-table joins, no training inside the funnel
+    // disfluent text): score under the FILE-shipped model of ANY order n
+    // (bigram CCNet collapse or the full 5-gram KenLM file), one corpus
+    // explode + (2n−1) model-table joins, no training inside the funnel
     for (bound <- cfg.maxArpaE4; m <- arpaModel) {
       val base = filtered.persist(StorageLevel.MEMORY_AND_DISK)
-      val (uni, bi) = TextStats.arpaTables(docs.sparkSession, m)
-      val keep = TextStats.arpaCrossEntropy(base, idCol, textCol, uni, bi,
+      val tabs = TextStats.arpaTablesN(docs.sparkSession, m)
+      val keep = TextStats.arpaCrossEntropyN(base, idCol, textCol, tabs,
           m.unkLp)
         .filter(col("arpa_e4") <= bound)
         .select(col(idCol))

@@ -1504,6 +1504,98 @@ object TextProbes {
        |FROM documents d LEFT JOIN agg a USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- q137 order-3 external-ARPA perplexity (full Katz ladder) ----------
+  // The q134 CCNet deployment one order up: TextStats.parseArpa loads a
+  // LITERAL order-3 KenLM-format model (the default maxOrder=5 cap) and
+  // arpaCrossEntropyN scores every document through the depth-3 Katz
+  // recursion — longest listed suffix wins, every longer unlisted context
+  // charges its backoff weight (0 when the context gram is unlisted).
+  // The oracle re-states the per-order tables as VALUES and replays the
+  // identical suffix/context join ladder and when-chain with the
+  // e6-round-before-sum fixed point.
+  private val q137Arpa =
+    """\data\
+      |ngram 1=7
+      |ngram 2=5
+      |ngram 3=4
+      |
+      |\1-grams:
+      |-0.9 join -0.30103
+      |-1.0 hash -0.2
+      |-1.1 row -0.25
+      |-1.2 scan -0.12
+      |-1.3 table -0.1
+      |-1.4 key -0.18
+      |-3.5 <unk>
+      |
+      |\2-grams:
+      |-0.4 join hash -0.15
+      |-0.6 hash join -0.22
+      |-0.7 table row -0.09
+      |-0.8 row scan -0.3
+      |-0.5 key scan
+      |
+      |\3-grams:
+      |-0.2 table row scan
+      |-0.3 join hash join
+      |-0.35 key scan slow
+      |-0.45 hash join hash
+      |
+      |\end\
+      |""".stripMargin
+
+  val q137: Q = (s, d) => {
+    val m = graft.operators.TextStats.parseArpa(q137Arpa)
+    val tabs = graft.operators.TextStats.arpaTablesN(s, m)
+    graft.operators.TextStats.arpaCrossEntropyN(
+        Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", tabs, m.unkLp)
+      .orderBy("doc_id")
+  }
+
+  val q137Sql: String =
+    s"""WITH t1(gram, lp, bo) AS (VALUES
+       |    ('join', -0.9, -0.30103), ('hash', -1.0, -0.2),
+       |    ('row', -1.1, -0.25), ('scan', -1.2, -0.12),
+       |    ('table', -1.3, -0.1), ('key', -1.4, -0.18),
+       |    ('<unk>', -3.5, 0.0)),
+       |t2(gram, lp, bo) AS (VALUES
+       |    ('join hash', -0.4, -0.15), ('hash join', -0.6, -0.22),
+       |    ('table row', -0.7, -0.09), ('row scan', -0.8, -0.3),
+       |    ('key scan', -0.5, 0.0)),
+       |t3(gram, lp) AS (VALUES
+       |    ('table row scan', -0.2), ('join hash join', -0.3),
+       |    ('key scan slow', -0.35), ('hash join hash', -0.45)),
+       |n AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |tg AS (SELECT doc_id,
+       |    w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s3,
+       |    w[i + 1] || ' ' || w[i + 2] AS s2, w[i + 2] AS s1,
+       |    w[i] || ' ' || w[i + 1] AS c2, w[i + 1] AS c1
+       |  FROM n, unnest(generate_series(1, len(w) - 2)) t(i)
+       |  WHERE len(w) >= 3),
+       |sc AS (SELECT g.doc_id,
+       |    CAST(floor(-(CASE
+       |        WHEN l3.lp IS NOT NULL THEN l3.lp
+       |        WHEN l2.lp IS NOT NULL THEN coalesce(b2.bo, 0) + l2.lp
+       |        WHEN l1.lp IS NOT NULL THEN
+       |          coalesce(b1.bo, 0) + coalesce(b2.bo, 0) + l1.lp
+       |        ELSE coalesce(b1.bo, 0) + coalesce(b2.bo, 0) + (-3.5) END)
+       |      * 2.302585092994046 * 1000000 + 0.5) AS BIGINT) AS le6
+       |  FROM tg g
+       |  LEFT JOIN t3 l3 ON l3.gram = g.s3
+       |  LEFT JOIN t2 l2 ON l2.gram = g.s2
+       |  LEFT JOIN t1 l1 ON l1.gram = g.s1
+       |  LEFT JOIN t2 b2 ON b2.gram = g.c2
+       |  LEFT JOIN t1 b1 ON b1.gram = g.c1),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(floor(sum(le6) / (count(*) * 100.0) + 0.5) AS BIGINT)
+       |      AS arpa_e4
+       |  FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams,
+       |  coalesce(a.arpa_e4, 0) AS arpa_e4
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   private[probes] val queries: Map[String, Q] = Map(
     "q32_lang_id" -> q32,
     "q33_quality_score" -> q33,
@@ -1537,7 +1629,8 @@ object TextProbes {
     "q128_rrf_hybrid" -> q128,
     "q129_wordpiece" -> q129,
     "q134_arpa_ppl" -> q134,
-    "q135_unigram_lm" -> q135)
+    "q135_unigram_lm" -> q135,
+    "q137_arpa3_ppl" -> q137)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q32_lang_id" -> q32Sql,
@@ -1572,5 +1665,6 @@ object TextProbes {
     "q128_rrf_hybrid" -> q128Sql,
     "q129_wordpiece" -> q129Sql,
     "q134_arpa_ppl" -> q134Sql,
-    "q135_unigram_lm" -> q135Sql)
+    "q135_unigram_lm" -> q135Sql,
+    "q137_arpa3_ppl" -> q137Sql)
 }

@@ -192,25 +192,58 @@ class KnLmSpec extends SparkSpec {
       |""".stripMargin
       .replace("\n", "\n") // (explicit: fixture travels with \n lines)
 
-  test("parseArpa: fields, optional backoff, <unk>, order-3 rejection") {
+  test("parseArpa: fields, optional backoff, <unk>, order caps") {
     import graft.operators.TextStats
     val m = TextStats.parseArpa(arpaFixture)
+    assert(m.order == 2 && m.malformedSkipped == 0L)
     assert(m.unigrams.toSet == Set(("the", -1.0, -0.30103),
       ("table", -1.5, -0.2), ("row", -2.0, 0.0), ("<unk>", -3.0, 0.0)))
     assert(m.bigrams.toSet == Set(("the table", -0.5), ("table row", -0.8)))
     assert(m.unkLp == -3.0)
-    // declared-but-empty order 3 is fine; a populated one is not
-    TextStats.parseArpa(arpaFixture.replace("ngram 2=2", "ngram 2=2\nngram 3=0"))
+    // order-3 sections load under the default maxOrder=5 cap…
+    val m3 = TextStats.parseArpa(arpaFixture + "\n\\3-grams:\n-0.1 a b c\n")
+    assert(m3.order == 3 && m3.grams(2) == Seq(("a b c", -0.1, 0.0)))
+    // …but the bigram-collapse contract is still expressible
     intercept[IllegalArgumentException] {
-      TextStats.parseArpa(arpaFixture.replace("ngram 2=2", "ngram 3=5"))
+      TextStats.parseArpa(arpaFixture.replace("ngram 2=2", "ngram 3=5"),
+        maxOrder = 2)
     }
     intercept[IllegalArgumentException] {
-      TextStats.parseArpa(arpaFixture + "\n\\3-grams:\n-0.1 a b c\n")
+      TextStats.parseArpa(arpaFixture + "\n\\3-grams:\n-0.1 a b c\n",
+        maxOrder = 2)
+    }
+    // beyond maxOrder fails loudly in BOTH modes (structural, not noise)
+    intercept[IllegalArgumentException] {
+      TextStats.parseArpa(arpaFixture + "\n\\6-grams:\n-0.1 a b c d e f\n")
+    }
+    intercept[IllegalArgumentException] {
+      TextStats.parseArpa(arpaFixture + "\n\\6-grams:\n-0.1 a b c d e f\n",
+        lenient = true)
     }
     // a model with no <unk> line gets the -99 floor
     val noUnk = TextStats.parseArpa(
       arpaFixture.replace("-3.0 <unk>\n", "").replace("ngram 1=4", "ngram 1=3"))
     assert(noUnk.unkLp == -99.0)
+  }
+
+  test("parseArpa: duplicate grams fail loud; lenient keeps the LAST " +
+       "occurrence and counts skips (bad lines included)") {
+    import graft.operators.TextStats
+    val dup = arpaFixture.replace("-0.5 the table",
+      "-0.5 the table\n-0.45 the table")
+    intercept[IllegalArgumentException] { TextStats.parseArpa(dup) }
+    val m = TextStats.parseArpa(dup, lenient = true)
+    assert(m.bigrams.toMap.apply("the table") == -0.45, m.bigrams.toString)
+    assert(m.malformedSkipped == 1L)
+    // malformed field count + non-numeric prob: strict throws, lenient
+    // counts and skips both without losing the good lines
+    val quirked = arpaFixture
+      .replace("-0.8 table row", "-0.8 table row\njunkline\nxx the zz")
+    intercept[IllegalArgumentException] { TextStats.parseArpa(quirked) }
+    val mq = TextStats.parseArpa(quirked, lenient = true)
+    assert(mq.malformedSkipped == 2L)
+    assert(mq.bigrams.toSet ==
+      Set(("the table", -0.5), ("table row", -0.8)))
   }
 
   test("arpaCrossEntropy: listed bigram, backoff path, unknown word — " +
@@ -252,5 +285,92 @@ class KnLmSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextStats.arpaScoreExpr(col("text"), m, maxEntries = 3)
     }
+  }
+
+  private val arpa3Fixture =
+    """\data\
+      |ngram 1=4
+      |ngram 2=3
+      |ngram 3=2
+      |
+      |\1-grams:
+      |-1.0 the -0.30103
+      |-1.5 table -0.2
+      |-2.0 row -0.15
+      |-3.0 <unk>
+      |
+      |\2-grams:
+      |-0.5 the table -0.1
+      |-0.8 table row -0.05
+      |-0.9 row row
+      |
+      |\3-grams:
+      |-0.3 the table row
+      |-0.6 table row row
+      |
+      |\end\
+      |""".stripMargin
+
+  test("arpaCrossEntropyN: order-3 Katz — listed trigram, one-level and " +
+      "two-level backoff, unlisted-context bo=0, unknown word; " +
+      "arpaScoreExpr bit-parity; n=2 tables reproduce arpaCrossEntropy") {
+    import graft.operators.TextStats
+    val m = TextStats.parseArpa(arpa3Fixture)
+    assert(m.order == 3)
+    val tabs = TextStats.arpaTablesN(spark, m)
+    // hand-computed Katz chains (log10):
+    // doc 1 "the table row": trigram listed → −0.3
+    // doc 2 "the table table": trigram unlisted → bo("the table")=−0.1;
+    //   bigram "table table" unlisted → bo("table")=−0.2 + lp(table)=−1.5
+    //   ⇒ −1.8
+    // doc 3 "row the table": trigram unlisted, context "row the"
+    //   UNLISTED → bo=0; bigram "the table" listed → −0.5 ⇒ −0.5
+    // doc 4 "table row zebra": all suffixes unlisted, zebra unknown →
+    //   unk −3.0 + bo("table row")=−0.05 + bo("row")=−0.15 ⇒ −3.2
+    // doc 5 "the row": < 3 words ⇒ (0, 0)
+    // doc 6 "the table row row": trigrams [the table row]=−0.3,
+    //   [table row row]=−0.6
+    val docs = Seq((1L, "the table row"), (2L, "the table table"),
+      (3L, "row the table"), (4L, "table row zebra"), (5L, "the row"),
+      (6L, "the table row row")).toDF("doc_id", "text")
+    val got = TextStats.arpaCrossEntropyN(docs, "doc_id", "text", tabs,
+        m.unkLp)
+      .orderBy("doc_id").select("doc_id", "n_grams", "arpa_e4")
+      .as[(Long, Long, Long)].collect().toSeq
+    def le6(lp: Double): Long =
+      math.floor(-lp * TextStats.Ln10 * 1e6 + 0.5).toLong
+    def e4(ls: Seq[Long]): Long =
+      math.floor(ls.sum / (ls.size * 100.0) + 0.5).toLong
+    assert(got == Seq(
+      (1L, 1L, e4(Seq(le6(-0.3)))),
+      (2L, 1L, e4(Seq(le6(-0.1 - 0.2 - 1.5)))),
+      (3L, 1L, e4(Seq(le6(-0.5)))),
+      (4L, 1L, e4(Seq(le6(-3.0 - 0.05 - 0.15)))),
+      (5L, 0L, 0L),
+      (6L, 2L, e4(Seq(le6(-0.3), le6(-0.6))))), got.toString)
+
+    // the fold (stream-gate) form is BIT-identical per doc
+    val exprGot = docs
+      .select(col("doc_id"),
+        TextStats.arpaScoreExpr(col("text"), m).as("arpa_e4"))
+      .orderBy("doc_id").select("doc_id", "arpa_e4")
+      .as[(Long, Long)].collect().toSeq
+    assert(exprGot == got.map(t => (t._1, t._3)), exprGot.toString)
+
+    // and the generalized ladder at n=2 is bit-identical to the
+    // dedicated bigram path on the order-2 fixture
+    val m2 = TextStats.parseArpa(arpaFixture)
+    val (uni, bi) = TextStats.arpaTables(spark, m2)
+    val docs2 = Seq((1L, "the table row"), (2L, "the row"),
+      (3L, "row zebra"), (4L, "word")).toDF("doc_id", "text")
+    val oldForm = TextStats.arpaCrossEntropy(docs2, "doc_id", "text",
+        uni, bi, m2.unkLp)
+      .orderBy("doc_id").select("doc_id", "n_bigrams", "arpa_e4")
+      .as[(Long, Long, Long)].collect().toSeq
+    val newForm = TextStats.arpaCrossEntropyN(docs2, "doc_id", "text",
+        TextStats.arpaTablesN(spark, m2), m2.unkLp)
+      .orderBy("doc_id").select("doc_id", "n_grams", "arpa_e4")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(newForm == oldForm, s"$newForm vs $oldForm")
   }
 }
