@@ -298,8 +298,10 @@ object Curation {
     require(thresholdE4 >= 0 && thresholdE4 <= 10000,
       s"semDedup: thresholdE4 ($thresholdE4) must be in [0, 10000]")
     require(centroidEvery >= 1, "semDedup: centroidEvery must be >= 1")
-    val emb = TextStats.hashEmbedGather(
-        TextStats.hashEmbed(docs, idCol, textCol, dim), idCol)
+    // sparse-path embed: value-identical to hashEmbedGather(hashEmbed)
+    // but shuffles only non-zero buckets — the dense crossJoin form paid
+    // a dim× row amplification on every funnel run
+    val emb = TextStats.hashEmbedVectors(docs, idCol, textCol, dim)
       .filter(expr("aggregate(v, 0D, (a, x) -> a + x * x)") > lit(0.0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sampled = emb.filter(

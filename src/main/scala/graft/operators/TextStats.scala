@@ -1048,6 +1048,35 @@ object TextStats {
       }).cast("double"))
   }
 
+  /** `(id, v)` dense double arrays via the SPARSE path: aggregate
+    * [[hashFeatures]]' non-zero (doc, bucket) rows per doc into a map
+    * and zero-fill the dim-width array in one per-row transform —
+    * value-identical to `hashEmbedGather(hashEmbed(...))` (spec-pinned)
+    * but the (id, pos) shuffles carry ONLY non-zero buckets. The dense
+    * route pays a dim× row amplification (crossJoin + a corpus×dim-row
+    * shuffle) on every run — the embed stage's dominant constant at
+    * corpus scale; here the first shuffle carries word-bounded rows
+    * with map-side combine and the second one map-row per doc. Docs
+    * whose text hashes to nothing exit as the all-zero vector (same as
+    * the dense form).
+    */
+  def hashEmbedVectors(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, dim: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(dim >= 1, s"hashEmbedVectors: dim ($dim) must be >= 1")
+    val sparse = hashFeatures(docs, idCol, textCol, dim)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("val"))))
+        .as("__m"))
+    docs.select(col(idCol).as("id"))
+      .join(sparse.select(col(idCol).as("id"), col("__m")),
+        Seq("id"), "left_outer")
+      .select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)), p =>
+          coalesce(element_at(col("__m"), p), lit(0L)).cast("double"))
+          .as("v"))
+  }
+
   /** [[hashEmbed]] long form gathered to `(id, v)` double arrays — the
     * shape [[graft.operators.Similarity]] consumes.
     */

@@ -570,6 +570,28 @@ object Scale {
             .agg(count(lit(1)).as("rows"), sum("__h").as("sh")),
           Seq.empty)
       }
+      // the SemDeDup funnel's text→embedding stage, both formulations:
+      // dense = crossJoin every (doc, pos) then gather (dim× row
+      // amplification through the shuffle), sparse = non-zero buckets
+      // only + per-row zero-fill (hashEmbedVectors, the serving default
+      // since round 11). Identical output values; the row pair measures
+      // the embed stage's constant.
+      run("embed_dense", n) {
+        graft.core.Managed(
+          graft.operators.TextStats.hashEmbedGather(
+            graft.operators.TextStats.hashEmbed(d, "doc_id", "text", 64),
+            "doc_id")
+            .select(count(lit(1)).as("rows"),
+              sum(expr("aggregate(v, 0D, (a, x) -> a + x * x)")).as("s2")),
+          Seq.empty)
+      }
+      run("embed_sparse", n) {
+        graft.core.Managed(
+          graft.operators.TextStats.hashEmbedVectors(d, "doc_id", "text", 64)
+            .select(count(lit(1)).as("rows"),
+              sum(expr("aggregate(v, 0D, (a, x) -> a + x * x)")).as("s2")),
+          Seq.empty)
+      }
       run("embed_cov", n) {
         graft.core.Managed(
           Similarity.covarianceUpper(v, dim = 64)

@@ -737,6 +737,29 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
   }
 
+  test("hashEmbedVectors (sparse path) is value-identical to " +
+      "hashEmbedGather(hashEmbed) and plans no dim-crossJoin") {
+    import graft.operators.TextStats
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon beta beta"),
+      (3L, "completely different words entirely here"),
+      (4L, "")                                // empty: all-zero vector
+    ).toDF("doc_id", "text")
+    val dense = TextStats.hashEmbedGather(
+        TextStats.hashEmbed(docs, "doc_id", "text", dim = 8), "doc_id")
+      .as[(Long, Seq[Double])].collect().toMap
+    val sparseDf = TextStats.hashEmbedVectors(docs, "doc_id", "text", dim = 8)
+    val sparse = sparseDf.as[(Long, Seq[Double])].collect().toMap
+    assert(sparse === dense)
+    assert(sparse(4L) === Seq.fill(8)(0.0))
+    // the dense form's dim-fanout crossJoin must be gone: no nested-loop
+    // join anywhere in the sparse plan (both its shuffles are equi/agg)
+    val plan = sparseDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("dedupLines is idempotent") {
     import graft.operators.Curation
     val docs = Seq((1L, "p\nq\np\nr\nq\np")).toDF("doc_id", "text")
