@@ -129,6 +129,174 @@ object Unigram {
         explode(encodeWordGreedy(model, maxWordIters)(col("w"))).as("piece"))
       .groupBy("piece").agg(sum(col("freq")).as("usage"))
 
+  /** The log-semiring ⊕ in e6 cost space: −ln(e^(−a/10⁶) + e^(−x/10⁶))·10⁶
+    * re-rounded to e6 — the softmin every forward/backward combine uses,
+    * rounded PER COMBINE so the whole lattice trajectory is
+    * integer-exact and oracle-replayable (the e6 discipline). Spelled
+    * `ln(1 + exp(·))` literally (not log1p) so the DuckDB twin runs the
+    * identical double arithmetic.
+    */
+  private def combineE6(a: Column, x: Column): Column = {
+    val m = least(a, x)
+    val d = (greatest(a, x) - m).cast("double")
+    m - floor(log(lit(1.0) + exp(-d / lit(1e6))) * lit(1e6) + lit(0.5))
+      .cast("long")
+  }
+
+  /** Per-word lattice forward–backward: every segmentation edge
+    * (position, piece) with its posterior-expected count as e6 fixed
+    * point — Kudo 2018's ACTUAL E-step quantity (the greedy
+    * [[pieceUsage]] counts only the single best-ratio path and starves
+    * every piece that path skips). Forward α and backward β are the
+    * [[viterbiEncode]] DP with softmin ([[combineE6]]) in place of min;
+    * an edge starting at s with length l has posterior
+    * e^(−(α(s−1) + cost + β(s−1+l) − α(N))/10⁶), rounded to e6 per
+    * edge. Candidates fold through lambda-bound array aggregates (one
+    * `element_at` per reference — the 4^depth accumulator-duplication
+    * blowup documented in [[encodeWordGreedy]] never forms). Output:
+    * array<struct<piece, cnt_e6>>.
+    */
+  private def softminOf(cands: Column): Column =
+    aggregate(filter(cands, c => c.isNotNull), lit(null).cast("long"),
+      (s, c) => when(s.isNull, c).otherwise(combineE6(s, c)))
+
+  private def stepCostOf(vmap: Column, cs: Column, unkCost: Long)(
+      pos: Column, l: Int): Column = {
+    val piece = array_join(slice(cs, pos, lit(l)), "")
+    if (l == 1) coalesce(element_at(vmap, piece), lit(unkCost))
+    else element_at(vmap, piece)
+  }
+
+  /** Forward softmin DP over one word: acc(i+1) = α(i), the marginal
+    * −ln Σ-over-segmentations cost of chars [1, i] in e6.
+    */
+  private def forwardArr(model: UniModel, unkCost: Long)
+      : Column => Column = w => {
+    val vmap = typedLit(model.costs)
+    val cs = Bpe.charSymbols(w)
+    val stepCost = stepCostOf(vmap, cs, unkCost) _
+    aggregate(sequence(lit(1), size(cs)), array(lit(0L)),
+      (acc, i) => concat(acc, array(softminOf(array(
+        (1 to model.maxPieceLen).map { l =>
+          when(i >= lit(l) && stepCost(i - lit(l) + 1, l).isNotNull,
+            element_at(acc, i - lit(l) + 1) + stepCost(i - lit(l) + 1, l))
+        }: _*)))))
+  }
+
+  /** Corpus marginal negative log-likelihood (e6): Σ_w freq(w)·α_w(N)
+    * — the EM objective [[trainUnigramEM]] descends (UnigramSpec pins
+    * the descent and the EM-vs-greedy comparison on an ambiguous
+    * vocabulary). One fold per vocabulary word, one bounded sum.
+    */
+  def corpusMarginalCostE6(wordFreqs: DataFrame, model: UniModel,
+                           unkCost: Long = 100L * 1000000L): Long = {
+    val f = forwardArr(model, unkCost)(col("w"))
+    wordFreqs
+      .select((col("freq") * element_at(f, size(Bpe.charSymbols(col("w")))
+        + lit(1))).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+  }
+
+  private def latticeEdgeCounts(model: UniModel, unkCost: Long)
+      : Column => Column = w => {
+    val vmap = typedLit(model.costs)
+    val cs = Bpe.charSymbols(w)
+    def stepCost(pos: Column, l: Int): Column =
+      stepCostOf(vmap, cs, unkCost)(pos, l)
+    def softmin(cands: Column): Column = softminOf(cands)
+    // acc(i+1) = α(i): softmin path cost of chars [1, i]
+    val fwd = forwardArr(model, unkCost)(w)
+    // acc(j+1) = β(N−j), stored back-to-front: β(N−j) folds pieces
+    // STARTING at N−j+1 with length l ≤ j into β(N−j+l) = acc(j−l+1)
+    val bwd = aggregate(sequence(lit(1), size(cs)), array(lit(0L)),
+      (acc, j) => concat(acc, array(softmin(array((1 to model.maxPieceLen)
+        .map { l =>
+          when(j >= lit(l) &&
+              stepCost(size(cs) - j + lit(1), l).isNotNull,
+            element_at(acc, j - lit(l) + 1) +
+              stepCost(size(cs) - j + lit(1), l))
+        }: _*)))))
+    // bind both DP tables as lambda variables (each edge reads them ~3×)
+    val edges = transform(array(struct(fwd.as("f"), bwd.as("b"))), fb => {
+      val f = fb.getField("f")
+      val b = fb.getField("b")
+      val n = size(cs)
+      val z = element_at(f, n + 1)
+      flatten(transform(sequence(lit(1), n), s =>
+        filter(
+          transform(sequence(lit(1), least(lit(model.maxPieceLen),
+              n - s + lit(1))), lv => {
+            val piece = array_join(slice(cs, s, lv), "")
+            val c = when(lv === 1,
+                coalesce(element_at(vmap, piece), lit(unkCost)))
+              .otherwise(element_at(vmap, piece))
+            when(c.isNotNull, struct(piece.as("piece"),
+              floor(exp(-(element_at(f, s) + c +
+                  element_at(b, n - s - lv + lit(2)) - z).cast("double") /
+                lit(1e6)) * lit(1e6) + lit(0.5)).cast("long").as("cnt_e6")))
+          }),
+          e => e.isNotNull)))
+    })
+    element_at(edges, 1)
+  }
+
+  /** Distributed FULL-EM E-step: lattice forward–backward expected
+    * piece counts over the vocabulary-bounded word table —
+    * `usage_e6(p) = Σ_w freq(w) · E[#p in w's segmentation] · 10⁶`.
+    * Unlike [[pieceUsage]]'s greedy counts, a piece on a competitive
+    * but non-best path still accrues its posterior mass, so ambiguous
+    * vocabularies re-estimate toward the likelihood optimum instead of
+    * freezing the greedy path's choices (UnigramSpec pins both the
+    * posterior algebra and the quality win). Same scale shape as
+    * [[pieceUsage]]: one fold per WORD (never the corpus), one
+    * hash-partitioned aggregate.
+    */
+  def pieceUsageExpected(wordFreqs: DataFrame, model: UniModel,
+                         unkCost: Long = 100L * 1000000L): DataFrame =
+    wordFreqs
+      .select(col("freq"),
+        explode(latticeEdgeCounts(model, unkCost)(col("w"))).as("e"))
+      .select(col("freq"), col("e.piece").as("piece"),
+        col("e.cnt_e6").as("cnt_e6"))
+      .groupBy("piece")
+      .agg(sum(col("freq") * col("cnt_e6")).as("usage_e6"))
+
+  /** Full-EM training — [[trainUnigram]]'s exact skeleton (seed →
+    * E-step → driver-local prune + add-one re-estimate per round) with
+    * [[pieceUsageExpected]] lattice counts in place of the greedy
+    * segmentation counts; add-one smoothing is +10⁶ in the e6 unit (the
+    * normalizing total cancels the scale inside [[pieceCosts]]).
+    */
+  def trainUnigramEM(wordFreqs: DataFrame, vocabSize: Int, rounds: Int = 1,
+                     seedMultiplier: Int = 4, maxPieceLen: Int = 8,
+                     maxEntries: Int = 1 << 20): DataFrame = {
+    require(vocabSize >= 1 && rounds >= 1 && seedMultiplier >= 1)
+    val spark = wordFreqs.sparkSession
+    import spark.implicits._
+    val chars = Subword.substringCounts(wordFreqs, 1, 1)
+      .select("piece").as[String].collect().toSet // bounded: alphabet size
+    var model = collectUniModel(
+      pieceCosts(seedPieces(wordFreqs, seedMultiplier * vocabSize,
+        maxPieceLen)),
+      maxPieceLen, maxEntries)
+    var kept: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val usage = pieceUsageExpected(wordFreqs, model)
+      val charRows = chars.toSeq.sorted.toDF("piece")
+        .join(usage, Seq("piece"), "left_outer")
+        .select(col("piece"),
+          coalesce(col("usage_e6"), lit(0L)).as("usage_e6"))
+      val nMulti = math.max(0, vocabSize - chars.size)
+      val multi = usage.filter(length(col("piece")) >= 2)
+        .orderBy(col("usage_e6").desc, col("piece").asc)
+        .limit(nMulti)
+      kept = charRows.unionByName(multi)
+        .select(col("piece"), (col("usage_e6") + lit(1000000L)).as("wfreq"))
+      model = collectUniModel(pieceCosts(kept), maxPieceLen, maxEntries)
+    }
+    pieceCosts(kept)
+  }
+
   /** Train: seed → per-round (distributed E-step → driver-local prune +
     * add-one re-estimate). Final vocabulary = every seed character +
     * the top (`vocabSize` − nChars) multi-char pieces by (usage DESC,

@@ -1596,6 +1596,118 @@ object TextProbes {
        |FROM documents d LEFT JOIN agg a USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- q138 full-EM unigram-LM training (lattice forward–backward) -------
+  // Unigram.trainUnigramEM replaces q135's greedy segmentation counts
+  // with Kudo 2018's actual E-step: per vocabulary word, a forward and a
+  // backward softmin DP (the e6 log-semiring combine, re-rounded per ⊕)
+  // and per-edge posterior-expected counts; one prune + add-one
+  // re-estimate round exits as the (piece, cost) table. The oracle
+  // replays the WHOLE trajectory: seed CTEs, both DPs as recursive CTEs
+  // carrying their α/β arrays as LISTs (softmin nested in fixed l-order
+  // through LATERAL — identical null-skip fold), the edge posterior
+  // explode, usage ranking and smoothed costs.
+  private def duckCmb(a: String, b: String, out: String): String =
+    s"CASE WHEN $b IS NULL THEN $a WHEN $a IS NULL THEN $b " +
+      s"ELSE least($a, $b) - CAST(floor(ln(1 + exp(-CAST(greatest($a, $b)" +
+      s" - least($a, $b) AS DOUBLE) / 1000000)) * 1000000 + 0.5) AS " +
+      s"BIGINT) END AS $out"
+
+  private def duckSoftmin4(t1: String, t2: String, t3: String,
+                           t4: String): String =
+    s"""(SELECT ${duckCmb("c3", "t4", "v")}
+       |      FROM (SELECT ${duckCmb("c2", "t3", "c3")}, t4
+       |        FROM (SELECT ${duckCmb("t1", "t2", "c2")}, t3, t4
+       |          FROM (SELECT $t1 AS t1, $t2 AS t2,
+       |                       $t3 AS t3, $t4 AS t4))))""".stripMargin
+
+  val q138: Q = (s, d) => {
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+      .select("doc_id", "text")
+    val wf = graft.operators.Bpe.wordFreqs(docs, "text")
+    graft.operators.Unigram.trainUnigramEM(wf, vocabSize = 40, rounds = 1,
+        seedMultiplier = 4, maxPieceLen = 4)
+      .orderBy("piece")
+  }
+
+  val q138Sql: String = {
+    def fwdT(l: Int) =
+      s"CASE WHEN f.i >= ${l - 1} THEN f.al[f.i - ${l - 2}] + " +
+        s"(SELECT cost FROM cost0 WHERE piece = " +
+        s"substr(f.w, f.i - ${l - 2}, $l)) END"
+    val fwdT1 = "f.al[f.i + 1] + coalesce((SELECT cost FROM cost0 " +
+      "WHERE piece = substr(f.w, f.i + 1, 1)), 100000000)"
+    def bwdT(l: Int) =
+      s"CASE WHEN b.j >= ${l - 1} THEN b.bl[b.j - ${l - 2}] + " +
+        s"(SELECT cost FROM cost0 WHERE piece = " +
+        s"substr(b.w, length(b.w) - b.j, $l)) END"
+    val bwdT1 = "b.bl[b.j + 1] + coalesce((SELECT cost FROM cost0 " +
+      "WHERE piece = substr(b.w, length(b.w) - b.j, 1)), 100000000)"
+    s"""WITH RECURSIVE n AS (SELECT doc_id, $duckWords AS w FROM documents),
+       |wf AS (SELECT wrd AS w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(w) AS wrd FROM n) GROUP BY 1),
+       |chars AS (SELECT substr(w, p, 1) AS piece,
+       |    CAST(sum(freq) AS BIGINT) AS wfreq
+       |  FROM wf, unnest(generate_series(1, length(w))) s(p) GROUP BY 1),
+       |sub AS (SELECT substr(w, p, l) AS piece, freq
+       |  FROM wf, unnest(generate_series(2, 4)) t(l),
+       |       unnest(generate_series(1, length(w) - l + 1)) s(p)
+       |  WHERE length(w) >= l),
+       |multi AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS wfreq
+       |  FROM sub GROUP BY 1 ORDER BY wfreq DESC, piece ASC LIMIT 160),
+       |seed AS (SELECT * FROM chars UNION ALL SELECT * FROM multi),
+       |cost0 AS (SELECT piece,
+       |    CAST(floor(-ln(CAST(wfreq AS DOUBLE) /
+       |      (SELECT CAST(sum(wfreq) AS DOUBLE) FROM seed)) * 1000000
+       |      + 0.5) AS BIGINT) AS cost
+       |  FROM seed),
+       |fwd AS (
+       |  SELECT w, freq, 0 AS i, [CAST(0 AS BIGINT)] AS al FROM wf
+       |  UNION ALL
+       |  SELECT f.w, f.freq, f.i + 1, list_append(f.al, c.v)
+       |  FROM fwd f LEFT JOIN LATERAL
+       |    ${duckSoftmin4(fwdT1, fwdT(2), fwdT(3), fwdT(4))} c ON true
+       |  WHERE f.i < length(f.w)),
+       |bwd AS (
+       |  SELECT w, freq, 0 AS j, [CAST(0 AS BIGINT)] AS bl FROM wf
+       |  UNION ALL
+       |  SELECT b.w, b.freq, b.j + 1, list_append(b.bl, c.v)
+       |  FROM bwd b LEFT JOIN LATERAL
+       |    ${duckSoftmin4(bwdT1, bwdT(2), bwdT(3), bwdT(4))} c ON true
+       |  WHERE b.j < length(b.w)),
+       |fwdf AS (SELECT w, freq, al FROM fwd WHERE i = length(w)),
+       |bwdf AS (SELECT w, bl FROM bwd WHERE j = length(w)),
+       |ed AS (
+       |  SELECT f.w, f.freq, substr(f.w, st.s, lt.l) AS piece,
+       |    CAST(floor(exp(-CAST(f.al[st.s] +
+       |        CASE WHEN lt.l = 1 THEN coalesce((SELECT cost FROM cost0
+       |            WHERE piece = substr(f.w, st.s, 1)), 100000000)
+       |          ELSE (SELECT cost FROM cost0
+       |            WHERE piece = substr(f.w, st.s, lt.l)) END +
+       |        b.bl[length(f.w) - st.s - lt.l + 2] -
+       |        f.al[length(f.w) + 1] AS DOUBLE) / 1000000)
+       |      * 1000000 + 0.5) AS BIGINT) AS cnt
+       |  FROM fwdf f JOIN bwdf b USING (w),
+       |       unnest(generate_series(1, 8)) st(s),
+       |       unnest(generate_series(1, 4)) lt(l)
+       |  WHERE st.s <= length(f.w) AND st.s + lt.l - 1 <= length(f.w)),
+       |usage AS (SELECT piece, CAST(sum(freq * cnt) AS BIGINT) AS usage_e6
+       |  FROM ed WHERE cnt IS NOT NULL GROUP BY 1),
+       |charset AS (SELECT DISTINCT piece FROM chars),
+       |charrows AS (SELECT c.piece, coalesce(u.usage_e6, 0) AS usage_e6
+       |  FROM charset c LEFT JOIN usage u USING (piece)),
+       |multikept AS (SELECT piece, usage_e6 FROM (
+       |    SELECT piece, usage_e6, row_number() OVER (
+       |      ORDER BY usage_e6 DESC, piece ASC) AS rn
+       |    FROM usage WHERE length(piece) >= 2)
+       |  WHERE rn <= 40 - (SELECT count(*) FROM charset)),
+       |kept AS (SELECT piece, usage_e6 + 1000000 AS wfreq FROM charrows
+       |  UNION ALL SELECT piece, usage_e6 + 1000000 FROM multikept)
+       |SELECT piece, CAST(floor(-ln(CAST(wfreq AS DOUBLE) /
+       |    (SELECT CAST(sum(wfreq) AS DOUBLE) FROM kept)) * 1000000
+       |    + 0.5) AS BIGINT) AS cost
+       |FROM kept ORDER BY piece""".stripMargin
+  }
+
   private[probes] val queries: Map[String, Q] = Map(
     "q32_lang_id" -> q32,
     "q33_quality_score" -> q33,
@@ -1630,7 +1742,8 @@ object TextProbes {
     "q129_wordpiece" -> q129,
     "q134_arpa_ppl" -> q134,
     "q135_unigram_lm" -> q135,
-    "q137_arpa3_ppl" -> q137)
+    "q137_arpa3_ppl" -> q137,
+    "q138_unigram_em" -> q138)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q32_lang_id" -> q32Sql,
@@ -1666,5 +1779,6 @@ object TextProbes {
     "q129_wordpiece" -> q129Sql,
     "q134_arpa_ppl" -> q134Sql,
     "q135_unigram_lm" -> q135Sql,
-    "q137_arpa3_ppl" -> q137Sql)
+    "q137_arpa3_ppl" -> q137Sql,
+    "q138_unigram_em" -> q138Sql)
 }

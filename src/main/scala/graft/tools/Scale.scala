@@ -714,6 +714,19 @@ object Scale {
         }
         dm.unpersist(false)
       }
+      // full-EM variant: the lattice forward–backward E-step in place of
+      // the greedy one — train cost only (both are vocabulary-bounded;
+      // the row pair prices the E-step swap)
+      locally {
+        val dm = d.localCheckpoint(true)
+        run("unigram_em", n) {
+          graft.core.Managed(
+            graft.operators.Unigram.trainUnigramEM(
+              graft.operators.Bpe.wordFreqs(dm, "text"), vocabSize = 150),
+            Seq.empty)
+        }
+        dm.unpersist(false)
+      }
       run("cms_heavy", n) {
         // sketch build from the vocabulary agg + top-20 point estimates;
         // the 20-row result is collected directly (TakeOrderedAndProject,

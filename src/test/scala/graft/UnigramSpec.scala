@@ -87,4 +87,83 @@ class UnigramSpec extends SparkSpec {
     assert(encs.forall(e =>
       e.split('|').mkString("") == "sparkysparkssparklethethespar"))
   }
+
+  // the operator's e6 softmin, replicated for hand-checks
+  private def comb(a: Long, x: Long): Long = {
+    val m = math.min(a, x); val d = (math.max(a, x) - m).toDouble
+    m - math.floor(math.log(1.0 + math.exp(-d / 1e6)) * 1e6 + 0.5).toLong
+  }
+  private def post(pathCost: Long, z: Long): Long =
+    math.floor(math.exp(-(pathCost - z).toDouble / 1e6) * 1e6 + 0.5).toLong
+
+  test("pieceUsageExpected: hand-computed two-path posterior on 'ab'; " +
+      "greedy starves the non-best path, EM does not") {
+    // pieces a, b, ab all at cost ln2·1e6: paths [a][b] (2·ln2) and
+    // [ab] (ln2) → posteriors 1/3 and 2/3
+    val ln2 = 693147L
+    val m = model("a" -> ln2, "b" -> ln2, "ab" -> ln2)
+    val wf = Seq(("ab", 5L)).toDF("w", "freq")
+    val z = comb(2 * ln2, ln2)
+    val got = Unigram.pieceUsageExpected(wf, m)
+      .orderBy("piece").as[(String, Long)].collect().toSeq
+    val pLow = post(2 * ln2, z)  // ≈ 333333 (1/3)
+    val pHigh = post(ln2, z)     // ≈ 666667 (2/3)
+    assert(got == Seq(("a", 5L * pLow), ("ab", 5L * pHigh),
+      ("b", 5L * pLow)), s"$got (pLow=$pLow pHigh=$pHigh)")
+    // the greedy E-step gives the losing path ZERO mass
+    val greedy = Unigram.pieceUsage(wf, m)
+      .orderBy("piece").as[(String, Long)].collect().toSeq
+    assert(greedy == Seq(("ab", 5L)))
+  }
+
+  test("pieceUsageExpected: posterior mass conservation — expected " +
+      "piece-lengths sum to word length within per-edge rounding") {
+    val m = model("a" -> 400000L, "b" -> 500000L, "c" -> 600000L,
+      "ab" -> 700000L, "bc" -> 650000L, "abc" -> 900000L, "cab" -> 800000L)
+    for (w <- Seq("abc", "abcabc", "cababc", "aabbcc")) {
+      val rows = Unigram.pieceUsageExpected(
+          Seq((w, 1L)).toDF("w", "freq"), m)
+        .as[(String, Long)].collect()
+      val massE6 = rows.map { case (p, u) => p.length * u }.sum
+      val edges = rows.length
+      assert(math.abs(massE6 - w.length * 1000000L) <= 4L * edges,
+        s"$w: $massE6 vs ${w.length * 1000000L} over $edges pieces")
+    }
+  }
+
+  test("trainUnigramEM descends the marginal likelihood and beats " +
+      "greedy-count training on an ambiguous vocabulary") {
+    // corpus where 'ab'/'bc'/'cb' compete inside overlapping words:
+    // greedy counting locks onto one path per word and starves the
+    // competing pieces; EM splits posterior mass and re-estimates
+    // toward the marginal-likelihood optimum (its actual objective)
+    val docs = Seq.tabulate(30)(i => (i.toLong,
+      "abc abd cbc abcd bcbc abab bcd acb")).toDF("doc_id", "text")
+    val wf = graft.operators.Bpe.wordFreqs(docs, "text")
+      .persist()
+    def mdl(vocab: org.apache.spark.sql.DataFrame) =
+      Unigram.collectUniModel(vocab, maxPieceLen = 4)
+    // vocabSize 60 ≥ the seed set: no pruning — the clean EM setting
+    // where each round must not increase Σ freq·α_N (add-one smoothing
+    // and per-combine e6 rounding allow a whisker of slack)
+    val em1 = Unigram.corpusMarginalCostE6(wf,
+      mdl(Unigram.trainUnigramEM(wf, vocabSize = 60, rounds = 1,
+        maxPieceLen = 4)))
+    val em2 = Unigram.corpusMarginalCostE6(wf,
+      mdl(Unigram.trainUnigramEM(wf, vocabSize = 60, rounds = 2,
+        maxPieceLen = 4)))
+    val em3 = Unigram.corpusMarginalCostE6(wf,
+      mdl(Unigram.trainUnigramEM(wf, vocabSize = 60, rounds = 3,
+        maxPieceLen = 4)))
+    val slack = 5000L // e6: 0.005 nats across the corpus
+    assert(em2 <= em1 + slack && em3 <= em2 + slack,
+      s"EM trajectory not descending: $em1 → $em2 → $em3")
+    // and the EM fixed point scores the corpus at least as well as the
+    // greedy-count fixed point under the SAME objective
+    val gr3 = Unigram.corpusMarginalCostE6(wf,
+      mdl(Unigram.trainUnigram(wf, vocabSize = 60, rounds = 3,
+        maxPieceLen = 4)))
+    assert(em3 <= gr3, s"EM $em3 should not lose to greedy $gr3")
+    wf.unpersist()
+  }
 }
