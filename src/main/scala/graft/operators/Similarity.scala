@@ -1410,6 +1410,154 @@ object Similarity {
         col("rank"))
   }
 
+  /** Reconstruction x̂ from PQ codes: concatenate each subspace's chosen
+    * centroid — the vector the ADC metric implicitly ranks against, and
+    * the Y side of the non-parametric-OPQ Procrustes step. One broadcast
+    * codebook join + one doc-keyed gather. Output (id, y).
+    */
+  def pqDecode(codes: DataFrame, codebook: DataFrame, m: Int,
+               subDim: Int): DataFrame =
+    codes.join(broadcast(codebook), Seq("sub", "code"))
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("cv"))))
+        .as("sc"))
+      .select(col("id"), expr("flatten(transform(sc, e -> e.cv))").as("y"))
+
+  /** Cross second-moment matrix M = Σᵢ x·yᵀ between two aligned vector
+    * frames `(id, v)` ⋈ `(id, y)` — the Procrustes input of
+    * non-parametric OPQ. Full d×d (NOT symmetric), e6-rounded products
+    * with exact long sums (order-independent, oracle-stable — the
+    * [[covarianceUpper]] discipline). One equi join + one d²-bounded
+    * aggregate.
+    */
+  def crossMoment(xs: DataFrame, ys: DataFrame, dim: Int): DataFrame = {
+    require(dim >= 1)
+    xs.select(col("id"), col("v")).join(ys.select(col("id"), col("y")),
+        Seq("id"))
+      .select(expr(
+        s"explode(flatten(transform(sequence(1, $dim), i -> " +
+          s"transform(sequence(1, $dim), j -> named_struct(" +
+          "'i', i, 'j', j, 'p_e6', " +
+          "CAST(floor(element_at(v, i) * element_at(y, j) * 1e6 + 0.5) " +
+          "AS BIGINT)))))) AS pr"))
+      .select(col("pr.i").as("i"), col("pr.j").as("j"), col("pr.p_e6"))
+      .groupBy("i", "j")
+      .agg(sum(col("p_e6")).as("m_e6"))
+  }
+
+  /** Orthogonal Procrustes: the rotation maximizing tr(R·M) over
+    * orthogonal matrices — R = V·Uᵀ for M = U·Σ·Vᵀ. Driver-local
+    * one-sided Jacobi SVD (d×d, the [[eigenBasisLocal]] localize
+    * discipline): fixed sweep count, fixed (p, q) order, and a RELATIVE
+    * skip threshold so an already-orthogonal column pair is a no-op —
+    * for a 2×2 input exactly ONE rotation fires, which is what lets the
+    * q139 oracle replay the closed form. Zero-σ columns complete via
+    * Gram–Schmidt against identity so R is always orthogonal.
+    */
+  def procrustesRotation(m0: Seq[Seq[Double]], sweeps: Int = 30,
+                         relTol: Double = 1e-14): Seq[Seq[Double]] = {
+    val d = m0.length
+    require(d >= 1 && m0.forall(_.length == d),
+      "procrustesRotation: square matrix required")
+    val w = Array.tabulate(d, d)((i, j) => m0(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 1 to sweeps; p <- 0 until d - 1; q <- (p + 1) until d) {
+      var a = 0.0; var b = 0.0; var c = 0.0
+      for (i <- 0 until d) {
+        a += w(i)(p) * w(i)(p); b += w(i)(q) * w(i)(q)
+        c += w(i)(p) * w(i)(q)
+      }
+      if (math.abs(c) > relTol * math.sqrt(a * b)) {
+        val tau = (b - a) / (2.0 * c)
+        val t = math.signum(tau) /
+          (math.abs(tau) + math.sqrt(1.0 + tau * tau))
+        val cs = 1.0 / math.sqrt(1.0 + t * t)
+        val sn = t * cs
+        for (i <- 0 until d) {
+          val wp = w(i)(p); val wq = w(i)(q)
+          w(i)(p) = cs * wp - sn * wq; w(i)(q) = sn * wp + cs * wq
+          val vp = v(i)(p); val vq = v(i)(q)
+          v(i)(p) = cs * vp - sn * vq; v(i)(q) = sn * vp + cs * vq
+        }
+      }
+    }
+    val u = Array.fill(d, d)(0.0)
+    val sig = Array.tabulate(d)(j =>
+      math.sqrt((0 until d).map(i => w(i)(j) * w(i)(j)).sum))
+    for (j <- 0 until d) {
+      if (sig(j) > 1e-12) for (i <- 0 until d) u(i)(j) = w(i)(j) / sig(j)
+      else {
+        val cand = Array.tabulate(d)(i => if (i == j) 1.0 else 0.0)
+        for (jj <- 0 until d if jj != j) {
+          val dp = (0 until d).map(i => cand(i) * u(i)(jj)).sum
+          for (i <- 0 until d) cand(i) -= dp * u(i)(jj)
+        }
+        val nn = math.sqrt(cand.map(x => x * x).sum)
+        for (i <- 0 until d)
+          u(i)(j) = if (nn > 1e-12) cand(i) / nn
+            else (if (i == j) 1.0 else 0.0)
+      }
+    }
+    Seq.tabulate(d, d)((i, j) => (0 until d).map(k => v(i)(k) * u(j)(k)).sum)
+  }
+
+  /** Non-parametric OPQ (Ge et al. 2013, the alternating solution):
+    * repeat { train codebooks on the ROTATED corpus; decode; update the
+    * rotation to the Procrustes optimum toward the reconstructions }.
+    * Unlike the parametric eigen-allocation rotation — which HURTS
+    * neighbor-local corpora (measured r10: 0.232 → 0.130) because
+    * decorrelating raises per-subspace intrinsic dimension — the
+    * alternation only moves the rotation where the measured
+    * quantization error drops, so it recovers ≥ raw-PQ there while
+    * keeping the cross-subspace-factor win (Recall --opq grid).
+    *
+    * Scale shape per alternation: one per-row projection, one
+    * [[pqTrain]] (the dominant cost, corpus × pqIters), one decode join,
+    * one d²-bounded [[crossMoment]] aggregate; the d×d SVD is
+    * driver-local under the [[eigenBasisLocal]] maxDim guard. Returns
+    * (rotation rows for [[rotateExpr]], final codebook trained under
+    * it).
+    */
+  def opqTrainNP(vectors: DataFrame, dim: Int, m: Int, subDim: Int,
+                 numCodes: Int, pqIters: Int = 2, altIters: Int = 2,
+                 initRot: Option[Seq[Seq[Double]]] = None,
+                 maxDim: Int = 1024): (Seq[Seq[Double]], DataFrame) = {
+    require(dim == m * subDim,
+      s"opqTrainNP: dim $dim must equal m*subDim = ${m * subDim}")
+    require(dim <= maxDim,
+      s"opqTrainNP: dim $dim > $maxDim — the d×d SVD is the localize " +
+        "bound")
+    require(altIters >= 1)
+    var rot: Seq[Seq[Double]] = initRot.getOrElse(
+      Seq.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0))
+    var cb: DataFrame = null
+    for (it <- 1 to altIters) {
+      // localCheckpoint: the projection select on deep lineage is the
+      // documented Catalyst sizeInBytes-product landmine (r10)
+      val xr = vectors.select(col("id"), rotateExpr(col("v"), rot).as("v"))
+        .localCheckpoint(true)
+      val cbIt = pqTrain(xr, m, subDim, numCodes, pqIters)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cbIt.count()
+      if (cb != null) cb.unpersist(false)
+      cb = cbIt
+      if (it < altIters) {
+        val y = pqDecode(pqEncode(xr, cb, m, subDim), cb, m, subDim)
+        val rows = crossMoment(vectors, y, dim)
+          .select(col("i").cast("int"), col("j").cast("int"),
+            col("m_e6").cast("long")).collect()
+        require(rows.length == dim * dim,
+          s"opqTrainNP: ${rows.length} moment cells for dim=$dim")
+        val mm = rows.map(r => (r.getInt(0), r.getInt(1)) ->
+          r.getLong(2).toDouble / 1e6).toMap
+        rot = procrustesRotation(
+          Seq.tabulate(dim, dim)((i, j) => mm((i + 1, j + 1))))
+      }
+      xr.unpersist(false)
+    }
+    (rot, cb)
+  }
+
   /** Train a PQ codebook: Lloyd's iterations per subspace, all subspaces
     * in the SAME distributed passes (`sub` rides in the key — m separate
     * kmeans runs would scan the corpus m times). Seeds are one bounded

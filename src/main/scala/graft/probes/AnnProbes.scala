@@ -655,6 +655,106 @@ object AnnProbes {
        |ORDER BY comp, i""".stripMargin
   }
 
+  // ---- q139 non-parametric-OPQ Procrustes step (unrolled alternation) ----
+  // ONE alternation of Similarity.opqTrainNP on the first two embedding
+  // dims under a LITERAL codebook (the q86 fixed-codebook convention —
+  // pqTrain's hash seeds are not oracle-expressible): encode → decode →
+  // crossMoment (e6-rounded products, exact BIGINT sums) → the
+  // driver-local one-sided-Jacobi Procrustes rotation. At d=2 the SVD is
+  // exactly ONE Jacobi rotation (the relative skip threshold makes later
+  // sweeps no-ops), so the oracle replays the entire closed form —
+  // column norms, the tau/t/cos/sin rotation, σ-normalized U, R = V·Uᵀ —
+  // in the identical double arithmetic, then pins R at e6.
+  private val q139Cb = Similarity.pqCodebook(m = 2, numCodes = 4,
+    subDim = 1)
+
+  val q139: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        slice(Similarity.toDoubleVec(col("embedding")), 1, 2).as("v"))
+    val cb = Similarity.pqCodebookDf(s, q139Cb)
+    val y = Similarity.pqDecode(
+      Similarity.pqEncode(e, cb, m = 2, subDim = 1), cb, m = 2, subDim = 1)
+    val rows = Similarity.crossMoment(e, y, dim = 2)
+      .select(col("i").cast("int"), col("j").cast("int"),
+        col("m_e6").cast("long")).collect()
+    val mm = rows.map(r => (r.getInt(0), r.getInt(1)) ->
+      r.getLong(2).toDouble / 1e6).toMap
+    val r = Similarity.procrustesRotation(
+      Seq.tabulate(2, 2)((i, j) => mm((i + 1, j + 1))))
+    (for { i <- 1 to 2; j <- 1 to 2 } yield
+      (i.toLong, j.toLong,
+        math.floor(r(i - 1)(j - 1) * 1e6 + 0.5).toLong))
+      .toDF("i", "j", "r_e6").orderBy("i", "j")
+  }
+
+  val q139Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id,
+       |    list_slice(CAST(embedding AS DOUBLE[]), 1, 2) AS v
+       |  FROM embeddings),
+       |cb AS (SELECT * FROM ${Similarity.pqCodebookDuckSql(q139Cb)}
+       |       AS t(sub, code, cv)),
+       |sp AS (SELECT id, s.sub AS sub,
+       |    list_slice(v, s.sub + 1, s.sub + 1) AS subv
+       |  FROM e, (SELECT unnest(range(0, 2)) AS sub) s),
+       |dd AS (SELECT id, sp.sub AS sub, code,
+       |    CAST(floor(list_sum(list_transform(range(1, 2),
+       |        i -> (subv[i] - cv[i]) * (subv[i] - cv[i]))) * 10000 + 0.5)
+       |      AS BIGINT) AS d_e4
+       |  FROM sp JOIN cb ON cb.sub = sp.sub),
+       |codes AS (SELECT id, sub, CAST(min([d_e4, code])[2] AS INT) AS code
+       |  FROM dd GROUP BY id, sub),
+       |dy AS (SELECT c.id,
+       |    max(CASE WHEN c.sub = 0 THEN cb.cv[1] END) AS y1,
+       |    max(CASE WHEN c.sub = 1 THEN cb.cv[1] END) AS y2
+       |  FROM codes c JOIN cb ON cb.sub = c.sub AND cb.code = c.code
+       |  GROUP BY c.id),
+       |mo AS (SELECT
+       |    CAST(sum(CAST(floor(e.v[1] * dy.y1 * 1e6 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS s11,
+       |    CAST(sum(CAST(floor(e.v[1] * dy.y2 * 1e6 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS s12,
+       |    CAST(sum(CAST(floor(e.v[2] * dy.y1 * 1e6 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS s21,
+       |    CAST(sum(CAST(floor(e.v[2] * dy.y2 * 1e6 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS s22
+       |  FROM e JOIN dy ON dy.id = e.id),
+       |md AS (SELECT CAST(s11 AS DOUBLE) / 1000000 AS m11,
+       |    CAST(s12 AS DOUBLE) / 1000000 AS m12,
+       |    CAST(s21 AS DOUBLE) / 1000000 AS m21,
+       |    CAST(s22 AS DOUBLE) / 1000000 AS m22 FROM mo),
+       |j1 AS (SELECT *, m11 * m11 + m21 * m21 AS a,
+       |    m12 * m12 + m22 * m22 AS b, m11 * m12 + m21 * m22 AS c
+       |  FROM md),
+       |j2 AS (SELECT *, CASE WHEN abs(c) > 1e-14 * sqrt(a * b)
+       |    THEN (b - a) / (2 * c) END AS tau FROM j1),
+       |j3 AS (SELECT *, sign(tau) / (abs(tau) + sqrt(1 + tau * tau)) AS t
+       |  FROM j2),
+       |j4 AS (SELECT *, coalesce(1 / sqrt(1 + t * t), 1.0) AS cs FROM j3),
+       |j5 AS (SELECT *, coalesce(t * cs, 0.0) AS sn FROM j4),
+       |wm AS (SELECT *, cs * m11 - sn * m12 AS w11,
+       |    cs * m21 - sn * m22 AS w21, sn * m11 + cs * m12 AS w12,
+       |    sn * m21 + cs * m22 AS w22 FROM j5),
+       |sg AS (SELECT *, sqrt(w11 * w11 + w21 * w21) AS sig1,
+       |    sqrt(w12 * w12 + w22 * w22) AS sig2 FROM wm),
+       |fin AS (SELECT cs, sn, w11 / sig1 AS u11, w12 / sig2 AS u12,
+       |    w21 / sig1 AS u21, w22 / sig2 AS u22 FROM sg)
+       |SELECT i, j, r_e6 FROM (
+       |  SELECT CAST(1 AS BIGINT) AS i, CAST(1 AS BIGINT) AS j,
+       |    CAST(floor((cs * u11 + sn * u12) * 1000000 + 0.5) AS BIGINT)
+       |      AS r_e6 FROM fin
+       |  UNION ALL SELECT 1, 2,
+       |    CAST(floor((cs * u21 + sn * u22) * 1000000 + 0.5) AS BIGINT)
+       |    FROM fin
+       |  UNION ALL SELECT 2, 1,
+       |    CAST(floor((-sn * u11 + cs * u12) * 1000000 + 0.5) AS BIGINT)
+       |    FROM fin
+       |  UNION ALL SELECT 2, 2,
+       |    CAST(floor((-sn * u21 + cs * u22) * 1000000 + 0.5) AS BIGINT)
+       |    FROM fin)
+       |ORDER BY i, j""".stripMargin
+
   // ---- family registry --------------------------------------------------
 
   private[probes] val queries: Map[String, Q] = Map(
@@ -672,7 +772,8 @@ object AnnProbes {
     "q121_hamming_topk" -> q121,
     "q130_embed_cov" -> q130,
     "q131_power_iter" -> q131,
-    "q136_topk_eigen" -> q136)
+    "q136_topk_eigen" -> q136,
+    "q139_opq_procrustes" -> q139)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q30_cosine_neardup" -> q30Sql,
@@ -689,5 +790,6 @@ object AnnProbes {
     "q121_hamming_topk" -> q121Sql,
     "q130_embed_cov" -> q130Sql,
     "q131_power_iter" -> q131Sql,
-    "q136_topk_eigen" -> q136Sql)
+    "q136_topk_eigen" -> q136Sql,
+    "q139_opq_procrustes" -> q139Sql)
 }

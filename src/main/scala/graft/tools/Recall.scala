@@ -234,8 +234,95 @@ object Recall {
         val hitRot = gotRot.join(truthC, Seq("vec_id", "other_id")).count()
         println(f"RECALL opq_corr_rot x$n%-2d full-scan  " +
           f"recall@$k=${hitRot.toDouble / truthCN}%6.4f")
+
+        // non-parametric alternation (Ge et al. §alternating): the
+        // rotation follows the MEASURED quantization error through
+        // Procrustes steps, so it must keep the factor-corpus win here
+        // and — the part the parametric rotation cannot do — recover
+        // ≥ raw PQ on the neighbor-local corpus below
+        def npRow(tag: String, corpus: org.apache.spark.sql.DataFrame,
+                  truthT: org.apache.spark.sql.DataFrame, truthTN: Long,
+                  init: Option[Seq[Seq[Double]]] = None): Unit = {
+          val altIters = sys.env.get("GRAFT_OPQ_ALT").map(_.toInt)
+            .getOrElse(3)
+          val (rotNp, cbNp) = Similarity.opqTrainNP(corpus, dim = 64,
+            m = 8, subDim = 8, numCodes = 16, pqIters = 2,
+            altIters = altIters, initRot = init)
+          val rotNpd = corpus.select(col("id"),
+              Similarity.rotateExpr(col("v"), rotNp).as("v"))
+            .localCheckpoint(true)
+          val qNp = rotNpd.filter(col("id") % 50 === 0)
+          val gotNp = Similarity.pqAdcTopK(
+              Similarity.pqEncode(rotNpd, cbNp, 8, 8), cbNp, qNp, 8, 8, k)
+            .select("vec_id", "other_id")
+          val hitNp = gotNp.join(truthT, Seq("vec_id", "other_id")).count()
+          println(f"RECALL $tag%-12s x$n%-2d full-scan  " +
+            f"recall@$k=${hitNp.toDouble / truthTN}%6.4f")
+          cbNp.unpersist(); rotNpd.unpersist(false)
+        }
+        npRow("opq_corr_np", corr, truthC, truthCN)
+        // Ge et al.'s recommended hybrid: the parametric solution as the
+        // alternation's starting point (identity init converges to a
+        // local optimum on strong cross-subspace structure)
+        npRow("opq_corr_nppar", corr, truthC, truthCN, Some(rot))
         cbR.unpersist(); rotated.unpersist(false); cbC.unpersist()
         truthC.unpersist(); corr.unpersist()
+
+        // neighbor-local corpus (i mixed with i+1, i+8): contiguous
+        // pqSplit already owns this redundancy, so the parametric
+        // rotation HURTS here (r10: 0.232 raw → 0.130 rotated) — the
+        // published answer is the non-parametric alternation
+        val nbr = v.select(col("id"), expr(
+          "transform(sequence(1, 64), i -> element_at(v, CAST(i AS INT)) " +
+            "+ 0.8D * element_at(v, CAST(1 + (i % 64) AS INT)) " +
+            "+ 0.8D * element_at(v, CAST(1 + ((i + 7) % 64) AS INT)))")
+          .as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val qNbr = nbr.filter(col("id") % 50 === 0)
+        val truthB = {
+          val q2 = qNbr.select(col("id").as("vec_id"), col("v").as("va"))
+          val c2 = nbr.select(col("id").as("other_id"), col("v").as("vb"))
+          q2.join(c2, col("vec_id") =!= col("other_id"))
+            .withColumn("d", Similarity.sqDist(col("va"), col("vb")))
+            .withColumn("rank", org.apache.spark.sql.functions.row_number()
+              .over(org.apache.spark.sql.expressions.Window
+                .partitionBy("vec_id")
+                .orderBy(col("d").asc, col("other_id").asc)))
+            .filter(col("rank") <= k).select("vec_id", "other_id")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
+        val truthBN = truthB.count()
+        val cbB = Similarity.pqTrain(nbr, m = 8, subDim = 8,
+            numCodes = 16, iters = 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cbB.count()
+        val gotBRaw = Similarity.pqAdcTopK(
+            Similarity.pqEncode(nbr, cbB, 8, 8), cbB, qNbr, 8, 8, k)
+          .select("vec_id", "other_id")
+        val hitBRaw = gotBRaw.join(truthB, Seq("vec_id", "other_id")).count()
+        println(f"RECALL opq_nbr_raw  x$n%-2d full-scan  " +
+          f"recall@$k=${hitBRaw.toDouble / truthBN}%6.4f  (truthL2=$truthBN)")
+        val (basisB, lamsB) = Similarity.eigenBasisLocalWithValues(
+          Similarity.covarianceUpper(nbr, 64), dim = 64, k = 64)
+        val rotB = Similarity.opqAllocate(basisB, lamsB, m = 8)
+        val nbrRot = nbr.select(col("id"),
+            Similarity.rotateExpr(col("v"), rotB).as("v"))
+          .localCheckpoint(true)
+        val cbBR = Similarity.pqTrain(nbrRot, m = 8, subDim = 8,
+            numCodes = 16, iters = 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cbBR.count()
+        val gotBRot = Similarity.pqAdcTopK(
+            Similarity.pqEncode(nbrRot, cbBR, 8, 8), cbBR,
+            nbrRot.filter(col("id") % 50 === 0), 8, 8, k)
+          .select("vec_id", "other_id")
+        val hitBRot = gotBRot.join(truthB, Seq("vec_id", "other_id")).count()
+        println(f"RECALL opq_nbr_rot  x$n%-2d full-scan  " +
+          f"recall@$k=${hitBRot.toDouble / truthBN}%6.4f")
+        npRow("opq_nbr_np", nbr, truthB, truthBN)
+        npRow("opq_nbr_nppar", nbr, truthB, truthBN, Some(rotB))
+        cbBR.unpersist(); nbrRot.unpersist(false); cbB.unpersist()
+        truthB.unpersist(); nbr.unpersist()
       }
       rcb.unpersist(); centPq.unpersist(); cb.unpersist()
       truthL2.unpersist()

@@ -315,4 +315,77 @@ class PQSpec extends SparkSpec {
         s"sub $s: clusters not separated ($hiCodes vs $loCodes)")
     }
   }
+
+  test("pqDecode reconstructs the chosen centroids in subspace order") {
+    val y = Similarity.pqDecode(
+        Similarity.pqEncode(vecDf, cbDf, m, subDim), cbDf, m, subDim)
+      .orderBy("id").as[(Long, Seq[Double])].collect().toSeq
+    assert(y === Seq(
+      (1L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(10.0, 10.0, 0.0, 0.0)),
+      (3L, Seq(10.0, 10.0, -10.0, -10.0)),
+      (4L, Seq(0.0, 0.0, -10.0, -10.0))))
+  }
+
+  test("procrustesRotation recovers a planted orthogonal map and is " +
+      "orthogonal itself") {
+    // y = Q·x for a planted 4-D rotation Q (two independent 2-D plane
+    // rotations): Procrustes on M = Σ x·yᵀ must return Q (the unique
+    // argmax of tr(R·M) when Σ x·xᵀ is full rank)
+    val th1 = 0.5; val th2 = -1.1
+    val q = Seq(
+      Seq(math.cos(th1), -math.sin(th1), 0.0, 0.0),
+      Seq(math.sin(th1), math.cos(th1), 0.0, 0.0),
+      Seq(0.0, 0.0, math.cos(th2), -math.sin(th2)),
+      Seq(0.0, 0.0, math.sin(th2), math.cos(th2)))
+    val rnd = new scala.util.Random(11)
+    val xs = Seq.fill(200)(Seq.fill(4)(rnd.nextGaussian()))
+    val mM = Seq.tabulate(4, 4)((i, j) =>
+      xs.map(x => x(i) * q(j).zip(x).map { case (a, b) => a * b }.sum).sum)
+    val r = Similarity.procrustesRotation(mM)
+    for (i <- 0 until 4; j <- 0 until 4) {
+      assert(math.abs(r(i)(j) - q(i)(j)) < 1e-9, s"R($i)($j)")
+      val dot = (0 until 4).map(k => r(i)(k) * r(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"RRt($i)($j) = $dot")
+    }
+  }
+
+  test("opqTrainNP lowers quantization error on a cross-subspace-" +
+      "correlated corpus and never returns a non-orthogonal rotation") {
+    // corpus whose dominant variance direction straddles the subspace
+    // split (the OPQ regime): coordinate pairs (1,3) and (2,4) move
+    // together, so contiguous pqSplit wastes codes on shared variance
+    val rnd = new scala.util.Random(5)
+    val data = Seq.tabulate(300) { i =>
+      val t1 = rnd.nextGaussian() * 5; val t2 = rnd.nextGaussian() * 4
+      (i.toLong, Seq(t1 + rnd.nextGaussian() * 0.1,
+        t2 + rnd.nextGaussian() * 0.1,
+        t1 + rnd.nextGaussian() * 0.1,
+        t2 + rnd.nextGaussian() * 0.1))
+    }.toDF("id", "v").localCheckpoint(true)
+    def qErr(rot: Seq[Seq[Double]],
+             cb: org.apache.spark.sql.DataFrame): Double = {
+      val xr = data.select(col("id"),
+        Similarity.rotateExpr(col("v"), rot).as("v")).localCheckpoint(true)
+      val y = Similarity.pqDecode(
+        Similarity.pqEncode(xr, cb, m, subDim), cb, m, subDim)
+      xr.join(y, Seq("id"))
+        .select(Similarity.sqDist(col("v"), col("y")).as("d"))
+        .agg(sum("d")).head().getDouble(0)
+    }
+    val ident = Seq.tabulate(4, 4)((i, j) => if (i == j) 1.0 else 0.0)
+    val rawCb = Similarity.pqTrain(data, m, subDim, numCodes = 4, iters = 2)
+    val rawErr = qErr(ident, rawCb)
+    val (rot, cbNp) = Similarity.opqTrainNP(data, dim = 4, m = m,
+      subDim = subDim, numCodes = 4, pqIters = 2, altIters = 3)
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val dot = (0 until 4).map(k => rot(i)(k) * rot(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"rotation not orthogonal at ($i, $j): $dot")
+    }
+    val npErr = qErr(rot, cbNp)
+    assert(npErr < rawErr,
+      s"NP-OPQ error $npErr did not improve on raw PQ $rawErr")
+  }
 }
