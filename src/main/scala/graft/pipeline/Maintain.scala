@@ -1,0 +1,201 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextStats}
+
+/** Index lifecycle maintenance — the consumer of the drift/fragmentation
+  * signals the index families RECORD but (before round 11) nothing read:
+  * a long-lived 100 TB index otherwise degrades silently unless the
+  * caller watches the reports by hand.
+  *
+  *  - IVF: [[Similarity.appendToIvfIndex]] returns a per-cell drift
+  *    report (appended vectors' cosine to their FROZEN centroid).
+  *    [[appendIvfRecorded]] persists it into the index's drift ledger;
+  *    [[ivfDecision]] turns the ledger into a retrain/none decision;
+  *    [[ivfRetrain]] re-fits centroids to the drifted corpus and
+  *    publishes a NEW immutable version through the
+  *    [[Restore.publishVersionedDir]] commit-marker path — serving
+  *    resolves the marker, so readers never see a half-built index and
+  *    the superseded version stays readable through the GC grace window.
+  *  - BM25 / MinHash: appends accumulate batch partitions (postings/
+  *    terms/meta, shingles/bands/meta). Serving stays correct at any
+  *    batch count (partials sum), but every query pays a per-batch
+  *    file-listing and semi-join constant — [[bm25Decision]] /
+  *    [[minhashDecision]] trigger on committed-batch count and the
+  *    compactors merge all committed batches into one `base` batch in a
+  *    new published version, bit-identical serving (spec-pinned).
+  *
+  * Decisions are DATA (a [[Decision]] row, metric vs threshold), so a
+  * scheduler can log/alert on them; `run = false` previews an execute.
+  */
+object Maintain {
+
+  /** One maintenance decision: `action` ∈ none | retrain | compact. */
+  case class Decision(index: String, action: String, metric: Long,
+                      threshold: Long, detail: String)
+
+  // ---- IVF: drift-triggered retrain --------------------------------------
+
+  /** [[Similarity.appendToIvfIndex]] + RECORD: the batch's per-cell
+    * drift report lands in the index's `drift` ledger under `batchId`
+    * (dynamic partition replace — a retried append overwrites its own
+    * report, never doubles it). Returns the report.
+    */
+  def appendIvfRecorded(spark: SparkSession, dir: String,
+                        newVectors: DataFrame, batchId: String): DataFrame = {
+    require(batchId.nonEmpty && batchId != "__HIVE_DEFAULT_PARTITION__",
+      s"ivf drift ledger: invalid batch id '$batchId'")
+    val drift = Similarity.appendToIvfIndex(spark, dir, newVectors)
+    drift.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$dir/drift")
+    drift
+  }
+
+  /** Retrain decision from the drift ledger: the n-weighted mean
+    * appended-vector cosine (e4) across all recorded batches under
+    * `minMeanCscoreE4` → retrain. An index with no ledger (never
+    * appended, or freshly retrained) decides `none`. Bounded read: the
+    * ledger holds one row per (batch, touched cell).
+    */
+  def ivfDecision(spark: SparkSession, dir: String,
+                  minMeanCscoreE4: Long = 8500L): Decision = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/drift")))
+      return Decision("ivf", "none", 10000L, minMeanCscoreE4,
+        "no drift ledger (no appends since build/retrain)")
+    val r = spark.read.parquet(s"$dir/drift")
+      .agg(sum(col("n_added")).as("n"),
+        sum(col("n_added") * col("mean_cscore_e4")).as("s")).head()
+    if (r.isNullAt(0) || r.getLong(0) == 0L)
+      return Decision("ivf", "none", 10000L, minMeanCscoreE4,
+        "empty drift ledger")
+    val mean = math.floor(r.getLong(1).toDouble / r.getLong(0) + 0.5).toLong
+    Decision("ivf", if (mean < minMeanCscoreE4) "retrain" else "none",
+      mean, minMeanCscoreE4,
+      s"${r.getLong(0)} appended vectors, n-weighted mean cscore_e4 $mean")
+  }
+
+  /** Execute an IVF retrain: re-fit centroids ([[Similarity.buildIvf]])
+    * to the FULL stored corpus (original + every appended batch, read
+    * back from the current version's `assigned` table — no raw-vector
+    * re-ingest) and publish the rebuilt index as a new immutable
+    * version. The fresh version carries no drift ledger: the decision
+    * resets to `none` until new appends record drift again.
+    */
+  def ivfRetrain(spark: SparkSession, warehouse: String, db: String,
+                 token: String, numCells: Int = 0, iters: Int = 1)
+      : org.apache.hadoop.fs.Path = {
+    val cur = Restore.resolveVersioned(spark, warehouse, db)
+      .getOrElse(throw new IllegalStateException(
+        s"ivfRetrain: no current version of $db under $warehouse"))
+    val vectors = spark.read.parquet(s"$cur/assigned")
+      .select(col("other_id").as("id"), col("vb").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cent = Similarity.buildIvf(vectors, numCells, iters)
+      Restore.publishVersionedDir(spark, warehouse, db, token) { vdir =>
+        Similarity.writeIvfIndex(vectors, cent, vdir.toString)
+      }
+    } finally vectors.unpersist()
+  }
+
+  // ---- BM25: batch compaction --------------------------------------------
+
+  private def committedBatches(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/meta").select("batch_id").distinct()
+
+  /** Compaction decision: committed batch count over `maxBatches` →
+    * compact (serving is correct at ANY count; the trigger is the
+    * per-query per-batch listing/semi-join constant).
+    */
+  def bm25Decision(spark: SparkSession, dir: String,
+                   maxBatches: Int = 16): Decision = {
+    val n = committedBatches(spark, dir).count()
+    Decision("bm25", if (n > maxBatches) "compact" else "none", n,
+      maxBatches, s"$n committed batches")
+  }
+
+  /** Merge every COMMITTED batch into one `base` batch in a freshly
+    * published version. Postings rows pass through verbatim (ids are
+    * disjoint across batches by the append contract); the terms and
+    * meta partials re-aggregate from them, so the compacted index
+    * serves bit-identical scores (spec-pinned). Meta lands last — the
+    * commit-marker-within-the-dir discipline of the original writer.
+    */
+  def bm25Compact(spark: SparkSession, warehouse: String, db: String,
+                  token: String): org.apache.hadoop.fs.Path = {
+    val cur = Restore.resolveVersioned(spark, warehouse, db)
+      .getOrElse(throw new IllegalStateException(
+        s"bm25Compact: no current version of $db under $warehouse"))
+    val committed = committedBatches(spark, cur.toString)
+    val postings = spark.read.parquet(s"$cur/postings")
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+      .select("id", "dl", "term", "tf")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Restore.publishVersionedDir(spark, warehouse, db, token) { vdir =>
+        def writer(df: DataFrame) =
+          df.withColumn("batch_id", lit("base"))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .option("partitionOverwriteMode", "static")
+        writer(postings).parquet(s"$vdir/postings")
+        writer(postings.groupBy("term")
+          .agg(count(lit(1)).as("df_part"))).parquet(s"$vdir/terms")
+        writer(postings.select("id", "dl").distinct()
+          .agg(count(lit(1)).as("n_part"),
+            coalesce(sum(col("dl").cast("long")), lit(0L))
+              .as("dlsum_part"))).parquet(s"$vdir/meta")
+      }
+    } finally postings.unpersist()
+  }
+
+  // ---- MinHash: batch compaction -----------------------------------------
+
+  /** Same trigger as [[bm25Decision]] over the minhash meta partitions. */
+  def minhashDecision(spark: SparkSession, dir: String,
+                      maxBatches: Int = 16): Decision = {
+    val n = committedBatches(spark, dir).count()
+    Decision("minhash", if (n > maxBatches) "compact" else "none", n,
+      maxBatches, s"$n committed batches")
+  }
+
+  /** Merge committed minhash batches into one `base` batch in a new
+    * published version: shingles and band rows pass through verbatim;
+    * the meta re-states the (bands, rows_per_band) the committed
+    * batches pinned (they are required identical on read). Bit-identical
+    * serving, spec-pinned.
+    */
+  def minhashCompact(spark: SparkSession, warehouse: String, db: String,
+                     token: String): org.apache.hadoop.fs.Path = {
+    val cur = Restore.resolveVersioned(spark, warehouse, db)
+      .getOrElse(throw new IllegalStateException(
+        s"minhashCompact: no current version of $db under $warehouse"))
+    val committed = committedBatches(spark, cur.toString)
+    val metaRows = spark.read.parquet(s"$cur/meta")
+      .select("bands", "rows_per_band").distinct().collect()
+    require(metaRows.length == 1,
+      s"minhashCompact: inconsistent banding across batches at $cur")
+    val (bands, rowsPerBand) = (metaRows(0).getInt(0), metaRows(0).getInt(1))
+    val shingles = spark.read.parquet(s"$cur/shingles")
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+      .select("id", "shd")
+    val bandRows = spark.read.parquet(s"$cur/bands")
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+      .select("id", "band", "bh")
+    Restore.publishVersionedDir(spark, warehouse, db, token) { vdir =>
+      def writer(df: DataFrame) =
+        df.withColumn("batch_id", lit("base"))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .option("partitionOverwriteMode", "static")
+      writer(shingles).parquet(s"$vdir/shingles")
+      writer(bandRows).parquet(s"$vdir/bands")
+      writer(spark.range(1)
+        .select(lit(bands).as("bands"),
+          lit(rowsPerBand).as("rows_per_band"))).parquet(s"$vdir/meta")
+    }
+  }
+}

@@ -99,7 +99,21 @@ object Restore {
     * the reference keeps exactly one live db per instance, db.py:660-677).
     */
   def publishVersioned(spark: SparkSession, df: DataFrame, warehouse: String,
-                       db: String, token: String): Path = {
+                       db: String, token: String): Path =
+    publishVersionedDir(spark, warehouse, db, token) { versioned =>
+      df.write.mode("overwrite").parquet(versioned.toString)
+    }
+
+  /** [[publishVersioned]] for MULTI-FILE artifacts — an index directory
+    * with several tables (IVF centroids + assigned, BM25
+    * postings/terms/meta): `build` populates the immutable version dir
+    * in any layout, then the identical commit-marker swap makes it the
+    * current version. The [[graft.pipeline.Maintain]] retrain/compact
+    * operators publish through this.
+    */
+  def publishVersionedDir(spark: SparkSession, warehouse: String,
+                          db: String, token: String)(
+      build: Path => Unit): Path = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versioned = new Path(warehouse, s"${db}__v$token")
@@ -107,7 +121,7 @@ object Restore {
       s"publishVersioned: version dir $versioned already exists — tokens " +
         "must be unique per publish (immutable version dirs)")
     val prev = resolveVersioned(spark, warehouse, db)
-    df.write.mode("overwrite").parquet(versioned.toString)
+    build(versioned)
     val marker = new Path(warehouse, s"$db.commit")
     // PER-PUBLISH tmp (token-unique) + OVERWRITE rename, NOT
     // create(marker, overwrite=true) and NOT delete-then-rename:

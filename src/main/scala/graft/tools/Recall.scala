@@ -25,9 +25,64 @@ object Recall {
     val factor = if (args.length > 1) args(1).toInt else 10
     require(factor < 100, "id offsets collide at factor >= 100")
     val opqOnly = args.length > 2 && args(2) == "--opq"
+    val driftOnly = args.length > 2 && args(2) == "--drift"
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
     val k = 10
+
+    // ---- `--drift`: index-lifecycle row (r10 verdict item 5) ------------
+    // Serving DEGRADATION of a frozen-centroid IVF index under a
+    // (factor−1)× drifted append vs the recall a Maintain.ivfRetrain
+    // recovers, and what the retrain costs — the numbers the
+    // drift-threshold policy trades against each other.
+    if (driftOnly) {
+      import graft.pipeline.{Maintain, Restore}
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_drift_wh").toString
+      val base = Scale.scaledVecs(spark, sfDir, 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Restore.publishVersionedDir(spark, wh, "ivfidx", "0") { vdir =>
+        Similarity.writeIvfIndex(base, Similarity.buildIvf(base, iters = 1),
+          vdir.toString)
+      }
+      def curDir = Restore.resolveVersioned(spark, wh, "ivfidx").get.toString
+      // the drifted corpus: replicas 1..factor−1 (sign-flip patterns —
+      // near-zero cosine to anything replica 0's centroids learned)
+      val batch = Scale.scaledVecs(spark, sfDir, factor)
+        .filter(col("id") >= 1000000L && col("id") < 100000000L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Maintain.appendIvfRecorded(spark, curDir, batch, "b1")
+      val dec = Maintain.ivfDecision(spark, curDir)
+      println(s"MAINTAIN decision: $dec")
+      val full = base.unionByName(batch)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val queries = full.filter(col("id") % 50 === 0)
+      val truth = Similarity.bruteForceTopK(full, queries, k)
+        .select("vec_id", "other_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val truthN = truth.count()
+      def recallRow(tag: String): Unit = {
+        val cells = spark.read.parquet(s"$curDir/centroids").count().toInt
+        val nprobe = math.max(1, (cells + 3) / 4) // 1/4 corpus coverage
+        val got = Similarity.ivfTopKIndexed(spark, curDir, queries,
+            nprobe, k)
+          .select("vec_id", "other_id")
+        val hit = got.join(truth, Seq("vec_id", "other_id")).count()
+        println(f"RECALL $tag%-15s x$factor%-2d cells=$cells%-4d " +
+          f"nprobe=$nprobe%-3d recall@$k=${hit.toDouble / truthN}%6.4f  " +
+          f"(truth=$truthN)")
+      }
+      recallRow("ivf_drift_pre")
+      val t0 = System.nanoTime()
+      Maintain.ivfRetrain(spark, wh, "ivfidx", "1")
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"MAINTAIN ivf_retrain x$factor%-2d $dt%8.2f s")
+      recallRow("ivf_drift_post")
+      println(s"MAINTAIN decision after retrain: " +
+        s"${Maintain.ivfDecision(spark, curDir)}")
+      spark.stop()
+      return
+    }
 
     for (n <- Seq(1, factor)) {
       val v = Scale.scaledVecs(spark, sfDir, n)
