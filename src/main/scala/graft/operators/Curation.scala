@@ -673,6 +673,106 @@ object Curation {
         coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"))
   }
 
+  /** Multi-scale composition of [[duplicateWindows]] — the cheap
+    * approximation of Lee et al. 2022's any-length suffix-array repeats
+    * that a single fixed w cannot give: duplicate windows at EVERY
+    * w ∈ `ws` (one corpus scan emits all scales; per-scale hashes can
+    * never collide across scales — the hashed strings differ in length),
+    * one canonical-occurrence pass per content, then ONE merged-interval
+    * coverage over the union of the scales' intervals (the same islands
+    * arithmetic, variable lengths). The small scale bounds repeat
+    * boundaries at its granularity and catches short repeats a large w
+    * misses entirely; the large scales keep precision on long passages
+    * (an 8-token window repeats naturally in prose, a 128-token one does
+    * not) — `n_dup_windows` counts across scales, so scale mix is the
+    * precision dial. Output and plan shape identical to the single-w
+    * form: (idCol, n_windows, n_dup_windows, dup_tokens) with
+    * `n_windows` summed across scales; corpus-linear × |ws|.
+    */
+  def duplicateWindowsMulti(docs: DataFrame, idCol: String, textCol: String,
+                            ws: Seq[Int] = Seq(8, 32, 128)): DataFrame = {
+    require(ws.nonEmpty && ws.forall(_ >= 1) && ws.distinct.size == ws.size,
+      s"duplicateWindowsMulti: scales $ws must be distinct and >= 1")
+    val sized = multiSized(docs, idCol, textCol, ws)
+    val wins = multiWins(sized, idCol, ws)
+    val canon = wins.groupBy("h")
+      .agg(min(struct(col(idCol).as("d"), col("pos").as("p"))).as("c"))
+    val dup = wins.join(canon, Seq("h"))
+      .filter(col("c.d") =!= col(idCol) || col("c.p") =!= col("pos"))
+      .select(col(idCol), col("pos"), col("len"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos", "len")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val stats = dup
+      .withColumn("__pe", max(col("pos") + col("len")).over(byDoc))
+      .withColumn("__cov", greatest(lit(0),
+        col("pos") + col("len") -
+          greatest(col("pos"), coalesce(col("__pe"), lit(0)))))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_dup_windows"), sum("__cov").as("dup_tokens"))
+    sized.select(col(idCol), col("nw").cast("long").as("n_windows"))
+      .join(stats, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"))
+  }
+
+  private def multiSized(docs: DataFrame, idCol: String, textCol: String,
+                         ws: Seq[Int]): DataFrame =
+    graft.core.Ops.widen(docs)
+      .select(col(idCol),
+        Dedup.normalizeWords(coalesce(col(textCol), lit(""))).as("__ws"))
+      .withColumn("nw", ws.map(w =>
+        greatest(lit(0), size(col("__ws")) - w + 1)).reduce(_ + _))
+
+  private def multiWins(sized: DataFrame, idCol: String,
+                        ws: Seq[Int]): DataFrame = {
+    // IF guard per scale: sequence(1, n) with n <= 0 generates a
+    // DESCENDING [1, 0] — the guard, not a filter, keeps short docs out
+    val winArrays = ws.map(w => expr(
+      s"IF(size(__ws) >= $w, transform(sequence(1, size(__ws) - $w + 1), " +
+        s"i -> struct(i AS pos, $w AS len, " +
+        s"md5(array_join(slice(__ws, i, $w), ' ')) AS h)), " +
+        "CAST(array() AS array<struct<pos:int,len:int,h:string>>))"))
+    sized.select(col(idCol), explode(flatten(array(winArrays: _*))).as("e"))
+      .select(col(idCol), col("e.pos").as("pos"), col("e.len").as("len"),
+        col("e.h").as("h"))
+  }
+
+  /** The cleaner for [[duplicateWindowsMulti]]: drop every token covered
+    * by a duplicate window at ANY scale (canonical occurrences stay),
+    * rebuild the normalized token stream. Same one-pass contract as
+    * [[removeDuplicateSpans]]; ExtOperatorsSpec pins idempotence on the
+    * planted fixture (a second pass removes nothing).
+    */
+  def removeDuplicateSpansMulti(docs: DataFrame, idCol: String,
+                                textCol: String,
+                                ws: Seq[Int] = Seq(8, 32, 128)): DataFrame = {
+    require(ws.nonEmpty && ws.forall(_ >= 1) && ws.distinct.size == ws.size,
+      s"removeDuplicateSpansMulti: scales $ws must be distinct and >= 1")
+    val sized = multiSized(docs, idCol, textCol, ws)
+    val wins = multiWins(sized, idCol, ws)
+    val canon = wins.groupBy("h")
+      .agg(min(struct(col(idCol).as("d"), col("pos").as("p"))).as("c"))
+    val dupSpans = wins.join(canon, Seq("h"))
+      .filter(col("c.d") =!= col(idCol) || col("c.p") =!= col("pos"))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("pos"), col("len"))))
+        .as("__ps"))
+    sized.join(dupSpans, Seq(idCol), "left_outer")
+      .withColumn("__ps", coalesce(col("__ps"),
+        expr("CAST(array() AS array<struct<pos:int,len:int>>)")))
+      .withColumn("__kept", expr(
+        "filter(transform(__ws, (t, i) -> struct(t AS t, i + 1 AS i)), " +
+          "s -> NOT exists(__ps, p -> s.i >= p.pos AND s.i < p.pos + p.len))"))
+      .select(col(idCol),
+        expr("array_join(transform(__kept, s -> s.t), ' ')")
+          .as("cleaned_text"),
+        (size(col("__ws")) - size(col("__kept"))).cast("long")
+          .as("n_removed_tokens"))
+  }
+
   /** The CLEANER for [[duplicateWindows]]: drop every token covered by a
     * duplicate window (canonical occurrences stay — corpus keeps exactly
     * one copy of each repeated passage), rebuild the text from the

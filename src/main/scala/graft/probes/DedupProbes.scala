@@ -386,6 +386,66 @@ object DedupProbes {
        |  coalesce(st.dup_tokens, 0) AS dup_tokens
        |FROM sized s LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ---- q140 multi-scale duplicate windows (any-length approximation) -----
+  // q95's planting scored at THREE scales at once
+  // (Curation.duplicateWindowsMulti, ws = {4, 8, 16}): the 4-token scale
+  // catches repeats the 8-token windows miss entirely, the coarser
+  // scales keep precision on long spans, and ONE merged-interval pass
+  // over the union of the scales' intervals (variable lengths through
+  // the same islands arithmetic) yields the combined coverage. The
+  // oracle unions per-scale window CTEs carrying their len and replays
+  // the identical keep-first + variable-length coverage formula.
+  val q140: Q = (s, d) =>
+    graft.operators.Curation.duplicateWindowsMulti(q95Docs(s, d),
+      "doc_id", "text", ws = Seq(4, 8, 16)).orderBy("doc_id")
+
+  val q140Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, $duckWords AS ws0 FROM documents),
+       |p AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 5 = 0
+       |         THEN ' ' || array_to_string(list_slice(ws0, 1, 12), ' ')
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' $q95Snippet'
+       |         ELSE '' END AS text
+       |  FROM base),
+       |t AS (SELECT doc_id, $duckWords AS ws FROM p),
+       |sized AS (SELECT doc_id, len(ws) AS n, ws FROM t),
+       |wins AS (
+       |  SELECT doc_id, i AS pos, 4 AS len,
+       |      md5(array_to_string(list_slice(ws, i, i + 3), ' ')) AS h
+       |    FROM sized, unnest(generate_series(1, n - 3)) u(i) WHERE n >= 4
+       |  UNION ALL
+       |  SELECT doc_id, i, 8,
+       |      md5(array_to_string(list_slice(ws, i, i + 7), ' '))
+       |    FROM sized, unnest(generate_series(1, n - 7)) u(i) WHERE n >= 8
+       |  UNION ALL
+       |  SELECT doc_id, i, 16,
+       |      md5(array_to_string(list_slice(ws, i, i + 15), ' '))
+       |    FROM sized, unnest(generate_series(1, n - 15)) u(i)
+       |    WHERE n >= 16),
+       |dup AS (
+       |  SELECT doc_id, pos, len FROM (
+       |    SELECT doc_id, pos, len,
+       |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |    FROM wins) WHERE rn > 1),
+       |cov AS (
+       |  SELECT doc_id, greatest(0, pos + len - greatest(pos,
+       |    coalesce(max(pos + len) OVER (PARTITION BY doc_id
+       |      ORDER BY pos, len
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS c
+       |  FROM dup),
+       |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+       |    CAST(sum(c) AS BIGINT) AS dup_tokens
+       |  FROM cov GROUP BY doc_id)
+       |SELECT s.doc_id,
+       |  CAST(greatest(s.n - 3, 0) + greatest(s.n - 7, 0)
+       |    + greatest(s.n - 15, 0) AS BIGINT) AS n_windows,
+       |  coalesce(st.n_dup_windows, 0) AS n_dup_windows,
+       |  coalesce(st.dup_tokens, 0) AS dup_tokens
+       |FROM sized s LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ---- q88 intra-document line dedup ------------------------------------
   // Repeated lines planted per doc (duplicate banner + duplicate body
   // line); Curation.dedupLines keeps first occurrences in original order
@@ -562,6 +622,7 @@ object DedupProbes {
     "q79_url_canon" -> q79,
     "q88_line_dedup" -> q88,
     "q95_dup_windows" -> q95,
+    "q140_multiw_windows" -> q140,
     "q122_incr_neardup" -> q122,
     "q133_sem_dedup" -> q133)
 
@@ -576,6 +637,7 @@ object DedupProbes {
     "q79_url_canon" -> q79Sql,
     "q88_line_dedup" -> q88Sql,
     "q95_dup_windows" -> q95Sql,
+    "q140_multiw_windows" -> q140Sql,
     "q122_incr_neardup" -> q122Sql,
     "q133_sem_dedup" -> q133Sql)
 }

@@ -434,6 +434,17 @@ object Scale {
             .agg(count(lit(1)).as("docs"), sum("dup_tokens").as("dt")),
           Seq.empty)
       }
+      // multi-scale variant (ws = {8, 32, 128}): the any-length-repeat
+      // approximation — one scan emits all three scales, so the row
+      // prices the |ws|× window fan-out against the single-w baseline
+      run("dup_windows_multi", n) {
+        graft.core.Managed(
+          graft.operators.Curation.duplicateWindowsMulti(d, "doc_id",
+              "text", ws = Seq(8, 32, 128))
+            .groupBy(col("doc_id") % 32)
+            .agg(count(lit(1)).as("docs"), sum("dup_tokens").as("dt")),
+          Seq.empty)
+      }
       run("tfidf_top3", n) {
         graft.core.Managed(
           graft.operators.TextStats.tfidfTopTerms(d, "doc_id", "text", 3)

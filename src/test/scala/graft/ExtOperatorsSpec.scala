@@ -760,6 +760,58 @@ class ExtOperatorsSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("duplicateWindowsMulti: single-scale parity; the scale mix " +
+      "catches a short repeat a large w misses while keeping long-span " +
+      "coverage; cleaner is idempotent on the fixture") {
+    import graft.operators.Curation
+    val longSpan = (1 to 16).map(i => s"tok$i").mkString(" ")
+    val shortSpan = "aa bb cc dd"
+    val docs = Seq(
+      (1L, s"$longSpan filler one $shortSpan"),       // canonical for both
+      (2L, s"prefix words here $longSpan trailing"),  // repeats long span
+      (3L, s"other content $shortSpan and more text"), // repeats short span
+      (4L, "entirely unrelated tokens nothing shared here at all"))
+      .toDF("doc_id", "text")
+
+    // ws = Seq(w) reproduces the single-w operator exactly
+    val single = Curation.duplicateWindows(docs, "doc_id", "text", w = 8)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val multi1 = Curation.duplicateWindowsMulti(docs, "doc_id", "text",
+        ws = Seq(8))
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(multi1 == single)
+
+    // w=8 alone misses the 4-token repeat; ws={4, 8} catches both
+    val m8 = multi1.map(t => t._1 -> t._4).toMap
+    assert(m8(2L) == 16L && m8(3L) == 0L, m8.toString)
+    val m48 = Curation.duplicateWindowsMulti(docs, "doc_id", "text",
+        ws = Seq(4, 8))
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t._4).toMap
+    assert(m48(2L) == 16L, "long-span coverage lost")
+    assert(m48(3L) == 4L, s"short repeat missed: $m48")
+    assert(m48(4L) == 0L, "unrelated doc flagged")
+
+    // cleaner: removes the repeated spans (canonicals stay), and a
+    // second pass over its own output removes nothing
+    val cleaned = Curation.removeDuplicateSpansMulti(docs, "doc_id",
+        "text", ws = Seq(4, 8))
+      .persist()
+    val byId = cleaned.select("doc_id", "cleaned_text", "n_removed_tokens")
+      .as[(Long, String, Long)].collect().map(t => t._1 -> t).toMap
+    assert(byId(1L)._3 == 0L, "canonical doc must keep everything")
+    assert(byId(2L)._3 == 16L && !byId(2L)._2.contains("tok1 "),
+      byId(2L).toString)
+    assert(byId(3L)._3 == 4L && !byId(3L)._2.contains("aa"),
+      byId(3L).toString)
+    val second = Curation.removeDuplicateSpansMulti(
+        cleaned.select(col("doc_id"), col("cleaned_text").as("text")),
+        "doc_id", "text", ws = Seq(4, 8))
+      .agg(sum("n_removed_tokens")).as[Long].head()
+    assert(second == 0L, s"second pass removed $second tokens")
+    cleaned.unpersist()
+  }
+
   test("dedupLines is idempotent") {
     import graft.operators.Curation
     val docs = Seq((1L, "p\nq\np\nr\nq\np")).toDF("doc_id", "text")
