@@ -347,12 +347,21 @@ class PlanContractSpec extends SparkSpec {
       "q121_hamming_topk",
       // q128's dense side is the same guarded bruteForceTopK baseline
       // (6-query broadcast); the BM25 side and the fusion are equi-only
-      "q128_rrf_hybrid")
+      "q128_rrf_hybrid",
+      // q138's FINAL plan is pieceCosts(kept): the vocabulary-bounded
+      // kept table (≤ vocabSize rows) × the 1-row broadcast total frame
+      // — the q107 1-row-scalar cross shape (training's corpus work ran
+      // eagerly inside the probe; only this bounded tail is the plan)
+      "q138_unigram_em")
     val singlePartAllowed = Set(
       "q20_decile_bucketing", // 1-row scalar max
       // global reductions over pre-bounded inputs: the ≤64-row HLL
       // register frame and the partial-agged exact distinct count
-      "q107_hll_distinct")
+      "q107_hll_distinct",
+      // pieceCosts' Σwfreq scalar over the ≤ vocabSize kept table —
+      // the q20 1-row-scalar class (the probe's corpus work ran eagerly
+      // inside; the final plan is the bounded cost table only)
+      "q138_unigram_em")
     val plans = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) => name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
