@@ -307,8 +307,17 @@ object Curation {
     val sampled = emb.filter(
       pmod(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
         .cast("long"), lit(centroidEvery)) === 0)
-    val centroids =
-      if (sampled.isEmpty) emb.orderBy(col("id").asc).limit(1) else sampled
+    // LAZY empty-sample fallback (the r5 `Ops.widen` stats-only
+    // discipline — an eager isEmpty here finalized this sub-plan before
+    // AQE): the min-id row joins in ONLY when the sample is empty, via
+    // an equi anti join on a constant key against the sample's first
+    // row — bounded (1×1) and plan-level, no driver action
+    val fallback = emb.orderBy(col("id").asc).limit(1)
+      .withColumn("__k", lit(1))
+      .join(sampled.select(lit(1).as("__k")).limit(1), Seq("__k"),
+        "left_anti")
+      .drop("__k")
+    val centroids = sampled.unionByName(fallback)
     val pairsM = Similarity.ivfNearDupPairsManaged(emb, centroids,
       threshold = thresholdE4 / 10000.0, nassign = nassign)
     val compM = Dedup.connectedComponentsManaged(pairsM.df)

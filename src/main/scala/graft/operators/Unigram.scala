@@ -261,16 +261,53 @@ object Unigram {
       .groupBy("piece")
       .agg(sum(col("freq") * col("cnt_e6")).as("usage_e6"))
 
+  /** Best segmentation cost of `p`'s OWN string under `model`
+    * EXCLUDING `p` itself — what the corpus would pay per occurrence if
+    * `p` were pruned (driver-local Viterbi over a ≤ maxPieceLen-char
+    * string; the vocabulary-bounded localize discipline).
+    */
+  private def altSegCost(p: String, model: UniModel,
+                         unkCost: Long = 100L * 1000000L): Long = {
+    val n = p.length
+    val best = Array.fill(n + 1)(Long.MaxValue / 4)
+    best(0) = 0L
+    for (i <- 1 to n; l <- 1 to math.min(model.maxPieceLen, i)) {
+      val piece = p.substring(i - l, i)
+      if (piece != p) {
+        val c = model.costs.get(piece)
+          .orElse(if (l == 1) Some(unkCost) else None)
+        c.foreach { cc =>
+          if (best(i - l) + cc < best(i)) best(i) = best(i - l) + cc
+        }
+      }
+    }
+    best(n)
+  }
+
   /** Full-EM training — [[trainUnigram]]'s exact skeleton (seed →
     * E-step → driver-local prune + add-one re-estimate per round) with
     * [[pieceUsageExpected]] lattice counts in place of the greedy
     * segmentation counts; add-one smoothing is +10⁶ in the e6 unit (the
     * normalizing total cancels the scale inside [[pieceCosts]]).
+    *
+    * `pruneBy = "usage"` ranks multi-char pieces by expected count (the
+    * [[trainUnigram]] rule); `"loss"` ranks by Kudo §3.2's actual
+    * criterion — the likelihood the corpus LOSES if the piece is
+    * removed, `usage(p) · (altCost(p) − cost(p))` with [[altSegCost]]
+    * as the re-segmentation price. The difference bites on
+    * compositional vocabularies: a high-usage piece whose pieces are
+    * cheap (removal nearly free) prunes before a lower-usage piece with
+    * no good alternative (UnigramSpec pins the flip and the marginal-
+    * cost win). Loss ranking localizes the multi-piece usage table
+    * (bounded by the seed size) for the driver-side DP.
     */
   def trainUnigramEM(wordFreqs: DataFrame, vocabSize: Int, rounds: Int = 1,
                      seedMultiplier: Int = 4, maxPieceLen: Int = 8,
-                     maxEntries: Int = 1 << 20): DataFrame = {
+                     maxEntries: Int = 1 << 20,
+                     pruneBy: String = "usage"): DataFrame = {
     require(vocabSize >= 1 && rounds >= 1 && seedMultiplier >= 1)
+    require(pruneBy == "usage" || pruneBy == "loss",
+      s"trainUnigramEM: pruneBy must be usage|loss, got '$pruneBy'")
     val spark = wordFreqs.sparkSession
     import spark.implicits._
     val chars = Subword.substringCounts(wordFreqs, 1, 1)
@@ -287,9 +324,25 @@ object Unigram {
         .select(col("piece"),
           coalesce(col("usage_e6"), lit(0L)).as("usage_e6"))
       val nMulti = math.max(0, vocabSize - chars.size)
-      val multi = usage.filter(length(col("piece")) >= 2)
-        .orderBy(col("usage_e6").desc, col("piece").asc)
-        .limit(nMulti)
+      val multiAll = usage.filter(length(col("piece")) >= 2)
+      val multi =
+        if (pruneBy == "usage")
+          multiAll.orderBy(col("usage_e6").desc, col("piece").asc)
+            .limit(nMulti)
+        else {
+          val m0 = model
+          val ranked = multiAll.select("piece", "usage_e6")
+            .as[(String, Long)].collect() // bounded: ≤ seed size
+            .map { case (p, u) =>
+              val own = m0.costs.getOrElse(p, Long.MaxValue / 4)
+              val loss = BigInt(u) *
+                BigInt(math.max(0L, altSegCost(p, m0) - own))
+              (p, u, loss)
+            }
+            .sortBy { case (p, _, l) => (-l, p) }
+            .take(nMulti)
+          ranked.toSeq.map(t => (t._1, t._2)).toDF("piece", "usage_e6")
+        }
       kept = charRows.unionByName(multi)
         .select(col("piece"), (col("usage_e6") + lit(1000000L)).as("wfreq"))
       model = collectUniModel(pieceCosts(kept), maxPieceLen, maxEntries)

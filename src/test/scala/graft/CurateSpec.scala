@@ -273,6 +273,21 @@ class CurateSpec extends SparkSpec {
     res.chunks.unpersist()
   }
 
+  test("semDedupVictims: empty centroid sample falls back LAZILY to the " +
+      "min-id single centroid (one cell = exact all-pairs)") {
+    // centroidEvery far above the pool size: no id hashes into the
+    // sample, so the plan-level fallback (equi anti join on a constant
+    // key — no eager isEmpty action) must supply the min-id centroid
+    val base = goodText("one")
+    val docs = Seq(1L -> base, 2L -> (base + " tail"),
+      3L -> goodText("two")).toDF("doc_id", "text")
+    val victims = graft.operators.Curation.semDedupVictims(docs,
+        "doc_id", "text", dim = 16, thresholdE4 = 9000L,
+        centroidEvery = 1000000, nassign = 1)
+      .as[(Long, Long)].collect().toSeq
+    assert(victims == Seq((2L, 1L)), victims.toString)
+  }
+
   test("Curate.run with dedupLinesWithinDocs: repeated-line docs collapse " +
       "to exact dups and fold in the dedup stage") {
     // docs 1 and 2 differ ONLY by a repeated line — line dedup makes them

@@ -235,6 +235,49 @@ class CurateStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gate with an ORDER-3 arpa model: the stream gate scores through " +
+      "the generalized fold, bit-identical to the batch order-n ladder") {
+    import graft.operators.TextStats
+    val m = TextStats.parseArpa(
+      "\\data\\\nngram 1=6\nngram 2=4\nngram 3=2\n\n\\1-grams:\n" +
+        "-0.7 the -0.2\n-0.9 table -0.2\n-0.9 row -0.2\n-0.9 scan -0.2\n" +
+        "-0.9 key\n-2.0 <unk>\n\n\\2-grams:\n" +
+        "-0.3 the table -0.1\n-0.3 table row -0.1\n-0.3 row scan -0.1\n" +
+        "-0.3 scan key\n\n\\3-grams:\n" +
+        "-0.15 the table row\n-0.15 table row scan\n\n\\end\\\n")
+    assert(m.order == 3)
+    val fluent = ("the table row scan key " * 13).trim + " the a"
+    val alien = goodText("one")
+    val docs = Seq((1L, fluent), (2L, alien)).toDF("doc_id", "text")
+    val scores = TextStats.arpaCrossEntropyN(docs, "doc_id", "text",
+        TextStats.arpaTablesN(spark, m), m.unkLp)
+      .select("doc_id", "arpa_e4").as[(Long, Long)].collect().toMap
+    assert(scores(1L) < scores(2L))
+    // fold-vs-ladder bit parity at order 3 on the gate's own inputs
+    val foldScores = docs.select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        TextStats.arpaScoreExpr(
+          org.apache.spark.sql.functions.col("text"), m).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(foldScores == scores, s"$foldScores vs $scores")
+    val cut = (scores(1L) + scores(2L)) / 2
+    val input = MemoryStream[(Long, String)](spark)
+    val q = CurateStream.gate(input.toDF().toDF("id", "text"), "id", "text",
+        CurateStream.GateConfig(minQualityE4 = 0,
+          arpa = Some(CurateStream.ArpaGate(m, cut))))
+      .writeStream.format("memory").queryName("curate_gate_arpa3")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(1L -> fluent, 2L -> alien)
+      q.processAllAvailable()
+      val got = spark.table("curate_gate_arpa3")
+        .as[CurateStream.GateVerdict].collect()
+        .map(v => v.id -> ((v.admitted, v.reason))).toMap
+      assert(got(1L) === ((true, "admitted")))
+      assert(got(2L) === ((false, "arpa")))
+    } finally q.stop()
+  }
+
   test("gate with ppl: a zero-bigram doc is judged by admitUnscored, not " +
       "its defaulted score of 0") {
     import graft.operators.TextStats

@@ -166,4 +166,34 @@ class UnigramSpec extends SparkSpec {
     assert(em3 <= gr3, s"EM $em3 should not lose to greedy $gr3")
     wf.unpersist()
   }
+
+  test("pruneBy=loss keeps the irreplaceable piece usage ranking drops, " +
+      "and scores the corpus at least as well") {
+    // 'ab' is high-usage but its chars are cheap (removal nearly free);
+    // 'qw' is lower-usage but q/w appear ONLY inside it (expensive
+    // chars → removal costs the corpus dearly). With room for ONE
+    // multi-char piece, usage ranking keeps 'ab', loss ranking keeps
+    // the piece the corpus actually needs.
+    val docs = (Seq.fill(40)("a b ab") ++ Seq.fill(8)("qw"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val wf = graft.operators.Bpe.wordFreqs(docs, "text").persist()
+    val nChars = 4 // a, b, q, w
+    def kept(pruneBy: String): Set[String] =
+      Unigram.trainUnigramEM(wf, vocabSize = nChars + 1, rounds = 1,
+          maxPieceLen = 2, pruneBy = pruneBy)
+        .select("piece").as[String].collect().toSet
+    val byUsage = kept("usage")
+    val byLoss = kept("loss")
+    assert(byUsage.contains("ab") && !byUsage.contains("qw"), byUsage)
+    assert(byLoss.contains("qw") && !byLoss.contains("ab"), byLoss)
+    // and the loss-kept vocabulary prices the corpus no worse
+    def cost(pruneBy: String): Long =
+      Unigram.corpusMarginalCostE6(wf, Unigram.collectUniModel(
+        Unigram.trainUnigramEM(wf, vocabSize = nChars + 1, rounds = 1,
+          maxPieceLen = 2, pruneBy = pruneBy), maxPieceLen = 2))
+    val (cu, cl) = (cost("usage"), cost("loss"))
+    assert(cl <= cu, s"loss-pruned $cl vs usage-pruned $cu")
+    wf.unpersist()
+  }
 }
