@@ -975,6 +975,96 @@ object Similarity {
       .select(col("idA"), col("idB"), scoreE4(col("__raw")).as("score_e4"))
   }
 
+  // ---- Hard-negative mining (contrastive-training data prep) -------------
+  // A retriever/reranker training set needs, per anchor, the most
+  // CONFUSABLE items of a different label — random negatives are too easy
+  // and the model learns nothing from them (the DPR/ANCE observation).
+  // Same serving skeleton as ANN top-k with two extra predicates applied
+  // BEFORE the rank window (so the window sees only eligible rows):
+  // label(anchor) ≠ label(candidate), and an optional score ceiling that
+  // drops near-duplicates of the anchor — at corpus scale a ≥0.999-cosine
+  // "negative" is almost always a mislabeled duplicate, and training on it
+  // as a negative poisons the objective (the false-negative filter every
+  // production mining pipeline carries).
+
+  /** Exact hard negatives: for each query (id, v, label), the top-`k`
+    * highest-cosine vectors whose `label` differs, self excluded, scores
+    * within [scoreFloorE4, scoreCeilE4]. The floor drops uninformative
+    * easy negatives; the ceiling is the false-negative guard above.
+    * O(|queries|·|corpus|) — [[bruteForceTopK]]'s sampled-baseline
+    * contract and size guard verbatim; corpus-scale anchors route through
+    * [[hardNegativesIvf]]. Output: (vec_id, other_id, score_e4, rank).
+    */
+  def hardNegativesTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                        scoreCeilE4: Long = 10000L,
+                        scoreFloorE4: Long = -10000L,
+                        maxQueryBytes: Long = 64L << 20,
+                        maxQueryRows: Int = 100000): DataFrame = {
+    val est = queries.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est > maxQueryBytes) {
+      val n = queries.limit(maxQueryRows + 1).count()
+      require(n <= maxQueryRows,
+        s"hardNegativesTopK: queries side holds > $maxQueryRows rows " +
+          s"(estimate $est bytes). This is the exact O(q*n) baseline for " +
+          "SAMPLED anchor sets; use hardNegativesIvf for corpus-scale " +
+          "input, or raise maxQueryRows/maxQueryBytes deliberately.")
+    }
+    val q = queries.select(col("id").as("vec_id"), col("v").as("va"),
+      col("label").as("qlabel"))
+    val c = vectors.select(col("id").as("other_id"), col("v").as("vb"),
+      col("label").as("clabel"))
+    q.join(c, col("vec_id") =!= col("other_id") &&
+        col("qlabel") =!= col("clabel"))
+      .withColumn("score_e4", scoreE4(cosine("va", "vb")))
+      .filter(col("score_e4").between(scoreFloorE4, scoreCeilE4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("score_e4").desc, col("other_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select("vec_id", "other_id", "score_e4", "rank")
+  }
+
+  /** The scale path: [[ivfTopK]]'s cell-probe skeleton with the label
+    * predicate and score band of [[hardNegativesTopK]] applied before the
+    * rank window. Candidates meet only inside probed cells (the one
+    * corpus-sized shuffle is the cell equi join; the label rides inside
+    * the assignment payload struct so no second corpus join fetches it).
+    * Deterministic given the centroid set — the oracle replays the
+    * assignment verbatim, recall-vs-exact is measured in tools.Recall.
+    */
+  def hardNegativesIvf(vectors: DataFrame, centroids: DataFrame,
+                       queries: DataFrame, nprobe: Int, k: Int,
+                       scoreCeilE4: Long = 10000L,
+                       scoreFloorE4: Long = -10000L): DataFrame = {
+    val cent = broadcast(
+      centroids.select(col("id").as("cid"), col("v").as("cv")))
+    // corpus → best cell, label carried in the argmax payload struct
+    val assigned = argmaxCell(
+      graft.core.Ops.widen(vectors.select(col("id").as("other_id"),
+          struct(col("v"), col("label")).as("vb")))
+        .join(cent)
+        .withColumn("cscore", cosine("vb.v", "cv")),
+      "other_id", "vb")
+      .select("other_id", "vb", "cid")
+    val probed = topCells(
+      queries.select(col("id").as("vec_id"),
+          struct(col("v"), col("label")).as("va"))
+        .join(cent)
+        .withColumn("cscore", cosine("va.v", "cv")),
+      "vec_id", "va", nprobe)
+      .select("vec_id", "va", "cid")
+    probed.join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("other_id") &&
+        col("va.label") =!= col("vb.label"))
+      .withColumn("score_e4", scoreE4(cosine("va.v", "vb.v")))
+      .filter(col("score_e4").between(scoreFloorE4, scoreCeilE4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("score_e4").desc, col("other_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select("vec_id", "other_id", "score_e4", "rank")
+  }
+
   // ---- Product quantization (the compression half of IVF-PQ) -------------
   // At 100 TB an ANN index cannot keep float32 vectors hot: PQ stores each
   // vector as m small code ids (one byte-ish each, 32x+ smaller than the

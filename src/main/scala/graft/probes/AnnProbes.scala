@@ -755,6 +755,57 @@ object AnnProbes {
        |    FROM fin)
        |ORDER BY i, j""".stripMargin
 
+  // ---- q141 hard-negative mining (contrastive training-set prep) --------
+  // The IVF serving form: per anchor, top-k highest-cosine DIFFERENT-label
+  // candidates inside the probed cells, with the false-negative ceiling
+  // (score ≤ ceil — a ≥ceiling "negative" is a probable mislabeled dup)
+  // and the easy-negative floor both active. Deterministic given the q31
+  // centroid convention, so the oracle replays the cell assignment, label
+  // predicate, and score band verbatim — an EXACT compare, with
+  // recall-vs-exact measured separately in tools.Recall.
+  val q141: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"), col("label"))
+    val centroids = e.filter(col("id") % 25 === 0).select("id", "v")
+    val queries = e.filter(col("id") < 30)
+    Similarity.hardNegativesIvf(e, centroids, queries, nprobe = 2, k = 3,
+        scoreCeilE4 = 9990L, scoreFloorE4 = 0L)
+      .orderBy("vec_id", "rank")
+  }
+
+  val q141Sql: String = {
+    def cos(a: String, b: String) = Similarity.cosineDuckSql(a, b)
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+       |    label FROM embeddings),
+       |cent AS (SELECT id AS cid, v AS cv FROM e WHERE id % 25 = 0),
+       |assigned AS (
+       |  SELECT id AS other_id, v AS vb, label AS clabel, cid FROM (
+       |    SELECT e.id, e.v, e.label, c.cid,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN cent c) t(id, v, label, cid, rn) WHERE rn = 1),
+       |probed AS (
+       |  SELECT id AS vec_id, v AS va, label AS qlabel, cid FROM (
+       |    SELECT q.id, q.v, q.label, c.cid,
+       |      row_number() OVER (PARTITION BY q.id
+       |        ORDER BY ${cos("q.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |    FROM e q CROSS JOIN cent c WHERE q.id < 30) t(id, v, label, cid, rn)
+       |  WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.vec_id, a.other_id,
+       |    ${Similarity.scoreE4DuckSql(cos("p.va", "a.vb"))} AS score_e4
+       |  FROM probed p JOIN assigned a USING (cid)
+       |  WHERE p.vec_id <> a.other_id AND p.qlabel <> a.clabel),
+       |banded AS (SELECT * FROM cand WHERE score_e4 BETWEEN 0 AND 9990),
+       |r AS (SELECT vec_id, other_id, score_e4,
+       |    CAST(row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score_e4 DESC, other_id ASC) AS BIGINT) AS rank
+       |  FROM banded)
+       |SELECT vec_id, other_id, score_e4, rank FROM r WHERE rank <= 3
+       |ORDER BY vec_id, rank""".stripMargin
+  }
+
   // ---- family registry --------------------------------------------------
 
   private[probes] val queries: Map[String, Q] = Map(
@@ -773,7 +824,8 @@ object AnnProbes {
     "q130_embed_cov" -> q130,
     "q131_power_iter" -> q131,
     "q136_topk_eigen" -> q136,
-    "q139_opq_procrustes" -> q139)
+    "q139_opq_procrustes" -> q139,
+    "q141_hard_negatives" -> q141)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q30_cosine_neardup" -> q30Sql,
@@ -791,5 +843,6 @@ object AnnProbes {
     "q130_embed_cov" -> q130Sql,
     "q131_power_iter" -> q131Sql,
     "q136_topk_eigen" -> q136Sql,
-    "q139_opq_procrustes" -> q139Sql)
+    "q139_opq_procrustes" -> q139Sql,
+    "q141_hard_negatives" -> q141Sql)
 }

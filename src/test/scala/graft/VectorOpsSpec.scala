@@ -488,4 +488,46 @@ class VectorOpsSpec extends SparkSpec {
       Similarity.appendToIvfIndex(spark, "/tmp/graft_no_such_index", b)
     }
   }
+
+  test("hardNegativesTopK: different-label only, near-dup ceiling and " +
+      "easy-negative floor both exclude") {
+    // anchor 0 (label 0); candidates: 1 = same-label near-identical
+    //   (label predicate must drop), 2 = different-label near-DUPLICATE
+    //   (ceiling must drop — probable mislabeled dup), 3 = genuine hard
+    //   negative, 4 = easy negative below the floor (near-orthogonal),
+    //   5 = medium negative
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0), 0),
+      (1L, Seq(0.999, 0.01, 0.0), 0),
+      (2L, Seq(0.9999, 0.001, 0.0), 1),
+      (3L, Seq(0.9, 0.43, 0.0), 1),
+      (4L, Seq(0.1, 0.99, 0.0), 1),
+      (5L, Seq(0.7, 0.7, 0.0), 1)
+    ).toDF("id", "v", "label")
+    val got = Similarity.hardNegativesTopK(vecs,
+        vecs.filter(col("id") === 0), k = 5,
+        scoreCeilE4 = 9990L, scoreFloorE4 = 2000L)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._4)
+    assert(got.map(_._2) == Seq(3L, 5L), got.toString) // 1/2/4 excluded
+    assert(got.map(_._4) == Seq(1L, 2L))
+  }
+
+  test("hardNegativesIvf with all cells probed equals the exact form") {
+    val vecs = (0 until 40).map { i =>
+      val a = i * 0.37
+      (i.toLong, Seq(math.cos(a), math.sin(a), 0.1 * (i % 3)), i % 4)
+    }.toDF("id", "v", "label")
+    val cent = vecs.filter(col("id") % 10 === 0).select("id", "v")
+    val queries = vecs.filter(col("id") < 6)
+    val exact = Similarity.hardNegativesTopK(vecs, queries, k = 3,
+        scoreCeilE4 = 9995L, scoreFloorE4 = 0L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ivf = Similarity.hardNegativesIvf(vecs, cent, queries,
+        nprobe = 4, k = 3, scoreCeilE4 = 9995L, scoreFloorE4 = 0L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(ivf == exact, s"ivf $ivf vs exact $exact")
+    // and no same-label pair ever survives either path
+    val labels = vecs.select("id", "label").as[(Long, Int)].collect().toMap
+    ivf.foreach { case (q, o, _, _) => assert(labels(q) != labels(o)) }
+  }
 }
