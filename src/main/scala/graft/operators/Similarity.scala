@@ -1305,7 +1305,7 @@ object Similarity {
         .withColumn("rv", zip_with(col("vb"), col("cv"), (x, y) => x - y))
         .select(col("other_id").as("id"), col("cid"), col("vb"), col("rv"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try
+      try {
         assigned.select("id", "cid", "vb").join(
           pqEncode(assigned.select(col("id"), col("rv").as("v")),
               codebook, m, subDim)
@@ -1316,7 +1316,141 @@ object Similarity {
           .select(col("id"), col("vb"), col("codes"), col("cid"))
           .write.mode("overwrite").partitionBy("cid")
           .parquet(s"$dir/assigned")
-      finally assigned.unpersist()
+        writePqStats(assigned.select(col("id"), col("rv").as("v")),
+          codebook, dir, m, subDim)
+      } finally assigned.unpersist()
+    }
+    if (!residual)
+      writePqStats(vectors.select(col("id"), col("v")), codebook, dir,
+        m, subDim)
+  }
+
+  /** Per-vector PQ quantization error in the index's QUANTIZED space
+    * (`v` = the raw vector for a raw index, the residual for a residual
+    * index): Σ over subspaces of the chosen code's squared-L2 distance —
+    * exactly the error the ADC metric silently adds to every query
+    * scored against this vector. [[pqEncode]]'s broadcast-cross +
+    * partial-argmin shuffle shape; e4 fixed point. Output (id, qerr_e4).
+    */
+  def pqQerrE4(vectors: DataFrame, codebook: DataFrame, m: Int,
+               subDim: Int): DataFrame =
+    pqSplit(graft.core.Ops.widen(vectors.select(col("id"), col("v"))),
+        m, subDim)
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("d_e4", graft.core.Ops.fixedPoint(
+        sqDist(col("subv"), col("cv")), 4))
+      .groupBy("id", "sub")
+      .agg(min(col("d_e4")).as("d_e4"))
+      .groupBy("id")
+      .agg(sum(col("d_e4")).as("qerr_e4"))
+
+  /** Build-time codebook-fit baseline: (n, mean_qerr_e4) of the indexed
+    * corpus in its quantized space, at `<dir>/stats` — the denominator
+    * [[graft.pipeline.Maintain.ivfPqDecision]]'s drift ratio compares
+    * appended batches against. Written AFTER the assigned table (stats
+    * are advisory; a crash window leaves a servable index whose decision
+    * path falls back to the cosine-drift criterion).
+    */
+  private def writePqStats(qspace: DataFrame, codebook: DataFrame,
+                           dir: String, m: Int, subDim: Int): Unit =
+    pqQerrE4(qspace, codebook, m, subDim)
+      .agg(count(lit(1)).as("n"),
+        floor(avg(col("qerr_e4")) + lit(0.5)).cast("long")
+          .as("mean_qerr_e4"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+
+  /** (m, subDim) of a stored codebook — driver-side, bounded (one
+    * aggregate over the m·numCodes codebook rows).
+    */
+  def pqDims(cb: DataFrame): (Int, Int) = {
+    val r = cb.agg(max(col("sub")).cast("int").as("ms"),
+      max(size(col("cv"))).cast("int").as("sd")).head()
+    (r.getInt(0) + 1, r.getInt(1))
+  }
+
+  /** Incrementally append a batch to a persisted IVF-PQ index — the
+    * [[appendToIvfIndex]] daily-append path for the compressed index
+    * family. The batch is assigned against the STORED centroids and
+    * encoded against the STORED codebook (both frozen between retrains,
+    * so `ivfPqTopKIndexed` over (index(A) then append B) is bit-identical
+    * to a fresh build of A ∪ B under the same centroids/codebook —
+    * spec-pinned, raw and residual), and lands in the same
+    * cell-partitioned layout (parquet append touches only the batch's
+    * cid partitions).
+    *
+    * Returns the per-cell drift report the retrain decision needs:
+    * `(cid, n_added, mean_cscore_e4, mean_qerr_e4)` — [[appendToIvfIndex]]'s
+    * centroid-drift column plus the CODEBOOK-fit column: the appended
+    * vectors' mean quantization error in the index's quantized space.
+    * A distribution shift the centroids still cover can therefore still
+    * fire a retrain when the codebook no longer fits (rising qerr =
+    * every ADC distance against the new rows silently degrades — the
+    * failure mode a pure cosine-drift signal cannot see).
+    *
+    * Caller contract: batch ids are new (dedup upstream).
+    */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, newVectors: DataFrame): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codebook")),
+      s"appendToIvfPqIndex: no IVF-PQ index at $dir (writeIvfPqIndex first)")
+    val fmt = readPqFormat(spark, dir)
+    val cent = broadcast(spark.read.parquet(s"$dir/centroids")
+      .select(col("id").as("cid"), col("v").as("cv")))
+    val cb = spark.read.parquet(s"$dir/codebook")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (m, subDim) = pqDims(cb)
+      // one assignment pass over the BATCH; qv = the quantized-space
+      // vector (raw v, or the residual v − centroid) — feeds the encode,
+      // the layout write, and the qerr column of the drift report
+      val assigned = ivfAssign(newVectors, cent)
+        .join(cent, Seq("cid"))
+        .withColumn("qv",
+          if (fmt == "residual")
+            zip_with(col("vb"), col("cv"), (x, y) => x - y)
+          else col("vb"))
+        .select(col("other_id").as("id"), col("cid"), col("vb"),
+          col("cv"), col("qv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val codes = pqEncode(assigned.select(col("id"), col("qv").as("v")),
+            cb, m, subDim)
+          .groupBy("id")
+          .agg(expr("transform(array_sort(collect_list(struct(sub, " +
+            "code))), e -> e.code)").as("codes"))
+        assigned.select("id", "cid", "vb").join(codes, Seq("id"))
+          .select(col("id"), col("vb"), col("codes"), col("cid"))
+          .write.mode("append").partitionBy("cid")
+          .parquet(s"$dir/assigned")
+        val drift = assigned
+          .join(pqQerrE4(assigned.select(col("id"), col("qv").as("v")),
+            cb, m, subDim), Seq("id"))
+          .withColumn("cscore", cosine("vb", "cv"))
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_added"),
+            scoreE4(avg(col("cscore"))).as("mean_cscore_e4"),
+            floor(avg(col("qerr_e4")) + lit(0.5)).cast("long")
+              .as("mean_qerr_e4"))
+          .orderBy("cid")
+          .localCheckpoint(eager = true)
+        drift
+      } finally assigned.unpersist()
+    } finally cb.unpersist()
+  }
+
+  /** The stored codebook-fit baseline ([[writeIvfPqIndex]]'s `stats`
+    * table) as (n, mean_qerr_e4); None for a pre-stats index.
+    */
+  def readPqStats(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): Option[(Long, Long)] = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats"))) None
+    else {
+      val r = spark.read.parquet(s"$dir/stats").head()
+      Some((r.getLong(0), r.getLong(1)))
     }
   }
 

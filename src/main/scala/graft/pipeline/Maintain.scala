@@ -103,6 +103,131 @@ object Maintain {
     } finally vectors.unpersist()
   }
 
+  // ---- IVF-PQ: codebook-drift-triggered retrain --------------------------
+
+  /** [[Similarity.appendToIvfPqIndex]] + RECORD — the [[appendIvfRecorded]]
+    * discipline for the compressed index family. The per-cell report
+    * carries BOTH drift axes (centroid cosine + codebook quantization
+    * error); a retried append overwrites its own batch partition.
+    */
+  def appendIvfPqRecorded(spark: SparkSession, dir: String,
+                          newVectors: DataFrame,
+                          batchId: String): DataFrame = {
+    require(batchId.nonEmpty && batchId != "__HIVE_DEFAULT_PARTITION__",
+      s"ivfpq drift ledger: invalid batch id '$batchId'")
+    val drift = Similarity.appendToIvfPqIndex(spark, dir, newVectors)
+    drift.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$dir/drift")
+    drift
+  }
+
+  /** Retrain decision for an IVF-PQ index, EITHER axis sufficient:
+    *
+    *  - codebook fit: n-weighted mean appended `qerr_e4` over the
+    *    build-time corpus baseline ([[Similarity.readPqStats]]) by more
+    *    than `maxQerrRatioE4` (e4 ratio; 15000 = appended error 1.5× the
+    *    corpus the codebook was trained on). The axis a pure IVF
+    *    decision cannot see: centroids can still cover a shifted batch
+    *    whose ADC distances have all quietly degraded.
+    *  - centroid fit: the [[ivfDecision]] criterion on the same ledger.
+    *
+    * A pre-stats index (no `stats` table) decides on the centroid axis
+    * alone; no ledger → `none`.
+    */
+  def ivfPqDecision(spark: SparkSession, dir: String,
+                    maxQerrRatioE4: Long = 15000L,
+                    minMeanCscoreE4: Long = 8500L): Decision = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/drift")))
+      return Decision("ivfpq", "none", 0L, maxQerrRatioE4,
+        "no drift ledger (no appends since build/retrain)")
+    val r = spark.read.parquet(s"$dir/drift")
+      .agg(sum(col("n_added")).as("n"),
+        sum(col("n_added") * col("mean_cscore_e4")).as("cs"),
+        sum(col("n_added") * col("mean_qerr_e4")).as("qs")).head()
+    if (r.isNullAt(0) || r.getLong(0) == 0L)
+      return Decision("ivfpq", "none", 0L, maxQerrRatioE4,
+        "empty drift ledger")
+    val n = r.getLong(0)
+    val meanCs = math.floor(r.getLong(1).toDouble / n + 0.5).toLong
+    val meanQ = math.floor(r.getLong(2).toDouble / n + 0.5).toLong
+    Similarity.readPqStats(spark, dir) match {
+      case Some((_, baseQ)) if baseQ > 0L =>
+        val ratioE4 =
+          math.floor(meanQ.toDouble * 10000.0 / baseQ + 0.5).toLong
+        if (ratioE4 > maxQerrRatioE4)
+          Decision("ivfpq", "retrain", ratioE4, maxQerrRatioE4,
+            s"$n appended vectors, qerr ratio_e4 $ratioE4 vs base " +
+              s"mean_qerr_e4 $baseQ (codebook no longer fits)")
+        else if (meanCs < minMeanCscoreE4)
+          Decision("ivfpq", "retrain", meanCs, minMeanCscoreE4,
+            s"$n appended vectors, centroid drift: mean cscore_e4 $meanCs")
+        else Decision("ivfpq", "none", ratioE4, maxQerrRatioE4,
+          s"$n appended vectors, qerr ratio_e4 $ratioE4, " +
+            s"mean cscore_e4 $meanCs")
+      case _ =>
+        if (meanCs < minMeanCscoreE4)
+          Decision("ivfpq", "retrain", meanCs, minMeanCscoreE4,
+            s"$n appended vectors, centroid drift: mean cscore_e4 $meanCs" +
+              " (pre-stats index: codebook axis unavailable)")
+        else Decision("ivfpq", "none", meanCs, minMeanCscoreE4,
+          s"$n appended vectors, mean cscore_e4 $meanCs " +
+            "(pre-stats index: codebook axis unavailable)")
+    }
+  }
+
+  /** Execute an IVF-PQ retrain: re-fit BOTH the coarse quantizer
+    * ([[Similarity.buildIvf]]) and the PQ codebook
+    * ([[Similarity.pqTrain]] — on residuals for a residual-format index,
+    * against the NEW centroids) to the full stored corpus, re-encode
+    * everything, and publish as a new immutable version (fresh `stats`
+    * baseline, no drift ledger — the decision resets). m/subDim and the
+    * stored format carry over from the current version's codebook.
+    */
+  def ivfPqRetrain(spark: SparkSession, warehouse: String, db: String,
+                   token: String, numCodes: Int, pqIters: Int = 3,
+                   numCells: Int = 0, ivfIters: Int = 1)
+      : org.apache.hadoop.fs.Path = {
+    val cur = Restore.resolveVersioned(spark, warehouse, db)
+      .getOrElse(throw new IllegalStateException(
+        s"ivfPqRetrain: no current version of $db under $warehouse"))
+    val (m, subDim) =
+      Similarity.pqDims(spark.read.parquet(s"$cur/codebook"))
+    val residual = {
+      val fs = new org.apache.hadoop.fs.Path(cur.toString).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(s"$cur/_pq_format")
+      fs.exists(p) && {
+        val in = fs.open(p)
+        try new String(org.apache.hadoop.io.IOUtils
+          .readFullyToByteArray(in), "UTF-8").trim == "residual"
+        finally in.close()
+      }
+    }
+    val vectors = spark.read.parquet(s"$cur/assigned")
+      .select(col("id"), col("vb").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cent = Similarity.buildIvf(vectors, numCells, ivfIters)
+      val trainSpace =
+        if (!residual) vectors
+        else Similarity.ivfAssign(vectors,
+            broadcast(cent.select(col("id").as("cid"), col("v").as("cv"))))
+          .join(broadcast(cent.select(col("id").as("cid"),
+            col("v").as("cv"))), Seq("cid"))
+          .select(col("other_id").as("id"),
+            zip_with(col("vb"), col("cv"), (x, y) => x - y).as("v"))
+      val cb = Similarity.pqTrain(trainSpace, m, subDim, numCodes, pqIters)
+      Restore.publishVersionedDir(spark, warehouse, db, token) { vdir =>
+        Similarity.writeIvfPqIndex(vectors, cent, cb, vdir.toString,
+          m, subDim, residual = residual)
+      }
+    } finally vectors.unpersist()
+  }
+
   // ---- BM25: batch compaction --------------------------------------------
 
   private def committedBatches(spark: SparkSession, dir: String): DataFrame =

@@ -84,6 +84,75 @@ object Recall {
       return
     }
 
+    // ---- `--pqdrift`: IVF-PQ lifecycle row (round 11) -------------------
+    // The --drift protocol for the COMPRESSED index family: ADC serving
+    // degradation of a frozen centroids+codebook index under a drifted
+    // append, the two-axis ivfPqDecision that fires on it, and the
+    // recall a Maintain.ivfPqRetrain (both quantizers re-fit) recovers
+    // at what cost.
+    if (args.length > 2 && args(2) == "--pqdrift") {
+      import graft.pipeline.{Maintain, Restore}
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_pqdrift_wh").toString
+      val (m, subDim, numCodes) = (8, 8, 16)
+      val base = Scale.scaledVecs(spark, sfDir, 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Restore.publishVersionedDir(spark, wh, "pqidx", "0") { vdir =>
+        Similarity.writeIvfPqIndex(base,
+          Similarity.buildIvf(base, iters = 1),
+          Similarity.pqTrain(base, m, subDim, numCodes, iters = 2),
+          vdir.toString, m, subDim)
+      }
+      def curDir = Restore.resolveVersioned(spark, wh, "pqidx").get.toString
+      println(s"MAINTAIN pq base stats: " +
+        s"${Similarity.readPqStats(spark, curDir)}")
+      val batch = Scale.scaledVecs(spark, sfDir, factor)
+        .filter(col("id") >= 1000000L && col("id") < 100000000L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Maintain.appendIvfPqRecorded(spark, curDir, batch, "b1")
+      println(s"MAINTAIN decision: ${Maintain.ivfPqDecision(spark, curDir)}")
+      val lg = spark.read.parquet(s"$curDir/drift")
+        .agg(sum(col("n_added")).as("n"),
+          sum(col("n_added") * col("mean_qerr_e4")).as("qs")).head()
+      println(f"MAINTAIN appended mean qerr_e4: " +
+        f"${lg.getLong(1).toDouble / lg.getLong(0)}%8.1f")
+      val full = base.unionByName(batch)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val queries = full.filter(col("id") % 50 === 0)
+      val truth = Similarity.bruteForceTopK(full, queries, k)
+        .select("vec_id", "other_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val truthN = truth.count()
+      def recallRow(tag: String): Unit = {
+        val cells = spark.read.parquet(s"$curDir/centroids").count().toInt
+        val nprobe = math.max(1, (cells + 3) / 4) // 1/4 corpus coverage
+        val got = Similarity.ivfPqTopKIndexed(spark, curDir, queries,
+            nprobe, m, subDim, k)
+          .select("vec_id", "other_id")
+        val hit = got.join(truth, Seq("vec_id", "other_id")).count()
+        // the production serving config: ADC shortlist + exact re-rank
+        val ref = Similarity.ivfPqTopKRefined(spark, curDir, queries,
+            nprobe, m, subDim, shortlist = 4 * k, k = k)
+          .select("vec_id", "other_id")
+        val rhit = ref.join(truth, Seq("vec_id", "other_id")).count()
+        println(f"RECALL $tag%-17s x$factor%-2d cells=$cells%-4d " +
+          f"nprobe=$nprobe%-3d adc@$k=${hit.toDouble / truthN}%6.4f " +
+          f"refined@$k=${rhit.toDouble / truthN}%6.4f  (truth=$truthN)")
+      }
+      recallRow("ivfpq_drift_pre")
+      val t0 = System.nanoTime()
+      Maintain.ivfPqRetrain(spark, wh, "pqidx", "1", numCodes, pqIters = 2)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"MAINTAIN ivfpq_retrain x$factor%-2d $dt%8.2f s")
+      println(s"MAINTAIN pq stats after retrain: " +
+        s"${Similarity.readPqStats(spark, curDir)}")
+      recallRow("ivfpq_drift_post")
+      println(s"MAINTAIN decision after retrain: " +
+        s"${Maintain.ivfPqDecision(spark, curDir)}")
+      spark.stop()
+      return
+    }
+
     for (n <- Seq(1, factor)) {
       val v = Scale.scaledVecs(spark, sfDir, n)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
