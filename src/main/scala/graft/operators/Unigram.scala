@@ -403,6 +403,116 @@ object Unigram {
         array_join(col("__ps"), "|").as("enc"))
   }
 
+  /** Subword-regularization sampling encode (Kudo 2018 §4; SentencePiece
+    * `--nbest_size -1 --alpha`): segment each word by SAMPLING from the
+    * posterior over segmentations, P(seg) ∝ exp(−α·C(seg)) — the
+    * augmentation that exposes a model to many tokenizations of the same
+    * text instead of freezing the single best one. α (`alphaE4`/10⁴) is
+    * the temperature: large α concentrates on the Viterbi path
+    * (spec-pinned equal at high α), α→0 flattens toward uniform over
+    * segmentations.
+    *
+    * Mechanics — forward-filtering backward-sampling, integer-exact and
+    * oracle-replayable end to end:
+    *
+    *  1. α is applied by scaling every piece cost DRIVER-SIDE
+    *     (`c·alphaE4 div 10⁴` — exact long arithmetic, no per-row
+    *     scaling expression), so at the default `alphaE4 = 10000` the
+    *     lattice runs the unscaled model bit-for-bit.
+    *  2. Forward: [[forwardArr]]'s softmin DP (the [[combineE6]]
+    *     log-semiring, e6 re-round per combine) under the scaled costs.
+    *  3. Backward, from the word end: each candidate edge (length l
+    *     ending at boundary i) weighs
+    *     `⌊exp(−(α(i−l) + c − α(i))/10⁶)·10⁶ + 0.5⌋` — its e6-rounded
+    *     posterior; the draw is the repo's seedless-uniform convention
+    *     (first 8 md5 hex nibbles of `word:widx:i:seed`, mod 10⁶; widx =
+    *     1-based word position, so repeated words in a document sample
+    *     independently) and the pick walks candidates in ascending-l
+    *     order until the cumulative weight exceeds
+    *     `⌊u·Σw/10⁶⌋` — thresholding against the ACTUAL weight total, so
+    *     per-edge rounding can never strand a draw.
+    *
+    * Same output surface as [[viterbiEncode]]; same scale shape (pure
+    * per-row HOF folds over the broadcast model — no shuffle, no UDF).
+    * Determinism: a fixed (model, seed, alphaE4) gives one fixed
+    * segmentation per (word, position) — reproducible training data,
+    * replayable oracle; vary `seed` per epoch for fresh samples.
+    */
+  def sampleEncode(docs: DataFrame, idCol: String, textCol: String,
+                   model: UniModel, seed: Long, alphaE4: Long = 10000L,
+                   maxWordLen: Int = 32,
+                   unkCost: Long = 100L * 1000000L): DataFrame = {
+    require(alphaE4 >= 1, s"sampleEncode: alphaE4 must be >= 1, got $alphaE4")
+    val m2 = UniModel(
+      model.costs.map { case (p, c) => p -> c * alphaE4 / 10000L },
+      model.maxPieceLen)
+    val unk2 = unkCost * alphaE4 / 10000L
+    val vmap = typedLit(m2.costs)
+    val words = Dedup.normalizeWords(col(textCol))
+    val encodeWord: (Column, Column) => Column = (w, widx0) => {
+      val cs = Bpe.charSymbols(w)
+      val stepCost = stepCostOf(vmap, cs, unk2) _
+      val fwd = forwardArr(m2, unk2)(w)
+      // bind the DP table as a lambda variable (read ~3x per step)
+      val sampled = transform(array(fwd), f => {
+        val init = struct(size(cs).as("p"),
+          array().cast("array<string>").as("acc"))
+        aggregate(
+          sequence(lit(1), lit(maxWordLen)),
+          init,
+          (st, _) => {
+            val i = st.getField("p")
+            val cands = filter(array((1 to m2.maxPieceLen).map { l =>
+              val c = stepCost(i - lit(l) + 1, l)
+              when(i >= lit(l) && c.isNotNull,
+                struct(lit(l).as("l"),
+                  floor(exp(-(element_at(f, i - lit(l) + 1) + c -
+                      element_at(f, i + 1)).cast("double") / lit(1e6))
+                    * lit(1e6) + lit(0.5)).cast("long").as("wt")))
+            }: _*), e => e.isNotNull)
+            // bind the candidate array too: total, threshold, and the
+            // cumulative pick all re-read it
+            val picked = transform(array(cands), ca => {
+              val tot = aggregate(ca, lit(0L),
+                (s2, e) => s2 + e.getField("wt"))
+              val u = pmod(
+                conv(substring(md5(concat_ws(":", w,
+                  (widx0 + lit(1)).cast("string"), i.cast("string"),
+                  lit(seed.toString))), 1, 8), 16, 10).cast("long"),
+                lit(1000000L))
+              val ut = u * tot
+              val t = ((ut - pmod(ut, lit(1000000L))) / lit(1000000L))
+                .cast("long")
+              val pick = aggregate(ca,
+                struct(lit(0L).as("cum"), lit(null).cast("int").as("l")),
+                (s2, e) => when(s2.getField("l").isNotNull, s2)
+                  .otherwise(when(
+                    s2.getField("cum") + e.getField("wt") > t,
+                    struct(s2.getField("cum").as("cum"),
+                      e.getField("l").as("l")))
+                  .otherwise(struct(
+                    (s2.getField("cum") + e.getField("wt")).as("cum"),
+                    lit(null).cast("int").as("l")))),
+                s2 => s2.getField("l"))
+              coalesce(pick, element_at(ca, -1).getField("l"))
+            })
+            val mlen = element_at(picked, 1)
+            when(i <= 0, st).otherwise(struct(
+              (i - mlen).as("p"),
+              concat(array(array_join(slice(cs, i - mlen + 1, mlen), "")),
+                st.getField("acc")).as("acc")))
+          },
+          st => st.getField("acc"))
+      })
+      element_at(sampled, 1)
+    }
+    graft.core.Ops.widen(docs)
+      .select(col(idCol),
+        flatten(transform(words, encodeWord)).as("__ps"))
+      .select(col(idCol), size(col("__ps")).cast("long").as("n_pieces"),
+        array_join(col("__ps"), "|").as("enc"))
+  }
+
   /** Exact Viterbi decoding: the segmentation minimizing TOTAL e6 cost
     * (unknown characters priced at `unkCost`), ties broken toward the
     * segmentation that is lexicographically-greatest in piece lengths

@@ -1708,6 +1708,107 @@ object TextProbes {
        |FROM kept ORDER BY piece""".stripMargin
   }
 
+  // ---- q142 subword-regularization sampling encode -----------------------
+  // Unigram.sampleEncode: forward softmin lattice (the q138 DP) then a
+  // BACKWARD-SAMPLING walk — per boundary, candidate edges weigh their
+  // e6-rounded posterior exp(−(α(i−l)+c−α(i))/10⁶), the draw is the md5
+  // seedless-uniform convention on (word:widx:boundary:seed), and the
+  // pick walks candidates ascending-l until the cumulative weight clears
+  // ⌊u·Σw/10⁶⌋. Literal model (training is q135/q138's subject), seed 7,
+  // α = 1. The oracle replays the walk exactly: the q138 forward CTE per
+  // word OCCURRENCE, then a recursive sampling CTE whose per-step LATERAL
+  // layers bind weights → cumulative sums + draw → threshold → pick.
+  private val q142Pieces = Seq(
+    "t" -> 2500000L, "h" -> 2500000L, "e" -> 2200000L, "a" -> 2300000L,
+    "n" -> 2400000L, "i" -> 2400000L, "o" -> 2400000L, "s" -> 2400000L,
+    "th" -> 3000000L, "he" -> 3100000L, "in" -> 3200000L, "an" -> 3200000L,
+    "the" -> 3800000L, "ing" -> 4000000L, "tion" -> 4500000L)
+
+  val q142: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 20)
+      .select(col("doc_id"), substring(col("text"), 1, 200).as("text"))
+    graft.operators.Unigram.sampleEncode(docs, "doc_id", "text",
+        graft.operators.Unigram.UniModel(q142Pieces.toMap, maxPieceLen = 4),
+        seed = 7L)
+      .orderBy("doc_id")
+  }
+
+  val q142Sql: String = {
+    val costVals = q142Pieces
+      .map { case (p, c) => s"('$p', CAST($c AS BIGINT))" }.mkString(", ")
+    def fwdT(l: Int) =
+      s"CASE WHEN f.i >= ${l - 1} THEN f.al[f.i - ${l - 2}] + " +
+        s"(SELECT cost FROM cost0 WHERE piece = " +
+        s"substr(f.w, f.i - ${l - 2}, $l)) END"
+    val fwdT1 = "f.al[f.i + 1] + coalesce((SELECT cost FROM cost0 " +
+      "WHERE piece = substr(f.w, f.i + 1, 1)), 100000000)"
+    // candidate weight for an edge of length l ending at boundary s.p
+    def wT(l: Int) =
+      if (l == 1)
+        "CASE WHEN s.p >= 1 THEN CAST(floor(exp(-CAST(s.al[s.p] + " +
+          "coalesce((SELECT cost FROM cost0 WHERE piece = " +
+          "substr(s.w, s.p, 1)), 100000000) - s.al[s.p + 1] AS DOUBLE) " +
+          "/ 1000000) * 1000000 + 0.5) AS BIGINT) END"
+      else
+        s"CASE WHEN s.p >= $l THEN (SELECT CAST(floor(exp(-CAST(" +
+          s"s.al[s.p - ${l - 1}] + cost - s.al[s.p + 1] AS DOUBLE) " +
+          s"/ 1000000) * 1000000 + 0.5) AS BIGINT) FROM cost0 " +
+          s"WHERE piece = substr(s.w, s.p - ${l - 1}, $l)) END"
+    s"""WITH RECURSIVE
+       |docs0 AS (SELECT doc_id, substr(text, 1, 200) AS text
+       |  FROM documents WHERE doc_id < 20),
+       |n AS (SELECT doc_id, $duckWords AS w FROM docs0),
+       |wx AS (SELECT doc_id, w[t.i] AS w, t.i AS widx
+       |  FROM n, unnest(generate_series(1, len(w))) t(i)),
+       |cost0(piece, cost) AS (SELECT * FROM (VALUES $costVals)),
+       |fwd AS (
+       |  SELECT doc_id, widx, w, 0 AS i, [CAST(0 AS BIGINT)] AS al FROM wx
+       |  UNION ALL
+       |  SELECT f.doc_id, f.widx, f.w, f.i + 1, list_append(f.al, c.v)
+       |  FROM fwd f LEFT JOIN LATERAL
+       |    ${duckSoftmin4(fwdT1, fwdT(2), fwdT(3), fwdT(4))} c ON true
+       |  WHERE f.i < length(f.w)),
+       |fwdf AS (SELECT doc_id, widx, w, al FROM fwd WHERE i = length(w)),
+       |samp AS (
+       |  SELECT doc_id, widx, w, al, length(w) AS p,
+       |    CAST([] AS VARCHAR[]) AS acc
+       |  FROM fwdf
+       |  UNION ALL
+       |  SELECT s.doc_id, s.widx, s.w, s.al, s.p - c.pickl,
+       |    [substr(s.w, s.p - c.pickl + 1, c.pickl)] || s.acc
+       |  FROM samp s LEFT JOIN LATERAL
+       |    (SELECT CASE WHEN w1 IS NOT NULL AND cw1 > t THEN 1
+       |         WHEN w2 IS NOT NULL AND cw2 > t THEN 2
+       |         WHEN w3 IS NOT NULL AND cw3 > t THEN 3
+       |         WHEN w4 IS NOT NULL AND cw4 > t THEN 4
+       |         WHEN w4 IS NOT NULL THEN 4 WHEN w3 IS NOT NULL THEN 3
+       |         WHEN w2 IS NOT NULL THEN 2 ELSE 1 END AS pickl
+       |     FROM (SELECT w1, w2, w3, w4, cw1, cw2, cw3, cw4,
+       |         (u * cw4) // 1000000 AS t
+       |       FROM (SELECT w1, w2, w3, w4,
+       |           coalesce(w1, 0) AS cw1,
+       |           coalesce(w1, 0) + coalesce(w2, 0) AS cw2,
+       |           coalesce(w1, 0) + coalesce(w2, 0) + coalesce(w3, 0)
+       |             AS cw3,
+       |           coalesce(w1, 0) + coalesce(w2, 0) + coalesce(w3, 0)
+       |             + coalesce(w4, 0) AS cw4,
+       |           ('0x' || substr(md5(s.w || ':' ||
+       |             CAST(s.widx AS VARCHAR) || ':' ||
+       |             CAST(s.p AS VARCHAR) || ':7'), 1, 8))::BIGINT
+       |             % 1000000 AS u
+       |         FROM (SELECT ${wT(1)} AS w1, ${wT(2)} AS w2,
+       |                      ${wT(3)} AS w3, ${wT(4)} AS w4)))) c ON true
+       |  WHERE s.p > 0),
+       |sampf AS (SELECT doc_id, widx, acc FROM samp WHERE p = 0),
+       |agg AS (SELECT doc_id, flatten(list(acc ORDER BY widx)) AS ps
+       |  FROM sampf GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(len(a.ps), 0) AS BIGINT) AS n_pieces,
+       |  coalesce(array_to_string(a.ps, '|'), '') AS enc
+       |FROM docs0 d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private[probes] val queries: Map[String, Q] = Map(
     "q32_lang_id" -> q32,
     "q33_quality_score" -> q33,
@@ -1743,7 +1844,8 @@ object TextProbes {
     "q134_arpa_ppl" -> q134,
     "q135_unigram_lm" -> q135,
     "q137_arpa3_ppl" -> q137,
-    "q138_unigram_em" -> q138)
+    "q138_unigram_em" -> q138,
+    "q142_unigram_sample" -> q142)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q32_lang_id" -> q32Sql,
@@ -1780,5 +1882,6 @@ object TextProbes {
     "q134_arpa_ppl" -> q134Sql,
     "q135_unigram_lm" -> q135Sql,
     "q137_arpa3_ppl" -> q137Sql,
-    "q138_unigram_em" -> q138Sql)
+    "q138_unigram_em" -> q138Sql,
+    "q142_unigram_sample" -> q142Sql)
 }

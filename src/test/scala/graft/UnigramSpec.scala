@@ -167,6 +167,50 @@ class UnigramSpec extends SparkSpec {
     wf.unpersist()
   }
 
+  test("sampleEncode: deterministic per seed, seed-sensitive, and " +
+      "Viterbi-degenerate at high temperature-inverse alpha") {
+    import graft.operators.Unigram.UniModel
+    // ambiguous word: 'ab' as one piece costs 3e6, as 'a'+'b' costs 4e6
+    val model = UniModel(Map("a" -> 2000000L, "b" -> 2000000L,
+      "ab" -> 3000000L), maxPieceLen = 2)
+    val docs = Seq((1L, Seq.fill(50)("ab").mkString(" ")))
+      .toDF("doc_id", "text")
+    def enc(seed: Long, alphaE4: Long): String =
+      Unigram.sampleEncode(docs, "doc_id", "text", model, seed, alphaE4)
+        .select("enc").as[String].head()
+    assert(enc(7L, 10000L) == enc(7L, 10000L), "same seed must replay")
+    assert(enc(7L, 10000L) != enc(8L, 10000L),
+      "different seeds should re-sample an ambiguous corpus")
+    // alpha -> inf: every suboptimal edge weight rounds to zero and the
+    // sample IS the Viterbi segmentation
+    val vit = Unigram.viterbiEncode(docs, "doc_id", "text", model)
+      .select("enc").as[String].head()
+    assert(enc(7L, 10000000L) == vit, "high alpha must degenerate to Viterbi")
+    // unknown chars fall back to themselves at unkCost
+    val unkDocs = Seq((1L, "axb")).toDF("doc_id", "text")
+    val e = Unigram.sampleEncode(unkDocs, "doc_id", "text", model, 7L)
+      .select("enc").as[String].head()
+    assert(e == "a|x|b", e)
+  }
+
+  test("sampleEncode: empirical one-piece rate over independent word " +
+      "positions matches the lattice posterior") {
+    import graft.operators.Unigram.UniModel
+    val model = UniModel(Map("a" -> 2000000L, "b" -> 2000000L,
+      "ab" -> 3000000L), maxPieceLen = 2)
+    val n = 300
+    val docs = Seq((1L, Seq.fill(n)("ab").mkString(" ")))
+      .toDF("doc_id", "text")
+    // P(one piece) = e^-3 / (e^-3 + e^-4) = 1/(1+e^-1) ~ 0.731; each of
+    // the n word positions draws independently (widx enters the hash)
+    val nPieces = Unigram.sampleEncode(docs, "doc_id", "text", model, 5L)
+      .select("n_pieces").as[Long].head()
+    val onePiece = 2 * n - nPieces // x singles + y=n-x pairs, pieces=x+2y
+    val rate = onePiece.toDouble / n
+    assert(rate > 0.65 && rate < 0.81,
+      s"one-piece rate $rate vs posterior ~0.731")
+  }
+
   test("pruneBy=loss keeps the irreplaceable piece usage ranking drops, " +
       "and scores the corpus at least as well") {
     // 'ab' is high-usage but its chars are cheap (removal nearly free);
