@@ -363,6 +363,17 @@ object Scale {
         graft.core.Managed(
           Similarity.ivfTopK(v, cent, queries, nprobe = 2, k = 5), Seq.empty)
       }
+      // round-11 hard-negative mining: q141's serving shape at corpus
+      // scale — label-aware IVF probe with the score band; labels are a
+      // deterministic hash stripe (8 classes)
+      run("hard_negatives", n) {
+        val lv = v.withColumn("label", pmod(xxhash64(col("id")), lit(8)))
+        val cent = Similarity.buildIvf(v, numCells = 16, iters = 1)
+        graft.core.Managed(
+          Similarity.hardNegativesIvf(lv, cent,
+            lv.filter(col("id") % 50 === 0), nprobe = 2, k = 10,
+            scoreCeilE4 = 9990L), Seq.empty)
+      }
       run("simhash", n) {
         graft.core.Managed(
           graft.core.Ops.widen(d)
@@ -734,6 +745,24 @@ object Scale {
           graft.core.Managed(
             graft.operators.Unigram.trainUnigramEM(
               graft.operators.Bpe.wordFreqs(dm, "text"), vocabSize = 150),
+            Seq.empty)
+        }
+        dm.unpersist(false)
+      }
+      // round-11 subword-regularization sampling: the backward-sampling
+      // walk priced against the unigram_lm row's greedy fold (same
+      // trained model, same corpus, same output agg)
+      locally {
+        val dm = d.localCheckpoint(true)
+        run("sample_encode", n) {
+          val vocab = graft.operators.Unigram.trainUnigram(
+            graft.operators.Bpe.wordFreqs(dm, "text"), vocabSize = 150)
+          val model = graft.operators.Unigram.collectUniModel(vocab)
+          graft.core.Managed(
+            graft.operators.Unigram.sampleEncode(dm, "doc_id", "text",
+                model, seed = 7L)
+              .groupBy(col("doc_id") % 32)
+              .agg(count(lit(1)).as("docs"), sum("n_pieces").as("np")),
             Seq.empty)
         }
         dm.unpersist(false)

@@ -348,6 +348,11 @@ class PlanContractSpec extends SparkSpec {
       // q128's dense side is the same guarded bruteForceTopK baseline
       // (6-query broadcast); the BM25 side and the fusion are equi-only
       "q128_rrf_hybrid",
+      // q141 rides q31's bounded centroid-set crosses (the label-aware
+      // twin of assignment + probe — label rides in the payload struct);
+      // the candidate meet is the cell equi join, the label predicate
+      // and score band are per-row filters
+      "q141_hard_negatives",
       // q138's FINAL plan is pieceCosts(kept): the vocabulary-bounded
       // kept table (≤ vocabSize rows) × the 1-row broadcast total frame
       // — the q107 1-row-scalar cross shape (training's corpus work ran
