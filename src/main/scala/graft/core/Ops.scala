@@ -148,7 +148,8 @@ object Ops {
     * order (include a unique tiebreak column) for a deterministic rank.
     */
   def globalRank(df: DataFrame, order: Seq[Column],
-                 rankName: String = "rank", numRanges: Int = 0): DataFrame = {
+                 rankName: String = "rank", numRanges: Int = 0,
+                 pinned: Boolean = false): DataFrame = {
     require(!Set("__pid", "__r", "__off").contains(rankName),
       s"globalRank: rankName '$rankName' collides with an internal column " +
         "and would be silently dropped")
@@ -156,9 +157,26 @@ object Ops {
             else df.sparkSession.sparkContext.defaultParallelism
     val ranged = df.repartitionByRange(n, order: _*)
       .withColumn("__pid", spark_partition_id())
-    val within = ranged.withColumn("__r",
+    val within0 = ranged.withColumn("__r",
       row_number().over(Window.partitionBy("__pid").orderBy(order: _*))
         .cast("long"))
+    // CROSS-BRANCH CONSISTENCY HAZARD (measured, round 11): the ranged
+    // frame feeds TWO branches — the per-partition counts (→ offsets)
+    // and the final join. In a plain query the physical planner reuses
+    // the range exchange, so both branches see identical partition ids
+    // and the ranks are correct. But when this plan is compiled UNDER A
+    // CACHE BOUNDARY (the caller persists/localCheckpoints the output),
+    // exchange reuse can fail and the branches re-evaluate the range
+    // shuffle independently; their spark_partition_id() assignments
+    // then disagree and the offsets silently mint DUPLICATE and skipped
+    // ranks (nondeterministically — hundreds of collisions per 50k rows
+    // measured). `pinned = true` materializes the within frame ONCE
+    // (eager localCheckpoint) so both branches read the same RDD —
+    // REQUIRED whenever the caller caches/checkpoints downstream or
+    // feeds the rank into an iterative pipeline; costs one
+    // materialization of the input.
+    val within =
+      if (pinned) within0.localCheckpoint(eager = true) else within0
     // tiny frame: one row per range partition. Cumulative offsets via a
     // triangular self-join (≤ n² rows, n = partition count) rather than a
     // global window — keeps the whole plan free of single-partition windows.

@@ -611,6 +611,63 @@ object DedupProbes {
 
   // ---- family registry --------------------------------------------------
 
+  // ---- q143 EXACT any-length substring dedup (suffix ranks) --------------
+  // Suffix.suffixDuplicateStats over a planted corpus (clones of every
+  // 3rd doc with a distinct tail → long exact cross-doc repeats, plus
+  // whatever naturally repeats inside the synthetic prose). The engine
+  // runs real prefix doubling + neighbor-LCP descent; the oracle finds
+  // the same coverage by brute force — 5-token shingle-seeded pairs,
+  // token-level common-prefix extension (capped at 40; both caps ≥
+  // minLen give the identical interval UNION by the overlap-chain
+  // argument in Suffix.scala), the same islands arithmetic.
+  val q143: Q = (s, d) => {
+    val base = Tables.documents(s, d).filter(col("doc_id") < 12)
+      .select(col("doc_id"), substring(col("text"), 1, 400).as("text"))
+    val planted = base.unionByName(
+      base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" cloned tail marker")).as("text")))
+    graft.operators.Suffix.suffixDuplicateStats(planted, "doc_id", "text",
+        minLen = 5, cap = 32)
+      .orderBy("doc_id")
+  }
+
+  val q143Sql: String =
+    s"""WITH docs0 AS (SELECT doc_id, substr(text, 1, 400) AS text
+       |  FROM documents WHERE doc_id < 12),
+       |corpus AS (SELECT doc_id, text FROM docs0
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' cloned tail marker'
+       |  FROM docs0 WHERE doc_id % 3 = 0),
+       |n AS (SELECT doc_id, $duckWords AS ws FROM corpus),
+       |sh AS (SELECT doc_id, t.i AS pos,
+       |    array_to_string(list_slice(ws, t.i, t.i + 4), chr(1)) AS h
+       |  FROM n, unnest(generate_series(1, len(ws) - 4)) t(i)
+       |  WHERE len(ws) >= 5),
+       |pr AS (SELECT a.doc_id AS da, a.pos AS pa,
+       |    b.doc_id AS db, b.pos AS pb
+       |  FROM sh a JOIN sh b ON a.h = b.h
+       |  WHERE a.doc_id <> b.doc_id OR a.pos <> b.pos),
+       |cpp AS (SELECT p.da, p.pa,
+       |    (SELECT coalesce(max(t), 0) FROM generate_series(1, 40) g(t)
+       |     WHERE list_slice(na.ws, p.pa, p.pa + t - 1) =
+       |           list_slice(nb.ws, p.pb, p.pb + t - 1)) AS cp
+       |  FROM pr p JOIN n na ON na.doc_id = p.da
+       |    JOIN n nb ON nb.doc_id = p.db),
+       |mk AS (SELECT da AS doc_id, pa AS pos, max(cp) AS cp
+       |  FROM cpp GROUP BY 1, 2 HAVING max(cp) >= 5),
+       |cov AS (SELECT doc_id, pos, cp,
+       |    max(pos + cp) OVER (PARTITION BY doc_id ORDER BY pos, cp
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+       |  FROM mk),
+       |agg AS (SELECT doc_id, CAST(sum(greatest(0,
+       |      pos + cp - greatest(pos, coalesce(pe, 0)))) AS BIGINT)
+       |    AS dup_tokens
+       |  FROM cov GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+       |  coalesce(a.dup_tokens, 0) AS dup_tokens
+       |FROM n t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
   private[probes] val queries: Map[String, Q] = Map(
     "q27_minhash_lsh_neardup" -> q27,
     "q28_simhash" -> q28,
@@ -624,7 +681,8 @@ object DedupProbes {
     "q95_dup_windows" -> q95,
     "q140_multiw_windows" -> q140,
     "q122_incr_neardup" -> q122,
-    "q133_sem_dedup" -> q133)
+    "q133_sem_dedup" -> q133,
+    "q143_suffix_dedup" -> q143)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q27_minhash_lsh_neardup" -> q27Sql,
@@ -639,5 +697,6 @@ object DedupProbes {
     "q95_dup_windows" -> q95Sql,
     "q140_multiw_windows" -> q140Sql,
     "q122_incr_neardup" -> q122Sql,
-    "q133_sem_dedup" -> q133Sql)
+    "q133_sem_dedup" -> q133Sql,
+    "q143_suffix_dedup" -> q143Sql)
 }

@@ -456,6 +456,18 @@ object Scale {
             .agg(count(lit(1)).as("docs"), sum("dup_tokens").as("dt")),
           Seq.empty)
       }
+      // round-11 EXACT any-length repeats (prefix-doubling suffix
+      // ranks): the precise instrument priced against the one-scan
+      // windowed screens above — ~log2(cap) doubling rounds + LCP
+      // descent, all key-partitioned
+      run("suffix_dedup", n) {
+        graft.core.Managed(
+          graft.operators.Suffix.suffixDuplicateStats(d, "doc_id",
+              "text", minLen = 50, cap = 128)
+            .groupBy(col("doc_id") % 32)
+            .agg(count(lit(1)).as("docs"), sum("dup_tokens").as("dt")),
+          Seq.empty)
+      }
       run("tfidf_top3", n) {
         graft.core.Managed(
           graft.operators.TextStats.tfidfTopTerms(d, "doc_id", "text", 3)

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Suffix
+
+/** Exact any-length substring dedup (distributed suffix ranks): LCPs,
+  * coverage, and the cleaner, pinned against brute force.
+  */
+class SuffixSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force per-doc duplicated coverage: position (doc, i) covered
+    * iff some substring of length >= minLen through it occurs at a
+    * second (doc', i') — computed by direct token comparison.
+    */
+  private def bruteCoverage(docs: Seq[(Long, String)],
+                            minLen: Int): Map[Long, Long] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").filter(_.nonEmpty).toSeq
+    }
+    def cp(a: Seq[String], b: Seq[String]): Int =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size
+    val marks = for {
+      (da, ta) <- toks
+      ia <- ta.indices
+      best = (for {
+        (db, tb) <- toks
+        ib <- tb.indices
+        if da != db || ia != ib
+      } yield cp(ta.drop(ia), tb.drop(ib))).maxOption.getOrElse(0)
+      if best >= minLen
+    } yield (da, ia, best)
+    toks.map { case (id, t) =>
+      val covered = Array.fill(t.size)(false)
+      marks.filter(_._1 == id).foreach { case (_, i, l) =>
+        (i until math.min(t.size, i + l)).foreach(covered(_) = true)
+      }
+      id -> covered.count(identity).toLong
+    }.toMap
+  }
+
+  private val fixture = Seq(
+    // docs 1 and 2 share an 8-token passage; doc 3 repeats its own
+    // 5-token phrase twice; doc 4 is clean; doc 5 shares a 4-token
+    // fragment with doc 1 (below a minLen of 5)
+    1L -> ("alpha beta gamma delta epsilon zeta eta theta " +
+      "unique one two three"),
+    2L -> ("prefix words alpha beta gamma delta epsilon zeta eta theta " +
+      "suffix tail"),
+    3L -> ("spark plans catalyst joins well mid spark plans catalyst " +
+      "joins well end"),
+    4L -> "completely fresh content nothing repeated here at all",
+    5L -> "alpha beta gamma delta different route now")
+
+  test("suffixDuplicateStats matches brute force on exact >=minLen " +
+      "repeats — cross-doc, within-doc, and below-threshold fragments") {
+    val docs = fixture.toDF("doc_id", "text")
+    for (minLen <- Seq(4, 5, 6)) {
+      val got = Suffix.suffixDuplicateStats(docs, "doc_id", "text",
+          minLen = minLen, cap = 16)
+        .select("doc_id", "dup_tokens").as[(Long, Long)].collect().toMap
+      val want = bruteCoverage(fixture, minLen)
+      assert(got == want, s"minLen=$minLen: $got vs $want")
+    }
+  }
+
+  test("boundaries are token-exact where the windowed approximation is " +
+      "w-granular, and repeats never extend across document sentinels") {
+    // the shared passage is exactly 8 tokens; at minLen=5 coverage in
+    // doc 1 must be exactly 8 (positions 1-8), not rounded to a window
+    val docs = fixture.toDF("doc_id", "text")
+    val got = Suffix.suffixDuplicateStats(docs, "doc_id", "text",
+        minLen = 5, cap = 16)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(1L) == 8L, got.toString) // not 12 (doc len), not w-rounded
+    assert(got(4L) == 0L)
+    assert(got(5L) == 0L) // 4-token fragment under threshold
+    // doc 2's coverage is also exactly the 8 shared tokens even though
+    // they sit mid-doc (sentinels stop extension into the next doc)
+    assert(got(2L) == 8L, got.toString)
+  }
+
+  test("LCP saturation at cap-1 still yields exact coverage (overlap " +
+      "chain): a repeat much longer than cap is fully covered") {
+    val long = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(1L -> (long + " endone"), 2L -> (long + " endtwo"))
+      .toDF("doc_id", "text")
+    val got = Suffix.suffixDuplicateStats(docs, "doc_id", "text",
+        minLen = 5, cap = 8) // cap-1 = 7 << repeat length 40
+      .select("doc_id", "dup_tokens").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 40L, 2L -> 40L), got.toString)
+  }
+
+  test("removeDuplicateSpansExact drops ALL occurrences of duplicated " +
+      "text, keeps the rest in order, and is idempotent on the result") {
+    val docs = fixture.toDF("doc_id", "text")
+    val cleaned = Suffix.removeDuplicateSpansExact(docs, "doc_id", "text",
+        minLen = 5, cap = 16)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(cleaned(1L)._1 == "unique one two three", cleaned(1L).toString)
+    assert(cleaned(2L)._1 == "prefix words suffix tail")
+    assert(cleaned(3L)._1 == "mid end") // both copies of the phrase go
+    assert(cleaned(4L)._2 == 0L)
+    assert(cleaned(5L)._2 == 0L)
+    // second pass over the cleaned corpus removes nothing
+    val again = Suffix.removeDuplicateSpansExact(
+        cleaned.toSeq.map { case (id, (t, _)) => (id, t) }
+          .toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 5, cap = 16)
+      .as[(Long, String, Long)].collect()
+    assert(again.forall(_._3 == 0L), again.mkString("; "))
+  }
+}
