@@ -63,7 +63,12 @@ object Layout {
     val n = df.count()
     require(n > 0, "scaleToBits: empty input")
     val top = (1L << bits) - 1
-    val ranked = graft.core.Ops.globalRank(df, Seq(col(valueCol)), "__zrank")
+    // pinned: the ranked frame feeds TWO branches (tie-min aggregate +
+    // join), and this function's contract is run-to-run layout
+    // determinism — the exact shape of the globalRank cross-branch
+    // hazard (Ops.scala), so the rank table is materialized once
+    val ranked = graft.core.Ops.globalRank(df, Seq(col(valueCol)),
+      "__zrank", pinned = true)
     val tieMin = ranked.groupBy(col(valueCol).as("__zv"))
       .agg(min(col("__zrank")).as("__zmin"))
     ranked.join(tieMin, ranked(valueCol) <=> tieMin("__zv"))

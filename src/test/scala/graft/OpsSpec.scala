@@ -100,4 +100,28 @@ class OpsSpec extends SparkSpec {
     assert(Ops.addColumnIfAbsent(df, "v", lit("zzz"))
       .select("v").as[String].head() == "x")
   }
+
+  test("globalRank pinned: ranks stay unique and contiguous when the " +
+      "output is persisted (the cross-branch cache hazard regression)") {
+    // under a cache boundary the unpinned form's two internal branches
+    // can re-evaluate the range exchange with disagreeing partition ids
+    // and mint duplicate ranks (measured round 11, nondeterministic);
+    // pinned materializes the within frame once. Wide-ish input through
+    // a round-robin repartition — the shape that reproduced it.
+    val df = spark.range(50000)
+      .select((col("id") % 977).as("k"), col("id").as("u"))
+      .repartition(8)
+    for (_ <- 1 to 3) {
+      val ranked = Ops.globalRank(df, Seq(col("k"), col("u")), "rnk",
+        pinned = true).persist()
+      try {
+        val n = ranked.count()
+        assert(n == 50000L)
+        val distinctRanks = ranked.select("rnk").distinct().count()
+        assert(distinctRanks == n, s"duplicate ranks: $distinctRanks != $n")
+        val mm = ranked.agg(min("rnk"), max("rnk")).head()
+        assert(mm.getLong(0) == 1L && mm.getLong(1) == n)
+      } finally ranked.unpersist()
+    }
+  }
 }
