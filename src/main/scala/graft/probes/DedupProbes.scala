@@ -628,7 +628,7 @@ object DedupProbes {
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" cloned tail marker")).as("text")))
     graft.operators.Suffix.suffixDuplicateStats(planted, "doc_id", "text",
-        minLen = 5, cap = 32)
+        minLen = 5, cap = 16)
       .orderBy("doc_id")
   }
 
