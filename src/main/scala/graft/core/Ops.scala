@@ -209,7 +209,8 @@ object Ops {
     * (groupCols…, p, value), one row per group × percentile.
     */
   def exactPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                       ps: Seq[Double], numRanges: Int = 0): DataFrame = {
+                       ps: Seq[Double], numRanges: Int = 0,
+                       pinned: Boolean = false): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
     val n = if (numRanges > 0) numRanges
             else df.sparkSession.sparkContext.defaultParallelism
@@ -223,9 +224,14 @@ object Ops {
       .withColumn("__pid", spark_partition_id())
     // per-partition, per-group rank: the window key includes __pid, so no
     // group is ever concentrated onto one task
-    val within = ranged.withColumn("__r",
+    val within0 = ranged.withColumn("__r",
       row_number().over(Window.partitionBy(("__pid" +: groupCols).map(col): _*)
         .orderBy(col(valueCol))).cast("long"))
+    // same cross-branch consistency hazard as [[globalRank]] (the within
+    // frame feeds the counts branch AND the ranked join): callers that
+    // cache/checkpoint downstream pass pinned = true
+    val within =
+      if (pinned) within0.localCheckpoint(eager = true) else within0
 
     val cnt = within.groupBy(("__pid" +: groupCols).map(col): _*)
       .agg(count(lit(1)).as("__c"))

@@ -46,6 +46,14 @@ case class CurateConfig(
     // NORMALIZED token stream as text (the Curation.removeDuplicateSpans
     // contract) — run it before stages that only need tokens.
     dedupWindowsW: Option[Int] = None,
+    // EXACT any-length substring dedup (Suffix.removeDuplicateSpansExact,
+    // Lee et al. ExactSubstr): drop every occurrence of any >= minLen-
+    // token substring that repeats anywhere in the pool, with
+    // token-exact boundaries — the precise instrument behind the
+    // windowed screen above (same normalized-token-stream output
+    // contract). None = stage off.
+    exactSubstrMinLen: Option[Int] = None,
+    exactSubstrCap: Int = 512,
     // DSIR selection stage dials (active only when Curate.run is given a
     // dsirTarget frame): keep-fraction of the pool in e4 (5000 = half),
     // Gumbel seed, noise temperature (0 = pure top-k by weight)
@@ -289,6 +297,15 @@ object Curate {
       val cleaned = Curation.removeDuplicateSpans(filtered, idCol, textCol, w)
         .localCheckpoint(true)
       stage("window_dedup", cleaned.count())
+      filtered = cleaned
+        .select(col(idCol), col("cleaned_text").as(textCol))
+    }
+
+    for (minLen <- cfg.exactSubstrMinLen) {
+      val cleaned = graft.operators.Suffix.removeDuplicateSpansExact(
+          filtered, idCol, textCol, minLen, cfg.exactSubstrCap)
+        .localCheckpoint(true)
+      stage("exact_substr", cleaned.count())
       filtered = cleaned
         .select(col(idCol), col("cleaned_text").as(textCol))
     }

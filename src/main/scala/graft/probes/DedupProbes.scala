@@ -632,7 +632,12 @@ object DedupProbes {
       .orderBy("doc_id")
   }
 
-  val q143Sql: String =
+  /** Shared brute-force coverage CTEs for q143/q144: planted corpus →
+    * token lists → shingle-seeded pairs → token-LCP extension → per-
+    * position max-cp marks (the engine's marking set, computed by
+    * definition instead of suffix ranks).
+    */
+  private val suffixOracleCtes: String =
     s"""WITH docs0 AS (SELECT doc_id, substr(text, 1, 400) AS text
        |  FROM documents WHERE doc_id < 12),
        |corpus AS (SELECT doc_id, text FROM docs0
@@ -655,7 +660,10 @@ object DedupProbes {
        |  FROM pr p JOIN n na ON na.doc_id = p.da
        |    JOIN n nb ON nb.doc_id = p.db),
        |mk AS (SELECT da AS doc_id, pa AS pos, max(cp) AS cp
-       |  FROM cpp GROUP BY 1, 2 HAVING max(cp) >= 5),
+       |  FROM cpp GROUP BY 1, 2 HAVING max(cp) >= 5)""".stripMargin
+
+  val q143Sql: String =
+    s"""$suffixOracleCtes,
        |cov AS (SELECT doc_id, pos, cp,
        |    max(pos + cp) OVER (PARTITION BY doc_id ORDER BY pos, cp
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
@@ -667,6 +675,37 @@ object DedupProbes {
        |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
        |  coalesce(a.dup_tokens, 0) AS dup_tokens
        |FROM n t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---- q144 EXACT substring dedup CLEANER --------------------------------
+  // Suffix.removeDuplicateSpansExact over the q143 corpus: the oracle
+  // drops every token position inside a brute-force mark interval and
+  // reconstructs the normalized stream — the all-occurrences Lee et al.
+  // semantics, text-level strict compare.
+  val q144: Q = (s, d) => {
+    val base = Tables.documents(s, d).filter(col("doc_id") < 12)
+      .select(col("doc_id"), substring(col("text"), 1, 400).as("text"))
+    val planted = base.unionByName(
+      base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" cloned tail marker")).as("text")))
+    graft.operators.Suffix.removeDuplicateSpansExact(planted, "doc_id",
+        "text", minLen = 5, cap = 16)
+      .orderBy("doc_id")
+  }
+
+  val q144Sql: String =
+    s"""$suffixOracleCtes,
+       |kept AS (SELECT n.doc_id, t.i AS pos, n.ws[t.i] AS tok
+       |  FROM n, unnest(generate_series(1, len(ws))) t(i)
+       |  WHERE NOT EXISTS (SELECT 1 FROM mk m WHERE m.doc_id = n.doc_id
+       |      AND t.i >= m.pos AND t.i < m.pos + m.cp)),
+       |agg AS (SELECT doc_id, list(tok ORDER BY pos) AS toks
+       |  FROM kept GROUP BY 1)
+       |SELECT n2.doc_id,
+       |  coalesce(array_to_string(a.toks, ' '), '') AS cleaned_text,
+       |  CAST(len(n2.ws) - coalesce(len(a.toks), 0) AS BIGINT)
+       |    AS n_removed_tokens
+       |FROM n n2 LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
 
   private[probes] val queries: Map[String, Q] = Map(
     "q27_minhash_lsh_neardup" -> q27,
@@ -682,7 +721,8 @@ object DedupProbes {
     "q140_multiw_windows" -> q140,
     "q122_incr_neardup" -> q122,
     "q133_sem_dedup" -> q133,
-    "q143_suffix_dedup" -> q143)
+    "q143_suffix_dedup" -> q143,
+    "q144_suffix_clean" -> q144)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q27_minhash_lsh_neardup" -> q27Sql,
@@ -698,5 +738,6 @@ object DedupProbes {
     "q140_multiw_windows" -> q140Sql,
     "q122_incr_neardup" -> q122Sql,
     "q133_sem_dedup" -> q133Sql,
-    "q143_suffix_dedup" -> q143Sql)
+    "q143_suffix_dedup" -> q143Sql,
+    "q144_suffix_clean" -> q144Sql)
 }

@@ -309,6 +309,34 @@ class CurateSpec extends SparkSpec {
     off.chunks.unpersist(); on.chunks.unpersist()
   }
 
+  test("Curate.run with exactSubstrMinLen: a long cross-doc repeated " +
+      "passage vanishes from EVERY occurrence with token-exact " +
+      "boundaries; distinct content survives the stage untouched") {
+    // docs 1 and 2 share an 8-token passage inside otherwise-distinct
+    // bodies — below the window screen's radar at w=50, exactly what the
+    // suffix stage exists to catch. Lee et al. semantics: BOTH copies go.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      1L -> (goodText("one") + " " + shared),
+      2L -> (shared + " " + goodText("two")),
+      3L -> goodText("three")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq("no contamination here").toDF("btext")
+    val res = Curate.run(docs, "doc_id", "text", benchmark, "btext",
+      CurateConfig(minQualityE4 = 0, exactSubstrMinLen = Some(8),
+        exactSubstrCap = 16))
+    assert(res.stageCounts.toMap.apply("exact_substr") == 3L)
+    // the shared passage is gone from the surviving chunk text of BOTH
+    // docs; doc 3's tokens all survive
+    val texts = res.chunks.groupBy("doc_id")
+      .agg(concat_ws(" ", collect_list(col("chunk_text"))).as("t"))
+      .as[(Long, String)].collect().toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(!texts(id).contains("alpha beta gamma"), texts(id)) }
+    assert(texts(3L).contains("three1"), texts(3L))
+    res.chunks.unpersist()
+  }
+
   test("Curate.run with gopherRules: the rule gate drops short docs the " +
       "composite score alone admits") {
     import graft.operators.TextStats
