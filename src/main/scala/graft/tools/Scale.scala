@@ -179,6 +179,13 @@ object Scale {
               pplBucketsKeep = Some(Set("head", "middle", "tail")),
               dedupLinesWithinDocs = true,
               dedupWindowsW = Some(8),
+              // round-11: the precise instrument behind the window
+              // screen — most repeats are gone by here, so this prices
+              // the suffix pipeline's CONSTANT on a mostly-clean pool
+              // (the composed-deployment shape the operator doc
+              // prescribes)
+              exactSubstrMinLen = Some(50),
+              exactSubstrCap = 128,
               // threshold just under exact: the stage pays its full
               // embed + assignment + verify + CC cost while dropping
               // only true re-embeddings (word-permuted replicas have
