@@ -92,6 +92,26 @@ class SuffixSpec extends SparkSpec {
     assert(got == Map(1L -> 40L, 2L -> 40L), got.toString)
   }
 
+  test("randomized: suffixDuplicateStats equals brute force on small " +
+      "random corpora over a tiny alphabet (repeat-dense by construction)") {
+    // seeded RNG: a 4-symbol alphabet forces organic repeats of many
+    // lengths and positions — the shapes fixed fixtures can't enumerate
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val docs = (1L to 6L).map { id =>
+        id -> Seq.fill(10 + rnd.nextInt(25))(
+          "wxyz".charAt(rnd.nextInt(4)).toString * (1 + rnd.nextInt(2)))
+          .mkString(" ")
+      }
+      val minLen = 3 + rnd.nextInt(3)
+      val got = Suffix.suffixDuplicateStats(docs.toDF("doc_id", "text"),
+          "doc_id", "text", minLen = minLen, cap = 16)
+        .select("doc_id", "dup_tokens").as[(Long, Long)].collect().toMap
+      val want = bruteCoverage(docs, minLen)
+      assert(got == want, s"trial=$trial minLen=$minLen: $got vs $want")
+    }
+  }
+
   test("removeDuplicateSpansExact drops ALL occurrences of duplicated " +
       "text, keeps the rest in order, and is idempotent on the result") {
     val docs = fixture.toDF("doc_id", "text")
