@@ -224,8 +224,12 @@ object Curation {
     */
   def bucketThresholds(scored: DataFrame, groupCol: String,
                        scoreCol: String): DataFrame = {
+    // pinned: threshold consumers CACHE downstream (the Curate stage
+    // localCheckpoints its output; CurateStream serves frozen cuts) —
+    // the exactPercentiles cross-branch hazard (Ops.scala) would
+    // otherwise nondeterministically corrupt the tercile cuts
     val th = graft.core.Ops.exactPercentiles(scored, Seq(groupCol), scoreCol,
-      Seq(1.0 / 3.0, 2.0 / 3.0))
+      Seq(1.0 / 3.0, 2.0 / 3.0), pinned = true)
     th.groupBy(groupCol).agg(
       min(when(col("p") === lit(1.0 / 3.0), col("value"))).as("__t1"),
       min(when(col("p") === lit(2.0 / 3.0), col("value"))).as("__t2"))

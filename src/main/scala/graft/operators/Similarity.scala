@@ -1454,7 +1454,8 @@ object Similarity {
     }
   }
 
-  private def readPqFormat(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def readPqFormat(
+      spark: org.apache.spark.sql.SparkSession,
                            dir: String): String = {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)

@@ -67,7 +67,16 @@ object Maintain {
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/drift")))
       return Decision("ivf", "none", 10000L, minMeanCscoreE4,
         "no drift ledger (no appends since build/retrain)")
-    val r = spark.read.parquet(s"$dir/drift")
+    // a ledger dir with no readable parquet (every recorded append was
+    // empty) decides none instead of crashing schema inference
+    val ledger =
+      try spark.read.parquet(s"$dir/drift")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          return Decision("ivf", "none", 10000L, minMeanCscoreE4,
+            "drift ledger holds no committed files (empty appends only)")
+      }
+    val r = ledger
       .agg(sum(col("n_added")).as("n"),
         sum(col("n_added") * col("mean_cscore_e4")).as("s")).head()
     if (r.isNullAt(0) || r.getLong(0) == 0L)
@@ -144,7 +153,14 @@ object Maintain {
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/drift")))
       return Decision("ivfpq", "none", 0L, maxQerrRatioE4,
         "no drift ledger (no appends since build/retrain)")
-    val r = spark.read.parquet(s"$dir/drift")
+    val ledger = // the [[ivfDecision]] empty-ledger guard
+      try spark.read.parquet(s"$dir/drift")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          return Decision("ivfpq", "none", 0L, maxQerrRatioE4,
+            "drift ledger holds no committed files (empty appends only)")
+      }
+    val r = ledger
       .agg(sum(col("n_added")).as("n"),
         sum(col("n_added") * col("mean_cscore_e4")).as("cs"),
         sum(col("n_added") * col("mean_qerr_e4")).as("qs")).head()
@@ -196,35 +212,34 @@ object Maintain {
         s"ivfPqRetrain: no current version of $db under $warehouse"))
     val (m, subDim) =
       Similarity.pqDims(spark.read.parquet(s"$cur/codebook"))
-    val residual = {
-      val fs = new org.apache.hadoop.fs.Path(cur.toString).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      val p = new org.apache.hadoop.fs.Path(s"$cur/_pq_format")
-      fs.exists(p) && {
-        val in = fs.open(p)
-        try new String(org.apache.hadoop.io.IOUtils
-          .readFullyToByteArray(in), "UTF-8").trim == "residual"
-        finally in.close()
-      }
-    }
+    val residual =
+      Similarity.readPqFormat(spark, cur.toString) == "residual"
     val vectors = spark.read.parquet(s"$cur/assigned")
       .select(col("id"), col("vb").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val cent = Similarity.buildIvf(vectors, numCells, ivfIters)
+      // residual train space = a corpus×centroid assignment cross —
+      // persisted for pqTrain's whole seed + Lloyd loop (the
+      // writeIvfPqIndex residual-path discipline: unpersisted, every
+      // iteration re-runs the assignment)
       val trainSpace =
-        if (!residual) vectors
-        else Similarity.ivfAssign(vectors,
-            broadcast(cent.select(col("id").as("cid"), col("v").as("cv"))))
-          .join(broadcast(cent.select(col("id").as("cid"),
-            col("v").as("cv"))), Seq("cid"))
-          .select(col("other_id").as("id"),
-            zip_with(col("vb"), col("cv"), (x, y) => x - y).as("v"))
-      val cb = Similarity.pqTrain(trainSpace, m, subDim, numCodes, pqIters)
-      Restore.publishVersionedDir(spark, warehouse, db, token) { vdir =>
-        Similarity.writeIvfPqIndex(vectors, cent, cb, vdir.toString,
-          m, subDim, residual = residual)
-      }
+        (if (!residual) vectors
+         else Similarity.ivfAssign(vectors,
+             broadcast(cent.select(col("id").as("cid"), col("v").as("cv"))))
+           .join(broadcast(cent.select(col("id").as("cid"),
+             col("v").as("cv"))), Seq("cid"))
+           .select(col("other_id").as("id"),
+             zip_with(col("vb"), col("cv"), (x, y) => x - y).as("v"))
+           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      try {
+        val cb = Similarity.pqTrain(trainSpace, m, subDim, numCodes,
+          pqIters)
+        Restore.publishVersionedDir(spark, warehouse, db, token) { vdir =>
+          Similarity.writeIvfPqIndex(vectors, cent, cb, vdir.toString,
+            m, subDim, residual = residual)
+        }
+      } finally if (residual) trainSpace.unpersist()
     } finally vectors.unpersist()
   }
 

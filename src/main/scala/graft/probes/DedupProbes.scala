@@ -655,7 +655,13 @@ object DedupProbes {
        |  WHERE a.doc_id <> b.doc_id OR a.pos <> b.pos),
        |cpp AS (SELECT p.da, p.pa,
        |    (SELECT coalesce(max(t), 0) FROM generate_series(1, 40) g(t)
-       |     WHERE list_slice(na.ws, p.pa, p.pa + t - 1) =
+       |     -- bound t by BOTH remaining lengths: list_slice truncates
+       |     -- past the end, so two fully-equal aligned terminal
+       |     -- suffixes would otherwise compare equal for every t and
+       |     -- inflate cp to the scan cap instead of the true LCP
+       |     WHERE p.pa + t - 1 <= len(na.ws)
+       |       AND p.pb + t - 1 <= len(nb.ws)
+       |       AND list_slice(na.ws, p.pa, p.pa + t - 1) =
        |           list_slice(nb.ws, p.pb, p.pb + t - 1)) AS cp
        |  FROM pr p JOIN n na ON na.doc_id = p.da
        |    JOIN n nb ON nb.doc_id = p.db),
