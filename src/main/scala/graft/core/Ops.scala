@@ -149,7 +149,7 @@ object Ops {
     */
   def globalRank(df: DataFrame, order: Seq[Column],
                  rankName: String = "rank", numRanges: Int = 0,
-                 pinned: Boolean = false): DataFrame = {
+                 pinned: Boolean = true): DataFrame = {
     require(!Set("__pid", "__r", "__off").contains(rankName),
       s"globalRank: rankName '$rankName' collides with an internal column " +
         "and would be silently dropped")
@@ -170,11 +170,12 @@ object Ops {
     // shuffle independently; their spark_partition_id() assignments
     // then disagree and the offsets silently mint DUPLICATE and skipped
     // ranks (nondeterministically — hundreds of collisions per 50k rows
-    // measured). `pinned = true` materializes the within frame ONCE
-    // (eager localCheckpoint) so both branches read the same RDD —
-    // REQUIRED whenever the caller caches/checkpoints downstream or
-    // feeds the rank into an iterative pipeline; costs one
-    // materialization of the input.
+    // measured). `pinned = true` (the DEFAULT — correctness first; any
+    // caller can cache/checkpoint downstream without knowing this
+    // hazard exists) materializes the within frame ONCE (eager
+    // localCheckpoint) so both branches read the same RDD. Costs one
+    // materialization of the input; `pinned = false` is opt-OUT for a
+    // caller that can prove its plan never crosses a cache boundary.
     val within =
       if (pinned) within0.localCheckpoint(eager = true) else within0
     // tiny frame: one row per range partition. Cumulative offsets via a

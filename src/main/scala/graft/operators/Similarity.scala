@@ -248,8 +248,14 @@ object Similarity {
     val cent = broadcast(centroids.select(col("id").as("cid"), col("v").as("cv")))
     centroids.select("id", "v").write.mode("overwrite")
       .parquet(s"$dir/centroids")
-    ivfAssign(vectors, cent).write.mode("overwrite")
-      .partitionBy("cid").parquet(s"$dir/assigned")
+    // batch_id partition level (build = "base"): what lets an append
+    // RETRY replace its own partitions instead of double-appending —
+    // see [[appendToIvfIndex]]. Static overwrite: a rebuild drops every
+    // prior batch.
+    ivfAssign(vectors, cent).withColumn("batch_id", lit("base"))
+      .write.mode("overwrite").partitionBy("batch_id", "cid")
+      .option("partitionOverwriteMode", "static")
+      .parquet(s"$dir/assigned")
   }
 
   /** Incrementally append a batch to a persisted IVF index — the
@@ -258,9 +264,14 @@ object Similarity {
     * assigns only the new batch). The batch is assigned against the
     * STORED centroids — so `ivfTopKIndexed` over (index(A) then append B)
     * is bit-identical to index(A ∪ B), spec-pinned — and written into the
-    * same cell-partitioned layout (parquet `append` adds files to the
-    * touched cid partitions only; untouched cells keep their files, and
-    * readers see the same partition-pruned scans).
+    * same cell-partitioned layout under its OWN `batch_id` partition
+    * with dynamic overwrite: a RETRY of a failed append (same batchId,
+    * same data) replaces exactly its own (batch, cell) partitions
+    * instead of double-appending vectors — the BM25/minhash appender
+    * idempotence contract (retries MUST reuse the id; distinct batches
+    * MUST NOT — a reused id replaces the earlier batch). Untouched
+    * cells keep their files and readers see the same partition-pruned
+    * scans (cid stays a partition column).
     *
     * Returns the per-cell drift report the retrain decision needs:
     * `(cid, n_added, mean_cscore_e4)` — a cell whose new members score
@@ -274,7 +285,10 @@ object Similarity {
     * coexist with its old row — dedup upstream, same as any append sink).
     */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                       newVectors: DataFrame): DataFrame = {
+                       newVectors: DataFrame, batchId: String): DataFrame = {
+    require(batchId.nonEmpty && batchId != "base" &&
+        batchId != "__HIVE_DEFAULT_PARTITION__",
+      s"appendToIvfIndex: invalid batch id '$batchId'")
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/centroids")),
@@ -286,7 +300,12 @@ object Similarity {
     val assigned = ivfAssign(newVectors, cent)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      assigned.write.mode("append").partitionBy("cid")
+      // dynamic overwrite of THIS batch's partitions only: assignment is
+      // deterministic under frozen centroids, so a retry touches the
+      // same cells and replaces its own earlier (possibly partial) files
+      assigned.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id", "cid")
+        .option("partitionOverwriteMode", "dynamic")
         .parquet(s"$dir/assigned")
       // drift: similarity of each appended vector to its OWN centroid —
       // one bounded row per touched cell; eager (the caller's retrain
@@ -1289,10 +1308,16 @@ object Similarity {
     try out.write(
       (if (residual) "residual" else "raw").getBytes("UTF-8"))
     finally out.close()
+    // batch_id partition level (build = "base"): append-retry
+    // idempotence, the [[writeIvfIndex]] discipline
+    def writeBase(df: DataFrame): Unit =
+      df.withColumn("batch_id", lit("base"))
+        .write.mode("overwrite").partitionBy("batch_id", "cid")
+        .option("partitionOverwriteMode", "static")
+        .parquet(s"$dir/assigned")
     if (!residual)
-      ivfPqAssignCodes(vectors, cent, codebook, m, subDim)
-        .select(col("id"), col("vb"), col("codes"), col("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/assigned")
+      writeBase(ivfPqAssignCodes(vectors, cent, codebook, m, subDim)
+        .select(col("id"), col("vb"), col("codes"), col("cid")))
     else {
       // residual layout: codes quantize v − centroid ([[ivfPqTopKResidual]]
       // semantics) — vb still stored for refine/retrain. The assignment
@@ -1306,16 +1331,14 @@ object Similarity {
         .select(col("other_id").as("id"), col("cid"), col("vb"), col("rv"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        assigned.select("id", "cid", "vb").join(
+        writeBase(assigned.select("id", "cid", "vb").join(
           pqEncode(assigned.select(col("id"), col("rv").as("v")),
               codebook, m, subDim)
             .groupBy("id")
             .agg(expr("transform(array_sort(collect_list(struct(sub, " +
               "code))), e -> e.code)").as("codes")),
           Seq("id"))
-          .select(col("id"), col("vb"), col("codes"), col("cid"))
-          .write.mode("overwrite").partitionBy("cid")
-          .parquet(s"$dir/assigned")
+          .select(col("id"), col("vb"), col("codes"), col("cid")))
         writePqStats(assigned.select(col("id"), col("rv").as("v")),
           codebook, dir, m, subDim)
       } finally assigned.unpersist()
@@ -1375,8 +1398,10 @@ object Similarity {
     * so `ivfPqTopKIndexed` over (index(A) then append B) is bit-identical
     * to a fresh build of A ∪ B under the same centroids/codebook —
     * spec-pinned, raw and residual), and lands in the same
-    * cell-partitioned layout (parquet append touches only the batch's
-    * cid partitions).
+    * cell-partitioned layout under its OWN `batch_id` partition with
+    * dynamic overwrite — the [[appendToIvfIndex]] retry-idempotence
+    * contract (a retried batchId replaces its own partitions; distinct
+    * batches must use distinct ids).
     *
     * Returns the per-cell drift report the retrain decision needs:
     * `(cid, n_added, mean_cscore_e4, mean_qerr_e4)` — [[appendToIvfIndex]]'s
@@ -1390,7 +1415,11 @@ object Similarity {
     * Caller contract: batch ids are new (dedup upstream).
     */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-                         dir: String, newVectors: DataFrame): DataFrame = {
+                         dir: String, newVectors: DataFrame,
+                         batchId: String): DataFrame = {
+    require(batchId.nonEmpty && batchId != "base" &&
+        batchId != "__HIVE_DEFAULT_PARTITION__",
+      s"appendToIvfPqIndex: invalid batch id '$batchId'")
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codebook")),
@@ -1422,7 +1451,9 @@ object Similarity {
             "code))), e -> e.code)").as("codes"))
         assigned.select("id", "cid", "vb").join(codes, Seq("id"))
           .select(col("id"), col("vb"), col("codes"), col("cid"))
-          .write.mode("append").partitionBy("cid")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id", "cid")
+          .option("partitionOverwriteMode", "dynamic")
           .parquet(s"$dir/assigned")
         val drift = assigned
           .join(pqQerrE4(assigned.select(col("id"), col("qv").as("v")),
@@ -1651,9 +1682,14 @@ object Similarity {
   /** Cross second-moment matrix M = Σᵢ x·yᵀ between two aligned vector
     * frames `(id, v)` ⋈ `(id, y)` — the Procrustes input of
     * non-parametric OPQ. Full d×d (NOT symmetric), e6-rounded products
-    * with exact long sums (order-independent, oracle-stable — the
-    * [[covarianceUpper]] discipline). One equi join + one d²-bounded
-    * aggregate.
+    * summed as decimal(38,0) (order-independent, oracle-stable — the
+    * [[prodSumExact]] discipline): a plain BIGINT sum would WRAP
+    * silently at corpus scale (Σ over n rows of e6 products ~ n·1e6·‖x‖‖y‖
+    * crosses 2⁶³ long before 38 decimal digits), corrupting the
+    * rotation without any error. Decimal overflow surfaces as null and
+    * a result outside BIGINT raises loudly — never a wrapped value.
+    * One equi join + one d²-bounded aggregate; output m_e6 stays
+    * BIGINT for the e6 fixed-point contract.
     */
   def crossMoment(xs: DataFrame, ys: DataFrame, dim: Int): DataFrame = {
     require(dim >= 1)
@@ -1667,7 +1703,17 @@ object Similarity {
           "AS BIGINT)))))) AS pr"))
       .select(col("pr.i").as("i"), col("pr.j").as("j"), col("pr.p_e6"))
       .groupBy("i", "j")
-      .agg(sum(col("p_e6")).as("m_e6"))
+      .agg(sum(col("p_e6").cast("decimal(38,0)")).as("__s"))
+      .select(col("i"), col("j"),
+        when(col("__s").isNull ||
+            abs(col("__s")) > lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(concat(
+            lit("crossMoment: sum of x*y e6-products exceeds BIGINT at " +
+              "cell ("), col("i").cast("string"), lit(","),
+            col("j").cast("string"),
+            lit(") — input magnitudes exceed the e6 fixed-point " +
+              "contract; rescale the input"))))
+          .otherwise(col("__s")).cast("long").as("m_e6"))
   }
 
   /** Orthogonal Procrustes: the rotation maximizing tr(R·M) over

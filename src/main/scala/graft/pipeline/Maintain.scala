@@ -38,15 +38,17 @@ object Maintain {
   // ---- IVF: drift-triggered retrain --------------------------------------
 
   /** [[Similarity.appendToIvfIndex]] + RECORD: the batch's per-cell
-    * drift report lands in the index's `drift` ledger under `batchId`
-    * (dynamic partition replace — a retried append overwrites its own
-    * report, never doubles it). Returns the report.
+    * drift report lands in the index's `drift` ledger under `batchId`.
+    * BOTH halves are retry-idempotent per batch id (dynamic partition
+    * replace): the vector append replaces its own (batch, cell)
+    * partitions and the ledger its own batch partition — a retried
+    * append never doubles vectors OR drift rows. Returns the report.
     */
   def appendIvfRecorded(spark: SparkSession, dir: String,
                         newVectors: DataFrame, batchId: String): DataFrame = {
     require(batchId.nonEmpty && batchId != "__HIVE_DEFAULT_PARTITION__",
       s"ivf drift ledger: invalid batch id '$batchId'")
-    val drift = Similarity.appendToIvfIndex(spark, dir, newVectors)
+    val drift = Similarity.appendToIvfIndex(spark, dir, newVectors, batchId)
     drift.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic")
@@ -117,14 +119,15 @@ object Maintain {
   /** [[Similarity.appendToIvfPqIndex]] + RECORD — the [[appendIvfRecorded]]
     * discipline for the compressed index family. The per-cell report
     * carries BOTH drift axes (centroid cosine + codebook quantization
-    * error); a retried append overwrites its own batch partition.
+    * error); a retried append overwrites its own batch partitions in
+    * both the assigned table and the ledger.
     */
   def appendIvfPqRecorded(spark: SparkSession, dir: String,
                           newVectors: DataFrame,
                           batchId: String): DataFrame = {
     require(batchId.nonEmpty && batchId != "__HIVE_DEFAULT_PARTITION__",
       s"ivfpq drift ledger: invalid batch id '$batchId'")
-    val drift = Similarity.appendToIvfPqIndex(spark, dir, newVectors)
+    val drift = Similarity.appendToIvfPqIndex(spark, dir, newVectors, batchId)
     drift.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic")
@@ -261,9 +264,14 @@ object Maintain {
 
   /** Merge every COMMITTED batch into one `base` batch in a freshly
     * published version. Postings rows pass through verbatim (ids are
-    * disjoint across batches by the append contract); the terms and
-    * meta partials re-aggregate from them, so the compacted index
-    * serves bit-identical scores (spec-pinned). Meta lands last — the
+    * disjoint across batches by the append contract); the terms
+    * partials re-aggregate from them, but the META partials SUM from
+    * the committed batches' existing meta — NOT from postings: a doc
+    * whose text normalizes to zero tokens has no postings row yet
+    * counts in the writer's `n_part`, so a postings-derived `n` would
+    * shrink and silently shift avgdl and every term's IDF. Summing the
+    * committed partials keeps serving bit-identical (spec-pinned with
+    * a zero-token doc in the fixture). Meta lands last — the
     * commit-marker-within-the-dir discipline of the original writer.
     */
   def bm25Compact(spark: SparkSession, warehouse: String, db: String,
@@ -285,9 +293,11 @@ object Maintain {
         writer(postings).parquet(s"$vdir/postings")
         writer(postings.groupBy("term")
           .agg(count(lit(1)).as("df_part"))).parquet(s"$vdir/terms")
-        writer(postings.select("id", "dl").distinct()
-          .agg(count(lit(1)).as("n_part"),
-            coalesce(sum(col("dl").cast("long")), lit(0L))
+        // meta IS the commit marker, so every meta row is committed —
+        // sum the partials directly (no semi join needed)
+        writer(spark.read.parquet(s"$cur/meta")
+          .agg(coalesce(sum(col("n_part")), lit(0L)).as("n_part"),
+            coalesce(sum(col("dlsum_part")), lit(0L))
               .as("dlsum_part"))).parquet(s"$vdir/meta")
       }
     } finally postings.unpersist()

@@ -400,7 +400,7 @@ object Scale {
         val batch = v.filter(col("id") % 97 === 0)
           .select((col("id") + 500000000L).as("id"), col("v"))
         run("ivf_append_1pct", n)(graft.core.Managed(
-          Similarity.appendToIvfIndex(spark, base, batch), Seq.empty))
+          Similarity.appendToIvfIndex(spark, base, batch, "b1"), Seq.empty))
         run("ivf_rebuild_all", n) {
           val reb = java.nio.file.Files
             .createTempDirectory("graft_scale_ivf_reb").toString

@@ -78,15 +78,19 @@ class MaintainSpec extends SparkSpec {
   test("BM25: batch-count decision flips at the threshold; compaction " +
       "publishes one base batch with bit-identical serving") {
     val wh = tmpWarehouse("bm25")
+    // doc 3 normalizes to ZERO tokens: it has no postings row but DOES
+    // count in the writer's n_part — compaction must preserve it (a
+    // postings-derived n would shrink, shifting avgdl and every IDF)
     val docs = Seq((1L, "spark catalyst plans joins"),
-      (2L, "catalyst codegen stages")).toDF("doc_id", "text")
+      (2L, "catalyst codegen stages"), (3L, "!!!")).toDF("doc_id", "text")
     Restore.publishVersionedDir(spark, wh, "bm", "0") { vdir =>
       TextStats.writeBm25Index(docs, "doc_id", "text", vdir.toString)
     }
     def curDir = Restore.resolveVersioned(spark, wh, "bm").get.toString
     for (b <- 1 to 3)
       TextStats.appendToBm25Index(spark, curDir,
-        Seq((100L + b, s"batch $b spark joins document"))
+        Seq((100L + b, s"batch $b spark joins document"),
+          (200L + b, "???"))
           .toDF("doc_id", "text"),
         "doc_id", "text", s"b$b")
     val d = Maintain.bm25Decision(spark, curDir, maxBatches = 2)
@@ -100,6 +104,12 @@ class MaintainSpec extends SparkSpec {
     Maintain.bm25Compact(spark, wh, "bm", "1")
     val dAfter = Maintain.bm25Decision(spark, curDir, maxBatches = 2)
     assert(dAfter.action == "none" && dAfter.metric == 1L, dAfter.toString)
+    // n survives compaction INCLUDING the 4 zero-token docs (3 base +
+    // one per append batch = 9 docs total, only 5 with postings)
+    val metaAfter = spark.read.parquet(s"$curDir/meta")
+      .agg(sum("n_part"), sum("dlsum_part")).head()
+    assert(metaAfter.getLong(0) == 9L,
+      s"compacted n = ${metaAfter.getLong(0)}, want 9 (zero-token docs dropped?)")
     val after = TextStats.bm25AgainstIndex(spark, curDir, queries,
         "qid", "term", k = 3)
       .select("qid", "id", "score_e6", "rnk")
@@ -178,8 +188,13 @@ class MaintainSpec extends SparkSpec {
         .createTempDirectory(s"graft_pqapp_full_$residual").toString
       Similarity.writeIvfPqIndex(a, cent, cbP, inc, m = 2, subDim = 4,
         residual = residual)
-      val drift = Similarity.appendToIvfPqIndex(spark, inc, b)
+      val drift = Similarity.appendToIvfPqIndex(spark, inc, b, "b1")
       assert(drift.select(sum("n_added")).head().getLong(0) == 16L)
+      // retry idempotence: the reused batch id replaces its own
+      // partitions — no vector double-append (round-12 ADVICE)
+      Similarity.appendToIvfPqIndex(spark, inc, b, "b1")
+      assert(spark.read.parquet(s"$inc/assigned").count() == 76L,
+        s"retried PQ append double-appended (residual=$residual)")
       Similarity.writeIvfPqIndex(full, cent, cbP, oneShot, m = 2,
         subDim = 4, residual = residual)
       def serve(dir: String) = {

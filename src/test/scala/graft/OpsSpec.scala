@@ -124,4 +124,27 @@ class OpsSpec extends SparkSpec {
       } finally ranked.unpersist()
     }
   }
+
+  test("globalRank DEFAULT is pinned: a persist consumer that never " +
+      "heard of the cache hazard still gets unique contiguous ranks") {
+    // round-12 ADVICE (confirmed): pinned was opt-in, so any future
+    // persist/localCheckpoint consumer silently inherited the
+    // nondeterministic-rank hazard. The default is now pinned = true —
+    // this exercises the DEFAULT path under the reproducing shape.
+    val df = spark.range(50000)
+      .select((col("id") % 977).as("k"), col("id").as("u"))
+      .repartition(8)
+    for (_ <- 1 to 3) {
+      val ranked = Ops.globalRank(df, Seq(col("k"), col("u")), "rnk")
+        .persist()
+      try {
+        val n = ranked.count()
+        assert(n == 50000L)
+        val distinctRanks = ranked.select("rnk").distinct().count()
+        assert(distinctRanks == n, s"duplicate ranks: $distinctRanks != $n")
+        val mm = ranked.agg(min("rnk"), max("rnk")).head()
+        assert(mm.getLong(0) == 1L && mm.getLong(1) == n)
+      } finally ranked.unpersist()
+    }
+  }
 }

@@ -388,4 +388,37 @@ class PQSpec extends SparkSpec {
     assert(npErr < rawErr,
       s"NP-OPQ error $npErr did not improve on raw PQ $rawErr")
   }
+
+  test("crossMoment: exact decimal sums match a local reference and an " +
+      "over-BIGINT accumulation fails loudly instead of wrapping") {
+    // parity on an ordinary corpus: m_e6(i,j) = Σ floor(x_i·y_j·1e6+0.5)
+    val rnd = new scala.util.Random(17)
+    val pairs = Seq.tabulate(120) { i =>
+      (i.toLong, Seq.fill(3)(rnd.nextGaussian()),
+        Seq.fill(3)(rnd.nextGaussian()))
+    }
+    val xs = pairs.map(p => (p._1, p._2)).toDF("id", "v")
+    val ys = pairs.map(p => (p._1, p._3)).toDF("id", "y")
+    val got = Similarity.crossMoment(xs, ys, dim = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (i <- 1 to 3; j <- 1 to 3) {
+      val want = pairs.map(p =>
+        math.floor(p._2(i - 1) * p._3(j - 1) * 1e6 + 0.5).toLong).sum
+      assert(got((i, j)) == want, s"cell ($i,$j): ${got((i, j))} != $want")
+    }
+    // overflow: 300 rows of 3e5·3e5 products = Σ 2.7e19 e6-units > 2⁶³.
+    // The round-12 ADVICE hazard: a plain BIGINT sum wraps SILENTLY here
+    // (corrupting the OPQ rotation); the decimal(38,0) sum + loud guard
+    // must raise instead.
+    val bigv = Seq.tabulate(300)(i => (i.toLong, Seq(3e5))).toDF("id", "v")
+    val bigy = Seq.tabulate(300)(i => (i.toLong, Seq(3e5))).toDF("id", "y")
+    val ex = intercept[Exception] {
+      Similarity.crossMoment(bigv, bigy, dim = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("crossMoment")),
+      s"expected a loud crossMoment overflow error, got: $ex")
+  }
 }

@@ -468,7 +468,7 @@ class VectorOpsSpec extends SparkSpec {
     val incDir = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
     val rebDir = java.nio.file.Files.createTempDirectory("graft_ivf_reb").toString
     Similarity.writeIvfIndex(a, cents, incDir)
-    val drift = Similarity.appendToIvfIndex(spark, incDir, b)
+    val drift = Similarity.appendToIvfIndex(spark, incDir, b, "b1")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     Similarity.writeIvfIndex(all, cents, rebDir)
     val queries = all.filter(col("id") % 11 === 0)
@@ -485,7 +485,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(drift.forall { case (_, n, s) => n > 0 && s >= -10000 && s <= 10000 })
     // refuses a dir with no index
     intercept[IllegalArgumentException] {
-      Similarity.appendToIvfIndex(spark, "/tmp/graft_no_such_index", b)
+      Similarity.appendToIvfIndex(spark, "/tmp/graft_no_such_index", b, "b1")
+    }
+    // RETRY idempotence (round-12 ADVICE, confirmed): re-running the
+    // same batch id replaces its own (batch, cell) partitions — vector
+    // count and serving stay identical, no double-append
+    Similarity.appendToIvfIndex(spark, incDir, b, "b1")
+    assert(spark.read.parquet(s"$incDir/assigned").count() == 80L,
+      "retried append double-appended vectors")
+    val retried = Similarity.ivfTopKIndexed(spark, incDir, queries,
+      nprobe = 2, k = 4).orderBy("vec_id", "rank").collect().toSeq
+    assert(retried == inc, "retry changed serving")
+    // a DISTINCT batch id appends for real (the reused-id contract cuts
+    // the other way: new data needs a new id)
+    val c = (200L until 210L).map(mk).toDF("id", "v")
+    Similarity.appendToIvfIndex(spark, incDir, c, "b2")
+    assert(spark.read.parquet(s"$incDir/assigned").count() == 90L)
+    // the base batch refuses its reserved id
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, incDir, c, "base")
     }
   }
 
