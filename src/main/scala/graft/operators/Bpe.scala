@@ -108,8 +108,13 @@ object Bpe {
 
   private[graft] def encodeOne(w: String,
                                    table: Vector[(String, String)],
-                                   ranks: Map[(String, String), Int]): Seq[String] = {
-    var syms = codePointSymbols(w)
+                                   ranks: Map[(String, String), Int]): Seq[String] =
+    encodeOneSeeded(codePointSymbols(w), table, ranks)
+
+  private[graft] def encodeOneSeeded(syms0: scala.collection.mutable.ArrayBuffer[String],
+                                     table: Vector[(String, String)],
+                                     ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms = syms0
     var done = syms.length < 2
     while (!done) {
       var best = Int.MaxValue
@@ -143,6 +148,78 @@ object Bpe {
     "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
     "e" -> "r", "o" -> "n", "s" -> "t")
 
+  /** Hand-derived byte-merge table for the fixture vocabulary
+    * {the:5, then:2, and:3, an:2, on:2} — BpeSpec pins
+    * `trainLocal(fixture, byteSymbols)` to exactly this sequence (count
+    * argmax with UTF-8 pair-string tiebreak, worked by hand in the spec),
+    * and q148 encodes under it with a DuckDB fold oracle. Symbol names
+    * are hex byte pairs: 74="t" 68="h" 65="e" 6e="n" 61="a" 64="d" 6f="o".
+    */
+  val DemoByteMerges: Seq[(String, String)] = Seq(
+    "68" -> "65", "74" -> "6865", "61" -> "6e", "616e" -> "64",
+    "6f" -> "6e", "746865" -> "6e")
+
+  // ---- byte-level form (GPT-2 / LLaMA-family seeding) ---------------------
+
+  /** UTF-8 bytes of a word as lowercase 2-hex-char symbols — byte-level
+    * BPE seeding (the GPT-2/LLaMA tokenizer family): a 256-symbol base
+    * alphabet, so EVERY string is encodable with no OOV and no <unk> by
+    * construction (an unmerged byte simply stays a single-byte symbol —
+    * the "byte fallback"), and any merged symbol decodes by unhexing its
+    * concatenated name. Hex-pair names replace GPT-2's cosmetic
+    * byte→printable-unicode table: same algebra, and the decode side is
+    * SQL-expressible (`unhex`) instead of needing the 256-entry table.
+    */
+  private[graft] def byteSymbols(w: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val bytes = w.getBytes("UTF-8")
+    val buf = new scala.collection.mutable.ArrayBuffer[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      buf += f"${bytes(i) & 0xff}%02x"
+      i += 1
+    }
+    buf
+  }
+
+  /** Column form of [[byteSymbols]] (codegen'd HOFs, no UDF). */
+  def byteSymbolsCol(word: Column): Column = {
+    val h = lower(hex(encode(word, "UTF-8")))
+    transform(sequence(lit(1), (length(h) / lit(2)).cast("int")),
+      i => h.substr((i - lit(1)) * lit(2) + lit(1), lit(2)))
+  }
+
+  /** Decode a byte-level symbol sequence back to the string: unhex the
+    * concatenated symbol names, read as UTF-8. Total inverse of any
+    * encode over [[byteSymbols]] seeding — merges only ever concatenate
+    * names, so the byte stream survives verbatim (BpeSpec property-pins
+    * `decode(encode(s)) == s` over arbitrary UTF-8 incl. supplementary
+    * planes).
+    */
+  def decodeByteSymbols(syms: Seq[String]): String = {
+    val hexStr = syms.mkString
+    val out = new Array[Byte](hexStr.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(hexStr.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    new String(out, "UTF-8")
+  }
+
+  /** Scale-path byte-level encoder — [[encodeWords]] with [[byteSymbols]]
+    * seeding; same greedy min-rank loop, same normal-form equivalence.
+    */
+  def encodeWordsBytes(words: org.apache.spark.sql.Dataset[String],
+                       merges: Seq[(String, String)])
+      : org.apache.spark.sql.Dataset[(String, Seq[String])] = {
+    import words.sparkSession.implicits._
+    val table = merges.toVector
+    val ranks: Map[(String, String), Int] =
+      table.zipWithIndex.map { case (m, i) => m -> i }.toMap
+    words.mapPartitions(_.map(w =>
+      (w, encodeOneSeeded(byteSymbols(w), table, ranks))))
+  }
+
   /** Learn `numMerges` merges. Returns (merge table as ordered (a, b)
     * pairs, final symbolized vocabulary). Ties on count break by pair
     * string (UTF-8 binary order, Spark's default collation) —
@@ -167,20 +244,23 @@ object Bpe {
     */
   def train(words: DataFrame, numMerges: Int,
             checkpointEvery: Int = 8,
-            localizeBytes: Long = 64L << 20): (Seq[(String, String)], DataFrame) = {
+            localizeBytes: Long = 64L << 20,
+            byteLevel: Boolean = false): (Seq[(String, String)], DataFrame) = {
     require(checkpointEvery > 0,
       "train: checkpointEvery must be >= 1 (fold lineage grows per merge)")
     val est = words.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est <= localizeBytes) {
       val local = words.select(col("w"), col("freq").cast("long"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      val (merges, vocab) = trainLocal(local, numMerges)
+      val (merges, vocab) = trainLocal(local, numMerges,
+        if (byteLevel) byteSymbols else codePointSymbols)
       val sp = words.sparkSession
       import sp.implicits._
       return (merges, vocab.toDF("w", "freq", "syms"))
     }
     var vocab = words.select(col("w"), col("freq"),
-      charSymbols(col("w")).as("syms"))
+      (if (byteLevel) byteSymbolsCol(col("w"))
+       else charSymbols(col("w"))).as("syms"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var i = 0
     var done = false
@@ -223,10 +303,12 @@ object Bpe {
     * form: pair counts weighted by word freq, argmax by (count desc, pair
     * asc in UTF-8 order), left-to-right non-overlapping fuse.
     */
-  private[graft] def trainLocal(vocab0: Seq[(String, Long)], numMerges: Int)
+  private[graft] def trainLocal(vocab0: Seq[(String, Long)], numMerges: Int,
+                                seed: String => scala.collection.mutable.ArrayBuffer[String]
+                                  = codePointSymbols)
       : (Seq[(String, String)], Seq[(String, Long, Seq[String])]) = {
     var vocab: Vector[(String, Long, Vector[String])] =
-      vocab0.map { case (w, f) => (w, f, codePointSymbols(w).toVector) }.toVector
+      vocab0.map { case (w, f) => (w, f, seed(w).toVector) }.toVector
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var i = 0
     var done = false

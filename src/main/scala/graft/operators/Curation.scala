@@ -76,6 +76,62 @@ object Curation {
           .cast("long"))
   }
 
+  /** Best-fit-decreasing packing — the padding-minimizing alternative to
+    * [[packSequences]]'s contiguous greedy cut: within each shard, items
+    * sort by (tokens DESC, id ASC) and each goes into the open pack with
+    * the SMALLEST residual that still fits (ties → lowest pack index);
+    * no fit opens a new pack (an over-budget item gets its own pack, the
+    * standard bin-packing convention). BFD is the classic 11/9·OPT+1
+    * bound; the greedy cut pays padding whenever a large chunk straddles
+    * a budget boundary — measured padding fractions vs greedy: SCALE.md.
+    *
+    * Scale shape, honestly: bin packing is inherently sequential WITHIN
+    * a bin set, so the shard is the parallelism dial — each shard's
+    * items (id + token count only, ~24 bytes/row) sort and fold in one
+    * task (`flatMapGroups`), shards run fully parallel. Size shards so
+    * per-shard item counts stay task-sized (the 16-way content-hash
+    * default holds to ~10⁸ items; compose nibbles for more shards).
+    * Deterministic: the sort and both tiebreaks are total orders.
+    *
+    * Output: the input columns plus (shard, toks, pack) —
+    * [[packSequences]]'s contract, pack 0-based per shard. `idCol` must
+    * be row-unique (the [[packSequences]] caller contract).
+    */
+  def packSequencesBestFit(df: DataFrame, idCol: String, tokensCol: Column,
+                           shardCol: Column, budget: Int): DataFrame = {
+    require(budget >= 1, s"packSequencesBestFit: budget ($budget) >= 1")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val withCols = df.withColumn("shard", shardCol)
+      .withColumn("toks", tokensCol.cast("long"))
+    val asg = withCols
+      .select(col("shard").cast("int").as("__s"),
+        col(idCol).cast("long").as("__key"), col("toks"))
+      .as[(Int, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val items = it.toArray.sortBy(t => (-t._3, t._2))
+        val residuals = scala.collection.mutable.ArrayBuffer.empty[Long]
+        items.iterator.map { case (_, key, toks) =>
+          var best = -1
+          var bestR = Long.MaxValue
+          var i = 0
+          while (i < residuals.length) {
+            val r = residuals(i)
+            if (r >= toks && r < bestR) { best = i; bestR = r }
+            i += 1
+          }
+          val pack =
+            if (best < 0) { residuals += budget.toLong - toks; residuals.length - 1 }
+            else { residuals(best) -= toks; best }
+          (key, pack.toLong)
+        }
+      }
+      .toDF("__key", "pack")
+    withCols.join(asg, col(idCol).cast("long") === col("__key"))
+      .drop("__key")
+  }
+
   /** Word n-grams over a words-array column: `"a b c"`-style space-joined
     * windows of `n` consecutive words; fewer than `n` words yields an empty
     * array (not `[null]`).

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Ops
+
+/** NN-Descent kNN graph construction (Dong, Moses & Li 2011, "Efficient
+  * k-nearest neighbor graph construction for generic similarity
+  * measures") — the CENTROID-FREE alternative the IVF-routed consumers
+  * (SemDeDup, hard-negative mining) need when the corpus has no usable
+  * cell structure: instead of probing quantizer cells, every node
+  * refines its k-best list from its neighbors' neighbors, exploiting
+  * the observation that a neighbor of a neighbor is likely a neighbor.
+  *
+  * Distributed re-expression, every step a keyed shuffle:
+  *
+  *  1. INIT — a deterministic md5 ring: ids ranked by
+  *     `(md5(id), id)` ([[Ops.globalRank]], pinned), node r's initial
+  *     candidates are ranks r+1..r+k (mod n). Hash order is
+  *     content-independent, so the init is an arbitrary-but-replayable
+  *     random graph — the q142 deterministic-replay discipline (the
+  *     probe oracle replays init and every round verbatim).
+  *  2. ROUND — undirect the current graph (forward ∪ reverse edges:
+  *     the paper's N(v) ∪ R(v)), join it to itself for
+  *     neighbor-of-neighbor candidates, union the incumbent edges,
+  *     score by e4 cosine, keep each node's top k
+  *     (`row_number` per id — bounded groups of ≤ (2k)² + k rows, no
+  *     single-partition window). Each round localCheckpoints (the
+  *     iterative-plan discipline).
+  *
+  * Cost per round: the self-join emits ≤ n·(2k)² candidate rows and the
+  * scoring joins are k²-bounded per node — corpus-linear in n at fixed
+  * k, against brute force's n². Convergence is the paper's: 2-3 rounds
+  * reach high recall because the neighborhood relation is approximately
+  * transitive; tools/Recall measures recall-vs-brute-force at 1×/10×.
+  *
+  * Output: (id, nbr, score_e4, rnk) — k rows per node, rank by
+  * (score desc, nbr asc), ties deterministic.
+  */
+object KnnGraph {
+
+  def knnGraph(vectors: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    require(k >= 1 && iters >= 0,
+      s"knnGraph: k ($k) must be >= 1, iters ($iters) >= 0")
+    val vecs = Ops.widen(vectors)
+      .select(col("id"), Similarity.toDoubleVec(col("v")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def score(edges: DataFrame): DataFrame = edges
+      .join(vecs.select(col("id"), col("v").as("__va")), Seq("id"))
+      .join(vecs.select(col("id").as("nbr"), col("v").as("__vb")), Seq("nbr"))
+      .withColumn("score_e4",
+        Similarity.scoreE4(Similarity.cosine("__va", "__vb")))
+      .select("id", "nbr", "score_e4")
+    def topK(scored: DataFrame, kk: Int): DataFrame = scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("id")
+          .orderBy(col("score_e4").desc, col("nbr").asc)).cast("long"))
+      .filter(col("rnk") <= kk)
+      .select("id", "nbr", "score_e4", "rnk")
+    try {
+      val n = vecs.count()
+      require(n >= 2, s"knnGraph: need >= 2 vectors, got $n")
+      val kk = math.min(k.toLong, n - 1).toInt
+      val ranked = Ops.globalRank(vecs.select("id"),
+        Seq(md5(col("id").cast("string")), col("id")), "r")
+      val init = ranked
+        .select(col("id"), col("r"),
+          explode(sequence(lit(1), lit(kk))).as("off"))
+        .withColumn("nr", (col("r") - 1 + col("off")) % n + 1)
+        .drop("r")
+        .join(ranked.select(col("id").as("nbr"), col("r").as("nr")),
+          Seq("nr"))
+        .select("id", "nbr")
+      var g = topK(score(init), kk).localCheckpoint(eager = true)
+      for (_ <- 1 to iters) {
+        val und = g.select("id", "nbr")
+          .unionByName(g.select(col("nbr").as("id"), col("id").as("nbr")))
+        val cands = und.as("e1")
+          .join(und.as("e2"), col("e1.nbr") === col("e2.id"))
+          .select(col("e1.id").as("id"), col("e2.nbr").as("nbr"))
+          .filter(col("id") =!= col("nbr"))
+          .unionByName(g.select("id", "nbr"))
+          .distinct()
+        g = topK(score(cands), kk).localCheckpoint(eager = true)
+      }
+      g
+    } finally vecs.unpersist()
+  }
+
+  /** SemDeDup victims over the NN-Descent graph — the centroid-free
+    * alternative to [[Curation.semDedupVictims]]'s IVF routing (same
+    * downstream: ≥-threshold edges → connected components → min-id
+    * canonical survives, everything else is a victim with its keeper).
+    * Output (idCol, kept_id), Managed (close after consuming).
+    */
+  def semDedupVictimsNN(docs: DataFrame, idCol: String, textCol: String,
+                        dim: Int = 64, thresholdE4: Long = 9000L,
+                        k: Int = 10, iters: Int = 2): graft.core.Managed = {
+    require(thresholdE4 >= 0 && thresholdE4 <= 10000,
+      s"semDedupVictimsNN: thresholdE4 ($thresholdE4) must be in [0, 10000]")
+    val emb = TextStats.hashEmbedVectors(docs, idCol, textCol, dim)
+      .filter(expr("aggregate(v, 0D, (a, x) -> a + x * x)") > lit(0.0))
+    val g = knnGraph(emb, k, iters) // materialized (checkpointed)
+    val edges = g.filter(col("score_e4") >= thresholdE4)
+      .select(least(col("id"), col("nbr")).as("idA"),
+        greatest(col("id"), col("nbr")).as("idB"))
+      .distinct()
+    val compM = Dedup.connectedComponentsManaged(edges)
+    val victims = compM.df.filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol), col("label").as("kept_id"))
+    graft.core.Managed(victims, compM.pinned)
+  }
+
+  /** Hard negatives over the NN-Descent graph — the centroid-free
+    * alternative to [[Similarity.hardNegativesIvf]]: build the kNN
+    * graph at `knnK` (wider than `k` so the label filter has slack),
+    * then per anchor keep the top `k` DIFFERENT-label neighbors inside
+    * [scoreFloorE4, scoreCeilE4] (the near-dup ceiling / easy-negative
+    * floor of the exact form). Output (vec_id, other_id, score_e4,
+    * rank) — [[Similarity.hardNegativesTopK]]'s schema; recall vs the
+    * exact form is measured, not assumed (tools/Recall).
+    */
+  def hardNegativesNN(vectors: DataFrame, k: Int, knnK: Int = 20,
+                      iters: Int = 2, scoreCeilE4: Long = 10000L,
+                      scoreFloorE4: Long = -10000L): DataFrame = {
+    val g = knnGraph(vectors.select("id", "v"), knnK, iters)
+    val lbl = vectors.select(col("id"), col("label"))
+    g.join(lbl.withColumnRenamed("label", "qlabel"), Seq("id"))
+      .join(lbl.select(col("id").as("nbr"), col("label").as("clabel")),
+        Seq("nbr"))
+      .filter(col("qlabel") =!= col("clabel") &&
+        col("score_e4").between(scoreFloorE4, scoreCeilE4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("id")
+          .orderBy(col("score_e4").desc, col("nbr").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id").as("vec_id"), col("nbr").as("other_id"),
+        col("score_e4"), col("rank"))
+  }
+}

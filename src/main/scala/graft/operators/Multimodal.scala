@@ -489,6 +489,121 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** e4 fixed-point DCT-II basis table for [[imagePHash]]:
+    * `PhashCosE4(k)(x) = floor(cos(π·k·(2x+1)/64)·1e4 + 0.5)` for the 8
+    * low frequencies over 32 samples. Part of the operator's SPEC, not
+    * an implementation detail — the probe oracle embeds these values as
+    * literals (the q27 minhashA/B constant-sharing discipline), which
+    * keeps the whole hash in exact integer arithmetic end to end: no
+    * cross-engine cos/double parity is ever relied on.
+    */
+  private[graft] val PhashCosE4: Array[Array[Long]] =
+    Array.tabulate(8, 32)((k, x) =>
+      math.floor(math.cos(math.Pi * k * (2 * x + 1) / 64) * 1e4 + 0.5).toLong)
+
+  case class ImagePHash(media_id: Long, phash: Long)
+
+  /** DCT perceptual hash (pHash — Zauner 2010, the pHash.org design):
+    * 32×32 gray box-resize ([[boxGridE4]], e4 integer means), separable
+    * integer DCT-II restricted to the 8×8 low-frequency block, then
+    * median-threshold: bit k = v·8+u set iff F(u,v) exceeds the MEDIAN
+    * of the 63 non-DC coefficients (63 is odd, so the median is the
+    * 32nd smallest — an element, never an average). The DC coefficient
+    * itself is excluded and bit 0 is always 0 (it tracks overall
+    * brightness, not structure — thresholding it against the median of
+    * AC terms would pin it to 1 and waste the bit).
+    *
+    * Why it beats [[imageAHash]] as a near-dup key: aHash thresholds
+    * each 2×2-ish cell against the global mean, so low-frequency
+    * gradients and brightness-correlated content collide entire bit
+    * runs (the r8 sweep's measured weakness); the DCT separates
+    * structure into frequency bins first, so bits carry independent
+    * shape information and uniform-brightness shifts move only
+    * (excluded) DC. Recall/collision row vs aHash: SCALE.md.
+    *
+    * Exactness: grid means ≤ 255e4, cosines ≤ 1e4 ⇒ row pass ≤ 8.2e11,
+    * final ≤ 2.7e17 — all < 2⁶³, no doubles anywhere past the decode.
+    * Same bounded-batch mapPartitions + bomb guard as [[decodeImages]];
+    * undecodable payloads → marker hash −1.
+    */
+  def imagePHash(ds: Dataset[MediaRecord], batchSize: Int = 64,
+                 maxPixels: Long = 64L << 20): Dataset[ImagePHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bomb = claimedPixels(r.media) > maxPixels
+          val img =
+            if (bomb) None
+            else try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.media)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          img match {
+            case Some(im) =>
+              val g = boxGridE4(im.getRaster, im.getWidth, im.getHeight,
+                32, 32)
+              // row pass: a(u)(y) = Σ_x g(y,x)·c(u,x)
+              val a = Array.ofDim[Long](8, 32)
+              var u = 0
+              while (u < 8) {
+                val cu = PhashCosE4(u)
+                var y = 0
+                while (y < 32) {
+                  var s = 0L
+                  var x = 0
+                  while (x < 32) { s += g(y * 32 + x) * cu(x); x += 1 }
+                  a(u)(y) = s
+                  y += 1
+                }
+                u += 1
+              }
+              // column pass: f(v·8+u) = Σ_y a(u)(y)·c(v,y)
+              val f = new Array[Long](64)
+              var v = 0
+              while (v < 8) {
+                val cv = PhashCosE4(v)
+                var uu = 0
+                while (uu < 8) {
+                  var s = 0L
+                  var y = 0
+                  while (y < 32) { s += a(uu)(y) * cv(y); y += 1 }
+                  f(v * 8 + uu) = s
+                  uu += 1
+                }
+                v += 1
+              }
+              val med = f.drop(1).sorted.apply(31) // 32nd smallest of 63
+              var hash = 0L
+              var k = 1
+              while (k < 64) {
+                if (f(k) > med) hash |= 1L << k
+                k += 1
+              }
+              ImagePHash(r.media_id, hash)
+            case None => ImagePHash(r.media_id, -1L)
+          }
+        }
+      }
+    }
+  }
+
+  /** [[imageNearDupPairs]] over pHash signatures — same 4×16-bit-band
+    * pigeonhole join (exact for maxHamming < 4), the robust key for the
+    * aHash-collision regime.
+    */
+  def imagePHashNearDupPairs(ds: Dataset[MediaRecord],
+                             maxHamming: Int = 3): DataFrame =
+    imagePHashNearDupPairsManaged(ds, maxHamming).df
+
+  def imagePHashNearDupPairsManaged(ds: Dataset[MediaRecord],
+                                    maxHamming: Int = 3)
+      : graft.core.Managed = {
+    val sigs = imagePHash(ds).toDF()
+      .withColumnRenamed("phash", "ahash") // banding core is hash-agnostic
+    hashBandNearDupPairs(sigs, maxHamming)
+  }
+
   /** Near-duplicate image pairs by perceptual hash — the image-side
     * MinHash: [[imageAHash]] signatures banded into 4×16-bit keys
     * (pigeonhole: two hashes within hamming `maxHamming` < 4 agree
@@ -506,9 +621,17 @@ object Multimodal {
     imageNearDupPairsManaged(ds, maxHamming).df
 
   def imageNearDupPairsManaged(ds: Dataset[MediaRecord],
-                               maxHamming: Int = 3): graft.core.Managed = {
+                               maxHamming: Int = 3): graft.core.Managed =
+    hashBandNearDupPairs(imageAHash(ds).toDF(), maxHamming)
+
+  /** The shared band-join core: signatures (media_id, ahash) from ANY
+    * 64-bit perceptual hash, −1 markers excluded, 4×16-bit pigeonhole
+    * candidates, exact hamming verify.
+    */
+  private def hashBandNearDupPairs(sigs0: DataFrame,
+                                   maxHamming: Int): graft.core.Managed = {
     require(maxHamming < 4, "pigeonhole over 4 bands needs maxHamming < 4")
-    val sigs = imageAHash(ds).toDF()
+    val sigs = sigs0
       .filter(col("ahash") =!= -1L)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sigs.select(col("media_id"), col("ahash"),

@@ -196,6 +196,117 @@ object Suffix {
         coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"))
   }
 
+  /** SHARDED exact-substring coverage — the 100 TB deployment shape of
+    * [[suffixDuplicateStats]] (the Lee et al. production layout): the
+    * corpus splits into `numShards` content-defined doc shards
+    * (xxhash64 of the text, so byte-identical docs co-shard and their
+    * full-length repeats stay inside ONE precise pass), the suffix-rank
+    * pipeline runs per shard as INDEPENDENT job chains (each over n/S
+    * tokens — the ~40 bounded global shuffles of the single-stream form
+    * shrink by the shard factor and the chains overlap via concurrent
+    * submission), and repeats WHOSE OCCURRENCES STRADDLE SHARDS — the
+    * only thing a per-shard pass can miss — are caught by one
+    * corpus-global window screen at w = `minLen` with ALL-occurrence
+    * semantics (hash groups spanning ≥ 2 shards mark every occurrence;
+    * the keep-first canonical rule of [[Curation.duplicateWindows]]
+    * would leave the first instance uncovered and break parity).
+    *
+    * Coverage is IDENTICAL to the single-stream form, not merely ⊇
+    * (spec-pinned): a position the global form covers sits inside a
+    * duplicated ≥ minLen span, so some minLen-window through it repeats
+    * elsewhere — same-shard partner ⇒ the shard's exact pass covers
+    * the span; cross-shard partner ⇒ the screen marks the window. Both
+    * mark sources are corpus repeats ≥ minLen, so nothing over-marks.
+    * (The union's interval arithmetic absorbs double marks.)
+    *
+    * Scale shape: the screen is one window explode + one hash aggregate
+    * + one 1:N join (the [[Curation.duplicateWindows]] plan — corpus-
+    * linear, no all-pairs); the per-shard passes are the honest
+    * parallel axis — at 1000 executors, S ~ O(100) shards run their
+    * bounded rounds side by side instead of one n-row stream paying
+    * 40 sequential global barriers.
+    */
+  def suffixDuplicateStatsSharded(docs: DataFrame, idCol: String,
+                                  textCol: String, minLen: Int = 50,
+                                  cap: Int = 512, numShards: Int = 4,
+                                  shardConcurrency: Int = 4): DataFrame = {
+    require(minLen >= 1 && minLen <= cap - 1,
+      s"suffixDuplicateStatsSharded: need 1 <= minLen ($minLen) <= cap-1")
+    require(numShards >= 1 && shardConcurrency >= 1,
+      "suffixDuplicateStatsSharded: numShards/shardConcurrency >= 1")
+    val sharded = Ops.widen(docs)
+      .select(col(idCol), coalesce(col(textCol), lit("")).as("__text"),
+        Dedup.normalizeWords(coalesce(col(textCol), lit(""))).as("__ws"),
+        pmod(xxhash64(coalesce(col(textCol), lit(""))), lit(numShards))
+          .as("__shard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(shardConcurrency)
+    try {
+      // per-shard EXACT passes: independent corpora (each tokenStream
+      // builds its own sentinel-bounded stream), submitted concurrently
+      // — Spark schedules their bounded jobs side by side. Each pass
+      // ends localCheckpointed (suffixMaxLcp's contract), so awaiting
+      // the future materializes the shard's marks.
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val shardMarks = (0 until numShards).map { sId =>
+        scala.concurrent.Future {
+          suffixMaxLcp(
+              sharded.filter(col("__shard") === sId)
+                .select(col(idCol), col("__text")),
+              idCol, "__text", cap)
+            .filter(col("maxcp") >= minLen)
+            .select(col("doc"), (col("pos") + 1).as("pos"),
+              col("maxcp").as("len"))
+        }
+      }.map(scala.concurrent.Await
+        .result(_, scala.concurrent.duration.Duration.Inf))
+      // cross-shard screen: minLen-windows whose content occurs in ≥ 2
+      // shards, every occurrence marked (len = minLen exactly — the
+      // window IS a ≥ minLen corpus repeat, so marks stay sound)
+      val wins = sharded.filter(size(col("__ws")) >= minLen)
+        .select(col(idCol), col("__shard"), explode(expr(
+          s"transform(sequence(1, size(__ws) - $minLen + 1), " +
+            s"i -> struct(i AS pos, " +
+            s"md5(array_join(slice(__ws, i, $minLen), ' ')) AS h))"))
+          .as("e"))
+        .select(col(idCol), col("__shard"), col("e.pos").as("pos"),
+          col("e.h").as("h"))
+      val crossH = wins.groupBy("h")
+        .agg(min(col("__shard")).as("__mn"), max(col("__shard")).as("__mx"))
+        .filter(col("__mn") =!= col("__mx"))
+        .select("h")
+      val screen = wins.join(crossH, Seq("h"))
+        .select(col(idCol).as("doc"), col("pos"),
+          lit(minLen.toLong).as("len"))
+      val marks = (shardMarks :+ screen)
+        .map(_.select(col("doc"), col("pos").cast("int").as("pos"),
+          col("len").cast("long").as("len")))
+        .reduce(_ unionByName _)
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc").orderBy("pos", "len")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val stats = marks
+        .withColumn("__pe", max(col("pos") + col("len")).over(byDoc))
+        .withColumn("__cov", greatest(lit(0L),
+          col("pos") + col("len") -
+            greatest(col("pos").cast("long"), coalesce(col("__pe"), lit(0L)))))
+        .groupBy("doc")
+        .agg(sum("__cov").as("dup_tokens"))
+      sharded
+        .select(col(idCol), size(col("__ws")).cast("long").as("n_tokens"))
+        .join(stats.withColumnRenamed("doc", idCol), Seq(idCol), "left_outer")
+        .select(col(idCol), col("n_tokens"),
+          coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"))
+        .localCheckpoint(true) // sharded unpersists when we return
+    } finally {
+      pool.shutdown()
+      sharded.unpersist()
+    }
+  }
+
   /** The cleaner: drop every token covered by an exact ≥ `minLen`-token
     * repeat and rebuild the normalized stream — Lee et al.'s released
     * semantics (ALL occurrences of duplicated text are removed; the

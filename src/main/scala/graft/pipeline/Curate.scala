@@ -77,7 +77,14 @@ case class CurateConfig(
     decontamGramN: Int = 8,
     chunkTokens: Int = 64,
     chunkOverlap: Int = 8,
-    packBudget: Int = 256)
+    packBudget: Int = 256,
+    // emit the per-doc rejection LEDGER (CurateResult.ledger): one
+    // verdict row per input doc — the audit frame a production curation
+    // run owes its corpus accounting, and the batch twin of
+    // CurateStream's GateVerdict stream (spec-pinned ≡ on shared
+    // stages). Off by default: each dropping stage then pays one extra
+    // bounded anti-join + materialization for its dropped-id frame.
+    emitLedger: Boolean = false)
 
 /** `chunks` — the packed, sharded training chunks (doc_id, chunk_id,
   * chunk_text, n_tokens, shard, pack); `stageCounts` — rows surviving each
@@ -85,10 +92,20 @@ case class CurateConfig(
   * `stageSeconds` — wall time attributed to each stage (count-to-count:
   * each stage's lazy plan executes at its funnel count, so the delta
   * between consecutive counts IS the stage's materialization cost — the
-  * per-stage rows tools/Scale sweeps at 1x/10x).
+  * per-stage rows tools/Scale sweeps at 1x/10x); `ledger` (when
+  * `cfg.emitLedger`) — one verdict row PER INPUT DOC: (id, admitted,
+  * reason, dup_of), the [[graft.streaming.CurateStream.GateVerdict]]
+  * schema. `reason` ∈ the stream's vocabulary for shared stages (c4,
+  * quality, classifier, arpa, exact_dup, near_dup, admitted) plus the
+  * batch-only stages (lm, ppl, dsir, sem_dup, decontaminated); `dup_of`
+  * is the kept canonical for the dup reasons (content-hash keeper /
+  * component label), else the doc's own id. Funnel counts are derivable
+  * from the ledger (spec-pinned), so it subsumes `stageCounts` for
+  * audit purposes.
   */
 case class CurateResult(chunks: DataFrame, stageCounts: Seq[(String, Long)],
-                        stageSeconds: Seq[(String, Double)] = Seq.empty)
+                        stageSeconds: Seq[(String, Double)] = Seq.empty,
+                        ledger: Option[DataFrame] = None)
 
 /** The end-to-end curation pipeline — the individual operators composed
   * the way a real 100 TB pretraining-data run composes them:
@@ -137,17 +154,34 @@ object Curate {
       counts += ((name, v)); times += ((name, (now - tPrev) / 1e9))
       tPrev = now
     }
+    // ---- rejection-ledger capture (cfg.emitLedger) ----------------------
+    // each piece is a bounded id frame materialized EAGERLY, while the
+    // stage frames it reads are still persisted/checkpointed — a lazy
+    // piece would recompute its whole upstream stage after unpersist
+    val led = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def rejectAnti(prev: DataFrame, next: DataFrame, reason: String): Unit =
+      if (cfg.emitLedger) led += prev
+        .select(col(idCol).cast("long").as("id"))
+        .join(next.select(col(idCol).cast("long").as("id")),
+          Seq("id"), "left_anti")
+        .select(col("id"), lit(false).as("admitted"),
+          lit(reason).as("reason"), col("id").as("dup_of"))
+        .localCheckpoint(true)
+    def rejectDup(piece: DataFrame): Unit = // pre-built (id, admitted, reason, dup_of)
+      if (cfg.emitLedger) led += piece.localCheckpoint(true)
 
     // ---- optional C4 ingest cleaning (per-row map + filter) ------------
     // before anything scores: the statistical gates should judge the
     // cleaned lines, not cookie banners and code fragments
     var input = graft.core.Ops.widen(docs).select(col(idCol), col(textCol))
     if (cfg.c4Clean) {
+      val pre = input
       input = Curation.c4Clean(input, idCol, textCol)
         .filter(col("keep"))
         .select(col(idCol), col("cleaned_text").as(textCol))
         .localCheckpoint(true)
       stage("c4_clean", input.count())
+      rejectAnti(pre, input, "c4")
     }
 
     // ---- ingest + per-doc stats (one pass: words computed once) --------
@@ -167,6 +201,7 @@ object Curate {
       filtered = filtered.filter(
         TextStats.gopherFlags(col(textCol), col("__w"), g).getField("pass"))
     filtered = filtered.select(col(idCol), col(textCol))
+    rejectAnti(input, filtered, "quality")
 
     // optional LM-perplexity gate: self-train on the quality survivors,
     // keep docs at or under the cross-entropy bound. The survivor frame
@@ -198,6 +233,7 @@ object Curate {
         .select(col(idCol))
       filtered = base.join(keep, Seq(idCol)).localCheckpoint(true)
       stage("classifier_gate", filtered.count())
+      rejectAnti(base, filtered, "classifier")
       base.unpersist()
     }
 
@@ -210,6 +246,7 @@ object Curate {
         .select(col(idCol))
       filtered = base.join(keep, Seq(idCol)).localCheckpoint(true)
       stage("lm_gate", filtered.count())
+      rejectAnti(base, filtered, "lm")
       xentM.close()
       base.unpersist()
     }
@@ -229,6 +266,7 @@ object Curate {
         .select(col(idCol))
       filtered = base.join(keep, Seq(idCol)).localCheckpoint(true)
       stage("arpa_gate", filtered.count())
+      rejectAnti(base, filtered, "arpa")
       base.unpersist()
     }
 
@@ -260,6 +298,7 @@ object Curate {
         .select(col(idCol))
       filtered = base.join(keep, Seq(idCol)).localCheckpoint(true)
       stage("ppl_buckets", filtered.count())
+      rejectAnti(base, filtered, "ppl")
       bM.close(); knM.close(); base.unpersist()
     }
 
@@ -279,6 +318,7 @@ object Curate {
         cfg.dsirSeed, cfg.dsirTemperatureE4).select(col(idCol))
       filtered = base.join(picked, Seq(idCol)).localCheckpoint(true)
       stage("dsir_select", filtered.count())
+      rejectAnti(base, filtered, "dsir")
       wM.close(); base.unpersist()
     }
 
@@ -311,12 +351,19 @@ object Curate {
     }
 
     // ---- exact dedup: content-hash groups, min id survives -------------
-    val kept = graft.core.Ops
-      .latestPerGroup(filtered.withColumn("__h", md5(col(textCol))),
-        Seq("__h"), Seq(col(idCol).asc))
-      .drop("__h")
+    val hashed = filtered.withColumn("__h", md5(col(textCol)))
+    val keptH = graft.core.Ops
+      .latestPerGroup(hashed, Seq("__h"), Seq(col(idCol).asc))
       .persist(StorageLevel.MEMORY_AND_DISK) // two consumers: pair gen + anti join
+    val kept = keptH.drop("__h")
     stage("exact_dedup", kept.count())
+    // dup_of = the content group's kept (min-id) doc
+    rejectDup(hashed.select(col(idCol), col("__h"))
+      .join(keptH.select(col("__h"),
+        col(idCol).cast("long").as("dup_of")), Seq("__h"))
+      .filter(col(idCol) =!= col("dup_of"))
+      .select(col(idCol).cast("long").as("id"), lit(false).as("admitted"),
+        lit("exact_dup").as("reason"), col("dup_of")))
 
     // ---- MinHash near-dup: pairs → components → drop non-representatives
     val pairsM = Dedup.minhashNearDupPairsManaged(kept, idCol, textCol)
@@ -328,7 +375,11 @@ object Curate {
     var deduped = kept.join(victims, Seq(idCol), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK) // consumers: contamination + join-back
     stage("near_dup", deduped.count())
-    compM.close(); pairsM.close(); kept.unpersist()
+    // dup_of = the component label (min id) the victim collapsed into
+    rejectDup(compM.df.filter(col("id") =!= col("label"))
+      .select(col("id").cast("long").as("id"), lit(false).as("admitted"),
+        lit("near_dup").as("reason"), col("label").cast("long").as("dup_of")))
+    compM.close(); pairsM.close(); keptH.unpersist()
 
     // ---- optional SemDeDup: semantic near-dup over hash embeddings -----
     // after lexical near-dup (its survivors are this stage's pool),
@@ -341,6 +392,10 @@ object Curate {
         .join(vM.df.select(col(idCol)), Seq(idCol), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
       stage("sem_dedup", semKept.count())
+      rejectDup(vM.df
+        .select(col(idCol).cast("long").as("id"), lit(false).as("admitted"),
+          lit("sem_dup").as("reason"),
+          col("kept_id").cast("long").as("dup_of")))
       vM.close(); base.unpersist()
       deduped = semKept
     }
@@ -352,6 +407,10 @@ object Curate {
       .join(flags.filter(!col("contaminated")).select(col(idCol)), Seq(idCol))
       .persist(StorageLevel.MEMORY_AND_DISK) // consumers: count + chunking
     stage("decontaminated", clean.count())
+    rejectDup(flags.filter(col("contaminated"))
+      .select(col(idCol).cast("long").as("id"), lit(false).as("admitted"),
+        lit("decontaminated").as("reason"),
+        col(idCol).cast("long").as("dup_of")))
     deduped.unpersist()
 
     // ---- chunk → pack/shard --------------------------------------------
@@ -365,8 +424,16 @@ object Curate {
       .drop("__ck", "toks")
       .persist(StorageLevel.MEMORY_AND_DISK)
     stage("chunks", packed.count())
+    val ledger =
+      if (!cfg.emitLedger) None
+      else {
+        val admitted = clean
+          .select(col(idCol).cast("long").as("id"), lit(true).as("admitted"),
+            lit("admitted").as("reason"), col(idCol).cast("long").as("dup_of"))
+        Some((led :+ admitted).reduce(_ unionByName _).localCheckpoint(true))
+      }
     clean.unpersist()
 
-    CurateResult(packed, counts.toSeq, times.toSeq)
+    CurateResult(packed, counts.toSeq, times.toSeq, ledger)
   }
 }

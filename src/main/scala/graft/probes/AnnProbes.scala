@@ -808,7 +808,74 @@ object AnnProbes {
 
   // ---- family registry --------------------------------------------------
 
+  // ---- q149 NN-Descent kNN graph (deterministic replay) ------------------
+  // KnnGraph.knnGraph on 40 embeddings, k=4, TWO refinement rounds. The
+  // oracle REPLAYS the algorithm step for step (the q142 FFBS
+  // discipline — not a brute-force shortcut, the stated algorithm): the
+  // md5-ring init (row_number over (md5(id), id), ring offsets 1..k),
+  // then per round undirect → neighbor-of-neighbor join → union
+  // incumbents → distinct → e4-cosine score → per-node top-k with the
+  // (score desc, nbr asc) tiebreak. Every intermediate is exact integer
+  // or the cosine double both engines compute bit-identically (q23).
+  val q149: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") < 40)
+      .select(col("vec_id").as("id"),
+        graft.operators.Similarity.toDoubleVec(col("embedding")).as("v"))
+    graft.operators.KnnGraph.knnGraph(e, k = 4, iters = 2)
+      .orderBy("id", "rnk")
+  }
+
+  val q149Sql: String = {
+    val cos = graft.operators.Similarity.scoreE4DuckSql(
+      graft.operators.Similarity.cosineDuckSql("a.v", "b.v"))
+    // one refinement round: undirect `g` → N(N) candidates ∪ incumbents
+    // → score → top-k
+    def round(g: String, out: String): String =
+      s"""u_$out AS (
+         |  SELECT id, nbr FROM $g
+         |  UNION ALL SELECT nbr AS id, id AS nbr FROM $g),
+         |c_$out AS (
+         |  SELECT DISTINCT id, nbr FROM (
+         |    SELECT e1.id, e2.nbr FROM u_$out e1
+         |    JOIN u_$out e2 ON e1.nbr = e2.id WHERE e1.id <> e2.nbr
+         |    UNION ALL SELECT id, nbr FROM $g)),
+         |s_$out AS (
+         |  SELECT c.id, c.nbr, $cos AS score_e4
+         |  FROM c_$out c JOIN e a ON a.id = c.id JOIN e b ON b.id = c.nbr),
+         |$out AS (
+         |  SELECT id, nbr, score_e4, rnk FROM (
+         |    SELECT id, nbr, score_e4,
+         |      CAST(row_number() OVER (PARTITION BY id
+         |        ORDER BY score_e4 DESC, nbr ASC) AS BIGINT) AS rnk
+         |    FROM s_$out) WHERE rnk <= 4)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < 40),
+       |rk AS (
+       |  SELECT id, CAST(row_number() OVER (
+       |    ORDER BY md5(CAST(id AS VARCHAR)), id) AS BIGINT) AS r FROM e),
+       |cnt AS (SELECT count(*) AS n FROM e),
+       |init AS (
+       |  SELECT a.id, b.id AS nbr
+       |  FROM rk a CROSS JOIN cnt
+       |  CROSS JOIN unnest(generate_series(1, 4)) o(off)
+       |  JOIN rk b ON b.r = (a.r - 1 + o.off) % cnt.n + 1),
+       |s_g0 AS (
+       |  SELECT i.id, i.nbr, $cos AS score_e4
+       |  FROM init i JOIN e a ON a.id = i.id JOIN e b ON b.id = i.nbr),
+       |g0 AS (
+       |  SELECT id, nbr, score_e4, rnk FROM (
+       |    SELECT id, nbr, score_e4,
+       |      CAST(row_number() OVER (PARTITION BY id
+       |        ORDER BY score_e4 DESC, nbr ASC) AS BIGINT) AS rnk
+       |    FROM s_g0) WHERE rnk <= 4),
+       |${round("g0", "g1")},
+       |${round("g1", "g2")}
+       |SELECT id, nbr, score_e4, rnk FROM g2 ORDER BY id, rnk""".stripMargin
+  }
+
   private[probes] val queries: Map[String, Q] = Map(
+    "q149_nn_descent" -> q149,
     "q30_cosine_neardup" -> q30,
     "q31_ivf_ann" -> q31,
     "q40_kmeans_step" -> q40,
@@ -828,6 +895,7 @@ object AnnProbes {
     "q141_hard_negatives" -> q141)
 
   private[probes] val oracleSql: Map[String, String] = Map(
+    "q149_nn_descent" -> q149Sql,
     "q30_cosine_neardup" -> q30Sql,
     "q31_ivf_ann" -> q31Sql,
     "q40_kmeans_step" -> q40Sql,

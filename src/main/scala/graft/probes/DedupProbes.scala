@@ -682,6 +682,26 @@ object DedupProbes {
        |  coalesce(a.dup_tokens, 0) AS dup_tokens
        |FROM n t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ---- q145 SHARDED exact substring dedup --------------------------------
+  // Suffix.suffixDuplicateStatsSharded on the EXACT q143 corpus: 3
+  // content-defined doc shards, per-shard suffix ranks, cross-shard
+  // minLen-window screen. Coverage is provably identical to the
+  // single-stream form (Suffix.scala doc), so the oracle is the same
+  // brute-force coverage SQL — the probe pins the sharded deployment
+  // shape against definition-level semantics, not against the engine's
+  // own global form.
+  val q145: Q = (s, d) => {
+    val base = Tables.documents(s, d).filter(col("doc_id") < 12)
+      .select(col("doc_id"), substring(col("text"), 1, 400).as("text"))
+    val planted = base.unionByName(
+      base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" cloned tail marker")).as("text")))
+    graft.operators.Suffix.suffixDuplicateStatsSharded(planted, "doc_id",
+        "text", minLen = 5, cap = 16, numShards = 3)
+      .orderBy("doc_id")
+  }
+
   // ---- q144 EXACT substring dedup CLEANER --------------------------------
   // Suffix.removeDuplicateSpansExact over the q143 corpus: the oracle
   // drops every token position inside a brute-force mark interval and
@@ -728,7 +748,8 @@ object DedupProbes {
     "q122_incr_neardup" -> q122,
     "q133_sem_dedup" -> q133,
     "q143_suffix_dedup" -> q143,
-    "q144_suffix_clean" -> q144)
+    "q144_suffix_clean" -> q144,
+    "q145_suffix_sharded" -> q145)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q27_minhash_lsh_neardup" -> q27Sql,
@@ -745,5 +766,6 @@ object DedupProbes {
     "q122_incr_neardup" -> q122Sql,
     "q133_sem_dedup" -> q133Sql,
     "q143_suffix_dedup" -> q143Sql,
-    "q144_suffix_clean" -> q144Sql)
+    "q144_suffix_clean" -> q144Sql,
+    "q145_suffix_sharded" -> q143Sql)
 }

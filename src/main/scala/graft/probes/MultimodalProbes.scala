@@ -538,6 +538,87 @@ object MultimodalProbes {
       |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
       |ORDER BY idA, idB""".stripMargin
 
+  // ---- q146/q147 DCT perceptual hash (pHash) + near-dup pairs ------------
+  // Multimodal.imagePHash over the q103 synthesis corpus: 16x16 source →
+  // 32x32 box upscale (each box = ONE source pixel, mean = pixel·1e4 —
+  // closed form), separable integer DCT against the e4 cosine table
+  // EMBEDDED below as literals (PhashCosE4 — shared constants, the q27
+  // minhash discipline: zero cross-engine double/cos parity relied on),
+  // median-threshold over the 63 non-DC coefficients (32nd smallest),
+  // sign-bit packing as in q103. The oracle replays every step from the
+  // synthesis arithmetic — real decode + resample is what's proven.
+  private val pHashCosLiterals: String =
+    graft.operators.Multimodal.PhashCosE4.flatten.mkString(", ")
+
+  /** Shared pHash CTE chain: synthesis params → 32×32 e4 grid → row/col
+    * integer DCT passes → median threshold → packed hash.
+    */
+  private val pHashCte: String =
+    s"""p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN NULL
+      |         WHEN doc_id % 7 = 3 THEN doc_id - 1 ELSE doc_id END AS base,
+      |    (doc_id % 7 = 3) AS isvar
+      |  FROM documents),
+      |ct AS (
+      |  SELECT t.k // 32 AS k, t.k % 32 AS x,
+      |    ([$pHashCosLiterals])[t.k + 1] AS c
+      |  FROM range(256) t(k)),
+      |g32 AS (
+      |  SELECT doc_id, x.x AS x, y.y AS y,
+      |    ((p.base * 31 + (y.y // 2) * 16 + (x.x // 2) * 17 +
+      |        CASE WHEN p.isvar AND x.x // 2 = 0 AND y.y // 2 = 0
+      |          THEN 9 ELSE 0 END) % 256) * 10000 AS e4
+      |  FROM p, range(32) x(x), range(32) y(y)
+      |  WHERE p.base IS NOT NULL),
+      |rowp AS (
+      |  SELECT g.doc_id, c.k AS u, g.y AS y,
+      |    CAST(sum(g.e4 * c.c) AS BIGINT) AS a
+      |  FROM g32 g JOIN ct c ON c.x = g.x GROUP BY 1, 2, 3),
+      |coef AS (
+      |  SELECT r.doc_id, c.k * 8 + r.u AS k,
+      |    CAST(sum(r.a * c.c) AS BIGINT) AS f
+      |  FROM rowp r JOIN ct c ON c.x = r.y GROUP BY 1, 2),
+      |med AS (
+      |  SELECT doc_id, f AS m FROM (
+      |    SELECT doc_id, f,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY f) AS rn
+      |    FROM coef WHERE k > 0) WHERE rn = 32),
+      |h AS (
+      |  SELECT c.doc_id,
+      |    CAST(sum(CASE WHEN c.k > 0 AND c.f > m.m THEN
+      |        CASE WHEN c.k = 63 THEN -9223372036854775808
+      |             ELSE CAST(1 AS BIGINT) << CAST(c.k AS INTEGER) END
+      |      ELSE 0 END) AS BIGINT) AS phash
+      |  FROM coef c JOIN med m USING (doc_id) GROUP BY c.doc_id)""".stripMargin
+
+  val q146: Q = (s, d) => {
+    val media = q103Media(graft.core.Ops.widen(Tables.documents(s, d)))
+    graft.operators.Multimodal.imagePHash(media).toDF()
+      .orderBy("media_id")
+  }
+
+  val q146Sql: String =
+    s"""WITH $pHashCte
+      |SELECT p.doc_id AS media_id,
+      |  CAST(coalesce(h.phash, -1) AS BIGINT) AS phash
+      |FROM p LEFT JOIN h ON p.doc_id = h.doc_id
+      |ORDER BY media_id""".stripMargin
+
+  val q147: Q = (s, d) => {
+    val media = q103Media(graft.core.Ops.widen(Tables.documents(s, d)))
+    graft.operators.Multimodal.imagePHashNearDupPairs(media, 3)
+      .orderBy("idA", "idB")
+  }
+
+  val q147Sql: String =
+    s"""WITH $pHashCte
+      |SELECT a.doc_id AS idA, b.doc_id AS idB,
+      |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+      |FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+      |ORDER BY idA, idB""".stripMargin
+
   // ---- family registry --------------------------------------------------
 
   private[probes] val queries: Map[String, Q] = Map(
@@ -550,7 +631,9 @@ object MultimodalProbes {
     "q101_image_resize" -> q101,
     "q102_audio_windows" -> q102,
     "q103_image_ahash" -> q103,
-    "q104_image_neardup" -> q104)
+    "q104_image_neardup" -> q104,
+    "q146_image_phash" -> q146,
+    "q147_phash_neardup" -> q147)
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q36_multimodal_decode" -> q36Sql,
@@ -562,5 +645,7 @@ object MultimodalProbes {
     "q101_image_resize" -> q101Sql,
     "q102_audio_windows" -> q102Sql,
     "q103_image_ahash" -> q103Sql,
-    "q104_image_neardup" -> q104Sql)
+    "q104_image_neardup" -> q104Sql,
+    "q146_image_phash" -> q146Sql,
+    "q147_phash_neardup" -> q147Sql)
 }

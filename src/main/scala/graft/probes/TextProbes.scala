@@ -192,6 +192,56 @@ object TextProbes {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks) / 256) AS BIGINT) AS pack
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---- q150 best-fit-decreasing packing ----------------------------------
+  // Curation.packSequencesBestFit on the q53 item set (same shards, same
+  // token counts, same budget — head-to-head with the greedy cut). The
+  // oracle REPLAYS the fold with a recursive CTE carrying each shard's
+  // bin residuals as a LIST (the q142 DP-array discipline): items
+  // numbered by (toks DESC, doc_id ASC) per shard; per step the best bin
+  // is the smallest residual >= toks (list_min over list_filter,
+  // list_position = lowest index on ties), else a new bin opens.
+  val q150: Q = (s, d) =>
+    Curation.packSequencesBestFit(
+        Tables.documents(s, d)
+          .withColumn("toks", TextStats.wsTokenCount(col("text")).cast("long")),
+        "doc_id", col("toks"), Curation.shardAssign(col("text")),
+        budget = 256)
+      .select("doc_id", "shard", "toks", "pack")
+      .orderBy("doc_id")
+
+  val q150Sql: String = {
+    val best = "list_min(list_filter(r.bins, x -> x >= i.toks))"
+    s"""WITH RECURSIVE t AS (
+      |  SELECT doc_id,
+      |    CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS INT) AS shard,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS toks
+      |  FROM documents),
+      |it AS (
+      |  SELECT doc_id, shard, toks,
+      |    CAST(row_number() OVER (PARTITION BY shard
+      |      ORDER BY toks DESC, doc_id ASC) AS BIGINT) AS rn
+      |  FROM t),
+      |rec AS (
+      |  SELECT shard, CAST(0 AS BIGINT) AS rn, []::BIGINT[] AS bins,
+      |    CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS toks,
+      |    CAST(NULL AS BIGINT) AS pack
+      |  FROM (SELECT DISTINCT shard FROM it)
+      |  UNION ALL
+      |  SELECT i.shard, i.rn,
+      |    CASE WHEN $best IS NULL THEN list_append(r.bins, 256 - i.toks)
+      |      ELSE list_transform(generate_series(1, len(r.bins)), j ->
+      |        CASE WHEN j = list_position(r.bins, $best)
+      |          THEN r.bins[j] - i.toks ELSE r.bins[j] END)
+      |    END,
+      |    i.doc_id, i.toks,
+      |    CAST(CASE WHEN $best IS NULL THEN len(r.bins)
+      |      ELSE list_position(r.bins, $best) - 1 END AS BIGINT)
+      |  FROM rec r JOIN it i ON i.shard = r.shard AND i.rn = r.rn + 1)
+      |SELECT doc_id, shard, toks, pack FROM rec WHERE rn >= 1
+      |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q58 weighted source-mix sampling ---------------------------------
   // Per-stratum keep rates (the corpus-mixing dial) keyed to the corpus's
   // ACTUAL lang values (de/en/es/fr/zh — es/zh exercise the default-rate
@@ -337,6 +387,59 @@ object TextProbes {
          |        ELSE acc || '|' || x END)""".stripMargin
     val chained = graft.operators.Bpe.DemoMerges.foldLeft(
       "array_to_string(string_split(w, ''), '|')") {
+      case (inner, (a, b)) => stage(inner, a, b)
+    }
+    s"""WITH n AS (SELECT doc_id, $duckWords AS ws FROM documents),
+       |t AS (SELECT doc_id, list_transform(ws, w -> $chained) AS toks FROM n)
+       |SELECT doc_id,
+       |  CAST(coalesce(list_sum(list_transform(toks,
+       |    s -> len(string_split(s, '|')))), 0) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(toks, ' ')) AS enc_md5
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q148 BYTE-LEVEL BPE encode (GPT-2/LLaMA-family seeding) ------------
+  // Bpe.encodeOneSeeded over byteSymbols (UTF-8 bytes as hex-pair
+  // symbols — the 256-symbol no-OOV base alphabet) under the pinned
+  // DemoByteMerges table (BpeSpec derives that table by hand and pins
+  // trainLocal to it). Same full-fidelity output as q83: token count +
+  // md5 over the complete symbol stream. The oracle seeds bytes with
+  // hex(encode(w)) and replays the identical rank-order fold — the
+  // constants interpolate from the SAME DemoByteMerges, the q83
+  // discipline.
+  val q148: Q = (s, d) => {
+    import s.implicits._
+    val table = graft.operators.Bpe.DemoByteMerges.toVector
+    val ranks = table.zipWithIndex.map { case (m, i) => m -> i }.toMap
+    graft.core.Ops.widen(Tables.documents(s, d))
+      .select(col("doc_id"), Dedup.normalizeWords(col("text")).as("ws"))
+      .as[(Long, Seq[String])]
+      .map { case (id, ws) =>
+        val toks = ws.map(w => graft.operators.Bpe.encodeOneSeeded(
+          graft.operators.Bpe.byteSymbols(w), table, ranks))
+        (id, toks.map(_.length.toLong).sum,
+          toks.map(_.mkString("|")).mkString(" "))
+      }
+      .toDF("doc_id", "n_tokens", "enc")
+      .select(col("doc_id"), col("n_tokens"), md5(col("enc")).as("enc_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q148Sql: String = {
+    def stage(inner: String, a: String, b: String): String =
+      s"""list_reduce(list_prepend('', string_split($inner, '|')),
+         |      (acc, x) -> CASE
+         |        WHEN acc = '$a' AND x = '$b' THEN '${a + b}'
+         |        WHEN acc LIKE '%|$a' AND x = '$b'
+         |          THEN substr(acc, 1, length(acc) - ${a.length}) || '${a + b}'
+         |        WHEN acc = '' THEN x
+         |        ELSE acc || '|' || x END)""".stripMargin
+    // byte seed: normalizeWords output is ASCII, so each char is one
+    // UTF-8 byte — hex pairs i*2-1..i*2 of hex(encode(w))
+    val seed = "array_to_string(list_transform(" +
+      "generate_series(1, length(w)), " +
+      "i -> substring(lower(hex(encode(w))), i*2 - 1, 2)), '|')"
+    val chained = graft.operators.Bpe.DemoByteMerges.foldLeft(seed) {
       case (inner, (a, b)) => stage(inner, a, b)
     }
     s"""WITH n AS (SELECT doc_id, $duckWords AS ws FROM documents),
@@ -1819,10 +1922,12 @@ object TextProbes {
     "q48_pii_redaction" -> q48,
     "q51_repetition_ratio" -> q51,
     "q53_sequence_packing" -> q53,
+    "q150_bestfit_pack" -> q150,
     "q58_weighted_mix" -> q58,
     "q76_bpe_pairs" -> q76,
     "q78_chunking" -> q78,
     "q83_bpe_encode" -> q83,
+    "q148_byte_bpe" -> q148,
     "q90_gopher_rules" -> q90,
     "q91_bigram_lm" -> q91,
     "q93_hash_embed" -> q93,
@@ -1857,10 +1962,12 @@ object TextProbes {
     "q48_pii_redaction" -> q48Sql,
     "q51_repetition_ratio" -> q51Sql,
     "q53_sequence_packing" -> q53Sql,
+    "q150_bestfit_pack" -> q150Sql,
     "q58_weighted_mix" -> q58Sql,
     "q76_bpe_pairs" -> q76Sql,
     "q78_chunking" -> q78Sql,
     "q83_bpe_encode" -> q83Sql,
+    "q148_byte_bpe" -> q148Sql,
     "q90_gopher_rules" -> q90Sql,
     "q91_bigram_lm" -> q91Sql,
     "q93_hash_embed" -> q93Sql,

@@ -153,6 +153,91 @@ object Recall {
       return
     }
 
+    // ---- `--nnd`: NN-Descent recall row (round 13) -----------------------
+    // recall@k of the KnnGraph.knnGraph edges vs brute-force ground truth
+    // on the sampled query nodes, per refinement round — the convergence
+    // curve the iters dial trades against round cost.
+    if (args.length > 2 && args(2) == "--nnd") {
+      for (n <- Seq(1, factor)) {
+        val v = Scale.scaledVecs(spark, sfDir, n)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val queries = v.filter(col("id") % 50 === 0)
+        val truth = Similarity.bruteForceTopK(v, queries, k)
+          .select("vec_id", "other_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val truthN = truth.count()
+        for (iters <- Seq(0, 1, 2, 3)) {
+          val t0 = System.nanoTime()
+          val g = graft.operators.KnnGraph.knnGraph(v, k, iters)
+          val got = g.select(col("id").as("vec_id"),
+            col("nbr").as("other_id"))
+          val hit = got.join(truth, Seq("vec_id", "other_id")).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"RECALL nn_descent  x$n%-3d iters=$iters%-2d " +
+            f"recall@$k=${hit.toDouble / truthN}%6.4f $dt%8.2f s  " +
+            f"(truth=$truthN)")
+        }
+        truth.unpersist(); v.unpersist()
+      }
+      spark.stop()
+      return
+    }
+
+    // ---- `--phash`: perceptual-hash mutation-recall row (round 13) ------
+    // Planted-mutation recall of pHash vs aHash at hamming <= 3: every
+    // base image (32x32 deterministic noise) gets one mutated copy; the
+    // published aHash weakness is LOW-FREQUENCY content (a gradient ramp
+    // moves many cell-vs-mean bits at once), which the DCT hash isolates
+    // into a few low-AC coefficients. Collisions = found pairs that were
+    // not planted (the false-positive side).
+    if (args.length > 2 && args(2) == "--phash") {
+      import spark.implicits._
+      import graft.operators.Multimodal
+      val nImages = 500L * factor
+      def mkImages(mutation: String)
+          : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] =
+        spark.range(nImages).as[Long].flatMap { id =>
+          def clamp(v: Int) = math.max(0, math.min(255, v))
+          val px = Array.tabulate(1024) { p =>
+            val (x, y) = (p % 32, p / 32)
+            ((id * 31 + y * 37 + x * 17) % 256).toInt
+          }
+          val mut = mutation match {
+            case "nudge" => px.zipWithIndex.map { case (v, p) =>
+              if (p == 0) clamp(v + 9) else v }
+            case "bright" => px.map(v => clamp(v + 24))
+            case "ramp" => px.zipWithIndex.map { case (v, p) =>
+              clamp(v + ((p % 32) + (p / 32)) / 4) }
+            case "contrast" => px.map(v => clamp((v - 128) * 85 / 100 + 128))
+          }
+          Seq(Multimodal.MediaRecord(id,
+              Multimodal.encodeGrayPixelsPng(32, 32, px), "image/png"),
+            Multimodal.MediaRecord(id + 1000000L,
+              Multimodal.encodeGrayPixelsPng(32, 32, mut), "image/png"))
+        }
+      for (mutation <- Seq("nudge", "bright", "ramp", "contrast")) {
+        val media = mkImages(mutation)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        media.count()
+        for ((tag, pairs) <- Seq(
+            "ahash" -> Multimodal.imageNearDupPairs(media, 3),
+            "phash" -> Multimodal.imagePHashNearDupPairs(media, 3))) {
+          val p = pairs.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val total = p.count()
+          val planted = p.filter(col("idB") === col("idA") + 1000000L)
+            .count()
+          println(f"RECALL ${tag}_$mutation%-14s x$factor%-3d " +
+            f"recall@h3=${planted.toDouble / nImages}%6.4f " +
+            f"collisions=${total - planted}%-6d (planted=$nImages)")
+          p.unpersist()
+        }
+        media.unpersist()
+      }
+      spark.stop()
+      return
+    }
+
     for (n <- Seq(1, factor)) {
       val v = Scale.scaledVecs(spark, sfDir, n)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

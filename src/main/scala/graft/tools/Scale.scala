@@ -475,6 +475,18 @@ object Scale {
             .agg(count(lit(1)).as("docs"), sum("dup_tokens").as("dt")),
           Seq.empty)
       }
+      // round-13 SHARDED deployment shape: per-shard suffix ranks (4
+      // content-defined doc shards, concurrent job chains) + one
+      // corpus-global cross-shard window screen — coverage identical
+      // to suffix_dedup (spec-pinned), priced head-to-head here
+      run("suffix_sharded", n) {
+        graft.core.Managed(
+          graft.operators.Suffix.suffixDuplicateStatsSharded(d, "doc_id",
+              "text", minLen = 50, cap = 128, numShards = 4)
+            .groupBy(col("doc_id") % 32)
+            .agg(count(lit(1)).as("docs"), sum("dup_tokens").as("dt")),
+          Seq.empty)
+      }
       run("tfidf_top3", n) {
         graft.core.Managed(
           graft.operators.TextStats.tfidfTopTerms(d, "doc_id", "text", 3)

@@ -104,4 +104,59 @@ class BpeSpec extends SparkSpec {
     // a LONE surrogate (malformed input) still round-trips as one symbol
     assert(Bpe.codePointSymbols("\ud83d").toSeq == Seq("\ud83d"))
   }
+
+  test("byte-level train learns the hand-derived DemoByteMerges sequence " +
+      "on its fixture (count argmax, UTF-8 pair tiebreak) and stops dry") {
+    // worked by hand: round-1 counts (74,68)=7 (68,65)=7 (61,6e)=5
+    // (6e,64)=3 (65,6e)=2 (6f,6e)=2 — the 7-tie breaks to "68 65";
+    // rounds 5 ties 2-2 to "6f 6e"; after 6 merges every word is atomic
+    val fixture = Seq(("the", 5L), ("then", 2L), ("and", 3L),
+      ("an", 2L), ("on", 2L))
+    val (m, vocab) = Bpe.trainLocal(fixture, numMerges = 10,
+      seed = Bpe.byteSymbols)
+    assert(m == Bpe.DemoByteMerges, m.toString)
+    assert(vocab.forall(_._3.size == 1), vocab.toString)
+  }
+
+  test("byte-level: driver-local and distributed train agree, including " +
+      "non-ASCII where one code point spans several byte symbols") {
+    val sets = Seq(
+      Seq(("the", 5L), ("then", 2L), ("and", 3L), ("an", 2L), ("on", 2L)),
+      Seq(("héé", 4L), ("hé", 2L), ("😀😀", 3L)))
+    for (set <- sets) {
+      val words = set.toDF("w", "freq")
+      val (mLocal, vLocal) = Bpe.train(words, 6, byteLevel = true)
+      val (mDist, vDist) = Bpe.train(words, 6, localizeBytes = 0L,
+        byteLevel = true)
+      assert(mLocal == mDist, s"byte merge sequences diverge on $set")
+      val l = vLocal.select("w", "syms").as[(String, Seq[String])]
+        .collect().toMap
+      val dd = vDist.select("w", "syms").as[(String, Seq[String])]
+        .collect().toMap
+      assert(l == dd, s"byte vocabularies diverge on $set")
+    }
+  }
+
+  test("byteSymbolsCol equals byteSymbols on ASCII, multi-byte, and " +
+      "supplementary-plane words") {
+    val words = Seq("the", "x", "héllo", "😀x", "𝄞", "ﬀ")
+    val got = words.toDF("w")
+      .select(col("w"), Bpe.byteSymbolsCol(col("w")).as("s"))
+      .as[(String, Seq[String])].collect().toMap
+    for (w <- words)
+      assert(got(w) == Bpe.byteSymbols(w).toSeq, s"'$w': ${got(w)}")
+  }
+
+  test("byte fallback: encodeWordsBytes encodes words full of symbols " +
+      "the table never saw — every byte stays representable, no OOV") {
+    val enc = Bpe.encodeWordsBytes(
+        Seq("the", "zq😀", "").toDS(), Bpe.DemoByteMerges)
+      .collect().toMap
+    assert(enc("the") == Seq("746865")) // fully merged
+    // unseen bytes pass through as single-byte symbols (7a 71 + emoji's 4)
+    assert(enc("zq😀") == Seq("7a", "71", "f0", "9f", "98", "80"))
+    assert(enc("") == Seq())
+    // and every encoding decodes back
+    for ((w, syms) <- enc) assert(Bpe.decodeByteSymbols(syms) == w)
+  }
 }

@@ -49,6 +49,56 @@ class CurateStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch rejection ledger (Curate.run emitLedger) ≡ stream " +
+      "GateVerdicts on the same corpus; funnel counts derive from it") {
+    val corpus = Seq(
+      1L -> goodText("one"),
+      2L -> goodText("one"),                 // exact dup of 1
+      3L -> goodText("two"),
+      4L -> (goodText("two") + " appended"), // near-dup of 3
+      5L -> "short junk!!!",                 // quality reject
+      7L -> goodText("four"))
+    // batch: the full funnel with an empty benchmark (decontamination
+    // rejects nothing → the shared-stage reason vocabulary is exercised)
+    val res = graft.pipeline.Curate.run(corpus.toDF("doc_id", "text"),
+      "doc_id", "text",
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text",
+      cfg = graft.pipeline.CurateConfig(emitLedger = true))
+    val batch = res.ledger.get.as[CurateStream.GateVerdict].collect()
+      .map(v => v.id -> ((v.admitted, v.reason, v.dup_of))).toMap
+    // stream: same corpus in arrival order (near-dup fed after its
+    // canonical so first-arrival state matches batch min-id lineage)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = CurateStream.gate(input.toDF().toDF("id", "text"), "id", "text")
+      .writeStream.format("memory").queryName("curate_gate_ledger")
+      .outputMode(OutputMode.Append()).start()
+    val stream =
+      try {
+        input.addData(1L -> corpus.toMap.apply(1L),
+          2L -> corpus.toMap.apply(2L), 3L -> corpus.toMap.apply(3L),
+          5L -> corpus.toMap.apply(5L))
+        q.processAllAvailable()
+        input.addData(4L -> corpus.toMap.apply(4L),
+          7L -> corpus.toMap.apply(7L))
+        q.processAllAvailable()
+        spark.table("curate_gate_ledger")
+          .as[CurateStream.GateVerdict].collect()
+          .map(v => v.id -> ((v.admitted, v.reason, v.dup_of))).toMap
+      } finally q.stop()
+    assert(batch.size == corpus.size, s"ledger incomplete: $batch")
+    assert(batch == stream, s"batch $batch vs stream $stream")
+    // funnel counts are derivable from the ledger
+    val counts = res.stageCounts.toMap
+    val byReason = batch.values.toSeq.groupBy(_._2)
+      .view.mapValues(_.size.toLong).toMap
+    assert(counts("exact_dedup") ==
+      corpus.size - byReason.getOrElse("quality", 0L) -
+        byReason.getOrElse("exact_dup", 0L))
+    assert(counts("near_dup") ==
+      counts("exact_dedup") - byReason.getOrElse("near_dup", 0L))
+    assert(counts("decontaminated") == byReason("admitted"))
+  }
+
   test("gate: same-batch exact dups resolve to the smallest id (batch " +
       "funnel parity)") {
     val input = MemoryStream[(Long, String)](spark)

@@ -112,6 +112,60 @@ class SuffixSpec extends SparkSpec {
     }
   }
 
+  test("suffixDuplicateStatsSharded equals the single-stream form on a " +
+      "fixture whose planted repeat provably straddles shards") {
+    // clones of docs 1-3 with distinct tails: different text hash, so
+    // clone and original land in pseudo-random (usually different)
+    // shards — the self-check below ASSERTS at least one planted pair
+    // straddles, so the cross-shard screen is genuinely load-bearing
+    val planted = fixture ++ fixture.take(3).map { case (id, t) =>
+      (id + 100L) -> (t + s" cloned tail ${id}x")
+    }
+    val docs = planted.toDF("doc_id", "text")
+    val numShards = 3
+    val shardOf = docs.select(col("doc_id"),
+        pmod(xxhash64(col("text")), lit(numShards)).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 3L).exists(id => shardOf(id) != shardOf(id + 100L)),
+      s"fixture degenerated: all planted pairs co-shard ($shardOf) — " +
+        "change tails so the screen path is exercised")
+    for (minLen <- Seq(4, 5)) {
+      val single = Suffix.suffixDuplicateStats(docs, "doc_id", "text",
+          minLen = minLen, cap = 16)
+        .select("doc_id", "n_tokens", "dup_tokens")
+        .as[(Long, Long, Long)].collect().toSet
+      val sharded = Suffix.suffixDuplicateStatsSharded(docs, "doc_id",
+          "text", minLen = minLen, cap = 16, numShards = numShards)
+        .select("doc_id", "n_tokens", "dup_tokens")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(sharded == single, s"minLen=$minLen: $sharded vs $single")
+    }
+  }
+
+  test("randomized: sharded coverage is IDENTICAL to single-stream " +
+      "across shard counts (including numShards = 1)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val docs = (1L to 8L).map { id =>
+        id -> Seq.fill(8 + rnd.nextInt(20))(
+          "wxyz".charAt(rnd.nextInt(4)).toString * (1 + rnd.nextInt(2)))
+          .mkString(" ")
+      }
+      val minLen = 3 + rnd.nextInt(2)
+      val df = docs.toDF("doc_id", "text")
+      val single = Suffix.suffixDuplicateStats(df, "doc_id", "text",
+          minLen = minLen, cap = 16)
+        .select("doc_id", "dup_tokens").as[(Long, Long)].collect().toMap
+      for (s <- Seq(1, 2, 4)) {
+        val got = Suffix.suffixDuplicateStatsSharded(df, "doc_id", "text",
+            minLen = minLen, cap = 16, numShards = s)
+          .select("doc_id", "dup_tokens").as[(Long, Long)].collect().toMap
+        assert(got == single,
+          s"trial=$trial minLen=$minLen shards=$s: $got vs $single")
+      }
+    }
+  }
+
   test("removeDuplicateSpansExact drops ALL occurrences of duplicated " +
       "text, keeps the rest in order, and is idempotent on the result") {
     val docs = fixture.toDF("doc_id", "text")
