@@ -78,6 +78,10 @@ case class CurateConfig(
     chunkTokens: Int = 64,
     chunkOverlap: Int = 8,
     packBudget: Int = 256,
+    // pack with best-fit-decreasing ([[Curation.packSequencesBestFit]])
+    // instead of the greedy contiguous cut — lower padding at the cost
+    // of giving up doc-contiguous pack order (PACK sweeps in SCALE.md)
+    packBestFit: Boolean = false,
     // emit the per-doc rejection LEDGER (CurateResult.ledger): one
     // verdict row per input doc — the audit frame a production curation
     // run owes its corpus accounting, and the batch twin of
@@ -419,8 +423,12 @@ object Curate {
     val chunks = Curation.chunkByTokens(clean, idCol, textCol,
         cfg.chunkTokens, cfg.chunkOverlap)
       .withColumn("__ck", col(idCol) * lit(1000000L) + col("chunk_id"))
-    val packed = Curation.packSequences(chunks, "__ck", col("n_tokens"),
-        Curation.shardAssign(col(idCol)), cfg.packBudget)
+    val packed = (if (cfg.packBestFit)
+        Curation.packSequencesBestFit(chunks, "__ck", col("n_tokens"),
+          Curation.shardAssign(col(idCol)), cfg.packBudget)
+      else
+        Curation.packSequences(chunks, "__ck", col("n_tokens"),
+          Curation.shardAssign(col(idCol)), cfg.packBudget))
       .drop("__ck", "toks")
       .persist(StorageLevel.MEMORY_AND_DISK)
     stage("chunks", packed.count())

@@ -158,23 +158,49 @@ object Recall {
     // on the sampled query nodes, per refinement round — the convergence
     // curve the iters dial trades against round cost.
     if (args.length > 2 && args(2) == "--nnd") {
-      for (n <- Seq(1, factor)) {
-        val v = Scale.scaledVecs(spark, sfDir, n)
+      // two corpora: the standard synthetic embeddings (UNIFORM random —
+      // no neighborhood transitivity, the regime where NN-Descent's
+      // premise fails and the honest low numbers belong in SCALE.md) and
+      // a clustered corpus (64 tight axis clusters + hash noise — the
+      // manifold structure real embeddings have, where the
+      // neighbor-of-a-neighbor premise holds and convergence shows).
+      def clustered(nv: Long): org.apache.spark.sql.DataFrame =
+        spark.range(nv).select(col("id"), expr(
+          "transform(sequence(0, 63), d -> " +
+            "CASE WHEN d = CAST(id % 64 AS INT) THEN 5.0 ELSE 0.0 END + " +
+            "CAST(hash(id, d) AS DOUBLE) / 4.294967296E9 * 0.5)").as("v"))
+      val corpora = Seq(
+        "uniform" -> ((n: Int) => Scale.scaledVecs(spark, sfDir, n)),
+        "clustered" -> ((n: Int) => clustered(2154L * n)))
+      for ((tag, mk) <- corpora; n <- Seq(1, factor)) {
+        val v = mk(n)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val queries = v.filter(col("id") % 50 === 0)
         val truth = Similarity.bruteForceTopK(v, queries, k)
           .select("vec_id", "other_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val truthN = truth.count()
-        for (iters <- Seq(0, 1, 2, 3)) {
+        for (iters <- Seq(0, 1, 2, 4, 8)) {
           val t0 = System.nanoTime()
           val g = graft.operators.KnnGraph.knnGraph(v, k, iters)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val nEdges = g.count()
           val got = g.select(col("id").as("vec_id"),
             col("nbr").as("other_id"))
           val hit = got.join(truth, Seq("vec_id", "other_id")).count()
+          // neighbor QUALITY for the clustered corpus: the fraction of
+          // graph edges inside the true cluster — what the SemDeDup /
+          // hard-negative consumers actually need (exact top-k order
+          // within a tie-dense cluster converges rounds later)
+          val quality =
+            if (tag == "clustered")
+              f"incluster=${g.filter(col("id") % 64 === col("nbr") % 64)
+                .count().toDouble / nEdges}%6.4f "
+            else ""
           val dt = (System.nanoTime() - t0) / 1e9
-          println(f"RECALL nn_descent  x$n%-3d iters=$iters%-2d " +
-            f"recall@$k=${hit.toDouble / truthN}%6.4f $dt%8.2f s  " +
+          g.unpersist()
+          println(f"RECALL nnd_$tag%-10s x$n%-3d iters=$iters%-2d " +
+            f"recall@$k=${hit.toDouble / truthN}%6.4f $quality$dt%8.2f s  " +
             f"(truth=$truthN)")
         }
         truth.unpersist(); v.unpersist()
@@ -194,13 +220,34 @@ object Recall {
       import spark.implicits._
       import graft.operators.Multimodal
       val nImages = 500L * factor
+      // splitmix64 finalizer (published constants) — per-(image, pixel)
+      // independent noise; the first fixture draft used a pattern LINEAR
+      // in id, which made every image a brightness shift of every other
+      // (aHash is shift-invariant → 2M degenerate collisions)
+      def mix(id: Long, p: Long): Long = {
+        var z = id * 0x9E3779B97F4A7C15L + p * 0xC2B2AE3D27D4EB4FL +
+          0x165667B19E3779F9L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
       def mkImages(mutation: String)
           : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] =
         spark.range(nImages).as[Long].flatMap { id =>
           def clamp(v: Int) = math.max(0, math.min(255, v))
+          // photo-like SMOOTH field (a per-image random plane wave) +
+          // ±8 pixel noise: cell-vs-mean margins are small where the
+          // wave crosses its mean — the regime where aHash bits are
+          // fragile and the DCT hash's frequency separation matters
+          val ax = 1 + (mix(id, 1031L) & 3L).toInt // 1..4
+          val ay = 1 + (mix(id, 2063L) & 3L).toInt
+          val phase = (mix(id, 4093L) & 0xffL).toDouble / 256.0
           val px = Array.tabulate(1024) { p =>
             val (x, y) = (p % 32, p / 32)
-            ((id * 31 + y * 37 + x * 17) % 256).toInt
+            val wave = 128.0 + 48.0 * math.sin(2 * math.Pi *
+              ((x * ax + y * ay).toDouble / 32.0 + phase))
+            val noise = math.floorMod(mix(id, p.toLong), 17L).toInt - 8
+            clamp((wave + noise).round.toInt)
           }
           val mut = mutation match {
             case "nudge" => px.zipWithIndex.map { case (v, p) =>

@@ -92,6 +92,40 @@ object Scale {
     def docs(n: Int): DataFrame = scaledDocs(spark, sfDir, n)
     def vecs(n: Int): DataFrame = scaledVecs(spark, sfDir, n)
 
+    // one-off mode: `--pack` — padding/overflow fractions of the greedy
+    // contiguous packer vs best-fit-decreasing on the ACTUAL sf token
+    // length distribution (round-13 mandate): per (shard, pack), pad =
+    // budget − fill (greedy can also OVERFLOW: a doc straddling a budget
+    // boundary lands whole in the pack its start falls into). Fractions
+    // are of total pack capacity (bins × budget).
+    if (args.length > 2 && args(2) == "--pack") {
+      import graft.operators.{Curation, TextStats}
+      for (n <- Seq(1, factor); budget <- Seq(256, 512)) {
+        val items = docs(n)
+          .withColumn("toks",
+            TextStats.wsTokenCount(col("text")).cast("long"))
+        def report(tag: String, packed: DataFrame): Unit = {
+          val per = packed.groupBy("shard", "pack")
+            .agg(sum("toks").as("fill"))
+          val r = per.agg(count(lit(1)).as("bins"),
+            sum(greatest(lit(0L), lit(budget.toLong) - col("fill")))
+              .as("pad"),
+            sum(greatest(lit(0L), col("fill") - lit(budget.toLong)))
+              .as("over")).head()
+          val cap = r.getLong(0).toDouble * budget
+          println(f"PACK $tag%-8s x$n%-3d budget=$budget%-4d " +
+            f"bins=${r.getLong(0)}%-7d pad=${r.getLong(1) / cap}%6.4f " +
+            f"overflow=${r.getLong(2) / cap}%6.4f")
+        }
+        report("greedy", Curation.packSequences(items, "doc_id",
+          col("toks"), Curation.shardAssign(col("text")), budget))
+        report("bestfit", Curation.packSequencesBestFit(items, "doc_id",
+          col("toks"), Curation.shardAssign(col("text")), budget))
+      }
+      spark.stop()
+      return
+    }
+
     // one-off mode: `runMain graft.tools.Scale <sfDir> <factor> --curate`
     // runs the COMPOSED Curate pipeline (all optional gates on) at 1x and
     // Nx and prints the funnel count + wall time per stage — the judge's

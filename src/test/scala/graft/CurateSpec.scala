@@ -58,6 +58,34 @@ class CurateSpec extends SparkSpec {
     res.chunks.unpersist()
   }
 
+  test("Curate.run with packBestFit: every chunk packed exactly once and " +
+      "NO pack exceeds the budget (the invariant greedy trades away)") {
+    // greedy's contiguous cut lets a straddling chunk OVERFLOW its pack
+    // (pad-free but over-budget); best-fit's contract is the reverse —
+    // fills never exceed budget when items fit it, padding is the cost.
+    // The padding-vs-overflow economics are measured, not asserted:
+    // the --pack sweep rows in SCALE.md.
+    val docs = (1L to 12L).map(i => i -> goodText(s"doc$i"))
+      .toDF("doc_id", "text")
+    val bench = Seq("nothing matches this").toDF("btext")
+    val res = Curate.run(docs, "doc_id", "text", bench, "btext",
+      graft.pipeline.CurateConfig(minQualityE4 = 5000, chunkTokens = 16,
+        chunkOverlap = 4, packBudget = 32, packBestFit = true))
+    val nChunks = res.chunks.count()
+    assert(nChunks == res.stageCounts.toMap.apply("chunks"))
+    // exactly one (shard, pack) assignment per chunk
+    assert(res.chunks.select("doc_id", "chunk_id").distinct().count()
+      == nChunks)
+    val per = res.chunks.groupBy("shard", "pack")
+      .agg(sum("n_tokens").as("fill"))
+    val over = per.filter(col("fill") > 32L).count()
+    assert(over == 0L, s"$over best-fit packs exceed the budget")
+    // packs are 0-based and contiguous enough to start at 0 per shard
+    assert(res.chunks.groupBy("shard").agg(min("pack").as("p"))
+      .filter(col("p") =!= 0L).count() == 0)
+    res.chunks.unpersist()
+  }
+
   test("Curate.run with dedupWindowsW: repeated cross-doc passages drop " +
       "before exact dedup sees the docs") {
     // docs 1 and 2 differ ONLY by a shared 12-token passage appended to
