@@ -180,9 +180,15 @@ object Recall {
           .select("vec_id", "other_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val truthN = truth.count()
-        for (iters <- Seq(0, 1, 2, 4, 8)) {
+        // warm = IVF-seeded init (64 md5-sampled cells) — the SCALE.md
+        // guidance row: locality-biased seeding vs the cold ring
+        val configs = Seq(("cold", 0, Seq(0, 1, 2, 4, 8))) ++
+          (if (tag == "clustered") Seq(("warm", 64, Seq(0, 1, 2)))
+           else Seq.empty)
+        for ((itag, wc, itersSeq) <- configs; iters <- itersSeq) {
           val t0 = System.nanoTime()
-          val g = graft.operators.KnnGraph.knnGraph(v, k, iters)
+          val g = graft.operators.KnnGraph.knnGraph(v, k, iters,
+            warmCells = wc)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val nEdges = g.count()
           val got = g.select(col("id").as("vec_id"),
@@ -199,7 +205,7 @@ object Recall {
             else ""
           val dt = (System.nanoTime() - t0) / 1e9
           g.unpersist()
-          println(f"RECALL nnd_$tag%-10s x$n%-3d iters=$iters%-2d " +
+          println(f"RECALL nnd_$tag%-10s x$n%-3d $itag%-4s iters=$iters%-2d " +
             f"recall@$k=${hit.toDouble / truthN}%6.4f $quality$dt%8.2f s  " +
             f"(truth=$truthN)")
         }
