@@ -593,15 +593,17 @@ object Multimodal {
     * aHash-collision regime.
     */
   def imagePHashNearDupPairs(ds: Dataset[MediaRecord],
-                             maxHamming: Int = 3): DataFrame =
-    imagePHashNearDupPairsManaged(ds, maxHamming).df
+                             maxHamming: Int = 3,
+                             nBands: Int = 4): DataFrame =
+    imagePHashNearDupPairsManaged(ds, maxHamming, nBands).df
 
   def imagePHashNearDupPairsManaged(ds: Dataset[MediaRecord],
-                                    maxHamming: Int = 3)
+                                    maxHamming: Int = 3,
+                                    nBands: Int = 4)
       : graft.core.Managed = {
     val sigs = imagePHash(ds).toDF()
       .withColumnRenamed("phash", "ahash") // banding core is hash-agnostic
-    hashBandNearDupPairs(sigs, maxHamming)
+    hashBandNearDupPairs(sigs, maxHamming, nBands)
   }
 
   /** Near-duplicate image pairs by perceptual hash — the image-side
@@ -625,19 +627,28 @@ object Multimodal {
     hashBandNearDupPairs(imageAHash(ds).toDF(), maxHamming)
 
   /** The shared band-join core: signatures (media_id, ahash) from ANY
-    * 64-bit perceptual hash, −1 markers excluded, 4×16-bit pigeonhole
-    * candidates, exact hamming verify.
+    * 64-bit perceptual hash, −1 markers excluded, `nBands` equal-width
+    * pigeonhole bands (exact for maxHamming < nBands: a pair within
+    * that hamming agrees exactly on ≥ 1 band), exact hamming verify.
+    * More bands = a higher exact cut at more candidate volume —
+    * 4×16-bit serves hamming ≤ 3, 8×8-bit serves ≤ 7 (the
+    * gradient-robust pHash cut measured in SCALE.md).
     */
-  private def hashBandNearDupPairs(sigs0: DataFrame,
-                                   maxHamming: Int): graft.core.Managed = {
-    require(maxHamming < 4, "pigeonhole over 4 bands needs maxHamming < 4")
+  private def hashBandNearDupPairs(sigs0: DataFrame, maxHamming: Int,
+                                   nBands: Int = 4): graft.core.Managed = {
+    require(nBands > 0 && 64 % nBands == 0,
+      s"band count ($nBands) must divide 64")
+    require(maxHamming < nBands,
+      s"pigeonhole over $nBands bands needs maxHamming < $nBands")
+    val bpb = 64 / nBands
+    val mask = if (bpb == 64) -1L else (1L << bpb) - 1L
     val sigs = sigs0
       .filter(col("ahash") =!= -1L)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sigs.select(col("media_id"), col("ahash"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("ahash"), b * 16).bitwiseAND(0xffffL).as("bits"))): _*))
+          shiftright(col("ahash"), b * bpb).bitwiseAND(mask).as("bits"))): _*))
         .as("bb"))
       .select(col("media_id"), col("ahash"), col("bb.band").as("band"),
         col("bb.bits").as("bits"))

@@ -229,11 +229,76 @@ object Suffix {
   def suffixDuplicateStatsSharded(docs: DataFrame, idCol: String,
                                   textCol: String, minLen: Int = 50,
                                   cap: Int = 512, numShards: Int = 4,
-                                  shardConcurrency: Int = 4): DataFrame = {
+                                  shardConcurrency: Int = 4): DataFrame =
+    withShardedMarks(docs, idCol, textCol, minLen, cap, numShards,
+        shardConcurrency) { (sharded, marks) =>
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc").orderBy("pos", "len")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val stats = marks
+        .withColumn("__pe", max(col("pos") + col("len")).over(byDoc))
+        .withColumn("__cov", greatest(lit(0L),
+          col("pos") + col("len") -
+            greatest(col("pos").cast("long"), coalesce(col("__pe"), lit(0L)))))
+        .groupBy("doc")
+        .agg(sum("__cov").as("dup_tokens"))
+      sharded
+        .select(col(idCol), size(col("__ws")).cast("long").as("n_tokens"))
+        .join(stats.withColumnRenamed("doc", idCol), Seq(idCol), "left_outer")
+        .select(col(idCol), col("n_tokens"),
+          coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"))
+    }
+
+  /** The sharded CLEANER — [[removeDuplicateSpansExact]]'s semantics
+    * over the sharded mark set: the coverage IDENTITY argument above
+    * makes the covered-token set equal to the single-stream form's, so
+    * dropping covered tokens yields the SAME cleaned text (spec-pinned;
+    * q151 runs against q144's oracle). Output:
+    * (idCol, cleaned_text, n_removed_tokens), every input doc once.
+    */
+  def removeDuplicateSpansExactSharded(docs: DataFrame, idCol: String,
+                                       textCol: String, minLen: Int = 50,
+                                       cap: Int = 512, numShards: Int = 4,
+                                       shardConcurrency: Int = 4): DataFrame =
+    withShardedMarks(docs, idCol, textCol, minLen, cap, numShards,
+        shardConcurrency) { (sharded, marks) =>
+      val spans = marks
+        .select(col("doc"), col("pos").cast("int").as("pos"),
+          col("len").cast("int").as("len"))
+        .groupBy("doc")
+        .agg(sort_array(collect_list(struct(col("pos"), col("len"))))
+          .as("__ps"))
+      sharded.select(col(idCol), col("__ws"))
+        .join(spans.withColumnRenamed("doc", idCol), Seq(idCol),
+          "left_outer")
+        .withColumn("__ps", coalesce(col("__ps"),
+          expr("CAST(array() AS array<struct<pos:int,len:int>>)")))
+        .withColumn("__kept", expr(
+          "filter(transform(__ws, (t, i) -> struct(t AS t, i + 1 AS i)), " +
+            "s -> NOT exists(__ps, p -> s.i >= p.pos AND s.i < p.pos + p.len))"))
+        .select(col(idCol),
+          expr("array_join(transform(__kept, s -> s.t), ' ')")
+            .as("cleaned_text"),
+          (size(col("__ws")) - size(col("__kept"))).cast("long")
+            .as("n_removed_tokens"))
+    }
+
+  /** Shared sharded-marks scaffolding: builds the persisted
+    * (idCol, __text, __ws, __shard) frame, runs the per-shard suffix
+    * passes concurrently and the cross-shard screen, hands
+    * `finish(sharded, marks)` the union mark set (doc, pos 1-based int,
+    * len long), and eagerly localCheckpoints its result so the persist
+    * and thread pool can be torn down on return.
+    */
+  private def withShardedMarks(docs: DataFrame, idCol: String,
+                               textCol: String, minLen: Int, cap: Int,
+                               numShards: Int, shardConcurrency: Int)(
+      finish: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     require(minLen >= 1 && minLen <= cap - 1,
-      s"suffixDuplicateStatsSharded: need 1 <= minLen ($minLen) <= cap-1")
+      s"sharded suffix dedup: need 1 <= minLen ($minLen) <= cap-1")
     require(numShards >= 1 && shardConcurrency >= 1,
-      "suffixDuplicateStatsSharded: numShards/shardConcurrency >= 1")
+      "sharded suffix dedup: numShards/shardConcurrency >= 1")
     val sharded = Ops.widen(docs)
       .select(col(idCol), coalesce(col(textCol), lit("")).as("__text"),
         Dedup.normalizeWords(coalesce(col(textCol), lit(""))).as("__ws"),
@@ -284,22 +349,7 @@ object Suffix {
         .map(_.select(col("doc"), col("pos").cast("int").as("pos"),
           col("len").cast("long").as("len")))
         .reduce(_ unionByName _)
-      val byDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc").orderBy("pos", "len")
-        .rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      val stats = marks
-        .withColumn("__pe", max(col("pos") + col("len")).over(byDoc))
-        .withColumn("__cov", greatest(lit(0L),
-          col("pos") + col("len") -
-            greatest(col("pos").cast("long"), coalesce(col("__pe"), lit(0L)))))
-        .groupBy("doc")
-        .agg(sum("__cov").as("dup_tokens"))
-      sharded
-        .select(col(idCol), size(col("__ws")).cast("long").as("n_tokens"))
-        .join(stats.withColumnRenamed("doc", idCol), Seq(idCol), "left_outer")
-        .select(col(idCol), col("n_tokens"),
-          coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"))
+      finish(sharded, marks)
         .localCheckpoint(true) // sharded unpersists when we return
     } finally {
       pool.shutdown()

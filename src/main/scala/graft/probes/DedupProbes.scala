@@ -733,7 +733,25 @@ object DedupProbes {
        |    AS n_removed_tokens
        |FROM n n2 LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ---- q151 SHARDED exact-substring CLEANER ------------------------------
+  // Suffix.removeDuplicateSpansExactSharded on the q144 corpus: the
+  // sharded mark set's coverage identity makes the cleaned text equal
+  // to the single-stream cleaner's, so the oracle is q144's
+  // brute-force reconstruction unchanged.
+  val q151: Q = (s, d) => {
+    val base = Tables.documents(s, d).filter(col("doc_id") < 12)
+      .select(col("doc_id"), substring(col("text"), 1, 400).as("text"))
+    val planted = base.unionByName(
+      base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" cloned tail marker")).as("text")))
+    graft.operators.Suffix.removeDuplicateSpansExactSharded(planted,
+        "doc_id", "text", minLen = 5, cap = 16, numShards = 3)
+      .orderBy("doc_id")
+  }
+
   private[probes] val queries: Map[String, Q] = Map(
+    "q151_suffix_sharded_clean" -> q151,
     "q27_minhash_lsh_neardup" -> q27,
     "q28_simhash" -> q28,
     "q29_ngram_jaccard" -> q29,
@@ -752,6 +770,7 @@ object DedupProbes {
     "q145_suffix_sharded" -> q145)
 
   private[probes] val oracleSql: Map[String, String] = Map(
+    "q151_suffix_sharded_clean" -> q144Sql,
     "q27_minhash_lsh_neardup" -> q27Sql,
     "q28_simhash" -> q28Sql,
     "q29_ngram_jaccard" -> q29Sql,

@@ -274,7 +274,11 @@ object Recall {
         media.count()
         for ((tag, pairs) <- Seq(
             "ahash" -> Multimodal.imageNearDupPairs(media, 3),
-            "phash" -> Multimodal.imagePHashNearDupPairs(media, 3))) {
+            "phash" -> Multimodal.imagePHashNearDupPairs(media, 3),
+            // 8x8-bit bands: exact hamming <= 7 — the wider cut for
+            // additive low-frequency mutations (ramp)
+            "phash_w7" -> Multimodal.imagePHashNearDupPairs(media, 7,
+              nBands = 8))) {
           val p = pairs.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val total = p.count()

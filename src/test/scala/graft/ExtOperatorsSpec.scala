@@ -551,6 +551,43 @@ class ExtOperatorsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(3L)) > 3)
   }
 
+  test("pHash wide-band serving: 8x8-bit bands find exactly the pairs " +
+      "within hamming 7 (exact pigeonhole at the wider cut)") {
+    import graft.operators.Multimodal
+    // pseudo-random 16x16 patterns; ids 11/12 and 21/22 are mutated
+    // copies (the --phash mixer shape), the rest unrelated
+    def mix(id: Long, p: Long): Long = {
+      var z = id * 0x9E3779B97F4A7C15L + p * 0xC2B2AE3D27D4EB4FL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      (z ^ (z >>> 27)) & 0xffL
+    }
+    def img(id: Long, nudge: Int) = Multimodal.encodeGrayPixelsPng(16, 16,
+      Array.tabulate(256)(p => (mix(id, p.toLong).toInt +
+        (if (p < 40) nudge else 0)).min(255)))
+    val recs = (Seq(11L -> img(1, 0), 12L -> img(1, 7),
+      21L -> img(2, 0), 22L -> img(2, 7)) ++
+      (30L to 40L).map(i => i -> img(i, 0)))
+      .map { case (id, b) => Multimodal.MediaRecord(id, b, "image/png") }
+    val hashes = Multimodal.imagePHash(recs.toDS()).collect()
+      .map(h => h.media_id -> h.phash).toMap
+    for ((maxH, nB) <- Seq((3, 4), (7, 8))) {
+      val pairs = Multimodal.imagePHashNearDupPairs(recs.toDS(), maxH, nB)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val ids = hashes.keys.toSeq
+      val expected = (for {
+        a <- ids; b <- ids if a < b
+        ham = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+        if ham <= maxH
+      } yield (a, b, ham.toLong)).toSet
+      assert(pairs == expected, s"maxH=$maxH bands=$nB")
+    }
+    // the wider cut is a superset serving the looser mutations
+    intercept[IllegalArgumentException] {
+      Multimodal.imagePHashNearDupPairs(recs.toDS(), 7, nBands = 4)
+    }
+  }
+
   test("contaminationFlags marks exactly the docs sharing a benchmark n-gram") {
     import graft.operators.Curation
     val docs = Seq(

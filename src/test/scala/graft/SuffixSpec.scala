@@ -142,6 +142,23 @@ class SuffixSpec extends SparkSpec {
     }
   }
 
+  test("sharded CLEANER equals the single-stream cleaner on the " +
+      "cross-shard fixture (coverage identity carries to the text level)") {
+    val planted = fixture ++ fixture.take(3).map { case (id, t) =>
+      (id + 100L) -> (t + s" cloned tail ${id}x")
+    }
+    val docs = planted.toDF("doc_id", "text")
+    for (minLen <- Seq(4, 5)) {
+      val single = Suffix.removeDuplicateSpansExact(docs, "doc_id",
+          "text", minLen = minLen, cap = 16)
+        .as[(Long, String, Long)].collect().toSet
+      val sharded = Suffix.removeDuplicateSpansExactSharded(docs,
+          "doc_id", "text", minLen = minLen, cap = 16, numShards = 3)
+        .as[(Long, String, Long)].collect().toSet
+      assert(sharded == single, s"minLen=$minLen: $sharded vs $single")
+    }
+  }
+
   test("randomized: sharded coverage is IDENTICAL to single-stream " +
       "across shard counts (including numShards = 1)") {
     val rnd = new scala.util.Random(7)
