@@ -54,6 +54,12 @@ case class CurateConfig(
     // contract). None = stage off.
     exactSubstrMinLen: Option[Int] = None,
     exactSubstrCap: Int = 512,
+    // > 0: run the exact-substring stage through the SHARDED form
+    // (Suffix.removeDuplicateSpansExactSharded — per-shard suffix
+    // passes + cross-shard screen, output identical to the global
+    // form, spec-pinned) with this many content-defined shards. 0 =
+    // the single-stream form. The 100 TB funnel runs sharded.
+    exactSubstrShards: Int = 0,
     // DSIR selection stage dials (active only when Curate.run is given a
     // dsirTarget frame): keep-fraction of the pool in e4 (5000 = half),
     // Gumbel seed, noise temperature (0 = pure top-k by weight)
@@ -346,8 +352,12 @@ object Curate {
     }
 
     for (minLen <- cfg.exactSubstrMinLen) {
-      val cleaned = graft.operators.Suffix.removeDuplicateSpansExact(
-          filtered, idCol, textCol, minLen, cfg.exactSubstrCap)
+      val cleaned = (if (cfg.exactSubstrShards > 0)
+          graft.operators.Suffix.removeDuplicateSpansExactSharded(
+            filtered, idCol, textCol, minLen, cfg.exactSubstrCap,
+            cfg.exactSubstrShards)
+        else graft.operators.Suffix.removeDuplicateSpansExact(
+          filtered, idCol, textCol, minLen, cfg.exactSubstrCap))
         .localCheckpoint(true)
       stage("exact_substr", cleaned.count())
       filtered = cleaned

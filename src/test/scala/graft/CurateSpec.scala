@@ -365,6 +365,32 @@ class CurateSpec extends SparkSpec {
     res.chunks.unpersist()
   }
 
+  test("Curate.run with exactSubstrShards: the sharded stage yields the " +
+      "same funnel and the same cleaned chunks as the single-stream form") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      1L -> (goodText("one") + " " + shared),
+      2L -> (shared + " " + goodText("two")),
+      3L -> goodText("three")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq("no contamination here").toDF("btext")
+    def run(shards: Int) = {
+      val res = Curate.run(docs, "doc_id", "text", benchmark, "btext",
+        CurateConfig(minQualityE4 = 0, exactSubstrMinLen = Some(8),
+          exactSubstrCap = 16, exactSubstrShards = shards))
+      val chunks = res.chunks
+        .select("doc_id", "chunk_id", "chunk_text", "n_tokens", "shard",
+          "pack")
+        .as[(Long, Long, String, Long, Int, Long)].collect().toSet
+      res.chunks.unpersist()
+      (res.stageCounts, chunks)
+    }
+    val (fSingle, cSingle) = run(0)
+    val (fSharded, cSharded) = run(3)
+    assert(fSharded == fSingle, s"$fSharded vs $fSingle")
+    assert(cSharded == cSingle)
+  }
+
   test("Curate.run with gopherRules: the rule gate drops short docs the " +
       "composite score alone admits") {
     import graft.operators.TextStats
