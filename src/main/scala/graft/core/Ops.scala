@@ -211,7 +211,7 @@ object Ops {
     */
   def exactPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        ps: Seq[Double], numRanges: Int = 0,
-                       pinned: Boolean = false): DataFrame = {
+                       pinned: Boolean = true): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
     val n = if (numRanges > 0) numRanges
             else df.sparkSession.sparkContext.defaultParallelism
@@ -229,8 +229,10 @@ object Ops {
       row_number().over(Window.partitionBy(("__pid" +: groupCols).map(col): _*)
         .orderBy(col(valueCol))).cast("long"))
     // same cross-branch consistency hazard as [[globalRank]] (the within
-    // frame feeds the counts branch AND the ranked join): callers that
-    // cache/checkpoint downstream pass pinned = true
+    // frame feeds the counts branch AND the ranked join): pinned = true is
+    // the DEFAULT for the same correctness-first reason — a future
+    // persist/checkpoint consumer must not silently inherit duplicate
+    // ranks; pinned = false is opt-OUT for plans proven cache-free
     val within =
       if (pinned) within0.localCheckpoint(eager = true) else within0
 

@@ -181,11 +181,15 @@ object Bpe {
     buf
   }
 
-  /** Column form of [[byteSymbols]] (codegen'd HOFs, no UDF). */
+  /** Column form of [[byteSymbols]] (codegen'd HOFs, no UDF). Empty words
+    * must short-circuit: `sequence(1, 0)` DESCENDS in Spark ([1, 0]), which
+    * would yield two empty symbols where [[byteSymbols]]("") is empty.
+    */
   def byteSymbolsCol(word: Column): Column = {
     val h = lower(hex(encode(word, "UTF-8")))
-    transform(sequence(lit(1), (length(h) / lit(2)).cast("int")),
+    val syms = transform(sequence(lit(1), (length(h) / lit(2)).cast("int")),
       i => h.substr((i - lit(1)) * lit(2) + lit(1), lit(2)))
+    when(length(word) === 0, array().cast("array<string>")).otherwise(syms)
   }
 
   /** Decode a byte-level symbol sequence back to the string: unhex the

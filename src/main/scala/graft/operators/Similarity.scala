@@ -258,6 +258,25 @@ object Similarity {
       .parquet(s"$dir/assigned")
   }
 
+  /** Refuse to append into an index written by the pre-`batch_id`
+    * (cid-only) layout: mixing two-level `batch_id=.../cid=...` dirs
+    * beside bare `cid=...` dirs makes Parquet partition discovery fail
+    * with conflicting partition columns — a silent on-disk format break.
+    * Old indexes must be rebuilt (`writeIvf[Pq]Index`) before appending.
+    */
+  private def requireBatchLayout(fs: org.apache.hadoop.fs.FileSystem,
+                                 dir: String, op: String): Unit = {
+    val assigned = new org.apache.hadoop.fs.Path(s"$dir/assigned")
+    if (fs.exists(assigned)) {
+      val legacy = fs.listStatus(assigned)
+        .exists(_.getPath.getName.startsWith("cid="))
+      require(!legacy,
+        s"$op: index at $dir uses the legacy cid-only layout (no " +
+        "batch_id partition level); appending would mix partition " +
+        "schemas and corrupt discovery - rebuild the index first")
+    }
+  }
+
   /** Incrementally append a batch to a persisted IVF index — the
     * daily-append path a 100 TB corpus actually lives on (a full
     * [[writeIvfIndex]] rebuild re-assigns the WHOLE corpus; an append
@@ -293,6 +312,7 @@ object Similarity {
       spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/centroids")),
       s"appendToIvfIndex: no index at $dir (writeIvfIndex first)")
+    requireBatchLayout(fs, dir, "appendToIvfIndex")
     val cent = broadcast(spark.read.parquet(s"$dir/centroids")
       .select(col("id").as("cid"), col("v").as("cv")))
     // one assignment pass over the BATCH only; persisted because it feeds
@@ -1424,6 +1444,7 @@ object Similarity {
       spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codebook")),
       s"appendToIvfPqIndex: no IVF-PQ index at $dir (writeIvfPqIndex first)")
+    requireBatchLayout(fs, dir, "appendToIvfPqIndex")
     val fmt = readPqFormat(spark, dir)
     val cent = broadcast(spark.read.parquet(s"$dir/centroids")
       .select(col("id").as("cid"), col("v").as("cv")))

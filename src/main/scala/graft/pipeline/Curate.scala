@@ -166,8 +166,10 @@ object Curate {
     }
     // ---- rejection-ledger capture (cfg.emitLedger) ----------------------
     // each piece is a bounded id frame materialized EAGERLY, while the
-    // stage frames it reads are still persisted/checkpointed — a lazy
-    // piece would recompute its whole upstream stage after unpersist
+    // stage frames it reads are persisted/checkpointed (the quality
+    // stage checkpoints its survivors below before cutting its piece —
+    // its inputs are otherwise lazy) — a lazy piece would recompute its
+    // whole upstream stage after unpersist
     val led = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def rejectAnti(prev: DataFrame, next: DataFrame, reason: String): Unit =
       if (cfg.emitLedger) led += prev
@@ -211,6 +213,12 @@ object Curate {
       filtered = filtered.filter(
         TextStats.gopherFlags(col(textCol), col("__w"), g).getField("pass"))
     filtered = filtered.select(col(idCol), col(textCol))
+    // the quality piece's inputs are BOTH lazy here (input is
+    // checkpointed only when c4Clean ran; filtered never before
+    // exact_dedup), so the anti-join would run the full quality/gopher
+    // plan an extra time — checkpoint the survivors once and let the
+    // same frame feed the piece and every downstream stage
+    if (cfg.emitLedger) filtered = filtered.localCheckpoint(true)
     rejectAnti(input, filtered, "quality")
 
     // optional LM-perplexity gate: self-train on the quality survivors,

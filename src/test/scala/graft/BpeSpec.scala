@@ -139,7 +139,7 @@ class BpeSpec extends SparkSpec {
 
   test("byteSymbolsCol equals byteSymbols on ASCII, multi-byte, and " +
       "supplementary-plane words") {
-    val words = Seq("the", "x", "héllo", "😀x", "𝄞", "ﬀ")
+    val words = Seq("the", "x", "héllo", "😀x", "𝄞", "ﬀ", "")
     val got = words.toDF("w")
       .select(col("w"), Bpe.byteSymbolsCol(col("w")).as("s"))
       .as[(String, Seq[String])].collect().toMap

@@ -147,4 +147,37 @@ class OpsSpec extends SparkSpec {
       } finally ranked.unpersist()
     }
   }
+
+  test("exactPercentiles DEFAULT is pinned: a persist consumer gets " +
+      "stable, correct percentiles (same cache hazard as globalRank)") {
+    // round-13 verdict: the sibling operator shares globalRank's
+    // two-branch range-exchange hazard but kept the unsafe opt-in
+    // default. Default is now pinned = true — exercise the DEFAULT path
+    // under a persist consumer against Spark's buffering percentile.
+    val df = spark.range(50000)
+      .select((col("id") % 7).as("g"),
+        (col("id") * 37 % 10007).cast("double").as("v"))
+      .repartition(8)
+    val ps = Seq(0.1, 0.5, 0.9)
+    val want = df.groupBy("g")
+      .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("q"))
+      .select(col("g"), posexplode(col("q")))
+      .select(col("g"), element_at(typedLit(ps), col("pos") + 1).as("p"),
+        col("col").as("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    for (_ <- 1 to 3) {
+      val got = Ops.exactPercentiles(df, Seq("g"), "v", ps, numRanges = 8)
+        .persist()
+      try {
+        assert(got.count() == 7L * ps.size)
+        for (r <- got.collect()) {
+          val k = (r.getLong(r.fieldIndex("g")),
+            r.getDouble(r.fieldIndex("p")))
+          assert(r.getDouble(r.fieldIndex("value")) == want(k),
+            s"group/p $k diverged under persist")
+        }
+      } finally got.unpersist()
+    }
+  }
 }

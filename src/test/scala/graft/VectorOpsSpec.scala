@@ -507,6 +507,29 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("appendToIvfIndex refuses the legacy cid-only layout loudly " +
+      "instead of corrupting partition discovery") {
+    // round-13 ADVICE: an index persisted before the batch_id layout has
+    // bare cid=... dirs; appending batch_id=.../cid=... beside them makes
+    // Parquet discovery fail with conflicting partition columns LATER —
+    // the guard must fail the append itself with a rebuild message.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_old").toString
+    val vecs = (0L until 20L).map { i =>
+      (i, Seq(math.cos(i * 0.3), math.sin(i * 0.3), 0.5))
+    }.toDF("id", "v")
+    val cents = Similarity.buildIvf(vecs, numCells = 2, iters = 2)
+    cents.select("id", "v").write.mode("overwrite").parquet(s"$dir/centroids")
+    // hand-write the PRE-batch_id layout (cid is the only partition level)
+    Similarity.ivfAssign(vecs,
+        broadcast(cents.select(col("id").as("cid"), col("v").as("cv"))))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/assigned")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, dir, vecs, "b1")
+    }
+    assert(e.getMessage.contains("legacy cid-only layout"))
+    assert(e.getMessage.contains("rebuild"))
+  }
+
   test("hardNegativesTopK: different-label only, near-dup ceiling and " +
       "easy-negative floor both exclude") {
     // anchor 0 (label 0); candidates: 1 = same-label near-identical
