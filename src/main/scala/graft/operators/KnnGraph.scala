@@ -129,6 +129,148 @@ object KnnGraph {
     } finally vecs.unpersist()
   }
 
+  // ---- query-time graph serving (beam search) ---------------------------
+
+  /** Batched deterministic beam search over a kNN graph — the QUERY path
+    * the graph family lacked (round-13 verdict #1): serving routed only
+    * through IVF/PQ, whose recall is hostage to quantizer-cell structure;
+    * a graph walk follows the manifold directly (the NSW/HNSW serving
+    * idea — Malkov & Yashunin 2016 — re-expressed as bounded batch
+    * joins rather than a per-query pointer chase).
+    *
+    * State is one pool frame: (qid, node, score_e4, visited), capped at
+    * `beamWidth` rows per query. Each round expands EVERY unvisited pool
+    * node at once (the batch analog of best-first's one-node pop — same
+    * fixed point, one round per graph hop instead of one step per node):
+    *
+    *  1. frontier = pool where ¬visited (pool is already the top-`beamWidth`);
+    *  2. candidates = frontier ⋈ graph edges, minus nodes already pooled
+    *     (the bounded visited set IS the pool — dropped nodes may be
+    *     rediscovered and re-scored, trading bounded state for bounded
+    *     rework, both ≤ beamWidth·k rows per query per round);
+    *  3. score candidates against the query vector (e4 cosine);
+    *  4. pool ← top-`beamWidth` of (pool marked visited ∪ scored), rank
+    *     by (score desc, node asc) — every pool member was either just
+    *     expanded or already visited, so the whole frame flips visited.
+    *
+    * Deterministic by construction: fixed entry points (the md5 ring —
+    * content-independent, replayable), total-order tiebreaks, fixed
+    * `rounds` (extra rounds past convergence are no-ops: frontier is
+    * empty). The probe oracle replays the walk verbatim (the q142/q149
+    * discipline). Per-round cost: ≤ |Q|·beamWidth expansions × k edges —
+    * queries never meet each other, the graph join is the only
+    * corpus-sized shuffle, and each round localCheckpoints (the
+    * iterative-plan discipline). Output (vec_id, other_id, score_e4,
+    * rank), self-match excluded — [[Similarity.ivfTopK]]'s schema, so
+    * recall grids compare directly (tools/Recall --beam).
+    *
+    * Entry-ring sizing: a converged kNN graph over well-separated
+    * clusters has NO cross-cluster edges, so a walk reaches only the
+    * components its entries land in — `entries` must cover the corpus's
+    * connected components (uniform md5 seeds miss a component of mass p
+    * with probability (1−p)^|entries|; KnnGraphSpec measures the miss).
+    * More entries cost one scored row each, so err large.
+    */
+  def beamSearch(graph: DataFrame, vectors: DataFrame, queries: DataFrame,
+                 entries: DataFrame, k: Int, beamWidth: Int,
+                 rounds: Int): DataFrame = {
+    require(k >= 1 && beamWidth >= k,
+      s"beamSearch: need beamWidth ($beamWidth) >= k ($k) >= 1")
+    require(rounds >= 0, s"beamSearch: rounds ($rounds) >= 0")
+    val vecs = Ops.widen(vectors)
+      .select(col("id").as("node"), Similarity.toDoubleVec(col("v")).as("__vn"))
+    val qs = Ops.widen(queries)
+      .select(col("id").as("qid"), Similarity.toDoubleVec(col("v")).as("__qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = graph.select(col("id").as("node"), col("nbr"))
+    def scoreNodes(cand: DataFrame): DataFrame = cand // (qid, node)
+      .join(vecs, Seq("node"))
+      .join(qs, Seq("qid"))
+      .withColumn("score_e4",
+        Similarity.scoreE4(Similarity.cosine("__qv", "__vn")))
+      .select("qid", "node", "score_e4")
+    def cap(pool: DataFrame): DataFrame = pool
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("score_e4").desc, col("node").asc)))
+      .filter(col("__r") <= beamWidth)
+      .drop("__r")
+    try {
+      // entry pool: every query starts from the same fixed seeds — a
+      // bounded broadcast cross (≤ numEntries rows on the built side)
+      var pool = cap(scoreNodes(qs.select("qid")
+          .crossJoin(broadcast(entries.select(col("id").as("node")))))
+        .withColumn("visited", lit(false)))
+        .localCheckpoint(eager = true)
+      for (_ <- 1 to rounds) {
+        val cands = pool.filter(!col("visited")).select("qid", "node")
+          .join(edges, Seq("node"))
+          .select(col("qid"), col("nbr").as("node"))
+          .distinct()
+          .join(pool.select("qid", "node"), Seq("qid", "node"), "left_anti")
+        val scored = scoreNodes(cands).withColumn("visited", lit(false))
+        pool = cap(pool.withColumn("visited", lit(true)).unionByName(scored))
+          .localCheckpoint(eager = true)
+      }
+      pool.filter(col("qid") =!= col("node"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid")
+            .orderBy(col("score_e4").desc, col("node").asc)).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("qid").as("vec_id"), col("node").as("other_id"),
+          col("score_e4"), col("rank"))
+    } finally qs.unpersist()
+  }
+
+  /** Persist a kNN graph as a serving index: `<dir>/edges` (the
+    * [[knnGraph]] output), `<dir>/vectors` (id, v — the walk scores
+    * candidates against raw vectors), `<dir>/entries` (the first
+    * `maxEntries` ids of the md5 ring with their rank — the corpus-side
+    * rank is paid ONCE at build; query time slices `numEntries ≤
+    * maxEntries` of it). Graph construction (the expensive part) happens
+    * exactly once; every query batch pays only walk-side joins.
+    */
+  def writeKnnIndex(vectors: DataFrame, dir: String, k: Int,
+                    iters: Int = 2, warmCells: Int = 0,
+                    maxEntries: Int = 64): Unit = {
+    require(maxEntries >= 1, s"writeKnnIndex: maxEntries ($maxEntries) >= 1")
+    val vecs = Ops.widen(vectors)
+      .select(col("id"), Similarity.toDoubleVec(col("v")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      knnGraph(vecs, k, iters, warmCells)
+        .write.mode("overwrite").parquet(s"$dir/edges")
+      vecs.write.mode("overwrite").parquet(s"$dir/vectors")
+      Ops.globalRank(vecs.select("id"),
+          Seq(md5(col("id").cast("string")), col("id")), "r")
+        .filter(col("r") <= maxEntries)
+        .write.mode("overwrite").parquet(s"$dir/entries")
+    } finally vecs.unpersist()
+  }
+
+  /** [[beamSearch]] against a [[writeKnnIndex]] directory — bit-identical
+    * to the fresh form on the same graph (spec-pinned), with the build
+    * cost amortized across query batches.
+    */
+  def beamSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, queries: DataFrame, k: Int,
+                        beamWidth: Int, rounds: Int,
+                        numEntries: Int = 4): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/edges")),
+      s"beamSearchIndexed: no graph index at $dir (writeKnnIndex first)")
+    val entries = spark.read.parquet(s"$dir/entries")
+      .filter(col("r") <= numEntries).select("id")
+    val have = entries.count()
+    require(have == numEntries.toLong,
+      s"beamSearchIndexed: index at $dir stores $have entry points < " +
+        s"requested $numEntries (rebuild with a larger maxEntries)")
+    beamSearch(spark.read.parquet(s"$dir/edges"),
+      spark.read.parquet(s"$dir/vectors"), queries, entries,
+      k, beamWidth, rounds)
+  }
+
   /** SemDeDup victims over the NN-Descent graph — the centroid-free
     * alternative to [[Curation.semDedupVictims]]'s IVF routing (same
     * downstream: ≥-threshold edges → connected components → min-id

@@ -874,7 +874,119 @@ object AnnProbes {
        |SELECT id, nbr, score_e4, rnk FROM g2 ORDER BY id, rnk""".stripMargin
   }
 
+  // ---- q152 graph-ANN beam search (deterministic replay) -----------------
+  // KnnGraph.beamSearch over a knnGraph(k=4, 1 round) on 40 embeddings:
+  // 2 md5-ring entry seeds, beam 6, TWO expansion rounds, top-3. The
+  // oracle REPLAYS the walk step for step (the q142/q149 discipline):
+  // graph init + 1 NN-Descent round (the q149 SQL), then per beam round
+  // frontier = ¬visited pool → edge join minus pooled nodes → e4-cosine
+  // score → merged pool re-capped at 6 with the whole prior pool flipped
+  // visited; final per-query top-3 excludes self. Every intermediate is
+  // exact integer or the bit-identical cosine double (q23 parity).
+  val q152: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") < 40)
+      .select(col("vec_id").as("id"),
+        graft.operators.Similarity.toDoubleVec(col("embedding")).as("v"))
+    val g = graft.operators.KnnGraph.knnGraph(e, k = 4, iters = 1)
+    val entries = graft.core.Ops.globalRank(e.select("id"),
+        Seq(md5(col("id").cast("string")), col("id")), "r")
+      .filter(col("r") <= 2).select("id")
+    graft.operators.KnnGraph.beamSearch(g, e,
+        e.filter(col("id") % 10 === 3), entries,
+        k = 3, beamWidth = 6, rounds = 2)
+      .orderBy("vec_id", "rank")
+  }
+
+  val q152Sql: String = {
+    val cos = graft.operators.Similarity.scoreE4DuckSql(
+      graft.operators.Similarity.cosineDuckSql("a.v", "b.v"))
+    val cosQ = graft.operators.Similarity.scoreE4DuckSql(
+      graft.operators.Similarity.cosineDuckSql("q.v", "b.v"))
+    // one NN-Descent refinement round (the q149 replay text)
+    def ground(g: String, out: String): String =
+      s"""u_$out AS (
+         |  SELECT id, nbr FROM $g
+         |  UNION ALL SELECT nbr AS id, id AS nbr FROM $g),
+         |c_$out AS (
+         |  SELECT DISTINCT id, nbr FROM (
+         |    SELECT e1.id, e2.nbr FROM u_$out e1
+         |    JOIN u_$out e2 ON e1.nbr = e2.id WHERE e1.id <> e2.nbr
+         |    UNION ALL SELECT id, nbr FROM $g)),
+         |s_$out AS (
+         |  SELECT c.id, c.nbr, $cos AS score_e4
+         |  FROM c_$out c JOIN e a ON a.id = c.id JOIN e b ON b.id = c.nbr),
+         |$out AS (
+         |  SELECT id, nbr, score_e4, rnk FROM (
+         |    SELECT id, nbr, score_e4,
+         |      CAST(row_number() OVER (PARTITION BY id
+         |        ORDER BY score_e4 DESC, nbr ASC) AS BIGINT) AS rnk
+         |    FROM s_$out) WHERE rnk <= 4)""".stripMargin
+    // one beam round: frontier → new candidates → score → re-capped pool
+    def bround(pin: String, out: String): String =
+      s"""x_$out AS (SELECT qid, node FROM $pin WHERE NOT visited),
+         |bc_$out AS (
+         |  SELECT DISTINCT x.qid, g.nbr AS node
+         |  FROM x_$out x JOIN g1 g ON g.id = x.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM $pin p
+         |    WHERE p.qid = x.qid AND p.node = g.nbr)),
+         |bs_$out AS (
+         |  SELECT c.qid, c.node, $cosQ AS score_e4, false AS visited
+         |  FROM bc_$out c JOIN q ON q.qid = c.qid JOIN e b ON b.id = c.node),
+         |$out AS (
+         |  SELECT qid, node, score_e4, visited FROM (
+         |    SELECT qid, node, score_e4, visited,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY score_e4 DESC, node ASC) AS rn
+         |    FROM (SELECT qid, node, score_e4, true AS visited FROM $pin
+         |      UNION ALL
+         |      SELECT qid, node, score_e4, visited FROM bs_$out))
+         |  WHERE rn <= 6)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < 40),
+       |rk AS (
+       |  SELECT id, CAST(row_number() OVER (
+       |    ORDER BY md5(CAST(id AS VARCHAR)), id) AS BIGINT) AS r FROM e),
+       |cnt AS (SELECT count(*) AS n FROM e),
+       |init AS (
+       |  SELECT a.id, b.id AS nbr
+       |  FROM rk a CROSS JOIN cnt
+       |  CROSS JOIN unnest(generate_series(1, 4)) o(off)
+       |  JOIN rk b ON b.r = (a.r - 1 + o.off) % cnt.n + 1),
+       |s_g0 AS (
+       |  SELECT i.id, i.nbr, $cos AS score_e4
+       |  FROM init i JOIN e a ON a.id = i.id JOIN e b ON b.id = i.nbr),
+       |g0 AS (
+       |  SELECT id, nbr, score_e4, rnk FROM (
+       |    SELECT id, nbr, score_e4,
+       |      CAST(row_number() OVER (PARTITION BY id
+       |        ORDER BY score_e4 DESC, nbr ASC) AS BIGINT) AS rnk
+       |    FROM s_g0) WHERE rnk <= 4),
+       |${ground("g0", "g1")},
+       |ent AS (SELECT id AS node FROM rk WHERE r <= 2),
+       |q AS (SELECT id AS qid, v FROM e WHERE id % 10 = 3),
+       |sp0 AS (
+       |  SELECT q.qid, ent.node, $cosQ AS score_e4
+       |  FROM q CROSS JOIN ent JOIN e b ON b.id = ent.node),
+       |p0 AS (
+       |  SELECT qid, node, score_e4, false AS visited FROM (
+       |    SELECT qid, node, score_e4,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY score_e4 DESC, node ASC) AS rn
+       |    FROM sp0) WHERE rn <= 6),
+       |${bround("p0", "p1")},
+       |${bround("p1", "p2")}
+       |SELECT vec_id, other_id, score_e4, rank FROM (
+       |  SELECT qid AS vec_id, node AS other_id, score_e4,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY score_e4 DESC, node ASC) AS BIGINT) AS rank
+       |  FROM p2 WHERE qid <> node)
+       |WHERE rank <= 3
+       |ORDER BY vec_id, rank""".stripMargin
+  }
+
   private[probes] val queries: Map[String, Q] = Map(
+    "q152_beam_search" -> q152,
     "q149_nn_descent" -> q149,
     "q30_cosine_neardup" -> q30,
     "q31_ivf_ann" -> q31,
@@ -895,6 +1007,7 @@ object AnnProbes {
     "q141_hard_negatives" -> q141)
 
   private[probes] val oracleSql: Map[String, String] = Map(
+    "q152_beam_search" -> q152Sql,
     "q149_nn_descent" -> q149Sql,
     "q30_cosine_neardup" -> q30Sql,
     "q31_ivf_ann" -> q31Sql,

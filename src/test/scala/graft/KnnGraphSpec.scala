@@ -111,4 +111,81 @@ class KnnGraphSpec extends SparkSpec {
       assert(r >= 1 && r <= 3)
     }
   }
+
+  // ---- beam search (round-14: query-time graph serving) -----------------
+
+  private def entriesOf(v: org.apache.spark.sql.DataFrame, n: Int) =
+    graft.core.Ops.globalRank(v.select("id"),
+        Seq(md5(col("id").cast("string")), col("id")), "r")
+      .filter(col("r") <= n).select("id")
+
+  test("beamSearch navigates the graph to near-exact top-k on clustered " +
+      "data and is deterministic across runs") {
+    val v = clusters(11)
+    val g = KnnGraph.knnGraph(v, 6, 4).localCheckpoint(true)
+    val queries = v.filter(col("id") % 17 === 0)
+    val truth = Similarity.bruteForceTopK(v, queries, 5)
+      .select("vec_id", "other_id").localCheckpoint(true)
+    val truthN = truth.count()
+    // entry ring must COVER the graph's connected components: the three
+    // near-orthogonal clusters converge to zero cross-cluster edges, so
+    // a walk can only reach clusters an entry lands in (measured: 3
+    // seeds left one cluster unreached → recall 0.75). 12 uniform seeds
+    // cover all three on this fixture; the scaladoc records the knob.
+    def run() = KnnGraph.beamSearch(g, v, queries, entriesOf(v, 12),
+      k = 5, beamWidth = 24, rounds = 6)
+    val got = run().localCheckpoint(true)
+    // shape: ≤ k ranked rows per query, self excluded, ranks contiguous
+    val byQ = got.groupBy("vec_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("m"))
+      .filter(col("n") =!= col("m")).count()
+    assert(byQ == 0, "ranks not contiguous per query")
+    assert(got.filter(col("vec_id") === col("other_id")).count() == 0)
+    // recall: the walk crosses from fixed entries into each query's
+    // cluster — near-exact on this structure
+    val hit = got.select("vec_id", "other_id")
+      .join(truth, Seq("vec_id", "other_id")).count()
+    assert(hit.toDouble / truthN > 0.9,
+      s"beam recall ${hit.toDouble / truthN} (truth=$truthN)")
+    // deterministic replay: a second run is bit-identical
+    val again = run().orderBy("vec_id", "rank").collect().toSeq
+    assert(again == got.orderBy("vec_id", "rank").collect().toSeq)
+  }
+
+  test("beamSearch converges: extra rounds past frontier exhaustion " +
+      "change nothing") {
+    val v = clusters(13)
+    val g = KnnGraph.knnGraph(v, 5, 3).localCheckpoint(true)
+    val queries = v.filter(col("id") % 40 === 3)
+    def run(r: Int) = KnnGraph.beamSearch(g, v, queries, entriesOf(v, 2),
+        k = 4, beamWidth = 12, rounds = r)
+      .orderBy("vec_id", "rank").collect().toSeq
+    assert(run(8) == run(12), "post-convergence rounds changed results")
+  }
+
+  test("beamSearchIndexed reproduces the fresh walk bit-exactly and " +
+      "guards missing index / undersized entry ring") {
+    val v = clusters(17)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_knn_idx").toString
+    KnnGraph.writeKnnIndex(v, dir, k = 5, iters = 3, maxEntries = 8)
+    val queries = v.filter(col("id") % 29 === 1)
+    val fresh = KnnGraph.beamSearch(KnnGraph.knnGraph(v, 5, 3), v, queries,
+        entriesOf(v, 3), k = 4, beamWidth = 16, rounds = 5)
+      .orderBy("vec_id", "rank").collect().toSeq
+    val indexed = KnnGraph.beamSearchIndexed(spark, dir, queries,
+        k = 4, beamWidth = 16, rounds = 5, numEntries = 3)
+      .orderBy("vec_id", "rank").collect().toSeq
+    assert(indexed == fresh)
+    assert(indexed.nonEmpty)
+    intercept[IllegalArgumentException] {
+      KnnGraph.beamSearchIndexed(spark, "/tmp/graft_no_such_graph",
+        queries, 4, 16, 5)
+    }
+    // ring stores maxEntries = 8; asking for more must fail loudly
+    intercept[IllegalArgumentException] {
+      KnnGraph.beamSearchIndexed(spark, dir, queries, 4, 16, 5,
+        numEntries = 20)
+    }
+  }
 }
