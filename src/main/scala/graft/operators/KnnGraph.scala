@@ -174,6 +174,24 @@ object KnnGraph {
   def beamSearch(graph: DataFrame, vectors: DataFrame, queries: DataFrame,
                  entries: DataFrame, k: Int, beamWidth: Int,
                  rounds: Int): DataFrame = {
+    val qs = Ops.widen(queries).select(col("id").as("qid"))
+    // every query starts from the same fixed seeds — a bounded
+    // broadcast cross (≤ numEntries rows on the built side)
+    beamSearchFrom(graph, vectors, queries,
+      qs.crossJoin(broadcast(entries.select(col("id").as("node")))),
+      k, beamWidth, rounds)
+  }
+
+  /** [[beamSearch]] with PER-QUERY seeds `(qid, node)` instead of one
+    * global entry ring — the production entry path: a cheap router
+    * (typically the IVF coarse quantizer, [[beamSearchRouted]]) lands
+    * each query's walk inside its own graph component, which a fixed
+    * global ring can only cover probabilistically (the measured
+    * component-coverage miss in SCALE.md's --beam grid).
+    */
+  def beamSearchFrom(graph: DataFrame, vectors: DataFrame,
+                     queries: DataFrame, seeds: DataFrame, k: Int,
+                     beamWidth: Int, rounds: Int): DataFrame = {
     require(k >= 1 && beamWidth >= k,
       s"beamSearch: need beamWidth ($beamWidth) >= k ($k) >= 1")
     require(rounds >= 0, s"beamSearch: rounds ($rounds) >= 0")
@@ -196,10 +214,7 @@ object KnnGraph {
       .filter(col("__r") <= beamWidth)
       .drop("__r")
     try {
-      // entry pool: every query starts from the same fixed seeds — a
-      // bounded broadcast cross (≤ numEntries rows on the built side)
-      var pool = cap(scoreNodes(qs.select("qid")
-          .crossJoin(broadcast(entries.select(col("id").as("node")))))
+      var pool = cap(scoreNodes(seeds.select("qid", "node").distinct())
         .withColumn("visited", lit(false)))
         .localCheckpoint(eager = true)
       for (_ <- 1 to rounds) {
@@ -268,6 +283,33 @@ object KnnGraph {
         s"requested $numEntries (rebuild with a larger maxEntries)")
     beamSearch(spark.read.parquet(s"$dir/edges"),
       spark.read.parquet(s"$dir/vectors"), queries, entries,
+      k, beamWidth, rounds)
+  }
+
+  /** Routed graph serving — the coarse-quantizer entry composition (the
+    * published two-stage shape: a cheap router lands each query near its
+    * answer, the graph walk refines): per-query seeds are the stored IVF
+    * index's top `seedsPerQuery` at `eprobe` probes
+    * ([[Similarity.ivfTopKIndexed]]), then [[beamSearchFrom]] over the
+    * persisted graph. Composes the two EXISTING index lifecycles — the
+    * IVF router keeps its append/drift/retrain machinery, the graph its
+    * build — with no third index to maintain. The walk recovers exactly
+    * the cell-boundary losses the quantizer causes (a query's true
+    * neighbors in a cell the probe skipped are still graph-adjacent to
+    * the seeds), and the fixed-ring component-coverage problem vanishes
+    * because seeds are query-local by construction. Measured vs raw IVF
+    * at equal probe budget: SCALE.md --beam grid.
+    */
+  def beamSearchRouted(spark: org.apache.spark.sql.SparkSession,
+                       graphDir: String, ivfDir: String,
+                       queries: DataFrame, k: Int, beamWidth: Int,
+                       rounds: Int, eprobe: Int = 1,
+                       seedsPerQuery: Int = 4): DataFrame = {
+    val seeds = Similarity.ivfTopKIndexed(spark, ivfDir, queries,
+        eprobe, seedsPerQuery)
+      .select(col("vec_id").as("qid"), col("other_id").as("node"))
+    beamSearchFrom(spark.read.parquet(s"$graphDir/edges"),
+      spark.read.parquet(s"$graphDir/vectors"), queries, seeds,
       k, beamWidth, rounds)
   }
 

@@ -664,6 +664,129 @@ object Multimodal {
     graft.core.Managed(out, Seq(sigs))
   }
 
+  // ---- persisted pHash near-dup index (round 14) -------------------------
+
+  /** Pigeonhole band rows of 64-bit signatures: `nBands` equal-width
+    * slices as (…, band, bits) — the equi-join key shared by the
+    * per-batch pair join and the persisted-index path. Bands derive from
+    * the signature with two bit ops, so the index stores only signatures
+    * and re-bands on read (unlike MinHash, where band keys are the
+    * expensive part and are stored).
+    */
+  private def phashBandRows(sigs: DataFrame, nBands: Int): DataFrame = {
+    val bpb = 64 / nBands
+    val mask = if (bpb == 64) -1L else (1L << bpb) - 1L
+    sigs.select(col("*"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("phash"), b * bpb).bitwiseAND(mask)
+              .as("bits"))): _*)).as("__bb"))
+      .withColumn("band", col("__bb.band"))
+      .withColumn("bits", col("__bb.bits"))
+      .drop("__bb")
+  }
+
+  /** Persist a corpus snapshot's pHash signatures — the IMAGE member of
+    * the index-lifecycle family ([[graft.operators.Dedup.writeMinhashIndex]],
+    * `writeBm25Index`, `writeIvfIndex`): an incremental multimodal ingest
+    * must not re-decode and re-hash the whole accumulated image corpus
+    * per batch; each new snapshot hashes ONCE and joins only matching
+    * (band, bits) rows against the stored signatures
+    * ([[phashNearDupAgainstIndex]]). At 100 TB of images the old corpus
+    * is read-never for its pixels — only 8 B/image of signature moves.
+    *
+    * Layout: `dir/sigs` (id, phash), `dir/meta` (n_bands — the banding
+    * the hamming cut is exact under; checked on read). Both partitioned
+    * by `batch_id` with the meta row as COMMIT MARKER (the BM25/minhash
+    * contract): retries of a FAILED append reuse their batch id under
+    * dynamic overwrite (replaced, never doubled); readers see only
+    * committed batches. Undecodable payloads (marker hash −1) are
+    * excluded at write — they can never pair.
+    */
+  def writePhashIndex(ds: Dataset[MediaRecord], dir: String,
+                      nBands: Int = 4): Unit = {
+    require(nBands > 0 && 64 % nBands == 0,
+      s"writePhashIndex: band count ($nBands) must divide 64")
+    writePhashParts(ds, dir, nBands, overwrite = true, batchId = "base")
+  }
+
+  /** Fold a new batch's signatures into an existing index (append — no
+    * old data read or rewritten). Caller contract: batch ids disjoint
+    * from indexed ids; retries of a FAILED append reuse `batchId`.
+    */
+  def appendToPhashIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, ds: Dataset[MediaRecord],
+                         batchId: String): Unit =
+    writePhashParts(ds, dir, readPhashMeta(spark, dir),
+      overwrite = false, batchId = batchId)
+
+  private def writePhashParts(ds: Dataset[MediaRecord], dir: String,
+                              nBands: Int, overwrite: Boolean,
+                              batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId != "__HIVE_DEFAULT_PARTITION__",
+      s"phash index: invalid batch id '$batchId'")
+    // overwrite mode pinned per-write (the minhash-writer discipline): a
+    // session-global dynamic mode must not turn a rebuild into a
+    // base-only replace that leaves stale batch partitions live
+    def writer(d: DataFrame) =
+      d.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .option("partitionOverwriteMode",
+          if (overwrite) "static" else "dynamic")
+    writer(imagePHash(ds).toDF().filter(col("phash") =!= -1L)
+        .select(col("media_id").as("id"), col("phash")))
+      .parquet(s"$dir/sigs")
+    // commit marker — re-states n_bands so every committed batch pins
+    // the same banding; checked on read
+    writer(ds.sparkSession.range(1).select(lit(nBands).as("n_bands")))
+      .parquet(s"$dir/meta")
+  }
+
+  private[graft] def readPhashMeta(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Int = {
+    val rows = spark.read.parquet(s"$dir/meta")
+      .select("n_bands").distinct().collect()
+    require(rows.length == 1,
+      s"phash index at $dir: inconsistent banding across batches " +
+        s"(${rows.length} distinct n_bands rows)")
+    rows(0).getAs[Int]("n_bands")
+  }
+
+  /** Near-dup pairs of NEW images against the indexed corpus:
+    * (id_new, id_old, hamming). The batch decodes and hashes ONCE; the
+    * only corpus-sized work is the (band, bits) equi join against stored
+    * signatures (committed batches only) and the exact
+    * `bit_count(xor) <= maxHamming` verify — EXACT for
+    * maxHamming < n_bands (pigeonhole), which is required. New×new
+    * pairs are deliberately not emitted ([[imagePHashNearDupPairs]] the
+    * batch first if needed).
+    */
+  def phashNearDupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, newMedia: Dataset[MediaRecord],
+                               maxHamming: Int = 3): DataFrame = {
+    val nBands = readPhashMeta(spark, dir)
+    require(maxHamming < nBands,
+      s"phashNearDupAgainstIndex: pigeonhole over $nBands bands is exact " +
+        s"only for maxHamming ($maxHamming) < n_bands")
+    val committed = spark.read.parquet(s"$dir/meta")
+      .select("batch_id").distinct()
+    val nb = phashBandRows(imagePHash(newMedia).toDF()
+        .filter(col("phash") =!= -1L)
+        .select(col("media_id").as("id_new"), col("phash")), nBands)
+      .select(col("id_new"), col("phash").as("h_new"),
+        col("band"), col("bits"))
+    val ob = phashBandRows(spark.read.parquet(s"$dir/sigs")
+        .join(broadcast(committed), Seq("batch_id"), "left_semi")
+        .select(col("id").as("id_old"), col("phash")), nBands)
+      .select(col("id_old"), col("phash").as("h_old"),
+        col("band"), col("bits"))
+    nb.join(ob, Seq("band", "bits"))
+      .filter(col("id_new") =!= col("id_old"))
+      .withColumn("hamming", expr("CAST(bit_count(h_new ^ h_old) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_new", "id_old", "hamming").distinct()
+  }
+
   /** REAL decoded-sample audio features — `javax.sound.sampled` is
     * JDK-built-in (the [[decodeImages]] ImageIO argument verbatim), so WAV
     * PCM needs no external codec either: this closes the audio half of the

@@ -348,4 +348,43 @@ object Maintain {
           lit(rowsPerBand).as("rows_per_band"))).parquet(s"$vdir/meta")
     }
   }
+
+  // ---- pHash: batch compaction -------------------------------------------
+
+  /** Same trigger as [[bm25Decision]] over the pHash meta partitions. */
+  def phashDecision(spark: SparkSession, dir: String,
+                    maxBatches: Int = 16): Decision = {
+    val n = committedBatches(spark, dir).count()
+    Decision("phash", if (n > maxBatches) "compact" else "none", n,
+      maxBatches, s"$n committed batches")
+  }
+
+  /** Merge committed pHash batches into one `base` batch in a new
+    * published version: signature rows pass through verbatim (ids are
+    * disjoint across batches by the append contract); the meta
+    * re-states the n_bands the committed batches pinned. Bit-identical
+    * serving, spec-pinned ([[graft.operators.Multimodal.phashNearDupAgainstIndex]]
+    * derives bands from signatures, so there is nothing else to merge).
+    */
+  def phashCompact(spark: SparkSession, warehouse: String, db: String,
+                   token: String): org.apache.hadoop.fs.Path = {
+    val cur = Restore.resolveVersioned(spark, warehouse, db)
+      .getOrElse(throw new IllegalStateException(
+        s"phashCompact: no current version of $db under $warehouse"))
+    val committed = committedBatches(spark, cur.toString)
+    val nBands =
+      graft.operators.Multimodal.readPhashMeta(spark, cur.toString)
+    val sigs = spark.read.parquet(s"$cur/sigs")
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+      .select("id", "phash")
+    Restore.publishVersionedDir(spark, warehouse, db, token) { vdir =>
+      def writer(df: DataFrame) =
+        df.withColumn("batch_id", lit("base"))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .option("partitionOverwriteMode", "static")
+      writer(sigs).parquet(s"$vdir/sigs")
+      writer(spark.range(1).select(lit(nBands).as("n_bands")))
+        .parquet(s"$vdir/meta")
+    }
+  }
 }

@@ -153,6 +153,103 @@ object Recall {
       return
     }
 
+    // ---- `--beam`: graph-ANN serving grid (round 14) --------------------
+    // Recall@k vs candidate budget for KnnGraph.beamSearch against the
+    // IVF and IVF-PQ serving paths, on BOTH corpus structures: clustered
+    // (manifold structure, where the graph walk should win — the regime
+    // the round-13 NN-Descent rows identified as IVF-hostile) and
+    // uniform random (no neighborhood transitivity — where it
+    // shouldn't). Budget is the per-query scored-candidate bound:
+    // beam ≤ entries + rounds·beamWidth·kGraph; IVF ≈ N·nprobe/cells.
+    if (args.length > 2 && args(2) == "--beam") {
+      import graft.operators.KnnGraph
+      def clustered(nv: Long): org.apache.spark.sql.DataFrame =
+        spark.range(nv).select(col("id"), expr(
+          "transform(sequence(0, 63), d -> " +
+            "CASE WHEN d = CAST(id % 64 AS INT) THEN 5.0 ELSE 0.0 END + " +
+            "CAST(hash(id, d) AS DOUBLE) / 4.294967296E9 * 0.5)").as("v"))
+      val corpora = Seq(
+        "uniform" -> ((n: Int) => Scale.scaledVecs(spark, sfDir, n)),
+        "clustered" -> ((n: Int) => clustered(2154L * n)))
+      val (m, subDim, numCodes) = (8, 8, 16)
+      for ((tag, mk) <- corpora; n <- Seq(1, factor)) {
+        val v = mk(n)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nVecs = v.count()
+        val queries = v.filter(col("id") % 50 === 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val truth = Similarity.bruteForceTopK(v, queries, k)
+          .select("vec_id", "other_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val truthN = truth.count()
+        def row(label: String, budget: Long, buildS: Double,
+                got: org.apache.spark.sql.DataFrame): Unit = {
+          val t0 = System.nanoTime()
+          val hit = got.select("vec_id", "other_id")
+            .join(truth, Seq("vec_id", "other_id")).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"RECALL beam_$tag%-10s x$n%-3d $label%-24s " +
+            f"budget<=$budget%-7d recall@$k=${hit.toDouble / truthN}%6.4f " +
+            f"build=$buildS%7.2f s query=$dt%7.2f s (truth=$truthN)")
+        }
+        // graph build: warm IVF-seeded init on the clustered corpus (the
+        // round-13 guidance), cold ring on uniform (warm has nothing to
+        // seed from there); kGraph = k so the graph can carry truth
+        val tg = System.nanoTime()
+        val g = KnnGraph.knnGraph(v, k, iters = 2,
+            warmCells = if (tag == "clustered") 64 else 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        g.count()
+        val graphS = (System.nanoTime() - tg) / 1e9
+        val nEntries = 16
+        val entries = graft.core.Ops.globalRank(v.select("id"),
+            Seq(md5(col("id").cast("string")), col("id")), "r")
+          .filter(col("r") <= nEntries).select("id")
+          .localCheckpoint(true)
+        for ((bw, rounds) <- Seq((10, 3), (20, 4), (40, 6)))
+          row(f"beam bw=$bw%-3d r=$rounds",
+            nEntries + rounds.toLong * bw * k, graphS,
+            KnnGraph.beamSearch(g, v, queries, entries, k, bw, rounds))
+        // IVF: √N cells (the buildIvf default), nprobe grid
+        val ti = System.nanoTime()
+        val cent = Similarity.buildIvf(v, iters = 1)
+          .localCheckpoint(true)
+        val cells = cent.count()
+        val ivfS = (System.nanoTime() - ti) / 1e9
+        // ROUTED beam: IVF seeds at one probe land each walk inside the
+        // query's own component (the fixed ring covers components only
+        // probabilistically — the honest miss above); the walk then
+        // recovers the quantizer's cell-boundary losses. Compare against
+        // raw ivf np=1 (same router budget) and np=4 (4x the budget).
+        for ((bw, rounds) <- Seq((10, 3), (20, 4)))
+          row(f"beam_routed bw=$bw%-3d r=$rounds",
+            nVecs / cells + rounds.toLong * bw * k, graphS + ivfS,
+            KnnGraph.beamSearchFrom(g, v, queries,
+              Similarity.ivfTopK(v, cent, queries, nprobe = 1, k = 4)
+                .select(col("vec_id").as("qid"), col("other_id").as("node")),
+              k, bw, rounds))
+        g.unpersist()
+        for (nprobe <- Seq(1, 2, 4))
+          row(f"ivf cells=$cells%-4d np=$nprobe",
+            nVecs * nprobe / cells, ivfS,
+            Similarity.ivfTopK(v, cent, queries, nprobe, k))
+        // IVF-PQ (ADC over the same cells): compressed-scan budget is
+        // the same candidate set; scoring is approximate — the recall
+        // delta vs ivf at equal nprobe is the quantization loss
+        val tp = System.nanoTime()
+        val cb = Similarity.pqTrain(v, m, subDim, numCodes, iters = 2)
+          .localCheckpoint(true)
+        val pqS = ivfS + (System.nanoTime() - tp) / 1e9
+        for (nprobe <- Seq(2, 4))
+          row(f"ivfpq codes=$numCodes%-3d np=$nprobe",
+            nVecs * nprobe / cells, pqS,
+            Similarity.ivfPqTopK(v, cent, cb, queries, nprobe, m, subDim, k))
+        truth.unpersist(); queries.unpersist(); v.unpersist()
+      }
+      spark.stop()
+      return
+    }
+
     // ---- `--nnd`: NN-Descent recall row (round 13) -----------------------
     // recall@k of the KnnGraph.knnGraph edges vs brute-force ground truth
     // on the sampled query nodes, per refinement round — the convergence

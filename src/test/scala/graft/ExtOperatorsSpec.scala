@@ -588,6 +588,60 @@ class ExtOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("pHash index: against-index query ≡ batch cross pairs; append ≡ " +
+      "rebuild; retry replaces; banding guard holds") {
+    import graft.operators.Multimodal
+    def mix(id: Long, p: Long): Long = {
+      var z = id * 0x9E3779B97F4A7C15L + p * 0xC2B2AE3D27D4EB4FL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      (z ^ (z >>> 27)) & 0xffL
+    }
+    def img(seed: Long, nudge: Int) = Multimodal.encodeGrayPixelsPng(16, 16,
+      Array.tabulate(256)(p => (mix(seed, p.toLong).toInt +
+        (if (p < 40) nudge else 0)).min(255)))
+    def rec(id: Long, seed: Long, nudge: Int) =
+      Multimodal.MediaRecord(id, img(seed, nudge), "image/png")
+    // old corpus: 8 unrelated images (+1 undecodable — must not index);
+    // new batch: mutated copies of two of them + one novel + undecodable
+    val old = ((0L until 8L).map(i => rec(i, i, 0)) :+
+      Multimodal.MediaRecord(8L, "junk".getBytes("UTF-8"), "text/plain")).toDS()
+    val fresh = Seq(rec(100L, 0L, 7), rec(101L, 3L, 7), rec(102L, 999L, 0),
+      Multimodal.MediaRecord(103L, "junk2".getBytes("UTF-8"), "x/y")).toDS()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ph_idx").toString
+    Multimodal.writePhashIndex(old, dir)
+    val got = Multimodal.phashNearDupAgainstIndex(spark, dir, fresh, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // ground truth: the batch operator over old ∪ new, cross pairs only
+    val expected = Multimodal.imagePHashNearDupPairs(
+        old.unionByName(fresh), 3)
+      .filter(col("idB") >= 100L && col("idA") < 100L)
+      .select(col("idB"), col("idA"), col("hamming"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected, s"$got vs $expected")
+    assert(got.exists(_._1 == 100L) && got.exists(_._1 == 101L),
+      "planted mutations must band-match their bases")
+    assert(!got.exists(p => p._1 == 102L || p._1 == 103L))
+    // markers are excluded at write
+    assert(spark.read.parquet(s"$dir/sigs")
+      .filter(col("phash") === -1L).count() == 0)
+    // append + RETRY idempotence: signature rows replaced, not doubled
+    Multimodal.appendToPhashIndex(spark, dir, fresh, "b1")
+    Multimodal.appendToPhashIndex(spark, dir, fresh, "b1")
+    assert(spark.read.parquet(s"$dir/sigs").count() == 8L + 3L,
+      "retried append doubled signature rows")
+    // the index now answers for both snapshots: a mutation of doc 100
+    // finds it (and transitively its base)
+    val second = Seq(rec(200L, 0L, 12)).toDS()
+    val got2 = Multimodal.phashNearDupAgainstIndex(spark, dir, second, 3)
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    assert(got2.contains((200L, 100L)), got2.toString)
+    // pigeonhole guard: hamming cut must stay under the stored band count
+    intercept[IllegalArgumentException] {
+      Multimodal.phashNearDupAgainstIndex(spark, dir, second, 4)
+    }
+  }
+
   test("contaminationFlags marks exactly the docs sharing a benchmark n-gram") {
     import graft.operators.Curation
     val docs = Seq(

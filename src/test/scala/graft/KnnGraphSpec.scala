@@ -188,4 +188,33 @@ class KnnGraphSpec extends SparkSpec {
         numEntries = 20)
     }
   }
+
+  test("beamSearchRouted: IVF-seeded entries land every walk in its own " +
+      "component — exact top-k on the fixture a fixed ring can miss") {
+    val v = clusters(23)
+    val gdir = java.nio.file.Files
+      .createTempDirectory("graft_route_g").toString
+    val idir = java.nio.file.Files
+      .createTempDirectory("graft_route_i").toString
+    KnnGraph.writeKnnIndex(v, gdir, k = 6, iters = 4)
+    Similarity.writeIvfIndex(v, Similarity.buildIvf(v, numCells = 6,
+      iters = 2), idir)
+    val queries = v.filter(col("id") % 23 === 2)
+    val got = KnnGraph.beamSearchRouted(spark, gdir, idir, queries,
+        k = 4, beamWidth = 16, rounds = 4, eprobe = 1, seedsPerQuery = 2)
+      .localCheckpoint(true)
+    val truth = Similarity.bruteForceTopK(v, queries, 4)
+      .select("vec_id", "other_id")
+    val truthN = truth.count()
+    val hit = got.select("vec_id", "other_id")
+      .join(truth, Seq("vec_id", "other_id")).count()
+    // seeds are query-local by construction, so every cluster is
+    // reachable regardless of ring luck; the walk finishes the job
+    assert(hit == truthN, s"routed recall $hit/$truthN")
+    // deterministic replay
+    val again = KnnGraph.beamSearchRouted(spark, gdir, idir, queries,
+        k = 4, beamWidth = 16, rounds = 4, eprobe = 1, seedsPerQuery = 2)
+      .orderBy("vec_id", "rank").collect().toSeq
+    assert(again == got.orderBy("vec_id", "rank").collect().toSeq)
+  }
 }

@@ -152,6 +152,44 @@ class MaintainSpec extends SparkSpec {
     assert(serve() == before, "compaction changed near-dup serving")
   }
 
+  test("pHash: compaction merges committed batches; near-dup serving is " +
+      "bit-identical and the banding meta survives") {
+    import graft.operators.Multimodal
+    val wh = tmpWarehouse("ph")
+    def mix(id: Long, p: Long): Long = {
+      var z = id * 0x9E3779B97F4A7C15L + p * 0xC2B2AE3D27D4EB4FL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      (z ^ (z >>> 27)) & 0xffL
+    }
+    def rec(id: Long, seed: Long, nudge: Int) =
+      Multimodal.MediaRecord(id, Multimodal.encodeGrayPixelsPng(16, 16,
+        Array.tabulate(256)(p => (mix(seed, p.toLong).toInt +
+          (if (p < 40) nudge else 0)).min(255))), "image/png")
+    val old = (0L until 4L).map(i => rec(i, i, 0)).toDS()
+    Restore.publishVersionedDir(spark, wh, "ph", "0") { vdir =>
+      Multimodal.writePhashIndex(old, vdir.toString)
+    }
+    def curDir = Restore.resolveVersioned(spark, wh, "ph").get.toString
+    for (b <- 1 to 3)
+      Multimodal.appendToPhashIndex(spark, curDir,
+        Seq(rec(100L + b, b.toLong % 4L, 7)).toDS(), s"b$b")
+    assert(Maintain.phashDecision(spark, curDir, maxBatches = 2)
+      .action == "compact")
+    // probe: a mutation of base image 0 — band match guaranteed against
+    // both the base batch and append b4's copy family
+    val probe = Seq(rec(500L, 0L, 12)).toDS()
+    def serve(): Set[(Long, Long, Long)] =
+      Multimodal.phashNearDupAgainstIndex(spark, curDir, probe, 3)
+        .as[(Long, Long, Long)].collect().toSet
+    val before = serve()
+    assert(before.exists(_._2 == 0L), s"probe should match base 0: $before")
+    Maintain.phashCompact(spark, wh, "ph", "1")
+    assert(Maintain.phashDecision(spark, curDir, maxBatches = 2)
+      .metric == 1L)
+    assert(Multimodal.readPhashMeta(spark, curDir) == 4)
+    assert(serve() == before, "compaction changed near-dup serving")
+  }
+
   private def pqCluster(rnd: scala.util.Random, n: Int, axis: Int,
                         off: Long, noise: Double) = Seq.tabulate(n) { i =>
     (off + i, Seq.tabulate(8)(d =>
