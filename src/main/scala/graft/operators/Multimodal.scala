@@ -541,51 +541,60 @@ object Multimodal {
             catch { case scala.util.control.NonFatal(_) => None }
           img match {
             case Some(im) =>
-              val g = boxGridE4(im.getRaster, im.getWidth, im.getHeight,
-                32, 32)
-              // row pass: a(u)(y) = Σ_x g(y,x)·c(u,x)
-              val a = Array.ofDim[Long](8, 32)
-              var u = 0
-              while (u < 8) {
-                val cu = PhashCosE4(u)
-                var y = 0
-                while (y < 32) {
-                  var s = 0L
-                  var x = 0
-                  while (x < 32) { s += g(y * 32 + x) * cu(x); x += 1 }
-                  a(u)(y) = s
-                  y += 1
-                }
-                u += 1
-              }
-              // column pass: f(v·8+u) = Σ_y a(u)(y)·c(v,y)
-              val f = new Array[Long](64)
-              var v = 0
-              while (v < 8) {
-                val cv = PhashCosE4(v)
-                var uu = 0
-                while (uu < 8) {
-                  var s = 0L
-                  var y = 0
-                  while (y < 32) { s += a(uu)(y) * cv(y); y += 1 }
-                  f(v * 8 + uu) = s
-                  uu += 1
-                }
-                v += 1
-              }
-              val med = f.drop(1).sorted.apply(31) // 32nd smallest of 63
-              var hash = 0L
-              var k = 1
-              while (k < 64) {
-                if (f(k) > med) hash |= 1L << k
-                k += 1
-              }
-              ImagePHash(r.media_id, hash)
+              ImagePHash(r.media_id,
+                phashOfRaster(im.getRaster, im.getWidth, im.getHeight))
             case None => ImagePHash(r.media_id, -1L)
           }
         }
       }
     }
+  }
+
+  /** The pHash core over a decoded raster — shared by [[imagePHash]] and
+    * the per-keyframe video hash ([[videoKeyframePhash]]): 32×32 box
+    * grid, separable integer DCT, median threshold, sign packing.
+    */
+  private[graft] def phashOfRaster(raster: java.awt.image.Raster,
+                                   width: Int, height: Int): Long = {
+    val g = boxGridE4(raster, width, height, 32, 32)
+    // row pass: a(u)(y) = Σ_x g(y,x)·c(u,x)
+    val a = Array.ofDim[Long](8, 32)
+    var u = 0
+    while (u < 8) {
+      val cu = PhashCosE4(u)
+      var y = 0
+      while (y < 32) {
+        var s = 0L
+        var x = 0
+        while (x < 32) { s += g(y * 32 + x) * cu(x); x += 1 }
+        a(u)(y) = s
+        y += 1
+      }
+      u += 1
+    }
+    // column pass: f(v·8+u) = Σ_y a(u)(y)·c(v,y)
+    val f = new Array[Long](64)
+    var v = 0
+    while (v < 8) {
+      val cv = PhashCosE4(v)
+      var uu = 0
+      while (uu < 8) {
+        var s = 0L
+        var y = 0
+        while (y < 32) { s += a(uu)(y) * cv(y); y += 1 }
+        f(v * 8 + uu) = s
+        uu += 1
+      }
+      v += 1
+    }
+    val med = f.drop(1).sorted.apply(31) // 32nd smallest of 63
+    var hash = 0L
+    var k = 1
+    while (k < 64) {
+      if (f(k) > med) hash |= 1L << k
+      k += 1
+    }
+    hash
   }
 
   /** [[imageNearDupPairs]] over pHash signatures — same 4×16-bit-band
@@ -1181,14 +1190,26 @@ object Multimodal {
     */
   def encodeMjpegMp4(timescale: Int, durationTicks: Int, width: Int,
                      height: Int, grays: Seq[Int],
-                     syncSamples: Option[Seq[Int]] = None): Array[Byte] = {
-    require(timescale > 0 && durationTicks >= 0 && grays.nonEmpty)
+                     syncSamples: Option[Seq[Int]] = None): Array[Byte] =
+    encodeSamplesMp4(timescale, durationTicks,
+      grays.map(g => encodeJpegGray(width, height, g)), syncSamples)
+
+  /** The container half of [[encodeMjpegMp4]] over ARBITRARY pre-encoded
+    * sample payloads — fixture synthesis for the video family: PNG
+    * samples ([[encodeGrayPixelsPng]]) decode LOSSLESSLY (ImageIO sniffs
+    * the codec per sample), so per-frame pixel arithmetic survives the
+    * round trip exactly and video-hash oracles can replay it (the q103
+    * PNG discipline, which lossy JPEG frames would break).
+    */
+  def encodeSamplesMp4(timescale: Int, durationTicks: Int,
+                       samples: Seq[Array[Byte]],
+                       syncSamples: Option[Seq[Int]] = None): Array[Byte] = {
+    require(timescale > 0 && durationTicks >= 0 && samples.nonEmpty)
     def box(tag: String, body: Array[Byte]): Array[Byte] = {
       val out = java.nio.ByteBuffer.allocate(8 + body.length)
       out.putInt(8 + body.length).put(tag.getBytes("US-ASCII")).put(body)
       out.array()
     }
-    val samples = grays.map(g => encodeJpegGray(width, height, g))
     val ftyp = box("ftyp", "isom   isomiso2".getBytes("US-ASCII"))
     val mdat = box("mdat", samples.reduce(_ ++ _))
     val mdatOff = ftyp.length + 8 // first sample's absolute file offset
@@ -1406,4 +1427,117 @@ object Multimodal {
         }
         DecodedVideo(id, nSamples, nKf, nDec, w, h, graySum)
     }
+
+  // ---- video near-dup (round 14): per-keyframe pHash + temporal agg ------
+
+  /** One row per decoded keyframe: (media_id, frame_idx, phash) —
+    * frame_idx numbers the video's keyframes 0.. in track-then-sample
+    * order (the temporal axis the pair aggregation joins on). Marker
+    * rows: a payload that is not parseable MP4 yields (id, −1, −1); a
+    * keyframe whose sample bytes fail to decode yields (id, idx, −1).
+    * Codec handling is [[decodeMjpegOne]]'s: ImageIO sniffs each
+    * sample's format, with the same decompression-bomb guard.
+    */
+  case class VideoFramePHash(media_id: Long, frame_idx: Long, phash: Long)
+
+  def videoKeyframePhash(ds: Dataset[MediaRecord], batchSize: Int = 16,
+                         maxPixels: Long = 64L << 20)
+      : Dataset[VideoFramePHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap(_.iterator.flatMap { r =>
+        parseMp4SampleTables(r.media) match {
+          case None => Seq(VideoFramePHash(r.media_id, -1L, -1L))
+          case Some(tracks) =>
+            var idx = -1L
+            for {
+              t <- tracks
+              offs = sampleOffsets(t)
+              kf = t.syncs.fold(t.sizes.indices: Seq[Int])(_.toSeq.map(_ - 1))
+              i <- kf if i >= 0 && i < t.sizes.length
+            } yield {
+              idx += 1
+              val off = offs(i); val len = t.sizes(i)
+              val img =
+                if (off < 0 || len <= 0 || off + len > r.media.length) None
+                else {
+                  val bytes = java.util.Arrays.copyOfRange(
+                    r.media, off.toInt, (off + len).toInt)
+                  if (claimedPixels(bytes) > maxPixels) None
+                  else try Option(javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(bytes)))
+                  catch { case scala.util.control.NonFatal(_) => None }
+                }
+              img match {
+                case Some(im) => VideoFramePHash(r.media_id, idx,
+                  phashOfRaster(im.getRaster, im.getWidth, im.getHeight))
+                case None => VideoFramePHash(r.media_id, idx, -1L)
+              }
+            }
+        }
+      })
+    }
+  }
+
+  /** Near-duplicate VIDEO pairs — the modality composition the parts
+    * were built for: per-keyframe pHash ([[videoKeyframePhash]]) banded
+    * into the [[imagePHashNearDupPairs]] pigeonhole join at the FRAME
+    * level, then temporally aggregated per video pair: `matched_a` /
+    * `matched_b` = how many of each side's keyframes near-match (hamming
+    * ≤ `maxHamming`, exact under the band join for maxHamming < nBands)
+    * ANY keyframe of the other side, and
+    * `sim_e4 = (matched_a + matched_b) / (n_a + n_b)` — the symmetric
+    * hash-set Jaccard over near-matching. A re-encoded duplicate matches
+    * on every frame (sim 1e4); a clip sharing one scene scores
+    * proportionally. Pairs at or above `minSimE4` survive.
+    *
+    * Scale shape: the only corpus-sized shuffle is the (band, bits)
+    * frame-band equi join — never all-pairs across videos, never frames ×
+    * frames; the temporal aggregate is one hash-partitioned groupBy on
+    * (idA, idB). Marker frames (−1) and non-video payloads never pair.
+    */
+  def videoNearDupPairs(ds: Dataset[MediaRecord], maxHamming: Int = 3,
+                        nBands: Int = 4,
+                        minSimE4: Long = 5000L): DataFrame =
+    videoNearDupPairsManaged(ds, maxHamming, nBands, minSimE4).df
+
+  def videoNearDupPairsManaged(ds: Dataset[MediaRecord],
+                               maxHamming: Int = 3, nBands: Int = 4,
+                               minSimE4: Long = 5000L): graft.core.Managed = {
+    require(nBands > 0 && 64 % nBands == 0,
+      s"band count ($nBands) must divide 64")
+    require(maxHamming < nBands,
+      s"pigeonhole over $nBands bands needs maxHamming < $nBands")
+    val hashes = videoKeyframePhash(ds).toDF()
+      .filter(col("phash") =!= -1L && col("frame_idx") >= 0L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nFrames = hashes.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("nf"))
+    val banded = phashBandRows(hashes, nBands)
+    val a = banded.select(col("media_id").as("idA"),
+      col("frame_idx").as("fiA"), col("phash").as("ha"),
+      col("band"), col("bits"))
+    val b = banded.select(col("media_id").as("idB"),
+      col("frame_idx").as("fiB"), col("phash").as("hb"),
+      col("band"), col("bits"))
+    val framePairs = a.join(b, Seq("band", "bits"))
+      .filter(col("idA") < col("idB"))
+      .filter(expr("CAST(bit_count(ha ^ hb) AS BIGINT)") <= maxHamming)
+      .select("idA", "fiA", "idB", "fiB").distinct()
+    val agg = framePairs.groupBy("idA", "idB")
+      .agg(countDistinct(col("fiA")).as("matched_a"),
+        countDistinct(col("fiB")).as("matched_b"))
+    val out = agg
+      .join(nFrames.select(col("media_id").as("idA"), col("nf").as("na")),
+        Seq("idA"))
+      .join(nFrames.select(col("media_id").as("idB"), col("nf").as("nb")),
+        Seq("idB"))
+      .withColumn("sim_e4", graft.core.Ops.fixedPoint(
+        (col("matched_a") + col("matched_b")) * lit(1.0) /
+          (col("na") + col("nb")), 4))
+      .filter(col("sim_e4") >= minSimE4)
+      .select("idA", "idB", "matched_a", "matched_b", "sim_e4")
+    graft.core.Managed(out, Seq(hashes))
+  }
 }

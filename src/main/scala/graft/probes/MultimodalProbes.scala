@@ -621,7 +621,120 @@ object MultimodalProbes {
 
   // ---- family registry --------------------------------------------------
 
+  // ---- q153 video near-dup (per-keyframe pHash + temporal agg) -----------
+  // 3-keyframe MP4s whose samples are LOSSLESS PNGs (encodeSamplesMp4 —
+  // ImageIO sniffs per sample), so each frame's pixels are closed-form in
+  // (seed, frame) and the oracle replays decode → per-frame pHash (the
+  // q146 DCT chain with a frame dimension) → frame-level hamming pairs
+  // (brute force is exact: the band join is a verified superset) →
+  // temporal aggregation (matched_a/matched_b, symmetric near-match
+  // Jaccard sim_e4). Planted structure: id%7==3 = full re-encode of id−1
+  // (frame 0 nudged one pixel → all 3 frames near-match, sim 1e4);
+  // id%7==4 = shares exactly frame 0 with id−2 (sim 3333); id%5==0 =
+  // text payload (marker, never pairs). doc_id < 200 bounds the oracle's
+  // per-frame DCT replay.
+  def q153Media(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      if (id % 5 == 0)
+        graft.operators.Multimodal.MediaRecord(
+          id, s"not video: $id".getBytes("UTF-8"), "text/plain")
+      else {
+        val isvar = id % 7 == 3
+        val ispart = id % 7 == 4
+        val base = if (isvar) id - 1 else id
+        def frame(f: Int): Array[Byte] = {
+          val seed = if (ispart && f == 0) id - 2 else base
+          graft.operators.Multimodal.encodeGrayPixelsPng(16, 16,
+            Array.tabulate(256) { p =>
+              val (x, y) = (p % 16, p / 16)
+              val nudge = if (isvar && f == 0 && x == 0 && y == 0) 9 else 0
+              ((seed * 31 + f * 53 + y * 16 + x * 17 + nudge) % 256).toInt
+            })
+        }
+        graft.operators.Multimodal.MediaRecord(id,
+          graft.operators.Multimodal.encodeSamplesMp4(1000, 3000,
+            (0 to 2).map(frame)), "video/mp4")
+      }
+    }
+  }
+
+  val q153: Q = (s, d) => {
+    val media = q153Media(graft.core.Ops.widen(Tables.documents(s, d))
+      .filter(col("doc_id") < 200))
+    graft.operators.Multimodal.videoNearDupPairs(media, maxHamming = 3,
+        nBands = 4, minSimE4 = 3000L)
+      .orderBy("idA", "idB")
+  }
+
+  val q153Sql: String =
+    s"""WITH cfg AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN NULL
+      |         WHEN doc_id % 7 = 3 THEN doc_id - 1
+      |         ELSE doc_id END AS base,
+      |    (doc_id % 7 = 3) AS isvar,
+      |    (doc_id % 7 = 4) AS ispart
+      |  FROM documents WHERE doc_id < 200),
+      |ct AS (
+      |  SELECT t.k // 32 AS k, t.k % 32 AS x,
+      |    ([$pHashCosLiterals])[t.k + 1] AS c
+      |  FROM range(256) t(k)),
+      |fr AS (
+      |  SELECT doc_id, f.f AS f,
+      |    CASE WHEN ispart AND f.f = 0 THEN doc_id - 2 ELSE base END AS seed,
+      |    (isvar AND f.f = 0) AS nudged
+      |  FROM cfg, range(3) f(f) WHERE base IS NOT NULL),
+      |g32 AS (
+      |  SELECT doc_id, f, x.x AS x, y.y AS y,
+      |    ((seed * 31 + f * 53 + (y.y // 2) * 16 + (x.x // 2) * 17 +
+      |        CASE WHEN nudged AND x.x // 2 = 0 AND y.y // 2 = 0
+      |          THEN 9 ELSE 0 END) % 256) * 10000 AS e4
+      |  FROM fr, range(32) x(x), range(32) y(y)),
+      |rowp AS (
+      |  SELECT g.doc_id, g.f, c.k AS u, g.y AS y,
+      |    CAST(sum(g.e4 * c.c) AS BIGINT) AS a
+      |  FROM g32 g JOIN ct c ON c.x = g.x GROUP BY 1, 2, 3, 4),
+      |coef AS (
+      |  SELECT r.doc_id, r.f, c.k * 8 + r.u AS k,
+      |    CAST(sum(r.a * c.c) AS BIGINT) AS fc
+      |  FROM rowp r JOIN ct c ON c.x = r.y GROUP BY 1, 2, 3),
+      |med AS (
+      |  SELECT doc_id, f, fc AS m FROM (
+      |    SELECT doc_id, f, fc,
+      |      row_number() OVER (PARTITION BY doc_id, f ORDER BY fc) AS rn
+      |    FROM coef WHERE k > 0) WHERE rn = 32),
+      |h AS (
+      |  SELECT c.doc_id, c.f,
+      |    CAST(sum(CASE WHEN c.k > 0 AND c.fc > m.m THEN
+      |        CASE WHEN c.k = 63 THEN -9223372036854775808
+      |             ELSE CAST(1 AS BIGINT) << CAST(c.k AS INTEGER) END
+      |      ELSE 0 END) AS BIGINT) AS phash
+      |  FROM coef c JOIN med m USING (doc_id, f) GROUP BY 1, 2),
+      |fp AS (
+      |  SELECT a.doc_id AS idA, a.f AS fiA, b.doc_id AS idB, b.f AS fiB
+      |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+      |nf AS (SELECT doc_id, count(*) AS nf FROM h GROUP BY 1),
+      |agg AS (
+      |  SELECT idA, idB,
+      |    CAST(count(DISTINCT fiA) AS BIGINT) AS matched_a,
+      |    CAST(count(DISTINCT fiB) AS BIGINT) AS matched_b
+      |  FROM fp GROUP BY 1, 2)
+      |SELECT idA, idB, matched_a, matched_b,
+      |  CAST(floor((matched_a + matched_b) * 10000.0 /
+      |    (na.nf + nb.nf) + 0.5) AS BIGINT) AS sim_e4
+      |FROM agg
+      |JOIN nf na ON na.doc_id = agg.idA
+      |JOIN nf nb ON nb.doc_id = agg.idB
+      |WHERE floor((matched_a + matched_b) * 10000.0 /
+      |  (na.nf + nb.nf) + 0.5) >= 3000
+      |ORDER BY idA, idB""".stripMargin
+
   private[probes] val queries: Map[String, Q] = Map(
+    "q153_video_neardup" -> q153,
     "q36_multimodal_decode" -> q36,
     "q80_media_meta" -> q80,
     "q82_image_decode" -> q82,
@@ -636,6 +749,7 @@ object MultimodalProbes {
     "q147_phash_neardup" -> q147)
 
   private[probes] val oracleSql: Map[String, String] = Map(
+    "q153_video_neardup" -> q153Sql,
     "q36_multimodal_decode" -> q36Sql,
     "q80_media_meta" -> q80Sql,
     "q82_image_decode" -> q82Sql,

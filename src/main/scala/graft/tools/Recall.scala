@@ -192,43 +192,49 @@ object Recall {
             f"budget<=$budget%-7d recall@$k=${hit.toDouble / truthN}%6.4f " +
             f"build=$buildS%7.2f s query=$dt%7.2f s (truth=$truthN)")
         }
-        // graph build: warm IVF-seeded init on the clustered corpus (the
-        // round-13 guidance), cold ring on uniform (warm has nothing to
-        // seed from there); kGraph = k so the graph can carry truth
-        val tg = System.nanoTime()
-        val g = KnnGraph.knnGraph(v, k, iters = 2,
-            warmCells = if (tag == "clustered") 64 else 0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        g.count()
-        val graphS = (System.nanoTime() - tg) / 1e9
-        val nEntries = 16
-        val entries = graft.core.Ops.globalRank(v.select("id"),
-            Seq(md5(col("id").cast("string")), col("id")), "r")
-          .filter(col("r") <= nEntries).select("id")
-          .localCheckpoint(true)
-        for ((bw, rounds) <- Seq((10, 3), (20, 4), (40, 6)))
-          row(f"beam bw=$bw%-3d r=$rounds",
-            nEntries + rounds.toLong * bw * k, graphS,
-            KnnGraph.beamSearch(g, v, queries, entries, k, bw, rounds))
-        // IVF: √N cells (the buildIvf default), nprobe grid
+        // IVF router/baseline: √N cells (the buildIvf default)
         val ti = System.nanoTime()
         val cent = Similarity.buildIvf(v, iters = 1)
           .localCheckpoint(true)
         val cells = cent.count()
         val ivfS = (System.nanoTime() - ti) / 1e9
-        // ROUTED beam: IVF seeds at one probe land each walk inside the
-        // query's own component (the fixed ring covers components only
-        // probabilistically — the honest miss above); the walk then
-        // recovers the quantizer's cell-boundary losses. Compare against
-        // raw ivf np=1 (same router budget) and np=4 (4x the budget).
-        for ((bw, rounds) <- Seq((10, 3), (20, 4)))
-          row(f"beam_routed bw=$bw%-3d r=$rounds",
-            nVecs / cells + rounds.toLong * bw * k, graphS + ivfS,
-            KnnGraph.beamSearchFrom(g, v, queries,
-              Similarity.ivfTopK(v, cent, queries, nprobe = 1, k = 4)
-                .select(col("vec_id").as("qid"), col("other_id").as("node")),
-              k, bw, rounds))
-        g.unpersist()
+        // graph build: warm IVF-seeded init on the clustered corpus (the
+        // round-13 guidance), cold ring on uniform (warm has nothing to
+        // seed from there); kGraph = k so the graph can carry truth.
+        // The iters dimension (clustered only) measures the build-cost vs
+        // serving-recall trade: walk recall is hostage to graph quality.
+        val itersGrid = if (tag == "clustered") Seq(2, 4) else Seq(2)
+        for (gIters <- itersGrid) {
+          val tg = System.nanoTime()
+          val g = KnnGraph.knnGraph(v, k, iters = gIters,
+              warmCells = if (tag == "clustered") 64 else 0)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          g.count()
+          val graphS = (System.nanoTime() - tg) / 1e9
+          val nEntries = 16
+          val entries = graft.core.Ops.globalRank(v.select("id"),
+              Seq(md5(col("id").cast("string")), col("id")), "r")
+            .filter(col("r") <= nEntries).select("id")
+            .localCheckpoint(true)
+          for ((bw, rounds) <- Seq((10, 3), (20, 4), (40, 6)))
+            row(f"beam i=$gIters bw=$bw%-3d r=$rounds",
+              nEntries + rounds.toLong * bw * k, graphS,
+              KnnGraph.beamSearch(g, v, queries, entries, k, bw, rounds))
+          // ROUTED beam: IVF seeds at one probe land each walk inside the
+          // query's own component (the fixed ring covers components only
+          // probabilistically — the honest miss above); the walk then
+          // recovers the quantizer's cell-boundary losses. Compare against
+          // raw ivf np=1 (same router budget) and np=4 (4x the budget).
+          for ((bw, rounds) <- Seq((10, 3), (20, 4)))
+            row(f"beam_routed i=$gIters bw=$bw%-3d r=$rounds",
+              nVecs / cells + rounds.toLong * bw * k, graphS + ivfS,
+              KnnGraph.beamSearchFrom(g, v, queries,
+                Similarity.ivfTopK(v, cent, queries, nprobe = 1, k = 4)
+                  .select(col("vec_id").as("qid"),
+                    col("other_id").as("node")),
+                k, bw, rounds))
+          g.unpersist()
+        }
         for (nprobe <- Seq(1, 2, 4))
           row(f"ivf cells=$cells%-4d np=$nprobe",
             nVecs * nprobe / cells, ivfS,

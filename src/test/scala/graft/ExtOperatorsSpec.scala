@@ -588,6 +588,61 @@ class ExtOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("videoNearDupPairs: full re-encodes score 1e4, single-shared-scene " +
+      "clips score proportionally, markers never pair") {
+    import graft.operators.Multimodal
+    // 3-keyframe MP4s whose samples are LOSSLESS PNGs (the q103 pixel
+    // discipline carried to video): per-frame pattern is closed-form in
+    // (seed, frame), so ground truth follows from synthesis arithmetic
+    def frame(seed: Long, f: Int, nudge: Int) =
+      Multimodal.encodeGrayPixelsPng(16, 16, Array.tabulate(256) { p =>
+        val (x, y) = (p % 16, p / 16)
+        val n = if (nudge > 0 && x == 0 && y == 0) nudge else 0
+        ((seed * 31 + f * 53 + y * 16 + x * 17 + n) % 256).toInt
+      })
+    def video(frames: Seq[Array[Byte]]) =
+      Multimodal.encodeSamplesMp4(1000, 3000, frames)
+    val recs = Seq(
+      // 1 = base; 2 = re-encode of 1 (frame 0 one-pixel nudge, rest
+      // identical); 3 = shares exactly frame 0 with 1, rest novel
+      Multimodal.MediaRecord(1L, video((0 to 2).map(frame(1L, _, 0))), "video/mp4"),
+      Multimodal.MediaRecord(2L, video(Seq(frame(1L, 0, 9), frame(1L, 1, 0),
+        frame(1L, 2, 0))), "video/mp4"),
+      Multimodal.MediaRecord(3L, video(Seq(frame(1L, 0, 0), frame(900L, 1, 0),
+        frame(900L, 2, 0))), "video/mp4"),
+      Multimodal.MediaRecord(4L, video((0 to 2).map(frame(50L, _, 0))), "video/mp4"),
+      Multimodal.MediaRecord(5L, "not video".getBytes("UTF-8"), "text/plain"))
+      .toDS()
+    // per-frame hashes: markers for the text payload only
+    val hashes = Multimodal.videoKeyframePhash(recs).collect()
+    assert(hashes.count(_.media_id == 5L) == 1 &&
+      hashes.find(_.media_id == 5L).get.phash == -1L)
+    assert(hashes.count(h => h.media_id <= 4L) == 12) // 4 videos x 3 frames
+    val m = Multimodal.videoNearDupPairsManaged(recs, maxHamming = 3,
+      minSimE4 = 3000L)
+    val got = m.df.select("idA", "idB", "matched_a", "matched_b", "sim_e4")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    m.close()
+    // ground truth by brute force over the collected frame hashes
+    val valid = hashes.filter(h => h.phash != -1L && h.frame_idx >= 0)
+    val ids = valid.map(_.media_id).distinct.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      fa = valid.filter(_.media_id == a); fb = valid.filter(_.media_id == b)
+      ma = fa.count(x => fb.exists(y =>
+        java.lang.Long.bitCount(x.phash ^ y.phash) <= 3)).toLong
+      mb = fb.count(y => fa.exists(x =>
+        java.lang.Long.bitCount(x.phash ^ y.phash) <= 3)).toLong
+      sim = math.floor((ma + mb) * 10000.0 / (fa.length + fb.length) + 0.5).toLong
+      if sim >= 3000L
+    } yield (a, b, ma, mb, sim)).toSet
+    assert(got == expected, s"$got vs $expected")
+    // the planted structure really landed: full re-encode and one-scene
+    assert(got.contains((1L, 2L, 3L, 3L, 10000L)), got.toString)
+    assert(got.contains((1L, 3L, 1L, 1L, 3333L)), got.toString)
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("pHash index: against-index query ≡ batch cross pairs; append ≡ " +
       "rebuild; retry replaces; banding guard holds") {
     import graft.operators.Multimodal
