@@ -94,7 +94,28 @@ case class CurateConfig(
     // CurateStream's GateVerdict stream (spec-pinned ≡ on shared
     // stages). Off by default: each dropping stage then pays one extra
     // bounded anti-join + materialization for its dropped-id frame.
-    emitLedger: Boolean = false)
+    emitLedger: Boolean = false,
+    // stage-checkpointed RESUMABLE funnel (round 14): when set, every
+    // stage's admitted frame (and ledger piece) publishes through the
+    // Restore.publishVersionedDir commit-marker path under this
+    // warehouse dir — a crash at stage 9 of 12 then resumes from the
+    // last committed stage instead of re-running a 100 TB pool from
+    // ingest. The parquet barrier replaces the localCheckpoint barrier
+    // (same optimizer-blowup protection, durable instead of
+    // executor-resident). None = in-memory barriers (exactly the
+    // pre-round-14 behavior).
+    stageCheckpointDir: Option[String] = None,
+    // with stageCheckpointDir set: skip every stage whose commit marker
+    // (and, under emitLedger, whose ledger piece's marker) already
+    // resolves, reading the committed frame instead — funnel counts and
+    // ledger are IDENTICAL to the uninterrupted run (spec-pinned).
+    // A non-resume rerun into a dir holding committed stages fails
+    // loudly in publishVersionedDir (immutable version tokens): pass
+    // resume = true or a fresh runToken/dir.
+    resume: Boolean = false,
+    // version token for this run's stage publishes (publishVersionedDir
+    // tokens are immutable-unique per stage db)
+    runToken: String = "0")
 
 /** `chunks` — the packed, sharded training chunks (doc_id, chunk_id,
   * chunk_text, n_tokens, shard, pack); `stageCounts` — rows surviving each
@@ -164,23 +185,78 @@ object Curate {
       counts += ((name, v)); times += ((name, (now - tPrev) / 1e9))
       tPrev = now
     }
+    // ---- stage-checkpoint store (cfg.stageCheckpointDir) ----------------
+    // every stage frame (db `stage_<name>`) and ledger piece (db
+    // `ledger_<name>`) publishes through the commit-marker path; a
+    // resumed run reads committed dbs instead of recomputing. Stage
+    // closures are BY-NAME so a resolved stage never constructs its
+    // operators (several construct EAGERLY: connected components,
+    // percentile cuts, suffix descents).
+    val sess = docs.sparkSession
+    object ck {
+      private val whOpt = cfg.stageCheckpointDir
+      def on: Boolean = whOpt.nonEmpty
+      private def resolvedPath(db: String) =
+        whOpt.flatMap(wh => Restore.resolveVersioned(sess, wh, db))
+      def resolved(db: String): Boolean =
+        cfg.resume && resolvedPath(db).isDefined
+      def read(db: String): DataFrame =
+        sess.read.parquet(resolvedPath(db).get.toString)
+      def save(db: String, df: DataFrame): DataFrame = {
+        val wh = whOpt.get
+        // clear a crash-orphaned version dir: the marker commits LAST,
+        // so a dir it never pointed at is provably uncommitted
+        val fs = new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(sess.sparkContext.hadoopConfiguration)
+        val vd = new org.apache.hadoop.fs.Path(wh,
+          s"${db}__v${cfg.runToken}")
+        if (fs.exists(vd) && !resolvedPath(db).contains(vd))
+          fs.delete(vd, true)
+        val p = Restore.publishVersionedDir(sess, wh, db, cfg.runToken) {
+          vdir => df.write.mode("overwrite").parquet(vdir.toString) }
+        sess.read.parquet(p.toString)
+      }
+      // the stage barrier: parquet-committed when checkpointing is on,
+      // the eager localCheckpoint otherwise (same optimizer-blowup
+      // protection either way)
+      def barrier(name: String)(make: => DataFrame): DataFrame =
+        if (!on) make.localCheckpoint(true)
+        else if (resolved(s"stage_$name")) read(s"stage_$name")
+        else save(s"stage_$name", make)
+      // legacy-persist sites: identical to the pre-checkpoint behavior
+      // when checkpointing is off (no extra materialization)
+      def barrierOpt(name: String)(make: => DataFrame): DataFrame =
+        if (!on) make
+        else if (resolved(s"stage_$name")) read(s"stage_$name")
+        else save(s"stage_$name", make)
+      // a stage whose operators construct EAGERLY is skippable iff its
+      // frame and (under emitLedger) its piece both resolved
+      def canSkip(name: String, pieceName: Option[String]): Boolean =
+        on && resolved(s"stage_$name") &&
+          (!cfg.emitLedger ||
+            pieceName.forall(p => resolved(s"ledger_$p")))
+    }
     // ---- rejection-ledger capture (cfg.emitLedger) ----------------------
-    // each piece is a bounded id frame materialized EAGERLY, while the
-    // stage frames it reads are persisted/checkpointed (the quality
-    // stage checkpoints its survivors below before cutting its piece —
-    // its inputs are otherwise lazy) — a lazy piece would recompute its
+    // each piece is a bounded id frame materialized EAGERLY (or
+    // parquet-committed under the checkpoint store), while the stage
+    // frames it reads are persisted/checkpointed (the quality stage
+    // checkpoints its survivors below before cutting its piece — its
+    // inputs are otherwise lazy) — a lazy piece would recompute its
     // whole upstream stage after unpersist
     val led = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def piece(name: String)(make: => DataFrame): DataFrame =
+      if (!ck.on) make.localCheckpoint(true)
+      else if (ck.resolved(s"ledger_$name")) ck.read(s"ledger_$name")
+      else ck.save(s"ledger_$name", make)
     def rejectAnti(prev: DataFrame, next: DataFrame, reason: String): Unit =
-      if (cfg.emitLedger) led += prev
+      if (cfg.emitLedger) led += piece(reason)(prev
         .select(col(idCol).cast("long").as("id"))
         .join(next.select(col(idCol).cast("long").as("id")),
           Seq("id"), "left_anti")
         .select(col("id"), lit(false).as("admitted"),
-          lit(reason).as("reason"), col("id").as("dup_of"))
-        .localCheckpoint(true)
-    def rejectDup(piece: DataFrame): Unit = // pre-built (id, admitted, reason, dup_of)
-      if (cfg.emitLedger) led += piece.localCheckpoint(true)
+          lit(reason).as("reason"), col("id").as("dup_of")))
+    def rejectDup(name: String)(p: => DataFrame): Unit =
+      if (cfg.emitLedger) led += piece(name)(p)
 
     // ---- optional C4 ingest cleaning (per-row map + filter) ------------
     // before anything scores: the statistical gates should judge the
@@ -188,10 +264,9 @@ object Curate {
     var input = graft.core.Ops.widen(docs).select(col(idCol), col(textCol))
     if (cfg.c4Clean) {
       val pre = input
-      input = Curation.c4Clean(input, idCol, textCol)
+      input = ck.barrier("c4_clean")(Curation.c4Clean(input, idCol, textCol)
         .filter(col("keep"))
-        .select(col(idCol), col("cleaned_text").as(textCol))
-        .localCheckpoint(true)
+        .select(col(idCol), col("cleaned_text").as(textCol)))
       stage("c4_clean", input.count())
       rejectAnti(pre, input, "c4")
     }
@@ -218,7 +293,7 @@ object Curate {
     // exact_dedup), so the anti-join would run the full quality/gopher
     // plan an extra time — checkpoint the survivors once and let the
     // same frame feed the piece and every downstream stage
-    if (cfg.emitLedger) filtered = filtered.localCheckpoint(true)
+    if (cfg.emitLedger || ck.on) filtered = ck.barrier("quality")(filtered)
     rejectAnti(input, filtered, "quality")
 
     // optional LM-perplexity gate: self-train on the quality survivors,
@@ -246,10 +321,12 @@ object Curate {
     // below (score + keep join reference the input twice).
     for (m <- classifierModel) {
       val base = filtered.persist(StorageLevel.MEMORY_AND_DISK)
-      val keep = graft.operators.Classifier.score(base, idCol, textCol, m)
-        .filter(col("p_e6") >= cfg.minClassifierPE6)
-        .select(col(idCol))
-      filtered = base.join(keep, Seq(idCol)).localCheckpoint(true)
+      filtered = ck.barrier("classifier_gate") {
+        val keep = graft.operators.Classifier.score(base, idCol, textCol, m)
+          .filter(col("p_e6") >= cfg.minClassifierPE6)
+          .select(col(idCol))
+        base.join(keep, Seq(idCol))
+      }
       stage("classifier_gate", filtered.count())
       rejectAnti(base, filtered, "classifier")
       base.unpersist()
@@ -259,10 +336,12 @@ object Curate {
       val base = filtered.persist(StorageLevel.MEMORY_AND_DISK)
       val xentM = TextStats.selfCrossEntropyManaged(base, idCol, textCol,
         cfg.lmVocabSize)
-      val keep = xentM.df
-        .filter(col("xent_e4") <= bound)
-        .select(col(idCol))
-      filtered = base.join(keep, Seq(idCol)).localCheckpoint(true)
+      filtered = ck.barrier("lm_gate") {
+        val keep = xentM.df
+          .filter(col("xent_e4") <= bound)
+          .select(col(idCol))
+        base.join(keep, Seq(idCol))
+      }
       stage("lm_gate", filtered.count())
       rejectAnti(base, filtered, "lm")
       xentM.close()
@@ -277,12 +356,14 @@ object Curate {
     // explode + (2n−1) model-table joins, no training inside the funnel
     for (bound <- cfg.maxArpaE4; m <- arpaModel) {
       val base = filtered.persist(StorageLevel.MEMORY_AND_DISK)
-      val tabs = TextStats.arpaTablesN(docs.sparkSession, m)
-      val keep = TextStats.arpaCrossEntropyN(base, idCol, textCol, tabs,
-          m.unkLp)
-        .filter(col("arpa_e4") <= bound)
-        .select(col(idCol))
-      filtered = base.join(keep, Seq(idCol)).localCheckpoint(true)
+      filtered = ck.barrier("arpa_gate") {
+        val tabs = TextStats.arpaTablesN(docs.sparkSession, m)
+        val keep = TextStats.arpaCrossEntropyN(base, idCol, textCol, tabs,
+            m.unkLp)
+          .filter(col("arpa_e4") <= bound)
+          .select(col(idCol))
+        base.join(keep, Seq(idCol))
+      }
       stage("arpa_gate", filtered.count())
       rejectAnti(base, filtered, "arpa")
       base.unpersist()
@@ -297,27 +378,36 @@ object Curate {
     // persists the scored frame its two consumers share); language
     // re-prediction is a per-row map over the persisted pool.
     for (keepBuckets <- cfg.pplBucketsKeep) {
-      val base = filtered.persist(StorageLevel.MEMORY_AND_DISK)
-      val knM = TextStats.selfKnCrossEntropyManaged(base, idCol, textCol,
-        cfg.lmVocabSize)
-      var lp = base.withColumn("__w", Dedup.normalizeWords(col(textCol)))
-      for ((name, markers) <- TextStats.LangProfiles)
-        lp = lp.withColumn(s"s_$name",
-          TextStats.profileScore(col("__w"), markers).cast("long"))
-      val langs = lp.withColumn("__lang", TextStats.langPredict)
-        .select(col(idCol), col("__lang"))
-      // docs with < 2 normalized words carry a coalesced score of 0, not
-      // a measured one — exclude them from the tercile cuts and label
-      // them `unscored` (kept only if keepBuckets lists "unscored")
-      val bM = Curation.perplexityBucketsManaged(
-        knM.df.join(langs, Seq(idCol)), "__lang", "kn_e4",
-        unscoredWhen = Some(col("n_bigrams") === lit(0L)))
-      val keep = bM.df.filter(col("bucket").isInCollection(keepBuckets))
-        .select(col(idCol))
-      filtered = base.join(keep, Seq(idCol)).localCheckpoint(true)
-      stage("ppl_buckets", filtered.count())
-      rejectAnti(base, filtered, "ppl")
-      bM.close(); knM.close(); base.unpersist()
+      // the KN train and the tercile cuts run EAGERLY at construction —
+      // a resumed stage must not construct them at all
+      if (ck.canSkip("ppl_buckets", Some("ppl"))) {
+        val prev = filtered
+        filtered = ck.read("stage_ppl_buckets")
+        stage("ppl_buckets", filtered.count())
+        rejectAnti(prev, filtered, "ppl")
+      } else {
+        val base = filtered.persist(StorageLevel.MEMORY_AND_DISK)
+        val knM = TextStats.selfKnCrossEntropyManaged(base, idCol, textCol,
+          cfg.lmVocabSize)
+        var lp = base.withColumn("__w", Dedup.normalizeWords(col(textCol)))
+        for ((name, markers) <- TextStats.LangProfiles)
+          lp = lp.withColumn(s"s_$name",
+            TextStats.profileScore(col("__w"), markers).cast("long"))
+        val langs = lp.withColumn("__lang", TextStats.langPredict)
+          .select(col(idCol), col("__lang"))
+        // docs with < 2 normalized words carry a coalesced score of 0, not
+        // a measured one — exclude them from the tercile cuts and label
+        // them `unscored` (kept only if keepBuckets lists "unscored")
+        val bM = Curation.perplexityBucketsManaged(
+          knM.df.join(langs, Seq(idCol)), "__lang", "kn_e4",
+          unscoredWhen = Some(col("n_bigrams") === lit(0L)))
+        val keep = bM.df.filter(col("bucket").isInCollection(keepBuckets))
+          .select(col(idCol))
+        filtered = ck.barrier("ppl_buckets")(base.join(keep, Seq(idCol)))
+        stage("ppl_buckets", filtered.count())
+        rejectAnti(base, filtered, "ppl")
+        bM.close(); knM.close(); base.unpersist()
+      }
     }
 
     // ---- optional DSIR selection toward a target domain ----------------
@@ -326,18 +416,25 @@ object Curate {
     // stage sees). Keep-count is a fraction of the post-gate pool; the
     // selection itself is the deterministic Gumbel-top-k operator.
     for (target <- dsirTarget) {
-      val base = filtered.persist(StorageLevel.MEMORY_AND_DISK)
-      val n = base.count() // bounded action on the persisted pool
-      val k = math.max(1L,
-        math.ceil(n * cfg.dsirKeepFracE4 / 10000.0).toLong).toInt
-      val wM = TextStats.importanceWeightsSelfRawManaged(base, idCol,
-        textCol, TextStats.bigramCounts(target, textCol), cfg.lmVocabSize)
-      val picked = TextStats.importanceResample(wM.df, idCol, k,
-        cfg.dsirSeed, cfg.dsirTemperatureE4).select(col(idCol))
-      filtered = base.join(picked, Seq(idCol)).localCheckpoint(true)
-      stage("dsir_select", filtered.count())
-      rejectAnti(base, filtered, "dsir")
-      wM.close(); base.unpersist()
+      if (ck.canSkip("dsir_select", Some("dsir"))) {
+        val prev = filtered
+        filtered = ck.read("stage_dsir_select")
+        stage("dsir_select", filtered.count())
+        rejectAnti(prev, filtered, "dsir")
+      } else {
+        val base = filtered.persist(StorageLevel.MEMORY_AND_DISK)
+        val n = base.count() // bounded action on the persisted pool
+        val k = math.max(1L,
+          math.ceil(n * cfg.dsirKeepFracE4 / 10000.0).toLong).toInt
+        val wM = TextStats.importanceWeightsSelfRawManaged(base, idCol,
+          textCol, TextStats.bigramCounts(target, textCol), cfg.lmVocabSize)
+        val picked = TextStats.importanceResample(wM.df, idCol, k,
+          cfg.dsirSeed, cfg.dsirTemperatureE4).select(col(idCol))
+        filtered = ck.barrier("dsir_select")(base.join(picked, Seq(idCol)))
+        stage("dsir_select", filtered.count())
+        rejectAnti(base, filtered, "dsir")
+        wM.close(); base.unpersist()
+      }
     }
 
     // ---- optional intra-doc repetition cleanup (line granularity) ------
@@ -352,21 +449,23 @@ object Curate {
     // the stage; deleted-token totals come from duplicateWindows when a
     // report needs them).
     for (w <- cfg.dedupWindowsW) {
-      val cleaned = Curation.removeDuplicateSpans(filtered, idCol, textCol, w)
-        .localCheckpoint(true)
+      // by-name barrier: the span removal runs eagerly at call time, so
+      // a resolved stage never invokes it
+      val cleaned = ck.barrier("window_dedup")(
+        Curation.removeDuplicateSpans(filtered, idCol, textCol, w))
       stage("window_dedup", cleaned.count())
       filtered = cleaned
         .select(col(idCol), col("cleaned_text").as(textCol))
     }
 
     for (minLen <- cfg.exactSubstrMinLen) {
-      val cleaned = (if (cfg.exactSubstrShards > 0)
+      val cleaned = ck.barrier("exact_substr")(
+        if (cfg.exactSubstrShards > 0)
           graft.operators.Suffix.removeDuplicateSpansExactSharded(
             filtered, idCol, textCol, minLen, cfg.exactSubstrCap,
             cfg.exactSubstrShards)
         else graft.operators.Suffix.removeDuplicateSpansExact(
           filtered, idCol, textCol, minLen, cfg.exactSubstrCap))
-        .localCheckpoint(true)
       stage("exact_substr", cleaned.count())
       filtered = cleaned
         .select(col(idCol), col("cleaned_text").as(textCol))
@@ -377,10 +476,10 @@ object Curate {
     val keptH = graft.core.Ops
       .latestPerGroup(hashed, Seq("__h"), Seq(col(idCol).asc))
       .persist(StorageLevel.MEMORY_AND_DISK) // two consumers: pair gen + anti join
-    val kept = keptH.drop("__h")
+    val kept = ck.barrierOpt("exact_dedup")(keptH.drop("__h"))
     stage("exact_dedup", kept.count())
     // dup_of = the content group's kept (min-id) doc
-    rejectDup(hashed.select(col(idCol), col("__h"))
+    rejectDup("exact_dup")(hashed.select(col(idCol), col("__h"))
       .join(keptH.select(col("__h"),
         col(idCol).cast("long").as("dup_of")), Seq("__h"))
       .filter(col(idCol) =!= col("dup_of"))
@@ -388,48 +487,77 @@ object Curate {
         lit("exact_dup").as("reason"), col("dup_of")))
 
     // ---- MinHash near-dup: pairs → components → drop non-representatives
-    val pairsM = Dedup.minhashNearDupPairsManaged(kept, idCol, textCol)
-    val edges = pairsM.df.filter(col("jacc_e4") >= cfg.nearDupThresholdE4)
-    val compM = Dedup.connectedComponentsManaged(edges)
-    // label = min id of the component → every non-label member is a victim
-    val victims = compM.df.filter(col("id") =!= col("label"))
-      .select(col("id").as(idCol))
-    var deduped = kept.join(victims, Seq(idCol), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK) // consumers: contamination + join-back
-    stage("near_dup", deduped.count())
-    // dup_of = the component label (min id) the victim collapsed into
-    rejectDup(compM.df.filter(col("id") =!= col("label"))
-      .select(col("id").cast("long").as("id"), lit(false).as("admitted"),
-        lit("near_dup").as("reason"), col("label").cast("long").as("dup_of")))
-    compM.close(); pairsM.close(); keptH.unpersist()
+    var deduped =
+      if (ck.canSkip("near_dup", Some("near_dup"))) {
+        // the component iteration runs eagerly at construction — a
+        // resumed stage must not construct it at all
+        val d = ck.read("stage_near_dup")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        stage("near_dup", d.count())
+        if (cfg.emitLedger) led += ck.read("ledger_near_dup")
+        keptH.unpersist()
+        d
+      } else {
+        val pairsM = Dedup.minhashNearDupPairsManaged(kept, idCol, textCol)
+        val edges = pairsM.df
+          .filter(col("jacc_e4") >= cfg.nearDupThresholdE4)
+        val compM = Dedup.connectedComponentsManaged(edges)
+        // label = min id of the component → every non-label member is a
+        // victim
+        val victims = compM.df.filter(col("id") =!= col("label"))
+          .select(col("id").as(idCol))
+        val d = ck.barrierOpt("near_dup")(
+            kept.join(victims, Seq(idCol), "left_anti"))
+          .persist(StorageLevel.MEMORY_AND_DISK) // contamination + join-back
+        stage("near_dup", d.count())
+        // dup_of = the component label (min id) the victim collapsed into
+        rejectDup("near_dup")(compM.df.filter(col("id") =!= col("label"))
+          .select(col("id").cast("long").as("id"),
+            lit(false).as("admitted"), lit("near_dup").as("reason"),
+            col("label").cast("long").as("dup_of")))
+        compM.close(); pairsM.close(); keptH.unpersist()
+        d
+      }
 
     // ---- optional SemDeDup: semantic near-dup over hash embeddings -----
     // after lexical near-dup (its survivors are this stage's pool),
     // before decontamination (don't n-gram-scan docs about to drop)
     for (th <- cfg.semDedupThresholdE4) {
-      val base = deduped
-      val vM = Curation.semDedupVictimsManaged(base, idCol, textCol,
-        cfg.semDedupDim, th, cfg.semDedupCentroidEvery, cfg.semDedupNassign)
-      val semKept = base
-        .join(vM.df.select(col(idCol)), Seq(idCol), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      stage("sem_dedup", semKept.count())
-      rejectDup(vM.df
-        .select(col(idCol).cast("long").as("id"), lit(false).as("admitted"),
-          lit("sem_dup").as("reason"),
-          col("kept_id").cast("long").as("dup_of")))
-      vM.close(); base.unpersist()
-      deduped = semKept
+      if (ck.canSkip("sem_dedup", Some("sem_dup"))) {
+        val base = deduped
+        val semKept = ck.read("stage_sem_dedup")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        stage("sem_dedup", semKept.count())
+        if (cfg.emitLedger) led += ck.read("ledger_sem_dup")
+        base.unpersist()
+        deduped = semKept
+      } else {
+        val base = deduped
+        val vM = Curation.semDedupVictimsManaged(base, idCol, textCol,
+          cfg.semDedupDim, th, cfg.semDedupCentroidEvery,
+          cfg.semDedupNassign)
+        val semKept = ck.barrierOpt("sem_dedup")(base
+            .join(vM.df.select(col(idCol)), Seq(idCol), "left_anti"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        stage("sem_dedup", semKept.count())
+        rejectDup("sem_dup")(vM.df
+          .select(col(idCol).cast("long").as("id"),
+            lit(false).as("admitted"), lit("sem_dup").as("reason"),
+            col("kept_id").cast("long").as("dup_of")))
+        vM.close(); base.unpersist()
+        deduped = semKept
+      }
     }
 
     // ---- benchmark decontamination -------------------------------------
     val flags = Curation.contaminationFlags(deduped, idCol, textCol,
       benchmark, benchTextCol, cfg.decontamGramN)
-    val clean = deduped
-      .join(flags.filter(!col("contaminated")).select(col(idCol)), Seq(idCol))
+    val clean = ck.barrierOpt("decontaminated")(deduped
+        .join(flags.filter(!col("contaminated")).select(col(idCol)),
+          Seq(idCol)))
       .persist(StorageLevel.MEMORY_AND_DISK) // consumers: count + chunking
     stage("decontaminated", clean.count())
-    rejectDup(flags.filter(col("contaminated"))
+    rejectDup("decontaminated")(flags.filter(col("contaminated"))
       .select(col(idCol).cast("long").as("id"), lit(false).as("admitted"),
         lit("decontaminated").as("reason"),
         col(idCol).cast("long").as("dup_of")))
@@ -438,17 +566,18 @@ object Curate {
     // ---- chunk → pack/shard --------------------------------------------
     // pack order key: (doc, chunk) folded into one monotonic long — docs
     // stay contiguous inside a shard, chunks stay in document order
-    val chunks = Curation.chunkByTokens(clean, idCol, textCol,
-        cfg.chunkTokens, cfg.chunkOverlap)
-      .withColumn("__ck", col(idCol) * lit(1000000L) + col("chunk_id"))
-    val packed = (if (cfg.packBestFit)
-        Curation.packSequencesBestFit(chunks, "__ck", col("n_tokens"),
-          Curation.shardAssign(col(idCol)), cfg.packBudget)
-      else
-        Curation.packSequences(chunks, "__ck", col("n_tokens"),
-          Curation.shardAssign(col(idCol)), cfg.packBudget))
-      .drop("__ck", "toks")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val packed = ck.barrierOpt("chunks") {
+      val chunks = Curation.chunkByTokens(clean, idCol, textCol,
+          cfg.chunkTokens, cfg.chunkOverlap)
+        .withColumn("__ck", col(idCol) * lit(1000000L) + col("chunk_id"))
+      (if (cfg.packBestFit)
+          Curation.packSequencesBestFit(chunks, "__ck", col("n_tokens"),
+            Curation.shardAssign(col(idCol)), cfg.packBudget)
+        else
+          Curation.packSequences(chunks, "__ck", col("n_tokens"),
+            Curation.shardAssign(col(idCol)), cfg.packBudget))
+        .drop("__ck", "toks")
+    }.persist(StorageLevel.MEMORY_AND_DISK)
     stage("chunks", packed.count())
     val ledger =
       if (!cfg.emitLedger) None

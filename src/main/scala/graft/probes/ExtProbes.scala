@@ -43,6 +43,8 @@ object ExtProbes {
     MultimodalProbes.q94Media(docs)
   def q103Media(docs: DataFrame): Dataset[Multimodal.MediaRecord] =
     MultimodalProbes.q103Media(docs)
+  def q153Media(docs: DataFrame): Dataset[Multimodal.MediaRecord] =
+    MultimodalProbes.q153Media(docs)
 
   // ---- aggregated registry ----------------------------------------------
   val queries: Map[String, Q] =

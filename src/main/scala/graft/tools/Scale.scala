@@ -248,6 +248,48 @@ object Scale {
       return
     }
 
+    // one-off mode: `--ckpt` — stage-checkpoint overhead of the
+    // resumable funnel (round 14): the same always-on funnel with
+    // in-memory barriers vs parquet-committed stage checkpoints
+    // (emitLedger on, so ledger pieces are committed too), plus the
+    // pure resume cost when every stage is already committed. The
+    // overhead is the durable-write tax a crash-resumable 100 TB run
+    // pays; the resume row is what a crash at the END recovers for free.
+    if (args.length > 2 && args(2) == "--ckpt") {
+      for (n <- Seq(1, factor)) {
+        val d = docs(n)
+        val bench = graft.Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 97 === 0).select(col("text").as("btext"))
+        val base = graft.pipeline.CurateConfig(emitLedger = true)
+        var lastDir: Option[String] = None
+        def one(tag: String,
+                mkCfg: Int => graft.pipeline.CurateConfig): Unit = {
+          val times = (0 until nRep).map { i =>
+            val t0 = System.nanoTime()
+            val res = graft.pipeline.Curate.run(d, "doc_id", "text",
+              bench, "btext", mkCfg(i))
+            res.ledger.foreach(_.count())
+            val dt = (System.nanoTime() - t0) / 1e9
+            res.chunks.unpersist(); spark.catalog.clearCache(); dt
+          }
+          println(f"SCALE ckpt_$tag%-17s x$n%-3d ${times.min}%8.2f s  " +
+            f"(n=$nRep spread=${times.max / times.min}%4.2fx)")
+        }
+        one("off", _ => base)
+        one("on", { i =>
+          val wh = java.nio.file.Files
+            .createTempDirectory(s"graft_ck_${n}_$i").toString
+          lastDir = Some(wh)
+          base.copy(stageCheckpointDir = Some(wh))
+        })
+        // resume over a fully-committed store: pure read-back cost
+        one("resume", i => base.copy(stageCheckpointDir = lastDir,
+          resume = true, runToken = s"r$i"))
+      }
+      spark.stop()
+      return
+    }
+
     // one-off mode: `runMain graft.tools.Scale <sfDir> <factor> --skew`
     // measures Ops.saltedJoin against the unsalted shuffle join on a
     // pathologically hot key (90% of fact rows on ONE key), with the dim
@@ -1041,6 +1083,71 @@ object Scale {
             .groupBy(col("media_id") % 32)
             .agg(count(lit(1)).as("n"), sum("gray_sum_e4").as("g")),
           Seq.empty)
+      }
+      // --- round-14 graph serving + video + phash-index rows -------------
+      run("knn_graph_build", n)(graft.core.Managed(
+        graft.operators.KnnGraph.knnGraph(v, 6, iters = 2, warmCells = 64)
+          .groupBy(col("id") % 32)
+          .agg(count(lit(1)).as("edges"), sum("score_e4").as("s")),
+        Seq.empty))
+      if (onlyRows.forall(_.exists("beam_routed_hot".startsWith))) {
+        // serving row: graph + router prebuilt (the asof _hot convention
+        // — an index's build cost is its own row above), so the row
+        // prices the WALK: seed probe + rounds x bounded joins
+        val gPre = graft.operators.KnnGraph
+          .knnGraph(v, 6, iters = 2, warmCells = 64)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        gPre.count()
+        val centPre = Similarity.buildIvf(v, iters = 1).localCheckpoint(true)
+        val queries = v.filter(col("id") % 50 === 0)
+        run("beam_routed_hot", n)(graft.core.Managed(
+          graft.operators.KnnGraph.beamSearchFrom(gPre, v, queries,
+            Similarity.ivfTopK(v, centPre, queries, nprobe = 1, k = 4)
+              .select(col("vec_id").as("qid"), col("other_id").as("node")),
+            k = 5, beamWidth = 20, rounds = 4)
+            .groupBy(col("vec_id") % 32)
+            .agg(count(lit(1)).as("n"), sum("score_e4").as("s")),
+          Seq.empty))
+        gPre.unpersist()
+      }
+      run("video_neardup", n) {
+        // q153's own synthesis: 3 PNG keyframes per doc; the row prices
+        // decode + per-frame hash + the banded frame join + temporal agg
+        val media = graft.probes.ExtProbes.q153Media(
+          d.select(col("doc_id")))
+        val m = graft.operators.Multimodal.videoNearDupPairsManaged(
+          media, 3, 4, 3000L)
+        graft.core.Managed(m.df.groupBy(col("idA") % 32)
+          .agg(count(lit(1)).as("pairs"), sum("sim_e4").as("s")),
+          m.pinned)
+      }
+      run("phash_idx_build", n) {
+        // index the whole image corpus once: decode + hash + sig write
+        val media = graft.probes.ExtProbes.q103Media(
+          d.select(col("doc_id"), col("text")))
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_phb_$n").toString
+        graft.operators.Multimodal.writePhashIndex(media, dir)
+        graft.core.Managed(spark.read.parquet(s"$dir/sigs")
+          .groupBy(col("id") % 32).agg(count(lit(1)).as("n")), Seq.empty)
+      }
+      if (onlyRows.forall(_.exists("phash_batch_hot".startsWith))) {
+        // the incremental-ingest claim: a 1/50 batch against the
+        // prebuilt index costs batch decode + one band join — NOT a
+        // corpus re-hash (compare against phash_idx_build's wall)
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_phq_$n").toString
+        graft.operators.Multimodal.writePhashIndex(
+          graft.probes.ExtProbes.q103Media(
+            d.select(col("doc_id"), col("text"))), dir)
+        val batch = graft.probes.ExtProbes.q103Media(
+          d.filter(col("doc_id") % 50 === 1)
+            .select((col("doc_id") + 200000000L).as("doc_id"), col("text")))
+        run("phash_batch_hot", n)(graft.core.Managed(
+          graft.operators.Multimodal.phashNearDupAgainstIndex(
+              spark, dir, batch, 3)
+            .groupBy(col("id_new") % 32).agg(count(lit(1)).as("n")),
+          Seq.empty))
       }
       run("bpe_encode", n) {
         import spark.implicits._

@@ -502,4 +502,57 @@ class CurateSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
     res.chunks.unpersist()
   }
+
+  test("Curate.run stage checkpoints: a killed funnel resumes from " +
+      "committed stages to IDENTICAL counts, ledger, and chunks — " +
+      "provably without recomputing them") {
+    val docs = Seq(
+      1L -> goodText("one"),
+      2L -> goodText("one"),
+      3L -> goodText("two"),
+      4L -> (goodText("two") + " appended"),
+      5L -> "short low quality!!!",
+      6L -> (goodText("three") +
+        " benchmark gram alpha beta gamma delta epsilon zeta"),
+      7L -> goodText("four")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq(
+      "benchmark gram alpha beta gamma delta epsilon zeta").toDF("btext")
+    val cfg = CurateConfig(minQualityE4 = 5000, chunkTokens = 16,
+      chunkOverlap = 4, packBudget = 32, maxSelfXentE4 = Some(100000L),
+      emitLedger = true)
+    def summarize(r: graft.pipeline.CurateResult) = {
+      val out = (r.stageCounts,
+        r.ledger.get.select("id", "admitted", "reason", "dup_of")
+          .as[(Long, Boolean, String, Long)].collect().toSet,
+        r.chunks.select("doc_id", "chunk_id", "chunk_text", "n_tokens",
+            "shard", "pack")
+          .collect().map(_.toString).toSet)
+      r.chunks.unpersist()
+      out
+    }
+    val ref = summarize(
+      Curate.run(docs, "doc_id", "text", benchmark, "btext", cfg))
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_curate_ck").toString
+    val ckCfg = cfg.copy(stageCheckpointDir = Some(wh))
+    val first = summarize(
+      Curate.run(docs, "doc_id", "text", benchmark, "btext", ckCfg))
+    assert(first == ref, "checkpointed run diverged from in-memory run")
+    // simulate a kill after exact_dedup committed: drop the LATER stages'
+    // commit markers (exactly what a crash leaves — data dirs may exist,
+    // markers do not)
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (db <- Seq("stage_near_dup", "ledger_near_dup",
+        "stage_decontaminated", "ledger_decontaminated", "stage_chunks"))
+      fs.delete(new org.apache.hadoop.fs.Path(wh, s"$db.commit"), false)
+    // resume with POISONED input (zero docs): identical outputs prove the
+    // committed prefix was READ from the store, not recomputed — any
+    // re-run of quality/lm/exact_dedup on the empty frame would zero the
+    // funnel
+    val resumed = summarize(Curate.run(docs.limit(0), "doc_id", "text",
+      benchmark, "btext", ckCfg.copy(resume = true, runToken = "1")))
+    assert(resumed == ref, "resumed run diverged from the reference")
+  }
 }
