@@ -304,3 +304,156 @@ object MinHashStream {
           }
       }
 }
+
+/** Streaming pHash near-dup gate — the IMAGE-modality stream twin of the
+  * batch `Multimodal.imagePHashNearDupPairs` band join, closing the
+  * batch/stream parity the text side maintains everywhere (SimHash →
+  * [[NearDupStream]], MinHash → [[MinHashStream]], now pHash → this):
+  * admit an image iff its 64-bit DCT perceptual hash is not within
+  * `maxHamming` bits of a remembered one.
+  *
+  * Same shape as the text gates: each signature fans out to its `nBands`
+  * equal-width pigeonhole bands (`64 % nBands == 0`, exact for
+  * `maxHamming < nBands` — 4×16-bit serves hamming ≤ 3, 8×8-bit the
+  * gradient-robust ≤ 7 cut measured in SCALE.md), state shards on the
+  * (band, bits) key with a per-bucket cap, votes combine to ONE
+  * append-mode verdict per image. Band bits replicate the batch
+  * derivation exactly (`shiftright(sig, b·bpb) & mask` — the
+  * `phashBandRows` expression), so a stream bucket sees precisely the
+  * priors the batch join would pair — the spec pins band keys AND
+  * verdicts against the batch operator on shared PNG vectors.
+  *
+  * Chain semantics match [[NearDupStream]] (and the batch connected
+  * components): a rejected image is still remembered by the bands that
+  * did not flag it, so near-dup chains collapse to one admitted
+  * representative and `dup_of` is a parent pointer. Undecodable payloads
+  * (marker hash −1, the batch exclusion) route to a stateless sentinel
+  * group and are always admitted — an unreadable image is not a
+  * duplicate of anything, and remembering the marker would collapse all
+  * failures into one "dup" class.
+  */
+object PhashStream {
+
+  case class Img(id: Long, sig: Long)
+  case class BandKey(band: Int, bits: Long)
+  case class BandState(sigs: List[Img])
+  /** `nVotes` = bands per image (or 1 for the marker sentinel) — the
+    * combiner's completion count, the [[MinHashStream.Vote]] discipline.
+    */
+  case class Vote(id: Long, sig: Long, dupOf: Long, isDup: Boolean,
+                  nVotes: Int)
+  case class Pending(votes: List[Vote])
+  case class Verdict(id: Long, is_dup: Boolean, dup_of: Long, sig: Long)
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** The batch band keys for one signature (`phashBandRows`' shift-mask
+    * expression in executor Scala) — shared by the routing fan-out and
+    * the parity spec.
+    */
+  def bandKeysFor(sig: Long, nBands: Int): Seq[BandKey] = {
+    val bpb = 64 / nBands
+    val mask = if (bpb == 64) -1L else (1L << bpb) - 1L
+    (0 until nBands).map(b => BandKey(b, (sig >> (b * bpb)) & mask))
+  }
+
+  /** Per-band votes for a stream of (id, phash). Emits one [[Vote]] per
+    * (image, band); combine with [[admittedAppend]]. State per group is
+    * the signature list remembered by that band bucket, capped at
+    * `maxPerBucket` (drop-oldest — the recall/space dial).
+    */
+  def bandVotes(imgs: Dataset[Img], maxHamming: Int = 3, nBands: Int = 4,
+                maxPerBucket: Int = 1024)(
+      implicit rEnc: Encoder[(BandKey, Img, Int)], kEnc: Encoder[BandKey],
+      sEnc: Encoder[BandState], vEnc: Encoder[Vote]): Dataset[Vote] = {
+    require(nBands > 0 && 64 % nBands == 0,
+      s"band count ($nBands) must divide 64")
+    require(maxHamming < nBands,
+      s"pigeonhole over $nBands bands needs maxHamming < $nBands")
+    import imgs.sparkSession.implicits._
+    imgs.flatMap { d =>
+      if (d.sig == -1L) Seq((BandKey(-1, 0L), d, 1))
+      else bandKeysFor(d.sig, nBands).map(k => (k, d, nBands))
+    }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BandState, Vote](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: BandKey, rows: Iterator[(BandKey, Img, Int)],
+         state: GroupState[BandState]) =>
+          if (key.band == -1) {
+            // undecodable-marker sentinel: always admit, remember nothing
+            rows.map(r => Vote(r._2.id, r._2.sig, r._2.id, isDup = false,
+              nVotes = 1)).toSeq.iterator
+          } else {
+            var seen = state.getOption.map(_.sigs).getOrElse(Nil)
+            val out = rows.toSeq.sortBy(_._2.id).map { case (_, d, nv) =>
+              seen.find(p => hamming64(p.sig, d.sig) <= maxHamming) match {
+                case Some(prior) =>
+                  Vote(d.id, d.sig, prior.id, isDup = true, nv)
+                case None =>
+                  seen = (d :: seen).take(maxPerBucket)
+                  Vote(d.id, d.sig, d.id, isDup = false, nv)
+              }
+            }
+            state.update(BandState(seen))
+            out.iterator
+          }
+      }
+  }
+
+  /** Append-mode verdict combiner — one verdict per image once all its
+    * `nVotes` band votes arrived (same self-cleaning-state argument as
+    * [[NearDupStream.admittedAppend]]).
+    */
+  def admittedAppend(votes: Dataset[Vote])(
+      implicit pEnc: Encoder[Pending], vEnc: Encoder[Verdict],
+      lEnc: Encoder[Long]): Dataset[Verdict] =
+    votes.groupByKey(_.id)
+      .flatMapGroupsWithState[Pending, Verdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, rows: Iterator[Vote], state: GroupState[Pending]) =>
+          val all = state.getOption.map(_.votes).getOrElse(Nil) ++ rows
+          if (all.nonEmpty && all.size >= all.head.nVotes) {
+            state.remove()
+            val dups = all.filter(_.isDup)
+            Iterator.single(Verdict(id, dups.nonEmpty,
+              if (dups.nonEmpty) dups.map(_.dupOf).min else id,
+              all.head.sig))
+          } else {
+            state.update(Pending(all))
+            Iterator.empty
+          }
+      }
+
+  /** End-to-end image gate: a stream of raw media payloads → per-image
+    * DCT pHash (`Multimodal.imagePHash` — the batch mapPartitions runs
+    * unchanged under streaming; decode state is per-row) → band votes →
+    * one [[Verdict]] per image.
+    */
+  def gate(media: Dataset[graft.operators.Multimodal.MediaRecord],
+           maxHamming: Int = 3, nBands: Int = 4,
+           maxPerBucket: Int = 1024): Dataset[Verdict] = {
+    import media.sparkSession.implicits._
+    admittedAppend(bandVotes(
+      graft.operators.Multimodal.imagePHash(media)
+        .map(h => Img(h.media_id, h.phash)),
+      maxHamming, nBands, maxPerBucket))
+  }
+
+  /** [[gate]] verdicts in the [[CurateStream.GateVerdict]] ledger shape
+    * (`reason` = "image_near_dup" | "admitted"), so an image ingest
+    * stream joins the same per-document accounting sink the text funnel
+    * writes.
+    */
+  def gateVerdicts(media: Dataset[graft.operators.Multimodal.MediaRecord],
+                   maxHamming: Int = 3, nBands: Int = 4,
+                   maxPerBucket: Int = 1024)
+      : Dataset[CurateStream.GateVerdict] = {
+    import media.sparkSession.implicits._
+    gate(media, maxHamming, nBands, maxPerBucket).map(v =>
+      if (v.is_dup) CurateStream.GateVerdict(v.id, admitted = false,
+        reason = "image_near_dup", dup_of = v.dup_of)
+      else CurateStream.GateVerdict(v.id, admitted = true,
+        reason = "admitted", dup_of = v.id))
+  }
+}

@@ -193,6 +193,109 @@ class NearDupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ---- pHash stream gate (the image-modality twin) -----------------------
+
+  private def mix64(id: Long, p: Long): Long = {
+    var z = id * 0x9E3779B97F4A7C15L + p * 0xC2B2AE3D27D4EB4FL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    (z ^ (z >>> 27)) & 0xffL
+  }
+  private def grayPng(seed: Long, nudge: Int): Array[Byte] =
+    graft.operators.Multimodal.encodeGrayPixelsPng(16, 16,
+      Array.tabulate(256)(p => (mix64(seed, p.toLong).toInt +
+        (if (p < 40) nudge else 0)).min(255)))
+
+  test("PhashStream band keys replicate the batch shift-mask derivation") {
+    import graft.streaming.PhashStream
+    val sigs = Seq(0x0123456789abcdefL, -0x6789abcdef012346L, 0L)
+    for (sig <- sigs; nBands <- Seq(4, 8)) {
+      val bpb = 64 / nBands
+      val mask = (1L << bpb) - 1L
+      // the batch expression (`shiftright(sig, b*bpb) & mask`) per band
+      val batch = (0 until nBands)
+        .map(b => PhashStream.BandKey(b, (sig >> (b * bpb)) & mask))
+      assert(PhashStream.bandKeysFor(sig, nBands) == batch)
+      // masked arithmetic shift ≡ logical shift (the bits the sign fill
+      // touches are stripped) — the equivalence the derivation relies on
+      assert(PhashStream.bandKeysFor(sig, nBands).map(_.bits) ==
+        (0 until nBands).map(b => (sig >>> (b * bpb)) & mask))
+    }
+  }
+
+  test("PhashStream gate: verdicts consistent with batch " +
+      "imagePHashNearDupPairs on the same PNG vectors, across batches; " +
+      "undecodable payloads admit statelessly") {
+    import graft.streaming.PhashStream
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRecord
+    // 11/12 and 21/22 are nudged copies (near-dups under pHash); 30-34
+    // unrelated; 99 undecodable
+    val recs = (Seq(11L -> grayPng(1, 0), 12L -> grayPng(1, 7),
+      21L -> grayPng(2, 0), 22L -> grayPng(2, 7)) ++
+      (30L to 34L).map(i => i -> grayPng(i, 0)) ++
+      Seq(99L -> Array[Byte](1, 2, 3)))
+      .map { case (id, b) => MediaRecord(id, b, "image/png") }
+    // batch ground truth: ids pairing with a SMALLER id within hamming 3
+    val batchDups = Multimodal.imagePHashNearDupPairs(recs.toDS(), 3, 4)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, _) => math.max(a, b) }.toSet
+    assert(batchDups.nonEmpty) // the vectors actually exercise dups
+    val input = MemoryStream[MediaRecord](spark)
+    val q = PhashStream.gateVerdicts(input.toDS())
+      .writeStream.format("memory").queryName("phash_gate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(recs.filter(r => r.media_id % 2 == 1): _*)
+      q.processAllAvailable()
+      input.addData(recs.filter(r => r.media_id % 2 == 0): _*)
+      q.processAllAvailable()
+      val got = spark.table("phash_gate")
+        .select("id", "admitted", "reason", "dup_of")
+        .as[(Long, Boolean, String, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got.size == recs.size) // one verdict per image, marker incl.
+      val streamDups = got.collect { case (id, (false, _, _)) => id }.toSet
+      assert(streamDups == batchDups, s"stream $streamDups vs $batchDups")
+      streamDups.foreach(id =>
+        assert(got(id)._2 == "image_near_dup" && got(id)._3 < id))
+      assert(got(99L) == ((true, "admitted", 99L))) // marker admits
+      assert(got(11L) == ((true, "admitted", 11L)))
+    } finally q.stop()
+  }
+
+  test("PhashStream: chains collapse; wide-band (8x8) serves hamming<=7; " +
+      "band count is validated") {
+    import graft.streaming.PhashStream
+    import graft.streaming.PhashStream.Img
+    intercept[IllegalArgumentException] {
+      PhashStream.bandVotes(spark.emptyDataset[Img], maxHamming = 4,
+        nBands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      PhashStream.bandVotes(spark.emptyDataset[Img], maxHamming = 3,
+        nBands = 7)
+    }
+    val input = MemoryStream[Img](spark)
+    val q = PhashStream.admittedAppend(PhashStream.bandVotes(
+        input.toDS(), maxHamming = 7, nBands = 8))
+      .writeStream.format("memory").queryName("phash_chain")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Img(1L, 0L))
+      q.processAllAvailable()
+      input.addData(Img(2L, 0x7fL))   // hamming 7 from 1 -> dup of 1
+      q.processAllAvailable()
+      input.addData(Img(3L, 0x7f7fL)) // hamming 14 from 1, 7 from 2
+      q.processAllAvailable()
+      val got = spark.table("phash_chain")
+        .select("id", "is_dup", "dup_of").as[(Long, Boolean, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got(1L) == ((false, 1L)))
+      assert(got(2L) == ((true, 1L)))
+      assert(got(3L) == ((true, 2L))) // parent pointer, not cluster root
+    } finally q.stop()
+  }
+
   test("WindowDedupStream: window claims persist across batches; verdicts " +
       "match the batch operator for in-order ingest") {
     import graft.streaming.WindowDedupStream
