@@ -224,6 +224,58 @@ object Bpe {
       (w, encodeOneSeeded(byteSymbols(w), table, ranks))))
   }
 
+  // ---- GPT-2 pretokenization (published contraction/space-prefix regex) ---
+
+  /** The GPT-2 pretokenization pattern (Radford et al. 2019; the
+    * published `encoder.py` regex, reproduced in every GPT-2-family
+    * tokenizer): common English contractions split as their own tokens;
+    * letter runs, digit runs, and punctuation runs each carry at most
+    * ONE preceding space (the space-prefix convention — " the" and "the"
+    * are different tokens); residual whitespace runs become their own
+    * tokens, with `\s+(?!\S)` splitting a run so its last space can
+    * still prefix the following word. Training byte-level BPE on THIS
+    * word table (instead of [[wordFreqs]]' lowercased, punctuation-
+    * stripped one) makes the learned merges match the tokenizers the
+    * operator emulates: case preserved, punctuation tokenized, and the
+    * high-frequency space-prefixed word forms present.
+    */
+  val Gpt2PretokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+" +
+      "|\\s+(?!\\S)|\\s+"
+
+  /** All GPT-2 pretokens of a text column — `regexp_extract_all` group 0
+    * (codegen'd; Java regex handles the lookahead alternative). Java's
+    * `\s`/`\p{L}` classes stand in for the Python `regex` module's: they
+    * agree on ASCII whitespace and all Unicode letters/digits, which is
+    * the published pattern's effective alphabet.
+    */
+  def gpt2Pretokens(text: Column): Column =
+    regexp_extract_all(text, lit(Gpt2PretokenPattern), lit(0))
+
+  private lazy val gpt2Re = java.util.regex.Pattern.compile(Gpt2PretokenPattern)
+
+  /** Executor-side replica of [[gpt2Pretokens]] (the MinHashStream
+    * local-replica discipline) — for typed tokenize paths and the parity
+    * spec. Same Java pattern object semantics as the column form.
+    */
+  def gpt2PretokensLocal(text: String): Seq[String] = {
+    val m = gpt2Re.matcher(text)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) buf += m.group()
+    buf.toSeq
+  }
+
+  /** GPT-2-faithful vocabulary table (word, freq): pretokens kept
+    * VERBATIM — case, punctuation, and the space prefix are part of the
+    * token, unlike [[wordFreqs]]' normalize-lower-strip. One corpus pass;
+    * feed to [[train]] with `byteLevel = true` for GPT-2-family merges
+    * (the space byte 0x20 seeds as symbol "20" like any other).
+    */
+  def wordFreqsGpt2(df: DataFrame, textCol: String): DataFrame =
+    graft.core.Ops.widen(df)
+      .select(explode(gpt2Pretokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
   /** Learn `numMerges` merges. Returns (merge table as ordered (a, b)
     * pairs, final symbolized vocabulary). Ties on count break by pair
     * string (UTF-8 binary order, Spark's default collation) —

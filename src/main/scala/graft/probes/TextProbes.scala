@@ -451,6 +451,38 @@ object TextProbes {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q154 GPT-2 pretokenization (published contraction regex) ----------
+  // Bpe.gpt2Pretokens over punctuation-enriched documents text: the
+  // deterministic prefix/suffix/replace plants contractions ("It's",
+  // "don't"), a digit run, commas, and a mixed alnum-punct word ("a-1")
+  // so every non-whitespace alternative of the published pattern fires.
+  // ORACLE EQUIVALENCE: the guard filter admits only single-spaced,
+  // edge-trimmed docs and the enrichment preserves that shape, so the
+  // two whitespace alternatives (`\s+(?!\S)` needs a run of >= 2, or a
+  // trailing run) never match — DuckDB's RE2 (no lookahead support) can
+  // then run the remaining alternatives verbatim and agree exactly.
+  val q154: Q = (s, d) => {
+    val e = graft.core.Ops.widen(Tables.documents(s, d))
+      .filter(!col("text").rlike("\\s\\s|^\\s|\\s$"))
+      .select(concat(lit("It's 42, "), expr("replace(text, ' a ', ' a-1 ')"),
+        lit(" don't!")).as("t"))
+    e.select(explode(graft.operators.Bpe.gpt2Pretokens(col("t"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy("tok")
+  }
+
+  val q154Sql: String =
+    s"""WITH e AS (
+       |  SELECT 'It''s 42, ' || replace(text, ' a ', ' a-1 ')
+       |    || ' don''t!' AS t
+       |  FROM documents
+       |  WHERE NOT regexp_matches(text, '\\s\\s|^\\s|\\s$$')),
+       |tk AS (SELECT unnest(regexp_extract_all(t,
+       |  '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))
+       |  AS tok FROM e)
+       |SELECT tok, CAST(count(*) AS BIGINT) AS n
+       |FROM tk GROUP BY tok ORDER BY tok""".stripMargin
+
   // ---- q90 Gopher quality-rule bundle -----------------------------------
   // The standard pretraining gate set (word count / mean word length /
   // symbol ratio / bullet + ellipsis line fractions / alphabetic fraction
@@ -1928,6 +1960,7 @@ object TextProbes {
     "q78_chunking" -> q78,
     "q83_bpe_encode" -> q83,
     "q148_byte_bpe" -> q148,
+    "q154_gpt2_pretokens" -> q154,
     "q90_gopher_rules" -> q90,
     "q91_bigram_lm" -> q91,
     "q93_hash_embed" -> q93,
@@ -1968,6 +2001,7 @@ object TextProbes {
     "q78_chunking" -> q78Sql,
     "q83_bpe_encode" -> q83Sql,
     "q148_byte_bpe" -> q148Sql,
+    "q154_gpt2_pretokens" -> q154Sql,
     "q90_gopher_rules" -> q90Sql,
     "q91_bigram_lm" -> q91Sql,
     "q93_hash_embed" -> q93Sql,

@@ -159,4 +159,69 @@ class BpeSpec extends SparkSpec {
     // and every encoding decodes back
     for ((w, syms) <- enc) assert(Bpe.decodeByteSymbols(syms) == w)
   }
+
+  test("gpt2PretokensLocal: contractions, space prefixes, digit and " +
+      "punctuation runs, whitespace residue — hand-derived from the " +
+      "published pattern") {
+    // contractions split; every run carries at most one leading space
+    assert(Bpe.gpt2PretokensLocal("I don't think it's 42, you'll see!") ==
+      Seq("I", " don", "'t", " think", " it", "'s", " 42", ",",
+        " you", "'ll", " see", "!"))
+    // case preserved; mixed alnum-punct splits at class boundaries
+    assert(Bpe.gpt2PretokensLocal("GPT-2 rocks2000x") ==
+      Seq("GPT", "-", "2", " rocks", "2000", "x"))
+    // internal double space: `\s+(?!\S)` yields the run minus the one
+    // space the next word claims as its prefix
+    assert(Bpe.gpt2PretokensLocal("a  b") == Seq("a", " ", " b"))
+    assert(Bpe.gpt2PretokensLocal("a   b") == Seq("a", "  ", " b"))
+    // trailing whitespace is its own token (nothing follows to claim it)
+    assert(Bpe.gpt2PretokensLocal("hi  ") == Seq("hi", "  "))
+    // newlines are not the space prefix — they tokenize as whitespace
+    assert(Bpe.gpt2PretokensLocal("a\nb") == Seq("a", "\n", "b"))
+    // unicode letters hit \p{L} (Han ideographs are category Lo — the
+    // space prefixes them like any word), not the punct class
+    assert(Bpe.gpt2PretokensLocal("héllo wörld 四十二") ==
+      Seq("héllo", " wörld", " 四十二"))
+    assert(Bpe.gpt2PretokensLocal("") == Seq())
+    // lossless: concatenating the tokens restores the text
+    for (t <- Seq("I don't think it's 42, you'll see!", "a  b", "hi  ",
+        "a\nb", "héllo wörld 四十二"))
+      assert(Bpe.gpt2PretokensLocal(t).mkString == t)
+  }
+
+  test("gpt2Pretokens column form equals the local replica; wordFreqsGpt2 " +
+      "keeps tokens verbatim (case, punct, space prefix)") {
+    val texts = Seq("I don't think it's 42, you'll see!",
+      "The THE the  the", "héllo wörld", "")
+    val got = texts.toDF("t")
+      .select(Bpe.gpt2Pretokens(col("t")).as("toks"))
+      .as[Seq[String]].collect()
+    assert(got.toSeq == texts.map(Bpe.gpt2PretokensLocal))
+    val freqs = Bpe.wordFreqsGpt2(texts.toDF("text"), "text")
+      .as[(String, Long)].collect().toMap
+    // "The", " THE", " the" all distinct (verbatim); " the" seen twice
+    // ("the  the" gives " the" once — the double space splits — plus one
+    // from "THE the")
+    assert(freqs("The") == 1L && freqs(" THE") == 1L)
+    assert(freqs(" the") == 2L && freqs.contains(" "))
+    assert(!freqs.contains("the ")) // spaces prefix, never suffix
+  }
+
+  test("byte-level train over wordFreqsGpt2 learns space-prefixed merges " +
+      "and round-trips") {
+    // tokens: "the" (doc-initial, freq 5) and " the" (freq 15). Pair
+    // counts: ("74","68") = ("68","65") = 20, ("20","74") = 15; the
+    // UTF-8-ascending tie-break fuses ("68","65") first ("he"), then
+    // ("74","6865") completes "the", then ("20","746865") absorbs the
+    // SPACE PREFIX into one symbol — the GPT-2 artifact shape the
+    // normalized word table can never learn
+    val docs = Seq.fill(5)("the the the the").toDF("text")
+    val (merges, vocab) = Bpe.train(
+      Bpe.wordFreqsGpt2(docs, "text"), numMerges = 3, byteLevel = true)
+    assert(merges == Seq(("68", "65"), ("74", "6865"), ("20", "746865")))
+    val syms = vocab.filter(col("w") === " the")
+      .select(col("syms")).as[Seq[String]].collect().head
+    assert(syms == Seq("20746865"))
+    assert(Bpe.decodeByteSymbols(syms) == " the")
+  }
 }
