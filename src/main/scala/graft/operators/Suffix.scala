@@ -172,29 +172,118 @@ object Suffix {
     require(minLen >= 1 && minLen <= cap - 1,
       s"suffixDuplicateStats: need 1 <= minLen ($minLen) <= cap-1 " +
         s"(${cap - 1}) — saturated LCPs must still clear the threshold")
-    val lcp = suffixMaxLcp(docs, idCol, textCol, cap)
-    val marks = lcp.filter(col("maxcp") >= minLen)
+    statsFromMarks(normalizedBase(docs, idCol, textCol),
+      globalMarks(docs, idCol, textCol, minLen, cap), idCol)
+  }
+
+  /** (idCol, __ws) — the normalized-token frame both mark consumers
+    * project from.
+    */
+  private def normalizedBase(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame =
+    Ops.widen(docs).select(col(idCol),
+      Dedup.normalizeWords(coalesce(col(textCol), lit(""))).as("__ws"))
+
+  /** The single-stream mark set (doc, pos 1-based, len) — one
+    * [[suffixMaxLcp]] pipeline (its contract leaves the LCP frame
+    * localCheckpointed, so several consumers share the expensive part).
+    */
+  private def globalMarks(docs: DataFrame, idCol: String, textCol: String,
+                          minLen: Int, cap: Int): DataFrame =
+    suffixMaxLcp(docs, idCol, textCol, cap)
+      .filter(col("maxcp") >= minLen)
       .select(col("doc"), (col("pos") + 1).as("pos"), // 1-based like windows
         col("maxcp").as("len"))
+
+  /** Coverage stats from a mark set: union interval arithmetic per doc
+    * (ordered marks, running covered-end), summed to `dup_tokens` —
+    * shared by the single-stream, sharded, and combined-report forms.
+    */
+  private def statsFromMarks(base: DataFrame, marks: DataFrame,
+                             idCol: String): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc").orderBy("pos", "len")
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val stats = marks
+      .select(col("doc"), col("pos").cast("long").as("pos"),
+        col("len").cast("long").as("len"))
       .withColumn("__pe", max(col("pos") + col("len")).over(byDoc))
-      .withColumn("__cov", greatest(lit(0),
+      .withColumn("__cov", greatest(lit(0L),
         col("pos") + col("len") -
-          greatest(col("pos"), coalesce(col("__pe"), lit(0)))))
+          greatest(col("pos"), coalesce(col("__pe"), lit(0L)))))
       .groupBy("doc")
       .agg(sum("__cov").as("dup_tokens"))
-    Ops.widen(docs)
-      .select(col(idCol),
-        Dedup.normalizeWords(coalesce(col(textCol), lit(""))).as("__ws"))
+    base
       .select(col(idCol), size(col("__ws")).cast("long").as("n_tokens"))
       .join(stats.withColumnRenamed("doc", idCol), Seq(idCol), "left_outer")
       .select(col(idCol), col("n_tokens"),
         coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"))
   }
+
+  /** Cleaned text from a mark set: drop every covered token position,
+    * rebuild the normalized stream — shared by the same three forms.
+    */
+  private def cleanFromMarks(base: DataFrame, marks: DataFrame,
+                             idCol: String): DataFrame = {
+    val spans = marks
+      .select(col("doc"), col("pos").cast("int").as("pos"),
+        col("len").cast("int").as("len"))
+      .groupBy("doc")
+      .agg(sort_array(collect_list(struct(col("pos"), col("len"))))
+        .as("__ps"))
+    base.select(col(idCol), col("__ws"))
+      .join(spans.withColumnRenamed("doc", idCol), Seq(idCol), "left_outer")
+      .withColumn("__ps", coalesce(col("__ps"),
+        expr("CAST(array() AS array<struct<pos:int,len:int>>)")))
+      .withColumn("__kept", expr(
+        "filter(transform(__ws, (t, i) -> struct(t AS t, i + 1 AS i)), " +
+          "s -> NOT exists(__ps, p -> s.i >= p.pos AND s.i < p.pos + p.len))"))
+      .select(col(idCol),
+        expr("array_join(transform(__kept, s -> s.t), ' ')")
+          .as("cleaned_text"),
+        (size(col("__ws")) - size(col("__kept"))).cast("long")
+          .as("n_removed_tokens"))
+  }
+
+  /** BOTH consumers of the single-stream pipeline from ONE
+    * [[suffixMaxLcp]] run: (idCol, n_tokens, dup_tokens, cleaned_text,
+    * n_removed_tokens). The stats and cleaner tails are doc-bounded
+    * projections of the shared checkpointed mark set — callers that
+    * need both ([[suffixDuplicateStats]] + [[removeDuplicateSpansExact]])
+    * pay the ~40-round suffix descent once instead of twice (the
+    * ADVICE-r13 probe-suite finding, generalized to the operator).
+    */
+  def suffixDuplicateReport(docs: DataFrame, idCol: String,
+                            textCol: String, minLen: Int = 50,
+                            cap: Int = 512): DataFrame = {
+    require(minLen >= 1 && minLen <= cap - 1,
+      s"suffixDuplicateReport: need 1 <= minLen ($minLen) <= cap-1")
+    val base = normalizedBase(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val marks = globalMarks(docs, idCol, textCol, minLen, cap)
+    val out = statsFromMarks(base, marks, idCol)
+      .join(cleanFromMarks(base, marks, idCol), Seq(idCol))
+      .localCheckpoint(eager = true)
+    base.unpersist()
+    out
+  }
+
+  /** [[suffixDuplicateReport]] over the SHARDED mark set — one
+    * [[withShardedMarks]] pipeline, both outputs.
+    */
+  def shardedDuplicateReport(docs: DataFrame, idCol: String,
+                             textCol: String, minLen: Int = 50,
+                             cap: Int = 512, numShards: Int = 4,
+                             shardConcurrency: Int = 4): DataFrame =
+    withShardedMarks(docs, idCol, textCol, minLen, cap, numShards,
+        shardConcurrency) { (sharded, marks0) =>
+      // two consumers: pin the union mark set (the shard passes are
+      // already checkpointed; this stops the screen running twice)
+      val marks = marks0.localCheckpoint(eager = true)
+      statsFromMarks(sharded, marks, idCol)
+        .join(cleanFromMarks(sharded, marks, idCol), Seq(idCol))
+    }
 
   /** SHARDED exact-substring coverage — the 100 TB deployment shape of
     * [[suffixDuplicateStats]] (the Lee et al. production layout): the
@@ -232,22 +321,7 @@ object Suffix {
                                   shardConcurrency: Int = 4): DataFrame =
     withShardedMarks(docs, idCol, textCol, minLen, cap, numShards,
         shardConcurrency) { (sharded, marks) =>
-      val byDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc").orderBy("pos", "len")
-        .rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      val stats = marks
-        .withColumn("__pe", max(col("pos") + col("len")).over(byDoc))
-        .withColumn("__cov", greatest(lit(0L),
-          col("pos") + col("len") -
-            greatest(col("pos").cast("long"), coalesce(col("__pe"), lit(0L)))))
-        .groupBy("doc")
-        .agg(sum("__cov").as("dup_tokens"))
-      sharded
-        .select(col(idCol), size(col("__ws")).cast("long").as("n_tokens"))
-        .join(stats.withColumnRenamed("doc", idCol), Seq(idCol), "left_outer")
-        .select(col(idCol), col("n_tokens"),
-          coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"))
+      statsFromMarks(sharded, marks, idCol)
     }
 
   /** The sharded CLEANER — [[removeDuplicateSpansExact]]'s semantics
@@ -263,25 +337,7 @@ object Suffix {
                                        shardConcurrency: Int = 4): DataFrame =
     withShardedMarks(docs, idCol, textCol, minLen, cap, numShards,
         shardConcurrency) { (sharded, marks) =>
-      val spans = marks
-        .select(col("doc"), col("pos").cast("int").as("pos"),
-          col("len").cast("int").as("len"))
-        .groupBy("doc")
-        .agg(sort_array(collect_list(struct(col("pos"), col("len"))))
-          .as("__ps"))
-      sharded.select(col(idCol), col("__ws"))
-        .join(spans.withColumnRenamed("doc", idCol), Seq(idCol),
-          "left_outer")
-        .withColumn("__ps", coalesce(col("__ps"),
-          expr("CAST(array() AS array<struct<pos:int,len:int>>)")))
-        .withColumn("__kept", expr(
-          "filter(transform(__ws, (t, i) -> struct(t AS t, i + 1 AS i)), " +
-            "s -> NOT exists(__ps, p -> s.i >= p.pos AND s.i < p.pos + p.len))"))
-        .select(col(idCol),
-          expr("array_join(transform(__kept, s -> s.t), ' ')")
-            .as("cleaned_text"),
-          (size(col("__ws")) - size(col("__kept"))).cast("long")
-            .as("n_removed_tokens"))
+      cleanFromMarks(sharded, marks, idCol)
     }
 
   /** Shared sharded-marks scaffolding: builds the persisted
@@ -369,26 +425,7 @@ object Suffix {
                                 cap: Int = 512): DataFrame = {
     require(minLen >= 1 && minLen <= cap - 1,
       s"removeDuplicateSpansExact: need 1 <= minLen ($minLen) <= cap-1")
-    val spans = suffixMaxLcp(docs, idCol, textCol, cap)
-      .filter(col("maxcp") >= minLen)
-      .select(col("doc"), (col("pos") + 1).as("pos"),
-        col("maxcp").cast("int").as("len"))
-      .groupBy("doc")
-      .agg(sort_array(collect_list(struct(col("pos"), col("len"))))
-        .as("__ps"))
-    Ops.widen(docs)
-      .select(col(idCol),
-        Dedup.normalizeWords(coalesce(col(textCol), lit(""))).as("__ws"))
-      .join(spans.withColumnRenamed("doc", idCol), Seq(idCol), "left_outer")
-      .withColumn("__ps", coalesce(col("__ps"),
-        expr("CAST(array() AS array<struct<pos:int,len:int>>)")))
-      .withColumn("__kept", expr(
-        "filter(transform(__ws, (t, i) -> struct(t AS t, i + 1 AS i)), " +
-          "s -> NOT exists(__ps, p -> s.i >= p.pos AND s.i < p.pos + p.len))"))
-      .select(col(idCol),
-        expr("array_join(transform(__kept, s -> s.t), ' ')")
-          .as("cleaned_text"),
-        (size(col("__ws")) - size(col("__kept"))).cast("long")
-          .as("n_removed_tokens"))
+    cleanFromMarks(normalizedBase(docs, idCol, textCol),
+      globalMarks(docs, idCol, textCol, minLen, cap), idCol)
   }
 }

@@ -203,4 +203,27 @@ class SuffixSpec extends SparkSpec {
       .as[(Long, String, Long)].collect()
     assert(again.forall(_._3 == 0L), again.mkString("; "))
   }
+
+  test("combined reports equal the individual stats + cleaner operators " +
+      "(global and sharded forms)") {
+    val docs = fixture.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toString).toSeq
+    val statsG = Suffix.suffixDuplicateStats(docs, "doc_id", "text", 5, 16)
+    val cleanG = Suffix.removeDuplicateSpansExact(docs, "doc_id", "text",
+      5, 16)
+    val reportG = Suffix.suffixDuplicateReport(docs, "doc_id", "text", 5, 16)
+    assert(rows(reportG.select("doc_id", "n_tokens", "dup_tokens")) ==
+      rows(statsG))
+    assert(rows(reportG.select("doc_id", "cleaned_text",
+      "n_removed_tokens")) == rows(cleanG))
+    val reportS = Suffix.shardedDuplicateReport(docs, "doc_id", "text",
+      5, 16, numShards = 3)
+    // the coverage identity makes the sharded report equal the GLOBAL
+    // operators too — pin against both single-stream outputs
+    assert(rows(reportS.select("doc_id", "n_tokens", "dup_tokens")) ==
+      rows(statsG))
+    assert(rows(reportS.select("doc_id", "cleaned_text",
+      "n_removed_tokens")) == rows(cleanG))
+  }
 }
