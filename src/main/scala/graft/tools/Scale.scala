@@ -1111,23 +1111,72 @@ object Scale {
         gPre.unpersist()
       }
       run("video_neardup", n) {
-        // q153's own synthesis: 3 PNG keyframes per doc; the row prices
-        // decode + per-frame hash + the banded frame join + temporal agg
-        val media = graft.probes.ExtProbes.q153Media(
-          d.select(col("doc_id")))
+        // MIXED-pixel fixture (the r13 synthetic-fixture lesson: q153's
+        // id-linear pattern makes every frame a near-shift of every
+        // other at corpus scale and the band join degenerates — measured
+        // as an x10 heap blowout): splitmix64 noise per (video, frame,
+        // pixel) keeps unrelated hashes independent; every 13th video
+        // plants a frame-0-nudged copy. The row prices decode +
+        // per-frame hash + the banded frame join + temporal agg on the
+        // realistic sparse-collision regime.
+        import spark.implicits._
+        def mix(a: Long, b: Long): Int = {
+          var z = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          ((z ^ (z >>> 27)) & 0xffL).toInt
+        }
+        val media = d.select(col("doc_id")).as[Long].flatMap { id =>
+          def vid(vid0: Long, nudge: Int) =
+            graft.operators.Multimodal.encodeSamplesMp4(1000, 3000,
+              (0 to 2).map(f =>
+                graft.operators.Multimodal.encodeGrayPixelsPng(16, 16,
+                  Array.tabulate(256)(p =>
+                    math.min(255, mix(vid0 * 3 + f, p.toLong) +
+                      (if (f == 0 && p < 40) nudge else 0))))))
+          val base = graft.operators.Multimodal.MediaRecord(
+            id, vid(id, 0), "video/mp4")
+          if (id % 13 == 0)
+            Seq(base, graft.operators.Multimodal.MediaRecord(
+              id + 100000000L, vid(id, 7), "video/mp4"))
+          else Seq(base)
+        }
         val m = graft.operators.Multimodal.videoNearDupPairsManaged(
           media, 3, 4, 3000L)
         graft.core.Managed(m.df.groupBy(col("idA") % 32)
           .agg(count(lit(1)).as("pairs"), sum("sim_e4").as("s")),
           m.pinned)
       }
+      // mixed-pixel image fixture for the pHash index rows (the same
+      // r13 fixture lesson as video_neardup above: q103Media's
+      // id-linear pattern degenerates at corpus scale); every 13th
+      // image plants a nudged near-dup copy
+      def mixPng(seed: Long, nudge: Int): Array[Byte] = {
+        def mix(a: Long, b: Long): Int = {
+          var z = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          ((z ^ (z >>> 27)) & 0xffL).toInt
+        }
+        graft.operators.Multimodal.encodeGrayPixelsPng(16, 16,
+          Array.tabulate(256)(p => math.min(255,
+            mix(seed, p.toLong) + (if (p < 40) nudge else 0))))
+      }
+      def mixedImages(src: DataFrame): org.apache.spark.sql.Dataset[
+          graft.operators.Multimodal.MediaRecord] = {
+        import spark.implicits._
+        src.select(col("doc_id")).as[Long].flatMap { id =>
+          val base = graft.operators.Multimodal.MediaRecord(
+            id, mixPng(id, 0), "image/png")
+          if (id % 13 == 0)
+            Seq(base, graft.operators.Multimodal.MediaRecord(
+              id + 100000000L, mixPng(id, 7), "image/png"))
+          else Seq(base)
+        }
+      }
       run("phash_idx_build", n) {
         // index the whole image corpus once: decode + hash + sig write
-        val media = graft.probes.ExtProbes.q103Media(
-          d.select(col("doc_id"), col("text")))
         val dir = java.nio.file.Files
           .createTempDirectory(s"graft_phb_$n").toString
-        graft.operators.Multimodal.writePhashIndex(media, dir)
+        graft.operators.Multimodal.writePhashIndex(mixedImages(d), dir)
         graft.core.Managed(spark.read.parquet(s"$dir/sigs")
           .groupBy(col("id") % 32).agg(count(lit(1)).as("n")), Seq.empty)
       }
@@ -1137,12 +1186,16 @@ object Scale {
         // corpus re-hash (compare against phash_idx_build's wall)
         val dir = java.nio.file.Files
           .createTempDirectory(s"graft_phq_$n").toString
-        graft.operators.Multimodal.writePhashIndex(
-          graft.probes.ExtProbes.q103Media(
-            d.select(col("doc_id"), col("text"))), dir)
-        val batch = graft.probes.ExtProbes.q103Media(
-          d.filter(col("doc_id") % 50 === 1)
-            .select((col("doc_id") + 200000000L).as("doc_id"), col("text")))
+        graft.operators.Multimodal.writePhashIndex(mixedImages(d), dir)
+        // the batch REPLAYS indexed seeds under fresh ids with a nudge,
+        // so every batch image near-matches its indexed original — the
+        // row prices a join that actually pairs, not an empty screen
+        val batch = {
+          import spark.implicits._
+          d.filter(col("doc_id") % 50 === 1).select(col("doc_id")).as[Long]
+            .map(id => graft.operators.Multimodal.MediaRecord(
+              id + 200000000L, mixPng(id, 5), "image/png"))
+        }
         run("phash_batch_hot", n)(graft.core.Managed(
           graft.operators.Multimodal.phashNearDupAgainstIndex(
               spark, dir, batch, 3)
