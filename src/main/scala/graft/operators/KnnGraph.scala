@@ -260,7 +260,141 @@ object KnnGraph {
           Seq(md5(col("id").cast("string")), col("id")), "r")
         .filter(col("r") <= maxEntries)
         .write.mode("overwrite").parquet(s"$dir/entries")
+      // meta LAST — appends require it (k is the append/compaction
+      // degree contract), and its presence marks the append-capable
+      // layout; base n anchors the staleness fraction
+      vecs.sparkSession.range(1)
+        .select(lit(k).as("k"), lit(vecs.count()).as("n"))
+        .write.mode("overwrite").parquet(s"$dir/meta")
     } finally vecs.unpersist()
+  }
+
+  // ---- persisted-graph lifecycle: batch append + batch-union read --------
+
+  /** All stored vectors: base + every appended batch. */
+  def readKnnVectors(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/vectors")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/vectors_batches")))
+      base.unionByName(spark.read.parquet(s"$dir/vectors_batches")
+        .select("id", "v"))
+    else base
+  }
+
+  /** All stored edges: base + every appended batch (new-node k-lists and
+    * the reverse augments that make appended nodes REACHABLE). Augmented
+    * old nodes carry more than k rows until [[graft.pipeline.Maintain
+    * .knnCompact]] re-caps — the walk only expands more candidates, so
+    * serving stays correct at any batch count (the BM25 batch-union
+    * argument).
+    */
+  def readKnnEdges(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/edges")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/edges_batches")))
+      base.unionByName(spark.read.parquet(s"$dir/edges_batches")
+        .select("id", "nbr", "score_e4", "rnk"))
+    else base
+  }
+
+  /** Batch INSERT into a persisted kNN index — the graph member of the
+    * index-append family (MinHash/BM25/IVF/pHash → now the graph), so an
+    * incremental ingest extends serving without an NN-Descent rebuild.
+    * Per-batch `batch_id`-partitioned with dynamic overwrite: a retried
+    * append replaces its own partitions (the round-13 idempotence
+    * discipline). The base `edges`/`vectors` dirs are never rewritten —
+    * no layout break for existing indexes; appends land in
+    * `edges_batches`/`vectors_batches` and the read path unions.
+    *
+    * Deterministic, three bounded pieces (the HNSW insert idea — find
+    * neighbors by searching the current graph, connect both ways —
+    * re-expressed as batch joins):
+    *  1. OLD-side neighbors: every new vector beam-walks the CURRENT
+    *     graph view from the stored entry ring (the serving path;
+    *     no third index needed) — cost |batch| walks;
+    *  2. WITHIN-batch edges: NN-Descent over the batch alone
+    *     (corpus-linear in |batch|; skipped for singleton batches);
+    *  3. new-node k-lists = top-k of (1) ∪ (2) by (score desc, nbr asc);
+    *     REVERSE augments (old → new, ranked per old node) keep walks
+    *     able to reach appended nodes.
+    * New ids must be disjoint from stored ids (loud guard) — the
+    * append contract every index in the family shares.
+    */
+  def appendToKnnIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, newVectors: DataFrame, batchId: String,
+                       beamWidth: Int = 20, rounds: Int = 3,
+                       numEntries: Int = 4, batchIters: Int = 1): Unit = {
+    require(batchId.nonEmpty && batchId != "__HIVE_DEFAULT_PARTITION__",
+      s"appendToKnnIndex: invalid batch id '$batchId'")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")),
+      s"appendToKnnIndex: index at $dir predates the append layout " +
+        "(no meta) — rebuild with writeKnnIndex")
+    val k = spark.read.parquet(s"$dir/meta")
+      .select(col("k")).head().getInt(0)
+    // the PRE-batch view: a RETRY of this batchId must see the index as
+    // if its partitions never committed (same inputs → same outputs →
+    // the dynamic overwrite replaces them bit-identically), and the
+    // id-clash guard must not trip on the batch's own prior attempt
+    def exceptSelf(sub: String, cols: Seq[String]): Option[DataFrame] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$sub")))
+        Some(spark.read.parquet(s"$dir/$sub")
+          .filter(col("batch_id") =!= batchId)
+          .select(cols.map(col): _*))
+      else None
+    val old = exceptSelf("vectors_batches", Seq("id", "v"))
+      .foldLeft(spark.read.parquet(s"$dir/vectors"))(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val graphView = exceptSelf("edges_batches",
+        Seq("id", "nbr", "score_e4", "rnk"))
+      .foldLeft(spark.read.parquet(s"$dir/edges"))(_ unionByName _)
+    val batch = Ops.widen(newVectors)
+      .select(col("id"), Similarity.toDoubleVec(col("v")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val clash = batch.join(old, Seq("id"), "left_semi").count()
+      require(clash == 0,
+        s"appendToKnnIndex: $clash batch ids already stored at $dir")
+      val nBatch = batch.count()
+      val entries = spark.read.parquet(s"$dir/entries")
+        .filter(col("r") <= numEntries).select("id")
+      val oldSide = beamSearch(graphView, old, batch,
+          entries, k, beamWidth, rounds)
+        .select(col("vec_id").as("id"), col("other_id").as("nbr"),
+          col("score_e4"))
+      val cands =
+        if (nBatch >= 2)
+          oldSide.unionByName(
+            knnGraph(batch, k, batchIters).select("id", "nbr", "score_e4"))
+        else oldSide
+      val newLists = cands
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("id")
+            .orderBy(col("score_e4").desc, col("nbr").asc)).cast("long"))
+        .filter(col("rnk") <= k)
+        .localCheckpoint(eager = true) // two consumers: write + reverse
+      // reverse augments: only the OLD-side members of the final lists
+      // (batch-internal edges are already symmetric-ish via NN-Descent)
+      val rev = newLists
+        .join(batch.select(col("id").as("nbr")), Seq("nbr"), "left_anti")
+        .select(col("nbr").as("id"), col("id").as("nbr"), col("score_e4"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("id")
+            .orderBy(col("score_e4").desc, col("nbr").asc)).cast("long"))
+      def writer(df: DataFrame, path: String): Unit =
+        df.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(path)
+      writer(newLists.select("id", "nbr", "score_e4", "rnk")
+        .unionByName(rev), s"$dir/edges_batches")
+      writer(batch, s"$dir/vectors_batches")
+    } finally { old.unpersist(); batch.unpersist() }
   }
 
   /** [[beamSearch]] against a [[writeKnnIndex]] directory — bit-identical
@@ -281,9 +415,10 @@ object KnnGraph {
     require(have == numEntries.toLong,
       s"beamSearchIndexed: index at $dir stores $have entry points < " +
         s"requested $numEntries (rebuild with a larger maxEntries)")
-    beamSearch(spark.read.parquet(s"$dir/edges"),
-      spark.read.parquet(s"$dir/vectors"), queries, entries,
-      k, beamWidth, rounds)
+    // batch-union view: appended nodes serve immediately after
+    // appendToKnnIndex (identical to the flat read when no batches exist)
+    beamSearch(readKnnEdges(spark, dir), readKnnVectors(spark, dir),
+      queries, entries, k, beamWidth, rounds)
   }
 
   /** Routed graph serving — the coarse-quantizer entry composition (the
@@ -308,8 +443,8 @@ object KnnGraph {
     val seeds = Similarity.ivfTopKIndexed(spark, ivfDir, queries,
         eprobe, seedsPerQuery)
       .select(col("vec_id").as("qid"), col("other_id").as("node"))
-    beamSearchFrom(spark.read.parquet(s"$graphDir/edges"),
-      spark.read.parquet(s"$graphDir/vectors"), queries, seeds,
+    beamSearchFrom(readKnnEdges(spark, graphDir),
+      readKnnVectors(spark, graphDir), queries, seeds,
       k, beamWidth, rounds)
   }
 

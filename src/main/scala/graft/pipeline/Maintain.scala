@@ -387,4 +387,124 @@ object Maintain {
         .parquet(s"$vdir/meta")
     }
   }
+
+  // ---- kNN graph: append-staleness retrain + degree compaction ----------
+
+  /** Committed graph-append batches: a batch's `vectors_batches`
+    * partition is its own commit marker ([[graft.operators.KnnGraph
+    * .appendToKnnIndex]] writes it LAST) — no separate ledger to record,
+    * so the graph family has no `Recorded` append wrapper: the staleness
+    * metric (appended mass) is derivable from the committed batches
+    * themselves.
+    */
+  private def knnBatches(spark: SparkSession, dir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/vectors_batches")))
+      spark.read.parquet(s"$dir/vectors_batches")
+        .select("batch_id", "id")
+    else spark.emptyDataFrame.withColumn("batch_id", lit(""))
+      .withColumn("id", lit(0L)).limit(0)
+  }
+
+  /** Graph maintenance decision, two independent axes:
+    *  - RETRAIN when appended mass exceeds `maxAppendFracE4` of the base
+    *    corpus: appended nodes' lists were built by walking a graph that
+    *    knew nothing of each other's batches, so past a fraction the
+    *    neighbor quality decays toward the insert path's recall rather
+    *    than NN-Descent's (the staleness axis — the IVF drift analog,
+    *    measured structurally instead of via centroid cosine);
+    *  - COMPACT when committed batch count exceeds `maxBatches`: serving
+    *    is correct at any count (batch-union reads), the trigger is the
+    *    per-query listing constant plus reverse-augment degree growth.
+    * Retrain dominates when both trip (it subsumes compaction).
+    */
+  def knnDecision(spark: SparkSession, dir: String, maxBatches: Int = 16,
+                  maxAppendFracE4: Long = 2500): Decision = {
+    val b = knnBatches(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nBatches = b.select("batch_id").distinct().count()
+      if (nBatches == 0)
+        Decision("knn", "none", 0, maxBatches, "no appended batches")
+      else {
+        val appended = b.count()
+        val baseN = spark.read.parquet(s"$dir/meta")
+          .select(col("n")).head().getLong(0)
+        val frac = math.floor(appended * 10000.0 / math.max(1L, baseN))
+          .toLong
+        if (frac > maxAppendFracE4)
+          Decision("knn", "retrain", frac, maxAppendFracE4,
+            s"$appended appended over $baseN base (${frac}e-4)")
+        else if (nBatches > maxBatches)
+          Decision("knn", "compact", nBatches, maxBatches,
+            s"$nBatches committed batches")
+        else Decision("knn", "none", nBatches, maxBatches,
+          s"$nBatches committed batches, ${frac}e-4 appended")
+      }
+    } finally b.unpersist()
+  }
+
+  /** Merge the batch-union graph into one flat index in a fresh
+    * published version WITHOUT re-running NN-Descent: every node's edge
+    * rows (base + new-node lists + reverse augments) re-cap to the
+    * stored k by (score desc, nbr asc) — deterministic from the stored
+    * rows; vectors union flat; the entry ring re-ranks over the merged
+    * corpus so appended nodes can become entries; meta restates k with
+    * the merged n (the staleness fraction resets).
+    */
+  def knnCompact(spark: SparkSession, warehouse: String, db: String,
+                 token: String): org.apache.hadoop.fs.Path = {
+    val cur = Restore.resolveVersioned(spark, warehouse, db)
+      .getOrElse(throw new IllegalStateException(
+        s"knnCompact: no current version of $db under $warehouse"))
+    val k = spark.read.parquet(s"$cur/meta").select(col("k"))
+      .head().getInt(0)
+    val maxEntries = spark.read.parquet(s"$cur/entries").count().toInt
+    val vectors = graft.operators.KnnGraph
+      .readKnnVectors(spark, cur.toString)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val edges = graft.operators.KnnGraph.readKnnEdges(spark, cur.toString)
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("id")
+            .orderBy(col("score_e4").desc, col("nbr").asc)).cast("long"))
+        .filter(col("rnk") <= k)
+      Restore.publishVersionedDir(spark, warehouse, db, token) { vdir =>
+        edges.write.mode("overwrite").parquet(s"$vdir/edges")
+        vectors.write.mode("overwrite").parquet(s"$vdir/vectors")
+        graft.core.Ops.globalRank(vectors.select("id"),
+            Seq(md5(col("id").cast("string")), col("id")), "r")
+          .filter(col("r") <= maxEntries)
+          .write.mode("overwrite").parquet(s"$vdir/entries")
+        spark.range(1)
+          .select(lit(k).as("k"), lit(vectors.count()).as("n"))
+          .write.mode("overwrite").parquet(s"$vdir/meta")
+      }
+    } finally vectors.unpersist()
+  }
+
+  /** Execute a graph retrain: full NN-Descent over the merged corpus
+    * (base + appended batches, read back from the index — no raw
+    * re-ingest), published as a new immutable version with the stored k
+    * and entry-ring size. The fresh version has no batches: the
+    * decision resets to `none`.
+    */
+  def knnRetrain(spark: SparkSession, warehouse: String, db: String,
+                 token: String, iters: Int = 2,
+                 warmCells: Int = 0): org.apache.hadoop.fs.Path = {
+    val cur = Restore.resolveVersioned(spark, warehouse, db)
+      .getOrElse(throw new IllegalStateException(
+        s"knnRetrain: no current version of $db under $warehouse"))
+    val k = spark.read.parquet(s"$cur/meta").select(col("k"))
+      .head().getInt(0)
+    val maxEntries = spark.read.parquet(s"$cur/entries").count().toInt
+    val vectors = graft.operators.KnnGraph
+      .readKnnVectors(spark, cur.toString)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Restore.publishVersionedDir(spark, warehouse, db, token) { vdir =>
+      graft.operators.KnnGraph.writeKnnIndex(vectors, vdir.toString, k,
+        iters, warmCells, maxEntries)
+    } finally vectors.unpersist()
+  }
 }

@@ -985,8 +985,150 @@ object AnnProbes {
        |ORDER BY vec_id, rank""".stripMargin
   }
 
+  // ---- q155 persisted-graph batch append (deterministic replay) ----------
+  // KnnGraph.appendToKnnIndex: base index over 30 embeddings (k=3, 1
+  // NN-Descent round, 2-entry ring), then a 10-vector batch inserted —
+  // old-side neighbors via a beam walk of the base graph (bw=6, 2
+  // rounds), within-batch edges via NN-Descent over the batch alone,
+  // merged top-3 lists plus ranked reverse augments. The oracle REPLAYS
+  // all three pieces (the q149 ring/round text over base AND batch, the
+  // q152 walk text with batch-vector queries) and the merge arithmetic
+  // — every intermediate exact integer or the bit-identical cosine
+  // double (q23 parity). Output = the batch partition's edge rows.
+  val q155: Q = (s, d) => {
+    val all = Tables.embeddings(s, d).filter(col("vec_id") < 40)
+      .select(col("vec_id").as("id"),
+        graft.operators.Similarity.toDoubleVec(col("embedding")).as("v"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q155").toString
+    graft.operators.KnnGraph.writeKnnIndex(all.filter(col("id") < 30),
+      dir, k = 3, iters = 1, maxEntries = 2)
+    graft.operators.KnnGraph.appendToKnnIndex(s, dir,
+      all.filter(col("id") >= 30), "b1", beamWidth = 6, rounds = 2,
+      numEntries = 2, batchIters = 1)
+    s.read.parquet(s"$dir/edges_batches")
+      .select("id", "nbr", "score_e4", "rnk")
+      .orderBy("id", "rnk", "nbr")
+  }
+
+  val q155Sql: String = {
+    val cos = graft.operators.Similarity.scoreE4DuckSql(
+      graft.operators.Similarity.cosineDuckSql("a.v", "b.v"))
+    val cosQ = graft.operators.Similarity.scoreE4DuckSql(
+      graft.operators.Similarity.cosineDuckSql("q.v", "b.v"))
+    // md5-ring init + top-k over an id table `ids`, k = 3
+    def ring(ids: String, tag: String): String =
+      s"""rk_$tag AS (
+         |  SELECT id, CAST(row_number() OVER (
+         |    ORDER BY md5(CAST(id AS VARCHAR)), id) AS BIGINT) AS r
+         |  FROM $ids),
+         |cnt_$tag AS (SELECT count(*) AS n FROM $ids),
+         |init_$tag AS (
+         |  SELECT a.id, b.id AS nbr
+         |  FROM rk_$tag a CROSS JOIN cnt_$tag
+         |  CROSS JOIN unnest(generate_series(1, 3)) o(off)
+         |  JOIN rk_$tag b ON b.r = (a.r - 1 + o.off) % cnt_$tag.n + 1),
+         |s_${tag}0 AS (
+         |  SELECT i.id, i.nbr, $cos AS score_e4
+         |  FROM init_$tag i JOIN e a ON a.id = i.id
+         |  JOIN e b ON b.id = i.nbr),
+         |${tag}0 AS (
+         |  SELECT id, nbr, score_e4, rnk FROM (
+         |    SELECT id, nbr, score_e4,
+         |      CAST(row_number() OVER (PARTITION BY id
+         |        ORDER BY score_e4 DESC, nbr ASC) AS BIGINT) AS rnk
+         |    FROM s_${tag}0) WHERE rnk <= 3)""".stripMargin
+    // one NN-Descent round (k = 3)
+    def ground(g: String, out: String): String =
+      s"""u_$out AS (
+         |  SELECT id, nbr FROM $g
+         |  UNION ALL SELECT nbr AS id, id AS nbr FROM $g),
+         |c_$out AS (
+         |  SELECT DISTINCT id, nbr FROM (
+         |    SELECT e1.id, e2.nbr FROM u_$out e1
+         |    JOIN u_$out e2 ON e1.nbr = e2.id WHERE e1.id <> e2.nbr
+         |    UNION ALL SELECT id, nbr FROM $g)),
+         |s_$out AS (
+         |  SELECT c.id, c.nbr, $cos AS score_e4
+         |  FROM c_$out c JOIN e a ON a.id = c.id JOIN e b ON b.id = c.nbr),
+         |$out AS (
+         |  SELECT id, nbr, score_e4, rnk FROM (
+         |    SELECT id, nbr, score_e4,
+         |      CAST(row_number() OVER (PARTITION BY id
+         |        ORDER BY score_e4 DESC, nbr ASC) AS BIGINT) AS rnk
+         |    FROM s_$out) WHERE rnk <= 3)""".stripMargin
+    // one beam round over base graph g1, beam width 6
+    def bround(pin: String, out: String): String =
+      s"""x_$out AS (SELECT qid, node FROM $pin WHERE NOT visited),
+         |bc_$out AS (
+         |  SELECT DISTINCT x.qid, g.nbr AS node
+         |  FROM x_$out x JOIN g1 g ON g.id = x.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM $pin p
+         |    WHERE p.qid = x.qid AND p.node = g.nbr)),
+         |bs_$out AS (
+         |  SELECT c.qid, c.node, $cosQ AS score_e4, false AS visited
+         |  FROM bc_$out c JOIN q ON q.qid = c.qid JOIN e b ON b.id = c.node),
+         |$out AS (
+         |  SELECT qid, node, score_e4, visited FROM (
+         |    SELECT qid, node, score_e4, visited,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY score_e4 DESC, node ASC) AS rn
+         |    FROM (SELECT qid, node, score_e4, true AS visited FROM $pin
+         |      UNION ALL
+         |      SELECT qid, node, score_e4, visited FROM bs_$out))
+         |  WHERE rn <= 6)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < 40),
+       |eb AS (SELECT id FROM e WHERE id < 30),
+       |bb AS (SELECT id FROM e WHERE id >= 30),
+       |${ring("eb", "g")},
+       |${ground("g0", "g1")},
+       |ent AS (SELECT id AS node FROM rk_g WHERE r <= 2),
+       |q AS (SELECT id AS qid, v FROM e WHERE id >= 30),
+       |sp0 AS (
+       |  SELECT q.qid, ent.node, $cosQ AS score_e4
+       |  FROM q CROSS JOIN ent JOIN e b ON b.id = ent.node),
+       |p0 AS (
+       |  SELECT qid, node, score_e4, false AS visited FROM (
+       |    SELECT qid, node, score_e4,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY score_e4 DESC, node ASC) AS rn
+       |    FROM sp0) WHERE rn <= 6),
+       |${bround("p0", "p1")},
+       |${bround("p1", "p2")},
+       |oldside AS (
+       |  SELECT qid AS id, node AS nbr, score_e4 FROM (
+       |    SELECT qid, node, score_e4,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY score_e4 DESC, node ASC) AS rank
+       |    FROM p2 WHERE qid <> node) WHERE rank <= 3),
+       |${ring("bb", "h")},
+       |${ground("h0", "h1")},
+       |cand AS (
+       |  SELECT id, nbr, score_e4 FROM oldside
+       |  UNION ALL SELECT id, nbr, score_e4 FROM h1),
+       |newl AS (
+       |  SELECT id, nbr, score_e4, rnk FROM (
+       |    SELECT id, nbr, score_e4,
+       |      CAST(row_number() OVER (PARTITION BY id
+       |        ORDER BY score_e4 DESC, nbr ASC) AS BIGINT) AS rnk
+       |    FROM cand) WHERE rnk <= 3),
+       |rev AS (
+       |  SELECT id, nbr, score_e4,
+       |    CAST(row_number() OVER (PARTITION BY id
+       |      ORDER BY score_e4 DESC, nbr ASC) AS BIGINT) AS rnk
+       |  FROM (SELECT nbr AS id, id AS nbr, score_e4 FROM newl
+       |    WHERE nbr < 30))
+       |SELECT id, nbr, score_e4, rnk FROM (
+       |  SELECT id, nbr, score_e4, rnk FROM newl
+       |  UNION ALL SELECT id, nbr, score_e4, rnk FROM rev)
+       |ORDER BY id, rnk, nbr""".stripMargin
+  }
+
   private[probes] val queries: Map[String, Q] = Map(
     "q152_beam_search" -> q152,
+    "q155_graph_append" -> q155,
     "q149_nn_descent" -> q149,
     "q30_cosine_neardup" -> q30,
     "q31_ivf_ann" -> q31,
@@ -1008,6 +1150,7 @@ object AnnProbes {
 
   private[probes] val oracleSql: Map[String, String] = Map(
     "q152_beam_search" -> q152Sql,
+    "q155_graph_append" -> q155Sql,
     "q149_nn_descent" -> q149Sql,
     "q30_cosine_neardup" -> q30Sql,
     "q31_ivf_ann" -> q31Sql,

@@ -217,4 +217,119 @@ class KnnGraphSpec extends SparkSpec {
       .orderBy("vec_id", "rank").collect().toSeq
     assert(again == got.orderBy("vec_id", "rank").collect().toSeq)
   }
+
+  test("appendToKnnIndex: retry-idempotent per batch, id/layout guards, " +
+      "appended nodes serve immediately with in-cluster quality") {
+    val v = clusters(31)
+    val base = v.filter(col("id") % 5 =!= 0L)
+    val batch = v.filter(col("id") % 5 === 0L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_knn_app").toString
+    KnnGraph.writeKnnIndex(base, dir, k = 4, iters = 2)
+    KnnGraph.appendToKnnIndex(spark, dir, batch, "b1",
+      beamWidth = 16, rounds = 4, numEntries = 4, batchIters = 1)
+    def edgeRows() = spark.read.parquet(s"$dir/edges_batches")
+      .orderBy("id", "rnk", "nbr").collect().toSeq
+    val first = edgeRows()
+    // a retried append replaces its own partitions — identical rows
+    KnnGraph.appendToKnnIndex(spark, dir, batch, "b1",
+      beamWidth = 16, rounds = 4, numEntries = 4, batchIters = 1)
+    assert(edgeRows() == first)
+    // every new node got a full k-list; reverse augments point back
+    val newLists = spark.read.parquet(s"$dir/edges_batches")
+      .join(batch.select(col("id")), Seq("id"), "left_semi")
+    assert(newLists.groupBy("id").count()
+      .filter(col("count") =!= 4L).count() == 0)
+    assert(spark.read.parquet(s"$dir/edges_batches")
+      .join(batch.select(col("id").as("nbr")), Seq("nbr"), "left_semi")
+      .count() > 0)
+    // id-clash and legacy-layout guards are loud
+    intercept[IllegalArgumentException] {
+      KnnGraph.appendToKnnIndex(spark, dir, base.limit(1), "b2")
+    }
+    val legacy = java.nio.file.Files
+      .createTempDirectory("graft_knn_leg").toString
+    KnnGraph.writeKnnIndex(base, legacy, k = 4, iters = 1)
+    new org.apache.hadoop.fs.Path(s"$legacy/meta").getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$legacy/meta"), true)
+    intercept[IllegalArgumentException] {
+      KnnGraph.appendToKnnIndex(spark, legacy, batch, "b1")
+    }
+    // serving over the batch-union view: appended queries resolve inside
+    // their own cluster (quality contract, the r13 near-tie discipline),
+    // and an OLD query can reach an appended node via reverse augments
+    val got = KnnGraph.beamSearchIndexed(spark, dir,
+      batch.filter(col("id") % 4 === 0L), k = 4, beamWidth = 16,
+      rounds = 4, numEntries = 4)
+    val inCluster = got.filter(
+      floor(col("vec_id") / 1000L) === floor(col("other_id") / 1000L))
+      .count().toDouble / got.count()
+    assert(inCluster > 0.9, s"appended-query in-cluster frac $inCluster")
+    val oldQ = base.filter(col("id") === 1L)
+    val reach = KnnGraph.beamSearchIndexed(spark, dir, oldQ, k = 8,
+        beamWidth = 24, rounds = 5, numEntries = 4)
+      .join(batch.select(col("id").as("other_id")), Seq("other_id"),
+        "left_semi")
+    assert(reach.count() > 0, "old query never reached an appended node")
+  }
+
+  test("knnDecision axes and knnCompact/knnRetrain lifecycle: degree " +
+      "re-cap, entry re-ring, staleness reset") {
+    import graft.pipeline.{Maintain, Restore}
+    val v = clusters(37)
+    val base = v.filter(col("id") % 4 =!= 0L)
+    val batch1 = v.filter(col("id") % 8 === 0L)
+    val batch2 = v.filter(col("id") % 8 === 4L)
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_knn_wh").toString
+    val cur = Restore.publishVersionedDir(spark, wh, "g", "0") { vdir =>
+      KnnGraph.writeKnnIndex(base, vdir.toString, k = 4, iters = 2,
+        maxEntries = 8)
+    }.toString
+    assert(Maintain.knnDecision(spark, cur).action == "none")
+    KnnGraph.appendToKnnIndex(spark, cur, batch1, "b1",
+      beamWidth = 16, rounds = 3)
+    KnnGraph.appendToKnnIndex(spark, cur, batch2, "b2",
+      beamWidth = 16, rounds = 3)
+    // batch-count axis trips compact; staleness axis trips retrain and
+    // DOMINATES when both trip (appended mass here is 30/90 ≈ 3333e-4,
+    // over the 2500e-4 default — the default correctly flags it)
+    assert(Maintain.knnDecision(spark, cur, maxBatches = 16).action
+      == "retrain")
+    assert(Maintain.knnDecision(spark, cur, maxBatches = 16,
+      maxAppendFracE4 = 5000).action == "none")
+    assert(Maintain.knnDecision(spark, cur, maxBatches = 1,
+      maxAppendFracE4 = 5000).action == "compact")
+    assert(Maintain.knnDecision(spark, cur, maxBatches = 1,
+      maxAppendFracE4 = 100).action == "retrain")
+    // compact: one flat version, every node re-capped to k, entries
+    // re-rung over the union, decision resets
+    val cdir = Maintain.knnCompact(spark, wh, "g", "1").toString
+    assert(Maintain.knnDecision(spark, cdir).action == "none")
+    val deg = spark.read.parquet(s"$cdir/edges").groupBy("id").count()
+    assert(deg.filter(col("count") > 4L).count() == 0)
+    assert(spark.read.parquet(s"$cdir/vectors").count() == v.count())
+    assert(spark.read.parquet(s"$cdir/meta").select("n")
+      .head().getLong(0) == v.count())
+    // serving quality survives the re-cap: appended queries still
+    // resolve in-cluster on the compacted index
+    val got = KnnGraph.beamSearchIndexed(spark, cdir,
+      batch2.limit(5), k = 4, beamWidth = 16, rounds = 4, numEntries = 4)
+    val inCluster = got.filter(
+      floor(col("vec_id") / 1000L) === floor(col("other_id") / 1000L))
+      .count().toDouble / got.count()
+    assert(inCluster > 0.9, s"post-compact in-cluster frac $inCluster")
+    // retrain: full NN-Descent over the merged corpus in a new version,
+    // equal to a fresh build over the union (bit-determined)
+    val rdir = Maintain.knnRetrain(spark, wh, "g", "2", iters = 2)
+      .toString
+    assert(Maintain.knnDecision(spark, rdir).action == "none")
+    val fresh = KnnGraph.knnGraph(
+        v.select(col("id"), Similarity.toDoubleVec(col("v")).as("v")),
+        4, 2)
+      .orderBy("id", "rnk").collect().toSeq
+    assert(spark.read.parquet(s"$rdir/edges")
+      .orderBy("id", "rnk").collect().toSeq == fresh)
+  }
 }
