@@ -1110,6 +1110,27 @@ object Scale {
           Seq.empty))
         gPre.unpersist()
       }
+      if (onlyRows.forall(_.exists("knn_append_hot".startsWith))) {
+        // the incremental-ingest claim for the graph family: a 1/50
+        // batch against a prebuilt index costs |batch| walks + batch
+        // NN-Descent — NOT a corpus rebuild (compare knn_graph_build)
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_knn_$n").toString
+        graft.operators.KnnGraph.writeKnnIndex(
+          v.filter(col("id") % 50 =!= 1), dir, k = 6, iters = 2,
+          warmCells = 64)
+        val batch = v.filter(col("id") % 50 === 1)
+          .select((col("id") + 300000000L).as("id"), col("v"))
+        run("knn_append_hot", n) {
+          graft.operators.KnnGraph.appendToKnnIndex(spark, dir, batch,
+            s"b$n", beamWidth = 12, rounds = 3, batchIters = 1)
+          graft.core.Managed(
+            spark.read.parquet(s"$dir/edges_batches")
+              .groupBy(col("id") % 32)
+              .agg(count(lit(1)).as("edges"), sum("score_e4").as("s")),
+            Seq.empty)
+        }
+      }
       run("video_neardup", n) {
         // MIXED-pixel fixture (the r13 synthetic-fixture lesson: q153's
         // id-linear pattern makes every frame a near-shift of every
