@@ -590,6 +590,158 @@ object TextStats {
         size(split(t, "\n", -1)).cast("long").as("n_lines"))
   }
 
+  /** Thresholds for [[repetitionSignals]] — the Gopher REPETITION rule
+    * set (Rae et al. 2021 Table A1, public; the other half of the
+    * [[GopherConfig]] quality rules), scale-4 fixed point. The paper's
+    * published bounds: dup line/para fraction 0.30, dup line/para CHAR
+    * fraction 0.20, top-{2,3,4}-gram char fraction 0.20/0.18/0.16,
+    * dup-{5..10}-gram char fraction 0.15 down to 0.10.
+    */
+  case class RepetitionConfig(
+      maxDupLineFracE4: Long = 3000L, maxDupParaFracE4: Long = 3000L,
+      maxDupLineCharFracE4: Long = 2000L,
+      maxDupParaCharFracE4: Long = 2000L,
+      maxTopGramFracE4: Seq[(Int, Long)] =
+        Seq(2 -> 2000L, 3 -> 1800L, 4 -> 1600L),
+      maxDupGramFracE4: Seq[(Int, Long)] =
+        Seq(5 -> 1500L, 6 -> 1400L, 7 -> 1300L, 8 -> 1200L,
+          9 -> 1100L, 10 -> 1000L))
+
+  /** The Gopher repetition-rule bundle — per-document duplication
+    * measures over lines, paragraphs, and word n-grams, with `rep_pass`
+    * the conjunction under `cfg`'s bounds. Exact-integer definitions
+    * (engine-stable, oracle-replayable):
+    *  - lines = newline-split, paragraphs = "\n\n"-split, both trimmed
+    *    with empties dropped; a DUPLICATE is every occurrence AFTER the
+    *    first of an identical element (the published reference
+    *    implementations count the same way); element fractions are over
+    *    the element count, char fractions over the elements' summed
+    *    chars;
+    *  - word n-grams are over the normalized token stream; the TOP
+    *    n-gram (count desc, gram asc — deterministic) contributes
+    *    count × its token chars; DUP n-grams (count ≥ 2) contribute the
+    *    chars of every token position covered by ANY of their
+    *    occurrences (interval union — positions are not double-counted);
+    *    both against the stream's total token chars (separators
+    *    excluded on both sides of the ratio).
+    *
+    * Scale shape: the line/paragraph measures are pure per-row column
+    * work; the n-gram measures are ONE explode of (doc, n, pos, gram)
+    * rows (≤ Σ|ns| × tokens — bounded ×9 for the default config), a
+    * (doc, n, gram) count aggregate, a windowed per-(doc, n) argmax,
+    * and an interval-union coverage join — all corpus-linear equi
+    * shuffles, nothing all-pairs, no driver state.
+    */
+  def repetitionSignals(docs: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String,
+                        cfg: RepetitionConfig = RepetitionConfig())
+      : org.apache.spark.sql.DataFrame = {
+    val topNs = cfg.maxTopGramFracE4.map(_._1)
+    val dupNs = cfg.maxDupGramFracE4.map(_._1)
+    require((topNs ++ dupNs).forall(_ >= 1), "repetitionSignals: n >= 1")
+    val t = coalesce(col(textCol), lit(""))
+    def sumLen(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, x) => acc + length(x))
+    // duplicate occurrences after the first: count and chars, exactly
+    // m − |distinct| elements and Σlen − Σlen(distinct) chars
+    def dupCols(arr: Column, tag: String): Seq[Column] = {
+      val m = size(arr).cast("long")
+      val dups = (size(arr) - size(array_distinct(arr))).cast("long")
+      val dupChars = sumLen(arr) - sumLen(array_distinct(arr))
+      Seq(
+        when(m > 0, graft.core.Ops.fixedPoint(
+            dups * lit(1.0) / m, 4)).otherwise(lit(0L))
+          .as(s"dup_${tag}_frac_e4"),
+        when(sumLen(arr) > 0, graft.core.Ops.fixedPoint(
+            dupChars * lit(1.0) / sumLen(arr), 4)).otherwise(lit(0L))
+          .as(s"dup_${tag}_char_frac_e4"))
+    }
+    def nonEmpty(arr: Column): Column =
+      filter(transform(arr, e => trim(e)), e => length(e) > 0)
+    val base = graft.core.Ops.widen(docs)
+      .select(col(idCol), t.as("__t"),
+        graft.operators.Dedup.normalizeWords(t).as("__ws"))
+      .withColumn("__tchars",
+        aggregate(col("__ws"), lit(0L), (acc, x) => acc + length(x)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perRow = base.select(
+      (Seq(col(idCol), col("__tchars")) ++
+        dupCols(nonEmpty(split(col("__t"), "\n", -1)), "line") ++
+        dupCols(nonEmpty(split(col("__t"), "\n\n", -1)), "para")): _*)
+    // one exploded gram frame for every n (sequence(1, m-n+1) DESCENDS
+    // when m < n — guard with an empty array, the byteSymbolsCol lesson)
+    val allNs = (topNs ++ dupNs).distinct.sorted
+    val grams = base.select(col(idCol), explode(flatten(transform(
+        array(allNs.map(lit): _*), nn =>
+          transform(
+            when(size(col("__ws")) >= nn,
+                sequence(lit(1), size(col("__ws")) - nn + 1))
+              .otherwise(array().cast("array<int>")),
+            i => struct(nn.as("n"), i.as("pos"),
+              array_join(slice(col("__ws"), i, nn), " ").as("gram"))))))
+        .as("g"))
+      .select(col(idCol), col("g.n").as("n"), col("g.pos").as("pos"),
+        col("g.gram").as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = grams.groupBy(idCol, "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // TOP n-gram: argmax per (doc, n); token chars = len − (n−1) spaces
+    val top = counts.filter(col("n").isInCollection(topNs))
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(idCol, "n")
+          .orderBy(col("cnt").desc, col("gram").asc)))
+      .filter(col("__r") === 1)
+      .select(col(idCol), col("n"),
+        (col("cnt") * (length(col("gram")) - (col("n") - 1)))
+          .cast("long").as("__topchars"))
+    // DUP n-grams: interval union of [pos, pos+n) over count ≥ 2 grams,
+    // chars = Σ len(word at covered position)
+    val wordLens = base.select(col(idCol),
+        posexplode(col("__ws")).as(Seq("__p", "__w")))
+      .select(col(idCol), (col("__p") + 1).as("wp"),
+        length(col("__w")).cast("long").as("wl"))
+    val covered = grams
+      .join(counts.filter(col("cnt") >= 2).select(idCol, "n", "gram"),
+        Seq(idCol, "n", "gram"))
+      .select(col(idCol), col("n"),
+        explode(sequence(col("pos"), col("pos") + col("n") - 1)).as("wp"))
+      .distinct()
+      .join(wordLens, Seq(idCol, "wp"))
+      .groupBy(idCol, "n")
+      .agg(sum("wl").as("__dupchars"))
+    def fracJoin(dfIn: org.apache.spark.sql.DataFrame, part: org.apache.spark.sql.DataFrame,
+                 ns: Seq[Int], srcCol: String, outPrefix: String)
+        : org.apache.spark.sql.DataFrame =
+      ns.foldLeft(dfIn) { (acc, nn) =>
+        acc.join(part.filter(col("n") === nn)
+            .select(col(idCol), col(srcCol).as(s"__v$nn")),
+          Seq(idCol), "left_outer")
+          .withColumn(s"$outPrefix${nn}_gram_frac_e4",
+            when(col("__tchars") > 0, graft.core.Ops.fixedPoint(
+                coalesce(col(s"__v$nn"), lit(0L)) * lit(1.0) /
+                  col("__tchars"), 4))
+              .otherwise(lit(0L)))
+          .drop(s"__v$nn")
+      }
+    val wide0 = fracJoin(perRow, top, topNs, "__topchars", "top")
+    val wide = fracJoin(wide0, covered, dupNs, "__dupchars", "dup")
+    val passCond = (
+      Seq(col("dup_line_frac_e4") <= cfg.maxDupLineFracE4,
+        col("dup_para_frac_e4") <= cfg.maxDupParaFracE4,
+        col("dup_line_char_frac_e4") <= cfg.maxDupLineCharFracE4,
+        col("dup_para_char_frac_e4") <= cfg.maxDupParaCharFracE4) ++
+      cfg.maxTopGramFracE4.map { case (nn, th) =>
+        col(s"top${nn}_gram_frac_e4") <= th } ++
+      cfg.maxDupGramFracE4.map { case (nn, th) =>
+        col(s"dup${nn}_gram_frac_e4") <= th })
+      .reduce(_ && _)
+    val out = wide.withColumn("rep_pass", passCond).drop("__tchars")
+      .localCheckpoint(eager = true)
+    grams.unpersist(); counts.unpersist(); base.unpersist()
+    out
+  }
+
   /** A COLLECTED Kneser–Ney bigram model for per-row serving
     * ([[knScoreExpr]] — the streaming/gate form, where joining model
     * tables is not available). Bounded-vocabulary contract: the maps live

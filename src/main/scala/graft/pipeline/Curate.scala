@@ -18,6 +18,12 @@ case class CurateConfig(
     minQualityE4: Long = 4000,
     keepLangs: Set[String] = Set("alpha", "beta", "gamma"),
     gopherRules: Option[graft.operators.TextStats.GopherConfig] = None,
+    // optional Gopher REPETITION-rule gate (the Table A1 duplication
+    // measures — dup lines/paragraphs, top/dup n-gram char fractions);
+    // its own stage: the n-gram measures shuffle, unlike the per-row
+    // quality rules above
+    repetitionRules: Option[graft.operators.TextStats.RepetitionConfig] =
+      None,
     // drop docs whose SELF-trained bigram cross-entropy exceeds the bound
     // (outlier gibberish scores high; None = stage off). The model trains
     // on the quality-filtered corpus itself — the CCNet shape would pass
@@ -295,6 +301,19 @@ object Curate {
     // same frame feed the piece and every downstream stage
     if (cfg.emitLedger || ck.on) filtered = ck.barrier("quality")(filtered)
     rejectAnti(input, filtered, "quality")
+
+    // ---- optional Gopher repetition gate (n-gram duplication rules) ----
+    for (rc <- cfg.repetitionRules) {
+      val base = filtered.persist(StorageLevel.MEMORY_AND_DISK)
+      filtered = ck.barrier("repetition") {
+        val keep = TextStats.repetitionSignals(base, idCol, textCol, rc)
+          .filter(col("rep_pass")).select(col(idCol))
+        base.join(keep, Seq(idCol))
+      }
+      stage("repetition", filtered.count())
+      rejectAnti(base, filtered, "repetition")
+      base.unpersist()
+    }
 
     // optional LM-perplexity gate: self-train on the quality survivors,
     // keep docs at or under the cross-entropy bound. The survivor frame

@@ -483,6 +483,120 @@ object TextProbes {
        |SELECT tok, CAST(count(*) AS BIGINT) AS n
        |FROM tk GROUP BY tok ORDER BY tok""".stripMargin
 
+  // ---- q156 Gopher repetition-rule bundle ---------------------------------
+  // TextStats.repetitionSignals over repetition-enriched documents text:
+  // every doc gains a duplicated line, every 3rd a duplicated paragraph,
+  // every 4th its own text doubled (dup n-grams + top-gram inflation) —
+  // identically on both engines, so every rule fires on real rows. The
+  // oracle recomputes all twelve fractions from the definitions (list
+  // dedup for lines/paras, grouped gram counts with the (cnt desc, gram
+  // asc) argmax, DISTINCT-position interval union for dup-gram
+  // coverage) in exact fixed-point.
+  val q156: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 4 === 0, concat(lit(" "), col("text")))
+          .otherwise(lit("")),
+        lit("\ndup line\ndup line"),
+        when(col("doc_id") % 3 === 0, lit("\n\npara\n\npara"))
+          .otherwise(lit(""))).as("text"))
+    graft.operators.TextStats.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val q156Sql: String = {
+    def frac(num: String, den: String) =
+      s"CASE WHEN $den > 0 THEN CAST(floor(($num) * 1.0 / ($den) * 10000 + 0.5) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    def sumlen(l: String) =
+      s"CAST(coalesce(list_sum(list_transform($l, x -> length(x))), 0) AS BIGINT)"
+    val topNs = Seq(2, 3, 4); val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val topCols = topNs.map(nn =>
+      s"${frac(s"coalesce(tp.t$nn, 0)", "b.tchars")} AS top${nn}_gram_frac_e4")
+    val dupCols = dupNs.map(nn =>
+      s"${frac(s"coalesce(cv.c$nn, 0)", "b.tchars")} AS dup${nn}_gram_frac_e4")
+    val passTop = topNs.zip(Seq(2000, 1800, 1600)).map { case (nn, th) =>
+      s"${frac(s"coalesce(tp.t$nn, 0)", "b.tchars")} <= $th" }
+    val passDup = dupNs.zip(Seq(1500, 1400, 1300, 1200, 1100, 1000))
+      .map { case (nn, th) =>
+        s"${frac(s"coalesce(cv.c$nn, 0)", "b.tchars")} <= $th" }
+    s"""WITH d0 AS (
+       |  SELECT doc_id, text
+       |    || (CASE WHEN doc_id % 4 = 0 THEN ' ' || text ELSE '' END)
+       |    || chr(10) || 'dup line' || chr(10) || 'dup line'
+       |    || (CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) || 'para'
+       |        || chr(10) || chr(10) || 'para' ELSE '' END) AS text
+       |  FROM documents WHERE doc_id < 200),
+       |n AS (SELECT doc_id, text, $duckWords AS ws FROM d0),
+       |b AS (SELECT doc_id, ${sumlen("ws")} AS tchars,
+       |    list_filter(list_transform(string_split(text, chr(10)),
+       |      x -> trim(x)), x -> x <> '') AS lines,
+       |    list_filter(list_transform(
+       |      string_split(text, chr(10) || chr(10)),
+       |      x -> trim(x)), x -> x <> '') AS paras
+       |  FROM n),
+       |g AS (
+       |  SELECT doc_id, nn.n AS n, t.i AS pos,
+       |    array_to_string(list_slice(ws, t.i, t.i + nn.n - 1), ' ') AS gram
+       |  FROM n, unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) nn(n),
+       |    unnest(generate_series(1, len(ws) - nn.n + 1)) t(i)
+       |  WHERE len(ws) >= nn.n),
+       |c AS (SELECT doc_id, n, gram, count(*) AS cnt
+       |  FROM g GROUP BY 1, 2, 3),
+       |top1 AS (
+       |  SELECT doc_id, n, CAST(cnt * (length(gram) - (n - 1)) AS BIGINT)
+       |    AS topchars
+       |  FROM (SELECT doc_id, n, gram, cnt,
+       |      row_number() OVER (PARTITION BY doc_id, n
+       |        ORDER BY cnt DESC, gram ASC) AS r
+       |    FROM c WHERE n IN (2, 3, 4)) WHERE r = 1),
+       |tp AS (SELECT doc_id,
+       |    ${topNs.map(nn =>
+               s"max(CASE WHEN n = $nn THEN topchars END) AS t$nn")
+              .mkString(", ")}
+       |  FROM top1 GROUP BY 1),
+       |cp AS (SELECT DISTINCT g.doc_id, g.n, g.pos + o.off - 1 AS wp
+       |  FROM g JOIN c ON c.doc_id = g.doc_id AND c.n = g.n
+       |    AND c.gram = g.gram,
+       |    unnest(generate_series(1, g.n)) o(off)
+       |  WHERE c.cnt >= 2 AND g.n IN (5, 6, 7, 8, 9, 10)),
+       |wl AS (SELECT doc_id, t.i AS wp, length(ws[t.i]) AS wl
+       |  FROM n, unnest(generate_series(1, len(ws))) t(i)),
+       |cov AS (SELECT cp.doc_id, cp.n, CAST(sum(wl.wl) AS BIGINT)
+       |    AS dupchars
+       |  FROM cp JOIN wl ON wl.doc_id = cp.doc_id AND wl.wp = cp.wp
+       |  GROUP BY 1, 2),
+       |cv AS (SELECT doc_id,
+       |    ${dupNs.map(nn =>
+               s"max(CASE WHEN n = $nn THEN dupchars END) AS c$nn")
+              .mkString(", ")}
+       |  FROM cov GROUP BY 1)
+       |SELECT b.doc_id,
+       |  ${frac("len(b.lines) - len(list_distinct(b.lines))",
+                "len(b.lines)")} AS dup_line_frac_e4,
+       |  ${frac(s"${sumlen("b.lines")} - ${sumlen("list_distinct(b.lines)")}",
+                sumlen("b.lines"))} AS dup_line_char_frac_e4,
+       |  ${frac("len(b.paras) - len(list_distinct(b.paras))",
+                "len(b.paras)")} AS dup_para_frac_e4,
+       |  ${frac(s"${sumlen("b.paras")} - ${sumlen("list_distinct(b.paras)")}",
+                sumlen("b.paras"))} AS dup_para_char_frac_e4,
+       |  ${(topCols ++ dupCols).mkString(",\n  ")},
+       |  (${frac("len(b.lines) - len(list_distinct(b.lines))",
+                 "len(b.lines)")} <= 3000
+       |    AND ${frac("len(b.paras) - len(list_distinct(b.paras))",
+                 "len(b.paras)")} <= 3000
+       |    AND ${frac(
+                 s"${sumlen("b.lines")} - ${sumlen("list_distinct(b.lines)")}",
+                 sumlen("b.lines"))} <= 2000
+       |    AND ${frac(
+                 s"${sumlen("b.paras")} - ${sumlen("list_distinct(b.paras)")}",
+                 sumlen("b.paras"))} <= 2000
+       |    AND ${(passTop ++ passDup).mkString("\n    AND ")}) AS rep_pass
+       |FROM b
+       |LEFT JOIN tp ON tp.doc_id = b.doc_id
+       |LEFT JOIN cv ON cv.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   // ---- q90 Gopher quality-rule bundle -----------------------------------
   // The standard pretraining gate set (word count / mean word length /
   // symbol ratio / bullet + ellipsis line fractions / alphabetic fraction
@@ -1961,6 +2075,7 @@ object TextProbes {
     "q83_bpe_encode" -> q83,
     "q148_byte_bpe" -> q148,
     "q154_gpt2_pretokens" -> q154,
+    "q156_gopher_repetition" -> q156,
     "q90_gopher_rules" -> q90,
     "q91_bigram_lm" -> q91,
     "q93_hash_embed" -> q93,
@@ -2002,6 +2117,7 @@ object TextProbes {
     "q83_bpe_encode" -> q83Sql,
     "q148_byte_bpe" -> q148Sql,
     "q154_gpt2_pretokens" -> q154Sql,
+    "q156_gopher_repetition" -> q156Sql,
     "q90_gopher_rules" -> q90Sql,
     "q91_bigram_lm" -> q91Sql,
     "q93_hash_embed" -> q93Sql,

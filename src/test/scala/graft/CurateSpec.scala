@@ -503,6 +503,29 @@ class CurateSpec extends SparkSpec {
     res.chunks.unpersist()
   }
 
+  test("Curate.run repetition gate: n-gram-repetitive docs drop with " +
+      "ledger reason 'repetition', clean docs survive") {
+    // doc 3 is goodText repeated back-to-back: its dup n-gram char
+    // fractions saturate while quality/lang still pass
+    val docs = Seq(
+      1L -> goodText("one"),
+      2L -> goodText("two"),
+      3L -> (goodText("rep") + " " + goodText("rep"))
+    ).toDF("doc_id", "text")
+    val benchmark = Seq("no contamination here").toDF("btext")
+    val res = Curate.run(docs, "doc_id", "text", benchmark, "btext",
+      CurateConfig(minQualityE4 = 1000, chunkTokens = 16,
+        chunkOverlap = 4, packBudget = 32, emitLedger = true,
+        repetitionRules =
+          Some(graft.operators.TextStats.RepetitionConfig())))
+    assert(res.stageCounts.toMap.apply("repetition") == 2L)
+    val led = res.ledger.get
+      .filter(col("reason") === "repetition")
+      .select("id").as[Long].collect().toSeq
+    assert(led == Seq(3L))
+    res.chunks.unpersist()
+  }
+
   test("Curate.run stage checkpoints: a killed funnel resumes from " +
       "committed stages to IDENTICAL counts, ledger, and chunks — " +
       "provably without recomputing them") {

@@ -835,6 +835,52 @@ class ExtOperatorsSpec extends SparkSpec {
       six.toString)
   }
 
+  test("repetitionSignals: every Gopher repetition rule on hand-derived " +
+      "vectors (dup lines/paras, top and dup n-gram char fractions)") {
+    import graft.operators.TextStats
+    val longClean = (1 to 40).map(i => f"w$i%02d").mkString(" ")
+    val rows = Seq(
+      // 3 lines, one duplicate pair: dup 1/3; chars 5/12 of 12; words
+      // [aa bb aa bb cc]: top2 = "aa bb"×2 → 2·4/10
+      (1L, "aa bb\naa bb\ncc"),
+      // three paragraphs, one duplicated (blank lines also split \n)
+      (2L, "para one\n\npara one\n\npara two"),
+      // 40 distinct 3-char words: every fraction small → rep_pass
+      (3L, longClean),
+      // 6-word phrase repeated around filler: dup5/dup6 cover
+      // positions 1-6 ∪ 11-16 = 24 of 32 chars; top2 = "p1 p2"×2
+      (4L, "p1 p2 p3 p4 p5 p6 f1 f2 f3 f4 p1 p2 p3 p4 p5 p6"),
+      (5L, "")) // empty: all zeros, vacuous pass
+      .toDF("doc_id", "text")
+    val got = TextStats.repetitionSignals(rows, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, c: String): Long =
+      got(id).getAs[Long](c)
+    assert(f(1L, "dup_line_frac_e4") == 3333L)
+    assert(f(1L, "dup_line_char_frac_e4") == 4167L)
+    assert(f(1L, "dup_para_frac_e4") == 0L)
+    assert(f(1L, "top2_gram_frac_e4") == 8000L) // 2·4 / 10
+    assert(f(1L, "top3_gram_frac_e4") == 6000L) // "aa bb aa": 6 / 10
+    assert(f(1L, "dup5_gram_frac_e4") == 0L)
+    assert(!got(1L).getAs[Boolean]("rep_pass"))
+    assert(f(2L, "dup_para_frac_e4") == 3333L)
+    assert(f(2L, "dup_para_char_frac_e4") == 3333L)
+    assert(f(2L, "dup_line_frac_e4") == 3333L) // \n-split sees 3 lines
+    assert(f(3L, "dup_line_frac_e4") == 0L)
+    assert(f(3L, "top2_gram_frac_e4") == 500L)  // "w01 w02": 6/120
+    assert(f(3L, "dup10_gram_frac_e4") == 0L)
+    assert(got(3L).getAs[Boolean]("rep_pass"))
+    assert(f(4L, "top2_gram_frac_e4") == 2500L) // 2·4 / 32
+    assert(f(4L, "dup5_gram_frac_e4") == 7500L) // 24 / 32
+    assert(f(4L, "dup6_gram_frac_e4") == 7500L)
+    assert(f(4L, "dup7_gram_frac_e4") == 0L)
+    assert(!got(4L).getAs[Boolean]("rep_pass"))
+    assert(f(5L, "dup_line_frac_e4") == 0L &&
+      f(5L, "top2_gram_frac_e4") == 0L &&
+      got(5L).getAs[Boolean]("rep_pass"))
+  }
+
   test("bigram LM cross-entropy: hand-computed smoothed costs; " +
       "bigram-less docs score 0 and are kept") {
     import graft.operators.TextStats
