@@ -675,6 +675,15 @@ object Multimodal {
 
   // ---- persisted pHash near-dup index (round 14) -------------------------
 
+  /** [[imagePHashNearDupPairs]] from an ALREADY-HASHED signature table
+    * (media_id, ahash) — for pipelines that hash once and reuse the
+    * signatures across stages ([[graft.pipeline.CurateImages]]); the
+    * Managed wrapper pins the signature frame for the join's two sides.
+    */
+  def phashBandNearDupPairsOf(sigs: DataFrame, maxHamming: Int = 3,
+                              nBands: Int = 4): graft.core.Managed =
+    hashBandNearDupPairs(sigs, maxHamming, nBands)
+
   /** Pigeonhole band rows of 64-bit signatures: `nBands` equal-width
     * slices as (…, band, bits) — the equi-join key shared by the
     * per-batch pair join and the persisted-index path. Bands derive from
