@@ -742,6 +742,95 @@ object TextStats {
     out
   }
 
+  /** Per-document result of [[repetitionLocal]] — the twelve measures +
+    * the conjunction verdict, keyed like the distributed columns.
+    */
+  case class RepetitionMeasures(dupLineFracE4: Long,
+                                dupLineCharFracE4: Long,
+                                dupParaFracE4: Long,
+                                dupParaCharFracE4: Long,
+                                topGramFracE4: Map[Int, Long],
+                                dupGramFracE4: Map[Int, Long],
+                                pass: Boolean)
+
+  /** Executor-side replica of [[repetitionSignals]] for ONE document —
+    * the stream-gate form (the MinHashStream local-replica discipline):
+    * same integer/fixed-point arithmetic, same (count desc, gram asc)
+    * argmax (grams are normalized-ASCII, so String ordering IS the
+    * engine's UTF8_BINARY order), same interval-union coverage —
+    * spec-pinned equal to the distributed operator row for row. O(9·m)
+    * per doc with per-doc hash maps; the distributed form remains the
+    * batch path (no per-row maps, shuffle-parallel over the corpus).
+    */
+  def repetitionLocal(text: String,
+                      cfg: RepetitionConfig = RepetitionConfig())
+      : RepetitionMeasures = {
+    val t = if (text == null) "" else text
+    def fp4(v: Double): Long = math.floor(v * 10000.0 + 0.5).toLong
+    // Spark `trim` strips the SPACE character only — replicate exactly
+    // (String.trim would also strip the \n a paragraph split leaves)
+    def spaceTrim(s: String): String = {
+      var a = 0; var b = s.length
+      while (a < b && s.charAt(a) == ' ') a += 1
+      while (b > a && s.charAt(b - 1) == ' ') b -= 1
+      s.substring(a, b)
+    }
+    def dupPair(elems: Array[String]): (Long, Long) = {
+      val m = elems.length.toLong
+      val distinct = elems.distinct
+      val dups = m - distinct.length
+      val sumLen = elems.map(_.length.toLong).sum
+      val dupChars = sumLen - distinct.map(_.length.toLong).sum
+      (if (m > 0) fp4(dups * 1.0 / m) else 0L,
+        if (sumLen > 0) fp4(dupChars * 1.0 / sumLen) else 0L)
+    }
+    val lines = t.split("\n", -1).map(spaceTrim).filter(_.nonEmpty)
+    val paras = t.split("\n\n", -1).map(spaceTrim).filter(_.nonEmpty)
+    val (dlf, dlcf) = dupPair(lines)
+    val (dpf, dpcf) = dupPair(paras)
+    // replica of Dedup.normalizeWords (lower, strip non-alnum, split)
+    val ws = t.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9]+", " ").trim.split(" ").filter(_.nonEmpty)
+    val m = ws.length
+    val tchars = ws.map(_.length.toLong).sum
+    def gramsOf(n: Int): IndexedSeq[String] =
+      if (m < n) IndexedSeq.empty
+      else (0 to m - n).map(i => ws.slice(i, i + n).mkString(" "))
+    val top = cfg.maxTopGramFracE4.map { case (n, _) =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      gramsOf(n).foreach(g => counts(g) = counts.getOrElse(g, 0L) + 1L)
+      val frac =
+        if (counts.isEmpty || tchars == 0) 0L
+        else {
+          val (g, c) = counts.minBy { case (g, c) => (-c, g) }
+          fp4(c * (g.length - (n - 1)).toLong * 1.0 / tchars)
+        }
+      n -> frac
+    }.toMap
+    val dup = cfg.maxDupGramFracE4.map { case (n, _) =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      val gs = gramsOf(n)
+      gs.foreach(g => counts(g) = counts.getOrElse(g, 0L) + 1L)
+      val covered = new Array[Boolean](m)
+      gs.zipWithIndex.foreach { case (g, i) =>
+        if (counts(g) >= 2L) {
+          var j = i
+          while (j < i + n) { covered(j) = true; j += 1 }
+        }
+      }
+      val dupChars = ws.indices.collect {
+        case j if covered(j) => ws(j).length.toLong }.sum
+      n -> (if (tchars > 0) fp4(dupChars * 1.0 / tchars) else 0L)
+    }.toMap
+    val pass = dlf <= cfg.maxDupLineFracE4 &&
+      dpf <= cfg.maxDupParaFracE4 &&
+      dlcf <= cfg.maxDupLineCharFracE4 &&
+      dpcf <= cfg.maxDupParaCharFracE4 &&
+      cfg.maxTopGramFracE4.forall { case (n, th) => top(n) <= th } &&
+      cfg.maxDupGramFracE4.forall { case (n, th) => dup(n) <= th }
+    RepetitionMeasures(dlf, dlcf, dpf, dpcf, top, dup, pass)
+  }
+
   /** A COLLECTED Kneser–Ney bigram model for per-row serving
     * ([[knScoreExpr]] — the streaming/gate form, where joining model
     * tables is not available). Bounded-vocabulary contract: the maps live

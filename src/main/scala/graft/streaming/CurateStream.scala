@@ -29,9 +29,9 @@ import graft.operators.{Dedup, TextStats}
   */
 object CurateStream {
 
-  /** `reason`: "c4" | "quality" | "classifier" | "ppl" | "arpa" |
-    * "exact_dup" | "near_dup" | "admitted". `dup_of` = lineage parent for the dup
-    * reasons, else the doc's own id.
+  /** `reason`: "c4" | "quality" | "repetition" | "classifier" | "ppl" |
+    * "arpa" | "exact_dup" | "near_dup" | "admitted". `dup_of` = lineage
+    * parent for the dup reasons, else the doc's own id.
     */
   case class GateVerdict(id: Long, admitted: Boolean, reason: String,
                          dup_of: Long)
@@ -64,6 +64,12 @@ object CurateStream {
 
   case class GateConfig(minQualityE4: Long = 4000,
                         keepLangs: Set[String] = Set("alpha", "beta", "gamma"),
+                        // stateless Gopher repetition gate via the
+                        // executor-side replica (TextStats
+                        // .repetitionLocal — spec-pinned ≡ the batch
+                        // repetitionSignals), mirroring the batch
+                        // funnel's repetitionRules stage
+                        repetition: Option[graft.operators.TextStats.RepetitionConfig] = None,
                         // C4 ingest cleaning (page gate + line cleaning,
                         // the batch c4Clean semantics) before anything
                         // else sees the text
@@ -130,8 +136,28 @@ object CurateStream {
     // ---- optional stateless classifier gate ----------------------------
     // __lang rides along for the perplexity gate below (its thresholds
     // are per predicted language)
-    val afterQuality = flagged.filter(col("__pass"))
+    val afterQuality0 = flagged.filter(col("__pass"))
       .select(col("id"), col("text"), col("__lang"))
+
+    // ---- optional stateless Gopher repetition gate ---------------------
+    // per-doc measures need per-doc gram maps — a typed map over the
+    // local replica (the per-doc-analysis seam; no Catalyst expression
+    // computes a per-row argmax over gram counts), batch-parity pinned
+    val (afterQuality, repRejects) = cfg.repetition match {
+      case None => (afterQuality0, None)
+      case Some(rc) =>
+        val s = afterQuality0.as[(Long, String, String)]
+          .mapPartitions(_.map { case (id, text, lang) =>
+            (id, text, lang,
+              graft.operators.TextStats.repetitionLocal(text, rc).pass)
+          })
+          .toDF("id", "text", "__lang", "__rok")
+        (s.filter(col("__rok"))
+          .select(col("id"), col("text"), col("__lang")),
+          Some(s.filter(!col("__rok")).select(col("id")).as[Long]
+            .map(id => GateVerdict(id, admitted = false,
+              reason = "repetition", dup_of = id))))
+    }
     val (afterClassifier, classifierRejects) = cfg.classifier match {
       case None => (afterQuality, None)
       case Some(m) =>
@@ -207,7 +233,8 @@ object CurateStream {
     val always = qualityRejects.unionByName(exactRejects)
       .unionByName(verdicts)
     val withC4 = c4Rejects.fold(always)(always.unionByName(_))
-    val withCls = classifierRejects.fold(withC4)(withC4.unionByName(_))
+    val withRep = repRejects.fold(withC4)(withC4.unionByName(_))
+    val withCls = classifierRejects.fold(withRep)(withRep.unionByName(_))
     val withPpl = pplRejects.fold(withCls)(withCls.unionByName(_))
     arpaRejects.fold(withPpl)(withPpl.unionByName(_))
   }

@@ -49,6 +49,45 @@ class CurateStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gate with repetition: n-gram-repetitive docs reject with reason " +
+      "'repetition', matching the batch repetitionRules stage") {
+    val corpus = Seq(
+      1L -> goodText("one"),
+      3L -> (goodText("rep") + " " + goodText("rep")), // dup-gram saturated
+      7L -> goodText("four"))
+    val cfg = CurateStream.GateConfig(minQualityE4 = 1000,
+      repetition = Some(graft.operators.TextStats.RepetitionConfig()))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = CurateStream.gate(input.toDF().toDF("id", "text"), "id",
+        "text", cfg)
+      .writeStream.format("memory").queryName("curate_rep")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(corpus: _*)
+      q.processAllAvailable()
+      val got = spark.table("curate_rep")
+        .as[CurateStream.GateVerdict].collect()
+        .map(v => v.id -> ((v.admitted, v.reason))).toMap
+      assert(got.keySet === Set(1L, 3L, 7L))
+      assert(got(3L) === ((false, "repetition")))
+      assert(got(1L) === ((true, "admitted")))
+      assert(got(7L) === ((true, "admitted")))
+      // batch parity: the batch funnel's repetition stage rejects the
+      // same doc for the same reason
+      val batch = graft.pipeline.Curate.run(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", Seq("nothing shared").toDF("btext"), "btext",
+        graft.pipeline.CurateConfig(minQualityE4 = 1000, chunkTokens = 16,
+          chunkOverlap = 4, packBudget = 32, emitLedger = true,
+          repetitionRules =
+            Some(graft.operators.TextStats.RepetitionConfig())))
+      val batchRep = batch.ledger.get
+        .filter(org.apache.spark.sql.functions.col("reason") === "repetition")
+        .select("id").as[Long].collect().toSeq
+      assert(batchRep == Seq(3L))
+      batch.chunks.unpersist()
+    } finally q.stop()
+  }
+
   test("batch rejection ledger (Curate.run emitLedger) ≡ stream " +
       "GateVerdicts on the same corpus; funnel counts derive from it") {
     val corpus = Seq(

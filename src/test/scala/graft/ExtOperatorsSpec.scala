@@ -881,6 +881,42 @@ class ExtOperatorsSpec extends SparkSpec {
       got(5L).getAs[Boolean]("rep_pass"))
   }
 
+  test("repetitionLocal replicates the distributed repetitionSignals " +
+      "row for row on mixed vectors (the stream-gate parity contract)") {
+    import graft.operators.TextStats
+    val longClean = (1 to 40).map(i => f"w$i%02d").mkString(" ")
+    val rows = Seq(
+      1L -> "aa bb\naa bb\ncc",
+      2L -> "para one\n\npara one\n\npara two",
+      3L -> longClean,
+      4L -> "p1 p2 p3 p4 p5 p6 f1 f2 f3 f4 p1 p2 p3 p4 p5 p6",
+      5L -> "",
+      6L -> "a\n\n\nb  c\n c ",              // ragged whitespace edges
+      7L -> ("dup dup dup dup dup dup " * 4), // saturated repetition
+      8L -> "Mixed, CASE! with punct-uation… 42")
+    val cfg = TextStats.RepetitionConfig()
+    val dist = TextStats.repetitionSignals(
+        rows.toDF("doc_id", "text"), "doc_id", "text", cfg)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((id, text) <- rows) {
+      val l = TextStats.repetitionLocal(text, cfg)
+      val d = dist(id)
+      assert(l.dupLineFracE4 == d.getAs[Long]("dup_line_frac_e4"), s"doc $id")
+      assert(l.dupLineCharFracE4 ==
+        d.getAs[Long]("dup_line_char_frac_e4"), s"doc $id")
+      assert(l.dupParaFracE4 == d.getAs[Long]("dup_para_frac_e4"), s"doc $id")
+      assert(l.dupParaCharFracE4 ==
+        d.getAs[Long]("dup_para_char_frac_e4"), s"doc $id")
+      for ((n, _) <- cfg.maxTopGramFracE4)
+        assert(l.topGramFracE4(n) ==
+          d.getAs[Long](s"top${n}_gram_frac_e4"), s"doc $id top$n")
+      for ((n, _) <- cfg.maxDupGramFracE4)
+        assert(l.dupGramFracE4(n) ==
+          d.getAs[Long](s"dup${n}_gram_frac_e4"), s"doc $id dup$n")
+      assert(l.pass == d.getAs[Boolean]("rep_pass"), s"doc $id pass")
+    }
+  }
+
   test("bigram LM cross-entropy: hand-computed smoothed costs; " +
       "bigram-less docs score 0 and are kept") {
     import graft.operators.TextStats
