@@ -1223,6 +1223,25 @@ object Scale {
             .groupBy(col("id_new") % 32).agg(count(lit(1)).as("n")),
           Seq.empty))
       }
+      run("gopher_repetition", n)(graft.core.Managed(
+        graft.operators.TextStats.repetitionSignals(d, "doc_id", "text")
+          .groupBy(col("doc_id") % 32)
+          .agg(count(lit(1)).as("docs"),
+            sum(when(col("rep_pass"), 1L).otherwise(0L)).as("passing"),
+            sum("dup5_gram_frac_e4").as("s5")),
+        Seq.empty))
+      run("gpt2_wordfreqs", n)(graft.core.Managed(
+        graft.operators.Bpe.wordFreqsGpt2(d, "text")
+          .groupBy(length(col("w")).as("len"))
+          .agg(count(lit(1)).as("n"), sum("freq").as("f")),
+        Seq.empty))
+      run("image_curate", n) {
+        // the composed image funnel (decode → exact → near-dup) over the
+        // mixed-image fixture with planted exact+near structure
+        val res = graft.pipeline.CurateImages.run(mixedImages(d))
+        graft.core.Managed(res.kept.groupBy(col("media_id") % 32)
+          .agg(count(lit(1)).as("n")), Seq(res.kept))
+      }
       run("bpe_encode", n) {
         import spark.implicits._
         val table = graft.operators.Bpe.DemoMerges.toVector
