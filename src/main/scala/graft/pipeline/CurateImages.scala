@@ -39,7 +39,16 @@ object CurateImages {
       maxPixels: Long = 64L << 20,
       maxHamming: Int = 3,
       nBands: Int = 4,
-      emitLedger: Boolean = false)
+      emitLedger: Boolean = false,
+      // stage-checkpointed RESUMABLE funnel (the Curate.run discipline):
+      // stage frames and ledger pieces publish through the commit-marker
+      // versioned-dir path under this warehouse. The payoff is the
+      // DECODE stage: a resumed run reads the committed signature table
+      // and never touches raw image bytes again — on a 100 TB media
+      // corpus that is the whole cost.
+      stageCheckpointDir: Option[String] = None,
+      resume: Boolean = false,
+      runToken: String = "0")
 
   /** `kept` — surviving (media_id, phash); `stageCounts` — rows
     * surviving each stage in order; `ledger` — one verdict per INPUT
@@ -53,33 +62,71 @@ object CurateImages {
   def run(media: Dataset[Multimodal.MediaRecord],
           cfg: ImageCurateConfig = ImageCurateConfig())
       : ImageCurateResult = {
+    val sess = media.sparkSession
     val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val led = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def reject(ids: DataFrame, reason: String): Unit =
-      if (cfg.emitLedger) led += ids
+    // ---- stage-checkpoint store (cfg.stageCheckpointDir) ---------------
+    // the Curate.run ck discipline: commit-marker publishes, resume reads
+    // committed dbs, crash-orphaned version dirs cleared before reuse
+    object ck {
+      private val whOpt = cfg.stageCheckpointDir
+      def on: Boolean = whOpt.nonEmpty
+      private def resolvedPath(db: String) =
+        whOpt.flatMap(wh => Restore.resolveVersioned(sess, wh, db))
+      def resolved(db: String): Boolean =
+        cfg.resume && resolvedPath(db).isDefined
+      def read(db: String): DataFrame =
+        sess.read.parquet(resolvedPath(db).get.toString)
+      def save(db: String, df: DataFrame): DataFrame = {
+        val wh = whOpt.get
+        val fs = new org.apache.hadoop.fs.Path(wh)
+          .getFileSystem(sess.sparkContext.hadoopConfiguration)
+        val vd = new org.apache.hadoop.fs.Path(wh,
+          s"${db}__v${cfg.runToken}")
+        if (fs.exists(vd) && !resolvedPath(db).contains(vd))
+          fs.delete(vd, true)
+        val p = Restore.publishVersionedDir(sess, wh, db, cfg.runToken) {
+          vdir => df.write.mode("overwrite").parquet(vdir.toString) }
+        sess.read.parquet(p.toString)
+      }
+    }
+    // a stage frame: in-memory persist when checkpointing is off,
+    // parquet-committed (and resume-readable) when on
+    def stageDF(name: String)(make: => DataFrame): DataFrame =
+      if (!ck.on) make.persist(StorageLevel.MEMORY_AND_DISK)
+      else if (ck.resolved(name)) ck.read(name)
+      else ck.save(name, make)
+    def piece(name: String)(make: => DataFrame): DataFrame =
+      if (!ck.on) make.localCheckpoint(eager = true)
+      else if (ck.resolved(name)) ck.read(name)
+      else ck.save(name, make)
+    def reject(ids: => DataFrame, reason: String): Unit =
+      if (cfg.emitLedger) led += piece(s"img_led_$reason")(ids
         .select(col("media_id").cast("long").as("id"),
           lit(false).as("admitted"), lit(reason).as("reason"),
           coalesce(col("__dup_of"), col("media_id")).cast("long")
-            .as("dup_of"))
-        .localCheckpoint(eager = true)
+            .as("dup_of")))
 
     // ---- decode + hash: the ONE pass over raw payloads ------------------
     // exact-dup must collapse BYTE-identical payloads, so the content
     // hash rides along from the same pass (hashing signatures alone
-    // would alias distinct bytes with equal pHash)
-    import media.sparkSession.implicits._
-    val hashed = media.mapPartitions { it =>
-        val d = java.security.MessageDigest.getInstance("MD5")
-        it.map { r =>
-          d.reset()
-          (r.media_id, d.digest(r.media).map(b => f"${b & 0xff}%02x")
-            .mkString)
+    // would alias distinct bytes with equal pHash). Under the checkpoint
+    // store this frame IS the resume payoff: a resumed run reads the
+    // committed signature table and never decodes again.
+    import sess.implicits._
+    val hashed = stageDF("img_hashed") {
+      media.mapPartitions { it =>
+          val d = java.security.MessageDigest.getInstance("MD5")
+          it.map { r =>
+            d.reset()
+            (r.media_id, d.digest(r.media).map(b => f"${b & 0xff}%02x")
+              .mkString)
+          }
         }
-      }
-      .toDF("media_id", "__md5")
-      .join(Multimodal.imagePHash(media, maxPixels = cfg.maxPixels).toDF(),
-        Seq("media_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        .toDF("media_id", "__md5")
+        .join(Multimodal.imagePHash(media, maxPixels = cfg.maxPixels)
+          .toDF(), Seq("media_id"))
+    }
     val decoded = hashed.filter(col("phash") =!= -1L)
       .persist(StorageLevel.MEMORY_AND_DISK)
     counts += (("decode", decoded.count()))
@@ -91,28 +138,40 @@ object CurateImages {
     val keeper = decoded.groupBy("__md5")
       .agg(min(col("media_id")).as("__keep"))
     val withKeep = decoded.join(keeper, Seq("__md5"))
-    val exact = withKeep.filter(col("media_id") === col("__keep"))
-      .select("media_id", "phash")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exact = stageDF("img_exact")(
+      withKeep.filter(col("media_id") === col("__keep"))
+        .select("media_id", "phash"))
     counts += (("exact_dedup", exact.count()))
     reject(withKeep.filter(col("media_id") =!= col("__keep"))
       .select(col("media_id"), col("__keep").as("__dup_of")),
       "exact_dup")
 
     // ---- pHash near-dup components -------------------------------------
-    val pairsM = Multimodal.phashBandNearDupPairsOf(
-      exact.select(col("media_id"), col("phash").as("ahash")),
-      cfg.maxHamming, cfg.nBands)
-    val compM = Dedup.connectedComponentsManaged(pairsM.df
-      .select(col("idA"), col("idB")))
-    val victims = compM.df.filter(col("id") =!= col("label"))
-    val kept = exact.join(
-        victims.select(col("id").as("media_id")),
-        Seq("media_id"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    counts += (("near_dup", kept.count()))
-    reject(victims.select(col("id").as("media_id"),
-      col("label").as("__dup_of")), "near_dup")
+    // the component iteration runs EAGERLY at construction — a resumed
+    // stage must not construct it at all (the Curate canSkip shape)
+    val kept =
+      if (ck.on && ck.resolved("img_near") &&
+          (!cfg.emitLedger || ck.resolved("img_led_near_dup"))) {
+        val k = ck.read("img_near")
+        counts += (("near_dup", k.count()))
+        if (cfg.emitLedger) led += ck.read("img_led_near_dup")
+        k
+      } else {
+        val pairsM = Multimodal.phashBandNearDupPairsOf(
+          exact.select(col("media_id"), col("phash").as("ahash")),
+          cfg.maxHamming, cfg.nBands)
+        val compM = Dedup.connectedComponentsManaged(pairsM.df
+          .select(col("idA"), col("idB")))
+        val victims = compM.df.filter(col("id") =!= col("label"))
+        val k = stageDF("img_near")(exact.join(
+          victims.select(col("id").as("media_id")),
+          Seq("media_id"), "left_anti"))
+        counts += (("near_dup", k.count()))
+        reject(victims.select(col("id").as("media_id"),
+          col("label").as("__dup_of")), "near_dup")
+        compM.close(); pairsM.close()
+        k
+      }
     val ledger =
       if (!cfg.emitLedger) None
       else {
@@ -122,7 +181,6 @@ object CurateImages {
         Some(led.foldLeft(admitted)(_ unionByName _)
           .localCheckpoint(eager = true))
       }
-    compM.close(); pairsM.close()
     hashed.unpersist(); decoded.unpersist(); exact.unpersist()
     ImageCurateResult(kept, counts.toSeq, ledger)
   }

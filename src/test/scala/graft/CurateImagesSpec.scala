@@ -59,6 +59,47 @@ class CurateImagesSpec extends SparkSpec {
     res.kept.unpersist()
   }
 
+  test("image funnel stage checkpoints: a killed run resumes from the " +
+      "committed signature table — identical outputs, provably without " +
+      "re-decoding") {
+    val shared = png(1, 0)
+    val recs = Seq(
+      MediaRecord(11L, shared, "image/png"),
+      MediaRecord(12L, shared, "image/png"),
+      MediaRecord(21L, png(2, 0), "image/png"),
+      MediaRecord(22L, png(2, 7), "image/png"),
+      MediaRecord(40L, png(40, 0), "image/png"),
+      MediaRecord(99L, Array[Byte](9), "image/png"))
+    def summarize(r: graft.pipeline.CurateImages.ImageCurateResult) = {
+      val out = (r.stageCounts,
+        r.kept.collect().map(_.toString).sorted.toSeq,
+        r.ledger.get.select("id", "admitted", "reason", "dup_of")
+          .as[(Long, Boolean, String, Long)].collect().toSet)
+      r.kept.unpersist()
+      out
+    }
+    val base = ImageCurateConfig(emitLedger = true)
+    val ref = summarize(CurateImages.run(recs.toDS(), base))
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_imgck").toString
+    val ckCfg = base.copy(stageCheckpointDir = Some(wh))
+    assert(summarize(CurateImages.run(recs.toDS(), ckCfg)) == ref)
+    // kill after the decode stage committed: drop every LATER marker
+    // (data dirs may remain — the crash shape)
+    val fs = new org.apache.hadoop.fs.Path(wh).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    for (db <- Seq("img_exact", "img_near", "img_led_exact_dup",
+        "img_led_near_dup"))
+      fs.delete(new org.apache.hadoop.fs.Path(wh, s"$db.commit"), false)
+    // resume with POISONED input (zero images): identical outputs prove
+    // the committed signature table was READ — any re-decode would zero
+    // the funnel
+    val resumed = summarize(CurateImages.run(
+      spark.emptyDataset[MediaRecord],
+      ckCfg.copy(resume = true, runToken = "1")))
+    assert(resumed == ref)
+  }
+
   test("batch funnel rejects undecodables where the stream gate admits " +
       "them — the deliberate divergence, pinned") {
     val recs = Seq(MediaRecord(1L, png(1, 0), "image/png"),
