@@ -283,22 +283,55 @@ object KnnGraph {
     else base
   }
 
-  /** All stored edges: base + every appended batch (new-node k-lists and
-    * the reverse augments that make appended nodes REACHABLE). Augmented
-    * old nodes carry more than k rows until [[graft.pipeline.Maintain
-    * .knnCompact]] re-caps — the walk only expands more candidates, so
-    * serving stays correct at any batch count (the BM25 batch-union
-    * argument).
+  /** All stored edges: base + every COMMITTED appended batch (new-node
+    * k-lists and the reverse augments that make appended nodes
+    * REACHABLE). Augmented old nodes carry more than k rows until
+    * [[graft.pipeline.Maintain.knnCompact]] re-caps — the walk only
+    * expands more candidates, so serving stays correct at any batch
+    * count (the BM25 batch-union argument).
+    *
+    * A batch's `vectors_batches` partition is its commit marker
+    * ([[appendToKnnIndex]] writes it LAST), so edge partitions are
+    * semi-joined on the batch_ids present there: a torn append (crash
+    * between the edges write and the vectors write) leaves orphan edge
+    * partitions that would otherwise be baked into the flat base by
+    * compaction — displacing real neighbors — with the retry unable to
+    * replace them once compaction moved them out of the batch partition.
     */
   def readKnnEdges(spark: org.apache.spark.sql.SparkSession,
-                   dir: String): DataFrame = {
+                   dir: String): DataFrame =
+    committedEdges(spark, dir, excludeBatch = None)
+
+  /** Base edges ∪ committed batch edges, optionally excluding one
+    * batch_id (the append retry's pre-batch view). Committed = the
+    * batch_id has a `vectors_batches` partition; the committed-id side
+    * is bounded by the compaction policy, so the semi join broadcasts.
+    */
+  private def committedEdges(spark: org.apache.spark.sql.SparkSession,
+                             dir: String,
+                             excludeBatch: Option[String]): DataFrame = {
     val base = spark.read.parquet(s"$dir/edges")
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/edges_batches")))
-      base.unionByName(spark.read.parquet(s"$dir/edges_batches")
+    val haveEdges =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/edges_batches"))
+    val haveVecs =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/vectors_batches"))
+    if (!haveEdges || !haveVecs) base
+    else {
+      val committed0 = spark.read.parquet(s"$dir/vectors_batches")
+        .select("batch_id").distinct()
+      val committed = excludeBatch
+        .map(b => committed0.filter(col("batch_id") =!= b))
+        .getOrElse(committed0)
+      val batchEdges0 = spark.read.parquet(s"$dir/edges_batches")
+      val batchEdges = excludeBatch
+        .map(b => batchEdges0.filter(col("batch_id") =!= b))
+        .getOrElse(batchEdges0)
+      base.unionByName(batchEdges
+        .join(broadcast(committed), Seq("batch_id"), "left_semi")
         .select("id", "nbr", "score_e4", "rnk"))
-    else base
+    }
   }
 
   /** Batch INSERT into a persisted kNN index — the graph member of the
@@ -323,6 +356,12 @@ object KnnGraph {
     *     able to reach appended nodes.
     * New ids must be disjoint from stored ids (loud guard) — the
     * append contract every index in the family shares.
+    *
+    * `beamWidth` is a floor: the effective width is `max(beamWidth, k)`
+    * with k read from the index meta, so the default call works on any
+    * stored degree (beamSearch requires width ≥ k). `numEntries` larger
+    * than the stored entry ring fails loudly (the beamSearchIndexed
+    * guard) instead of silently seeding fewer walks.
     */
   def appendToKnnIndex(spark: org.apache.spark.sql.SparkSession,
                        dir: String, newVectors: DataFrame, batchId: String,
@@ -337,10 +376,13 @@ object KnnGraph {
         "(no meta) — rebuild with writeKnnIndex")
     val k = spark.read.parquet(s"$dir/meta")
       .select(col("k")).head().getInt(0)
+    val width = math.max(beamWidth, k)
     // the PRE-batch view: a RETRY of this batchId must see the index as
     // if its partitions never committed (same inputs → same outputs →
     // the dynamic overwrite replaces them bit-identically), and the
-    // id-clash guard must not trip on the batch's own prior attempt
+    // id-clash guard must not trip on the batch's own prior attempt.
+    // Edges additionally restrict to COMMITTED batches (vectors partition
+    // present) so an earlier torn append's orphan edges never seed walks.
     def exceptSelf(sub: String, cols: Seq[String]): Option[DataFrame] =
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$sub")))
         Some(spark.read.parquet(s"$dir/$sub")
@@ -350,9 +392,7 @@ object KnnGraph {
     val old = exceptSelf("vectors_batches", Seq("id", "v"))
       .foldLeft(spark.read.parquet(s"$dir/vectors"))(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val graphView = exceptSelf("edges_batches",
-        Seq("id", "nbr", "score_e4", "rnk"))
-      .foldLeft(spark.read.parquet(s"$dir/edges"))(_ unionByName _)
+    val graphView = committedEdges(spark, dir, excludeBatch = Some(batchId))
     val batch = Ops.widen(newVectors)
       .select(col("id"), Similarity.toDoubleVec(col("v")).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -363,8 +403,12 @@ object KnnGraph {
       val nBatch = batch.count()
       val entries = spark.read.parquet(s"$dir/entries")
         .filter(col("r") <= numEntries).select("id")
+      val haveEntries = entries.count()
+      require(haveEntries == numEntries.toLong,
+        s"appendToKnnIndex: index at $dir stores $haveEntries entry " +
+          s"points < requested $numEntries (rebuild with larger maxEntries)")
       val oldSide = beamSearch(graphView, old, batch,
-          entries, k, beamWidth, rounds)
+          entries, k, width, rounds)
         .select(col("vec_id").as("id"), col("other_id").as("nbr"),
           col("score_e4"))
       val cands =

@@ -274,6 +274,63 @@ class KnnGraphSpec extends SparkSpec {
     assert(reach.count() > 0, "old query never reached an appended node")
   }
 
+  test("torn append: orphan edges_batches partitions (no vectors commit " +
+      "marker) are invisible to reads, compaction, and a retry replaces " +
+      "them; beamWidth floor derives from stored k; oversized numEntries " +
+      "is loud") {
+    val v = clusters(41)
+    val base = v.filter(col("id") % 5 =!= 0L)
+    val batch = v.filter(col("id") % 5 === 0L)
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_knn_torn").toString
+    import graft.pipeline.{Maintain, Restore}
+    val dir = Restore.publishVersionedDir(spark, wh, "g", "0") { vdir =>
+      KnnGraph.writeKnnIndex(base, vdir.toString, k = 4, iters = 2,
+        maxEntries = 8)
+    }.toString
+    val cleanEdges = KnnGraph.readKnnEdges(spark, dir)
+      .orderBy("id", "rnk", "nbr").collect().toSeq
+    // simulate the torn append: an edges partition commits, the crash
+    // hits before the vectors partition (the commit marker) lands —
+    // a phantom high-score edge that would displace real neighbors
+    spark.range(1)
+      .select(lit(5L).as("id"), lit(7L).as("nbr"),
+        lit(999999L).as("score_e4"), lit(1L).as("rnk"),
+        lit("torn").as("batch_id"))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$dir/edges_batches")
+    // reads see only committed batches — the orphan is invisible
+    assert(KnnGraph.readKnnEdges(spark, dir)
+      .orderBy("id", "rnk", "nbr").collect().toSeq == cleanEdges)
+    // compaction does not bake the phantom edge into the flat base
+    val cdir = Maintain.knnCompact(spark, wh, "g", "1").toString
+    assert(spark.read.parquet(s"$cdir/edges")
+      .filter(col("score_e4") === 999999L).count() == 0)
+    // a retry of the torn batch replaces its orphan partition wholesale
+    KnnGraph.appendToKnnIndex(spark, cdir, batch, "torn",
+      beamWidth = 16, rounds = 4, numEntries = 4)
+    val committed = KnnGraph.readKnnEdges(spark, cdir)
+    assert(committed.filter(col("score_e4") === 999999L).count() == 0)
+    assert(committed.join(batch.select("id"), Seq("id"), "left_semi")
+      .count() > 0, "retried batch's edges not served")
+    // beamWidth floor: an index stored with k=6 accepts the default
+    // call (effective width max(20, 6)) AND an explicit width below k
+    // (effective width max(4, 6) = 6) instead of throwing
+    val d6 = java.nio.file.Files
+      .createTempDirectory("graft_knn_k6").toString
+    KnnGraph.writeKnnIndex(base, d6, k = 6, iters = 1, maxEntries = 8)
+    KnnGraph.appendToKnnIndex(spark, d6, batch.limit(3), "b1",
+      beamWidth = 4, rounds = 2, numEntries = 4)
+    assert(spark.read.parquet(s"$d6/vectors_batches").count() == 3)
+    // numEntries above the stored ring fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      KnnGraph.appendToKnnIndex(spark, d6,
+        batch.filter(col("id") % 10 === 5L).limit(2), "b2",
+        numEntries = 99)
+    }
+  }
+
   test("knnDecision axes and knnCompact/knnRetrain lifecycle: degree " +
       "re-cap, entry re-ring, staleness reset") {
     import graft.pipeline.{Maintain, Restore}
