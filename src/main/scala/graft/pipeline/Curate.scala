@@ -167,6 +167,30 @@ case class CurateResult(chunks: DataFrame, stageCounts: Seq[(String, Long)],
   */
 object Curate {
 
+  /** MD5 over every stage-relevant [[CurateConfig]] field plus the
+    * presence of the optional model inputs — the identity of a
+    * stage-checkpoint store. Excludes only `resume`/`runToken` (run
+    * mechanics, not semantics); sets serialize sorted.
+    */
+  private[pipeline] def configFingerprint(cfg: CurateConfig,
+      hasDsir: Boolean, hasClassifier: Boolean, hasArpa: Boolean): String = {
+    val repr = Seq(
+      cfg.c4Clean, cfg.minQualityE4,
+      cfg.keepLangs.toSeq.sorted.mkString("+"),
+      cfg.gopherRules, cfg.repetitionRules, cfg.maxSelfXentE4,
+      cfg.lmVocabSize, cfg.maxArpaE4,
+      cfg.pplBucketsKeep.map(_.toSeq.sorted.mkString("+")),
+      cfg.dedupLinesWithinDocs, cfg.dedupWindowsW, cfg.exactSubstrMinLen,
+      cfg.exactSubstrCap, cfg.exactSubstrShards, cfg.dsirKeepFracE4,
+      cfg.dsirSeed, cfg.dsirTemperatureE4, cfg.minClassifierPE6,
+      cfg.nearDupThresholdE4, cfg.semDedupThresholdE4, cfg.semDedupDim,
+      cfg.semDedupCentroidEvery, cfg.semDedupNassign, cfg.decontamGramN,
+      cfg.chunkTokens, cfg.chunkOverlap, cfg.packBudget, cfg.packBestFit,
+      cfg.emitLedger, hasDsir, hasClassifier, hasArpa).mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(repr.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   def run(docs: DataFrame, idCol: String, textCol: String,
           benchmark: DataFrame, benchTextCol: String,
           cfg: CurateConfig = CurateConfig(),
@@ -242,6 +266,17 @@ object Curate {
           (!cfg.emitLedger ||
             pieceName.forall(p => resolved(s"ledger_$p")))
     }
+    // config fingerprint guard (ADVICE r14): resolved stages are only
+    // honored when the store was committed under the SAME stage-relevant
+    // config — a resume with changed thresholds or a different stage set
+    // would silently read stale frames into wrong counts/ledger. Fresh
+    // runs (re)define the fingerprint BEFORE any stage publishes, so a
+    // crash mid-run still leaves it for the resume to check.
+    if (ck.on) Restore.guardConfigFingerprint(sess,
+      cfg.stageCheckpointDir.get,
+      configFingerprint(cfg, dsirTarget.nonEmpty, classifierModel.nonEmpty,
+        arpaModel.nonEmpty),
+      cfg.resume)
     // ---- rejection-ledger capture (cfg.emitLedger) ----------------------
     // each piece is a bounded id frame materialized EAGERLY (or
     // parquet-committed under the checkpoint store), while the stage

@@ -90,6 +90,15 @@ object CurateImages {
         sess.read.parquet(p.toString)
       }
     }
+    // config fingerprint guard (the Curate.run discipline, ADVICE r14):
+    // resume only honors stages committed under the same config
+    if (ck.on) Restore.guardConfigFingerprint(sess,
+      cfg.stageCheckpointDir.get,
+      java.security.MessageDigest.getInstance("MD5").digest(
+        Seq(cfg.maxPixels, cfg.maxHamming, cfg.nBands, cfg.emitLedger)
+          .mkString("|").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString,
+      cfg.resume)
     // a stage frame: in-memory persist when checkpointing is off,
     // parquet-committed (and resume-readable) when on
     def stageDF(name: String)(make: => DataFrame): DataFrame =

@@ -181,6 +181,39 @@ object Restore {
     * after newer publishes superseded it), and since the swap is an
     * overwrite-rename the marker never disappears once first published.
     */
+  /** Stage-checkpoint config guard: a resumable funnel's committed
+    * stage frames are only valid under the config that produced them,
+    * so the store root carries a fingerprint file. A fresh (non-resume)
+    * run (re)defines it; a resume run must match it — resuming against
+    * a store committed under different thresholds/stages fails loudly
+    * instead of silently reading stale frames into wrong funnel counts.
+    */
+  def guardConfigFingerprint(spark: SparkSession, warehouse: String,
+                             fingerprint: String, resume: Boolean): Unit = {
+    val p = new Path(warehouse, "_config_fingerprint")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (resume) {
+      require(fs.exists(p),
+        s"resume=true but no config fingerprint at $p — the store " +
+          "predates the fingerprint guard or is not a stage-checkpoint " +
+          "store; rerun fresh (resume=false) to define it")
+      val in = fs.open(p)
+      val stored =
+        try new String(org.apache.hadoop.io.IOUtils
+          .readFullyToByteArray(in), "UTF-8").trim
+        finally in.close()
+      require(stored == fingerprint,
+        s"resume=true against a stage-checkpoint store committed under " +
+          s"a DIFFERENT config (stored $stored, current $fingerprint) — " +
+          "resumed stage frames would be stale; rerun fresh into a new " +
+          "dir or restore the original config")
+    } else {
+      val out = fs.create(p, true)
+      try out.write((fingerprint + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
   def resolveVersioned(spark: SparkSession, warehouse: String,
                        db: String): Option[Path] = {
     val fs = new Path(warehouse)

@@ -98,6 +98,12 @@ class CurateImagesSpec extends SparkSpec {
       spark.emptyDataset[MediaRecord],
       ckCfg.copy(resume = true, runToken = "1")))
     assert(resumed == ref)
+    // config fingerprint guard: resume under a different config is loud
+    val drifted = intercept[IllegalArgumentException] {
+      CurateImages.run(recs.toDS(),
+        ckCfg.copy(resume = true, runToken = "2", maxHamming = 1))
+    }
+    assert(drifted.getMessage.contains("DIFFERENT config"))
   }
 
   test("batch funnel rejects undecodables where the stream gate admits " +

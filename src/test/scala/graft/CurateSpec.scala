@@ -577,5 +577,22 @@ class CurateSpec extends SparkSpec {
     val resumed = summarize(Curate.run(docs.limit(0), "doc_id", "text",
       benchmark, "btext", ckCfg.copy(resume = true, runToken = "1")))
     assert(resumed == ref, "resumed run diverged from the reference")
+    // config fingerprint guard: a resume under a DIFFERENT stage-relevant
+    // config fails loudly instead of silently reading stale stage frames
+    val drifted = intercept[IllegalArgumentException] {
+      Curate.run(docs, "doc_id", "text", benchmark, "btext",
+        ckCfg.copy(resume = true, runToken = "2", minQualityE4 = 1000))
+    }
+    assert(drifted.getMessage.contains("DIFFERENT config"))
+    // resume/runToken are run mechanics, not semantics — they never
+    // perturb the fingerprint (the resume above already proved token "1")
+    // ... and a store with no fingerprint at all refuses to resume
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft_curate_nofp").toString
+    val noFp = intercept[IllegalArgumentException] {
+      Curate.run(docs, "doc_id", "text", benchmark, "btext",
+        ckCfg.copy(stageCheckpointDir = Some(bare), resume = true))
+    }
+    assert(noFp.getMessage.contains("no config fingerprint"))
   }
 }
