@@ -238,16 +238,21 @@ object Bpe {
     * stripped one) makes the learned merges match the tokenizers the
     * operator emulates: case preserved, punctuation tokenized, and the
     * high-frequency space-prefixed word forms present.
+    *
+    * The `(?U)` prefix (UNICODE_CHARACTER_CLASS) makes Java's `\s`/`\S`
+    * match the Unicode White_Space property like the Python `regex`
+    * module's classes in the published encoder — without it NBSP and
+    * ideographic-space text is classed as punctuation here but
+    * whitespace by real GPT-2 tokenizers (parity spec pins both chars).
     */
   val Gpt2PretokenPattern: String =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+" +
+    "(?U)'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+" +
       "|\\s+(?!\\S)|\\s+"
 
   /** All GPT-2 pretokens of a text column — `regexp_extract_all` group 0
-    * (codegen'd; Java regex handles the lookahead alternative). Java's
-    * `\s`/`\p{L}` classes stand in for the Python `regex` module's: they
-    * agree on ASCII whitespace and all Unicode letters/digits, which is
-    * the published pattern's effective alphabet.
+    * (codegen'd; Java regex handles the lookahead alternative). Under
+    * `(?U)`, Java's `\s`/`\p{L}`/`\p{N}` classes match the Python
+    * `regex` module's on the full Unicode alphabet.
     */
   def gpt2Pretokens(text: Column): Column =
     regexp_extract_all(text, lit(Gpt2PretokenPattern), lit(0))

@@ -183,9 +183,18 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.gpt2PretokensLocal("héllo wörld 四十二") ==
       Seq("héllo", " wörld", " 四十二"))
     assert(Bpe.gpt2PretokensLocal("") == Seq())
+    // UNICODE whitespace (ADVICE r14): under (?U), NBSP and ideographic
+    // space are \s like the Python regex module's classes in the
+    // published encoder — tokenized as whitespace runs, NOT punctuation
+    assert(Bpe.gpt2PretokensLocal("a b") == Seq("a", " ", "b"))
+    // the space PREFIX stays the literal ASCII ' ' of the pattern, so a
+    // U+3000 run splits one-per-token (`\\s+(?!\\S)` then `\\s+`), never
+    // gluing onto the following word
+    assert(Bpe.gpt2PretokensLocal("a　　b") ==
+      Seq("a", "　", "　", "b"))
     // lossless: concatenating the tokens restores the text
     for (t <- Seq("I don't think it's 42, you'll see!", "a  b", "hi  ",
-        "a\nb", "héllo wörld 四十二"))
+        "a\nb", "héllo wörld 四十二", "a b", "x　　y"))
       assert(Bpe.gpt2PretokensLocal(t).mkString == t)
   }
 
