@@ -646,7 +646,7 @@ object DedupProbes {
     * projection — baselines re-recorded at round close reflect that.
     */
   private val suffixReportCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Boolean),
+    scala.collection.concurrent.TrieMap.empty[(String, Boolean, Long),
       (org.apache.spark.sql.types.StructType,
         Array[org.apache.spark.sql.Row])]
   private def suffixReport(s: SparkSession, d: String,
@@ -655,7 +655,13 @@ object DedupProbes {
     // unpersist every RDD between queries, which would strand a cached
     // checkpointed frame with truncated lineage. Collect is probe-
     // fixture-bounded: 16 docs (12 + 4 clones) per report.
-    val (schema, rows) = suffixReportCache.getOrElseUpdate((d, sharded), {
+    // The key carries a DATA fingerprint (ADVICE r14): fixture data
+    // regenerated under the same path in-session invalidates the memo —
+    // one bounded order-independent agg over the 16-doc fixture.
+    val fp = plantedSuffixCorpus(s, d)
+      .agg(sum(xxhash64(col("doc_id"), col("text"))))
+      .head().getLong(0)
+    val (schema, rows) = suffixReportCache.getOrElseUpdate((d, sharded, fp), {
       val planted = plantedSuffixCorpus(s, d)
       val rep =
         if (sharded)
