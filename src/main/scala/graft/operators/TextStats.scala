@@ -710,19 +710,29 @@ object TextStats {
       .join(wordLens, Seq(idCol, "wp"))
       .groupBy(idCol, "n")
       .agg(sum("wl").as("__dupchars"))
+    // fraction assembly: ONE groupBy(id).pivot(n) per side (n is bounded
+    // — ≤ 9 values) and ONE doc-keyed join each, instead of a join per n
+    // (the r14 9-sequential-left-joins shape: each was a doc-cardinality
+    // shuffle of the widening frame). Missing (id, n) pivots to null →
+    // the same coalesce-0 fraction as the old left joins.
     def fracJoin(dfIn: org.apache.spark.sql.DataFrame, part: org.apache.spark.sql.DataFrame,
                  ns: Seq[Int], srcCol: String, outPrefix: String)
         : org.apache.spark.sql.DataFrame =
-      ns.foldLeft(dfIn) { (acc, nn) =>
-        acc.join(part.filter(col("n") === nn)
-            .select(col(idCol), col(srcCol).as(s"__v$nn")),
-          Seq(idCol), "left_outer")
-          .withColumn(s"$outPrefix${nn}_gram_frac_e4",
+      if (ns.isEmpty) dfIn
+      else {
+        val piv = part.groupBy(idCol).pivot("n", ns.map(n => n: Any))
+          .agg(sum(col(srcCol)))
+          .select(col(idCol) +: ns.map(nn =>
+            col(s"`$nn`").as(s"__pv_$outPrefix$nn")): _*)
+        val joined = dfIn.join(piv, Seq(idCol), "left_outer")
+        ns.foldLeft(joined) { (acc, nn) =>
+          acc.withColumn(s"$outPrefix${nn}_gram_frac_e4",
             when(col("__tchars") > 0, graft.core.Ops.fixedPoint(
-                coalesce(col(s"__v$nn"), lit(0L)) * lit(1.0) /
+                coalesce(col(s"__pv_$outPrefix$nn"), lit(0L)) * lit(1.0) /
                   col("__tchars"), 4))
               .otherwise(lit(0L)))
-          .drop(s"__v$nn")
+            .drop(s"__pv_$outPrefix$nn")
+        }
       }
     val wide0 = fracJoin(perRow, top, topNs, "__topchars", "top")
     val wide = fracJoin(wide0, covered, dupNs, "__dupchars", "dup")
