@@ -205,7 +205,7 @@ object Dedup {
       overwrite = false, batchId = batchId)
   }
 
-  private def writeMinhashParts(df: DataFrame, idCol: String,
+  private[graft] def writeMinhashParts(df: DataFrame, idCol: String,
                                 textCol: String, dir: String, bands: Int,
                                 rowsPerBand: Int, overwrite: Boolean,
                                 batchId: String): Unit = {
@@ -250,8 +250,8 @@ object Dedup {
   /** Committed batch ids of a minhash index (meta partitions — the
     * commit markers); bounded by batch count.
     */
-  private def minhashCommitted(spark: org.apache.spark.sql.SparkSession,
-                               dir: String): DataFrame =
+  private[graft] def minhashCommitted(spark: org.apache.spark.sql.SparkSession,
+                                      dir: String): DataFrame =
     spark.read.parquet(s"$dir/meta").select("batch_id").distinct()
 
   /** Near-dup pairs of NEW docs against an indexed old snapshot:
@@ -263,15 +263,24 @@ object Dedup {
     * emitted (dedup the batch internally with [[minhashNearDupPairs]]
     * first if needed) and the old corpus never re-hashes — the cost per
     * snapshot is O(new + matching band rows).
+    *
+    * `excludeBatch`: ignore the named committed batch (the increment
+    * retry's pre-batch view — a RETRY of a batch id must not see its own
+    * prior partial append as "old" docs, or its verdicts would flip).
     */
   def nearDupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                           dir: String, newDocs: DataFrame, idCol: String,
-                          textCol: String): graft.core.Managed = {
+                          textCol: String,
+                          excludeBatch: Option[String] = None)
+      : graft.core.Managed = {
     val (bands, rowsPerBand) = readMinhashMeta(spark, dir)
     val shRaw = shingleSets(newDocs, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sh = shRaw.filter(size(col("sh")) > 0)
-    val committed = minhashCommitted(spark, dir)
+    val committed0 = minhashCommitted(spark, dir)
+    val committed = excludeBatch
+      .map(b => committed0.filter(col("batch_id") =!= b))
+      .getOrElse(committed0)
     val nb = lshBands(sh, idCol, bands, rowsPerBand)
       .select(col(idCol).as("id_new"), col("band"), col("bh"))
     val ob = spark.read.parquet(s"$dir/bands")

@@ -1,0 +1,295 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.operators.{Curation, Dedup, TextStats}
+
+/** Configuration for [[Increment.curateIncrement]] — the gate dials
+  * shared with the batch funnel ([[CurateConfig]]) and the streaming
+  * gate ([[graft.streaming.CurateStream.GateConfig]]): one definition
+  * of each stage, three execution shapes.
+  */
+case class IncrementConfig(
+    c4Clean: Boolean = false,
+    minQualityE4: Long = 4000,
+    keepLangs: Set[String] = Set("alpha", "beta", "gamma"),
+    repetition: Option[TextStats.RepetitionConfig] = None,
+    nearDupThresholdE4: Long = 8000,
+    // banding for a state the FIRST increment creates; existing state
+    // pins its own banding (read from the index meta, mismatch is loud
+    // there)
+    bands: Int = 4, rowsPerBand: Int = 3)
+
+/** `ledger` — one [[graft.streaming.CurateStream.GateVerdict]]-shaped
+  * row PER BATCH DOC (id, admitted, reason, dup_of); `admitted` — the
+  * batch docs that entered the accumulated state this increment;
+  * `stageCounts` — the funnel report, derivable from the ledger.
+  */
+case class IncrementResult(ledger: DataFrame, admitted: DataFrame,
+                           stageCounts: Seq[(String, Long)])
+
+/** Incremental batch curation against PERSISTED state — the deployment
+  * shape every recurring 100 TB ingest actually runs (VERDICT r14 #1):
+  * a NEW SNAPSHOT batch is curated against the ACCUMULATED corpus
+  * state, admitting only genuinely-new documents, and the admitted set
+  * is appended to every index under one batch id. The batch funnel
+  * ([[Curate.run]]) curates one corpus-global pool; the streaming gate
+  * ([[graft.streaming.CurateStream.gate]]) covers continuous per-doc
+  * ingest; this is the third shape — batch-sized work, corpus-sized
+  * memory, same verdict vocabulary.
+  *
+  * State layout under `stateDir`:
+  *  - `minhash/` — the [[Dedup.writeMinhashIndex]] snapshot index
+  *    (bands + shingles + per-batch meta commit markers);
+  *  - `exact/keys` — (key = md5(text), id) of every ADMITTED doc,
+  *    batch_id-partitioned (the exact-dedup key ledger);
+  *  - `ledger/` — the per-batch verdict rows, batch_id-partitioned
+  *    (the corpus accounting a production ingest owes);
+  *  - `metrics/` — one (batch_id, stage, rows) row per funnel stage
+  *    per increment: repeated increments build the funnel-rate time
+  *    series maintenance decisions can read.
+  *
+  * Crash/retry contract (the index-family discipline): every state
+  * table partitions by batch_id with dynamic overwrite; the MINHASH
+  * META partition commits LAST and is the increment's commit marker —
+  * `exact/keys`, `ledger/`, and `metrics/` reads semi-join the minhash
+  * committed set, so a torn increment is invisible until its marker
+  * lands. A retry MUST reuse the batch id: every against-state read
+  * excludes the batch's own partitions (the pre-batch view), so the
+  * retry recomputes identical verdicts and replaces its partitions
+  * bit-identically.
+  *
+  * Scale shape: per increment, cost is O(batch) hashing/shingling plus
+  * equi joins against the state's band/shingle/key tables — the old
+  * corpus is read-never re-hashed-never (only its band keys and the
+  * candidate-matched shingle sets move, the [[Dedup.nearDupAgainstIndex]]
+  * argument). Nothing all-pairs, no driver state beyond counts.
+  *
+  * Funnel semantics (stream-gate order, verdict-for-verdict parity
+  * spec-pinned): c4 → quality/lang → repetition → exact dedup
+  * (against state first — dup_of is the stored key's canonical — then
+  * within-batch min-id) → MinHash near-dup (against state first —
+  * dup_of is the smallest matching old id, the stream's min-parent
+  * rule — then within-batch components with min-id canonicals).
+  * Rejected docs never enter state (the stream invariant).
+  */
+object Increment {
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** State exists iff the minhash index has a meta commit marker. */
+  def stateExists(spark: SparkSession, stateDir: String): Boolean =
+    fs(spark, stateDir).exists(
+      new org.apache.hadoop.fs.Path(s"$stateDir/minhash/meta"))
+
+  /** Seed the state from an ALREADY-CURATED corpus (e.g. the admitted
+    * output of a [[Curate.run]] over the historical pool): exact keys +
+    * minhash index under batch id "base". The caller asserts the corpus
+    * is internally deduplicated — seeding does not re-curate.
+    */
+  def initStateFromCurated(spark: SparkSession, stateDir: String,
+                           curated: DataFrame, idCol: String,
+                           textCol: String, bands: Int = 4,
+                           rowsPerBand: Int = 3): Unit = {
+    require(!stateExists(spark, stateDir),
+      s"initStateFromCurated: state already exists at $stateDir")
+    val docs = graft.core.Ops.widen(curated)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      writeExactKeys(docs, s"$stateDir/exact", "base")
+      Dedup.writeMinhashParts(docs, "id", "text", s"$stateDir/minhash",
+        bands, rowsPerBand, overwrite = true, batchId = "base")
+    } finally docs.unpersist()
+  }
+
+  private def writeExactKeys(docs: DataFrame, dir: String,
+                             batchId: String): Unit =
+    docs.select(md5(col("text")).as("key"), col("id"),
+        lit(batchId).as("batch_id"))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$dir/keys")
+
+  /** Committed exact keys (key, id), excluding `excludeBatch` — the
+    * committed set is the MINHASH meta's (keys commit before the
+    * marker, so a torn increment's keys never read).
+    */
+  private def readExactKeys(spark: SparkSession, stateDir: String,
+                            excludeBatch: String): DataFrame = {
+    val committed = Dedup.minhashCommitted(spark, s"$stateDir/minhash")
+      .filter(col("batch_id") =!= excludeBatch)
+    spark.read.parquet(s"$stateDir/exact/keys")
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+      .select("key", "id")
+  }
+
+  def curateIncrement(batch: DataFrame, idCol: String, textCol: String,
+                      stateDir: String, batchId: String,
+                      cfg: IncrementConfig = IncrementConfig())
+      : IncrementResult = {
+    require(batchId.nonEmpty && batchId != "base" &&
+        batchId != "__HIVE_DEFAULT_PARTITION__",
+      s"curateIncrement: invalid batch id '$batchId'")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val haveState = stateExists(spark, stateDir)
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val led = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def stage(name: String, c: Long): Unit = counts += ((name, c))
+    def rejectPiece(ids: DataFrame, reason: String): Unit =
+      led += ids.select(col("id").cast("long").as("id"),
+          lit(false).as("admitted"), lit(reason).as("reason"),
+          coalesce(col("__dup_of"), col("id")).cast("long").as("dup_of"))
+        .localCheckpoint(eager = true)
+    def rejectAnti(prev: DataFrame, next: DataFrame,
+                   reason: String): Unit =
+      rejectPiece(prev.select(col("id"))
+        .join(next.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("__dup_of", lit(null).cast("long")), reason)
+
+    // ---- stateless gates (the batch funnel's exprs verbatim) -----------
+    var input = graft.core.Ops.widen(batch)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .localCheckpoint(eager = true)
+    stage("ingest", input.count())
+    if (cfg.c4Clean) {
+      val pre = input
+      input = Curation.c4Clean(input, "id", "text")
+        .filter(col("keep"))
+        .select(col("id"), col("cleaned_text").as("text"))
+        .localCheckpoint(eager = true)
+      stage("c4_clean", input.count())
+      rejectAnti(pre, input, "c4")
+    }
+    var scored = input.withColumn("__w", Dedup.normalizeWords(col("text")))
+    for ((name, markers) <- TextStats.LangProfiles)
+      scored = scored.withColumn(s"s_$name",
+        TextStats.profileScore(col("__w"), markers).cast("long"))
+    var filtered = scored
+      .withColumn("__q", TextStats.qualityScore(col("text"), col("__w")))
+      .withColumn("__lang", TextStats.langPredict)
+      .filter(col("__q") >= cfg.minQualityE4 &&
+        col("__lang").isInCollection(cfg.keepLangs))
+      .select(col("id"), col("text"))
+      .localCheckpoint(eager = true)
+    stage("quality", filtered.count())
+    rejectAnti(input, filtered, "quality")
+    for (rc <- cfg.repetition) {
+      val pre = filtered
+      filtered = pre.join(
+          TextStats.repetitionSignals(pre, "id", "text", rc)
+            .filter(col("rep_pass")).select(col("id")), Seq("id"))
+        .localCheckpoint(eager = true)
+      stage("repetition", filtered.count())
+      rejectAnti(pre, filtered, "repetition")
+    }
+
+    // ---- exact dedup: against state, then within batch -----------------
+    val hashed = filtered.withColumn("__h", md5(col("text")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterExact =
+      if (!haveState) hashed
+      else {
+        val stateKeys = readExactKeys(spark, stateDir, batchId)
+        val hits = hashed.join(
+            stateKeys.select(col("key").as("__h"),
+              col("id").as("__dup_of")), Seq("__h"))
+          .localCheckpoint(eager = true)
+        rejectPiece(hits.select(col("id"), col("__dup_of")), "exact_dup")
+        hashed.join(hits.select("id"), Seq("id"), "left_anti")
+      }
+    val keptH = graft.core.Ops
+      .latestPerGroup(afterExact, Seq("__h"), Seq(col("id").asc))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    rejectPiece(afterExact.select(col("id"), col("__h"))
+      .join(keptH.select(col("__h"), col("id").as("__dup_of")), Seq("__h"))
+      .filter(col("id") =!= col("__dup_of"))
+      .select(col("id"), col("__dup_of")), "exact_dup")
+    val kept = keptH.drop("__h").localCheckpoint(eager = true)
+    stage("exact_dedup", kept.count())
+    hashed.unpersist(); keptH.unpersist()
+
+    // ---- near-dup: against state (min old parent), then within batch ---
+    val afterOld =
+      if (!haveState) kept
+      else {
+        val pairsM = Dedup.nearDupAgainstIndex(spark,
+          s"$stateDir/minhash", kept, "id", "text",
+          excludeBatch = Some(batchId))
+        val hits = pairsM.df
+          .filter(col("jacc_e4") >= cfg.nearDupThresholdE4)
+          .groupBy("id_new").agg(min(col("id_old")).as("__dup_of"))
+          .select(col("id_new").as("id"), col("__dup_of"))
+          .localCheckpoint(eager = true)
+        pairsM.close()
+        rejectPiece(hits, "near_dup")
+        kept.join(hits.select("id"), Seq("id"), "left_anti")
+          .localCheckpoint(eager = true)
+      }
+    val pairsM = Dedup.minhashNearDupPairsManaged(afterOld, "id", "text")
+    val edges = pairsM.df.filter(col("jacc_e4") >= cfg.nearDupThresholdE4)
+    val compM = Dedup.connectedComponentsManaged(edges)
+    val victims = compM.df.filter(col("id") =!= col("label"))
+      .select(col("id"), col("label").as("__dup_of"))
+      .localCheckpoint(eager = true)
+    compM.close(); pairsM.close()
+    rejectPiece(victims, "near_dup")
+    val admitted = afterOld
+      .join(victims.select("id"), Seq("id"), "left_anti")
+      .localCheckpoint(eager = true)
+    stage("near_dup", admitted.count())
+    led += admitted.select(col("id"), lit(true).as("admitted"),
+        lit("admitted").as("reason"), col("id").as("dup_of"))
+      .localCheckpoint(eager = true)
+
+    // ---- persist: keys → ledger → metrics → minhash META (the marker) --
+    val ledger = led.reduce(_ unionByName _)
+      .select(col("id"), col("admitted"), col("reason"), col("dup_of"))
+      .localCheckpoint(eager = true)
+    // one ledger row per input doc — loud, not assumed
+    val nLed = ledger.count()
+    val nIn = counts.head._2
+    require(nLed == nIn,
+      s"curateIncrement: ledger rows $nLed != batch docs $nIn")
+    def writer(df: DataFrame, path: String): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic").parquet(path)
+    if (haveState || admitted.head(1).nonEmpty) {
+      writeExactKeys(admitted, s"$stateDir/exact", batchId)
+      writer(ledger, s"$stateDir/ledger")
+      writer(counts.toSeq.toDF("stage", "rows"), s"$stateDir/metrics")
+      if (haveState)
+        Dedup.appendToMinhashIndex(spark, s"$stateDir/minhash", admitted,
+          "id", "text", batchId)
+      else
+        Dedup.writeMinhashParts(admitted, "id", "text",
+          s"$stateDir/minhash", cfg.bands, cfg.rowsPerBand,
+          overwrite = true, batchId = batchId)
+    }
+    IncrementResult(ledger, admitted, counts.toSeq)
+  }
+
+  /** The committed per-batch verdict ledger (batch_id, id, admitted,
+    * reason, dup_of) — torn increments invisible (minhash-marker
+    * committed set).
+    */
+  def readLedger(spark: SparkSession, stateDir: String): DataFrame = {
+    val committed = Dedup.minhashCommitted(spark, s"$stateDir/minhash")
+    spark.read.parquet(s"$stateDir/ledger")
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+  }
+
+  /** The committed funnel-rate time series (batch_id, stage, rows) —
+    * what a maintenance decision reads to spot drift in admit rates.
+    */
+  def readMetrics(spark: SparkSession, stateDir: String): DataFrame = {
+    val committed = Dedup.minhashCommitted(spark, s"$stateDir/minhash")
+    spark.read.parquet(s"$stateDir/metrics")
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+  }
+}

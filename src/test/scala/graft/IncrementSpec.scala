@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Increment, IncrementConfig}
+import graft.streaming.CurateStream
+
+/** Incremental batch curation against persisted state: verdict parity
+  * with the streaming gate on the same arrival order, retry
+  * idempotence under one batch id, torn-increment invisibility, and
+  * the funnel-rate metrics time series.
+  */
+class IncrementSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def goodText(salt: String): String =
+    s"the table row scan key " +
+      (1 to 24).map(i => s"$salt$i").mkString(" ") + " the a"
+
+  private def verdictMap(df: org.apache.spark.sql.DataFrame) =
+    df.select("id", "admitted", "reason", "dup_of")
+      .as[(Long, Boolean, String, Long)].collect()
+      .map(v => v._1 -> ((v._2, v._3, v._4))).toMap
+
+  test("increment(A) then increment(B) against the accumulated state " +
+      "equals the stream gate's ledger on A-then-B (shared stages)") {
+    val a = Seq(
+      1L -> goodText("one"),
+      2L -> goodText("one"),                 // exact dup within A
+      3L -> goodText("two"),
+      5L -> "short junk!!!")                 // quality reject
+    val b = Seq(
+      10L -> goodText("one"),                // exact dup of state doc 1
+      11L -> (goodText("two") + " appended"),// near-dup of state doc 3
+      12L -> goodText("three"),              // fresh → admitted
+      13L -> goodText("three"),              // exact dup within B of 12
+      14L -> (goodText("four") + " x"),      // near-dup within B of 15? no:
+      15L -> goodText("five"),               // fresh → admitted
+      16L -> "more short junk!!!")           // quality reject
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_incr").toString
+    val ra = Increment.curateIncrement(a.toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b1")
+    val rb = Increment.curateIncrement(b.toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b2")
+    val got = verdictMap(ra.ledger) ++ verdictMap(rb.ledger)
+    // stream twin: same docs, A's batch before B's
+    val input = MemoryStream[(Long, String)](spark)
+    val q = CurateStream.gate(input.toDF().toDF("id", "text"), "id", "text")
+      .writeStream.format("memory").queryName("incr_parity")
+      .outputMode(OutputMode.Append()).start()
+    val want =
+      try {
+        input.addData(a: _*)
+        q.processAllAvailable()
+        input.addData(b: _*)
+        q.processAllAvailable()
+        verdictMap(spark.table("incr_parity").toDF())
+      } finally q.stop()
+    assert(got.size == a.size + b.size, s"ledger incomplete: $got")
+    assert(got == want, s"increment $got vs stream $want")
+    // the persisted ledger carries both committed batches
+    assert(verdictMap(Increment.readLedger(spark, dir)) == got)
+    // near-dup within B: 14 is unrelated to 15 (distinct salts) — both
+    // admitted; state now holds 1, 3, 12, 15, 14
+    assert(rb.admitted.select("id").as[Long].collect().toSet ==
+      Set(12L, 14L, 15L))
+  }
+
+  test("a retried increment under the same batch id recomputes identical " +
+      "verdicts and replaces its partitions; a DIFFERENT id re-ingesting " +
+      "the same docs dups against state") {
+    val a = Seq(1L -> goodText("one"), 3L -> goodText("two"))
+    val b = Seq(10L -> (goodText("one") + " appended"),
+      12L -> goodText("three"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_incr_retry").toString
+    Increment.curateIncrement(a.toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b1")
+    val first = verdictMap(Increment.curateIncrement(
+      b.toDF("doc_id", "text"), "doc_id", "text", dir, "b2").ledger)
+    assert(first(10L)._2 == "near_dup" && first(10L)._3 == 1L)
+    assert(first(12L)._2 == "admitted")
+    // retry: same batch id — the pre-batch view hides the prior attempt,
+    // verdicts identical, partitions replaced not doubled
+    val again = verdictMap(Increment.curateIncrement(
+      b.toDF("doc_id", "text"), "doc_id", "text", dir, "b2").ledger)
+    assert(again == first)
+    assert(Increment.readLedger(spark, dir)
+      .filter(col("batch_id") === "b2").count() == b.size)
+    val keys = spark.read.parquet(s"$dir/exact/keys")
+      .filter(col("batch_id") === "b2")
+    assert(keys.count() == 1 && keys.select("id").as[Long].head() == 12L)
+    // a FIRST-increment retry (the state-creating one) also replays
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_incr_retry0").toString
+    val f1 = verdictMap(Increment.curateIncrement(a.toDF("doc_id", "text"),
+      "doc_id", "text", dir2, "b1").ledger)
+    val f2 = verdictMap(Increment.curateIncrement(a.toDF("doc_id", "text"),
+      "doc_id", "text", dir2, "b1").ledger)
+    assert(f1 == f2)
+    // same docs under a DIFFERENT batch id = a re-ingest, not a retry:
+    // every doc dups against its own prior admission
+    val re = verdictMap(Increment.curateIncrement(a.toDF("doc_id", "text")
+        .select((col("doc_id") + 100L).as("doc_id"), col("text")),
+      "doc_id", "text", dir2, "b2").ledger)
+    assert(re(101L) == ((false, "exact_dup", 1L)))
+    assert(re(103L) == ((false, "exact_dup", 3L)))
+  }
+
+  test("torn increment (no minhash meta marker) is invisible to reads " +
+      "and to later increments; metrics accumulate per committed batch") {
+    val a = Seq(1L -> goodText("one"), 3L -> goodText("two"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_incr_torn").toString
+    Increment.curateIncrement(a.toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b1")
+    Increment.curateIncrement(
+      Seq(20L -> goodText("six")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b2")
+    // simulate the tear: b2's keys/ledger/metrics landed but the minhash
+    // meta partition (the commit marker, written last) did not
+    val fsys = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/minhash/meta/batch_id=b2"), true)
+    assert(Increment.readLedger(spark, dir)
+      .filter(col("batch_id") === "b2").count() == 0)
+    assert(Increment.readMetrics(spark, dir)
+      .filter(col("batch_id") === "b2").count() == 0)
+    // a new doc identical to the torn batch's admits fresh (the torn
+    // keys never read)
+    val r3 = verdictMap(Increment.curateIncrement(
+      Seq(30L -> goodText("six")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b3").ledger)
+    assert(r3(30L) == ((true, "admitted", 30L)))
+    // metrics: one committed row set per batch, the funnel time series
+    val m = Increment.readMetrics(spark, dir)
+      .select("batch_id", "stage", "rows")
+      .as[(String, String, Long)].collect().toSet
+    assert(m.map(_._1) == Set("b1", "b3"))
+    assert(m.contains(("b1", "ingest", 2L)) &&
+      m.contains(("b1", "near_dup", 2L)))
+  }
+}
