@@ -116,7 +116,10 @@ object Increment {
 
   /** Committed exact keys (key, id), excluding `excludeBatch` — the
     * committed set is the MINHASH meta's (keys commit before the
-    * marker, so a torn increment's keys never read).
+    * marker, so a torn increment's keys never read). Keys canonicalize
+    * to min(id): under the contract a key is admitted once ever, so
+    * this is a no-op — it pins ONE dup_of per key even if a seeded
+    * corpus violated the curated-input contract.
     */
   private def readExactKeys(spark: SparkSession, stateDir: String,
                             excludeBatch: String): DataFrame = {
@@ -124,7 +127,7 @@ object Increment {
       .filter(col("batch_id") =!= excludeBatch)
     spark.read.parquet(s"$stateDir/exact/keys")
       .join(broadcast(committed), Seq("batch_id"), "left_semi")
-      .select("key", "id")
+      .groupBy("key").agg(min(col("id")).as("id"))
   }
 
   def curateIncrement(batch: DataFrame, idCol: String, textCol: String,

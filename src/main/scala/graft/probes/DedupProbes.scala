@@ -771,7 +771,184 @@ object DedupProbes {
       .select("doc_id", "cleaned_text", "n_removed_tokens")
       .orderBy("doc_id")
 
+  // ---- q157 incremental batch curation against persisted state ----------
+  // Increment.curateIncrement end-to-end, TWICE over: state seeded from
+  // docs < 40, batch b1 (fresh / near-state / exact-state cases), batch
+  // b2 (exact/near vs the ORIGINAL state AND vs b1's admissions, plus
+  // within-batch exact and near pairs and fresh docs) — then b2 RERUN
+  // under the same batch id (the q122 idempotence discipline: the retry
+  // must replace its partitions bit-identically, or the ledger read
+  // below diverges from the oracle). The oracle replays the union
+  // semantics stage by stage: md5 exact keys vs accumulated state →
+  // within-batch min-id groups → banded minhash near-dup vs state with
+  // min-old-parent → within-batch pairs → recursive components. The
+  // funnel runs with the quality gate at 0 (quality algebra is
+  // oracle-covered by q33/q99; this probe pins the COMPOSED state
+  // semantics).
+  val q157: Q = (s, d) => {
+    import graft.pipeline.{Increment, IncrementConfig}
+    val a = Tables.documents(s, d).filter(col("doc_id") < 40)
+      .select(col("doc_id").as("id"), col("text"))
+    def cases(m: Int, off: Long, tx: org.apache.spark.sql.Column) =
+      a.filter(col("id") % 9 === m)
+        .select((col("id") + off).as("doc_id"), tx.as("text"))
+    val b1 = cases(1, 200000L, concat(reverse(col("text")), lit(" b1f")))
+      .unionByName(cases(2, 210000L, concat(col("text"), lit(" zz yy xx"))))
+      .unionByName(cases(3, 220000L, col("text")))
+    val b2 = cases(4, 230000L, col("text"))
+      .unionByName(cases(5, 240000L, concat(col("text"), lit(" zz yy xx"))))
+      .unionByName(cases(1, 250000L, concat(reverse(col("text")), lit(" b1f"))))
+      .unionByName(cases(1, 260000L,
+        concat(reverse(col("text")), lit(" b1f zz yy xx"))))
+      .unionByName(cases(6, 270000L, concat(reverse(col("text")), lit(" b2x"))))
+      .unionByName(cases(6, 280000L, concat(reverse(col("text")), lit(" b2x"))))
+      .unionByName(cases(7, 290000L, concat(reverse(col("text")), lit(" b2n"))))
+      .unionByName(cases(7, 300000L,
+        concat(reverse(col("text")), lit(" b2n zz yy xx"))))
+      .unionByName(cases(8, 310000L,
+        concat(reverse(col("text")), lit(" fresh tail"))))
+    val dir = scratchDir("graft_q157_state")
+    Increment.initStateFromCurated(s, dir, a, "id", "text")
+    val cfg = IncrementConfig(minQualityE4 = 0)
+    Increment.curateIncrement(b1, "doc_id", "text", dir, "b1", cfg)
+    Increment.curateIncrement(b2, "doc_id", "text", dir, "b2", cfg)
+    Increment.curateIncrement(b2, "doc_id", "text", dir, "b2", cfg) // retry
+    Increment.readLedger(s, dir)
+      .select(col("batch_id"), col("id"), col("admitted"), col("reason"),
+        col("dup_of"))
+      .orderBy("batch_id", "id")
+  }
+
+  val q157Sql: String = {
+    val p = graft.operators.Dedup.MinhashP
+    val sigs = (0 until 12).map { h =>
+      val (aa, bb) = (graft.operators.Dedup.minhashA(h),
+        graft.operators.Dedup.minhashB(h))
+      s"list_min(list_transform(hv, v -> ($aa * v + $bb) % $p)) AS h$h"
+    }.mkString(",\n    ")
+    val bandRows = (0 until 4).map { b =>
+      val r = (0 until 3).map(i => s"h${b * 3 + i}").mkString(" || '|' || ")
+      s"SELECT id, $b AS band, $r AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    def jaccGe(sa: String, sb: String) =
+      s"""floor(len(list_intersect($sa, $sb)) * 1.0 /
+         |    (len($sa) + len($sb) - len(list_intersect($sa, $sb)))
+         |    * 10000 + 0.5) >= 8000""".stripMargin
+    // one increment's replay: batch `bt` against accumulated state `st`,
+    // producing <t>_ex_st/<t>_ex_in/<t>_nd_st/<t>_nd_in/<t>_adm
+    def replay(t: String, bt: String, st: String): String =
+      s"""${t}_ex_st AS MATERIALIZED (SELECT k.id, min(sk.id) AS dup_of
+         |  FROM keys k JOIN keys sk ON sk.key = k.key
+         |  WHERE k.id IN (SELECT id FROM $bt)
+         |    AND sk.id IN (SELECT id FROM $st)
+         |  GROUP BY k.id),
+         |${t}_p1 AS MATERIALIZED (SELECT id FROM $bt
+         |  WHERE id NOT IN (SELECT id FROM ${t}_ex_st)),
+         |${t}_keep AS MATERIALIZED (SELECT key, min(id) AS keep FROM keys
+         |  WHERE id IN (SELECT id FROM ${t}_p1) GROUP BY key),
+         |${t}_ex_in AS MATERIALIZED (SELECT k.id, kk.keep AS dup_of
+         |  FROM keys k JOIN ${t}_keep kk ON kk.key = k.key
+         |  WHERE k.id IN (SELECT id FROM ${t}_p1) AND k.id <> kk.keep),
+         |${t}_p2 AS MATERIALIZED (SELECT id FROM ${t}_p1
+         |  WHERE id NOT IN (SELECT id FROM ${t}_ex_in)),
+         |${t}_nd_st AS MATERIALIZED (SELECT c.idn AS id, min(c.ido) AS dup_of FROM (
+         |    SELECT DISTINCT x.id AS idn, y.id AS ido
+         |    FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+         |    WHERE x.id IN (SELECT id FROM ${t}_p2)
+         |      AND y.id IN (SELECT id FROM $st) AND x.id <> y.id) c
+         |  JOIN sets sa ON sa.id = c.idn JOIN sets sb ON sb.id = c.ido
+         |  WHERE ${jaccGe("sa.shd", "sb.shd")}
+         |  GROUP BY c.idn),
+         |${t}_p3 AS MATERIALIZED (SELECT id FROM ${t}_p2
+         |  WHERE id NOT IN (SELECT id FROM ${t}_nd_st)),
+         |${t}_edges AS MATERIALIZED (SELECT DISTINCT x.id AS src, y.id AS dst
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+         |  JOIN sets sa ON sa.id = x.id JOIN sets sb ON sb.id = y.id
+         |  WHERE x.id IN (SELECT id FROM ${t}_p3)
+         |    AND y.id IN (SELECT id FROM ${t}_p3) AND x.id < y.id
+         |    AND ${jaccGe("sa.shd", "sb.shd")}),
+         |${t}_und AS MATERIALIZED (SELECT src, dst FROM ${t}_edges
+         |  UNION ALL SELECT dst, src FROM ${t}_edges),
+         |${t}_reach(id, r) AS (
+         |  SELECT src, src FROM ${t}_und
+         |  UNION
+         |  SELECT u.src, ${t}_reach.r FROM ${t}_und u
+         |  JOIN ${t}_reach ON ${t}_reach.id = u.dst),
+         |${t}_nd_in AS MATERIALIZED (SELECT id, min(r) AS dup_of FROM ${t}_reach
+         |  GROUP BY id HAVING id <> min(r)),
+         |${t}_adm AS MATERIALIZED (SELECT id FROM ${t}_p3
+         |  WHERE id NOT IN (SELECT id FROM ${t}_nd_in))""".stripMargin
+    def verdicts(t: String, b: String): String =
+      s"""  SELECT '$b' AS batch_id, id, FALSE AS admitted,
+         |    'exact_dup' AS reason, dup_of FROM ${t}_ex_st
+         |  UNION ALL SELECT '$b', id, FALSE, 'exact_dup', dup_of
+         |  FROM ${t}_ex_in
+         |  UNION ALL SELECT '$b', id, FALSE, 'near_dup', dup_of
+         |  FROM ${t}_nd_st
+         |  UNION ALL SELECT '$b', id, FALSE, 'near_dup', dup_of
+         |  FROM ${t}_nd_in
+         |  UNION ALL SELECT '$b', id, TRUE, 'admitted', id FROM ${t}_adm"""
+        .stripMargin
+    s"""WITH RECURSIVE
+       |a AS MATERIALIZED (SELECT doc_id AS id, text FROM documents WHERE doc_id < 40),
+       |b1 AS MATERIALIZED (
+       |  SELECT id + 200000 AS id, reverse(text) || ' b1f' AS text
+       |  FROM a WHERE id % 9 = 1
+       |  UNION ALL SELECT id + 210000, text || ' zz yy xx'
+       |  FROM a WHERE id % 9 = 2
+       |  UNION ALL SELECT id + 220000, text FROM a WHERE id % 9 = 3),
+       |b2 AS MATERIALIZED (
+       |  SELECT id + 230000 AS id, text AS text FROM a WHERE id % 9 = 4
+       |  UNION ALL SELECT id + 240000, text || ' zz yy xx'
+       |  FROM a WHERE id % 9 = 5
+       |  UNION ALL SELECT id + 250000, reverse(text) || ' b1f'
+       |  FROM a WHERE id % 9 = 1
+       |  UNION ALL SELECT id + 260000, reverse(text) || ' b1f zz yy xx'
+       |  FROM a WHERE id % 9 = 1
+       |  UNION ALL SELECT id + 270000, reverse(text) || ' b2x'
+       |  FROM a WHERE id % 9 = 6
+       |  UNION ALL SELECT id + 280000, reverse(text) || ' b2x'
+       |  FROM a WHERE id % 9 = 6
+       |  UNION ALL SELECT id + 290000, reverse(text) || ' b2n'
+       |  FROM a WHERE id % 9 = 7
+       |  UNION ALL SELECT id + 300000, reverse(text) || ' b2n zz yy xx'
+       |  FROM a WHERE id % 9 = 7
+       |  UNION ALL SELECT id + 310000, reverse(text) || ' fresh tail'
+       |  FROM a WHERE id % 9 = 8),
+       |allv AS MATERIALIZED (SELECT id, text FROM a
+       |  UNION ALL SELECT id, text FROM b1
+       |  UNION ALL SELECT id, text FROM b2),
+       |keys AS MATERIALIZED (SELECT id, md5(text) AS key FROM allv),
+       |n AS MATERIALIZED (SELECT id, $duckWords AS w FROM allv),
+       |shl AS MATERIALIZED (SELECT id, CASE WHEN len(w) >= 3 THEN
+       |    list_transform(generate_series(1, len(w) - 2),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |  ELSE []::VARCHAR[] END AS sh FROM n),
+       |sets AS MATERIALIZED (SELECT id, list_distinct(sh) AS shd
+       |  FROM shl WHERE len(sh) > 0),
+       |hvt AS MATERIALIZED (SELECT id,
+       |  list_transform(sh, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT % $p) AS hv
+       |  FROM shl WHERE len(sh) > 0),
+       |sig AS MATERIALIZED (SELECT id,
+       |    $sigs
+       |  FROM hvt),
+       |bands AS MATERIALIZED (
+       |  $bandRows),
+       |s0 AS MATERIALIZED (SELECT id FROM a),
+       |${replay("r1", "b1", "s0")},
+       |s1 AS MATERIALIZED (SELECT id FROM s0 UNION ALL SELECT id FROM r1_adm),
+       |${replay("r2", "b2", "s1")},
+       |out AS MATERIALIZED (
+       |${verdicts("r1", "b1")}
+       |  UNION ALL
+       |${verdicts("r2", "b2")})
+       |SELECT batch_id, CAST(id AS BIGINT) AS id, admitted, reason,
+       |  CAST(dup_of AS BIGINT) AS dup_of
+       |FROM out ORDER BY batch_id, id""".stripMargin
+  }
+
   private[probes] val queries: Map[String, Q] = Map(
+    "q157_curate_increment" -> q157,
     "q151_suffix_sharded_clean" -> q151,
     "q27_minhash_lsh_neardup" -> q27,
     "q28_simhash" -> q28,
@@ -791,6 +968,7 @@ object DedupProbes {
     "q145_suffix_sharded" -> q145)
 
   private[probes] val oracleSql: Map[String, String] = Map(
+    "q157_curate_increment" -> q157Sql,
     "q151_suffix_sharded_clean" -> q144Sql,
     "q27_minhash_lsh_neardup" -> q27Sql,
     "q28_simhash" -> q28Sql,
