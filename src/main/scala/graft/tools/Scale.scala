@@ -639,6 +639,47 @@ object Scale {
         run("mh_incr_1pct", n)(
           Dedup.nearDupAgainstIndex(spark, dir, batch, "doc_id", "text"))
       }
+      // --- round-15: incremental batch CURATION against persisted state
+      // (Increment.curateIncrement) vs re-curating the whole union — the
+      // batch-vs-recurate comparison the composed funnel exists for. The
+      // state is the standing Nx corpus (seeded outside timing); the ~3%
+      // batch mixes near-dups of state, exact dups of state, and fresh
+      // docs. Repetitions reuse the batch id, so rep 2 measures the RETRY
+      // path (pre-batch view + partition replace) — same shape by design.
+      locally {
+        val sdir = java.nio.file.Files
+          .createTempDirectory("graft_scale_incr").toString
+        graft.pipeline.Increment.initStateFromCurated(
+          spark, sdir, d, "doc_id", "text")
+        val batchI = d.filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 600000000L).as("doc_id"),
+            concat(col("text"), lit(" zz tail")).as("text"))
+          .unionByName(d.filter(col("doc_id") % 97 === 1)
+            .select((col("doc_id") + 700000000L).as("doc_id"), col("text")))
+          .unionByName(d.filter(col("doc_id") % 97 === 2)
+            .select((col("doc_id") + 800000000L).as("doc_id"),
+              concat_ws(" ", expr("transform(split(text, ' '), " +
+                "w -> substr(md5(concat(w, 'fr')), 1, 6))")).as("text")))
+        run("incr_curate_3pct", n)(graft.core.Managed(
+          graft.pipeline.Increment.curateIncrement(batchI, "doc_id",
+            "text", sdir, "sweep").ledger
+            .groupBy("reason").agg(count(lit(1)).as("docs")),
+          Seq.empty))
+        run("incr_recurate_all", n) {
+          // what a non-incremental shop re-runs on every snapshot: the
+          // union's full exact + near-dup recompute
+          val union = d.unionByName(batchI)
+          val hashed = union.withColumn("__h", md5(col("text")))
+          val kept = graft.core.Ops.latestPerGroup(hashed, Seq("__h"),
+            Seq(col("doc_id").asc)).drop("__h")
+          val pairs = Dedup.minhashNearDupPairs(kept, "doc_id", "text")
+            .filter(col("jacc_e4") >= 8000)
+          val comp = Dedup.connectedComponentsManaged(pairs)
+          graft.core.Managed(
+            comp.df.groupBy(col("id") % 32).agg(count(lit(1)).as("docs")),
+            comp.pinned)
+        }
+      }
       // --- round-9: KN LM, CCNet buckets, Hilbert layout, binary ANN ----
       run("quality_signals", n) {
         // the attributes-file pass: every stateless signal in one scan
