@@ -990,6 +990,252 @@ object Multimodal {
     }
   }
 
+  // ---- audio fingerprint + near-dup (the third modality's dup key) -------
+
+  /** One banded energy-sequence sub-fingerprint: the clip's delta-coded
+    * window-energy bits `b_i = [E(i+1) > E(i)]` packed `k` at a time at
+    * window position `pos` (stride configurable). The published
+    * robust-hash shape (Haitsma & Kalker 2002's delta-coded band-energy
+    * bits, applied to the time-windowed energy envelope the q102 silence
+    * gate already computes): CONSTANT GAIN cancels in the comparison —
+    * a re-encode at 2× volume scales every window mean identically and
+    * flips no bit — and a shared SEGMENT aligned to window boundaries
+    * reproduces the same interior sub-fingerprint VALUES at shifted
+    * positions. Matching joins on value, not position, so clipped and
+    * concatenated copies still collide.
+    */
+  case class AudioFp(media_id: Long, pos: Int, fp: Long)
+
+  /** Pack a window-mean sequence's delta bits into sub-fingerprints —
+    * the pure arithmetic tail, shared by the operator and spec vectors.
+    */
+  private[graft] def audioFpFromMeans(media_id: Long, means: Seq[Long],
+                                      k: Int, stride: Int): Seq[AudioFp] = {
+    val bits = (0 until math.max(0, means.length - 1))
+      .map(i => if (means(i + 1) > means(i)) 1L else 0L)
+    (0 to bits.length - k by stride).map { p =>
+      var v = 0L; var j = 0
+      while (j < k) { v = (v << 1) | bits(p + j); j += 1 }
+      AudioFp(media_id, p, v)
+    }
+  }
+
+  /** Decode one payload and fingerprint its energy envelope; undecodable
+    * or shorter-than-(k+1)-windows payloads yield no rows (they can
+    * never pair — the pHash marker-exclusion argument).
+    */
+  private[graft] def audioFingerprintsOne(media_id: Long, bytes: Array[Byte],
+      windowFrames: Int, k: Int, stride: Int, quantE4: Long = 1L,
+      buf: Array[Byte] = new Array[Byte](8192),
+      decoder: Decoders.AudioDecoder = Decoders.JdkWavDecoder)
+      : Seq[AudioFp] = {
+    val pcm = decoder.decode(bytes).getOrElse(return Seq.empty)
+    val means = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      val channels = pcm.channels
+      val samplesPerWindow = windowFrames.toLong * channels
+      var carry = -1; var winSum = 0L; var winCount = 0L
+      def push(s: Int): Unit = {
+        winSum += math.abs(s); winCount += 1
+        if (winCount == samplesPerWindow) {
+          // coarse energy quantization (quantE4 > 1): delta bits then
+          // compare BUCKETS, so additive noise below the bucket width
+          // flips no bit — the noise-robustness dial of the published
+          // shape (exact compare = quantE4 1, bit-exact transforms only)
+          means += math.floor(
+            winSum * 10000.0 / samplesPerWindow + 0.5).toLong / quantE4
+          winSum = 0L; winCount = 0L
+        }
+      }
+      var n = pcm.data.read(buf)
+      while (n > 0) {
+        var i = 0
+        if (carry >= 0 && n >= 1) {
+          push((carry | (buf(0) << 8)).toShort.toInt); carry = -1; i = 1
+        }
+        while (i + 1 < n) {
+          push(((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort.toInt); i += 2
+        }
+        if (i < n) carry = buf(i) & 0xff
+        n = pcm.data.read(buf)
+      }
+    } catch { case scala.util.control.NonFatal(_) => return Seq.empty }
+    finally pcm.close()
+    audioFpFromMeans(media_id, means.toSeq, k, stride)
+  }
+
+  /** All sub-fingerprints of a media Dataset — the [[decodeAudio]]
+    * streaming shape (allocation-true; one read buffer per partition).
+    */
+  def audioFingerprints(ds: Dataset[MediaRecord], windowFrames: Int,
+                        k: Int = 16, stride: Int = 1, quantE4: Long = 1L,
+                        batchSize: Int = 64,
+                        decoder: Decoders.AudioDecoder = Decoders.JdkWavDecoder)
+      : Dataset[AudioFp] = {
+    require(windowFrames > 0 && k >= 1 && k <= 62 && stride >= 1 &&
+        quantE4 >= 1,
+      s"audioFingerprints: windowFrames $windowFrames, k $k, stride $stride")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      decoder.open()
+      val buf = new Array[Byte](8192)
+      it.grouped(batchSize).flatMap(_.iterator.flatMap(r =>
+        audioFingerprintsOne(r.media_id, r.media, windowFrames, k, stride,
+          quantE4, buf, decoder)))
+    }
+  }
+
+  /** Near-dup audio pairs (idA, idB, match_e4): candidates from the
+    * sub-fingerprint VALUE equi join — fp values shared by more than
+    * `maxFpDocFreq` clips (silence, constant tones: the degenerate hubs)
+    * are excluded from candidate GENERATION only, the n-gram DF-cap
+    * discipline — verified as the symmetric Jaccard of the clips'
+    * DISTINCT fp sets (the q153 matched-frame shape; set sizes stay
+    * uncapped, mirroring [[Dedup.ngramJaccardPairs]]). Only corpus-sized
+    * shuffle: the fp equi join. Decode happens ONCE per clip.
+    */
+  def audioNearDupPairsManaged(ds: Dataset[MediaRecord], windowFrames: Int,
+                               k: Int = 16, stride: Int = 1,
+                               minMatchE4: Long = 5000L,
+                               maxFpDocFreq: Long = 1000L,
+                               quantE4: Long = 1L,
+                               decoder: Decoders.AudioDecoder = Decoders.JdkWavDecoder)
+      : graft.core.Managed = {
+    val fps = audioFingerprints(ds, windowFrames, k, stride, quantE4,
+        decoder = decoder).toDF()
+      .select(col("media_id").as("id"), col("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = fps.groupBy("id").agg(count(lit(1)).as("nfp"))
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxFpDocFreq).select("fp")
+    val fk = fps.join(keep, Seq("fp"), "left_semi")
+    val inter = fk.select(col("id").as("idA"), col("fp"))
+      .join(fk.select(col("id").as("idB"), col("fp")), Seq("fp"))
+      .filter(col("idA") < col("idB"))
+      .groupBy("idA", "idB").agg(count(lit(1)).as("ninter"))
+    val out = inter
+      .join(sizes.select(col("id").as("idA"), col("nfp").as("na")), "idA")
+      .join(sizes.select(col("id").as("idB"), col("nfp").as("nb")), "idB")
+      .select(col("idA"), col("idB"), graft.core.Ops.fixedPoint(
+        col("ninter") * lit(1.0) /
+          (col("na") + col("nb") - col("ninter")), 4).as("match_e4"))
+      .filter(col("match_e4") >= minMatchE4)
+    graft.core.Managed(out, Seq(fps))
+  }
+
+  def audioNearDupPairs(ds: Dataset[MediaRecord], windowFrames: Int,
+                        k: Int = 16, stride: Int = 1,
+                        minMatchE4: Long = 5000L,
+                        maxFpDocFreq: Long = 1000L,
+                        quantE4: Long = 1L): DataFrame =
+    audioNearDupPairsManaged(ds, windowFrames, k, stride, minMatchE4,
+      maxFpDocFreq, quantE4).df
+
+  /** Persist a corpus snapshot's audio fingerprints — the AUDIO member
+    * of the index-lifecycle family: each new snapshot decodes and
+    * fingerprints ONCE and joins only matching fp values against the
+    * stored table ([[audioNearDupAgainstIndex]]). Layout: `dir/fps`
+    * (id, fp — distinct), `dir/sizes` (id, nfp), `dir/meta`
+    * (window_frames, k, stride — the fingerprinting the stored values
+    * are exact under; checked on read), all batch_id-partitioned with
+    * the meta row as COMMIT MARKER (the BM25/minhash/pHash contract).
+    */
+  def writeAudioIndex(ds: Dataset[MediaRecord], dir: String,
+                      windowFrames: Int, k: Int = 16, stride: Int = 1,
+                      quantE4: Long = 1L): Unit =
+    writeAudioParts(ds, dir, windowFrames, k, stride, quantE4,
+      overwrite = true, batchId = "base")
+
+  /** Fold a new batch's fingerprints into an existing index (append —
+    * no old data read or rewritten). Caller contract: batch ids disjoint
+    * from indexed ids; retries of a FAILED append reuse `batchId`.
+    */
+  def appendToAudioIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, ds: Dataset[MediaRecord],
+                         batchId: String): Unit = {
+    val (wf, k, st, q) = readAudioMeta(spark, dir)
+    writeAudioParts(ds, dir, wf, k, st, q,
+      overwrite = false, batchId = batchId)
+  }
+
+  private def writeAudioParts(ds: Dataset[MediaRecord], dir: String,
+                              windowFrames: Int, k: Int, stride: Int,
+                              quantE4: Long,
+                              overwrite: Boolean, batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId != "__HIVE_DEFAULT_PARTITION__",
+      s"audio index: invalid batch id '$batchId'")
+    def writer(d: DataFrame) =
+      d.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .option("partitionOverwriteMode",
+          if (overwrite) "static" else "dynamic")
+    val fps = audioFingerprints(ds, windowFrames, k, stride, quantE4).toDF()
+      .select(col("media_id").as("id"), col("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      writer(fps).parquet(s"$dir/fps")
+      writer(fps.groupBy("id").agg(count(lit(1)).as("nfp")))
+        .parquet(s"$dir/sizes")
+      writer(ds.sparkSession.range(1)
+          .select(lit(windowFrames).as("window_frames"), lit(k).as("k"),
+            lit(stride).as("stride"), lit(quantE4).as("quant_e4")))
+        .parquet(s"$dir/meta")
+    } finally fps.unpersist()
+  }
+
+  private[graft] def readAudioMeta(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String): (Int, Int, Int, Long) = {
+    val rows = spark.read.parquet(s"$dir/meta")
+      .select("window_frames", "k", "stride", "quant_e4")
+      .distinct().collect()
+    require(rows.length == 1,
+      s"audio index at $dir: inconsistent fingerprinting across batches " +
+        s"(${rows.length} distinct meta rows)")
+    (rows(0).getInt(0), rows(0).getInt(1), rows(0).getInt(2),
+      rows(0).getLong(3))
+  }
+
+  /** Near-dup pairs of NEW clips against the indexed corpus
+    * (id_new, id_old, match_e4): the batch decodes and fingerprints
+    * ONCE; the only corpus-sized work is the fp equi join against
+    * COMMITTED stored fingerprints and the set-size join. The DF cap
+    * applies over the stored table (the standing hub risk — a silence
+    * value shared by the whole corpus); new×new pairs are deliberately
+    * not emitted ([[audioNearDupPairs]] the batch first if needed).
+    */
+  def audioNearDupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, newMedia: Dataset[MediaRecord],
+                               minMatchE4: Long = 5000L,
+                               maxFpDocFreq: Long = 1000L): DataFrame = {
+    val (wf, k, st, q) = readAudioMeta(spark, dir)
+    val committed = spark.read.parquet(s"$dir/meta")
+      .select("batch_id").distinct()
+    val nfps = audioFingerprints(newMedia, wf, k, st, q).toDF()
+      .select(col("media_id").as("id_new"), col("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ofps = spark.read.parquet(s"$dir/fps")
+        .join(broadcast(committed), Seq("batch_id"), "left_semi")
+        .select(col("id").as("id_old"), col("fp"))
+      val keep = ofps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxFpDocFreq).select("fp")
+      val inter = nfps.join(keep, Seq("fp"), "left_semi")
+        .join(ofps.join(keep, Seq("fp"), "left_semi"), Seq("fp"))
+        .filter(col("id_new") =!= col("id_old")) // retried/served batch ≠ itself
+        .groupBy("id_new", "id_old").agg(count(lit(1)).as("ninter"))
+      val nsz = nfps.groupBy("id_new").agg(count(lit(1)).as("na"))
+      val osz = spark.read.parquet(s"$dir/sizes")
+        .join(broadcast(committed), Seq("batch_id"), "left_semi")
+        .select(col("id").as("id_old"), col("nfp").as("nb"))
+      inter.join(nsz, "id_new").join(osz, "id_old")
+        .select(col("id_new"), col("id_old"), graft.core.Ops.fixedPoint(
+          col("ninter") * lit(1.0) /
+            (col("na") + col("nb") - col("ninter")), 4).as("match_e4"))
+        .filter(col("match_e4") >= minMatchE4)
+        .localCheckpoint(eager = true)
+    } finally nfps.unpersist()
+  }
+
   /** MP4 container walk — REAL byte parsing of the ISO-BMFF box tree (no
     * codec): track count from `moov/trak`, presentation duration from
     * `moov/mvhd` (version 0 u32 and version 1 u64 layouts both handled),

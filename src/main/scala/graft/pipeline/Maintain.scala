@@ -388,6 +388,52 @@ object Maintain {
     }
   }
 
+  // ---- audio fingerprints: batch compaction -------------------------------
+
+  /** Same trigger as [[phashDecision]] over the audio-index meta
+    * partitions.
+    */
+  def audioDecision(spark: SparkSession, dir: String,
+                    maxBatches: Int = 16): Decision = {
+    val n = committedBatches(spark, dir).count()
+    Decision("audio", if (n > maxBatches) "compact" else "none", n,
+      maxBatches, s"$n committed batches")
+  }
+
+  /** Merge committed audio-fingerprint batches into one `base` batch in
+    * a new published version: fp and size rows pass through verbatim
+    * (ids are disjoint across batches by the append contract); the meta
+    * re-states the fingerprinting the committed batches pinned.
+    * Bit-identical serving, spec-pinned.
+    */
+  def audioCompact(spark: SparkSession, warehouse: String, db: String,
+                   token: String): org.apache.hadoop.fs.Path = {
+    val cur = Restore.resolveVersioned(spark, warehouse, db)
+      .getOrElse(throw new IllegalStateException(
+        s"audioCompact: no current version of $db under $warehouse"))
+    val committed = committedBatches(spark, cur.toString)
+    val (wf, k, st, q) =
+      graft.operators.Multimodal.readAudioMeta(spark, cur.toString)
+    val fps = spark.read.parquet(s"$cur/fps")
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+      .select("id", "fp")
+    val sizes = spark.read.parquet(s"$cur/sizes")
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+      .select("id", "nfp")
+    Restore.publishVersionedDir(spark, warehouse, db, token) { vdir =>
+      def writer(df: DataFrame) =
+        df.withColumn("batch_id", lit("base"))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .option("partitionOverwriteMode", "static")
+      writer(fps).parquet(s"$vdir/fps")
+      writer(sizes).parquet(s"$vdir/sizes")
+      writer(spark.range(1)
+          .select(lit(wf).as("window_frames"), lit(k).as("k"),
+            lit(st).as("stride"), lit(q).as("quant_e4")))
+        .parquet(s"$vdir/meta")
+    }
+  }
+
   // ---- kNN graph: append-staleness retrain + degree compaction ----------
 
   /** Committed graph-append batches: a batch's `vectors_batches`

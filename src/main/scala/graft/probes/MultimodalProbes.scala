@@ -733,7 +733,98 @@ object MultimodalProbes {
       |  (na.nf + nb.nf) + 0.5) >= 3000
       |ORDER BY idA, idB""".stripMargin
 
+  // ---- q158 audio fingerprint near-dup (banded energy-sequence hash) -----
+  // Multimodal.audioNearDupPairs over synthesized WAVs: each doc is a
+  // clip of (20 + id%8) 50-frame constant-valued windows, window values
+  // md5-mixed per (src, w) — the r13 linear-fixture lesson: affine
+  // patterns make every clip a phase shift of one cyclic sequence and
+  // everything fingerprints equal. Planted: %6==0 docs gain a 2×-volume
+  // re-encode (delta bits compare adjacent windows, so constant gain
+  // flips no bit — match 10000 exactly), %6==1 docs a window-aligned
+  // tail segment (same interior fp VALUES at shifted positions — the
+  // value join finds them), %6==2 docs an undecodable text payload
+  // (fingerprints to nothing, pinning the exclusion). The oracle
+  // replays the whole arithmetic: window means = md5 values exactly
+  // (constant windows), delta bits, k=8 packing, DISTINCT sets, DF cap,
+  // symmetric Jaccard. Gain is modeled as a no-op — that IS the
+  // operator's invariance claim, and the decode path is pinned by q84.
+  def q158Media(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.filter(col("doc_id") < 60).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        def v(w: Int): Short = {
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$id:$w".getBytes("UTF-8")).take(4)
+            .map("%02x".format(_)).mkString
+          ((java.lang.Long.parseLong(hex, 16) % 997L) + 1L).toShort
+        }
+        val nw = (20 + id % 8).toInt
+        def rec(cid: Long, fw: Int, gain: Int) =
+          graft.operators.Multimodal.MediaRecord(cid,
+            graft.operators.Multimodal.encodePcm16Wav(8000, 1,
+              Array.tabulate[Short]((nw - fw) * 50)(i =>
+                (v(fw + i / 50) * gain).toShort)),
+            "audio/wav")
+        Seq(rec(id, 0, 1)) ++
+          (if (id % 6 == 0) Seq(rec(id + 100000, 0, 2)) else Nil) ++
+          (if (id % 6 == 1) Seq(rec(id + 200000, 4, 1)) else Nil) ++
+          (if (id % 6 == 2) Seq(graft.operators.Multimodal.MediaRecord(
+            id + 300000, s"not audio $id".getBytes("UTF-8"), "text/plain"))
+          else Nil)
+      }
+  }
+
+  val q158: Q = (s, d) => {
+    val media = q158Media(graft.core.Ops.widen(Tables.documents(s, d)))
+    graft.operators.Multimodal.audioNearDupPairs(media, windowFrames = 50,
+      k = 8, stride = 1, minMatchE4 = 5000L).orderBy("idA", "idB")
+  }
+
+  val q158Sql: String =
+    """WITH ids AS MATERIALIZED (
+      |  SELECT doc_id AS id FROM documents WHERE doc_id < 60),
+      |clips AS MATERIALIZED (
+      |  SELECT id AS cid, id AS src, 0 AS fw, 20 + id % 8 AS nw FROM ids
+      |  UNION ALL SELECT id + 100000, id, 0, 20 + id % 8 FROM ids
+      |  WHERE id % 6 = 0
+      |  UNION ALL SELECT id + 200000, id, 4, 20 + id % 8 FROM ids
+      |  WHERE id % 6 = 1),
+      |wm AS MATERIALIZED (SELECT cid, t.i AS w,
+      |    ((('0x' || substring(md5(src::VARCHAR || ':'
+      |      || (fw + t.i)::VARCHAR), 1, 8))::BIGINT % 997) + 1) AS v
+      |  FROM clips, unnest(generate_series(0, nw - fw - 1)) t(i)),
+      |bits AS MATERIALIZED (SELECT a.cid, a.w AS p,
+      |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS b
+      |  FROM wm a JOIN wm b ON b.cid = a.cid AND b.w = a.w + 1),
+      |npos AS MATERIALIZED (SELECT cid, nw - fw - 1 AS nbits FROM clips),
+      |pos AS MATERIALIZED (SELECT cid, t.i AS p0
+      |  FROM npos, unnest(generate_series(0, nbits - 8)) t(i)),
+      |fp AS MATERIALIZED (SELECT p.cid, p.p0,
+      |    sum(b.b * (1::BIGINT << (7 - (b.p - p.p0)))) AS fp
+      |  FROM pos p JOIN bits b ON b.cid = p.cid
+      |    AND b.p >= p.p0 AND b.p <= p.p0 + 7
+      |  GROUP BY p.cid, p.p0),
+      |sets AS MATERIALIZED (SELECT DISTINCT cid, fp FROM fp),
+      |sizes AS MATERIALIZED (SELECT cid, count(*) AS nfp
+      |  FROM sets GROUP BY cid),
+      |keep AS MATERIALIZED (SELECT fp FROM sets GROUP BY fp
+      |  HAVING count(*) <= 1000),
+      |fk AS MATERIALIZED (SELECT s.cid, s.fp FROM sets s JOIN keep USING (fp)),
+      |inter AS MATERIALIZED (SELECT x.cid AS idA, y.cid AS idB,
+      |    count(*) AS ninter
+      |  FROM fk x JOIN fk y ON x.fp = y.fp AND x.cid < y.cid
+      |  GROUP BY 1, 2),
+      |j AS (SELECT idA, idB,
+      |    CAST(floor(ninter * 1.0 / (a.nfp + b.nfp - ninter) * 10000 + 0.5)
+      |      AS BIGINT) AS match_e4
+      |  FROM inter JOIN sizes a ON a.cid = idA JOIN sizes b ON b.cid = idB)
+      |SELECT idA, idB, match_e4 FROM j WHERE match_e4 >= 5000
+      |ORDER BY idA, idB""".stripMargin
+
   private[probes] val queries: Map[String, Q] = Map(
+    "q158_audio_neardup" -> q158,
     "q153_video_neardup" -> q153,
     "q36_multimodal_decode" -> q36,
     "q80_media_meta" -> q80,
@@ -749,6 +840,7 @@ object MultimodalProbes {
     "q147_phash_neardup" -> q147)
 
   private[probes] val oracleSql: Map[String, String] = Map(
+    "q158_audio_neardup" -> q158Sql,
     "q153_video_neardup" -> q153Sql,
     "q36_multimodal_decode" -> q36Sql,
     "q80_media_meta" -> q80Sql,
