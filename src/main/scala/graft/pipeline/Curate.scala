@@ -191,6 +191,64 @@ object Curate {
       .digest(repr.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  /** Publish a run's funnel report — one (run_id, stage, ord, rows,
+    * seconds) row per stage — through the commit-marker path
+    * (VERDICT r14 #7): each run is its own versioned db
+    * (`funnel_<runId>`), so a torn write is invisible and a retried
+    * export replaces its version. Repeated runs build the funnel-rate
+    * time series a maintenance decision reads ([[readStageMetrics]]
+    * unions every committed run).
+    */
+  def exportStageMetrics(spark: org.apache.spark.sql.SparkSession,
+                         result: CurateResult, dir: String,
+                         runId: String): org.apache.hadoop.fs.Path = {
+    import spark.implicits._
+    val secs = result.stageSeconds.toMap
+    val rows = result.stageCounts.zipWithIndex.map { case ((st, n), i) =>
+      (runId, st, i, n, math.floor(
+        secs.getOrElse(st, 0.0) * 1000 + 0.5).toLong)
+    }.toDF("run_id", "stage", "ord", "rows", "millis")
+    val db = s"funnel_$runId"
+    // version token = first free slot: a crash-orphaned dir (exists but
+    // never committed) is reclaimed (the ck.save discipline); a COMMITTED
+    // earlier export gets a fresh version and the marker advances —
+    // re-export of a run replaces its rows without mutating a published
+    // version dir
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    var t = 0
+    var done = false
+    while (!done) {
+      val vd = new org.apache.hadoop.fs.Path(dir, s"${db}__v$t")
+      if (!fs.exists(vd)) done = true
+      else if (!Restore.resolveVersioned(spark, dir, db).contains(vd)) {
+        fs.delete(vd, true); done = true
+      } else t += 1
+    }
+    Restore.publishVersionedDir(spark, dir, db, t.toString) { vdir =>
+      rows.coalesce(1).write.mode("overwrite").parquet(vdir.toString)
+    }
+  }
+
+  /** Every committed run's funnel rows — the time series. */
+  def readStageMetrics(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    import spark.implicits._
+    // catalog lists the VERSION dirs (funnel_<runId>__v<token>); strip
+    // back to logical dbs and resolve each through its commit marker.
+    // Bounded: one name per exported run version.
+    val runs = Restore.catalog(spark, dir)
+      .filter(col("db").startsWith("funnel_"))
+      .as[String].collect().toSeq
+      .map(_.replaceAll("__v.*$", "")).distinct
+    val resolved = runs.flatMap(db =>
+      Restore.resolveVersioned(spark, dir, db).map(_.toString))
+    if (resolved.isEmpty)
+      Seq.empty[(String, String, Int, Long, Long)]
+        .toDF("run_id", "stage", "ord", "rows", "millis")
+    else resolved.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
+
   def run(docs: DataFrame, idCol: String, textCol: String,
           benchmark: DataFrame, benchTextCol: String,
           cfg: CurateConfig = CurateConfig(),

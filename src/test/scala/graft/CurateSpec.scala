@@ -595,4 +595,31 @@ class CurateSpec extends SparkSpec {
     }
     assert(noFp.getMessage.contains("no config fingerprint"))
   }
+
+  test("exportStageMetrics builds a committed funnel time series; a " +
+      "retried export replaces its run") {
+    val docs = Seq(1L -> goodText("one"), 2L -> goodText("one"),
+      3L -> goodText("two"), 5L -> "short junk!!!").toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "btext")
+    val r = Curate.run(docs, "doc_id", "text", bench, "btext",
+      CurateConfig(chunkTokens = 16, packBudget = 32))
+    r.chunks.unpersist()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_funnel_ts").toString
+    Curate.exportStageMetrics(spark, r, dir, "day1")
+    Curate.exportStageMetrics(spark, r, dir, "day2")
+    Curate.exportStageMetrics(spark, r, dir, "day2") // retry replaces
+    val got = Curate.readStageMetrics(spark, dir)
+    assert(got.select("run_id").distinct().count() == 2)
+    val day1 = got.filter(col("run_id") === "day1")
+      .orderBy("ord").select("stage", "rows")
+      .as[(String, Long)].collect().toSeq
+    assert(day1 == r.stageCounts, s"$day1 vs ${r.stageCounts}")
+    assert(got.filter(col("run_id") === "day2").count() ==
+      r.stageCounts.size)
+    // empty store reads as an empty series, not an error
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft_funnel_bare").toString
+    assert(Curate.readStageMetrics(spark, bare).count() == 0)
+  }
 }
