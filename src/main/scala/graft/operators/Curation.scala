@@ -355,13 +355,32 @@ object Curation {
                              dim: Int = 64, thresholdE4: Long = 9000L,
                              centroidEvery: Int = 25, nassign: Int = 2)
       : graft.core.Managed = {
-    require(thresholdE4 >= 0 && thresholdE4 <= 10000,
-      s"semDedup: thresholdE4 ($thresholdE4) must be in [0, 10000]")
-    require(centroidEvery >= 1, "semDedup: centroidEvery must be >= 1")
     // sparse-path embed: value-identical to hashEmbedGather(hashEmbed)
     // but shuffles only non-zero buckets — the dense crossJoin form paid
     // a dim× row amplification on every funnel run
-    val emb = TextStats.hashEmbedVectors(docs, idCol, textCol, dim)
+    val m = semDedupVictimsFromVectorsManaged(
+      TextStats.hashEmbedVectors(docs, idCol, textCol, dim),
+      thresholdE4, centroidEvery, nassign)
+    graft.core.Managed(
+      m.df.select(col("id").as(idCol), col("kept_id")), m.pinned)
+  }
+
+  /** The SemDeDup core over an ARBITRARY embedding column (id, v) — the
+    * seam that lets any modality ride the same cluster-then-verify
+    * machinery (text hash-trick vectors above, deterministic image
+    * block-mean embeddings via [[graft.operators.Multimodal
+    * .imageSemDedupVictims]]). Zero-norm vectors are filtered (cosine
+    * undefined); victims are (id, kept_id = component min-id canonical).
+    */
+  def semDedupVictimsFromVectorsManaged(vectors: DataFrame,
+                                        thresholdE4: Long = 9000L,
+                                        centroidEvery: Int = 25,
+                                        nassign: Int = 2)
+      : graft.core.Managed = {
+    require(thresholdE4 >= 0 && thresholdE4 <= 10000,
+      s"semDedup: thresholdE4 ($thresholdE4) must be in [0, 10000]")
+    require(centroidEvery >= 1, "semDedup: centroidEvery must be >= 1")
+    val emb = vectors
       .filter(expr("aggregate(v, 0D, (a, x) -> a + x * x)") > lit(0.0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sampled = emb.filter(
@@ -382,7 +401,7 @@ object Curation {
       threshold = thresholdE4 / 10000.0, nassign = nassign)
     val compM = Dedup.connectedComponentsManaged(pairsM.df)
     val victims = compM.df.filter(col("id") =!= col("label"))
-      .select(col("id").as(idCol), col("label").as("kept_id"))
+      .select(col("id"), col("label").as("kept_id"))
     graft.core.Managed(victims, emb +: (pairsM.pinned ++ compM.pinned))
   }
 

@@ -990,6 +990,72 @@ object Multimodal {
     }
   }
 
+  // ---- semantic image embedding → the ANN/SemDeDup stack -----------------
+
+  /** Deterministic block-mean image embedding: decode → `grid`×`grid`
+    * gray box-resize ([[boxGridE4]], e4 integer means — the q101/q146
+    * machinery) → MEAN-CENTER. Centering makes the cosine measure
+    * STRUCTURE: brightness offsets vanish (the pHash DC-exclusion
+    * argument, continuous instead of thresholded), and pixel-level noise
+    * averages down inside each block — which is exactly the regime a
+    * thresholded bit hash loses: a re-grained copy of the same scene
+    * flips pHash bits near the median but barely moves block means. No
+    * external model: the mechanism probe for SemDeDup-style semantic
+    * image dedup rides [[graft.operators.Curation
+    * .semDedupVictimsFromVectorsManaged]] unchanged.
+    *
+    * Exactness note for oracles: means are e4 integers and the center
+    * divides by grid² — a power of two keeps the centered doubles exact
+    * in binary, so cross-engine compares stay bit-stable away from the
+    * threshold. Undecodable payloads emit no row (they can never pair);
+    * CONSTANT images center to the zero vector and are filtered by the
+    * consumer's zero-norm guard.
+    */
+  def imageEmbeddings(ds: Dataset[MediaRecord], grid: Int = 8,
+                      batchSize: Int = 64, maxPixels: Long = 64L << 20)
+      : DataFrame = {
+    require(grid >= 2 && (grid & (grid - 1)) == 0,
+      s"imageEmbeddings: grid ($grid) must be a power of two >= 2")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val bomb = claimedPixels(r.media) > maxPixels
+          val img =
+            if (bomb) None
+            else try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.media)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          img.map { im =>
+            val g = boxGridE4(im.getRaster, im.getWidth, im.getHeight,
+              grid, grid)
+            val mean = g.sum.toDouble / (grid * grid)
+            (r.media_id, g.map(_.toDouble - mean))
+          }
+        }
+      }
+    }.toDF("id", "v")
+  }
+
+  /** SemDeDup over images: block-mean embeddings into the shared
+    * cluster-then-verify machinery. Victims are (id, kept_id) — the
+    * component min-id canonical survives.
+    */
+  def imageSemDedupVictimsManaged(ds: Dataset[MediaRecord], grid: Int = 8,
+                                  thresholdE4: Long = 9000L,
+                                  centroidEvery: Int = 25,
+                                  nassign: Int = 2): graft.core.Managed =
+    Curation.semDedupVictimsFromVectorsManaged(
+      imageEmbeddings(ds, grid), thresholdE4, centroidEvery, nassign)
+
+  def imageSemDedupVictims(ds: Dataset[MediaRecord], grid: Int = 8,
+                           thresholdE4: Long = 9000L,
+                           centroidEvery: Int = 25,
+                           nassign: Int = 2): DataFrame =
+    imageSemDedupVictimsManaged(ds, grid, thresholdE4, centroidEvery,
+      nassign).df
+
   // ---- audio fingerprint + near-dup (the third modality's dup key) -------
 
   /** One banded energy-sequence sub-fingerprint: the clip's delta-coded

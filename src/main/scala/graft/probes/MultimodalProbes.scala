@@ -823,7 +823,119 @@ object MultimodalProbes {
       |SELECT idA, idB, match_e4 FROM j WHERE match_e4 >= 5000
       |ORDER BY idA, idB""".stripMargin
 
+  // ---- q159 semantic image dedup (block-mean embedding → SemDeDup) ------
+  // Multimodal.imageSemDedupVictims over 16×16 synthesized grays: 9
+  // orthogonal plane-wave scenes × 3 re-grains (fresh ±20 md5 noise per
+  // image id) — the regime a thresholded bit hash misses (pHash flips >3
+  // bits on a re-grain; ImageSemDedupSpec pins recall 0 there) but the
+  // centered block-mean embedding catches (noise averages down inside
+  // 2×2 blocks, scenes are orthogonal waves). The wave table is shared
+  // integer literals (the PhashCosE4 discipline); the oracle replays
+  // pixels → 8×8 block means (sum·2500, exact) → mean-center (÷64,
+  // binary-exact) → the q133 IVF assignment/verify/components chain.
+  // doc_ids 27..31 carry text payloads: no embedding row, never a victim.
+  private def q159Wave(f: Int, x: Int): Int =
+    math.round(10.0 * math.cos(math.Pi * 2 * f * x / 16)).toInt
+
+  def q159Media(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.filter(col("doc_id") < 32).select(col("doc_id")).as[Long]
+      .map { id =>
+        if (id >= 27)
+          graft.operators.Multimodal.MediaRecord(
+            id, s"not an image: $id".getBytes("UTF-8"), "text/plain")
+        else {
+          val pat = (id % 9).toInt
+          val (fx, fy) = (pat % 3 + 1, (pat / 3) % 3 + 1)
+          def noise(x: Int, y: Int): Int = {
+            val hex = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"$id:$x:$y".getBytes("UTF-8")).take(4)
+              .map("%02x".format(_)).mkString
+            (java.lang.Long.parseLong(hex, 16) % 41L).toInt - 20
+          }
+          graft.operators.Multimodal.MediaRecord(id,
+            graft.operators.Multimodal.encodeGrayPixelsPng(16, 16,
+              Array.tabulate(256) { p =>
+                val (x, y) = (p % 16, p / 16)
+                128 + q159Wave(fx, x) * q159Wave(fy, y) + noise(x, y)
+              }),
+            "image/png")
+        }
+      }
+  }
+
+  val q159: Q = (s, d) => {
+    val media = q159Media(graft.core.Ops.widen(Tables.documents(s, d)))
+    graft.operators.Multimodal.imageSemDedupVictims(media, grid = 8,
+        thresholdE4 = 9000L, centroidEvery = 4)
+      .orderBy("id")
+  }
+
+  val q159Sql: String = {
+    val waveLits = (1 to 3).flatMap(f =>
+      (0 until 16).map(x => q159Wave(f, x))).mkString(", ")
+    val cos = graft.operators.Similarity.cosineDuckSql("a.v", "b.v")
+    s"""WITH RECURSIVE
+       |ids AS MATERIALIZED (
+       |  SELECT doc_id AS id FROM documents WHERE doc_id < 27),
+       |wave AS MATERIALIZED (
+       |  SELECT t.i // 16 + 1 AS f, t.i % 16 AS x,
+       |    ([$waveLits])[t.i + 1] AS c
+       |  FROM range(48) t(i)),
+       |px AS MATERIALIZED (
+       |  SELECT i.id, x.x AS x, y.y AS y,
+       |    128 + wx.c * wy.c
+       |      + (('0x' || substr(md5(i.id::VARCHAR || ':' || x.x::VARCHAR
+       |          || ':' || y.y::VARCHAR), 1, 8))::BIGINT % 41 - 20) AS p
+       |  FROM ids i
+       |  CROSS JOIN range(16) x(x)
+       |  CROSS JOIN range(16) y(y)
+       |  JOIN wave wx ON wx.f = (i.id % 9) % 3 + 1 AND wx.x = x.x
+       |  JOIN wave wy ON wy.f = ((i.id % 9) // 3) % 3 + 1 AND wy.x = y.y),
+       |g AS MATERIALIZED (
+       |  SELECT id, (y // 2) * 8 + (x // 2) AS pos,
+       |    CAST(sum(p) * 2500 AS BIGINT) AS e4
+       |  FROM px GROUP BY 1, 2),
+       |mu AS MATERIALIZED (SELECT id, sum(e4) / 64.0 AS m
+       |  FROM g GROUP BY id),
+       |v0 AS MATERIALIZED (
+       |  SELECT g.id, list(CAST(g.e4 AS DOUBLE) - mu.m ORDER BY g.pos) AS v
+       |  FROM g JOIN mu USING (id) GROUP BY g.id, mu.m),
+       |v AS MATERIALIZED (SELECT id, v FROM v0
+       |  WHERE list_dot_product(v, v) > 0),
+       |cent AS MATERIALIZED (SELECT id AS cid, v AS cv FROM v
+       |  WHERE ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT % 4 = 0),
+       |assigned AS MATERIALIZED (
+       |  SELECT id, v, cid FROM (
+       |    SELECT v.id, v.v, c.cid,
+       |      row_number() OVER (PARTITION BY v.id
+       |        ORDER BY ${graft.operators.Similarity
+                  .cosineDuckSql("v.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |    FROM v CROSS JOIN cent c) t(id, v, cid, rn)
+       |  WHERE rn <= 2),
+       |p AS MATERIALIZED (
+       |  SELECT DISTINCT a.id AS idA, b.id AS idB
+       |  FROM assigned a JOIN assigned b USING (cid)
+       |  WHERE a.id < b.id AND $cos >= 0.9),
+       |undirected AS (
+       |  SELECT idA AS src, idB AS dst FROM p
+       |  UNION ALL SELECT idB, idA FROM p),
+       |nodes AS (SELECT DISTINCT src AS id FROM undirected),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT u.src, reach.r FROM undirected u
+       |  JOIN reach ON reach.id = u.dst),
+       |lab AS (SELECT id, CAST(min(r) AS BIGINT) AS label
+       |  FROM reach GROUP BY id)
+       |SELECT CAST(id AS BIGINT) AS id, label AS kept_id FROM lab
+       |WHERE id <> label ORDER BY id""".stripMargin
+  }
+
   private[probes] val queries: Map[String, Q] = Map(
+    "q159_image_semdedup" -> q159,
     "q158_audio_neardup" -> q158,
     "q153_video_neardup" -> q153,
     "q36_multimodal_decode" -> q36,
@@ -840,6 +952,7 @@ object MultimodalProbes {
     "q147_phash_neardup" -> q147)
 
   private[probes] val oracleSql: Map[String, String] = Map(
+    "q159_image_semdedup" -> q159Sql,
     "q158_audio_neardup" -> q158Sql,
     "q153_video_neardup" -> q153Sql,
     "q36_multimodal_decode" -> q36Sql,
