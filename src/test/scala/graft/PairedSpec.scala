@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaRecord
+import graft.pipeline.{Curate, CurateConfig, CurateImages, Paired}
+import graft.pipeline.CurateImages.ImageCurateConfig
+
+/** Paired multimodal verdicts: the REAL text and image funnel ledgers
+  * composed on a (doc_id, media_id) pairing — drop the pair if either
+  * side rejected, reason names the deciding modality.
+  */
+class PairedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def goodText(salt: String): String =
+    s"the table row scan key " +
+      (1 to 24).map(i => s"$salt$i").mkString(" ") + " the a"
+
+  private def mix(id: Long, p: Long): Long = {
+    var z = id * 0x9E3779B97F4A7C15L + p * 0xC2B2AE3D27D4EB4FL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    (z ^ (z >>> 27)) & 0xffL
+  }
+  private def png(seed: Long, nudge: Int): Array[Byte] =
+    Multimodal.encodeGrayPixelsPng(16, 16,
+      Array.tabulate(256)(p => (mix(seed, p.toLong).toInt +
+        (if (p < 40) nudge else 0)).min(255)))
+
+  test("pair and doc verdicts compose the two funnels' ledgers: either " +
+      "side's rejection drops the pair, reason carries the modality") {
+    // text corpus: 1 admitted, 2 exact-dup of 1, 5 quality reject
+    val docs = Seq(1L -> goodText("one"), 2L -> goodText("one"),
+      3L -> goodText("two"), 5L -> "short junk!!!").toDF("doc_id", "text")
+    val tRes = Curate.run(docs, "doc_id", "text",
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text",
+      CurateConfig(emitLedger = true))
+    tRes.chunks.unpersist()
+    // images: 11 admitted; 12 exact-dup of 11; 22 pHash near-dup of 21
+    val shared = png(1, 0)
+    val iRes = CurateImages.run(Seq(
+      MediaRecord(11L, shared, "image/png"),
+      MediaRecord(12L, shared, "image/png"),
+      MediaRecord(21L, png(2, 0), "image/png"),
+      MediaRecord(22L, png(2, 7), "image/png")).toDS(),
+      ImageCurateConfig(emitLedger = true))
+    iRes.kept.unpersist()
+    val pairs = Seq(
+      (1L, 11L),  // both admitted
+      (3L, 12L),  // text fine, image exact-dup → image decides
+      (2L, 21L),  // text exact-dup, image fine → text decides
+      (2L, 12L),  // both rejected → TEXT decides (deployment order)
+      (5L, 22L),  // text quality, image near-dup → text decides
+      (1L, 77L),  // image never ingested → image:missing
+      (9L, 11L)   // doc never curated → text:missing
+    ).toDF("doc_id", "media_id")
+    val got = Paired.pairedVerdicts(tRes.ledger.get, iRes.ledger.get, pairs)
+      .select("doc_id", "media_id", "admitted", "reason", "dup_of")
+      .as[(Long, Long, Boolean, String, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got((1L, 11L)) == ((true, "admitted", 1L)))
+    assert(got((3L, 12L)) == ((false, "image:exact_dup", 11L)))
+    assert(got((2L, 21L)) == ((false, "text:exact_dup", 1L)))
+    assert(got((2L, 12L)) == ((false, "text:exact_dup", 1L)))
+    assert(got((5L, 22L)) == ((false, "text:quality", 5L)))
+    assert(got((1L, 77L)) == ((false, "image:missing", 1L)))
+    assert(got((9L, 11L)) == ((false, "text:missing", 9L)))
+    assert(got.size == pairs.count())
+    // doc-level: 1 has one clean pair + one missing-image pair → the
+    // rejecting pair decides; 3's only pair is image-rejected; a doc
+    // with NO pairs (here: none in `pairs`... doc 5) aggregates to its
+    // text verdict alone when its pairs all reject by text
+    val doc = Paired.pairedDocVerdicts(tRes.ledger.get, iRes.ledger.get,
+        pairs.filter(col("doc_id") =!= 9L))
+      .select("doc_id", "admitted", "reason", "dup_of")
+      .as[(Long, Boolean, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(doc(1L) == ((false, "image:missing", 1L)))
+    assert(doc(3L) == ((false, "image:exact_dup", 11L)))
+    assert(doc(2L) == ((false, "text:exact_dup", 1L)))
+    assert(doc(5L) == ((false, "text:quality", 5L)))
+    // a doc with no image refs at all = its text verdict
+    val solo = Paired.pairedDocVerdicts(tRes.ledger.get, iRes.ledger.get,
+        Seq.empty[(Long, Long)].toDF("doc_id", "media_id"))
+      .select("doc_id", "admitted", "reason")
+      .as[(Long, Boolean, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(solo(1L) == ((true, "admitted")) && solo(3L) == ((true, "admitted")))
+    assert(solo(2L) == ((false, "text:exact_dup")))
+    assert(solo(5L) == ((false, "text:quality")))
+  }
+}
