@@ -738,9 +738,38 @@ object Multimodal {
     writePhashParts(ds, dir, readPhashMeta(spark, dir),
       overwrite = false, batchId = batchId)
 
+  /** Append PRE-COMPUTED signatures (id, phash) — the seam for callers
+    * that already decoded the batch once (the image increment funnel);
+    * same layout and commit contract as [[appendToPhashIndex]].
+    */
+  private[graft] def appendPhashSigs(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String, sigs: DataFrame,
+                                     batchId: String): Unit =
+    writePhashSigParts(sigs, spark, dir, readPhashMeta(spark, dir),
+      overwrite = false, batchId = batchId)
+
+  /** Create a FRESH index from pre-computed signatures under an
+    * arbitrary first batch id (the image increment's bootstrap). */
+  private[graft] def writePhashSigIndex(spark: org.apache.spark.sql.SparkSession,
+                                        sigs: DataFrame, dir: String,
+                                        nBands: Int,
+                                        batchId: String): Unit =
+    writePhashSigParts(sigs, spark, dir, nBands,
+      overwrite = true, batchId = batchId)
+
   private def writePhashParts(ds: Dataset[MediaRecord], dir: String,
                               nBands: Int, overwrite: Boolean,
-                              batchId: String): Unit = {
+                              batchId: String): Unit =
+    writePhashSigParts(
+      imagePHash(ds).toDF().filter(col("phash") =!= -1L)
+        .select(col("media_id").as("id"), col("phash")),
+      ds.sparkSession, dir, nBands, overwrite, batchId)
+
+  private def writePhashSigParts(sigs: DataFrame,
+                                 spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, nBands: Int,
+                                 overwrite: Boolean,
+                                 batchId: String): Unit = {
     require(batchId.nonEmpty && batchId != "__HIVE_DEFAULT_PARTITION__",
       s"phash index: invalid batch id '$batchId'")
     // overwrite mode pinned per-write (the minhash-writer discipline): a
@@ -751,12 +780,10 @@ object Multimodal {
         .write.mode("overwrite").partitionBy("batch_id")
         .option("partitionOverwriteMode",
           if (overwrite) "static" else "dynamic")
-    writer(imagePHash(ds).toDF().filter(col("phash") =!= -1L)
-        .select(col("media_id").as("id"), col("phash")))
-      .parquet(s"$dir/sigs")
+    writer(sigs.select(col("id"), col("phash"))).parquet(s"$dir/sigs")
     // commit marker — re-states n_bands so every committed batch pins
     // the same banding; checked on read
-    writer(ds.sparkSession.range(1).select(lit(nBands).as("n_bands")))
+    writer(spark.range(1).select(lit(nBands).as("n_bands")))
       .parquet(s"$dir/meta")
   }
 
@@ -781,16 +808,32 @@ object Multimodal {
     */
   def phashNearDupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                                dir: String, newMedia: Dataset[MediaRecord],
-                               maxHamming: Int = 3): DataFrame = {
+                               maxHamming: Int = 3,
+                               excludeBatch: Option[String] = None)
+      : DataFrame =
+    phashSigsNearDupAgainstIndex(spark, dir,
+      imagePHash(newMedia).toDF().filter(col("phash") =!= -1L)
+        .select(col("media_id").as("id_new"), col("phash")),
+      maxHamming, excludeBatch)
+
+  /** [[phashNearDupAgainstIndex]] over PRE-COMPUTED new-side signatures
+    * (id_new, phash) — the decode-once seam. `excludeBatch` hides the
+    * named committed batch (the increment retry's pre-batch view).
+    */
+  private[graft] def phashSigsNearDupAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, newSigs: DataFrame, maxHamming: Int = 3,
+      excludeBatch: Option[String] = None): DataFrame = {
     val nBands = readPhashMeta(spark, dir)
     require(maxHamming < nBands,
       s"phashNearDupAgainstIndex: pigeonhole over $nBands bands is exact " +
         s"only for maxHamming ($maxHamming) < n_bands")
-    val committed = spark.read.parquet(s"$dir/meta")
+    val committed0 = spark.read.parquet(s"$dir/meta")
       .select("batch_id").distinct()
-    val nb = phashBandRows(imagePHash(newMedia).toDF()
-        .filter(col("phash") =!= -1L)
-        .select(col("media_id").as("id_new"), col("phash")), nBands)
+    val committed = excludeBatch
+      .map(b => committed0.filter(col("batch_id") =!= b))
+      .getOrElse(committed0)
+    val nb = phashBandRows(newSigs, nBands)
       .select(col("id_new"), col("phash").as("h_new"),
         col("band"), col("bits"))
     val ob = phashBandRows(spark.read.parquet(s"$dir/sigs")

@@ -108,8 +108,12 @@ object Increment {
 
   private def writeExactKeys(docs: DataFrame, dir: String,
                              batchId: String): Unit =
-    docs.select(md5(col("text")).as("key"), col("id"),
-        lit(batchId).as("batch_id"))
+    writeExactKeyRows(docs.select(md5(col("text")).as("key"), col("id")),
+      dir, batchId)
+
+  private def writeExactKeyRows(keys: DataFrame, dir: String,
+                                batchId: String): Unit =
+    keys.select(col("key"), col("id"), lit(batchId).as("batch_id"))
       .write.mode("overwrite").partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$dir/keys")
@@ -278,21 +282,222 @@ object Increment {
   }
 
   /** The committed per-batch verdict ledger (batch_id, id, admitted,
-    * reason, dup_of) — torn increments invisible (minhash-marker
-    * committed set).
+    * reason, dup_of) — torn increments invisible (marker-committed set).
     */
-  def readLedger(spark: SparkSession, stateDir: String): DataFrame = {
-    val committed = Dedup.minhashCommitted(spark, s"$stateDir/minhash")
-    spark.read.parquet(s"$stateDir/ledger")
-      .join(broadcast(committed), Seq("batch_id"), "left_semi")
-  }
+  def readLedger(spark: SparkSession, stateDir: String): DataFrame =
+    committedTable(spark, stateDir, "ledger")
 
   /** The committed funnel-rate time series (batch_id, stage, rows) —
     * what a maintenance decision reads to spot drift in admit rates.
     */
-  def readMetrics(spark: SparkSession, stateDir: String): DataFrame = {
-    val committed = Dedup.minhashCommitted(spark, s"$stateDir/minhash")
-    spark.read.parquet(s"$stateDir/metrics")
+  def readMetrics(spark: SparkSession, stateDir: String): DataFrame =
+    committedTable(spark, stateDir, "metrics")
+
+  /** A state table restricted to committed batches — the commit-marker
+    * index is whichever modality's lives here (text: minhash meta;
+    * image: phash meta).
+    */
+  private def committedTable(spark: SparkSession, stateDir: String,
+                             sub: String): DataFrame = {
+    val f = fs(spark, stateDir)
+    val markers =
+      if (f.exists(new org.apache.hadoop.fs.Path(s"$stateDir/minhash/meta")))
+        s"$stateDir/minhash/meta"
+      else s"$stateDir/phash/meta"
+    val committed = spark.read.parquet(markers)
+      .select("batch_id").distinct()
+    spark.read.parquet(s"$stateDir/$sub")
       .join(broadcast(committed), Seq("batch_id"), "left_semi")
+  }
+
+  // ---- the IMAGE twin: batch vs persisted pHash + exact-payload state ----
+
+  /** [[IncrementConfig]]'s image sibling — the [[CurateImages
+    * .ImageCurateConfig]] gate dials.
+    */
+  case class ImageIncrementConfig(maxPixels: Long = 64L << 20,
+                                  maxHamming: Int = 3, nBands: Int = 4)
+
+  /** Image state exists iff the pHash index has a meta commit marker. */
+  def imageStateExists(spark: SparkSession, stateDir: String): Boolean =
+    fs(spark, stateDir).exists(
+      new org.apache.hadoop.fs.Path(s"$stateDir/phash/meta"))
+
+  /** Seed image state from an ALREADY-CURATED media corpus: exact
+    * payload-md5 keys + pHash index under batch id "base" (undecodable
+    * payloads excluded — they can never pair).
+    */
+  def initImageStateFromCurated(spark: SparkSession, stateDir: String,
+                                curated: org.apache.spark.sql.Dataset[
+                                  graft.operators.Multimodal.MediaRecord],
+                                nBands: Int = 4,
+                                maxPixels: Long = 64L << 20): Unit = {
+    require(!imageStateExists(spark, stateDir),
+      s"initImageStateFromCurated: state already exists at $stateDir")
+    val hashed = hashAndSign(curated, maxPixels)
+      .filter(col("phash") =!= -1L)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      writeExactKeyRows(hashed.select(col("__md5").as("key"), col("id")),
+        s"$stateDir/exact", "base")
+      graft.operators.Multimodal.writePhashIndex(curated,
+        s"$stateDir/phash", nBands)
+    } finally hashed.unpersist()
+  }
+
+  /** One decode pass: (id, __md5 of payload bytes, phash). */
+  private def hashAndSign(media: org.apache.spark.sql.Dataset[
+      graft.operators.Multimodal.MediaRecord], maxPixels: Long)
+      : DataFrame = {
+    val sess = media.sparkSession
+    import sess.implicits._
+    media.mapPartitions { it =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+        it.map { r =>
+          d.reset()
+          (r.media_id,
+            d.digest(r.media).map(b => f"${b & 0xff}%02x").mkString)
+        }
+      }.toDF("id", "__md5")
+      .join(graft.operators.Multimodal
+          .imagePHash(media, maxPixels = maxPixels).toDF()
+          .select(col("media_id").as("id"), col("phash")),
+        Seq("id"))
+  }
+
+  /** The image increment: a new media batch curated against the
+    * accumulated pHash + exact-payload state — decode ONCE, verdicts in
+    * the [[CurateImages.run]] order (undecodable → exact vs state →
+    * exact within batch → pHash near-dup vs state with min-old-parent →
+    * within-batch components), admitted signatures appended under
+    * `batchId` with the pHash META partition as the increment's commit
+    * marker (keys/ledger/metrics commit before it). Retry contract and
+    * torn-increment invisibility as in [[curateIncrement]].
+    */
+  def curateImageIncrement(batch: org.apache.spark.sql.Dataset[
+        graft.operators.Multimodal.MediaRecord],
+      stateDir: String, batchId: String,
+      cfg: ImageIncrementConfig = ImageIncrementConfig())
+      : IncrementResult = {
+    require(batchId.nonEmpty && batchId != "base" &&
+        batchId != "__HIVE_DEFAULT_PARTITION__",
+      s"curateImageIncrement: invalid batch id '$batchId'")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val haveState = imageStateExists(spark, stateDir)
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val led = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def stage(name: String, c: Long): Unit = counts += ((name, c))
+    def rejectPiece(ids: DataFrame, reason: String): Unit =
+      led += ids.select(col("id").cast("long").as("id"),
+          lit(false).as("admitted"), lit(reason).as("reason"),
+          coalesce(col("__dup_of"), col("id")).cast("long").as("dup_of"))
+        .localCheckpoint(eager = true)
+
+    val hashed = hashAndSign(batch, cfg.maxPixels)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    stage("ingest", hashed.count())
+    rejectPiece(hashed.filter(col("phash") === -1L)
+      .select(col("id"), lit(null).cast("long").as("__dup_of")),
+      "undecodable")
+    val decoded = hashed.filter(col("phash") =!= -1L)
+    stage("decode", decoded.count())
+
+    // exact payload dedup: against state, then within batch
+    val afterExactState =
+      if (!haveState) decoded
+      else {
+        val stateKeys = readImageExactKeys(spark, stateDir, batchId)
+        val hits = decoded.join(
+            stateKeys.select(col("key").as("__md5"),
+              col("id").as("__dup_of")), Seq("__md5"))
+          .localCheckpoint(eager = true)
+        rejectPiece(hits.select(col("id"), col("__dup_of")), "exact_dup")
+        decoded.join(hits.select("id"), Seq("id"), "left_anti")
+      }
+    val keeper = afterExactState.groupBy("__md5")
+      .agg(min(col("id")).as("__keep"))
+    val withKeep = afterExactState.join(keeper, Seq("__md5"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    rejectPiece(withKeep.filter(col("id") =!= col("__keep"))
+      .select(col("id"), col("__keep").as("__dup_of")), "exact_dup")
+    val exact = withKeep.filter(col("id") === col("__keep"))
+      .select("id", "__md5", "phash").localCheckpoint(eager = true)
+    stage("exact_dedup", exact.count())
+    hashed.unpersist(); withKeep.unpersist()
+
+    // pHash near-dup: against state (min old parent), then within batch
+    val afterOld =
+      if (!haveState) exact
+      else {
+        val hits = graft.operators.Multimodal
+          .phashSigsNearDupAgainstIndex(spark, s"$stateDir/phash",
+            exact.select(col("id").as("id_new"), col("phash")),
+            cfg.maxHamming, excludeBatch = Some(batchId))
+          .groupBy("id_new").agg(min(col("id_old")).as("__dup_of"))
+          .select(col("id_new").as("id"), col("__dup_of"))
+          .localCheckpoint(eager = true)
+        rejectPiece(hits, "near_dup")
+        exact.join(hits.select("id"), Seq("id"), "left_anti")
+          .localCheckpoint(eager = true)
+      }
+    val pairsM = graft.operators.Multimodal.phashBandNearDupPairsOf(
+      afterOld.select(col("id").as("media_id"), col("phash").as("ahash")),
+      cfg.maxHamming, cfg.nBands)
+    val compM = Dedup.connectedComponentsManaged(
+      pairsM.df.select(col("idA"), col("idB")))
+    val victims = compM.df.filter(col("id") =!= col("label"))
+      .select(col("id"), col("label").as("__dup_of"))
+      .localCheckpoint(eager = true)
+    compM.close(); pairsM.close()
+    rejectPiece(victims, "near_dup")
+    val admitted = afterOld
+      .join(victims.select("id"), Seq("id"), "left_anti")
+      .localCheckpoint(eager = true)
+    stage("near_dup", admitted.count())
+    led += admitted.select(col("id"), lit(true).as("admitted"),
+        lit("admitted").as("reason"), col("id").as("dup_of"))
+      .localCheckpoint(eager = true)
+
+    // persist: keys → ledger → metrics → pHash META (the marker)
+    val ledger = led.reduce(_ unionByName _)
+      .select(col("id"), col("admitted"), col("reason"), col("dup_of"))
+      .localCheckpoint(eager = true)
+    val nLed = ledger.count()
+    require(nLed == counts.head._2,
+      s"curateImageIncrement: ledger rows $nLed != batch ${counts.head._2}")
+    def writer(df: DataFrame, path: String): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic").parquet(path)
+    if (haveState || admitted.head(1).nonEmpty) {
+      writeExactKeyRows(admitted.select(col("__md5").as("key"), col("id")),
+        s"$stateDir/exact", batchId)
+      writer(ledger, s"$stateDir/ledger")
+      writer(counts.toSeq.toDF("stage", "rows"), s"$stateDir/metrics")
+      if (haveState)
+        graft.operators.Multimodal.appendPhashSigs(spark,
+          s"$stateDir/phash", admitted.select("id", "phash"), batchId)
+      else
+        // bootstrap: the batch's admitted signatures become the index,
+        // stored under this batch id (static overwrite — fresh state)
+        graft.operators.Multimodal.writePhashSigIndex(spark,
+          admitted.select("id", "phash"), s"$stateDir/phash", cfg.nBands,
+          batchId)
+    }
+    IncrementResult(ledger, admitted.select("id", "phash"), counts.toSeq)
+  }
+
+  /** Committed image exact keys, excluding `excludeBatch` — the
+    * committed set is the pHash meta's.
+    */
+  private def readImageExactKeys(spark: SparkSession, stateDir: String,
+                                 excludeBatch: String): DataFrame = {
+    val committed = spark.read.parquet(s"$stateDir/phash/meta")
+      .select("batch_id").distinct()
+      .filter(col("batch_id") =!= excludeBatch)
+    spark.read.parquet(s"$stateDir/exact/keys")
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+      .groupBy("key").agg(min(col("id")).as("id"))
   }
 }

@@ -934,7 +934,189 @@ object MultimodalProbes {
        |WHERE id <> label ORDER BY id""".stripMargin
   }
 
+  // ---- q160 image increment vs persisted pHash + exact state -------------
+  // Increment.curateImageIncrement twice over (b1 bootstraps the state,
+  // b2 runs against it, then b2 RERUNS under the same batch id — the
+  // q157 idempotence-through-the-oracle discipline). Images are the q146
+  // linear 16×16 grays parametrized by (seed, v): v=1 nudges source
+  // pixel (0,0) by +9 — the q147 planted near-dup transform. Exact
+  // payload equality ⟺ identical (seed, v) (deterministic encoder over
+  // param-determined pixels); near-dup is the exact pigeonhole hamming
+  // ≤ 3, which the oracle replays as brute-force hamming over the
+  // replayed pHash chain (the verified superset). Planted per src id:
+  // %6==0 exact-within-b1, %6==1 near-within-b1 (whose b2 echo +900
+  // then near-dups the STATE canonical — its exact key never entered
+  // state because the b1 variant was rejected), %6==2 exact-vs-state
+  // plus an undecodable, %6==3 near-vs-state, %6==4 a within-b2 near
+  // pair, %6==5 fresh.
+  def q160Media(docs: org.apache.spark.sql.DataFrame, batch: String)
+      : org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    def im(cid: Long, seed: Long, v: Int) =
+      graft.operators.Multimodal.MediaRecord(cid,
+        graft.operators.Multimodal.encodeGrayPixelsPng(16, 16,
+          Array.tabulate(256) { p =>
+            val (x, y) = (p % 16, p / 16)
+            ((seed * 31 + y * 16 + x * 17 +
+              (if (v == 1 && x == 0 && y == 0) 9 else 0)) % 256).toInt
+          }),
+        "image/png")
+    docs.filter(col("doc_id") < 24).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        if (batch == "b1")
+          Seq(im(id, id, 0)) ++
+            (if (id % 6 == 0) Seq(im(id + 100, id, 0)) else Nil) ++
+            (if (id % 6 == 1) Seq(im(id + 200, id, 1)) else Nil) ++
+            (if (id % 6 == 2) Seq(graft.operators.Multimodal.MediaRecord(
+              id + 800, s"not an image $id".getBytes("UTF-8"),
+              "text/plain")) else Nil)
+        else
+          (if (id % 6 == 2) Seq(im(id + 300, id, 0)) else Nil) ++
+            (if (id % 6 == 3) Seq(im(id + 400, id, 1)) else Nil) ++
+            (if (id % 6 == 1) Seq(im(id + 900, id, 1)) else Nil) ++
+            (if (id % 6 == 4) Seq(im(id + 500, id + 1000, 0),
+              im(id + 600, id + 1000, 1)) else Nil) ++
+            (if (id % 6 == 5) Seq(im(id + 700, id + 2000, 0)) else Nil)
+      }
+  }
+
+  val q160: Q = (s, d) => {
+    import graft.pipeline.Increment
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+    val dir = scratchDir("graft_q160_state")
+    Increment.curateImageIncrement(q160Media(docs, "b1"), dir, "b1")
+    Increment.curateImageIncrement(q160Media(docs, "b2"), dir, "b2")
+    Increment.curateImageIncrement(q160Media(docs, "b2"), dir, "b2")
+    Increment.readLedger(s, dir)
+      .select(col("batch_id"), col("id"), col("admitted"), col("reason"),
+        col("dup_of"))
+      .orderBy("batch_id", "id")
+  }
+
+  val q160Sql: String = {
+    def replay(t: String, bt: String, st: String): String =
+      s"""${t}_ex_st AS MATERIALIZED (SELECT c.cid, min(sc.cid) AS dup_of
+         |  FROM clips c JOIN clips sc ON sc.seed = c.seed AND sc.v = c.v
+         |  WHERE c.cid IN (SELECT cid FROM $bt)
+         |    AND sc.cid IN (SELECT cid FROM $st)
+         |  GROUP BY c.cid),
+         |${t}_p1 AS MATERIALIZED (SELECT cid FROM $bt
+         |  WHERE cid NOT IN (SELECT cid FROM ${t}_ex_st)),
+         |${t}_keep AS MATERIALIZED (SELECT seed, v, min(cid) AS keep
+         |  FROM clips WHERE cid IN (SELECT cid FROM ${t}_p1)
+         |  GROUP BY seed, v),
+         |${t}_ex_in AS MATERIALIZED (SELECT c.cid, k.keep AS dup_of
+         |  FROM clips c JOIN ${t}_keep k
+         |    ON k.seed = c.seed AND k.v = c.v
+         |  WHERE c.cid IN (SELECT cid FROM ${t}_p1) AND c.cid <> k.keep),
+         |${t}_p2 AS MATERIALIZED (SELECT cid FROM ${t}_p1
+         |  WHERE cid NOT IN (SELECT cid FROM ${t}_ex_in)),
+         |${t}_nd_st AS MATERIALIZED (
+         |  SELECT a.cid, min(b.cid) AS dup_of
+         |  FROM h a JOIN h b
+         |    ON bit_count(xor(a.phash, b.phash)) <= 3
+         |  WHERE a.cid IN (SELECT cid FROM ${t}_p2)
+         |    AND b.cid IN (SELECT cid FROM $st)
+         |  GROUP BY a.cid),
+         |${t}_p3 AS MATERIALIZED (SELECT cid FROM ${t}_p2
+         |  WHERE cid NOT IN (SELECT cid FROM ${t}_nd_st)),
+         |${t}_edges AS MATERIALIZED (
+         |  SELECT a.cid AS src, b.cid AS dst
+         |  FROM h a JOIN h b ON a.cid < b.cid
+         |    AND bit_count(xor(a.phash, b.phash)) <= 3
+         |  WHERE a.cid IN (SELECT cid FROM ${t}_p3)
+         |    AND b.cid IN (SELECT cid FROM ${t}_p3)),
+         |${t}_und AS (SELECT src, dst FROM ${t}_edges
+         |  UNION ALL SELECT dst, src FROM ${t}_edges),
+         |${t}_reach(id, r) AS (
+         |  SELECT src, src FROM ${t}_und
+         |  UNION
+         |  SELECT u.src, ${t}_reach.r FROM ${t}_und u
+         |  JOIN ${t}_reach ON ${t}_reach.id = u.dst),
+         |${t}_nd_in AS (SELECT id AS cid, min(r) AS dup_of
+         |  FROM ${t}_reach GROUP BY id HAVING id <> min(r)),
+         |${t}_adm AS MATERIALIZED (SELECT cid FROM ${t}_p3
+         |  WHERE cid NOT IN (SELECT cid FROM ${t}_nd_in))""".stripMargin
+    def verdicts(t: String, b: String, undec: String): String =
+      s"""  SELECT '$b' AS batch_id, cid AS id, FALSE AS admitted,
+         |    'undecodable' AS reason, cid AS dup_of FROM $undec
+         |  UNION ALL SELECT '$b', cid, FALSE, 'exact_dup', dup_of
+         |  FROM ${t}_ex_st
+         |  UNION ALL SELECT '$b', cid, FALSE, 'exact_dup', dup_of
+         |  FROM ${t}_ex_in
+         |  UNION ALL SELECT '$b', cid, FALSE, 'near_dup', dup_of
+         |  FROM ${t}_nd_st
+         |  UNION ALL SELECT '$b', cid, FALSE, 'near_dup', dup_of
+         |  FROM ${t}_nd_in
+         |  UNION ALL SELECT '$b', cid, TRUE, 'admitted', cid
+         |  FROM ${t}_adm""".stripMargin
+    s"""WITH RECURSIVE
+       |ids AS MATERIALIZED (
+       |  SELECT doc_id AS id FROM documents WHERE doc_id < 24),
+       |clips AS MATERIALIZED (
+       |  SELECT id AS cid, id AS seed, 0 AS v, 'b1' AS b FROM ids
+       |  UNION ALL SELECT id + 100, id, 0, 'b1' FROM ids WHERE id % 6 = 0
+       |  UNION ALL SELECT id + 200, id, 1, 'b1' FROM ids WHERE id % 6 = 1
+       |  UNION ALL SELECT id + 300, id, 0, 'b2' FROM ids WHERE id % 6 = 2
+       |  UNION ALL SELECT id + 400, id, 1, 'b2' FROM ids WHERE id % 6 = 3
+       |  UNION ALL SELECT id + 900, id, 1, 'b2' FROM ids WHERE id % 6 = 1
+       |  UNION ALL SELECT id + 500, id + 1000, 0, 'b2' FROM ids
+       |  WHERE id % 6 = 4
+       |  UNION ALL SELECT id + 600, id + 1000, 1, 'b2' FROM ids
+       |  WHERE id % 6 = 4
+       |  UNION ALL SELECT id + 700, id + 2000, 0, 'b2' FROM ids
+       |  WHERE id % 6 = 5),
+       |undec1 AS MATERIALIZED (SELECT id + 800 AS cid FROM ids
+       |  WHERE id % 6 = 2),
+       |undec2 AS MATERIALIZED (SELECT cid FROM clips WHERE FALSE),
+       |ct AS MATERIALIZED (
+       |  SELECT t.k // 32 AS k, t.k % 32 AS x,
+       |    ([$pHashCosLiterals])[t.k + 1] AS c
+       |  FROM range(256) t(k)),
+       |g32 AS MATERIALIZED (
+       |  SELECT cid, x.x AS x, y.y AS y,
+       |    ((seed * 31 + (y.y // 2) * 16 + (x.x // 2) * 17 +
+       |        CASE WHEN v = 1 AND x.x // 2 = 0 AND y.y // 2 = 0
+       |          THEN 9 ELSE 0 END) % 256) * 10000 AS e4
+       |  FROM clips CROSS JOIN range(32) x(x) CROSS JOIN range(32) y(y)),
+       |rowp AS MATERIALIZED (
+       |  SELECT g.cid, c.k AS u, g.y AS y,
+       |    CAST(sum(g.e4 * c.c) AS BIGINT) AS a
+       |  FROM g32 g JOIN ct c ON c.x = g.x GROUP BY 1, 2, 3),
+       |coef AS MATERIALIZED (
+       |  SELECT r.cid, c.k * 8 + r.u AS k,
+       |    CAST(sum(r.a * c.c) AS BIGINT) AS f
+       |  FROM rowp r JOIN ct c ON c.x = r.y GROUP BY 1, 2),
+       |med AS MATERIALIZED (
+       |  SELECT cid, f AS m FROM (
+       |    SELECT cid, f,
+       |      row_number() OVER (PARTITION BY cid ORDER BY f) AS rn
+       |    FROM coef WHERE k > 0) WHERE rn = 32),
+       |h AS MATERIALIZED (
+       |  SELECT c.cid,
+       |    CAST(sum(CASE WHEN c.k > 0 AND c.f > m.m THEN
+       |        CASE WHEN c.k = 63 THEN -9223372036854775808
+       |             ELSE CAST(1 AS BIGINT) << CAST(c.k AS INTEGER) END
+       |      ELSE 0 END) AS BIGINT) AS phash
+       |  FROM coef c JOIN med m USING (cid) GROUP BY c.cid),
+       |bt1 AS MATERIALIZED (SELECT cid FROM clips WHERE b = 'b1'),
+       |bt2 AS MATERIALIZED (SELECT cid FROM clips WHERE b = 'b2'),
+       |s0 AS MATERIALIZED (SELECT cid FROM clips WHERE FALSE),
+       |${replay("r1", "bt1", "s0")},
+       |s1 AS MATERIALIZED (SELECT cid FROM r1_adm),
+       |${replay("r2", "bt2", "s1")},
+       |out AS (
+       |${verdicts("r1", "b1", "undec1")}
+       |  UNION ALL
+       |${verdicts("r2", "b2", "undec2")})
+       |SELECT batch_id, CAST(id AS BIGINT) AS id, admitted, reason,
+       |  CAST(dup_of AS BIGINT) AS dup_of
+       |FROM out ORDER BY batch_id, id""".stripMargin
+  }
+
   private[probes] val queries: Map[String, Q] = Map(
+    "q160_image_increment" -> q160,
     "q159_image_semdedup" -> q159,
     "q158_audio_neardup" -> q158,
     "q153_video_neardup" -> q153,
@@ -952,6 +1134,7 @@ object MultimodalProbes {
     "q147_phash_neardup" -> q147)
 
   private[probes] val oracleSql: Map[String, String] = Map(
+    "q160_image_increment" -> q160Sql,
     "q159_image_semdedup" -> q159Sql,
     "q158_audio_neardup" -> q158Sql,
     "q153_video_neardup" -> q153Sql,

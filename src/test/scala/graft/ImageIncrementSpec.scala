@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaRecord
+import graft.pipeline.Increment
+import graft.pipeline.Increment.ImageIncrementConfig
+
+/** The image increment: a media batch curated against accumulated
+  * pHash + exact-payload state, decode-once, retry-idempotent, torn
+  * increments invisible.
+  */
+class ImageIncrementSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mix(id: Long, p: Long): Long = {
+    var z = id * 0x9E3779B97F4A7C15L + p * 0xC2B2AE3D27D4EB4FL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    (z ^ (z >>> 27)) & 0xffL
+  }
+  private def png(seed: Long, nudge: Int): Array[Byte] =
+    Multimodal.encodeGrayPixelsPng(16, 16,
+      Array.tabulate(256)(p => (mix(seed, p.toLong).toInt +
+        (if (p < 40) nudge else 0)).min(255)))
+
+  private def verdictMap(df: org.apache.spark.sql.DataFrame) =
+    df.select("id", "admitted", "reason", "dup_of")
+      .as[(Long, Boolean, String, Long)].collect()
+      .map(v => v._1 -> ((v._2, v._3, v._4))).toMap
+
+  test("image increments: bootstrap, exact/near vs state and within " +
+      "batch, retry idempotence, torn increment invisible") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_img_incr").toString
+    // b1 bootstraps the state: 1 admitted, 2 exact-dup of 1 within
+    // batch, 3 admitted, 9 undecodable
+    val shared = png(1, 0)
+    val b1 = Seq(
+      MediaRecord(1L, shared, "image/png"),
+      MediaRecord(2L, shared, "image/png"),
+      MediaRecord(3L, png(3, 0), "image/png"),
+      MediaRecord(9L, Array[Byte](7), "image/png"))
+    val r1 = Increment.curateImageIncrement(b1.toDS(), dir, "b1")
+    val v1 = verdictMap(r1.ledger)
+    assert(v1(1L) == ((true, "admitted", 1L)))
+    assert(v1(2L) == ((false, "exact_dup", 1L)))
+    assert(v1(3L) == ((true, "admitted", 3L)))
+    assert(v1(9L) == ((false, "undecodable", 9L)))
+    // b2 against state: 10 exact-dup of stored 1; 11 pHash near-dup of
+    // stored 3; 20/21 within-batch near pair; 30 fresh
+    val b2 = Seq(
+      MediaRecord(10L, shared, "image/png"),
+      MediaRecord(11L, png(3, 7), "image/png"),
+      MediaRecord(20L, png(20, 0), "image/png"),
+      MediaRecord(21L, png(20, 7), "image/png"),
+      MediaRecord(30L, png(30, 0), "image/png"))
+    val r2 = Increment.curateImageIncrement(b2.toDS(), dir, "b2")
+    val v2 = verdictMap(r2.ledger)
+    assert(v2(10L) == ((false, "exact_dup", 1L)))
+    assert(v2(11L) == ((false, "near_dup", 3L)))
+    assert(v2(20L) == ((true, "admitted", 20L)))
+    assert(v2(21L) == ((false, "near_dup", 20L)))
+    assert(v2(30L) == ((true, "admitted", 30L)))
+    // retry of b2: identical verdicts, partitions replaced not doubled
+    val again = verdictMap(
+      Increment.curateImageIncrement(b2.toDS(), dir, "b2").ledger)
+    assert(again == v2)
+    assert(Increment.readLedger(spark, dir)
+      .filter(col("batch_id") === "b2").count() == b2.size)
+    // b3 near-dups an id ADMITTED BY b2 (state accumulated across
+    // increments)
+    val r3 = Increment.curateImageIncrement(
+      Seq(MediaRecord(40L, png(20, 3), "image/png")).toDS(), dir, "b3")
+    assert(verdictMap(r3.ledger)(40L) == ((false, "near_dup", 20L)))
+    // torn increment: drop b3's pHash meta marker — invisible to reads,
+    // and a re-ingest of its docs under a new id admits fresh
+    val fsys = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val r4 = Increment.curateImageIncrement(
+      Seq(MediaRecord(50L, png(50, 0), "image/png")).toDS(), dir, "b4")
+    assert(verdictMap(r4.ledger)(50L)._1)
+    fsys.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/phash/meta/batch_id=b4"), true)
+    assert(Increment.readLedger(spark, dir)
+      .filter(col("batch_id") === "b4").count() == 0)
+    val r5 = Increment.curateImageIncrement(
+      Seq(MediaRecord(51L, png(50, 0), "image/png")).toDS(), dir, "b5")
+    assert(verdictMap(r5.ledger)(51L) == ((true, "admitted", 51L)))
+    // metrics: per-committed-batch funnel rows accumulate
+    val m = Increment.readMetrics(spark, dir)
+      .select("batch_id", "stage", "rows")
+      .as[(String, String, Long)].collect().toSet
+    assert(m.map(_._1) == Set("b1", "b2", "b3", "b5"))
+    assert(m.contains(("b1", "ingest", 4L)) &&
+      m.contains(("b1", "near_dup", 2L)))
+  }
+}
