@@ -657,9 +657,11 @@ object DedupProbes {
     // fixture-bounded: 16 docs (12 + 4 clones) per report.
     // The key carries a DATA fingerprint (ADVICE r14): fixture data
     // regenerated under the same path in-session invalidates the memo —
-    // one bounded order-independent agg over the 16-doc fixture.
+    // one bounded order-independent agg over the 16-doc fixture
+    // (bit_xor, not sum: summing full-range xxhash64 longs overflows
+    // under ANSI mode).
     val fp = plantedSuffixCorpus(s, d)
-      .agg(sum(xxhash64(col("doc_id"), col("text"))))
+      .agg(expr("bit_xor(xxhash64(doc_id, text))"))
       .head().getLong(0)
     val (schema, rows) = suffixReportCache.getOrElseUpdate((d, sharded, fp), {
       val planted = plantedSuffixCorpus(s, d)
