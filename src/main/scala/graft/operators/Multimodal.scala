@@ -748,6 +748,52 @@ object Multimodal {
     writePhashSigParts(sigs, spark, dir, readPhashMeta(spark, dir),
       overwrite = false, batchId = batchId)
 
+  /** Append PRE-COMPUTED distinct fingerprints (id, fp) — the image
+    * increment discipline for the audio family. */
+  private[graft] def appendAudioFps(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String, fps: DataFrame,
+                                    batchId: String): Unit = {
+    val (wf, k, st, q) = readAudioMeta(spark, dir)
+    writeAudioFpParts(fps, spark, dir, wf, k, st, q,
+      overwrite = false, batchId = batchId)
+  }
+
+  /** Create a FRESH audio index from pre-computed fingerprints under an
+    * arbitrary first batch id (the increment's bootstrap). */
+  private[graft] def writeAudioFpIndex(spark: org.apache.spark.sql.SparkSession,
+                                       fps: DataFrame, dir: String,
+                                       windowFrames: Int, k: Int,
+                                       stride: Int, quantE4: Long,
+                                       batchId: String): Unit =
+    writeAudioFpParts(fps, spark, dir, windowFrames, k, stride, quantE4,
+      overwrite = true, batchId = batchId)
+
+  private def writeAudioFpParts(fps0: DataFrame,
+                                spark: org.apache.spark.sql.SparkSession,
+                                dir: String, windowFrames: Int, k: Int,
+                                stride: Int, quantE4: Long,
+                                overwrite: Boolean,
+                                batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId != "__HIVE_DEFAULT_PARTITION__",
+      s"audio index: invalid batch id '$batchId'")
+    def writer(d: DataFrame) =
+      d.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .option("partitionOverwriteMode",
+          if (overwrite) "static" else "dynamic")
+    val fps = fps0.select(col("id"), col("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      writer(fps).parquet(s"$dir/fps")
+      writer(fps.groupBy("id").agg(count(lit(1)).as("nfp")))
+        .parquet(s"$dir/sizes")
+      writer(spark.range(1)
+          .select(lit(windowFrames).as("window_frames"), lit(k).as("k"),
+            lit(stride).as("stride"), lit(quantE4).as("quant_e4")))
+        .parquet(s"$dir/meta")
+    } finally fps.unpersist()
+  }
+
   /** Create a FRESH index from pre-computed signatures under an
     * arbitrary first batch id (the image increment's bootstrap). */
   private[graft] def writePhashSigIndex(spark: org.apache.spark.sql.SparkSession,
@@ -1270,27 +1316,12 @@ object Multimodal {
   private def writeAudioParts(ds: Dataset[MediaRecord], dir: String,
                               windowFrames: Int, k: Int, stride: Int,
                               quantE4: Long,
-                              overwrite: Boolean, batchId: String): Unit = {
-    require(batchId.nonEmpty && batchId != "__HIVE_DEFAULT_PARTITION__",
-      s"audio index: invalid batch id '$batchId'")
-    def writer(d: DataFrame) =
-      d.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").partitionBy("batch_id")
-        .option("partitionOverwriteMode",
-          if (overwrite) "static" else "dynamic")
-    val fps = audioFingerprints(ds, windowFrames, k, stride, quantE4).toDF()
-      .select(col("media_id").as("id"), col("fp")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      writer(fps).parquet(s"$dir/fps")
-      writer(fps.groupBy("id").agg(count(lit(1)).as("nfp")))
-        .parquet(s"$dir/sizes")
-      writer(ds.sparkSession.range(1)
-          .select(lit(windowFrames).as("window_frames"), lit(k).as("k"),
-            lit(stride).as("stride"), lit(quantE4).as("quant_e4")))
-        .parquet(s"$dir/meta")
-    } finally fps.unpersist()
-  }
+                              overwrite: Boolean, batchId: String): Unit =
+    writeAudioFpParts(
+      audioFingerprints(ds, windowFrames, k, stride, quantE4).toDF()
+        .select(col("media_id").as("id"), col("fp")).distinct(),
+      ds.sparkSession, dir, windowFrames, k, stride, quantE4,
+      overwrite, batchId)
 
   private[graft] def readAudioMeta(spark: org.apache.spark.sql.SparkSession,
                                    dir: String): (Int, Int, Int, Long) = {
@@ -1315,12 +1346,32 @@ object Multimodal {
   def audioNearDupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                                dir: String, newMedia: Dataset[MediaRecord],
                                minMatchE4: Long = 5000L,
-                               maxFpDocFreq: Long = 1000L): DataFrame = {
+                               maxFpDocFreq: Long = 1000L,
+                               excludeBatch: Option[String] = None)
+      : DataFrame = {
     val (wf, k, st, q) = readAudioMeta(spark, dir)
-    val committed = spark.read.parquet(s"$dir/meta")
+    audioSigsNearDupAgainstIndex(spark, dir,
+      audioFingerprints(newMedia, wf, k, st, q).toDF()
+        .select(col("media_id").as("id_new"), col("fp")).distinct(),
+      minMatchE4, maxFpDocFreq, excludeBatch)
+  }
+
+  /** [[audioNearDupAgainstIndex]] over PRE-COMPUTED distinct new-side
+    * fingerprints (id_new, fp) — the decode-once seam; `excludeBatch`
+    * hides the named committed batch (the increment retry's pre-batch
+    * view).
+    */
+  private[graft] def audioSigsNearDupAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      newFps: DataFrame, minMatchE4: Long = 5000L,
+      maxFpDocFreq: Long = 1000L,
+      excludeBatch: Option[String] = None): DataFrame = {
+    val committed0 = spark.read.parquet(s"$dir/meta")
       .select("batch_id").distinct()
-    val nfps = audioFingerprints(newMedia, wf, k, st, q).toDF()
-      .select(col("media_id").as("id_new"), col("fp")).distinct()
+    val committed = excludeBatch
+      .map(b => committed0.filter(col("batch_id") =!= b))
+      .getOrElse(committed0)
+    val nfps = newFps
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val ofps = spark.read.parquet(s"$dir/fps")

@@ -85,6 +85,72 @@ class AudioFpSpec extends SparkSpec {
     assert(uncapped.count() == 6) // all 4C2 constant clips pair
   }
 
+  test("audio increment: bootstrap, exact/near vs state and within " +
+      "batch, retry idempotence, torn increment invisible") {
+    import graft.pipeline.Increment
+    import graft.pipeline.Increment.AudioIncrementConfig
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_audio_incr").toString
+    val cfg = AudioIncrementConfig(windowFrames = 50, k = 8, stride = 1)
+    // b1 bootstraps: 1 admitted, 2 byte-identical to 1 (exact within),
+    // 3 admitted, 9 unfingerprintable
+    val c1 = clip(1L, 24)
+    val b1 = Seq(c1,
+      MediaRecord(2L, c1.media, "audio/wav"),
+      clip(3L, 24),
+      MediaRecord(9L, "junk".getBytes("UTF-8"), "audio/wav"))
+    val r1 = Increment.curateAudioIncrement(b1.toDS(), dir, "b1", cfg)
+    val m1 = r1.ledger.select("id", "admitted", "reason", "dup_of")
+      .as[(Long, Boolean, String, Long)].collect()
+      .map(v => v._1 -> ((v._2, v._3, v._4))).toMap
+    assert(m1(1L) == ((true, "admitted", 1L)))
+    assert(m1(2L) == ((false, "exact_dup", 1L)))
+    assert(m1(3L) == ((true, "admitted", 3L)))
+    assert(m1(9L) == ((false, "no_fingerprint", 9L)))
+    // b2: 10 byte-identical to stored 1 (exact vs state); 11 gain-2
+    // re-encode of stored 3 (near vs state, not exact); 20/21 a
+    // within-batch near pair (gain twins); 30 fresh
+    val c20 = clip(20L, 24)
+    val b2 = Seq(
+      MediaRecord(10L, c1.media, "audio/wav"),
+      clip(11L, 24, gain = 2, src = 3L),
+      c20,
+      clip(21L, 24, gain = 2, src = 20L),
+      clip(30L, 24))
+    def runB2() = Increment.curateAudioIncrement(b2.toDS(), dir, "b2", cfg)
+      .ledger.select("id", "admitted", "reason", "dup_of")
+      .as[(Long, Boolean, String, Long)].collect()
+      .map(v => v._1 -> ((v._2, v._3, v._4))).toMap
+    val m2 = runB2()
+    assert(m2(10L) == ((false, "exact_dup", 1L)))
+    assert(m2(11L) == ((false, "near_dup", 3L)))
+    assert(m2(20L) == ((true, "admitted", 20L)))
+    assert(m2(21L) == ((false, "near_dup", 20L)))
+    assert(m2(30L) == ((true, "admitted", 30L)))
+    // retry replays identically
+    assert(runB2() == m2)
+    // state accumulated: b3 near-dups b2's admitted 20
+    val r3 = Increment.curateAudioIncrement(
+      Seq(clip(40L, 24, fromWindow = 4, src = 20L)).toDS(), dir, "b3", cfg)
+    assert(r3.ledger.filter(col("id") === 40L)
+      .select("reason", "dup_of").as[(String, Long)].head()
+      == (("near_dup", 20L)))
+    // torn increment invisible: drop b3's audio meta marker
+    val fsys = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/audio/meta/batch_id=b3"), true)
+    assert(Increment.readLedger(spark, dir)
+      .filter(col("batch_id") === "b3").count() == 0)
+    val r4 = Increment.curateAudioIncrement(
+      Seq(clip(41L, 24, fromWindow = 4, src = 20L)).toDS(), dir, "b4", cfg)
+    assert(r4.ledger.filter(col("id") === 41L)
+      .select("reason").as[String].head() == "near_dup")
+    assert(Increment.readMetrics(spark, dir)
+      .select("batch_id").distinct().as[String].collect().toSet
+      == Set("b1", "b2", "b4"))
+  }
+
   test("audio index lifecycle: serve-vs-batch parity, idempotent append, " +
       "torn batch invisible, compaction bit-identical") {
     import graft.pipeline.{Maintain, Restore}
