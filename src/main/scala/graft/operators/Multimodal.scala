@@ -1920,13 +1920,29 @@ object Multimodal {
   def videoNearDupPairsManaged(ds: Dataset[MediaRecord],
                                maxHamming: Int = 3, nBands: Int = 4,
                                minSimE4: Long = 5000L): graft.core.Managed = {
+    val hashes = videoKeyframePhash(ds).toDF()
+      .filter(col("phash") =!= -1L && col("frame_idx") >= 0L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Managed(
+      videoFramesNearDupPairs(hashes, maxHamming, nBands, minSimE4),
+      Seq(hashes))
+  }
+
+  /** The [[videoNearDupPairs]] algebra over PRE-COMPUTED valid frame
+    * rows (media_id, frame_idx, phash) — the decode-once seam the video
+    * increment's within-batch stage shares with the media-input form.
+    * Caller owns persistence of `hashes` (it is scanned three times:
+    * sizes, each join side).
+    */
+  private[graft] def videoFramesNearDupPairs(hashes: DataFrame,
+                                             maxHamming: Int = 3,
+                                             nBands: Int = 4,
+                                             minSimE4: Long = 5000L)
+      : DataFrame = {
     require(nBands > 0 && 64 % nBands == 0,
       s"band count ($nBands) must divide 64")
     require(maxHamming < nBands,
       s"pigeonhole over $nBands bands needs maxHamming < $nBands")
-    val hashes = videoKeyframePhash(ds).toDF()
-      .filter(col("phash") =!= -1L && col("frame_idx") >= 0L)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nFrames = hashes.groupBy(col("media_id"))
       .agg(count(lit(1)).as("nf"))
     val banded = phashBandRows(hashes, nBands)
@@ -1953,6 +1969,172 @@ object Multimodal {
           (col("na") + col("nb")), 4))
       .filter(col("sim_e4") >= minSimE4)
       .select("idA", "idB", "matched_a", "matched_b", "sim_e4")
-    graft.core.Managed(out, Seq(hashes))
+    out
+  }
+
+  // ---- video keyframe index (round 15): the SEVENTH lifecycle member ------
+
+  /** Persist a corpus snapshot's keyframe pHashes — the VIDEO member of
+    * the index-lifecycle family ([[writePhashIndex]] for images,
+    * `writeAudioFpIndex` for clips): an incremental video ingest must
+    * not re-parse and re-decode the accumulated corpus per batch; each
+    * new snapshot decodes ONCE and joins only matching (band, bits)
+    * frame rows against stored signatures
+    * ([[videoNearDupAgainstIndex]]). At 100 TB of video the old corpus
+    * is read-never for its samples — only 8 B/keyframe of signature
+    * moves.
+    *
+    * Layout: `dir/frames` (id, frame_idx, phash — decodable keyframes
+    * only), `dir/sizes` (id, nf — the temporal-Jaccard denominator),
+    * `dir/meta` (n_bands — the banding the hamming cut is exact under;
+    * checked on read). All partitioned by `batch_id` with the meta row
+    * as COMMIT MARKER (the pHash/audio contract): retries of a FAILED
+    * append reuse their batch id under dynamic overwrite (replaced,
+    * never doubled); readers see only committed batches. Unparseable
+    * payloads and undecodable frames (marker rows −1) are excluded at
+    * write — they can never pair.
+    */
+  def writeVideoIndex(ds: Dataset[MediaRecord], dir: String,
+                      nBands: Int = 4): Unit = {
+    require(nBands > 0 && 64 % nBands == 0,
+      s"writeVideoIndex: band count ($nBands) must divide 64")
+    writeVideoFrameParts(validVideoFrames(ds), ds.sparkSession, dir,
+      nBands, overwrite = true, batchId = "base")
+  }
+
+  /** Fold a new batch's keyframe hashes into an existing index (append —
+    * no old data read or rewritten). Caller contract: batch ids disjoint
+    * from indexed ids; retries of a FAILED append reuse `batchId`.
+    */
+  def appendToVideoIndex(spark: SparkSession, dir: String,
+                         ds: Dataset[MediaRecord], batchId: String): Unit =
+    writeVideoFrameParts(validVideoFrames(ds), spark, dir,
+      readVideoMeta(spark, dir), overwrite = false, batchId = batchId)
+
+  /** Append PRE-COMPUTED valid frame rows (id, frame_idx, phash) — the
+    * decode-once seam for the video increment funnel; same layout and
+    * commit contract as [[appendToVideoIndex]].
+    */
+  private[graft] def appendVideoFrames(spark: SparkSession, dir: String,
+                                       frames: DataFrame,
+                                       batchId: String): Unit =
+    writeVideoFrameParts(frames, spark, dir, readVideoMeta(spark, dir),
+      overwrite = false, batchId = batchId)
+
+  /** Create a FRESH index from pre-computed valid frame rows under an
+    * arbitrary first batch id (the video increment's bootstrap). */
+  private[graft] def writeVideoFrameIndex(spark: SparkSession,
+                                          frames: DataFrame, dir: String,
+                                          nBands: Int,
+                                          batchId: String): Unit =
+    writeVideoFrameParts(frames, spark, dir, nBands,
+      overwrite = true, batchId = batchId)
+
+  /** Decodable keyframe hashes of a media set, marker rows dropped. */
+  private def validVideoFrames(ds: Dataset[MediaRecord]): DataFrame =
+    videoKeyframePhash(ds).toDF()
+      .filter(col("phash") =!= -1L && col("frame_idx") >= 0L)
+      .select(col("media_id").as("id"), col("frame_idx"), col("phash"))
+
+  private def writeVideoFrameParts(frames0: DataFrame, spark: SparkSession,
+                                   dir: String, nBands: Int,
+                                   overwrite: Boolean,
+                                   batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId != "__HIVE_DEFAULT_PARTITION__",
+      s"video index: invalid batch id '$batchId'")
+    def writer(d: DataFrame) =
+      d.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .option("partitionOverwriteMode",
+          if (overwrite) "static" else "dynamic")
+    val frames = frames0.select(col("id"), col("frame_idx"), col("phash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      writer(frames).parquet(s"$dir/frames")
+      writer(frames.groupBy("id").agg(count(lit(1)).as("nf")))
+        .parquet(s"$dir/sizes")
+      writer(spark.range(1).select(lit(nBands).as("n_bands")))
+        .parquet(s"$dir/meta")
+    } finally frames.unpersist()
+  }
+
+  private[graft] def readVideoMeta(spark: SparkSession, dir: String): Int = {
+    val rows = spark.read.parquet(s"$dir/meta")
+      .select("n_bands").distinct().collect()
+    require(rows.length == 1,
+      s"video index at $dir: inconsistent banding across batches " +
+        s"(${rows.length} distinct n_bands rows)")
+    rows(0).getAs[Int]("n_bands")
+  }
+
+  /** Near-dup pairs of NEW videos against the indexed corpus:
+    * (id_new, id_old, matched_new, matched_old, sim_e4) — the
+    * [[videoNearDupPairs]] temporal algebra with the old side served
+    * from stored signatures (committed batches only). The batch parses
+    * and hashes ONCE; the only corpus-sized work is the (band, bits)
+    * frame equi join and the exact hamming verify — EXACT for
+    * maxHamming < n_bands (pigeonhole), which is required. New×new
+    * pairs are deliberately not emitted ([[videoNearDupPairs]] the
+    * batch first if needed).
+    */
+  def videoNearDupAgainstIndex(spark: SparkSession, dir: String,
+                               newMedia: Dataset[MediaRecord],
+                               maxHamming: Int = 3, minSimE4: Long = 5000L,
+                               excludeBatch: Option[String] = None)
+      : DataFrame =
+    videoFramesNearDupAgainstIndex(spark, dir, validVideoFrames(newMedia)
+        .select(col("id").as("id_new"), col("frame_idx"), col("phash")),
+      maxHamming, minSimE4, excludeBatch)
+
+  /** [[videoNearDupAgainstIndex]] over PRE-COMPUTED valid new-side frame
+    * rows (id_new, frame_idx, phash) — the decode-once seam.
+    * `excludeBatch` hides the named committed batch (the increment
+    * retry's pre-batch view).
+    */
+  private[graft] def videoFramesNearDupAgainstIndex(
+      spark: SparkSession, dir: String, newFrames: DataFrame,
+      maxHamming: Int = 3, minSimE4: Long = 5000L,
+      excludeBatch: Option[String] = None): DataFrame = {
+    val nBands = readVideoMeta(spark, dir)
+    require(maxHamming < nBands,
+      s"videoNearDupAgainstIndex: pigeonhole over $nBands bands is exact " +
+        s"only for maxHamming ($maxHamming) < n_bands")
+    val committed0 = spark.read.parquet(s"$dir/meta")
+      .select("batch_id").distinct()
+    val committed = excludeBatch
+      .map(b => committed0.filter(col("batch_id") =!= b))
+      .getOrElse(committed0)
+    val nfr = newFrames
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nb = phashBandRows(nfr, nBands)
+        .select(col("id_new"), col("frame_idx").as("fi_new"),
+          col("phash").as("h_new"), col("band"), col("bits"))
+      val ob = phashBandRows(spark.read.parquet(s"$dir/frames")
+          .join(broadcast(committed), Seq("batch_id"), "left_semi")
+          .select(col("id").as("id_old"), col("frame_idx"), col("phash")),
+          nBands)
+        .select(col("id_old"), col("frame_idx").as("fi_old"),
+          col("phash").as("h_old"), col("band"), col("bits"))
+      val framePairs = nb.join(ob, Seq("band", "bits"))
+        .filter(col("id_new") =!= col("id_old"))
+        .filter(expr("CAST(bit_count(h_new ^ h_old) AS BIGINT)")
+          <= maxHamming)
+        .select("id_new", "fi_new", "id_old", "fi_old").distinct()
+      val agg = framePairs.groupBy("id_new", "id_old")
+        .agg(countDistinct(col("fi_new")).as("matched_new"),
+          countDistinct(col("fi_old")).as("matched_old"))
+      val nsz = nfr.groupBy("id_new").agg(count(lit(1)).as("na"))
+      val osz = spark.read.parquet(s"$dir/sizes")
+        .join(broadcast(committed), Seq("batch_id"), "left_semi")
+        .select(col("id").as("id_old"), col("nf").as("nb"))
+      agg.join(nsz, "id_new").join(osz, "id_old")
+        .withColumn("sim_e4", graft.core.Ops.fixedPoint(
+          (col("matched_new") + col("matched_old")) * lit(1.0) /
+            (col("na") + col("nb")), 4))
+        .filter(col("sim_e4") >= minSimE4)
+        .select("id_new", "id_old", "matched_new", "matched_old", "sim_e4")
+        .localCheckpoint(eager = true)
+    } finally nfr.unpersist()
   }
 }

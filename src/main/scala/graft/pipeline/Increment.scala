@@ -295,16 +295,16 @@ object Increment {
 
   /** A state table restricted to committed batches — the commit-marker
     * index is whichever modality's lives here (text: minhash meta;
-    * image: phash meta; audio: audio meta).
+    * image: phash meta; audio: audio meta; video: video meta).
     */
   private def committedTable(spark: SparkSession, stateDir: String,
                              sub: String): DataFrame = {
     val f = fs(spark, stateDir)
-    val markers = Seq("minhash", "phash", "audio")
+    val markers = Seq("minhash", "phash", "audio", "video")
       .map(m => s"$stateDir/$m/meta")
       .find(p => f.exists(new org.apache.hadoop.fs.Path(p)))
       .getOrElse(throw new IllegalStateException(
-        s"no increment state (minhash/phash/audio meta) at $stateDir"))
+        s"no increment state (minhash/phash/audio/video meta) at $stateDir"))
     val committed = spark.read.parquet(markers)
       .select("batch_id").distinct()
     spark.read.parquet(s"$stateDir/$sub")
@@ -672,6 +672,167 @@ object Increment {
         graft.operators.Multimodal.writeAudioFpIndex(spark, admFps,
           s"$stateDir/audio", cfg.windowFrames, cfg.k, cfg.stride,
           cfg.quantE4, batchId)
+    }
+    IncrementResult(ledger, admitted.select("id"), counts.toSeq)
+  }
+
+  // ---- the VIDEO twin: batch vs persisted keyframe + exact state ---------
+
+  /** The video gate dials ([[graft.operators.Multimodal
+    * .videoNearDupPairs]] parameters).
+    */
+  case class VideoIncrementConfig(maxHamming: Int = 3, nBands: Int = 4,
+                                  minSimE4: Long = 5000L)
+
+  /** Video state exists iff the keyframe index has its meta marker. */
+  def videoStateExists(spark: SparkSession, stateDir: String): Boolean =
+    fs(spark, stateDir).exists(
+      new org.apache.hadoop.fs.Path(s"$stateDir/video/meta"))
+
+  /** The video increment — the FOURTH modality twin of
+    * [[curateIncrement]]/[[curateImageIncrement]]/
+    * [[curateAudioIncrement]], completing the batch-vs-accumulated-state
+    * symmetry: parse + keyframe-hash ONCE, verdict order no_frames
+    * (unparseable MP4 or zero decodable keyframes — such payloads can
+    * never pair) → exact payload key vs state then within batch →
+    * keyframe near-dup (temporal Jaccard over banded frame matches) vs
+    * committed state with min-old-parent → within-batch pairs +
+    * components; admitted frame rows append under `batchId` with the
+    * video META partition as the increment's commit marker. Retry/torn
+    * contracts as in the siblings: every against-state read excludes the
+    * batch's own partitions (the pre-batch view), so a retry recomputes
+    * identical verdicts and replaces its partitions bit-identically.
+    */
+  def curateVideoIncrement(batch: org.apache.spark.sql.Dataset[
+        graft.operators.Multimodal.MediaRecord],
+      stateDir: String, batchId: String,
+      cfg: VideoIncrementConfig = VideoIncrementConfig())
+      : IncrementResult = {
+    require(batchId.nonEmpty && batchId != "base" &&
+        batchId != "__HIVE_DEFAULT_PARTITION__",
+      s"curateVideoIncrement: invalid batch id '$batchId'")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val haveState = videoStateExists(spark, stateDir)
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val led = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def stage(name: String, c: Long): Unit = counts += ((name, c))
+    def rejectPiece(ids: DataFrame, reason: String): Unit =
+      led += ids.select(col("id").cast("long").as("id"),
+          lit(false).as("admitted"), lit(reason).as("reason"),
+          coalesce(col("__dup_of"), col("id")).cast("long").as("dup_of"))
+        .localCheckpoint(eager = true)
+
+    // one pass over payload bytes: md5 key + keyframe hashes
+    val keys = batch.mapPartitions { it =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+        it.map { r =>
+          d.reset()
+          (r.media_id,
+            d.digest(r.media).map(b => f"${b & 0xff}%02x").mkString)
+        }
+      }.toDF("id", "__md5").localCheckpoint(eager = true)
+    stage("ingest", keys.count())
+    val frames = graft.operators.Multimodal.videoKeyframePhash(batch).toDF()
+      .filter(col("phash") =!= -1L && col("frame_idx") >= 0L)
+      .select(col("media_id").as("id"), col("frame_idx"), col("phash"))
+      .localCheckpoint(eager = true)
+    val framed = frames.select("id").distinct()
+    val decoded = keys.join(framed, Seq("id"), "left_semi")
+      .localCheckpoint(eager = true)
+    stage("keyframes", decoded.count())
+    rejectPiece(keys.join(framed, Seq("id"), "left_anti")
+      .select(col("id"), lit(null).cast("long").as("__dup_of")),
+      "no_frames")
+
+    // exact payload dedup: against state, then within batch
+    val afterExactState =
+      if (!haveState) decoded
+      else {
+        val stateKeys = readMarkedExactKeys(spark, stateDir, "video",
+          batchId)
+        val hits = decoded.join(
+            stateKeys.select(col("key").as("__md5"),
+              col("id").as("__dup_of")), Seq("__md5"))
+          .localCheckpoint(eager = true)
+        rejectPiece(hits.select(col("id"), col("__dup_of")), "exact_dup")
+        decoded.join(hits.select("id"), Seq("id"), "left_anti")
+      }
+    val keeper = afterExactState.groupBy("__md5")
+      .agg(min(col("id")).as("__keep"))
+    val withKeep = afterExactState.join(keeper, Seq("__md5"))
+      .localCheckpoint(eager = true)
+    rejectPiece(withKeep.filter(col("id") =!= col("__keep"))
+      .select(col("id"), col("__keep").as("__dup_of")), "exact_dup")
+    val exact = withKeep.filter(col("id") === col("__keep"))
+      .select("id", "__md5").localCheckpoint(eager = true)
+    stage("exact_dedup", exact.count())
+    val exactFrames = frames.join(exact.select("id"), Seq("id"), "left_semi")
+      .localCheckpoint(eager = true)
+
+    // keyframe near-dup: against state, then within batch
+    val afterOld =
+      if (!haveState) exact
+      else {
+        val hits = graft.operators.Multimodal
+          .videoFramesNearDupAgainstIndex(spark, s"$stateDir/video",
+            exactFrames.select(col("id").as("id_new"), col("frame_idx"),
+              col("phash")),
+            cfg.maxHamming, cfg.minSimE4, excludeBatch = Some(batchId))
+          .groupBy("id_new").agg(min(col("id_old")).as("__dup_of"))
+          .select(col("id_new").as("id"), col("__dup_of"))
+          .localCheckpoint(eager = true)
+        rejectPiece(hits, "near_dup")
+        exact.join(hits.select("id"), Seq("id"), "left_anti")
+          .localCheckpoint(eager = true)
+      }
+    // within-batch pairs from the SAME frame hashes (decode-once): the
+    // videoNearDupPairs algebra on the survivor subset
+    val sframes = exactFrames
+      .join(afterOld.select("id"), Seq("id"), "left_semi")
+      .select(col("id").as("media_id"), col("frame_idx"), col("phash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = graft.operators.Multimodal.videoFramesNearDupPairs(
+        sframes, cfg.maxHamming, cfg.nBands, cfg.minSimE4)
+      .select("idA", "idB")
+    val compM = Dedup.connectedComponentsManaged(edges)
+    val victims = compM.df.filter(col("id") =!= col("label"))
+      .select(col("id"), col("label").as("__dup_of"))
+      .localCheckpoint(eager = true)
+    compM.close(); sframes.unpersist()
+    rejectPiece(victims, "near_dup")
+    val admitted = afterOld
+      .join(victims.select("id"), Seq("id"), "left_anti")
+      .localCheckpoint(eager = true)
+    stage("near_dup", admitted.count())
+    led += admitted.select(col("id"), lit(true).as("admitted"),
+        lit("admitted").as("reason"), col("id").as("dup_of"))
+      .localCheckpoint(eager = true)
+
+    // persist: keys → ledger → metrics → video META (the marker)
+    val ledger = led.reduce(_ unionByName _)
+      .select(col("id"), col("admitted"), col("reason"), col("dup_of"))
+      .localCheckpoint(eager = true)
+    val nLed = ledger.count()
+    require(nLed == counts.head._2,
+      s"curateVideoIncrement: ledger rows $nLed != batch ${counts.head._2}")
+    def writer(df: DataFrame, path: String): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic").parquet(path)
+    if (haveState || admitted.head(1).nonEmpty) {
+      writeExactKeyRows(admitted.select(col("__md5").as("key"), col("id")),
+        s"$stateDir/exact", batchId)
+      writer(ledger, s"$stateDir/ledger")
+      writer(counts.toSeq.toDF("stage", "rows"), s"$stateDir/metrics")
+      val admFrames = exactFrames.join(admitted.select("id"), Seq("id"),
+        "left_semi")
+      if (haveState)
+        graft.operators.Multimodal.appendVideoFrames(spark,
+          s"$stateDir/video", admFrames, batchId)
+      else
+        graft.operators.Multimodal.writeVideoFrameIndex(spark, admFrames,
+          s"$stateDir/video", cfg.nBands, batchId)
     }
     IncrementResult(ledger, admitted.select("id"), counts.toSeq)
   }

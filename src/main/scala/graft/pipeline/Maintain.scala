@@ -434,6 +434,52 @@ object Maintain {
     }
   }
 
+  // ---- video keyframes: batch compaction ----------------------------------
+
+  /** Same trigger as [[phashDecision]] over the video-index meta
+    * partitions.
+    */
+  def videoDecision(spark: SparkSession, dir: String,
+                    maxBatches: Int = 16): Decision = {
+    val n = committedBatches(spark, dir).count()
+    Decision("video", if (n > maxBatches) "compact" else "none", n,
+      maxBatches, s"$n committed batches")
+  }
+
+  /** Merge committed video-keyframe batches into one `base` batch in a
+    * new published version: frame and size rows pass through verbatim
+    * (ids are disjoint across batches by the append contract); the meta
+    * re-states the n_bands the committed batches pinned. Bit-identical
+    * serving, spec-pinned ([[graft.operators.Multimodal
+    * .videoNearDupAgainstIndex]] derives bands from signatures, so
+    * there is nothing else to merge).
+    */
+  def videoCompact(spark: SparkSession, warehouse: String, db: String,
+                   token: String): org.apache.hadoop.fs.Path = {
+    val cur = Restore.resolveVersioned(spark, warehouse, db)
+      .getOrElse(throw new IllegalStateException(
+        s"videoCompact: no current version of $db under $warehouse"))
+    val committed = committedBatches(spark, cur.toString)
+    val nBands =
+      graft.operators.Multimodal.readVideoMeta(spark, cur.toString)
+    val frames = spark.read.parquet(s"$cur/frames")
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+      .select("id", "frame_idx", "phash")
+    val sizes = spark.read.parquet(s"$cur/sizes")
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+      .select("id", "nf")
+    Restore.publishVersionedDir(spark, warehouse, db, token) { vdir =>
+      def writer(df: DataFrame) =
+        df.withColumn("batch_id", lit("base"))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .option("partitionOverwriteMode", "static")
+      writer(frames).parquet(s"$vdir/frames")
+      writer(sizes).parquet(s"$vdir/sizes")
+      writer(spark.range(1).select(lit(nBands).as("n_bands")))
+        .parquet(s"$vdir/meta")
+    }
+  }
+
   // ---- kNN graph: append-staleness retrain + degree compaction ----------
 
   /** Committed graph-append batches: a batch's `vectors_batches`

@@ -1115,7 +1115,207 @@ object MultimodalProbes {
        |FROM out ORDER BY batch_id, id""".stripMargin
   }
 
+  // ---- q161 video increment vs persisted keyframe + exact state ----------
+  // Increment.curateVideoIncrement twice over (b1 bootstraps the state,
+  // b2 runs against it, then b2 RERUNS under the same batch id — the
+  // q157/q160 idempotence-through-the-oracle discipline). Videos are the
+  // q153 3-keyframe MP4s with lossless PNG samples: frame f of clip
+  // (seed, v) has pixel (x,y) = (seed*31 + f*53 + y*16 + x*17 + nudge)
+  // % 256, nudge = 9 at (0,0) of frame 0 when v = 1 — frame 0 then
+  // near-matches (hamming <= 3) while frames 1..2 stay exact, so a
+  // (seed,0)/(seed,1) pair temporal-Jaccards at 1e4 >= the 5000 gate.
+  // Exact payload equality <=> identical (seed, v) (deterministic
+  // encoder over param-determined pixels). The oracle replays the q153
+  // per-frame pHash chain, aggregates brute-force frame pairs into the
+  // symmetric near-match Jaccard (exact: the band join is a verified
+  // superset), and replays the funnel per batch. Planted per src id:
+  // %6==0 exact-within-b1, %6==1 near-within-b1 (whose b2 echo +900
+  // then near-dups the STATE canonical — its exact key never entered
+  // state because the b1 variant was rejected), %6==2 exact-vs-state
+  // plus an unparseable payload (no_frames), %6==3 near-vs-state,
+  // %6==4 a within-b2 near pair, %6==5 fresh.
+  def q161Media(docs: org.apache.spark.sql.DataFrame, batch: String)
+      : org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    def vid(cid: Long, seed: Long, v: Int) =
+      graft.operators.Multimodal.MediaRecord(cid,
+        graft.operators.Multimodal.encodeSamplesMp4(1000, 3000,
+          (0 to 2).map(f => graft.operators.Multimodal.encodeGrayPixelsPng(
+            16, 16, Array.tabulate(256) { p =>
+              val (x, y) = (p % 16, p / 16)
+              val nudge = if (v == 1 && f == 0 && x == 0 && y == 0) 9 else 0
+              ((seed * 31 + f * 53 + y * 16 + x * 17 + nudge) % 256).toInt
+            }))),
+        "video/mp4")
+    docs.filter(col("doc_id") < 24).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        if (batch == "b1")
+          Seq(vid(id, id, 0)) ++
+            (if (id % 6 == 0) Seq(vid(id + 100, id, 0)) else Nil) ++
+            (if (id % 6 == 1) Seq(vid(id + 200, id, 1)) else Nil) ++
+            (if (id % 6 == 2) Seq(graft.operators.Multimodal.MediaRecord(
+              id + 800, s"not a video $id".getBytes("UTF-8"),
+              "text/plain")) else Nil)
+        else
+          (if (id % 6 == 2) Seq(vid(id + 300, id, 0)) else Nil) ++
+            (if (id % 6 == 3) Seq(vid(id + 400, id, 1)) else Nil) ++
+            (if (id % 6 == 1) Seq(vid(id + 900, id, 1)) else Nil) ++
+            (if (id % 6 == 4) Seq(vid(id + 500, id + 1000, 0),
+              vid(id + 600, id + 1000, 1)) else Nil) ++
+            (if (id % 6 == 5) Seq(vid(id + 700, id + 2000, 0)) else Nil)
+      }
+  }
+
+  val q161: Q = (s, d) => {
+    import graft.pipeline.Increment
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+    val dir = scratchDir("graft_q161_state")
+    Increment.curateVideoIncrement(q161Media(docs, "b1"), dir, "b1")
+    Increment.curateVideoIncrement(q161Media(docs, "b2"), dir, "b2")
+    Increment.curateVideoIncrement(q161Media(docs, "b2"), dir, "b2")
+    Increment.readLedger(s, dir)
+      .select(col("batch_id"), col("id"), col("admitted"), col("reason"),
+        col("dup_of"))
+      .orderBy("batch_id", "id")
+  }
+
+  val q161Sql: String = {
+    def replay(t: String, bt: String, st: String): String =
+      s"""${t}_ex_st AS MATERIALIZED (SELECT c.cid, min(sc.cid) AS dup_of
+         |  FROM clips c JOIN clips sc ON sc.seed = c.seed AND sc.v = c.v
+         |  WHERE c.cid IN (SELECT cid FROM $bt)
+         |    AND sc.cid IN (SELECT cid FROM $st)
+         |  GROUP BY c.cid),
+         |${t}_p1 AS MATERIALIZED (SELECT cid FROM $bt
+         |  WHERE cid NOT IN (SELECT cid FROM ${t}_ex_st)),
+         |${t}_keep AS MATERIALIZED (SELECT seed, v, min(cid) AS keep
+         |  FROM clips WHERE cid IN (SELECT cid FROM ${t}_p1)
+         |  GROUP BY seed, v),
+         |${t}_ex_in AS MATERIALIZED (SELECT c.cid, k.keep AS dup_of
+         |  FROM clips c JOIN ${t}_keep k
+         |    ON k.seed = c.seed AND k.v = c.v
+         |  WHERE c.cid IN (SELECT cid FROM ${t}_p1) AND c.cid <> k.keep),
+         |${t}_p2 AS MATERIALIZED (SELECT cid FROM ${t}_p1
+         |  WHERE cid NOT IN (SELECT cid FROM ${t}_ex_in)),
+         |${t}_nd_st AS MATERIALIZED (
+         |  SELECT v.src AS cid, min(v.dst) AS dup_of FROM vps v
+         |  WHERE v.src IN (SELECT cid FROM ${t}_p2)
+         |    AND v.dst IN (SELECT cid FROM $st)
+         |  GROUP BY v.src),
+         |${t}_p3 AS MATERIALIZED (SELECT cid FROM ${t}_p2
+         |  WHERE cid NOT IN (SELECT cid FROM ${t}_nd_st)),
+         |${t}_edges AS MATERIALIZED (
+         |  SELECT ca AS src, cb AS dst FROM vp
+         |  WHERE ca IN (SELECT cid FROM ${t}_p3)
+         |    AND cb IN (SELECT cid FROM ${t}_p3)),
+         |${t}_und AS (SELECT src, dst FROM ${t}_edges
+         |  UNION ALL SELECT dst, src FROM ${t}_edges),
+         |${t}_reach(id, r) AS (
+         |  SELECT src, src FROM ${t}_und
+         |  UNION
+         |  SELECT u.src, ${t}_reach.r FROM ${t}_und u
+         |  JOIN ${t}_reach ON ${t}_reach.id = u.dst),
+         |${t}_nd_in AS (SELECT id AS cid, min(r) AS dup_of
+         |  FROM ${t}_reach GROUP BY id HAVING id <> min(r)),
+         |${t}_adm AS MATERIALIZED (SELECT cid FROM ${t}_p3
+         |  WHERE cid NOT IN (SELECT cid FROM ${t}_nd_in))""".stripMargin
+    def verdicts(t: String, b: String, undec: String): String =
+      s"""  SELECT '$b' AS batch_id, cid AS id, FALSE AS admitted,
+         |    'no_frames' AS reason, cid AS dup_of FROM $undec
+         |  UNION ALL SELECT '$b', cid, FALSE, 'exact_dup', dup_of
+         |  FROM ${t}_ex_st
+         |  UNION ALL SELECT '$b', cid, FALSE, 'exact_dup', dup_of
+         |  FROM ${t}_ex_in
+         |  UNION ALL SELECT '$b', cid, FALSE, 'near_dup', dup_of
+         |  FROM ${t}_nd_st
+         |  UNION ALL SELECT '$b', cid, FALSE, 'near_dup', dup_of
+         |  FROM ${t}_nd_in
+         |  UNION ALL SELECT '$b', cid, TRUE, 'admitted', cid
+         |  FROM ${t}_adm""".stripMargin
+    s"""WITH RECURSIVE
+       |ids AS MATERIALIZED (
+       |  SELECT doc_id AS id FROM documents WHERE doc_id < 24),
+       |clips AS MATERIALIZED (
+       |  SELECT id AS cid, id AS seed, 0 AS v, 'b1' AS b FROM ids
+       |  UNION ALL SELECT id + 100, id, 0, 'b1' FROM ids WHERE id % 6 = 0
+       |  UNION ALL SELECT id + 200, id, 1, 'b1' FROM ids WHERE id % 6 = 1
+       |  UNION ALL SELECT id + 300, id, 0, 'b2' FROM ids WHERE id % 6 = 2
+       |  UNION ALL SELECT id + 400, id, 1, 'b2' FROM ids WHERE id % 6 = 3
+       |  UNION ALL SELECT id + 900, id, 1, 'b2' FROM ids WHERE id % 6 = 1
+       |  UNION ALL SELECT id + 500, id + 1000, 0, 'b2' FROM ids
+       |  WHERE id % 6 = 4
+       |  UNION ALL SELECT id + 600, id + 1000, 1, 'b2' FROM ids
+       |  WHERE id % 6 = 4
+       |  UNION ALL SELECT id + 700, id + 2000, 0, 'b2' FROM ids
+       |  WHERE id % 6 = 5),
+       |undec1 AS MATERIALIZED (SELECT id + 800 AS cid FROM ids
+       |  WHERE id % 6 = 2),
+       |undec2 AS MATERIALIZED (SELECT cid FROM clips WHERE FALSE),
+       |ct AS MATERIALIZED (
+       |  SELECT t.k // 32 AS k, t.k % 32 AS x,
+       |    ([$pHashCosLiterals])[t.k + 1] AS c
+       |  FROM range(256) t(k)),
+       |fr AS MATERIALIZED (
+       |  SELECT cid, seed, v, f.f AS f FROM clips, range(3) f(f)),
+       |g32 AS MATERIALIZED (
+       |  SELECT cid, f, x.x AS x, y.y AS y,
+       |    ((seed * 31 + f * 53 + (y.y // 2) * 16 + (x.x // 2) * 17 +
+       |        CASE WHEN v = 1 AND f = 0 AND x.x // 2 = 0 AND y.y // 2 = 0
+       |          THEN 9 ELSE 0 END) % 256) * 10000 AS e4
+       |  FROM fr CROSS JOIN range(32) x(x) CROSS JOIN range(32) y(y)),
+       |rowp AS MATERIALIZED (
+       |  SELECT g.cid, g.f, c.k AS u, g.y AS y,
+       |    CAST(sum(g.e4 * c.c) AS BIGINT) AS a
+       |  FROM g32 g JOIN ct c ON c.x = g.x GROUP BY 1, 2, 3, 4),
+       |coef AS MATERIALIZED (
+       |  SELECT r.cid, r.f, c.k * 8 + r.u AS k,
+       |    CAST(sum(r.a * c.c) AS BIGINT) AS fc
+       |  FROM rowp r JOIN ct c ON c.x = r.y GROUP BY 1, 2, 3),
+       |med AS MATERIALIZED (
+       |  SELECT cid, f, fc AS m FROM (
+       |    SELECT cid, f, fc,
+       |      row_number() OVER (PARTITION BY cid, f ORDER BY fc) AS rn
+       |    FROM coef WHERE k > 0) WHERE rn = 32),
+       |h AS MATERIALIZED (
+       |  SELECT c.cid, c.f,
+       |    CAST(sum(CASE WHEN c.k > 0 AND c.fc > m.m THEN
+       |        CASE WHEN c.k = 63 THEN -9223372036854775808
+       |             ELSE CAST(1 AS BIGINT) << CAST(c.k AS INTEGER) END
+       |      ELSE 0 END) AS BIGINT) AS phash
+       |  FROM coef c JOIN med m USING (cid, f) GROUP BY 1, 2),
+       |nf AS MATERIALIZED (SELECT cid, count(*) AS nf FROM h GROUP BY 1),
+       |fp AS MATERIALIZED (
+       |  SELECT a.cid AS ca, a.f AS fa, b.cid AS cb, b.f AS fb
+       |  FROM h a JOIN h b ON a.cid < b.cid
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+       |vp AS MATERIALIZED (
+       |  SELECT g.ca, g.cb FROM (
+       |    SELECT ca, cb,
+       |      count(DISTINCT fa) AS ma, count(DISTINCT fb) AS mb
+       |    FROM fp GROUP BY 1, 2) g
+       |  JOIN nf na ON na.cid = g.ca JOIN nf nb ON nb.cid = g.cb
+       |  WHERE floor((g.ma + g.mb) * 10000.0 / (na.nf + nb.nf) + 0.5)
+       |    >= 5000),
+       |vps AS MATERIALIZED (SELECT ca AS src, cb AS dst FROM vp
+       |  UNION ALL SELECT cb, ca FROM vp),
+       |bt1 AS MATERIALIZED (SELECT cid FROM clips WHERE b = 'b1'),
+       |bt2 AS MATERIALIZED (SELECT cid FROM clips WHERE b = 'b2'),
+       |s0 AS MATERIALIZED (SELECT cid FROM clips WHERE FALSE),
+       |${replay("r1", "bt1", "s0")},
+       |s1 AS MATERIALIZED (SELECT cid FROM r1_adm),
+       |${replay("r2", "bt2", "s1")},
+       |out AS (
+       |${verdicts("r1", "b1", "undec1")}
+       |  UNION ALL
+       |${verdicts("r2", "b2", "undec2")})
+       |SELECT batch_id, CAST(id AS BIGINT) AS id, admitted, reason,
+       |  CAST(dup_of AS BIGINT) AS dup_of
+       |FROM out ORDER BY batch_id, id""".stripMargin
+  }
+
   private[probes] val queries: Map[String, Q] = Map(
+    "q161_video_increment" -> q161,
     "q160_image_increment" -> q160,
     "q159_image_semdedup" -> q159,
     "q158_audio_neardup" -> q158,
@@ -1134,6 +1334,7 @@ object MultimodalProbes {
     "q147_phash_neardup" -> q147)
 
   private[probes] val oracleSql: Map[String, String] = Map(
+    "q161_video_increment" -> q161Sql,
     "q160_image_increment" -> q160Sql,
     "q159_image_semdedup" -> q159Sql,
     "q158_audio_neardup" -> q158Sql,
