@@ -191,6 +191,44 @@ object Ops {
       .drop("__pid", "__r", "__off")
   }
 
+  /** Global EXCLUSIVE prefix sum of `weightCol` over a total order —
+    * [[globalRank]] generalized from count to weight (rank is the
+    * weight-1 case): row r gets the sum of every earlier row's weight.
+    * Same scale shape (range repartition → per-partition window →
+    * triangular offset join, no single-partition exchange) and the same
+    * cross-branch cache-boundary hazard, so the same `pinned = true`
+    * default. The token-packing use: a doc's global token offset is the
+    * prefix sum of per-doc token counts in doc-id order.
+    */
+  def globalExclusivePrefixSum(df: DataFrame, order: Seq[Column],
+                               weightCol: String,
+                               sumName: String = "prefix_sum",
+                               numRanges: Int = 0,
+                               pinned: Boolean = true): DataFrame = {
+    require(!Set("__pid", "__cw", "__off").contains(sumName),
+      s"globalExclusivePrefixSum: sumName '$sumName' collides with an " +
+        "internal column and would be silently dropped")
+    val n = if (numRanges > 0) numRanges
+            else df.sparkSession.sparkContext.defaultParallelism
+    val ranged = df.repartitionByRange(n, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val within0 = ranged.withColumn("__cw",
+      sum(col(weightCol)).over(
+          Window.partitionBy("__pid").orderBy(order: _*))
+        .cast("long") - col(weightCol).cast("long"))
+    val within =
+      if (pinned) within0.localCheckpoint(eager = true) else within0
+    val counts = within.groupBy("__pid")
+      .agg(sum(col(weightCol)).cast("long").as("__c"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.__pid") < col("a.__pid"), "left_outer")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__c")), lit(0L)).as("__off"))
+    within.join(broadcast(offsets), "__pid")
+      .withColumn(sumName, col("__cw") + col("__off"))
+      .drop("__pid", "__cw", "__off")
+  }
+
   /** Exact interpolated per-group percentiles WITHOUT a per-group value
     * buffer — the scale path q66's `percentile` aggregate lacks: Spark's
     * `percentile` holds every value of a group in one aggregation buffer

@@ -281,6 +281,65 @@ object Bpe {
       .select(explode(gpt2Pretokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
+  /** Deterministic integer vocabulary for a byte-level merge table: base
+    * symbols "00".."ff" get ids 0..255 (their byte value — the no-OOV
+    * floor every string falls back to), and the symbol created by merge
+    * rank r gets id 256 + r — the canonical GPT-2-family id assignment
+    * (base alphabet first, merges in learn order). Keyed by symbol
+    * STRING: if two ranks ever create the same concatenated name (never
+    * for [[train]] output, which only merges each pair once) the later
+    * rank's id wins, consistently on both the encode and any decode side.
+    */
+  def byteVocabIds(merges: Seq[(String, String)]): Map[String, Int] =
+    ((0 until 256).map(b => f"$b%02x" -> b) ++
+      merges.zipWithIndex.map { case ((a, b), r) => (a + b) -> (256 + r) })
+      .toMap
+
+  /** Tokenize a whole corpus into integer token-id sequences — the apply
+    * side at deployment scale (the single biggest job a training-data
+    * pipeline runs: every byte of a 100 TB corpus flows through it).
+    * GPT-2 pretokenization ([[gpt2Pretokens]], codegen'd) splits each
+    * doc; byte-level BPE ([[encodeOneSeeded]] over [[byteSymbols]])
+    * encodes each pretoken independently (merges never cross pretoken
+    * boundaries — the published tokenizer contract); symbols map to ids
+    * via [[byteVocabIds]].
+    *
+    * Scale shape — the Zipf trick: the corpus-sized frames only carry
+    * (id, pos, word) and the final (id, ids) rows; the BPE merge loop
+    * runs once per DISTINCT pretoken (vocabulary-bounded, ~1M for
+    * web-scale corpora regardless of corpus size), and the encoded
+    * table joins back on the word equi key (broadcastable when small —
+    * AQE's call). Per-doc assembly is one hash-partitioned groupBy with
+    * an array_sort over doc-sized lists; no window, no driver loop.
+    * Docs with no pretokens (empty text) keep an empty ids array.
+    */
+  def encodeCorpusGpt2(df: DataFrame, idCol: String, textCol: String,
+                       merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val table = merges.toVector
+    val ranks: Map[(String, String), Int] =
+      table.zipWithIndex.map { case (m, i) => m -> i }.toMap
+    val vocab = byteVocabIds(merges)
+    val pre = graft.core.Ops.widen(df).select(col(idCol),
+      posexplode(gpt2Pretokens(col(textCol))).as(Seq("__pos", "__w")))
+    val encoded = pre.select("__w").distinct().as[String]
+      .mapPartitions(_.map(w =>
+        (w, encodeOneSeeded(byteSymbols(w), table, ranks)
+          .map(vocab).toArray)))
+      .toDF("__w", "__tids")
+    val assembled = pre.join(encoded, "__w")
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__tids")))),
+        s => s.getField("__tids"))).as("ids"))
+    graft.core.Ops.widen(df).select(col(idCol))
+      .join(assembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("ids"), array().cast("array<integer>")).as("ids"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+  }
+
   /** Learn `numMerges` merges. Returns (merge table as ordered (a, b)
     * pairs, final symbolized vocabulary). Ties on count break by pair
     * string (UTF-8 binary order, Spark's default collation) —

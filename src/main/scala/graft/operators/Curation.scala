@@ -132,6 +132,44 @@ object Curation {
       .drop("__key")
   }
 
+  /** MATERIALIZE fixed-length training sequences from per-doc token-id
+    * arrays — the step after [[graft.operators.Bpe.encodeCorpusGpt2]]
+    * that [[packSequences]] only PLANS (pack assignment over counts):
+    * docs are laid out in `idCol` order, each terminated by `eosId` (the
+    * GPT-2 document separator), and the global token stream is cut into
+    * sequences of exactly `seqLen` ids — the final sequence may be
+    * short (callers pad or drop it; `n_tokens` says which). Output one
+    * row per sequence: (seq_id, ids, n_tokens, n_docs — how many docs
+    * contributed at least one token).
+    *
+    * Scale shape: the only global coordination is the per-DOC offset —
+    * [[graft.core.Ops.globalExclusivePrefixSum]] over doc COUNTS (range
+    * repartition + triangular offsets, no single-partition exchange);
+    * tokens then explode with position and hash-shuffle once on seq_id.
+    * Corpus-linear — the honest cost of materializing training shards —
+    * with nothing driver-side and no skew (every seq_id key holds
+    * exactly `seqLen` rows).
+    */
+  def packTokenIds(df: DataFrame, idCol: String, idsCol: String,
+                   seqLen: Int, eosId: Int): DataFrame = {
+    require(seqLen >= 1, s"packTokenIds: seqLen ($seqLen) >= 1")
+    val withEos = df.select(col(idCol).as("__doc"),
+        concat(col(idsCol), array(lit(eosId))).as("__ids"))
+      .withColumn("__n", size(col("__ids")).cast("long"))
+    val offs = graft.core.Ops.globalExclusivePrefixSum(withEos,
+      Seq(col("__doc")), "__n", "__goff")
+    offs.select(col("__doc"), col("__goff"),
+        posexplode(col("__ids")).as(Seq("__p", "__tok")))
+      .withColumn("__gpos", col("__goff") + col("__p"))
+      .withColumn("seq_id", floor(col("__gpos") / seqLen).cast("long"))
+      .groupBy("seq_id")
+      .agg(transform(
+          array_sort(collect_list(struct(col("__gpos"), col("__tok")))),
+          s => s.getField("__tok")).as("ids"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("__doc")).as("n_docs"))
+  }
+
   /** Word n-grams over a words-array column: `"a b c"`-style space-joined
     * windows of `n` consecutive words; fewer than `n` words yields an empty
     * array (not `[null]`).

@@ -483,6 +483,114 @@ object TextProbes {
        |SELECT tok, CAST(count(*) AS BIGINT) AS n
        |FROM tk GROUP BY tok ORDER BY tok""".stripMargin
 
+  // ---- q162 corpus tokenization (GPT-2 pretokens → byte BPE → ids) -------
+  // Bpe.encodeCorpusGpt2 end to end: the q154 guard/enrichment (single-
+  // spaced docs so DuckDB's lookahead-free RE2 subset of the published
+  // pattern is exact; the prefix/suffix plant contractions) feeds
+  // GPT-2 pretokens into the distinct-word byte-BPE encode under the
+  // pinned DemoByteMerges, symbols mapping to byteVocabIds (base 256 +
+  // rank order). The oracle replays pretokens → the q148 rank-order
+  // fold per word → the SAME symbol→id mapping (CASE generated from
+  // DemoByteMerges; base symbols parse as hex) → flattened per-doc id
+  // lists. Full fidelity: token count + md5 over the id stream.
+  private def tokenIdCase(sym: String): String = {
+    val cases = graft.operators.Bpe.DemoByteMerges.zipWithIndex
+      .map { case ((a, b), r) => s"WHEN '${a + b}' THEN ${256 + r}" }
+      .mkString(" ")
+    s"""CAST(CASE $sym $cases
+       |  ELSE (instr('0123456789abcdef', substring($sym, 1, 1)) - 1) * 16
+       |    + instr('0123456789abcdef', substring($sym, 2, 1)) - 1
+       |  END AS INTEGER)""".stripMargin
+  }
+
+  // the q162/q163 shared oracle prefix: guarded+enriched docs → GPT-2
+  // pretokens (RE2-exact subset) → per-word fold → per-doc id lists
+  private def corpusIdsCte: String = {
+    def stage(inner: String, a: String, b: String): String =
+      s"""list_reduce(list_prepend('', string_split($inner, '|')),
+         |      (acc, x) -> CASE
+         |        WHEN acc = '$a' AND x = '$b' THEN '${a + b}'
+         |        WHEN acc LIKE '%|$a' AND x = '$b'
+         |          THEN substr(acc, 1, length(acc) - ${a.length}) || '${a + b}'
+         |        WHEN acc = '' THEN x
+         |        ELSE acc || '|' || x END)""".stripMargin
+    val seed = "array_to_string(list_transform(" +
+      "generate_series(1, length(lower(hex(encode(w)))) // 2), " +
+      "i -> substring(lower(hex(encode(w))), i*2 - 1, 2)), '|')"
+    val chained = graft.operators.Bpe.DemoByteMerges.foldLeft(seed) {
+      case (inner, (a, b)) => stage(inner, a, b)
+    }
+    s"""e AS (
+       |  SELECT doc_id, 'It''s ' || text || ' don''t!' AS t
+       |  FROM documents
+       |  WHERE NOT regexp_matches(text, '\\s\\s|^\\s|\\s$$')),
+       |tk AS (SELECT doc_id, regexp_extract_all(t,
+       |  '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')
+       |  AS ws FROM e),
+       |enc AS (SELECT doc_id, flatten(list_transform(ws,
+       |  w -> list_transform(string_split($chained, '|'),
+       |    s -> ${tokenIdCase("s")}))) AS ids
+       |  FROM tk)""".stripMargin
+  }
+
+  private def q162Input(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.core.Ops.widen(Tables.documents(s, d))
+      .filter(!col("text").rlike("\\s\\s|^\\s|\\s$"))
+      .select(col("doc_id"),
+        concat(lit("It's "), col("text"), lit(" don't!")).as("t"))
+
+  val q162: Q = (s, d) => {
+    graft.operators.Bpe.encodeCorpusGpt2(q162Input(s, d), "doc_id", "t",
+        graft.operators.Bpe.DemoByteMerges)
+      .select(col("doc_id"), col("n_tokens"),
+        md5(concat_ws(" ", transform(col("ids"), x => x.cast("string"))))
+          .as("ids_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q162Sql: String =
+    s"""WITH ${corpusIdsCte}
+       |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(ids, ' ')) AS ids_md5
+       |FROM enc ORDER BY doc_id""".stripMargin
+
+  // ---- q163 token-id sequence packing (materialized training shards) -----
+  // Curation.packTokenIds over q162's encoded corpus: docs in id order,
+  // each terminated by the EOS id (262 = first free id after the base
+  // 256 + 6 merges), the global stream cut into 512-id sequences. The
+  // oracle replays the exclusive prefix sum over doc ids (window), the
+  // positional explode (parallel unnest zip), and the per-sequence
+  // ordered reassembly. Verifies the whole chain: offsets exact, no
+  // token lost or reordered (md5 per sequence), doc attribution counts.
+  val q163: Q = (s, d) => {
+    val enc = graft.operators.Bpe.encodeCorpusGpt2(q162Input(s, d),
+      "doc_id", "t", graft.operators.Bpe.DemoByteMerges)
+    graft.operators.Curation.packTokenIds(enc, "doc_id", "ids",
+        seqLen = 512, eosId = 262)
+      .select(col("seq_id"), col("n_tokens"), col("n_docs"),
+        md5(concat_ws(" ", transform(col("ids"), x => x.cast("string"))))
+          .as("ids_md5"))
+      .orderBy("seq_id")
+  }
+
+  val q163Sql: String =
+    s"""WITH ${corpusIdsCte},
+       |e2 AS (SELECT doc_id, list_append(ids, 262) AS ids FROM enc),
+       |off AS (SELECT doc_id, ids,
+       |  CAST(coalesce(sum(len(ids)) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS off
+       |  FROM e2),
+       |t AS (SELECT doc_id,
+       |    off + unnest(generate_series(1, len(ids))) - 1 AS gpos,
+       |    unnest(ids) AS tok
+       |  FROM off)
+       |SELECT CAST(gpos // 512 AS BIGINT) AS seq_id,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  md5(array_to_string(list(tok ORDER BY gpos), ' ')) AS ids_md5
+       |FROM t GROUP BY 1 ORDER BY seq_id""".stripMargin
+
   // ---- q156 Gopher repetition-rule bundle ---------------------------------
   // TextStats.repetitionSignals over repetition-enriched documents text:
   // every doc gains a duplicated line, every 3rd a duplicated paragraph,
@@ -2075,6 +2183,8 @@ object TextProbes {
     "q83_bpe_encode" -> q83,
     "q148_byte_bpe" -> q148,
     "q154_gpt2_pretokens" -> q154,
+    "q162_corpus_tokenize" -> q162,
+    "q163_token_packing" -> q163,
     "q156_gopher_repetition" -> q156,
     "q90_gopher_rules" -> q90,
     "q91_bigram_lm" -> q91,
@@ -2117,6 +2227,8 @@ object TextProbes {
     "q83_bpe_encode" -> q83Sql,
     "q148_byte_bpe" -> q148Sql,
     "q154_gpt2_pretokens" -> q154Sql,
+    "q162_corpus_tokenize" -> q162Sql,
+    "q163_token_packing" -> q163Sql,
     "q156_gopher_repetition" -> q156Sql,
     "q90_gopher_rules" -> q90Sql,
     "q91_bigram_lm" -> q91Sql,

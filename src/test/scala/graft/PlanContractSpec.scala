@@ -357,7 +357,13 @@ class PlanContractSpec extends SparkSpec {
       // kept table (≤ vocabSize rows) × the 1-row broadcast total frame
       // — the q107 1-row-scalar cross shape (training's corpus work ran
       // eagerly inside the probe; only this bounded tail is the plan)
-      "q138_unigram_em")
+      "q138_unigram_em",
+      // q163's offsets come from globalExclusivePrefixSum's triangular
+      // self-join of the per-RANGE-PARTITION count frame (≤ #partitions
+      // rows on both sides, broadcast) — the documented globalRank
+      // shape; the corpus-sized stream only ever hash-joins on __pid
+      // and seq_id
+      "q163_token_packing")
     val singlePartAllowed = Set(
       "q20_decile_bucketing", // 1-row scalar max
       // global reductions over pre-bounded inputs: the ≤64-row HLL

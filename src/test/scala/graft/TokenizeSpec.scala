@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Bpe, Curation}
+
+/** Corpus tokenization (encodeCorpusGpt2) and token-id sequence packing
+  * (packTokenIds): distributed-vs-local parity, stream-reassembly
+  * invariants, and the weighted prefix-sum helper they stand on.
+  */
+class TokenizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val merges = Bpe.DemoByteMerges
+
+  // the local replica: GPT-2 pretokens → per-word byte BPE → vocab ids
+  private def encodeLocal(text: String): Seq[Int] = {
+    val table = merges.toVector
+    val ranks = table.zipWithIndex.map { case (m, i) => m -> i }.toMap
+    val vocab = Bpe.byteVocabIds(merges)
+    Bpe.gpt2PretokensLocal(text).flatMap(w =>
+      Bpe.encodeOneSeeded(Bpe.byteSymbols(w), table, ranks).map(vocab))
+  }
+
+  test("encodeCorpusGpt2 equals the per-doc local composition, " +
+      "including supplementary-plane text and empty docs") {
+    val docs = Seq(
+      (1L, "the theme then and on"),
+      (2L, "It's 42, don't stop!"),
+      (3L, "café 😀 mixed"), // é + emoji: multi-byte UTF-8
+      (4L, ""),
+      (5L, "and and and")).toDF("doc_id", "text")
+    val got = Bpe.encodeCorpusGpt2(docs, "doc_id", "text", merges)
+      .select("doc_id", "ids", "n_tokens")
+      .as[(Long, Seq[Int], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    for ((id, text) <- Seq(1L -> "the theme then and on",
+        2L -> "It's 42, don't stop!", 3L -> "café 😀 mixed",
+        4L -> "", 5L -> "and and and")) {
+      val want = encodeLocal(text)
+      assert(got(id)._1 == want, s"doc $id")
+      assert(got(id)._2 == want.length.toLong, s"doc $id count")
+    }
+    // merged symbols really fire: "the" = 74+68+65 merges to one id
+    assert(got(1L)._1.head == 256 + 1, "'the' should encode as one id")
+  }
+
+  test("packTokenIds: the sequence stream reassembles the doc stream, " +
+      "all sequences but the last are exactly seqLen, doc counts hold") {
+    val docs = Seq(
+      (10L, Seq(1, 2, 3)),
+      (20L, Seq(4, 5)),
+      (30L, Seq.empty[Int]),
+      (40L, (100 to 120).toSeq)).toDF("doc_id", "ids")
+    val seqLen = 7; val eos = 999
+    val packed = Curation.packTokenIds(docs, "doc_id", "ids", seqLen, eos)
+      .select("seq_id", "ids", "n_tokens", "n_docs")
+      .as[(Long, Seq[Int], Long, Long)].collect().sortBy(_._1)
+    // stream equality: concat of sequences == concat of docs+EOS in order
+    val wantStream = Seq(1, 2, 3, eos, 4, 5, eos, eos) ++
+      (100 to 120) :+ eos
+    assert(packed.flatMap(_._2).toSeq == wantStream)
+    // seq ids dense from 0; all but last exactly seqLen
+    assert(packed.map(_._1).toSeq == packed.indices.map(_.toLong))
+    packed.dropRight(1).foreach { p =>
+      assert(p._2.length == seqLen && p._3 == seqLen, s"seq ${p._1}")
+    }
+    assert(packed.last._2.length == wantStream.length % seqLen ||
+      packed.last._2.length == seqLen)
+    // doc attribution: seq 0 is exactly docs 10 (4 ids) + 20 (3 ids);
+    // seq 1 starts with doc 30's lone EOS then doc 40
+    assert(packed(0)._4 == 2L)
+    assert(packed(1)._4 == 2L)
+  }
+
+  test("globalExclusivePrefixSum matches the local cumsum on a " +
+      "shuffled fixture and mints no duplicate offsets") {
+    val rows = (1L to 1000L).map(i => (i, i % 7 + 1))
+    val df = spark.createDataFrame(
+      new scala.util.Random(42).shuffle(rows)).toDF("k", "w")
+      .repartition(13)
+    val got = graft.core.Ops.globalExclusivePrefixSum(df,
+        Seq(col("k")), "w", "ps")
+      .select("k", "ps").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    for ((k, w) <- rows) {
+      assert(got(k) == acc, s"key $k")
+      acc += w
+    }
+  }
+}
