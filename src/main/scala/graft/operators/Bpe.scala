@@ -298,20 +298,29 @@ object Bpe {
   /** Tokenize a whole corpus into integer token-id sequences — the apply
     * side at deployment scale (the single biggest job a training-data
     * pipeline runs: every byte of a 100 TB corpus flows through it).
-    * GPT-2 pretokenization ([[gpt2Pretokens]], codegen'd) splits each
-    * doc; byte-level BPE ([[encodeOneSeeded]] over [[byteSymbols]])
-    * encodes each pretoken independently (merges never cross pretoken
-    * boundaries — the published tokenizer contract); symbols map to ids
-    * via [[byteVocabIds]].
+    * GPT-2 pretokenization ([[gpt2PretokensLocal]], the spec-pinned
+    * replica of the codegen'd column form) splits each doc; byte-level
+    * BPE ([[encodeOneSeeded]] over [[byteSymbols]]) encodes each
+    * pretoken independently (merges never cross pretoken boundaries —
+    * the published tokenizer contract); symbols map to ids via
+    * [[byteVocabIds]].
     *
-    * Scale shape — the Zipf trick: the corpus-sized frames only carry
-    * (id, pos, word) and the final (id, ids) rows; the BPE merge loop
-    * runs once per DISTINCT pretoken (vocabulary-bounded, ~1M for
-    * web-scale corpora regardless of corpus size), and the encoded
-    * table joins back on the word equi key (broadcastable when small —
-    * AQE's call). Per-doc assembly is one hash-partitioned groupBy with
-    * an array_sort over doc-sized lists; no window, no driver loop.
-    * Docs with no pretokens (empty text) keep an empty ids array.
+    * Scale shape — ZERO shuffles: one typed `mapPartitions` pass (the
+    * documented tokenizer-seam exception), output staying with its
+    * input partition. The Zipf saving that a distinct-pretoken +
+    * join-back chain buys with THREE corpus-sized shuffles (distinct,
+    * word join, doc reassembly — and the word join degrades from
+    * broadcast to a full sort-merge the moment the corpus's distinct
+    * pretokens outgrow the threshold, measured ~1.7x super-linear at
+    * 10x) is captured instead by a per-task word→ids memo: Zipf means
+    * the memo's hit rate matches the global dedupe's for a fraction of
+    * the coordination. The memo is size-capped (2^17 entries) so a
+    * pathological all-distinct corpus degrades to per-word encode cost,
+    * never to unbounded task memory. Merge ranks ship once per task in
+    * the closure (vocabulary-bounded — the [[encodeWords]] contract).
+    *
+    * `idCol` exits as BIGINT; empty/null text encodes to an empty ids
+    * array.
     */
   def encodeCorpusGpt2(df: DataFrame, idCol: String, textCol: String,
                        merges: Seq[(String, String)]): DataFrame = {
@@ -321,23 +330,87 @@ object Bpe {
     val ranks: Map[(String, String), Int] =
       table.zipWithIndex.map { case (m, i) => m -> i }.toMap
     val vocab = byteVocabIds(merges)
-    val pre = graft.core.Ops.widen(df).select(col(idCol),
-      posexplode(gpt2Pretokens(col(textCol))).as(Seq("__pos", "__w")))
-    val encoded = pre.select("__w").distinct().as[String]
-      .mapPartitions(_.map(w =>
-        (w, encodeOneSeeded(byteSymbols(w), table, ranks)
-          .map(vocab).toArray)))
-      .toDF("__w", "__tids")
-    val assembled = pre.join(encoded, "__w")
-      .groupBy(col(idCol))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("__pos"), col("__tids")))),
-        s => s.getField("__tids"))).as("ids"))
-    graft.core.Ops.widen(df).select(col(idCol))
-      .join(assembled, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("ids"), array().cast("array<integer>")).as("ids"))
+    graft.core.Ops.widen(df)
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, Array[Int]](1 << 16)
+        it.map { case (id, text) =>
+          val out = scala.collection.mutable.ArrayBuilder.make[Int]
+          gpt2PretokensLocal(if (text == null) "" else text).foreach { w =>
+            var ids = memo.get(w)
+            if (ids == null) {
+              ids = encodeOneSeeded(byteSymbols(w), table, ranks)
+                .map(vocab).toArray
+              if (memo.size < (1 << 17)) memo.put(w, ids)
+            }
+            out ++= ids
+          }
+          (id, out.result())
+        }
+      }
+      .toDF(idCol, "ids")
       .withColumn("n_tokens", size(col("ids")).cast("long"))
+  }
+
+  /** Detokenize id sequences back to text — [[encodeCorpusGpt2]]'s total
+    * inverse (byte-level BPE never loses bytes: merges only concatenate
+    * hex names, so unhexing the concatenated names replays the exact
+    * UTF-8 stream; GPT-2 pretokens partition the text, so word joins
+    * need no separator). Scale shape: ids explode positionally and
+    * equi-join the broadcast vocab table (≤ 256 + |merges| rows); one
+    * hash groupBy per doc reassembles — codegen'd HOFs end to end, no
+    * UDF. Docs whose `idsCol` is empty decode to the empty string.
+    */
+  def decodeCorpus(df: DataFrame, idCol: String, idsCol: String,
+                   merges: Seq[(String, String)],
+                   textName: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocabDf = byteVocabIds(merges).toSeq.map(_.swap)
+      .toDF("__tid", "__sym")
+    val hexed = graft.core.Ops.widen(df)
+      .select(col(idCol), posexplode(col(idsCol)).as(Seq("__pos", "__tid")))
+      .join(broadcast(vocabDf), "__tid")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__sym")))),
+        s => s.getField("__sym")), "").as("__hex"))
+    graft.core.Ops.widen(df).select(col(idCol))
+      .join(hexed, Seq(idCol), "left")
+      .select(col(idCol),
+        decode(unhex(coalesce(col("__hex"), lit(""))), "UTF-8")
+          .as(textName))
+  }
+
+  /** Persist a trained merge table — the artifact a tokenizer SHIPS
+    * (train once, tokenize every snapshot forever): one (rank, a, b)
+    * row per merge. Callers wanting atomic publish wrap this in
+    * [[graft.pipeline.Restore.publishVersionedDir]] like any other
+    * artifact; the table itself is vocabulary-bounded.
+    */
+  def writeMergeTable(spark: org.apache.spark.sql.SparkSession,
+                      merges: Seq[(String, String)], dir: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "a", "b")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Read a merge table back in rank order. Bounded collect by
+    * construction (a tokenizer table is ≤ ~100k rows); the loud guard
+    * catches a wrong path aimed at a corpus-sized table.
+    */
+  def readMergeTable(spark: org.apache.spark.sql.SparkSession,
+                     dir: String,
+                     maxMerges: Int = 1 << 20): Seq[(String, String)] = {
+    val rows = spark.read.parquet(dir)
+      .select("rank", "a", "b").orderBy("rank")
+      .limit(maxMerges + 1).collect()
+    require(rows.length <= maxMerges,
+      s"readMergeTable: $dir holds more than $maxMerges rows — not a " +
+        "merge table?")
+    rows.map(r => (r.getString(1), r.getString(2))).toSeq
   }
 
   /** Learn `numMerges` merges. Returns (merge table as ordered (a, b)

@@ -591,6 +591,30 @@ object TextProbes {
        |  md5(array_to_string(list(tok ORDER BY gpos), ' ')) AS ids_md5
        |FROM t GROUP BY 1 ORDER BY seq_id""".stripMargin
 
+  // ---- q164 corpus detokenize (the round-trip identity) ------------------
+  // Bpe.decodeCorpus(encodeCorpusGpt2(docs)) must reproduce every input
+  // byte: byte-level BPE is lossless by construction (merges only
+  // concatenate hex names; GPT-2 pretokens partition the text). The
+  // strongest possible oracle shape: the ENGINE runs the full
+  // distributed encode → id stream → broadcast-vocab decode chain,
+  // while the oracle merely hashes the untouched input — any dropped
+  // pretoken, mis-mapped id, or reassembly misorder breaks the hash.
+  val q164: Q = (s, d) => {
+    val in = q162Input(s, d)
+    val enc = graft.operators.Bpe.encodeCorpusGpt2(in, "doc_id", "t",
+      graft.operators.Bpe.DemoByteMerges)
+    graft.operators.Bpe.decodeCorpus(enc, "doc_id", "ids",
+        graft.operators.Bpe.DemoByteMerges, "t2")
+      .select(col("doc_id"), md5(col("t2")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q164Sql: String =
+    s"""SELECT doc_id, md5('It''s ' || text || ' don''t!') AS text_md5
+       |FROM documents
+       |WHERE NOT regexp_matches(text, '\\s\\s|^\\s|\\s$$')
+       |ORDER BY doc_id""".stripMargin
+
   // ---- q156 Gopher repetition-rule bundle ---------------------------------
   // TextStats.repetitionSignals over repetition-enriched documents text:
   // every doc gains a duplicated line, every 3rd a duplicated paragraph,
@@ -2185,6 +2209,7 @@ object TextProbes {
     "q154_gpt2_pretokens" -> q154,
     "q162_corpus_tokenize" -> q162,
     "q163_token_packing" -> q163,
+    "q164_detokenize" -> q164,
     "q156_gopher_repetition" -> q156,
     "q90_gopher_rules" -> q90,
     "q91_bigram_lm" -> q91,
@@ -2229,6 +2254,7 @@ object TextProbes {
     "q154_gpt2_pretokens" -> q154Sql,
     "q162_corpus_tokenize" -> q162Sql,
     "q163_token_packing" -> q163Sql,
+    "q164_detokenize" -> q164Sql,
     "q156_gopher_repetition" -> q156Sql,
     "q90_gopher_rules" -> q90Sql,
     "q91_bigram_lm" -> q91Sql,

@@ -1352,6 +1352,76 @@ object Scale {
         graft.core.Managed(res.kept.groupBy(col("media_id") % 32)
           .agg(count(lit(1)).as("n")), Seq(res.kept))
       }
+      // --- round-15 post-close: video increment + corpus tokenization ----
+      if (onlyRows.forall(_.exists("video_incr_2pct".startsWith))) {
+        // the video modality twin of phash_batch_hot/incr_curate_3pct:
+        // state seeded OUTSIDE timing (the bootstrap increment decodes
+        // and indexes the whole mixed-video corpus); the timed row runs
+        // a 1/50 batch of nudged replays through the full funnel —
+        // batch decode + exact keys + one banded frame join against
+        // committed state. Repetitions reuse the batch id (retry path).
+        import spark.implicits._
+        def mix(a: Long, b: Long): Int = {
+          var z = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          ((z ^ (z >>> 27)) & 0xffL).toInt
+        }
+        def vid(vid0: Long, nudge: Int) =
+          graft.operators.Multimodal.encodeSamplesMp4(1000, 3000,
+            (0 to 2).map(f =>
+              graft.operators.Multimodal.encodeGrayPixelsPng(16, 16,
+                Array.tabulate(256)(p =>
+                  math.min(255, mix(vid0 * 3 + f, p.toLong) +
+                    (if (f == 0 && p < 40) nudge else 0))))))
+        val sdir = java.nio.file.Files
+          .createTempDirectory(s"graft_vincr_$n").toString
+        graft.pipeline.Increment.curateVideoIncrement(
+          d.select(col("doc_id")).as[Long].map(id =>
+            graft.operators.Multimodal.MediaRecord(
+              id, vid(id, 0), "video/mp4")),
+          sdir, "seed")
+        val batchV = d.filter(col("doc_id") % 50 === 1)
+          .select(col("doc_id")).as[Long].map(id =>
+            graft.operators.Multimodal.MediaRecord(
+              id + 200000000L, vid(id, 7), "video/mp4"))
+        run("video_incr_2pct", n)(graft.core.Managed(
+          graft.pipeline.Increment.curateVideoIncrement(batchV, sdir,
+              "sweep").ledger
+            .groupBy("reason").agg(count(lit(1)).as("docs")),
+          Seq.empty))
+      }
+      if (onlyRows.forall(o => o.exists("corpus_tokenize".startsWith) ||
+          o.exists("token_packing".startsWith))) {
+        // merge table trained once on the BASE corpus outside timing
+        // (the tokenizer is a shipped artifact, not a per-snapshot job)
+        val gptMerges = {
+          val vocab = graft.operators.Bpe.wordFreqsGpt2(
+            graft.Tables.documents(spark, sfDir)
+              .select("doc_id", "text"), "text")
+          graft.operators.Bpe.train(vocab, 64, byteLevel = true)._1
+        }
+        // the apply-side tokenize job: distinct-pretoken encode + join
+        // back + per-doc assembly; the thing every corpus byte flows
+        // through — must be corpus-linear with no hot key
+        run("corpus_tokenize", n)(graft.core.Managed(
+          graft.operators.Bpe.encodeCorpusGpt2(d, "doc_id", "text",
+              gptMerges)
+            .groupBy(col("doc_id") % 32)
+            .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens")),
+          Seq.empty))
+        // tokenize + materialize 1024-id training sequences (the
+        // composed shard job; delta vs corpus_tokenize prices packing)
+        run("token_packing", n) {
+          val enc = graft.operators.Bpe.encodeCorpusGpt2(d, "doc_id",
+            "text", gptMerges)
+          graft.core.Managed(
+            graft.operators.Curation.packTokenIds(enc, "doc_id", "ids",
+                seqLen = 1024, eosId = 256 + gptMerges.length)
+              .groupBy(col("seq_id") % 32)
+              .agg(count(lit(1)).as("seqs"), sum("n_tokens").as("tokens")),
+            Seq.empty)
+        }
+      }
       run("bpe_encode", n) {
         import spark.implicits._
         val table = graft.operators.Bpe.DemoMerges.toVector

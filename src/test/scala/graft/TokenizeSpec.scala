@@ -72,6 +72,28 @@ class TokenizeSpec extends SparkSpec {
     assert(packed(1)._4 == 2L)
   }
 
+  test("decodeCorpus inverts encodeCorpusGpt2 byte for byte, and the " +
+      "merge table round-trips through its parquet artifact") {
+    val texts = Seq(
+      (1L, "the theme then and on"),
+      (2L, "It's 42, don't stop!"),
+      (3L, "café 😀 mixed\ttabs"),
+      (4L, ""),
+      (5L, "ünïcode ΣΩ 中文 a-1"))
+    val docs = texts.toDF("doc_id", "text")
+    val enc = Bpe.encodeCorpusGpt2(docs, "doc_id", "text", merges)
+    val dec = Bpe.decodeCorpus(enc, "doc_id", "ids", merges)
+      .as[(Long, String)].collect().toMap
+    for ((id, t) <- texts) assert(dec(id) == t, s"doc $id")
+    // artifact round trip: write, read back in rank order, ids stable
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_merges").toString
+    Bpe.writeMergeTable(spark, merges, dir)
+    val back = Bpe.readMergeTable(spark, dir)
+    assert(back == merges)
+    assert(Bpe.byteVocabIds(back) == Bpe.byteVocabIds(merges))
+  }
+
   test("globalExclusivePrefixSum matches the local cumsum on a " +
       "shuffled fixture and mints no duplicate offsets") {
     val rows = (1L to 1000L).map(i => (i, i % 7 + 1))
