@@ -1861,39 +1861,48 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
-      it.grouped(batchSize).flatMap(_.iterator.flatMap { r =>
-        parseMp4SampleTables(r.media) match {
-          case None => Seq(VideoFramePHash(r.media_id, -1L, -1L))
-          case Some(tracks) =>
-            var idx = -1L
-            for {
-              t <- tracks
-              offs = sampleOffsets(t)
-              kf = t.syncs.fold(t.sizes.indices: Seq[Int])(_.toSeq.map(_ - 1))
-              i <- kf if i >= 0 && i < t.sizes.length
-            } yield {
-              idx += 1
-              val off = offs(i); val len = t.sizes(i)
-              val img =
-                if (off < 0 || len <= 0 || off + len > r.media.length) None
-                else {
-                  val bytes = java.util.Arrays.copyOfRange(
-                    r.media, off.toInt, (off + len).toInt)
-                  if (claimedPixels(bytes) > maxPixels) None
-                  else try Option(javax.imageio.ImageIO.read(
-                    new java.io.ByteArrayInputStream(bytes)))
-                  catch { case scala.util.control.NonFatal(_) => None }
-                }
-              img match {
-                case Some(im) => VideoFramePHash(r.media_id, idx,
-                  phashOfRaster(im.getRaster, im.getWidth, im.getHeight))
-                case None => VideoFramePHash(r.media_id, idx, -1L)
-              }
-            }
-        }
-      })
+      it.grouped(batchSize).flatMap(_.iterator.flatMap(r =>
+        videoKeyframePhashOne(r.media_id, r.media, maxPixels)))
     }
   }
+
+  /** One payload's keyframe hashes — the per-record body of
+    * [[videoKeyframePhash]], exposed so the streaming gate can decode a
+    * clip in place (per-row, no shuffle) and keep its frames together.
+    */
+  private[graft] def videoKeyframePhashOne(media_id: Long,
+                                           media: Array[Byte],
+                                           maxPixels: Long = 64L << 20)
+      : Seq[VideoFramePHash] =
+    parseMp4SampleTables(media) match {
+      case None => Seq(VideoFramePHash(media_id, -1L, -1L))
+      case Some(tracks) =>
+        var idx = -1L
+        for {
+          t <- tracks
+          offs = sampleOffsets(t)
+          kf = t.syncs.fold(t.sizes.indices: Seq[Int])(_.toSeq.map(_ - 1))
+          i <- kf if i >= 0 && i < t.sizes.length
+        } yield {
+          idx += 1
+          val off = offs(i); val len = t.sizes(i)
+          val img =
+            if (off < 0 || len <= 0 || off + len > media.length) None
+            else {
+              val bytes = java.util.Arrays.copyOfRange(
+                media, off.toInt, (off + len).toInt)
+              if (claimedPixels(bytes) > maxPixels) None
+              else try Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes)))
+              catch { case scala.util.control.NonFatal(_) => None }
+            }
+          img match {
+            case Some(im) => VideoFramePHash(media_id, idx,
+              phashOfRaster(im.getRaster, im.getWidth, im.getHeight))
+            case None => VideoFramePHash(media_id, idx, -1L)
+          }
+        }
+    }
 
   /** Near-duplicate VIDEO pairs — the modality composition the parts
     * were built for: per-keyframe pHash ([[videoKeyframePhash]]) banded

@@ -457,3 +457,303 @@ object PhashStream {
         reason = "admitted", dup_of = v.id))
   }
 }
+
+/** Streaming AUDIO near-dup gate — the audio-modality stream twin of the
+  * batch `Multimodal.audioNearDupPairs` fingerprint join, extending the
+  * batch/stream parity to the third modality (SimHash →
+  * [[NearDupStream]], MinHash → [[MinHashStream]], pHash →
+  * [[PhashStream]], now the banded energy fingerprint → this): admit a
+  * clip iff its distinct sub-fingerprint set is not Jaccard-`minMatchE4`
+  * close to a remembered one.
+  *
+  * The [[MinHashStream]] shape, with the FP VALUE as the routing key
+  * (each shared sub-fingerprint is a candidate signal — the batch fp
+  * equi join's stream form) and the clip's full distinct-fp array in
+  * the bucket entry so the bucket verifies the EXACT batch Jaccard
+  * (`inter / (na + nb − inter)`), never a band approximation. One vote
+  * per distinct fp, combined to one append-mode verdict per clip.
+  *
+  * The per-bucket cap plays the batch DF cap's hub role FOR MEMORY
+  * (a silence value shared corpus-wide holds at most `maxPerBucket`
+  * entries and each arrival scans at most that many) — unlike the
+  * batch cap it never suppresses candidate generation, so a hub value
+  * still votes against its remembered prefix (documented divergence:
+  * the stream gate errs toward recall, the batch operator toward
+  * cost). Chain semantics match the sibling gates: a rejected clip is
+  * still remembered by the buckets that did not flag it, `dup_of` is a
+  * parent pointer. Unfingerprintable clips (undecodable, or shorter
+  * than k+1 windows) route to a stateless sentinel and always admit —
+  * they can never pair, and remembering them would collapse all
+  * failures into one class.
+  */
+object AudioFpStream {
+
+  case class Clip(id: Long, fps: Array[Long])
+  case class Entry(id: Long, fps: Array[Long])
+  case class FpState(entries: List[Entry])
+  case class Vote(id: Long, dupOf: Long, isDup: Boolean, nVotes: Int)
+  case class Pending(votes: List[Vote])
+  case class Verdict(id: Long, is_dup: Boolean, dup_of: Long)
+
+  /** Exact set Jaccard (scale-4 fixed point) over distinct fp arrays —
+    * the batch verify formula, shared with [[MinHashStream.jaccE4]].
+    */
+  def jaccE4(a: Array[Long], b: Array[Long]): Long =
+    MinHashStream.jaccE4(a, b)
+
+  /** Per-fp votes for a stream of clips (distinct fps computed here).
+    * Emits one [[Vote]] per (clip, distinct fp); combine with
+    * [[admittedAppend]]. Sub-fingerprints pack at most 62 delta bits, so
+    * every real fp is non-negative and −1 is free for the sentinel key.
+    */
+  def fpVotes(clips: Dataset[Clip], minMatchE4: Long = 5000L,
+              maxPerBucket: Int = 64)(
+      implicit rEnc: Encoder[(Long, Long, Array[Long], Int)],
+      sEnc: Encoder[FpState], vEnc: Encoder[Vote]): Dataset[Vote] = {
+    import clips.sparkSession.implicits._
+    clips.flatMap { c =>
+      val fs = c.fps.distinct
+      if (fs.isEmpty) Seq((-1L, c.id, Array.empty[Long], 1))
+      else fs.toSeq.map(f => (f, c.id, fs, fs.length))
+    }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FpState, Vote](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Array[Long], Int)],
+         state: GroupState[FpState]) =>
+          if (key == -1L) {
+            // unfingerprintable sentinel: always admit, remember nothing
+            rows.map(r => Vote(r._2, r._2, isDup = false, nVotes = 1))
+              .toSeq.iterator
+          } else {
+            var seen = state.getOption.map(_.entries).getOrElse(Nil)
+            val out = rows.toSeq.sortBy(_._2).map { case (_, id, fps, nv) =>
+              seen.find(e => jaccE4(e.fps, fps) >= minMatchE4) match {
+                case Some(prior) => Vote(id, prior.id, isDup = true, nv)
+                case None =>
+                  seen = (Entry(id, fps) :: seen).take(maxPerBucket)
+                  Vote(id, id, isDup = false, nv)
+              }
+            }
+            state.update(FpState(seen))
+            out.iterator
+          }
+      }
+  }
+
+  /** Append-mode verdict combiner — one verdict per clip once all its
+    * `nVotes` fp votes arrived (the sibling gates' self-cleaning state).
+    */
+  def admittedAppend(votes: Dataset[Vote])(
+      implicit pEnc: Encoder[Pending], vEnc: Encoder[Verdict],
+      lEnc: Encoder[Long]): Dataset[Verdict] =
+    votes.groupByKey(_.id)
+      .flatMapGroupsWithState[Pending, Verdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, rows: Iterator[Vote], state: GroupState[Pending]) =>
+          val all = state.getOption.map(_.votes).getOrElse(Nil) ++ rows
+          if (all.nonEmpty && all.size >= all.head.nVotes) {
+            state.remove()
+            val dups = all.filter(_.isDup)
+            Iterator.single(Verdict(id, dups.nonEmpty,
+              if (dups.nonEmpty) dups.map(_.dupOf).min else id))
+          } else {
+            state.update(Pending(all))
+            Iterator.empty
+          }
+      }
+
+  /** End-to-end audio gate: a stream of raw media payloads → per-clip
+    * distinct sub-fingerprints (one in-place decode per row, the
+    * [[graft.operators.Multimodal.audioFingerprints]] arithmetic —
+    * frames stay with their clip, no shuffle) → fp votes → one
+    * [[Verdict]] per clip.
+    */
+  def gate(media: Dataset[graft.operators.Multimodal.MediaRecord],
+           windowFrames: Int = 50, k: Int = 16, stride: Int = 1,
+           quantE4: Long = 1L, minMatchE4: Long = 5000L,
+           maxPerBucket: Int = 64): Dataset[Verdict] = {
+    import media.sparkSession.implicits._
+    admittedAppend(fpVotes(
+      media.mapPartitions { it =>
+        val buf = new Array[Byte](8192)
+        it.map(r => Clip(r.media_id,
+          graft.operators.Multimodal.audioFingerprintsOne(
+            r.media_id, r.media, windowFrames, k, stride, quantE4, buf)
+            .map(_.fp).toArray.distinct))
+      },
+      minMatchE4, maxPerBucket))
+  }
+
+  /** [[gate]] verdicts in the [[CurateStream.GateVerdict]] ledger shape
+    * (`reason` = "audio_near_dup" | "admitted").
+    */
+  def gateVerdicts(media: Dataset[graft.operators.Multimodal.MediaRecord],
+                   windowFrames: Int = 50, k: Int = 16, stride: Int = 1,
+                   quantE4: Long = 1L, minMatchE4: Long = 5000L,
+                   maxPerBucket: Int = 64)
+      : Dataset[CurateStream.GateVerdict] = {
+    import media.sparkSession.implicits._
+    gate(media, windowFrames, k, stride, quantE4, minMatchE4,
+        maxPerBucket).map(v =>
+      if (v.is_dup) CurateStream.GateVerdict(v.id, admitted = false,
+        reason = "audio_near_dup", dup_of = v.dup_of)
+      else CurateStream.GateVerdict(v.id, admitted = true,
+        reason = "admitted", dup_of = v.id))
+  }
+}
+
+/** Streaming VIDEO near-dup gate — the fourth and last modality stream
+  * twin (batch form: `Multimodal.videoNearDupPairs`): admit a video iff
+  * its keyframe-hash set is not temporal-Jaccard-`minSimE4` close to a
+  * remembered one.
+  *
+  * Routing fans each clip to the DISTINCT (band, bits) keys of its
+  * keyframe hashes (`phashBandRows`' shift-mask arithmetic via
+  * [[PhashStream.bandKeysFor]] — the batch frame-band equi join's
+  * stream form; a clip whose frames share a band value routes there
+  * once). Bucket entries carry the clip's full (frame_idx, phash)
+  * arrays, so the bucket verifies the EXACT batch aggregate —
+  * `(matched_new + matched_old) / (na + nb)` over hamming-≤-`maxHamming`
+  * frame matches — never a single-frame approximation. One vote per
+  * distinct band key (`nVotes` varies per clip), combined to one
+  * append-mode verdict per video. Chain semantics and the
+  * unparseable-payload sentinel match the sibling gates.
+  */
+object VideoStream {
+
+  case class Clip(id: Long, fis: Array[Long], sigs: Array[Long])
+  case class Entry(id: Long, fis: Array[Long], sigs: Array[Long])
+  case class BandState(entries: List[Entry])
+  case class Vote(id: Long, dupOf: Long, isDup: Boolean, nVotes: Int)
+  case class Pending(votes: List[Vote])
+  case class Verdict(id: Long, is_dup: Boolean, dup_of: Long)
+
+  /** The batch temporal aggregate (scale-4 fixed point): matched_a =
+    * distinct frames of `a` within `maxHamming` of ANY frame of `b`,
+    * symmetric for b; sim = (ma + mb) / (na + nb).
+    */
+  def simE4(aFis: Array[Long], aSigs: Array[Long],
+            bFis: Array[Long], bSigs: Array[Long], maxHamming: Int): Long = {
+    val na = aFis.distinct.length
+    val nb = bFis.distinct.length
+    if (na == 0 || nb == 0) return 0L
+    def matched(xFis: Array[Long], xSigs: Array[Long],
+                ySigs: Array[Long]): Int =
+      xFis.indices.filter(i => ySigs.exists(s =>
+        java.lang.Long.bitCount(s ^ xSigs(i)) <= maxHamming))
+        .map(xFis).distinct.length
+    val ma = matched(aFis, aSigs, bSigs)
+    val mb = matched(bFis, bSigs, aSigs)
+    math.floor((ma + mb) * 1.0 / (na + nb) * 10000 + 0.5).toLong
+  }
+
+  /** Per-band votes for a stream of clips. Emits one [[Vote]] per
+    * (clip, distinct band key); combine with [[admittedAppend]].
+    */
+  def bandVotes(clips: Dataset[Clip], maxHamming: Int = 3, nBands: Int = 4,
+                minSimE4: Long = 5000L, maxPerBucket: Int = 256)(
+      implicit rEnc: Encoder[(PhashStream.BandKey, Clip, Int)],
+      kEnc: Encoder[PhashStream.BandKey], sEnc: Encoder[BandState],
+      vEnc: Encoder[Vote]): Dataset[Vote] = {
+    require(nBands > 0 && 64 % nBands == 0,
+      s"band count ($nBands) must divide 64")
+    require(maxHamming < nBands,
+      s"pigeonhole over $nBands bands needs maxHamming < $nBands")
+    import clips.sparkSession.implicits._
+    clips.flatMap { c =>
+      if (c.sigs.isEmpty) Seq((PhashStream.BandKey(-1, 0L), c, 1))
+      else {
+        val keys = c.sigs.toSeq
+          .flatMap(PhashStream.bandKeysFor(_, nBands)).distinct
+        keys.map(k => (k, c, keys.length))
+      }
+    }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BandState, Vote](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: PhashStream.BandKey, rows: Iterator[(PhashStream.BandKey, Clip, Int)],
+         state: GroupState[BandState]) =>
+          if (key.band == -1) {
+            // unparseable/frameless sentinel: always admit
+            rows.map(r => Vote(r._2.id, r._2.id, isDup = false, nVotes = 1))
+              .toSeq.iterator
+          } else {
+            var seen = state.getOption.map(_.entries).getOrElse(Nil)
+            val out = rows.toSeq.sortBy(_._2.id).map { case (_, c, nv) =>
+              seen.find(e => simE4(e.fis, e.sigs, c.fis, c.sigs,
+                  maxHamming) >= minSimE4) match {
+                case Some(prior) => Vote(c.id, prior.id, isDup = true, nv)
+                case None =>
+                  seen = (Entry(c.id, c.fis, c.sigs) :: seen)
+                    .take(maxPerBucket)
+                  Vote(c.id, c.id, isDup = false, nv)
+              }
+            }
+            state.update(BandState(seen))
+            out.iterator
+          }
+      }
+  }
+
+  /** Append-mode verdict combiner — one verdict per video once all its
+    * `nVotes` band votes arrived.
+    */
+  def admittedAppend(votes: Dataset[Vote])(
+      implicit pEnc: Encoder[Pending], vEnc: Encoder[Verdict],
+      lEnc: Encoder[Long]): Dataset[Verdict] =
+    votes.groupByKey(_.id)
+      .flatMapGroupsWithState[Pending, Verdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, rows: Iterator[Vote], state: GroupState[Pending]) =>
+          val all = state.getOption.map(_.votes).getOrElse(Nil) ++ rows
+          if (all.nonEmpty && all.size >= all.head.nVotes) {
+            state.remove()
+            val dups = all.filter(_.isDup)
+            Iterator.single(Verdict(id, dups.nonEmpty,
+              if (dups.nonEmpty) dups.map(_.dupOf).min else id))
+          } else {
+            state.update(Pending(all))
+            Iterator.empty
+          }
+      }
+
+  /** End-to-end video gate: a stream of raw media payloads → per-clip
+    * keyframe hashes (one in-place decode per row —
+    * [[graft.operators.Multimodal.videoKeyframePhash]]'s per-record
+    * body, frames staying with their clip, no shuffle) → band votes →
+    * one [[Verdict]] per video.
+    */
+  def gate(media: Dataset[graft.operators.Multimodal.MediaRecord],
+           maxHamming: Int = 3, nBands: Int = 4, minSimE4: Long = 5000L,
+           maxPerBucket: Int = 256): Dataset[Verdict] = {
+    import media.sparkSession.implicits._
+    admittedAppend(bandVotes(
+      media.mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { r =>
+          val fr = graft.operators.Multimodal
+            .videoKeyframePhashOne(r.media_id, r.media)
+            .filter(f => f.phash != -1L && f.frame_idx >= 0L)
+          Clip(r.media_id, fr.map(_.frame_idx).toArray,
+            fr.map(_.phash).toArray)
+        }
+      },
+      maxHamming, nBands, minSimE4, maxPerBucket))
+  }
+
+  /** [[gate]] verdicts in the [[CurateStream.GateVerdict]] ledger shape
+    * (`reason` = "video_near_dup" | "admitted").
+    */
+  def gateVerdicts(media: Dataset[graft.operators.Multimodal.MediaRecord],
+                   maxHamming: Int = 3, nBands: Int = 4,
+                   minSimE4: Long = 5000L, maxPerBucket: Int = 256)
+      : Dataset[CurateStream.GateVerdict] = {
+    import media.sparkSession.implicits._
+    gate(media, maxHamming, nBands, minSimE4, maxPerBucket).map(v =>
+      if (v.is_dup) CurateStream.GateVerdict(v.id, admitted = false,
+        reason = "video_near_dup", dup_of = v.dup_of)
+      else CurateStream.GateVerdict(v.id, admitted = true,
+        reason = "admitted", dup_of = v.id))
+  }
+}

@@ -336,4 +336,112 @@ class NearDupStreamSpec extends SparkSpec {
           s"doc ${v.id}"))
     } finally q.stop()
   }
+
+  // ---- audio + video stream gates (the 3rd/4th modality twins) ----------
+
+  private def wavClip(id: Long, nw: Int, fromWindow: Int = 0,
+                      gain: Int = 1, src: Long = -1L)
+      : graft.operators.Multimodal.MediaRecord = {
+    val pat = if (src == -1L) id else src
+    def v(w: Int): Short = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$pat:$w".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      ((java.lang.Long.parseLong(hex, 16) % 997L) + 1L).toShort
+    }
+    val frames = Array.tabulate[Short]((nw - fromWindow) * 50)(i =>
+      (v(fromWindow + i / 50) * gain).toShort)
+    graft.operators.Multimodal.MediaRecord(id,
+      graft.operators.Multimodal.encodePcm16Wav(8000, 1, frames),
+      "audio/wav")
+  }
+
+  test("AudioFpStream gate: verdicts consistent with batch " +
+      "audioNearDupPairs on the same WAVs, across batches; " +
+      "unfingerprintable clips admit statelessly") {
+    import graft.streaming.AudioFpStream
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRecord
+    val b1 = Seq(wavClip(1L, 24), wavClip(2L, 24), wavClip(3L, 24))
+    val b2 = Seq(
+      wavClip(101L, 24, gain = 2, src = 1L),      // gain twin of 1
+      wavClip(202L, 24, fromWindow = 4, src = 2L), // tail segment of 2
+      MediaRecord(9L, "junk".getBytes("UTF-8"), "audio/wav"))
+    // batch ground truth: ids pairing with a SMALLER id at jacc >= 5000
+    val batchDups = Multimodal.audioNearDupPairs((b1 ++ b2).toDS(),
+        windowFrames = 50, k = 8, stride = 1, minMatchE4 = 5000L)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, _) => math.max(a, b) }.toSet
+    assert(batchDups == Set(101L, 202L), s"fixture drifted: $batchDups")
+    val input = MemoryStream[MediaRecord](spark)
+    val q = AudioFpStream.gateVerdicts(input.toDS(),
+        windowFrames = 50, k = 8, stride = 1, minMatchE4 = 5000L)
+      .writeStream.format("memory").queryName("audio_gate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("audio_gate")
+        .select("id", "admitted", "reason", "dup_of")
+        .as[(Long, Boolean, String, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got.size == 6) // one verdict per clip, junk included
+      assert(got(101L) == ((false, "audio_near_dup", 1L)))
+      assert(got(202L) == ((false, "audio_near_dup", 2L)))
+      assert(got(9L) == ((true, "admitted", 9L)))
+      Seq(1L, 2L, 3L).foreach(id =>
+        assert(got(id) == ((true, "admitted", id)), s"clip $id"))
+    } finally q.stop()
+  }
+
+  private def mp4Clip(cid: Long, seed: Long, v: Int)
+      : graft.operators.Multimodal.MediaRecord =
+    graft.operators.Multimodal.MediaRecord(cid,
+      graft.operators.Multimodal.encodeSamplesMp4(1000, 3000,
+        (0 to 2).map(f => graft.operators.Multimodal.encodeGrayPixelsPng(
+          16, 16, Array.tabulate(256) { p =>
+            val (x, y) = (p % 16, p / 16)
+            val nudge = if (v == 1 && f == 0 && x == 0 && y == 0) 9 else 0
+            ((seed * 31 + f * 53 + y * 16 + x * 17 + nudge) % 256).toInt
+          }))),
+      "video/mp4")
+
+  test("VideoStream gate: verdicts consistent with batch " +
+      "videoNearDupPairs on the same MP4s, across batches; unparseable " +
+      "payloads admit statelessly") {
+    import graft.streaming.VideoStream
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRecord
+    val b1 = Seq(mp4Clip(1L, 1L, 0), mp4Clip(2L, 2L, 0))
+    val b2 = Seq(mp4Clip(101L, 1L, 1), // near re-encode of 1
+      mp4Clip(3L, 3L, 0),
+      MediaRecord(9L, "not a video".getBytes("UTF-8"), "video/mp4"))
+    val batchDups = Multimodal.videoNearDupPairs((b1 ++ b2).toDS(),
+        maxHamming = 3, nBands = 4, minSimE4 = 5000L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => math.max(r._1, r._2)).toSet
+    assert(batchDups == Set(101L), s"fixture drifted: $batchDups")
+    val input = MemoryStream[MediaRecord](spark)
+    val q = VideoStream.gateVerdicts(input.toDS(),
+        maxHamming = 3, nBands = 4, minSimE4 = 5000L)
+      .writeStream.format("memory").queryName("video_gate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("video_gate")
+        .select("id", "admitted", "reason", "dup_of")
+        .as[(Long, Boolean, String, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got.size == 5)
+      assert(got(101L) == ((false, "video_near_dup", 1L)))
+      assert(got(9L) == ((true, "admitted", 9L)))
+      Seq(1L, 2L, 3L).foreach(id =>
+        assert(got(id) == ((true, "admitted", id)), s"video $id"))
+    } finally q.stop()
+  }
 }
