@@ -89,4 +89,41 @@ class PairedSpec extends SparkSpec {
     assert(solo(2L) == ((false, "text:exact_dup")))
     assert(solo(5L) == ((false, "text:quality")))
   }
+
+  test("paired verdicts compose INCREMENT ledgers unchanged: a paired " +
+      "snapshot curated per modality against accumulated state yields " +
+      "one verdict per pair from the committed ledgers") {
+    import graft.pipeline.Increment
+    // batch 1 seeds both states; batch 2 is the paired snapshot
+    val tDir = java.nio.file.Files
+      .createTempDirectory("graft_paired_t").toString
+    val iDir = java.nio.file.Files
+      .createTempDirectory("graft_paired_i").toString
+    val tCfg = graft.pipeline.IncrementConfig(minQualityE4 = 0)
+    Increment.curateIncrement(
+      Seq(1L -> goodText("one")).toDF("doc_id", "text"),
+      "doc_id", "text", tDir, "b1", tCfg)
+    Increment.curateImageIncrement(
+      Seq(MediaRecord(11L, png(1, 0), "image/png")).toDS(), iDir, "b1")
+    // snapshot: doc 2 exact-dups state doc 1, doc 3 fresh;
+    // image 12 pHash-near-dups state image 11, image 13 fresh
+    Increment.curateIncrement(
+      Seq(2L -> goodText("one"), 3L -> goodText("three"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", tDir, "b2", tCfg)
+    Increment.curateImageIncrement(Seq(
+      MediaRecord(12L, png(1, 7), "image/png"),
+      MediaRecord(13L, png(3, 0), "image/png")).toDS(), iDir, "b2")
+    val pairs = Seq((3L, 13L), (2L, 13L), (3L, 12L))
+      .toDF("doc_id", "media_id")
+    val got = Paired.pairedVerdicts(
+        Increment.readLedger(spark, tDir), Increment.readLedger(spark, iDir),
+        pairs)
+      .select("doc_id", "media_id", "admitted", "reason", "dup_of")
+      .as[(Long, Long, Boolean, String, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got((3L, 13L)) == ((true, "admitted", 3L)))
+    assert(got((2L, 13L)) == ((false, "text:exact_dup", 1L)))
+    assert(got((3L, 12L)) == ((false, "image:near_dup", 11L)))
+  }
 }
