@@ -421,26 +421,153 @@ object Curation {
     val emb = vectors
       .filter(expr("aggregate(v, 0D, (a, x) -> a + x * x)") > lit(0.0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sampled = emb.filter(
-      pmod(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
-        .cast("long"), lit(centroidEvery)) === 0)
-    // LAZY empty-sample fallback (the r5 `Ops.widen` stats-only
-    // discipline — an eager isEmpty here finalized this sub-plan before
-    // AQE): the min-id row joins in ONLY when the sample is empty, via
-    // an equi anti join on a constant key against the sample's first
-    // row — bounded (1×1) and plan-level, no driver action
-    val fallback = emb.orderBy(col("id").asc).limit(1)
-      .withColumn("__k", lit(1))
-      .join(sampled.select(lit(1).as("__k")).limit(1), Seq("__k"),
-        "left_anti")
-      .drop("__k")
-    val centroids = sampled.unionByName(fallback)
+    val centroids = semCentroidSample(emb, centroidEvery)
     val pairsM = Similarity.ivfNearDupPairsManaged(emb, centroids,
       threshold = thresholdE4 / 10000.0, nassign = nassign)
     val compM = Dedup.connectedComponentsManaged(pairsM.df)
     val victims = compM.df.filter(col("id") =!= col("label"))
       .select(col("id"), col("label").as("kept_id"))
     graft.core.Managed(victims, emb +: (pairsM.pinned ++ compM.pinned))
+  }
+
+  /** The deterministic centroid rule SemDeDup runs on: every id whose
+    * first-8-md5-nibble value is ≡ 0 mod `centroidEvery` — replayable
+    * (no k-means state), so an oracle can recompute the exact centroid
+    * set, and STABLE under corpus growth (an id's membership never
+    * changes). The LAZY empty-sample fallback (the r5 `Ops.widen`
+    * stats-only discipline — an eager isEmpty would finalize this
+    * sub-plan before AQE): the min-id row joins in ONLY when the sample
+    * is empty, via an equi anti join on a constant key against the
+    * sample's first row — bounded (1×1) and plan-level.
+    */
+  private[graft] def semCentroidSample(emb: DataFrame,
+                                       centroidEvery: Int): DataFrame = {
+    val sampled = emb.filter(
+      pmod(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(centroidEvery)) === 0)
+    val fallback = emb.orderBy(col("id").asc).limit(1)
+      .withColumn("__k", lit(1))
+      .join(sampled.select(lit(1).as("__k")).limit(1), Seq("__k"),
+        "left_anti")
+      .drop("__k")
+    sampled.unionByName(fallback)
+  }
+
+  // ---- persisted semantic-dedup state (the EMBEDDING index member) ------
+
+  /** Persist a semantic-dedup snapshot — the EMBEDDING member of the
+    * index-lifecycle family: an incremental semantic ingest must not
+    * re-embed and re-pair the accumulated corpus per batch; each new
+    * snapshot assigns ONCE against the STORED centroid set and joins
+    * only shared-cell vectors ([[semNearDupAgainstIndex]]).
+    *
+    * `centroids` is the deterministic [[semCentroidSample]] the caller
+    * drew (pinned at bootstrap — assignment must stay frozen between
+    * retrains or stored cell ids diverge from serving). Layout:
+    * `dir/centroids` (cid, cv — batch-less, the frozen rule),
+    * `dir/assigned` (id, v, cid — each vector under its top-`nassign`
+    * cells) and `dir/meta` (centroid_every, nassign) partitioned by
+    * `batch_id` with meta as COMMIT MARKER (the family contract:
+    * retries replace their own partitions; readers see only committed
+    * batches). Zero-norm vectors must be excluded by the caller (they
+    * can never pair — cosine undefined).
+    */
+  def writeSemIndex(vectors: DataFrame, centroids: DataFrame, dir: String,
+                    centroidEvery: Int = 25, nassign: Int = 2,
+                    batchId: String = "base"): Unit = {
+    centroids.select(col("id").as("cid"), col("v").as("cv"))
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    writeSemParts(vectors, dir, nassign, centroidEvery,
+      overwrite = true, batchId = batchId)
+  }
+
+  /** Fold a new batch's vectors into an existing index (append —
+    * assignment against the STORED centroids, no old data rewritten).
+    * Caller contract: ids disjoint from indexed ids; retries of a
+    * FAILED append reuse `batchId`.
+    */
+  def appendSemVectors(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, vectors: DataFrame,
+                       batchId: String): Unit = {
+    val (ce, na) = readSemMeta(spark, dir)
+    writeSemParts(vectors, dir, na, ce, overwrite = false, batchId = batchId)
+  }
+
+  private def writeSemParts(vectors: DataFrame, dir: String, nassign: Int,
+                            centroidEvery: Int, overwrite: Boolean,
+                            batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId != "__HIVE_DEFAULT_PARTITION__",
+      s"sem index: invalid batch id '$batchId'")
+    val spark = vectors.sparkSession
+    def writer(d: DataFrame) =
+      d.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .option("partitionOverwriteMode",
+          if (overwrite) "static" else "dynamic")
+    val cent = broadcast(spark.read.parquet(s"$dir/centroids"))
+    val assigned = Similarity.topCells(
+      graft.core.Ops.widen(vectors.select(col("id"), col("v")))
+        .join(cent)
+        .withColumn("cscore", Similarity.cosine("v", "cv")),
+      "id", "v", nassign)
+      .select("id", "v", "cid")
+    writer(assigned).parquet(s"$dir/assigned")
+    writer(spark.range(1)
+        .select(lit(centroidEvery).as("centroid_every"),
+          lit(nassign).as("nassign")))
+      .parquet(s"$dir/meta")
+  }
+
+  private[graft] def readSemMeta(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): (Int, Int) = {
+    val rows = spark.read.parquet(s"$dir/meta")
+      .select("centroid_every", "nassign").distinct().collect()
+    require(rows.length == 1,
+      s"sem index at $dir: inconsistent parameters across batches " +
+        s"(${rows.length} distinct meta rows)")
+    (rows(0).getInt(0), rows(0).getInt(1))
+  }
+
+  /** Semantic near-dup pairs of NEW vectors against the indexed corpus:
+    * (id_new, id_old, score_e4). The batch assigns ONCE against the
+    * stored centroids; the only corpus-sized work is the shared-cell
+    * equi join against COMMITTED stored vectors and the exact cosine
+    * verify. New×new pairs are deliberately not emitted
+    * ([[graft.operators.Similarity.ivfNearDupPairs]] the batch first if
+    * needed). `excludeBatch` hides the named committed batch (the
+    * increment retry's pre-batch view).
+    */
+  def semNearDupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, newVectors: DataFrame,
+                             thresholdE4: Long = 9000L,
+                             excludeBatch: Option[String] = None)
+      : DataFrame = {
+    require(thresholdE4 >= 0 && thresholdE4 <= 10000,
+      s"semNearDupAgainstIndex: thresholdE4 ($thresholdE4)")
+    val (_, nassign) = readSemMeta(spark, dir)
+    val committed0 = spark.read.parquet(s"$dir/meta")
+      .select("batch_id").distinct()
+    val committed = excludeBatch
+      .map(b => committed0.filter(col("batch_id") =!= b))
+      .getOrElse(committed0)
+    val cent = broadcast(spark.read.parquet(s"$dir/centroids"))
+    val nb = Similarity.topCells(
+      graft.core.Ops.widen(newVectors
+          .select(col("id").as("id_new"), col("v")))
+        .join(cent)
+        .withColumn("cscore", Similarity.cosine("v", "cv")),
+      "id_new", "v", nassign)
+      .select(col("id_new"), col("v").as("vn"), col("cid"))
+    val ob = spark.read.parquet(s"$dir/assigned")
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+      .select(col("id").as("id_old"), col("v").as("vo"), col("cid"))
+    nb.join(ob, Seq("cid"))
+      .filter(col("id_new") =!= col("id_old"))
+      .withColumn("__raw", Similarity.cosine("vn", "vo"))
+      .filter(col("__raw") >= lit(thresholdE4 / 10000.0))
+      .select(col("id_new"), col("id_old"),
+        Similarity.scoreE4(col("__raw")).as("score_e4"))
+      .distinct()
   }
 
   def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,

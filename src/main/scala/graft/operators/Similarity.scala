@@ -139,7 +139,7 @@ object Similarity {
     * `first` (well-defined: `v` is functionally dependent on the group
     * key; the centroid join merely replicated it).
     */
-  private def topCells(joined: DataFrame, idCol: String, vCol: String,
+  private[graft] def topCells(joined: DataFrame, idCol: String, vCol: String,
                        n: Int): DataFrame = {
     // negated score sorts asc = score desc; NULL score → +Inf sorts last,
     // matching the window form's desc-NULLS-LAST

@@ -300,11 +300,12 @@ object Increment {
   private def committedTable(spark: SparkSession, stateDir: String,
                              sub: String): DataFrame = {
     val f = fs(spark, stateDir)
-    val markers = Seq("minhash", "phash", "audio", "video")
+    val markers = Seq("minhash", "phash", "audio", "video", "sem")
       .map(m => s"$stateDir/$m/meta")
       .find(p => f.exists(new org.apache.hadoop.fs.Path(p)))
       .getOrElse(throw new IllegalStateException(
-        s"no increment state (minhash/phash/audio/video meta) at $stateDir"))
+        s"no increment state (minhash/phash/audio/video/sem meta) at " +
+          stateDir))
     val committed = spark.read.parquet(markers)
       .select("batch_id").distinct()
     spark.read.parquet(s"$stateDir/$sub")
@@ -833,6 +834,167 @@ object Increment {
       else
         graft.operators.Multimodal.writeVideoFrameIndex(spark, admFrames,
           s"$stateDir/video", cfg.nBands, batchId)
+    }
+    IncrementResult(ledger, admitted.select("id"), counts.toSeq)
+  }
+
+  // ---- the EMBEDDING twin: batch vs persisted semantic state -------------
+
+  /** The semantic gate dials ([[graft.operators.Curation
+    * .semDedupVictimsFromVectorsManaged]] parameters).
+    */
+  case class EmbeddingIncrementConfig(thresholdE4: Long = 9000L,
+                                      centroidEvery: Int = 25,
+                                      nassign: Int = 2)
+
+  /** Semantic state exists iff the sem index has its meta marker. */
+  def semStateExists(spark: SparkSession, stateDir: String): Boolean =
+    fs(spark, stateDir).exists(
+      new org.apache.hadoop.fs.Path(s"$stateDir/sem/meta"))
+
+  /** The embedding increment — the FIFTH content twin of
+    * [[curateIncrement]] and the modality siblings: a new snapshot of
+    * (id, v) embedding rows curated against the accumulated semantic
+    * state. Verdict order: exact dedup (vector identity at e6
+    * fixed-point — vs state then within batch) → semantic near-dup
+    * (cosine >= threshold within shared cells of the FROZEN
+    * [[graft.operators.Curation.semCentroidSample]] centroid set — vs
+    * committed state with min-old-parent, then within-batch components).
+    * Zero-norm vectors pass the semantic stages (cosine undefined — they
+    * can never pair) and are never indexed, but their exact keys ARE
+    * state (identical zero vectors dedup exactly). Admitted non-zero
+    * vectors append under `batchId` with the sem META partition as the
+    * increment's commit marker; the first increment draws the centroid
+    * set from its own exact-surviving non-zero vectors (the replayable
+    * md5 rule) and pins it for every later batch. Retry/torn contracts
+    * as in the siblings.
+    */
+  def curateEmbeddingIncrement(batch: DataFrame, stateDir: String,
+      batchId: String,
+      cfg: EmbeddingIncrementConfig = EmbeddingIncrementConfig())
+      : IncrementResult = {
+    require(batchId.nonEmpty && batchId != "base" &&
+        batchId != "__HIVE_DEFAULT_PARTITION__",
+      s"curateEmbeddingIncrement: invalid batch id '$batchId'")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val haveState = semStateExists(spark, stateDir)
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val led = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def stage(name: String, c: Long): Unit = counts += ((name, c))
+    def rejectPiece(ids: DataFrame, reason: String): Unit =
+      led += ids.select(col("id").cast("long").as("id"),
+          lit(false).as("admitted"), lit(reason).as("reason"),
+          coalesce(col("__dup_of"), col("id")).cast("long").as("dup_of"))
+        .localCheckpoint(eager = true)
+
+    // exact key: e6 fixed-point canonical string of the vector (vector
+    // identity at the documented resolution)
+    val keyed = graft.core.Ops.widen(batch)
+      .select(col("id").cast("long").as("id"), col("v"))
+      .withColumn("__md5", md5(concat_ws(",",
+        transform(col("v"),
+          x => graft.core.Ops.fixedPoint(x, 6).cast("string")))))
+      .localCheckpoint(eager = true)
+    stage("ingest", keyed.count())
+
+    // exact dedup: against state, then within batch
+    val afterExactState =
+      if (!haveState) keyed
+      else {
+        val stateKeys = readMarkedExactKeys(spark, stateDir, "sem",
+          batchId)
+        val hits = keyed.join(
+            stateKeys.select(col("key").as("__md5"),
+              col("id").as("__dup_of")), Seq("__md5"))
+          .localCheckpoint(eager = true)
+        rejectPiece(hits.select(col("id"), col("__dup_of")), "exact_dup")
+        keyed.join(hits.select("id"), Seq("id"), "left_anti")
+      }
+    val keeper = afterExactState.groupBy("__md5")
+      .agg(min(col("id")).as("__keep"))
+    val withKeep = afterExactState.join(keeper, Seq("__md5"))
+      .localCheckpoint(eager = true)
+    rejectPiece(withKeep.filter(col("id") =!= col("__keep"))
+      .select(col("id"), col("__keep").as("__dup_of")), "exact_dup")
+    val exact = withKeep.filter(col("id") === col("__keep"))
+      .select("id", "v", "__md5").localCheckpoint(eager = true)
+    stage("exact_dedup", exact.count())
+    val nonzero = exact
+      .filter(expr("aggregate(v, 0D, (a, x) -> a + x * x)") > lit(0.0))
+      .localCheckpoint(eager = true)
+
+    // the frozen centroid rule: stored set, or (bootstrap) the md5
+    // sample of this batch's exact-surviving non-zero vectors
+    val centroids =
+      if (haveState)
+        spark.read.parquet(s"$stateDir/sem/centroids")
+          .select(col("cid").as("id"), col("cv").as("v"))
+      else
+        Curation.semCentroidSample(nonzero.select("id", "v"),
+          cfg.centroidEvery).localCheckpoint(eager = true)
+
+    // semantic near-dup: against state, then within batch
+    val afterOld =
+      if (!haveState) exact
+      else {
+        val hits = Curation.semNearDupAgainstIndex(spark,
+            s"$stateDir/sem",
+            nonzero.select(col("id"), col("v")), cfg.thresholdE4,
+            excludeBatch = Some(batchId))
+          .groupBy("id_new").agg(min(col("id_old")).as("__dup_of"))
+          .select(col("id_new").as("id"), col("__dup_of"))
+          .localCheckpoint(eager = true)
+        rejectPiece(hits, "near_dup")
+        exact.join(hits.select("id"), Seq("id"), "left_anti")
+          .localCheckpoint(eager = true)
+      }
+    val survNonzero = nonzero.join(afterOld.select("id"), Seq("id"),
+      "left_semi")
+    val pairsM = graft.operators.Similarity.ivfNearDupPairsManaged(
+      survNonzero.select("id", "v"), centroids,
+      cfg.thresholdE4 / 10000.0, cfg.nassign)
+    val compM = Dedup.connectedComponentsManaged(
+      pairsM.df.select("idA", "idB"))
+    val victims = compM.df.filter(col("id") =!= col("label"))
+      .select(col("id"), col("label").as("__dup_of"))
+      .localCheckpoint(eager = true)
+    compM.close(); pairsM.close()
+    rejectPiece(victims, "near_dup")
+    val admitted = afterOld
+      .join(victims.select("id"), Seq("id"), "left_anti")
+      .localCheckpoint(eager = true)
+    stage("near_dup", admitted.count())
+    led += admitted.select(col("id"), lit(true).as("admitted"),
+        lit("admitted").as("reason"), col("id").as("dup_of"))
+      .localCheckpoint(eager = true)
+
+    // persist: keys -> ledger -> metrics -> sem index (meta = marker)
+    val ledger = led.reduce(_ unionByName _)
+      .select(col("id"), col("admitted"), col("reason"), col("dup_of"))
+      .localCheckpoint(eager = true)
+    val nLed = ledger.count()
+    require(nLed == counts.head._2,
+      s"curateEmbeddingIncrement: ledger rows $nLed != " +
+        s"batch ${counts.head._2}")
+    def writer(df: DataFrame, path: String): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic").parquet(path)
+    if (haveState || admitted.head(1).nonEmpty) {
+      writeExactKeyRows(admitted.select(col("__md5").as("key"), col("id")),
+        s"$stateDir/exact", batchId)
+      writer(ledger, s"$stateDir/ledger")
+      writer(counts.toSeq.toDF("stage", "rows"), s"$stateDir/metrics")
+      val admNonzero = nonzero
+        .join(admitted.select("id"), Seq("id"), "left_semi")
+        .select("id", "v")
+      if (haveState)
+        Curation.appendSemVectors(spark, s"$stateDir/sem", admNonzero,
+          batchId)
+      else
+        Curation.writeSemIndex(admNonzero, centroids, s"$stateDir/sem",
+          cfg.centroidEvery, cfg.nassign, batchId)
     }
     IncrementResult(ledger, admitted.select("id"), counts.toSeq)
   }

@@ -480,6 +480,101 @@ object Maintain {
     }
   }
 
+  // ---- semantic (embedding) index: compaction + centroid retrain --------
+
+  /** Two axes, the kNN-graph discipline: RETRAIN when appended mass
+    * exceeds `maxAppendFracE4` of the base (appended vectors were
+    * assigned against centroids sampled before they existed — past a
+    * fraction the cell structure no longer reflects the corpus);
+    * COMPACT when committed batch count exceeds `maxBatches` (serving
+    * is correct at any count; the trigger is the per-query listing
+    * constant). Retrain dominates when both trip.
+    */
+  def semDecision(spark: SparkSession, dir: String, maxBatches: Int = 16,
+                  maxAppendFracE4: Long = 2500): Decision = {
+    val assigned = spark.read.parquet(s"$dir/assigned")
+      .join(broadcast(committedBatches(spark, dir)), Seq("batch_id"),
+        "left_semi")
+    // "base" = the largest committed batch (the bootstrap increment or
+    // the last compaction/retrain result — increments bootstrap under
+    // their own batch id, so the name "base" is not guaranteed);
+    // appended mass = everything since. Bounded: one row per batch.
+    val perBatch = assigned.groupBy("batch_id")
+      .agg(countDistinct(col("id")).as("n")).collect()
+      .map(_.getLong(1)).sorted.reverse
+    val base = perBatch.headOption.getOrElse(0L)
+    val appended = perBatch.drop(1).sum
+    val frac = if (base == 0) 10000L
+               else math.round(appended * 10000.0 / base)
+    val nBatches = committedBatches(spark, dir).count()
+    if (frac > maxAppendFracE4)
+      Decision("sem", "retrain", frac, maxAppendFracE4,
+        s"appended $appended vs base $base (${frac}e-4)")
+    else if (nBatches > maxBatches)
+      Decision("sem", "compact", nBatches, maxBatches,
+        s"$nBatches committed batches")
+    else Decision("sem", "none", math.max(frac, nBatches),
+      maxAppendFracE4, s"frac ${frac}e-4, $nBatches batches")
+  }
+
+  /** Merge committed sem batches into one `base` batch in a new
+    * published version: assigned rows pass through verbatim (ids are
+    * disjoint by the append contract), centroids copy unchanged (the
+    * frozen rule), meta re-states the committed parameters.
+    * Bit-identical serving, spec-pinned.
+    */
+  def semCompact(spark: SparkSession, warehouse: String, db: String,
+                 token: String): org.apache.hadoop.fs.Path = {
+    val cur = Restore.resolveVersioned(spark, warehouse, db)
+      .getOrElse(throw new IllegalStateException(
+        s"semCompact: no current version of $db under $warehouse"))
+    val committed = committedBatches(spark, cur.toString)
+    val (ce, na) = graft.operators.Curation.readSemMeta(spark, cur.toString)
+    val assigned = spark.read.parquet(s"$cur/assigned")
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+      .select("id", "v", "cid")
+    val cents = spark.read.parquet(s"$cur/centroids")
+    Restore.publishVersionedDir(spark, warehouse, db, token) { vdir =>
+      def writer(df: DataFrame) =
+        df.withColumn("batch_id", lit("base"))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .option("partitionOverwriteMode", "static")
+      cents.write.mode("overwrite").parquet(s"$vdir/centroids")
+      writer(assigned).parquet(s"$vdir/assigned")
+      writer(spark.range(1)
+          .select(lit(ce).as("centroid_every"), lit(na).as("nassign")))
+        .parquet(s"$vdir/meta")
+    }
+  }
+
+  /** Re-draw the centroid set from the ACCUMULATED committed vectors
+    * (the same replayable [[graft.operators.Curation.semCentroidSample]]
+    * md5 rule — an id's membership never changes, so the new set is the
+    * old one plus appended ids that pass the rule) and re-assign the
+    * whole corpus against it in a fresh `base` — exactly a fresh
+    * [[graft.operators.Curation.writeSemIndex]] over the committed
+    * union, spec-pinned.
+    */
+  def semRetrain(spark: SparkSession, warehouse: String, db: String,
+                 token: String): org.apache.hadoop.fs.Path = {
+    val cur = Restore.resolveVersioned(spark, warehouse, db)
+      .getOrElse(throw new IllegalStateException(
+        s"semRetrain: no current version of $db under $warehouse"))
+    val committed = committedBatches(spark, cur.toString)
+    val (ce, na) = graft.operators.Curation.readSemMeta(spark, cur.toString)
+    val vectors = spark.read.parquet(s"$cur/assigned")
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+      .select("id", "v").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = graft.operators.Curation.semCentroidSample(vectors, ce)
+      Restore.publishVersionedDir(spark, warehouse, db, token) { vdir =>
+        graft.operators.Curation.writeSemIndex(vectors, cents,
+          vdir.toString, ce, na)
+      }
+    } finally vectors.unpersist()
+  }
+
   // ---- kNN graph: append-staleness retrain + degree compaction ----------
 
   /** Committed graph-append batches: a batch's `vectors_batches`

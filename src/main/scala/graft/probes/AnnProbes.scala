@@ -1126,7 +1126,184 @@ object AnnProbes {
        |ORDER BY id, rnk, nbr""".stripMargin
   }
 
+  // ---- q165 embedding increment vs persisted semantic state --------------
+  // Increment.curateEmbeddingIncrement twice over (b1 bootstraps —
+  // centroids drawn from its exact-surviving non-zero vectors by the
+  // replayable md5%25 rule — b2 runs against the frozen state, then b2
+  // RERUNS under its batch id: the q157/q160/q161 idempotence
+  // discipline). Vectors come from the embeddings table; variants are
+  // the proven-parity transforms (near = x*1.1+0.01, the q30/q70
+  // plant; flip = md5-keyed per-component sign, orthogonal-ish fresh
+  // directions; zero = the all-zero vector exercising the
+  // never-semantically-pairable path). Exact payload equality <=>
+  // identical (src, form); the oracle replays centroid sampling,
+  // nassign=2 assignment, shared-cell cosine pairs, components, and
+  // the two-batch funnel verbatim.
+  private def q165Flip(off: Long) =
+    s"transform(v0, (x, i) -> x * CASE WHEN conv(substring(md5(" +
+      s"concat(cast(src AS STRING), ':', cast(i AS STRING))), 1, 8), " +
+      s"16, 10) % 2 = 0 THEN ${off}D ELSE -${off}D END)"
+
+  def q165Vecs(s: SparkSession, d: String, batch: String): DataFrame = {
+    val base = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      .select(col("vec_id").as("src"),
+        Similarity.toDoubleVec(col("embedding")).as("v0"))
+    def mk(off: Long, mod: Int, form: String): DataFrame =
+      base.filter(col("src") % 10 === mod)
+        .select((col("src") + off).as("id"), expr(form).as("v"))
+    val near = "transform(v0, x -> x * 1.1D + 0.01D)"
+    if (batch == "b1")
+      base.select(col("src").as("id"), col("v0").as("v"))
+        .unionByName(mk(100000L, 0, "v0"))
+        .unionByName(mk(200000L, 1, near))
+    else
+      mk(300000L, 2, "v0")
+        .unionByName(mk(400000L, 3, near))
+        .unionByName(mk(900000L, 1, near))
+        .unionByName(mk(500000L, 4, q165Flip(1L)))
+        .unionByName(mk(600000L, 4,
+          s"transform(${q165Flip(1L)}, x -> x * 1.1D + 0.01D)"))
+        .unionByName(mk(700000L, 5, q165Flip(1L)))
+        .unionByName(s.range(2)
+          .select((col("id") + 999998L).as("id"),
+            expr("transform(sequence(1, 8), x -> 0D)").as("v")))
+  }
+
+  val q165: Q = (s, d) => {
+    import graft.pipeline.Increment
+    val dir = scratchDir("graft_q165_state")
+    Increment.curateEmbeddingIncrement(q165Vecs(s, d, "b1"), dir, "b1")
+    Increment.curateEmbeddingIncrement(q165Vecs(s, d, "b2"), dir, "b2")
+    Increment.curateEmbeddingIncrement(q165Vecs(s, d, "b2"), dir, "b2")
+    Increment.readLedger(s, dir)
+      .select(col("batch_id"), col("id"), col("admitted"), col("reason"),
+        col("dup_of"))
+      .orderBy("batch_id", "id")
+  }
+
+  val q165Sql: String = {
+    def cos(a: String, b: String) = Similarity.cosineDuckSql(a, b)
+    def replayExact(t: String, bt: String, st: String): String =
+      s"""${t}_ex_st AS MATERIALIZED (SELECT c.id AS cid, min(sc.id) AS dup_of
+         |  FROM vv c JOIN vv sc ON sc.src = c.src AND sc.frm = c.frm
+         |  WHERE c.id IN (SELECT id FROM $bt)
+         |    AND sc.id IN (SELECT id FROM $st)
+         |  GROUP BY c.id),
+         |${t}_p1 AS MATERIALIZED (SELECT id FROM $bt
+         |  WHERE id NOT IN (SELECT cid FROM ${t}_ex_st)),
+         |${t}_keep AS MATERIALIZED (SELECT src, frm, min(id) AS keep
+         |  FROM vv WHERE id IN (SELECT id FROM ${t}_p1)
+         |  GROUP BY src, frm),
+         |${t}_ex_in AS MATERIALIZED (SELECT c.id AS cid, k.keep AS dup_of
+         |  FROM vv c JOIN ${t}_keep k
+         |    ON k.src = c.src AND k.frm = c.frm
+         |  WHERE c.id IN (SELECT id FROM ${t}_p1) AND c.id <> k.keep),
+         |${t}_p2 AS MATERIALIZED (SELECT id FROM ${t}_p1
+         |  WHERE id NOT IN (SELECT cid FROM ${t}_ex_in))""".stripMargin
+    def replaySem(t: String, st: String): String =
+      s"""${t}_nd_st AS MATERIALIZED (
+         |  SELECT v.src AS cid, min(v.dst) AS dup_of FROM vps v
+         |  WHERE v.src IN (SELECT id FROM ${t}_p2)
+         |    AND v.dst IN (SELECT id FROM $st)
+         |  GROUP BY v.src),
+         |${t}_p3 AS MATERIALIZED (SELECT id FROM ${t}_p2
+         |  WHERE id NOT IN (SELECT cid FROM ${t}_nd_st)),
+         |${t}_edges AS MATERIALIZED (
+         |  SELECT ca AS src, cb AS dst FROM vp
+         |  WHERE ca IN (SELECT id FROM ${t}_p3)
+         |    AND cb IN (SELECT id FROM ${t}_p3)),
+         |${t}_und AS (SELECT src, dst FROM ${t}_edges
+         |  UNION ALL SELECT dst, src FROM ${t}_edges),
+         |${t}_reach(id, r) AS (
+         |  SELECT src, src FROM ${t}_und
+         |  UNION
+         |  SELECT u.src, ${t}_reach.r FROM ${t}_und u
+         |  JOIN ${t}_reach ON ${t}_reach.id = u.dst),
+         |${t}_nd_in AS (SELECT id AS cid, min(r) AS dup_of
+         |  FROM ${t}_reach GROUP BY id HAVING id <> min(r)),
+         |${t}_adm AS MATERIALIZED (SELECT id FROM ${t}_p3
+         |  WHERE id NOT IN (SELECT cid FROM ${t}_nd_in))""".stripMargin
+    def verdicts(t: String, b: String): String =
+      s"""  SELECT '$b' AS batch_id, cid AS id, FALSE AS admitted,
+         |    'exact_dup' AS reason, dup_of FROM ${t}_ex_st
+         |  UNION ALL SELECT '$b', cid, FALSE, 'exact_dup', dup_of
+         |  FROM ${t}_ex_in
+         |  UNION ALL SELECT '$b', cid, FALSE, 'near_dup', dup_of
+         |  FROM ${t}_nd_st
+         |  UNION ALL SELECT '$b', cid, FALSE, 'near_dup', dup_of
+         |  FROM ${t}_nd_in
+         |  UNION ALL SELECT '$b', id, TRUE, 'admitted', id
+         |  FROM ${t}_adm""".stripMargin
+    val flip = "list_transform(range(1, len(v0) + 1), i -> v0[i] * " +
+      "CASE WHEN ('0x' || substr(md5(src || ':' || (i - 1)), 1, 8))" +
+      "::BIGINT % 2 = 0 THEN 1 ELSE -1 END)"
+    s"""WITH RECURSIVE
+       |base AS MATERIALIZED (
+       |  SELECT vec_id AS src, CAST(embedding AS DOUBLE[]) AS v0
+       |  FROM embeddings WHERE vec_id < 200),
+       |vv AS MATERIALIZED (
+       |  SELECT src, src AS id, 0 AS frm, 'b1' AS b, v0 AS v FROM base
+       |  UNION ALL SELECT src, src + 100000, 0, 'b1', v0 FROM base
+       |  WHERE src % 10 = 0
+       |  UNION ALL SELECT src, src + 200000, 1, 'b1',
+       |    list_transform(v0, x -> x * 1.1 + 0.01) FROM base
+       |  WHERE src % 10 = 1
+       |  UNION ALL SELECT src, src + 300000, 0, 'b2', v0 FROM base
+       |  WHERE src % 10 = 2
+       |  UNION ALL SELECT src, src + 400000, 1, 'b2',
+       |    list_transform(v0, x -> x * 1.1 + 0.01) FROM base
+       |  WHERE src % 10 = 3
+       |  UNION ALL SELECT src, src + 900000, 1, 'b2',
+       |    list_transform(v0, x -> x * 1.1 + 0.01) FROM base
+       |  WHERE src % 10 = 1
+       |  UNION ALL SELECT src, src + 500000, 2, 'b2', $flip FROM base
+       |  WHERE src % 10 = 4
+       |  UNION ALL SELECT src, src + 600000, 3, 'b2',
+       |    list_transform($flip, x -> x * 1.1 + 0.01) FROM base
+       |  WHERE src % 10 = 4
+       |  UNION ALL SELECT src, src + 700000, 2, 'b2', $flip FROM base
+       |  WHERE src % 10 = 5
+       |  UNION ALL SELECT 0, 999998 + z.z, 9, 'b2',
+       |    list_transform(range(1, 9), x -> CAST(0 AS DOUBLE))
+       |  FROM range(2) z(z)),
+       |bt1 AS MATERIALIZED (SELECT id FROM vv WHERE b = 'b1'),
+       |bt2 AS MATERIALIZED (SELECT id FROM vv WHERE b = 'b2'),
+       |s0 AS MATERIALIZED (SELECT id FROM vv WHERE FALSE),
+       |${replayExact("r1", "bt1", "s0")},
+       |cent AS MATERIALIZED (
+       |  SELECT id AS ccid, v AS cv FROM vv
+       |  WHERE id IN (SELECT id FROM r1_p2) AND frm <> 9
+       |    AND ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT
+       |      % 25 = 0),
+       |assigned AS MATERIALIZED (
+       |  SELECT id, v, ccid FROM (
+       |    SELECT w.id, w.v, c.ccid,
+       |      row_number() OVER (PARTITION BY w.id
+       |        ORDER BY ${cos("w.v", "c.cv")} DESC, c.ccid ASC) AS rn
+       |    FROM (SELECT id, v FROM vv WHERE frm <> 9) w
+       |    CROSS JOIN cent c) t(id, v, ccid, rn)
+       |  WHERE rn <= 2),
+       |vp AS MATERIALIZED (
+       |  SELECT DISTINCT a.id AS ca, b.id AS cb
+       |  FROM assigned a JOIN assigned b USING (ccid)
+       |  WHERE a.id < b.id AND ${cos("a.v", "b.v")} >= 0.9),
+       |vps AS MATERIALIZED (SELECT ca AS src, cb AS dst FROM vp
+       |  UNION ALL SELECT cb, ca FROM vp),
+       |${replaySem("r1", "s0")},
+       |s1 AS MATERIALIZED (SELECT id FROM r1_adm),
+       |${replayExact("r2", "bt2", "s1")},
+       |${replaySem("r2", "s1")},
+       |out AS (
+       |${verdicts("r1", "b1")}
+       |  UNION ALL
+       |${verdicts("r2", "b2")})
+       |SELECT batch_id, CAST(id AS BIGINT) AS id, admitted, reason,
+       |  CAST(dup_of AS BIGINT) AS dup_of
+       |FROM out ORDER BY batch_id, id""".stripMargin
+  }
+
   private[probes] val queries: Map[String, Q] = Map(
+    "q165_embedding_increment" -> q165,
     "q152_beam_search" -> q152,
     "q155_graph_append" -> q155,
     "q149_nn_descent" -> q149,
@@ -1149,6 +1326,7 @@ object AnnProbes {
     "q141_hard_negatives" -> q141)
 
   private[probes] val oracleSql: Map[String, String] = Map(
+    "q165_embedding_increment" -> q165Sql,
     "q152_beam_search" -> q152Sql,
     "q155_graph_append" -> q155Sql,
     "q149_nn_descent" -> q149Sql,
