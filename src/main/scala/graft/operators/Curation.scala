@@ -540,13 +540,22 @@ object Curation {
   def semNearDupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                              dir: String, newVectors: DataFrame,
                              thresholdE4: Long = 9000L,
-                             excludeBatch: Option[String] = None)
+                             excludeBatch: Option[String] = None,
+                             restrictTo: Option[DataFrame] = None)
       : DataFrame = {
     require(thresholdE4 >= 0 && thresholdE4 <= 10000,
       s"semNearDupAgainstIndex: thresholdE4 ($thresholdE4)")
     val (_, nassign) = readSemMeta(spark, dir)
-    val committed0 = spark.read.parquet(s"$dir/meta")
+    val committed1 = spark.read.parquet(s"$dir/meta")
       .select("batch_id").distinct()
+    // restrictTo: when this index is a SUB-state of a funnel whose
+    // authoritative commit marker lives elsewhere (the text increment's
+    // minhash meta), intersect with that marker's committed set so a
+    // torn increment's sem rows never serve (the r14 torn-kNN lesson)
+    val committed0 = restrictTo
+      .map(r => committed1.join(r.select("batch_id").distinct(),
+        Seq("batch_id"), "left_semi"))
+      .getOrElse(committed1)
     val committed = excludeBatch
       .map(b => committed0.filter(col("batch_id") =!= b))
       .getOrElse(committed0)

@@ -19,7 +19,15 @@ case class IncrementConfig(
     // banding for a state the FIRST increment creates; existing state
     // pins its own banding (read from the index meta, mismatch is loud
     // there)
-    bands: Int = 4, rowsPerBand: Int = 3)
+    bands: Int = 4, rowsPerBand: Int = 3,
+    // optional SEMANTIC stage (the batch funnel's sem_dup gate, against
+    // accumulated state): hash-trick embed at `semDim`, SemDeDup vs the
+    // sem sub-state then within batch; admitted vectors append. The sem
+    // sub-state's reads are restricted to MINHASH-committed batches (the
+    // increment's one authoritative marker), so a torn increment's sem
+    // rows never serve.
+    semDedupThresholdE4: Option[Long] = None,
+    semDim: Int = 64, semCentroidEvery: Int = 25, semNassign: Int = 2)
 
 /** `ledger` — one [[graft.streaming.CurateStream.GateVerdict]]-shaped
   * row PER BATCH DOC (id, admitted, reason, dup_of); `admitted` — the
@@ -245,15 +253,70 @@ object Increment {
       .localCheckpoint(eager = true)
     compM.close(); pairsM.close()
     rejectPiece(victims, "near_dup")
-    val admitted = afterOld
+    val afterMh = afterOld
       .join(victims.select("id"), Seq("id"), "left_anti")
       .localCheckpoint(eager = true)
-    stage("near_dup", admitted.count())
+    stage("near_dup", afterMh.count())
+
+    // ---- optional SEMANTIC stage (the batch funnel's sem_dup gate) ------
+    // against the sem SUB-state (reads restricted to minhash-committed
+    // batches — the increment's one authoritative marker), then within
+    // batch over the frozen centroid set
+    val semPieces = cfg.semDedupThresholdE4.map { th =>
+      val semDir = s"$stateDir/sem"
+      val haveSem = semStateExists(spark, stateDir)
+      val vecs = TextStats.hashEmbedVectors(afterMh, "id", "text",
+          cfg.semDim)
+        .localCheckpoint(eager = true)
+      val nonzero = vecs
+        .filter(expr("aggregate(v, 0D, (a, x) -> a + x * x)") > lit(0.0))
+        .localCheckpoint(eager = true)
+      val centroids =
+        if (haveSem)
+          spark.read.parquet(s"$semDir/centroids")
+            .select(col("cid").as("id"), col("cv").as("v"))
+        else Curation.semCentroidSample(nonzero.select("id", "v"),
+          cfg.semCentroidEvery).localCheckpoint(eager = true)
+      val afterSemState =
+        if (!haveSem) afterMh
+        else {
+          val restrict = Dedup
+            .minhashCommitted(spark, s"$stateDir/minhash")
+          val hits = Curation.semNearDupAgainstIndex(spark, semDir,
+              nonzero.select("id", "v"), th,
+              excludeBatch = Some(batchId), restrictTo = Some(restrict))
+            .groupBy("id_new").agg(min(col("id_old")).as("__dup_of"))
+            .select(col("id_new").as("id"), col("__dup_of"))
+            .localCheckpoint(eager = true)
+          rejectPiece(hits, "sem_dup")
+          afterMh.join(hits.select("id"), Seq("id"), "left_anti")
+            .localCheckpoint(eager = true)
+        }
+      val survNonzero = nonzero
+        .join(afterSemState.select("id"), Seq("id"), "left_semi")
+      val pm = graft.operators.Similarity.ivfNearDupPairsManaged(
+        survNonzero.select("id", "v"), centroids, th / 10000.0,
+        cfg.semNassign)
+      val cm = Dedup.connectedComponentsManaged(
+        pm.df.select("idA", "idB"))
+      val svict = cm.df.filter(col("id") =!= col("label"))
+        .select(col("id"), col("label").as("__dup_of"))
+        .localCheckpoint(eager = true)
+      cm.close(); pm.close()
+      rejectPiece(svict, "sem_dup")
+      val adm = afterSemState
+        .join(svict.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(eager = true)
+      stage("semantic", adm.count())
+      (adm, nonzero, centroids, haveSem)
+    }
+    val admitted = semPieces.map(_._1).getOrElse(afterMh)
     led += admitted.select(col("id"), lit(true).as("admitted"),
         lit("admitted").as("reason"), col("id").as("dup_of"))
       .localCheckpoint(eager = true)
 
-    // ---- persist: keys → ledger → metrics → minhash META (the marker) --
+    // ---- persist: keys → ledger → metrics → (sem sub-state) →
+    // minhash META (the marker, LAST) --------------------------------------
     val ledger = led.reduce(_ unionByName _)
       .select(col("id"), col("admitted"), col("reason"), col("dup_of"))
       .localCheckpoint(eager = true)
@@ -270,6 +333,17 @@ object Increment {
       writeExactKeys(admitted, s"$stateDir/exact", batchId)
       writer(ledger, s"$stateDir/ledger")
       writer(counts.toSeq.toDF("stage", "rows"), s"$stateDir/metrics")
+      semPieces.foreach { case (adm, nonzero, centroids, haveSem) =>
+        val admNonzero = nonzero
+          .join(adm.select("id"), Seq("id"), "left_semi")
+          .select("id", "v")
+        if (haveSem)
+          Curation.appendSemVectors(spark, s"$stateDir/sem", admNonzero,
+            batchId)
+        else
+          Curation.writeSemIndex(admNonzero, centroids, s"$stateDir/sem",
+            cfg.semCentroidEvery, cfg.semNassign, batchId)
+      }
       if (haveState)
         Dedup.appendToMinhashIndex(spark, s"$stateDir/minhash", admitted,
           "id", "text", batchId)

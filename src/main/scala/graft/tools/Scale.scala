@@ -1390,6 +1390,26 @@ object Scale {
             .groupBy("reason").agg(count(lit(1)).as("docs")),
           Seq.empty))
       }
+      if (onlyRows.forall(_.exists("embed_incr_2pct".startsWith))) {
+        // the embedding increment vs persisted semantic state: state
+        // seeded OUTSIDE timing (bootstrap over the Nx vector corpus);
+        // the timed row runs a 1/50 batch of planted near-copies
+        // (x*1.1+0.01, the q30 transform) through the full funnel —
+        // batch-sized assignment against frozen centroids + one
+        // shared-cell join against committed state.
+        val sdir = java.nio.file.Files
+          .createTempDirectory(s"graft_eincr_$n").toString
+        graft.pipeline.Increment.curateEmbeddingIncrement(
+          v.select(col("id"), col("v")), sdir, "seed")
+        val batchE = v.filter(col("id") % 50 === 1)
+          .select((col("id") + 300000000L).as("id"),
+            expr("transform(v, x -> x * 1.1D + 0.01D)").as("v"))
+        run("embed_incr_2pct", n)(graft.core.Managed(
+          graft.pipeline.Increment.curateEmbeddingIncrement(batchE, sdir,
+              "sweep").ledger
+            .groupBy("reason").agg(count(lit(1)).as("docs")),
+          Seq.empty))
+      }
       if (onlyRows.forall(o => o.exists("corpus_tokenize".startsWith) ||
           o.exists("token_packing".startsWith))) {
         // merge table trained once on the BASE corpus outside timing

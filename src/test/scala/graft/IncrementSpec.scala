@@ -143,4 +143,43 @@ class IncrementSpec extends SparkSpec {
     assert(m.contains(("b1", "ingest", 2L)) &&
       m.contains(("b1", "near_dup", 2L)))
   }
+
+  test("optional SEMANTIC stage: word-permuted twins that MinHash misses " +
+      "fall to sem_dup (vs state and within batch), the sem sub-state " +
+      "accumulates, retry replays identically") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_incr_sem").toString
+    val cfg = graft.pipeline.IncrementConfig(minQualityE4 = 0,
+      semDedupThresholdE4 = Some(9500L))
+    def rev(t: String): String = t.split(" ").reverse.mkString(" ")
+    // b1 bootstraps the sem sub-state (single doc -> the empty-sample
+    // centroid fallback path)
+    val r1 = verdictMap(Increment.curateIncrement(
+      Seq(1L -> goodText("one")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b1", cfg).ledger)
+    assert(r1(1L) == ((true, "admitted", 1L)))
+    // b2: 10 = word-permuted twin of stored 1 (identical bag-of-words
+    // embedding, near-zero shingle overlap -> past MinHash, caught by
+    // the semantic gate); 20/21 a within-batch permuted pair; 30 fresh
+    val b2 = Seq(10L -> rev(goodText("one")),
+      20L -> goodText("two"), 21L -> rev(goodText("two")),
+      30L -> goodText("three")).toDF("doc_id", "text")
+    def runB2() = Increment.curateIncrement(b2, "doc_id", "text", dir,
+      "b2", cfg)
+    val res2 = runB2()
+    val m2 = verdictMap(res2.ledger)
+    assert(m2(10L) == ((false, "sem_dup", 1L)))
+    assert(m2(20L) == ((true, "admitted", 20L)))
+    assert(m2(21L) == ((false, "sem_dup", 20L)))
+    assert(m2(30L) == ((true, "admitted", 30L)))
+    assert(res2.stageCounts.toMap.get("semantic").contains(2L))
+    // retry replays identically (pre-batch view + partition replace)
+    assert(verdictMap(runB2().ledger) == m2)
+    // the sem sub-state accumulated: b3 permutes b2's admitted 20
+    val r3 = verdictMap(Increment.curateIncrement(
+      Seq(40L -> (rev(goodText("two")) + " ")).toDF("doc_id", "text")
+        .select(col("doc_id"), expr("trim(text)").as("text")),
+      "doc_id", "text", dir, "b3", cfg).ledger)
+    assert(r3(40L) == ((false, "sem_dup", 20L)))
+  }
 }
