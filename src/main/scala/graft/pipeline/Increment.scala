@@ -1072,4 +1072,99 @@ object Increment {
     }
     IncrementResult(ledger, admitted.select("id"), counts.toSeq)
   }
+
+  // ---- retraction (right-to-be-forgotten) --------------------------------
+
+  private val RetractableTables = Seq(
+    "exact/keys", "minhash/shingles", "minhash/bands", "sem/assigned",
+    "phash/sigs", "audio/fps", "audio/sizes", "video/frames",
+    "video/sizes")
+
+  /** Remove documents/media from the ACCUMULATED increment state — the
+    * deletion request a production corpus must honor (a retracted doc
+    * must stop causing exact/near/semantic dup verdicts, and a
+    * resubmission of the same content must admit fresh). Sweeps every
+    * state sub-table present under `stateDir` (text, image, audio,
+    * video, semantic — they share the id + batch_id-partition layout):
+    * only the partitions actually holding the ids rewrite (dynamic
+    * overwrite), partitions the retraction empties are deleted, and
+    * everything else — including the commit markers — is untouched, so
+    * batch visibility never changes. The LEDGER keeps its one-row-per-
+    * submission accounting: retracted ids' rows flip to
+    * (admitted = false, reason = "retracted") instead of vanishing.
+    *
+    * Contracts and caveats (documented, by design):
+    *  - IDEMPOTENT and crash-rerunnable: a retraction that died mid-
+    *    sweep reruns with the same ids to completion (each table's
+    *    rewrite is independently idempotent).
+    *  - `dup_of` audit pointers in OTHER docs' ledger rows may reference
+    *    a retracted id — the verdict history is the record of what
+    *    happened, not a live join target.
+    *  - Docs REJECTED earlier as dups of a retracted doc are not
+    *    resurrected (they were never admitted; their content re-enters
+    *    by resubmission if wanted).
+    */
+  def retract(spark: SparkSession, stateDir: String,
+              ids: DataFrame): Unit = {
+    val idsN = ids.select(col(ids.columns.head).cast("long").as("id"))
+      .distinct().localCheckpoint(eager = true)
+    val f = fs(spark, stateDir)
+    for (sub <- RetractableTables)
+      retractRows(spark, f, s"$stateDir/$sub", idsN)
+    markLedgerRetracted(spark, f, s"$stateDir/ledger", idsN)
+  }
+
+  /** Drop `ids` rows from one batch_id-partitioned state table IN
+    * PLACE: rewrite only the partitions holding them, delete the ones
+    * the retraction empties. The rewritten frame is eagerly
+    * materialized BEFORE the overwrite (the write would otherwise
+    * re-scan files it is replacing).
+    */
+  private def retractRows(spark: SparkSession,
+                          f: org.apache.hadoop.fs.FileSystem,
+                          path: String, ids: DataFrame): Unit = {
+    if (!f.exists(new org.apache.hadoop.fs.Path(path))) return
+    val tbl = spark.read.parquet(path)
+    val affected = tbl.join(ids, Seq("id"), "left_semi")
+      .select("batch_id").distinct().collect().map(_.getString(0))
+    if (affected.isEmpty) return
+    val rewritten = tbl
+      .filter(col("batch_id").isInCollection(affected.toSeq))
+      .join(ids, Seq("id"), "left_anti")
+      .localCheckpoint(eager = true)
+    val still = rewritten.select("batch_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    rewritten.write.mode("overwrite").partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic").parquet(path)
+    // a partition the retraction EMPTIES is not present in `rewritten`,
+    // so dynamic overwrite leaves its old files live — replace it with a
+    // zero-row schema-ful parquet (NOT a bare dir delete: an all-empty
+    // table directory would fail schema inference on the next read)
+    for (b <- affected if !still.contains(b))
+      rewritten.drop("batch_id").limit(0)
+        .write.mode("overwrite").parquet(s"$path/batch_id=$b")
+  }
+
+  private def markLedgerRetracted(spark: SparkSession,
+                                  f: org.apache.hadoop.fs.FileSystem,
+                                  path: String, ids: DataFrame): Unit = {
+    if (!f.exists(new org.apache.hadoop.fs.Path(path))) return
+    val tbl = spark.read.parquet(path)
+    val affected = tbl.join(ids, Seq("id"), "left_semi")
+      .select("batch_id").distinct().collect().map(_.getString(0))
+    if (affected.isEmpty) return
+    val rewritten = tbl
+      .filter(col("batch_id").isInCollection(affected.toSeq))
+      .join(ids.withColumn("__r", lit(true)), Seq("id"), "left_outer")
+      .select(col("id"),
+        when(col("__r"), lit(false)).otherwise(col("admitted"))
+          .as("admitted"),
+        when(col("__r"), lit("retracted")).otherwise(col("reason"))
+          .as("reason"),
+        when(col("__r"), col("id")).otherwise(col("dup_of")).as("dup_of"),
+        col("batch_id"))
+      .localCheckpoint(eager = true)
+    rewritten.write.mode("overwrite").partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic").parquet(path)
+  }
 }
