@@ -575,6 +575,32 @@ object Maintain {
     } finally vectors.unpersist()
   }
 
+  // ---- one sweep over every family present --------------------------------
+
+  /** Inspect which index families live under `root` (an increment
+    * stateDir, a warehouse db dir, or any directory holding family
+    * subdirs by their conventional names) and return each one's
+    * maintenance decision — the single entry point an operational loop
+    * polls after every increment. Unknown/absent families are simply
+    * skipped; thresholds are each family's defaults.
+    */
+  def decideAll(spark: SparkSession, root: String): Seq[Decision] = {
+    val f = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def has(sub: String) =
+      f.exists(new org.apache.hadoop.fs.Path(s"$root/$sub"))
+    Seq(
+      (has("minhash/meta"), () => minhashDecision(spark, s"$root/minhash")),
+      (has("postings"), () => bm25Decision(spark, root)),
+      (has("drift"), () => ivfDecision(spark, root)),
+      (has("phash/meta"), () => phashDecision(spark, s"$root/phash")),
+      (has("audio/meta"), () => audioDecision(spark, s"$root/audio")),
+      (has("video/meta"), () => videoDecision(spark, s"$root/video")),
+      (has("sem/meta"), () => semDecision(spark, s"$root/sem")),
+      (has("vectors_batches"), () => knnDecision(spark, root)))
+      .collect { case (true, d) => d() }
+  }
+
   // ---- kNN graph: append-staleness retrain + degree compaction ----------
 
   /** Committed graph-append batches: a batch's `vectors_batches`

@@ -1410,6 +1410,25 @@ object Scale {
             .groupBy("reason").agg(count(lit(1)).as("docs")),
           Seq.empty))
       }
+      if (onlyRows.forall(_.exists("retract_1pct".startsWith))) {
+        // right-to-be-forgotten sweep over accumulated text state: state
+        // seeded OUTSIDE timing (one bootstrap increment, semantic stage
+        // on so all three text families are present); the timed row
+        // retracts a 1% id sample — cost is one affected-partition
+        // rewrite per state table, never a corpus re-read
+        val sdir = java.nio.file.Files
+          .createTempDirectory(s"graft_retract_$n").toString
+        graft.pipeline.Increment.curateIncrement(d, "doc_id", "text",
+          sdir, "seed", graft.pipeline.IncrementConfig(minQualityE4 = 0,
+            semDedupThresholdE4 = Some(9999L)))
+        val victims = d.filter(col("doc_id") % 97 === 0).select("doc_id")
+          .localCheckpoint(eager = true)
+        run("retract_1pct", n)(graft.core.Managed({
+          graft.pipeline.Increment.retract(spark, sdir, victims)
+          graft.pipeline.Increment.readLedger(spark, sdir)
+            .groupBy("reason").agg(count(lit(1)).as("docs"))
+        }, Seq.empty))
+      }
       if (onlyRows.forall(o => o.exists("corpus_tokenize".startsWith) ||
           o.exists("token_packing".startsWith))) {
         // merge table trained once on the BASE corpus outside timing

@@ -319,4 +319,22 @@ class MaintainSpec extends SparkSpec {
     assert(meanQerr(cb2) < meanQerr(oldCb),
       "retrain did not reduce quantization error on the misfit batch")
   }
+
+  test("decideAll sweeps every family present under an increment state") {
+    import graft.pipeline.{Increment, IncrementConfig, Maintain}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_decide_all").toString
+    val text = "the table row scan key " +
+      (1 to 24).map(i => s"w$i").mkString(" ")
+    Increment.curateIncrement(
+      Seq(1L -> text).toDF("doc_id", "text"), "doc_id", "text", dir,
+      "b1", IncrementConfig(minQualityE4 = 0,
+        semDedupThresholdE4 = Some(9500L)))
+    val ds = Maintain.decideAll(spark, dir)
+    assert(ds.map(_.index).toSet == Set("minhash", "sem"), s"$ds")
+    assert(ds.forall(_.action == "none"), s"$ds")
+    // an empty root decides nothing
+    assert(Maintain.decideAll(spark, java.nio.file.Files
+      .createTempDirectory("graft_decide_none").toString).isEmpty)
+  }
 }
