@@ -197,8 +197,11 @@ object Ops {
     * Same scale shape (range repartition → per-partition window →
     * triangular offset join, no single-partition exchange) and the same
     * cross-branch cache-boundary hazard, so the same `pinned = true`
-    * default. The token-packing use: a doc's global token offset is the
-    * prefix sum of per-doc token counts in doc-id order.
+    * default. `order` must be a TOTAL order (include a unique tiebreak
+    * column, the [[globalRank]] contract): the window below uses a ROWS
+    * frame, so tied keys would get arbitrary (though non-overlapping)
+    * relative offsets. The token-packing use: a doc's global token
+    * offset is the prefix sum of per-doc token counts in doc-id order.
     */
   def globalExclusivePrefixSum(df: DataFrame, order: Seq[Column],
                                weightCol: String,
@@ -212,9 +215,13 @@ object Ops {
             else df.sparkSession.sparkContext.defaultParallelism
     val ranged = df.repartitionByRange(n, order: _*)
       .withColumn("__pid", spark_partition_id())
+    // ROWS frame, not the default RANGE one: RANGE includes ALL peers of
+    // the current key in the running sum, so two rows tied on `order`
+    // would each count the other's weight and mint OVERLAPPING offsets
     val within0 = ranged.withColumn("__cw",
       sum(col(weightCol)).over(
-          Window.partitionBy("__pid").orderBy(order: _*))
+          Window.partitionBy("__pid").orderBy(order: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .cast("long") - col(weightCol).cast("long"))
     val within =
       if (pinned) within0.localCheckpoint(eager = true) else within0

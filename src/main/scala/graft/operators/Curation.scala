@@ -477,7 +477,7 @@ object Curation {
                     batchId: String = "base"): Unit = {
     centroids.select(col("id").as("cid"), col("v").as("cv"))
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    writeSemParts(vectors, dir, nassign, centroidEvery,
+    writeSemParts(vectors, dir, nassign, centroidEvery, pinnedDim = 0,
       overwrite = true, batchId = batchId)
   }
 
@@ -489,16 +489,39 @@ object Curation {
   def appendSemVectors(spark: org.apache.spark.sql.SparkSession,
                        dir: String, vectors: DataFrame,
                        batchId: String): Unit = {
-    val (ce, na) = readSemMeta(spark, dir)
-    writeSemParts(vectors, dir, na, ce, overwrite = false, batchId = batchId)
+    val (ce, na, dim) = readSemMeta(spark, dir)
+    writeSemParts(vectors, dir, na, ce, dim, overwrite = false,
+      batchId = batchId)
+  }
+
+  /** The distinct vector length(s) of a frame — bounded action, the
+    * dimension-pinning guard. A dim drift would otherwise DISABLE the
+    * gate silently: cosine over mismatched lengths is NULL, topCells
+    * sorts NULL last but still assigns, and every pair score fails the
+    * threshold filter — zero verdicts, poisoned index.
+    */
+  private def vectorDim(vectors: DataFrame): Option[Int] = {
+    val dims = vectors.select(size(col("v")).as("d")).distinct()
+      .limit(3).collect().map(_.getInt(0))
+    require(dims.length <= 1,
+      s"sem index: mixed vector dimensions in one batch " +
+        s"(${dims.sorted.mkString(", ")})")
+    dims.headOption
   }
 
   private def writeSemParts(vectors: DataFrame, dir: String, nassign: Int,
-                            centroidEvery: Int, overwrite: Boolean,
-                            batchId: String): Unit = {
+                            centroidEvery: Int, pinnedDim: Int,
+                            overwrite: Boolean, batchId: String): Unit = {
     require(batchId.nonEmpty && batchId != "__HIVE_DEFAULT_PARTITION__",
       s"sem index: invalid batch id '$batchId'")
     val spark = vectors.sparkSession
+    val measured = vectorDim(vectors)
+    measured.foreach(d => require(pinnedDim <= 0 || d == pinnedDim,
+      s"sem index at $dir pins dim $pinnedDim; batch '$batchId' " +
+        s"carries dim $d — retrain before changing the embedding"))
+    // re-state the pinned dim (or adopt the measured one when the index
+    // was created empty) so every committed batch agrees
+    val dim = if (pinnedDim > 0) pinnedDim else measured.getOrElse(0)
     def writer(d: DataFrame) =
       d.withColumn("batch_id", lit(batchId))
         .write.mode("overwrite").partitionBy("batch_id")
@@ -514,18 +537,26 @@ object Curation {
     writer(assigned).parquet(s"$dir/assigned")
     writer(spark.range(1)
         .select(lit(centroidEvery).as("centroid_every"),
-          lit(nassign).as("nassign")))
+          lit(nassign).as("nassign"), lit(dim).as("dim")))
       .parquet(s"$dir/meta")
   }
 
+  /** (centroid_every, nassign, dim); dim 0 = created empty, unpinned
+    * until the first non-empty batch adopts one.
+    */
   private[graft] def readSemMeta(spark: org.apache.spark.sql.SparkSession,
-                                 dir: String): (Int, Int) = {
+                                 dir: String): (Int, Int, Int) = {
     val rows = spark.read.parquet(s"$dir/meta")
       .select("centroid_every", "nassign").distinct().collect()
     require(rows.length == 1,
       s"sem index at $dir: inconsistent parameters across batches " +
         s"(${rows.length} distinct meta rows)")
-    (rows(0).getInt(0), rows(0).getInt(1))
+    val dims = spark.read.parquet(s"$dir/meta")
+      .select("dim").distinct().collect().map(_.getInt(0)).sorted
+    require(dims.length == 1 || (dims.length == 2 && dims.head == 0),
+      s"sem index at $dir: inconsistent dims across batches " +
+        s"(${dims.mkString(", ")})")
+    (rows(0).getInt(0), rows(0).getInt(1), dims.last)
   }
 
   /** Semantic near-dup pairs of NEW vectors against the indexed corpus:
@@ -545,7 +576,12 @@ object Curation {
       : DataFrame = {
     require(thresholdE4 >= 0 && thresholdE4 <= 10000,
       s"semNearDupAgainstIndex: thresholdE4 ($thresholdE4)")
-    val (_, nassign) = readSemMeta(spark, dir)
+    val (_, nassign, dim) = readSemMeta(spark, dir)
+    if (dim > 0)
+      vectorDim(newVectors.select(col("v")))
+        .foreach(d => require(d == dim,
+          s"semNearDupAgainstIndex: index at $dir pins dim $dim; " +
+            s"query batch carries dim $d"))
     val committed1 = spark.read.parquet(s"$dir/meta")
       .select("batch_id").distinct()
     // restrictTo: when this index is a SUB-state of a funnel whose

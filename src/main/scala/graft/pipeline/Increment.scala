@@ -88,6 +88,41 @@ object Increment {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The state root's OWNING family — which sub-index's meta is the
+    * increment's authoritative commit marker. Written as a one-word
+    * `_family` sentinel file by the FIRST increment touching the root,
+    * BEFORE any state write, so even the earliest torn bootstrap is
+    * attributable: without it, a text increment that died between its
+    * sem sub-state write and its minhash marker would be mistaken for a
+    * committed standalone embedding state by the marker-discovery
+    * fallback, and its torn ledger would read as committed.
+    */
+  private def writeFamilySentinel(spark: SparkSession, stateDir: String,
+                                  family: String): Unit = {
+    val f = fs(spark, stateDir)
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/_family")
+    if (!f.exists(p)) {
+      val out = f.create(p, true)
+      out.write(family.getBytes("UTF-8"))
+      out.close()
+    }
+  }
+
+  private def readFamilySentinel(spark: SparkSession,
+                                 stateDir: String): Option[String] = {
+    val f = fs(spark, stateDir)
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/_family")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
   /** State exists iff the minhash index has a meta commit marker. */
   def stateExists(spark: SparkSession, stateDir: String): Boolean =
     fs(spark, stateDir).exists(
@@ -104,6 +139,7 @@ object Increment {
                            rowsPerBand: Int = 3): Unit = {
     require(!stateExists(spark, stateDir),
       s"initStateFromCurated: state already exists at $stateDir")
+    writeFamilySentinel(spark, stateDir, "minhash")
     val docs = graft.core.Ops.widen(curated)
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -151,6 +187,7 @@ object Increment {
       s"curateIncrement: invalid batch id '$batchId'")
     val spark = batch.sparkSession
     import spark.implicits._
+    writeFamilySentinel(spark, stateDir, "minhash")
     val haveState = stateExists(spark, stateDir)
     val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val led = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -264,11 +301,14 @@ object Increment {
     // batch over the frozen centroid set
     val semPieces = cfg.semDedupThresholdE4.map { th =>
       val semDir = s"$stateDir/sem"
-      val haveSem = semStateExists(spark, stateDir)
-      val vecs = TextStats.hashEmbedVectors(afterMh, "id", "text",
+      // the sem sub-state counts as existing only when the AUTHORITATIVE
+      // minhash marker does too: a first increment that died between its
+      // sem write and its minhash marker must RE-BOOTSTRAP on retry
+      // (static overwrite replaces the torn sem partitions) — reading
+      // the torn sub-state would crash on the missing minhash path
+      val haveSem = haveState && semStateExists(spark, stateDir)
+      val nonzero = TextStats.hashEmbedVectors(afterMh, "id", "text",
           cfg.semDim)
-        .localCheckpoint(eager = true)
-      val nonzero = vecs
         .filter(expr("aggregate(v, 0D, (a, x) -> a + x * x)") > lit(0.0))
         .localCheckpoint(eager = true)
       val centroids =
@@ -374,16 +414,30 @@ object Increment {
   private def committedTable(spark: SparkSession, stateDir: String,
                              sub: String): DataFrame = {
     val f = fs(spark, stateDir)
-    val markers = Seq("minhash", "phash", "audio", "video", "sem")
-      .map(m => s"$stateDir/$m/meta")
-      .find(p => f.exists(new org.apache.hadoop.fs.Path(p)))
-      .getOrElse(throw new IllegalStateException(
-        s"no increment state (minhash/phash/audio/video/sem meta) at " +
-          stateDir))
-    val committed = spark.read.parquet(markers)
-      .select("batch_id").distinct()
-    spark.read.parquet(s"$stateDir/$sub")
-      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+    val marker = readFamilySentinel(spark, stateDir) match {
+      case Some(fam) =>
+        // the sentinel names the authoritative family; its meta absent
+        // means NOTHING is committed yet (a torn bootstrap) — serve the
+        // empty committed set, never another family's marker
+        val p = s"$stateDir/$fam/meta"
+        if (f.exists(new org.apache.hadoop.fs.Path(p))) Some(p) else None
+      case None =>
+        // legacy states (pre-sentinel): marker-discovery order
+        Some(Seq("minhash", "phash", "audio", "video", "sem")
+          .map(m => s"$stateDir/$m/meta")
+          .find(p => f.exists(new org.apache.hadoop.fs.Path(p)))
+          .getOrElse(throw new IllegalStateException(
+            s"no increment state (minhash/phash/audio/video/sem meta) " +
+              s"at $stateDir")))
+    }
+    val tbl = spark.read.parquet(s"$stateDir/$sub")
+    marker match {
+      case None => tbl.limit(0)
+      case Some(m) =>
+        val committed = spark.read.parquet(m)
+          .select("batch_id").distinct()
+        tbl.join(broadcast(committed), Seq("batch_id"), "left_semi")
+    }
   }
 
   // ---- the IMAGE twin: batch vs persisted pHash + exact-payload state ----
@@ -410,6 +464,7 @@ object Increment {
                                 maxPixels: Long = 64L << 20): Unit = {
     require(!imageStateExists(spark, stateDir),
       s"initImageStateFromCurated: state already exists at $stateDir")
+    writeFamilySentinel(spark, stateDir, "phash")
     val hashed = hashAndSign(curated, maxPixels)
       .filter(col("phash") =!= -1L)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -460,6 +515,7 @@ object Increment {
       s"curateImageIncrement: invalid batch id '$batchId'")
     val spark = batch.sparkSession
     import spark.implicits._
+    writeFamilySentinel(spark, stateDir, "phash")
     val haveState = imageStateExists(spark, stateDir)
     val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val led = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -617,6 +673,7 @@ object Increment {
       s"curateAudioIncrement: invalid batch id '$batchId'")
     val spark = batch.sparkSession
     import spark.implicits._
+    writeFamilySentinel(spark, stateDir, "audio")
     val haveState = audioStateExists(spark, stateDir)
     val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val led = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -788,6 +845,7 @@ object Increment {
       s"curateVideoIncrement: invalid batch id '$batchId'")
     val spark = batch.sparkSession
     import spark.implicits._
+    writeFamilySentinel(spark, stateDir, "video")
     val haveState = videoStateExists(spark, stateDir)
     val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val led = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -952,6 +1010,7 @@ object Increment {
       s"curateEmbeddingIncrement: invalid batch id '$batchId'")
     val spark = batch.sparkSession
     import spark.implicits._
+    writeFamilySentinel(spark, stateDir, "sem")
     val haveState = semStateExists(spark, stateDir)
     val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val led = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -1111,6 +1170,25 @@ object Increment {
     val f = fs(spark, stateDir)
     for (sub <- RetractableTables)
       retractRows(spark, f, s"$stateDir/$sub", idsN)
+    // the frozen centroid set stores FULL embedding vectors of sampled
+    // docs (cid = doc id) — a deletion request covers that derived copy
+    // too. Dropping a centroid narrows future candidate routing (stored
+    // vectors in its cell pair only through their OTHER cells) until a
+    // semRetrain re-draws the set from the post-retraction corpus — run
+    // one after retracting centroid members; correctness (no retracted
+    // content served) holds immediately.
+    val centPath = s"$stateDir/sem/centroids"
+    if (f.exists(new org.apache.hadoop.fs.Path(centPath))) {
+      val cents = spark.read.parquet(centPath)
+      val hit = cents.join(idsN.select(col("id").as("cid")), Seq("cid"),
+        "left_semi").limit(1).count() > 0
+      if (hit) {
+        val kept = cents.join(idsN.select(col("id").as("cid")),
+            Seq("cid"), "left_anti")
+          .localCheckpoint(eager = true)
+        kept.write.mode("overwrite").parquet(centPath)
+      }
+    }
     markLedgerRetracted(spark, f, s"$stateDir/ledger", idsN)
   }
 

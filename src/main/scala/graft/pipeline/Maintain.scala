@@ -492,7 +492,17 @@ object Maintain {
     */
   def semDecision(spark: SparkSession, dir: String, maxBatches: Int = 16,
                   maxAppendFracE4: Long = 2500): Decision = {
-    val assigned = spark.read.parquet(s"$dir/assigned")
+    // an index created EMPTY has an assigned dir with no readable
+    // parquet — decide none instead of crashing schema inference (the
+    // ivfDecision empty-ledger precedent)
+    val assigned0 =
+      try spark.read.parquet(s"$dir/assigned")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          return Decision("sem", "none", 0L, maxAppendFracE4,
+            "empty assigned table (index created with no vectors)")
+      }
+    val assigned = assigned0
       .join(broadcast(committedBatches(spark, dir)), Seq("batch_id"),
         "left_semi")
     // "base" = the largest committed batch (the bootstrap increment or
@@ -504,7 +514,9 @@ object Maintain {
       .map(_.getLong(1)).sorted.reverse
     val base = perBatch.headOption.getOrElse(0L)
     val appended = perBatch.drop(1).sum
-    val frac = if (base == 0) 10000L
+    // an EMPTY index (created, nothing appended) must decide none, not
+    // loop retrain-forever in the operational poll
+    val frac = if (base == 0) { if (appended == 0) 0L else 10000L }
                else math.round(appended * 10000.0 / base)
     val nBatches = committedBatches(spark, dir).count()
     if (frac > maxAppendFracE4)
@@ -529,7 +541,8 @@ object Maintain {
       .getOrElse(throw new IllegalStateException(
         s"semCompact: no current version of $db under $warehouse"))
     val committed = committedBatches(spark, cur.toString)
-    val (ce, na) = graft.operators.Curation.readSemMeta(spark, cur.toString)
+    val (ce, na, dim) =
+      graft.operators.Curation.readSemMeta(spark, cur.toString)
     val assigned = spark.read.parquet(s"$cur/assigned")
       .join(broadcast(committed), Seq("batch_id"), "left_semi")
       .select("id", "v", "cid")
@@ -542,7 +555,8 @@ object Maintain {
       cents.write.mode("overwrite").parquet(s"$vdir/centroids")
       writer(assigned).parquet(s"$vdir/assigned")
       writer(spark.range(1)
-          .select(lit(ce).as("centroid_every"), lit(na).as("nassign")))
+          .select(lit(ce).as("centroid_every"), lit(na).as("nassign"),
+            lit(dim).as("dim")))
         .parquet(s"$vdir/meta")
     }
   }
@@ -561,7 +575,8 @@ object Maintain {
       .getOrElse(throw new IllegalStateException(
         s"semRetrain: no current version of $db under $warehouse"))
     val committed = committedBatches(spark, cur.toString)
-    val (ce, na) = graft.operators.Curation.readSemMeta(spark, cur.toString)
+    val (ce, na, _) =
+      graft.operators.Curation.readSemMeta(spark, cur.toString)
     val vectors = spark.read.parquet(s"$cur/assigned")
       .join(broadcast(committed), Seq("batch_id"), "left_semi")
       .select("id", "v").distinct()

@@ -625,9 +625,12 @@ object VideoStream {
   case class Clip(id: Long, fis: Array[Long], sigs: Array[Long])
   case class Entry(id: Long, fis: Array[Long], sigs: Array[Long])
   case class BandState(entries: List[Entry])
-  case class Vote(id: Long, dupOf: Long, isDup: Boolean, nVotes: Int)
-  case class Pending(votes: List[Vote])
-  case class Verdict(id: Long, is_dup: Boolean, dup_of: Long)
+  /** The vote/verdict algebra is shape-identical to [[AudioFpStream]]'s
+    * (one completion-counted vote per routing key, min-parent combine) —
+    * one definition, shared, so a combiner fix lands once.
+    */
+  type Vote = AudioFpStream.Vote
+  type Verdict = AudioFpStream.Verdict
 
   /** The batch temporal aggregate (scale-4 fixed point): matched_a =
     * distinct frames of `a` within `maxHamming` of ANY frame of `b`,
@@ -676,18 +679,19 @@ object VideoStream {
          state: GroupState[BandState]) =>
           if (key.band == -1) {
             // unparseable/frameless sentinel: always admit
-            rows.map(r => Vote(r._2.id, r._2.id, isDup = false, nVotes = 1))
+            rows.map(r => AudioFpStream.Vote(r._2.id, r._2.id, isDup = false, nVotes = 1))
               .toSeq.iterator
           } else {
             var seen = state.getOption.map(_.entries).getOrElse(Nil)
             val out = rows.toSeq.sortBy(_._2.id).map { case (_, c, nv) =>
               seen.find(e => simE4(e.fis, e.sigs, c.fis, c.sigs,
                   maxHamming) >= minSimE4) match {
-                case Some(prior) => Vote(c.id, prior.id, isDup = true, nv)
+                case Some(prior) =>
+                  AudioFpStream.Vote(c.id, prior.id, isDup = true, nv)
                 case None =>
                   seen = (Entry(c.id, c.fis, c.sigs) :: seen)
                     .take(maxPerBucket)
-                  Vote(c.id, c.id, isDup = false, nv)
+                  AudioFpStream.Vote(c.id, c.id, isDup = false, nv)
               }
             }
             state.update(BandState(seen))
@@ -696,27 +700,13 @@ object VideoStream {
       }
   }
 
-  /** Append-mode verdict combiner — one verdict per video once all its
-    * `nVotes` band votes arrived.
+  /** Append-mode verdict combiner — [[AudioFpStream.admittedAppend]]
+    * verbatim (the shared Vote type).
     */
-  def admittedAppend(votes: Dataset[Vote])(
-      implicit pEnc: Encoder[Pending], vEnc: Encoder[Verdict],
-      lEnc: Encoder[Long]): Dataset[Verdict] =
-    votes.groupByKey(_.id)
-      .flatMapGroupsWithState[Pending, Verdict](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (id: Long, rows: Iterator[Vote], state: GroupState[Pending]) =>
-          val all = state.getOption.map(_.votes).getOrElse(Nil) ++ rows
-          if (all.nonEmpty && all.size >= all.head.nVotes) {
-            state.remove()
-            val dups = all.filter(_.isDup)
-            Iterator.single(Verdict(id, dups.nonEmpty,
-              if (dups.nonEmpty) dups.map(_.dupOf).min else id))
-          } else {
-            state.update(Pending(all))
-            Iterator.empty
-          }
-      }
+  def admittedAppend(votes: Dataset[Vote]): Dataset[Verdict] = {
+    import votes.sparkSession.implicits._
+    AudioFpStream.admittedAppend(votes)
+  }
 
   /** End-to-end video gate: a stream of raw media payloads → per-clip
     * keyframe hashes (one in-place decode per row —

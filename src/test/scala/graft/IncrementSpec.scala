@@ -182,4 +182,35 @@ class IncrementSpec extends SparkSpec {
       "doc_id", "text", dir, "b3", cfg).ledger)
     assert(r3(40L) == ((false, "sem_dup", 20L)))
   }
+
+  test("torn FIRST sem-enabled increment (sem written, minhash marker " +
+      "missing) reads as uncommitted and the same-batch retry " +
+      "re-bootstraps cleanly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_incr_torn_sem").toString
+    val cfg = graft.pipeline.IncrementConfig(minQualityE4 = 0,
+      semDedupThresholdE4 = Some(9500L))
+    val b1 = Seq(1L -> goodText("one"), 2L -> goodText("two"))
+      .toDF("doc_id", "text")
+    Increment.curateIncrement(b1, "doc_id", "text", dir, "b1", cfg)
+    // simulate the crash between the sem write and the minhash marker:
+    // drop the ENTIRE minhash dir (the earliest torn-bootstrap state)
+    val fsys = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$dir/minhash"), true)
+    // the family sentinel names minhash as the authoritative marker, so
+    // the torn ledger must NOT fall through to the sem meta
+    assert(Increment.readLedger(spark, dir).count() == 0)
+    // the retry re-bootstraps (sem sub-state statically replaced)
+    val r = Increment.curateIncrement(b1, "doc_id", "text", dir, "b1",
+      cfg)
+    assert(verdictMap(r.ledger) == Map(
+      1L -> ((true, "admitted", 1L)), 2L -> ((true, "admitted", 2L))))
+    assert(Increment.readLedger(spark, dir).count() == 2)
+    // and the recovered state gates: a permuted twin falls to sem_dup
+    val r2 = verdictMap(Increment.curateIncrement(
+      Seq(10L -> goodText("one").split(" ").reverse.mkString(" "))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, "b2", cfg).ledger)
+    assert(r2(10L) == ((false, "sem_dup", 1L)))
+  }
 }

@@ -152,4 +152,32 @@ class SemIndexSpec extends SparkSpec {
     assert(Increment.readLedger(spark, dir)
       .filter(col("batch_id") === "b3").count() == 0)
   }
+
+  test("dimension pinning: a different-dim batch fails loudly on append " +
+      "and serve; an empty index decides none, not retrain-forever") {
+    import graft.pipeline.Maintain
+    val base = vdf(Seq(1L -> vec(0, 0.01), 2L -> vec(1, 0.01)))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sem_dim").toString
+    Curation.writeSemIndex(base, Curation.semCentroidSample(base, 2),
+      dir, 2, 2)
+    val wrongDim = Seq((9L, Seq(1.0, 0.0, 0.0))).toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Curation.appendSemVectors(spark, dir, wrongDim, "b1")
+    }
+    assert(e1.getMessage.contains("dim"))
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.semNearDupAgainstIndex(spark, dir,
+        wrongDim.select(col("id").as("id_new"), col("v")), 9000L)
+        .count()
+    }
+    assert(e2.getMessage.contains("dim"))
+    // empty index: created with zero vectors, decision must be none
+    val empty = base.filter(col("id") < 0)
+    val edir = java.nio.file.Files
+      .createTempDirectory("graft_sem_empty").toString
+    Curation.writeSemIndex(empty, Curation.semCentroidSample(base, 2),
+      edir, 2, 2)
+    assert(Maintain.semDecision(spark, edir).action == "none")
+  }
 }

@@ -109,4 +109,19 @@ class TokenizeSpec extends SparkSpec {
       acc += w
     }
   }
+
+  test("globalExclusivePrefixSum under TIED keys mints non-overlapping " +
+      "offsets (ROWS frame, not RANGE)") {
+    // three rows share one key: RANGE framing would give each the full
+    // peer-group sum; ROWS must hand out some permutation of the
+    // exclusive prefixes {0, 2, 4} (+ prior mass 1)
+    val df = Seq((0L, 1L), (5L, 2L), (5L, 2L), (5L, 2L), (9L, 3L))
+      .toDF("k", "w")
+    val got = graft.core.Ops.globalExclusivePrefixSum(df,
+        Seq(col("k")), "w", "ps")
+      .select("k", "ps").as[(Long, Long)].collect()
+    assert(got.filter(_._1 == 0L).map(_._2).toSeq == Seq(0L))
+    assert(got.filter(_._1 == 5L).map(_._2).toSet == Set(1L, 3L, 5L))
+    assert(got.filter(_._1 == 9L).map(_._2).toSeq == Seq(7L))
+  }
 }
