@@ -26,6 +26,15 @@ case class IncrementConfig(
     // sub-state's reads are restricted to MINHASH-committed batches (the
     // increment's one authoritative marker), so a torn increment's sem
     // rows never serve.
+    // ENABLE-FROM-BATCH-N semantics: turning this on for a state with
+    // prior committed batches bootstraps the sem sub-state EMPTY from
+    // the current batch forward — docs admitted before enablement do
+    // not participate in semantic dedup (they were never embedded).
+    // For retroactive coverage run [[Increment.semBackfill]] first: it
+    // embeds every already-admitted doc and seeds the sub-state under
+    // batch "base" before the next increment appends.
+    // When the sub-state EXISTS, its pinned (centroid_every, nassign)
+    // override the cfg dials below and a semDim mismatch is loud.
     semDedupThresholdE4: Option[Long] = None,
     semDim: Int = 64, semCentroidEvery: Int = 25, semNassign: Int = 2)
 
@@ -108,6 +117,15 @@ object Increment {
     }
   }
 
+  /** The `_family` sentinel at an increment state root (None for any
+    * other directory, e.g. a versioned warehouse db). Present ⇒ the
+    * root is a FUNNEL state whose sub-indexes are owned by the
+    * increment's commit protocol — [[Maintain.decideAll]] marks
+    * decisions under such a root advisory-only.
+    */
+  def stateFamily(spark: SparkSession, stateDir: String): Option[String] =
+    readFamilySentinel(spark, stateDir)
+
   private def readFamilySentinel(spark: SparkSession,
                                  stateDir: String): Option[String] = {
     val f = fs(spark, stateDir)
@@ -116,9 +134,14 @@ object Increment {
     else {
       val in = f.open(p)
       try {
+        // loop to EOF: a single read() may return short on remote
+        // filesystems, which would truncate the family name and make
+        // the marker path silently miss
+        val out = new java.io.ByteArrayOutputStream(64)
         val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(out.toByteArray, "UTF-8").trim)
       } finally in.close()
     }
   }
@@ -307,6 +330,21 @@ object Increment {
       // (static overwrite replaces the torn sem partitions) — reading
       // the torn sub-state would crash on the missing minhash path
       val haveSem = haveState && semStateExists(spark, stateDir)
+      // dial consistency: an existing sem sub-state PINS its dials — the
+      // within-batch stage must use the same (centroid_every, nassign)
+      // [and dim] as the against-state reads, or a caller passing a
+      // different cfg would get silently inconsistent within-batch vs
+      // against-state recall (the banding path's loud-mismatch rule,
+      // applied here)
+      val (semCe, semNa) =
+        if (!haveSem) (cfg.semCentroidEvery, cfg.semNassign)
+        else {
+          val (ce, na, dim) = Curation.readSemMeta(spark, s"$stateDir/sem")
+          require(dim == 0 || dim == cfg.semDim,
+            s"curateIncrement: semDim ${cfg.semDim} != pinned sem " +
+              s"sub-state dim $dim at $stateDir/sem")
+          (ce, na)
+        }
       val nonzero = TextStats.hashEmbedVectors(afterMh, "id", "text",
           cfg.semDim)
         .filter(expr("aggregate(v, 0D, (a, x) -> a + x * x)") > lit(0.0))
@@ -316,7 +354,7 @@ object Increment {
           spark.read.parquet(s"$semDir/centroids")
             .select(col("cid").as("id"), col("cv").as("v"))
         else Curation.semCentroidSample(nonzero.select("id", "v"),
-          cfg.semCentroidEvery).localCheckpoint(eager = true)
+          semCe).localCheckpoint(eager = true)
       val afterSemState =
         if (!haveSem) afterMh
         else {
@@ -336,7 +374,7 @@ object Increment {
         .join(afterSemState.select("id"), Seq("id"), "left_semi")
       val pm = graft.operators.Similarity.ivfNearDupPairsManaged(
         survNonzero.select("id", "v"), centroids, th / 10000.0,
-        cfg.semNassign)
+        semNa)
       val cm = Dedup.connectedComponentsManaged(
         pm.df.select("idA", "idB"))
       val svict = cm.df.filter(col("id") =!= col("label"))
@@ -983,6 +1021,89 @@ object Increment {
   def semStateExists(spark: SparkSession, stateDir: String): Boolean =
     fs(spark, stateDir).exists(
       new org.apache.hadoop.fs.Path(s"$stateDir/sem/meta"))
+
+  /** Retroactive semantic coverage for a text state whose earlier
+    * increments ran WITHOUT the semantic stage: embeds every
+    * already-admitted doc and seeds/completes the sem sub-state so the
+    * next [[curateIncrement]] with `semDedupThresholdE4` set dedups
+    * against the full history, not just post-enablement batches.
+    *
+    * The caller supplies the admitted corpus text (`admittedCorpus`:
+    * the accumulated admitted output the state was built from — the
+    * state itself stores only keys/shingles, never raw text); coverage
+    * is LOUD: every admitted id in the committed ledger must appear, or
+    * this throws. Vectors are appended under each doc's ORIGINAL ledger
+    * batch id, so the serving-side restriction to minhash-committed
+    * batches holds unchanged.
+    *
+    * Crash-safe and re-entrant: each batch commits via its own sem meta
+    * partition (written last); a rerun skips already-committed batches
+    * and finishes the rest. Centroids are drawn once from the FULL
+    * admitted non-zero corpus by the replayable md5 rule, so a retried
+    * bootstrap draws the identical set. Returns the number of vectors
+    * indexed by THIS call.
+    */
+  def semBackfill(spark: SparkSession, stateDir: String,
+                  admittedCorpus: DataFrame, idCol: String, textCol: String,
+                  semDim: Int = 64, semCentroidEvery: Int = 25,
+                  semNassign: Int = 2): Long = {
+    import spark.implicits._
+    require(stateExists(spark, stateDir),
+      s"semBackfill: no committed state at $stateDir")
+    val committed = Dedup.minhashCommitted(spark, s"$stateDir/minhash")
+    val admittedIds = spark.read.parquet(s"$stateDir/ledger")
+      .filter(col("admitted"))
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+      .select(col("id"), col("batch_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val corpus = graft.core.Ops.widen(admittedCorpus)
+        .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      val missing = admittedIds.join(corpus, Seq("id"), "left_anti").count()
+      require(missing == 0L,
+        s"semBackfill: $missing admitted ids absent from the supplied " +
+          s"corpus — backfill needs the full admitted history")
+      // dials: an existing (partial) sub-state pins them
+      val (ce, na) =
+        if (!semStateExists(spark, stateDir))
+          (semCentroidEvery, semNassign)
+        else {
+          val (pce, pna, dim) = Curation.readSemMeta(spark, s"$stateDir/sem")
+          require(dim == 0 || dim == semDim,
+            s"semBackfill: semDim $semDim != pinned dim $dim")
+          (pce, pna)
+        }
+      val nonzero = TextStats.hashEmbedVectors(
+          corpus.join(admittedIds.select("id"), Seq("id"), "left_semi"),
+          "id", "text", semDim)
+        .filter(expr("aggregate(v, 0D, (a, x) -> a + x * x)") > lit(0.0))
+        .join(admittedIds, Seq("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        nonzero.count()
+        // bounded: ledger batch ids (compaction keeps this small)
+        val batches = admittedIds.select("batch_id").distinct()
+          .as[String].collect().sorted
+        val done: Set[String] =
+          if (!semStateExists(spark, stateDir)) Set.empty
+          else spark.read.parquet(s"$stateDir/sem/meta")
+            .select("batch_id").distinct().as[String].collect().toSet
+        var indexed = 0L
+        batches.filterNot(done).foreach { b =>
+          val vecs = nonzero.filter(col("batch_id") === b)
+            .select("id", "v")
+          if (!semStateExists(spark, stateDir)) {
+            val cents = Curation.semCentroidSample(
+              nonzero.select("id", "v"), ce)
+            Curation.writeSemIndex(vecs, cents, s"$stateDir/sem", ce, na,
+              batchId = b)
+          } else Curation.appendSemVectors(spark, s"$stateDir/sem", vecs, b)
+          indexed += vecs.count()
+        }
+        indexed
+      } finally nonzero.unpersist()
+    } finally admittedIds.unpersist()
+  }
 
   /** The embedding increment — the FIFTH content twin of
     * [[curateIncrement]] and the modality siblings: a new snapshot of

@@ -31,9 +31,19 @@ import graft.operators.{Dedup, Similarity, TextStats}
   */
 object Maintain {
 
-  /** One maintenance decision: `action` ∈ none | retrain | compact. */
+  /** One maintenance decision: `action` ∈ none | retrain | compact.
+    * `advisory` marks a decision with NO applicable executor: decisions
+    * under an increment state root (a `_family` sentinel is present)
+    * describe funnel sub-indexes owned by the increment's own commit
+    * protocol — the versioned-warehouse compact/retrain executors do
+    * not apply there, and rewriting a funnel sub-index's batch ids to
+    * `base` would empty the minhash-committed ∩ sub-index-committed
+    * intersection its serving reads rely on. Advisory decisions are for
+    * alerting only; [[executeAll]] refuses to act on them.
+    */
   case class Decision(index: String, action: String, metric: Long,
-                      threshold: Long, detail: String)
+                      threshold: Long, detail: String,
+                      advisory: Boolean = false)
 
   // ---- IVF: drift-triggered retrain --------------------------------------
 
@@ -599,21 +609,119 @@ object Maintain {
     * polls after every increment. Unknown/absent families are simply
     * skipped; thresholds are each family's defaults.
     */
-  def decideAll(spark: SparkSession, root: String): Seq[Decision] = {
+  def decideAll(spark: SparkSession, root: String,
+                maxBatches: Int = 16): Seq[Decision] = {
     val f = new org.apache.hadoop.fs.Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     def has(sub: String) =
       f.exists(new org.apache.hadoop.fs.Path(s"$root/$sub"))
-    Seq(
-      (has("minhash/meta"), () => minhashDecision(spark, s"$root/minhash")),
-      (has("postings"), () => bm25Decision(spark, root)),
+    // a `_family` sentinel marks an increment state root: its
+    // sub-indexes are owned by the funnel's commit protocol, so every
+    // decision under it is ADVISORY (see [[Decision.advisory]])
+    val funnel = graft.pipeline.Increment.stateFamily(spark, root).isDefined
+    val mb = maxBatches
+    val ds = Seq(
+      // funnel sub-dir layouts (increment state roots)
+      (has("minhash/meta"),
+        () => minhashDecision(spark, s"$root/minhash", mb)),
+      (has("phash/meta"), () => phashDecision(spark, s"$root/phash", mb)),
+      (has("audio/meta"), () => audioDecision(spark, s"$root/audio", mb)),
+      (has("video/meta"), () => videoDecision(spark, s"$root/video", mb)),
+      (has("sem/meta"), () => semDecision(spark, s"$root/sem", mb)),
+      // root layouts (versioned warehouse dbs — the executable shape)
+      (has("postings"), () => bm25Decision(spark, root, mb)),
       (has("drift"), () => ivfDecision(spark, root)),
-      (has("phash/meta"), () => phashDecision(spark, s"$root/phash")),
-      (has("audio/meta"), () => audioDecision(spark, s"$root/audio")),
-      (has("video/meta"), () => videoDecision(spark, s"$root/video")),
-      (has("sem/meta"), () => semDecision(spark, s"$root/sem")),
-      (has("vectors_batches"), () => knnDecision(spark, root)))
+      (has("vectors_batches"), () => knnDecision(spark, root, mb)),
+      (has("shingles") && has("bands") && has("meta"),
+        () => minhashDecision(spark, root, mb)),
+      (has("sigs") && has("meta"), () => phashDecision(spark, root, mb)),
+      (has("fps") && has("meta"), () => audioDecision(spark, root, mb)),
+      (has("frames") && has("meta"), () => videoDecision(spark, root, mb)),
+      // sem at root shares centroids/assigned with IVF-PQ — the
+      // codebook absence is the discriminator (plain IVF has no meta)
+      (has("centroids") && has("assigned") && has("meta") &&
+        !has("codebook"), () => semDecision(spark, root, mb)))
       .collect { case (true, d) => d() }
+    if (funnel) ds.map(_.copy(advisory = true)) else ds
+  }
+
+  /** One execution attempt per db: the decision that drove it, the
+    * published version dir when an action ran, and a note otherwise.
+    */
+  case class Execution(db: String, decision: Decision,
+                       version: Option[String], note: String)
+
+  /** The composed maintenance sweep an operational loop runs after
+    * every append burst: for each warehouse db, [[decideAll]] on its
+    * CURRENT version, then dispatch the (at most one) actionable
+    * decision to its family executor, publishing a fresh version
+    * through the commit-marker swap. Crash-safe by re-decision: every
+    * executor is a versioned publish (a torn publish never flips the
+    * pointer), so a rerun with a FRESH token re-decides against the
+    * now-current state — completed dbs decide `none` and are skipped,
+    * interrupted ones re-execute; orphaned version dirs fall to
+    * [[Restore.gcUnreferenced]]. Advisory decisions (funnel sub-states)
+    * and unresolved dbs are reported, never acted on. A db whose
+    * current version somehow carries MORE than one actionable family
+    * is refused loudly: each executor publishes only its own family's
+    * tables, so acting would drop the sibling family from the new
+    * version.
+    */
+  def executeAll(spark: SparkSession, warehouse: String, dbs: Seq[String],
+                 token: String, maxBatches: Int = 16): Seq[Execution] = {
+    require(dbs.distinct.size == dbs.size,
+      s"executeAll: duplicate dbs in ${dbs.mkString(", ")}")
+    dbs.flatMap { db =>
+      Restore.resolveVersioned(spark, warehouse, db) match {
+        case None =>
+          Seq(Execution(db, Decision("unknown", "none", 0, 0,
+            "never published"), None, "no current version — skipped"))
+        case Some(cur) =>
+          val ds = decideAll(spark, cur.toString, maxBatches)
+          val actionable = ds.filter(d => !d.advisory && d.action != "none")
+          require(actionable.size <= 1,
+            s"executeAll: $db current version carries " +
+              s"${actionable.size} actionable families " +
+              s"(${actionable.map(d => s"${d.index}:${d.action}").mkString(", ")}) — " +
+              "one publish per family; split the db before sweeping")
+          if (ds.isEmpty)
+            Seq(Execution(db, Decision("unknown", "none", 0, 0,
+              "no recognized index layout"), None, "nothing to decide"))
+          else ds.map { d =>
+            if (d.advisory)
+              Execution(db, d, None, "advisory — funnel sub-state")
+            else if (d.action == "none")
+              Execution(db, d, None, "no action needed")
+            else {
+              val vdir = (d.index, d.action) match {
+                case ("ivf", "retrain") =>
+                  ivfRetrain(spark, warehouse, db, token)
+                case ("bm25", "compact") =>
+                  bm25Compact(spark, warehouse, db, token)
+                case ("minhash", "compact") =>
+                  minhashCompact(spark, warehouse, db, token)
+                case ("phash", "compact") =>
+                  phashCompact(spark, warehouse, db, token)
+                case ("audio", "compact") =>
+                  audioCompact(spark, warehouse, db, token)
+                case ("video", "compact") =>
+                  videoCompact(spark, warehouse, db, token)
+                case ("sem", "compact") =>
+                  semCompact(spark, warehouse, db, token)
+                case ("sem", "retrain") =>
+                  semRetrain(spark, warehouse, db, token)
+                case ("knn", "compact") =>
+                  knnCompact(spark, warehouse, db, token)
+                case ("knn", "retrain") =>
+                  knnRetrain(spark, warehouse, db, token)
+                case other => throw new IllegalStateException(
+                  s"executeAll: no executor for $other")
+              }
+              Execution(db, d, Some(vdir.toString), "executed")
+            }
+          }
+      }
+    }
   }
 
   // ---- kNN graph: append-staleness retrain + degree compaction ----------

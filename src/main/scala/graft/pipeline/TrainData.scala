@@ -59,8 +59,10 @@ object TrainData {
       Shards.writePackedShards(packed, dir, cfg.numShards, cfg.batchId)
       val agg = packed.agg(count(lit(1)).as("ns"),
         coalesce(sum("n_tokens"), lit(0L)).as("nt")).head()
-      cur.chunks.unpersist()
       ShardBuildResult(cur.stageCounts, agg.getLong(0), agg.getLong(1))
-    } finally packed.unpersist()
+    } finally {
+      packed.unpersist()
+      cur.chunks.unpersist()
+    }
   }
 }

@@ -213,4 +213,44 @@ class IncrementSpec extends SparkSpec {
         .toDF("doc_id", "text"), "doc_id", "text", dir, "b2", cfg).ledger)
     assert(r2(10L) == ((false, "sem_dup", 1L)))
   }
+
+  test("semBackfill: retroactive semantic coverage — pre-enablement " +
+      "admitted docs participate in sem dedup, incomplete corpus is " +
+      "loud, and the backfill is re-entrant") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_incr_backfill").toString
+    def rev(t: String): String = t.split(" ").reverse.mkString(" ")
+    // two increments WITHOUT the semantic stage
+    val b1 = Seq(1L -> goodText("one"), 3L -> goodText("two"))
+    val b2 = Seq(12L -> goodText("three"))
+    Increment.curateIncrement(b1.toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b1")
+    Increment.curateIncrement(b2.toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b2")
+    assert(!Increment.semStateExists(spark, dir))
+    // incomplete corpus (doc 12 missing) is refused loudly
+    intercept[IllegalArgumentException] {
+      Increment.semBackfill(spark, dir, b1.toDF("doc_id", "text"),
+        "doc_id", "text")
+    }
+    // full admitted history: all three docs embed under their ORIGINAL
+    // ledger batch ids
+    val corpus = (b1 ++ b2).toDF("doc_id", "text")
+    assert(Increment.semBackfill(spark, dir, corpus,
+      "doc_id", "text") == 3L)
+    assert(Increment.semStateExists(spark, dir))
+    // re-entrant: every ledger batch already sem-committed → no-op
+    assert(Increment.semBackfill(spark, dir, corpus,
+      "doc_id", "text") == 0L)
+    // the next sem-enabled increment dedups against PRE-enablement
+    // history: a word-permuted twin of b1's doc 1 (past MinHash — near
+    // zero shingle overlap) falls to sem_dup with the historical parent
+    val cfg = graft.pipeline.IncrementConfig(minQualityE4 = 0,
+      semDedupThresholdE4 = Some(9500L))
+    val m = verdictMap(Increment.curateIncrement(
+      Seq(50L -> rev(goodText("one")), 51L -> goodText("nine"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, "b3", cfg).ledger)
+    assert(m(50L) == ((false, "sem_dup", 1L)), s"$m")
+    assert(m(51L) == ((true, "admitted", 51L)), s"$m")
+  }
 }

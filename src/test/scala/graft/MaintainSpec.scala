@@ -333,8 +333,132 @@ class MaintainSpec extends SparkSpec {
     val ds = Maintain.decideAll(spark, dir)
     assert(ds.map(_.index).toSet == Set("minhash", "sem"), s"$ds")
     assert(ds.forall(_.action == "none"), s"$ds")
+    // funnel sub-states are ADVISORY: the warehouse executors do not
+    // apply under an increment root (rewriting a sub-index's batch ids
+    // to `base` would break the minhash-committed serving intersection)
+    assert(ds.forall(_.advisory), s"$ds")
     // an empty root decides nothing
     assert(Maintain.decideAll(spark, java.nio.file.Files
       .createTempDirectory("graft_decide_none").toString).isEmpty)
+  }
+
+  test("executeAll: one sweep compacts every tripped warehouse family, " +
+      "serving parity holds, a rerun decides none, and a kill-mid-sweep " +
+      "resumes under a fresh token without double-compacting") {
+    import graft.operators.Curation
+    val wh = tmpWarehouse("execall")
+    val docA = "the quick brown fox jumps over the lazy dog again and again"
+
+    // family 1: minhash (3 appends past maxBatches=2)
+    Restore.publishVersionedDir(spark, wh, "mh", "0") { vdir =>
+      Dedup.writeMinhashIndex(Seq((1L, docA),
+          (2L, "completely different content about spark catalyst plans"))
+        .toDF("doc_id", "text"), "doc_id", "text", vdir.toString)
+    }
+    def mhDir = Restore.resolveVersioned(spark, wh, "mh").get.toString
+    for (b <- 1 to 3)
+      Dedup.appendToMinhashIndex(spark, mhDir,
+        Seq((100L + b, docA + s" tail $b")).toDF("doc_id", "text"),
+        "doc_id", "text", s"b$b")
+
+    // family 2: bm25
+    Restore.publishVersionedDir(spark, wh, "bm", "0") { vdir =>
+      TextStats.writeBm25Index(Seq((1L, "spark catalyst plans joins"),
+          (2L, "catalyst codegen stages")).toDF("doc_id", "text"),
+        "doc_id", "text", vdir.toString)
+    }
+    def bmDir = Restore.resolveVersioned(spark, wh, "bm").get.toString
+    for (b <- 1 to 3)
+      TextStats.appendToBm25Index(spark, bmDir,
+        Seq((100L + b, s"batch $b spark joins document"))
+          .toDF("doc_id", "text"), "doc_id", "text", s"b$b")
+
+    // family 3: semantic (vector index)
+    def vec(axis: Int, eps: Double) =
+      Seq.tabulate(8)(d => (if (d == axis) 1.0 else 0.0) +
+        (if (d == (axis + 1) % 8) eps else 0.0))
+    // 32 base vectors so the 6 appended stay under semDecision's
+    // retrain axis (1875e-4 < 2500e-4) — this sweep tests COMPACT
+    val baseVecs = (0L until 32L).map(i =>
+      (i, vec((i % 2).toInt, 0.01 * i))).toDF("id", "v")
+    Restore.publishVersionedDir(spark, wh, "sm", "0") { vdir =>
+      Curation.writeSemIndex(baseVecs,
+        Curation.semCentroidSample(baseVecs, 3), vdir.toString,
+        centroidEvery = 3, nassign = 2)
+    }
+    def smDir = Restore.resolveVersioned(spark, wh, "sm").get.toString
+    for (b <- 1 to 3)
+      Curation.appendSemVectors(spark, smDir,
+        (0L until 2L).map(i => (100L * b + i, vec(i.toInt, 0.02)))
+          .toDF("id", "v"), s"b$b")
+
+    // serving captures (pre-sweep)
+    def serveMh(): Set[(Long, Long, Long)] = {
+      val m = Dedup.nearDupAgainstIndex(spark, mhDir,
+        Seq((500L, docA)).toDF("doc_id", "text"), "doc_id", "text")
+      val r = m.df.select("id_new", "id_old", "jacc_e4")
+        .as[(Long, Long, Long)].collect().toSet
+      m.close(); r
+    }
+    def serveBm(): Set[(Long, Long, Long, Long)] =
+      TextStats.bm25AgainstIndex(spark, bmDir,
+          Seq((1L, "spark"), (2L, "catalyst")).toDF("qid", "term"),
+          "qid", "term", k = 3)
+        .select("qid", "id", "score_e6", "rnk")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    def serveSm(): Set[(Long, Long)] =
+      Curation.semNearDupAgainstIndex(spark, smDir,
+          Seq((900L, vec(0, 0.011))).toDF("id", "v"),
+          thresholdE4 = 9000L)
+        .select("id_new", "id_old")
+        .as[(Long, Long)].collect().toSet
+    val (mh0, bm0, sm0) = (serveMh(), serveBm(), serveSm())
+    assert(mh0.nonEmpty && bm0.nonEmpty && sm0.nonEmpty,
+      s"probes must have content: $mh0 / $bm0 / $sm0")
+
+    // KILL-MID-SWEEP simulation: poison bm's first token so its publish
+    // throws AFTER mh already published (dbs processed in order)
+    val fs = new org.apache.hadoop.fs.Path(wh).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(wh, "bm__vt1"))
+    intercept[IllegalArgumentException] {
+      Maintain.executeAll(spark, wh, Seq("mh", "bm", "sm"), "t1",
+        maxBatches = 2)
+    }
+    // mh landed, bm/sm did not
+    assert(Maintain.minhashDecision(spark, mhDir, maxBatches = 2)
+      .action == "none", "mh should have compacted before the kill")
+    assert(Maintain.bm25Decision(spark, bmDir, maxBatches = 2)
+      .action == "compact", "bm must be untouched after the kill")
+
+    // resume under a FRESH token: mh re-decides none (skipped), bm/sm
+    // execute — the crash-safe re-decision contract
+    val resumed = Maintain.executeAll(spark, wh, Seq("mh", "bm", "sm"),
+      "t2", maxBatches = 2)
+    val byDb = resumed.groupBy(_.db)
+    assert(byDb("mh").forall(_.note == "no action needed"),
+      s"mh double-compacted: ${byDb("mh")}")
+    assert(byDb("bm").exists(e =>
+        e.note == "executed" && e.decision.action == "compact" &&
+        e.version.isDefined), s"${byDb("bm")}")
+    assert(byDb("sm").exists(e =>
+        e.note == "executed" && e.decision.action == "compact"),
+      s"${byDb("sm")}")
+
+    // serving parity across the whole sweep
+    assert(serveMh() == mh0, "minhash serving changed")
+    assert(serveBm() == bm0, "bm25 serving changed")
+    assert(serveSm() == sm0, "sem serving changed")
+
+    // a third sweep decides none everywhere; unknown db is skipped loudly
+    val idle = Maintain.executeAll(spark, wh, Seq("mh", "bm", "sm", "nope"),
+      "t3", maxBatches = 2)
+    assert(idle.count(_.note == "executed") == 0, s"$idle")
+    assert(idle.exists(e => e.db == "nope" &&
+      e.note.contains("no current version")), s"$idle")
+    assert(Maintain.minhashDecision(spark, mhDir, maxBatches = 2)
+      .metric == 1L, "compaction must leave one base batch")
+    assert(Maintain.bm25Decision(spark, bmDir, maxBatches = 2)
+      .metric == 1L, "compaction must leave one base batch")
   }
 }
