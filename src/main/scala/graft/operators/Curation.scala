@@ -1089,7 +1089,29 @@ object Curation {
     * pass removes the overwhelming mass (the Lee et al. setting).
     */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                           w: Int = 50): DataFrame = {
+                           w: Int = 50): DataFrame =
+    removeDuplicateSpansImpl(docs, idCol, textCol, w, claims = None)
+
+  /** [[removeDuplicateSpans]] with an EXTERNAL claim set — the
+    * incremental form: `claims` is a one-column (`h`) frame of window
+    * hashes the accumulated corpus already owns (see
+    * [[graft.pipeline.Increment]]'s `windows` state table). Every batch
+    * occurrence of a claimed window is a duplicate span (state always
+    * outranks the batch — there is no canonical survivor inside the
+    * batch for content the corpus already holds); among the remaining
+    * windows the within-batch min-(doc, pos) canonical rule applies
+    * unchanged, so with an EMPTY claim set this is exactly
+    * [[removeDuplicateSpans]] (the stage-parity contract).
+    */
+  def removeDuplicateSpansVsClaims(docs: DataFrame, idCol: String,
+                                   textCol: String, w: Int,
+                                   claims: DataFrame): DataFrame =
+    removeDuplicateSpansImpl(docs, idCol, textCol, w, Some(claims))
+
+  private def removeDuplicateSpansImpl(docs: DataFrame, idCol: String,
+                                       textCol: String, w: Int,
+                                       claims: Option[DataFrame])
+      : DataFrame = {
     require(w >= 1, "window must be at least 1 token")
     val sized = graft.core.Ops.widen(docs)
       .select(col(idCol),
@@ -1102,8 +1124,21 @@ object Curation {
       .select(col(idCol), col("e.pos").as("pos"), col("e.h").as("h"))
     val canon = wins.groupBy("h")
       .agg(min(struct(col(idCol).as("d"), col("pos").as("p"))).as("c"))
-    val dupStarts = wins.join(canon, Seq("h"))
+    val withinDup = wins.join(canon, Seq("h"))
       .filter(col("c.d") =!= col(idCol) || col("c.p") =!= col("pos"))
+      .select(col(idCol), col("pos"))
+    val dup = claims match {
+      case None => withinDup
+      case Some(c) =>
+        // claimed-by-state occurrences: EVERY batch occurrence is a
+        // duplicate, canonical or not — union then distinct (a window
+        // can be both state-claimed and within-batch non-canonical)
+        withinDup.unionByName(
+            wins.join(c.select(col("h")), Seq("h"), "left_semi")
+              .select(col(idCol), col("pos")))
+          .distinct()
+    }
+    val dupStarts = dup
       .groupBy(idCol).agg(sort_array(collect_list(col("pos"))).as("__ps"))
     sized.join(dupStarts, Seq(idCol), "left_outer")
       .withColumn("__ps", coalesce(col("__ps"), expr("array()")))
@@ -1115,6 +1150,31 @@ object Curation {
           .as("cleaned_text"),
         (size(col("__ws")) - size(col("__kept"))).cast("long")
           .as("n_removed_tokens"))
+  }
+
+  /** The distinct `w`-token window hashes of `docs`, per claiming doc —
+    * the claim rows an incremental corpus persists so later batches can
+    * dedup passages against accumulated content without re-scanning it
+    * ([[removeDuplicateSpansVsClaims]]'s `claims` side). Same
+    * normalization and hash as [[duplicateWindows]], so a claim matches
+    * exactly the windows that operator would pair. The claiming `id` is
+    * kept (serving only reads `h`) so a retraction can remove exactly
+    * the victim's claims — content also claimed by a surviving doc
+    * keeps serving, the correct right-to-be-forgotten semantics.
+    * Columns: (id, h), distinct.
+    */
+  def windowClaims(docs: DataFrame, idCol: String, textCol: String,
+                   w: Int): DataFrame = {
+    require(w >= 1, "window must be at least 1 token")
+    graft.core.Ops.widen(docs)
+      .select(col(idCol).cast("long").as("id"),
+        Dedup.normalizeWords(coalesce(col(textCol), lit(""))).as("__ws"))
+      .withColumn("nw", greatest(lit(0), size(col("__ws")) - w + 1))
+      .filter(col("nw") > 0)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(1, nw), i -> " +
+          s"md5(array_join(slice(__ws, i, $w), ' ')))")).as("h"))
+      .distinct()
   }
 
   def writeShards(df: DataFrame, keyCol: Column, path: String,

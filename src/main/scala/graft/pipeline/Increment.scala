@@ -36,7 +36,18 @@ case class IncrementConfig(
     // When the sub-state EXISTS, its pinned (centroid_every, nassign)
     // override the cfg dials below and a semDim mismatch is loud.
     semDedupThresholdE4: Option[Long] = None,
-    semDim: Int = 64, semCentroidEvery: Int = 25, semNassign: Int = 2)
+    semDim: Int = 64, semCentroidEvery: Int = 25, semNassign: Int = 2,
+    // optional SUBSTRING-DEDUP stage (the batch funnel's window_dedup
+    // gate, against accumulated state): every w-token window of the
+    // batch is hashed; windows the accumulated corpus already CLAIMS
+    // (the `windows` state table, minhash-committed batches only) are
+    // removed as duplicate spans, then the within-batch canonical rule
+    // applies ([[graft.operators.Curation.removeDuplicateSpansVsClaims]]).
+    // Docs are REWRITTEN, not rejected — the cleaned text flows into
+    // exact/minhash/sem, and admitted docs' final-text windows append
+    // as new claims under this batch id. Runs BEFORE exact dedup, the
+    // funnel's stage order.
+    dedupWindowsW: Option[Int] = None)
 
 /** `ledger` — one [[graft.streaming.CurateStream.GateVerdict]]-shaped
   * row PER BATCH DOC (id, admitted, reason, dup_of); `admitted` — the
@@ -159,7 +170,8 @@ object Increment {
   def initStateFromCurated(spark: SparkSession, stateDir: String,
                            curated: DataFrame, idCol: String,
                            textCol: String, bands: Int = 4,
-                           rowsPerBand: Int = 3): Unit = {
+                           rowsPerBand: Int = 3,
+                           claimsW: Option[Int] = None): Unit = {
     require(!stateExists(spark, stateDir),
       s"initStateFromCurated: state already exists at $stateDir")
     writeFamilySentinel(spark, stateDir, "minhash")
@@ -168,6 +180,15 @@ object Increment {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       writeExactKeys(docs, s"$stateDir/exact", "base")
+      // seed window claims when the state will run the substring-dedup
+      // stage — without them, passages of the seeded corpus would be
+      // invisible to cfg.dedupWindowsW until re-claimed by an increment
+      for (w <- claimsW)
+        Curation.windowClaims(docs, "id", "text", w)
+          .withColumn("batch_id", lit("base"))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(s"$stateDir/windows")
       Dedup.writeMinhashParts(docs, "id", "text", s"$stateDir/minhash",
         bands, rowsPerBand, overwrite = true, batchId = "base")
     } finally docs.unpersist()
@@ -199,6 +220,27 @@ object Increment {
     spark.read.parquet(s"$stateDir/exact/keys")
       .join(broadcast(committed), Seq("batch_id"), "left_semi")
       .groupBy("key").agg(min(col("id")).as("id"))
+  }
+
+  /** Accumulated window claims visible to a (re)run of `excludeBatch`:
+    * minhash-committed batches only (the one authoritative marker — a
+    * torn increment's claim rows never serve), minus the batch's own
+    * prior attempt (the retry pre-batch view). Absent table ⇒ empty
+    * claims (states built before the stage was enabled): the sem
+    * stage's enable-from-batch-N semantics.
+    */
+  private def readWindowClaims(spark: SparkSession, stateDir: String,
+                               excludeBatch: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/windows")
+    if (!fs(spark, stateDir).exists(p))
+      spark.range(0).select(lit("").as("h"))
+    else {
+      val committed = Dedup.minhashCommitted(spark, s"$stateDir/minhash")
+        .filter(col("batch_id") =!= excludeBatch)
+      spark.read.parquet(s"$stateDir/windows")
+        .join(broadcast(committed), Seq("batch_id"), "left_semi")
+        .select("h")
+    }
   }
 
   def curateIncrement(batch: DataFrame, idCol: String, textCol: String,
@@ -261,6 +303,28 @@ object Increment {
         .localCheckpoint(eager = true)
       stage("repetition", filtered.count())
       rejectAnti(pre, filtered, "repetition")
+    }
+
+    // ---- optional SUBSTRING-DEDUP stage (the funnel's window_dedup,
+    // against accumulated claims): spans the corpus already owns are
+    // removed, then the within-batch canonical rule — docs are
+    // REWRITTEN (normalized token stream), never rejected, so the
+    // ledger is untouched here; the count is pool size at the stage
+    for (w <- cfg.dedupWindowsW) {
+      val claims =
+        if (!haveState) None
+        else Some(readWindowClaims(spark, stateDir, batchId))
+      val cleaned = claims match {
+        case None =>
+          Curation.removeDuplicateSpans(filtered, "id", "text", w)
+        case Some(c) =>
+          Curation.removeDuplicateSpansVsClaims(filtered, "id", "text",
+            w, c)
+      }
+      filtered = cleaned
+        .select(col("id"), col("cleaned_text").as("text"))
+        .localCheckpoint(eager = true)
+      stage("window_dedup", filtered.count())
     }
 
     // ---- exact dedup: against state, then within batch -----------------
@@ -422,6 +486,12 @@ object Increment {
           Curation.writeSemIndex(admNonzero, centroids, s"$stateDir/sem",
             cfg.semCentroidEvery, cfg.semNassign, batchId)
       }
+      // window claims of the admitted docs' FINAL text — exactly the
+      // content entering the corpus; lands BEFORE the minhash marker
+      // (same dynamic-partition retry contract as every state table)
+      for (w <- cfg.dedupWindowsW)
+        writer(Curation.windowClaims(admitted, "id", "text", w),
+          s"$stateDir/windows")
       if (haveState)
         Dedup.appendToMinhashIndex(spark, s"$stateDir/minhash", admitted,
           "id", "text", batchId)
@@ -1257,7 +1327,7 @@ object Increment {
 
   private val RetractableTables = Seq(
     "exact/keys", "minhash/shingles", "minhash/bands", "sem/assigned",
-    "phash/sigs", "audio/fps", "audio/sizes", "video/frames",
+    "windows", "phash/sigs", "audio/fps", "audio/sizes", "video/frames",
     "video/sizes")
 
   /** Remove documents/media from the ACCUMULATED increment state — the

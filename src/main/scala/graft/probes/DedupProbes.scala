@@ -949,7 +949,260 @@ object DedupProbes {
        |FROM out ORDER BY batch_id, id""".stripMargin
   }
 
+  // ---- q166 substring-dedup stage in the text increment ------------------
+  // The window-claim twin of q157: state seeded WITH window claims
+  // (initStateFromCurated claimsW), then two increments with
+  // cfg.dedupWindowsW = 8 — passages the accumulated corpus already owns
+  // strip from batch docs BEFORE exact dedup (two b2 cases clean to the
+  // same 4-token literal and collapse to one exact survivor: the stage
+  // ORDER pin), the within-batch canonical min-(doc, pos) rule keeps one
+  // copy of a batch-repeated passage, and admitted docs' final-text
+  // windows land as new claims under the batch id. b2 RERUNS under its
+  // batch id (the q157 idempotence discipline). The oracle replays the
+  // full composed semantics: window stage (claimed ∪ non-canonical →
+  // islands coverage → token filter) → md5 exact vs accumulated keys →
+  // within-batch min-id groups → banded minhash near-dup vs state →
+  // within-batch pairs → recursive components — per round, with claims
+  // accumulating exactly like the engine's `windows` state table.
+  val q166: Q = (s, d) => {
+    import graft.pipeline.{Increment, IncrementConfig}
+    val a = Tables.documents(s, d).filter(col("doc_id") < 30)
+      .select(col("doc_id").as("id"), col("text"))
+    val sl12 = array_join(
+      slice(Dedup.normalizeWords(col("text")), 1, 12), " ")
+    val qpass = (1 to 12).map(i => s"qq$i").mkString(" ")
+    val base4 = "so pin alpha beta"
+    def cases(m: Int, off: Long, tx: org.apache.spark.sql.Column) =
+      a.filter(col("id") % 8 === m)
+        .select((col("id") + off).as("doc_id"), tx.as("text"))
+    val b1 = cases(1, 400000L,
+        concat(reverse(col("text")), lit(" "), sl12))
+      .unionByName(cases(2, 410000L,
+        concat(reverse(col("text")), lit(s" $qpass"))))
+      .unionByName(cases(3, 420000L,
+        concat(reverse(col("text")), lit(s" $qpass"))))
+      .unionByName(cases(4, 430000L, reverse(col("text"))))
+    val b2 = cases(5, 440000L,
+        concat(reverse(col("text")), lit(s" $qpass")))
+      .unionByName(cases(6, 450000L,
+        concat(reverse(col("text")), lit(" "), sl12)))
+      .unionByName(cases(7, 460000L,
+        concat(lit(s"$base4 "), sl12)))
+      .unionByName(cases(7, 470000L, lit(s"$base4 $qpass")))
+      .unionByName(cases(0, 480000L,
+        concat(reverse(col("text")), lit(" fresh tail two"))))
+    val dir = scratchDir("graft_q166_state")
+    Increment.initStateFromCurated(s, dir, a, "id", "text",
+      claimsW = Some(8))
+    val cfg = IncrementConfig(minQualityE4 = 0, dedupWindowsW = Some(8))
+    val r1 = Increment.curateIncrement(b1, "doc_id", "text", dir, "b1",
+      cfg)
+    Increment.curateIncrement(b2, "doc_id", "text", dir, "b2", cfg)
+    val r2 = Increment.curateIncrement(b2, "doc_id", "text", dir, "b2",
+      cfg) // retry
+    val admTexts = r1.admitted.select(col("id"), col("text"))
+      .unionByName(r2.admitted.select(col("id"), col("text")))
+    Increment.readLedger(s, dir)
+      .join(admTexts, Seq("id"), "left_outer")
+      .select(col("batch_id"), col("id"), col("admitted"), col("reason"),
+        col("dup_of"), coalesce(col("text"), lit("")).as("text"))
+      .orderBy("batch_id", "id")
+  }
+
+  val q166Sql: String = {
+    val p = graft.operators.Dedup.MinhashP
+    val qpass = (1 to 12).map(i => s"qq$i").mkString(" ")
+    val base4 = "so pin alpha beta"
+    // per-round minhash machinery over a given (id, text) table
+    def mh(t: String, src: String): String = {
+      val sigs = (0 until 12).map { h =>
+        val (aa, bb) = (graft.operators.Dedup.minhashA(h),
+          graft.operators.Dedup.minhashB(h))
+        s"list_min(list_transform(hv, v -> ($aa * v + $bb) % $p)) AS h$h"
+      }.mkString(",\n    ")
+      val bandRows = (0 until 4).map { b =>
+        val r = (0 until 3).map(i => s"h${b * 3 + i}").mkString(" || '|' || ")
+        s"SELECT id, $b AS band, $r AS bh FROM ${t}_sig"
+      }.mkString("\n  UNION ALL ")
+      s"""${t}_keys AS MATERIALIZED (SELECT id, md5(text) AS key FROM $src),
+         |${t}_n AS MATERIALIZED (SELECT id, $duckWords AS w FROM $src),
+         |${t}_shl AS MATERIALIZED (SELECT id, CASE WHEN len(w) >= 3 THEN
+         |    list_transform(generate_series(1, len(w) - 2),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |  ELSE []::VARCHAR[] END AS sh FROM ${t}_n),
+         |${t}_sets AS MATERIALIZED (SELECT id, list_distinct(sh) AS shd
+         |  FROM ${t}_shl WHERE len(sh) > 0),
+         |${t}_hvt AS MATERIALIZED (SELECT id,
+         |  list_transform(sh, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT % $p) AS hv
+         |  FROM ${t}_shl WHERE len(sh) > 0),
+         |${t}_sig AS MATERIALIZED (SELECT id,
+         |    $sigs
+         |  FROM ${t}_hvt),
+         |${t}_bands AS MATERIALIZED (
+         |  $bandRows)""".stripMargin
+    }
+    // window stage over batch `bt` against claim set `cl` → ${t}_clean
+    def winStage(t: String, bt: String, cl: String): String =
+      s"""${t}_sz AS MATERIALIZED (SELECT id, $duckWords AS ws,
+         |    greatest(len($duckWords) - 7, 0) AS nw FROM $bt),
+         |${t}_win AS MATERIALIZED (SELECT id, i AS pos,
+         |    md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS h
+         |  FROM ${t}_sz, unnest(generate_series(1, nw)) u(i)
+         |  WHERE nw > 0),
+         |${t}_dupw AS MATERIALIZED (
+         |  SELECT id, pos FROM (
+         |    SELECT id, pos,
+         |      row_number() OVER (PARTITION BY h ORDER BY id, pos) AS rn
+         |    FROM ${t}_win) WHERE rn > 1
+         |  UNION
+         |  SELECT w.id, w.pos FROM ${t}_win w
+         |  WHERE w.h IN (SELECT h FROM $cl)),
+         |${t}_ps AS MATERIALIZED (SELECT id, list_sort(list(pos)) AS ps
+         |  FROM ${t}_dupw GROUP BY id),
+         |${t}_clean AS MATERIALIZED (SELECT s.id, coalesce(array_to_string(
+         |    list_transform(
+         |      list_filter(generate_series(1, len(s.ws)),
+         |        i -> len(list_filter(coalesce(p2.ps, []::BIGINT[]),
+         |          q -> i >= q AND i < q + 8)) = 0),
+         |      i -> s.ws[i]), ' '), '') AS text
+         |  FROM ${t}_sz s LEFT JOIN ${t}_ps p2 USING (id))""".stripMargin
+    // q157's replay, parameterized over the unified keys/bands/sets
+    def jaccGe(sa: String, sb: String) =
+      s"""floor(len(list_intersect($sa, $sb)) * 1.0 /
+         |    (len($sa) + len($sb) - len(list_intersect($sa, $sb)))
+         |    * 10000 + 0.5) >= 8000""".stripMargin
+    def replay(t: String, bt: String, st: String, keys: String,
+               bands: String, sets: String): String =
+      s"""${t}_ex_st AS MATERIALIZED (SELECT k.id, min(sk.id) AS dup_of
+         |  FROM $keys k JOIN $keys sk ON sk.key = k.key
+         |  WHERE k.id IN (SELECT id FROM $bt)
+         |    AND sk.id IN (SELECT id FROM $st)
+         |  GROUP BY k.id),
+         |${t}_p1 AS MATERIALIZED (SELECT id FROM $bt
+         |  WHERE id NOT IN (SELECT id FROM ${t}_ex_st)),
+         |${t}_keep AS MATERIALIZED (SELECT key, min(id) AS keep FROM $keys
+         |  WHERE id IN (SELECT id FROM ${t}_p1) GROUP BY key),
+         |${t}_ex_in AS MATERIALIZED (SELECT k.id, kk.keep AS dup_of
+         |  FROM $keys k JOIN ${t}_keep kk ON kk.key = k.key
+         |  WHERE k.id IN (SELECT id FROM ${t}_p1) AND k.id <> kk.keep),
+         |${t}_p2 AS MATERIALIZED (SELECT id FROM ${t}_p1
+         |  WHERE id NOT IN (SELECT id FROM ${t}_ex_in)),
+         |${t}_nd_st AS MATERIALIZED (SELECT c.idn AS id, min(c.ido) AS dup_of FROM (
+         |    SELECT DISTINCT x.id AS idn, y.id AS ido
+         |    FROM $bands x JOIN $bands y ON x.band = y.band AND x.bh = y.bh
+         |    WHERE x.id IN (SELECT id FROM ${t}_p2)
+         |      AND y.id IN (SELECT id FROM $st) AND x.id <> y.id) c
+         |  JOIN $sets sa ON sa.id = c.idn JOIN $sets sb ON sb.id = c.ido
+         |  WHERE ${jaccGe("sa.shd", "sb.shd")}
+         |  GROUP BY c.idn),
+         |${t}_p3 AS MATERIALIZED (SELECT id FROM ${t}_p2
+         |  WHERE id NOT IN (SELECT id FROM ${t}_nd_st)),
+         |${t}_edges AS MATERIALIZED (SELECT DISTINCT x.id AS src, y.id AS dst
+         |  FROM $bands x JOIN $bands y ON x.band = y.band AND x.bh = y.bh
+         |  JOIN $sets sa ON sa.id = x.id JOIN $sets sb ON sb.id = y.id
+         |  WHERE x.id IN (SELECT id FROM ${t}_p3)
+         |    AND y.id IN (SELECT id FROM ${t}_p3) AND x.id < y.id
+         |    AND ${jaccGe("sa.shd", "sb.shd")}),
+         |${t}_und AS MATERIALIZED (SELECT src, dst FROM ${t}_edges
+         |  UNION ALL SELECT dst, src FROM ${t}_edges),
+         |${t}_reach(id, r) AS (
+         |  SELECT src, src FROM ${t}_und
+         |  UNION
+         |  SELECT u.src, ${t}_reach.r FROM ${t}_und u
+         |  JOIN ${t}_reach ON ${t}_reach.id = u.dst),
+         |${t}_nd_in AS MATERIALIZED (SELECT id, min(r) AS dup_of FROM ${t}_reach
+         |  GROUP BY id HAVING id <> min(r)),
+         |${t}_adm AS MATERIALIZED (SELECT id FROM ${t}_p3
+         |  WHERE id NOT IN (SELECT id FROM ${t}_nd_in))""".stripMargin
+    def verdicts(t: String, b: String): String =
+      s"""  SELECT '$b' AS batch_id, id, FALSE AS admitted,
+         |    'exact_dup' AS reason, dup_of FROM ${t}_ex_st
+         |  UNION ALL SELECT '$b', id, FALSE, 'exact_dup', dup_of
+         |  FROM ${t}_ex_in
+         |  UNION ALL SELECT '$b', id, FALSE, 'near_dup', dup_of
+         |  FROM ${t}_nd_st
+         |  UNION ALL SELECT '$b', id, FALSE, 'near_dup', dup_of
+         |  FROM ${t}_nd_in
+         |  UNION ALL SELECT '$b', id, TRUE, 'admitted', id FROM ${t}_adm"""
+        .stripMargin
+    s"""WITH RECURSIVE
+       |a AS MATERIALIZED (SELECT doc_id AS id, text FROM documents
+       |  WHERE doc_id < 30),
+       |asl AS MATERIALIZED (SELECT id, text,
+       |  array_to_string(list_slice($duckWords, 1, 12), ' ') AS sl12
+       |  FROM a),
+       |b1 AS MATERIALIZED (
+       |  SELECT id + 400000 AS id, reverse(text) || ' ' || sl12 AS text
+       |  FROM asl WHERE id % 8 = 1
+       |  UNION ALL SELECT id + 410000, reverse(text) || ' $qpass'
+       |  FROM asl WHERE id % 8 = 2
+       |  UNION ALL SELECT id + 420000, reverse(text) || ' $qpass'
+       |  FROM asl WHERE id % 8 = 3
+       |  UNION ALL SELECT id + 430000, reverse(text)
+       |  FROM asl WHERE id % 8 = 4),
+       |b2 AS MATERIALIZED (
+       |  SELECT id + 440000 AS id, reverse(text) || ' $qpass' AS text
+       |  FROM asl WHERE id % 8 = 5
+       |  UNION ALL SELECT id + 450000, reverse(text) || ' ' || sl12
+       |  FROM asl WHERE id % 8 = 6
+       |  UNION ALL SELECT id + 460000, '$base4 ' || sl12
+       |  FROM asl WHERE id % 8 = 7
+       |  UNION ALL SELECT id + 470000, '$base4 $qpass'
+       |  FROM asl WHERE id % 8 = 7
+       |  UNION ALL SELECT id + 480000, reverse(text) || ' fresh tail two'
+       |  FROM asl WHERE id % 8 = 0),
+       |c0 AS MATERIALIZED (SELECT DISTINCT
+       |    md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS h
+       |  FROM (SELECT $duckWords AS ws,
+       |      greatest(len($duckWords) - 7, 0) AS nw FROM a) z,
+       |    unnest(generate_series(1, nw)) u(i)
+       |  WHERE nw > 0),
+       |${winStage("w1", "b1", "c0")},
+       |${mh("m0", "a")},
+       |${mh("m1", "w1_clean")},
+       |u1_keys AS MATERIALIZED (SELECT * FROM m0_keys
+       |  UNION ALL SELECT * FROM m1_keys),
+       |u1_sets AS MATERIALIZED (SELECT * FROM m0_sets
+       |  UNION ALL SELECT * FROM m1_sets),
+       |u1_bands AS MATERIALIZED (SELECT * FROM m0_bands
+       |  UNION ALL SELECT * FROM m1_bands),
+       |s0 AS MATERIALIZED (SELECT id FROM a),
+       |${replay("r1", "b1", "s0", "u1_keys", "u1_bands", "u1_sets")},
+       |c1 AS MATERIALIZED (SELECT h FROM c0 UNION SELECT DISTINCT
+       |    md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS h
+       |  FROM (SELECT $duckWords AS ws,
+       |      greatest(len($duckWords) - 7, 0) AS nw FROM w1_clean
+       |      WHERE id IN (SELECT id FROM r1_adm)) z,
+       |    unnest(generate_series(1, nw)) u(i)
+       |  WHERE nw > 0),
+       |${winStage("w2", "b2", "c1")},
+       |${mh("m2", "w2_clean")},
+       |u2_keys AS MATERIALIZED (SELECT * FROM u1_keys
+       |  UNION ALL SELECT * FROM m2_keys),
+       |u2_sets AS MATERIALIZED (SELECT * FROM u1_sets
+       |  UNION ALL SELECT * FROM m2_sets),
+       |u2_bands AS MATERIALIZED (SELECT * FROM u1_bands
+       |  UNION ALL SELECT * FROM m2_bands),
+       |s1 AS MATERIALIZED (SELECT id FROM s0
+       |  UNION ALL SELECT id FROM r1_adm),
+       |${replay("r2", "b2", "s1", "u2_keys", "u2_bands", "u2_sets")},
+       |out AS MATERIALIZED (
+       |${verdicts("r1", "b1")}
+       |  UNION ALL
+       |${verdicts("r2", "b2")}),
+       |admt AS MATERIALIZED (
+       |  SELECT id, text FROM w1_clean WHERE id IN (SELECT id FROM r1_adm)
+       |  UNION ALL
+       |  SELECT id, text FROM w2_clean WHERE id IN (SELECT id FROM r2_adm))
+       |SELECT o.batch_id, CAST(o.id AS BIGINT) AS id, o.admitted, o.reason,
+       |  CAST(o.dup_of AS BIGINT) AS dup_of,
+       |  coalesce(t.text, '') AS text
+       |FROM out o LEFT JOIN admt t USING (id)
+       |ORDER BY batch_id, id""".stripMargin
+  }
+
   private[probes] val queries: Map[String, Q] = Map(
+    "q166_incr_window_dedup" -> q166,
     "q157_curate_increment" -> q157,
     "q151_suffix_sharded_clean" -> q151,
     "q27_minhash_lsh_neardup" -> q27,
@@ -970,6 +1223,7 @@ object DedupProbes {
     "q145_suffix_sharded" -> q145)
 
   private[probes] val oracleSql: Map[String, String] = Map(
+    "q166_incr_window_dedup" -> q166Sql,
     "q157_curate_increment" -> q157Sql,
     "q151_suffix_sharded_clean" -> q144Sql,
     "q27_minhash_lsh_neardup" -> q27Sql,

@@ -1410,6 +1410,39 @@ object Scale {
             .groupBy("reason").agg(count(lit(1)).as("docs")),
           Seq.empty))
       }
+      if (onlyRows.forall(_.exists("win_incr_3pct".startsWith))) {
+        // round-16: the substring-dedup stage in the text increment —
+        // state seeded WITH window claims OUTSIDE timing; the timed row
+        // runs a ~3% batch (fresh docs + docs that re-ingest a 12-token
+        // passage lifted from the standing corpus) through the funnel
+        // with dedupWindowsW on. Cost shape: batch-window hashing is
+        // batch-linear; the claim probe is one h-equi semi join against
+        // the committed claims table (corpus-scan side, no pairing).
+        val sdir = java.nio.file.Files
+          .createTempDirectory(s"graft_wincr_$n").toString
+        graft.pipeline.Increment.initStateFromCurated(
+          spark, sdir, d, "doc_id", "text", claimsW = Some(8))
+        val wcfg = graft.pipeline.IncrementConfig(minQualityE4 = 0,
+          dedupWindowsW = Some(8))
+        val batchW = d.filter(col("doc_id") % 97 === 3)
+          .select((col("doc_id") + 900000000L).as("doc_id"),
+            concat_ws(" ", expr("transform(split(text, ' '), " +
+              "w -> substr(md5(concat(w, 'wf')), 1, 6))")).as("text"))
+          .unionByName(d.filter(col("doc_id") % 97 === 4)
+            .select((col("doc_id") + 950000000L).as("doc_id"),
+              concat(
+                concat_ws(" ", expr("transform(split(text, ' '), " +
+                  "w -> substr(md5(concat(w, 'wg')), 1, 6))")),
+                lit(" "),
+                expr("array_join(slice(filter(split(trim(regexp_replace(" +
+                  "lower(text), '[^a-z0-9]+', ' ')), ' '), x -> x != ''), " +
+                  "1, 12), ' ')")).as("text")))
+        run("win_incr_3pct", n)(graft.core.Managed(
+          graft.pipeline.Increment.curateIncrement(batchW, "doc_id",
+            "text", sdir, "sweep", wcfg).ledger
+            .groupBy("reason").agg(count(lit(1)).as("docs")),
+          Seq.empty))
+      }
       if (onlyRows.forall(_.exists("retract_1pct".startsWith))) {
         // right-to-be-forgotten sweep over accumulated text state: state
         // seeded OUTSIDE timing (one bootstrap increment, semantic stage

@@ -253,4 +253,62 @@ class IncrementSpec extends SparkSpec {
     assert(m(50L) == ((false, "sem_dup", 1L)), s"$m")
     assert(m(51L) == ((true, "admitted", 51L)), s"$m")
   }
+
+  test("substring-dedup stage: empty-state run matches the funnel's " +
+      "removeDuplicateSpans, accumulated claims strip re-ingested " +
+      "passages, retry replays identically, retraction frees the claims") {
+    import graft.operators.Curation
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_incr_windows").toString
+    val cfg = graft.pipeline.IncrementConfig(minQualityE4 = 0,
+      dedupWindowsW = Some(8))
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+    def texts(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.select("id", "text").as[(Long, String)].collect().toMap
+    // batch A: docs 1/2 share the 10-token passage — within-batch
+    // canonical (doc 1) keeps it, doc 2 loses it
+    val a = Seq(1L -> (goodText("one") + " " + passage),
+      2L -> (goodText("two") + " " + passage))
+    val ra = Increment.curateIncrement(a.toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b1", cfg)
+    val gotA = texts(ra.admitted)
+    // STAGE PARITY: an empty state is exactly the batch funnel's
+    // window stage over the same pool
+    val wantA = Curation.removeDuplicateSpans(
+        a.toDF("id", "text"), "id", "text", 8)
+      .select(col("id"), col("cleaned_text"))
+      .as[(Long, String)].collect().toMap
+    assert(gotA == wantA, s"$gotA vs $wantA")
+    assert(gotA(1L).contains("p1") && !gotA(2L).contains("p1"),
+      s"canonical keeps the passage, the twin loses it: $gotA")
+    // batch B: doc 20 re-ingests the passage (claimed by state doc 1)
+    // — removed with NO within-batch twin; doc 21 is untouched
+    val b = Seq(20L -> (goodText("three") + " " + passage),
+      21L -> goodText("four"))
+    def runB() = Increment.curateIncrement(b.toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b2", cfg)
+    val rb = runB()
+    val gotB = texts(rb.admitted)
+    assert(!gotB(20L).contains("p1") && gotB(20L).contains("three1"),
+      s"state claim must strip the passage only: $gotB")
+    assert(gotB(21L) ==
+      Curation.removeDuplicateSpans(Seq(21L -> goodText("four"))
+          .toDF("id", "text"), "id", "text", 8)
+        .select(col("cleaned_text")).as[String].head(),
+      "doc without claimed content must pass through")
+    assert(rb.stageCounts.toMap.get("window_dedup").contains(2L))
+    // retry replays identically (pre-batch claim view + partition
+    // replace: doc 20's span still strips, claims don't double)
+    assert(texts(runB().admitted) == gotB)
+    // RETRACTION frees the claims: after retracting doc 1 (and doc 2,
+    // the only other holder of batch-A content), a resubmission of the
+    // passage admits with the passage intact
+    Increment.retract(spark, dir, Seq(1L, 2L).toDF("id"))
+    val rc = Increment.curateIncrement(
+      Seq(30L -> (goodText("five") + " " + passage))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, "b3", cfg)
+    val gotC = texts(rc.admitted)
+    assert(gotC(30L).contains("p1") && gotC(30L).contains("p10"),
+      s"retracted claims must stop stripping: $gotC")
+  }
 }
