@@ -271,10 +271,56 @@ object KnnGraph {
 
   // ---- persisted-graph lifecycle: batch append + batch-union read --------
 
-  /** All stored vectors: base + every appended batch. */
+  /** Retraction tombstones for the FLAT base tables
+    * ([[graft.pipeline.Maintain.retract]]): batch partitions purge
+    * physically, but base vectors/edges/entries cannot be
+    * partition-pruned by id — base reads exclude this list instead.
+    * Batch reads are deliberately NOT filtered: a retracted id that is
+    * later resubmitted lands in a fresh batch and must serve. Distinct
+    * by id (a crash-rerun may append duplicates); bounded by the
+    * retraction volume between maintenance publishes — compact/retrain
+    * read through the tombstones and start a clean version.
+    */
+  private def retractedBase(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/retracted"))) None
+    else Some(spark.read.parquet(s"$dir/retracted")
+      .select("id").distinct())
+  }
+
+  /** The first `numEntries` LIVE entry-ring members: the stored ring
+    * (ranked by the deterministic md5 rule at build time) minus
+    * retraction tombstones, refilled from the deeper ring ranks — a
+    * retracted entry point must not serve, and the ring stays full as
+    * long as the stored `maxEntries` overprovisioning covers the
+    * retractions (when it does not, this is loud: rebuild/compact).
+    */
+  private def entryRing(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, numEntries: Int,
+                        op: String): DataFrame = {
+    val stored0 = spark.read.parquet(s"$dir/entries")
+    val stored = retractedBase(spark, dir).fold(stored0)(r =>
+      stored0.join(broadcast(r), Seq("id"), "left_anti"))
+    // bounded: the entries table holds maxEntries rows
+    val ring = stored.orderBy(col("r").asc).limit(numEntries).select("id")
+    val have = ring.count()
+    require(have == numEntries.toLong,
+      s"$op: index at $dir serves $have live entry points < requested " +
+        s"$numEntries (retractions may have drained the ring — compact " +
+        "or rebuild with a larger maxEntries)")
+    ring
+  }
+
+  /** All stored vectors: base (minus retraction tombstones) + every
+    * appended batch.
+    */
   def readKnnVectors(spark: org.apache.spark.sql.SparkSession,
                      dir: String): DataFrame = {
-    val base = spark.read.parquet(s"$dir/vectors")
+    val base0 = spark.read.parquet(s"$dir/vectors")
+    val base = retractedBase(spark, dir).fold(base0)(r =>
+      base0.join(broadcast(r), Seq("id"), "left_anti"))
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/vectors_batches")))
@@ -310,7 +356,12 @@ object KnnGraph {
   private def committedEdges(spark: org.apache.spark.sql.SparkSession,
                              dir: String,
                              excludeBatch: Option[String]): DataFrame = {
-    val base = spark.read.parquet(s"$dir/edges")
+    val base0 = spark.read.parquet(s"$dir/edges")
+    val base = retractedBase(spark, dir).fold(base0)(r =>
+      base0.join(broadcast(r), Seq("id"), "left_anti")
+        .join(broadcast(r.select(col("id").as("nbr"))), Seq("nbr"),
+          "left_anti")
+        .select(base0.columns.map(col).toIndexedSeq: _*))
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val haveEdges =
@@ -389,8 +440,16 @@ object KnnGraph {
           .filter(col("batch_id") =!= batchId)
           .select(cols.map(col): _*))
       else None
+    // base minus retraction tombstones (a retracted id is free to be
+    // resubmitted — the clash check must see the LIVE store, and the
+    // beam walk must not route through retracted nodes)
+    val base = {
+      val b = spark.read.parquet(s"$dir/vectors")
+      retractedBase(spark, dir).fold(b)(r =>
+        b.join(broadcast(r), Seq("id"), "left_anti"))
+    }
     val old = exceptSelf("vectors_batches", Seq("id", "v"))
-      .foldLeft(spark.read.parquet(s"$dir/vectors"))(_ unionByName _)
+      .foldLeft(base)(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val graphView = committedEdges(spark, dir, excludeBatch = Some(batchId))
     val batch = Ops.widen(newVectors)
@@ -401,12 +460,7 @@ object KnnGraph {
       require(clash == 0,
         s"appendToKnnIndex: $clash batch ids already stored at $dir")
       val nBatch = batch.count()
-      val entries = spark.read.parquet(s"$dir/entries")
-        .filter(col("r") <= numEntries).select("id")
-      val haveEntries = entries.count()
-      require(haveEntries == numEntries.toLong,
-        s"appendToKnnIndex: index at $dir stores $haveEntries entry " +
-          s"points < requested $numEntries (rebuild with larger maxEntries)")
+      val entries = entryRing(spark, dir, numEntries, "appendToKnnIndex")
       val oldSide = beamSearch(graphView, old, batch,
           entries, k, width, rounds)
         .select(col("vec_id").as("id"), col("other_id").as("nbr"),
@@ -453,12 +507,7 @@ object KnnGraph {
       spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/edges")),
       s"beamSearchIndexed: no graph index at $dir (writeKnnIndex first)")
-    val entries = spark.read.parquet(s"$dir/entries")
-      .filter(col("r") <= numEntries).select("id")
-    val have = entries.count()
-    require(have == numEntries.toLong,
-      s"beamSearchIndexed: index at $dir stores $have entry points < " +
-        s"requested $numEntries (rebuild with a larger maxEntries)")
+    val entries = entryRing(spark, dir, numEntries, "beamSearchIndexed")
     // batch-union view: appended nodes serve immediately after
     // appendToKnnIndex (identical to the flat read when no batches exist)
     beamSearch(readKnnEdges(spark, dir), readKnnVectors(spark, dir),

@@ -1693,9 +1693,27 @@ object TextStats {
     val committed = metaAll.select("batch_id").distinct()
     val meta = metaAll
       .agg(sum("n_part").as("n"), sum("dlsum_part").as("dlsum")).head()
-    val n = meta.getLong(0)
+    // retraction tombstones ([[graft.pipeline.Maintain.retract]]): the
+    // per-batch n/dlsum partials live in the meta COMMIT MARKER and are
+    // never rewritten — each historical submission of a retracted id is
+    // compensated here instead (dedup by id: a crash-rerun may append a
+    // duplicate tombstone row). Postings/terms rows are already purged
+    // physically, so df needs no adjustment.
+    val rfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val (rN, rDl) =
+      if (!rfs.exists(new org.apache.hadoop.fs.Path(s"$dir/retracted")))
+        (0L, 0L)
+      else {
+        val r = spark.read.parquet(s"$dir/retracted")
+          .groupBy("id").agg(max("dl").as("dl"))
+          .agg(count(lit(1)).as("rn"),
+            coalesce(sum("dl"), lit(0L)).as("rdl")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    val n = meta.getLong(0) - rN
     require(n > 0, s"bm25AgainstIndex: index at $dir holds no documents")
-    val avgdl = meta.getLong(1).toDouble / n
+    val avgdl = (meta.getLong(1) - rDl).toDouble / n
     val qterms = queries
       .select(col(qidCol).as("qid"), col(qtermCol).as("term")).distinct()
     val qtermSet = qterms.select("term").distinct()

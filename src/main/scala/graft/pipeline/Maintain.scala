@@ -304,10 +304,27 @@ object Maintain {
         writer(postings.groupBy("term")
           .agg(count(lit(1)).as("df_part"))).parquet(s"$vdir/terms")
         // meta IS the commit marker, so every meta row is committed —
-        // sum the partials directly (no semi join needed)
+        // sum the partials directly (no semi join needed). Retraction
+        // tombstones ([[retract]]) BAKE IN here: the compacted n/dlsum
+        // subtract the retracted submissions and the fresh version
+        // carries no `retracted` table — compaction is where the bm25
+        // family's physical erasure completes.
+        val rfs = new org.apache.hadoop.fs.Path(cur.toString)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val (rN, rDl) =
+          if (!rfs.exists(
+              new org.apache.hadoop.fs.Path(s"$cur/retracted"))) (0L, 0L)
+          else {
+            val r = spark.read.parquet(s"$cur/retracted")
+              .groupBy("id").agg(max("dl").as("dl"))
+              .agg(count(lit(1)).as("rn"),
+                coalesce(sum("dl"), lit(0L)).as("rdl")).head()
+            (r.getLong(0), r.getLong(1))
+          }
         writer(spark.read.parquet(s"$cur/meta")
-          .agg(coalesce(sum(col("n_part")), lit(0L)).as("n_part"),
-            coalesce(sum(col("dlsum_part")), lit(0L))
+          .agg((coalesce(sum(col("n_part")), lit(0L)) - lit(rN))
+              .as("n_part"),
+            (coalesce(sum(col("dlsum_part")), lit(0L)) - lit(rDl))
               .as("dlsum_part"))).parquet(s"$vdir/meta")
       }
     } finally postings.unpersist()
@@ -721,6 +738,180 @@ object Maintain {
             }
           }
       }
+    }
+  }
+
+  // ---- retraction over the standalone index families ---------------------
+
+  /** Right-to-be-forgotten over a STANDALONE index directory (a
+    * warehouse db's current version, or any dir holding one family's
+    * root layout) — the [[graft.pipeline.Increment.retract]] twin for
+    * content indexed OUTSIDE an increment state: BM25 postings, kNN
+    * graph vectors/edges/entry ring, IVF / IVF-PQ cell partitions, and
+    * a root-layout semantic index. Detects the family from the layout
+    * (the [[decideAll]] discriminators) and sweeps what is present;
+    * returns the families touched.
+    *
+    * Discipline (shared with the increment sweep): only partitions
+    * actually holding victims rewrite (dynamic overwrite; emptied
+    * partitions are replaced by zero-row schema-ful parquet); commit
+    * markers are untouched so batch visibility never changes; the whole
+    * call is idempotent and crash-rerunnable (rerun with the same ids
+    * to completion).
+    *
+    * Family specifics:
+    *  - **BM25**: victims' postings rows purge physically and the
+    *    affected batches' `terms` partitions RECOMPUTE from the cleaned
+    *    postings (df must shrink or retracted terms keep depressing
+    *    idf). `n`/`dlsum` live in the meta COMMIT MARKER partitions, so
+    *    they are never rewritten — instead a `retracted` tombstone
+    *    table (id, dl, batch_id — appended BEFORE the purge so a rerun
+    *    still knows the victim's length) lets
+    *    [[graft.operators.TextStats.bm25AgainstIndex]] subtract the
+    *    victims from n/avgdl. Ids with no postings rows are vacuous
+    *    (zero content in the index) and are skipped. A retracted id MAY
+    *    be resubmitted later: its new batch counts it again and the one
+    *    tombstone keeps compensating for the one historical submission.
+    *  - **kNN graph**: batch partitions (`vectors_batches`,
+    *    `edges_batches` — either endpoint) purge physically; the FLAT
+    *    base tables (vectors/edges/entries) cannot be partition-pruned,
+    *    so base members land in the `retracted` tombstone list that
+    *    [[graft.operators.KnnGraph]] base reads exclude — appended
+    *    batches are NOT tombstone-filtered, so a retracted id readmits
+    *    fresh via [[graft.operators.KnnGraph.appendToKnnIndex]].
+    *    Physical erasure of base rows completes at the next
+    *    [[knnCompact]]/[[knnRetrain]] publish (which reads through the
+    *    tombstones and starts a clean version).
+    *  - **IVF / IVF-PQ**: victims' rows purge from the affected
+    *    (batch_id, cid) partitions. Centroids/codebook/stats/drift are
+    *    kmeans aggregates over many vectors — statistical models, not
+    *    copies of any document's data — and stay.
+    *  - **semantic (root layout)**: assigned rows purge; centroid rows
+    *    whose `cid` IS a victim doc id store that doc's full vector and
+    *    are dropped (run [[semRetrain]] after to restore routing
+    *    quality — the [[graft.pipeline.Increment.retract]] note).
+    */
+  def retract(spark: SparkSession, dir: String,
+              ids: DataFrame): Seq[String] = {
+    import spark.implicits._
+    val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def has(sub: String) =
+      f.exists(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+    val idsN = ids.select(col(ids.columns.head).cast("long").as("id"))
+      .distinct().localCheckpoint(eager = true)
+    val touched = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    if (has("postings")) {
+      // tombstones FIRST (id, dl, batch_id) — restricted to ids that
+      // actually hold postings rows; a rerun after the purge appends
+      // nothing new and the read side dedups by id anyway
+      val tomb = spark.read.parquet(s"$dir/postings")
+        .join(broadcast(idsN), Seq("id"), "left_semi")
+        .groupBy("id").agg(max("dl").as("dl"),
+          min("batch_id").as("batch_id"))
+        .localCheckpoint(eager = true)
+      if (tomb.head(1).nonEmpty) {
+        tomb.write.mode("append").parquet(s"$dir/retracted")
+        purgeRows(spark, f, s"$dir/postings", idsN, Seq("batch_id"),
+          Seq("id"))
+        // terms: recompute the affected batches' df partials from the
+        // CLEANED postings — driven by tombstone batches so a rerun
+        // that finds no postings rows still completes a torn recompute
+        val batches = spark.read.parquet(s"$dir/retracted")
+          .select("batch_id").distinct().as[String].collect().toSeq
+          .filter(_.nonEmpty)
+        if (batches.nonEmpty && has("terms")) {
+          val fresh = spark.read.parquet(s"$dir/postings")
+            .filter(col("batch_id").isInCollection(batches))
+            .groupBy("batch_id", "term")
+            .agg(count(lit(1)).as("df_part"))
+            .localCheckpoint(eager = true)
+          fresh.write.mode("overwrite").partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(s"$dir/terms")
+          val still = fresh.select("batch_id").distinct()
+            .as[String].collect().toSet
+          for (b <- batches if !still.contains(b))
+            fresh.drop("batch_id").limit(0)
+              .write.mode("overwrite").parquet(s"$dir/terms/batch_id=$b")
+        }
+        touched += "bm25"
+      }
+    }
+
+    if (has("vectors") && has("edges") && has("entries")) {
+      val baseHit = spark.read.parquet(s"$dir/vectors")
+        .join(broadcast(idsN), Seq("id"), "left_semi")
+        .select("id").distinct().localCheckpoint(eager = true)
+      if (baseHit.head(1).nonEmpty)
+        baseHit.write.mode("append").parquet(s"$dir/retracted")
+      purgeRows(spark, f, s"$dir/vectors_batches", idsN, Seq("batch_id"),
+        Seq("id"))
+      purgeRows(spark, f, s"$dir/edges_batches", idsN, Seq("batch_id"),
+        Seq("id", "nbr"))
+      touched += "knn"
+    }
+
+    if (has("centroids") && has("assigned")) {
+      if (has("meta") && !has("codebook")) {
+        // root-layout semantic index: the Increment.retract sem block
+        purgeRows(spark, f, s"$dir/assigned", idsN, Seq("batch_id"),
+          Seq("id"))
+        val cents = spark.read.parquet(s"$dir/centroids")
+        if (cents.join(broadcast(idsN.select(col("id").as("cid"))),
+            Seq("cid"), "left_semi").head(1).nonEmpty) {
+          val kept = cents.join(
+              broadcast(idsN.select(col("id").as("cid"))),
+              Seq("cid"), "left_anti")
+            .localCheckpoint(eager = true)
+          kept.write.mode("overwrite").parquet(s"$dir/centroids")
+        }
+        touched += "sem"
+      } else {
+        purgeRows(spark, f, s"$dir/assigned", idsN,
+          Seq("batch_id", "cid"),
+          Seq(if (has("codebook")) "id" else "other_id"))
+        touched += (if (has("codebook")) "ivfpq" else "ivf")
+      }
+    }
+    touched.toSeq
+  }
+
+  /** Drop victim rows from one partitioned index table IN PLACE —
+    * the [[graft.pipeline.Increment]] retraction discipline generalized
+    * to multi-level partitioning and multiple victim columns: only the
+    * partitions holding a victim (in ANY of `hitCols`) rewrite, and
+    * partitions the purge empties are replaced with zero-row schema-ful
+    * parquet (a bare dir delete would break schema inference).
+    */
+  private def purgeRows(spark: SparkSession,
+                        f: org.apache.hadoop.fs.FileSystem, path: String,
+                        ids: DataFrame, partCols: Seq[String],
+                        hitCols: Seq[String]): Unit = {
+    if (!f.exists(new org.apache.hadoop.fs.Path(path))) return
+    val tbl = spark.read.parquet(path)
+    val idKey = ids.columns.head
+    val hits = hitCols.map(c =>
+        tbl.join(broadcast(ids.select(col(idKey).as(c))), Seq(c),
+          "left_semi"))
+      .reduce(_ unionByName _)
+    val affected = hits.select(partCols.map(col): _*).distinct()
+      .localCheckpoint(eager = true)
+    if (affected.head(1).isEmpty) return
+    val keep0 = tbl.join(broadcast(affected), partCols, "left_semi")
+    val keep = hitCols.foldLeft(keep0)((d, c) =>
+      d.join(broadcast(ids.select(col(idKey).as(c))), Seq(c), "left_anti"))
+      .localCheckpoint(eager = true)
+    keep.write.mode("overwrite").partitionBy(partCols: _*)
+      .option("partitionOverwriteMode", "dynamic").parquet(path)
+    val still = keep.select(partCols.map(col): _*).distinct()
+    val emptied = affected.join(still, partCols, "left_anti").collect()
+    for (r <- emptied) {
+      val sub = partCols.map(pc => s"$pc=${r.get(r.fieldIndex(pc))}")
+        .mkString("/")
+      keep.drop(partCols: _*).limit(0)
+        .write.mode("overwrite").parquet(s"$path/$sub")
     }
   }
 

@@ -1443,6 +1443,31 @@ object Scale {
             .groupBy("reason").agg(count(lit(1)).as("docs")),
           Seq.empty))
       }
+      if (onlyRows.forall(_.exists("idx_retract_1pct".startsWith))) {
+        // round-16: right-to-be-forgotten over a STANDALONE index
+        // (Maintain.retract, bm25 family): index seeded OUTSIDE timing
+        // (Nx corpus as base + one appended batch); the timed row
+        // retracts ~half the appended batch — cost is that batch's
+        // postings-partition rewrite + its terms recompute + the
+        // tombstone append, never a corpus re-read. Rep 2 is the
+        // idempotent rerun (no-op partition detection), the retract_1pct
+        // contract.
+        val bdir = java.nio.file.Files
+          .createTempDirectory(s"graft_idxrtx_$n").toString
+        graft.operators.TextStats.writeBm25Index(d, "doc_id", "text",
+          bdir)
+        val batchB = d.filter(col("doc_id") % 97 === 5)
+          .select((col("doc_id") + 990000000L).as("doc_id"), col("text"))
+        graft.operators.TextStats.appendToBm25Index(spark, bdir, batchB,
+          "doc_id", "text", "b1")
+        val victimsB = batchB.filter(col("doc_id") % 2 === 0)
+          .select("doc_id").localCheckpoint(eager = true)
+        run("idx_retract_1pct", n)(graft.core.Managed({
+          graft.pipeline.Maintain.retract(spark, bdir, victimsB)
+          spark.read.parquet(s"$bdir/retracted")
+            .agg(count(lit(1)).as("tombstones"))
+        }, Seq.empty))
+      }
       if (onlyRows.forall(_.exists("retract_1pct".startsWith))) {
         // right-to-be-forgotten sweep over accumulated text state: state
         // seeded OUTSIDE timing (one bootstrap increment, semantic stage
