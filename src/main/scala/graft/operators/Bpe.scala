@@ -295,6 +295,39 @@ object Bpe {
       merges.zipWithIndex.map { case ((a, b), r) => (a + b) -> (256 + r) })
       .toMap
 
+  /** [[byteVocabIds]] plus RESERVED special tokens (BOS/EOS/PAD/UNK and
+    * friends): specials take the ids AFTER the merge space —
+    * `256 + numMerges + declaration index` — the GPT-2-family
+    * convention (<|endoftext|> = 50256 = 256 + 50000). Specials are
+    * STRUCTURAL: they are injected by the pipeline (document wrapping,
+    * sequence padding), never produced by encoding raw text — a
+    * document containing the literal string `"<|eos|>"` encodes to byte
+    * tokens and round-trips as text (injection safety by construction;
+    * byte-level BPE has no OOV, so UNK exists only to reserve the id
+    * real pretraining configs expect).
+    */
+  def byteVocabIdsWithSpecials(merges: Seq[(String, String)],
+                               specials: Seq[String]): Map[String, Int] = {
+    require(specials.distinct.size == specials.size &&
+        specials.forall(_.nonEmpty),
+      s"specials must be distinct and non-empty: ${specials.mkString(",")}")
+    val base = byteVocabIds(merges)
+    specials.foreach(sp => require(!base.contains(sp),
+      s"special token '$sp' collides with a vocabulary symbol"))
+    base ++ specials.zipWithIndex.map { case (sp, i) =>
+      sp -> (256 + merges.size + i)
+    }
+  }
+
+  /** Just the special-token id assignments of
+    * [[byteVocabIdsWithSpecials]] — what wrap/pad/strip callers need.
+    */
+  def specialIds(merges: Seq[(String, String)],
+                 specials: Seq[String]): Map[String, Int] =
+    specials.zipWithIndex.map { case (sp, i) =>
+      sp -> (256 + merges.size + i)
+    }.toMap
+
   /** Tokenize a whole corpus into integer token-id sequences — the apply
     * side at deployment scale (the single biggest job a training-data
     * pipeline runs: every byte of a 100 TB corpus flows through it).
@@ -381,6 +414,89 @@ object Bpe {
       .select(col(idCol),
         decode(unhex(coalesce(col("__hex"), lit(""))), "UTF-8")
           .as(textName))
+  }
+
+  /** [[decodeCorpus]] for id streams that carry STRUCTURAL specials:
+    * BOS/EOS/PAD/UNK ids strip before byte reassembly (they encode
+    * pipeline structure, not document bytes), so
+    * `decodeCorpusSpecials(wrap(encode(text))) == text` — the lossless
+    * round-trip extended to the special-token space. Text-derived byte
+    * tokens can never collide with a special id (specials live past the
+    * merge space), so stripping is exact.
+    */
+  def decodeCorpusSpecials(df: DataFrame, idCol: String, idsCol: String,
+                           merges: Seq[(String, String)],
+                           specials: Seq[String],
+                           textName: String = "text"): DataFrame = {
+    val cut = 256 + merges.size // first special id
+    decodeCorpus(
+      df.withColumn(idsCol, filter(col(idsCol), t => t < lit(cut))),
+      idCol, idsCol, merges, textName)
+  }
+
+  /** The complete tokenizer config a pretraining run ships: the merge
+    * table plus the reserved special-token space plus the byte-level
+    * flag. Versioned via [[writeTokenizerArtifact]].
+    */
+  case class TokenizerArtifact(merges: Seq[(String, String)],
+                               specials: Seq[String],
+                               byteLevel: Boolean = true) {
+    def vocab: Map[String, Int] = byteVocabIdsWithSpecials(merges, specials)
+    def specialId(tok: String): Int = {
+      val i = specials.indexOf(tok)
+      require(i >= 0, s"tokenizer artifact has no special '$tok' " +
+        s"(declared: ${specials.mkString(", ")})")
+      256 + merges.size + i
+    }
+  }
+
+  /** Publish a tokenizer config as a VERSIONED warehouse artifact
+    * through the commit-marker path ([[graft.pipeline.Restore
+    * .publishVersionedDir]]): `merges` (rank, a, b), `specials`
+    * (idx, token), `meta` (byte_level, n_merges, n_specials) in one
+    * immutable version dir, the marker swap making it current. A
+    * tokenizer change is a RETRAIN-the-world event — versioning it like
+    * every index artifact is what lets a shard builder pin exactly
+    * which vocabulary produced which shards.
+    */
+  def writeTokenizerArtifact(spark: org.apache.spark.sql.SparkSession,
+                             warehouse: String, db: String, token: String,
+                             art: TokenizerArtifact)
+      : org.apache.hadoop.fs.Path = {
+    import spark.implicits._
+    graft.pipeline.Restore.publishVersionedDir(spark, warehouse, db,
+        token) { vdir =>
+      writeMergeTable(spark, art.merges, s"$vdir/merges")
+      art.specials.zipWithIndex.map { case (sp, i) => (i, sp) }
+        .toDF("idx", "token")
+        .repartition(1).write.mode("overwrite").parquet(s"$vdir/specials")
+      Seq((art.byteLevel, art.merges.size, art.specials.size))
+        .toDF("byte_level", "n_merges", "n_specials")
+        .repartition(1).write.mode("overwrite").parquet(s"$vdir/meta")
+    }
+  }
+
+  /** Read back the CURRENT tokenizer artifact version. Loud on a
+    * missing db or a meta/table count mismatch (a torn hand-rolled dir
+    * — the versioned publish can't produce one).
+    */
+  def readTokenizerArtifact(spark: org.apache.spark.sql.SparkSession,
+                            warehouse: String, db: String)
+      : TokenizerArtifact = {
+    import spark.implicits._
+    val cur = graft.pipeline.Restore.resolveVersioned(spark, warehouse, db)
+      .getOrElse(throw new IllegalStateException(
+        s"readTokenizerArtifact: no current version of $db under " +
+          warehouse))
+    val merges = readMergeTable(spark, s"$cur/merges")
+    val specials = spark.read.parquet(s"$cur/specials")
+      .orderBy("idx").select("token").as[String].collect().toSeq
+    val meta = spark.read.parquet(s"$cur/meta").head()
+    val (bl, nm, ns) = (meta.getBoolean(0), meta.getInt(1), meta.getInt(2))
+    require(nm == merges.size && ns == specials.size,
+      s"readTokenizerArtifact: meta declares ($nm merges, $ns specials) " +
+        s"but tables hold (${merges.size}, ${specials.size}) at $cur")
+    TokenizerArtifact(merges, specials, bl)
   }
 
   /** Persist a trained merge table — the artifact a tokenizer SHIPS

@@ -170,6 +170,34 @@ object Curation {
         countDistinct(col("__doc")).as("n_docs"))
   }
 
+  /** [[packTokenIds]] with the full special-token discipline a real
+    * pretraining config expects: each doc optionally opens with `bosId`
+    * (prepended BEFORE packing, so offsets stay exact), closes with
+    * `eosId` (the packTokenIds contract), and the FINAL short sequence
+    * pads to exactly `seqLen` with `padId` — every output row is
+    * fixed-length. `n_tokens` keeps counting REAL tokens (pre-pad):
+    * `seqLen - n_tokens` of the last row is its pad mass, zero
+    * everywhere else. Same scale shape as [[packTokenIds]] plus one
+    * per-row array append.
+    */
+  def packTokenIdsPadded(df: DataFrame, idCol: String, idsCol: String,
+                         seqLen: Int, eosId: Int, padId: Int,
+                         bosId: Option[Int] = None): DataFrame = {
+    require(padId != eosId && !bosId.contains(eosId) &&
+        !bosId.contains(padId),
+      s"packTokenIdsPadded: special ids must be distinct " +
+        s"(eos=$eosId, pad=$padId, bos=$bosId)")
+    val wrapped = bosId match {
+      case None => df.select(col(idCol), col(idsCol))
+      case Some(b) => df.select(col(idCol),
+        concat(array(lit(b)), col(idsCol)).as(idsCol))
+    }
+    packTokenIds(wrapped, idCol, idsCol, seqLen, eosId)
+      .withColumn("ids", concat(col("ids"),
+        array_repeat(lit(padId),
+          (lit(seqLen) - size(col("ids"))).cast("int"))))
+  }
+
   /** Word n-grams over a words-array column: `"a b c"`-style space-joined
     * windows of `n` consecutive words; fewer than `n` words yields an empty
     * array (not `[null]`).

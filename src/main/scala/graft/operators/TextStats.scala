@@ -53,6 +53,165 @@ object TextStats {
         WHEN s_$b >= s_$c THEN '$b' ELSE '$c' END"""
   }
 
+  // ---- external language-ID model artifact --------------------------------
+
+  /** A char-n-gram language-ID model loaded from a file — the
+    * Cavnar–Trenkle n-gram-profile method (the public langid lineage
+    * fastText descends from) with the repo's artifact discipline:
+    * per language, a weighted list of its most characteristic
+    * `order`-char grams; a doc scores `sum(weight)` over every gram
+    * OCCURRENCE in its normalized text and predicts the argmax
+    * (alphabetical tie-break, the [[langPredict]] rule).
+    */
+  case class LangIdModel(order: Int,
+                         profiles: Seq[(String, Seq[(String, Long)])]) {
+    def langs: Seq[String] = profiles.map(_._1)
+    require(order >= 1, s"LangIdModel: order ($order) must be >= 1")
+    require(profiles.nonEmpty && langs.distinct.size == langs.size,
+      "LangIdModel: language names must be non-empty and distinct")
+    profiles.foreach { case (l, grams) =>
+      require(grams.nonEmpty, s"LangIdModel: profile '$l' is empty")
+      grams.foreach { case (g, w) =>
+        require(g.length == order,
+          s"LangIdModel: profile '$l' gram '$g' is not $order chars")
+        require(w > 0, s"LangIdModel: profile '$l' gram '$g' weight $w")
+      }
+    }
+  }
+
+  /** Parse a language-ID profile artifact — the [[parseArpa]] pattern
+    * applied to langid: sections `\langid\` (header, declares
+    * `order N`), `\profile NAME\` per language, one `gram weight` line
+    * per entry (spaces inside a gram are written as `_`, the
+    * Cavnar–Trenkle convention — char grams straddle word boundaries),
+    * `\end\`. STRICT by design: malformed lines, duplicate grams within
+    * a profile, wrong-length grams, or a missing order declaration all
+    * throw — a langid model is a small shipped artifact, not
+    * provider-quirked bulk data, so there is no lenient mode.
+    * Driver-side parse with the localize cap, like every model
+    * artifact.
+    */
+  def parseLangId(text: String, maxBytes: Long = 16L << 20): LangIdModel = {
+    require(text.length <= maxBytes,
+      s"parseLangId: model text ${text.length} B exceeds $maxBytes B")
+    val profiles = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(String, Long)]]
+    var order = 0
+    var current: String = null
+    var inBody = false
+    val profHdr = "\\\\profile ([A-Za-z0-9_-]+)\\\\".r
+    val orderDecl = "order\\s+(\\d+)".r
+    for (raw <- text.linesIterator; line = raw.trim if line.nonEmpty) {
+      line match {
+        case "\\langid\\" => inBody = true
+        case "\\end\\" => inBody = false; current = null
+        case _ if !inBody => () // pre/post-amble tolerated
+        case orderDecl(n) if current == null => order = n.toInt
+        case profHdr(name) =>
+          require(!profiles.contains(name),
+            s"parseLangId: duplicate profile section '$name'")
+          require(order >= 1,
+            "parseLangId: 'order N' must precede the first profile")
+          current = name
+          profiles(name) =
+            scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        case l =>
+          require(current != null,
+            s"parseLangId: gram line '$l' outside a profile section")
+          val cut = l.lastIndexOf(' ')
+          require(cut > 0, s"parseLangId: malformed gram line '$l'")
+          val gram = l.substring(0, cut).replace('_', ' ')
+          val w =
+            try l.substring(cut + 1).toLong
+            catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"requirement failed: parseLangId: non-numeric weight " +
+                    s"in '$l'")
+            }
+          require(!profiles(current).exists(_._1 == gram),
+            s"parseLangId: duplicate gram '$gram' in profile '$current'")
+          profiles(current) += ((gram, w))
+      }
+    }
+    LangIdModel(order, profiles.toSeq.map { case (k, v) => (k, v.toSeq) })
+  }
+
+  /** The char-`order`-gram array of a text column under the langid
+    * normalization (lower, non-alphanumerics to single spaces, trim) —
+    * shared by BOTH serving forms and replayable in SQL, so a model
+    * gram matches exactly the grams this emits.
+    */
+  def langIdGrams(text: Column, order: Int): Column = {
+    val t = trim(regexp_replace(lower(coalesce(text, lit(""))),
+      "[^a-z0-9]+", " "))
+    // sequence(1, 0) is DESCENDING in Spark — guard short texts
+    when(length(t) < order, expr("CAST(array() AS array<string>)"))
+      .otherwise(transform(
+        sequence(lit(1), length(t) - lit(order - 1)),
+        i => t.substr(i, lit(order))))
+  }
+
+  /** The model as a (lang, gram, weight) frame — the JOIN serving form's
+    * build side (broadcast: a langid model is vocabulary-bounded).
+    */
+  def langIdTable(spark: org.apache.spark.sql.SparkSession,
+                  model: LangIdModel): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    model.profiles.flatMap { case (l, grams) =>
+      grams.map { case (g, w) => (l, g, w) }
+    }.toDF("lang", "gram", "weight")
+  }
+
+  /** Per-language scores + prediction via ONE broadcast join — the
+    * corpus-scale serving form: explode grams, join the model table,
+    * partial-agg the weight sums. Output: (idCol, s_<lang>... ,
+    * lang_ext) with every doc present (zero scores for gram-less docs).
+    */
+  def langIdScores(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, model: LangIdModel)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val grams = graft.core.Ops.widen(docs)
+      .select(col(idCol),
+        explode(langIdGrams(col(textCol), model.order)).as("gram"))
+    val scored = grams
+      .join(broadcast(langIdTable(spark, model)), Seq("gram"))
+      .groupBy(col(idCol)).pivot("lang", model.langs.sorted)
+      .agg(coalesce(sum("weight"), lit(0L)))
+    val out = docs.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol) +: model.langs.sorted.map(l =>
+        coalesce(col(l), lit(0L)).as(s"s_$l")): _*)
+    out.withColumn("lang_ext", langIdArgmax(model.langs))
+  }
+
+  /** Per-row serving form: the COLLECTED model as literal maps inside
+    * one expression — the stream-gate shape (no join, usable in a
+    * streaming select), spec-pinned identical to [[langIdScores]].
+    * Bounded by the model size under the localize discipline.
+    */
+  def langIdScoreCols(textCol: Column, model: LangIdModel)
+      : Seq[(String, Column)] = {
+    val grams = langIdGrams(textCol, model.order)
+    model.profiles.map { case (l, entries) =>
+      val m = map(entries.flatMap { case (g, w) =>
+        Seq(lit(g), lit(w)) }: _*)
+      val score = aggregate(grams, lit(0L),
+        (acc, g) => acc + coalesce(element_at(m, g), lit(0L)))
+      (s"s_$l", score)
+    }
+  }
+
+  /** Argmax over `s_<lang>` columns with the alphabetical tie-break —
+    * [[langPredict]] generalized to any language set: sort
+    * (-score, lang) structs ascending and take the head's lang.
+    */
+  def langIdArgmax(langs: Seq[String]): Column =
+    element_at(array_sort(array(langs.sorted.map(l =>
+      struct((-col(s"s_$l")).as("ns"), lit(l).as("l"))): _*)), 1)
+      .getField("l")
+
   val StopWords: Seq[String] = Seq("the", "a")
 
   /** Composite quality score: length saturation + low-punctuation + stopword

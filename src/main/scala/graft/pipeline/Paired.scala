@@ -52,6 +52,94 @@ object Paired {
           .when(!col("__ia"), col("__id"))
           .otherwise(col("doc_id")).cast("long").as("dup_of"))
 
+  /** N-MODALITY pair verdicts — [[pairedVerdicts]] generalized to any
+    * set of media funnels (VERDICT r15 #5): `mediaLedgers` is the
+    * (modality name → ledger) sequence IN PRECEDENCE ORDER, `pairs` is
+    * (doc_id, modality, media_id). Semantics are the two-modality
+    * contract unchanged: a pair admits iff the doc's text verdict AND
+    * its media item's own-modality verdict both admitted; TEXT decides
+    * when both reject; an id absent from its ledger is `<mod>:missing`
+    * (loud, never silently dropped), and a pair naming a modality with
+    * NO registered ledger is `<mod>:unknown_modality` — a pipeline
+    * wiring error surfaced as data, not a dropped row.
+    *
+    * Output: (doc_id, modality, media_id, admitted, reason, dup_of).
+    */
+  def pairedVerdictsN(textLedger: DataFrame,
+                      mediaLedgers: Seq[(String, DataFrame)],
+                      pairs: DataFrame): DataFrame = {
+    val names = mediaLedgers.map(_._1)
+    require(names.nonEmpty && names.distinct.size == names.size &&
+        !names.contains("text"),
+      s"pairedVerdictsN: modality names must be distinct, non-empty and " +
+        s"not 'text' (got ${names.mkString(", ")})")
+    val p = pairs.select(col("doc_id").cast("long").as("doc_id"),
+      col("modality").cast("string").as("modality"),
+      col("media_id").cast("long").as("media_id"))
+    val t = side(textLedger, "doc_id", "t")
+    val perModality = mediaLedgers.map { case (m, led) =>
+      p.filter(col("modality") === m)
+        .join(t, Seq("doc_id"), "left_outer")
+        .join(side(led, "media_id", "i"), Seq("media_id"), "left_outer")
+        .select(col("doc_id"), col("modality"), col("media_id"),
+          (coalesce(col("__ta"), lit(false)) &&
+            coalesce(col("__ia"), lit(false))).as("admitted"),
+          when(col("__ta").isNull, lit("text:missing"))
+            .when(!col("__ta"), concat(lit("text:"), col("__tr")))
+            .when(col("__ia").isNull, lit(s"$m:missing"))
+            .when(!col("__ia"), concat(lit(s"$m:"), col("__ir")))
+            .otherwise(lit("admitted")).as("reason"),
+          when(col("__ta").isNull, col("doc_id"))
+            .when(!col("__ta"), col("__td"))
+            .when(col("__ia").isNull, col("doc_id"))
+            .when(!col("__ia"), col("__id"))
+            .otherwise(col("doc_id")).cast("long").as("dup_of"))
+    }
+    val unknown = p
+      .filter(!col("modality").isInCollection(names))
+      .select(col("doc_id"), col("modality"), col("media_id"),
+        lit(false).as("admitted"),
+        concat(col("modality"), lit(":unknown_modality")).as("reason"),
+        col("doc_id").as("dup_of"))
+    (perModality :+ unknown).reduce(_ unionByName _)
+  }
+
+  /** N-modality DOC verdicts: admitted iff text admitted AND every
+    * attached media item of every modality admitted. The deciding pair
+    * among rejections follows the DECLARED modality precedence (the
+    * `mediaLedgers` order), then smallest media_id — pinned, so a doc
+    * rejected by both an image and an audio clip reports the image when
+    * image is declared first. Unknown-modality pairs reject their doc
+    * (wiring errors must not admit content unexamined).
+    */
+  def pairedDocVerdictsN(textLedger: DataFrame,
+                         mediaLedgers: Seq[(String, DataFrame)],
+                         pairs: DataFrame): DataFrame = {
+    val names = mediaLedgers.map(_._1)
+    val pv = pairedVerdictsN(textLedger, mediaLedgers, pairs)
+    val prec = names.zipWithIndex
+      .foldLeft(when(lit(false), lit(0)))((w, ni) =>
+        w.when(col("modality") === ni._1, lit(ni._2)))
+      .otherwise(lit(names.size))
+    val deciding = pv.filter(!col("admitted"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(prec.asc, col("media_id").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("reason").as("__pr"),
+        col("dup_of").as("__pd"))
+    side(textLedger, "doc_id", "t")
+      .join(deciding, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        (col("__ta") && col("__pr").isNull).as("admitted"),
+        when(!col("__ta"), concat(lit("text:"), col("__tr")))
+          .when(col("__pr").isNotNull, col("__pr"))
+          .otherwise(lit("admitted")).as("reason"),
+        when(!col("__ta"), col("__td"))
+          .when(col("__pr").isNotNull, col("__pd"))
+          .otherwise(col("doc_id")).cast("long").as("dup_of"))
+  }
+
   /** One verdict row per DOC: admitted iff its text admitted AND every
     * referenced image admitted (a doc with no image refs is its text
     * verdict alone). `reason`/`dup_of` come from the text verdict when

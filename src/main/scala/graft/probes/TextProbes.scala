@@ -615,6 +615,66 @@ object TextProbes {
        |WHERE NOT regexp_matches(text, '\\s\\s|^\\s|\\s$$')
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q168 special-token round trip through padded training shards ------
+  // The q164 identity extended to the FULL special-token discipline
+  // (BOS/EOS/PAD reserved after the merge space, byteVocabIdsWithSpecials):
+  // encode → wrap each doc [bos]+ids+[eos] → packTokenIdsPadded into
+  // fixed 512-id sequences (pad-filled tail) → then the REVERSE chain
+  // reconstructs every doc from the packed stream alone: explode with
+  // global position, strip pads, attribute each token to its doc by the
+  // running EOS count (per-seq exclusive prefix sum — the q163
+  // machinery driven backwards, no single-partition window), strip
+  // bos/eos, decode, hash. The oracle hashes the untouched input — any
+  // pad misplacement, boundary drift, or special/byte id collision
+  // breaks the hash.
+  val q168: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val merges = graft.operators.Bpe.DemoByteMerges
+    val specials = Seq("<|bos|>", "<|eos|>", "<|pad|>", "<|unk|>")
+    val sid = graft.operators.Bpe.specialIds(merges, specials)
+    val (bos, eos, pad) =
+      (sid("<|bos|>"), sid("<|eos|>"), sid("<|pad|>"))
+    val in = q162Input(s, d)
+    val enc = graft.operators.Bpe.encodeCorpusGpt2(in, "doc_id", "t",
+      merges)
+    val packed = graft.operators.Curation.packTokenIdsPadded(enc,
+      "doc_id", "ids", seqLen = 512, eosId = eos, padId = pad,
+      bosId = Some(bos))
+    // reverse: doc index of a token = number of EOS strictly before it
+    val seqEos = packed.select(col("seq_id"), col("ids"))
+      .withColumn("__ne",
+        size(filter(col("ids"), t => t === eos)).cast("long"))
+    val offs = graft.core.Ops.globalExclusivePrefixSum(seqEos,
+      Seq(col("seq_id")), "__ne", "__eoff")
+    val toks = offs
+      .select(col("seq_id"), col("__eoff"),
+        posexplode(col("ids")).as(Seq("__p", "__tok")))
+      .withColumn("__ebefore", col("__eoff") + coalesce(
+        sum(when(col("__tok") === eos, 1L).otherwise(0L)).over(
+          Window.partitionBy("seq_id").orderBy("__p")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__tok") =!= pad && col("__tok") =!= eos &&
+        col("__tok") =!= bos)
+      .withColumn("__gpos", col("seq_id") * 512 + col("__p"))
+      .groupBy(col("__ebefore").as("__docidx"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__gpos"), col("__tok")))),
+        x => x.getField("__tok").cast("int")).as("ids"))
+    val docRanks = graft.core.Ops.globalRank(
+      enc.select(col("doc_id")), Seq(col("doc_id")), "__drank")
+      .select(col("doc_id"), (col("__drank") - 1).as("__docidx"))
+    val rebuilt = docRanks.join(toks, Seq("__docidx"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("ids"),
+          expr("CAST(array() AS array<int>)")).as("ids"))
+    graft.operators.Bpe.decodeCorpusSpecials(rebuilt, "doc_id", "ids",
+        merges, specials, "t2")
+      .select(col("doc_id"), md5(col("t2")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q168Sql: String = q164Sql
+
   // ---- q156 Gopher repetition-rule bundle ---------------------------------
   // TextStats.repetitionSignals over repetition-enriched documents text:
   // every doc gains a duplicated line, every 3rd a duplicated paragraph,
@@ -2190,7 +2250,96 @@ object TextProbes {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q167 external language-ID model artifact ---------------------------
+  // parseLangId + langIdScores (the JOIN serving form): a shipped
+  // char-3-gram profile artifact — grams drawn from the synthetic
+  // languages' marker vocabulary, '_'-encoded space gram included —
+  // scores every doc by occurrence-weighted gram hits and predicts the
+  // argmax (alphabetical tie-break). The oracle replays the identical
+  // normalization (lower, non-alphanumerics→space, trim), 1-based char
+  // trigram extraction, weight join, and CASE argmax. The per-row
+  // collected form is spec-pinned equal (LangIdModelSpec), so this
+  // probe covers both serving shapes.
+  private val q167Model: String =
+    """\langid\
+      |order 3
+      |\profile alpha\
+      |tab 40
+      |abl 25
+      |row 30
+      |sca 20
+      |can 15
+      |key 35
+      |e_r 5
+      |\profile beta\
+      |joi 50
+      |oin 30
+      |mer 25
+      |rge 20
+      |win 30
+      |dow 15
+      |bat 25
+      |tch 20
+      |\profile gamma\
+      |str 35
+      |eam 30
+      |fil 25
+      |lte 20
+      |sor 30
+      |ort 15
+      |que 40
+      |uer 25
+      |\end\
+      |""".stripMargin
+
+  val q167: Q = (s, d) => {
+    val m = TextStats.parseLangId(q167Model)
+    TextStats.langIdScores(Tables.documents(s, d)
+        .select("doc_id", "text"), "doc_id", "text", m)
+      .orderBy("doc_id")
+  }
+
+  val q167Sql: String = {
+    val m = graft.operators.TextStats.parseLangId(q167Model)
+    val values = m.profiles.flatMap { case (l, grams) =>
+      grams.map { case (g, w) => s"('$l', '$g', $w)" }
+    }.mkString(",\n    ")
+    s"""WITH model(lang, gram, weight) AS (VALUES
+       |    $values),
+       |nrm AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, substr(t, i, 3) AS gram
+       |  FROM nrm, unnest(generate_series(1, greatest(0, len(t) - 2))) u(i)
+       |  WHERE len(t) >= 3),
+       |sc AS (
+       |  SELECT g.doc_id,
+       |    CAST(coalesce(sum(CASE WHEN m.lang = 'alpha' THEN m.weight END),
+       |      0) AS BIGINT) AS s_alpha,
+       |    CAST(coalesce(sum(CASE WHEN m.lang = 'beta' THEN m.weight END),
+       |      0) AS BIGINT) AS s_beta,
+       |    CAST(coalesce(sum(CASE WHEN m.lang = 'gamma' THEN m.weight END),
+       |      0) AS BIGINT) AS s_gamma
+       |  FROM grams g JOIN model m ON m.gram = g.gram
+       |  GROUP BY g.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(sc.s_alpha, 0) AS s_alpha,
+       |  coalesce(sc.s_beta, 0) AS s_beta,
+       |  coalesce(sc.s_gamma, 0) AS s_gamma,
+       |  CASE WHEN coalesce(sc.s_alpha, 0) >= coalesce(sc.s_beta, 0)
+       |         AND coalesce(sc.s_alpha, 0) >= coalesce(sc.s_gamma, 0)
+       |       THEN 'alpha'
+       |       WHEN coalesce(sc.s_beta, 0) >= coalesce(sc.s_gamma, 0)
+       |       THEN 'beta' ELSE 'gamma' END AS lang_ext
+       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private[probes] val queries: Map[String, Q] = Map(
+    "q167_langid_artifact" -> q167,
+    "q168_special_roundtrip" -> q168,
     "q32_lang_id" -> q32,
     "q33_quality_score" -> q33,
     "q34_token_count" -> q34,
@@ -2236,6 +2385,8 @@ object TextProbes {
     "q142_unigram_sample" -> q142)
 
   private[probes] val oracleSql: Map[String, String] = Map(
+    "q167_langid_artifact" -> q167Sql,
+    "q168_special_roundtrip" -> q168Sql,
     "q32_lang_id" -> q32Sql,
     "q33_quality_score" -> q33Sql,
     "q34_token_count" -> q34Sql,

@@ -126,4 +126,97 @@ class PairedSpec extends SparkSpec {
     assert(got((2L, 13L)) == ((false, "text:exact_dup", 1L)))
     assert(got((3L, 12L)) == ((false, "image:near_dup", 11L)))
   }
+
+  test("N-modality verdicts: three REAL funnel ledgers (text, image, " +
+      "audio) compose with pinned modality precedence; unknown " +
+      "modalities and missing ids are loud; 2-form parity holds") {
+    import graft.pipeline.Increment
+    // text: 1 admitted, 2 exact-dup of 1, 5 quality reject
+    val tRes = Curate.run(
+      Seq(1L -> goodText("one"), 2L -> goodText("one"),
+        5L -> "short junk!!!").toDF("doc_id", "text"),
+      "doc_id", "text",
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text",
+      CurateConfig(emitLedger = true))
+    tRes.chunks.unpersist()
+    val tLed = tRes.ledger.get
+    // image: 11 admitted, 12 exact-dup of 11
+    val shared = png(4, 0)
+    val iRes = CurateImages.run(Seq(
+      MediaRecord(11L, shared, "image/png"),
+      MediaRecord(12L, shared, "image/png")).toDS(),
+      ImageCurateConfig(emitLedger = true))
+    iRes.kept.unpersist()
+    val iLed = iRes.ledger.get
+    // audio (increment funnel): 31 admitted, 32 byte-identical exact dup
+    def wav(pat: Long): Array[Byte] = {
+      def v(w: Int): Short = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$pat:$w".getBytes("UTF-8")).take(4)
+          .map("%02x".format(_)).mkString
+        ((java.lang.Long.parseLong(hex, 16) % 997L) + 1L).toShort
+      }
+      Multimodal.encodePcm16Wav(8000, 1,
+        Array.tabulate[Short](24 * 50)(i => v(i / 50)))
+    }
+    val aDir = java.nio.file.Files
+      .createTempDirectory("graft_paired_a").toString
+    val aLed = Increment.curateAudioIncrement(Seq(
+        MediaRecord(31L, wav(31L), "audio/wav"),
+        MediaRecord(32L, wav(31L), "audio/wav")).toDS(), aDir, "b1",
+        Increment.AudioIncrementConfig(windowFrames = 50, k = 8,
+          stride = 1))
+      .ledger
+    val mods = Seq("image" -> iLed, "audio" -> aLed)
+    val pairs = Seq(
+      (1L, "image", 11L),  // both admitted
+      (1L, "audio", 31L),  // both admitted
+      (1L, "image", 12L),  // image decides
+      (1L, "audio", 32L),  // audio decides
+      (2L, "audio", 32L),  // both reject → TEXT decides
+      (1L, "audio", 99L),  // audio:missing
+      (1L, "video", 31L),  // no video ledger → unknown_modality
+      (9L, "image", 11L)   // text:missing
+    ).toDF("doc_id", "modality", "media_id")
+    val got = Paired.pairedVerdictsN(tLed, mods, pairs)
+      .select("doc_id", "modality", "media_id", "admitted", "reason",
+        "dup_of")
+      .as[(Long, String, Long, Boolean, String, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> ((r._4, r._5, r._6))).toMap
+    assert(got((1L, "image", 11L)) == ((true, "admitted", 1L)))
+    assert(got((1L, "audio", 31L)) == ((true, "admitted", 1L)))
+    assert(got((1L, "image", 12L)) == ((false, "image:exact_dup", 11L)))
+    assert(got((1L, "audio", 32L)) == ((false, "audio:exact_dup", 31L)))
+    assert(got((2L, "audio", 32L)) == ((false, "text:exact_dup", 1L)))
+    assert(got((1L, "audio", 99L)) == ((false, "audio:missing", 1L)))
+    assert(got((1L, "video", 31L)) ==
+      ((false, "video:unknown_modality", 1L)))
+    assert(got((9L, "image", 11L)) == ((false, "text:missing", 9L)))
+    assert(got.size == pairs.count())
+    // doc-level precedence: doc 1 has rejecting pairs in BOTH media
+    // modalities — the DECLARED order decides (image first here)
+    val doc = Paired.pairedDocVerdictsN(tLed, mods,
+        pairs.filter(col("doc_id") =!= 9L))
+      .select("doc_id", "admitted", "reason", "dup_of")
+      .as[(Long, Boolean, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(doc(1L) == ((false, "image:exact_dup", 11L)), s"$doc")
+    assert(doc(2L) == ((false, "text:exact_dup", 1L)))
+    // declared audio-first, the same doc reports the audio rejection
+    val doc2 = Paired.pairedDocVerdictsN(tLed, mods.reverse,
+        pairs.filter(col("doc_id") === 1L))
+      .select("doc_id", "reason").as[(Long, String)].collect().toMap
+    assert(doc2(1L) == "audio:exact_dup", s"$doc2")
+    // 2-form parity on an image-only pairing
+    val imgPairs = pairs.filter(col("modality") === "image")
+    val nForm = Paired.pairedVerdictsN(tLed, Seq("image" -> iLed),
+        imgPairs)
+      .select("doc_id", "media_id", "admitted", "reason", "dup_of")
+      .as[(Long, Long, Boolean, String, Long)].collect().toSet
+    val twoForm = Paired.pairedVerdicts(tLed, iLed,
+        imgPairs.select("doc_id", "media_id"))
+      .select("doc_id", "media_id", "admitted", "reason", "dup_of")
+      .as[(Long, Long, Boolean, String, Long)].collect().toSet
+    assert(nForm == twoForm, "N-form must agree with the 2-form")
+  }
 }

@@ -124,4 +124,81 @@ class TokenizeSpec extends SparkSpec {
     assert(got.filter(_._1 == 5L).map(_._2).toSet == Set(1L, 3L, 5L))
     assert(got.filter(_._1 == 9L).map(_._2).toSeq == Seq(7L))
   }
+
+  test("special-token space: ids reserve after the merge space, " +
+      "collisions are loud, injection-safe round trip with specials " +
+      "stripped, padded packing emits fixed-length rows") {
+    val specials = Seq("<|bos|>", "<|eos|>", "<|pad|>", "<|unk|>")
+    val v = Bpe.byteVocabIdsWithSpecials(merges, specials)
+    val base = Bpe.byteVocabIds(merges)
+    assert(base.forall { case (k, id) => v(k) == id },
+      "adding specials must not move any existing id (q162 hash contract)")
+    assert(v("<|bos|>") == 256 + merges.size &&
+      v("<|unk|>") == 256 + merges.size + 3)
+    assert(Bpe.specialIds(merges, specials) ==
+      specials.zipWithIndex.map { case (s2, i) =>
+        s2 -> (256 + merges.size + i) }.toMap)
+    intercept[IllegalArgumentException] { // collision with a base symbol
+      Bpe.byteVocabIdsWithSpecials(merges, Seq("00"))
+    }
+    intercept[IllegalArgumentException] { // duplicate specials
+      Bpe.byteVocabIdsWithSpecials(merges, Seq("<|a|>", "<|a|>"))
+    }
+    // INJECTION SAFETY + round trip: a doc containing the literal
+    // special string encodes as bytes and survives; structural specials
+    // wrapped around the ids strip on decode
+    val sid = Bpe.specialIds(merges, specials)
+    val docs = Seq((1L, "plain text"), (2L, "evil <|eos|> inline"),
+      (3L, "")).toDF("doc_id", "t")
+    val enc = Bpe.encodeCorpusGpt2(docs, "doc_id", "t", merges)
+      .withColumn("ids", concat(array(lit(sid("<|bos|>"))), col("ids"),
+        array(lit(sid("<|eos|>")), lit(sid("<|pad|>")))))
+    val back = Bpe.decodeCorpusSpecials(enc, "doc_id", "ids", merges,
+        specials, "t2")
+      .select("doc_id", "t2").as[(Long, String)].collect().toMap
+    assert(back == Map(1L -> "plain text", 2L -> "evil <|eos|> inline",
+      3L -> ""), s"$back")
+    // padded packing: every row exactly seqLen; pad mass only on the
+    // final row; n_tokens stays the real count
+    val enc2 = Bpe.encodeCorpusGpt2(
+      (1L to 7L).map(i => (i, s"doc number $i right here"))
+        .toDF("doc_id", "t"), "doc_id", "t", merges)
+    val packed = Curation.packTokenIdsPadded(enc2, "doc_id", "ids",
+        seqLen = 16, eosId = sid("<|eos|>"), padId = sid("<|pad|>"),
+        bosId = Some(sid("<|bos|>")))
+      .select(col("seq_id"), size(col("ids")).as("len"), col("n_tokens"),
+        size(filter(col("ids"), t => t === sid("<|pad|>"))).as("npad"))
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._1)
+    assert(packed.forall(_._2 == 16), s"${packed.toSeq}")
+    assert(packed.init.forall(_._4 == 0) &&
+      packed.last._4 == 16 - packed.last._3, s"${packed.toSeq}")
+    // bos/eos placement: one bos and one eos per doc in the stream
+    val stream = Curation.packTokenIdsPadded(enc2, "doc_id", "ids", 16,
+        sid("<|eos|>"), sid("<|pad|>"), Some(sid("<|bos|>")))
+      .orderBy("seq_id").select("ids").as[Seq[Int]].collect()
+      .flatten.toSeq
+    assert(stream.count(_ == sid("<|bos|>")) == 7 &&
+      stream.count(_ == sid("<|eos|>")) == 7)
+  }
+
+  test("tokenizer artifact: versioned publish + read round trip, " +
+      "version bump flips the current pointer, torn meta is loud") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_tokart").toString
+    val art = Bpe.TokenizerArtifact(merges,
+      Seq("<|bos|>", "<|eos|>", "<|pad|>", "<|unk|>"))
+    Bpe.writeTokenizerArtifact(spark, wh, "tok", "0", art)
+    val got = Bpe.readTokenizerArtifact(spark, wh, "tok")
+    assert(got == art, s"$got")
+    assert(got.specialId("<|pad|>") == 256 + merges.size + 2)
+    intercept[IllegalArgumentException] {
+      got.specialId("<|nope|>")
+    }
+    assert(got.vocab == Bpe.byteVocabIdsWithSpecials(merges, got.specials))
+    // version bump: a retrained table with a different special set
+    val art2 = Bpe.TokenizerArtifact(merges.take(3), Seq("<|eos|>"),
+      byteLevel = false)
+    Bpe.writeTokenizerArtifact(spark, wh, "tok", "1", art2)
+    assert(Bpe.readTokenizerArtifact(spark, wh, "tok") == art2)
+  }
 }
