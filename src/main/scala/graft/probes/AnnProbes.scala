@@ -1171,14 +1171,18 @@ object AnnProbes {
 
   val q165: Q = (s, d) => {
     import graft.pipeline.Increment
-    val dir = scratchDir("graft_q165_state")
-    Increment.curateEmbeddingIncrement(q165Vecs(s, d, "b1"), dir, "b1")
-    Increment.curateEmbeddingIncrement(q165Vecs(s, d, "b2"), dir, "b2")
-    Increment.curateEmbeddingIncrement(q165Vecs(s, d, "b2"), dir, "b2")
-    Increment.readLedger(s, dir)
-      .select(col("batch_id"), col("id"), col("admitted"), col("reason"),
-        col("dup_of"))
-      .orderBy("batch_id", "id")
+    val fp = dataFingerprint(Tables.embeddings(s, d)
+      .filter(col("vec_id") < 200).select(col("vec_id"), col("embedding")))
+    memoizedReplay(s, "q165", d, fp) {
+      val dir = scratchDir("graft_q165_state")
+      Increment.curateEmbeddingIncrement(q165Vecs(s, d, "b1"), dir, "b1")
+      Increment.curateEmbeddingIncrement(q165Vecs(s, d, "b2"), dir, "b2")
+      Increment.curateEmbeddingIncrement(q165Vecs(s, d, "b2"), dir, "b2")
+      Increment.readLedger(s, dir)
+        .select(col("batch_id"), col("id"), col("admitted"),
+          col("reason"), col("dup_of"))
+        .orderBy("batch_id", "id")
+    }
   }
 
   val q165Sql: String = {

@@ -791,6 +791,7 @@ object DedupProbes {
     import graft.pipeline.{Increment, IncrementConfig}
     val a = Tables.documents(s, d).filter(col("doc_id") < 40)
       .select(col("doc_id").as("id"), col("text"))
+    memoizedReplay(s, "q157", d, dataFingerprint(a)) {
     def cases(m: Int, off: Long, tx: org.apache.spark.sql.Column) =
       a.filter(col("id") % 9 === m)
         .select((col("id") + off).as("doc_id"), tx.as("text"))
@@ -819,6 +820,7 @@ object DedupProbes {
       .select(col("batch_id"), col("id"), col("admitted"), col("reason"),
         col("dup_of"))
       .orderBy("batch_id", "id")
+    }
   }
 
   val q157Sql: String = {
@@ -968,6 +970,7 @@ object DedupProbes {
     import graft.pipeline.{Increment, IncrementConfig}
     val a = Tables.documents(s, d).filter(col("doc_id") < 30)
       .select(col("doc_id").as("id"), col("text"))
+    memoizedReplay(s, "q166", d, dataFingerprint(a)) {
     val sl12 = array_join(
       slice(Dedup.normalizeWords(col("text")), 1, 12), " ")
     val qpass = (1 to 12).map(i => s"qq$i").mkString(" ")
@@ -1007,6 +1010,7 @@ object DedupProbes {
       .select(col("batch_id"), col("id"), col("admitted"), col("reason"),
         col("dup_of"), coalesce(col("text"), lit("")).as("text"))
       .orderBy("batch_id", "id")
+    }
   }
 
   val q166Sql: String = {
