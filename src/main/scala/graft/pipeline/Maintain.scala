@@ -815,13 +815,20 @@ object Maintain {
         tomb.write.mode("append").parquet(s"$dir/retracted")
         purgeRows(spark, f, s"$dir/postings", idsN, Seq("batch_id"),
           Seq("id"))
-        // terms: recompute the affected batches' df partials from the
-        // CLEANED postings — driven by tombstone batches so a rerun
-        // that finds no postings rows still completes a torn recompute
+        touched += "bm25"
+      }
+      // terms: recompute the affected batches' df partials from the
+      // CLEANED postings — driven by TOMBSTONE batches, OUTSIDE the
+      // fresh-victims guard, so a rerun after a crash that landed
+      // between the postings purge and this recompute (when the victims
+      // are already gone from postings) still completes the torn
+      // recompute. Idempotent: recomputing an already-clean batch
+      // rewrites identical rows.
+      if (has("retracted") && has("terms")) {
         val batches = spark.read.parquet(s"$dir/retracted")
           .select("batch_id").distinct().as[String].collect().toSeq
           .filter(_.nonEmpty)
-        if (batches.nonEmpty && has("terms")) {
+        if (batches.nonEmpty) {
           val fresh = spark.read.parquet(s"$dir/postings")
             .filter(col("batch_id").isInCollection(batches))
             .groupBy("batch_id", "term")
@@ -836,7 +843,6 @@ object Maintain {
             fresh.drop("batch_id").limit(0)
               .write.mode("overwrite").parquet(s"$dir/terms/batch_id=$b")
         }
-        touched += "bm25"
       }
     }
 

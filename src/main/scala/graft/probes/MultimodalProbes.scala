@@ -1322,7 +1322,156 @@ object MultimodalProbes {
        |FROM out ORDER BY batch_id, id""".stripMargin
   }
 
+  // ---- q169/q170 N-modality paired verdicts --------------------------------
+  // Paired.pairedVerdictsN / pairedDocVerdictsN over SQL-expressible
+  // synthetic ledgers (the funnel ledgers themselves are pinned by
+  // q157/q160/q161/q165; these probes pin the COMPOSITION): three
+  // modality ledgers derived deterministically from documents, pairs
+  // covering both-admit / media-decides / text-decides / missing-media /
+  // missing-doc(none here: all doc_ids < 60 are in the text ledger) /
+  // unknown-modality cases. The oracle replays the exact join semantics
+  // and, for q170, the deciding-pair precedence: (declared modality
+  // order, then media_id) among rejecting pairs, text rejection first.
+  private def q169Fixtures(s: SparkSession, d: String)
+      : (DataFrame, Seq[(String, DataFrame)], DataFrame) = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+      .select(col("doc_id"))
+    val tLed = docs.select(col("doc_id").as("id"),
+      (col("doc_id") % 3 =!= 0).as("admitted"),
+      when(col("doc_id") % 3 === 0, lit("exact_dup"))
+        .otherwise(lit("admitted")).as("reason"),
+      when(col("doc_id") % 3 === 0, greatest(col("doc_id") - 3, lit(0L)))
+        .otherwise(col("doc_id")).cast("long").as("dup_of"))
+    val iLed = docs.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 1000L).as("id"),
+        (col("doc_id") % 5 =!= 0).as("admitted"),
+        when(col("doc_id") % 5 === 0, lit("near_dup"))
+          .otherwise(lit("admitted")).as("reason"),
+        when(col("doc_id") % 5 === 0, col("doc_id") + 990L)
+          .otherwise(col("doc_id") + 1000L).cast("long").as("dup_of"))
+    val aLed = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 2000L).as("id"),
+        (col("doc_id") % 7 =!= 0).as("admitted"),
+        when(col("doc_id") % 7 === 0, lit("exact_dup"))
+          .otherwise(lit("admitted")).as("reason"),
+        when(col("doc_id") % 7 === 0, col("doc_id") + 1979L)
+          .otherwise(col("doc_id") + 2000L).cast("long").as("dup_of"))
+    val pairs = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), lit("image").as("modality"),
+        (col("doc_id") + 1000L).as("media_id"))
+      .unionByName(docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), lit("audio").as("modality"),
+          (col("doc_id") + 2000L).as("media_id")))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), lit("image").as("modality"),
+          (col("doc_id") + 1001L).as("media_id")))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), lit("video").as("modality"),
+          (col("doc_id") + 3000L).as("media_id")))
+    (tLed, Seq("image" -> iLed, "audio" -> aLed), pairs)
+  }
+
+  val q169: Q = (s, d) => {
+    val (tLed, mods, pairs) = q169Fixtures(s, d)
+    graft.pipeline.Paired.pairedVerdictsN(tLed, mods, pairs)
+      .select(col("doc_id"), col("modality"),
+        col("media_id").cast("long").as("media_id"), col("admitted"),
+        col("reason"), col("dup_of"))
+      .orderBy("doc_id", "modality", "media_id")
+  }
+
+  private val q169Ctes: String =
+    s"""d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+       |tl AS (SELECT doc_id AS id, doc_id % 3 <> 0 AS adm,
+       |  CASE WHEN doc_id % 3 = 0 THEN 'exact_dup' ELSE 'admitted' END
+       |    AS reason,
+       |  CAST(CASE WHEN doc_id % 3 = 0 THEN greatest(doc_id - 3, 0)
+       |    ELSE doc_id END AS BIGINT) AS dup_of FROM d),
+       |il AS (SELECT doc_id + 1000 AS id, doc_id % 5 <> 0 AS adm,
+       |  CASE WHEN doc_id % 5 = 0 THEN 'near_dup' ELSE 'admitted' END
+       |    AS reason,
+       |  CAST(CASE WHEN doc_id % 5 = 0 THEN doc_id + 990
+       |    ELSE doc_id + 1000 END AS BIGINT) AS dup_of
+       |  FROM d WHERE doc_id % 2 = 0),
+       |al AS (SELECT doc_id + 2000 AS id, doc_id % 7 <> 0 AS adm,
+       |  CASE WHEN doc_id % 7 = 0 THEN 'exact_dup' ELSE 'admitted' END
+       |    AS reason,
+       |  CAST(CASE WHEN doc_id % 7 = 0 THEN doc_id + 1979
+       |    ELSE doc_id + 2000 END AS BIGINT) AS dup_of
+       |  FROM d WHERE doc_id % 3 = 0),
+       |pairs AS (
+       |  SELECT doc_id, 'image' AS modality, doc_id + 1000 AS media_id
+       |  FROM d WHERE doc_id % 2 = 0
+       |  UNION ALL SELECT doc_id, 'audio', doc_id + 2000
+       |  FROM d WHERE doc_id % 3 = 0
+       |  UNION ALL SELECT doc_id, 'image', doc_id + 1001
+       |  FROM d WHERE doc_id % 13 = 0
+       |  UNION ALL SELECT doc_id, 'video', doc_id + 3000
+       |  FROM d WHERE doc_id % 11 = 0),
+       |ml AS (SELECT 'image' AS modality, * FROM il
+       |  UNION ALL SELECT 'audio', * FROM al),
+       |pv AS (
+       |  SELECT p.doc_id, p.modality, CAST(p.media_id AS BIGINT)
+       |      AS media_id,
+       |    CASE WHEN p.modality NOT IN ('image', 'audio') THEN FALSE
+       |      ELSE coalesce(t.adm, FALSE) AND coalesce(m.adm, FALSE) END
+       |      AS admitted,
+       |    CASE
+       |      WHEN p.modality NOT IN ('image', 'audio')
+       |        THEN p.modality || ':unknown_modality'
+       |      WHEN t.adm IS NULL THEN 'text:missing'
+       |      WHEN NOT t.adm THEN 'text:' || t.reason
+       |      WHEN m.adm IS NULL THEN p.modality || ':missing'
+       |      WHEN NOT m.adm THEN p.modality || ':' || m.reason
+       |      ELSE 'admitted' END AS reason,
+       |    CAST(CASE
+       |      WHEN p.modality NOT IN ('image', 'audio') THEN p.doc_id
+       |      WHEN t.adm IS NULL THEN p.doc_id
+       |      WHEN NOT t.adm THEN t.dup_of
+       |      WHEN m.adm IS NULL THEN p.doc_id
+       |      WHEN NOT m.adm THEN m.dup_of
+       |      ELSE p.doc_id END AS BIGINT) AS dup_of
+       |  FROM pairs p
+       |  LEFT JOIN tl t ON t.id = p.doc_id
+       |  LEFT JOIN ml m
+       |    ON m.modality = p.modality AND m.id = p.media_id)""".stripMargin
+
+  val q169Sql: String =
+    s"""WITH $q169Ctes
+       |SELECT doc_id, modality, media_id, admitted, reason, dup_of
+       |FROM pv ORDER BY doc_id, modality, media_id""".stripMargin
+
+  val q170: Q = (s, d) => {
+    val (tLed, mods, pairs) = q169Fixtures(s, d)
+    graft.pipeline.Paired.pairedDocVerdictsN(tLed, mods, pairs)
+      .select(col("doc_id"), col("admitted"), col("reason"),
+        col("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  val q170Sql: String =
+    s"""WITH $q169Ctes,
+       |dec AS (
+       |  SELECT doc_id, reason, dup_of FROM (
+       |    SELECT doc_id, reason, dup_of, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY
+       |        CASE modality WHEN 'image' THEN 0 WHEN 'audio' THEN 1
+       |          ELSE 2 END, media_id) AS rn
+       |    FROM pv WHERE NOT admitted) WHERE rn = 1)
+       |SELECT t.id AS doc_id,
+       |  (t.adm AND dec.reason IS NULL) AS admitted,
+       |  CASE WHEN NOT t.adm THEN 'text:' || t.reason
+       |    WHEN dec.reason IS NOT NULL THEN dec.reason
+       |    ELSE 'admitted' END AS reason,
+       |  CAST(CASE WHEN NOT t.adm THEN t.dup_of
+       |    WHEN dec.reason IS NOT NULL THEN dec.dup_of
+       |    ELSE t.id END AS BIGINT) AS dup_of
+       |FROM tl t LEFT JOIN dec ON dec.doc_id = t.id
+       |ORDER BY doc_id""".stripMargin
+
   private[probes] val queries: Map[String, Q] = Map(
+    "q169_paired_nmodal" -> q169,
+    "q170_paired_doc_nmodal" -> q170,
     "q161_video_increment" -> q161,
     "q160_image_increment" -> q160,
     "q159_image_semdedup" -> q159,
@@ -1342,6 +1491,8 @@ object MultimodalProbes {
     "q147_phash_neardup" -> q147)
 
   private[probes] val oracleSql: Map[String, String] = Map(
+    "q169_paired_nmodal" -> q169Sql,
+    "q170_paired_doc_nmodal" -> q170Sql,
     "q161_video_increment" -> q161Sql,
     "q160_image_increment" -> q160Sql,
     "q159_image_semdedup" -> q159Sql,

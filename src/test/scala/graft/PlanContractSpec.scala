@@ -363,7 +363,11 @@ class PlanContractSpec extends SparkSpec {
       // rows on both sides, broadcast) — the documented globalRank
       // shape; the corpus-sized stream only ever hash-joins on __pid
       // and seq_id
-      "q163_token_packing")
+      "q163_token_packing",
+      // q168 reverses q163's packing: the same globalExclusivePrefixSum
+      // (per-seq EOS counts) + globalRank (doc order) triangular offset
+      // joins — both ≤ #partitions rows per side, broadcast
+      "q168_special_roundtrip")
     val singlePartAllowed = Set(
       "q20_decile_bucketing", // 1-row scalar max
       // global reductions over pre-bounded inputs: the ≤64-row HLL
