@@ -170,6 +170,53 @@ object Curation {
         countDistinct(col("__doc")).as("n_docs"))
   }
 
+  /** [[packTokenIds]] plus PER-SEQUENCE DOC-SPAN ATTRIBUTION: a
+    * `spans` column — array of (doc_id, start, len) structs ordered by
+    * `start` (0-based position within the sequence; `len` counts the
+    * doc's tokens landing in THIS sequence, EOS included) — what a real
+    * training shard carries for attention masking across document
+    * boundaries and for provenance (which docs fed which sequence — the
+    * right-to-be-forgotten query [[graft.pipeline.Shards.retract]]
+    * serves from). Token stream and the shared columns are identical to
+    * [[packTokenIds]] (docs are contiguous in a sequence by the global
+    * layout, so `ids` rebuilds as the concatenation of per-doc
+    * segments); the aggregation is two-level (per (seq, doc), then per
+    * seq) — the same shuffle count with SMALLER collect groups.
+    */
+  def packTokenIdsWithSpans(df: DataFrame, idCol: String, idsCol: String,
+                            seqLen: Int, eosId: Int): DataFrame = {
+    require(seqLen >= 1, s"packTokenIdsWithSpans: seqLen ($seqLen) >= 1")
+    val withEos = df.select(col(idCol).as("__doc"),
+        concat(col(idsCol), array(lit(eosId))).as("__ids"))
+      .withColumn("__n", size(col("__ids")).cast("long"))
+    val offs = graft.core.Ops.globalExclusivePrefixSum(withEos,
+      Seq(col("__doc")), "__n", "__goff")
+    val segs = offs.select(col("__doc"), col("__goff"),
+        posexplode(col("__ids")).as(Seq("__p", "__tok")))
+      .withColumn("__gpos", col("__goff") + col("__p"))
+      .withColumn("seq_id", floor(col("__gpos") / seqLen).cast("long"))
+      .groupBy("seq_id", "__doc")
+      .agg(transform(
+          array_sort(collect_list(struct(col("__gpos"), col("__tok")))),
+          s => s.getField("__tok")).as("__seg"),
+        min(col("__gpos")).as("__g0"),
+        count(lit(1)).as("__len"))
+    segs.groupBy("seq_id")
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("__g0"), col("__seg")))),
+          s => s.getField("__seg"))).as("ids"),
+        transform(
+          array_sort(collect_list(struct(col("__g0"), col("__doc"),
+            col("__len")))),
+          s => struct(s.getField("__doc").as("doc_id"),
+            (s.getField("__g0") - col("seq_id") * seqLen).cast("long")
+              .as("start"),
+            s.getField("__len").as("len"))).as("spans"),
+        coalesce(sum(col("__len")), lit(0L)).as("n_tokens"),
+        count(lit(1)).as("n_docs"))
+  }
+
   /** [[packTokenIds]] with the full special-token discipline a real
     * pretraining config expects: each doc optionally opens with `bosId`
     * (prepended BEFORE packing, so offsets stay exact), closes with

@@ -1113,6 +1113,49 @@ object Increment {
     * bootstrap draws the identical set. Returns the number of vectors
     * indexed by THIS call.
     */
+  /** Retroactive SUBSTRING-DEDUP coverage — [[semBackfill]]'s twin for
+    * the `windows` claims table: embeds every already-admitted doc's
+    * w-token window hashes under its ORIGINAL ledger batch id so the
+    * next [[curateIncrement]] with `dedupWindowsW` set strips passages
+    * of the full history, not just post-enablement batches. Coverage is
+    * LOUD (every committed admitted id must appear in the supplied
+    * corpus); idempotent and crash-rerunnable — every ledger batch's
+    * claims rewrite under dynamic partition overwrite on each call, so
+    * a torn backfill completes on rerun. The supplied text should be
+    * the docs' FINAL admitted text (what entered the corpus). Returns
+    * the number of claim rows written.
+    */
+  def windowBackfill(spark: SparkSession, stateDir: String,
+                     admittedCorpus: DataFrame, idCol: String,
+                     textCol: String, w: Int): Long = {
+    require(stateExists(spark, stateDir),
+      s"windowBackfill: no committed state at $stateDir")
+    val committed = Dedup.minhashCommitted(spark, s"$stateDir/minhash")
+    val admittedIds = spark.read.parquet(s"$stateDir/ledger")
+      .filter(col("admitted"))
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+      .select(col("id"), col("batch_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val corpus = graft.core.Ops.widen(admittedCorpus)
+        .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      val missing = admittedIds.join(corpus, Seq("id"), "left_anti").count()
+      require(missing == 0L,
+        s"windowBackfill: $missing admitted ids absent from the supplied " +
+          "corpus — backfill needs the full admitted history")
+      val claims = Curation.windowClaims(
+          corpus.join(admittedIds.select("id"), Seq("id"), "left_semi"),
+          "id", "text", w)
+        .join(admittedIds, Seq("id"))
+        .select(col("id"), col("h"), col("batch_id"))
+        .localCheckpoint(eager = true)
+      claims.write.mode("overwrite").partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$stateDir/windows")
+      claims.count()
+    } finally admittedIds.unpersist()
+  }
+
   def semBackfill(spark: SparkSession, stateDir: String,
                   admittedCorpus: DataFrame, idCol: String, textCol: String,
                   semDim: Int = 64, semCentroidEvery: Int = 25,

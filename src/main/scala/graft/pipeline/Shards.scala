@@ -49,6 +49,76 @@ object Shards {
       Seq("batch_id")).parquet(s"$dir/meta")
   }
 
+  /** Right-to-be-forgotten over COMMITTED training shards: every
+    * sequence whose `spans` attribution names a victim doc is DROPPED
+    * from its (batch_id, shard) partition — the honest semantics for
+    * packed data, where a victim's tokens are interleaved with its
+    * sequence neighbors: re-packing would shift every later offset (a
+    * corpus rewrite), so the whole sequence goes and the co-resident
+    * docs' tokens in it are reported as COLLATERAL (they still exist in
+    * every other sequence they landed in; a training epoch loses one
+    * partial view of them). Requires shards built with
+    * [[graft.operators.Curation.packTokenIdsWithSpans]] — shards
+    * without attribution refuse loudly rather than pretend.
+    *
+    * Discipline: only partitions holding a victim rewrite (dynamic
+    * overwrite; emptied partitions become zero-row schema-ful parquet);
+    * the meta commit markers are untouched, so batch visibility never
+    * changes. Idempotent and crash-rerunnable. Returns
+    * (dropped sequences, collateral tokens).
+    */
+  def retract(spark: SparkSession, dir: String,
+              ids: DataFrame): (Long, Long) = {
+    val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val seqsPath = s"$dir/seqs"
+    require(f.exists(new org.apache.hadoop.fs.Path(seqsPath)),
+      s"Shards.retract: no shard table at $dir")
+    val tbl = spark.read.parquet(seqsPath)
+    require(tbl.columns.contains("spans"),
+      s"Shards.retract: shards at $dir carry no doc-span attribution — " +
+        "rebuild with packTokenIdsWithSpans to make retraction possible")
+    val idsN = ids.select(col(ids.columns.head).cast("long").as("id"))
+      .distinct().localCheckpoint(eager = true)
+    val hit = tbl
+      .select(col("batch_id"), col("shard"), col("seq_id"),
+        col("n_tokens"), explode(col("spans")).as("__s"))
+      .select(col("batch_id"), col("shard"), col("seq_id"),
+        col("n_tokens"), col("__s.doc_id").as("id"),
+        col("__s.len").as("__len"))
+      .join(broadcast(idsN), Seq("id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (hit.head(1).isEmpty) (0L, 0L)
+      else {
+        val perSeq = hit.groupBy("batch_id", "shard", "seq_id")
+          .agg(first(col("n_tokens")).as("__nt"),
+            sum(col("__len")).as("__vt"))
+          .localCheckpoint(eager = true)
+        val stats = perSeq.agg(count(lit(1)).as("ds"),
+          coalesce(sum(col("__nt") - col("__vt")), lit(0L)).as("ct"))
+          .head()
+        val affected = perSeq.select("batch_id", "shard").distinct()
+          .localCheckpoint(eager = true)
+        val keep = tbl
+          .join(broadcast(affected), Seq("batch_id", "shard"), "left_semi")
+          .join(broadcast(perSeq.select("batch_id", "shard", "seq_id")),
+            Seq("batch_id", "shard", "seq_id"), "left_anti")
+          .localCheckpoint(eager = true)
+        keep.write.mode("overwrite").partitionBy("batch_id", "shard")
+          .option("partitionOverwriteMode", "dynamic").parquet(seqsPath)
+        val still = keep.select("batch_id", "shard").distinct()
+        val emptied = affected.join(still, Seq("batch_id", "shard"),
+          "left_anti").collect()
+        for (r <- emptied)
+          keep.drop("batch_id", "shard").limit(0)
+            .write.mode("overwrite").parquet(
+              s"$seqsPath/batch_id=${r.getString(0)}/shard=${r.getInt(1)}")
+        (stats.getLong(0), stats.getLong(1))
+      }
+    } finally hit.unpersist()
+  }
+
   /** The committed sequences (batch_id, shard, seq_id, ids, n_tokens,
     * n_docs) — torn writes invisible; inconsistent shard counts across
     * committed batches fail loudly.

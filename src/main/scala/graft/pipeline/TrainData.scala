@@ -52,8 +52,11 @@ object TrainData {
       .join(admittedIds, Seq("id"), "left_semi")
     val enc = graft.operators.Bpe.encodeCorpusGpt2(admitted, "id",
       textCol, cfg.merges)
-    val packed = graft.operators.Curation.packTokenIds(enc, "id", "ids",
-        cfg.seqLen, eos)
+    // spans variant: shipped shards carry doc-span attribution — the
+    // attention-mask boundary info AND the provenance the
+    // right-to-be-forgotten sweep ([[Shards.retract]]) serves from
+    val packed = graft.operators.Curation.packTokenIdsWithSpans(enc,
+        "id", "ids", cfg.seqLen, eos)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       Shards.writePackedShards(packed, dir, cfg.numShards, cfg.batchId)

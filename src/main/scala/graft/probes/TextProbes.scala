@@ -591,6 +591,57 @@ object TextProbes {
        |  md5(array_to_string(list(tok ORDER BY gpos), ' ')) AS ids_md5
        |FROM t GROUP BY 1 ORDER BY seq_id""".stripMargin
 
+  // ---- q171 doc-span attribution in packed sequences ----------------------
+  // Curation.packTokenIdsWithSpans over q162's encoded corpus: the q163
+  // packing plus a per-sequence (doc_id, start, len) attribution array —
+  // the attention-boundary/provenance metadata shipped shards carry
+  // (Shards.retract's serving side). The oracle recomputes each span as
+  // the per-(sequence, doc) min global position and token count over the
+  // q163 stream CTEs; spans exit as one ordered ':'-joined string per
+  // sequence (arrays of structs don't hash portably across engines).
+  val q171: Q = (s, d) => {
+    val enc = graft.operators.Bpe.encodeCorpusGpt2(q162Input(s, d),
+      "doc_id", "t", graft.operators.Bpe.DemoByteMerges)
+    graft.operators.Curation.packTokenIdsWithSpans(enc, "doc_id", "ids",
+        seqLen = 512, eosId = 262)
+      .select(col("seq_id"), col("n_tokens"), col("n_docs"),
+        md5(concat_ws(" ", transform(col("ids"), x => x.cast("string"))))
+          .as("ids_md5"),
+        concat_ws("|", transform(col("spans"), sp => concat_ws(":",
+          sp.getField("doc_id").cast("string"),
+          sp.getField("start").cast("string"),
+          sp.getField("len").cast("string")))).as("spans_repr"))
+      .orderBy("seq_id")
+  }
+
+  val q171Sql: String =
+    s"""WITH ${corpusIdsCte},
+       |e2 AS (SELECT doc_id, list_append(ids, 262) AS ids FROM enc),
+       |off AS (SELECT doc_id, ids,
+       |  CAST(coalesce(sum(len(ids)) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS off
+       |  FROM e2),
+       |t AS (SELECT doc_id,
+       |    off + unnest(generate_series(1, len(ids))) - 1 AS gpos,
+       |    unnest(ids) AS tok
+       |  FROM off),
+       |seg AS (SELECT CAST(gpos // 512 AS BIGINT) AS seq_id, doc_id,
+       |    min(gpos) AS g0, count(*) AS slen
+       |  FROM t GROUP BY 1, 2),
+       |sp AS (SELECT seq_id,
+       |    string_agg(doc_id || ':' || (g0 - seq_id * 512) || ':' || slen,
+       |      '|' ORDER BY g0) AS spans_repr
+       |  FROM seg GROUP BY seq_id)
+       |SELECT s.seq_id, CAST(q.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(q.n_docs AS BIGINT) AS n_docs, q.ids_md5, s.spans_repr
+       |FROM sp s JOIN (
+       |  SELECT CAST(gpos // 512 AS BIGINT) AS seq_id,
+       |    count(*) AS n_tokens, count(DISTINCT doc_id) AS n_docs,
+       |    md5(array_to_string(list(tok ORDER BY gpos), ' ')) AS ids_md5
+       |  FROM t GROUP BY 1) q USING (seq_id)
+       |ORDER BY seq_id""".stripMargin
+
   // ---- q164 corpus detokenize (the round-trip identity) ------------------
   // Bpe.decodeCorpus(encodeCorpusGpt2(docs)) must reproduce every input
   // byte: byte-level BPE is lossless by construction (merges only
@@ -2340,6 +2391,7 @@ object TextProbes {
   private[probes] val queries: Map[String, Q] = Map(
     "q167_langid_artifact" -> q167,
     "q168_special_roundtrip" -> q168,
+    "q171_packed_spans" -> q171,
     "q32_lang_id" -> q32,
     "q33_quality_score" -> q33,
     "q34_token_count" -> q34,
@@ -2387,6 +2439,7 @@ object TextProbes {
   private[probes] val oracleSql: Map[String, String] = Map(
     "q167_langid_artifact" -> q167Sql,
     "q168_special_roundtrip" -> q168Sql,
+    "q171_packed_spans" -> q171Sql,
     "q32_lang_id" -> q32Sql,
     "q33_quality_score" -> q33Sql,
     "q34_token_count" -> q34Sql,

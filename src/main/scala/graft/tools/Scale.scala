@@ -1468,6 +1468,42 @@ object Scale {
             .agg(count(lit(1)).as("tombstones"))
         }, Seq.empty))
       }
+      if (onlyRows.forall(_.exists("shard_retract".startsWith))) {
+        // round-16 second arc: RTBF over committed training shards
+        // (Shards.retract). Packed sequences synthesized directly (the
+        // retract path reads spans + rewrites partitions; token values
+        // are irrelevant): Nx-scaled base snapshot of 512-id sequences
+        // with 4 doc spans each, plus one small appended batch holding
+        // the victims. Timed: the retract sweep — flat across corpus
+        // scale when victims live in an appended batch (that batch's
+        // shard partitions rewrite); a base-snapshot victim costs
+        // corpus/numShards per affected shard (documented, not timed).
+        val nSeq = (docs(n).count() / 2).max(64L)
+        def mkPacked(nn: Long, off: Long) = spark.range(nn)
+          .select((col("id") + off).as("seq_id"),
+            expr("transform(sequence(1, 512), x -> CAST(x AS INT))")
+              .as("ids"),
+            lit(512L).as("n_tokens"), lit(4L).as("n_docs"),
+            expr("transform(sequence(0, 3), k -> named_struct(" +
+              "'doc_id', id * 4 + k, 'start', CAST(k * 128 AS BIGINT), " +
+              "'len', CAST(128 AS BIGINT)))").as("spans"))
+        val sdir = java.nio.file.Files
+          .createTempDirectory(s"graft_shrtx_$n").toString
+        graft.pipeline.Shards.writePackedShards(mkPacked(nSeq, 0L),
+          sdir, numShards = 16)
+        graft.pipeline.Shards.writePackedShards(
+          mkPacked(64L, 10000000L), sdir, numShards = 16,
+          batchId = "b1")
+        // victims: docs of 8 appended sequences
+        val victimsS = spark.range(8)
+          .select(((col("id") + 10000000L) * 4).as("doc_id"))
+          .localCheckpoint(eager = true)
+        run("shard_retract", n)(graft.core.Managed({
+          graft.pipeline.Shards.retract(spark, sdir, victimsS)
+          graft.pipeline.Shards.readPackedShards(spark, sdir)
+            .groupBy("batch_id").agg(count(lit(1)).as("seqs"))
+        }, Seq.empty))
+      }
       if (onlyRows.forall(_.exists("retract_1pct".startsWith))) {
         // right-to-be-forgotten sweep over accumulated text state: state
         // seeded OUTSIDE timing (one bootstrap increment, semantic stage

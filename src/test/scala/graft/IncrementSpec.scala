@@ -254,6 +254,52 @@ class IncrementSpec extends SparkSpec {
     assert(m(51L) == ((true, "admitted", 51L)), s"$m")
   }
 
+  test("windowBackfill: retroactive claims — passages of pre-enablement " +
+      "batches strip from later increments; incomplete corpus is loud; " +
+      "rerun is idempotent") {
+    import graft.operators.Curation
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_incr_wbf").toString
+    val passage = (1 to 10).map(i => s"wb$i").mkString(" ")
+    // two increments WITHOUT the window stage
+    val b1 = Seq(1L -> (goodText("one") + " " + passage))
+    val b2 = Seq(12L -> goodText("three"))
+    Increment.curateIncrement(b1.toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b1")
+    Increment.curateIncrement(b2.toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b2")
+    // incomplete corpus → loud
+    intercept[IllegalArgumentException] {
+      Increment.windowBackfill(spark, dir, b1.toDF("doc_id", "text"),
+        "doc_id", "text", w = 8)
+    }
+    val corpus = (b1 ++ b2).toDF("doc_id", "text")
+    val n1 = Increment.windowBackfill(spark, dir, corpus,
+      "doc_id", "text", w = 8)
+    assert(n1 > 0L)
+    // rerun rewrites the same claims (idempotent)
+    assert(Increment.windowBackfill(spark, dir, corpus,
+      "doc_id", "text", w = 8) == n1)
+    // the next window-enabled increment strips the HISTORICAL passage
+    val cfg = graft.pipeline.IncrementConfig(minQualityE4 = 0,
+      dedupWindowsW = Some(8))
+    val r = Increment.curateIncrement(
+      Seq(30L -> (goodText("five") + " " + passage))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, "b3", cfg)
+    val t30 = r.admitted.select("id", "text").as[(Long, String)]
+      .collect().toMap.apply(30L)
+    assert(!t30.contains("wb1") && t30.contains("five1"),
+      s"historical passage must strip: $t30")
+    // sanity: backfilled claims carry the claiming ids for retraction
+    val claims = spark.read.parquet(s"$dir/windows")
+    assert(claims.columns.toSet == Set("id", "h", "batch_id"))
+    assert(claims.filter(col("id") === 1L).count() > 0)
+    // and Curation.windowClaims agrees with what b1's doc claims
+    val expect1 = Curation.windowClaims(b1.toDF("id", "text"),
+      "id", "text", 8).count()
+    assert(claims.filter(col("batch_id") === "b1").count() == expect1)
+  }
+
   test("substring-dedup stage: empty-state run matches the funnel's " +
       "removeDuplicateSpans, accumulated claims strip re-ingested " +
       "passages, retry replays identically, retraction frees the claims") {

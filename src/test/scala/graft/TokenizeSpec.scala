@@ -181,6 +181,45 @@ class TokenizeSpec extends SparkSpec {
       stream.count(_ == sid("<|eos|>")) == 7)
   }
 
+  test("packTokenIdsWithSpans: shared columns identical to packTokenIds," +
+      " spans are sorted, contiguous, and attribute every token") {
+    val enc = Bpe.encodeCorpusGpt2(
+      (1L to 9L).map(i => (i, s"span doc $i with some words here"))
+        .toDF("doc_id", "t"), "doc_id", "t", merges)
+    val plain = Curation.packTokenIds(enc, "doc_id", "ids", 16, 262)
+      .select("seq_id", "ids", "n_tokens", "n_docs")
+      .as[(Long, Seq[Int], Long, Long)].collect().sortBy(_._1).toSeq
+    val spanned = Curation.packTokenIdsWithSpans(enc, "doc_id", "ids",
+        16, 262)
+      .select(col("seq_id"), col("ids"), col("n_tokens"), col("n_docs"),
+        col("spans"))
+      .as[(Long, Seq[Int], Long, Long, Seq[(Long, Long, Long)])]
+      .collect().sortBy(_._1).toSeq
+    assert(spanned.map(t => (t._1, t._2, t._3, t._4)) == plain,
+      "spans variant must not change the token stream")
+    for ((seqId, ids, nTok, nDocs, spans) <- spanned) {
+      assert(spans.size == nDocs, s"seq $seqId: ${spans.size} != $nDocs")
+      assert(spans.map(_._3).sum == nTok,
+        s"seq $seqId: spans must attribute every token")
+      // contiguous, sorted, starting at 0 (the global-stream layout)
+      assert(spans.head._2 == 0L, s"seq $seqId head ${spans.head}")
+      spans.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._2 == a._2 + a._3, s"seq $seqId gap: $a → $b")
+        case _ => ()
+      }
+      assert(ids.size == nTok)
+    }
+    // cross-sequence: every doc's total attributed length equals its
+    // encoded length + 1 (the EOS)
+    val encLens = enc.select(col("doc_id"), size(col("ids")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val attributed = spanned.flatMap(_._5).groupBy(_._1)
+      .map { case (d, ss) => d -> ss.map(_._3).sum }
+    assert(attributed == encLens.map { case (d, n) => d -> (n + 1L) },
+      s"$attributed vs $encLens")
+  }
+
   test("tokenizer artifact: versioned publish + read round trip, " +
       "version bump flips the current pointer, torn meta is loud") {
     val wh = java.nio.file.Files
