@@ -212,6 +212,30 @@ object TextStats {
       struct((-col(s"s_$l")).as("ns"), lit(l).as("l"))): _*)), 1)
       .getField("l")
 
+  /** Stack the language columns every gate consumes (`s_<lang>`… +
+    * `__lang`): the fixture marker profiles by default, or an EXTERNAL
+    * char-n-gram artifact ([[LangIdModel]]) when supplied — per-row
+    * expressions only (no join), so the swap is identical in the batch
+    * funnel, the increment, and the streaming gate. `wordsCol` must
+    * already hold [[graft.operators.Dedup.normalizeWords]] of the text
+    * (the fixture path scores it; the artifact path re-normalizes the
+    * raw text for char grams). With `model = None` the emitted plan is
+    * exactly the legacy expression stack.
+    */
+  def langGateCols(df: org.apache.spark.sql.DataFrame, textCol: Column,
+                   wordsCol: Column, model: Option[LangIdModel])
+      : org.apache.spark.sql.DataFrame = model match {
+    case None =>
+      LangProfiles.foldLeft(df) { case (d, (name, markers)) =>
+        d.withColumn(s"s_$name",
+          profileScore(wordsCol, markers).cast("long"))
+      }.withColumn("__lang", langPredict)
+    case Some(m) =>
+      langIdScoreCols(textCol, m).foldLeft(df) { case (d, (n, c)) =>
+        d.withColumn(n, c)
+      }.withColumn("__lang", langIdArgmax(m.langs))
+  }
+
   val StopWords: Seq[String] = Seq("the", "a")
 
   /** Composite quality score: length saturation + low-punctuation + stopword

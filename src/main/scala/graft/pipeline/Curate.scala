@@ -121,7 +121,13 @@ case class CurateConfig(
     resume: Boolean = false,
     // version token for this run's stage publishes (publishVersionedDir
     // tokens are immutable-unique per stage db)
-    runToken: String = "0")
+    runToken: String = "0",
+    // language gate driven by an EXTERNAL char-n-gram artifact
+    // ([[graft.operators.TextStats.parseLangId]]) instead of the
+    // synthetic marker profiles; keepLangs must name the model's
+    // languages. None (default) keeps the fixture profiles and the
+    // exact legacy plan.
+    langIdModel: Option[graft.operators.TextStats.LangIdModel] = None)
 
 /** `chunks` — the packed, sharded training chunks (doc_id, chunk_id,
   * chunk_text, n_tokens, shard, pack); `stageCounts` — rows surviving each
@@ -371,14 +377,15 @@ object Curate {
     }
 
     // ---- ingest + per-doc stats (one pass: words computed once) --------
-    var scored = input
-      .withColumn("__w", Dedup.normalizeWords(col(textCol)))
-    for ((name, markers) <- TextStats.LangProfiles)
-      scored = scored.withColumn(s"s_$name",
-        TextStats.profileScore(col("__w"), markers).cast("long"))
+    cfg.langIdModel.foreach(m => require(
+      cfg.keepLangs.subsetOf(m.langs.toSet),
+      s"curate: keepLangs ${cfg.keepLangs} not all in the langid " +
+        s"model's languages ${m.langs}"))
+    val scored = TextStats.langGateCols(
+      input.withColumn("__w", Dedup.normalizeWords(col(textCol))),
+      col(textCol), col("__w"), cfg.langIdModel)
     var filtered = scored
       .withColumn("__q", TextStats.qualityScore(col(textCol), col("__w")))
-      .withColumn("__lang", TextStats.langPredict)
       .filter(col("__q") >= cfg.minQualityE4 &&
         col("__lang").isInCollection(cfg.keepLangs))
       .select(col(idCol), col(textCol), col("__w"))
@@ -501,11 +508,9 @@ object Curate {
         val base = filtered.persist(StorageLevel.MEMORY_AND_DISK)
         val knM = TextStats.selfKnCrossEntropyManaged(base, idCol, textCol,
           cfg.lmVocabSize)
-        var lp = base.withColumn("__w", Dedup.normalizeWords(col(textCol)))
-        for ((name, markers) <- TextStats.LangProfiles)
-          lp = lp.withColumn(s"s_$name",
-            TextStats.profileScore(col("__w"), markers).cast("long"))
-        val langs = lp.withColumn("__lang", TextStats.langPredict)
+        val langs = TextStats.langGateCols(
+            base.withColumn("__w", Dedup.normalizeWords(col(textCol))),
+            col(textCol), col("__w"), cfg.langIdModel)
           .select(col(idCol), col("__lang"))
         // docs with < 2 normalized words carry a coalesced score of 0, not
         // a measured one — exclude them from the tercile cuts and label

@@ -47,7 +47,10 @@ case class IncrementConfig(
     // exact/minhash/sem, and admitted docs' final-text windows append
     // as new claims under this batch id. Runs BEFORE exact dedup, the
     // funnel's stage order.
-    dedupWindowsW: Option[Int] = None)
+    dedupWindowsW: Option[Int] = None,
+    // language gate from an EXTERNAL char-n-gram artifact (the batch
+    // funnel's langIdModel, same swap semantics)
+    langIdModel: Option[graft.operators.TextStats.LangIdModel] = None)
 
 /** `ledger` — one [[graft.streaming.CurateStream.GateVerdict]]-shaped
   * row PER BATCH DOC (id, admitted, reason, dup_of); `admitted` — the
@@ -282,13 +285,15 @@ object Increment {
       stage("c4_clean", input.count())
       rejectAnti(pre, input, "c4")
     }
-    var scored = input.withColumn("__w", Dedup.normalizeWords(col("text")))
-    for ((name, markers) <- TextStats.LangProfiles)
-      scored = scored.withColumn(s"s_$name",
-        TextStats.profileScore(col("__w"), markers).cast("long"))
+    cfg.langIdModel.foreach(m => require(
+      cfg.keepLangs.subsetOf(m.langs.toSet),
+      s"curateIncrement: keepLangs ${cfg.keepLangs} not all in the " +
+        s"langid model's languages ${m.langs}"))
+    val scored = TextStats.langGateCols(
+      input.withColumn("__w", Dedup.normalizeWords(col("text"))),
+      col("text"), col("__w"), cfg.langIdModel)
     var filtered = scored
       .withColumn("__q", TextStats.qualityScore(col("text"), col("__w")))
-      .withColumn("__lang", TextStats.langPredict)
       .filter(col("__q") >= cfg.minQualityE4 &&
         col("__lang").isInCollection(cfg.keepLangs))
       .select(col("id"), col("text"))

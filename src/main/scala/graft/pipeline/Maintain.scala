@@ -790,6 +790,13 @@ object Maintain {
     *    whose `cid` IS a victim doc id store that doc's full vector and
     *    are dropped (run [[semRetrain]] after to restore routing
     *    quality — the [[graft.pipeline.Increment.retract]] note).
+    *  - **minhash / pHash / audio / video (root layouts)**: the
+    *    compacted warehouse shapes — victims' shingle/band/signature/
+    *    fingerprint/frame/size rows purge from their batch partitions
+    *    (pure physical removal; serving derives everything per doc, so
+    *    no stats compensation is needed). The increment-state SUB-DIR
+    *    twins of these families are swept by
+    *    [[graft.pipeline.Increment.retract]].
     */
   def retract(spark: SparkSession, dir: String,
               ids: DataFrame): Seq[String] = {
@@ -857,6 +864,30 @@ object Maintain {
       purgeRows(spark, f, s"$dir/edges_batches", idsN, Seq("batch_id"),
         Seq("id", "nbr"))
       touched += "knn"
+    }
+
+    // root-layout batch-partitioned doc-row families (the compacted
+    // warehouse shapes): one purge per table, hit col = the doc id
+    if (has("shingles") && has("bands")) {
+      purgeRows(spark, f, s"$dir/shingles", idsN, Seq("batch_id"),
+        Seq("id"))
+      purgeRows(spark, f, s"$dir/bands", idsN, Seq("batch_id"), Seq("id"))
+      touched += "minhash"
+    }
+    if (has("sigs") && has("meta")) {
+      purgeRows(spark, f, s"$dir/sigs", idsN, Seq("batch_id"), Seq("id"))
+      touched += "phash"
+    }
+    if (has("fps") && has("sizes")) {
+      purgeRows(spark, f, s"$dir/fps", idsN, Seq("batch_id"), Seq("id"))
+      purgeRows(spark, f, s"$dir/sizes", idsN, Seq("batch_id"), Seq("id"))
+      touched += "audio"
+    }
+    if (has("frames") && has("sizes")) {
+      purgeRows(spark, f, s"$dir/frames", idsN, Seq("batch_id"),
+        Seq("id"))
+      purgeRows(spark, f, s"$dir/sizes", idsN, Seq("batch_id"), Seq("id"))
+      touched += "video"
     }
 
     if (has("centroids") && has("assigned")) {

@@ -89,7 +89,12 @@ object CurateStream {
                         // batch/stream parity is exact
                         arpa: Option[ArpaGate] = None,
                         bands: Int = 4, rowsPerBand: Int = 3,
-                        thresholdE4: Long = 8000, maxPerBucket: Int = 1024)
+                        thresholdE4: Long = 8000, maxPerBucket: Int = 1024,
+                        // language gate from an EXTERNAL char-n-gram
+                        // artifact (the batch funnel's langIdModel; the
+                        // per-row collected form keeps the stream
+                        // join-free)
+                        langIdModel: Option[graft.operators.TextStats.LangIdModel] = None)
 
   def gate(docs: DataFrame, idCol: String, textCol: String,
            cfg: GateConfig = GateConfig()): Dataset[GateVerdict] = {
@@ -116,14 +121,15 @@ object CurateStream {
       }
 
     // ---- stateless quality/language stage (batch exprs verbatim) -------
-    var scored = base
-      .withColumn("__w", Dedup.normalizeWords(col("text")))
-    for ((name, markers) <- TextStats.LangProfiles)
-      scored = scored.withColumn(s"s_$name",
-        TextStats.profileScore(col("__w"), markers).cast("long"))
+    cfg.langIdModel.foreach(m => require(
+      cfg.keepLangs.subsetOf(m.langs.toSet),
+      s"gate: keepLangs ${cfg.keepLangs} not all in the langid " +
+        s"model's languages ${m.langs}"))
+    val scored = TextStats.langGateCols(
+      base.withColumn("__w", Dedup.normalizeWords(col("text"))),
+      col("text"), col("__w"), cfg.langIdModel)
     val flagged = scored
       .withColumn("__q", TextStats.qualityScore(col("text"), col("__w")))
-      .withColumn("__lang", TextStats.langPredict)
       .withColumn("__pass", col("__q") >= cfg.minQualityE4 &&
         col("__lang").isInCollection(cfg.keepLangs))
 

@@ -90,6 +90,54 @@ class LangIdModelSpec extends SparkSpec {
     assert(joined(1L)._1 >= 2 * 40L, s"${joined(1L)}")
   }
 
+  test("the external model swaps into all three gate shapes: funnel, " +
+      "increment, and stream verdicts agree under the model; unmodeled " +
+      "keepLangs are loud") {
+    import graft.pipeline.{Curate, CurateConfig, Increment,
+      IncrementConfig}
+    import graft.streaming.CurateStream
+    val m = TextStats.parseLangId(modelText)
+    // doc 1 scores alpha, doc 2 beta, doc 3 hits no grams (tie → alpha);
+    // keepLangs = {beta} keeps exactly doc 2
+    val docs = Seq(1L -> "the table is a stable table",
+      2L -> "join the join point here",
+      3L -> "nothing from the model in this one")
+    val want = Map(1L -> ((false, "quality", 1L)),
+      2L -> ((true, "admitted", 2L)),
+      3L -> ((false, "quality", 3L)))
+    def vm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "admitted", "reason", "dup_of")
+        .as[(Long, Boolean, String, Long)].collect()
+        .map(v => v._1 -> ((v._2, v._3, v._4))).toMap
+    // increment
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_langid_gate").toString
+    val iCfg = IncrementConfig(minQualityE4 = 0, keepLangs = Set("beta"),
+      langIdModel = Some(m))
+    assert(vm(Increment.curateIncrement(docs.toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b1", iCfg).ledger) == want)
+    // stream gate
+    val gm = vm(CurateStream.gate(docs.toDF("id", "text"), "id", "text",
+        CurateStream.GateConfig(minQualityE4 = 0,
+          keepLangs = Set("beta"), langIdModel = Some(m)))
+      .toDF())
+    assert(gm == want, s"$gm")
+    // batch funnel
+    val fRes = Curate.run(docs.toDF("doc_id", "text"), "doc_id", "text",
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text",
+      CurateConfig(minQualityE4 = 0, keepLangs = Set("beta"),
+        langIdModel = Some(m), emitLedger = true))
+    fRes.chunks.unpersist()
+    assert(vm(fRes.ledger.get) == want)
+    // keepLangs outside the model's languages is loud
+    intercept[IllegalArgumentException] {
+      Increment.curateIncrement(docs.toDF("doc_id", "text"), "doc_id",
+        "text", java.nio.file.Files
+          .createTempDirectory("graft_langid_bad").toString, "b1",
+        IncrementConfig(keepLangs = Set("zz"), langIdModel = Some(m)))
+    }
+  }
+
   test("stream-gate usability: the per-row form runs inside a " +
       "streaming select and matches the batch scores") {
     val m = TextStats.parseLangId(modelText)

@@ -184,6 +184,52 @@ class RetractIndexSpec extends SparkSpec {
     assert(gotPq == wantPq, "ivfpq post-retraction parity")
   }
 
+  test("minhash and pHash root layouts: retraction purges the victims' " +
+      "batch rows — near-dup serving stops naming them, survivors serve " +
+      "identically") {
+    import graft.operators.Multimodal
+    // minhash warehouse db
+    val mhDir = tmp("mhroot")
+    val docA = "the quick brown fox jumps over the lazy dog again and again"
+    Dedup.writeMinhashIndex(Seq((1L, docA),
+        (2L, docA + " tail"), (3L, "unrelated spark catalyst plans"))
+      .toDF("doc_id", "text"), "doc_id", "text", mhDir)
+    def mhHits(): Set[Long] = {
+      val m = Dedup.nearDupAgainstIndex(spark, mhDir,
+        Seq((500L, docA)).toDF("doc_id", "text"), "doc_id", "text")
+      val r = m.df.select("id_old").as[Long].collect().toSet
+      m.close(); r
+    }
+    assert(mhHits() == Set(1L, 2L))
+    val t1 = Maintain.retract(spark, mhDir, Seq(1L).toDF("id"))
+    assert(t1 == Seq("minhash"), s"$t1")
+    assert(mhHits() == Set(2L), "victim still band-matches")
+    assert(spark.read.parquet(s"$mhDir/shingles")
+      .filter(col("id") === 1L).count() == 0L)
+
+    // pHash warehouse db
+    val phDir = tmp("phroot")
+    def mix(id: Long, p: Long): Long = {
+      var z = id * 0x9E3779B97F4A7C15L + p * 0xC2B2AE3D27D4EB4FL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      (z ^ (z >>> 27)) & 0xffL
+    }
+    def rec(id: Long, seed: Long, nudge: Int) =
+      Multimodal.MediaRecord(id, Multimodal.encodeGrayPixelsPng(16, 16,
+        Array.tabulate(256)(p => (mix(seed, p.toLong).toInt +
+          (if (p < 40) nudge else 0)).min(255))), "image/png")
+    Multimodal.writePhashIndex(
+      Seq(rec(10L, 1, 0), rec(11L, 1, 7), rec(12L, 2, 0)).toDS(), phDir)
+    def phHits(): Set[Long] =
+      Multimodal.phashNearDupAgainstIndex(spark, phDir,
+          Seq(rec(600L, 1, 0)).toDS())
+        .select("id_old").as[Long].collect().toSet
+    assert(phHits() == Set(10L, 11L))
+    val t2 = Maintain.retract(spark, phDir, Seq(10L).toDF("id"))
+    assert(t2 == Seq("phash"), s"$t2")
+    assert(phHits() == Set(11L))
+  }
+
   test("semantic root-layout index: retraction drops assigned rows and " +
       "victim centroids; pairs against retracted docs stop; readmit " +
       "pairs again") {
