@@ -37,11 +37,19 @@ object Bloom {
     * are absent from the aggregate and left zero here.
     */
   def build(dim: DataFrame, dimKey: String,
-            numBits: Long = 1L << 20, numHashes: Int = 5): Array[Long] = {
+            numBits: Long = 1L << 20, numHashes: Int = 5): Array[Long] =
+    buildCol(dim, col(dimKey), numBits, numHashes)
+
+  /** [[build]] over an arbitrary key COLUMN — structs work too
+    * (`xxhash64` hashes every field), so composite keys like the LSH
+    * band tables' `(band, bh)` need no concatenation round-trip.
+    */
+  def buildCol(dim: DataFrame, dimKey: Column,
+               numBits: Long = 1L << 20, numHashes: Int = 5): Array[Long] = {
     require(numBits % 64 == 0 && numBits > 0, s"numBits must be a positive multiple of 64, got $numBits")
     val nWords = (numBits / 64).toInt
     val words = dim
-      .select(explode(array(positions(col(dimKey), numBits, numHashes): _*)).as("pos"))
+      .select(explode(array(positions(dimKey, numBits, numHashes): _*)).as("pos"))
       .select((col("pos") / 64).cast("int").as("word"),
         expr("shiftleft(1L, cast(pos % 64 as int))").as("bit"))
       .groupBy("word").agg(expr("bit_or(bit)").as("bits"))
@@ -79,5 +87,21 @@ object Bloom {
     fact
       .filter(mightContain(filter, col(factKey), numBits, numHashes))
       .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_semi")
+  }
+
+  /** Prune `large` to rows whose `largeKey` MIGHT appear among
+    * `small[smallKey]` — the one-sided half of [[bloomSemiJoin]] for
+    * callers that follow with their own exact join (which removes the
+    * false positives, so composing this in front of any equi join on the
+    * same key leaves results bit-identical). The incremental-curation
+    * state scans use this: the accumulated table is `large`, the new
+    * batch's keys are `small`, and state rows that cannot match drop at
+    * the scan instead of riding the corpus-sized shuffle.
+    */
+  def pruneByKeys(large: DataFrame, largeKey: Column,
+                  small: DataFrame, smallKey: Column,
+                  numBits: Long = 1L << 20, numHashes: Int = 5): DataFrame = {
+    val filter = buildCol(small, smallKey, numBits, numHashes)
+    large.filter(mightContain(filter, largeKey, numBits, numHashes))
   }
 }

@@ -1252,6 +1252,48 @@ object Curation {
       .distinct()
   }
 
+  /** Deterministic per-epoch global shuffle order for training reads.
+    * A data loader wants every epoch to visit the corpus in a fresh
+    * pseudorandom permutation WITHOUT materializing shuffled copies:
+    * this keys each row by `md5(seed:epoch:id)` and assigns
+    *
+    *  - `epoch_pos`  — the row's 0-based position in the epoch's global
+    *    permutation (total order: hash key, then `id` — md5 ties cannot
+    *    reorder runs across engines), via the range-partitioned
+    *    [[graft.core.Ops.globalRank]] (no single-partition window);
+    *  - `read_shard` — `epoch_pos % numReadShards`, the
+    *    DistributedSampler discipline: reader r streams the rows with
+    *    position ≡ r, in position order, so the union over readers is
+    *    exactly the global permutation and every reader's stream is
+    *    itself an unbiased sample. Count-free (no job to size blocks).
+    *
+    * Same (seed, epoch, id) ⇒ same order on any cluster size — resuming
+    * a crashed epoch mid-way is a filter on `epoch_pos`, not a replay
+    * of nondeterministic state. The md5 arithmetic is the repo-wide
+    * oracle-mirrorable convention (q58); DuckDB recomputes the whole
+    * permutation.
+    */
+  def epochShuffle(df: DataFrame, idCol: Column, epoch: Int,
+                   numReadShards: Int = 16,
+                   seed: String = "graft"): DataFrame = {
+    require(epoch >= 0, s"epochShuffle: epoch ($epoch) must be >= 0")
+    require(numReadShards >= 1,
+      s"epochShuffle: numReadShards ($numReadShards) must be positive")
+    require(!df.columns.exists(Set("epoch", "epoch_pos", "read_shard")),
+      "epochShuffle: input already has an epoch/epoch_pos/read_shard " +
+        "column; rename it first")
+    val keyed = graft.core.Ops.widen(df).withColumn("__ek",
+      md5(concat_ws(":", lit(seed), lit(epoch.toString),
+        idCol.cast("string"))))
+    graft.core.Ops.globalRank(keyed,
+        Seq(col("__ek"), idCol.cast("string")), "__rk")
+      .withColumn("epoch", lit(epoch))
+      .withColumn("epoch_pos", col("__rk") - 1L)
+      .withColumn("read_shard",
+        pmod(col("epoch_pos"), lit(numReadShards.toLong)).cast("int"))
+      .drop("__ek", "__rk")
+  }
+
   def writeShards(df: DataFrame, keyCol: Column, path: String,
                   filesPerShard: Int = 8,
                   mode: String = "overwrite"): Unit = {

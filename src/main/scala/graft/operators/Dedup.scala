@@ -271,7 +271,8 @@ object Dedup {
   def nearDupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                           dir: String, newDocs: DataFrame, idCol: String,
                           textCol: String,
-                          excludeBatch: Option[String] = None)
+                          excludeBatch: Option[String] = None,
+                          bloomBits: Option[Long] = None)
       : graft.core.Managed = {
     val (bands, rowsPerBand) = readMinhashMeta(spark, dir)
     val shRaw = shingleSets(newDocs, idCol, textCol)
@@ -283,16 +284,36 @@ object Dedup {
       .getOrElse(committed0)
     val nb = lshBands(sh, idCol, bands, rowsPerBand)
       .select(col(idCol).as("id_new"), col("band"), col("bh"))
-    val ob = spark.read.parquet(s"$dir/bands")
+    // with bloomBits set, the accumulated band table is pruned at the
+    // scan by a Bloom filter over the BATCH's (band, bh) keys, and the
+    // corpus-sized shingle table by one over the candidate old ids —
+    // false positives only feed extra rows to the exact joins below, so
+    // the pair set is bit-identical (spec-pinned); what changes is that
+    // both state-side shuffles become batch-proportional. The candidate
+    // table is persisted in that mode (it is both the shingle filter's
+    // build side and a join input) and handed back via Managed.
+    val ob0 = spark.read.parquet(s"$dir/bands")
       .join(broadcast(committed), Seq("batch_id"), "left_semi")
+    val ob = bloomBits
+      .map(m => graft.core.Bloom.pruneByKeys(ob0,
+        struct(col("band"), col("bh")), nb,
+        struct(col("band"), col("bh")), m))
+      .getOrElse(ob0)
       .select(col("id").as("id_old"), col("band"), col("bh"))
-    val cand = nb.join(ob, Seq("band", "bh"))
+    val cand0 = nb.join(ob, Seq("band", "bh"))
       .filter(col("id_new") =!= col("id_old"))
       .select("id_new", "id_old").distinct()
+    val cand = bloomBits
+      .map(_ => cand0.persist(StorageLevel.MEMORY_AND_DISK))
+      .getOrElse(cand0)
     val newSets = sh.select(col(idCol).as("id_new"),
       array_distinct(col("sh")).as("sa"))
-    val oldSets = spark.read.parquet(s"$dir/shingles")
+    val oldSets0 = spark.read.parquet(s"$dir/shingles")
       .join(broadcast(committed), Seq("batch_id"), "left_semi")
+    val oldSets = bloomBits
+      .map(m => graft.core.Bloom.pruneByKeys(oldSets0, col("id"),
+        cand, col("id_old"), m))
+      .getOrElse(oldSets0)
       .select(col("id").as("id_old"), col("shd").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb")))
     val jacc = graft.core.Ops.fixedPoint(inter * lit(1.0) /
@@ -301,7 +322,8 @@ object Dedup {
       .join(newSets, "id_new")
       .join(oldSets, "id_old")
       .select(col("id_new"), col("id_old"), jacc.as("jacc_e4"))
-    graft.core.Managed(out, Seq(shRaw))
+    graft.core.Managed(out,
+      if (bloomBits.isDefined) Seq(shRaw, cand) else Seq(shRaw))
   }
 
   /** Connected components over near-dup pairs — the step that turns a pair

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.operators.{Curation, Dedup, TextStats}
@@ -50,7 +50,19 @@ case class IncrementConfig(
     dedupWindowsW: Option[Int] = None,
     // language gate from an EXTERNAL char-n-gram artifact (the batch
     // funnel's langIdModel, same swap semantics)
-    langIdModel: Option[graft.operators.TextStats.LangIdModel] = None)
+    langIdModel: Option[graft.operators.TextStats.LangIdModel] = None,
+    // Bloom-prune the accumulated-state scans (exact keys, window
+    // claims, minhash bands + shingles) with filters built over the
+    // BATCH side's keys: state rows that cannot match drop at the scan,
+    // before the state-side shuffle, so each increment's join cost is
+    // batch-proportional instead of corpus-proportional. Size at ~10
+    // bits per batch key for <1% false positives (e.g. 1<<23 for a
+    // ~1M-doc batch) — false positives only pass extra rows to the
+    // exact joins, results are bit-identical (spec-pinned). None = off;
+    // at small state sizes the extra build jobs cost more than the
+    // pruned shuffle saves (measured crossover in SCALE.md), so this is
+    // the at-scale dial, not a default.
+    stateBloomBits: Option[Long] = None)
 
 /** `ledger` — one [[graft.streaming.CurateStream.GateVerdict]]-shaped
   * row PER BATCH DOC (id, admitted, reason, dup_of); `admitted` — the
@@ -209,6 +221,17 @@ object Increment {
       .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$dir/keys")
 
+  /** Bloom-prune `state` rows by `stateKey` against the batch-side key
+    * set when `bits` is set — the [[graft.core.Bloom.pruneByKeys]]
+    * composition every accumulated-state read below shares. Identity
+    * when off.
+    */
+  private def bloomPrune(state: DataFrame, stateKey: Column,
+                         batchKeys: DataFrame, batchKey: Column,
+                         bits: Option[Long]): DataFrame =
+    bits.map(m => graft.core.Bloom.pruneByKeys(state, stateKey,
+      batchKeys, batchKey, m)).getOrElse(state)
+
   /** Committed exact keys (key, id), excluding `excludeBatch` — the
     * committed set is the MINHASH meta's (keys commit before the
     * marker, so a torn increment's keys never read). Keys canonicalize
@@ -217,10 +240,22 @@ object Increment {
     * corpus violated the curated-input contract.
     */
   private def readExactKeys(spark: SparkSession, stateDir: String,
-                            excludeBatch: String): DataFrame = {
+                            excludeBatch: String,
+                            batchHashes: Option[(DataFrame, Long)] = None)
+      : DataFrame = {
     val committed = Dedup.minhashCommitted(spark, s"$stateDir/minhash")
       .filter(col("batch_id") =!= excludeBatch)
-    spark.read.parquet(s"$stateDir/exact/keys")
+    val keys = spark.read.parquet(s"$stateDir/exact/keys")
+    // prune BEFORE the per-key min aggregate: dropping every row of a
+    // key the batch cannot carry leaves surviving keys' groups intact,
+    // so min(id) per surviving key — the only keys the exact join can
+    // hit — is unchanged
+    val pruned = batchHashes match {
+      case Some((b, m)) => bloomPrune(keys, col("key"), b, col("__h"),
+        Some(m))
+      case None => keys
+    }
+    pruned
       .join(broadcast(committed), Seq("batch_id"), "left_semi")
       .groupBy("key").agg(min(col("id")).as("id"))
   }
@@ -233,14 +268,22 @@ object Increment {
     * stage's enable-from-batch-N semantics.
     */
   private def readWindowClaims(spark: SparkSession, stateDir: String,
-                               excludeBatch: String): DataFrame = {
+                               excludeBatch: String,
+                               batchWindows: Option[(DataFrame, Long)] =
+                                 None): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$stateDir/windows")
     if (!fs(spark, stateDir).exists(p))
       spark.range(0).select(lit("").as("h"))
     else {
       val committed = Dedup.minhashCommitted(spark, s"$stateDir/minhash")
         .filter(col("batch_id") =!= excludeBatch)
-      spark.read.parquet(s"$stateDir/windows")
+      val claims = spark.read.parquet(s"$stateDir/windows")
+      val pruned = batchWindows match {
+        case Some((b, m)) => bloomPrune(claims, col("h"), b, col("h"),
+          Some(m))
+        case None => claims
+      }
+      pruned
         .join(broadcast(committed), Seq("batch_id"), "left_semi")
         .select("h")
     }
@@ -318,7 +361,10 @@ object Increment {
     for (w <- cfg.dedupWindowsW) {
       val claims =
         if (!haveState) None
-        else Some(readWindowClaims(spark, stateDir, batchId))
+        else Some(readWindowClaims(spark, stateDir, batchId,
+          cfg.stateBloomBits.map(m =>
+            (Curation.windowClaims(filtered, "id", "text", w)
+              .select("h"), m))))
       val cleaned = claims match {
         case None =>
           Curation.removeDuplicateSpans(filtered, "id", "text", w)
@@ -338,7 +384,8 @@ object Increment {
     val afterExact =
       if (!haveState) hashed
       else {
-        val stateKeys = readExactKeys(spark, stateDir, batchId)
+        val stateKeys = readExactKeys(spark, stateDir, batchId,
+          cfg.stateBloomBits.map(m => (hashed.select("__h"), m)))
         val hits = hashed.join(
             stateKeys.select(col("key").as("__h"),
               col("id").as("__dup_of")), Seq("__h"))
@@ -363,7 +410,8 @@ object Increment {
       else {
         val pairsM = Dedup.nearDupAgainstIndex(spark,
           s"$stateDir/minhash", kept, "id", "text",
-          excludeBatch = Some(batchId))
+          excludeBatch = Some(batchId),
+          bloomBits = cfg.stateBloomBits)
         val hits = pairsM.df
           .filter(col("jacc_e4") >= cfg.nearDupThresholdE4)
           .groupBy("id_new").agg(min(col("id_old")).as("__dup_of"))
@@ -559,7 +607,11 @@ object Increment {
     * .ImageCurateConfig]] gate dials.
     */
   case class ImageIncrementConfig(maxPixels: Long = 64L << 20,
-                                  maxHamming: Int = 3, nBands: Int = 4)
+                                  maxHamming: Int = 3, nBands: Int = 4,
+                                  // [[IncrementConfig.stateBloomBits]]:
+                                  // prunes the exact-key and pHash band
+                                  // state scans batch-proportional
+                                  stateBloomBits: Option[Long] = None)
 
   /** Image state exists iff the pHash index has a meta commit marker. */
   def imageStateExists(spark: SparkSession, stateDir: String): Boolean =
@@ -652,7 +704,8 @@ object Increment {
     val afterExactState =
       if (!haveState) decoded
       else {
-        val stateKeys = readImageExactKeys(spark, stateDir, batchId)
+        val stateKeys = readImageExactKeys(spark, stateDir, batchId,
+          cfg.stateBloomBits.map(m => (decoded.select("__md5"), m)))
         val hits = decoded.join(
             stateKeys.select(col("key").as("__md5"),
               col("id").as("__dup_of")), Seq("__md5"))
@@ -678,7 +731,8 @@ object Increment {
         val hits = graft.operators.Multimodal
           .phashSigsNearDupAgainstIndex(spark, s"$stateDir/phash",
             exact.select(col("id").as("id_new"), col("phash")),
-            cfg.maxHamming, excludeBatch = Some(batchId))
+            cfg.maxHamming, excludeBatch = Some(batchId),
+            bloomBits = cfg.stateBloomBits)
           .groupBy("id_new").agg(min(col("id_old")).as("__dup_of"))
           .select(col("id_new").as("id"), col("__dup_of"))
           .localCheckpoint(eager = true)
@@ -737,16 +791,29 @@ object Increment {
     * committed set is the pHash meta's.
     */
   private def readImageExactKeys(spark: SparkSession, stateDir: String,
-                                 excludeBatch: String): DataFrame =
-    readMarkedExactKeys(spark, stateDir, "phash", excludeBatch)
+                                 excludeBatch: String,
+                                 batchHashes: Option[(DataFrame, Long)] =
+                                   None): DataFrame =
+    readMarkedExactKeys(spark, stateDir, "phash", excludeBatch,
+      batchHashes)
 
   private def readMarkedExactKeys(spark: SparkSession, stateDir: String,
                                   markerSub: String,
-                                  excludeBatch: String): DataFrame = {
+                                  excludeBatch: String,
+                                  batchHashes: Option[(DataFrame, Long)] =
+                                    None): DataFrame = {
     val committed = spark.read.parquet(s"$stateDir/$markerSub/meta")
       .select("batch_id").distinct()
       .filter(col("batch_id") =!= excludeBatch)
-    spark.read.parquet(s"$stateDir/exact/keys")
+    val keys = spark.read.parquet(s"$stateDir/exact/keys")
+    // see readExactKeys: pruning whole keys the batch cannot carry
+    // leaves surviving keys' min(id) unchanged
+    val pruned = batchHashes match {
+      case Some((b, m)) => bloomPrune(keys, col("key"), b, col("__md5"),
+        Some(m))
+      case None => keys
+    }
+    pruned
       .join(broadcast(committed), Seq("batch_id"), "left_semi")
       .groupBy("key").agg(min(col("id")).as("id"))
   }
@@ -759,7 +826,11 @@ object Increment {
   case class AudioIncrementConfig(windowFrames: Int = 50, k: Int = 20,
                                   stride: Int = 1, quantE4: Long = 1L,
                                   minMatchE4: Long = 5000L,
-                                  maxFpDocFreq: Long = 1000L)
+                                  maxFpDocFreq: Long = 1000L,
+                                  // [[IncrementConfig.stateBloomBits]]:
+                                  // prunes the exact-key and fp state
+                                  // scans batch-proportional
+                                  stateBloomBits: Option[Long] = None)
 
   /** Audio state exists iff the fingerprint index has its meta marker. */
   def audioStateExists(spark: SparkSession, stateDir: String): Boolean =
@@ -825,7 +896,8 @@ object Increment {
       if (!haveState) decoded
       else {
         val stateKeys = readMarkedExactKeys(spark, stateDir, "audio",
-          batchId)
+          batchId,
+          cfg.stateBloomBits.map(m => (decoded.select("__md5"), m)))
         val hits = decoded.join(
             stateKeys.select(col("key").as("__md5"),
               col("id").as("__dup_of")), Seq("__md5"))
@@ -853,7 +925,8 @@ object Increment {
           .audioSigsNearDupAgainstIndex(spark, s"$stateDir/audio",
             exactFps.select(col("id").as("id_new"), col("fp")),
             cfg.minMatchE4, cfg.maxFpDocFreq,
-            excludeBatch = Some(batchId))
+            excludeBatch = Some(batchId),
+            bloomBits = cfg.stateBloomBits)
           .groupBy("id_new").agg(min(col("id_old")).as("__dup_of"))
           .select(col("id_new").as("id"), col("__dup_of"))
           .localCheckpoint(eager = true)
@@ -927,7 +1000,11 @@ object Increment {
     * .videoNearDupPairs]] parameters).
     */
   case class VideoIncrementConfig(maxHamming: Int = 3, nBands: Int = 4,
-                                  minSimE4: Long = 5000L)
+                                  minSimE4: Long = 5000L,
+                                  // [[IncrementConfig.stateBloomBits]]:
+                                  // prunes the exact-key and frame state
+                                  // scans batch-proportional
+                                  stateBloomBits: Option[Long] = None)
 
   /** Video state exists iff the keyframe index has its meta marker. */
   def videoStateExists(spark: SparkSession, stateDir: String): Boolean =
@@ -996,7 +1073,8 @@ object Increment {
       if (!haveState) decoded
       else {
         val stateKeys = readMarkedExactKeys(spark, stateDir, "video",
-          batchId)
+          batchId,
+          cfg.stateBloomBits.map(m => (decoded.select("__md5"), m)))
         val hits = decoded.join(
             stateKeys.select(col("key").as("__md5"),
               col("id").as("__dup_of")), Seq("__md5"))
@@ -1024,7 +1102,8 @@ object Increment {
           .videoFramesNearDupAgainstIndex(spark, s"$stateDir/video",
             exactFrames.select(col("id").as("id_new"), col("frame_idx"),
               col("phash")),
-            cfg.maxHamming, cfg.minSimE4, excludeBatch = Some(batchId))
+            cfg.maxHamming, cfg.minSimE4, excludeBatch = Some(batchId),
+            bloomBits = cfg.stateBloomBits)
           .groupBy("id_new").agg(min(col("id_old")).as("__dup_of"))
           .select(col("id_new").as("id"), col("__dup_of"))
           .localCheckpoint(eager = true)
@@ -1090,7 +1169,11 @@ object Increment {
     */
   case class EmbeddingIncrementConfig(thresholdE4: Long = 9000L,
                                       centroidEvery: Int = 25,
-                                      nassign: Int = 2)
+                                      nassign: Int = 2,
+                                      // [[IncrementConfig.stateBloomBits]]:
+                                      // prunes the exact-key state scan
+                                      // batch-proportional
+                                      stateBloomBits: Option[Long] = None)
 
   /** Semantic state exists iff the sem index has its meta marker. */
   def semStateExists(spark: SparkSession, stateDir: String): Boolean =
@@ -1275,7 +1358,8 @@ object Increment {
       if (!haveState) keyed
       else {
         val stateKeys = readMarkedExactKeys(spark, stateDir, "sem",
-          batchId)
+          batchId,
+          cfg.stateBloomBits.map(m => (keyed.select("__md5"), m)))
         val hits = keyed.join(
             stateKeys.select(col("key").as("__md5"),
               col("id").as("__dup_of")), Seq("__md5"))
@@ -1483,5 +1567,103 @@ object Increment {
       .localCheckpoint(eager = true)
     rewritten.write.mode("overwrite").partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic").parquet(path)
+  }
+
+  /** Per-family heavy data tables an increment state accumulates one
+    * batch_id partition per increment in — the compaction targets.
+    */
+  private def foldTables(family: String): Seq[String] = family match {
+    case "minhash" => Seq("exact/keys", "windows", "minhash/bands",
+      "minhash/shingles")
+    case "phash" => Seq("exact/keys", "phash/sigs")
+    case "audio" => Seq("exact/keys", "audio/fps", "audio/sizes")
+    case "video" => Seq("exact/keys", "video/frames", "video/sizes")
+    case "sem" => Seq("exact/keys", "sem/assigned")
+    case other => throw new IllegalArgumentException(
+      s"compactStateTo: unknown state family '$other'")
+  }
+
+  /** Per-family trees compaction copies VERBATIM (audit tables keep
+    * their batch ids; a text funnel's `sem/` SUB-state serves through
+    * its own meta ∩ the marker's committed set, both preserved; an
+    * embedding root's centroid table is unpartitioned).
+    */
+  private def copyTrees(family: String): Seq[String] = family match {
+    case "minhash" => Seq("ledger", "metrics", "sem")
+    case "sem" => Seq("ledger", "metrics", "sem/centroids")
+    case _ => Seq("ledger", "metrics")
+  }
+
+  /** Compact an increment state: after N increments every data table
+    * holds N small batch_id partitions, and each new batch's state scan
+    * opens all of them. This writes a fresh state at `destDir` with the
+    * committed rows of every heavy table folded into ONE `base`
+    * partition, preserving serving semantics exactly:
+    *
+    *  - heavy tables (exact keys, window claims, minhash bands/shingles,
+    *    pHash sigs, audio fps/sizes, video frames/sizes per the family)
+    *    fold committed-batch rows under batch_id `base`;
+    *  - `ledger/` and `metrics/` copy VERBATIM — the audit trail and the
+    *    per-batch funnel time series keep their original batch ids;
+    *  - a `sem/` sub-state (text funnel) copies verbatim too: its own
+    *    meta ∩ the marker's committed set governs its serving, and both
+    *    survive because the dest marker keeps every original batch id;
+    *  - the marker meta is written LAST, carrying the original committed
+    *    rows PLUS a `base` row with the same pinned payload — a crash
+    *    anywhere earlier leaves `destDir` without its marker, which
+    *    `*stateExists` reads as no-state (loud at the orchestration
+    *    layer, never a silently-empty serve), and a rerun overwrites
+    *    everything idempotently.
+    *
+    * Torn batches in `srcDir` (data without a marker row) are dropped by
+    * the committed semi join — compaction is also the physical-erasure
+    * completion point for retracted rows' emptied partitions. Run it
+    * offline (no concurrent increment against `srcDir`); afterwards
+    * point the ingest at `destDir` and decommission the old root.
+    */
+  def compactStateTo(spark: SparkSession, srcDir: String,
+                     destDir: String): Unit = {
+    val family = stateFamily(spark, srcDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"compactStateTo: $srcDir has no _family sentinel — not an " +
+          "increment state root"))
+    val f = fs(spark, destDir)
+    val metaRel = s"$family/meta"
+    require(!f.exists(new org.apache.hadoop.fs.Path(s"$destDir/$metaRel")),
+      s"compactStateTo: $destDir already has a committed state")
+    val meta = spark.read.parquet(s"$srcDir/$metaRel")
+    val committed = meta.select("batch_id").distinct()
+      .localCheckpoint(eager = true)
+    writeFamilySentinel(spark, destDir, family)
+    for (rel <- foldTables(family)
+         if fs(spark, srcDir).exists(
+           new org.apache.hadoop.fs.Path(s"$srcDir/$rel"))) {
+      spark.read.parquet(s"$srcDir/$rel")
+        .join(broadcast(committed), Seq("batch_id"), "left_semi")
+        .drop("batch_id").withColumn("batch_id", lit("base"))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$destDir/$rel")
+    }
+    for (rel <- copyTrees(family)
+         if fs(spark, srcDir).exists(
+           new org.apache.hadoop.fs.Path(s"$srcDir/$rel"))) {
+      val src = new org.apache.hadoop.fs.Path(s"$srcDir/$rel")
+      val dst = new org.apache.hadoop.fs.Path(s"$destDir/$rel")
+      if (f.exists(dst)) f.delete(dst, true) // idempotent rerun
+      org.apache.hadoop.fs.FileUtil.copy(fs(spark, srcDir), src, f, dst,
+        false, spark.sparkContext.hadoopConfiguration)
+    }
+    // marker LAST: original committed rows verbatim + the base row. The
+    // payload (banding / nBands / dials) is pinned identical across
+    // batches by the append paths, so the base row reuses it.
+    val payload = meta.drop("batch_id").distinct()
+    require(payload.count() == 1L,
+      s"compactStateTo: inconsistent meta payload across batches in " +
+        s"$srcDir/$metaRel")
+    val destMeta = meta
+      .unionByName(payload.withColumn("batch_id", lit("base")))
+      .localCheckpoint(eager = true)
+    destMeta.write.mode("overwrite").partitionBy("batch_id")
+      .parquet(s"$destDir/$metaRel")
   }
 }

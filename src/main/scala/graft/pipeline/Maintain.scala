@@ -634,7 +634,10 @@ object Maintain {
       f.exists(new org.apache.hadoop.fs.Path(s"$root/$sub"))
     // a `_family` sentinel marks an increment state root: its
     // sub-indexes are owned by the funnel's commit protocol, so every
-    // decision under it is ADVISORY (see [[Decision.advisory]])
+    // decision under it is ADVISORY (see [[Decision.advisory]]) — the
+    // applicable action for an advisory compact is the WHOLE-STATE
+    // [[graft.pipeline.Increment.compactStateTo]] (all families fold
+    // consistently; per-family executors would desync the marker)
     val funnel = graft.pipeline.Increment.stateFamily(spark, root).isDefined
     val mb = maxBatches
     val ds = Seq(

@@ -133,4 +133,20 @@ object Shards {
     spark.read.parquet(s"$dir/seqs")
       .join(broadcast(committed), Seq("batch_id"), "left_semi")
   }
+
+  /** The training loader's per-epoch read plan over the COMMITTED
+    * sequences: [[graft.operators.Curation.epochShuffle]] keyed by the
+    * sequence's durable identity `(batch_id, seq_id)` (seq ids restart
+    * per packing batch — the composite is what is unique). Reader r of
+    * `numReaders` streams rows with `read_shard == r` in `epoch_pos`
+    * order; nothing is materialized, the permutation is a rank over the
+    * committed table, identical on every rerun of (seed, epoch).
+    */
+  def epochOrder(spark: SparkSession, dir: String, epoch: Int,
+                 numReaders: Int = 16,
+                 seed: String = "graft"): DataFrame =
+    graft.operators.Curation.epochShuffle(
+      readPackedShards(spark, dir),
+      concat_ws("/", col("batch_id"), col("seq_id").cast("string")),
+      epoch, numReaders, seed)
 }

@@ -642,6 +642,46 @@ object TextProbes {
        |  FROM t GROUP BY 1) q USING (seq_id)
        |ORDER BY seq_id""".stripMargin
 
+  // ---- q172 epoch shuffle (deterministic training read order) ------------
+  // Curation.epochShuffle: every epoch is a fresh md5-keyed global
+  // permutation, readers take epoch_pos ≡ r (mod shards) in position
+  // order. The probe runs TWO epochs and fingerprints each reader's
+  // stream: n_seqs + sum_pos pin permutation totality (each reader gets
+  // exactly its residue class), fp = Σ pos·(doc_id mod 1000003) pins the
+  // ASSIGNMENT — any swapped pair of docs changes it. The oracle
+  // recomputes the whole permutation via row_number over the same md5
+  // key (the q58 md5-arithmetic convention).
+  val q172: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id")
+    val both = graft.operators.Curation
+      .epochShuffle(docs, col("doc_id"), 0, 8)
+      .unionByName(graft.operators.Curation
+        .epochShuffle(docs, col("doc_id"), 1, 8))
+    both.groupBy("epoch", "read_shard")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("epoch_pos")).as("sum_pos"),
+        sum(col("epoch_pos") * pmod(col("doc_id"), lit(1000003L)))
+          .as("fp"))
+      .orderBy("epoch", "read_shard")
+  }
+
+  val q172Sql: String =
+    """WITH k AS (
+      |  SELECT doc_id, e.epoch,
+      |    md5('graft:' || e.epoch || ':' || CAST(doc_id AS VARCHAR)) AS ek
+      |  FROM documents, (SELECT unnest([0, 1]) AS epoch) e),
+      |r AS (
+      |  SELECT epoch, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY epoch
+      |      ORDER BY ek, CAST(doc_id AS VARCHAR)) - 1 AS BIGINT) AS pos
+      |  FROM k)
+      |SELECT CAST(epoch AS INTEGER) AS epoch,
+      |  CAST(pos % 8 AS INTEGER) AS read_shard,
+      |  CAST(count(*) AS BIGINT) AS n_seqs,
+      |  CAST(sum(pos) AS BIGINT) AS sum_pos,
+      |  CAST(sum(pos * (doc_id % 1000003)) AS BIGINT) AS fp
+      |FROM r GROUP BY 1, 2 ORDER BY epoch, read_shard""".stripMargin
+
   // ---- q164 corpus detokenize (the round-trip identity) ------------------
   // Bpe.decodeCorpus(encodeCorpusGpt2(docs)) must reproduce every input
   // byte: byte-level BPE is lossless by construction (merges only
@@ -2392,6 +2432,7 @@ object TextProbes {
     "q167_langid_artifact" -> q167,
     "q168_special_roundtrip" -> q168,
     "q171_packed_spans" -> q171,
+    "q172_epoch_shuffle" -> q172,
     "q32_lang_id" -> q32,
     "q33_quality_score" -> q33,
     "q34_token_count" -> q34,
@@ -2440,6 +2481,7 @@ object TextProbes {
     "q167_langid_artifact" -> q167Sql,
     "q168_special_roundtrip" -> q168Sql,
     "q171_packed_spans" -> q171Sql,
+    "q172_epoch_shuffle" -> q172Sql,
     "q32_lang_id" -> q32Sql,
     "q33_quality_score" -> q33Sql,
     "q34_token_count" -> q34Sql,

@@ -707,6 +707,13 @@ object Scale {
             concat(col("text"), lit(" zz tail")).as("text"))
         run("mh_incr_1pct", n)(
           Dedup.nearDupAgainstIndex(spark, dir, batch, "doc_id", "text"))
+        // same query with the batch-keyed Bloom prune on the state band
+        // + shingle scans: the win grows with the STATE (the pruned
+        // shuffles are corpus-sized without it), so the 10x row is the
+        // one that argues the 100 TB case
+        run("mh_incr_1pct_bloom", n)(
+          Dedup.nearDupAgainstIndex(spark, dir, batch, "doc_id", "text",
+            bloomBits = Some(1L << 20)))
       }
       // --- round-15: incremental batch CURATION against persisted state
       // (Increment.curateIncrement) vs re-curating the whole union — the
@@ -732,6 +739,16 @@ object Scale {
         run("incr_curate_3pct", n)(graft.core.Managed(
           graft.pipeline.Increment.curateIncrement(batchI, "doc_id",
             "text", sdir, "sweep").ledger
+            .groupBy("reason").agg(count(lit(1)).as("docs")),
+          Seq.empty))
+        // the same increment with stateBloomBits: reusing the batch id
+        // makes this the RETRY shape against the identical pre-batch
+        // state view, so the delta vs the row above is the Bloom prune
+        run("incr_curate_3pct_bloom", n)(graft.core.Managed(
+          graft.pipeline.Increment.curateIncrement(batchI, "doc_id",
+            "text", sdir, "sweep",
+            graft.pipeline.IncrementConfig(
+              stateBloomBits = Some(1L << 20))).ledger
             .groupBy("reason").agg(count(lit(1)).as("docs")),
           Seq.empty))
         run("incr_recurate_all", n) {

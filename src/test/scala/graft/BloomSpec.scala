@@ -55,4 +55,23 @@ class BloomSpec extends SparkSpec {
     val filter = Bloom.build(dim, "id", 64 * 8, 3)
     assert(filter.length == 8)
   }
+
+  test("composite struct keys: no false negatives, and pruneByKeys + " +
+      "exact join equals the unpruned join") {
+    val large = (0L until 4000L).map(i => (i % 16L, s"bh${i % 250L}", i))
+      .toDF("band", "bh", "v")
+    val small = Seq((1L, "bh7"), (3L, "bh9"), (15L, "bh249"))
+      .toDF("band", "bh")
+    val key = struct(col("band"), col("bh"))
+    val filter = Bloom.buildCol(small, key, bits, k)
+    // every small key passes against its own filter
+    assert(small.filter(!Bloom.mightContain(filter, key, bits, k))
+      .count() == 0)
+    val got = Bloom.pruneByKeys(large, key, small, key, bits, k)
+      .join(small, Seq("band", "bh"), "left_semi")
+      .select("v").as[Long].collect().toSet
+    val want = large.join(small, Seq("band", "bh"), "left_semi")
+      .select("v").as[Long].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
 }

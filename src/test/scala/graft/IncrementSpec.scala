@@ -357,4 +357,115 @@ class IncrementSpec extends SparkSpec {
     assert(gotC(30L).contains("p1") && gotC(30L).contains("p10"),
       s"retracted claims must stop stripping: $gotC")
   }
+
+  test("stateBloomBits prunes the state scans without changing a single " +
+      "verdict, claim, or admitted text (bit-identical parity)") {
+    import graft.operators.Curation
+    val passage = (1 to 10).map(i => s"q$i").mkString(" ")
+    val a = Seq(
+      1L -> (goodText("one") + " " + passage),
+      2L -> goodText("two"),
+      3L -> "short junk!!!")                    // quality reject
+    val b = Seq(
+      10L -> goodText("one"),                   // spans claimed by state 1
+      11L -> (goodText("two") + " appended"),   // near-dup of state 2
+      12L -> goodText("two"),                   // exact dup of state 2
+      13L -> (goodText("three") + " " + passage), // claimed passage strips
+      14L -> goodText("four"))                  // fresh → admitted
+    def run(bits: Option[Long]): (Map[Long, (Boolean, String, Long)],
+        Map[Long, String], Long) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_incr_bloom").toString
+      val cfg = IncrementConfig(minQualityE4 = 0, dedupWindowsW = Some(8),
+        stateBloomBits = bits)
+      Increment.curateIncrement(a.toDF("doc_id", "text"),
+        "doc_id", "text", dir, "b1", cfg)
+      val rb = Increment.curateIncrement(b.toDF("doc_id", "text"),
+        "doc_id", "text", dir, "b2", cfg)
+      val texts = rb.admitted.select("id", "text").as[(Long, String)]
+        .collect().toMap
+      val claims = spark.read.parquet(s"$dir/windows").count()
+      (verdictMap(Increment.readLedger(spark, dir)), texts, claims)
+    }
+    // a deliberately TINY filter (high fpp) still yields identical
+    // results — false positives only re-feed the exact joins
+    val (ledOff, txtOff, clOff) = run(None)
+    val (ledOn, txtOn, clOn) = run(Some(1L << 12))
+    assert(ledOn == ledOff, s"ledger diverged: $ledOn vs $ledOff")
+    assert(txtOn == txtOff, s"admitted texts diverged")
+    assert(clOn == clOff, s"window claims diverged: $clOn vs $clOff")
+    // the window stage runs FIRST, so state-claimed content strips
+    // before exact/minhash (11's goodText("two") prefix is claimed by
+    // state doc 2 — its remnant admits; 10 and 12 strip to twin
+    // remnants and exact-dedup within batch); direct state-near-dup
+    // bloom parity is pinned in ExtOperatorsSpec
+    assert(ledOn(11L)._2 == "admitted")
+    assert(ledOn.values.count(_._2 == "exact_dup") >= 1)
+    assert(ledOn(14L)._2 == "admitted")
+    assert(!txtOn(13L).contains("q1"), "claimed passage must strip")
+  }
+
+  test("compactStateTo folds the heavy tables into one base partition, " +
+      "keeps ledger/metrics verbatim, serves identically, and a torn " +
+      "compact (no marker) is loud-rerunnable") {
+    val passage = (1 to 10).map(i => s"c$i").mkString(" ")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_incr_compact_src").toString
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft_incr_compact_dst").toString + "/state"
+    val cfg = IncrementConfig(minQualityE4 = 0, dedupWindowsW = Some(8))
+    Increment.curateIncrement(
+      Seq(1L -> (goodText("one") + " " + passage), 2L -> goodText("two"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, "b1", cfg)
+    Increment.curateIncrement(
+      Seq(5L -> goodText("five"), 6L -> goodText("six"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, "b2", cfg)
+    Increment.compactStateTo(spark, dir, dest)
+    // heavy tables: exactly one base partition each
+    for (rel <- Seq("exact/keys", "windows", "minhash/bands",
+        "minhash/shingles")) {
+      val parts = spark.read.parquet(s"$dest/$rel")
+        .select("batch_id").distinct().as[String].collect().toSet
+      assert(parts == Set("base"), s"$rel partitions: $parts")
+      assert(spark.read.parquet(s"$dest/$rel").count() ==
+        spark.read.parquet(s"$dir/$rel").count(), s"$rel rows differ")
+    }
+    // audit trail verbatim
+    assert(verdictMap(Increment.readLedger(spark, dest)) ==
+      verdictMap(Increment.readLedger(spark, dir)))
+    assert(Increment.readMetrics(spark, dest)
+      .select("batch_id", "stage", "rows")
+      .as[(String, String, Long)].collect().toSet ==
+      Increment.readMetrics(spark, dir)
+        .select("batch_id", "stage", "rows")
+        .as[(String, String, Long)].collect().toSet)
+    // serving parity: the next increment sees the same state
+    val b3 = Seq(
+      10L -> goodText("two"),                     // exact dup of 2
+      11L -> (goodText("five") + " appended"),    // near-dup of 5
+      13L -> (goodText("seven") + " " + passage), // claimed passage strips
+      14L -> goodText("eight"))                   // fresh
+    def verdicts(state: String) = {
+      val r = Increment.curateIncrement(b3.toDF("doc_id", "text"),
+        "doc_id", "text", state, "b3", cfg)
+      (verdictMap(r.ledger),
+        r.admitted.select("id", "text").as[(Long, String)].collect().toMap)
+    }
+    val (ledSrc, txtSrc) = verdicts(dir)
+    val (ledDst, txtDst) = verdicts(dest)
+    assert(ledDst == ledSrc, s"$ledDst vs $ledSrc")
+    assert(txtDst == txtSrc)
+    assert(!txtDst(13L).contains("c1"), "compacted claims must strip")
+    // torn compact: marker missing ⇒ no state; rerun completes it
+    val dest2 = java.nio.file.Files
+      .createTempDirectory("graft_incr_compact_torn").toString + "/state"
+    Increment.compactStateTo(spark, dir, dest2)
+    val fsys = new org.apache.hadoop.fs.Path(dest2).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$dest2/minhash/meta"), true)
+    assert(!Increment.stateExists(spark, dest2))
+    Increment.compactStateTo(spark, dir, dest2)
+    assert(verdictMap(Increment.readLedger(spark, dest2)) ==
+      verdictMap(Increment.readLedger(spark, dir)))
+  }
 }

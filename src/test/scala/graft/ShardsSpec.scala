@@ -115,4 +115,50 @@ class ShardsSpec extends SparkSpec {
     }
     assert(err2.getMessage.contains("doc-span attribution"))
   }
+
+  test("epochShuffle: each epoch is a total permutation, epochs differ, " +
+      "reruns are identical, readers partition by residue class") {
+    import graft.operators.Curation
+    val docs = (0L until 500L).toDF("doc_id")
+    def order(epoch: Int) = Curation
+      .epochShuffle(docs, col("doc_id"), epoch, 4)
+      .select("doc_id", "epoch_pos", "read_shard")
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    val e0 = order(0)
+    // totality: positions are exactly 0..n-1
+    assert(e0.map(_._2).sorted.toSeq == (0L until 500L).toSeq)
+    // reader assignment is the position's residue class
+    assert(e0.forall(r => r._3 == (r._2 % 4).toInt))
+    // determinism: a rerun reproduces the identical permutation
+    assert(order(0).toSeq == e0.toSeq)
+    // a different epoch is a DIFFERENT permutation (overwhelmingly)
+    val e1 = order(1)
+    assert(e0.map(_._2).toSeq != e1.map(_._2).toSeq)
+    assert(e1.map(_._2).sorted.toSeq == (0L until 500L).toSeq)
+    // a different seed too
+    val es = Curation.epochShuffle(docs, col("doc_id"), 0, 4, "other")
+      .select("doc_id", "epoch_pos").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    assert(es.map(_._2).toSeq != e0.map(_._2).toSeq)
+  }
+
+  test("epochOrder covers committed sequences only, keyed by the " +
+      "(batch_id, seq_id) composite") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shards_epoch").toString
+    Shards.writePackedShards(packed(0 until 16, 0), dir, numShards = 4)
+    Shards.writePackedShards(packed(0 until 16, 1), dir, numShards = 4,
+      batchId = "b2")
+    // seq_ids COLLIDE across batches by construction; the composite key
+    // keeps them distinct rows with distinct positions
+    val e = Shards.epochOrder(spark, dir, 0, 4)
+    assert(e.count() == 32L)
+    assert(e.select("epoch_pos").distinct().count() == 32L)
+    // tear b2's marker: its sequences drop from the epoch plan
+    val fsys = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/meta/batch_id=b2"), true)
+    assert(Shards.epochOrder(spark, dir, 0, 4).count() == 16L)
+  }
 }
