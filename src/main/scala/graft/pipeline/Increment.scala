@@ -52,7 +52,8 @@ case class IncrementConfig(
     // funnel's langIdModel, same swap semantics)
     langIdModel: Option[graft.operators.TextStats.LangIdModel] = None,
     // Bloom-prune the accumulated-state scans (exact keys, window
-    // claims, minhash bands + shingles) with filters built over the
+    // claims, minhash bands + shingles, sem cell assignments) with
+    // filters built over the
     // BATCH side's keys: state rows that cannot match drop at the scan,
     // before the state-side shuffle, so each increment's join cost is
     // batch-proportional instead of corpus-proportional. Size at ~10
@@ -479,7 +480,8 @@ object Increment {
             .minhashCommitted(spark, s"$stateDir/minhash")
           val hits = Curation.semNearDupAgainstIndex(spark, semDir,
               nonzero.select("id", "v"), th,
-              excludeBatch = Some(batchId), restrictTo = Some(restrict))
+              excludeBatch = Some(batchId), restrictTo = Some(restrict),
+              bloomBits = cfg.stateBloomBits)
             .groupBy("id_new").agg(min(col("id_old")).as("__dup_of"))
             .select(col("id_new").as("id"), col("__dup_of"))
             .localCheckpoint(eager = true)
@@ -1397,7 +1399,8 @@ object Increment {
         val hits = Curation.semNearDupAgainstIndex(spark,
             s"$stateDir/sem",
             nonzero.select(col("id"), col("v")), cfg.thresholdE4,
-            excludeBatch = Some(batchId))
+            excludeBatch = Some(batchId),
+            bloomBits = cfg.stateBloomBits)
           .groupBy("id_new").agg(min(col("id_old")).as("__dup_of"))
           .select(col("id_new").as("id"), col("__dup_of"))
           .localCheckpoint(eager = true)

@@ -1074,4 +1074,61 @@ object Maintain {
         iters, warmCells, maxEntries)
     } finally vectors.unpersist()
   }
+
+  /** The operational sweep for INCREMENT STATE roots — the executable
+    * counterpart of [[decideAll]]'s advisory decisions under a
+    * `_family` sentinel. Every direct child of `root` that is an
+    * increment state is measured by its committed batch count (the
+    * marker family's meta partitions); states over `maxBatches`
+    * compact WHOLE — every family folded consistently via
+    * [[graft.pipeline.Increment.compactStateTo]] — into
+    * `destRoot/<name>_<token>`. Crash/rerun discipline: a dest whose
+    * marker committed is skipped ("already compacted"); a torn dest
+    * (no marker) re-compacts idempotently; reruns with the same token
+    * converge. The caller swaps each ingest pointer to the returned
+    * dest and decommissions the old root — compaction never mutates
+    * the source (increments may keep landing there until the swap).
+    */
+  def compactStates(spark: SparkSession, root: String, destRoot: String,
+                    token: String,
+                    maxBatches: Int = 16): Seq[Execution] = {
+    require(token.nonEmpty && !token.contains("/"),
+      s"compactStates: invalid token '$token'")
+    val f = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val kids = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+    kids.toSeq.flatMap { p =>
+      val name = p.getName
+      graft.pipeline.Increment.stateFamily(spark, p.toString).map { fam =>
+        val metaPath = new org.apache.hadoop.fs.Path(
+          s"$p/$fam/meta")
+        if (!f.exists(metaPath))
+          Execution(name, Decision(fam, "none", 0, maxBatches,
+            "no committed marker — nothing to compact"), None,
+            "uncommitted state — skipped")
+        else {
+          val batches = spark.read.parquet(metaPath.toString)
+            .select("batch_id").distinct().count()
+          if (batches <= maxBatches)
+            Execution(name, Decision(fam, "none", batches, maxBatches,
+              "within batch budget"), None, "no action needed")
+          else {
+            val dest = s"$destRoot/${name}_$token"
+            val d = Decision(fam, "compact", batches, maxBatches,
+              s"$batches committed batches > $maxBatches")
+            if (f.exists(new org.apache.hadoop.fs.Path(
+                s"$dest/$fam/meta")))
+              Execution(name, d, Some(dest),
+                "already compacted — rerun skip")
+            else {
+              graft.pipeline.Increment.compactStateTo(spark, p.toString,
+                dest)
+              Execution(name, d, Some(dest), "executed")
+            }
+          }
+        }
+      }
+    }
+  }
 }

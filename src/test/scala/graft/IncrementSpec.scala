@@ -377,6 +377,7 @@ class IncrementSpec extends SparkSpec {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_incr_bloom").toString
       val cfg = IncrementConfig(minQualityE4 = 0, dedupWindowsW = Some(8),
+        semDedupThresholdE4 = Some(9500L), semDim = 16,
         stateBloomBits = bits)
       Increment.curateIncrement(a.toDF("doc_id", "text"),
         "doc_id", "text", dir, "b1", cfg)

@@ -461,4 +461,52 @@ class MaintainSpec extends SparkSpec {
     assert(Maintain.bm25Decision(spark, bmDir, maxBatches = 2)
       .metric == 1L, "compaction must leave one base batch")
   }
+
+  test("compactStates sweeps increment roots: over-budget states " +
+      "compact whole into the dest root, within-budget skip, reruns " +
+      "converge, a torn dest re-compacts") {
+    import graft.pipeline.{Increment, IncrementConfig}
+    def goodText(salt: String): String =
+      s"the table row scan key " +
+        (1 to 24).map(i => s"$salt$i").mkString(" ") + " the a"
+    val root = tmpWarehouse("states")
+    val dest = tmpWarehouse("states_dst")
+    val cfg = IncrementConfig(minQualityE4 = 0)
+    // state A: three committed batches (over budget at maxBatches = 2)
+    for ((b, s) <- Seq("b1" -> "one", "b2" -> "two", "b3" -> "three"))
+      Increment.curateIncrement(
+        Seq(s.hashCode.toLong.abs -> goodText(s)).toDF("doc_id", "text"),
+        "doc_id", "text", s"$root/stateA", b, cfg)
+    // state B: one batch (within budget); a plain dir is ignored
+    Increment.curateIncrement(
+      Seq(9L -> goodText("nine")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$root/stateB", "b1", cfg)
+    new java.io.File(s"$root/not_a_state").mkdirs()
+    val ex = Maintain.compactStates(spark, root, dest, "t1",
+      maxBatches = 2)
+    assert(ex.map(e => e.db -> e.note).toMap ==
+      Map("stateA" -> "executed", "stateB" -> "no action needed"), ex)
+    val destA = s"$dest/stateA_t1"
+    def ledger(dir: String) = Increment.readLedger(spark, dir)
+      .select("id", "admitted", "reason")
+      .as[(Long, Boolean, String)].collect().toSet
+    assert(ledger(destA) == ledger(s"$root/stateA"))
+    assert(spark.read.parquet(s"$destA/exact/keys")
+      .select("batch_id").distinct().as[String].collect().toSet ==
+      Set("base"))
+    // rerun with the same token: completed dest skips
+    val ex2 = Maintain.compactStates(spark, root, dest, "t1",
+      maxBatches = 2)
+    assert(ex2.find(_.db == "stateA").get.note ==
+      "already compacted — rerun skip")
+    // torn dest (marker lost mid-compact): the rerun re-executes
+    val fsys = new org.apache.hadoop.fs.Path(destA).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$destA/minhash/meta"),
+      true)
+    val ex3 = Maintain.compactStates(spark, root, dest, "t1",
+      maxBatches = 2)
+    assert(ex3.find(_.db == "stateA").get.note == "executed")
+    assert(ledger(destA) == ledger(s"$root/stateA"))
+  }
 }

@@ -370,7 +370,12 @@ class PlanContractSpec extends SparkSpec {
       "q168_special_roundtrip",
       // q171 is q163's packing with span attribution — same prefix-sum
       // triangular offset join
-      "q171_packed_spans")
+      "q171_packed_spans",
+      // q172's epoch permutation ranks via globalRank: the per-range-
+      // partition offset frame (≤ #partitions rows both sides,
+      // broadcast) joins triangularly — the q163/q168 shape; the
+      // corpus-sized stream only hash-joins on __pid
+      "q172_epoch_shuffle")
     val singlePartAllowed = Set(
       "q20_decile_bucketing", // 1-row scalar max
       // global reductions over pre-bounded inputs: the ≤64-row HLL
