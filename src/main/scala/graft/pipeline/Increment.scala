@@ -51,6 +51,29 @@ case class IncrementConfig(
     // language gate from an EXTERNAL char-n-gram artifact (the batch
     // funnel's langIdModel, same swap semantics)
     langIdModel: Option[graft.operators.TextStats.LangIdModel] = None,
+    // per-row Gopher quality rules — folded into the quality stage
+    // exactly like the funnel (one "quality" reject reason, the words
+    // array computed once)
+    gopherRules: Option[graft.operators.TextStats.GopherConfig] = None,
+    // fastText-style classifier gate threshold (e6 P(keep)); active
+    // only when curateIncrement is given classifierModel
+    minClassifierPE6: Long = 500000L,
+    // external ARPA/KenLM reference-perplexity bound; active only when
+    // curateIncrement is given arpaModel. The funnel's POOL-RELATIVE
+    // gates (self-trained LM bound, CCNet ppl buckets, DSIR selection)
+    // are deliberately NOT increment stages: a small batch cannot
+    // self-train a meaningful model, and batch-relative terciles drift
+    // with every increment — run those in the periodic full re-curation
+    // instead; external-model gates (this one, the classifier, langid)
+    // judge each doc identically at any batch size.
+    maxArpaE4: Option[Long] = None,
+    // intra-doc line dedup (the funnel's rewrite stage — docs are
+    // cleaned, never rejected)
+    dedupLinesWithinDocs: Boolean = false,
+    // benchmark-decontamination gram size; active only when
+    // curateIncrement is given a benchmark frame (the funnel's terminal
+    // gate, same position: after every dedup stage, before admission)
+    decontamGramN: Int = 8,
     // Bloom-prune the accumulated-state scans (exact keys, window
     // claims, minhash bands + shingles, sem cell assignments) with
     // filters built over the
@@ -292,7 +315,17 @@ object Increment {
 
   def curateIncrement(batch: DataFrame, idCol: String, textCol: String,
                       stateDir: String, batchId: String,
-                      cfg: IncrementConfig = IncrementConfig())
+                      cfg: IncrementConfig = IncrementConfig(),
+                      // the funnel's external-model gates, same shapes:
+                      // a trained Classifier.Model for the
+                      // minClassifierPE6 gate, a parsed ARPA model for
+                      // maxArpaE4, and a (frame, textCol) benchmark for
+                      // decontamination — each None = stage off
+                      classifierModel: Option[
+                        graft.operators.Classifier.Model] = None,
+                      arpaModel: Option[
+                        graft.operators.TextStats.ArpaModel] = None,
+                      benchmark: Option[(DataFrame, String)] = None)
       : IncrementResult = {
     require(batchId.nonEmpty && batchId != "base" &&
         batchId != "__HIVE_DEFAULT_PARTITION__",
@@ -336,10 +369,17 @@ object Increment {
     val scored = TextStats.langGateCols(
       input.withColumn("__w", Dedup.normalizeWords(col("text"))),
       col("text"), col("__w"), cfg.langIdModel)
-    var filtered = scored
+    var quality = scored
       .withColumn("__q", TextStats.qualityScore(col("text"), col("__w")))
       .filter(col("__q") >= cfg.minQualityE4 &&
         col("__lang").isInCollection(cfg.keepLangs))
+    // optional Gopher-rule gate — same pass and same "quality" reject
+    // reason as the funnel, reusing the words array
+    for (g <- cfg.gopherRules)
+      quality = quality.filter(
+        TextStats.gopherFlags(col("text"), col("__w"), g)
+          .getField("pass"))
+    var filtered = quality
       .select(col("id"), col("text"))
       .localCheckpoint(eager = true)
     stage("quality", filtered.count())
@@ -352,6 +392,35 @@ object Increment {
         .localCheckpoint(eager = true)
       stage("repetition", filtered.count())
       rejectAnti(pre, filtered, "repetition")
+    }
+    // ---- the funnel's external-model gates, in its stage order ---------
+    for (m <- classifierModel) {
+      val pre = filtered
+      filtered = pre.join(
+          graft.operators.Classifier.score(pre, "id", "text", m)
+            .filter(col("p_e6") >= cfg.minClassifierPE6)
+            .select(col("id")), Seq("id"))
+        .localCheckpoint(eager = true)
+      stage("classifier_gate", filtered.count())
+      rejectAnti(pre, filtered, "classifier")
+    }
+    for (bound <- cfg.maxArpaE4; m <- arpaModel) {
+      val pre = filtered
+      val tabs = TextStats.arpaTablesN(spark, m)
+      filtered = pre.join(
+          TextStats.arpaCrossEntropyN(pre, "id", "text", tabs, m.unkLp)
+            .filter(col("arpa_e4") <= bound)
+            .select(col("id")), Seq("id"))
+        .localCheckpoint(eager = true)
+      stage("arpa_gate", filtered.count())
+      rejectAnti(pre, filtered, "arpa")
+    }
+    // ---- optional intra-doc line dedup (rewrite, never a reject) --------
+    if (cfg.dedupLinesWithinDocs) {
+      filtered = Curation.dedupLines(filtered, "id", "text")
+        .select(col("id"), col("cleaned_text").as("text"))
+        .localCheckpoint(eager = true)
+      stage("line_dedup", filtered.count())
     }
 
     // ---- optional SUBSTRING-DEDUP stage (the funnel's window_dedup,
@@ -507,7 +576,24 @@ object Increment {
       stage("semantic", adm.count())
       (adm, nonzero, centroids, haveSem)
     }
-    val admitted = semPieces.map(_._1).getOrElse(afterMh)
+    // ---- optional benchmark decontamination (the funnel's terminal
+    // gate, same position: after every dedup stage, before admission) ----
+    val afterSem = semPieces.map(_._1).getOrElse(afterMh)
+    val admitted = benchmark match {
+      case None => afterSem
+      case Some((bench, btCol)) =>
+        val flags = Curation.contaminationFlags(afterSem, "id", "text",
+          bench, btCol, cfg.decontamGramN)
+        val clean = afterSem.join(
+            flags.filter(!col("contaminated")).select(col("id")),
+            Seq("id"))
+          .localCheckpoint(eager = true)
+        rejectPiece(flags.filter(col("contaminated")).select(col("id"))
+          .withColumn("__dup_of", lit(null).cast("long")),
+          "decontaminated")
+        stage("decontaminated", clean.count())
+        clean
+    }
     led += admitted.select(col("id"), lit(true).as("admitted"),
         lit("admitted").as("reason"), col("id").as("dup_of"))
       .localCheckpoint(eager = true)
@@ -530,9 +616,11 @@ object Increment {
       writeExactKeys(admitted, s"$stateDir/exact", batchId)
       writer(ledger, s"$stateDir/ledger")
       writer(counts.toSeq.toDF("stage", "rows"), s"$stateDir/metrics")
-      semPieces.foreach { case (adm, nonzero, centroids, haveSem) =>
+      semPieces.foreach { case (_, nonzero, centroids, haveSem) =>
+        // semi-join the FINAL admitted set, not the sem stage's: a doc
+        // decontaminated after sem must not leave vectors in the state
         val admNonzero = nonzero
-          .join(adm.select("id"), Seq("id"), "left_semi")
+          .join(admitted.select("id"), Seq("id"), "left_semi")
           .select("id", "v")
         if (haveSem)
           Curation.appendSemVectors(spark, s"$stateDir/sem", admNonzero,

@@ -30,7 +30,8 @@ import graft.operators.{Dedup, TextStats}
 object CurateStream {
 
   /** `reason`: "c4" | "quality" | "repetition" | "classifier" | "ppl" |
-    * "arpa" | "exact_dup" | "near_dup" | "admitted". `dup_of` = lineage
+    * "arpa" | "decontaminated" | "exact_dup" | "near_dup" | "admitted".
+    * `dup_of` = lineage
     * parent for the dup reasons, else the doc's own id.
     */
   case class GateVerdict(id: Long, admitted: Boolean, reason: String,
@@ -62,6 +63,40 @@ object CurateStream {
   case class ArpaGate(model: graft.operators.TextStats.ArpaModel,
                       maxE4: Long)
 
+  /** Benchmark-decontamination gate: the stream half of the batch
+    * funnel's terminal `decontaminated` stage. The eval set ships as
+    * its COLLECTED distinct word n-grams (eval sets are bounded — the
+    * funnel broadcasts the same table; [[DecontamGate.fromBenchmark]]
+    * builds it), and each doc tests gram overlap per row, join-free.
+    *
+    * DELIBERATE ordering divergence (spec-pinned): the batch funnel
+    * decontaminates AFTER dedup, so a contaminated doc can serve as a
+    * dedup canonical before being dropped; the stream gates it BEFORE
+    * the dedup states — eval content must never become a standing
+    * canonical that keeps rejecting honest near-twins forever. The two
+    * forms differ exactly when a contaminated doc would have shadowed
+    * a later twin.
+    */
+  case class DecontamGate(grams: Seq[String], n: Int = 8) {
+    require(n >= 1, s"DecontamGate: n ($n) must be positive")
+  }
+
+  object DecontamGate {
+    /** Collect the benchmark's distinct n-grams (the funnel's broadcast
+      * side, materialized once at stream start).
+      */
+    def fromBenchmark(benchmark: org.apache.spark.sql.DataFrame,
+                      textCol: String, n: Int = 8): DecontamGate =
+      DecontamGate(
+        graft.core.Ops.widen(benchmark)
+          .select(graft.operators.Dedup.normalizeWords(col(textCol))
+            .as("__w"))
+          .select(explode(graft.operators.Curation
+            .wordNgrams(col("__w"), n)).as("gram"))
+          .distinct().as[String](org.apache.spark.sql.Encoders.STRING)
+          .collect().toSeq, n)
+  }
+
   case class GateConfig(minQualityE4: Long = 4000,
                         keepLangs: Set[String] = Set("alpha", "beta", "gamma"),
                         // stateless Gopher repetition gate via the
@@ -74,6 +109,11 @@ object CurateStream {
                         // the batch c4Clean semantics) before anything
                         // else sees the text
                         c4Clean: Boolean = false,
+                        // per-row Gopher quality rules — folded into
+                        // the quality verdict (one "quality" reason,
+                        // the batch funnel's fold)
+                        gopherRules: Option[
+                          graft.operators.TextStats.GopherConfig] = None,
                         // stateless classifier gate via Classifier
                         // .scoreExpr (exact batch-score parity)
                         classifier: Option[graft.operators.Classifier.Model] = None,
@@ -88,6 +128,10 @@ object CurateStream {
                         // the same score-0 coalesce BOTH sides share, so
                         // batch/stream parity is exact
                         arpa: Option[ArpaGate] = None,
+                        // benchmark decontamination via the collected
+                        // eval-gram set (see [[DecontamGate]] — incl.
+                        // the deliberate before-dedup ordering)
+                        decontam: Option[DecontamGate] = None,
                         bands: Int = 4, rowsPerBand: Int = 3,
                         thresholdE4: Long = 8000, maxPerBucket: Int = 1024,
                         // language gate from an EXTERNAL char-n-gram
@@ -128,10 +172,16 @@ object CurateStream {
     val scored = TextStats.langGateCols(
       base.withColumn("__w", Dedup.normalizeWords(col("text"))),
       col("text"), col("__w"), cfg.langIdModel)
+    // optional Gopher-rule gate folds into the quality verdict exactly
+    // like the batch funnel (one "quality" reason, words computed once)
+    val gopherPass = cfg.gopherRules
+      .map(g => TextStats.gopherFlags(col("text"), col("__w"), g)
+        .getField("pass"))
+      .getOrElse(lit(true))
     val flagged = scored
       .withColumn("__q", TextStats.qualityScore(col("text"), col("__w")))
       .withColumn("__pass", col("__q") >= cfg.minQualityE4 &&
-        col("__lang").isInCollection(cfg.keepLangs))
+        col("__lang").isInCollection(cfg.keepLangs) && gopherPass)
 
     val qualityRejects = flagged.filter(!col("__pass"))
       .select(col("id"))
@@ -212,9 +262,25 @@ object CurateStream {
               dup_of = id))))
     }
 
+    // ---- optional stateless decontamination gate ------------------------
+    // BEFORE the dedup states, deliberately (see [[DecontamGate]])
+    val (postDecon, deconRejects) = cfg.decontam match {
+      case None => (postArpa, None)
+      case Some(dg) =>
+        val s = postArpa.withColumn("__contam",
+          arrays_overlap(
+            graft.operators.Curation.wordNgrams(
+              Dedup.normalizeWords(col("text")), dg.n),
+            typedlit(dg.grams)))
+        (s.filter(!col("__contam")).select(col("id"), col("text")),
+          Some(s.filter(col("__contam")).select(col("id")).as[Long]
+            .map(id => GateVerdict(id, admitted = false,
+              reason = "decontaminated", dup_of = id))))
+    }
+
     // ---- exact dedup on the content hash -------------------------------
     val tagged = StatefulDedup.firstPerKeyTagged(
-      postArpa
+      postDecon
         .select(md5(col("text")).as("h"),
           struct(col("id"), col("text")).as("doc"))
         .as[(String, (Long, String))],
@@ -242,6 +308,7 @@ object CurateStream {
     val withRep = repRejects.fold(withC4)(withC4.unionByName(_))
     val withCls = classifierRejects.fold(withRep)(withRep.unionByName(_))
     val withPpl = pplRejects.fold(withCls)(withCls.unionByName(_))
-    arpaRejects.fold(withPpl)(withPpl.unionByName(_))
+    val withArpa = arpaRejects.fold(withPpl)(withPpl.unionByName(_))
+    deconRejects.fold(withArpa)(withArpa.unionByName(_))
   }
 }

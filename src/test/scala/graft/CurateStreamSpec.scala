@@ -399,4 +399,42 @@ class CurateStreamSpec extends SparkSpec {
     val lax = run(admitUnscored = true, "curate_gate_ppl_unscored1")
     assert(lax(7L) === ((true, "admitted")))
   }
+
+  test("gate with gopherRules + decontam: gopher folds into the quality " +
+      "verdict, eval-gram overlap rejects BEFORE dedup (a twin of a " +
+      "contaminated doc admits — the pinned ordering divergence)") {
+    import org.apache.spark.sql.functions.col
+    val passage = (1 to 10).map(i => s"ev$i").mkString(" ")
+    val bench = Seq("bench prelude " + passage).toDF("btext")
+    val cfg = CurateStream.GateConfig(minQualityE4 = 0,
+      gopherRules = Some(graft.operators.TextStats.GopherConfig(
+        minWords = 5, minStopHits = 1, minMeanLenE4 = 10000)),
+      decontam = Some(CurateStream.DecontamGate
+        .fromBenchmark(bench, "btext", 8)))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = CurateStream.gate(input.toDF().toDF("id", "text"),
+        "id", "text", cfg)
+      .writeStream.format("memory").queryName("curate_gate_decon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        1L -> goodText("one"),                      // admitted
+        2L -> "zz yy xx",                           // gopher → quality
+        3L -> (goodText("two") + " " + passage))    // contaminated
+      q.processAllAvailable()
+      input.addData(
+        // near-twin of the CONTAMINATED doc 3: in the batch funnel doc 3
+        // would be its dedup canonical; the stream never let 3 into the
+        // dedup state, so 4 admits — the documented divergence
+        4L -> (goodText("two") + " freshtail"))
+      q.processAllAvailable()
+      val got = spark.table("curate_gate_decon")
+        .as[CurateStream.GateVerdict].collect()
+        .map(v => v.id -> ((v.admitted, v.reason))).toMap
+      assert(got(1L) === ((true, "admitted")))
+      assert(got(2L) === ((false, "quality")))
+      assert(got(3L) === ((false, "decontaminated")))
+      assert(got(4L) === ((true, "admitted")))
+    } finally q.stop()
+  }
 }

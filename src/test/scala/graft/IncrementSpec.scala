@@ -406,6 +406,74 @@ class IncrementSpec extends SparkSpec {
     assert(!txtOn(13L).contains("q1"), "claimed passage must strip")
   }
 
+  test("the funnel's stateless gates (gopher, classifier, arpa, " +
+      "decontamination, line dedup) run in the increment with identical " +
+      "verdicts on a first batch") {
+    import graft.operators.{Classifier, TextStats}
+    import graft.pipeline.{Curate, CurateConfig}
+    val fluent = "the table row scan key " +
+      Seq.fill(12)("the table row scan key").flatMap(_.split(" "))
+        .mkString(" ") + " the a"
+    val spamText = "buy now cheap pills " +
+      (1 to 12).map(i => s"offer$i").mkString(" ") + " the deal"
+    // classifier trained on labeled exemplars: fluent-like positive,
+    // spam-like negative
+    val labeled = (
+      (1 to 4).map(i => (100L + i, fluent + s" p$i", 1)) ++
+      (1 to 4).map(i => (200L + i, spamText + s" n$i", 0))
+    ).toDF("doc_id", "text", "y")
+    val model = Classifier.train(labeled, "doc_id", "text", "y",
+      dim = 64, iters = 8, lrE6 = 500000L)
+    val arpa = TextStats.parseArpa(
+      "\\data\\\nngram 1=6\nngram 2=4\n\n\\1-grams:\n" +
+        "-0.7 the -0.2\n-0.9 table -0.2\n-0.9 row -0.2\n-0.9 scan\n" +
+        "-0.9 key\n-2.0 <unk>\n\n\\2-grams:\n" +
+        "-0.3 the table\n-0.3 table row\n-0.3 row scan\n-0.3 scan key\n" +
+        "\n\\end\\\n")
+    val passage5 = "the secret eval passage tokens appear here exactly now"
+    val benchmark = Seq("benchmark prelude " + passage5).toDF("btext")
+    val docs = Seq(
+      1L -> (fluent + " unique1 tail"),   // admitted
+      2L -> "zz yy xx",                   // gopher minWords → quality
+      3L -> spamText,                     // classifier
+      4L -> goodText("four"),             // salted tokens = unk → arpa
+      5L -> (fluent + " " + passage5))    // shares the benchmark 8-gram
+      .toDF("doc_id", "text")
+    val gopher = TextStats.GopherConfig(minWords = 5, minStopHits = 1,
+      minMeanLenE4 = 10000)
+    def vmap(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "admitted", "reason")
+        .as[(Long, Boolean, String)].collect()
+        .map(v => v._1 -> ((v._2, v._3))).toMap
+    val funnel = Curate.run(docs, "doc_id", "text", benchmark, "btext",
+      CurateConfig(minQualityE4 = 0, gopherRules = Some(gopher),
+        maxArpaE4 = Some(30000L), dedupLinesWithinDocs = true,
+        emitLedger = true),
+      classifierModel = Some(model), arpaModel = Some(arpa))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_incr_gates").toString
+    val r = Increment.curateIncrement(docs, "doc_id", "text", dir, "b1",
+      IncrementConfig(minQualityE4 = 0, gopherRules = Some(gopher),
+        maxArpaE4 = Some(30000L), dedupLinesWithinDocs = true),
+      classifierModel = Some(model), arpaModel = Some(arpa),
+      benchmark = Some((benchmark, "btext")))
+    val got = vmap(r.ledger)
+    assert(got == vmap(funnel.ledger.get), s"$got vs funnel")
+    assert(got(1L) == ((true, "admitted")))
+    assert(got(2L) == ((false, "quality")))
+    assert(got(3L) == ((false, "classifier")))
+    assert(got(4L) == ((false, "arpa")))
+    assert(got(5L) == ((false, "decontaminated")))
+    funnel.chunks.unpersist()
+    // the line-dedup rewrite is the funnel's: admitted text equals
+    // Curation.dedupLines on the same doc
+    val want = graft.operators.Curation
+      .dedupLines(Seq(1L -> (fluent + " unique1 tail"))
+        .toDF("id", "text"), "id", "text")
+      .select("cleaned_text").as[String].head()
+    assert(r.admitted.select("text").as[String].head() == want)
+  }
+
   test("compactStateTo folds the heavy tables into one base partition, " +
       "keeps ledger/metrics verbatim, serves identically, and a torn " +
       "compact (no marker) is loud-rerunnable") {
