@@ -39,6 +39,14 @@ object CurateImages {
       maxPixels: Long = 64L << 20,
       maxHamming: Int = 3,
       nBands: Int = 4,
+      // optional SEMANTIC stage (SemDeDup over block-mean embeddings,
+      // [[graft.operators.Multimodal.imageSemDedupVictims]]) after the
+      // pHash near-dup stage — lexical/perceptual dedup first, semantic
+      // on the survivors, the text funnel's ordering. None = off.
+      semDedupThresholdE4: Option[Long] = None,
+      semGrid: Int = 8,
+      semCentroidEvery: Int = 25,
+      semNassign: Int = 2,
       emitLedger: Boolean = false,
       // stage-checkpointed RESUMABLE funnel (the Curate.run discipline):
       // stage frames and ledger pieces publish through the commit-marker
@@ -53,7 +61,7 @@ object CurateImages {
   /** `kept` — surviving (media_id, phash); `stageCounts` — rows
     * surviving each stage in order; `ledger` — one verdict per INPUT
     * image when `emitLedger` (reasons: undecodable | exact_dup |
-    * near_dup | admitted).
+    * near_dup | sem_dup | admitted).
     */
   case class ImageCurateResult(kept: DataFrame,
                                stageCounts: Seq[(String, Long)],
@@ -181,16 +189,47 @@ object CurateImages {
         compM.close(); pairsM.close()
         k
       }
+
+    // ---- optional SEMANTIC stage (SemDeDup over block-mean embeddings,
+    // the text funnel's sem_dup position: lexical dedup first, semantic
+    // on what survives). The embedding pass decodes ONLY the survivors —
+    // under the checkpoint store it is resume-skippable like any stage.
+    val semKept = cfg.semDedupThresholdE4 match {
+      case None => kept
+      case Some(th) =>
+        if (ck.on && ck.resolved("img_sem") &&
+            (!cfg.emitLedger || ck.resolved("img_led_sem_dup"))) {
+          val k = ck.read("img_sem")
+          counts += (("sem_dup", k.count()))
+          if (cfg.emitLedger) led += ck.read("img_led_sem_dup")
+          k
+        } else {
+          val survRecs = media.toDF()
+            .join(kept.select("media_id"), Seq("media_id"), "left_semi")
+            .as[Multimodal.MediaRecord]
+          val vM = Multimodal.imageSemDedupVictimsManaged(survRecs,
+            cfg.semGrid, th, cfg.semCentroidEvery, cfg.semNassign)
+          val k = stageDF("img_sem")(kept.join(
+            vM.df.select(col("id").as("media_id")),
+            Seq("media_id"), "left_anti"))
+          counts += (("sem_dup", k.count()))
+          reject(vM.df.select(col("id").as("media_id"),
+            col("kept_id").as("__dup_of")), "sem_dup")
+          vM.close()
+          k
+        }
+    }
     val ledger =
       if (!cfg.emitLedger) None
       else {
-        val admitted = kept.select(col("media_id").cast("long").as("id"),
-          lit(true).as("admitted"), lit("admitted").as("reason"),
-          col("media_id").cast("long").as("dup_of"))
+        val admitted = semKept
+          .select(col("media_id").cast("long").as("id"),
+            lit(true).as("admitted"), lit("admitted").as("reason"),
+            col("media_id").cast("long").as("dup_of"))
         Some(led.foldLeft(admitted)(_ unionByName _)
           .localCheckpoint(eager = true))
       }
     hashed.unpersist(); decoded.unpersist(); exact.unpersist()
-    ImageCurateResult(kept, counts.toSeq, ledger)
+    ImageCurateResult(semKept, counts.toSeq, ledger)
   }
 }

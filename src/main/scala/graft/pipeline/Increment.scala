@@ -701,7 +701,21 @@ object Increment {
                                   // [[IncrementConfig.stateBloomBits]]:
                                   // prunes the exact-key and pHash band
                                   // state scans batch-proportional
-                                  stateBloomBits: Option[Long] = None)
+                                  stateBloomBits: Option[Long] = None,
+                                  // optional SEMANTIC stage: SemDeDup
+                                  // over block-mean embeddings
+                                  // ([[graft.operators.Multimodal
+                                  // .imageEmbeddings]]) against a sem
+                                  // sub-state under the pHash marker —
+                                  // the text increment's
+                                  // semDedupThresholdE4 pattern, incl.
+                                  // its enable-from-batch-N semantics
+                                  // (docs admitted before enablement
+                                  // were never embedded)
+                                  semDedupThresholdE4: Option[Long] = None,
+                                  semGrid: Int = 8,
+                                  semCentroidEvery: Int = 25,
+                                  semNassign: Int = 2)
 
   /** Image state exists iff the pHash index has a meta commit marker. */
   def imageStateExists(spark: SparkSession, stateDir: String): Boolean =
@@ -840,15 +854,84 @@ object Increment {
       .localCheckpoint(eager = true)
     compM.close(); pairsM.close()
     rejectPiece(victims, "near_dup")
-    val admitted = afterOld
+    val afterMh = afterOld
       .join(victims.select("id"), Seq("id"), "left_anti")
       .localCheckpoint(eager = true)
-    stage("near_dup", admitted.count())
+    stage("near_dup", afterMh.count())
+
+    // ---- optional SEMANTIC stage: SemDeDup over block-mean embeddings
+    // against a sem SUB-state (reads restricted to pHash-committed
+    // batches — the increment's one authoritative marker), then within
+    // batch — the text increment's sem pattern, image modality
+    val semPieces = cfg.semDedupThresholdE4.map { th =>
+      val semDir = s"$stateDir/sem"
+      val haveSem = haveState && fs(spark, stateDir).exists(
+        new org.apache.hadoop.fs.Path(s"$semDir/meta"))
+      val dim = cfg.semGrid * cfg.semGrid
+      val (semCe, semNa) =
+        if (!haveSem) (cfg.semCentroidEvery, cfg.semNassign)
+        else {
+          val (ce, na, pdim) = Curation.readSemMeta(spark, semDir)
+          require(pdim == 0 || pdim == dim,
+            s"curateImageIncrement: semGrid ${cfg.semGrid} (dim $dim) " +
+              s"!= pinned sem sub-state dim $pdim at $semDir")
+          (ce, na)
+        }
+      // embed ONLY the surviving pool (never re-decode rejects)
+      val survRecs = batch.toDF()
+        .join(afterMh.select(col("id").as("media_id")), Seq("media_id"),
+          "left_semi")
+        .as[graft.operators.Multimodal.MediaRecord]
+      val nonzero = graft.operators.Multimodal
+        .imageEmbeddings(survRecs, cfg.semGrid, maxPixels = cfg.maxPixels)
+        .filter(expr("aggregate(v, 0D, (a, x) -> a + x * x)") > lit(0.0))
+        .localCheckpoint(eager = true)
+      val centroids =
+        if (haveSem)
+          spark.read.parquet(s"$semDir/centroids")
+            .select(col("cid").as("id"), col("cv").as("v"))
+        else Curation.semCentroidSample(nonzero.select("id", "v"),
+          semCe).localCheckpoint(eager = true)
+      val afterSemState =
+        if (!haveSem) afterMh
+        else {
+          val restrict = spark.read.parquet(s"$stateDir/phash/meta")
+            .select("batch_id").distinct()
+          val hits = Curation.semNearDupAgainstIndex(spark, semDir,
+              nonzero.select("id", "v"), th,
+              excludeBatch = Some(batchId), restrictTo = Some(restrict),
+              bloomBits = cfg.stateBloomBits)
+            .groupBy("id_new").agg(min(col("id_old")).as("__dup_of"))
+            .select(col("id_new").as("id"), col("__dup_of"))
+            .localCheckpoint(eager = true)
+          rejectPiece(hits, "sem_dup")
+          afterMh.join(hits.select("id"), Seq("id"), "left_anti")
+            .localCheckpoint(eager = true)
+        }
+      val survNonzero = nonzero
+        .join(afterSemState.select("id"), Seq("id"), "left_semi")
+      val pm = graft.operators.Similarity.ivfNearDupPairsManaged(
+        survNonzero.select("id", "v"), centroids, th / 10000.0, semNa)
+      val cm = Dedup.connectedComponentsManaged(
+        pm.df.select("idA", "idB"))
+      val svict = cm.df.filter(col("id") =!= col("label"))
+        .select(col("id"), col("label").as("__dup_of"))
+        .localCheckpoint(eager = true)
+      cm.close(); pm.close()
+      rejectPiece(svict, "sem_dup")
+      val adm = afterSemState
+        .join(svict.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(eager = true)
+      stage("semantic", adm.count())
+      (adm, nonzero, centroids, haveSem)
+    }
+    val admitted = semPieces.map(_._1).getOrElse(afterMh)
     led += admitted.select(col("id"), lit(true).as("admitted"),
         lit("admitted").as("reason"), col("id").as("dup_of"))
       .localCheckpoint(eager = true)
 
-    // persist: keys → ledger → metrics → pHash META (the marker)
+    // persist: keys → ledger → metrics → (sem sub-state) →
+    // pHash META (the marker)
     val ledger = led.reduce(_ unionByName _)
       .select(col("id"), col("admitted"), col("reason"), col("dup_of"))
       .localCheckpoint(eager = true)
@@ -864,6 +947,17 @@ object Increment {
         s"$stateDir/exact", batchId)
       writer(ledger, s"$stateDir/ledger")
       writer(counts.toSeq.toDF("stage", "rows"), s"$stateDir/metrics")
+      semPieces.foreach { case (_, nonzero, centroids, haveSem) =>
+        val admNonzero = nonzero
+          .join(admitted.select("id"), Seq("id"), "left_semi")
+          .select("id", "v")
+        if (haveSem)
+          Curation.appendSemVectors(spark, s"$stateDir/sem", admNonzero,
+            batchId)
+        else
+          Curation.writeSemIndex(admNonzero, centroids, s"$stateDir/sem",
+            cfg.semCentroidEvery, cfg.semNassign, batchId)
+      }
       if (haveState)
         graft.operators.Multimodal.appendPhashSigs(spark,
           s"$stateDir/phash", admitted.select("id", "phash"), batchId)
@@ -1680,7 +1774,10 @@ object Increment {
     * embedding root's centroid table is unpartitioned).
     */
   private def copyTrees(family: String): Seq[String] = family match {
-    case "minhash" => Seq("ledger", "metrics", "sem")
+    // text and image funnel states can carry a sem SUB-state (its own
+    // meta ∩ the marker's committed set governs serving — both survive
+    // because the dest marker keeps every original batch id)
+    case "minhash" | "phash" => Seq("ledger", "metrics", "sem")
     case "sem" => Seq("ledger", "metrics", "sem/centroids")
     case _ => Seq("ledger", "metrics")
   }

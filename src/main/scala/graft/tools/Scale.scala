@@ -1407,6 +1407,51 @@ object Scale {
             .groupBy("reason").agg(count(lit(1)).as("docs")),
           Seq.empty))
       }
+      if (onlyRows.forall(_.exists("img_incr_sem_2pct".startsWith))) {
+        // round-16: the image increment with the SEMANTIC stage on —
+        // state seeded OUTSIDE timing (bootstrap decodes, pHash-indexes
+        // and sem-indexes a quarter of the Nx corpus as unique noise
+        // images); the timed row runs a ~2% batch of RE-GRAINS (same
+        // base pixels + a fresh ±20 noise field: block-mean cosine
+        // ~0.96 to the original, pHash hamming typically > 3 — the
+        // regime the sem stage exists for) through the full funnel.
+        // Cost shape: batch decode+embed is batch-linear; the sem probe
+        // is centroid-routed (broadcast assign + one shared-cell join
+        // against committed vectors).
+        import spark.implicits._
+        def mixb(a: Long, b: Long): Long = {
+          var z = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z ^ (z >>> 27)
+        }
+        def img(id: Long, base: Long, grain: Long) =
+          graft.operators.Multimodal.MediaRecord(id,
+            graft.operators.Multimodal.encodeGrayPixelsPng(16, 16,
+              Array.tabulate(256) { p =>
+                val b = (mixb(base, p.toLong) & 0xffL).toInt
+                val nz =
+                  if (grain == 0L) 0
+                  else ((mixb(grain, p.toLong) % 41L) - 20L).toInt
+                math.max(0, math.min(255, b + nz))
+              }), "image/png")
+        val sdir = java.nio.file.Files
+          .createTempDirectory(s"graft_iincr_$n").toString
+        val cfgI = graft.pipeline.Increment.ImageIncrementConfig(
+          semDedupThresholdE4 = Some(9000L), semGrid = 8,
+          semCentroidEvery = 100)
+        graft.pipeline.Increment.curateImageIncrement(
+          d.filter(col("doc_id") % 4 === 0).select(col("doc_id"))
+            .as[Long].map(id => img(id, id, 0L)),
+          sdir, "seed", cfgI)
+        val batchI = d.filter(col("doc_id") % 200 === 0)
+          .select(col("doc_id")).as[Long]
+          .map(id => img(id + 500000000L, id, id + 77L))
+        run("img_incr_sem_2pct", n)(graft.core.Managed(
+          graft.pipeline.Increment.curateImageIncrement(batchI, sdir,
+              "sweep", cfgI).ledger
+            .groupBy("reason").agg(count(lit(1)).as("docs")),
+          Seq.empty))
+      }
       if (onlyRows.forall(_.exists("embed_incr_2pct".startsWith))) {
         // the embedding increment vs persisted semantic state: state
         // seeded OUTSIDE timing (bootstrap over the Nx vector corpus);

@@ -130,4 +130,44 @@ class CurateImagesSpec extends SparkSpec {
       assert(got == Seq(true)) // the stream gate admits the marker
     } finally q.stop()
   }
+
+  test("image funnel SEMANTIC stage: a re-grained copy survives pHash " +
+      "near-dup and falls to sem_dup with the canonical's lineage") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRecord
+    import graft.pipeline.CurateImages
+    def wv(f: Int, x: Int): Int =
+      math.round(10.0 * math.cos(math.Pi * 2 * f * x / 16)).toInt
+    def noise(id: Long, x: Int, y: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$x:$y".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 41L).toInt - 20
+    }
+    def scene(id: Long, pattern: Long): MediaRecord = {
+      val fx = (pattern % 3).toInt + 1
+      val fy = ((pattern / 3) % 3).toInt + 1
+      MediaRecord(id, Multimodal.encodeGrayPixelsPng(16, 16,
+        Array.tabulate(256) { p =>
+          val (x, y) = (p % 16, p / 16)
+          128 + wv(fx, x) * wv(fy, y) + noise(id, x, y)
+        }), "image/png")
+    }
+    val media = Seq(scene(1L, 1), scene(2L, 1), // re-grain pair
+      scene(5L, 2)).toDS()                       // orthogonal scene
+    val res = CurateImages.run(media,
+      CurateImages.ImageCurateConfig(semDedupThresholdE4 = Some(9000L),
+        semGrid = 8, semCentroidEvery = 2, emitLedger = true))
+    val c = res.stageCounts.toMap
+    assert(c("near_dup") == 3L, res.stageCounts.toString)
+    assert(c("sem_dup") == 2L, res.stageCounts.toString)
+    val led = res.ledger.get.select("id", "admitted", "reason", "dup_of")
+      .as[(Long, Boolean, String, Long)].collect()
+      .map(v => v._1 -> ((v._2, v._3, v._4))).toMap
+    assert(led(1L) == ((true, "admitted", 1L)))
+    assert(led(2L) == ((false, "sem_dup", 1L)))
+    assert(led(5L) == ((true, "admitted", 5L)))
+    assert(res.kept.select("media_id").as[Long].collect().toSet ==
+      Set(1L, 5L))
+  }
 }

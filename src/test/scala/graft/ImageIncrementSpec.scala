@@ -95,6 +95,66 @@ class ImageIncrementSpec extends SparkSpec {
       m.contains(("b1", "near_dup", 2L)))
   }
 
+  // the ImageSemDedupSpec re-grain fixture: plane-wave scenes + per-id
+  // pixel noise — inside embedding cosine, beyond pHash hamming 3
+  private def wv(f: Int, x: Int): Int =
+    math.round(10.0 * math.cos(math.Pi * 2 * f * x / 16)).toInt
+  private def noise(id: Long, x: Int, y: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:$x:$y".getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % 41L).toInt - 20
+  }
+  private def scene(id: Long, pattern: Long): MediaRecord = {
+    val fx = (pattern % 3).toInt + 1
+    val fy = ((pattern / 3) % 3).toInt + 1
+    MediaRecord(id, Multimodal.encodeGrayPixelsPng(16, 16,
+      Array.tabulate(256) { p =>
+        val (x, y) = (p % 16, p / 16)
+        128 + wv(fx, x) * wv(fy, y) + noise(id, x, y)
+      }), "image/png")
+  }
+
+  test("image increment SEMANTIC stage: re-grains fall to sem_dup vs " +
+      "accumulated state and within batch, retry replays identically") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_img_incr_sem").toString
+    val cfg = ImageIncrementConfig(semDedupThresholdE4 = Some(9000L),
+      semGrid = 8, semCentroidEvery = 4)
+    // b1 bootstraps: two orthogonal scenes, both admitted
+    val r1 = Increment.curateImageIncrement(
+      Seq(scene(100L, 1), scene(200L, 2)).toDS(), dir, "b1", cfg)
+    assert(verdictMap(r1.ledger).forall(_._2._2 == "admitted"))
+    assert(r1.stageCounts.toMap.get("semantic").contains(2L))
+    // b2: a re-grain of STATE scene 1; a fresh scene 3 within-batch
+    // re-grain pair; a fresh scene 4
+    val b2 = Seq(scene(101L, 1), scene(300L, 3), scene(301L, 3),
+      scene(400L, 4))
+    val v2 = verdictMap(
+      Increment.curateImageIncrement(b2.toDS(), dir, "b2", cfg).ledger)
+    assert(v2(101L) == ((false, "sem_dup", 100L)), v2.toString)
+    assert(v2(300L) == ((true, "admitted", 300L)))
+    assert(v2(301L) == ((false, "sem_dup", 300L)))
+    assert(v2(400L) == ((true, "admitted", 400L)))
+    // retry of b2: identical verdicts (pre-batch sem view + replace)
+    val again = verdictMap(
+      Increment.curateImageIncrement(b2.toDS(), dir, "b2", cfg).ledger)
+    assert(again == v2)
+    // b3 re-grains a doc ADMITTED BY b2: state accumulated
+    val v3 = verdictMap(Increment.curateImageIncrement(
+      Seq(scene(302L, 3)).toDS(), dir, "b3", cfg).ledger)
+    assert(v3(302L) == ((false, "sem_dup", 300L)), v3.toString)
+    // pHash alone would admit every re-grain (the regime the embedding
+    // adds): same b2 against a sem-OFF copy of b1's state
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_img_incr_sem_off").toString
+    Increment.curateImageIncrement(
+      Seq(scene(100L, 1), scene(200L, 2)).toDS(), dir2, "b1")
+    val off = verdictMap(
+      Increment.curateImageIncrement(b2.toDS(), dir2, "b2").ledger)
+    assert(off.values.forall(_._2 == "admitted"), off.toString)
+  }
+
   test("stateBloomBits parity: exact-key and pHash band state scans " +
       "prune without changing any image verdict") {
     val shared = png(1, 0)
