@@ -103,7 +103,12 @@ object CurateImages {
     if (ck.on) Restore.guardConfigFingerprint(sess,
       cfg.stageCheckpointDir.get,
       java.security.MessageDigest.getInstance("MD5").digest(
-        Seq(cfg.maxPixels, cfg.maxHamming, cfg.nBands, cfg.emitLedger)
+        Seq(cfg.maxPixels, cfg.maxHamming, cfg.nBands, cfg.emitLedger,
+            // sem-stage dials MUST invalidate committed img_sem /
+            // img_led_sem_dup stages (ADVICE r16): a resume under a
+            // changed sem config must re-run the semantic stage
+            cfg.semDedupThresholdE4, cfg.semGrid, cfg.semCentroidEvery,
+            cfg.semNassign)
           .mkString("|").getBytes("UTF-8"))
         .map("%02x".format(_)).mkString,
       cfg.resume)

@@ -196,6 +196,51 @@ object Increment {
     }
   }
 
+  /** Batch ids whose state rows were folded under `base` by
+    * [[compactStateTo]] — a one-id-per-line `_folded` sentinel at the
+    * state root. A retry of a folded batch id is UNSUPPORTED: its own
+    * rows now live under `base`, so the excludeBatch pre-batch view
+    * cannot hide them and the rerun would mark the whole batch a dup of
+    * itself and stomp its committed ledger partition (ADVICE r16). The
+    * entry points read this set and refuse such retries loudly; retries
+    * against a non-compacted state keep the documented contract.
+    */
+  private def writeFoldedSentinel(spark: SparkSession, destDir: String,
+                                  ids: Seq[String]): Unit = {
+    val f = fs(spark, destDir)
+    val out = f.create(
+      new org.apache.hadoop.fs.Path(s"$destDir/_folded"), true)
+    out.write(ids.sorted.mkString("\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readFoldedSentinel(spark: SparkSession,
+                                 stateDir: String): Set[String] = {
+    val f = fs(spark, stateDir)
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/_folded")
+    if (!f.exists(p)) Set.empty
+    else {
+      val in = f.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream(256)
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray, "UTF-8").linesIterator
+          .map(_.trim).filter(_.nonEmpty).toSet
+      } finally in.close()
+    }
+  }
+
+  private def requireBatchNotFolded(spark: SparkSession, stateDir: String,
+                                    batchId: String,
+                                    caller: String): Unit =
+    require(!readFoldedSentinel(spark, stateDir).contains(batchId),
+      s"$caller: batch id '$batchId' was compacted into the 'base' " +
+        s"partition of $stateDir — committed-batch retries are " +
+        "unsupported against a compacted state (rerun under a NEW " +
+        "batch id, or retry against the pre-compaction root)")
+
   /** State exists iff the minhash index has a meta commit marker. */
   def stateExists(spark: SparkSession, stateDir: String): Boolean =
     fs(spark, stateDir).exists(
@@ -331,6 +376,7 @@ object Increment {
         batchId != "__HIVE_DEFAULT_PARTITION__",
       s"curateIncrement: invalid batch id '$batchId'")
     val spark = batch.sparkSession
+    requireBatchNotFolded(spark, stateDir, batchId, "curateIncrement")
     import spark.implicits._
     writeFamilySentinel(spark, stateDir, "minhash")
     val haveState = stateExists(spark, stateDir)
@@ -783,6 +829,7 @@ object Increment {
         batchId != "__HIVE_DEFAULT_PARTITION__",
       s"curateImageIncrement: invalid batch id '$batchId'")
     val spark = batch.sparkSession
+    requireBatchNotFolded(spark, stateDir, batchId, "curateImageIncrement")
     import spark.implicits._
     writeFamilySentinel(spark, stateDir, "phash")
     val haveState = imageStateExists(spark, stateDir)
@@ -1040,6 +1087,7 @@ object Increment {
         batchId != "__HIVE_DEFAULT_PARTITION__",
       s"curateAudioIncrement: invalid batch id '$batchId'")
     val spark = batch.sparkSession
+    requireBatchNotFolded(spark, stateDir, batchId, "curateAudioIncrement")
     import spark.implicits._
     writeFamilySentinel(spark, stateDir, "audio")
     val haveState = audioStateExists(spark, stateDir)
@@ -1218,6 +1266,7 @@ object Increment {
         batchId != "__HIVE_DEFAULT_PARTITION__",
       s"curateVideoIncrement: invalid batch id '$batchId'")
     val spark = batch.sparkSession
+    requireBatchNotFolded(spark, stateDir, batchId, "curateVideoIncrement")
     import spark.implicits._
     writeFamilySentinel(spark, stateDir, "video")
     val haveState = videoStateExists(spark, stateDir)
@@ -1515,6 +1564,7 @@ object Increment {
         batchId != "__HIVE_DEFAULT_PARTITION__",
       s"curateEmbeddingIncrement: invalid batch id '$batchId'")
     val spark = batch.sparkSession
+    requireBatchNotFolded(spark, stateDir, batchId, "curateEmbeddingIncrement")
     import spark.implicits._
     writeFamilySentinel(spark, stateDir, "sem")
     val haveState = semStateExists(spark, stateDir)
@@ -1803,6 +1853,11 @@ object Increment {
     *    layer, never a silently-empty serve), and a rerun overwrites
     *    everything idempotently.
     *
+    * Folded batch ids are recorded in a `_folded` sentinel at `destDir`;
+    * the increment entry points refuse a retry of a folded id (its rows
+    * live under `base`, so the excludeBatch pre-batch view cannot hide
+    * them — the rerun would self-dup the whole batch, ADVICE r16).
+    *
     * Torn batches in `srcDir` (data without a marker row) are dropped by
     * the committed semi join — compaction is also the physical-erasure
     * completion point for retracted rows' emptied partitions. Run it
@@ -1841,6 +1896,15 @@ object Increment {
       org.apache.hadoop.fs.FileUtil.copy(fs(spark, srcDir), src, f, dst,
         false, spark.sparkContext.hadoopConfiguration)
     }
+    // folded-batch sentinel BEFORE the marker: the ids whose rows now
+    // live under `base` (plus any ids already folded in the source by a
+    // prior compaction) — the entry points refuse retries of these
+    import scala.jdk.CollectionConverters._
+    val foldedIds = (committed.select("batch_id").as[String](
+        org.apache.spark.sql.Encoders.STRING)
+      .collectAsList().asScala.toSeq.filter(_ != "base") ++
+      readFoldedSentinel(spark, srcDir)).distinct
+    writeFoldedSentinel(spark, destDir, foldedIds)
     // marker LAST: original committed rows verbatim + the base row. The
     // payload (banding / nBands / dials) is pinned identical across
     // batches by the append paths, so the base row reuses it.

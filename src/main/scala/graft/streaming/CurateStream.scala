@@ -67,7 +67,14 @@ object CurateStream {
     * funnel's terminal `decontaminated` stage. The eval set ships as
     * its COLLECTED distinct word n-grams (eval sets are bounded — the
     * funnel broadcasts the same table; [[DecontamGate.fromBenchmark]]
-    * builds it), and each doc tests gram overlap per row, join-free.
+    * builds it), and each doc tests gram membership per row, join-free.
+    * The gram set travels as a BROADCAST variable consulted from a
+    * typed map (ADVICE r16) — never a plan literal, so a million-gram
+    * benchmark costs one executor-side hash set, not a logical plan /
+    * codegen blowup re-evaluated per micro-batch. The driver still
+    * collects the distinct grams once at stream start; that is the same
+    * bounded-eval-set assumption the batch funnel's broadcast join
+    * makes, and it is the caller's contract.
     *
     * DELIBERATE ordering divergence (spec-pinned): the batch funnel
     * decontaminates AFTER dedup, so a contaminated doc can serve as a
@@ -267,11 +274,27 @@ object CurateStream {
     val (postDecon, deconRejects) = cfg.decontam match {
       case None => (postArpa, None)
       case Some(dg) =>
-        val s = postArpa.withColumn("__contam",
-          arrays_overlap(
-            graft.operators.Curation.wordNgrams(
-              Dedup.normalizeWords(col("text")), dg.n),
-            typedlit(dg.grams)))
+        // broadcast-set membership from a typed map — the local replica
+        // of arrays_overlap(wordNgrams(normalizeWords(text), n), grams)
+        // (same normalize regex as TextStats.repetitionLocal, same
+        // empty-below-n windowing as Curation.wordNgrams), spec-pinned
+        val bGrams = spark.sparkContext.broadcast(dg.grams.toSet)
+        val n = dg.n
+        val s = postArpa.select(col("id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            val grams = bGrams.value
+            it.map { case (id, text) =>
+              val t = if (text == null) "" else text
+              val ws = t.toLowerCase(java.util.Locale.ROOT)
+                .replaceAll("[^a-z0-9]+", " ").trim.split(" ")
+                .filter(_.nonEmpty)
+              val contam = ws.length >= n && grams.nonEmpty &&
+                (0 to ws.length - n).exists(i =>
+                  grams.contains(ws.slice(i, i + n).mkString(" ")))
+              (id, text, contam)
+            }
+          }.toDF("id", "text", "__contam")
         (s.filter(!col("__contam")).select(col("id"), col("text")),
           Some(s.filter(col("__contam")).select(col("id")).as[Long]
             .map(id => GateVerdict(id, admitted = false,

@@ -104,6 +104,14 @@ class CurateImagesSpec extends SparkSpec {
         ckCfg.copy(resume = true, runToken = "2", maxHamming = 1))
     }
     assert(drifted.getMessage.contains("DIFFERENT config"))
+    // the SEM dials are part of the fingerprint too (ADVICE r16): a
+    // resume with a changed sem config must not serve committed img_sem
+    val semDrift = intercept[IllegalArgumentException] {
+      CurateImages.run(recs.toDS(),
+        ckCfg.copy(resume = true, runToken = "3",
+          semDedupThresholdE4 = Some(9500L)))
+    }
+    assert(semDrift.getMessage.contains("DIFFERENT config"))
   }
 
   test("batch funnel rejects undecodables where the stream gate admits " +

@@ -537,4 +537,50 @@ class IncrementSpec extends SparkSpec {
     assert(verdictMap(Increment.readLedger(spark, dest2)) ==
       verdictMap(Increment.readLedger(spark, dir)))
   }
+
+  test("a retry of a batch id FOLDED by compaction is refused loudly; " +
+      "post-compaction batches keep the retry contract") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_incr_fold_src").toString
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft_incr_fold_dst").toString + "/state"
+    val a = Seq(1L -> goodText("one"), 3L -> goodText("two"))
+    Increment.curateIncrement(a.toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b1")
+    Increment.compactStateTo(spark, dir, dest)
+    // b1's state rows now live under 'base' in dest: the excludeBatch
+    // pre-batch view cannot hide them, so the rerun would self-dup the
+    // whole batch and stomp its committed ledger — refuse instead
+    val e = intercept[IllegalArgumentException] {
+      Increment.curateIncrement(a.toDF("doc_id", "text"),
+        "doc_id", "text", dest, "b1")
+    }
+    assert(e.getMessage.contains("compacted"), e.getMessage)
+    // the original root is untouched: b1 retries still work there
+    val v = verdictMap(Increment.curateIncrement(a.toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b1").ledger)
+    assert(v(1L)._2 == "admitted" && v(3L)._2 == "admitted")
+    // a batch committed AFTER compaction retries fine against dest
+    val b = Seq(10L -> goodText("three"))
+    val f1 = verdictMap(Increment.curateIncrement(b.toDF("doc_id", "text"),
+      "doc_id", "text", dest, "b2").ledger)
+    val f2 = verdictMap(Increment.curateIncrement(b.toDF("doc_id", "text"),
+      "doc_id", "text", dest, "b2").ledger)
+    assert(f1 == f2 && f1(10L)._2 == "admitted")
+    // compacting the compacted root carries the folded set forward
+    val dest2 = java.nio.file.Files
+      .createTempDirectory("graft_incr_fold_dst2").toString + "/state"
+    Increment.compactStateTo(spark, dest, dest2)
+    val e2 = intercept[IllegalArgumentException] {
+      Increment.curateIncrement(a.toDF("doc_id", "text"),
+        "doc_id", "text", dest2, "b1")
+    }
+    assert(e2.getMessage.contains("compacted"))
+    // ... and b2 (folded by the SECOND compaction) is now refused too
+    val e3 = intercept[IllegalArgumentException] {
+      Increment.curateIncrement(b.toDF("doc_id", "text"),
+        "doc_id", "text", dest2, "b2")
+    }
+    assert(e3.getMessage.contains("compacted"))
+  }
 }
