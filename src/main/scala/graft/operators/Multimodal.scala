@@ -1088,6 +1088,114 @@ object Multimodal {
     }
   }
 
+  // ---- semantic audio embedding → the ANN/SemDeDup stack -----------------
+
+  /** Deterministic pooled ENERGY-PROFILE audio embedding — the semantic
+    * twin of [[audioFingerprints]], the audio member of the
+    * [[imageEmbeddings]] family: decode → window mean-|sample| energies
+    * (e4 integers, the [[audioWindowsOne]] loop) → pool the window
+    * sequence into `dim` equal TIME-FRACTION buckets (window `i` of `n`
+    * lands in bucket `i*dim/n`; bucket value = the e4-rounded mean of
+    * its window means) → MEAN-CENTER.
+    *
+    * Why this catches what the fingerprint misses: [[audioFpFromMeans]]
+    * joins on exact packed delta-bit VALUES over the fixed
+    * `windowFrames` grid, so a RESAMPLED re-encode (same waveform at a
+    * different rate) lands every window boundary elsewhere and shares
+    * no sub-fingerprint — while time-fraction pooling normalizes the
+    * envelope to the clip's own duration, so the pooled profile barely
+    * moves and the cosine stays high. Constant gain cancels twice over
+    * (cosine is scale-invariant; centering kills DC shifts) — the same
+    * regime split the image arc measured for pHash vs block-means.
+    *
+    * Exactness note for oracles ([[imageEmbeddings]]'s): bucket values
+    * are e4 integers and the center divides by `dim` — a power of two
+    * keeps the centered doubles exact in binary. Undecodable payloads
+    * and clips with fewer complete windows than `dim` emit no row (too
+    * short to profile — the fingerprint's k+1-window minimum, sem
+    * form); CONSTANT envelopes center to the zero vector and are
+    * filtered by the consumer's zero-norm guard.
+    */
+  def audioEmbeddings(ds: Dataset[MediaRecord], dim: Int = 16,
+                      windowFrames: Int = 50, batchSize: Int = 64,
+                      decoder: Decoders.AudioDecoder = Decoders.JdkWavDecoder)
+      : DataFrame = {
+    require(dim >= 2 && (dim & (dim - 1)) == 0,
+      s"audioEmbeddings: dim ($dim) must be a power of two >= 2")
+    require(windowFrames > 0, s"audioEmbeddings: windowFrames $windowFrames")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      decoder.open()
+      val buf = new Array[Byte](8192)
+      it.grouped(batchSize).flatMap(_.iterator.flatMap(r =>
+        audioEmbeddingOne(r.media_id, r.media, dim, windowFrames, buf,
+          decoder)))
+    }.toDF("id", "v")
+  }
+
+  private[graft] def audioEmbeddingOne(media_id: Long, bytes: Array[Byte],
+      dim: Int, windowFrames: Int,
+      buf: Array[Byte] = new Array[Byte](8192),
+      decoder: Decoders.AudioDecoder = Decoders.JdkWavDecoder)
+      : Option[(Long, Array[Double])] = {
+    val pcm = decoder.decode(bytes).getOrElse(return None)
+    val means = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      val channels = pcm.channels
+      val samplesPerWindow = windowFrames.toLong * channels
+      var carry = -1; var winSum = 0L; var winCount = 0L
+      def push(s: Int): Unit = {
+        winSum += math.abs(s); winCount += 1
+        if (winCount == samplesPerWindow) {
+          means += math.floor(
+            winSum * 10000.0 / samplesPerWindow + 0.5).toLong
+          winSum = 0L; winCount = 0L
+        }
+      }
+      var n = pcm.data.read(buf)
+      while (n > 0) {
+        var i = 0
+        if (carry >= 0 && n >= 1) {
+          push((carry | (buf(0) << 8)).toShort.toInt); carry = -1; i = 1
+        }
+        while (i + 1 < n) {
+          push(((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort.toInt); i += 2
+        }
+        if (i < n) carry = buf(i) & 0xff
+        n = pcm.data.read(buf)
+      }
+    } catch { case scala.util.control.NonFatal(_) => return None }
+    finally pcm.close()
+    val n = means.length
+    if (n < dim) None
+    else {
+      val sums = new Array[Long](dim)
+      val cnts = new Array[Long](dim)
+      var i = 0
+      while (i < n) {
+        val b = (i.toLong * dim / n).toInt
+        sums(b) += means(i); cnts(b) += 1L; i += 1
+      }
+      val v = Array.tabulate(dim)(j =>
+        math.floor(sums(j) * 1.0 / cnts(j) + 0.5))
+      val mu = v.sum / dim
+      Some((media_id, v.map(_ - mu)))
+    }
+  }
+
+  /** SemDeDup over audio: pooled energy-profile embeddings into the
+    * shared cluster-then-verify machinery — [[imageSemDedupVictims]]'s
+    * audio twin. Victims are (id, kept_id).
+    */
+  def audioSemDedupVictimsManaged(ds: Dataset[MediaRecord], dim: Int = 16,
+                                  windowFrames: Int = 50,
+                                  thresholdE4: Long = 9000L,
+                                  centroidEvery: Int = 25,
+                                  nassign: Int = 2): graft.core.Managed =
+    Curation.semDedupVictimsFromVectorsManaged(
+      audioEmbeddings(ds, dim, windowFrames), thresholdE4, centroidEvery,
+      nassign)
+
   // ---- semantic image embedding → the ANN/SemDeDup stack -----------------
 
   /** Deterministic block-mean image embedding: decode → `grid`×`grid`
@@ -1923,6 +2031,94 @@ object Multimodal {
           }
         }
     }
+
+  // ---- semantic video embedding → the ANN/SemDeDup stack -----------------
+
+  /** Deterministic pooled KEYFRAME BLOCK-MEAN video embedding — the
+    * video member of the [[imageEmbeddings]] family: every decodable
+    * keyframe box-resizes to a `grid`×`grid` e4 gray grid
+    * ([[boxGridE4]]), the per-cell e4 values POOL (e4-rounded mean)
+    * across the clip's keyframes, and the pooled vector MEAN-CENTERS.
+    *
+    * Why this catches what the frame-hash index misses: the
+    * [[videoNearDupPairs]] key is per-frame pHash at hamming ≤
+    * maxHamming — a RE-GRAINED re-encode (pixel noise from quality
+    * settings) flips median-adjacent DCT bits on every frame, so no
+    * frame pairs and the temporal Jaccard is 0 — while the noise
+    * averages down inside each block mean and across frames, so the
+    * pooled vector barely moves and the cosine stays high (the image
+    * arc's measured regime, one temporal pooling away).
+    *
+    * Exactness note for oracles: per-frame cell values are e4 integers;
+    * pooling rounds to an e4 integer; the center divides by `grid`² —
+    * a power of two keeps the centered doubles exact in binary.
+    * Unparseable payloads and clips with ZERO decodable keyframes emit
+    * no row (they can never pair); constant clips center to the zero
+    * vector and are filtered by the consumer's zero-norm guard.
+    */
+  def videoEmbeddings(ds: Dataset[MediaRecord], grid: Int = 8,
+                      batchSize: Int = 16, maxPixels: Long = 64L << 20)
+      : DataFrame = {
+    require(grid >= 2 && (grid & (grid - 1)) == 0,
+      s"videoEmbeddings: grid ($grid) must be a power of two >= 2")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap(_.iterator.flatMap(r =>
+        videoEmbeddingOne(r.media_id, r.media, grid, maxPixels)))
+    }.toDF("id", "v")
+  }
+
+  private[graft] def videoEmbeddingOne(media_id: Long, media: Array[Byte],
+                                       grid: Int,
+                                       maxPixels: Long = 64L << 20)
+      : Option[(Long, Array[Double])] =
+    parseMp4SampleTables(media).flatMap { tracks =>
+      val cells = new Array[Long](grid * grid)
+      var nFrames = 0L
+      for {
+        t <- tracks
+        offs = sampleOffsets(t)
+        kf = t.syncs.fold(t.sizes.indices: Seq[Int])(_.toSeq.map(_ - 1))
+        i <- kf if i >= 0 && i < t.sizes.length
+      } {
+        val off = offs(i); val len = t.sizes(i)
+        if (off >= 0 && len > 0 && off + len <= media.length) {
+          val bytes = java.util.Arrays.copyOfRange(
+            media, off.toInt, (off + len).toInt)
+          val img =
+            if (claimedPixels(bytes) > maxPixels) None
+            else try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          img.foreach { im =>
+            val g = boxGridE4(im.getRaster, im.getWidth, im.getHeight,
+              grid, grid)
+            var c = 0
+            while (c < cells.length) { cells(c) += g(c); c += 1 }
+            nFrames += 1L
+          }
+        }
+      }
+      if (nFrames == 0L) None
+      else {
+        val v = Array.tabulate(grid * grid)(c =>
+          math.floor(cells(c) * 1.0 / nFrames + 0.5))
+        val mu = v.sum / (grid * grid)
+        Some((media_id, v.map(_ - mu)))
+      }
+    }
+
+  /** SemDeDup over videos: pooled keyframe block-mean embeddings into
+    * the shared cluster-then-verify machinery —
+    * [[imageSemDedupVictims]]'s video twin. Victims are (id, kept_id).
+    */
+  def videoSemDedupVictimsManaged(ds: Dataset[MediaRecord], grid: Int = 8,
+                                  thresholdE4: Long = 9000L,
+                                  centroidEvery: Int = 25,
+                                  nassign: Int = 2): graft.core.Managed =
+    Curation.semDedupVictimsFromVectorsManaged(
+      videoEmbeddings(ds, grid), thresholdE4, centroidEvery, nassign)
 
   /** Near-duplicate VIDEO pairs — the modality composition the parts
     * were built for: per-keyframe pHash ([[videoKeyframePhash]]) banded

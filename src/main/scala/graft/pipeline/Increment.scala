@@ -1061,7 +1061,23 @@ object Increment {
                                   // [[IncrementConfig.stateBloomBits]]:
                                   // prunes the exact-key and fp state
                                   // scans batch-proportional
-                                  stateBloomBits: Option[Long] = None)
+                                  stateBloomBits: Option[Long] = None,
+                                  // optional SEMANTIC stage: SemDeDup
+                                  // over pooled energy-profile
+                                  // embeddings ([[graft.operators
+                                  // .Multimodal.audioEmbeddings]])
+                                  // against a sem sub-state under the
+                                  // audio marker — the image
+                                  // increment's sem pattern (r16 #1),
+                                  // incl. enable-from-batch-N semantics
+                                  // (clips admitted before enablement
+                                  // were never embedded). Catches the
+                                  // RESAMPLED re-encode regime the
+                                  // fixed-window fingerprint misses.
+                                  semDedupThresholdE4: Option[Long] = None,
+                                  semDim: Int = 16,
+                                  semCentroidEvery: Int = 25,
+                                  semNassign: Int = 2)
 
   /** Audio state exists iff the fingerprint index has its meta marker. */
   def audioStateExists(spark: SparkSession, stateDir: String): Boolean =
@@ -1189,15 +1205,84 @@ object Increment {
       .localCheckpoint(eager = true)
     compM.close(); sfps.unpersist()
     rejectPiece(victims, "near_dup")
-    val admitted = afterOld
+    val afterMh = afterOld
       .join(victims.select("id"), Seq("id"), "left_anti")
       .localCheckpoint(eager = true)
-    stage("near_dup", admitted.count())
+    stage("near_dup", afterMh.count())
+
+    // ---- optional SEMANTIC stage: SemDeDup over pooled energy-profile
+    // embeddings against a sem SUB-state (reads restricted to
+    // audio-committed batches — the increment's one authoritative
+    // marker), then within batch — the image increment's sem pattern,
+    // audio modality (r16 #1)
+    val semPieces = cfg.semDedupThresholdE4.map { th =>
+      val semDir = s"$stateDir/sem"
+      val haveSem = haveState && fs(spark, stateDir).exists(
+        new org.apache.hadoop.fs.Path(s"$semDir/meta"))
+      val (semCe, semNa) =
+        if (!haveSem) (cfg.semCentroidEvery, cfg.semNassign)
+        else {
+          val (ce, na, pdim) = Curation.readSemMeta(spark, semDir)
+          require(pdim == 0 || pdim == cfg.semDim,
+            s"curateAudioIncrement: semDim ${cfg.semDim} " +
+              s"!= pinned sem sub-state dim $pdim at $semDir")
+          (ce, na)
+        }
+      // embed ONLY the surviving pool (never re-decode rejects)
+      val survRecs = batch.toDF()
+        .join(afterMh.select(col("id").as("media_id")), Seq("media_id"),
+          "left_semi")
+        .as[graft.operators.Multimodal.MediaRecord]
+      val nonzero = graft.operators.Multimodal
+        .audioEmbeddings(survRecs, cfg.semDim, cfg.windowFrames)
+        .filter(expr("aggregate(v, 0D, (a, x) -> a + x * x)") > lit(0.0))
+        .localCheckpoint(eager = true)
+      val centroids =
+        if (haveSem)
+          spark.read.parquet(s"$semDir/centroids")
+            .select(col("cid").as("id"), col("cv").as("v"))
+        else Curation.semCentroidSample(nonzero.select("id", "v"),
+          semCe).localCheckpoint(eager = true)
+      val afterSemState =
+        if (!haveSem) afterMh
+        else {
+          val restrict = spark.read.parquet(s"$stateDir/audio/meta")
+            .select("batch_id").distinct()
+          val hits = Curation.semNearDupAgainstIndex(spark, semDir,
+              nonzero.select("id", "v"), th,
+              excludeBatch = Some(batchId), restrictTo = Some(restrict),
+              bloomBits = cfg.stateBloomBits)
+            .groupBy("id_new").agg(min(col("id_old")).as("__dup_of"))
+            .select(col("id_new").as("id"), col("__dup_of"))
+            .localCheckpoint(eager = true)
+          rejectPiece(hits, "sem_dup")
+          afterMh.join(hits.select("id"), Seq("id"), "left_anti")
+            .localCheckpoint(eager = true)
+        }
+      val survNonzero = nonzero
+        .join(afterSemState.select("id"), Seq("id"), "left_semi")
+      val pm = graft.operators.Similarity.ivfNearDupPairsManaged(
+        survNonzero.select("id", "v"), centroids, th / 10000.0, semNa)
+      val cm = Dedup.connectedComponentsManaged(
+        pm.df.select("idA", "idB"))
+      val svict = cm.df.filter(col("id") =!= col("label"))
+        .select(col("id"), col("label").as("__dup_of"))
+        .localCheckpoint(eager = true)
+      cm.close(); pm.close()
+      rejectPiece(svict, "sem_dup")
+      val adm = afterSemState
+        .join(svict.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(eager = true)
+      stage("semantic", adm.count())
+      (adm, nonzero, centroids, haveSem)
+    }
+    val admitted = semPieces.map(_._1).getOrElse(afterMh)
     led += admitted.select(col("id"), lit(true).as("admitted"),
         lit("admitted").as("reason"), col("id").as("dup_of"))
       .localCheckpoint(eager = true)
 
-    // persist: keys → ledger → metrics → audio META (the marker)
+    // persist: keys → ledger → metrics → (sem sub-state) →
+    // audio META (the marker)
     val ledger = led.reduce(_ unionByName _)
       .select(col("id"), col("admitted"), col("reason"), col("dup_of"))
       .localCheckpoint(eager = true)
@@ -1213,6 +1298,17 @@ object Increment {
         s"$stateDir/exact", batchId)
       writer(ledger, s"$stateDir/ledger")
       writer(counts.toSeq.toDF("stage", "rows"), s"$stateDir/metrics")
+      semPieces.foreach { case (_, nonzero, centroids, haveSem) =>
+        val admNonzero = nonzero
+          .join(admitted.select("id"), Seq("id"), "left_semi")
+          .select("id", "v")
+        if (haveSem)
+          Curation.appendSemVectors(spark, s"$stateDir/sem", admNonzero,
+            batchId)
+        else
+          Curation.writeSemIndex(admNonzero, centroids, s"$stateDir/sem",
+            cfg.semCentroidEvery, cfg.semNassign, batchId)
+      }
       val admFps = exactFps.join(admitted.select("id"), Seq("id"),
         "left_semi")
       if (haveState)
@@ -1236,7 +1332,21 @@ object Increment {
                                   // [[IncrementConfig.stateBloomBits]]:
                                   // prunes the exact-key and frame state
                                   // scans batch-proportional
-                                  stateBloomBits: Option[Long] = None)
+                                  stateBloomBits: Option[Long] = None,
+                                  // optional SEMANTIC stage: SemDeDup
+                                  // over pooled keyframe block-mean
+                                  // embeddings ([[graft.operators
+                                  // .Multimodal.videoEmbeddings]])
+                                  // against a sem sub-state under the
+                                  // video marker — the image
+                                  // increment's sem pattern (r16 #1),
+                                  // incl. enable-from-batch-N semantics.
+                                  // Catches the RE-GRAINED re-encode
+                                  // regime per-frame pHash misses.
+                                  semDedupThresholdE4: Option[Long] = None,
+                                  semGrid: Int = 8,
+                                  semCentroidEvery: Int = 25,
+                                  semNassign: Int = 2)
 
   /** Video state exists iff the keyframe index has its meta marker. */
   def videoStateExists(spark: SparkSession, stateDir: String): Boolean =
@@ -1359,15 +1469,85 @@ object Increment {
       .localCheckpoint(eager = true)
     compM.close(); sframes.unpersist()
     rejectPiece(victims, "near_dup")
-    val admitted = afterOld
+    val afterMh = afterOld
       .join(victims.select("id"), Seq("id"), "left_anti")
       .localCheckpoint(eager = true)
-    stage("near_dup", admitted.count())
+    stage("near_dup", afterMh.count())
+
+    // ---- optional SEMANTIC stage: SemDeDup over pooled keyframe
+    // block-mean embeddings against a sem SUB-state (reads restricted
+    // to video-committed batches — the increment's one authoritative
+    // marker), then within batch — the image increment's sem pattern,
+    // video modality (r16 #1)
+    val semPieces = cfg.semDedupThresholdE4.map { th =>
+      val semDir = s"$stateDir/sem"
+      val haveSem = haveState && fs(spark, stateDir).exists(
+        new org.apache.hadoop.fs.Path(s"$semDir/meta"))
+      val dim = cfg.semGrid * cfg.semGrid
+      val (semCe, semNa) =
+        if (!haveSem) (cfg.semCentroidEvery, cfg.semNassign)
+        else {
+          val (ce, na, pdim) = Curation.readSemMeta(spark, semDir)
+          require(pdim == 0 || pdim == dim,
+            s"curateVideoIncrement: semGrid ${cfg.semGrid} (dim $dim) " +
+              s"!= pinned sem sub-state dim $pdim at $semDir")
+          (ce, na)
+        }
+      // embed ONLY the surviving pool (never re-decode rejects)
+      val survRecs = batch.toDF()
+        .join(afterMh.select(col("id").as("media_id")), Seq("media_id"),
+          "left_semi")
+        .as[graft.operators.Multimodal.MediaRecord]
+      val nonzero = graft.operators.Multimodal
+        .videoEmbeddings(survRecs, cfg.semGrid)
+        .filter(expr("aggregate(v, 0D, (a, x) -> a + x * x)") > lit(0.0))
+        .localCheckpoint(eager = true)
+      val centroids =
+        if (haveSem)
+          spark.read.parquet(s"$semDir/centroids")
+            .select(col("cid").as("id"), col("cv").as("v"))
+        else Curation.semCentroidSample(nonzero.select("id", "v"),
+          semCe).localCheckpoint(eager = true)
+      val afterSemState =
+        if (!haveSem) afterMh
+        else {
+          val restrict = spark.read.parquet(s"$stateDir/video/meta")
+            .select("batch_id").distinct()
+          val hits = Curation.semNearDupAgainstIndex(spark, semDir,
+              nonzero.select("id", "v"), th,
+              excludeBatch = Some(batchId), restrictTo = Some(restrict),
+              bloomBits = cfg.stateBloomBits)
+            .groupBy("id_new").agg(min(col("id_old")).as("__dup_of"))
+            .select(col("id_new").as("id"), col("__dup_of"))
+            .localCheckpoint(eager = true)
+          rejectPiece(hits, "sem_dup")
+          afterMh.join(hits.select("id"), Seq("id"), "left_anti")
+            .localCheckpoint(eager = true)
+        }
+      val survNonzero = nonzero
+        .join(afterSemState.select("id"), Seq("id"), "left_semi")
+      val pm = graft.operators.Similarity.ivfNearDupPairsManaged(
+        survNonzero.select("id", "v"), centroids, th / 10000.0, semNa)
+      val cm = Dedup.connectedComponentsManaged(
+        pm.df.select("idA", "idB"))
+      val svict = cm.df.filter(col("id") =!= col("label"))
+        .select(col("id"), col("label").as("__dup_of"))
+        .localCheckpoint(eager = true)
+      cm.close(); pm.close()
+      rejectPiece(svict, "sem_dup")
+      val adm = afterSemState
+        .join(svict.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(eager = true)
+      stage("semantic", adm.count())
+      (adm, nonzero, centroids, haveSem)
+    }
+    val admitted = semPieces.map(_._1).getOrElse(afterMh)
     led += admitted.select(col("id"), lit(true).as("admitted"),
         lit("admitted").as("reason"), col("id").as("dup_of"))
       .localCheckpoint(eager = true)
 
-    // persist: keys → ledger → metrics → video META (the marker)
+    // persist: keys → ledger → metrics → (sem sub-state) →
+    // video META (the marker)
     val ledger = led.reduce(_ unionByName _)
       .select(col("id"), col("admitted"), col("reason"), col("dup_of"))
       .localCheckpoint(eager = true)
@@ -1383,6 +1563,17 @@ object Increment {
         s"$stateDir/exact", batchId)
       writer(ledger, s"$stateDir/ledger")
       writer(counts.toSeq.toDF("stage", "rows"), s"$stateDir/metrics")
+      semPieces.foreach { case (_, nonzero, centroids, haveSem) =>
+        val admNonzero = nonzero
+          .join(admitted.select("id"), Seq("id"), "left_semi")
+          .select("id", "v")
+        if (haveSem)
+          Curation.appendSemVectors(spark, s"$stateDir/sem", admNonzero,
+            batchId)
+        else
+          Curation.writeSemIndex(admNonzero, centroids, s"$stateDir/sem",
+            cfg.semCentroidEvery, cfg.semNassign, batchId)
+      }
       val admFrames = exactFrames.join(admitted.select("id"), Seq("id"),
         "left_semi")
       if (haveState)
@@ -1824,10 +2015,11 @@ object Increment {
     * embedding root's centroid table is unpartitioned).
     */
   private def copyTrees(family: String): Seq[String] = family match {
-    // text and image funnel states can carry a sem SUB-state (its own
-    // meta ∩ the marker's committed set governs serving — both survive
-    // because the dest marker keeps every original batch id)
-    case "minhash" | "phash" => Seq("ledger", "metrics", "sem")
+    // text/image/audio/video funnel states can carry a sem SUB-state
+    // (its own meta ∩ the marker's committed set governs serving — both
+    // survive because the dest marker keeps every original batch id)
+    case "minhash" | "phash" | "audio" | "video" =>
+      Seq("ledger", "metrics", "sem")
     case "sem" => Seq("ledger", "metrics", "sem/centroids")
     case _ => Seq("ledger", "metrics")
   }

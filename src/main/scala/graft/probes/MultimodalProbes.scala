@@ -1322,6 +1322,645 @@ object MultimodalProbes {
        |FROM out ORDER BY batch_id, id""".stripMargin
   }
 
+  // ---- q173 audio increment (exact + fingerprint + SEMANTIC stage) --------
+  // Increment.curateAudioIncrement twice over (b1 bootstraps, b2 runs
+  // against the accumulated state, then b2 RERUNS under the same batch
+  // id — the q157/q160/q161 idempotence-through-the-oracle discipline),
+  // with the r17 SEMANTIC sub-state enabled: pooled energy-profile
+  // embeddings (dim 16, e4 bucket means over 4-window time fractions,
+  // mean-centered) SemDeDup what the delta-bit fingerprint misses.
+  // Clips are param-determined WAVs: window i of clip (seed, form) has
+  // constant amplitude 2000 + 150·(md5₃₂(seed:i/4) mod 5 − 2) +
+  // 30·(md5₃₂(salt:seed:i) mod 3 − 1) — bucket LEVELS are the scene
+  // identity, per-window WOBBLE makes the bit stream scene-rich. Forms:
+  // 0 = base (64 windows), 1 = EXTENDED (76 windows — shares bit
+  // positions 0..62 with the base, fingerprint Jaccard ≈ 0.79 ≥ 0.5:
+  // the planted NEAR-dup), 2 = 2× RESAMPLE (every frame doubled: bucket
+  // means identical ⇒ cosine 1, but every sub-fingerprint value gains
+  // an interleaved zero ⇒ fingerprint recall 0: the planted SEM-dup),
+  // 3 = resample with fresh wobble grain (salt w2). Planted per src id:
+  // %6==0 exact-within-b1 then exact-vs-state, %6==1 ext-near-within-b1
+  // then w2-resample→sem-vs-state, %6==2 a no_fingerprint payload then
+  // ext-near-vs-state, %6==3 a within-b2 sem pair, %6==4 a within-b2
+  // near pair, %6==5 fresh. The oracle replays window means →
+  // fingerprints → Jaccard pairs → embeddings → the pinned-centroid
+  // (md5 mod 4) IVF assignment/verify/components chain, per batch.
+  private def q173H32(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString, 16)
+
+  private def q173Amp(seed: Long, i: Int, salt: String): Int =
+    2000 + 150 * ((q173H32(s"$seed:${i / 4}") % 5L).toInt - 2) +
+      30 * ((q173H32(s"$salt:$seed:$i") % 3L).toInt - 1)
+
+  private def q173Clip(cid: Long, seed: Long, form: Int)
+      : graft.operators.Multimodal.MediaRecord = {
+    val W = 50
+    val bytes = form match {
+      case 0 | 1 =>
+        val nWin = if (form == 0) 64 else 76
+        graft.operators.Multimodal.encodePcm16Wav(8000, 1,
+          Array.tabulate(nWin * W)(f => q173Amp(seed, f / W, "w").toShort))
+      case f =>
+        val salt = if (f == 2) "w" else "w2"
+        graft.operators.Multimodal.encodePcm16Wav(16000, 1,
+          Array.tabulate(2 * 64 * W)(fr =>
+            q173Amp(seed, fr / (2 * W), salt).toShort))
+    }
+    graft.operators.Multimodal.MediaRecord(cid, bytes, "audio/wav")
+  }
+
+  def q173Media(docs: org.apache.spark.sql.DataFrame, batch: String)
+      : org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.filter(col("doc_id") < 24).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        if (batch == "b1")
+          Seq(q173Clip(id, id, 0)) ++
+            (if (id % 6 == 0) Seq(q173Clip(id + 100, id, 0)) else Nil) ++
+            (if (id % 6 == 1) Seq(q173Clip(id + 200, id, 1)) else Nil) ++
+            (if (id % 6 == 2) Seq(graft.operators.Multimodal.MediaRecord(
+              id + 800, s"not audio $id".getBytes("UTF-8"),
+              "text/plain")) else Nil)
+        else
+          (if (id % 6 == 0) Seq(q173Clip(id + 300, id, 0)) else Nil) ++
+            (if (id % 6 == 1) Seq(q173Clip(id + 900, id, 3)) else Nil) ++
+            (if (id % 6 == 2) Seq(q173Clip(id + 400, id, 1)) else Nil) ++
+            (if (id % 6 == 3) Seq(q173Clip(id + 500, id + 1000, 0),
+              q173Clip(id + 600, id + 1000, 2)) else Nil) ++
+            (if (id % 6 == 4) Seq(q173Clip(id + 650, id + 3000, 0),
+              q173Clip(id + 660, id + 3000, 1)) else Nil) ++
+            (if (id % 6 == 5) Seq(q173Clip(id + 700, id + 2000, 0))
+             else Nil)
+      }
+  }
+
+  val q173: Q = (s, d) => {
+    import graft.pipeline.Increment
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+    val fp = dataFingerprint(
+      docs.filter(col("doc_id") < 24).select(col("doc_id")))
+    memoizedReplay(s, "q173", d, fp) {
+      val dir = scratchDir("graft_q173_state")
+      val cfg = Increment.AudioIncrementConfig(
+        semDedupThresholdE4 = Some(9000L), semDim = 16,
+        semCentroidEvery = 4)
+      Increment.curateAudioIncrement(q173Media(docs, "b1"), dir, "b1", cfg)
+      Increment.curateAudioIncrement(q173Media(docs, "b2"), dir, "b2", cfg)
+      Increment.curateAudioIncrement(q173Media(docs, "b2"), dir, "b2", cfg)
+      Increment.readLedger(s, dir)
+        .select(col("batch_id"), col("id"), col("admitted"),
+          col("reason"), col("dup_of"))
+        .orderBy("batch_id", "id")
+    }
+  }
+
+  val q173Sql: String = {
+    val cosNew = graft.operators.Similarity.cosineDuckSql("n.v", "c.cv")
+    val cosPair = graft.operators.Similarity.cosineDuckSql("a.v", "b.v")
+    val cosSt = graft.operators.Similarity.cosineDuckSql("n.v", "o.v")
+    // fp half of one funnel round: batch pool $bt vs admitted state $st
+    // (exact by (seed, form) equality, near by fingerprint Jaccard) —
+    // ends at ${t}_pf, the fingerprint-survivor pool
+    def replayFp(t: String, bt: String, st: String): String =
+      s"""${t}_ex_st AS MATERIALIZED (SELECT c.cid, min(sc.cid) AS dup_of
+         |  FROM clips c JOIN clips sc
+         |    ON sc.seed = c.seed AND sc.form = c.form
+         |  WHERE c.cid IN (SELECT cid FROM $bt)
+         |    AND sc.cid IN (SELECT cid FROM $st)
+         |  GROUP BY c.cid),
+         |${t}_p1 AS MATERIALIZED (SELECT cid FROM $bt
+         |  WHERE cid NOT IN (SELECT cid FROM ${t}_ex_st)),
+         |${t}_keep AS MATERIALIZED (SELECT seed, form, min(cid) AS keep
+         |  FROM clips WHERE cid IN (SELECT cid FROM ${t}_p1)
+         |  GROUP BY seed, form),
+         |${t}_ex_in AS MATERIALIZED (SELECT c.cid, k.keep AS dup_of
+         |  FROM clips c JOIN ${t}_keep k
+         |    ON k.seed = c.seed AND k.form = c.form
+         |  WHERE c.cid IN (SELECT cid FROM ${t}_p1) AND c.cid <> k.keep),
+         |${t}_p2 AS MATERIALIZED (SELECT cid FROM ${t}_p1
+         |  WHERE cid NOT IN (SELECT cid FROM ${t}_ex_in)),
+         |${t}_nd_st AS MATERIALIZED (
+         |  SELECT v.src AS cid, min(v.dst) AS dup_of FROM fpps v
+         |  WHERE v.src IN (SELECT cid FROM ${t}_p2)
+         |    AND v.dst IN (SELECT cid FROM $st)
+         |  GROUP BY v.src),
+         |${t}_p3 AS MATERIALIZED (SELECT cid FROM ${t}_p2
+         |  WHERE cid NOT IN (SELECT cid FROM ${t}_nd_st)),
+         |${t}_edges AS MATERIALIZED (
+         |  SELECT ca AS src, cb AS dst FROM fpp
+         |  WHERE ca IN (SELECT cid FROM ${t}_p3)
+         |    AND cb IN (SELECT cid FROM ${t}_p3)),
+         |${t}_und AS (SELECT src, dst FROM ${t}_edges
+         |  UNION ALL SELECT dst, src FROM ${t}_edges),
+         |${t}_reach(id, r) AS (
+         |  SELECT src, src FROM ${t}_und
+         |  UNION
+         |  SELECT u.src, ${t}_reach.r FROM ${t}_und u
+         |  JOIN ${t}_reach ON ${t}_reach.id = u.dst),
+         |${t}_nd_in AS MATERIALIZED (SELECT id AS cid, min(r) AS dup_of
+         |  FROM ${t}_reach GROUP BY id HAVING id <> min(r)),
+         |${t}_pf AS MATERIALIZED (SELECT cid FROM ${t}_p3
+         |  WHERE cid NOT IN (SELECT cid FROM ${t}_nd_in))""".stripMargin
+    // sem half: the ${t}_pf pool assigns top-2 cells vs $cent, dedups
+    // vs the $sv state vectors (shared cell, cosine >= 0.9, min old),
+    // then within batch (components, min-id canonical)
+    def replaySem(t: String, cent: String, sv: String): String =
+      s"""${t}_nas AS MATERIALIZED (
+         |  SELECT id, v, cid FROM (
+         |    SELECT n.id, n.v, c.cid,
+         |      row_number() OVER (PARTITION BY n.id
+         |        ORDER BY $cosNew DESC, c.cid ASC) AS rn
+         |    FROM emb n JOIN $cent c ON TRUE
+         |    WHERE n.id IN (SELECT cid FROM ${t}_pf)) t(id, v, cid, rn)
+         |  WHERE rn <= 2),
+         |${t}_sem_st AS MATERIALIZED (
+         |  SELECT n.id AS cid, min(o.id) AS dup_of
+         |  FROM ${t}_nas n JOIN $sv o USING (cid)
+         |  WHERE n.id <> o.id AND $cosSt >= 0.9
+         |  GROUP BY n.id),
+         |${t}_p4 AS MATERIALIZED (SELECT cid FROM ${t}_pf
+         |  WHERE cid NOT IN (SELECT cid FROM ${t}_sem_st)),
+         |${t}_sedges AS MATERIALIZED (
+         |  SELECT DISTINCT a.id AS src, b.id AS dst
+         |  FROM ${t}_nas a JOIN ${t}_nas b USING (cid)
+         |  WHERE a.id < b.id
+         |    AND a.id IN (SELECT cid FROM ${t}_p4)
+         |    AND b.id IN (SELECT cid FROM ${t}_p4)
+         |    AND $cosPair >= 0.9),
+         |${t}_sund AS (SELECT src, dst FROM ${t}_sedges
+         |  UNION ALL SELECT dst, src FROM ${t}_sedges),
+         |${t}_sreach(id, r) AS (
+         |  SELECT src, src FROM ${t}_sund
+         |  UNION
+         |  SELECT u.src, ${t}_sreach.r FROM ${t}_sund u
+         |  JOIN ${t}_sreach ON ${t}_sreach.id = u.dst),
+         |${t}_sem_in AS MATERIALIZED (SELECT id AS cid, min(r) AS dup_of
+         |  FROM ${t}_sreach GROUP BY id HAVING id <> min(r)),
+         |${t}_adm AS MATERIALIZED (SELECT cid FROM ${t}_p4
+         |  WHERE cid NOT IN (SELECT cid FROM ${t}_sem_in))""".stripMargin
+    def verdicts(t: String, b: String, undec: String): String =
+      s"""  SELECT '$b' AS batch_id, cid AS id, FALSE AS admitted,
+         |    'no_fingerprint' AS reason, cid AS dup_of FROM $undec
+         |  UNION ALL SELECT '$b', cid, FALSE, 'exact_dup', dup_of
+         |  FROM ${t}_ex_st
+         |  UNION ALL SELECT '$b', cid, FALSE, 'exact_dup', dup_of
+         |  FROM ${t}_ex_in
+         |  UNION ALL SELECT '$b', cid, FALSE, 'near_dup', dup_of
+         |  FROM ${t}_nd_st
+         |  UNION ALL SELECT '$b', cid, FALSE, 'near_dup', dup_of
+         |  FROM ${t}_nd_in
+         |  UNION ALL SELECT '$b', cid, FALSE, 'sem_dup', dup_of
+         |  FROM ${t}_sem_st
+         |  UNION ALL SELECT '$b', cid, FALSE, 'sem_dup', dup_of
+         |  FROM ${t}_sem_in
+         |  UNION ALL SELECT '$b', cid, TRUE, 'admitted', cid
+         |  FROM ${t}_adm""".stripMargin
+    s"""WITH RECURSIVE
+       |ids AS MATERIALIZED (
+       |  SELECT doc_id AS id FROM documents WHERE doc_id < 24),
+       |clips AS MATERIALIZED (
+       |  SELECT id AS cid, id AS seed, 0 AS form, 'b1' AS b FROM ids
+       |  UNION ALL SELECT id + 100, id, 0, 'b1' FROM ids WHERE id % 6 = 0
+       |  UNION ALL SELECT id + 200, id, 1, 'b1' FROM ids WHERE id % 6 = 1
+       |  UNION ALL SELECT id + 300, id, 0, 'b2' FROM ids WHERE id % 6 = 0
+       |  UNION ALL SELECT id + 900, id, 3, 'b2' FROM ids WHERE id % 6 = 1
+       |  UNION ALL SELECT id + 400, id, 1, 'b2' FROM ids WHERE id % 6 = 2
+       |  UNION ALL SELECT id + 500, id + 1000, 0, 'b2' FROM ids
+       |  WHERE id % 6 = 3
+       |  UNION ALL SELECT id + 600, id + 1000, 2, 'b2' FROM ids
+       |  WHERE id % 6 = 3
+       |  UNION ALL SELECT id + 650, id + 3000, 0, 'b2' FROM ids
+       |  WHERE id % 6 = 4
+       |  UNION ALL SELECT id + 660, id + 3000, 1, 'b2' FROM ids
+       |  WHERE id % 6 = 4
+       |  UNION ALL SELECT id + 700, id + 2000, 0, 'b2' FROM ids
+       |  WHERE id % 6 = 5),
+       |undec1 AS MATERIALIZED (SELECT id + 800 AS cid FROM ids
+       |  WHERE id % 6 = 2),
+       |undec2 AS MATERIALIZED (SELECT cid FROM clips WHERE FALSE),
+       |wm AS MATERIALIZED (
+       |  SELECT c.cid, w.i AS i,
+       |    (2000
+       |      + 150 * (('0x' || substr(md5(c.seed::VARCHAR || ':' ||
+       |          ((CASE WHEN c.form >= 2 THEN w.i // 2 ELSE w.i END) // 4)
+       |            ::VARCHAR), 1, 8))::BIGINT % 5 - 2)
+       |      + 30 * (('0x' || substr(md5(
+       |          (CASE WHEN c.form = 3 THEN 'w2' ELSE 'w' END) || ':' ||
+       |          c.seed::VARCHAR || ':' ||
+       |          (CASE WHEN c.form >= 2 THEN w.i // 2 ELSE w.i END)
+       |            ::VARCHAR), 1, 8))::BIGINT % 3 - 1))
+       |      * CAST(10000 AS BIGINT) AS m,
+       |    CASE c.form WHEN 0 THEN 64 WHEN 1 THEN 76 ELSE 128 END AS nwin
+       |  FROM clips c JOIN range(128) w(i)
+       |    ON w.i < CASE c.form WHEN 0 THEN 64 WHEN 1 THEN 76
+       |      ELSE 128 END),
+       |bits AS MATERIALIZED (
+       |  SELECT a.cid, a.i,
+       |    CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
+       |  FROM wm a JOIN wm b ON b.cid = a.cid AND b.i = a.i + 1),
+       |nb AS MATERIALIZED (SELECT cid, max(i) AS mx FROM bits GROUP BY 1),
+       |fpv AS MATERIALIZED (
+       |  SELECT DISTINCT p.cid, CAST(sum(
+       |      CAST(b.bit AS BIGINT) << CAST(19 - (b.i - p.i) AS INTEGER))
+       |    AS BIGINT) AS fp
+       |  FROM (SELECT bi.cid, bi.i FROM bits bi JOIN nb
+       |          ON nb.cid = bi.cid AND bi.i <= nb.mx - 19) p
+       |  JOIN bits b ON b.cid = p.cid AND b.i BETWEEN p.i AND p.i + 19
+       |  GROUP BY p.cid, p.i),
+       |sizes AS MATERIALIZED (SELECT cid, count(*) AS nfp FROM fpv
+       |  GROUP BY 1),
+       |fpp AS MATERIALIZED (
+       |  SELECT g.ca, g.cb FROM (
+       |    SELECT a.cid AS ca, b.cid AS cb, count(*) AS ninter
+       |    FROM fpv a JOIN fpv b ON a.fp = b.fp AND a.cid < b.cid
+       |    GROUP BY 1, 2) g
+       |  JOIN sizes na ON na.cid = g.ca JOIN sizes nb ON nb.cid = g.cb
+       |  WHERE floor(g.ninter * 1.0 / (na.nfp + nb.nfp - g.ninter)
+       |      * 10000 + 0.5) >= 5000),
+       |fpps AS MATERIALIZED (SELECT ca AS src, cb AS dst FROM fpp
+       |  UNION ALL SELECT cb, ca FROM fpp),
+       |bkt AS MATERIALIZED (
+       |  SELECT cid, (i * 16) // nwin AS pos,
+       |    floor(sum(m) * 1.0 / count(*) + 0.5) AS bv
+       |  FROM wm GROUP BY cid, (i * 16) // nwin),
+       |mu AS MATERIALIZED (SELECT cid, sum(bv) / 16.0 AS m
+       |  FROM bkt GROUP BY cid),
+       |emb0 AS MATERIALIZED (
+       |  SELECT b.cid AS id, list(b.bv - mu.m ORDER BY b.pos) AS v
+       |  FROM bkt b JOIN mu USING (cid) GROUP BY b.cid, mu.m),
+       |emb AS MATERIALIZED (SELECT id, v FROM emb0
+       |  WHERE list_dot_product(v, v) > 0),
+       |bt1 AS MATERIALIZED (SELECT cid FROM clips WHERE b = 'b1'),
+       |bt2 AS MATERIALIZED (SELECT cid FROM clips WHERE b = 'b2'),
+       |s0 AS MATERIALIZED (SELECT cid FROM clips WHERE FALSE),
+       |sv0 AS MATERIALIZED (
+       |  SELECT e.id, e.v, CAST(0 AS BIGINT) AS cid FROM emb e
+       |  WHERE FALSE),
+       |${replayFp("r1", "bt1", "s0")},
+       |cent1 AS MATERIALIZED (
+       |  SELECT id AS cid, v AS cv FROM emb
+       |  WHERE id IN (SELECT cid FROM r1_pf)
+       |    AND ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT % 4 = 0),
+       |${replaySem("r1", "cent1", "sv0")},
+       |s1 AS MATERIALIZED (SELECT cid FROM r1_adm),
+       |sv1 AS MATERIALIZED (
+       |  SELECT id, v, cid FROM (
+       |    SELECT e.id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${graft.operators.Similarity
+                  .cosineDuckSql("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |    FROM emb e JOIN cent1 c ON TRUE
+       |    WHERE e.id IN (SELECT cid FROM r1_adm)) n(id, v, cid, rn)
+       |  WHERE rn <= 2),
+       |${replayFp("r2", "bt2", "s1")},
+       |${replaySem("r2", "cent1", "sv1")},
+       |out AS (
+       |${verdicts("r1", "b1", "undec1")}
+       |  UNION ALL
+       |${verdicts("r2", "b2", "undec2")})
+       |SELECT batch_id, CAST(id AS BIGINT) AS id, admitted, reason,
+       |  CAST(dup_of AS BIGINT) AS dup_of
+       |FROM out ORDER BY batch_id, id""".stripMargin
+  }
+
+  // ---- q174 video increment (exact + frame-hash + SEMANTIC stage) ---------
+  // Increment.curateVideoIncrement twice over (b1 bootstraps, b2 runs
+  // against the accumulated state, then b2 RERUNS under the same batch
+  // id), with the r17 SEMANTIC sub-state enabled: pooled keyframe
+  // block-mean embeddings (8×8 grid over 16×16 frames = 2×2 boxes,
+  // e4-exact sums·2500, pooled over 3 frames, mean-centered) SemDeDup
+  // the RE-GRAINED re-encodes per-frame pHash misses. Clips are
+  // 3-keyframe MP4s with lossless PNG samples parametrized by (pattern,
+  // grain, v): pixel (x,y) of every frame = 128 + wave(fx,x)·wave(fy,y)
+  // + md5-noise(grain,f,x,y) in ±15, +9 at (0,0) of frame 0 when v=1
+  // (the q161 near-dup nudge; fx = pat%7+1, fy = (pat/7)%7+1 — 49
+  // orthogonal scenes, the q159 wave-table discipline). Same GRAIN +
+  // nudge ⇒ frame-hash near pair; same PATTERN under a fresh grain ⇒
+  // pHash flips > 3 bits per frame (temporal Jaccard 0) while block
+  // means barely move ⇒ the sem stage's catch. Planted per src id:
+  // %6==0 exact-within-b1 then exact-vs-state, %6==1 nudge-near-within-
+  // b1 then its b2 echo near-vs-state, %6==2 an unparseable payload
+  // then re-grain→sem-vs-state, %6==3 re-grain→sem-within-b1 then a
+  // fresh-scene within-b2 sem pair, %6==4 a within-b2 near pair,
+  // %6==5 fresh. The oracle replays pixels → per-frame pHash (the q161
+  // DCT chain) → temporal Jaccard → block-mean embeddings → the
+  // pinned-centroid IVF assignment/verify/components chain, per batch.
+  private def q174Wave(f: Int, x: Int): Int =
+    math.round(10.0 * math.cos(math.Pi * 2 * f * x / 16)).toInt
+
+  private def q174Clip(cid: Long, pat: Long, grain: Long, v: Int)
+      : graft.operators.Multimodal.MediaRecord = {
+    val (fx, fy) = ((pat % 7).toInt + 1, ((pat / 7) % 7).toInt + 1)
+    def noise(f: Int, x: Int, y: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$grain:$f:$x:$y".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 31L).toInt - 15
+    }
+    graft.operators.Multimodal.MediaRecord(cid,
+      graft.operators.Multimodal.encodeSamplesMp4(1000, 3000,
+        (0 to 2).map(f => graft.operators.Multimodal.encodeGrayPixelsPng(
+          16, 16, Array.tabulate(256) { p =>
+            val (x, y) = (p % 16, p / 16)
+            val nudge = if (v == 1 && f == 0 && x == 0 && y == 0) 9 else 0
+            128 + q174Wave(fx, x) * q174Wave(fy, y) + noise(f, x, y) +
+              nudge
+          }))),
+      "video/mp4")
+  }
+
+  def q174Media(docs: org.apache.spark.sql.DataFrame, batch: String)
+      : org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.filter(col("doc_id") < 24).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        if (batch == "b1")
+          Seq(q174Clip(id, id, id, 0)) ++
+            (if (id % 6 == 0) Seq(q174Clip(id + 100, id, id, 0)) else Nil) ++
+            (if (id % 6 == 1) Seq(q174Clip(id + 200, id, id, 1)) else Nil) ++
+            (if (id % 6 == 2) Seq(graft.operators.Multimodal.MediaRecord(
+              id + 800, s"not a video $id".getBytes("UTF-8"),
+              "text/plain")) else Nil) ++
+            (if (id % 6 == 3) Seq(q174Clip(id + 250, id, id + 41, 0))
+             else Nil)
+        else
+          (if (id % 6 == 0) Seq(q174Clip(id + 300, id, id, 0)) else Nil) ++
+            (if (id % 6 == 1) Seq(q174Clip(id + 900, id, id, 1)) else Nil) ++
+            (if (id % 6 == 2) Seq(q174Clip(id + 400, id, id + 42, 0))
+             else Nil) ++
+            (if (id % 6 == 3) Seq(q174Clip(id + 500, id + 24, id + 43, 0),
+              q174Clip(id + 600, id + 24, id + 44, 0)) else Nil) ++
+            (if (id % 6 == 4) Seq(q174Clip(id + 550, id + 24, id + 45, 0),
+              q174Clip(id + 560, id + 24, id + 45, 1)) else Nil) ++
+            (if (id % 6 == 5) Seq(q174Clip(id + 700, id + 24, id + 46, 0))
+             else Nil)
+      }
+  }
+
+  val q174: Q = (s, d) => {
+    import graft.pipeline.Increment
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+    val fp = dataFingerprint(
+      docs.filter(col("doc_id") < 24).select(col("doc_id")))
+    memoizedReplay(s, "q174", d, fp) {
+      val dir = scratchDir("graft_q174_state")
+      val cfg = Increment.VideoIncrementConfig(
+        semDedupThresholdE4 = Some(9000L), semGrid = 8,
+        semCentroidEvery = 4)
+      Increment.curateVideoIncrement(q174Media(docs, "b1"), dir, "b1", cfg)
+      Increment.curateVideoIncrement(q174Media(docs, "b2"), dir, "b2", cfg)
+      Increment.curateVideoIncrement(q174Media(docs, "b2"), dir, "b2", cfg)
+      Increment.readLedger(s, dir)
+        .select(col("batch_id"), col("id"), col("admitted"),
+          col("reason"), col("dup_of"))
+        .orderBy("batch_id", "id")
+    }
+  }
+
+  val q174Sql: String = {
+    val waveLits = (1 to 7).flatMap(f =>
+      (0 until 16).map(x => q174Wave(f, x))).mkString(", ")
+    val cosNew = graft.operators.Similarity.cosineDuckSql("n.v", "c.cv")
+    val cosPair = graft.operators.Similarity.cosineDuckSql("a.v", "b.v")
+    val cosSt = graft.operators.Similarity.cosineDuckSql("n.v", "o.v")
+    def replayFp(t: String, bt: String, st: String): String =
+      s"""${t}_ex_st AS MATERIALIZED (SELECT c.cid, min(sc.cid) AS dup_of
+         |  FROM clips c JOIN clips sc ON sc.pat = c.pat
+         |    AND sc.grain = c.grain AND sc.v = c.v
+         |  WHERE c.cid IN (SELECT cid FROM $bt)
+         |    AND sc.cid IN (SELECT cid FROM $st)
+         |  GROUP BY c.cid),
+         |${t}_p1 AS MATERIALIZED (SELECT cid FROM $bt
+         |  WHERE cid NOT IN (SELECT cid FROM ${t}_ex_st)),
+         |${t}_keep AS MATERIALIZED (
+         |  SELECT pat, grain, v, min(cid) AS keep
+         |  FROM clips WHERE cid IN (SELECT cid FROM ${t}_p1)
+         |  GROUP BY pat, grain, v),
+         |${t}_ex_in AS MATERIALIZED (SELECT c.cid, k.keep AS dup_of
+         |  FROM clips c JOIN ${t}_keep k ON k.pat = c.pat
+         |    AND k.grain = c.grain AND k.v = c.v
+         |  WHERE c.cid IN (SELECT cid FROM ${t}_p1) AND c.cid <> k.keep),
+         |${t}_p2 AS MATERIALIZED (SELECT cid FROM ${t}_p1
+         |  WHERE cid NOT IN (SELECT cid FROM ${t}_ex_in)),
+         |${t}_nd_st AS MATERIALIZED (
+         |  SELECT v.src AS cid, min(v.dst) AS dup_of FROM vps v
+         |  WHERE v.src IN (SELECT cid FROM ${t}_p2)
+         |    AND v.dst IN (SELECT cid FROM $st)
+         |  GROUP BY v.src),
+         |${t}_p3 AS MATERIALIZED (SELECT cid FROM ${t}_p2
+         |  WHERE cid NOT IN (SELECT cid FROM ${t}_nd_st)),
+         |${t}_edges AS MATERIALIZED (
+         |  SELECT ca AS src, cb AS dst FROM vp
+         |  WHERE ca IN (SELECT cid FROM ${t}_p3)
+         |    AND cb IN (SELECT cid FROM ${t}_p3)),
+         |${t}_und AS (SELECT src, dst FROM ${t}_edges
+         |  UNION ALL SELECT dst, src FROM ${t}_edges),
+         |${t}_reach(id, r) AS (
+         |  SELECT src, src FROM ${t}_und
+         |  UNION
+         |  SELECT u.src, ${t}_reach.r FROM ${t}_und u
+         |  JOIN ${t}_reach ON ${t}_reach.id = u.dst),
+         |${t}_nd_in AS MATERIALIZED (SELECT id AS cid, min(r) AS dup_of
+         |  FROM ${t}_reach GROUP BY id HAVING id <> min(r)),
+         |${t}_pf AS MATERIALIZED (SELECT cid FROM ${t}_p3
+         |  WHERE cid NOT IN (SELECT cid FROM ${t}_nd_in))""".stripMargin
+    def replaySem(t: String, cent: String, sv: String): String =
+      s"""${t}_nas AS MATERIALIZED (
+         |  SELECT id, v, cid FROM (
+         |    SELECT n.id, n.v, c.cid,
+         |      row_number() OVER (PARTITION BY n.id
+         |        ORDER BY $cosNew DESC, c.cid ASC) AS rn
+         |    FROM emb n JOIN $cent c ON TRUE
+         |    WHERE n.id IN (SELECT cid FROM ${t}_pf)) t(id, v, cid, rn)
+         |  WHERE rn <= 2),
+         |${t}_sem_st AS MATERIALIZED (
+         |  SELECT n.id AS cid, min(o.id) AS dup_of
+         |  FROM ${t}_nas n JOIN $sv o USING (cid)
+         |  WHERE n.id <> o.id AND $cosSt >= 0.9
+         |  GROUP BY n.id),
+         |${t}_p4 AS MATERIALIZED (SELECT cid FROM ${t}_pf
+         |  WHERE cid NOT IN (SELECT cid FROM ${t}_sem_st)),
+         |${t}_sedges AS MATERIALIZED (
+         |  SELECT DISTINCT a.id AS src, b.id AS dst
+         |  FROM ${t}_nas a JOIN ${t}_nas b USING (cid)
+         |  WHERE a.id < b.id
+         |    AND a.id IN (SELECT cid FROM ${t}_p4)
+         |    AND b.id IN (SELECT cid FROM ${t}_p4)
+         |    AND $cosPair >= 0.9),
+         |${t}_sund AS (SELECT src, dst FROM ${t}_sedges
+         |  UNION ALL SELECT dst, src FROM ${t}_sedges),
+         |${t}_sreach(id, r) AS (
+         |  SELECT src, src FROM ${t}_sund
+         |  UNION
+         |  SELECT u.src, ${t}_sreach.r FROM ${t}_sund u
+         |  JOIN ${t}_sreach ON ${t}_sreach.id = u.dst),
+         |${t}_sem_in AS MATERIALIZED (SELECT id AS cid, min(r) AS dup_of
+         |  FROM ${t}_sreach GROUP BY id HAVING id <> min(r)),
+         |${t}_adm AS MATERIALIZED (SELECT cid FROM ${t}_p4
+         |  WHERE cid NOT IN (SELECT cid FROM ${t}_sem_in))""".stripMargin
+    def verdicts(t: String, b: String, undec: String): String =
+      s"""  SELECT '$b' AS batch_id, cid AS id, FALSE AS admitted,
+         |    'no_frames' AS reason, cid AS dup_of FROM $undec
+         |  UNION ALL SELECT '$b', cid, FALSE, 'exact_dup', dup_of
+         |  FROM ${t}_ex_st
+         |  UNION ALL SELECT '$b', cid, FALSE, 'exact_dup', dup_of
+         |  FROM ${t}_ex_in
+         |  UNION ALL SELECT '$b', cid, FALSE, 'near_dup', dup_of
+         |  FROM ${t}_nd_st
+         |  UNION ALL SELECT '$b', cid, FALSE, 'near_dup', dup_of
+         |  FROM ${t}_nd_in
+         |  UNION ALL SELECT '$b', cid, FALSE, 'sem_dup', dup_of
+         |  FROM ${t}_sem_st
+         |  UNION ALL SELECT '$b', cid, FALSE, 'sem_dup', dup_of
+         |  FROM ${t}_sem_in
+         |  UNION ALL SELECT '$b', cid, TRUE, 'admitted', cid
+         |  FROM ${t}_adm""".stripMargin
+    s"""WITH RECURSIVE
+       |ids AS MATERIALIZED (
+       |  SELECT doc_id AS id FROM documents WHERE doc_id < 24),
+       |clips AS MATERIALIZED (
+       |  SELECT id AS cid, id AS pat, id AS grain, 0 AS v, 'b1' AS b
+       |  FROM ids
+       |  UNION ALL SELECT id + 100, id, id, 0, 'b1' FROM ids
+       |  WHERE id % 6 = 0
+       |  UNION ALL SELECT id + 200, id, id, 1, 'b1' FROM ids
+       |  WHERE id % 6 = 1
+       |  UNION ALL SELECT id + 250, id, id + 41, 0, 'b1' FROM ids
+       |  WHERE id % 6 = 3
+       |  UNION ALL SELECT id + 300, id, id, 0, 'b2' FROM ids
+       |  WHERE id % 6 = 0
+       |  UNION ALL SELECT id + 900, id, id, 1, 'b2' FROM ids
+       |  WHERE id % 6 = 1
+       |  UNION ALL SELECT id + 400, id, id + 42, 0, 'b2' FROM ids
+       |  WHERE id % 6 = 2
+       |  UNION ALL SELECT id + 500, id + 24, id + 43, 0, 'b2' FROM ids
+       |  WHERE id % 6 = 3
+       |  UNION ALL SELECT id + 600, id + 24, id + 44, 0, 'b2' FROM ids
+       |  WHERE id % 6 = 3
+       |  UNION ALL SELECT id + 550, id + 24, id + 45, 0, 'b2' FROM ids
+       |  WHERE id % 6 = 4
+       |  UNION ALL SELECT id + 560, id + 24, id + 45, 1, 'b2' FROM ids
+       |  WHERE id % 6 = 4
+       |  UNION ALL SELECT id + 700, id + 24, id + 46, 0, 'b2' FROM ids
+       |  WHERE id % 6 = 5),
+       |undec1 AS MATERIALIZED (SELECT id + 800 AS cid FROM ids
+       |  WHERE id % 6 = 2),
+       |undec2 AS MATERIALIZED (SELECT cid FROM clips WHERE FALSE),
+       |wave AS MATERIALIZED (
+       |  SELECT t.i // 16 + 1 AS f, t.i % 16 AS x,
+       |    ([$waveLits])[t.i + 1] AS c
+       |  FROM range(112) t(i)),
+       |fr AS MATERIALIZED (
+       |  SELECT cid, pat, grain, v, f.f AS f FROM clips, range(3) f(f)),
+       |px AS MATERIALIZED (
+       |  SELECT r.cid, r.f, x.x AS x, y.y AS y,
+       |    128 + wx.c * wy.c
+       |      + (('0x' || substr(md5(r.grain::VARCHAR || ':' ||
+       |          r.f::VARCHAR || ':' || x.x::VARCHAR || ':' ||
+       |          y.y::VARCHAR), 1, 8))::BIGINT % 31 - 15)
+       |      + CASE WHEN r.v = 1 AND r.f = 0 AND x.x = 0 AND y.y = 0
+       |          THEN 9 ELSE 0 END AS p
+       |  FROM fr r
+       |  CROSS JOIN range(16) x(x)
+       |  CROSS JOIN range(16) y(y)
+       |  JOIN wave wx ON wx.f = r.pat % 7 + 1 AND wx.x = x.x
+       |  JOIN wave wy ON wy.f = (r.pat // 7) % 7 + 1 AND wy.x = y.y),
+       |ct AS MATERIALIZED (
+       |  SELECT t.k // 32 AS k, t.k % 32 AS x,
+       |    ([$pHashCosLiterals])[t.k + 1] AS c
+       |  FROM range(256) t(k)),
+       |g32 AS MATERIALIZED (
+       |  SELECT p.cid, p.f, x.x AS x, y.y AS y, p.p * 10000 AS e4
+       |  FROM px p
+       |  JOIN range(32) x(x) ON x.x // 2 = p.x
+       |  JOIN range(32) y(y) ON y.y // 2 = p.y),
+       |rowp AS MATERIALIZED (
+       |  SELECT g.cid, g.f, c.k AS u, g.y AS y,
+       |    CAST(sum(g.e4 * c.c) AS BIGINT) AS a
+       |  FROM g32 g JOIN ct c ON c.x = g.x GROUP BY 1, 2, 3, 4),
+       |coef AS MATERIALIZED (
+       |  SELECT r.cid, r.f, c.k * 8 + r.u AS k,
+       |    CAST(sum(r.a * c.c) AS BIGINT) AS fc
+       |  FROM rowp r JOIN ct c ON c.x = r.y GROUP BY 1, 2, 3),
+       |med AS MATERIALIZED (
+       |  SELECT cid, f, fc AS m FROM (
+       |    SELECT cid, f, fc,
+       |      row_number() OVER (PARTITION BY cid, f ORDER BY fc) AS rn
+       |    FROM coef WHERE k > 0) WHERE rn = 32),
+       |h AS MATERIALIZED (
+       |  SELECT c.cid, c.f,
+       |    CAST(sum(CASE WHEN c.k > 0 AND c.fc > m.m THEN
+       |        CASE WHEN c.k = 63 THEN -9223372036854775808
+       |             ELSE CAST(1 AS BIGINT) << CAST(c.k AS INTEGER) END
+       |      ELSE 0 END) AS BIGINT) AS phash
+       |  FROM coef c JOIN med m USING (cid, f) GROUP BY 1, 2),
+       |nf AS MATERIALIZED (SELECT cid, count(*) AS nf FROM h GROUP BY 1),
+       |fp AS MATERIALIZED (
+       |  SELECT a.cid AS ca, a.f AS fa, b.cid AS cb, b.f AS fb
+       |  FROM h a JOIN h b ON a.cid < b.cid
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+       |vp AS MATERIALIZED (
+       |  SELECT g.ca, g.cb FROM (
+       |    SELECT ca, cb,
+       |      count(DISTINCT fa) AS ma, count(DISTINCT fb) AS mb
+       |    FROM fp GROUP BY 1, 2) g
+       |  JOIN nf na ON na.cid = g.ca JOIN nf nb ON nb.cid = g.cb
+       |  WHERE floor((g.ma + g.mb) * 10000.0 / (na.nf + nb.nf) + 0.5)
+       |    >= 5000),
+       |vps AS MATERIALIZED (SELECT ca AS src, cb AS dst FROM vp
+       |  UNION ALL SELECT cb, ca FROM vp),
+       |gf AS MATERIALIZED (
+       |  SELECT cid, f, (y // 2) * 8 + (x // 2) AS pos,
+       |    CAST(sum(p) * 2500 AS BIGINT) AS e4
+       |  FROM px GROUP BY 1, 2, 3),
+       |bkt AS MATERIALIZED (
+       |  SELECT cid, pos, floor(sum(e4) * 1.0 / count(*) + 0.5) AS bv
+       |  FROM gf GROUP BY cid, pos),
+       |mu AS MATERIALIZED (SELECT cid, sum(bv) / 64.0 AS m
+       |  FROM bkt GROUP BY cid),
+       |emb0 AS MATERIALIZED (
+       |  SELECT b.cid AS id, list(b.bv - mu.m ORDER BY b.pos) AS v
+       |  FROM bkt b JOIN mu USING (cid) GROUP BY b.cid, mu.m),
+       |emb AS MATERIALIZED (SELECT id, v FROM emb0
+       |  WHERE list_dot_product(v, v) > 0),
+       |bt1 AS MATERIALIZED (SELECT cid FROM clips WHERE b = 'b1'),
+       |bt2 AS MATERIALIZED (SELECT cid FROM clips WHERE b = 'b2'),
+       |s0 AS MATERIALIZED (SELECT cid FROM clips WHERE FALSE),
+       |sv0 AS MATERIALIZED (
+       |  SELECT e.id, e.v, CAST(0 AS BIGINT) AS cid FROM emb e
+       |  WHERE FALSE),
+       |${replayFp("r1", "bt1", "s0")},
+       |cent1 AS MATERIALIZED (
+       |  SELECT id AS cid, v AS cv FROM emb
+       |  WHERE id IN (SELECT cid FROM r1_pf)
+       |    AND ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT % 4 = 0),
+       |${replaySem("r1", "cent1", "sv0")},
+       |s1 AS MATERIALIZED (SELECT cid FROM r1_adm),
+       |sv1 AS MATERIALIZED (
+       |  SELECT id, v, cid FROM (
+       |    SELECT e.id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${graft.operators.Similarity
+                  .cosineDuckSql("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |    FROM emb e JOIN cent1 c ON TRUE
+       |    WHERE e.id IN (SELECT cid FROM r1_adm)) n(id, v, cid, rn)
+       |  WHERE rn <= 2),
+       |${replayFp("r2", "bt2", "s1")},
+       |${replaySem("r2", "cent1", "sv1")},
+       |out AS (
+       |${verdicts("r1", "b1", "undec1")}
+       |  UNION ALL
+       |${verdicts("r2", "b2", "undec2")})
+       |SELECT batch_id, CAST(id AS BIGINT) AS id, admitted, reason,
+       |  CAST(dup_of AS BIGINT) AS dup_of
+       |FROM out ORDER BY batch_id, id""".stripMargin
+  }
+
   // ---- q169/q170 N-modality paired verdicts --------------------------------
   // Paired.pairedVerdictsN / pairedDocVerdictsN over SQL-expressible
   // synthetic ledgers (the funnel ledgers themselves are pinned by
@@ -1470,6 +2109,8 @@ object MultimodalProbes {
        |ORDER BY doc_id""".stripMargin
 
   private[probes] val queries: Map[String, Q] = Map(
+    "q173_audio_increment" -> q173,
+    "q174_video_increment_sem" -> q174,
     "q169_paired_nmodal" -> q169,
     "q170_paired_doc_nmodal" -> q170,
     "q161_video_increment" -> q161,
@@ -1491,6 +2132,8 @@ object MultimodalProbes {
     "q147_phash_neardup" -> q147)
 
   private[probes] val oracleSql: Map[String, String] = Map(
+    "q173_audio_increment" -> q173Sql,
+    "q174_video_increment_sem" -> q174Sql,
     "q169_paired_nmodal" -> q169Sql,
     "q170_paired_doc_nmodal" -> q170Sql,
     "q161_video_increment" -> q161Sql,

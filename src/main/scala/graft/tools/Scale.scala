@@ -1452,6 +1452,94 @@ object Scale {
             .groupBy("reason").agg(count(lit(1)).as("docs")),
           Seq.empty))
       }
+      if (onlyRows.forall(_.exists("aud_incr_sem_2pct".startsWith))) {
+        // round-17: the audio increment with the SEMANTIC stage on —
+        // state seeded OUTSIDE timing (bootstrap decodes, fingerprints
+        // and sem-indexes the Nx corpus as unique level-pattern clips);
+        // the timed row runs a ~2% batch of 2× RESAMPLES (same waveform
+        // at double rate: time-fraction-pooled profile cosine ≈ 1,
+        // fingerprint value overlap 0 — the regime the sem stage
+        // exists for) through the full funnel. Cost shape: batch decode
+        // + embed is batch-linear; the sem probe is centroid-routed.
+        import spark.implicits._
+        def mixa(a: Long, b: Long): Long = {
+          var z = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z ^ (z >>> 27)
+        }
+        val nWin = 64; val wf = 50
+        def amp(seed: Long, i: Int, grain: Long): Int =
+          (1200 + math.floorMod(mixa(seed, (i / 4).toLong), 1600L) +
+            (if (grain == 0L) 0L
+             else math.floorMod(mixa(grain, i.toLong), 61L) - 30L)).toInt
+        def wavC(cid: Long, seed: Long, dup: Int, grain: Long) =
+          graft.operators.Multimodal.MediaRecord(cid,
+            graft.operators.Multimodal.encodePcm16Wav(8000 * dup, 1,
+              Array.tabulate(dup * nWin * wf)(f =>
+                amp(seed, f / (dup * wf), grain).toShort)), "audio/wav")
+        val sdir = java.nio.file.Files
+          .createTempDirectory(s"graft_aincr_$n").toString
+        val cfgA = graft.pipeline.Increment.AudioIncrementConfig(
+          semDedupThresholdE4 = Some(9000L), semDim = 16,
+          semCentroidEvery = 100)
+        graft.pipeline.Increment.curateAudioIncrement(
+          d.filter(col("doc_id") % 4 === 0).select(col("doc_id"))
+            .as[Long].map(id => wavC(id, id, 1, 0L)),
+          sdir, "seed", cfgA)
+        val batchA = d.filter(col("doc_id") % 200 === 0)
+          .select(col("doc_id")).as[Long]
+          .map(id => wavC(id + 500000000L, id, 2, id + 77L))
+        run("aud_incr_sem_2pct", n)(graft.core.Managed(
+          graft.pipeline.Increment.curateAudioIncrement(batchA, sdir,
+              "sweep", cfgA).ledger
+            .groupBy("reason").agg(count(lit(1)).as("docs")),
+          Seq.empty))
+      }
+      if (onlyRows.forall(_.exists("vid_incr_sem_2pct".startsWith))) {
+        // round-17: the video increment with the SEMANTIC stage on —
+        // the img_incr_sem_2pct shape one temporal pooling up: state
+        // seeded OUTSIDE timing as unique-noise 3-keyframe MP4s; the
+        // timed row runs a ~2% batch of RE-GRAINS (same base pixels +
+        // a fresh per-frame noise field: pooled block-mean cosine high,
+        // per-frame pHash hamming typically > 3 — temporal Jaccard 0).
+        import spark.implicits._
+        def mixv(a: Long, b: Long): Long = {
+          var z = a * 0x9E3779B97F4A7C15L + b * 0xC2B2AE3D27D4EB4FL
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z ^ (z >>> 27)
+        }
+        def vidG(base: Long, grain: Long) =
+          graft.operators.Multimodal.encodeSamplesMp4(1000, 3000,
+            (0 to 2).map(f =>
+              graft.operators.Multimodal.encodeGrayPixelsPng(16, 16,
+                Array.tabulate(256) { p =>
+                  val b = (mixv(base * 3 + f, p.toLong) & 0xffL).toInt
+                  val nz =
+                    if (grain == 0L) 0
+                    else (math.floorMod(
+                      mixv(grain * 3 + f, p.toLong), 41L) - 20L).toInt
+                  math.max(0, math.min(255, b + nz))
+                })))
+        val sdir = java.nio.file.Files
+          .createTempDirectory(s"graft_vsincr_$n").toString
+        val cfgV = graft.pipeline.Increment.VideoIncrementConfig(
+          semDedupThresholdE4 = Some(9000L), semGrid = 8,
+          semCentroidEvery = 100)
+        graft.pipeline.Increment.curateVideoIncrement(
+          d.filter(col("doc_id") % 4 === 0).select(col("doc_id"))
+            .as[Long].map(id => graft.operators.Multimodal.MediaRecord(
+              id, vidG(id, 0L), "video/mp4")),
+          sdir, "seed", cfgV)
+        val batchV = d.filter(col("doc_id") % 200 === 0)
+          .select(col("doc_id")).as[Long]
+          .map(id => graft.operators.Multimodal.MediaRecord(
+            id + 500000000L, vidG(id, id + 77L), "video/mp4"))
+        run("vid_incr_sem_2pct", n)(graft.core.Managed(
+          graft.pipeline.Increment.curateVideoIncrement(batchV, sdir,
+              "sweep", cfgV).ledger
+            .groupBy("reason").agg(count(lit(1)).as("docs")),
+          Seq.empty))
+      }
       if (onlyRows.forall(_.exists("embed_incr_2pct".startsWith))) {
         // the embedding increment vs persisted semantic state: state
         // seeded OUTSIDE timing (bootstrap over the Nx vector corpus);
