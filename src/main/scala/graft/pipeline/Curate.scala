@@ -127,7 +127,12 @@ case class CurateConfig(
     // synthetic marker profiles; keepLangs must name the model's
     // languages. None (default) keeps the fixture profiles and the
     // exact legacy plan.
-    langIdModel: Option[graft.operators.TextStats.LangIdModel] = None)
+    langIdModel: Option[graft.operators.TextStats.LangIdModel] = None,
+    // materialize the admitted doc frame into
+    // [[CurateResult.admittedDocs]] (one extra bounded localCheckpoint
+    // of the survivor pool) — the state-rebuild consumers' dial; off by
+    // default so the plain funnel pays nothing
+    keepAdmitted: Boolean = false)
 
 /** `chunks` — the packed, sharded training chunks (doc_id, chunk_id,
   * chunk_text, n_tokens, shard, pack); `stageCounts` — rows surviving each
@@ -148,7 +153,15 @@ case class CurateConfig(
   */
 case class CurateResult(chunks: DataFrame, stageCounts: Seq[(String, Long)],
                         stageSeconds: Seq[(String, Double)] = Seq.empty,
-                        ledger: Option[DataFrame] = None)
+                        ledger: Option[DataFrame] = None,
+                        // when `cfg.keepAdmitted`: the admitted DOC
+                        // frame (idCol, textCol) with each survivor's
+                        // FINAL text (post line/window/exact-substr
+                        // rewrites) — what a state rebuild must hash
+                        // and index ([[Recurate.run]]'s input; a
+                        // ledger-id join against the INPUT text would
+                        // resurrect rewritten spans)
+                        admittedDocs: Option[DataFrame] = None)
 
 /** The end-to-end curation pipeline — the individual operators composed
   * the way a real 100 TB pretraining-data run composes them:
@@ -704,8 +717,12 @@ object Curate {
             lit("admitted").as("reason"), col(idCol).cast("long").as("dup_of"))
         Some((led :+ admitted).reduce(_ unionByName _).localCheckpoint(true))
       }
+    val admittedDocs =
+      if (!cfg.keepAdmitted) None
+      else Some(clean.select(col(idCol), col(textCol))
+        .localCheckpoint(eager = true))
     clean.unpersist()
 
-    CurateResult(packed, counts.toSeq, times.toSeq, ledger)
+    CurateResult(packed, counts.toSeq, times.toSeq, ledger, admittedDocs)
   }
 }

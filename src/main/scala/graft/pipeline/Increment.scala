@@ -86,7 +86,17 @@ case class IncrementConfig(
     // at small state sizes the extra build jobs cost more than the
     // pruned shuffle saves (measured crossover in SCALE.md), so this is
     // the at-scale dial, not a default.
-    stateBloomBits: Option[Long] = None)
+    stateBloomBits: Option[Long] = None,
+    // AUTO-dial the Bloom pruning (r16 verdict #3): when true and
+    // stateBloomBits is None, each increment decides per batch from
+    // the committed state's heavy-table BYTES vs the batch's row count
+    // ([[Increment.decideStateBloom]] — the measured SCALE.md crossover
+    // as the threshold) and sizes the filter from the batch. The
+    // operator stops hand-tuning: small states keep bloom off (the
+    // build jobs would cost more than the pruned shuffle saves), and
+    // the dial flips exactly when the state-scan volume dominates.
+    // stateBloomBits set = manual override, auto never consulted.
+    stateBloomAuto: Boolean = false)
 
 /** `ledger` — one [[graft.streaming.CurateStream.GateVerdict]]-shaped
   * row PER BATCH DOC (id, admitted, reason, dup_of); `admitted` — the
@@ -301,6 +311,44 @@ object Increment {
     bits.map(m => graft.core.Bloom.pruneByKeys(state, stateKey,
       batchKeys, batchKey, m)).getOrElse(state)
 
+  /** The auto-dial behind [[IncrementConfig.stateBloomAuto]]: Bloom
+    * pruning pays one filter-build job per pruned family plus a probe
+    * filter per state row, and saves (1 − selectivity) of the
+    * state-side shuffle — net-positive only when the committed state
+    * is much larger than the batch. The measured crossover
+    * (SCALE.md: net LOSS at state/batch ≲ 300×, WIN from ~1000× with
+    * the shared-build amortization) rounds to: enable iff committed
+    * heavy-table bytes exceed `minStateBytesPerBatchRow` (default
+    * 4 KiB) per batch row AND an absolute floor (64 MiB — below it no
+    * scan is worth a build job). Filter sized at ~16 bits per batch
+    * row, clamped to [2^20, 2^27] (<1% fpp, ≤16 MiB literal).
+    * Heavy-table bytes come from one bounded `getContentSummary` walk
+    * — no Spark job. Returns the bits to use, or None = keep bloom
+    * off.
+    */
+  def decideStateBloom(spark: SparkSession, stateDir: String,
+                       batchRows: Long,
+                       minStateBytes: Long = 64L << 20,
+                       minStateBytesPerBatchRow: Long = 4096L)
+      : Option[Long] = {
+    val f = fs(spark, stateDir)
+    val stateBytes = Seq("exact/keys", "windows", "minhash/bands",
+        "minhash/shingles", "sem/assigned")
+      .map(rel => new org.apache.hadoop.fs.Path(s"$stateDir/$rel"))
+      .filter(f.exists)
+      .map(p => f.getContentSummary(p).getLength)
+      .sum
+    if (stateBytes < minStateBytes ||
+        stateBytes < minStateBytesPerBatchRow * math.max(1L, batchRows))
+      None
+    else {
+      val want = java.lang.Long.highestOneBit(
+        math.max(1L << 20, math.min(1L << 27,
+          16L * math.max(1L, batchRows))))
+      Some(want)
+    }
+  }
+
   /** Committed exact keys (key, id), excluding `excludeBatch` — the
     * committed set is the MINHASH meta's (keys commit before the
     * marker, so a torn increment's keys never read). Keys canonicalize
@@ -310,7 +358,10 @@ object Increment {
     */
   private def readExactKeys(spark: SparkSession, stateDir: String,
                             excludeBatch: String,
-                            batchHashes: Option[(DataFrame, Long)] = None)
+                            batchHashes: Option[(DataFrame, Long)] = None,
+                            // prebuilt filter (the buildMany shared
+                            // pass) — takes precedence over batchHashes
+                            prebuilt: Option[(Array[Long], Long)] = None)
       : DataFrame = {
     val committed = Dedup.minhashCommitted(spark, s"$stateDir/minhash")
       .filter(col("batch_id") =!= excludeBatch)
@@ -319,10 +370,12 @@ object Increment {
     // key the batch cannot carry leaves surviving keys' groups intact,
     // so min(id) per surviving key — the only keys the exact join can
     // hit — is unchanged
-    val pruned = batchHashes match {
-      case Some((b, m)) => bloomPrune(keys, col("key"), b, col("__h"),
-        Some(m))
-      case None => keys
+    val pruned = (prebuilt, batchHashes) match {
+      case (Some((fl, m)), _) =>
+        graft.core.Bloom.pruneByFilter(keys, col("key"), fl, m)
+      case (None, Some((b, m))) => bloomPrune(keys, col("key"), b,
+        col("__h"), Some(m))
+      case _ => keys
     }
     pruned
       .join(broadcast(committed), Seq("batch_id"), "left_semi")
@@ -399,6 +452,12 @@ object Increment {
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .localCheckpoint(eager = true)
     stage("ingest", input.count())
+    // effective Bloom dial: manual bits win; otherwise the auto
+    // decision from committed-state bytes vs batch rows (r16 #3)
+    val effBloomBits = cfg.stateBloomBits.orElse(
+      if (cfg.stateBloomAuto && haveState)
+        decideStateBloom(spark, stateDir, counts.head._2)
+      else None)
     if (cfg.c4Clean) {
       val pre = input
       input = Curation.c4Clean(input, "id", "text")
@@ -478,7 +537,7 @@ object Increment {
       val claims =
         if (!haveState) None
         else Some(readWindowClaims(spark, stateDir, batchId,
-          cfg.stateBloomBits.map(m =>
+          effBloomBits.map(m =>
             (Curation.windowClaims(filtered, "id", "text", w)
               .select("h"), m))))
       val cleaned = claims match {
@@ -497,11 +556,31 @@ object Increment {
     // ---- exact dedup: against state, then within batch -----------------
     val hashed = filtered.withColumn("__h", md5(col("text")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE shared filter-build pass for the exact-key AND band-key
+    // prunes (r16 #3's amortization): both key sets derive from the
+    // final batch text, so one buildMany job replaces two per-family
+    // builds. The band filter is built over the PRE-exact-dedup pool —
+    // a superset of the probing `kept` keys, so pruning stays
+    // conservative-correct. The window-claims filter above cannot
+    // join this pass (its keys hash the PRE-rewrite text).
+    val sharedFilters: Option[(Map[String, Array[Long]], Long)] =
+      effBloomBits.filter(_ => haveState).map { m =>
+        val (sb, srp) = Dedup.readMinhashMeta(spark,
+          s"$stateDir/minhash")
+        val keyed = hashed.select(array(col("__h")).as("__ek"),
+            Dedup.shingleHashes(Dedup.shingles3(
+              Dedup.normalizeWords(col("text")))).as("__hv"))
+          .select(col("__ek"),
+            Dedup.bandKeyArrayFromHv(col("__hv"), sb, srp).as("__bk"))
+        (graft.core.Bloom.buildMany(keyed,
+          Seq("exact" -> col("__ek"), "bands" -> col("__bk")), m), m)
+      }
     val afterExact =
       if (!haveState) hashed
       else {
         val stateKeys = readExactKeys(spark, stateDir, batchId,
-          cfg.stateBloomBits.map(m => (hashed.select("__h"), m)))
+          prebuilt = sharedFilters.map { case (fm, m) =>
+            (fm("exact"), m) })
         val hits = hashed.join(
             stateKeys.select(col("key").as("__h"),
               col("id").as("__dup_of")), Seq("__h"))
@@ -527,7 +606,8 @@ object Increment {
         val pairsM = Dedup.nearDupAgainstIndex(spark,
           s"$stateDir/minhash", kept, "id", "text",
           excludeBatch = Some(batchId),
-          bloomBits = cfg.stateBloomBits)
+          bloomBits = effBloomBits,
+          bandFilter = sharedFilters.map(_._1("bands")))
         val hits = pairsM.df
           .filter(col("jacc_e4") >= cfg.nearDupThresholdE4)
           .groupBy("id_new").agg(min(col("id_old")).as("__dup_of"))
@@ -596,7 +676,7 @@ object Increment {
           val hits = Curation.semNearDupAgainstIndex(spark, semDir,
               nonzero.select("id", "v"), th,
               excludeBatch = Some(batchId), restrictTo = Some(restrict),
-              bloomBits = cfg.stateBloomBits)
+              bloomBits = effBloomBits)
             .groupBy("id_new").agg(min(col("id_old")).as("__dup_of"))
             .select(col("id_new").as("id"), col("__dup_of"))
             .localCheckpoint(eager = true)
@@ -770,25 +850,171 @@ object Increment {
 
   /** Seed image state from an ALREADY-CURATED media corpus: exact
     * payload-md5 keys + pHash index under batch id "base" (undecodable
-    * payloads excluded — they can never pair).
+    * payloads excluded — they can never pair), plus the sem sub-state
+    * when `cfg` enables the semantic stage.
     */
   def initImageStateFromCurated(spark: SparkSession, stateDir: String,
                                 curated: org.apache.spark.sql.Dataset[
                                   graft.operators.Multimodal.MediaRecord],
-                                nBands: Int = 4,
-                                maxPixels: Long = 64L << 20): Unit = {
+                                cfg: ImageIncrementConfig =
+                                  ImageIncrementConfig()): Unit = {
     require(!imageStateExists(spark, stateDir),
       s"initImageStateFromCurated: state already exists at $stateDir")
     writeFamilySentinel(spark, stateDir, "phash")
-    val hashed = hashAndSign(curated, maxPixels)
+    val hashed = hashAndSign(curated, cfg.maxPixels)
       .filter(col("phash") =!= -1L)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       writeExactKeyRows(hashed.select(col("__md5").as("key"), col("id")),
         s"$stateDir/exact", "base")
+      for (_ <- cfg.semDedupThresholdE4) {
+        val nonzero = graft.operators.Multimodal
+          .imageEmbeddings(curated, cfg.semGrid,
+            maxPixels = cfg.maxPixels)
+          .filter(expr("aggregate(v, 0D, (a, x) -> a + x * x)") >
+            lit(0.0))
+          .localCheckpoint(eager = true)
+        Curation.writeSemIndex(nonzero,
+          Curation.semCentroidSample(nonzero, cfg.semCentroidEvery),
+          s"$stateDir/sem", cfg.semCentroidEvery, cfg.semNassign, "base")
+      }
+      // pHash index LAST — its meta is the family marker
       graft.operators.Multimodal.writePhashIndex(curated,
-        s"$stateDir/phash", nBands)
+        s"$stateDir/phash", cfg.nBands)
     } finally hashed.unpersist()
+  }
+
+  /** Seed AUDIO state from an ALREADY-CURATED media corpus — the audio
+    * member of the [[initStateFromCurated]] family (r16 verdict #2's
+    * "generalize"): exact payload-md5 keys + fingerprint index under
+    * batch id "base" (unprintable clips excluded — they can never
+    * pair), plus the sem sub-state when the config enables the
+    * semantic stage, so the first [[curateAudioIncrement]] against the
+    * seeded root dedups semantically against the full history. The
+    * caller asserts the corpus is internally deduplicated.
+    */
+  def initAudioStateFromCurated(spark: SparkSession, stateDir: String,
+                                curated: org.apache.spark.sql.Dataset[
+                                  graft.operators.Multimodal.MediaRecord],
+                                cfg: AudioIncrementConfig =
+                                  AudioIncrementConfig()): Unit = {
+    import spark.implicits._
+    require(!audioStateExists(spark, stateDir),
+      s"initAudioStateFromCurated: state already exists at $stateDir")
+    writeFamilySentinel(spark, stateDir, "audio")
+    val printable = graft.operators.Multimodal
+      .audioFingerprints(curated, cfg.windowFrames, cfg.k, cfg.stride,
+        cfg.quantE4).toDF()
+      .select(col("media_id").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keys = curated.mapPartitions { it =>
+          val dg = java.security.MessageDigest.getInstance("MD5")
+          it.map { r =>
+            dg.reset()
+            (r.media_id,
+              dg.digest(r.media).map(b => f"${b & 0xff}%02x").mkString)
+          }
+        }.toDF("id", "key")
+        .join(printable, Seq("id"), "left_semi")
+      writeExactKeyRows(keys.select(col("key"), col("id")),
+        s"$stateDir/exact", "base")
+      for (_ <- cfg.semDedupThresholdE4) {
+        val nonzero = graft.operators.Multimodal
+          .audioEmbeddings(curated, cfg.semDim, cfg.windowFrames)
+          .filter(expr("aggregate(v, 0D, (a, x) -> a + x * x)") >
+            lit(0.0))
+          .localCheckpoint(eager = true)
+        Curation.writeSemIndex(nonzero,
+          Curation.semCentroidSample(nonzero, cfg.semCentroidEvery),
+          s"$stateDir/sem", cfg.semCentroidEvery, cfg.semNassign, "base")
+      }
+      // fingerprint index LAST — its meta is the family marker
+      graft.operators.Multimodal.writeAudioIndex(curated,
+        s"$stateDir/audio", cfg.windowFrames, cfg.k, cfg.stride,
+        cfg.quantE4)
+    } finally printable.unpersist()
+  }
+
+  /** Seed VIDEO state from an ALREADY-CURATED media corpus — the video
+    * member of the [[initStateFromCurated]] family: exact payload-md5
+    * keys + keyframe index under batch id "base" (frameless clips
+    * excluded), plus the sem sub-state when enabled.
+    */
+  def initVideoStateFromCurated(spark: SparkSession, stateDir: String,
+                                curated: org.apache.spark.sql.Dataset[
+                                  graft.operators.Multimodal.MediaRecord],
+                                cfg: VideoIncrementConfig =
+                                  VideoIncrementConfig()): Unit = {
+    import spark.implicits._
+    require(!videoStateExists(spark, stateDir),
+      s"initVideoStateFromCurated: state already exists at $stateDir")
+    writeFamilySentinel(spark, stateDir, "video")
+    val framed = graft.operators.Multimodal.videoKeyframePhash(curated)
+      .toDF()
+      .filter(col("phash") =!= -1L && col("frame_idx") >= 0L)
+      .select(col("media_id").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keys = curated.mapPartitions { it =>
+          val dg = java.security.MessageDigest.getInstance("MD5")
+          it.map { r =>
+            dg.reset()
+            (r.media_id,
+              dg.digest(r.media).map(b => f"${b & 0xff}%02x").mkString)
+          }
+        }.toDF("id", "key")
+        .join(framed, Seq("id"), "left_semi")
+      writeExactKeyRows(keys.select(col("key"), col("id")),
+        s"$stateDir/exact", "base")
+      for (_ <- cfg.semDedupThresholdE4) {
+        val nonzero = graft.operators.Multimodal
+          .videoEmbeddings(curated, cfg.semGrid)
+          .filter(expr("aggregate(v, 0D, (a, x) -> a + x * x)") >
+            lit(0.0))
+          .localCheckpoint(eager = true)
+        Curation.writeSemIndex(nonzero,
+          Curation.semCentroidSample(nonzero, cfg.semCentroidEvery),
+          s"$stateDir/sem", cfg.semCentroidEvery, cfg.semNassign, "base")
+      }
+      // keyframe index LAST — its meta is the family marker
+      graft.operators.Multimodal.writeVideoIndex(curated,
+        s"$stateDir/video", cfg.nBands)
+    } finally framed.unpersist()
+  }
+
+  /** Seed EMBEDDING state from an ALREADY-CURATED (id, v) corpus — the
+    * semantic member of the [[initStateFromCurated]] family: e6
+    * fixed-point exact keys + the sem index (centroids drawn by the
+    * replayable md5 rule from the corpus's non-zero vectors, pinned
+    * for every later [[curateEmbeddingIncrement]]) under batch "base".
+    */
+  def initSemStateFromCurated(spark: SparkSession, stateDir: String,
+                              curated: DataFrame,
+                              cfg: EmbeddingIncrementConfig =
+                                EmbeddingIncrementConfig()): Unit = {
+    require(!semStateExists(spark, stateDir),
+      s"initSemStateFromCurated: state already exists at $stateDir")
+    writeFamilySentinel(spark, stateDir, "sem")
+    val keyed = graft.core.Ops.widen(curated)
+      .select(col("id").cast("long").as("id"), col("v"))
+      .withColumn("__md5", md5(concat_ws(",",
+        transform(col("v"),
+          x => graft.core.Ops.fixedPoint(x, 6).cast("string")))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      writeExactKeyRows(
+        keyed.select(col("__md5").as("key"), col("id")),
+        s"$stateDir/exact", "base")
+      val nonzero = keyed
+        .filter(expr("aggregate(v, 0D, (a, x) -> a + x * x)") > lit(0.0))
+        .select("id", "v")
+        .localCheckpoint(eager = true)
+      // sem index LAST — its meta is the family marker
+      Curation.writeSemIndex(nonzero,
+        Curation.semCentroidSample(nonzero, cfg.centroidEvery),
+        s"$stateDir/sem", cfg.centroidEvery, cfg.nassign, "base")
+    } finally keyed.unpersist()
   }
 
   /** One decode pass: (id, __md5 of payload bytes, phash). */

@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Periodic FULL re-curation — the operational loop the increment
+  * config points at for its pool-relative gates (r16 verdict #2,
+  * [[IncrementConfig]]'s note: self-LM bounds, CCNet perplexity
+  * buckets, and DSIR selection need the WHOLE population, so the
+  * increments skip them and "the periodic full re-curation" owns
+  * them). This module is that re-curation: run the complete batch
+  * funnel ([[Curate.run]]) — including the pool-relative stages — over
+  * the accumulated raw corpus, rebuild EVERY state table the
+  * increments serve from (exact keys, minhash index, window claims,
+  * sem sub-state, ledger, metrics) into a fresh VERSIONED state root,
+  * and swap it in atomically through the [[Restore]] commit-marker
+  * path. A crash anywhere before the marker swap leaves the OLD root
+  * serving — increments never see a half-built state.
+  *
+  * Deployment shape at 100 TB: increments run per-snapshot against the
+  * current root (batch-proportional); this runs weekly/monthly
+  * (corpus-proportional, the price of population-relative gates), and
+  * the pointer swap retires the accumulated batch partitions in one
+  * move (subsuming [[Increment.compactStateTo]] for roots on the
+  * versioned convention). Reference: ufload re-stages the whole
+  * database per sync cycle and swaps it in (db.py:342-348's de-live +
+  * rename discipline) — this is that lifecycle for curation state.
+  *
+  * State addressing: callers that recurate resolve the CURRENT root
+  * via [[Restore.resolveVersioned]](warehouse, db) and hand that path
+  * to the increment entry points; [[run]] publishes `db__v{token}`
+  * and swaps the `db.commit` pointer last.
+  */
+object Recurate {
+
+  /** `versionDir` — the committed new state root (the path increments
+    * should use next); `stageCounts` — the funnel's per-stage counts;
+    * `ledger` — the full-pool verdict ledger now persisted under batch
+    * `base` in the new root.
+    */
+  case class RecurateResult(versionDir: String,
+                            stageCounts: Seq[(String, Long)],
+                            ledger: DataFrame)
+
+  /** Publish ANY freshly-built state root atomically: `build`
+    * populates the immutable `db__v{token}` dir (e.g. one of the
+    * [[Increment]] `init*StateFromCurated` seeds), then the commit
+    * pointer swaps — the [[Restore.publishVersionedDir]] discipline
+    * with one addition: a version dir LEFT BEHIND by a crashed build
+    * under the SAME token is cleared first (it never committed — its
+    * marker never swapped — so deleting it is safe and makes the
+    * rerun-with-same-token retry shape work, the CurateImages ck.save
+    * rule).
+    */
+  def publishState(spark: SparkSession, warehouse: String, db: String,
+                   token: String)(build: String => Unit)
+      : org.apache.hadoop.fs.Path = {
+    val fs = new org.apache.hadoop.fs.Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vd = new org.apache.hadoop.fs.Path(warehouse, s"${db}__v$token")
+    if (fs.exists(vd) &&
+        !Restore.resolveVersioned(spark, warehouse, db).contains(vd))
+      fs.delete(vd, true)
+    Restore.publishVersionedDir(spark, warehouse, db, token)(p =>
+      build(p.toString))
+  }
+
+  /** The TEXT-corpus re-curation: full funnel over `corpus` (the
+    * accumulated RAW pool — re-curating admitted survivors only would
+    * let once-rejected content stay rejected under gates that have
+    * since moved), then a complete state rebuild:
+    *
+    *  - exact keys + minhash index + window claims via
+    *    [[Increment.initStateFromCurated]] over the admitted docs'
+    *    FINAL text ([[CurateResult.admittedDocs]] — hashes must match
+    *    what the funnel's rewrites produced);
+    *  - `ledger/` + `metrics/` under batch `base` — the audit trail
+    *    restarts from the re-curation (the pre-swap root keeps the
+    *    old history; it is retired, not erased);
+    *  - the sem sub-state via [[Increment.semBackfill]] when the
+    *    funnel ran its semantic stage (same dials, so the next
+    *    increment's pinned-dial check passes).
+    *
+    * Token discipline: one unique `token` per publish attempt; a retry
+    * of a CRASHED attempt may reuse its token ([[publishState]] clears
+    * the orphan). The funnel itself may additionally use its own
+    * stage-checkpoint store (`cfg.stageCheckpointDir`) to resume the
+    * expensive stages across the retry.
+    */
+  def run(spark: SparkSession, warehouse: String, db: String,
+          token: String, corpus: DataFrame, idCol: String,
+          textCol: String, benchmark: DataFrame, benchTextCol: String,
+          cfg: CurateConfig = CurateConfig(),
+          bands: Int = 4, rowsPerBand: Int = 3,
+          dsirTarget: Option[DataFrame] = None,
+          classifierModel: Option[graft.operators.Classifier.Model] = None,
+          arpaModel: Option[graft.operators.TextStats.ArpaModel] = None)
+      : RecurateResult = {
+    import spark.implicits._
+    val res = Curate.run(corpus, idCol, textCol, benchmark, benchTextCol,
+      cfg.copy(emitLedger = true, keepAdmitted = true),
+      dsirTarget, classifierModel, arpaModel)
+    val admitted = res.admittedDocs.get
+    val ledger = res.ledger.get
+    val vdir = publishState(spark, warehouse, db, token) { root =>
+      Increment.initStateFromCurated(spark, root, admitted, idCol,
+        textCol, bands, rowsPerBand, claimsW = cfg.dedupWindowsW)
+      ledger.withColumn("batch_id", lit("base"))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$root/ledger")
+      res.stageCounts.toDF("stage", "rows")
+        .withColumn("batch_id", lit("base"))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$root/metrics")
+      for (_ <- cfg.semDedupThresholdE4)
+        Increment.semBackfill(spark, root, admitted, idCol, textCol,
+          cfg.semDedupDim, cfg.semDedupCentroidEvery, cfg.semDedupNassign)
+    }
+    RecurateResult(vdir.toString, res.stageCounts, ledger)
+  }
+}

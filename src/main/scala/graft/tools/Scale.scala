@@ -751,6 +751,26 @@ object Scale {
               stateBloomBits = Some(1L << 20))).ledger
             .groupBy("reason").agg(count(lit(1)).as("docs")),
           Seq.empty))
+        run("recurate_publish", n) {
+          // round-17: the ORCHESTRATED periodic re-curation — full
+          // funnel over the accumulated pool + complete state rebuild
+          // (exact keys, minhash, ledger, metrics) + atomic pointer
+          // swap (Recurate.run). Compare against incr_curate_3pct (the
+          // per-snapshot increment: batch-proportional) and
+          // incr_recurate_all below (the bare recompute without the
+          // rebuild): the delta over the latter is the price of
+          // persisting a serving-ready root.
+          val union = d.unionByName(batchI)
+          val whR = java.nio.file.Files
+            .createTempDirectory(s"graft_recurw_$n").toString
+          val r = graft.pipeline.Recurate.run(spark, whR, "state", "t",
+            union, "doc_id", "text",
+            spark.range(1).select(lit("benchmark eval only").as("text")),
+            "text", graft.pipeline.CurateConfig(minQualityE4 = 0))
+          graft.core.Managed(
+            r.ledger.groupBy("reason").agg(count(lit(1)).as("docs")),
+            Seq.empty)
+        }
         run("incr_recurate_all", n) {
           // what a non-incremental shop re-runs on every snapshot: the
           // union's full exact + near-dup recompute

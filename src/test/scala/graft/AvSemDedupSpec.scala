@@ -222,6 +222,70 @@ class AvSemDedupSpec extends SparkSpec {
     assert(off.values.forall(_._2 == "admitted"), off.toString)
   }
 
+  test("initAudio/VideoStateFromCurated seed exact + fingerprint + sem " +
+      "state under batch 'base': the FIRST increment dedups against " +
+      "the seeded history, including semantically") {
+    // audio: seed two scenes with sem on; the first increment brings an
+    // exact dup, a resample (sem), and a fresh scene
+    val aDir = java.nio.file.Files
+      .createTempDirectory("graft_aud_seed").toString
+    val aCfg = AudioIncrementConfig(semDedupThresholdE4 = Some(9000L),
+      semDim = 16, semCentroidEvery = 4)
+    Increment.initAudioStateFromCurated(spark,
+      aDir, Seq(clip(100L, 1), clip(200L, 2)).toDS(), aCfg)
+    val av = verdictMap(Increment.curateAudioIncrement(
+      Seq(clip(10L, 1), resampled(11L, 2), clip(12L, 5)).toDS(),
+      aDir, "b1", aCfg).ledger)
+    assert(av(10L) == ((false, "exact_dup", 100L)), av.toString)
+    assert(av(11L) == ((false, "sem_dup", 200L)))
+    assert(av(12L) == ((true, "admitted", 12L)))
+    // video twin
+    val vDir = java.nio.file.Files
+      .createTempDirectory("graft_vid_seed").toString
+    val vCfg = VideoIncrementConfig(semDedupThresholdE4 = Some(9000L),
+      semGrid = 8, semCentroidEvery = 4)
+    Increment.initVideoStateFromCurated(spark,
+      vDir, Seq(vclip(100L, 1), vclip(200L, 2)).toDS(), vCfg)
+    val vv = verdictMap(Increment.curateVideoIncrement(
+      Seq(vclip(10L, 1), vclip(11L, 2), vclip(12L, 5)).toDS(),
+      vDir, "b1", vCfg).ledger)
+    // 10 re-grains scene 1 (fresh noise from its own id ⇒ sem, not
+    // exact); 11 re-grains scene 2; 12 is a fresh scene
+    assert(vv(10L) == ((false, "sem_dup", 100L)), vv.toString)
+    assert(vv(11L) == ((false, "sem_dup", 200L)))
+    assert(vv(12L) == ((true, "admitted", 12L)))
+    // image sibling keeps its seed contract under the cfg signature
+    val iDir = java.nio.file.Files
+      .createTempDirectory("graft_img_seed").toString
+    val iCfg = Increment.ImageIncrementConfig(
+      semDedupThresholdE4 = Some(9000L), semGrid = 8,
+      semCentroidEvery = 4)
+    Increment.initImageStateFromCurated(spark, iDir,
+      Seq(iscene(100L, 1), iscene(200L, 2)).toDS(), iCfg)
+    val iv = verdictMap(Increment.curateImageIncrement(
+      Seq(iscene(10L, 1), iscene(12L, 5)).toDS(), iDir, "b1",
+      iCfg).ledger)
+    assert(iv(10L) == ((false, "sem_dup", 100L)), iv.toString)
+    assert(iv(12L) == ((true, "admitted", 12L)))
+  }
+
+  /** 16×16 PNG scene with per-id grain — the ImageIncrementSpec
+    * fixture, for the seeded-image check above.
+    */
+  private def iscene(id: Long, pattern: Long): MediaRecord = {
+    val fx = (pattern % 3).toInt + 1
+    val fy = ((pattern / 3) % 3).toInt + 1
+    MediaRecord(id, Multimodal.encodeGrayPixelsPng(16, 16,
+      Array.tabulate(256) { p =>
+        val (x, y) = (p % 16, p / 16)
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:$x:$y".getBytes("UTF-8")).take(4)
+          .map("%02x".format(_)).mkString
+        128 + wv(fx, x) * wv(fy, y) +
+          ((java.lang.Long.parseLong(hex, 16) % 41L).toInt - 20)
+      }), "image/png")
+  }
+
   test("audio/video sem sub-states survive compaction and keep serving " +
       "sem_dup verdicts from the compacted root") {
     // audio root with sem: b1 bootstraps, compact, b2 resample vs base
