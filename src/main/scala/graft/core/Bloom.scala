@@ -59,6 +59,54 @@ object Bloom {
     arr
   }
 
+  /** Build SEVERAL filters from ONE pass over a shared input frame —
+    * the amortization the incremental-curation state scans need: a
+    * composed increment prunes 3+ state tables (exact keys, band keys,
+    * window claims) with filters over DIFFERENT key derivations of the
+    * SAME batch, and building each filter as its own job re-pays the
+    * batch scan per family (the r16 SCALE finding that kept the
+    * composed increment net-negative). Each entry maps a filter name
+    * to an ARRAY-of-keys column (wrap scalar keys in `array(...)`;
+    * heterogeneous key types are fine — keys reduce to hash positions
+    * inside the per-filter projection, so nothing mixes). One
+    * explode → groupBy(filter, word) → bit_or job; one bounded collect.
+    */
+  def buildMany(input: DataFrame, keys: Seq[(String, Column)],
+                numBits: Long = 1L << 20, numHashes: Int = 5)
+      : Map[String, Array[Long]] = {
+    require(numBits % 64 == 0 && numBits > 0,
+      s"numBits must be a positive multiple of 64, got $numBits")
+    require(keys.map(_._1).distinct.size == keys.size,
+      s"buildMany: duplicate filter names in ${keys.map(_._1)}")
+    val nWords = (numBits / 64).toInt
+    val perFilter = keys.zipWithIndex.map { case ((_, arr), i) =>
+      struct(lit(i).as("f"),
+        flatten(transform(arr,
+          k => array(positions(k, numBits, numHashes): _*))).as("ps"))
+    }
+    val words = input
+      .select(explode(array(perFilter: _*)).as("s"))
+      .select(col("s.f").as("f"), explode(col("s.ps")).as("pos"))
+      .select(col("f"), (col("pos") / 64).cast("int").as("word"),
+        expr("shiftleft(1L, cast(pos % 64 as int))").as("bit"))
+      .groupBy("f", "word").agg(expr("bit_or(bit)").as("bits"))
+      .collect()
+    val out = keys.map(_._1 -> new Array[Long](nWords)).toMap
+    words.foreach(r =>
+      out(keys(r.getInt(0))._1)(r.getInt(1)) = r.getLong(2))
+    out
+  }
+
+  /** Prune `large` with a PREBUILT filter (from [[buildCol]] /
+    * [[buildMany]]) — the composed-pipeline half of [[pruneByKeys]]:
+    * callers that amortized several builds into one pass apply each
+    * filter here without re-touching the build side.
+    */
+  def pruneByFilter(large: DataFrame, largeKey: Column,
+                    filter: Array[Long], numBits: Long = 1L << 20,
+                    numHashes: Int = 5): DataFrame =
+    large.filter(mightContain(filter, largeKey, numBits, numHashes))
+
   /** Membership test column: true iff every hash position's bit is set.
     * No false negatives; false positives at the sized fpp. The filter
     * array rides along as ONE literal, so the test codegens to k

@@ -121,6 +121,26 @@ object Dedup {
       .select(col(idCol), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
+  /** Per-row BAND-KEY array — the [[lshBands]] construction without the
+    * explode, over a pre-projected base-hash array column (`hv` must be
+    * its OWN attribute, the [[shingleHashes]] multi-reference
+    * discipline): one struct(band, bh) per band, empty for docs with no
+    * shingles (they can never band-match). For Bloom builds over a
+    * batch's band keys ([[graft.core.Bloom.buildMany]]) without paying
+    * the banding pipeline a second time inside the filter job.
+    */
+  private[graft] def bandKeyArrayFromHv(hv: Column, bands: Int,
+                                        rowsPerBand: Int): Column = {
+    val sigs = (0 until bands * rowsPerBand).map(h => minhashSig(hv, h))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", sigs.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*)
+          .as("bh"))
+    }
+    when(size(hv) > 0, array(bandStructs: _*))
+      .otherwise(array().cast(s"array<struct<band:int,bh:string>>"))
+  }
+
   /** Near-dup candidate pairs via the LSH bucket join, verified with exact
     * Jaccard over distinct 3-shingle sets. Returns (idA, idB, jacc_e4) with
     * idA < idB, jacc_e4 = floor(jaccard·10⁴ + 0.5) as BIGINT (fixed-point —
@@ -237,8 +257,9 @@ object Dedup {
     shRaw.unpersist(false)
   }
 
-  private def readMinhashMeta(spark: org.apache.spark.sql.SparkSession,
-                              dir: String): (Int, Int) = {
+  private[graft] def readMinhashMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int) = {
     val rows = spark.read.parquet(s"$dir/meta")
       .select("bands", "rows_per_band").distinct().collect()
     require(rows.length == 1,
@@ -272,7 +293,16 @@ object Dedup {
                           dir: String, newDocs: DataFrame, idCol: String,
                           textCol: String,
                           excludeBatch: Option[String] = None,
-                          bloomBits: Option[Long] = None)
+                          bloomBits: Option[Long] = None,
+                          // PREBUILT band-key filter (the
+                          // [[graft.core.Bloom.buildMany]] amortized
+                          // pass over struct(band, bh) keys of a
+                          // SUPERSET of newDocs) — skips the internal
+                          // band-filter build job; the candidate-id
+                          // shingle filter is data-dependent and always
+                          // builds here. Only read when bloomBits is
+                          // set.
+                          bandFilter: Option[Array[Long]] = None)
       : graft.core.Managed = {
     val (bands, rowsPerBand) = readMinhashMeta(spark, dir)
     val shRaw = shingleSets(newDocs, idCol, textCol)
@@ -295,9 +325,13 @@ object Dedup {
     val ob0 = spark.read.parquet(s"$dir/bands")
       .join(broadcast(committed), Seq("batch_id"), "left_semi")
     val ob = bloomBits
-      .map(m => graft.core.Bloom.pruneByKeys(ob0,
-        struct(col("band"), col("bh")), nb,
-        struct(col("band"), col("bh")), m))
+      .map(m => bandFilter match {
+        case Some(f) => graft.core.Bloom.pruneByFilter(ob0,
+          struct(col("band"), col("bh")), f, m)
+        case None => graft.core.Bloom.pruneByKeys(ob0,
+          struct(col("band"), col("bh")), nb,
+          struct(col("band"), col("bh")), m)
+      })
       .getOrElse(ob0)
       .select(col("id").as("id_old"), col("band"), col("bh"))
     val cand0 = nb.join(ob, Seq("band", "bh"))

@@ -315,12 +315,17 @@ object Increment {
     * pruning pays one filter-build job per pruned family plus a probe
     * filter per state row, and saves (1 − selectivity) of the
     * state-side shuffle — net-positive only when the committed state
-    * is much larger than the batch. The measured crossover
-    * (SCALE.md: net LOSS at state/batch ≲ 300×, WIN from ~1000× with
-    * the shared-build amortization) rounds to: enable iff committed
-    * heavy-table bytes exceed `minStateBytesPerBatchRow` (default
-    * 4 KiB) per batch row AND an absolute floor (64 MiB — below it no
-    * scan is worth a build job). Filter sized at ~16 bits per batch
+    * is much larger than the batch. The r17 paired sweeps pin the
+    * crossover as ABSOLUTE state volume, not the state/batch ratio
+    * (both sides scale together in a steady-state ingest, so the
+    * ratio is flat): with the shared filter build, the composed
+    * increment measured −42% at ~33 MB of heavy tables and break-even
+    * at ~100 MB (SCALE.md round-17) — the win past that grows with
+    * the state while the build cost stays batch-proportional. Rule:
+    * enable iff committed heavy-table bytes ≥ `minStateBytes`
+    * (default 256 MiB — comfortably past measured break-even) AND ≥
+    * `minStateBytesPerBatchRow` (default 4 KiB) per batch row (the
+    * huge-batch-tiny-state guard). Filter sized at ~16 bits per batch
     * row, clamped to [2^20, 2^27] (<1% fpp, ≤16 MiB literal).
     * Heavy-table bytes come from one bounded `getContentSummary` walk
     * — no Spark job. Returns the bits to use, or None = keep bloom
@@ -328,7 +333,7 @@ object Increment {
     */
   def decideStateBloom(spark: SparkSession, stateDir: String,
                        batchRows: Long,
-                       minStateBytes: Long = 64L << 20,
+                       minStateBytes: Long = 256L << 20,
                        minStateBytesPerBatchRow: Long = 4096L)
       : Option[Long] = {
     val f = fs(spark, stateDir)

@@ -149,4 +149,73 @@ object Shards {
       readPackedShards(spark, dir),
       concat_ws("/", col("batch_id"), col("seq_id").cast("string")),
       epoch, numReaders, seed)
+
+  // ---- checkpointed epoch-reader offsets (r16 verdict #4) ----------------
+  // Resume used to be a CONVENTION ("filter on epoch_pos") with the
+  // bookkeeping left to the caller — a crashed training reader re-read
+  // or double-counted. The `reads/` ledger makes it a CONTRACT: readers
+  // commit (epoch, reader, committed_pos) rows through an APPEND-only
+  // parquet log (a Spark append is all-or-nothing per job — a torn
+  // commit leaves no visible file, the family invisibility rule), and
+  // the resume offset is the max committed pos. Duplicate or
+  // out-of-order commits collapse under the max, so commit retries are
+  // idempotent and progress never regresses. The read path gains NO
+  // shuffle: the offset is one bounded scalar read applied as a filter
+  // on the ranked stream.
+
+  /** Record reader `reader`'s durable progress through `epoch`: every
+    * row of its stream with `epoch_pos <= pos` has been consumed AND
+    * committed downstream. Call AFTER the downstream commit — the
+    * crash window between downstream-commit and this append re-reads
+    * at most the uncommitted suffix, never double-commits a committed
+    * prefix.
+    */
+  def commitReadPos(spark: SparkSession, dir: String, epoch: Int,
+                    reader: Int, pos: Long): Unit = {
+    require(epoch >= 0 && reader >= 0 && pos >= 0,
+      s"commitReadPos: epoch=$epoch reader=$reader pos=$pos")
+    import spark.implicits._
+    Seq((epoch, reader, pos)).toDF("epoch", "reader", "committed_pos")
+      .coalesce(1)
+      .write.mode("append").partitionBy("epoch", "reader")
+      .parquet(s"$dir/reads")
+  }
+
+  /** The committed resume offset for (epoch, reader): the largest
+    * committed `epoch_pos`, or None when the reader never committed.
+    * Partition-pruned scan of the tiny ledger — bounded.
+    */
+  def committedReadPos(spark: SparkSession, dir: String, epoch: Int,
+                       reader: Int): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/reads")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else spark.read.parquet(p.toString)
+      .filter(col("epoch") === epoch && col("reader") === reader)
+      .agg(max(col("committed_pos")).as("p"))
+      .collect().headOption.flatMap(r =>
+        if (r.isNullAt(0)) None else Some(r.getLong(0)))
+  }
+
+  /** Reader `reader`'s RESUMED stream of epoch `epoch`: the
+    * [[epochOrder]] permutation restricted to its read shard, minus
+    * the prefix it already committed ([[committedReadPos]]). A reader
+    * that consumes this to completion (committing as it goes) has
+    * processed each of its rows EXACTLY ONCE across any number of
+    * crash/resume cycles; the union over readers of committed prefixes
+    * plus resumed streams is exactly the epoch permutation
+    * (spec-pinned with the q172 fingerprint).
+    */
+  def epochReaderStream(spark: SparkSession, dir: String, epoch: Int,
+                        reader: Int, numReaders: Int = 16,
+                        seed: String = "graft"): DataFrame = {
+    require(reader >= 0 && reader < numReaders,
+      s"epochReaderStream: reader $reader not in [0, $numReaders)")
+    val base = epochOrder(spark, dir, epoch, numReaders, seed)
+      .filter(col("read_shard") === reader)
+    committedReadPos(spark, dir, epoch, reader) match {
+      case Some(p) => base.filter(col("epoch_pos") > p)
+      case None => base
+    }
+  }
 }

@@ -2428,7 +2428,184 @@ object TextProbes {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q175 realistic langid artifact (r16 verdict #5) --------------------
+  // q167 proved the parse/serve path on the synthetic alpha/beta/gamma
+  // languages; this exercises it at REAL vocabulary scale: a
+  // Cavnar–Trenkle-style char-trigram artifact over six real languages
+  // (deu/eng/fra/ita/nld/spa), with profiles DERIVED from each
+  // language's basic high-frequency vocabulary (public linguistic
+  // facts; ASCII forms — the langid normalization strips everything
+  // outside [a-z0-9] anyway): every word space-padded, its trigrams
+  // weighted by Zipf rank (len − rank per occurrence, summed per gram),
+  // top 64 grams per profile — ~380 grams total across overlapping
+  // profiles (romance languages share 'que'/'les'-class grams, so
+  // tie-break and cross-profile competition actually engage). The
+  // fixture corpus is built from the SAME word lists: doc i carries a
+  // 20-word sentence of language i%6 (every 11th doc a mixed
+  // eng-then-fra sentence — the competing-profiles case). The oracle
+  // replays the artifact as a VALUES table, the sentence construction,
+  // the normalization/trigram/join pipeline, and the alphabetical-
+  // tie-break argmax. The artifact TEXT goes through parseLangId —
+  // the shipped-file path — and is pinned verbatim in
+  // artifacts/langid_real.profile (LangIdModelSpec keeps them equal).
+  private[graft] val q175Words: Seq[(String, Seq[String])] = Seq(
+    "deu" -> Seq("der", "die", "und", "ich", "nicht", "das", "ist",
+      "sie", "ein", "aber", "was", "wir", "mit", "sich", "auf", "eine",
+      "als", "auch", "haben", "werden", "wenn", "noch", "schon", "mehr",
+      "immer", "doch", "nur", "schnell", "wasser", "sprache", "zeit",
+      "jahr", "mensch", "welt", "leben", "gut", "machen", "sehen",
+      "geben", "stadt"),
+    "eng" -> Seq("the", "and", "that", "have", "for", "not", "with",
+      "you", "this", "but", "his", "from", "they", "say", "her", "she",
+      "will", "one", "all", "would", "there", "their", "what", "out",
+      "about", "who", "get", "which", "when", "make", "can", "like",
+      "time", "just", "him", "know", "take", "people", "into", "year"),
+    "fra" -> Seq("les", "des", "est", "pas", "que", "une", "dans",
+      "pour", "qui", "sur", "sont", "avec", "plus", "tout", "nous",
+      "vous", "mais", "comme", "faire", "leur", "bien", "temps", "tres",
+      "sans", "autre", "apres", "homme", "monde", "jour", "aussi",
+      "cette", "deux", "meme", "notre", "votre", "encore", "toujours",
+      "grand", "petit", "alors"),
+    "ita" -> Seq("che", "non", "una", "per", "sono", "della", "questo",
+      "come", "anche", "piu", "nella", "essere", "tutto", "fare",
+      "quando", "molto", "bene", "dove", "tempo", "anno", "uomo",
+      "cosa", "vita", "giorno", "casa", "mondo", "parte", "stato",
+      "primo", "grande", "nuovo", "stesso", "altro", "ancora", "sempre",
+      "dopo", "senza", "ogni", "loro", "noi"),
+    "nld" -> Seq("het", "een", "van", "dat", "niet", "zijn", "met",
+      "voor", "maar", "ook", "als", "dan", "naar", "bij", "over",
+      "nog", "wat", "worden", "deze", "omdat", "onder", "tussen",
+      "tegen", "door", "andere", "alle", "veel", "twee", "eerste",
+      "jaar", "tijd", "mensen", "werk", "goed", "groot", "nieuw",
+      "eigen", "moet", "kunnen", "hebben"),
+    "spa" -> Seq("que", "los", "del", "las", "por", "con", "para",
+      "una", "como", "pero", "sus", "este", "esta", "cuando", "muy",
+      "sin", "sobre", "tambien", "hasta", "donde", "quien", "desde",
+      "todo", "nos", "durante", "todos", "uno", "les", "contra",
+      "otros", "ese", "eso", "ante", "ellos", "esto", "antes",
+      "algunos", "unos", "otro", "tiempo"))
+
+  /** The derived per-language trigram profiles: space-padded words'
+    * trigrams, weight = Σ over containing words of (listLen − rank),
+    * top 64 by (weight desc, gram asc) — deterministic.
+    */
+  private[graft] def q175Profiles: Seq[(String, Seq[(String, Long)])] =
+    q175Words.map { case (lang, words) =>
+      val n = words.length
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[String, Long]
+      for ((w, rank) <- words.zipWithIndex) {
+        val padded = s" $w "
+        for (i <- 0 to padded.length - 3) {
+          val g = padded.substring(i, i + 3)
+          acc(g) = acc.getOrElse(g, 0L) + (n - rank).toLong
+        }
+      }
+      lang -> acc.toSeq.sortBy { case (g, w) => (-w, g) }.take(64)
+    }
+
+  /** The artifact TEXT (the parseLangId file format; spaces in grams
+    * written as '_', the Cavnar–Trenkle convention).
+    */
+  private[graft] def q175Artifact: String = {
+    val sb = new StringBuilder("\\langid\\\norder 3\n")
+    for ((lang, grams) <- q175Profiles) {
+      sb.append(s"\\profile $lang\\\n")
+      for ((g, w) <- grams)
+        sb.append(s"${g.replace(' ', '_')} $w\n")
+    }
+    sb.append("\\end\\\n").toString
+  }
+
+  /** Doc `id`'s fixture sentence: 20 words of language id%6 (every
+    * 11th doc: 10 eng then 10 fra words — competing profiles), word j
+    * = list[(id·7 + j) mod 40].
+    */
+  private[graft] def q175Sentence(id: Long): String = {
+    val langs = q175Words.toMap
+    val names = q175Words.map(_._1)
+    (0 until 20).map { j =>
+      val lg =
+        if (id % 11 == 0) { if (j < 10) "eng" else "fra" }
+        else names((id % 6).toInt)
+      langs(lg)(((id * 7 + j) % 40).toInt)
+    }.mkString(" ")
+  }
+
+  val q175: Q = (s, d) => {
+    import s.implicits._
+    val m = TextStats.parseLangId(q175Artifact)
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+      .select(col("doc_id")).as[Long]
+      .map(id => (id, q175Sentence(id)))
+      .toDF("doc_id", "text")
+    TextStats.langIdScores(docs, "doc_id", "text", m)
+      .orderBy("doc_id")
+  }
+
+  val q175Sql: String = {
+    val langNames = q175Words.map(_._1)
+    val modelValues = q175Profiles.flatMap { case (l, grams) =>
+      grams.map { case (g, w) => s"('$l', '$g', $w)" }
+    }.mkString(",\n    ")
+    val wordValues = q175Words.flatMap { case (l, ws) =>
+      ws.zipWithIndex.map { case (w, i) => s"('$l', $i, '$w')" }
+    }.mkString(",\n    ")
+    val scoreCols = langNames.map(l =>
+      s"""    CAST(coalesce(sum(CASE WHEN m.lang = '$l' THEN m.weight
+         |      END), 0) AS BIGINT) AS s_$l""".stripMargin)
+      .mkString(",\n")
+    val outCols = langNames.map(l =>
+      s"  coalesce(sc.s_$l, 0) AS s_$l").mkString(",\n")
+    // alphabetical tie-break argmax: the first language (sorted) whose
+    // score is >= every other's wins — exactly langIdArgmax's
+    // (-score, lang) sort
+    val argmax = langNames.init.map { l =>
+      val ge = langNames.filter(_ != l)
+        .map(o => s"coalesce(sc.s_$l, 0) >= coalesce(sc.s_$o, 0)")
+        .mkString(" AND ")
+      s"       WHEN $ge THEN '$l'"
+    }.mkString("\n")
+    s"""WITH model(lang, gram, weight) AS (VALUES
+       |    $modelValues),
+       |w(lang, idx, word) AS (VALUES
+       |    $wordValues),
+       |tok AS (
+       |  SELECT d.doc_id, j.j,
+       |    CASE WHEN d.doc_id % 11 = 0 THEN
+       |        CASE WHEN j.j < 10 THEN 'eng' ELSE 'fra' END
+       |      ELSE (['deu', 'eng', 'fra', 'ita', 'nld',
+       |        'spa'])[CAST(d.doc_id % 6 AS INTEGER) + 1] END AS lg
+       |  FROM documents d, range(20) j(j)),
+       |txt AS (
+       |  SELECT t.doc_id, string_agg(w.word, ' ' ORDER BY t.j) AS text
+       |  FROM tok t JOIN w ON w.lang = t.lg
+       |    AND w.idx = (t.doc_id * 7 + t.j) % 40
+       |  GROUP BY t.doc_id),
+       |nrm AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+       |  FROM txt),
+       |grams AS (
+       |  SELECT doc_id, substr(t, i, 3) AS gram
+       |  FROM nrm, unnest(generate_series(1, greatest(0, len(t) - 2))) u(i)
+       |  WHERE len(t) >= 3),
+       |sc AS (
+       |  SELECT g.doc_id,
+       |$scoreCols
+       |  FROM grams g JOIN model m ON m.gram = g.gram
+       |  GROUP BY g.doc_id)
+       |SELECT d.doc_id,
+       |$outCols,
+       |  CASE
+       |$argmax
+       |       ELSE '${langNames.last}' END AS lang_ext
+       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private[probes] val queries: Map[String, Q] = Map(
+    "q175_langid_real" -> q175,
     "q167_langid_artifact" -> q167,
     "q168_special_roundtrip" -> q168,
     "q171_packed_spans" -> q171,
@@ -2478,6 +2655,7 @@ object TextProbes {
     "q142_unigram_sample" -> q142)
 
   private[probes] val oracleSql: Map[String, String] = Map(
+    "q175_langid_real" -> q175Sql,
     "q167_langid_artifact" -> q167Sql,
     "q168_special_roundtrip" -> q168Sql,
     "q171_packed_spans" -> q171Sql,

@@ -74,4 +74,34 @@ class BloomSpec extends SparkSpec {
       .select("v").as[Long].collect().toSet
     assert(got == want && want.nonEmpty)
   }
+
+  test("buildMany: one pass builds every filter identically to the " +
+      "per-filter builds — scalar, multi-valued, and struct keys") {
+    val input = (0L until 500L).map(i =>
+      (s"k$i", Seq(s"a${i % 40}", s"b${i % 70}"), i % 16L, s"bh${i % 90}"))
+      .toDF("ek", "grams", "band", "bh")
+      .withColumn("bk", array(struct(col("band"), col("bh"))))
+    val many = Bloom.buildMany(input, Seq(
+      "exact" -> array(col("ek")),
+      "grams" -> col("grams"),
+      "bands" -> col("bk")), bits, k)
+    assert(many("exact").toSeq ==
+      Bloom.buildCol(input, col("ek"), bits, k).toSeq)
+    assert(many("grams").toSeq ==
+      Bloom.buildCol(input.select(explode(col("grams")).as("g")),
+        col("g"), bits, k).toSeq)
+    assert(many("bands").toSeq ==
+      Bloom.buildCol(input, struct(col("band"), col("bh")), bits, k)
+        .toSeq)
+    // pruneByFilter with a buildMany filter == pruneByKeys
+    val large = (0L until 2000L).map(i => (s"a${i % 300}", i))
+      .toDF("g", "v")
+    val got = Bloom.pruneByFilter(large, col("g"), many("grams"), bits, k)
+      .join(input.select(explode(col("grams")).as("g")).distinct(),
+        Seq("g"), "left_semi").select("v").as[Long].collect().toSet
+    val want = large.join(
+        input.select(explode(col("grams")).as("g")).distinct(),
+        Seq("g"), "left_semi").select("v").as[Long].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
 }

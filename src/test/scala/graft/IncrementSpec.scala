@@ -406,6 +406,40 @@ class IncrementSpec extends SparkSpec {
     assert(!txtOn(13L).contains("q1"), "claimed passage must strip")
   }
 
+  test("stateBloomAuto: the dial decides from state bytes vs batch " +
+      "rows — OFF below the crossover (tiny states never pay the build " +
+      "jobs), sized+clamped above it, manual bits always win; auto " +
+      "increments stay verdict-identical") {
+    // the decision rule itself
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_incr_auto").toString
+    Increment.curateIncrement(
+      Seq(1L -> goodText("one"), 2L -> goodText("two"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, "b1")
+    // a spec-sized state is far below the 64 MiB floor → off
+    assert(Increment.decideStateBloom(spark, dir, 100L).isEmpty)
+    // floors lowered: the same state flips on and sizes from the batch
+    val bits = Increment.decideStateBloom(spark, dir, 1000L,
+      minStateBytes = 1L, minStateBytesPerBatchRow = 0L)
+    assert(bits.contains(1L << 20), bits.toString) // floor clamp
+    assert(Increment.decideStateBloom(spark, dir, 300000L,
+      minStateBytes = 1L, minStateBytesPerBatchRow = 0L)
+      .contains(1L << 22)) // 16·300k ≈ 4.8M → highestOneBit = 2^22
+    assert(Increment.decideStateBloom(spark, dir, 1L << 40,
+      minStateBytes = 1L, minStateBytesPerBatchRow = 0L)
+      .contains(1L << 27)) // ceiling clamp
+    // end-to-end: auto-on increments (decision = off here) are
+    // verdict-identical to plain ones
+    val b = Seq(10L -> goodText("one"),
+      11L -> (goodText("two") + " appended"), 12L -> goodText("three"))
+      .toDF("doc_id", "text")
+    val auto = verdictMap(Increment.curateIncrement(b, "doc_id", "text",
+      dir, "b2", IncrementConfig(stateBloomAuto = true)).ledger)
+    assert(auto(10L) == ((false, "exact_dup", 1L)))
+    assert(auto(11L) == ((false, "near_dup", 2L)))
+    assert(auto(12L) == ((true, "admitted", 12L)))
+  }
+
   test("the funnel's stateless gates (gopher, classifier, arpa, " +
       "decontamination, line dedup) run in the increment with identical " +
       "verdicts on a first batch") {

@@ -156,4 +156,38 @@ class LangIdModelSpec extends SparkSpec {
       assert(got == Map(1L -> "alpha", 2L -> "beta"), s"$got")
     } finally q.stop()
   }
+
+  test("the REAL six-language artifact: committed file equals the " +
+      "generator, parses at vocabulary scale, and discriminates real " +
+      "sample sentences (q175's fixture)") {
+    val art = graft.probes.TextProbes.q175Artifact
+    // the committed artifact file is the generator's output, verbatim
+    val onDisk = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("artifacts/langid_real.profile")), "UTF-8")
+    assert(onDisk == art,
+      "artifacts/langid_real.profile drifted from the generator — " +
+        "rerun graft.probes.DumpArtifacts")
+    val m = TextStats.parseLangId(art)
+    assert(m.order == 3)
+    assert(m.langs == Seq("deu", "eng", "fra", "ita", "nld", "spa"))
+    assert(m.profiles.forall(_._2.size == 64), "64 grams per profile")
+    // overlapping vocabularies really overlap (the tie-break regime):
+    // 'que' belongs to fra AND spa profiles
+    def grams(l: String) = m.profiles.toMap.apply(l).map(_._1).toSet
+    assert(grams("fra").intersect(grams("spa")).nonEmpty)
+    // discrimination on real-ish sentences (NOT drawn verbatim from
+    // the word lists alone: inflected/novel words included)
+    val docs = Seq(
+      1L -> "the people of this city know that they will make time for year",
+      2L -> "die menschen der stadt haben immer mehr zeit und wasser",
+      3L -> "les hommes de cette ville sont toujours avec nous pour faire",
+      4L -> "questo tempo della vita non sempre fare tutto bene",
+      5L -> "het werk van deze mensen wordt niet door alle anderen gedaan",
+      6L -> "los hombres de esta ciudad tambien quieren tiempo para todos")
+      .toDF("doc_id", "text")
+    val got = TextStats.langIdScores(docs, "doc_id", "text", m)
+      .select("doc_id", "lang_ext").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "eng", 2L -> "deu", 3L -> "fra",
+      4L -> "ita", 5L -> "nld", 6L -> "spa"), got.toString)
+  }
 }

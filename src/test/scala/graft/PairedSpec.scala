@@ -219,4 +219,116 @@ class PairedSpec extends SparkSpec {
       .as[(Long, Long, Boolean, String, Long)].collect().toSet
     assert(nForm == twoForm, "N-form must agree with the 2-form")
   }
+
+  // md5-wobble audio amps (the AvSemDedupSpec fixture, minimal form):
+  // distinct seeds give distinct fingerprints, identical seeds exact-dup
+  private def aclip(id: Long, seed: Long): MediaRecord = {
+    def h32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString, 16)
+    MediaRecord(id, Multimodal.encodePcm16Wav(8000, 1,
+      Array.tabulate(64 * 50) { f =>
+        val i = f / 50
+        (2000 + 150 * ((h32(s"$seed:${i / 4}") % 5L).toInt - 2) +
+          30 * ((h32(s"w:$seed:$i") % 3L).toInt - 1)).toShort
+      }), "audio/wav")
+  }
+  private def vclip(id: Long, seed: Long): MediaRecord =
+    MediaRecord(id, Multimodal.encodeSamplesMp4(1000, 3000,
+      (0 to 2).map(f => Multimodal.encodeGrayPixelsPng(16, 16,
+        Array.tabulate(256) { p =>
+          val (x, y) = (p % 16, p / 16)
+          ((seed * 31 + f * 53 + y * 16 + x * 17) % 256).toInt
+        }))), "video/mp4")
+
+  test("END-TO-END: pairedDocVerdictsN over the five REAL increment " +
+      "families' ledgers across two increments — a media item rejected " +
+      "against ACCUMULATED state flips its doc's paired verdict " +
+      "(r16 verdict #7)") {
+    import graft.pipeline.Increment
+    val tDir = java.nio.file.Files
+      .createTempDirectory("graft_paired_t").toString
+    val iDir = java.nio.file.Files
+      .createTempDirectory("graft_paired_i").toString
+    val aDir = java.nio.file.Files
+      .createTempDirectory("graft_paired_a").toString
+    val vDir = java.nio.file.Files
+      .createTempDirectory("graft_paired_v").toString
+    val eDir = java.nio.file.Files
+      .createTempDirectory("graft_paired_e").toString
+    // increment 1: one admitted item per family
+    Increment.curateIncrement(Seq(1L -> goodText("one"))
+      .toDF("doc_id", "text"), "doc_id", "text", tDir, "b1")
+    Increment.curateImageIncrement(Seq(MediaRecord(10L, png(1, 0),
+      "image/png")).toDS(), iDir, "b1")
+    Increment.curateAudioIncrement(Seq(aclip(20L, 1)).toDS(), aDir, "b1")
+    Increment.curateVideoIncrement(Seq(vclip(30L, 1)).toDS(), vDir, "b1")
+    Increment.curateEmbeddingIncrement(
+      Seq((40L, Array(1.0, 0.0, 0.0))).toDF("id", "v"), eDir, "b1")
+    def ledgers() = Seq(
+      "image" -> Increment.readLedger(spark, iDir),
+      "audio" -> Increment.readLedger(spark, aDir),
+      "video" -> Increment.readLedger(spark, vDir),
+      "embedding" -> Increment.readLedger(spark, eDir))
+    def docVerdicts(pairs: org.apache.spark.sql.DataFrame) =
+      Paired.pairedDocVerdictsN(Increment.readLedger(spark, tDir),
+          ledgers(), pairs)
+        .select("doc_id", "admitted", "reason", "dup_of")
+        .as[(Long, Boolean, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 paired with every b1 item: every side admitted
+    val pairs1 = Seq((1L, "image", 10L), (1L, "audio", 20L),
+      (1L, "video", 30L), (1L, "embedding", 40L))
+      .toDF("doc_id", "modality", "media_id")
+    assert(docVerdicts(pairs1)(1L) == ((true, "admitted", 1L)))
+    // doc 2's pairing references content the SECOND increment will
+    // carry: before it runs, every pair is loudly missing (doc-level
+    // verdicts only cover docs the text ledger knows — doc 2 has no
+    // row yet; the PAIR form surfaces the absence per pair)
+    val pairs2 = Seq((2L, "image", 11L), (2L, "audio", 21L),
+      (2L, "video", 31L), (2L, "embedding", 41L))
+      .toDF("doc_id", "modality", "media_id")
+    val before = Paired.pairedVerdictsN(
+        Increment.readLedger(spark, tDir), ledgers(), pairs2)
+      .select("media_id", "admitted", "reason")
+      .as[(Long, Boolean, String)].collect()
+    assert(before.length == 4 &&
+      before.forall(r => !r._2 && r._3 == "text:missing"),
+      before.toSeq.toString)
+    // increment 2: per family, one EXACT DUP of increment-1 content
+    // (rejected against the accumulated state) and one fresh item
+    Increment.curateIncrement(Seq(2L -> goodText("two"))
+      .toDF("doc_id", "text"), "doc_id", "text", tDir, "b2")
+    Increment.curateImageIncrement(Seq(
+      MediaRecord(11L, png(1, 0), "image/png"),
+      MediaRecord(12L, png(2, 0), "image/png")).toDS(), iDir, "b2")
+    Increment.curateAudioIncrement(Seq(aclip(21L, 1), aclip(22L, 2))
+      .toDS(), aDir, "b2")
+    Increment.curateVideoIncrement(Seq(vclip(31L, 1), vclip(32L, 2))
+      .toDS(), vDir, "b2")
+    Increment.curateEmbeddingIncrement(Seq(
+      (41L, Array(1.0, 0.0, 0.0)), (42L, Array(0.0, 1.0, 0.0)))
+      .toDF("id", "v"), eDir, "b2")
+    // the same pairing now rejects through the DECLARED precedence:
+    // image first — 11 fell to the state's 10
+    val after = docVerdicts(pairs2)
+    assert(after(2L) == ((false, "image:exact_dup", 10L)),
+      after.toString)
+    // per-pair verdicts name each modality's state-dup individually
+    val pv = Paired.pairedVerdictsN(Increment.readLedger(spark, tDir),
+        ledgers(), pairs2)
+      .select("modality", "media_id", "admitted", "reason", "dup_of")
+      .as[(String, Long, Boolean, String, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    assert(pv(11L) == ((false, "image:exact_dup", 10L)))
+    assert(pv(21L) == ((false, "audio:exact_dup", 20L)))
+    assert(pv(31L) == ((false, "video:exact_dup", 30L)))
+    assert(pv(41L) == ((false, "embedding:exact_dup", 40L)))
+    // a pairing over the fresh items admits end-to-end
+    val pairs3 = Seq((2L, "image", 12L), (2L, "audio", 22L),
+      (2L, "video", 32L), (2L, "embedding", 42L))
+      .toDF("doc_id", "modality", "media_id")
+    assert(docVerdicts(pairs3)(2L) == ((true, "admitted", 2L)))
+  }
 }

@@ -161,4 +161,56 @@ class ShardsSpec extends SparkSpec {
       s"$dir/meta/batch_id=b2"), true)
     assert(Shards.epochOrder(spark, dir, 0, 4).count() == 16L)
   }
+
+  test("checkpointed reader offsets: kill a reader mid-epoch, resume — " +
+      "committed prefix plus resumed stream is exactly its shard " +
+      "stream, the union over readers exactly the epoch permutation; " +
+      "commits are idempotent and never regress") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shards_reads").toString
+    Shards.writePackedShards(packed(0 until 40, 0), dir, numShards = 4)
+    val nR = 4
+    def key(r: org.apache.spark.sql.Row) =
+      s"${r.getAs[String]("batch_id")}/${r.getAs[Long]("seq_id")}"
+    val full = Shards.epochOrder(spark, dir, 0, nR)
+      .select("batch_id", "seq_id", "epoch_pos", "read_shard").collect()
+    // reader 1 consumes its first 4 rows, commits after each, crashes
+    val mine = full.filter(_.getAs[Int]("read_shard") == 1)
+      .sortBy(_.getAs[Long]("epoch_pos"))
+    val consumedPreCrash = mine.take(4)
+    consumedPreCrash.foreach(r =>
+      Shards.commitReadPos(spark, dir, 0, 1,
+        r.getAs[Long]("epoch_pos")))
+    assert(Shards.committedReadPos(spark, dir, 0, 1)
+      .contains(consumedPreCrash.last.getAs[Long]("epoch_pos")))
+    // resume: the stream starts strictly after the committed prefix
+    val resumed = Shards.epochReaderStream(spark, dir, 0, 1, nR)
+      .select("batch_id", "seq_id", "epoch_pos", "read_shard").collect()
+    assert(resumed.map(_.getAs[Long]("epoch_pos")).min >
+      consumedPreCrash.last.getAs[Long]("epoch_pos"))
+    // exactly-once: prefix + resumed == the reader's full shard stream
+    assert((consumedPreCrash ++ resumed).map(key).sorted.toSeq ==
+      mine.map(key).sorted.toSeq)
+    assert(consumedPreCrash.map(key).toSet
+      .intersect(resumed.map(key).toSet).isEmpty)
+    // union over readers: uncommitted readers stream whole shards; the
+    // composite equals the full epoch permutation (the q172 shape)
+    val others = (0 until nR).filter(_ != 1).flatMap(r =>
+      Shards.epochReaderStream(spark, dir, 0, r, nR)
+        .select("batch_id", "seq_id", "epoch_pos", "read_shard")
+        .collect())
+    assert((consumedPreCrash ++ resumed ++ others).map(key)
+      .sorted.toSeq == full.map(key).sorted.toSeq)
+    // commit retries and stale (out-of-order) commits never regress
+    val posBefore = Shards.committedReadPos(spark, dir, 0, 1).get
+    Shards.commitReadPos(spark, dir, 0, 1, posBefore) // retry
+    Shards.commitReadPos(spark, dir, 0, 1, 0L)        // stale
+    assert(Shards.committedReadPos(spark, dir, 0, 1)
+      .contains(posBefore))
+    // per-(epoch, reader) isolation
+    assert(Shards.committedReadPos(spark, dir, 1, 1).isEmpty)
+    assert(Shards.committedReadPos(spark, dir, 0, 2).isEmpty)
+    // the ledger does not disturb the committed-sequence reads
+    assert(Shards.readPackedShards(spark, dir).count() == 40L)
+  }
 }
