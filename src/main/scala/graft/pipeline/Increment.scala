@@ -1584,6 +1584,129 @@ object Increment {
     fs(spark, stateDir).exists(
       new org.apache.hadoop.fs.Path(s"$stateDir/video/meta"))
 
+  // ---- media sem backfill: [[semBackfill]]'s image/audio/video twins -----
+
+  /** Retroactive semantic coverage for an IMAGE state whose earlier
+    * increments ran without the semantic stage — [[semBackfill]]'s
+    * image twin: embeds every already-admitted image from the supplied
+    * payload corpus and seeds/completes the sem sub-state per
+    * committed batch, so the next [[curateImageIncrement]] with
+    * `semDedupThresholdE4` set dedups against the FULL history instead
+    * of post-enablement batches only. Idempotent per batch (already-
+    * present sem batches are skipped); a torn backfill completes on
+    * rerun. Returns the number of vectors indexed.
+    */
+  def imageSemBackfill(spark: SparkSession, stateDir: String,
+                       corpus: org.apache.spark.sql.Dataset[
+                         graft.operators.Multimodal.MediaRecord],
+                       cfg: ImageIncrementConfig = ImageIncrementConfig())
+      : Long =
+    mediaSemBackfill(spark, stateDir, "phash",
+      recs => graft.operators.Multimodal.imageEmbeddings(recs,
+        cfg.semGrid, maxPixels = cfg.maxPixels),
+      cfg.semGrid * cfg.semGrid, cfg.semCentroidEvery, cfg.semNassign,
+      corpus)
+
+  /** [[imageSemBackfill]] for an AUDIO state (pooled energy-profile
+    * embeddings, [[graft.operators.Multimodal.audioEmbeddings]]).
+    */
+  def audioSemBackfill(spark: SparkSession, stateDir: String,
+                       corpus: org.apache.spark.sql.Dataset[
+                         graft.operators.Multimodal.MediaRecord],
+                       cfg: AudioIncrementConfig = AudioIncrementConfig())
+      : Long =
+    mediaSemBackfill(spark, stateDir, "audio",
+      recs => graft.operators.Multimodal.audioEmbeddings(recs,
+        cfg.semDim, cfg.windowFrames),
+      cfg.semDim, cfg.semCentroidEvery, cfg.semNassign, corpus)
+
+  /** [[imageSemBackfill]] for a VIDEO state (pooled keyframe block-mean
+    * embeddings, [[graft.operators.Multimodal.videoEmbeddings]]).
+    */
+  def videoSemBackfill(spark: SparkSession, stateDir: String,
+                       corpus: org.apache.spark.sql.Dataset[
+                         graft.operators.Multimodal.MediaRecord],
+                       cfg: VideoIncrementConfig = VideoIncrementConfig())
+      : Long =
+    mediaSemBackfill(spark, stateDir, "video",
+      recs => graft.operators.Multimodal.videoEmbeddings(recs,
+        cfg.semGrid),
+      cfg.semGrid * cfg.semGrid, cfg.semCentroidEvery, cfg.semNassign,
+      corpus)
+
+  private def mediaSemBackfill(spark: SparkSession, stateDir: String,
+      family: String,
+      embed: org.apache.spark.sql.Dataset[
+        graft.operators.Multimodal.MediaRecord] => DataFrame,
+      semDim: Int, semCentroidEvery: Int, semNassign: Int,
+      corpus: org.apache.spark.sql.Dataset[
+        graft.operators.Multimodal.MediaRecord]): Long = {
+    import spark.implicits._
+    val pinned = readFamilySentinel(spark, stateDir)
+    require(pinned.contains(family),
+      s"mediaSemBackfill: state at $stateDir is " +
+        s"'${pinned.getOrElse("<none>")}', expected '$family'")
+    require(fs(spark, stateDir).exists(
+        new org.apache.hadoop.fs.Path(s"$stateDir/$family/meta")),
+      s"mediaSemBackfill: no committed $family state at $stateDir")
+    val committed = spark.read.parquet(s"$stateDir/$family/meta")
+      .select("batch_id").distinct()
+    val admittedIds = spark.read.parquet(s"$stateDir/ledger")
+      .filter(col("admitted"))
+      .join(broadcast(committed), Seq("batch_id"), "left_semi")
+      .select(col("id"), col("batch_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ids = corpus.toDF().select(col("media_id").as("id"))
+      val missing = admittedIds.join(ids, Seq("id"), "left_anti").count()
+      require(missing == 0L,
+        s"mediaSemBackfill: $missing admitted ids absent from the " +
+          "supplied corpus — backfill needs the full admitted history")
+      // dials: an existing (partial) sub-state pins them
+      val (ce, na) =
+        if (!fs(spark, stateDir).exists(
+            new org.apache.hadoop.fs.Path(s"$stateDir/sem/meta")))
+          (semCentroidEvery, semNassign)
+        else {
+          val (pce, pna, dim) = Curation.readSemMeta(spark,
+            s"$stateDir/sem")
+          require(dim == 0 || dim == semDim,
+            s"mediaSemBackfill: semDim $semDim != pinned dim $dim")
+          (pce, pna)
+        }
+      def haveSem = fs(spark, stateDir).exists(
+        new org.apache.hadoop.fs.Path(s"$stateDir/sem/meta"))
+      val nonzero = embed(corpus)
+        .filter(expr("aggregate(v, 0D, (a, x) -> a + x * x)") > lit(0.0))
+        .join(admittedIds, Seq("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        nonzero.count()
+        // bounded: ledger batch ids (compaction keeps this small)
+        val batches = admittedIds.select("batch_id").distinct()
+          .as[String].collect().sorted
+        val done: Set[String] =
+          if (!haveSem) Set.empty
+          else spark.read.parquet(s"$stateDir/sem/meta")
+            .select("batch_id").distinct().as[String].collect().toSet
+        var indexed = 0L
+        batches.filterNot(done).foreach { b =>
+          val vecs = nonzero.filter(col("batch_id") === b)
+            .select("id", "v")
+          if (!haveSem) {
+            val cents = Curation.semCentroidSample(
+              nonzero.select("id", "v"), ce)
+            Curation.writeSemIndex(vecs, cents, s"$stateDir/sem", ce,
+              na, batchId = b)
+          } else Curation.appendSemVectors(spark, s"$stateDir/sem",
+            vecs, b)
+          indexed += vecs.count()
+        }
+        indexed
+      } finally nonzero.unpersist()
+    } finally admittedIds.unpersist()
+  }
+
   /** The video increment — the FOURTH modality twin of
     * [[curateIncrement]]/[[curateImageIncrement]]/
     * [[curateAudioIncrement]], completing the batch-vs-accumulated-state

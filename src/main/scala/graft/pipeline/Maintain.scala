@@ -662,7 +662,36 @@ object Maintain {
       (has("centroids") && has("assigned") && has("meta") &&
         !has("codebook"), () => semDecision(spark, root, mb)))
       .collect { case (true, d) => d() }
-    if (funnel) ds.map(_.copy(advisory = true)) else ds
+    // funnel roots additionally surface the STATE-BLOOM dial (r16 #3):
+    // the same bytes-threshold rule the increments' stateBloomAuto
+    // applies per batch, reported here so the operational loop sees
+    // WHY bloom is on/off without running an increment. Metric =
+    // committed heavy-table bytes; threshold = the decision floor; the
+    // per-batch ratio guard still applies inside the increment (batch
+    // size is not known here). Advisory by nature — the increment
+    // config acts on it, not an executor.
+    val bloom =
+      if (!funnel) Seq.empty
+      else {
+        val floor = 256L << 20
+        val stateBytes = Seq("exact/keys", "windows", "minhash/bands",
+            "minhash/shingles", "sem/assigned", "phash/sigs",
+            "audio/fps", "audio/sizes", "video/frames", "video/sizes")
+          .map(rel => new org.apache.hadoop.fs.Path(s"$root/$rel"))
+          .filter(f.exists)
+          .map(p => f.getContentSummary(p).getLength)
+          .sum
+        Seq(Decision("bloom",
+          if (stateBytes >= floor) "enable" else "none",
+          stateBytes, floor,
+          if (stateBytes >= floor)
+            "state scans past the measured bloom crossover — set " +
+              "stateBloomAuto (or stateBloomBits) on the increments"
+          else
+            "below the crossover: filter builds would cost more than " +
+              "the pruned shuffles save", advisory = true))
+      }
+    (if (funnel) ds.map(_.copy(advisory = true)) else ds) ++ bloom
   }
 
   /** One execution attempt per db: the decision that drove it, the

@@ -286,6 +286,70 @@ class AvSemDedupSpec extends SparkSpec {
       }), "image/png")
   }
 
+  test("media sem backfill: retroactive semantic coverage across ALL " +
+      "committed batches — pre-enablement admissions gate the next " +
+      "increment; idempotent rerun; partial corpus refused loudly") {
+    // audio: two sem-OFF increments, then backfill, then sem ON
+    val aDir = java.nio.file.Files
+      .createTempDirectory("graft_aud_backfill").toString
+    Increment.curateAudioIncrement(
+      Seq(clip(100L, 1), clip(200L, 2)).toDS(), aDir, "b1")
+    Increment.curateAudioIncrement(
+      Seq(clip(300L, 3)).toDS(), aDir, "b2")
+    val aCfg = AudioIncrementConfig(semDedupThresholdE4 = Some(9000L),
+      semDim = 16, semCentroidEvery = 4)
+    // partial corpus: loud, never a silent partial backfill
+    val partial = intercept[IllegalArgumentException] {
+      Increment.audioSemBackfill(spark, aDir,
+        Seq(clip(100L, 1)).toDS(), aCfg)
+    }
+    assert(partial.getMessage.contains("absent"), partial.getMessage)
+    val corpus = Seq(clip(100L, 1), clip(200L, 2), clip(300L, 3)).toDS()
+    assert(Increment.audioSemBackfill(spark, aDir, corpus, aCfg) == 3L)
+    // idempotent: every committed batch already covered
+    assert(Increment.audioSemBackfill(spark, aDir, corpus, aCfg) == 0L)
+    // the next sem-ON increment dedups against BOTH historical batches
+    val av = verdictMap(Increment.curateAudioIncrement(
+      Seq(resampled(101L, 1), resampled(301L, 3)).toDS(), aDir, "b3",
+      aCfg).ledger)
+    assert(av(101L) == ((false, "sem_dup", 100L)), av.toString)
+    assert(av(301L) == ((false, "sem_dup", 300L)))
+    // video twin
+    val vDir = java.nio.file.Files
+      .createTempDirectory("graft_vid_backfill").toString
+    Increment.curateVideoIncrement(
+      Seq(vclip(100L, 1), vclip(200L, 2)).toDS(), vDir, "b1")
+    Increment.curateVideoIncrement(
+      Seq(vclip(300L, 3)).toDS(), vDir, "b2")
+    val vCfg = VideoIncrementConfig(semDedupThresholdE4 = Some(9000L),
+      semGrid = 8, semCentroidEvery = 4)
+    val vCorpus = Seq(vclip(100L, 1), vclip(200L, 2), vclip(300L, 3))
+      .toDS()
+    assert(Increment.videoSemBackfill(spark, vDir, vCorpus, vCfg) == 3L)
+    val vv = verdictMap(Increment.curateVideoIncrement(
+      Seq(vclip(101L, 1), vclip(301L, 3)).toDS(), vDir, "b3",
+      vCfg).ledger)
+    assert(vv(101L) == ((false, "sem_dup", 100L)), vv.toString)
+    assert(vv(301L) == ((false, "sem_dup", 300L)))
+    // image twin (the iscene fixture); a family mismatch is loud
+    val iDir = java.nio.file.Files
+      .createTempDirectory("graft_img_backfill").toString
+    Increment.curateImageIncrement(
+      Seq(iscene(100L, 1), iscene(200L, 2)).toDS(), iDir, "b1")
+    val iCfg = Increment.ImageIncrementConfig(
+      semDedupThresholdE4 = Some(9000L), semGrid = 8,
+      semCentroidEvery = 4)
+    val iCorpus = Seq(iscene(100L, 1), iscene(200L, 2)).toDS()
+    assert(Increment.imageSemBackfill(spark, iDir, iCorpus, iCfg) == 2L)
+    val iv = verdictMap(Increment.curateImageIncrement(
+      Seq(iscene(10L, 1)).toDS(), iDir, "b2", iCfg).ledger)
+    assert(iv(10L) == ((false, "sem_dup", 100L)), iv.toString)
+    val wrongFam = intercept[IllegalArgumentException] {
+      Increment.audioSemBackfill(spark, iDir, corpus, aCfg)
+    }
+    assert(wrongFam.getMessage.contains("expected 'audio'"))
+  }
+
   test("audio/video sem sub-states survive compaction and keep serving " +
       "sem_dup verdicts from the compacted root") {
     // audio root with sem: b1 bootstraps, compact, b2 resample vs base
