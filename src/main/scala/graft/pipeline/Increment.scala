@@ -337,8 +337,11 @@ object Increment {
                        minStateBytesPerBatchRow: Long = 4096L)
       : Option[Long] = {
     val f = fs(spark, stateDir)
+    // every family's heavy tables — absent paths contribute nothing,
+    // so one rule serves text AND the modality increments
     val stateBytes = Seq("exact/keys", "windows", "minhash/bands",
-        "minhash/shingles", "sem/assigned")
+        "minhash/shingles", "sem/assigned", "phash/sigs", "audio/fps",
+        "audio/sizes", "video/frames", "video/sizes")
       .map(rel => new org.apache.hadoop.fs.Path(s"$stateDir/$rel"))
       .filter(f.exists)
       .map(p => f.getContentSummary(p).getLength)
@@ -846,7 +849,9 @@ object Increment {
                                   semDedupThresholdE4: Option[Long] = None,
                                   semGrid: Int = 8,
                                   semCentroidEvery: Int = 25,
-                                  semNassign: Int = 2)
+                                  semNassign: Int = 2,
+                                  // [[IncrementConfig.stateBloomAuto]]
+                                  stateBloomAuto: Boolean = false)
 
   /** Image state exists iff the pHash index has a meta commit marker. */
   def imageStateExists(spark: SparkSession, stateDir: String): Boolean =
@@ -1076,6 +1081,11 @@ object Increment {
     val hashed = hashAndSign(batch, cfg.maxPixels)
       .persist(StorageLevel.MEMORY_AND_DISK)
     stage("ingest", hashed.count())
+    // effective Bloom dial (manual bits win; see IncrementConfig)
+    val effBloomBits = cfg.stateBloomBits.orElse(
+      if (cfg.stateBloomAuto && haveState)
+        decideStateBloom(spark, stateDir, counts.head._2)
+      else None)
     rejectPiece(hashed.filter(col("phash") === -1L)
       .select(col("id"), lit(null).cast("long").as("__dup_of")),
       "undecodable")
@@ -1087,7 +1097,7 @@ object Increment {
       if (!haveState) decoded
       else {
         val stateKeys = readImageExactKeys(spark, stateDir, batchId,
-          cfg.stateBloomBits.map(m => (decoded.select("__md5"), m)))
+          effBloomBits.map(m => (decoded.select("__md5"), m)))
         val hits = decoded.join(
             stateKeys.select(col("key").as("__md5"),
               col("id").as("__dup_of")), Seq("__md5"))
@@ -1114,7 +1124,7 @@ object Increment {
           .phashSigsNearDupAgainstIndex(spark, s"$stateDir/phash",
             exact.select(col("id").as("id_new"), col("phash")),
             cfg.maxHamming, excludeBatch = Some(batchId),
-            bloomBits = cfg.stateBloomBits)
+            bloomBits = effBloomBits)
           .groupBy("id_new").agg(min(col("id_old")).as("__dup_of"))
           .select(col("id_new").as("id"), col("__dup_of"))
           .localCheckpoint(eager = true)
@@ -1178,7 +1188,7 @@ object Increment {
           val hits = Curation.semNearDupAgainstIndex(spark, semDir,
               nonzero.select("id", "v"), th,
               excludeBatch = Some(batchId), restrictTo = Some(restrict),
-              bloomBits = cfg.stateBloomBits)
+              bloomBits = effBloomBits)
             .groupBy("id_new").agg(min(col("id_old")).as("__dup_of"))
             .select(col("id_new").as("id"), col("__dup_of"))
             .localCheckpoint(eager = true)
@@ -1293,6 +1303,8 @@ object Increment {
                                   // prunes the exact-key and fp state
                                   // scans batch-proportional
                                   stateBloomBits: Option[Long] = None,
+                                  // [[IncrementConfig.stateBloomAuto]]
+                                  stateBloomAuto: Boolean = false,
                                   // optional SEMANTIC stage: SemDeDup
                                   // over pooled energy-profile
                                   // embeddings ([[graft.operators
@@ -1357,6 +1369,11 @@ object Increment {
         }
       }.toDF("id", "__md5").localCheckpoint(eager = true)
     stage("ingest", keys.count())
+    // effective Bloom dial (manual bits win; see IncrementConfig)
+    val effBloomBits = cfg.stateBloomBits.orElse(
+      if (cfg.stateBloomAuto && haveState)
+        decideStateBloom(spark, stateDir, counts.head._2)
+      else None)
     val fps = graft.operators.Multimodal
       .audioFingerprints(batch, cfg.windowFrames, cfg.k, cfg.stride,
         cfg.quantE4).toDF()
@@ -1376,7 +1393,7 @@ object Increment {
       else {
         val stateKeys = readMarkedExactKeys(spark, stateDir, "audio",
           batchId,
-          cfg.stateBloomBits.map(m => (decoded.select("__md5"), m)))
+          effBloomBits.map(m => (decoded.select("__md5"), m)))
         val hits = decoded.join(
             stateKeys.select(col("key").as("__md5"),
               col("id").as("__dup_of")), Seq("__md5"))
@@ -1405,7 +1422,7 @@ object Increment {
             exactFps.select(col("id").as("id_new"), col("fp")),
             cfg.minMatchE4, cfg.maxFpDocFreq,
             excludeBatch = Some(batchId),
-            bloomBits = cfg.stateBloomBits)
+            bloomBits = effBloomBits)
           .groupBy("id_new").agg(min(col("id_old")).as("__dup_of"))
           .select(col("id_new").as("id"), col("__dup_of"))
           .localCheckpoint(eager = true)
@@ -1482,7 +1499,7 @@ object Increment {
           val hits = Curation.semNearDupAgainstIndex(spark, semDir,
               nonzero.select("id", "v"), th,
               excludeBatch = Some(batchId), restrictTo = Some(restrict),
-              bloomBits = cfg.stateBloomBits)
+              bloomBits = effBloomBits)
             .groupBy("id_new").agg(min(col("id_old")).as("__dup_of"))
             .select(col("id_new").as("id"), col("__dup_of"))
             .localCheckpoint(eager = true)
@@ -1564,6 +1581,8 @@ object Increment {
                                   // prunes the exact-key and frame state
                                   // scans batch-proportional
                                   stateBloomBits: Option[Long] = None,
+                                  // [[IncrementConfig.stateBloomAuto]]
+                                  stateBloomAuto: Boolean = false,
                                   // optional SEMANTIC stage: SemDeDup
                                   // over pooled keyframe block-mean
                                   // embeddings ([[graft.operators
@@ -1753,6 +1772,11 @@ object Increment {
         }
       }.toDF("id", "__md5").localCheckpoint(eager = true)
     stage("ingest", keys.count())
+    // effective Bloom dial (manual bits win; see IncrementConfig)
+    val effBloomBits = cfg.stateBloomBits.orElse(
+      if (cfg.stateBloomAuto && haveState)
+        decideStateBloom(spark, stateDir, counts.head._2)
+      else None)
     val frames = graft.operators.Multimodal.videoKeyframePhash(batch).toDF()
       .filter(col("phash") =!= -1L && col("frame_idx") >= 0L)
       .select(col("media_id").as("id"), col("frame_idx"), col("phash"))
@@ -1771,7 +1795,7 @@ object Increment {
       else {
         val stateKeys = readMarkedExactKeys(spark, stateDir, "video",
           batchId,
-          cfg.stateBloomBits.map(m => (decoded.select("__md5"), m)))
+          effBloomBits.map(m => (decoded.select("__md5"), m)))
         val hits = decoded.join(
             stateKeys.select(col("key").as("__md5"),
               col("id").as("__dup_of")), Seq("__md5"))
@@ -1800,7 +1824,7 @@ object Increment {
             exactFrames.select(col("id").as("id_new"), col("frame_idx"),
               col("phash")),
             cfg.maxHamming, cfg.minSimE4, excludeBatch = Some(batchId),
-            bloomBits = cfg.stateBloomBits)
+            bloomBits = effBloomBits)
           .groupBy("id_new").agg(min(col("id_old")).as("__dup_of"))
           .select(col("id_new").as("id"), col("__dup_of"))
           .localCheckpoint(eager = true)
@@ -1870,7 +1894,7 @@ object Increment {
           val hits = Curation.semNearDupAgainstIndex(spark, semDir,
               nonzero.select("id", "v"), th,
               excludeBatch = Some(batchId), restrictTo = Some(restrict),
-              bloomBits = cfg.stateBloomBits)
+              bloomBits = effBloomBits)
             .groupBy("id_new").agg(min(col("id_old")).as("__dup_of"))
             .select(col("id_new").as("id"), col("__dup_of"))
             .localCheckpoint(eager = true)
@@ -1951,7 +1975,9 @@ object Increment {
                                       // [[IncrementConfig.stateBloomBits]]:
                                       // prunes the exact-key state scan
                                       // batch-proportional
-                                      stateBloomBits: Option[Long] = None)
+                                      stateBloomBits: Option[Long] = None,
+                                      // [[IncrementConfig.stateBloomAuto]]
+                                      stateBloomAuto: Boolean = false)
 
   /** Semantic state exists iff the sem index has its meta marker. */
   def semStateExists(spark: SparkSession, stateDir: String): Boolean =
@@ -2131,6 +2157,11 @@ object Increment {
           x => graft.core.Ops.fixedPoint(x, 6).cast("string")))))
       .localCheckpoint(eager = true)
     stage("ingest", keyed.count())
+    // effective Bloom dial (manual bits win; see IncrementConfig)
+    val effBloomBits = cfg.stateBloomBits.orElse(
+      if (cfg.stateBloomAuto && haveState)
+        decideStateBloom(spark, stateDir, counts.head._2)
+      else None)
 
     // exact dedup: against state, then within batch
     val afterExactState =
@@ -2138,7 +2169,7 @@ object Increment {
       else {
         val stateKeys = readMarkedExactKeys(spark, stateDir, "sem",
           batchId,
-          cfg.stateBloomBits.map(m => (keyed.select("__md5"), m)))
+          effBloomBits.map(m => (keyed.select("__md5"), m)))
         val hits = keyed.join(
             stateKeys.select(col("key").as("__md5"),
               col("id").as("__dup_of")), Seq("__md5"))
@@ -2177,7 +2208,7 @@ object Increment {
             s"$stateDir/sem",
             nonzero.select(col("id"), col("v")), cfg.thresholdE4,
             excludeBatch = Some(batchId),
-            bloomBits = cfg.stateBloomBits)
+            bloomBits = effBloomBits)
           .groupBy("id_new").agg(min(col("id_old")).as("__dup_of"))
           .select(col("id_new").as("id"), col("__dup_of"))
           .localCheckpoint(eager = true)

@@ -179,5 +179,16 @@ class ImageIncrementSpec extends SparkSpec {
     assert(on(10L) == ((false, "exact_dup", 1L)))
     assert(on(11L) == ((false, "near_dup", 3L)))
     assert(on(30L) == ((true, "admitted", 30L)))
+    // the auto dial (spec-sized state → decision OFF) is verdict-
+    // identical too — the modality increments share decideStateBloom
+    val auto = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_img_incr_auto").toString
+      val cfg = ImageIncrementConfig(stateBloomAuto = true)
+      Increment.curateImageIncrement(b1.toDS(), dir, "b1", cfg)
+      Increment.curateImageIncrement(b2.toDS(), dir, "b2", cfg)
+      verdictMap(Increment.readLedger(spark, dir))
+    }
+    assert(auto == off, s"auto-dial verdicts diverged: $auto vs $off")
   }
 }
