@@ -951,6 +951,210 @@ object DedupProbes {
        |FROM out ORDER BY batch_id, id""".stripMargin
   }
 
+  // ---- q176 periodic full re-curation → versioned root → increment -------
+  // Recurate.run end-to-end (r17): full funnel over an accumulated pool
+  // (planted exact + near dups; a benchmark built from the pool's own
+  // %9==3 docs so the decontamination stage REJECTS real content AFTER
+  // dedup — the documented funnel order), state rebuilt into a
+  // versioned root and swapped through the commit-marker pointer, then
+  // ONE increment served from the RESOLVED root (exact-vs-state,
+  // near-vs-state, a RESUBMISSION of decontaminated content — which
+  // the increment ADMITS, pinning the documented gap: decontamination
+  // is a funnel gate, increments only run it when given a benchmark —
+  // and a fresh doc), then the increment RERUN under its batch id (the
+  // q157 idempotence discipline). Output: the published root's ledger —
+  // batch `base` (the re-curation's verdicts) plus batch `b1`. The
+  // oracle replays the funnel (min-id exact groups → banded minhash
+  // components → 8-gram benchmark decontamination) and the q157
+  // increment algebra against the funnel's admitted set.
+  val q176: Q = (s, d) => {
+    import graft.pipeline.{CurateConfig, Increment, IncrementConfig,
+      Recurate, Restore}
+    val a = Tables.documents(s, d).filter(col("doc_id") < 40)
+      .select(col("doc_id").as("id"), col("text"))
+    memoizedReplay(s, "q176", d, dataFingerprint(a)) {
+      def cases(m: Int, off: Long, tx: org.apache.spark.sql.Column) =
+        a.filter(col("id") % 9 === m)
+          .select((col("id") + off).as("doc_id"), tx.as("text"))
+      val corpus = a.select(col("id").as("doc_id"), col("text"))
+        .unionByName(cases(1, 100000L, col("text")))
+        .unionByName(cases(2, 110000L,
+          concat(col("text"), lit(" zz yy xx"))))
+      val bench = a.filter(col("id") % 9 === 3).select(col("text"))
+      val wh = scratchDir("graft_q176_wh")
+      val r = Recurate.run(s, wh, "state", "t1", corpus, "doc_id",
+        "text", bench, "text", CurateConfig(minQualityE4 = 0))
+      val root = Restore.resolveVersioned(s, wh, "state").get.toString
+      require(root == r.versionDir, s"pointer $root != ${r.versionDir}")
+      val b1 = cases(4, 230000L, col("text"))
+        .unionByName(cases(5, 240000L,
+          concat(col("text"), lit(" zz yy xx"))))
+        .unionByName(cases(3, 260000L, col("text")))
+        .unionByName(cases(6, 250000L,
+          concat(reverse(col("text")), lit(" fresh"))))
+      val cfg = IncrementConfig(minQualityE4 = 0)
+      Increment.curateIncrement(b1, "doc_id", "text", root, "b1", cfg)
+      Increment.curateIncrement(b1, "doc_id", "text", root, "b1", cfg)
+      Increment.readLedger(s, root)
+        .select(col("batch_id"), col("id"), col("admitted"),
+          col("reason"), col("dup_of"))
+        .orderBy("batch_id", "id")
+    }
+  }
+
+  val q176Sql: String = {
+    val p = graft.operators.Dedup.MinhashP
+    val sigs = (0 until 12).map { h =>
+      val (aa, bb) = (graft.operators.Dedup.minhashA(h),
+        graft.operators.Dedup.minhashB(h))
+      s"list_min(list_transform(hv, v -> ($aa * v + $bb) % $p)) AS h$h"
+    }.mkString(",\n    ")
+    val bandRows = (0 until 4).map { b =>
+      val r = (0 until 3).map(i => s"h${b * 3 + i}").mkString(" || '|' || ")
+      s"SELECT id, $b AS band, $r AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    def jaccGe(sa: String, sb: String) =
+      s"""floor(len(list_intersect($sa, $sb)) * 1.0 /
+         |    (len($sa) + len($sb) - len(list_intersect($sa, $sb)))
+         |    * 10000 + 0.5) >= 8000""".stripMargin
+    val grams8 =
+      """CASE WHEN len(w) >= 8 THEN
+        |  list_transform(generate_series(1, len(w) - 7),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |         w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+        |         w[i+6] || ' ' || w[i+7])
+        |ELSE []::VARCHAR[] END""".stripMargin
+    // the q157 increment replay, verbatim shape
+    def replay(t: String, bt: String, st: String): String =
+      s"""${t}_ex_st AS MATERIALIZED (SELECT k.id, min(sk.id) AS dup_of
+         |  FROM keys k JOIN keys sk ON sk.key = k.key
+         |  WHERE k.id IN (SELECT id FROM $bt)
+         |    AND sk.id IN (SELECT id FROM $st)
+         |  GROUP BY k.id),
+         |${t}_p1 AS MATERIALIZED (SELECT id FROM $bt
+         |  WHERE id NOT IN (SELECT id FROM ${t}_ex_st)),
+         |${t}_keep AS MATERIALIZED (SELECT key, min(id) AS keep FROM keys
+         |  WHERE id IN (SELECT id FROM ${t}_p1) GROUP BY key),
+         |${t}_ex_in AS MATERIALIZED (SELECT k.id, kk.keep AS dup_of
+         |  FROM keys k JOIN ${t}_keep kk ON kk.key = k.key
+         |  WHERE k.id IN (SELECT id FROM ${t}_p1) AND k.id <> kk.keep),
+         |${t}_p2 AS MATERIALIZED (SELECT id FROM ${t}_p1
+         |  WHERE id NOT IN (SELECT id FROM ${t}_ex_in)),
+         |${t}_nd_st AS MATERIALIZED (SELECT c.idn AS id, min(c.ido) AS dup_of FROM (
+         |    SELECT DISTINCT x.id AS idn, y.id AS ido
+         |    FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+         |    WHERE x.id IN (SELECT id FROM ${t}_p2)
+         |      AND y.id IN (SELECT id FROM $st) AND x.id <> y.id) c
+         |  JOIN sets sa ON sa.id = c.idn JOIN sets sb ON sb.id = c.ido
+         |  WHERE ${jaccGe("sa.shd", "sb.shd")}
+         |  GROUP BY c.idn),
+         |${t}_p3 AS MATERIALIZED (SELECT id FROM ${t}_p2
+         |  WHERE id NOT IN (SELECT id FROM ${t}_nd_st)),
+         |${t}_edges AS MATERIALIZED (SELECT DISTINCT x.id AS src, y.id AS dst
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+         |  JOIN sets sa ON sa.id = x.id JOIN sets sb ON sb.id = y.id
+         |  WHERE x.id IN (SELECT id FROM ${t}_p3)
+         |    AND y.id IN (SELECT id FROM ${t}_p3) AND x.id < y.id
+         |    AND ${jaccGe("sa.shd", "sb.shd")}),
+         |${t}_und AS MATERIALIZED (SELECT src, dst FROM ${t}_edges
+         |  UNION ALL SELECT dst, src FROM ${t}_edges),
+         |${t}_reach(id, r) AS (
+         |  SELECT src, src FROM ${t}_und
+         |  UNION
+         |  SELECT u.src, ${t}_reach.r FROM ${t}_und u
+         |  JOIN ${t}_reach ON ${t}_reach.id = u.dst),
+         |${t}_nd_in AS MATERIALIZED (SELECT id, min(r) AS dup_of FROM ${t}_reach
+         |  GROUP BY id HAVING id <> min(r)),
+         |${t}_adm AS MATERIALIZED (SELECT id FROM ${t}_p3
+         |  WHERE id NOT IN (SELECT id FROM ${t}_nd_in))""".stripMargin
+    s"""WITH RECURSIVE
+       |a AS MATERIALIZED (SELECT doc_id AS id, text FROM documents
+       |  WHERE doc_id < 40),
+       |pool AS MATERIALIZED (SELECT id, text FROM a
+       |  UNION ALL SELECT id + 100000, text FROM a WHERE id % 9 = 1
+       |  UNION ALL SELECT id + 110000, text || ' zz yy xx'
+       |  FROM a WHERE id % 9 = 2),
+       |b1 AS MATERIALIZED (
+       |  SELECT id + 230000 AS id, text AS text FROM a WHERE id % 9 = 4
+       |  UNION ALL SELECT id + 240000, text || ' zz yy xx'
+       |  FROM a WHERE id % 9 = 5
+       |  UNION ALL SELECT id + 260000, text FROM a WHERE id % 9 = 3
+       |  UNION ALL SELECT id + 250000, reverse(text) || ' fresh'
+       |  FROM a WHERE id % 9 = 6),
+       |allv AS MATERIALIZED (SELECT id, text FROM pool
+       |  UNION ALL SELECT id, text FROM b1),
+       |keys AS MATERIALIZED (SELECT id, md5(text) AS key FROM allv),
+       |n AS MATERIALIZED (SELECT id, $duckWords AS w FROM allv),
+       |shl AS MATERIALIZED (SELECT id, CASE WHEN len(w) >= 3 THEN
+       |    list_transform(generate_series(1, len(w) - 2),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |  ELSE []::VARCHAR[] END AS sh FROM n),
+       |sets AS MATERIALIZED (SELECT id, list_distinct(sh) AS shd
+       |  FROM shl WHERE len(sh) > 0),
+       |hvt AS MATERIALIZED (SELECT id,
+       |  list_transform(sh, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT % $p) AS hv
+       |  FROM shl WHERE len(sh) > 0),
+       |sig AS MATERIALIZED (SELECT id,
+       |    $sigs
+       |  FROM hvt),
+       |bands AS MATERIALIZED (
+       |  $bandRows),
+       |-- the FUNNEL over the pool: min-id exact groups → components →
+       |-- benchmark decontamination on the survivors
+       |f_keep AS MATERIALIZED (SELECT key, min(id) AS keep FROM keys
+       |  WHERE id IN (SELECT id FROM pool) GROUP BY key),
+       |f_ex AS MATERIALIZED (SELECT k.id, kk.keep AS dup_of
+       |  FROM keys k JOIN f_keep kk ON kk.key = k.key
+       |  WHERE k.id IN (SELECT id FROM pool) AND k.id <> kk.keep),
+       |f_p1 AS MATERIALIZED (SELECT id FROM pool
+       |  WHERE id NOT IN (SELECT id FROM f_ex)),
+       |f_edges AS MATERIALIZED (SELECT DISTINCT x.id AS src, y.id AS dst
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+       |  JOIN sets sa ON sa.id = x.id JOIN sets sb ON sb.id = y.id
+       |  WHERE x.id IN (SELECT id FROM f_p1)
+       |    AND y.id IN (SELECT id FROM f_p1) AND x.id < y.id
+       |    AND ${jaccGe("sa.shd", "sb.shd")}),
+       |f_und AS MATERIALIZED (SELECT src, dst FROM f_edges
+       |  UNION ALL SELECT dst, src FROM f_edges),
+       |f_reach(id, r) AS (
+       |  SELECT src, src FROM f_und
+       |  UNION
+       |  SELECT u.src, f_reach.r FROM f_und u
+       |  JOIN f_reach ON f_reach.id = u.dst),
+       |f_nd AS MATERIALIZED (SELECT id, min(r) AS dup_of FROM f_reach
+       |  GROUP BY id HAVING id <> min(r)),
+       |f_p2 AS MATERIALIZED (SELECT id FROM f_p1
+       |  WHERE id NOT IN (SELECT id FROM f_nd)),
+       |bg AS MATERIALIZED (SELECT DISTINCT unnest($grams8) AS gram
+       |  FROM (SELECT $duckWords AS w FROM a WHERE id % 9 = 3)),
+       |dg AS MATERIALIZED (SELECT id, unnest(list_distinct($grams8)) AS gram
+       |  FROM n WHERE id IN (SELECT id FROM f_p2)),
+       |f_dec AS MATERIALIZED (SELECT DISTINCT dg.id FROM dg
+       |  JOIN bg USING (gram)),
+       |f_adm AS MATERIALIZED (SELECT id FROM f_p2
+       |  WHERE id NOT IN (SELECT id FROM f_dec)),
+       |${replay("r2", "b1", "f_adm")},
+       |out AS MATERIALIZED (
+       |  SELECT 'base' AS batch_id, id, FALSE AS admitted,
+       |    'exact_dup' AS reason, dup_of FROM f_ex
+       |  UNION ALL SELECT 'base', id, FALSE, 'near_dup', dup_of FROM f_nd
+       |  UNION ALL SELECT 'base', id, FALSE, 'decontaminated', id
+       |  FROM f_dec
+       |  UNION ALL SELECT 'base', id, TRUE, 'admitted', id FROM f_adm
+       |  UNION ALL SELECT 'b1', id, FALSE, 'exact_dup', dup_of
+       |  FROM r2_ex_st
+       |  UNION ALL SELECT 'b1', id, FALSE, 'exact_dup', dup_of
+       |  FROM r2_ex_in
+       |  UNION ALL SELECT 'b1', id, FALSE, 'near_dup', dup_of
+       |  FROM r2_nd_st
+       |  UNION ALL SELECT 'b1', id, FALSE, 'near_dup', dup_of
+       |  FROM r2_nd_in
+       |  UNION ALL SELECT 'b1', id, TRUE, 'admitted', id FROM r2_adm)
+       |SELECT batch_id, CAST(id AS BIGINT) AS id, admitted, reason,
+       |  CAST(dup_of AS BIGINT) AS dup_of
+       |FROM out ORDER BY batch_id, id""".stripMargin
+  }
+
   // ---- q166 substring-dedup stage in the text increment ------------------
   // The window-claim twin of q157: state seeded WITH window claims
   // (initStateFromCurated claimsW), then two increments with
@@ -1206,6 +1410,7 @@ object DedupProbes {
   }
 
   private[probes] val queries: Map[String, Q] = Map(
+    "q176_recurate_serve" -> q176,
     "q166_incr_window_dedup" -> q166,
     "q157_curate_increment" -> q157,
     "q151_suffix_sharded_clean" -> q151,
@@ -1227,6 +1432,7 @@ object DedupProbes {
     "q145_suffix_sharded" -> q145)
 
   private[probes] val oracleSql: Map[String, String] = Map(
+    "q176_recurate_serve" -> q176Sql,
     "q166_incr_window_dedup" -> q166Sql,
     "q157_curate_increment" -> q157Sql,
     "q151_suffix_sharded_clean" -> q144Sql,
