@@ -702,12 +702,22 @@ object Curation {
 
   def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
                          benchmark: DataFrame, benchTextCol: String,
-                         n: Int = 8): DataFrame = {
-    val benchGrams = broadcast(
+                         n: Int = 8): DataFrame =
+    contaminationFlagsVsGrams(docs, idCol, textCol,
       graft.core.Ops.widen(benchmark)
         .select(Dedup.normalizeWords(col(benchTextCol)).as("__w"))
-        .select(explode(wordNgrams(col("__w"), n)).as("gram"))
-        .distinct())
+        .select(explode(wordNgrams(col("__w"), n)).as("gram")), n)
+
+  /** [[contaminationFlags]] against an ALREADY-MATERIALIZED benchmark
+    * gram table (one `gram` column — e.g. the persisted
+    * `decontam/grams` state family an increment defaults to): same
+    * flags, same broadcast shape (eval-gram sets are bounded — the
+    * contract the funnel's broadcast join already makes).
+    */
+  def contaminationFlagsVsGrams(docs: DataFrame, idCol: String,
+                                textCol: String, grams: DataFrame,
+                                n: Int): DataFrame = {
+    val benchGrams = broadcast(grams.select(col("gram")).distinct())
     val docGrams = graft.core.Ops.widen(docs)
       .select(col(idCol), Dedup.normalizeWords(col(textCol)).as("__w"))
       .select(col(idCol), explode_outer(array_distinct(

@@ -27,6 +27,26 @@ object Dedup {
     filter(split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " "),
       x => x =!= "")
 
+  /** Plain-JVM replica of [[normalizeWords]] for the executor-side /
+    * driver-side code paths that cannot use a Column (the streaming
+    * decontamination gate's broadcast-set membership test and its gram
+    * build). Lowercases with `Locale.ROOT` so the SAME helper produces
+    * the SAME tokens on every JVM regardless of default locale — both
+    * sides of a gate built on this are self-consistent by construction.
+    * Parity with the Spark expression ([[normalizeWords]]'s `lower()`):
+    * identical wherever the lowercase mapping is locale-invariant —
+    * all ASCII and almost all of Unicode; the known exceptions are the
+    * Turkish/Azeri dotted/dotless I and Lithuanian accent special
+    * cases, which diverge only when the BATCH job runs under one of
+    * those default JVM locales (documented next to the gate's
+    * spec-pinned batch-equivalence claim).
+    */
+  def normalizeWordsLocal(text: String): Array[String] =
+    (if (text == null) "" else text)
+      .toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9]+", " ").trim.split(" ")
+      .filter(_.nonEmpty)
+
   /** k-word shingles (k fixed at 3 — the common near-dup choice). The
     * n=3 case of [[Curation.wordNgrams]] — one windowing implementation
     * to keep the empty-array-not-[null] subtlety in one place.

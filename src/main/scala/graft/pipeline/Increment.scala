@@ -331,21 +331,44 @@ object Increment {
     * — no Spark job. Returns the bits to use, or None = keep bloom
     * off.
     */
-  def decideStateBloom(spark: SparkSession, stateDir: String,
-                       batchRows: Long,
-                       minStateBytes: Long = 256L << 20,
-                       minStateBytesPerBatchRow: Long = 4096L)
-      : Option[Long] = {
+  /** Every family's heavy data tables, relative to a state root —
+    * absent paths contribute nothing, so one list serves text AND the
+    * modality increments. Shared with the
+    * [[graft.pipeline.Maintain.decideAll]] bloom ADVISORY so the
+    * operational report can never silently drift from what the
+    * increments' auto dial actually measures.
+    */
+  val StateBloomHeavyTables: Seq[String] = Seq("exact/keys", "windows",
+    "minhash/bands", "minhash/shingles", "sem/assigned", "phash/sigs",
+    "audio/fps", "audio/sizes", "video/frames", "video/sizes")
+
+  /** [[decideStateBloom]]'s default activation floor (absolute
+    * committed heavy-table bytes) and per-batch-row guard — the single
+    * definition both the increments and the Maintain advisory read.
+    */
+  val StateBloomMinStateBytes: Long = 256L << 20
+  val StateBloomMinBytesPerBatchRow: Long = 4096L
+
+  /** Committed heavy-table bytes under `stateDir` — one bounded
+    * `getContentSummary` walk over [[StateBloomHeavyTables]], no Spark
+    * job.
+    */
+  def stateHeavyBytes(spark: SparkSession, stateDir: String): Long = {
     val f = fs(spark, stateDir)
-    // every family's heavy tables — absent paths contribute nothing,
-    // so one rule serves text AND the modality increments
-    val stateBytes = Seq("exact/keys", "windows", "minhash/bands",
-        "minhash/shingles", "sem/assigned", "phash/sigs", "audio/fps",
-        "audio/sizes", "video/frames", "video/sizes")
+    StateBloomHeavyTables
       .map(rel => new org.apache.hadoop.fs.Path(s"$stateDir/$rel"))
       .filter(f.exists)
       .map(p => f.getContentSummary(p).getLength)
       .sum
+  }
+
+  def decideStateBloom(spark: SparkSession, stateDir: String,
+                       batchRows: Long,
+                       minStateBytes: Long = StateBloomMinStateBytes,
+                       minStateBytesPerBatchRow: Long =
+                         StateBloomMinBytesPerBatchRow)
+      : Option[Long] = {
+    val stateBytes = stateHeavyBytes(spark, stateDir)
     if (stateBytes < minStateBytes ||
         stateBytes < minStateBytesPerBatchRow * math.max(1L, batchRows))
       None
@@ -417,6 +440,135 @@ object Increment {
         .join(broadcast(committed), Seq("batch_id"), "left_semi")
         .select("h")
     }
+  }
+
+  // ---- decontamination benchmark state family (r17 verdict #1) ----------
+  // The benchmark-gram set used to be a CALLER argument only: an
+  // increment handed no benchmark ran no decontamination gate, so a doc
+  // the funnel REJECTED as contaminated could be resubmitted through a
+  // benchmark-less increment and ADMITTED (the q176-pinned gap). At
+  // 100 TB the benchmark set is operational state like every index
+  // family: it persists under the state root and the increment gate
+  // DEFAULTS to it. Layout: `decontam/grams` — (bench_key, gram) rows,
+  // bench_key = md5 of the source benchmark doc's text (the provenance
+  // retraction purges by), batch_id-partitioned; `decontam/meta` — the
+  // gram size n re-stated per batch, written LAST as the family's OWN
+  // commit marker (its writers — Recurate's rebuild, a standalone
+  // eval-set registration — are not increments, so it cannot ride the
+  // minhash marker). Reads take meta-committed batches only and require
+  // one consistent n. Reference anchor: the de-live suite's principle
+  // that staged data must be scrubbed before serving (db.py:342-348).
+
+  /** The benchmark's distinct (bench_key, gram) rows at gram size `n`
+    * — the persisted form of the funnel's broadcast side.
+    */
+  private def decontamGramRows(benchmark: DataFrame, benchTextCol: String,
+                               n: Int): DataFrame =
+    graft.core.Ops.widen(benchmark)
+      .select(md5(col(benchTextCol).cast("string")).as("bench_key"),
+        Dedup.normalizeWords(col(benchTextCol)).as("__w"))
+      .select(col("bench_key"),
+        explode(Curation.wordNgrams(col("__w"), n)).as("gram"))
+      .distinct()
+
+  /** Register (or replace, under the same `batchId`) a benchmark's
+    * grams in the state's decontamination family. Grams land first,
+    * the meta partition commits LAST — a torn write is invisible to
+    * [[readDecontamGrams]]. A second benchmark registers under its own
+    * batch id and the gate unions them (gram membership is a union
+    * test).
+    */
+  def writeDecontamState(spark: SparkSession, stateDir: String,
+                         benchmark: DataFrame, benchTextCol: String,
+                         n: Int = 8, batchId: String = "base"): Unit = {
+    require(n >= 1, s"writeDecontamState: n ($n)")
+    require(batchId.nonEmpty && batchId != "__HIVE_DEFAULT_PARTITION__",
+      s"writeDecontamState: invalid batch id '$batchId'")
+    import spark.implicits._
+    def w(df: DataFrame, path: String): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic").parquet(path)
+    w(decontamGramRows(benchmark, benchTextCol, n),
+      s"$stateDir/decontam/grams")
+    w(Seq(n).toDF("n"), s"$stateDir/decontam/meta")
+  }
+
+  /** Read-side schema for `decontam/grams` — explicit so a ZERO-ROW
+    * grams table (a benchmark whose docs are all shorter than n words
+    * writes no part files) still reads as an empty gram set (a no-op
+    * gate) instead of failing schema inference.
+    */
+  private val decontamGramsSchema = org.apache.spark.sql.types.StructType(
+    Seq("bench_key", "gram", "batch_id").map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.StringType)))
+
+  /** The committed decontamination gram table (one `gram` column,
+    * deduplicated across benchmarks) and its pinned gram size, or None
+    * when the state has no committed decontam family.
+    */
+  def readDecontamGrams(spark: SparkSession,
+                        stateDir: String): Option[(DataFrame, Int)] = {
+    val metaP = new org.apache.hadoop.fs.Path(s"$stateDir/decontam/meta")
+    if (!fs(spark, stateDir).exists(metaP)) None
+    else {
+      val meta = spark.read.parquet(metaP.toString)
+      val ns = meta.select("n").distinct().collect()
+      require(ns.length == 1,
+        s"decontam family at $stateDir: inconsistent gram size across " +
+          s"benchmark batches (${ns.length} distinct) — re-register " +
+          "under one n")
+      val committed = meta.select("batch_id").distinct()
+      Some((spark.read.schema(decontamGramsSchema)
+        .parquet(s"$stateDir/decontam/grams")
+        .join(broadcast(committed), Seq("batch_id"), "left_semi")
+        .select("gram").distinct(), ns.head.getInt(0)))
+    }
+  }
+
+  /** Eval-set rotation: purge a retired benchmark's grams from the
+    * family. Victim rows are keyed by the benchmark docs' text md5
+    * (the provenance [[writeDecontamState]] recorded); only partitions
+    * holding a victim rewrite (dynamic overwrite — emptied partitions
+    * become zero-row schema-ful parquet, the [[Shards.retract]]
+    * discipline); meta markers are untouched so family visibility
+    * never changes. A gram SHARED with a still-registered benchmark
+    * survives through that benchmark's own rows. Returns purged rows.
+    */
+  def retractDecontamBenchmark(spark: SparkSession, stateDir: String,
+                               benchmark: DataFrame,
+                               benchTextCol: String): Long = {
+    val gramsPath = s"$stateDir/decontam/grams"
+    require(fs(spark, stateDir).exists(
+        new org.apache.hadoop.fs.Path(gramsPath)),
+      s"retractDecontamBenchmark: no decontam family at $stateDir")
+    val keys = graft.core.Ops.widen(benchmark)
+      .select(md5(col(benchTextCol).cast("string")).as("bench_key"))
+      .distinct().localCheckpoint(eager = true)
+    val tbl = spark.read.schema(decontamGramsSchema).parquet(gramsPath)
+    val hit = tbl.join(broadcast(keys), Seq("bench_key"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nPurged = hit.count()
+      if (nPurged == 0L) 0L
+      else {
+        val affected = hit.select("batch_id").distinct()
+          .localCheckpoint(eager = true)
+        val keep = tbl
+          .join(broadcast(affected), Seq("batch_id"), "left_semi")
+          .join(broadcast(keys), Seq("bench_key"), "left_anti")
+          .localCheckpoint(eager = true)
+        keep.write.mode("overwrite").partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic").parquet(gramsPath)
+        val emptied = affected.join(keep.select("batch_id").distinct(),
+          Seq("batch_id"), "left_anti").collect()
+        for (r <- emptied)
+          keep.drop("batch_id").limit(0).write.mode("overwrite")
+            .parquet(s"$gramsPath/batch_id=${r.getString(0)}")
+        nPurged
+      }
+    } finally hit.unpersist()
   }
 
   def curateIncrement(batch: DataFrame, idCol: String, textCol: String,
@@ -575,9 +727,16 @@ object Increment {
       effBloomBits.filter(_ => haveState).map { m =>
         val (sb, srp) = Dedup.readMinhashMeta(spark,
           s"$stateDir/minhash")
-        val keyed = hashed.select(array(col("__h")).as("__ek"),
-            Dedup.shingleHashes(Dedup.shingles3(
-              Dedup.normalizeWords(col("text")))).as("__hv"))
+        // normalizeWords PROJECTED as its own attribute before the
+        // shingle window (the shingleSets two-step discipline):
+        // shingles3 references its input at three offsets inside a
+        // transform lambda, so handing it the raw regex+split pipeline
+        // would re-evaluate the normalization per shingle element —
+        // the O(len²)-per-row trap shingleSets documents
+        val keyed = hashed
+          .select(col("__h"), Dedup.normalizeWords(col("text")).as("__w"))
+          .select(array(col("__h")).as("__ek"),
+            Dedup.shingleHashes(Dedup.shingles3(col("__w"))).as("__hv"))
           .select(col("__ek"),
             Dedup.bandKeyArrayFromHv(col("__hv"), sb, srp).as("__bk"))
         (graft.core.Bloom.buildMany(keyed,
@@ -710,23 +869,38 @@ object Increment {
       stage("semantic", adm.count())
       (adm, nonzero, centroids, haveSem)
     }
-    // ---- optional benchmark decontamination (the funnel's terminal
-    // gate, same position: after every dedup stage, before admission) ----
+    // ---- benchmark decontamination (the funnel's terminal gate, same
+    // position: after every dedup stage, before admission). Gram
+    // source, in precedence order: the CALLER's benchmark frame when
+    // given (gram size cfg.decontamGramN — the legacy explicit shape),
+    // else the state's PERSISTED decontam family (gram size pinned by
+    // its meta) — so a benchmark-less increment can no longer re-admit
+    // content the funnel rejected (r17 verdict #1; the q176-pinned gap,
+    // now closed by default whenever the state carries the family).
+    // Neither present = gate off.
     val afterSem = semPieces.map(_._1).getOrElse(afterMh)
+    def gateDecontam(flags: DataFrame): DataFrame = {
+      val clean = afterSem.join(
+          flags.filter(!col("contaminated")).select(col("id")),
+          Seq("id"))
+        .localCheckpoint(eager = true)
+      rejectPiece(flags.filter(col("contaminated")).select(col("id"))
+        .withColumn("__dup_of", lit(null).cast("long")),
+        "decontaminated")
+      stage("decontaminated", clean.count())
+      clean
+    }
     val admitted = benchmark match {
-      case None => afterSem
       case Some((bench, btCol)) =>
-        val flags = Curation.contaminationFlags(afterSem, "id", "text",
-          bench, btCol, cfg.decontamGramN)
-        val clean = afterSem.join(
-            flags.filter(!col("contaminated")).select(col("id")),
-            Seq("id"))
-          .localCheckpoint(eager = true)
-        rejectPiece(flags.filter(col("contaminated")).select(col("id"))
-          .withColumn("__dup_of", lit(null).cast("long")),
-          "decontaminated")
-        stage("decontaminated", clean.count())
-        clean
+        gateDecontam(Curation.contaminationFlags(afterSem, "id", "text",
+          bench, btCol, cfg.decontamGramN))
+      case None =>
+        readDecontamGrams(spark, stateDir) match {
+          case None => afterSem
+          case Some((grams, n)) =>
+            gateDecontam(Curation.contaminationFlagsVsGrams(afterSem,
+              "id", "text", grams, n))
+        }
     }
     led += admitted.select(col("id"), lit(true).as("admitted"),
         lit("admitted").as("reason"), col("id").as("dup_of"))
@@ -2397,16 +2571,19 @@ object Increment {
   /** Per-family trees compaction copies VERBATIM (audit tables keep
     * their batch ids; a text funnel's `sem/` SUB-state serves through
     * its own meta ∩ the marker's committed set, both preserved; an
-    * embedding root's centroid table is unpartitioned).
+    * embedding root's centroid table is unpartitioned; the `decontam/`
+    * benchmark family owns its OWN meta marker and its batch ids are
+    * eval-set registrations, not increments — folding them would
+    * destroy the per-benchmark retraction provenance).
     */
   private def copyTrees(family: String): Seq[String] = family match {
     // text/image/audio/video funnel states can carry a sem SUB-state
     // (its own meta ∩ the marker's committed set governs serving — both
     // survive because the dest marker keeps every original batch id)
     case "minhash" | "phash" | "audio" | "video" =>
-      Seq("ledger", "metrics", "sem")
-    case "sem" => Seq("ledger", "metrics", "sem/centroids")
-    case _ => Seq("ledger", "metrics")
+      Seq("ledger", "metrics", "sem", "decontam")
+    case "sem" => Seq("ledger", "metrics", "sem/centroids", "decontam")
+    case _ => Seq("ledger", "metrics", "decontam")
   }
 
   /** Compact an increment state: after N increments every data table

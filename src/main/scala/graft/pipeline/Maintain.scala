@@ -673,14 +673,11 @@ object Maintain {
     val bloom =
       if (!funnel) Seq.empty
       else {
-        val floor = 256L << 20
-        val stateBytes = Seq("exact/keys", "windows", "minhash/bands",
-            "minhash/shingles", "sem/assigned", "phash/sigs",
-            "audio/fps", "audio/sizes", "video/frames", "video/sizes")
-          .map(rel => new org.apache.hadoop.fs.Path(s"$root/$rel"))
-          .filter(f.exists)
-          .map(p => f.getContentSummary(p).getLength)
-          .sum
+        // the SAME constants/walk the increments' auto dial uses
+        // (Increment.decideStateBloom) — one definition, no drift
+        val floor = graft.pipeline.Increment.StateBloomMinStateBytes
+        val stateBytes =
+          graft.pipeline.Increment.stateHeavyBytes(spark, root)
         Seq(Decision("bloom",
           if (stateBytes >= floor) "enable" else "none",
           stateBytes, floor,

@@ -42,15 +42,58 @@ object Recurate {
                             stageCounts: Seq[(String, Long)],
                             ledger: DataFrame)
 
+  /** Durable committed-token log for `db`: one empty marker file per
+    * token under `warehouse/db.vlog/`, appended at swap time. "Not the
+    * current pointer target" does NOT imply "never committed" — a
+    * SUPERSEDED version is also off-pointer yet is immutable history
+    * (and may still be serving a reader that resolved it just before
+    * the last swap, the [[Restore.gcUnreferenced]] grace rationale) —
+    * so orphan clearing consults this log, not the pointer (ADVICE
+    * r17). The log is tiny append-only metadata (one zero-byte file
+    * per publish); entries outlive their GC'd dirs deliberately, making
+    * the token namespace immutable: a logged token can never be reused,
+    * even after its dir is collected.
+    */
+  private def vlogPath(warehouse: String, db: String, token: String) =
+    new org.apache.hadoop.fs.Path(warehouse, s"$db.vlog/$token")
+
+  /** True iff `token` was ever logged as committed for `db`. */
+  def committedTokenLogged(spark: SparkSession, warehouse: String,
+                           db: String, token: String): Boolean = {
+    val p = vlogPath(warehouse, db, token)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def logCommittedToken(spark: SparkSession, warehouse: String,
+                                db: String, token: String): Unit = {
+    val p = vlogPath(warehouse, db, token)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      fs.mkdirs(p.getParent)
+      fs.create(p, true).close()
+    }
+  }
+
   /** Publish ANY freshly-built state root atomically: `build`
     * populates the immutable `db__v{token}` dir (e.g. one of the
     * [[Increment]] `init*StateFromCurated` seeds), then the commit
     * pointer swaps — the [[Restore.publishVersionedDir]] discipline
-    * with one addition: a version dir LEFT BEHIND by a crashed build
-    * under the SAME token is cleared first (it never committed — its
-    * marker never swapped — so deleting it is safe and makes the
-    * rerun-with-same-token retry shape work, the CurateImages ck.save
-    * rule).
+    * with two additions:
+    *
+    *  - a version dir LEFT BEHIND by a CRASHED build under the SAME
+    *    token is cleared first, making the rerun-with-same-token retry
+    *    shape work (the CurateImages ck.save rule). "Crashed orphan" is
+    *    established by the COMMITTED-TOKEN LOG, not by the pointer: a
+    *    superseded committed version is also off-pointer, and deleting
+    *    it would destroy immutable history a pre-swap reader may still
+    *    be scanning — a logged token is REFUSED loudly instead (reuse
+    *    a fresh token; the crashed-retry case is by definition
+    *    unlogged).
+    *  - at swap time the token is appended to the durable log; the
+    *    PREDECESSOR's token is logged first (defensively — it covers
+    *    versions published through raw [[Restore.publishVersionedDir]]
+    *    by callers that bypassed this wrapper, and the crash window
+    *    where a successor swapped before its own log write landed).
     */
   def publishState(spark: SparkSession, warehouse: String, db: String,
                    token: String)(build: String => Unit)
@@ -58,11 +101,20 @@ object Recurate {
     val fs = new org.apache.hadoop.fs.Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vd = new org.apache.hadoop.fs.Path(warehouse, s"${db}__v$token")
-    if (fs.exists(vd) &&
-        !Restore.resolveVersioned(spark, warehouse, db).contains(vd))
+    require(!committedTokenLogged(spark, warehouse, db, token),
+      s"publishState: token '$token' for $db is in the committed-version " +
+        s"log (${vlogPath(warehouse, db, token)}) — committed version dirs " +
+        "are immutable history (a superseded one may still be serving a " +
+        "reader that resolved it before the last swap); use a fresh token")
+    val cur = Restore.resolveVersioned(spark, warehouse, db)
+    if (fs.exists(vd) && !cur.contains(vd))
       fs.delete(vd, true)
-    Restore.publishVersionedDir(spark, warehouse, db, token)(p =>
+    cur.map(_.getName.stripPrefix(s"${db}__v"))
+      .foreach(t => logCommittedToken(spark, warehouse, db, t))
+    val out = Restore.publishVersionedDir(spark, warehouse, db, token)(p =>
       build(p.toString))
+    logCommittedToken(spark, warehouse, db, token)
+    out
   }
 
   /** The TEXT-corpus re-curation: full funnel over `corpus` (the
@@ -105,6 +157,12 @@ object Recurate {
     val vdir = publishState(spark, warehouse, db, token) { root =>
       Increment.initStateFromCurated(spark, root, admitted, idCol,
         textCol, bands, rowsPerBand, claimsW = cfg.dedupWindowsW)
+      // the benchmark the funnel decontaminated against persists as
+      // the root's decontam state family (r17 verdict #1), so the
+      // increments' default gate keeps rejecting what the funnel
+      // rejected — a benchmark-less resubmission can no longer slip in
+      Increment.writeDecontamState(spark, root, benchmark, benchTextCol,
+        cfg.decontamGramN)
       ledger.withColumn("batch_id", lit("base"))
         .write.mode("overwrite").partitionBy("batch_id")
         .parquet(s"$root/ledger")
@@ -118,4 +176,5 @@ object Recurate {
     }
     RecurateResult(vdir.toString, res.stageCounts, ledger)
   }
+
 }

@@ -153,48 +153,63 @@ object Shards {
   // ---- checkpointed epoch-reader offsets (r16 verdict #4) ----------------
   // Resume used to be a CONVENTION ("filter on epoch_pos") with the
   // bookkeeping left to the caller — a crashed training reader re-read
-  // or double-counted. The `reads/` ledger makes it a CONTRACT: readers
-  // commit (epoch, reader, committed_pos) rows through an APPEND-only
-  // parquet log (a Spark append is all-or-nothing per job — a torn
-  // commit leaves no visible file, the family invisibility rule), and
-  // the resume offset is the max committed pos. Duplicate or
+  // or double-counted. The `reads/` ledger makes it a CONTRACT: each
+  // reader commits its progress as MARKER FILES (one zero-byte
+  // `pos-<n>` file per commit, the Restore marker-file discipline)
+  // under its OWN `reads/epoch=E/reader=R/` directory, and the resume
+  // offset is the max pos named by any marker. Duplicate or
   // out-of-order commits collapse under the max, so commit retries are
-  // idempotent and progress never regresses. The read path gains NO
-  // shuffle: the offset is one bounded scalar read applied as a filter
-  // on the ranked stream.
+  // idempotent and progress never regresses. Marker files, NOT a Spark
+  // parquet append (ADVICE r17): concurrent appends from separate
+  // reader processes would share the output root's `_temporary` dir
+  // (FileOutputCommitter), so one job's commit/cleanup could silently
+  // drop another reader's in-flight commit — a lost ledger row makes
+  // resume re-read a downstream-committed prefix, breaking the
+  // exactly-once contract. A direct file create is atomic-by-name,
+  // per-reader-isolated, and costs no Spark job; the committed pos
+  // rides in the FILENAME, so even a torn create (name visible, close
+  // racing a crash) names a truthfully-committed pos — the caller only
+  // commits after its downstream commit landed. The read path gains NO
+  // shuffle: the offset is one bounded directory listing applied as a
+  // filter on the ranked stream.
+
+  private def readsDir(dir: String, epoch: Int, reader: Int) =
+    new org.apache.hadoop.fs.Path(s"$dir/reads/epoch=$epoch/reader=$reader")
 
   /** Record reader `reader`'s durable progress through `epoch`: every
     * row of its stream with `epoch_pos <= pos` has been consumed AND
     * committed downstream. Call AFTER the downstream commit — the
-    * crash window between downstream-commit and this append re-reads
-    * at most the uncommitted suffix, never double-commits a committed
-    * prefix.
+    * crash window between downstream-commit and this marker write
+    * re-reads at most the uncommitted suffix, never double-commits a
+    * committed prefix.
     */
   def commitReadPos(spark: SparkSession, dir: String, epoch: Int,
                     reader: Int, pos: Long): Unit = {
     require(epoch >= 0 && reader >= 0 && pos >= 0,
       s"commitReadPos: epoch=$epoch reader=$reader pos=$pos")
-    import spark.implicits._
-    Seq((epoch, reader, pos)).toDF("epoch", "reader", "committed_pos")
-      .coalesce(1)
-      .write.mode("append").partitionBy("epoch", "reader")
-      .parquet(s"$dir/reads")
+    val d = readsDir(dir, epoch, reader)
+    val f = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(d)
+    f.create(new org.apache.hadoop.fs.Path(d, s"pos-$pos"), true).close()
   }
 
   /** The committed resume offset for (epoch, reader): the largest
-    * committed `epoch_pos`, or None when the reader never committed.
-    * Partition-pruned scan of the tiny ledger — bounded.
+    * pos named by any marker under the reader's ledger dir, or None
+    * when the reader never committed. One bounded directory listing —
+    * no Spark job.
     */
   def committedReadPos(spark: SparkSession, dir: String, epoch: Int,
                        reader: Int): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/reads")
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(p)) None
-    else spark.read.parquet(p.toString)
-      .filter(col("epoch") === epoch && col("reader") === reader)
-      .agg(max(col("committed_pos")).as("p"))
-      .collect().headOption.flatMap(r =>
-        if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val d = readsDir(dir, epoch, reader)
+    val f = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(d)) None
+    else {
+      val ps = f.listStatus(d).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("pos-") =>
+          scala.util.Try(n.stripPrefix("pos-").toLong).toOption }
+        .flatten
+      if (ps.isEmpty) None else Some(ps.max)
+    }
   }
 
   /** Reader `reader`'s RESUMED stream of epoch `epoch`: the

@@ -958,15 +958,18 @@ object DedupProbes {
   // dedup — the documented funnel order), state rebuilt into a
   // versioned root and swapped through the commit-marker pointer, then
   // ONE increment served from the RESOLVED root (exact-vs-state,
-  // near-vs-state, a RESUBMISSION of decontaminated content — which
-  // the increment ADMITS, pinning the documented gap: decontamination
-  // is a funnel gate, increments only run it when given a benchmark —
-  // and a fresh doc), then the increment RERUN under its batch id (the
-  // q157 idempotence discipline). Output: the published root's ledger —
-  // batch `base` (the re-curation's verdicts) plus batch `b1`. The
-  // oracle replays the funnel (min-id exact groups → banded minhash
-  // components → 8-gram benchmark decontamination) and the q157
-  // increment algebra against the funnel's admitted set.
+  // near-vs-state, a RESUBMISSION of decontaminated content, and a
+  // fresh doc), then the increment RERUN under its batch id (the q157
+  // idempotence discipline). As of r18 the recurated root PERSISTS the
+  // benchmark grams as the `decontam` state family and the
+  // benchmark-less increment's gate DEFAULTS to it (r17 verdict #1), so
+  // the resubmission is REJECTED 'decontaminated' — closing the gap
+  // this probe previously pinned as admitted-by-design. Output: the
+  // published root's ledger — batch `base` (the re-curation's verdicts)
+  // plus batch `b1`. The oracle replays the funnel (min-id exact groups
+  // → banded minhash components → 8-gram benchmark decontamination) and
+  // the q157 increment algebra PLUS the terminal decontam gate against
+  // the persisted gram set.
   val q176: Q = (s, d) => {
     import graft.pipeline.{CurateConfig, Increment, IncrementConfig,
       Recurate, Restore}
@@ -1065,8 +1068,17 @@ object DedupProbes {
          |  JOIN ${t}_reach ON ${t}_reach.id = u.dst),
          |${t}_nd_in AS MATERIALIZED (SELECT id, min(r) AS dup_of FROM ${t}_reach
          |  GROUP BY id HAVING id <> min(r)),
-         |${t}_adm AS MATERIALIZED (SELECT id FROM ${t}_p3
-         |  WHERE id NOT IN (SELECT id FROM ${t}_nd_in))""".stripMargin
+         |${t}_adm0 AS MATERIALIZED (SELECT id FROM ${t}_p3
+         |  WHERE id NOT IN (SELECT id FROM ${t}_nd_in)),
+         |-- terminal decontam gate vs the root's PERSISTED gram family
+         |-- (the increments' r18 default when handed no benchmark)
+         |${t}_dg AS MATERIALIZED (SELECT id,
+         |  unnest(list_distinct($grams8)) AS gram
+         |  FROM n WHERE id IN (SELECT id FROM ${t}_adm0)),
+         |${t}_dec AS MATERIALIZED (SELECT DISTINCT ${t}_dg.id
+         |  FROM ${t}_dg JOIN bg USING (gram)),
+         |${t}_adm AS MATERIALIZED (SELECT id FROM ${t}_adm0
+         |  WHERE id NOT IN (SELECT id FROM ${t}_dec))""".stripMargin
     s"""WITH RECURSIVE
        |a AS MATERIALIZED (SELECT doc_id AS id, text FROM documents
        |  WHERE doc_id < 40),
@@ -1149,7 +1161,130 @@ object DedupProbes {
        |  FROM r2_nd_st
        |  UNION ALL SELECT 'b1', id, FALSE, 'near_dup', dup_of
        |  FROM r2_nd_in
+       |  UNION ALL SELECT 'b1', id, FALSE, 'decontaminated', id
+       |  FROM r2_dec
        |  UNION ALL SELECT 'b1', id, TRUE, 'admitted', id FROM r2_adm)
+       |SELECT batch_id, CAST(id AS BIGINT) AS id, admitted, reason,
+       |  CAST(dup_of AS BIGINT) AS dup_of
+       |FROM out ORDER BY batch_id, id""".stripMargin
+  }
+
+  // ---- q177 decontam benchmark state-family lifecycle --------------------
+  // r17 verdict #1's "Done" probe: the benchmark-gram set as OPERATIONAL
+  // STATE. Two eval sets register under the state root's `decontam`
+  // family (batch "base" and "ev2" — meta commits last per batch); a
+  // benchmark-LESS increment then rejects resubmissions carrying either
+  // set's 8-grams ('decontaminated', the default gate reading the
+  // persisted family) while a fresh control admits; eval-set ROTATION
+  // retracts benchmark 2 (its grams purge by bench_key provenance) and
+  // the SAME bench2-derived texts resubmit clean in the next increment
+  // while bench1-derived ones stay gated; the second increment RERUNS
+  // under its batch id (the q157 idempotence discipline). Output: the
+  // full ledger. The oracle models the within-batch min-id exact groups
+  // (stage order: exact before decontam) and gram-membership against
+  // the registered-minus-retracted benchmark union.
+  val q177: Q = (s, d) => {
+    import graft.pipeline.{Increment, IncrementConfig}
+    val all40 = Tables.documents(s, d).filter(col("doc_id") < 40)
+      .select(col("doc_id").as("id"), col("text"))
+    memoizedReplay(s, "q177", d, dataFingerprint(all40)) {
+      val a = all40.filter(col("id") < 30)
+      val be1 = all40.filter(col("id") >= 30 && col("id") < 35)
+      val be2 = all40.filter(col("id") >= 35)
+      val sl8 = array_join(
+        slice(Dedup.normalizeWords(col("text")), 1, 8), " ")
+      def resub(src: org.apache.spark.sql.DataFrame, off: Long) =
+        src.select((col("id") + off).as("doc_id"),
+          concat(lit("resub marker pad "), sl8).as("text"))
+      val dir = scratchDir("graft_q177_state")
+      Increment.initStateFromCurated(s, dir, a, "id", "text")
+      Increment.writeDecontamState(s, dir, be1, "text", 8, "base")
+      Increment.writeDecontamState(s, dir, be2, "text", 8, "ev2")
+      val cfg = IncrementConfig(minQualityE4 = 0)
+      val b1 = resub(be1, 500000L)
+        .unionByName(resub(be2, 510000L))
+        .unionByName(a.filter(col("id") % 7 === 4)
+          .select((col("id") + 520000L).as("doc_id"),
+            concat(reverse(col("text")), lit(" fresh tail")).as("text")))
+      Increment.curateIncrement(b1, "doc_id", "text", dir, "b1", cfg)
+      // eval-set rotation: benchmark 2 retires, its grams purge
+      Increment.retractDecontamBenchmark(s, dir, be2, "text")
+      val b2 = resub(be2, 530000L).unionByName(resub(be1, 540000L))
+      Increment.curateIncrement(b2, "doc_id", "text", dir, "b2", cfg)
+      Increment.curateIncrement(b2, "doc_id", "text", dir, "b2", cfg)
+      Increment.readLedger(s, dir)
+        .select(col("batch_id"), col("id"), col("admitted"),
+          col("reason"), col("dup_of"))
+        .orderBy("batch_id", "id")
+    }
+  }
+
+  val q177Sql: String = {
+    val grams8 =
+      """CASE WHEN len(w) >= 8 THEN
+        |  list_transform(generate_series(1, len(w) - 7),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |         w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+        |         w[i+6] || ' ' || w[i+7])
+        |ELSE []::VARCHAR[] END""".stripMargin
+    // one increment's replay: within-batch min-id exact groups (no
+    // state text ever collides with the constructed batch texts), then
+    // gram-membership decontamination of the survivors vs `gt`
+    def replay(t: String, bt: String, gt: String): String =
+      s"""${t}_k AS MATERIALIZED (SELECT id, md5(text) AS key, text
+         |  FROM $bt),
+         |${t}_keep AS MATERIALIZED (SELECT key, min(id) AS keep
+         |  FROM ${t}_k GROUP BY key),
+         |${t}_ex AS MATERIALIZED (SELECT k.id, kk.keep AS dup_of
+         |  FROM ${t}_k k JOIN ${t}_keep kk USING (key)
+         |  WHERE k.id <> kk.keep),
+         |${t}_n AS MATERIALIZED (SELECT id, $duckWords AS w FROM ${t}_k
+         |  WHERE id NOT IN (SELECT id FROM ${t}_ex)),
+         |${t}_dg AS MATERIALIZED (SELECT id,
+         |  unnest(list_distinct($grams8)) AS gram FROM ${t}_n),
+         |${t}_dec AS MATERIALIZED (SELECT DISTINCT id FROM ${t}_dg
+         |  WHERE gram IN (SELECT gram FROM $gt)),
+         |${t}_adm AS MATERIALIZED (SELECT id FROM ${t}_n
+         |  WHERE id NOT IN (SELECT id FROM ${t}_dec))""".stripMargin
+    s"""WITH
+       |doc AS MATERIALIZED (SELECT doc_id AS id, text FROM documents
+       |  WHERE doc_id < 40),
+       |a AS MATERIALIZED (SELECT id, text FROM doc WHERE id < 30),
+       |nb1 AS MATERIALIZED (SELECT id, $duckWords AS w FROM doc
+       |  WHERE id >= 30 AND id < 35),
+       |nb2 AS MATERIALIZED (SELECT id, $duckWords AS w FROM doc
+       |  WHERE id >= 35),
+       |g1 AS MATERIALIZED (SELECT DISTINCT unnest($grams8) AS gram
+       |  FROM nb1),
+       |g2 AS MATERIALIZED (SELECT DISTINCT unnest($grams8) AS gram
+       |  FROM nb2),
+       |g12 AS MATERIALIZED (SELECT gram FROM g1
+       |  UNION SELECT gram FROM g2),
+       |b1 AS MATERIALIZED (
+       |  SELECT id + 500000 AS id, 'resub marker pad ' ||
+       |    array_to_string(list_slice(w, 1, 8), ' ') AS text FROM nb1
+       |  UNION ALL SELECT id + 510000, 'resub marker pad ' ||
+       |    array_to_string(list_slice(w, 1, 8), ' ') FROM nb2
+       |  UNION ALL SELECT id + 520000, reverse(text) || ' fresh tail'
+       |  FROM a WHERE id % 7 = 4),
+       |b2 AS MATERIALIZED (
+       |  SELECT id + 530000 AS id, 'resub marker pad ' ||
+       |    array_to_string(list_slice(w, 1, 8), ' ') AS text FROM nb2
+       |  UNION ALL SELECT id + 540000, 'resub marker pad ' ||
+       |    array_to_string(list_slice(w, 1, 8), ' ') FROM nb1),
+       |${replay("r1", "b1", "g12")},
+       |${replay("r2", "b2", "g1")},
+       |out AS MATERIALIZED (
+       |  SELECT 'b1' AS batch_id, id, FALSE AS admitted,
+       |    'exact_dup' AS reason, dup_of FROM r1_ex
+       |  UNION ALL SELECT 'b1', id, FALSE, 'decontaminated', id
+       |  FROM r1_dec
+       |  UNION ALL SELECT 'b1', id, TRUE, 'admitted', id FROM r1_adm
+       |  UNION ALL SELECT 'b2', id, FALSE, 'exact_dup', dup_of
+       |  FROM r2_ex
+       |  UNION ALL SELECT 'b2', id, FALSE, 'decontaminated', id
+       |  FROM r2_dec
+       |  UNION ALL SELECT 'b2', id, TRUE, 'admitted', id FROM r2_adm)
        |SELECT batch_id, CAST(id AS BIGINT) AS id, admitted, reason,
        |  CAST(dup_of AS BIGINT) AS dup_of
        |FROM out ORDER BY batch_id, id""".stripMargin
@@ -1410,6 +1545,7 @@ object DedupProbes {
   }
 
   private[probes] val queries: Map[String, Q] = Map(
+    "q177_decontam_state" -> q177,
     "q176_recurate_serve" -> q176,
     "q166_incr_window_dedup" -> q166,
     "q157_curate_increment" -> q157,
@@ -1432,6 +1568,7 @@ object DedupProbes {
     "q145_suffix_sharded" -> q145)
 
   private[probes] val oracleSql: Map[String, String] = Map(
+    "q177_decontam_state" -> q177Sql,
     "q176_recurate_serve" -> q176Sql,
     "q166_incr_window_dedup" -> q166Sql,
     "q157_curate_increment" -> q157Sql,

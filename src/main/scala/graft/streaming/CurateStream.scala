@@ -92,16 +92,34 @@ object CurateStream {
     /** Collect the benchmark's distinct n-grams (the funnel's broadcast
       * side, materialized once at stream start).
       */
+    /** Grams are built through [[graft.operators.Dedup
+      * .normalizeWordsLocal]] — the SAME JVM code path the gate's
+      * executor-side membership test normalizes docs with (ADVICE r17:
+      * the Spark `lower()` expression falls back to default-locale
+      * lowercasing for non-ASCII, so a gram set built with it could
+      * diverge from the Locale.ROOT doc side under non-English JVM
+      * locales, flipping verdicts). One helper on both sides makes the
+      * gate locale-invariant by construction; parity with the batch
+      * funnel's Spark-expression normalization holds except under the
+      * Turkish/Lithuanian default-locale special cases (see the helper's
+      * note).
+      */
     def fromBenchmark(benchmark: org.apache.spark.sql.DataFrame,
-                      textCol: String, n: Int = 8): DecontamGate =
+                      textCol: String, n: Int = 8): DecontamGate = {
+      val enc = org.apache.spark.sql.Encoders.STRING
       DecontamGate(
         graft.core.Ops.widen(benchmark)
-          .select(graft.operators.Dedup.normalizeWords(col(textCol))
-            .as("__w"))
-          .select(explode(graft.operators.Curation
-            .wordNgrams(col("__w"), n)).as("gram"))
-          .distinct().as[String](org.apache.spark.sql.Encoders.STRING)
-          .collect().toSeq, n)
+          .select(col(textCol).cast("string")).as[String](enc)
+          .mapPartitions { it =>
+            it.flatMap { t =>
+              val ws = graft.operators.Dedup.normalizeWordsLocal(t)
+              if (ws.length < n) Iterator.empty
+              else (0 to ws.length - n).iterator
+                .map(i => ws.slice(i, i + n).mkString(" "))
+            }
+          }(enc)
+          .distinct().collect().toSeq, n)
+    }
   }
 
   case class GateConfig(minQualityE4: Long = 4000,
@@ -276,7 +294,9 @@ object CurateStream {
       case Some(dg) =>
         // broadcast-set membership from a typed map — the local replica
         // of arrays_overlap(wordNgrams(normalizeWords(text), n), grams)
-        // (same normalize regex as TextStats.repetitionLocal, same
+        // (normalization via Dedup.normalizeWordsLocal — the SAME JVM
+        // helper DecontamGate.fromBenchmark builds the gram set with,
+        // so both gate sides are locale-invariant together; same
         // empty-below-n windowing as Curation.wordNgrams), spec-pinned
         val bGrams = spark.sparkContext.broadcast(dg.grams.toSet)
         val n = dg.n
@@ -285,10 +305,7 @@ object CurateStream {
           .mapPartitions { it =>
             val grams = bGrams.value
             it.map { case (id, text) =>
-              val t = if (text == null) "" else text
-              val ws = t.toLowerCase(java.util.Locale.ROOT)
-                .replaceAll("[^a-z0-9]+", " ").trim.split(" ")
-                .filter(_.nonEmpty)
+              val ws = graft.operators.Dedup.normalizeWordsLocal(text)
               val contam = ws.length >= n && grams.nonEmpty &&
                 (0 to ws.length - n).exists(i =>
                   grams.contains(ws.slice(i, i + n).mkString(" ")))

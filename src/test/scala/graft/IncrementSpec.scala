@@ -617,4 +617,75 @@ class IncrementSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("compacted"))
   }
+
+  test("decontam state family (r17 verdict #1): benchmark-less " +
+      "increments default to the persisted grams; caller benchmark " +
+      "overrides; retraction purges by provenance but shared grams " +
+      "survive; torn registration is invisible; mixed n refused") {
+    val b1t = "secret eval answer alpha beta gamma delta epsilon " +
+      "zeta eta"
+    val b2t = "unrelated holdout probe kilo lima mike november " +
+      "oscar papa quebec"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_incr_decontam").toString
+    Increment.initStateFromCurated(spark, dir,
+      Seq(1L -> goodText("one")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    Increment.writeDecontamState(spark, dir,
+      Seq(100L -> b1t).toDF("bid", "text"), "text", 8, "base")
+    Increment.writeDecontamState(spark, dir,
+      Seq(101L -> b2t).toDF("bid", "text"), "text", 8, "ev2")
+    val cfg = IncrementConfig(minQualityE4 = 0)
+    // the q176 gap, closed: NO caller benchmark, yet funnel-rejected
+    // content from EITHER registered eval set is rejected
+    val v = verdictMap(Increment.curateIncrement(Seq(
+        10L -> (goodText("c") + " " + b1t),
+        11L -> (goodText("d") + " " + b2t),
+        12L -> goodText("e")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b1", cfg).ledger)
+    assert(v(10L) == ((false, "decontaminated", 10L)))
+    assert(v(11L) == ((false, "decontaminated", 11L)))
+    assert(v(12L) == ((true, "admitted", 12L)))
+    // an EXPLICIT caller benchmark takes precedence over the family
+    val v2 = verdictMap(Increment.curateIncrement(
+      Seq(20L -> (goodText("c2") + " " + b1t)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b2", cfg,
+      benchmark = Some((Seq("caller supplied benchmark words one two " +
+        "three four five six").toDF("text"), "text"))).ledger)
+    assert(v2(20L) == ((true, "admitted", 20L)))
+    // register a benchmark whose text CONTAINS b1t (so its grams
+    // duplicate b1t's), then rotate it and bench2 out
+    Increment.writeDecontamState(spark, dir,
+      Seq(102L -> (b1t + " surplus tail")).toDF("bid", "text"),
+      "text", 8, "ev3")
+    assert(Increment.retractDecontamBenchmark(spark, dir,
+      Seq(201L -> b2t, 202L -> (b1t + " surplus tail"))
+        .toDF("bid", "text"), "text") > 0L)
+    val v3 = verdictMap(Increment.curateIncrement(Seq(
+        30L -> (goodText("f") + " " + b2t),   // rotated out → clean
+        31L -> (goodText("g") + " " + b1t)    // shared grams survive
+      ).toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b3", cfg).ledger)
+    assert(v3(30L) == ((true, "admitted", 30L)))
+    assert(v3(31L) == ((false, "decontaminated", 31L)))
+    // a TORN registration (grams landed, meta never did) is invisible
+    val tornGram = (1 to 8).map(i => s"torn$i").mkString(" ")
+    Seq(("zz", tornGram)).toDF("bench_key", "gram")
+      .withColumn("batch_id", lit("torn"))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$dir/decontam/grams")
+    val v4 = verdictMap(Increment.curateIncrement(
+      Seq(40L -> (goodText("h") + " " + tornGram)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b4", cfg).ledger)
+    assert(v4(40L) == ((true, "admitted", 40L)))
+    // a second registration under a DIFFERENT gram size is refused at
+    // read (one pinned n per family)
+    Increment.writeDecontamState(spark, dir,
+      Seq(103L -> b2t).toDF("bid", "text"), "text", 5, "ev5")
+    val e = intercept[IllegalArgumentException] {
+      Increment.readDecontamGrams(spark, dir)
+    }
+    assert(e.getMessage.contains("inconsistent gram size"))
+  }
 }

@@ -135,6 +135,39 @@ class RecurateSpec extends SparkSpec {
     assert(got(100L) == ((false, "sem_dup", 2L)), got.toString)
   }
 
+  test("publishState refuses to reuse a COMMITTED token (ADVICE r17): " +
+      "a superseded version dir is immutable history, not a crashed " +
+      "orphan; unlogged orphans still clear") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_recur_vlog_wh").toString
+    val fs = new org.apache.hadoop.fs.Path(wh).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def touch(root: String, name: String): Unit =
+      fs.create(new org.apache.hadoop.fs.Path(root, name), true).close()
+    Recurate.publishState(spark, wh, "db", "1")(touch(_, "a"))
+    Recurate.publishState(spark, wh, "db", "2")(touch(_, "b"))
+    // v1 is off-pointer (superseded) but COMMITTED — reuse is refused
+    // loudly and the historical dir is untouched
+    val e = intercept[IllegalArgumentException] {
+      Recurate.publishState(spark, wh, "db", "1")(touch(_, "c"))
+    }
+    assert(e.getMessage.contains("committed-version log"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(wh, "db__v1/a")))
+    assert(Restore.resolveVersioned(spark, wh, "db")
+      .map(_.getName).contains("db__v2"))
+    // a CRASHED orphan (dir exists, never committed → unlogged) still
+    // clears under same-token retry, and the retry commits
+    fs.mkdirs(new org.apache.hadoop.fs.Path(wh, "db__v3/half"))
+    Recurate.publishState(spark, wh, "db", "3")(touch(_, "d"))
+    assert(Restore.resolveVersioned(spark, wh, "db")
+      .map(_.getName).contains("db__v3"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(wh, "db__v3/half")))
+    // and now-committed v3 refuses reuse too
+    intercept[IllegalArgumentException] {
+      Recurate.publishState(spark, wh, "db", "3")(touch(_, "e"))
+    }
+  }
+
   test("publishState seeds every modality family atomically: " +
       "audio/video/embedding roots publish through the same pointer " +
       "swap and their increments serve from the resolved dir") {

@@ -213,4 +213,33 @@ class ShardsSpec extends SparkSpec {
     // the ledger does not disturb the committed-sequence reads
     assert(Shards.readPackedShards(spark, dir).count() == 40L)
   }
+
+  test("read-pos commits are marker files, isolated per (epoch, reader): " +
+      "truly concurrent commits from separate readers never drop one " +
+      "another (ADVICE r17 — no shared _temporary dir)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shards_conc").toString
+    Shards.writePackedShards(packed(0 until 8, 0), dir, numShards = 2)
+    // 8 readers committing 5 increasing positions each, all in parallel
+    // — a shared FileOutputCommitter would interleave cleanups and lose
+    // rows; marker files cannot collide across reader dirs
+    val threads = (0 until 8).map { r =>
+      new Thread(() =>
+        (1L to 5L).foreach(p =>
+          Shards.commitReadPos(spark, dir, 0, r, p * 10 + r)))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    for (r <- 0 until 8)
+      assert(Shards.committedReadPos(spark, dir, 0, r)
+        .contains(50L + r), s"reader $r")
+    // the ledger is plain marker files named by pos — no job output
+    // machinery (no _temporary / _SUCCESS) anywhere under reads/
+    val fsys = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val it = fsys.listFiles(
+      new org.apache.hadoop.fs.Path(s"$dir/reads"), true)
+    var names = List.empty[String]
+    while (it.hasNext) names ::= it.next().getPath.getName
+    assert(names.nonEmpty && names.forall(_.startsWith("pos-")), names)
+  }
 }
