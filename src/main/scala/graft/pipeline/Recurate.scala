@@ -177,4 +177,151 @@ object Recurate {
     RecurateResult(vdir.toString, res.stageCounts, ledger)
   }
 
+  // ---- media-modality re-curation (r17 verdict #2) -----------------------
+  // [[run]]'s image/audio/video siblings: one composed entry per
+  // modality runs funnel → full state rebuild → atomic pointer swap,
+  // so an operator no longer hand-wires funnel, seed, and publish per
+  // modality. The IMAGE funnel is [[CurateImages.run]] (it exists
+  // standalone, with the decode-stage checkpoint resume that matters at
+  // 100 TB); AUDIO and VIDEO have no standalone funnel by design —
+  // their funnel IS the modality increment bootstrapping an EMPTY state
+  // (the q161/q173 pinned shape: against empty state the within-batch
+  // stages are exactly the funnel semantics, one gate codepath, no
+  // drift), run here into a GC-collectible scratch dir whose only
+  // output is the verdict ledger; the published root is rebuilt from
+  // the admitted survivors through the `init*StateFromCurated` seed,
+  // the text [[run]]'s funnel→seed shape exactly.
+
+  /** `versionDir` — the committed new state root; `stageCounts` — the
+    * modality funnel's per-stage counts; `ledger` — the full-pool
+    * verdict ledger, persisted under batch `base` in the new root.
+    */
+  case class MediaRecurateResult(versionDir: String,
+                                 stageCounts: Seq[(String, Long)],
+                                 ledger: DataFrame)
+
+  private def publishMediaRoot(spark: SparkSession, warehouse: String,
+                               db: String, token: String,
+                               ledger: DataFrame,
+                               stageCounts: Seq[(String, Long)])
+                              (seed: String => Unit)
+      : MediaRecurateResult = {
+    import spark.implicits._
+    val vdir = publishState(spark, warehouse, db, token) { root =>
+      seed(root)
+      ledger.select(col("id"), col("admitted"), col("reason"),
+          col("dup_of"))
+        .withColumn("batch_id", lit("base"))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$root/ledger")
+      stageCounts.toDF("stage", "rows")
+        .withColumn("batch_id", lit("base"))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$root/metrics")
+    }
+    MediaRecurateResult(vdir.toString, stageCounts, ledger)
+  }
+
+  private def admittedOf(media: org.apache.spark.sql.Dataset[
+      graft.operators.Multimodal.MediaRecord], ledger: DataFrame)
+      : org.apache.spark.sql.Dataset[
+        graft.operators.Multimodal.MediaRecord] = {
+    val sess = media.sparkSession
+    import sess.implicits._
+    media.toDF().join(
+        ledger.filter(col("admitted"))
+          .select(col("id").as("media_id")),
+        Seq("media_id"), "left_semi")
+      .as[graft.operators.Multimodal.MediaRecord]
+  }
+
+  /** IMAGE re-curation: [[CurateImages.run]] over the accumulated raw
+    * media pool (decode-stage checkpoint resume via
+    * `stageCheckpointDir`/`resume`, the funnel's own discipline), then
+    * the pHash/exact/sem state rebuilds from the admitted survivors
+    * under batch `base` and swaps in atomically. Funnel dials derive
+    * from the INCREMENT config so the rebuilt state pins exactly what
+    * the next [[Increment.curateImageIncrement]] expects.
+    */
+  def runImage(spark: SparkSession, warehouse: String, db: String,
+               token: String,
+               media: org.apache.spark.sql.Dataset[
+                 graft.operators.Multimodal.MediaRecord],
+               cfg: Increment.ImageIncrementConfig =
+                 Increment.ImageIncrementConfig(),
+               stageCheckpointDir: Option[String] = None,
+               resume: Boolean = false): MediaRecurateResult = {
+    val res = CurateImages.run(media, CurateImages.ImageCurateConfig(
+      maxPixels = cfg.maxPixels, maxHamming = cfg.maxHamming,
+      nBands = cfg.nBands,
+      semDedupThresholdE4 = cfg.semDedupThresholdE4,
+      semGrid = cfg.semGrid, semCentroidEvery = cfg.semCentroidEvery,
+      semNassign = cfg.semNassign, emitLedger = true,
+      stageCheckpointDir = stageCheckpointDir, resume = resume,
+      runToken = token))
+    val ledger = res.ledger.get.localCheckpoint(eager = true)
+    publishMediaRoot(spark, warehouse, db, token, ledger,
+      res.stageCounts) { root =>
+      Increment.initImageStateFromCurated(spark, root,
+        admittedOf(media, ledger), cfg)
+    }
+  }
+
+  /** The audio/video funnel-via-bootstrap shape shared by [[runAudio]]
+    * and [[runVideo]]: the modality increment runs once against an
+    * EMPTY scratch state (named `db__v{token}_scratch` — version-shaped
+    * so a crashed attempt's residue is [[Restore.gcUnreferenced]]
+    * collectible, never the pointer target), its ledger is the funnel
+    * verdict set, and the published root seeds from the survivors.
+    */
+  private def runViaBootstrap(spark: SparkSession, warehouse: String,
+                              db: String, token: String,
+                              media: org.apache.spark.sql.Dataset[
+                                graft.operators.Multimodal.MediaRecord],
+                              bootstrap: (org.apache.spark.sql.Dataset[
+                                  graft.operators.Multimodal.MediaRecord],
+                                String) => IncrementResult)
+                             (seed: (String, org.apache.spark.sql.Dataset[
+                                graft.operators.Multimodal.MediaRecord])
+                                => Unit): MediaRecurateResult = {
+    val scratch = new org.apache.hadoop.fs.Path(warehouse,
+      s"${db}__v${token}_scratch")
+    val fsW = scratch.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (fsW.exists(scratch)) fsW.delete(scratch, true) // crashed attempt
+    val r = bootstrap(media, scratch.toString)
+    val ledger = r.ledger.localCheckpoint(eager = true)
+    val out = publishMediaRoot(spark, warehouse, db, token, ledger,
+      r.stageCounts)(root => seed(root, admittedOf(media, ledger)))
+    fsW.delete(scratch, true): Unit
+    out
+  }
+
+  /** AUDIO re-curation: fingerprint funnel (bootstrap increment) over
+    * the raw pool → exact/fp/sem state rebuild → atomic swap.
+    */
+  def runAudio(spark: SparkSession, warehouse: String, db: String,
+               token: String,
+               media: org.apache.spark.sql.Dataset[
+                 graft.operators.Multimodal.MediaRecord],
+               cfg: Increment.AudioIncrementConfig =
+                 Increment.AudioIncrementConfig()): MediaRecurateResult =
+    runViaBootstrap(spark, warehouse, db, token, media,
+      (m, s) => Increment.curateAudioIncrement(m, s, "r0", cfg))(
+      (root, adm) =>
+        Increment.initAudioStateFromCurated(spark, root, adm, cfg))
+
+  /** VIDEO re-curation: keyframe funnel (bootstrap increment) over the
+    * raw pool → exact/frame/sem state rebuild → atomic swap.
+    */
+  def runVideo(spark: SparkSession, warehouse: String, db: String,
+               token: String,
+               media: org.apache.spark.sql.Dataset[
+                 graft.operators.Multimodal.MediaRecord],
+               cfg: Increment.VideoIncrementConfig =
+                 Increment.VideoIncrementConfig()): MediaRecurateResult =
+    runViaBootstrap(spark, warehouse, db, token, media,
+      (m, s) => Increment.curateVideoIncrement(m, s, "r0", cfg))(
+      (root, adm) =>
+        Increment.initVideoStateFromCurated(spark, root, adm, cfg))
 }

@@ -998,7 +998,13 @@ object MultimodalProbes {
     }
   }
 
-  val q160Sql: String = {
+  /** The q160 oracle, with the first round's batch label parametric:
+    * q160 labels it "b1" (a bootstrap increment); q178 labels it "base"
+    * (the image re-curation's funnel verdicts persisted under the
+    * rebuilt root) — the ALGEBRA is identical, which is exactly the
+    * funnel≡bootstrap-increment parity the probe pair pins.
+    */
+  private def q160SqlWith(round1Label: String): String = {
     def replay(t: String, bt: String, st: String): String =
       s"""${t}_ex_st AS MATERIALIZED (SELECT c.cid, min(sc.cid) AS dup_of
          |  FROM clips c JOIN clips sc ON sc.seed = c.seed AND sc.v = c.v
@@ -1111,13 +1117,52 @@ object MultimodalProbes {
        |s1 AS MATERIALIZED (SELECT cid FROM r1_adm),
        |${replay("r2", "bt2", "s1")},
        |out AS (
-       |${verdicts("r1", "b1", "undec1")}
+       |${verdicts("r1", round1Label, "undec1")}
        |  UNION ALL
        |${verdicts("r2", "b2", "undec2")})
        |SELECT batch_id, CAST(id AS BIGINT) AS id, admitted, reason,
        |  CAST(dup_of AS BIGINT) AS dup_of
        |FROM out ORDER BY batch_id, id""".stripMargin
   }
+
+  val q160Sql: String = q160SqlWith("b1")
+
+  // ---- q178 image re-curation → versioned root → increment ---------------
+  // Recurate.runImage end-to-end (r17 verdict #2): the CurateImages
+  // funnel over the accumulated raw media pool (q160's b1 cases — the
+  // planted exact/near dups and the undecodable), state rebuilt from
+  // the admitted survivors into a versioned root (pHash index + exact
+  // keys under batch `base`) and swapped through the commit-marker
+  // pointer, then ONE image increment served from the RESOLVED root
+  // (q160's b2 cases: exact-vs-state, near-vs-state, the state-
+  // canonical echo, within-batch pair, fresh), then the increment
+  // RERUN under its batch id (the q157/q160 idempotence discipline).
+  // Output: the published root's ledger — batch `base` (the funnel's
+  // verdicts) plus `b2`. The oracle is q160's replay with the first
+  // round labeled `base`: the funnel and a bootstrap increment share
+  // one algebra, and this probe pair pins that parity through the
+  // oracle.
+  val q178: Q = (s, d) => {
+    import graft.pipeline.{Increment, Recurate, Restore}
+    val docs = graft.core.Ops.widen(Tables.documents(s, d))
+    val fp = dataFingerprint(
+      docs.filter(col("doc_id") < 24).select(col("doc_id")))
+    memoizedReplay(s, "q178", d, fp) {
+      val wh = scratchDir("graft_q178_wh")
+      val r = Recurate.runImage(s, wh, "imgstate", "t1",
+        q160Media(docs, "b1"))
+      val root = Restore.resolveVersioned(s, wh, "imgstate").get.toString
+      require(root == r.versionDir, s"pointer $root != ${r.versionDir}")
+      Increment.curateImageIncrement(q160Media(docs, "b2"), root, "b2")
+      Increment.curateImageIncrement(q160Media(docs, "b2"), root, "b2")
+      Increment.readLedger(s, root)
+        .select(col("batch_id"), col("id"), col("admitted"),
+          col("reason"), col("dup_of"))
+        .orderBy("batch_id", "id")
+    }
+  }
+
+  val q178Sql: String = q160SqlWith("base")
 
   // ---- q161 video increment vs persisted keyframe + exact state ----------
   // Increment.curateVideoIncrement twice over (b1 bootstraps the state,
@@ -2019,6 +2064,36 @@ object MultimodalProbes {
       .orderBy("doc_id", "modality", "media_id")
   }
 
+  /** The q169 pair-verdict CTE with the text-ledger table parametric —
+    * q179 replays the SAME composition against two text-root vintages.
+    */
+  private def q169PvCte(name: String, tl: String): String =
+    s"""$name AS (
+       |  SELECT p.doc_id, p.modality, CAST(p.media_id AS BIGINT)
+       |      AS media_id,
+       |    CASE WHEN p.modality NOT IN ('image', 'audio') THEN FALSE
+       |      ELSE coalesce(t.adm, FALSE) AND coalesce(m.adm, FALSE) END
+       |      AS admitted,
+       |    CASE
+       |      WHEN p.modality NOT IN ('image', 'audio')
+       |        THEN p.modality || ':unknown_modality'
+       |      WHEN t.adm IS NULL THEN 'text:missing'
+       |      WHEN NOT t.adm THEN 'text:' || t.reason
+       |      WHEN m.adm IS NULL THEN p.modality || ':missing'
+       |      WHEN NOT m.adm THEN p.modality || ':' || m.reason
+       |      ELSE 'admitted' END AS reason,
+       |    CAST(CASE
+       |      WHEN p.modality NOT IN ('image', 'audio') THEN p.doc_id
+       |      WHEN t.adm IS NULL THEN p.doc_id
+       |      WHEN NOT t.adm THEN t.dup_of
+       |      WHEN m.adm IS NULL THEN p.doc_id
+       |      WHEN NOT m.adm THEN m.dup_of
+       |      ELSE p.doc_id END AS BIGINT) AS dup_of
+       |  FROM pairs p
+       |  LEFT JOIN $tl t ON t.id = p.doc_id
+       |  LEFT JOIN ml m
+       |    ON m.modality = p.modality AND m.id = p.media_id)""".stripMargin
+
   private val q169Ctes: String =
     s"""d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
        |tl AS (SELECT doc_id AS id, doc_id % 3 <> 0 AS adm,
@@ -2049,31 +2124,7 @@ object MultimodalProbes {
        |  FROM d WHERE doc_id % 11 = 0),
        |ml AS (SELECT 'image' AS modality, * FROM il
        |  UNION ALL SELECT 'audio', * FROM al),
-       |pv AS (
-       |  SELECT p.doc_id, p.modality, CAST(p.media_id AS BIGINT)
-       |      AS media_id,
-       |    CASE WHEN p.modality NOT IN ('image', 'audio') THEN FALSE
-       |      ELSE coalesce(t.adm, FALSE) AND coalesce(m.adm, FALSE) END
-       |      AS admitted,
-       |    CASE
-       |      WHEN p.modality NOT IN ('image', 'audio')
-       |        THEN p.modality || ':unknown_modality'
-       |      WHEN t.adm IS NULL THEN 'text:missing'
-       |      WHEN NOT t.adm THEN 'text:' || t.reason
-       |      WHEN m.adm IS NULL THEN p.modality || ':missing'
-       |      WHEN NOT m.adm THEN p.modality || ':' || m.reason
-       |      ELSE 'admitted' END AS reason,
-       |    CAST(CASE
-       |      WHEN p.modality NOT IN ('image', 'audio') THEN p.doc_id
-       |      WHEN t.adm IS NULL THEN p.doc_id
-       |      WHEN NOT t.adm THEN t.dup_of
-       |      WHEN m.adm IS NULL THEN p.doc_id
-       |      WHEN NOT m.adm THEN m.dup_of
-       |      ELSE p.doc_id END AS BIGINT) AS dup_of
-       |  FROM pairs p
-       |  LEFT JOIN tl t ON t.id = p.doc_id
-       |  LEFT JOIN ml m
-       |    ON m.modality = p.modality AND m.id = p.media_id)""".stripMargin
+       |${q169PvCte("pv", "tl")}""".stripMargin
 
   val q169Sql: String =
     s"""WITH $q169Ctes
@@ -2108,6 +2159,80 @@ object MultimodalProbes {
        |FROM tl t LEFT JOIN dec ON dec.doc_id = t.id
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q179 root-resolved paired verdicts across recurations -------------
+  // Paired.pairedVerdictsResolved (r17 verdict #4): the q169 ledgers
+  // published as COMMITTED versioned state roots (seed state + the
+  // synthetic ledger under batch `base`, the Recurate.publishState
+  // path), composed by RESOLVING each modality's current root; then the
+  // TEXT root re-curates (a new version with moved gates: %4==1 docs
+  // now quality-rejected, everything else admitted) and the SAME pairs
+  // re-compose. Output: both phases' verdicts. Pins the documented
+  // per-modality-latest contract — after the swap the text-decided
+  // rows flip to the new root's verdicts while the image/audio roots
+  // (older rebuilds) keep deciding their sides — and the version-
+  // vector resolution itself (phase `pre` must reflect v1 even though
+  // v2 exists by output time: the pre verdicts were materialized from
+  // the resolved immutable root before the swap).
+  val q179: Q = (s, d) => {
+    import graft.pipeline.{Increment, Paired, Recurate}
+    val (tLed, mods, pairs) = q169Fixtures(s, d)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+      .select(col("doc_id"))
+    memoizedReplay(s, "q179", d, dataFingerprint(docs)) {
+      val wh = scratchDir("graft_q179_wh")
+      def publishLedgerRoot(db: String, token: String,
+                            led: DataFrame): Unit = {
+        Recurate.publishState(s, wh, db, token) { root =>
+          Increment.initStateFromCurated(s, root,
+            docs.sparkSession.range(999999L, 1000000L)
+              .select(col("id").as("doc_id"),
+                concat_ws(" ", (1 to 12).map(i => lit(s"seed$i")): _*)
+                  .as("text")),
+            "doc_id", "text")
+          led.withColumn("batch_id", lit("base"))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(s"$root/ledger")
+        }
+        (): Unit
+      }
+      publishLedgerRoot("txt", "1", tLed)
+      for ((m, led) <- mods)
+        publishLedgerRoot(if (m == "image") "img" else "aud", "1", led)
+      val dbs = Seq("image" -> "img", "audio" -> "aud")
+      def shape(df: DataFrame, phase: String) =
+        df.select(lit(phase).as("phase"), col("doc_id"), col("modality"),
+          col("media_id").cast("long").as("media_id"), col("admitted"),
+          col("reason"), col("dup_of"))
+      // phase pre MATERIALIZES from the resolved v1 root before the swap
+      val pre = shape(Paired.pairedVerdictsResolved(s, wh, "txt", dbs,
+        pairs).verdicts, "pre").localCheckpoint(eager = true)
+      val tl2 = docs.select(col("doc_id").as("id"),
+        (col("doc_id") % 4 =!= 1).as("admitted"),
+        when(col("doc_id") % 4 === 1, lit("quality"))
+          .otherwise(lit("admitted")).as("reason"),
+        col("doc_id").cast("long").as("dup_of"))
+      publishLedgerRoot("txt", "2", tl2)
+      val post = shape(Paired.pairedVerdictsResolved(s, wh, "txt", dbs,
+        pairs).verdicts, "post")
+      pre.unionByName(post)
+        .orderBy("phase", "doc_id", "modality", "media_id")
+    }
+  }
+
+  val q179Sql: String =
+    s"""WITH $q169Ctes,
+       |tl2 AS (SELECT doc_id AS id, doc_id % 4 <> 1 AS adm,
+       |  CASE WHEN doc_id % 4 = 1 THEN 'quality' ELSE 'admitted' END
+       |    AS reason,
+       |  CAST(doc_id AS BIGINT) AS dup_of FROM d),
+       |${q169PvCte("pv2", "tl2")},
+       |outp AS (
+       |  SELECT 'pre' AS phase, * FROM pv
+       |  UNION ALL SELECT 'post', * FROM pv2)
+       |SELECT phase, doc_id, modality, media_id, admitted, reason,
+       |  dup_of
+       |FROM outp ORDER BY phase, doc_id, modality, media_id""".stripMargin
+
   private[probes] val queries: Map[String, Q] = Map(
     "q173_audio_increment" -> q173,
     "q174_video_increment_sem" -> q174,
@@ -2115,6 +2240,8 @@ object MultimodalProbes {
     "q170_paired_doc_nmodal" -> q170,
     "q161_video_increment" -> q161,
     "q160_image_increment" -> q160,
+    "q178_image_recurate" -> q178,
+    "q179_paired_resolved" -> q179,
     "q159_image_semdedup" -> q159,
     "q158_audio_neardup" -> q158,
     "q153_video_neardup" -> q153,
@@ -2138,6 +2265,8 @@ object MultimodalProbes {
     "q170_paired_doc_nmodal" -> q170Sql,
     "q161_video_increment" -> q161Sql,
     "q160_image_increment" -> q160Sql,
+    "q178_image_recurate" -> q178Sql,
+    "q179_paired_resolved" -> q179Sql,
     "q159_image_semdedup" -> q159Sql,
     "q158_audio_neardup" -> q158Sql,
     "q153_video_neardup" -> q153Sql,

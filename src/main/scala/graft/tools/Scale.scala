@@ -537,7 +537,8 @@ object Scale {
       // OUTSIDE timing (it is the standing state a daily append meets),
       // then time appending a ~1% batch vs re-indexing corpus+batch with
       // the same frozen centroids
-      locally {
+      if (onlyRows.forall(ps => Seq("ivf_append_1pct", "ivf_rebuild_all")
+          .exists(l => ps.exists(l.startsWith)))) {
         val cent = Similarity.buildIvf(v, numCells = 16, iters = 1)
         val base = java.nio.file.Files
           .createTempDirectory("graft_scale_ivf_base").toString
@@ -698,7 +699,7 @@ object Scale {
       // --- round-9: incremental minhash index (vs the minhash_lsh row's
       // full-corpus re-pair cost) — index built OUTSIDE timing (it is the
       // standing state a daily snapshot meets), the ~1% batch queries it
-      locally {
+      if (onlyRows.forall(_.exists("mh_incr_1pct".startsWith))) {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_scale_mh_base").toString
         Dedup.writeMinhashIndex(d, "doc_id", "text", dir)
@@ -722,7 +723,9 @@ object Scale {
       // batch mixes near-dups of state, exact dups of state, and fresh
       // docs. Repetitions reuse the batch id, so rep 2 measures the RETRY
       // path (pre-batch view + partition replace) — same shape by design.
-      locally {
+      if (onlyRows.forall(ps => Seq("incr_curate_3pct",
+          "recurate_publish", "incr_recurate_all")
+          .exists(l => ps.exists(l.startsWith)))) {
         val sdir = java.nio.file.Files
           .createTempDirectory("graft_scale_incr").toString
         graft.pipeline.Increment.initStateFromCurated(
@@ -785,6 +788,52 @@ object Scale {
             comp.df.groupBy(col("id") % 32).agg(count(lit(1)).as("docs")),
             comp.pinned)
         }
+      }
+      // --- round-18 (VERDICT r17 #3): the Bloom auto dial PAST its
+      // 256 MiB floor. The steady-state rows above scale the batch WITH
+      // the state (a 3% slice of the Nx corpus), which pins the
+      // crossover as absolute bytes but can never trip the
+      // per-batch-row guard (the state/batch ratio is flat by
+      // construction). Production increments are the OTHER shape: a
+      // FIXED-size snapshot against a state that grows without bound —
+      // batch fixed at the x1 slice, state at Nx. Past ~x80 the
+      // committed heavy tables pass the floor and decideStateBloom
+      // flips bloom ON; the paired rows measure that flip's sign, and
+      // the SCALEMETA line records the measured bytes + decision so the
+      // SCALE.md row shows where the dial actually sat.
+      if (onlyRows.forall(_.exists("incr_fixedbatch".startsWith))) {
+        val sdir = java.nio.file.Files
+          .createTempDirectory(s"graft_scale_incrfb_$n").toString
+        graft.pipeline.Increment.initStateFromCurated(
+          spark, sdir, d, "doc_id", "text")
+        val d1 = docs(1)
+        val batchF = d1.filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 600000000L).as("doc_id"),
+            concat(col("text"), lit(" zz tail")).as("text"))
+          .unionByName(d1.filter(col("doc_id") % 97 === 1)
+            .select((col("doc_id") + 700000000L).as("doc_id"),
+              col("text")))
+          .unionByName(d1.filter(col("doc_id") % 97 === 2)
+            .select((col("doc_id") + 800000000L).as("doc_id"),
+              concat_ws(" ", expr("transform(split(text, ' '), " +
+                "w -> substr(md5(concat(w, 'fr')), 1, 6))")).as("text")))
+          .localCheckpoint(eager = true)
+        val nb = batchF.count()
+        println(s"SCALEMETA incr_fixedbatch x$n heavyBytes=" +
+          graft.pipeline.Increment.stateHeavyBytes(spark, sdir) +
+          s" batchRows=$nb decide=" +
+          graft.pipeline.Increment.decideStateBloom(spark, sdir, nb))
+        run("incr_fixedbatch", n)(graft.core.Managed(
+          graft.pipeline.Increment.curateIncrement(batchF, "doc_id",
+            "text", sdir, "sweep").ledger
+            .groupBy("reason").agg(count(lit(1)).as("docs")),
+          Seq.empty))
+        run("incr_fixedbatch_auto", n)(graft.core.Managed(
+          graft.pipeline.Increment.curateIncrement(batchF, "doc_id",
+            "text", sdir, "sweep",
+            graft.pipeline.IncrementConfig(stateBloomAuto = true)).ledger
+            .groupBy("reason").agg(count(lit(1)).as("docs")),
+          Seq.empty))
       }
       // --- round-9: KN LM, CCNet buckets, Hilbert layout, binary ANN ----
       run("quality_signals", n) {
@@ -937,7 +986,7 @@ object Scale {
       // index built OUTSIDE timing (the standing state a query batch
       // meets); the row measures the serving path the bm25_top5 row
       // pays per call
-      locally {
+      if (onlyRows.forall(_.exists("bm25_indexed".startsWith))) {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_scale_bm25_idx").toString
         graft.operators.TextStats.writeBm25Index(d, "doc_id", "text", dir)
@@ -957,7 +1006,7 @@ object Scale {
       // corpus materialized OUTSIDE timing: train + encode both scan it,
       // and the synthetic md5 word-mangling of scaledDocs would otherwise
       // dominate the row 2:1 at 10x (the hilbert3d lesson)
-      locally {
+      if (onlyRows.forall(_.exists("wordpiece_encode".startsWith))) {
         val dm = d.localCheckpoint(true)
         run("wordpiece_encode", n) {
           val vocab = graft.operators.Subword.trainWordPiece(
@@ -975,7 +1024,7 @@ object Scale {
       // round-10 third tokenizer family: unigram-LM train (seed + one
       // distributed E-step + prune) and likelihood-greedy encode — same
       // checkpointed-corpus discipline as the wordpiece row
-      locally {
+      if (onlyRows.forall(_.exists("unigram_lm".startsWith))) {
         val dm = d.localCheckpoint(true)
         run("unigram_lm", n) {
           val vocab = graft.operators.Unigram.trainUnigram(
@@ -993,7 +1042,7 @@ object Scale {
       // full-EM variant: the lattice forward–backward E-step in place of
       // the greedy one — train cost only (both are vocabulary-bounded;
       // the row pair prices the E-step swap)
-      locally {
+      if (onlyRows.forall(_.exists("unigram_em".startsWith))) {
         val dm = d.localCheckpoint(true)
         run("unigram_em", n) {
           graft.core.Managed(
@@ -1006,7 +1055,7 @@ object Scale {
       // round-11 subword-regularization sampling: the backward-sampling
       // walk priced against the unigram_lm row's greedy fold (same
       // trained model, same corpus, same output agg)
-      locally {
+      if (onlyRows.forall(_.exists("sample_encode".startsWith))) {
         val dm = d.localCheckpoint(true)
         run("sample_encode", n) {
           val vocab = graft.operators.Unigram.trainUnigram(

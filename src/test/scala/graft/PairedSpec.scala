@@ -331,4 +331,78 @@ class PairedSpec extends SparkSpec {
       .toDF("doc_id", "modality", "media_id")
     assert(docVerdicts(pairs3)(2L) == ((true, "admitted", 2L)))
   }
+
+  test("pairedVerdictsResolved (r17 verdict #4): per-modality-latest " +
+      "across independent recurations, version vector reported, and a " +
+      "swap landing mid-composition cannot mix roots") {
+    import graft.pipeline.{Increment, Recurate, Restore}
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_paired_roots_wh").toString
+    // a committed root whose ledger is EXACTLY `led` (seed doc 999999
+    // carries the state marker; the synthetic ledger replaces the seed's)
+    def publishLedgerRoot(db: String, token: String,
+                          led: org.apache.spark.sql.DataFrame): Unit = {
+      Recurate.publishState(spark, wh, db, token) { root =>
+        Increment.initStateFromCurated(spark, root,
+          Seq(999999L -> goodText("seed")).toDF("doc_id", "text"),
+          "doc_id", "text")
+        led.withColumn("batch_id", lit("base"))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(s"$root/ledger")
+      }
+      (): Unit
+    }
+    def ledOf(rows: Seq[(Long, Boolean, String, Long)]) =
+      rows.toDF("id", "admitted", "reason", "dup_of")
+    publishLedgerRoot("txt", "1", ledOf(Seq(
+      (1L, true, "admitted", 1L), (2L, true, "admitted", 2L),
+      (3L, false, "exact_dup", 1L))))
+    publishLedgerRoot("img", "1", ledOf(Seq(
+      (101L, true, "admitted", 101L), (102L, false, "near_dup", 101L))))
+    val pairs = Seq((1L, "image", 101L), (3L, "image", 101L),
+      (2L, "image", 102L), (1L, "image", 999L))
+      .toDF("doc_id", "modality", "media_id")
+    def vm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "media_id", "admitted", "reason", "dup_of")
+        .as[(Long, Long, Boolean, String, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val r1 = Paired.pairedVerdictsResolved(spark, wh, "txt",
+      Seq("image" -> "img"), pairs)
+    // the version vector names the resolved immutable roots
+    assert(r1.roots("text").endsWith("txt__v1") &&
+      r1.roots("image").endsWith("img__v1"), r1.roots.toString)
+    val v1 = vm(r1.verdicts)
+    assert(v1((1L, 101L)) == ((true, "admitted", 1L)))
+    assert(v1((3L, 101L)) == ((false, "text:exact_dup", 1L)))
+    assert(v1((2L, 102L)) == ((false, "image:near_dup", 101L)))
+    assert(v1((1L, 999L)) == ((false, "image:missing", 1L)))
+    // MID-COMPOSITION SWAP: resolve a snapshot, THEN the text root
+    // recurates (doc 3 re-admitted, doc 1 now quality-rejected), THEN
+    // materialize — the output must reflect the RESOLVED vector, not
+    // the new pointer (reads bind to the immutable v1 dir)
+    val snap = Paired.pairedVerdictsResolved(spark, wh, "txt",
+      Seq("image" -> "img"), pairs)
+    publishLedgerRoot("txt", "2", ledOf(Seq(
+      (1L, false, "quality", 1L), (2L, true, "admitted", 2L),
+      (3L, true, "admitted", 3L))))
+    assert(vm(snap.verdicts) == v1,
+      "a swap between resolution and materialization mixed roots")
+    assert(snap.roots("text").endsWith("txt__v1"))
+    // a NEW composition resolves the new vector: per-modality-latest —
+    // text verdicts flip, image verdicts (older rebuild) stand
+    val r3 = Paired.pairedVerdictsResolved(spark, wh, "txt",
+      Seq("image" -> "img"), pairs)
+    assert(r3.roots("text").endsWith("txt__v2") &&
+      r3.roots("image").endsWith("img__v1"))
+    val v3 = vm(r3.verdicts)
+    assert(v3((3L, 101L)) == ((true, "admitted", 3L)))
+    assert(v3((1L, 101L)) == ((false, "text:quality", 1L)))
+    assert(v3((2L, 102L)) == ((false, "image:near_dup", 101L)))
+    // a modality with no committed version is refused loudly
+    val e = intercept[IllegalStateException] {
+      Paired.pairedVerdictsResolved(spark, wh, "txt",
+        Seq("image" -> "img", "audio" -> "aud"), pairs)
+    }
+    assert(e.getMessage.contains("no committed version"))
+  }
 }

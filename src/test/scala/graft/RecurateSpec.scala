@@ -168,6 +168,139 @@ class RecurateSpec extends SparkSpec {
     }
   }
 
+  // ---- media-modality re-curation (r17 verdict #2) -----------------------
+
+  private def vmap2(df: org.apache.spark.sql.DataFrame) =
+    df.select("batch_id", "id", "admitted", "reason", "dup_of")
+      .as[(String, Long, Boolean, String, Long)].collect()
+      .map(v => (v._1, v._2) -> ((v._3, v._4, v._5))).toMap
+
+  private def mix(id: Long, p: Long): Long = {
+    var z = id * 0x9E3779B97F4A7C15L + p * 0xC2B2AE3D27D4EB4FL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    (z ^ (z >>> 27)) & 0xffL
+  }
+  private def png(seed: Long, nudge: Int): Array[Byte] =
+    graft.operators.Multimodal.encodeGrayPixelsPng(16, 16,
+      Array.tabulate(256)(p => (mix(seed, p.toLong).toInt +
+        (if (p < 40) nudge else 0)).min(255)))
+  private def img(id: Long, seed: Long, nudge: Int = 0) =
+    graft.operators.Multimodal.MediaRecord(id, png(seed, nudge),
+      "image/png")
+
+  test("runImage: image funnel over the raw pool → versioned root " +
+      "(funnel ledger under base) → increments serve from the " +
+      "resolved root; kill-mid-rebuild leaves the old root serving " +
+      "and a committed token refuses reuse") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_recur_img_wh").toString
+    val shared = png(1, 0)
+    val pool = Seq(
+      graft.operators.Multimodal.MediaRecord(1L, shared, "image/png"),
+      graft.operators.Multimodal.MediaRecord(2L, shared, "image/png"),
+      img(3L, 3), img(4L, 3, 7), // near pair: 4 dups onto 3
+      graft.operators.Multimodal.MediaRecord(9L, Array[Byte](7),
+        "image/png"))
+    val r = Recurate.runImage(spark, wh, "img", "1", pool.toDS())
+    val root = Restore.resolveVersioned(spark, wh, "img").get.toString
+    assert(root == r.versionDir)
+    val base = vmap2(Increment.readLedger(spark, root))
+    assert(base(("base", 1L)) == ((true, "admitted", 1L)))
+    assert(base(("base", 2L)) == ((false, "exact_dup", 1L)))
+    assert(base(("base", 3L)) == ((true, "admitted", 3L)))
+    assert(base(("base", 4L)) == ((false, "near_dup", 3L)))
+    assert(base(("base", 9L)) == ((false, "undecodable", 9L)))
+    // metrics carry the funnel series under base
+    assert(Increment.readMetrics(spark, root)
+      .filter(col("stage") === "exact_dedup").count() == 1)
+    // an increment from the resolved root: exact/near vs the rebuilt
+    // state, retried idempotently
+    val b2 = Seq(
+      graft.operators.Multimodal.MediaRecord(10L, shared, "image/png"),
+      img(11L, 3, 3), img(30L, 30)).toDS()
+    Increment.curateImageIncrement(b2, root, "b2")
+    Increment.curateImageIncrement(b2, root, "b2")
+    val v2 = vmap2(Increment.readLedger(spark, root))
+    assert(v2(("b2", 10L)) == ((false, "exact_dup", 1L)))
+    assert(v2(("b2", 11L)) == ((false, "near_dup", 3L)))
+    assert(v2(("b2", 30L)) == ((true, "admitted", 30L)))
+    // kill-mid-rebuild: a crashed second re-curation (orphan version
+    // dir, no swap) leaves the old root serving; the same-token retry
+    // clears the orphan and completes
+    val fs = new org.apache.hadoop.fs.Path(wh).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(wh, "img__v2/phash"))
+    assert(Restore.resolveVersioned(spark, wh, "img")
+      .map(_.toString).contains(root))
+    val r2 = Recurate.runImage(spark, wh, "img", "2",
+      Seq(img(1L, 50)).toDS())
+    assert(Restore.resolveVersioned(spark, wh, "img")
+      .map(_.toString).contains(r2.versionDir))
+    // committed tokens refuse reuse (the vlog discipline)
+    intercept[IllegalArgumentException] {
+      Recurate.runImage(spark, wh, "img", "1", Seq(img(1L, 60)).toDS())
+    }
+  }
+
+  test("runAudio / runVideo: bootstrap-funnel over the raw pool → " +
+      "versioned root → increments serve; the scratch dir is removed") {
+    import graft.operators.Multimodal
+    def v(src: Long, w: Int): Short = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$src:$w".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      ((java.lang.Long.parseLong(hex, 16) % 997L) + 1L).toShort
+    }
+    def clip(id: Long, src: Long): Multimodal.MediaRecord =
+      Multimodal.MediaRecord(id, Multimodal.encodePcm16Wav(8000, 1,
+        Array.tabulate[Short](12 * 50)(i => v(src, i / 50))), "audio/wav")
+    val whA = java.nio.file.Files
+      .createTempDirectory("graft_recur_aud_wh").toString
+    // 12 windows per clip → k must be < 12 for any fingerprint to pack
+    val aCfg = Increment.AudioIncrementConfig(k = 8)
+    val ra = Recurate.runAudio(spark, whA, "aud", "1",
+      Seq(clip(1L, 1L), clip(2L, 1L), clip(3L, 3L)).toDS(), aCfg)
+    val rootA = Restore.resolveVersioned(spark, whA, "aud").get.toString
+    assert(rootA == ra.versionDir)
+    val baseA = vmap2(Increment.readLedger(spark, rootA))
+    assert(baseA(("base", 1L)) == ((true, "admitted", 1L)))
+    assert(baseA(("base", 2L)) == ((false, "exact_dup", 1L)))
+    assert(baseA(("base", 3L)) == ((true, "admitted", 3L)))
+    Increment.curateAudioIncrement(
+      Seq(clip(10L, 3L), clip(11L, 11L)).toDS(), rootA, "b1", aCfg)
+    val va = vmap2(Increment.readLedger(spark, rootA))
+    assert(va(("b1", 10L)) == ((false, "exact_dup", 3L)))
+    assert(va(("b1", 11L)) == ((true, "admitted", 11L)))
+    // the bootstrap scratch is gone; only version dirs + marker + vlog
+    val fsA = new org.apache.hadoop.fs.Path(whA).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fsA.exists(
+      new org.apache.hadoop.fs.Path(whA, "aud__v1_scratch")))
+    // video twin
+    def vid(id: Long, seed: Long): Multimodal.MediaRecord =
+      Multimodal.MediaRecord(id, Multimodal.encodeSamplesMp4(1000, 3000,
+        (0 to 2).map(f => Multimodal.encodeGrayPixelsPng(16, 16,
+          Array.tabulate(256) { p =>
+            val (x, y) = (p % 16, p / 16)
+            ((seed * 31 + f * 53 + y * 16 + x * 17) % 256).toInt
+          }))), "video/mp4")
+    val whV = java.nio.file.Files
+      .createTempDirectory("graft_recur_vid_wh").toString
+    val rv = Recurate.runVideo(spark, whV, "vid", "1",
+      Seq(vid(1L, 1L), vid(2L, 1L), vid(3L, 3L)).toDS())
+    val rootV = Restore.resolveVersioned(spark, whV, "vid").get.toString
+    assert(rootV == rv.versionDir)
+    val baseV = vmap2(Increment.readLedger(spark, rootV))
+    assert(baseV(("base", 1L)) == ((true, "admitted", 1L)))
+    assert(baseV(("base", 2L)) == ((false, "exact_dup", 1L)))
+    assert(baseV(("base", 3L)) == ((true, "admitted", 3L)))
+    Increment.curateVideoIncrement(
+      Seq(vid(10L, 1L), vid(11L, 11L)).toDS(), rootV, "b1")
+    val vv = vmap2(Increment.readLedger(spark, rootV))
+    assert(vv(("b1", 10L)) == ((false, "exact_dup", 1L)))
+    assert(vv(("b1", 11L)) == ((true, "admitted", 11L)))
+  }
+
   test("publishState seeds every modality family atomically: " +
       "audio/video/embedding roots publish through the same pointer " +
       "swap and their increments serve from the resolved dir") {
