@@ -628,7 +628,8 @@ object Curate {
         keptH.unpersist()
         d
       } else {
-        val pairsM = Dedup.minhashNearDupPairsManaged(kept, idCol, textCol)
+        val (pairsM, bandRows) =
+          Dedup.minhashNearDupPairsBanded(kept, idCol, textCol)
         val edges = pairsM.df
           .filter(col("jacc_e4") >= cfg.nearDupThresholdE4)
         val compM = Dedup.connectedComponentsManaged(edges)
@@ -640,6 +641,12 @@ object Curate {
             kept.join(victims, Seq(idCol), "left_anti"))
           .persist(StorageLevel.MEMORY_AND_DISK) // contamination + join-back
         stage("near_dup", d.count())
+        // band-bucket skew metric (VERDICT r17 #7): hottest LSH bucket
+        // of the pool, off the pairs job's already-persisted bands —
+        // a mass-duplicated boilerplate band is visible in the funnel
+        // report before it skews a corpus-scale shuffle
+        stage("band_bucket_max", Dedup.bandBucketStats(bandRows)
+          .select(col("max_bucket")).head().getLong(0))
         // dup_of = the component label (min id) the victim collapsed into
         rejectDup("near_dup")(compM.df.filter(col("id") =!= col("label"))
           .select(col("id").cast("long").as("id"),

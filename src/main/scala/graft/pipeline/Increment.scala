@@ -318,12 +318,15 @@ object Increment {
     * is much larger than the batch. The r17 paired sweeps pin the
     * crossover as ABSOLUTE state volume, not the state/batch ratio
     * (both sides scale together in a steady-state ingest, so the
-    * ratio is flat): with the shared filter build, the composed
-    * increment measured −42% at ~33 MB of heavy tables and break-even
-    * at ~100 MB (SCALE.md round-17) — the win past that grows with
-    * the state while the build cost stays batch-proportional. Rule:
-    * enable iff committed heavy-table bytes ≥ `minStateBytes`
-    * (default 256 MiB — comfortably past measured break-even) AND ≥
+    * ratio is flat): the r17 paired sweeps measured break-even around
+    * ~100 MB of heavy tables; the r18 past-floor grid (SCALE.md
+    * round-18) then showed the byte floor alone is NOT sufficient —
+    * with a broadcastable batch the state side never shuffles and
+    * bloom lost 27–45% at every measured cell up to 350 MB of state,
+    * so the dial additionally requires `minBatchRows` (see
+    * [[StateBloomMinBatchRows]] — the shuffle-regime condition). Rule:
+    * enable iff batch rows ≥ `minBatchRows` AND committed heavy-table
+    * bytes ≥ `minStateBytes` (default 256 MiB) AND ≥
     * `minStateBytesPerBatchRow` (default 4 KiB) per batch row (the
     * huge-batch-tiny-state guard). Filter sized at ~16 bits per batch
     * row, clamped to [2^20, 2^27] (<1% fpp, ≤16 MiB literal).
@@ -349,6 +352,23 @@ object Increment {
   val StateBloomMinStateBytes: Long = 256L << 20
   val StateBloomMinBytesPerBatchRow: Long = 4096L
 
+  /** Minimum BATCH rows before the auto dial will enable (r18 verdict
+    * #3 measurement): Bloom pruning saves state-side SHUFFLE, and the
+    * state side only shuffles when the batch's keyed frames exceed the
+    * broadcast threshold — below that the batch broadcasts, the state
+    * streams through the join unshuffled, and the filter build + the
+    * per-state-row probe are pure overhead. Measured (SCALE.md
+    * round-18): net-NEGATIVE (+27–45%) at EVERY cell of a
+    * {178, 1.8k, 5.3k, 16.8k} batch-rows × {3 MB … 350 MB} state-bytes
+    * grid, INCLUDING past the 256 MiB byte floor — the batch side
+    * broadcast in all of them. 256k rows ≈ where band/key frames pass
+    * the 10 MB spark.sql.autoBroadcastJoinThreshold at ~40–60 B/row;
+    * the dial stays provably off everywhere the loss was measured and
+    * arms only in the genuinely shuffle-bound regime (multi-million-row
+    * production snapshots).
+    */
+  val StateBloomMinBatchRows: Long = 262144L
+
   /** Committed heavy-table bytes under `stateDir` — one bounded
     * `getContentSummary` walk over [[StateBloomHeavyTables]], no Spark
     * job.
@@ -366,10 +386,12 @@ object Increment {
                        batchRows: Long,
                        minStateBytes: Long = StateBloomMinStateBytes,
                        minStateBytesPerBatchRow: Long =
-                         StateBloomMinBytesPerBatchRow)
+                         StateBloomMinBytesPerBatchRow,
+                       minBatchRows: Long = StateBloomMinBatchRows)
       : Option[Long] = {
     val stateBytes = stateHeavyBytes(spark, stateDir)
-    if (stateBytes < minStateBytes ||
+    if (batchRows < minBatchRows ||
+        stateBytes < minStateBytes ||
         stateBytes < minStateBytesPerBatchRow * math.max(1L, batchRows))
       None
     else {
@@ -785,18 +807,28 @@ object Increment {
         kept.join(hits.select("id"), Seq("id"), "left_anti")
           .localCheckpoint(eager = true)
       }
-    val pairsM = Dedup.minhashNearDupPairsManaged(afterOld, "id", "text")
+    val (pairsM, bandRows) =
+      Dedup.minhashNearDupPairsBanded(afterOld, "id", "text")
     val edges = pairsM.df.filter(col("jacc_e4") >= cfg.nearDupThresholdE4)
     val compM = Dedup.connectedComponentsManaged(edges)
     val victims = compM.df.filter(col("id") =!= col("label"))
       .select(col("id"), col("label").as("__dup_of"))
       .localCheckpoint(eager = true)
+    // band-bucket skew metric (VERDICT r17 #7): the hottest LSH bucket
+    // population among the batch's own band rows — read off the pairs
+    // job's already-persisted bands before close(), one cheap
+    // aggregate, no plan change. A mass-duplicated boilerplate band
+    // shows here as max ≈ batch size BEFORE it skews a corpus-scale
+    // shuffle; the funnel-rate time series carries it per batch.
+    val bandMax = Dedup.bandBucketStats(bandRows)
+      .select(col("max_bucket")).head().getLong(0)
     compM.close(); pairsM.close()
     rejectPiece(victims, "near_dup")
     val afterMh = afterOld
       .join(victims.select("id"), Seq("id"), "left_anti")
       .localCheckpoint(eager = true)
     stage("near_dup", afterMh.count())
+    stage("band_bucket_max", bandMax)
 
     // ---- optional SEMANTIC stage (the batch funnel's sem_dup gate) ------
     // against the sem SUB-state (reads restricted to minhash-committed

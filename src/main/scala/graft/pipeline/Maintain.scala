@@ -682,8 +682,10 @@ object Maintain {
           if (stateBytes >= floor) "enable" else "none",
           stateBytes, floor,
           if (stateBytes >= floor)
-            "state scans past the measured bloom crossover — set " +
-              "stateBloomAuto (or stateBloomBits) on the increments"
+            "state bytes past the bloom floor — stateBloomAuto will " +
+              "arm for shuffle-regime batches (>= " +
+              s"${graft.pipeline.Increment.StateBloomMinBatchRows} " +
+              "rows; smaller batches broadcast and the dial stays off)"
           else
             "below the crossover: filter builds would cost more than " +
               "the pruned shuffles save", advisory = true))

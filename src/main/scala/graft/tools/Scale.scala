@@ -801,39 +801,52 @@ object Scale {
       // flips bloom ON; the paired rows measure that flip's sign, and
       // the SCALEMETA line records the measured bytes + decision so the
       // SCALE.md row shows where the dial actually sat.
-      if (onlyRows.forall(_.exists("incr_fixedbatch".startsWith))) {
+      if (onlyRows.forall(_.exists(p =>
+          p.startsWith("incr_fixedbatch") ||
+            "incr_fixedbatch".startsWith(p)))) {
         val sdir = java.nio.file.Files
           .createTempDirectory(s"graft_scale_incrfb_$n").toString
         graft.pipeline.Increment.initStateFromCurated(
           spark, sdir, d, "doc_id", "text")
-        val d1 = docs(1)
-        val batchF = d1.filter(col("doc_id") % 97 === 0)
-          .select((col("doc_id") + 600000000L).as("doc_id"),
-            concat(col("text"), lit(" zz tail")).as("text"))
-          .unionByName(d1.filter(col("doc_id") % 97 === 1)
-            .select((col("doc_id") + 700000000L).as("doc_id"),
-              col("text")))
-          .unionByName(d1.filter(col("doc_id") % 97 === 2)
-            .select((col("doc_id") + 800000000L).as("doc_id"),
-              concat_ws(" ", expr("transform(split(text, ' '), " +
-                "w -> substr(md5(concat(w, 'fr')), 1, 6))")).as("text")))
-          .localCheckpoint(eager = true)
-        val nb = batchF.count()
-        println(s"SCALEMETA incr_fixedbatch x$n heavyBytes=" +
-          graft.pipeline.Increment.stateHeavyBytes(spark, sdir) +
-          s" batchRows=$nb decide=" +
-          graft.pipeline.Increment.decideStateBloom(spark, sdir, nb))
-        run("incr_fixedbatch", n)(graft.core.Managed(
-          graft.pipeline.Increment.curateIncrement(batchF, "doc_id",
-            "text", sdir, "sweep").ledger
-            .groupBy("reason").agg(count(lit(1)).as("docs")),
-          Seq.empty))
-        run("incr_fixedbatch_auto", n)(graft.core.Managed(
-          graft.pipeline.Increment.curateIncrement(batchF, "doc_id",
-            "text", sdir, "sweep",
-            graft.pipeline.IncrementConfig(stateBloomAuto = true)).ledger
-            .groupBy("reason").agg(count(lit(1)).as("docs")),
-          Seq.empty))
+        // batch-size grid: bloom's win requires the state side to
+        // actually SHUFFLE, which only happens when the batch side's
+        // keyed frames exceed the broadcast threshold — a tiny batch
+        // broadcasts and bloom is pure overhead at ANY state size
+        // (measured: +25% at 178 rows vs 350 MB state)
+        for (bf <- (Seq(1, 10, 30) :+ factor).distinct
+             if onlyRows.forall(_.exists(p =>
+               p.startsWith(s"incr_fixedbatch_b$bf") ||
+                 s"incr_fixedbatch_b$bf".startsWith(p)))) {
+          val db = docs(bf)
+          val batchF = db.filter(col("doc_id") % 97 === 0)
+            .select((col("doc_id") + 600000000L).as("doc_id"),
+              concat(col("text"), lit(" zz tail")).as("text"))
+            .unionByName(db.filter(col("doc_id") % 97 === 1)
+              .select((col("doc_id") + 700000000L).as("doc_id"),
+                col("text")))
+            .unionByName(db.filter(col("doc_id") % 97 === 2)
+              .select((col("doc_id") + 800000000L).as("doc_id"),
+                concat_ws(" ", expr("transform(split(text, ' '), " +
+                  "w -> substr(md5(concat(w, 'fr')), 1, 6))")).as("text")))
+            .localCheckpoint(eager = true)
+          val nb = batchF.count()
+          println(s"SCALEMETA incr_fixedbatch_b$bf x$n heavyBytes=" +
+            graft.pipeline.Increment.stateHeavyBytes(spark, sdir) +
+            s" batchRows=$nb decide=" +
+            graft.pipeline.Increment.decideStateBloom(spark, sdir, nb))
+          run(s"incr_fixedbatch_b$bf", n)(graft.core.Managed(
+            graft.pipeline.Increment.curateIncrement(batchF, "doc_id",
+              "text", sdir, "sweep").ledger
+              .groupBy("reason").agg(count(lit(1)).as("docs")),
+            Seq.empty))
+          run(s"incr_fixedbatch_b${bf}_bloom", n)(graft.core.Managed(
+            graft.pipeline.Increment.curateIncrement(batchF, "doc_id",
+              "text", sdir, "sweep",
+              graft.pipeline.IncrementConfig(
+                stateBloomBits = Some(1L << 20))).ledger
+              .groupBy("reason").agg(count(lit(1)).as("docs")),
+            Seq.empty))
+        }
       }
       // --- round-9: KN LM, CCNet buckets, Hilbert layout, binary ANN ----
       run("quality_signals", n) {

@@ -237,7 +237,8 @@ class CurateSpec extends SparkSpec {
           "-3.0 <unk>\n\n\\2-grams:\n-0.5 the a\n\n\\end\\\n")))
     assert(res.stageCounts.map(_._1) == Seq("c4_clean", "classifier_gate",
       "lm_gate", "arpa_gate", "ppl_buckets", "dsir_select", "window_dedup",
-      "exact_dedup", "near_dup", "sem_dedup", "decontaminated", "chunks"),
+      "exact_dedup", "near_dup", "band_bucket_max", "sem_dedup",
+      "decontaminated", "chunks"),
       res.stageCounts.toString)
     assert(res.stageCounts.toMap.apply("exact_dedup") == 12L,
       res.stageCounts.toString)

@@ -418,9 +418,15 @@ class IncrementSpec extends SparkSpec {
         .toDF("doc_id", "text"), "doc_id", "text", dir, "b1")
     // a spec-sized state is far below the 64 MiB floor → off
     assert(Increment.decideStateBloom(spark, dir, 100L).isEmpty)
-    // floors lowered: the same state flips on and sizes from the batch
+    // r18 shuffle-regime condition: a broadcastable batch keeps the
+    // dial OFF even with every byte floor lowered (measured: bloom
+    // lost at every cell with a broadcast batch side, SCALE.md r18)
+    assert(Increment.decideStateBloom(spark, dir, 16790L,
+      minStateBytes = 1L, minStateBytesPerBatchRow = 0L).isEmpty)
+    // floors lowered + shuffle-regime batch: flips on, sized from batch
     val bits = Increment.decideStateBloom(spark, dir, 1000L,
-      minStateBytes = 1L, minStateBytesPerBatchRow = 0L)
+      minStateBytes = 1L, minStateBytesPerBatchRow = 0L,
+      minBatchRows = 0L)
     assert(bits.contains(1L << 20), bits.toString) // floor clamp
     assert(Increment.decideStateBloom(spark, dir, 300000L,
       minStateBytes = 1L, minStateBytesPerBatchRow = 0L)
@@ -616,6 +622,31 @@ class IncrementSpec extends SparkSpec {
         "doc_id", "text", dest2, "b2")
     }
     assert(e3.getMessage.contains("compacted"))
+  }
+
+  test("band-bucket skew metric (r17 #7): a boilerplate-flooded batch " +
+      "surfaces as band_bucket_max ≈ batch size in the per-batch " +
+      "funnel metrics; a diverse batch stays at 1") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_incr_bandskew").toString
+    val cfg = IncrementConfig(minQualityE4 = 0)
+    // near-identical boilerplate (distinct texts — exact dedup keeps
+    // them all; the shared shingles collapse their band keys into the
+    // same buckets, the skew the metric exists to surface)
+    val boiler = (1 to 30).map(i => s"bp$i").mkString(" ")
+    Increment.curateIncrement(
+      (1L to 8L).map(i => i -> s"$boiler tail$i").toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b1", cfg)
+    def bandMax(b: String): Long = Increment.readMetrics(spark, dir)
+      .filter(col("batch_id") === b && col("stage") === "band_bucket_max")
+      .select("rows").as[Long].head()
+    assert(bandMax("b1") >= 4L && bandMax("b1") <= 8L, bandMax("b1"))
+    // a diverse batch: every band bucket holds exactly one doc
+    Increment.curateIncrement(
+      (100L to 107L).map(i => i -> goodText(s"u$i"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", dir, "b2", cfg)
+    assert(bandMax("b2") == 1L)
   }
 
   test("decontam state family (r17 verdict #1): benchmark-less " +
