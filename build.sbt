@@ -30,4 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // local experiment hook: extra -D flags (e.g. -Dspark.file.transferTo=…)
+  // without a code edit; unset in driver runs, so artifacts are unaffected
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(
+    _.split("\\s+").filter(_.nonEmpty).toSeq)

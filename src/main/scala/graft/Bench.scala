@@ -102,10 +102,19 @@ object Bench {
     // construction. Interleaved, a burst costs one pass of one query (or a
     // contiguous block of single passes), and the per-query best across
     // passes — separated by minutes of other work — stays clean.
-    val passTimes: Seq[Map[String, Option[Double]]] =
-      (0 until nRuns).map { _ =>
-        selected.map { case (name, fn) => name -> runOnce(fn) }.toMap
-      }
+    // target/bench.json is (re)written after EVERY pass from the passes
+    // completed so far (with a passes_done marker), so an external
+    // wall-clock kill mid-suite still leaves per-query data on disk —
+    // round 18's 32-core timeout (rc=124) lost the entire perf signal
+    // because the artifact was all-or-nothing. stdout stays a single
+    // final line; the numbers of a completed run are byte-identical.
+    val passBuf =
+      scala.collection.mutable.ArrayBuffer.empty[Map[String, Option[Double]]]
+    for (p <- 1 to nRuns) {
+      passBuf += selected.map { case (name, fn) => name -> runOnce(fn) }.toMap
+      writeArtifact(renderLine(selected, passBuf.toSeq, p, sfDir, nRuns))
+    }
+    val passTimes: Seq[Map[String, Option[Double]]] = passBuf.toSeq
     val allTimes: Seq[(String, Seq[Double])] = selected.map { case (name, _) =>
       name -> passTimes.flatMap(_.getOrElse(name, None)).sorted
     }
@@ -117,35 +126,8 @@ object Bench {
     val best = allTimes.collect {
       case (name, times) if times.nonEmpty => name -> times.head
     }.toMap
-
-    // ---- regression gate --------------------------------------------------
-    // BASELINE_QUERIES.json is a flat {"queries": {"qNN_name": sec, ...}}
-    // map; parse with a regex (no JSON dep needed for a flat numeric map).
-    val baseline: Map[String, Double] = {
-      val f = new java.io.File(sys.env.getOrElse(
-        "SPARK_GRAFT_BASELINE", "BASELINE_QUERIES.json"))
-      if (!f.isFile) Map.empty
-      else {
-        val txt = scala.io.Source.fromFile(f)
-        try "\"(q[0-9][^\"]*)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt.mkString)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        finally txt.close()
-      }
-    }
-    // Box factor (see scaladoc): median best/baseline ratio of the 20
-    // most run-stable baselined queries, clamped to [1, 3].
-    val boxFactor: Double = {
-      val eligible = allTimes.collect {
-        case (q, times) if times.nonEmpty && baseline.get(q).exists(_ >= 0.15) =>
-          // spread = max/min across this query's runs; 1.0 = perfectly stable
-          (times.last / times.head, times.head / baseline(q))
-      }
-      if (eligible.isEmpty) 1.0
-      else {
-        val ratios = eligible.sortBy(_._1).take(20).map(_._2).sorted
-        math.min(3.0, math.max(1.0, ratios(ratios.size / 2)))
-      }
-    }
+    val baseline = readBaseline()
+    val boxFactor = computeBoxFactor(allTimes, baseline)
     // one gate computation; both renderings (file + compact stdout) derive
     // from these triples so the thresholds cannot drift apart
     val regTriples = results.toSeq.sorted.collect {
@@ -154,14 +136,8 @@ object Bench {
           best(q) > 2 * b && best(q) - b > 0.3
         } => (q, sec, baseline(q))
     }
-    // ROOT-locale rendering everywhere a number enters JSON: the f""
-    // interpolator formats with the JVM default locale, and a
-    // comma-decimal locale would corrupt the one line the driver parses
-    def num(v: Double, digits: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
-    val regressions = regTriples.map { case (q, sec, b) =>
+    regTriples.foreach { case (q, sec, b) =>
       System.err.println(s"BENCH REGRESSION: $q ${num(sec, 2)}s vs baseline ${num(b, 2)}s")
-      s"""{"q":"$q","sec":$sec,"baseline":$b}"""
     }
     // Median-based exceedances — INFORMATIONAL, not a gate. Best-of-n
     // gating is deliberately contention-tolerant, which leaves a blind
@@ -176,19 +152,7 @@ object Bench {
           sec > 2 * b && sec - b > 0.3
         } => (q, sec, baseline(q))
     }
-    val medianExceed = medTriples.map { case (q, sec, b) =>
-      s"""{"q":"$q","sec":$sec,"baseline":$b}"""
-    }
-
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns,"action":"noop-write","box_factor":${num(boxFactor, 3)},"failed":${failed.mkString("[", ",", "]")},"regressions":${regressions.mkString("[", ",", "]")},"median_exceedances":${medianExceed.mkString("[", ",", "]")}}"""
-    val out = new java.io.File("target/bench.json")
-    out.getParentFile.mkdirs()
-    val w = new java.io.PrintWriter(out)
-    try w.println(line) finally w.close()
 
     // Compact stdout form. Round 7 proved the per-query map does not fit:
     // at 111 queries the shortened map alone is ~1450 chars, and the r7
@@ -219,5 +183,88 @@ object Bench {
     val compact = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","n_queries":${results.size},"n_ok":$nOk,"n_failed":${failedShort.size},"sf":"$sfDir","runs":$nRuns,"action":"noop-write","box_factor":${num(boxFactor, 2)},"failed":${capped(failedShort, 10)},"regressions":${capped(regAll, 8)},"median_exceedances":${capped(medAll, 4)},"detail":"target/bench.json"}"""
     spark.stop()
     println(compact)
+  }
+
+  // ROOT-locale rendering everywhere a number enters JSON: the f""
+  // interpolator formats with the JVM default locale, and a
+  // comma-decimal locale would corrupt the one line the driver parses
+  private def num(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+
+  // BASELINE_QUERIES.json is a flat {"queries": {"qNN_name": sec, ...}}
+  // map; parse with a regex (no JSON dep needed for a flat numeric map).
+  private def readBaseline(): Map[String, Double] = {
+    val f = new java.io.File(sys.env.getOrElse(
+      "SPARK_GRAFT_BASELINE", "BASELINE_QUERIES.json"))
+    if (!f.isFile) Map.empty
+    else {
+      val txt = scala.io.Source.fromFile(f)
+      try "\"(q[0-9][^\"]*)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt.mkString)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      finally txt.close()
+    }
+  }
+
+  // Box factor (see scaladoc): median best/baseline ratio of the 20
+  // most run-stable baselined queries, clamped to [1, 3].
+  private def computeBoxFactor(allTimes: Seq[(String, Seq[Double])],
+                               baseline: Map[String, Double]): Double = {
+    val eligible = allTimes.collect {
+      case (q, times) if times.nonEmpty && baseline.get(q).exists(_ >= 0.15) =>
+        // spread = max/min across this query's runs; 1.0 = perfectly stable
+        (times.last / times.head, times.head / baseline(q))
+    }
+    if (eligible.isEmpty) 1.0
+    else {
+      val ratios = eligible.sortBy(_._1).take(20).map(_._2).sorted
+      math.min(3.0, math.max(1.0, ratios(ratios.size / 2)))
+    }
+  }
+
+  /** The full-precision per-query artifact line from the passes completed
+    * so far — the same gate arithmetic as the final stdout summary, plus
+    * a `passes_done` marker so a partial artifact is self-describing.
+    */
+  private def renderLine(selected: Seq[(String, _)],
+                         passes: Seq[Map[String, Option[Double]]],
+                         passesDone: Int, sfDir: String,
+                         nRuns: Int): String = {
+    val allTimes: Seq[(String, Seq[Double])] = selected.map { case (name, _) =>
+      name -> passes.flatMap(_.getOrElse(name, None)).sorted
+    }
+    val results = allTimes.map { case (name, times) =>
+      name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
+    }.toMap
+    val best = allTimes.collect {
+      case (name, times) if times.nonEmpty => name -> times.head
+    }.toMap
+    val baseline = readBaseline()
+    val boxFactor = computeBoxFactor(allTimes, baseline)
+    val regressions = results.toSeq.sorted.collect {
+      case (q, sec) if sec >= 0 && baseline.get(q).exists { b0 =>
+          val b = b0 * boxFactor
+          best(q) > 2 * b && best(q) - b > 0.3
+        } => s"""{"q":"$q","sec":$sec,"baseline":${baseline(q)}}"""
+    }
+    val medianExceed = results.toSeq.sorted.collect {
+      case (q, sec) if sec >= 0 && baseline.get(q).exists { b0 =>
+          val b = b0 * boxFactor
+          sec > 2 * b && sec - b > 0.3
+        } => s"""{"q":"$q","sec":$sec,"baseline":${baseline(q)}}"""
+    }
+    val failed = results.toSeq.sorted.collect {
+      case (k, v) if v < 0 => "\"" + k + "\""
+    }
+    val qs = results.toSeq.sorted.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$nRuns,"passes_done":$passesDone,"action":"noop-write","box_factor":${num(boxFactor, 3)},"failed":${failed.mkString("[", ",", "]")},"regressions":${regressions.mkString("[", ",", "]")},"median_exceedances":${medianExceed.mkString("[", ",", "]")}}"""
+  }
+
+  private def writeArtifact(line: String): Unit = {
+    val out = new java.io.File("target/bench.json")
+    out.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(out)
+    try w.println(line) finally w.close()
   }
 }

@@ -19,6 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object Subword {
 
+  /** Per-LENGTH literal piece maps — the probe-partitioning trick every
+    * broadcast-vocabulary fold (WordPiece here, the [[Unigram]] family)
+    * shares. `element_at` over a map literal codegens to a LINEAR scan
+    * of every entry, so one combined map makes each probe O(|vocab|);
+    * pieces are ASCII ([[Dedup.normalizeWords]] output), so a length-l
+    * probe can only ever equal a length-l key — probing the length-l
+    * sub-map returns the identical value (or the identical null) while
+    * scanning ~|vocab|/numLengths entries. Pure lookup partitioning:
+    * no arithmetic changes, outputs bit-identical (the word-end
+    * slice-clamp case is argued at each call site).
+    */
+  private[operators] def lenMaps(costs: Map[String, Long]): Map[Int, Column] =
+    costs.groupBy(_._1.length).map { case (l, m) => l -> typedLit(m) }
+
+  private[operators] def probeLen(maps: Map[Int, Column], piece: Column,
+                                  l: Int): Column =
+    maps.get(l).map(m => element_at(m, piece))
+      .getOrElse(lit(null).cast("long"))
+
   /** All substrings of length [minPieceLen, maxPieceLen] of every vocab
     * word, weighted by word frequency — every occurrence counts (a word
     * containing a piece twice contributes twice its frequency). One
@@ -77,7 +96,7 @@ object Subword {
   def wordPieceEncode(docs: DataFrame, idCol: String, textCol: String,
                       model: WpModel,
                       maxWordIters: Int = 32): DataFrame = {
-    val vmap = typedLit(model.pieces)
+    val vmaps = lenMaps(model.pieces)
     val words = Dedup.normalizeWords(col(textCol))
     val encodeWord: Column => Column = w => {
       val cs = filter(split(w, ""), s => s =!= "")
@@ -91,10 +110,16 @@ object Subword {
         (st, _) => {
           val pos = st.getField("p")
           // build SHORTEST-first so the fold wraps longer lengths
-          // OUTERMOST — longest match wins
+          // OUTERMOST — longest match wins. (Per-length sub-map probes:
+          // a word-END probe of length l > remaining clamps to the
+          // remaining-r-char suffix and under the combined map matched
+          // that r-char key at mlen = l; under sub-maps the same suffix
+          // matches at mlen = r. Either way the EMITTED piece is the
+          // clamped suffix and the advanced position passes the word
+          // end, so the piece stream is identical — see lenMaps.)
           val mlen = (2 to model.maxPieceLen).foldLeft(lit(1)) {
             (els, l) =>
-              when(element_at(vmap, pieceAt(pos, lit(l))).isNotNull, lit(l))
+              when(probeLen(vmaps, pieceAt(pos, lit(l)), l).isNotNull, lit(l))
                 .otherwise(els)
           }
           when(pos > size(cs), st).otherwise(struct(

@@ -70,6 +70,17 @@ object Unigram {
     UniModel(rows.map(r => r.getString(0) -> r.getLong(1)).toMap, maxPieceLen)
   }
 
+  /** Per-length piece-cost sub-maps — see [[Subword.lenMaps]] (the one
+    * definition of the probe-partitioning trick both tokenizer families
+    * share).
+    */
+  private def lenMaps(costs: Map[String, Long]): Map[Int, Column] =
+    Subword.lenMaps(costs)
+
+  private def probeLen(maps: Map[Int, Column], piece: Column,
+                       l: Int): Column =
+    Subword.probeLen(maps, piece, l)
+
   /** The likelihood-greedy segmentation of one word under a broadcast
     * model, as a pure Column fold (the [[Subword.wordPieceEncode]]
     * skeleton with the match rule swapped): per position, among matching
@@ -79,7 +90,7 @@ object Unigram {
     */
   private def encodeWordGreedy(model: UniModel, maxWordIters: Int)
       : Column => Column = w => {
-    val vmap = typedLit(model.costs)
+    val vmaps = lenMaps(model.costs)
     val cs = Bpe.charSymbols(w)
     def pieceAt(pos: Column, l: Int): Column =
       array_join(slice(cs, pos, lit(l)), "")
@@ -97,7 +108,7 @@ object Unigram {
         // accumulated when-chain 4× per length level — 4^maxPieceLen
         // expression nodes, a driver OOM at analysis time, measured.)
         val cands = array((1 to model.maxPieceLen).map { l =>
-          val c = element_at(vmap, pieceAt(pos, l))
+          val c = probeLen(vmaps, pieceAt(pos, l), l)
           // boundary guard: slice CLAMPS at the word end, so without it
           // a length-l probe past the end re-matches the tail piece and
           // claims l's (better) ratio — measured, not hypothetical
@@ -160,11 +171,11 @@ object Unigram {
     aggregate(filter(cands, c => c.isNotNull), lit(null).cast("long"),
       (s, c) => when(s.isNull, c).otherwise(combineE6(s, c)))
 
-  private def stepCostOf(vmap: Column, cs: Column, unkCost: Long)(
+  private def stepCostOf(vmaps: Map[Int, Column], cs: Column, unkCost: Long)(
       pos: Column, l: Int): Column = {
     val piece = array_join(slice(cs, pos, lit(l)), "")
-    if (l == 1) coalesce(element_at(vmap, piece), lit(unkCost))
-    else element_at(vmap, piece)
+    if (l == 1) coalesce(probeLen(vmaps, piece, 1), lit(unkCost))
+    else probeLen(vmaps, piece, l)
   }
 
   /** Forward softmin DP over one word: acc(i+1) = α(i), the marginal
@@ -172,9 +183,9 @@ object Unigram {
     */
   private def forwardArr(model: UniModel, unkCost: Long)
       : Column => Column = w => {
-    val vmap = typedLit(model.costs)
+    val vmaps = lenMaps(model.costs)
     val cs = Bpe.charSymbols(w)
-    val stepCost = stepCostOf(vmap, cs, unkCost) _
+    val stepCost = stepCostOf(vmaps, cs, unkCost) _
     aggregate(sequence(lit(1), size(cs)), array(lit(0L)),
       (acc, i) => concat(acc, array(softminOf(array(
         (1 to model.maxPieceLen).map { l =>
@@ -199,10 +210,10 @@ object Unigram {
 
   private def latticeEdgeCounts(model: UniModel, unkCost: Long)
       : Column => Column = w => {
-    val vmap = typedLit(model.costs)
+    val vmaps = lenMaps(model.costs)
     val cs = Bpe.charSymbols(w)
     def stepCost(pos: Column, l: Int): Column =
-      stepCostOf(vmap, cs, unkCost)(pos, l)
+      stepCostOf(vmaps, cs, unkCost)(pos, l)
     def softmin(cands: Column): Column = softminOf(cands)
     // acc(i+1) = α(i): softmin path cost of chars [1, i]
     val fwd = forwardArr(model, unkCost)(w)
@@ -222,19 +233,24 @@ object Unigram {
       val b = fb.getField("b")
       val n = size(cs)
       val z = element_at(f, n + 1)
+      // lengths statically unrolled (1..maxPieceLen literals instead of a
+      // sequence lambda variable) so each probe hits its per-length
+      // sub-map; the out-of-range guard replaces the sequence bound and
+      // the same isNotNull filter drops exactly the same slots
       flatten(transform(sequence(lit(1), n), s =>
         filter(
-          transform(sequence(lit(1), least(lit(model.maxPieceLen),
-              n - s + lit(1))), lv => {
+          array((1 to model.maxPieceLen).map { lvi =>
+            val lv = lit(lvi)
             val piece = array_join(slice(cs, s, lv), "")
-            val c = when(lv === 1,
-                coalesce(element_at(vmap, piece), lit(unkCost)))
-              .otherwise(element_at(vmap, piece))
-            when(c.isNotNull, struct(piece.as("piece"),
-              floor(exp(-(element_at(f, s) + c +
-                  element_at(b, n - s - lv + lit(2)) - z).cast("double") /
-                lit(1e6)) * lit(1e6) + lit(0.5)).cast("long").as("cnt_e6")))
-          }),
+            val c =
+              if (lvi == 1) coalesce(probeLen(vmaps, piece, 1), lit(unkCost))
+              else probeLen(vmaps, piece, lvi)
+            when(lv <= n - s + lit(1) && c.isNotNull,
+              struct(piece.as("piece"),
+                floor(exp(-(element_at(f, s) + c +
+                    element_at(b, n - s - lv + lit(2)) - z).cast("double") /
+                  lit(1e6)) * lit(1e6) + lit(0.5)).cast("long").as("cnt_e6")))
+          }: _*),
           e => e.isNotNull)))
     })
     element_at(edges, 1)
@@ -310,15 +326,22 @@ object Unigram {
       s"trainUnigramEM: pruneBy must be usage|loss, got '$pruneBy'")
     val spark = wordFreqs.sparkSession
     import spark.implicits._
-    val chars = Subword.substringCounts(wordFreqs, 1, 1)
+    // the word table feeds every training action (char seed, candidate
+    // seed, one E-step per round) — persist it once instead of replaying
+    // the corpus explode+aggregate per action; the returned vocab is
+    // checkpoint-detached below so the unpersist can't strand a consumer
+    val wf = wordFreqs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val chars = Subword.substringCounts(wf, 1, 1)
       .select("piece").as[String].collect().toSet // bounded: alphabet size
     var model = collectUniModel(
-      pieceCosts(seedPieces(wordFreqs, seedMultiplier * vocabSize,
+      pieceCosts(seedPieces(wf, seedMultiplier * vocabSize,
         maxPieceLen)),
       maxPieceLen, maxEntries)
     var kept: DataFrame = null
     for (_ <- 1 to rounds) {
-      val usage = pieceUsageExpected(wordFreqs, model)
+      val usage = pieceUsageExpected(wf, model)
       val charRows = chars.toSeq.sorted.toDF("piece")
         .join(usage, Seq("piece"), "left_outer")
         .select(col("piece"),
@@ -347,7 +370,11 @@ object Unigram {
         .select(col("piece"), (col("usage_e6") + lit(1000000L)).as("wfreq"))
       model = collectUniModel(pieceCosts(kept), maxPieceLen, maxEntries)
     }
-    pieceCosts(kept)
+    // vocab-bounded (≤ vocabSize rows): detach from the word-table
+    // lineage so the finally-unpersist can't force a corpus replay on
+    // the caller's consuming action
+    pieceCosts(kept).localCheckpoint(eager = true)
+    } finally { wf.unpersist(blocking = false); () }
   }
 
   /** Train: seed → per-round (distributed E-step → driver-local prune +
@@ -364,15 +391,19 @@ object Unigram {
     require(vocabSize >= 1 && rounds >= 1 && seedMultiplier >= 1)
     val spark = wordFreqs.sparkSession
     import spark.implicits._
-    val chars = Subword.substringCounts(wordFreqs, 1, 1)
+    // same word-table persist + checkpoint-detach as [[trainUnigramEM]]
+    val wf = wordFreqs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val chars = Subword.substringCounts(wf, 1, 1)
       .select("piece").as[String].collect().toSet // bounded: alphabet size
     var model = collectUniModel(
-      pieceCosts(seedPieces(wordFreqs, seedMultiplier * vocabSize,
+      pieceCosts(seedPieces(wf, seedMultiplier * vocabSize,
         maxPieceLen)),
       maxPieceLen, maxEntries)
     var kept: DataFrame = null
     for (_ <- 1 to rounds) {
-      val usage = pieceUsage(wordFreqs, model, maxWordIters)
+      val usage = pieceUsage(wf, model, maxWordIters)
       val charRows = chars.toSeq.sorted.toDF("piece")
         .join(usage, Seq("piece"), "left_outer")
         .select(col("piece"), coalesce(col("usage"), lit(0L)).as("usage"))
@@ -384,7 +415,8 @@ object Unigram {
         .select(col("piece"), (col("usage") + lit(1L)).as("wfreq"))
       model = collectUniModel(pieceCosts(kept), maxPieceLen, maxEntries)
     }
-    pieceCosts(kept)
+    pieceCosts(kept).localCheckpoint(eager = true)
+    } finally { wf.unpersist(blocking = false); () }
   }
 
   /** Likelihood-greedy document encoding under a trained model: output
@@ -447,11 +479,11 @@ object Unigram {
       model.costs.map { case (p, c) => p -> c * alphaE4 / 10000L },
       model.maxPieceLen)
     val unk2 = unkCost * alphaE4 / 10000L
-    val vmap = typedLit(m2.costs)
+    val vmaps = lenMaps(m2.costs)
     val words = Dedup.normalizeWords(col(textCol))
     val encodeWord: (Column, Column) => Column = (w, widx0) => {
       val cs = Bpe.charSymbols(w)
-      val stepCost = stepCostOf(vmap, cs, unk2) _
+      val stepCost = stepCostOf(vmaps, cs, unk2) _
       val fwd = forwardArr(m2, unk2)(w)
       // bind the DP table as a lambda variable (read ~3x per step)
       val sampled = transform(array(fwd), f => {
@@ -526,7 +558,7 @@ object Unigram {
   def viterbiEncode(docs: DataFrame, idCol: String, textCol: String,
                     model: UniModel, maxWordLen: Int = 32,
                     unkCost: Long = 100L * 1000000L): DataFrame = {
-    val vmap = typedLit(model.costs)
+    val vmaps = lenMaps(model.costs)
     val words = Dedup.normalizeWords(col(textCol))
     val encodeWord: Column => Column = w => {
       val cs = Bpe.charSymbols(w)
@@ -535,8 +567,8 @@ object Unigram {
       // cost of the piece starting at pos with length l (1-based pos);
       // single chars fall back to unkCost when absent
       def stepCost(pos: Column, l: Int): Column =
-        if (l == 1) coalesce(element_at(vmap, pieceAt(pos, 1)), lit(unkCost))
-        else element_at(vmap, pieceAt(pos, l))
+        if (l == 1) coalesce(probeLen(vmaps, pieceAt(pos, 1), 1), lit(unkCost))
+        else probeLen(vmaps, pieceAt(pos, l), l)
       // forward DP: best(i) = min cost of encoding chars [1, i]; acc is
       // the growing array [best(0)=0, best(1), …]
       val fwd = aggregate(
